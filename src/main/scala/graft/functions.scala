@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.{ColumnShim, LshEuclidean, LshJaccard, LshMin}
+
+/** Typed DataFrame-API bindings for the LSH functions (the reference exposes
+  * SQL only; this is the idiomatic Spark column surface on top of the same
+  * expressions).
+  */
+object functions {
+
+  private def col2expr(c: Column): Expression = ColumnShim.expression(c)
+  private def toCol(e: Expression): Column = ColumnShim.column(e)
+
+  /** Banded MinHash over char-n-gram shingles (lsh_min, minhash.rs:154-192). */
+  def lsh_min(col: Column, ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long): Column =
+    toCol(LshMin(Seq(col2expr(col), col2expr(lit(ngramWidth.toLong)),
+      col2expr(lit(bandCount.toLong)), col2expr(lit(bandSize.toLong)),
+      col2expr(lit(seed))), is32 = false))
+
+  /** Banded MinHash over caller-provided shingles (minhash.rs:85-150). */
+  def lsh_min(col: Column, bandCount: Int, bandSize: Int, seed: Long): Column =
+    toCol(LshMin(Seq(col2expr(col), col2expr(lit(bandCount.toLong)),
+      col2expr(lit(bandSize.toLong)), col2expr(lit(seed))), is32 = false))
+
+  def lsh_min32(col: Column, ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long): Column =
+    toCol(LshMin(Seq(col2expr(col), col2expr(lit(ngramWidth.toLong)),
+      col2expr(lit(bandCount.toLong)), col2expr(lit(bandSize.toLong)),
+      col2expr(lit(seed))), is32 = true))
+
+  def lsh_min32(col: Column, bandCount: Int, bandSize: Int, seed: Long): Column =
+    toCol(LshMin(Seq(col2expr(col), col2expr(lit(bandCount.toLong)),
+      col2expr(lit(bandSize.toLong)), col2expr(lit(seed))), is32 = true))
+
+  /** Banded p-stable LSH over a double vector (euclidean_hash.rs:20-98). */
+  def lsh_euclidean(col: Column, bucketWidth: Double, bandCount: Int, bandSize: Int, seed: Long): Column =
+    toCol(LshEuclidean(Seq(col2expr(col), col2expr(lit(bucketWidth)),
+      col2expr(lit(bandCount.toLong)), col2expr(lit(bandSize.toLong)),
+      col2expr(lit(seed))), is32 = false))
+
+  def lsh_euclidean32(col: Column, bucketWidth: Double, bandCount: Int, bandSize: Int, seed: Long): Column =
+    toCol(LshEuclidean(Seq(col2expr(col), col2expr(lit(bucketWidth)),
+      col2expr(lit(bandCount.toLong)), col2expr(lit(bandSize.toLong)),
+      col2expr(lit(seed))), is32 = true))
+
+  /** Exact char-n-gram Jaccard similarity (minhash.rs:236-296). */
+  def lsh_jaccard(a: Column, b: Column, ngramWidth: Int): Column =
+    toCol(LshJaccard(col2expr(a), col2expr(b), col2expr(lit(ngramWidth.toLong))))
+}

@@ -1,0 +1,51 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{LshEuclidean, LshJaccard, LshMin}
+
+/** Registration of the five LSH SQL functions, the analog of the reference's
+  * extension entry point (/root/reference/src/lib.rs:40-53). After
+  * `LshFunctions.register(spark)` (or installing [[GraftExtensions]] via
+  * `spark.sql.extensions`), the functions are usable from SQL strings and —
+  * through [[graft.functions]] — from the DataFrame API.
+  */
+object LshFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  val all: Seq[(String, Builder)] = Seq(
+    "lsh_min" -> ((args: Seq[Expression]) => LshMin(args, is32 = false)),
+    "lsh_min32" -> ((args: Seq[Expression]) => LshMin(args, is32 = true)),
+    "lsh_euclidean" -> ((args: Seq[Expression]) => LshEuclidean(args, is32 = false)),
+    "lsh_euclidean32" -> ((args: Seq[Expression]) => LshEuclidean(args, is32 = true)),
+    "lsh_jaccard" -> ((args: Seq[Expression]) => {
+      require(args.length == 3, "lsh_jaccard expects 3 arguments")
+      LshJaccard(args(0), args(1), args(2))
+    }))
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.sql.LshFunctions", null, name)
+
+  /** Install into the session's function registry. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.sql.GraftExtensions` — injected-function
+  * variant of [[LshFunctions.register]] for cluster-wide installation.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    LshFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.sql.LshFunctions", null, name), builder))
+    }
+  }
+}

@@ -1,0 +1,232 @@
+// Lives inside org.apache.spark.sql because ExpectsInputTypes/AbstractDataType
+// are private[sql] — the standard location for third-party Catalyst
+// expressions. The public user-facing surface re-exports from graft.*.
+package org.apache.spark.sql.graft
+
+import _root_.graft.core._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions for the five LSH SQL functions the reference
+  * registers (/root/reference/src/lib.rs:42-51). All are deterministic,
+  * null-intolerant scalars; parameter arguments must be foldable (query
+  * constants), the analysis-time analog of the reference's per-chunk
+  * `validate_constant_param` (lib.rs:29-38, SURVEY.md §4.3).
+  *
+  * Hash families are derived once per parameter set and cached process-wide
+  * (SURVEY.md §4.4) instead of the reference's per-row RNG reset — the
+  * outputs are identical because the reference reseeds per row
+  * (minhash.rs:72, euclidean_hash.rs:86).
+  */
+object LshParams {
+  /** Fail analysis unless all parameter expressions are query constants,
+    * with the reference's message text (lib.rs:29-38). */
+  def checkConstant(params: Seq[(Expression, String)]): TypeCheckResult = {
+    params.find(!_._1.foldable) match {
+      case Some((_, name)) =>
+        TypeCheckFailure(s"$name must be a constant value, not vary per row")
+      case None => TypeCheckSuccess
+    }
+  }
+
+  def evalLong(e: Expression, name: String): Long = e.eval(null) match {
+    case null => throw new IllegalArgumentException(s"$name must not be NULL")
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"$name: unexpected $other")
+  }
+
+  def evalDouble(e: Expression, name: String): Double = e.eval(null) match {
+    case null => throw new IllegalArgumentException(s"$name must not be NULL")
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case other => throw new IllegalArgumentException(s"$name: unexpected $other")
+  }
+
+  def toArrayData(bands: Array[Long], is32: Boolean): ArrayData =
+    if (is32) {
+      val out = new Array[Int](bands.length)
+      var i = 0
+      while (i < bands.length) { out(i) = bands(i).toInt; i += 1 } // low-32 truncation, lib.rs:23-27
+      new GenericArrayData(out)
+    } else new GenericArrayData(bands)
+}
+
+/** `lsh_min` / `lsh_min32` — banded MinHash over char-n-gram shingles
+  * (text overload, 5 args: minhash.rs:154-192) or caller-provided shingles
+  * (list overload, 4 args: minhash.rs:85-150). Overload dispatch follows the
+  * reference's execution-time type dispatch (minhash.rs:162-166) but at
+  * analysis time, on the first argument's type.
+  */
+case class LshMin(children: Seq[Expression], is32: Boolean)
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+
+  private def isTextMode: Boolean = children.length == 5
+
+  override def prettyName: String = if (is32) "lsh_min32" else "lsh_min"
+
+  override def inputTypes: Seq[AbstractDataType] =
+    if (isTextMode) Seq(StringType, LongType, LongType, LongType, LongType)
+    else Seq(ArrayType(StringType), LongType, LongType, LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (children.length != 4 && children.length != 5)
+      return TypeCheckFailure(s"$prettyName expects 4 (shingle-list) or 5 (text) arguments")
+    val base = super.checkInputDataTypes()
+    if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
+    val paramNames =
+      if (isTextMode) Seq("ngram_width", "band_count", "band_size", "seed")
+      else Seq("band_count", "band_size", "seed")
+    LshParams.checkConstant(children.tail.zip(paramNames))
+  }
+
+  override def nullable: Boolean = children.head.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def dataType: DataType =
+    ArrayType(if (is32) IntegerType else LongType, containsNull = false)
+
+  @transient private lazy val ngramWidth: Int =
+    if (isTextMode) LshParams.evalLong(children(1), "ngram_width").toInt else 0
+  @transient private lazy val family: MinHashFamily = {
+    val off = if (isTextMode) 2 else 1
+    MinHashFamily(
+      LshParams.evalLong(children(off), "band_count").toInt,
+      LshParams.evalLong(children(off + 1), "band_size").toInt,
+      LshParams.evalLong(children(off + 2), "seed"))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val set =
+      if (isTextMode) {
+        val s = v.asInstanceOf[UTF8String].getBytes
+        Shingles.fromTextUtf8(s, 0, s.length, ngramWidth)
+      } else {
+        val arr = v.asInstanceOf[ArrayData]
+        val n = arr.numElements()
+        val set = new IntHashSet(math.max(8, n))
+        var i = 0
+        while (i < n) {
+          // NULL list elements are untested in the reference; treat as ''.
+          val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+          val b = s.getBytes
+          val cps = Shingles.codePointsUtf8(b, 0, b.length)
+          set.add(FxHash.hashCodePoints(cps, cps.length))
+          i += 1
+        }
+        set
+      }
+    LshParams.toArrayData(family.hash(set), is32)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** `lsh_euclidean` / `lsh_euclidean32` — banded p-stable (Gaussian) LSH over
+  * a double vector (euclidean_hash.rs:20-98). The all-arrays-same-length rule
+  * (euclidean_hash.rs:31-45) is enforced per task partition — a deterministic
+  * superset of the reference's chunk-scoped check (SURVEY.md §2.2.5).
+  */
+case class LshEuclidean(children: Seq[Expression], is32: Boolean)
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def prettyName: String = if (is32) "lsh_euclidean32" else "lsh_euclidean"
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType, LongType, LongType, LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (children.length != 5)
+      return TypeCheckFailure(s"$prettyName expects 5 arguments")
+    val base = super.checkInputDataTypes()
+    if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
+    LshParams.checkConstant(
+      children.tail.zip(Seq("bucket_width", "band_count", "band_size", "seed")))
+  }
+
+  override def nullable: Boolean = children.head.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def dataType: DataType =
+    ArrayType(if (is32) IntegerType else LongType, containsNull = false)
+
+  @transient private lazy val bucketWidth: Double =
+    LshParams.evalDouble(children(1), "bucket_width")
+  @transient private lazy val bandCount: Int =
+    LshParams.evalLong(children(2), "band_count").toInt
+  @transient private lazy val bandSize: Int =
+    LshParams.evalLong(children(3), "band_size").toInt
+  @transient private lazy val seed: Long = LshParams.evalLong(children(4), "seed")
+
+  // First dimensionality seen in this task, for the same-length rule.
+  @transient private var seenD: Int = -1
+  @transient private var fam: EuclideanFamily = _
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    if (seenD == -1) {
+      seenD = d
+      fam = EuclideanFamily(bucketWidth, bandCount, bandSize, seed, d)
+    } else if (seenD != d) {
+      throw new IllegalArgumentException("All input arrays must have the same length")
+    }
+    val x = arr.toDoubleArray()
+    LshParams.toArrayData(fam.hash(x), is32)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** `lsh_jaccard` — exact Jaccard similarity of two strings' char-n-gram
+  * shingle sets; NULL if either side is NULL, 0.0 if either set is empty
+  * (minhash.rs:236-296, shingleset.rs:49-57).
+  */
+case class LshJaccard(left: Expression, right: Expression, width: Expression)
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def prettyName: String = "lsh_jaccard"
+  override def children: Seq[Expression] = Seq(left, right, width)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
+    LshParams.checkConstant(Seq(width -> "ngram_width"))
+  }
+
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val ngramWidth: Int =
+    LshParams.evalLong(width, "ngram_width").toInt
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val ab = a.asInstanceOf[UTF8String].getBytes
+    val bb = b.asInstanceOf[UTF8String].getBytes
+    Shingles.jaccard(
+      Shingles.fromTextUtf8(ab, 0, ab.length, ngramWidth),
+      Shingles.fromTextUtf8(bb, 0, bb.length, ngramWidth))
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1), width = newChildren(2))
+}
