@@ -1,13 +1,427 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see SURVEY.md §7 and FIXTURES.md.
+  *
+  * Each entry in [[queries]] is one operator/capability from SURVEY.md §2
+  * (the reference's five LSH scalars + the relational surface it composes
+  * with, minhash.rs / euclidean_hash.rs / README.md:150-164) or one of the
+  * training-data-pipeline operators this engine adds (dedup, similarity
+  * search, text analysis). Where the semantics are expressible in ANSI SQL,
+  * [[oracleSql]] carries an independent DuckDB recomputation; LSH hash
+  * outputs are not SQL-expressible without the extension (the driver's DuckDB
+  * has no `lsh` extension), so those queries are pinned instead by the
+  * bit-exact golden tests in GoldenVectorsSpec/LshSqlSpec and get rows-only
+  * checks here.
+  *
+  * Design notes for oracle exactness:
+  *  - outputs are deterministically ordered and use unique sort keys;
+  *  - no floating-point SUM/AVG crosses the engine boundary (sums are over
+  *    integral values cast to BIGINT; doubles appear only via MIN/MAX,
+  *    compare-only, or exact integer division), so every value matches
+  *    bit-for-bit;
+  *  - u64 hash values travel as Long bit patterns (SURVEY.md §1.2).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def load(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a long
+    * (legacy conf); normalize to a micros timestamp column here. */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def withLsh(spark: SparkSession): SparkSession = {
+    graft.sql.LshFunctions.register(spark)
+    spark
+  }
+
+  /** Flagship query on sf=0.001: banded-MinHash near-dup candidate pairs over
+    * documents, the reference's headline pattern (README.md:150-164) done the
+    * scale-out way (posexplode band join, SURVEY.md §7.4). */
+  def entry(spark: SparkSession): DataFrame = {
+    withLsh(spark)
+    val dir = "/root/testdata/sf0.001"
+    load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql("""
+      WITH banded AS (
+        SELECT doc_id, text, posexplode(lsh_min(text, 4, 8, 3, 123)) AS (band, h)
+        FROM documents
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             max(lsh_jaccard(a.text, b.text, 4)) AS sim
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING max(lsh_jaccard(a.text, b.text, 4)) > 0.5
+      ORDER BY id_a, id_b
+    """)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ pipeline ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- reference LSH surface (SURVEY §2.1) — pinned by golden tests ----
+    "lsh_min_text" -> ((s, dir) => {
+      withLsh(s)
+      load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id, lsh_min(text, 2, 3, 2, 123) AS hash
+               FROM documents ORDER BY doc_id""")
+    }),
+    "lsh_min32_text" -> ((s, dir) => {
+      withLsh(s)
+      load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id, lsh_min32(text, 2, 3, 2, 123) AS hash
+               FROM documents ORDER BY doc_id""")
+    }),
+    "lsh_min_shingles" -> ((s, dir) => {
+      withLsh(s)
+      load(s, dir, "documents").createOrReplaceTempView("documents")
+      // word-bigram shingles (the reference's documented shingle-list use,
+      // lsh_min.test:56-75), built with Spark array functions
+      s.sql("""
+        SELECT doc_id,
+               lsh_min(transform(sequence(1, size(split(text, ' ')) - 1),
+                                 i -> concat(element_at(split(text, ' '), i), ' ',
+                                             element_at(split(text, ' '), i + 1))),
+                       3, 2, 123) AS hash
+        FROM documents ORDER BY doc_id""")
+    }),
+    "lsh_euclidean_embed" -> ((s, dir) => {
+      withLsh(s)
+      load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql("""SELECT vec_id, lsh_euclidean(CAST(embedding AS ARRAY<DOUBLE>), 0.5, 2, 3, 123) AS hash
+               FROM embeddings ORDER BY vec_id""")
+    }),
+    "lsh_euclidean32_embed" -> ((s, dir) => {
+      withLsh(s)
+      load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql("""SELECT vec_id, lsh_euclidean32(CAST(embedding AS ARRAY<DOUBLE>), 0.5, 2, 3, 123) AS hash
+               FROM embeddings ORDER BY vec_id""")
+    }),
+    "lsh_jaccard_docs" -> ((s, dir) => {
+      withLsh(s)
+      load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT a.doc_id AS id_a, b.doc_id AS id_b, lsh_jaccard(a.text, b.text, 2) AS sim
+               FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+               ORDER BY id_a""")
+    }),
+    "lsh_jaccard_customer" -> ((s, dir) => {
+      withLsh(s)
+      load(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+                      lsh_jaccard(a.c_name, b.c_name, 2) AS sim
+               FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+               ORDER BY key_a""")
+    }),
+    "lsh_blocking_join" -> ((s, dir) => {
+      withLsh(s)
+      // README.md:150-164 verbatim idiom: per-seed single-band joins, UNION
+      // (dedup) across seeds, exact-jaccard post-filter.
+      load(s, dir, "customer").createOrReplaceTempView("customer")
+      // The README's per-seed single-band join + UNION, verbatim. The
+      // customer names are near-identical so one band bucket holds ~60% of
+      // rows (~40M candidate pairs at sf0.1); the jaccard post-filter relies
+      // on LshJaccard's per-thread shingle-set cache to make those pair
+      // evaluations O(distinct strings) in shingling work. (A 16-way salted
+      // variant was measured and is ~1.6x slower here — the pair explosion is
+      // compute-bound on the filter, not parallelism-bound; revisit if a real
+      // cluster shows task-level stragglers instead.)
+      s.sql("""
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+        FROM customer a JOIN customer b
+          ON element_at(lsh_min(a.c_name, 2, 1, 3, 1), 1) = element_at(lsh_min(b.c_name, 2, 1, 3, 1), 1)
+        WHERE a.c_custkey < b.c_custkey AND lsh_jaccard(a.c_name, b.c_name, 2) > 0.8
+        UNION
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+        FROM customer a JOIN customer b
+          ON element_at(lsh_min(a.c_name, 2, 1, 3, 2), 1) = element_at(lsh_min(b.c_name, 2, 1, 3, 2), 1)
+        WHERE a.c_custkey < b.c_custkey AND lsh_jaccard(a.c_name, b.c_name, 2) > 0.8
+        ORDER BY key_a, key_b""")
+    }),
+
+    // ---- relational surface the reference composes with (SURVEY §2.3) ----
+    "q1_agg" -> ((s, dir) => {
+      load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS cnt,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+    "q2_join_agg" -> ((s, dir) => {
+      load(s, dir, "customer").createOrReplaceTempView("customer")
+      load(s, dir, "orders").createOrReplaceTempView("orders")
+      load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT c.c_mktsegment, count(*) AS line_cnt,
+               sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+               count(DISTINCT o.o_orderkey) AS order_cnt
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c_mktsegment""")
+    }),
+    "q3_broadcast_dims" -> ((s, dir) => {
+      load(s, dir, "region").createOrReplaceTempView("region")
+      load(s, dir, "nation").createOrReplaceTempView("nation")
+      load(s, dir, "customer").createOrReplaceTempView("customer")
+      // region/nation are tiny: Catalyst broadcast-joins them (checked in
+      // BenchPlanSpec); the oracle only sees the result.
+      s.sql("""
+        SELECT r.r_name, count(*) AS customers,
+               min(c.c_acctbal) AS min_bal, max(c.c_acctbal) AS max_bal
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                      JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY r.r_name
+        ORDER BY r_name""")
+    }),
+    "q4_window_topn" -> ((s, dir) => {
+      load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+        WHERE rnk <= 3
+        ORDER BY o_orderpriority, rnk""")
+    }),
+    "q5_semi_anti" -> ((s, dir) => {
+      load(s, dir, "customer").createOrReplaceTempView("customer")
+      load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT 'with_orders' AS bucket, count(*) AS cnt
+        FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT 'without_orders' AS bucket, count(*) AS cnt
+        FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY bucket""")
+    }),
+    "q6_datetime_agg" -> ((s, dir) => {
+      load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+               count(*) AS orders, min(o_totalprice) AS min_price
+        FROM orders GROUP BY date_format(o_orderdate, 'yyyy-MM')
+        ORDER BY month""")
+    }),
+    "q7_json_extract" -> ((s, dir) => {
+      loadEvents(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+               sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+               count(*) AS cnt
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }),
+    "q8_grouping_sets" -> ((s, dir) => {
+      load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY status, priority""")
+    }),
+    "q9_events_window" -> ((s, dir) => {
+      loadEvents(s, dir).createOrReplaceTempView("events")
+      // tumbling 1h windows, batch form of the streaming aggregation in
+      // graft.streaming (same plan shape under readStream)
+      s.sql("""
+        SELECT date_format(window(ts, '1 hour').start, 'yyyy-MM-dd HH:mm') AS win_start,
+               event_type, count(*) AS cnt, min(value) AS min_v, max(value) AS max_v
+        FROM events GROUP BY window(ts, '1 hour'), event_type
+        ORDER BY win_start, event_type""")
+    }),
+
+    // ---- training-data pipeline operators ----
+    "dedup_exact" -> ((s, dir) => {
+      load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS copies
+        FROM documents GROUP BY md5(text)
+        ORDER BY text_hash""")
+    }),
+    "dedup_near_window" -> ((s, dir) => {
+      withLsh(s)
+      load(s, dir, "documents").createOrReplaceTempView("documents")
+      // exact n-gram-Jaccard near-dup scan over a bounded candidate window.
+      // The window is expressed as explode+equi-join, not a range join: a
+      // range predicate would force a nested-loop cross product (O(n²) pairs)
+      // while this shape hash-joins O(n·window) pairs — the difference between
+      // 429s and <1s at sf0.1, and between feasible and not at 100 TB.
+      s.sql("""
+        SELECT id_a, id_b, sim FROM (
+          SELECT p.id_a, b.doc_id AS id_b, lsh_jaccard(p.ta, b.text, 3) AS sim
+          FROM (SELECT a.doc_id AS id_a, a.text AS ta, a.doc_id + d.delta AS id_b_target
+                FROM documents a
+                LATERAL VIEW explode(sequence(1, 5)) d AS delta) p
+          JOIN documents b ON b.doc_id = p.id_b_target)
+        WHERE sim > 0.5
+        ORDER BY id_a, id_b""")
+    }),
+    "text_stats" -> ((s, dir) => {
+      load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT doc_id,
+               length(text) AS chars,
+               size(split(text, ' ')) AS words,
+               size(array_distinct(split(text, ' '))) AS distinct_words,
+               CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / size(split(text, ' ')) AS lexical_diversity,
+               size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS stopwords
+        FROM documents ORDER BY doc_id""")
+    }),
+    "token_count" -> ((s, dir) => {
+      load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT doc_id,
+               size(split(text, '\\s+')) AS ws_tokens,
+               regexp_count(text, '[a-zA-Z]+') AS alpha_tokens,
+               regexp_count(text, '[0-9]+') AS num_tokens
+        FROM documents ORDER BY doc_id""")
+    })
+  )
+
+  /** DuckDB-equivalent SQL per oracle-checkable query (same column names,
+    * same ordering). LSH hash queries are omitted deliberately — see class
+    * doc. */
+  def oracleSql: Map[String, String] = Map(
+    "lsh_jaccard_docs" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 1),
+        |                                      i -> substring(text, CAST(i AS INT), 2))) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CASE WHEN length(ga.grams) = 0 OR length(gb.grams) = 0 THEN 0.0
+        |            ELSE CAST(length(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        |                 / (length(ga.grams) + length(gb.grams) - length(list_intersect(ga.grams, gb.grams)))
+        |       END AS sim
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |JOIN g ga ON ga.doc_id = a.doc_id JOIN g gb ON gb.doc_id = b.doc_id
+        |ORDER BY id_a""".stripMargin,
+    "lsh_jaccard_customer" ->
+      """WITH g AS (
+        |  SELECT c_custkey,
+        |         list_distinct(list_transform(generate_series(1, length(c_name) - 1),
+        |                                      i -> substring(c_name, CAST(i AS INT), 2))) AS grams
+        |  FROM customer)
+        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |       CASE WHEN length(ga.grams) = 0 OR length(gb.grams) = 0 THEN 0.0
+        |            ELSE CAST(length(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        |                 / (length(ga.grams) + length(gb.grams) - length(list_intersect(ga.grams, gb.grams)))
+        |       END AS sim
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        |JOIN g ga ON ga.c_custkey = a.c_custkey JOIN g gb ON gb.c_custkey = b.c_custkey
+        |ORDER BY key_a""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS cnt,
+        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT c.c_mktsegment, count(*) AS line_cnt,
+        |       sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+        |       count(DISTINCT o.o_orderkey) AS order_cnt
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |                JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q3_broadcast_dims" ->
+      """SELECT r.r_name, count(*) AS customers,
+        |       min(c.c_acctbal) AS min_bal, max(c.c_acctbal) AS max_bal
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |              JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |GROUP BY r.r_name
+        |ORDER BY r_name""".stripMargin,
+    "q4_window_topn" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+    "q5_semi_anti" ->
+      """SELECT 'with_orders' AS bucket, count(*) AS cnt
+        |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS bucket, count(*) AS cnt
+        |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY bucket""".stripMargin,
+    "q6_datetime_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       count(*) AS orders, min(o_totalprice) AS min_price
+        |FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+        |ORDER BY month""".stripMargin,
+    "q7_json_extract" ->
+      """SELECT event_type,
+        |       sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        |       count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q8_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q9_events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS win_start,
+        |       event_type, count(*) AS cnt, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS copies
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY text_hash""".stripMargin,
+    "dedup_near_window" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 2),
+        |                                      i -> substring(text, CAST(i AS INT), 3))) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(length(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        |       / (length(ga.grams) + length(gb.grams) - length(list_intersect(ga.grams, gb.grams))) AS sim
+        |FROM documents a JOIN documents b
+        |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        |JOIN g ga ON ga.doc_id = a.doc_id JOIN g gb ON gb.doc_id = b.doc_id
+        |WHERE CAST(length(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        |      / (length(ga.grams) + length(gb.grams) - length(list_intersect(ga.grams, gb.grams))) > 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |       length(text) AS chars,
+        |       length(string_split(text, ' ')) AS words,
+        |       length(list_distinct(string_split(text, ' '))) AS distinct_words,
+        |       CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / length(string_split(text, ' ')) AS lexical_diversity,
+        |       length(list_filter(string_split(text, ' '),
+        |                          w -> list_contains(['the', 'a', 'of', 'and', 'is'], w))) AS stopwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |       length(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+        |       length(regexp_extract_all(text, '[a-zA-Z]+')) AS alpha_tokens,
+        |       length(regexp_extract_all(text, '[0-9]+')) AS num_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

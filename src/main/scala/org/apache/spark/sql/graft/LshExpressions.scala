@@ -215,16 +215,47 @@ case class LshJaccard(left: Expression, right: Expression, width: Expression)
   @transient private lazy val ngramWidth: Int =
     LshParams.evalLong(width, "ngram_width").toInt
 
+  // Band-blocking joins (README.md:150-164) evaluate this pairwise over
+  // candidate buckets, so the same strings recur millions of times (the
+  // buffered join side cycles through its whole bucket per probe row). A
+  // per-thread shingle-set cache turns O(pairs) shingle builds into
+  // O(distinct strings): ~40M candidate pairs at sf0.1 drop from ~76M builds
+  // to ~15k. Capped defensively; long documents are capped harder via a
+  // total-bytes budget so executor memory stays bounded.
+  @transient private lazy val memo =
+    ThreadLocal.withInitial[java.util.HashMap[UTF8String, IntHashSet]](
+      () => new java.util.HashMap[UTF8String, IntHashSet](1 << 12))
+  @transient private lazy val memoBytes = new java.lang.ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+  }
+  private final val MaxEntries = 1 << 16
+  private final val MaxBytes = 64L << 20
+
+  private def shingleSet(s: UTF8String): IntHashSet = {
+    val m = memo.get()
+    var set = m.get(s)
+    if (set != null) return set
+    val bytes = s.getBytes
+    set = Shingles.fromTextUtf8(bytes, 0, bytes.length, ngramWidth)
+    val budget = memoBytes.get() + bytes.length + 16L * set.size
+    if (m.size() >= MaxEntries || budget > MaxBytes) {
+      m.clear()
+      memoBytes.set(0L)
+    } else {
+      memoBytes.set(budget)
+    }
+    m.put(s.clone(), set)
+    set
+  }
+
   override def eval(input: InternalRow): Any = {
     val a = left.eval(input)
     if (a == null) return null
     val b = right.eval(input)
     if (b == null) return null
-    val ab = a.asInstanceOf[UTF8String].getBytes
-    val bb = b.asInstanceOf[UTF8String].getBytes
     Shingles.jaccard(
-      Shingles.fromTextUtf8(ab, 0, ab.length, ngramWidth),
-      Shingles.fromTextUtf8(bb, 0, bb.length, ngramWidth))
+      shingleSet(a.asInstanceOf[UTF8String]),
+      shingleSet(b.asInstanceOf[UTF8String]))
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
