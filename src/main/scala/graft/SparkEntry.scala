@@ -291,6 +291,77 @@ object SparkEntry {
                regexp_count(text, '[a-zA-Z]+') AS alpha_tokens,
                regexp_count(text, '[0-9]+') AS num_tokens
         FROM documents ORDER BY doc_id""")
+    }),
+    "lang_id" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      docs.select(col("doc_id"), graft.api.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "quality_score" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          graft.api.TextAnalysis.lexicalDiversity(col("text")).as("diversity"),
+          graft.api.TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+          graft.api.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "doc_signatures" -> ((s, dir) => {
+      // SimHash + rolling-min + winnowed fingerprints (rows-only: FxHash64
+      // chains are not expressible in DuckDB; pinned by PipelineOpsSpec)
+      withLsh(s)
+      load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT doc_id, simhash64(text) AS sh,
+               min_fingerprint(text, 8) AS min_fp,
+               winnow_fingerprint(text, 8, 16) AS winnow_fp
+        FROM documents ORDER BY doc_id""")
+    }),
+    "simhash_dedup_pairs" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.api.Dedup.simhashDupPairs(docs, "doc_id", "text", bands = 4, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    }),
+    "minhash_dedup_pairs" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.api.BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "cosine_adjacent" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      graft.api.Ann.cosineNearDupWindow(emb, window = 1, threshold = -2.0)
+        .orderBy("id_a")
+    }),
+    "ann_topk_brute" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      graft.api.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_topk_lsh" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      graft.api.Ann.lshBucketedTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          bucketWidth = 4.0, bandCount = 8, bandSize = 2, seed = 7L)
+        .orderBy("query_id", "rank")
+    }),
+    "multimodal_features" -> ((s, dir) => {
+      // documents.text as an opaque binary payload: byte-level features via
+      // the partition-batched extractor + a sha256 checksum column
+      val media = load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+      graft.api.Multimodal.extractFeatures(media)
+        .drop("checksum") // FxHash checksum not oracle-expressible; dropped here
+        .join(media.select(col("media_id"), sha2(col("bytes"), 256).as("sha256")), "media_id")
+        .orderBy("media_id")
+    }),
+    "sessionize_batch" -> ((s, dir) => {
+      val events = loadEvents(s, dir)
+      graft.streaming.EventStreams.sessionizeBatch(events, gapMs = 30 * 60 * 1000L)
+        .select(col("user_id"), col("session_id"),
+          col("start").cast("long").as("start_s"), col("end").cast("long").as("end_s"),
+          col("events"))
+        .orderBy("user_id", "session_id")
     })
   )
 
@@ -422,6 +493,75 @@ object SparkEntry {
         |       length(regexp_split_to_array(text, '\s+')) AS ws_tokens,
         |       length(regexp_extract_all(text, '[a-zA-Z]+')) AS alpha_tokens,
         |       length(regexp_extract_all(text, '[0-9]+')) AS num_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    length(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','is','to','in','that','it','was'], x))) AS h_en,
+        |    length(list_filter(string_split(text,' '), x -> list_contains(['le','la','de','et','est','un','une','dans','que','il'], x))) AS h_fr,
+        |    length(list_filter(string_split(text,' '), x -> list_contains(['el','la','de','y','es','un','una','en','que','se'], x))) AS h_es,
+        |    length(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','ist','ein','eine','in','zu','den'], x))) AS h_de
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN h_en = b AND b > 0 THEN 'en'
+        |            WHEN h_fr = b AND b > 0 THEN 'fr'
+        |            WHEN h_es = b AND b > 0 THEN 'es'
+        |            WHEN h_de = b AND b > 0 THEN 'de'
+        |            ELSE 'und' END AS lang_pred
+        |FROM (SELECT *, greatest(h_en, h_fr, h_es, h_de) AS b FROM h)
+        |ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |    length(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','is','to','in','that','it','was'], x))) AS h_en
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(list_distinct(ws)) AS DOUBLE) / length(ws) AS diversity,
+        |       CAST(h_en AS DOUBLE) / length(ws) AS stop_ratio,
+        |       least(1.0, CAST(length(text) AS DOUBLE) / 200.0) * 0.4
+        |         + CAST(length(list_distinct(ws)) AS DOUBLE) / length(ws) * 0.3
+        |         + least(1.0, CAST(h_en AS DOUBLE) / length(ws) * 4.0) * 0.3 AS quality
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "cosine_adjacent" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "ann_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
+        |  FROM q JOIN c ON query_id != neighbor_id)
+        |SELECT query_id, "rank", neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank"
+        |  FROM scored)
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(length(text) AS BIGINT) AS size_bytes,
+        |       CASE WHEN length(text) >= 2 THEN ascii(substring(text,1,1))*256 + ascii(substring(text,2,1)) ELSE 0 END AS width,
+        |       CASE WHEN length(text) >= 4 THEN ascii(substring(text,3,1))*256 + ascii(substring(text,4,1)) ELSE 0 END AS height,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE CAST(list_sum(list_transform(generate_series(1, length(text)), i -> ascii(substring(text, CAST(i AS INT), 1)))) AS DOUBLE) / length(text)
+        |       END AS mean_byte,
+        |       sha256(text) AS sha256
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "sessionize_batch" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+        |y AS (SELECT user_id, ts,
+        |             CASE WHEN prev_ts IS NULL
+        |                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM x),
+        |z AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id FROM y)
+        |SELECT user_id, session_id,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+        |       count(*) AS events
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
   )
 }

@@ -1,0 +1,78 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * The baseline is brute-force cosine top-k — exact, one broadcast join, no
+  * shuffle of the corpus — correct at any scale where the query set is small.
+  * The scale path is LSH bucketing with the engine's own `lsh_euclidean`
+  * family: only vectors sharing a band bucket are scored, trading recall for
+  * a corpus-partitioned join. Cosine is built from codegen'd higher-order
+  * functions (zip_with/aggregate), not UDFs, and accumulates in array order
+  * so results are bit-deterministic.
+  */
+object Ann {
+
+  /** Cosine similarity of two double-array columns (sequential accumulation,
+    * dot / (||a|| * ||b||)). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query row (brute force). `queries` must
+    * be small enough to broadcast; the corpus is never shuffled — the ranking
+    * happens per corpus partition and only k rows per query survive. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** LSH-bucketed top-k: candidates are corpus vectors sharing at least one
+    * `lsh_euclidean` band bucket with the query; exact cosine ranks the
+    * candidates. Recall depends on (bucketWidth, bandCount, bandSize). */
+  def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      bucketWidth: Double, bandCount: Int, bandSize: Int, seed: Long,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(graft.functions.lsh_euclidean(col(vecCol), bucketWidth, bandCount, bandSize, seed)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val qb = banded(queries, "query_id", "qvec")
+    val cb = banded(corpus, "neighbor_id", "nvec")
+    val cand = qb.join(cb, Seq("band", "band_hash"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qvec", "neighbor_id", "nvec").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Exact near-dup vector pairs: cosine above `threshold` over a bounded
+    * id-window candidate set (explode+equi-join, never a range join). */
+  def cosineNearDupWindow(df: DataFrame, window: Int, threshold: Double,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withTargets = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        explode(sequence(lit(1), lit(window))).as("delta"))
+      .withColumn("id_b_target", col("id_a") + col("delta"))
+    withTargets.join(df.select(col(idCol).as("id_b"), col(vecCol).as("vb")),
+        col("id_b_target") === col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.api
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID (stopword
+  * n-gram heuristic), quality scoring, token counting. All are compositions
+  * of codegen'd built-in functions (no UDFs) so they inline into whole-stage
+  * codegen and push through Catalyst untouched; every formula uses exact
+  * integer counts and deterministic double arithmetic so an external oracle
+  * can reproduce values bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Small, fixed stopword profiles. Deliberately tiny — the point is a
+    * deterministic, cheap heuristic, not linguistic accuracy. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "was"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans", "que", "il"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "una", "en", "que", "se"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "in", "zu", "den"))
+
+  private def words(text: Column): Column = split(text, " ")
+
+  private def hits(text: Column, profile: Seq[String]): Column =
+    size(filter(words(text), w => w.isInCollection(profile)))
+
+  /** Predicted language: the profile with the most stopword hits; ties break
+    * by profile order (en > fr > es > de); zero hits everywhere → 'und'
+    * (undetermined). */
+  def langId(text: Column): Column = {
+    val scored = profiles.map { case (lang, prof) => (lang, hits(text, prof)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight builds en-first precedence: first profile wins ties
+    pick
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** Distinct-token ratio (lexical diversity), exact double division. */
+  def lexicalDiversity(text: Column): Column =
+    size(array_distinct(words(text))).cast("double") / size(words(text))
+
+  /** Stopword ratio against the English profile. */
+  def stopwordRatio(text: Column): Column =
+    hits(text, profiles.head._2).cast("double") / size(words(text))
+
+  /** Composite quality score in [0,1]:
+    * 0.4·min(1, chars/200) + 0.3·diversity + 0.3·min(1, 4·stopword_ratio).
+    * All terms are exact ratios of integers; the combination is fixed-order
+    * double arithmetic, reproducible anywhere. */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(lit(1.0), length(text).cast("double") / 200.0)
+    val divTerm = lexicalDiversity(text)
+    val stopTerm = least(lit(1.0), stopwordRatio(text) * 4.0)
+    lenTerm * 0.4 + divTerm * 0.3 + stopTerm * 0.3
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{ColumnShim, LshEuclidean, LshJaccard, LshMin}
+import org.apache.spark.sql.graft.{ColumnShim, HammingDist, LshEuclidean, LshJaccard, LshMin, MinFingerprint, SimHash64, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -48,4 +48,21 @@ object functions {
   /** Exact char-n-gram Jaccard similarity (minhash.rs:236-296). */
   def lsh_jaccard(a: Column, b: Column, ngramWidth: Int): Column =
     toCol(LshJaccard(col2expr(a), col2expr(b), col2expr(lit(ngramWidth.toLong))))
+
+  // ---- pipeline operators beyond the reference surface ----
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash64(text: Column): Column = toCol(SimHash64(col2expr(text)))
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming_dist(a: Column, b: Column): Column =
+    toCol(HammingDist(col2expr(a), col2expr(b)))
+
+  /** Minimum k-gram FxHash64 document fingerprint. */
+  def min_fingerprint(text: Column, k: Int): Column =
+    toCol(MinFingerprint(col2expr(text), col2expr(lit(k.toLong))))
+
+  /** Winnowed k-gram fingerprint set (window w). */
+  def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
+    toCol(WinnowFingerprint(col2expr(text), col2expr(lit(k.toLong)), col2expr(lit(w.toLong))))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{LshEuclidean, LshJaccard, LshMin}
+import org.apache.spark.sql.graft.{HammingDist, LshEuclidean, LshJaccard, LshMin, MinFingerprint, SimHash64, WinnowFingerprint}
 
 /** Registration of the five LSH SQL functions, the analog of the reference's
   * extension entry point (/root/reference/src/lib.rs:40-53). After
@@ -24,6 +24,23 @@ object LshFunctions {
     "lsh_jaccard" -> ((args: Seq[Expression]) => {
       require(args.length == 3, "lsh_jaccard expects 3 arguments")
       LshJaccard(args(0), args(1), args(2))
+    }),
+    // pipeline operators beyond the reference surface
+    "simhash64" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "simhash64 expects 1 argument")
+      SimHash64(args.head)
+    }),
+    "hamming_dist" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "hamming_dist expects 2 arguments")
+      HammingDist(args(0), args(1))
+    }),
+    "min_fingerprint" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "min_fingerprint expects 2 arguments")
+      MinFingerprint(args(0), args(1))
+    }),
+    "winnow_fingerprint" -> ((args: Seq[Expression]) => {
+      require(args.length == 3, "winnow_fingerprint expects 3 arguments")
+      WinnowFingerprint(args(0), args(1), args(2))
     }))
 
   private def info(name: String): ExpressionInfo =

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user session accumulator for [[EventStreams.sessionize]]; top-level so
+  * the state encoder codegen resolves it cleanly. */
+case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+/** Structured-Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value). The reference has no streaming
+  * surface (SURVEY.md §2.3); these are the engine's additions, and each
+  * transform is usable identically in batch mode — the batch query
+  * `q9_events_window` in SparkEntry is the oracle-checked twin of
+  * [[windowedCounts]].
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregation with a watermark: the canonical streaming
+    * rollup. Works on a `readStream` or batch DataFrame alike. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("min_v"), max("value").as("max_v"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("min_v"), col("max_v"))
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp, events: Long)
+
+  /** Gap-based sessionization via mapGroupsWithState with an event-time
+    * timeout: a session closes when the watermark passes last-event + gap.
+    * Event-time (not processing-time) makes the operator deterministic and
+    * replayable, and avoids the continuous empty micro-batches a
+    * processing-time timeout schedules. Emits the running session on every
+    * update and the final session when it times out. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](GroupStateTimeout.EventTimeTimeout) {
+        (userId, evts, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+          } else {
+            val times = evts.map(_.ts.getTime).toSeq.sorted
+            val prev = state.getOption
+            val merged = times.foldLeft(prev) { (acc, t) =>
+              acc match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  Some(SessionState(s.startMs, t, s.n + 1))
+                case _ => Some(SessionState(t, t, 1)) // gap exceeded: new session
+              }
+            }
+            val s = merged.get
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastMs + gapMs)
+            Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with identical gap semantics, built on window
+    * functions — the oracle twin of [[sessionize]] and the scalable batch
+    * formulation (two shuffles: by user, then by (user, session)). */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMs / 1000, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("start"), max("ts").as("end"), count(lit(1)).as("events"))
+  }
+}

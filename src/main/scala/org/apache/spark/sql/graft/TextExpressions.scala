@@ -1,0 +1,75 @@
+package org.apache.spark.sql.graft
+
+import _root_.graft.core.{SimHash, Shingles}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pipeline-operator scalar expressions beyond the reference surface:
+  * SimHash, Hamming distance, rolling/winnowed document fingerprints.
+  * Deterministic, null-intolerant, built on the same FxHash64 core as the
+  * lsh_* functions.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def prettyName: String = "simhash64"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    SimHash.simhash64(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def prettyName: String = "hamming_dist"
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimHash.hamming(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** min_fingerprint(text, k): minimum FxHash64 over all k-code-point windows. */
+case class MinFingerprint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def prettyName: String = "min_fingerprint"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
+    LshParams.checkConstant(Seq(right -> "k"))
+  }
+  @transient private lazy val k = LshParams.evalLong(right, "k").toInt
+  override protected def nullSafeEval(v: Any, kv: Any): Any =
+    SimHash.minFingerprint(v.asInstanceOf[UTF8String].toString, k)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** winnow_fingerprint(text, k, w): winnowed k-gram fingerprint set. */
+case class WinnowFingerprint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def prettyName: String = "winnow_fingerprint"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType, LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
+    LshParams.checkConstant(Seq(second -> "k", third -> "w"))
+  }
+  @transient private lazy val k = LshParams.evalLong(second, "k").toInt
+  @transient private lazy val w = LshParams.evalLong(third, "w").toInt
+  override protected def nullSafeEval(v: Any, kv: Any, wv: Any): Any =
+    new GenericArrayData(SimHash.winnow(v.asInstanceOf[UTF8String].toString, k, w))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}

@@ -1,0 +1,123 @@
+package graft.api
+
+import graft.TestSpark
+import graft.core.SimHash
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash64: deterministic, near-texts have small hamming") {
+    val a = SimHash.simhash64("the quick brown fox jumps over the lazy dog")
+    val b = SimHash.simhash64("the quick brown fox jumps over the lazy cat")
+    val c = SimHash.simhash64("completely different words entirely unrelated content here")
+    assert(a == SimHash.simhash64("the quick brown fox jumps over the lazy dog"))
+    assert(SimHash.hamming(a, b) < SimHash.hamming(a, c))
+    assert(SimHash.simhash64("") == 0L)
+  }
+
+  test("simhash64 via SQL matches kernel") {
+    val got = spark.sql("SELECT simhash64('hello world') AS h").collect().head.getLong(0)
+    assert(got == SimHash.simhash64("hello world"))
+    assert(spark.sql("SELECT hamming_dist(simhash64('x y z'), simhash64('x y z')) d")
+      .collect().head.getInt(0) == 0)
+  }
+
+  test("fingerprints: equality and containment behavior") {
+    val f1 = SimHash.minFingerprint("abcdefghij", 4)
+    assert(f1 == SimHash.minFingerprint("abcdefghij", 4))
+    assert(SimHash.minFingerprint("ab", 4) == 0L)
+    val w1 = SimHash.winnow("the quick brown fox jumps over the lazy dog", 4, 4)
+    assert(w1.nonEmpty && w1.toSeq == w1.sorted(Ordering.fromLessThan[Long](
+      (a, b) => java.lang.Long.compareUnsigned(a, b) < 0)).toSeq)
+    // identical text -> identical winnowed set
+    assert(SimHash.winnow("the quick brown fox jumps over the lazy dog", 4, 4).toSeq == w1.toSeq)
+  }
+
+  test("Dedup.exact keeps smallest tiebreak per content group") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa")).toDF("id", "text")
+    val out = Dedup.exact(df, Seq("text"), "id").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("Dedup.simhashDupPairs finds exact dup, skips unrelated") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten")).toDF("id", "text")
+    val pairs = Dedup.simhashDupPairs(df, "id", "text", bands = 4, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+    assert(!pairs.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("BandedLsh.nearDupPairs finds the planted near-dup") {
+    val base = "spark native analytics engine with locality sensitive hashing support"
+    val df = Seq((1L, base), (2L, base + " x"), (3L, "totally different content about nothing relevant"))
+      .toDF("id", "text")
+    val pairs = BandedLsh.nearDupPairs(df, "id", "text", 3, 8, 2, 42L, 0.5).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("BandedLsh.dupClusters labels connected components to min id") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 5L, 0.9), (7L, 8L, 0.9)).toDF("id_a", "id_b", "sim")
+    val got = BandedLsh.dupClusters(pairs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (5L, 1L), (7L, 7L), (8L, 7L)))
+  }
+
+  test("TextAnalysis langId and qualityScore") {
+    val df = Seq(
+      "the cat is in the house and it was big",
+      "le chat est dans la maison et il est grand",
+      "el gato es un animal y se fue en la casa",
+      "zzz qqq www").toDF("text")
+    val got = df.select(TextAnalysis.langId($"text")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "fr", "es", "und"))
+    val q = df.select(TextAnalysis.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("Ann cosine + brute-force top-k on a tiny corpus") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0)), (3L, Array(-1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L)) // nearest then orthogonal
+    assert(top.head.getDouble(3) > 0.99)
+  }
+
+  test("Ann.lshBucketedTopK returns a subset ranked identically") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.0 + d)))).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 2)
+    val brute = Ann.bruteForceTopK(vecs, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Ann.lshBucketedTopK(vecs, qs, 5, 2.0, 4, 2, 11L).collect()
+    assert(lsh.nonEmpty)
+    // every LSH result is a genuine vector pair with rank ordering intact
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
+  test("Multimodal extractFeatures + sampleFrames plumbing") {
+    val media = Seq(
+      (1L, "hello world media payload".getBytes("UTF-8"), "application/octet-stream"),
+      (2L, Array.empty[Byte], "application/octet-stream"))
+      .toDF("media_id", "bytes", "mime")
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats(0).getLong(1) == 25L) // size
+    assert(feats(0).getInt(3) == (('h' << 8) | 'e')) // fake width from header bytes
+    assert(feats(1).getLong(1) == 0L)
+    val frames = Multimodal.sampleFrames(media.filter($"media_id" === 1L), 1).collect()
+    assert(frames.length == 2 && frames.head.getAs[Array[Byte]](2).length == 16)
+    // determinism: same input, same checksum
+    val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats(0).getLong(2) == again(0).getLong(2))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600_000L * 10 + min * 60_000L)
+
+  test("windowedCounts over a MemoryStream emits watermarked window rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(df, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      mem.addData((ts(0), "click", 1.0), (ts(5), "click", 2.0), (ts(61), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, cnt FROM win_out ORDER BY win_start, event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows.contains(("click", 2L)))
+      assert(rows.contains(("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize over a MemoryStream groups events by idle gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 10 * 60_000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        EventStreams.Event(1, ts(0), 100, "click", 1.0),
+        EventStreams.Event(2, ts(3), 100, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the gap: session must time out closed
+      mem.addData(EventStreams.Event(3, ts(120), 200, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(4, ts(240), 200, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, events FROM sess_out").collect()
+      // user 100's closed session carries both events
+      assert(rows.exists(r => r.getLong(0) == 100L && r.getLong(1) == 2L))
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch matches gap semantics") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), 100L, "click", 1.0), (2L, ts(3), 100L, "click", 1.0),
+      (3L, ts(40), 100L, "click", 1.0), (4L, ts(1), 200L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.sessionizeBatch(events, gapMs = 10 * 60_000L)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(0) == 100L && out(0).getLong(4) == 2L) // first session: 2 events
+    assert(out(1).getLong(0) == 100L && out(1).getLong(4) == 1L)
+    assert(out(2).getLong(0) == 200L && out(2).getLong(4) == 1L)
+  }
+}
