@@ -125,22 +125,26 @@ object SparkEntry {
       // README.md:150-164 verbatim idiom: per-seed single-band joins, UNION
       // (dedup) across seeds, exact-jaccard post-filter.
       load(s, dir, "customer").createOrReplaceTempView("customer")
-      // The README's per-seed single-band join + UNION, verbatim. The
-      // customer names are near-identical so one band bucket holds ~60% of
-      // rows (~40M candidate pairs at sf0.1); the jaccard post-filter relies
-      // on LshJaccard's per-thread shingle-set cache to make those pair
-      // evaluations O(distinct strings) in shingling work. (A 16-way salted
-      // variant was measured and is ~1.6x slower here — the pair explosion is
-      // compute-bound on the filter, not parallelism-bound; revisit if a real
-      // cluster shows task-level stragglers instead.)
-      s.sql("""
+      // The README's per-seed single-band join + UNION, with one plan
+      // adjustment for the pair explosion: customer names are near-identical,
+      // so one band bucket holds ~60% of rows (~76M pair visits at sf0.1).
+      // Catalyst broadcasts the tiny build side, but the probe side is a
+      // single parquet split, so the probe — where all the jaccard work
+      // happens — ran as ONE task. A strict REPARTITION(n) on the probe side
+      // spreads it across the cluster (a bare REPARTITION compiles to
+      // REBALANCE, which AQE coalesces right back to one partition because
+      // the input BYTES are tiny — the explosion is in join output, which
+      // AQE cannot see). Measured at sf0.1/local[32]: 26s -> ~4s.
+      val n = s.conf.get("spark.sql.shuffle.partitions", "32")
+      s.sql(s"""
+        WITH probe AS (SELECT /*+ REPARTITION($n) */ c_custkey, c_name FROM customer)
         SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
-        FROM customer a JOIN customer b
+        FROM probe a JOIN customer b
           ON element_at(lsh_min(a.c_name, 2, 1, 3, 1), 1) = element_at(lsh_min(b.c_name, 2, 1, 3, 1), 1)
         WHERE a.c_custkey < b.c_custkey AND lsh_jaccard(a.c_name, b.c_name, 2) > 0.8
         UNION
         SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
-        FROM customer a JOIN customer b
+        FROM probe a JOIN customer b
           ON element_at(lsh_min(a.c_name, 2, 1, 3, 2), 1) = element_at(lsh_min(b.c_name, 2, 1, 3, 2), 1)
         WHERE a.c_custkey < b.c_custkey AND lsh_jaccard(a.c_name, b.c_name, 2) > 0.8
         ORDER BY key_a, key_b""")

@@ -97,6 +97,34 @@ object Shingles {
     set
   }
 
+  /** Shingle set as a sorted (unsigned) int array — the cache-friendly form
+    * for repeated pairwise Jaccard: 4 bytes per shingle and intersection by
+    * linear merge instead of hash probes. Same set, different layout. */
+  def sortedShinglesUtf8(bytes: Array[Byte], offset: Int, len: Int, ngramWidth: Int): Array[Int] = {
+    val arr = fromTextUtf8(bytes, offset, len, ngramWidth).toArray
+    // sort by unsigned value (flip sign bit -> natural order)
+    var i = 0
+    while (i < arr.length) { arr(i) = arr(i) ^ Int.MinValue; i += 1 }
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** Jaccard over two sorted shingle arrays (merge-count); either empty → 0.0. */
+  def jaccardSorted(a: Array[Int], b: Array[Int]): Double = {
+    if (a.length == 0 || b.length == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter).toDouble
+  }
+
   /** Exact Jaccard |A∩B|/|A∪B| over shingle sets; either side empty → 0.0
     * (shingleset.rs:49-57). */
   def jaccard(a: IntHashSet, b: IntHashSet): Double = {

@@ -194,9 +194,14 @@ case class LshEuclidean(children: Seq[Expression], is32: Boolean)
 /** `lsh_jaccard` — exact Jaccard similarity of two strings' char-n-gram
   * shingle sets; NULL if either side is NULL, 0.0 if either set is empty
   * (minhash.rs:236-296, shingleset.rs:49-57).
+  *
+  * Unlike the other LSH expressions this one hand-implements `doGenCode`:
+  * it sits in join filters evaluated tens of millions of times per bucket
+  * (README.md:150-164 pattern), where CodegenFallback's per-row boxing and
+  * row materialization are measurable.
   */
 case class LshJaccard(left: Expression, right: Expression, width: Expression)
-    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+    extends Expression with ImplicitCastInputTypes {
 
   override def prettyName: String = "lsh_jaccard"
   override def children: Seq[Expression] = Seq(left, right, width)
@@ -218,44 +223,62 @@ case class LshJaccard(left: Expression, right: Expression, width: Expression)
   // Band-blocking joins (README.md:150-164) evaluate this pairwise over
   // candidate buckets, so the same strings recur millions of times (the
   // buffered join side cycles through its whole bucket per probe row). A
-  // per-thread shingle-set cache turns O(pairs) shingle builds into
-  // O(distinct strings): ~40M candidate pairs at sf0.1 drop from ~76M builds
-  // to ~15k. Capped defensively; long documents are capped harder via a
-  // total-bytes budget so executor memory stays bounded.
+  // process-wide cache of sorted-int-array shingle sets turns O(pairs)
+  // shingle builds into O(distinct strings) — ~76M builds at sf0.1 drop to
+  // ~15k — and the compact sorted layout (4 B/shingle, merge-scan
+  // intersection) keeps the working set inside shared cache where 32
+  // thread-private hash sets thrashed DRAM. Bounded by entries and bytes;
+  // cleared wholesale on overflow (read-mostly CHM, no eviction machinery).
   @transient private lazy val memo =
-    ThreadLocal.withInitial[java.util.HashMap[UTF8String, IntHashSet]](
-      () => new java.util.HashMap[UTF8String, IntHashSet](1 << 12))
-  @transient private lazy val memoBytes = new java.lang.ThreadLocal[java.lang.Long] {
-    override def initialValue(): java.lang.Long = 0L
-  }
-  private final val MaxEntries = 1 << 16
-  private final val MaxBytes = 64L << 20
+    new java.util.concurrent.ConcurrentHashMap[UTF8String, Array[Int]](1 << 12)
+  @transient private lazy val memoBytes = new java.util.concurrent.atomic.AtomicLong()
+  private final val MaxEntries = 1 << 17
+  private final val MaxBytes = 256L << 20
 
-  private def shingleSet(s: UTF8String): IntHashSet = {
-    val m = memo.get()
-    var set = m.get(s)
+  private def shingleSet(s: UTF8String): Array[Int] = {
+    var set = memo.get(s)
     if (set != null) return set
     val bytes = s.getBytes
-    set = Shingles.fromTextUtf8(bytes, 0, bytes.length, ngramWidth)
-    val budget = memoBytes.get() + bytes.length + 16L * set.size
-    if (m.size() >= MaxEntries || budget > MaxBytes) {
-      m.clear()
+    set = Shingles.sortedShinglesUtf8(bytes, 0, bytes.length, ngramWidth)
+    if (memo.size() >= MaxEntries ||
+        memoBytes.addAndGet(bytes.length + 4L * set.length + 48L) > MaxBytes) {
+      memo.clear()
       memoBytes.set(0L)
-    } else {
-      memoBytes.set(budget)
     }
-    m.put(s.clone(), set)
+    memo.putIfAbsent(s.clone(), set)
     set
   }
+
+  /** Unboxed entry point shared by eval and generated code. */
+  def jaccard(a: UTF8String, b: UTF8String): Double =
+    Shingles.jaccardSorted(shingleSet(a), shingleSet(b))
 
   override def eval(input: InternalRow): Any = {
     val a = left.eval(input)
     if (a == null) return null
     val b = right.eval(input)
     if (b == null) return null
-    Shingles.jaccard(
-      shingleSet(a.asInstanceOf[UTF8String]),
-      shingleSet(b.asInstanceOf[UTF8String]))
+    jaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("lshJaccard", this, classOf[LshJaccard].getName)
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull} || ${rightGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.jaccard(${leftGen.value}, ${rightGen.value});
+        }
+      """
+    ev.copy(code = code)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =

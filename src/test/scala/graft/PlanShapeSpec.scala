@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the "would this survive 100× scale-up"
+  * checks (builder brief): broadcasts where a side is small, predicate
+  * pushdown and column pruning reaching the parquet scan, whole-stage
+  * codegen around the hot expressions. Runs against sf0.001.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q3_broadcast_dims broadcasts the small dimension tables") {
+    val plan = planOf("q3_broadcast_dims")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"small dims must not sort-merge:\n$plan")
+  }
+
+  test("lsh_min_text prunes the parquet scan to the needed columns") {
+    val plan = planOf("lsh_min_text")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan should read only doc_id,text:\n$plan")
+  }
+
+  test("ann_topk_brute pushes the query-id filter into the scan and broadcasts queries") {
+    val plan = planOf("ann_topk_brute")
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)"),
+      s"vec_id<10 should reach the parquet scan:\n$plan")
+    assert(plan.contains("Broadcast"), s"query side should broadcast:\n$plan")
+  }
+
+  test("q1_agg uses two-phase (partial) hash aggregation") {
+    val plan = planOf("q1_agg")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected map-side partial agg + final agg:\n$plan")
+  }
+
+  test("text_stats runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("text_stats")(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen stages materialize
+    val plan = df.queryExecution.executedPlan.toString
+    // whole-stage-codegen stages print as "*(n)" in the final adaptive plan
+    assert(plan.contains("*("), s"expected codegen stage:\n$plan")
+  }
+
+  test("minhash_dedup_pairs blocks on (band, hash) ids, not texts") {
+    val plan = planOf("minhash_dedup_pairs")
+    // the distinct before text re-attachment must aggregate only id pairs
+    val distinctOverIds = plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("id_a") && l.contains("id_b") && !l.contains("text"))
+    assert(distinctOverIds, s"candidate distinct should carry only ids:\n$plan")
+  }
+}
