@@ -293,7 +293,8 @@ object SparkEntry {
         SELECT doc_id,
                size(split(text, '\\s+')) AS ws_tokens,
                regexp_count(text, '[a-zA-Z]+') AS alpha_tokens,
-               regexp_count(text, '[0-9]+') AS num_tokens
+               regexp_count(text, '[0-9]+') AS num_tokens,
+               regexp_count(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]') AS bpe_tokens
         FROM documents ORDER BY doc_id""")
     }),
     "lang_id" -> ((s, dir) => {
@@ -340,6 +341,13 @@ object SparkEntry {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       graft.api.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_topk_ivf" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      graft.api.Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          nlist = 16, nprobe = 4, seed = 99L)
         .orderBy("query_id", "rank")
     }),
     "ann_topk_lsh" -> ((s, dir) => {
@@ -496,7 +504,8 @@ object SparkEntry {
       """SELECT doc_id,
         |       length(regexp_split_to_array(text, '\s+')) AS ws_tokens,
         |       length(regexp_extract_all(text, '[a-zA-Z]+')) AS alpha_tokens,
-        |       length(regexp_extract_all(text, '[0-9]+')) AS num_tokens
+        |       length(regexp_extract_all(text, '[0-9]+')) AS num_tokens,
+        |       length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       """WITH h AS (

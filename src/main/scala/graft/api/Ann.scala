@@ -62,6 +62,85 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** IVF (inverted-file) top-k: a deterministic k-means-lite coarse quantizer
+    * built from the engine's seeded RNG partitions the corpus into `nlist`
+    * cells; queries search only the `nprobe` nearest cells. The classic ANN
+    * scale path when LSH recall tuning is awkward: the corpus is clustered
+    * once (one shuffle keyed by cell) and each query scores ~nprobe/nlist of
+    * the data.
+    *
+    * Centroids: `iters` rounds of Lloyd's algorithm from seeded-random unit
+    * starts, computed on a driver-collected sample (`sampleSize` rows) —
+    * the quantizer is a tiny model; the corpus itself never leaves executors.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int, nprobe: Int, seed: Long, iters: Int = 5,
+              sampleSize: Int = 10000,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    val sample = corpus.select(vecCol).limit(sampleSize).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "corpus is empty")
+    val d = sample.head.length
+    // deterministic init: N(0,1) directions from the engine RNG
+    val rng = new graft.core.StdRng(seed)
+    var centroids = Array.fill(nlist)(Array.fill(d)(rng.stdNormal()))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](d))
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < d) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignCell = udf { (v: Seq[Double]) => nearestCentroid(v.toArray, bc.value) }
+    val probeCells = udf { (v: Seq[Double]) => nearestCentroids(v.toArray, bc.value, nprobe) }
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .withColumn("cell", assignCell(col("nvec")))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(probeCells(col("qvec"))))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var dist = 0.0
+      var j = 0
+      while (j < v.length) { val x = v(j) - cs(c)(j); dist += x * x; j += 1 }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCentroids(v: Array[Double], cs: Array[Array[Double]], n: Int): Array[Int] = {
+    cs.indices.map { c =>
+      var dist = 0.0
+      var j = 0
+      while (j < v.length) { val x = v(j) - cs(c)(j); dist += x * x; j += 1 }
+      (dist, c)
+    }.sortBy(x => (x._1, x._2)).take(n).map(_._2).toArray
+  }
+
   /** Exact near-dup vector pairs: cosine above `threshold` over a bounded
     * id-window candidate set (explode+equi-join, never a range join). */
   def cosineNearDupWindow(df: DataFrame, window: Int, threshold: Double,

@@ -105,6 +105,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Ann.ivfTopK partitions the corpus and ranks within probed cells") {
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(6)(d => math.cos(i * 0.7 + d) * 3.0))).toDF("vec_id", "embedding")
+    val got = Ann.ivfTopK(vecs, vecs.filter($"vec_id" < 2), k = 3,
+      nlist = 4, nprobe = 2, seed = 99L).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse) // ranked descending
+    }
+    // determinism: same seed, same result
+    val again = Ann.ivfTopK(vecs, vecs.filter($"vec_id" < 2), k = 3,
+      nlist = 4, nprobe = 2, seed = 99L).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("Multimodal extractFeatures + sampleFrames plumbing") {
     val media = Seq(
       (1L, "hello world media payload".getBytes("UTF-8"), "application/octet-stream"),
