@@ -367,6 +367,24 @@ object SparkEntry {
         .join(media.select(col("media_id"), sha2(col("bytes"), 256).as("sha256")), "media_id")
         .orderBy("media_id")
     }),
+    "asof_join" -> ((s, dir) => {
+      // each event joined to the customer's most recent order at-or-before
+      // the event time; right side deduped deterministically on equal
+      // timestamps (keep max orderkey). Union-and-carry shape — no range
+      // join, no pair explosion (see graft.api.AsofJoin).
+      val events = loadEvents(s, dir).select("event_id", "ts", "user_id")
+      val orders = load(s, dir, "orders")
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.api.AsofJoin.asof(events, orders, Seq("user_id"), "ts",
+          Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "asof_o_orderkey", "asof_o_totalprice")
+        .orderBy("event_id")
+    }),
     "sessionize_batch" -> ((s, dir) => {
       val events = loadEvents(s, dir)
       graft.streaming.EventStreams.sessionizeBatch(events, gapMs = 30 * 60 * 1000L)
@@ -561,6 +579,17 @@ object SparkEntry {
         |       END AS mean_byte,
         |       sha256(text) AS sha256
         |FROM documents ORDER BY media_id""".stripMargin,
+    "asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT e.event_id,
+        |       o.o_orderkey AS asof_o_orderkey,
+        |       o.o_totalprice AS asof_o_totalprice
+        |FROM events e ASOF LEFT JOIN (SELECT * FROM o WHERE rn = 1) o
+        |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),

@@ -68,6 +68,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup on event ids: state is bounded by the watermark
+    * (dropDuplicatesWithinWatermark), so long-running pipelines don't
+    * accumulate unbounded id state; in batch mode it degrades to a plain
+    * dropDuplicates. */
+  def dedupEvents(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
+                  watermark: String = "1 hour"): DataFrame = {
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+  }
+
   /** Batch-mode sessionization with identical gap semantics, built on window
     * functions — the oracle twin of [[sessionize]] and the scalable batch
     * formulation (two shuffles: by user, then by (user, session)). */

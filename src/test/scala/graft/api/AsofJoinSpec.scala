@@ -1,0 +1,43 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(min: Int) = new Timestamp(60000L * min)
+
+  test("asof picks most recent right row at-or-before, null when none") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, "A", ts(10)), (2L, "A", ts(20)), (3L, "A", ts(5)),
+      (4L, "B", ts(10)), (5L, "C", ts(10)))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts(8), 100.0), ("A", ts(20), 105.0), ("A", ts(25), 110.0),
+      ("B", ts(11), 50.0))
+      .toDF("sym", "ts", "px")
+    val got = AsofJoin.asof(trades, quotes, Seq("sym"), "ts", Seq("px"))
+      .orderBy("trade_id").collect()
+    // trade 1 @10 -> quote @8 (100); trade 2 @20 -> quote @20 inclusive (105)
+    // trade 3 @5 -> none; trade 4 @10 -> none (quote is @11); trade 5 -> no key
+    assert(got(0).getDouble(3) == 100.0)
+    assert(got(1).getDouble(3) == 105.0)
+    assert(got(2).isNullAt(3))
+    assert(got(3).isNullAt(3))
+    assert(got(4).isNullAt(3))
+  }
+
+  test("asof plan has no nested-loop pair explosion") {
+    import spark.implicits._
+    val l = Seq((1L, "k", ts(1))).toDF("id", "key", "ts")
+    val r = Seq(("k", ts(0), 1.0)).toDF("key", "ts", "v")
+    val plan = AsofJoin.asof(l, r, Seq("key"), "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"asof must not cross-product:\n$plan")
+  }
+}
