@@ -331,6 +331,13 @@ object SparkEntry {
       graft.api.BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5)
         .orderBy("id_a", "id_b")
     }),
+    "dedup_clusters" -> ((s, dir) => {
+      // connected-component labels over the minhash near-dup graph
+      // (iterated min-propagation; each doc labeled with its cluster min id)
+      val docs = load(s, dir, "documents")
+      val pairs = graft.api.BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5)
+      graft.api.BandedLsh.dupClusters(pairs).orderBy("id")
+    }),
     "cosine_adjacent" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

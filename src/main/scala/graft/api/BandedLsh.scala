@@ -57,15 +57,48 @@ object BandedLsh {
   }
 
   /** Greedy duplicate-cluster assignment: every id maps to the smallest id it
-    * is (transitively, via iterated min-propagation) connected to in the
-    * near-dup pair graph. `maxIters` bounds the hash-min iterations — each
-    * iteration is one shuffle; chains longer than 2^maxIters collapse is
-    * rare in dedup graphs. */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    * is (transitively) connected to in the near-dup pair graph.
+    *
+    * Adaptive execution: dedup graphs are usually tiny relative to the corpus
+    * (edges only between near-dups), so when the edge count is below
+    * `driverThreshold` the components are computed with a driver-side
+    * union-find — one collect, exact, no iteration. Larger graphs fall back
+    * to distributed hash-min iteration (`maxIters` rounds, one shuffle each,
+    * lineage truncated per round). */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 10,
+                  driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .localCheckpoint(true)
+    if (edges.count() <= driverThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      import spark.implicits._
+      return nodes.map(n => (n, find(n))).toSeq.toDF("id", "cluster")
+    }
+    distributedClusters(edges, maxIters)
+  }
+
+  private def distributedClusters(pairs: DataFrame, maxIters: Int): DataFrame = {
     // undirected edges as (node, neighbor-min candidate)
+    // localCheckpoint each round: iterative self-joins otherwise double the
+    // lineage per iteration and recompute the whole prefix every action
     var labels = pairs.select(col("id_a").as("id"), col("id_b").as("peer"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("peer")))
       .groupBy("id").agg(least(min(col("peer")), col("id")).as("cluster"))
+      .localCheckpoint(true)
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
@@ -73,7 +106,7 @@ object BandedLsh {
         .join(labels.select(col("id").as("cid"), col("cluster").as("ccluster")).as("r"),
           col("l.cluster") === col("cid"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("ccluster"), col("cluster"))).as("cluster"))
-      // convergence check costs an action; bound it to small graphs per call
+        .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
       labels = next

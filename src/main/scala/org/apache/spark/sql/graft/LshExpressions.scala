@@ -59,6 +59,29 @@ object LshParams {
       while (i < bands.length) { out(i) = bands(i).toInt; i += 1 } // low-32 truncation, lib.rs:23-27
       new GenericArrayData(out)
     } else new GenericArrayData(bands)
+
+  /** Shared null-safe codegen for expressions whose kernel is an instance
+    * method `ref.<method>(childValue)` — avoids CodegenFallback's row
+    * materialization and boxing in scan-heavy projections. */
+  def refCallGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                     ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+                     instance: AnyRef, className: String, method: String,
+                     child: Expression, javaResultType: String)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("graftExpr", instance, className)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        $javaResultType ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.$method(${childGen.value});
+        }
+      """
+    ev.copy(code = code)
+  }
 }
 
 /** `lsh_min` / `lsh_min32` — banded MinHash over char-n-gram shingles
@@ -68,7 +91,7 @@ object LshParams {
   * analysis time, on the first argument's type.
   */
 case class LshMin(children: Seq[Expression], is32: Boolean)
-    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+    extends Expression with ImplicitCastInputTypes {
 
   private def isTextMode: Boolean = children.length == 5
 
@@ -81,6 +104,16 @@ case class LshMin(children: Seq[Expression], is32: Boolean)
   override def checkInputDataTypes(): TypeCheckResult = {
     if (children.length != 4 && children.length != 5)
       return TypeCheckFailure(s"$prettyName expects 4 (shingle-list) or 5 (text) arguments")
+    // Message parity with the reference's dispatch error (minhash.rs:166).
+    // Spark's implicit casts already turn atomics into strings (a superset of
+    // the reference's exact-signature matching); this branch catches the
+    // genuinely uncastable complex types.
+    children.head.dataType match {
+      case StringType | ArrayType(_, _) | NullType =>
+      case _: org.apache.spark.sql.types.AtomicType =>
+      case _ =>
+        return TypeCheckFailure("Unsupported argument type for MinHash")
+    }
     val base = super.checkInputDataTypes()
     if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
     val paramNames =
@@ -104,9 +137,9 @@ case class LshMin(children: Seq[Expression], is32: Boolean)
       LshParams.evalLong(children(off + 2), "seed"))
   }
 
-  override def eval(input: InternalRow): Any = {
-    val v = children.head.eval(input)
-    if (v == null) return null
+  /** Unboxed entry point shared by eval and generated code. `v` is a
+    * UTF8String (text mode) or ArrayData (shingle-list mode). */
+  def hashValue(v: AnyRef): ArrayData = {
     val set =
       if (isTextMode) {
         val s = v.asInstanceOf[UTF8String].getBytes
@@ -129,6 +162,17 @@ case class LshMin(children: Seq[Expression], is32: Boolean)
     LshParams.toArrayData(family.hash(set), is32)
   }
 
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) null else hashValue(v.asInstanceOf[AnyRef])
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    LshParams.refCallGenCode(ctx, ev, this, classOf[LshMin].getName, "hashValue",
+      children.head, "org.apache.spark.sql.catalyst.util.ArrayData")
+
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(children = newChildren)
 }
@@ -139,7 +183,7 @@ case class LshMin(children: Seq[Expression], is32: Boolean)
   * superset of the reference's chunk-scoped check (SURVEY.md §2.2.5).
   */
 case class LshEuclidean(children: Seq[Expression], is32: Boolean)
-    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+    extends Expression with ImplicitCastInputTypes {
 
   override def prettyName: String = if (is32) "lsh_euclidean32" else "lsh_euclidean"
 
@@ -168,24 +212,41 @@ case class LshEuclidean(children: Seq[Expression], is32: Boolean)
     LshParams.evalLong(children(3), "band_size").toInt
   @transient private lazy val seed: Long = LshParams.evalLong(children(4), "seed")
 
-  // First dimensionality seen in this task, for the same-length rule.
-  @transient private var seenD: Int = -1
-  @transient private var fam: EuclideanFamily = _
+  // Last (d -> family) pair; volatile + immutable tuple so concurrent task
+  // threads sharing this instance (plan references are per-executor) never
+  // see a torn pairing. The same-length rule is enforced against the first
+  // dimensionality this instance observed — a deterministic superset of the
+  // reference's chunk-scoped check (SURVEY.md §2.2.5). Both holders are
+  // lazy vals so they re-initialize after task deserialization (a @transient
+  // var's initializer is lost and the field silently resets to 0/null).
+  @transient @volatile private var cachedFam: (Int, EuclideanFamily) = _
+  @transient private lazy val firstD = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Unboxed entry point shared by eval and generated code. */
+  def hashValue(arr: ArrayData): ArrayData = {
+    val d = arr.numElements()
+    val f0 = if (firstD.compareAndSet(-1, d)) d else firstD.get()
+    if (f0 != d)
+      throw new IllegalArgumentException("All input arrays must have the same length")
+    val c = cachedFam
+    val fam = if (c != null && c._1 == d) c._2 else {
+      val nf = EuclideanFamily(bucketWidth, bandCount, bandSize, seed, d)
+      cachedFam = (d, nf)
+      nf
+    }
+    LshParams.toArrayData(fam.hash(arr.toDoubleArray()), is32)
+  }
 
   override def eval(input: InternalRow): Any = {
     val v = children.head.eval(input)
-    if (v == null) return null
-    val arr = v.asInstanceOf[ArrayData]
-    val d = arr.numElements()
-    if (seenD == -1) {
-      seenD = d
-      fam = EuclideanFamily(bucketWidth, bandCount, bandSize, seed, d)
-    } else if (seenD != d) {
-      throw new IllegalArgumentException("All input arrays must have the same length")
-    }
-    val x = arr.toDoubleArray()
-    LshParams.toArrayData(fam.hash(x), is32)
+    if (v == null) null else hashValue(v.asInstanceOf[ArrayData])
   }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    LshParams.refCallGenCode(ctx, ev, this, classOf[LshEuclidean].getName, "hashValue",
+      children.head, "org.apache.spark.sql.catalyst.util.ArrayData")
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(children = newChildren)

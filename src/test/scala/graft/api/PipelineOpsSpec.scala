@@ -63,9 +63,14 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("BandedLsh.dupClusters labels connected components to min id") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 5L, 0.9), (7L, 8L, 0.9)).toDF("id_a", "id_b", "sim")
-    val got = BandedLsh.dupClusters(pairs).orderBy("id").collect()
+    val want = Seq((1L, 1L), (2L, 1L), (5L, 1L), (7L, 7L), (8L, 7L))
+    val viaUnionFind = BandedLsh.dupClusters(pairs).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got == Seq((1L, 1L), (2L, 1L), (5L, 1L), (7L, 7L), (8L, 7L)))
+    assert(viaUnionFind == want)
+    // force the distributed hash-min path and require identical labels
+    val viaDistributed = BandedLsh.dupClusters(pairs, driverThreshold = 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaDistributed == want)
   }
 
   test("TextAnalysis langId and qualityScore") {

@@ -77,6 +77,16 @@ class LshSqlSpec extends AnyFunSuite {
     assert(got(3).getDouble(0) == 0.4375)
   }
 
+  test("unsupported first-argument type gives the reference's message") {
+    // atomics implicitly cast to string (Spark superset); complex non-array
+    // types get the reference's dispatch error (minhash.rs:166)
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT lsh_min(map('a', 'b'), 2, 3, 2, 123)").collect()
+    }
+    assert(e.getMessage.contains("Unsupported argument type for MinHash"))
+    assert(spark.sql("SELECT size(lsh_min(42, 2, 1, 1, 1)) n").collect().head.getInt(0) == 1)
+  }
+
   test("non-constant parameter is rejected at analysis time") {
     import spark.implicits._
     Seq(("ab", 1L)).toDF("s", "n").createOrReplaceTempView("temp_nc")
