@@ -374,6 +374,21 @@ object SparkEntry {
         .join(media.select(col("media_id"), sha2(col("bytes"), 256).as("sha256")), "media_id")
         .orderBy("media_id")
     }),
+    "range_join" -> ((s, dir) => {
+      // orders priced into irregular bands: a point-in-interval range join,
+      // bucketed (graft.api.RangeJoin) instead of nested-loop
+      import s.implicits._
+      val bands = Seq(
+        (1L, 0.0, 25000.0), (2L, 25000.0, 60000.0), (3L, 60000.0, 110000.0),
+        (4L, 110000.0, 180000.0), (5L, 180000.0, 300000.0), (6L, 300000.0, 600000.0))
+        .toDF("band_id", "lo", "hi")
+      val orders = load(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      graft.api.RangeJoin.pointInInterval(orders, bands, "o_totalprice", "lo", "hi", 25000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("orders"), min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("band_id")
+    }),
     "asof_join" -> ((s, dir) => {
       // each event joined to the customer's most recent order at-or-before
       // the event time; right side deduped deterministically on equal
@@ -586,6 +601,14 @@ object SparkEntry {
         |       END AS mean_byte,
         |       sha256(text) AS sha256
         |FROM documents ORDER BY media_id""".stripMargin,
+    "range_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (CAST(1 AS BIGINT), 0.0, 25000.0), (2, 25000.0, 60000.0), (3, 60000.0, 110000.0),
+        |  (4, 110000.0, 180000.0), (5, 180000.0, 300000.0), (6, 300000.0, 600000.0))
+        |SELECT b.band_id, count(*) AS orders,
+        |       min(o.o_totalprice) AS min_price, max(o.o_totalprice) AS max_price
+        |FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |GROUP BY b.band_id ORDER BY b.band_id""".stripMargin,
     "asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,

@@ -31,6 +31,21 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got(4).isNullAt(3))
   }
 
+  test("range join: exact boundaries, bucketed plan, no nested loop") {
+    import spark.implicits._
+    val points = Seq((1L, 0.0), (2L, 24999.99), (3L, 25000.0), (4L, 109999.0), (5L, 999999.0))
+      .toDF("id", "v")
+    val bands = Seq((1L, 0.0, 25000.0), (2L, 25000.0, 110000.0)).toDF("band_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, bands, "v", "lo", "hi", 25000.0)
+      .select("id", "band_id").orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 25000.0 is exclusive in band 1, inclusive in band 2; 999999 matches none
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)))
+    val plan = RangeJoin.pointInInterval(points, bands, "v", "lo", "hi", 25000.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must be bucketed, not nested-loop:\n$plan")
+  }
+
   test("asof plan has no nested-loop pair explosion") {
     import spark.implicits._
     val l = Seq((1L, "k", ts(1))).toDF("id", "key", "ts")
