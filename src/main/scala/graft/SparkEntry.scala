@@ -196,8 +196,8 @@ object SparkEntry {
       s.sql("""
         SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
           SELECT o_orderpriority, o_orderkey, o_totalprice,
-                 row_number() OVER (PARTITION BY o_orderpriority
-                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                 CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
           FROM orders)
         WHERE rnk <= 3
         ORDER BY o_orderpriority, rnk""")
@@ -280,21 +280,21 @@ object SparkEntry {
       load(s, dir, "documents").createOrReplaceTempView("documents")
       s.sql("""
         SELECT doc_id,
-               length(text) AS chars,
-               size(split(text, ' ')) AS words,
-               size(array_distinct(split(text, ' '))) AS distinct_words,
+               CAST(length(text) AS BIGINT) AS chars,
+               CAST(size(split(text, ' ')) AS BIGINT) AS words,
+               CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS distinct_words,
                CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / size(split(text, ' ')) AS lexical_diversity,
-               size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS stopwords
+               CAST(size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS stopwords
         FROM documents ORDER BY doc_id""")
     }),
     "token_count" -> ((s, dir) => {
       load(s, dir, "documents").createOrReplaceTempView("documents")
       s.sql("""
         SELECT doc_id,
-               size(split(text, '\\s+')) AS ws_tokens,
-               regexp_count(text, '[a-zA-Z]+') AS alpha_tokens,
-               regexp_count(text, '[0-9]+') AS num_tokens,
-               regexp_count(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]') AS bpe_tokens
+               CAST(size(split(text, '\\s+')) AS BIGINT) AS ws_tokens,
+               CAST(regexp_count(text, '[a-zA-Z]+') AS BIGINT) AS alpha_tokens,
+               CAST(regexp_count(text, '[0-9]+') AS BIGINT) AS num_tokens,
+               CAST(regexp_count(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]') AS BIGINT) AS bpe_tokens
         FROM documents ORDER BY doc_id""")
     }),
     "lang_id" -> ((s, dir) => {
@@ -452,7 +452,7 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       count(*) AS cnt,
-        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       min(l_extendedprice) AS min_price,
         |       max(l_extendedprice) AS max_price,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
@@ -461,7 +461,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join_agg" ->
       """SELECT c.c_mktsegment, count(*) AS line_cnt,
-        |       sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+        |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       count(DISTINCT o.o_orderkey) AS order_cnt
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |                JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -496,7 +496,7 @@ object SparkEntry {
         |ORDER BY month""".stripMargin,
     "q7_json_extract" ->
       """SELECT event_type,
-        |       sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q8_grouping_sets" ->
@@ -628,7 +628,7 @@ object SparkEntry {
         |                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
         |                  THEN 1 ELSE 0 END AS new_s
         |      FROM x),
-        |z AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id FROM y)
+        |z AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id FROM y)
         |SELECT user_id, session_id,
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,

@@ -35,7 +35,7 @@ object Ann {
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
@@ -57,7 +57,7 @@ object Ann {
       .select("query_id", "qvec", "neighbor_id", "nvec").distinct()
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cand.withColumn("sim", cosine(col("qvec"), col("nvec")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
@@ -113,7 +113,7 @@ object Ann {
     probed.join(cells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qvec"), col("nvec")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }

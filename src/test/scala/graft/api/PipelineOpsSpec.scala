@@ -105,7 +105,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     // every LSH result is a genuine vector pair with rank ordering intact
     lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
-      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
       assert(sims == sims.sorted.reverse)
     }
   }
@@ -118,7 +118,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       assert(rows.length <= 3)
-      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
       assert(sims == sims.sorted.reverse) // ranked descending
     }
     // determinism: same seed, same result
