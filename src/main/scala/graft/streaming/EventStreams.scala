@@ -79,6 +79,24 @@ object EventStreams {
     else events.dropDuplicates(idCols)
   }
 
+  /** Streaming exact content dedup: drops rows whose text (byte-exact, via
+    * the codegen'd built-in xxhash64) was already seen within the watermark
+    * horizon. The streaming twin of `Dedup.exact`: state is one 64-bit hash
+    * per distinct document in the horizon, so memory is bounded by
+    * distinct-docs-per-window, not corpus size. Requires a `ts` column on
+    * streams. (For order-insensitive near-dup dropping, hash with
+    * `graft.functions.simhash64` instead — token-vote hashing makes word
+    * permutations collide by design.) */
+  def dedupByContent(docs: DataFrame, textCol: String,
+                     watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("__content_h", xxhash64(col(textCol)))
+    val out =
+      if (docs.isStreaming)
+        hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("__content_h")
+      else hashed.dropDuplicates("__content_h")
+    out.drop("__content_h")
+  }
+
   /** Batch-mode sessionization with identical gap semantics, built on window
     * functions — the oracle twin of [[sessionize]] and the scalable batch
     * formulation (two shuffles: by user, then by (user, session)). */

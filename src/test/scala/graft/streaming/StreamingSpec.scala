@@ -53,6 +53,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupByContent drops repeated texts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupByContent(df, "text", "30 minutes")
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma delta"))
+      q.processAllAvailable()
+      mem.addData((3L, ts(2), "alpha beta"), (4L, ts(3), "epsilon zeta"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM content_dedup ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(1L, 2L, 4L)) // doc 3 is a content dup of doc 1
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches gap semantics") {
     import spark.implicits._
     val events = Seq(
