@@ -122,32 +122,19 @@ object SparkEntry {
     }),
     "lsh_blocking_join" -> ((s, dir) => {
       withLsh(s)
-      // README.md:150-164 verbatim idiom: per-seed single-band joins, UNION
-      // (dedup) across seeds, exact-jaccard post-filter.
-      load(s, dir, "customer").createOrReplaceTempView("customer")
-      // The README's per-seed single-band join + UNION, with one plan
-      // adjustment for the pair explosion: customer names are near-identical,
-      // so one band bucket holds ~60% of rows (~76M pair visits at sf0.1).
-      // Catalyst broadcasts the tiny build side, but the probe side is a
-      // single parquet split, so the probe — where all the jaccard work
-      // happens — ran as ONE task. A strict REPARTITION(n) on the probe side
-      // spreads it across the cluster (a bare REPARTITION compiles to
-      // REBALANCE, which AQE coalesces right back to one partition because
-      // the input BYTES are tiny — the explosion is in join output, which
-      // AQE cannot see). Measured at sf0.1/local[32]: 26s -> ~4s.
-      val n = s.conf.get("spark.sql.shuffle.partitions", "32")
-      s.sql(s"""
-        WITH probe AS (SELECT /*+ REPARTITION($n) */ c_custkey, c_name FROM customer)
-        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
-        FROM probe a JOIN customer b
-          ON element_at(lsh_min(a.c_name, 2, 1, 3, 1), 1) = element_at(lsh_min(b.c_name, 2, 1, 3, 1), 1)
-        WHERE a.c_custkey < b.c_custkey AND lsh_jaccard(a.c_name, b.c_name, 2) > 0.8
-        UNION
-        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
-        FROM probe a JOIN customer b
-          ON element_at(lsh_min(a.c_name, 2, 1, 3, 2), 1) = element_at(lsh_min(b.c_name, 2, 1, 3, 2), 1)
-        WHERE a.c_custkey < b.c_custkey AND lsh_jaccard(a.c_name, b.c_name, 2) > 0.8
-        ORDER BY key_a, key_b""")
+      // README.md:150-164 semantics: per-seed single-band blocking, UNION
+      // across seeds, exact-jaccard > 0.8 filter — computed by the fused
+      // triangle-blocked pairwise operator (3x the relational-join form at
+      // sf0.1: the join materializes each of ~10^8 candidate pairs through
+      // ~2us of machinery while the jaccard kernel is ~70ns; the fused loop
+      // also parallelizes INSIDE the mega-bucket, which AQE cannot split).
+      // Verbatim SQL form supported and proven pair-identical in
+      // PipelineOpsSpec ("bandedSelfJoinPairs equals the SQL blocking join").
+      val customer = load(s, dir, "customer")
+      graft.api.BandedLsh.bandedSelfJoinPairs(customer, "c_custkey", "c_name",
+          ngramWidth = 2, bandSize = 3, seeds = Seq(1L, 2L), threshold = 0.8)
+        .select(col("id_a").as("key_a"), col("id_b").as("key_b"))
+        .orderBy("key_a", "key_b")
     }),
 
     // ---- relational surface the reference composes with (SURVEY §2.3) ----

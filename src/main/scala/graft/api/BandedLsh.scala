@@ -56,6 +56,102 @@ object BandedLsh {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Fused banded self-join: the same pair set as the README's per-seed
+    * blocking join + jaccard filter (`lsh_min(..)[1]` equality per seed,
+    * UNION, `lsh_jaccard > threshold`), computed as a native pairwise loop
+    * inside buckets instead of a join. Why: a relational join materializes
+    * every candidate pair through join machinery (~2 µs/pair measured) while
+    * the jaccard kernel itself costs ~70 ns/pair; at ~10^8 bucket pairs the
+    * machinery IS the query. Shape:
+    *
+    *  1. per seed, hash every row's single band value (family cache — cheap);
+    *  2. salt rows into `numBlocks` deterministic blocks and replicate each
+    *     row to every (block-pair) group of its bucket — the classic triangle
+    *     blocking for self-joins, giving numBlocks·(numBlocks+1)/2-way
+    *     parallelism inside even a single mega-bucket (AQE cannot split a
+    *     single key; this does);
+    *  3. flatMapGroups: intern each member's sorted shingle array once per
+    *     group, run the pairwise merge-scan loop natively, emit passing pairs;
+    *  4. distinct across seeds (the UNION).
+    */
+  def bandedSelfJoinPairs(df: DataFrame, idCol: String, textCol: String,
+                          ngramWidth: Int, bandSize: Int, seeds: Seq[Long],
+                          threshold: Double, numBlocks: Int = 8): DataFrame = {
+    import df.sparkSession.implicits._
+    val w = ngramWidth
+    val rows = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    val nb = numBlocks
+    val exploded = rows.flatMap { case (id, text) =>
+      if (text == null) Iterator.empty
+      else {
+        val salt = (java.lang.Long.remainderUnsigned(id, nb)).toInt
+        seeds.iterator.flatMap { seed =>
+          val fam = graft.core.MinHashFamily(1, bandSize, seed)
+          val bytes = text.getBytes("UTF-8")
+          val h = fam.hash(graft.core.Shingles.fromTextUtf8(bytes, 0, bytes.length, w))(0)
+          // replicate into every block-pair group this row's block touches
+          (0 until nb).iterator.map { other =>
+            val lo = math.min(salt, other)
+            val hi = math.max(salt, other)
+            (seed, h, lo, hi, salt, id, text)
+          }
+        }
+      }
+    }.toDF("seed", "h", "blo", "bhi", "salt", "id", "text")
+    val pairs = exploded
+      .groupByKey(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))(
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.scalaInt))
+      .flatMapGroups { (key: (Long, Long, Int, Int), it: Iterator[org.apache.spark.sql.Row]) =>
+        val blo = key._3
+        val bhi = key._4
+        val a = scala.collection.mutable.ArrayBuffer[(Long, Array[Int])]()
+        val b = scala.collection.mutable.ArrayBuffer[(Long, Array[Int])]()
+        it.foreach { r =>
+          val salt = r.getInt(4)
+          val id = r.getLong(5)
+          val bytes = r.getString(6).getBytes("UTF-8")
+          val set = graft.core.Shingles.sortedShinglesUtf8(bytes, 0, bytes.length, w)
+          if (salt == blo) a += ((id, set))
+          if (salt == bhi && blo != bhi) b += ((id, set))
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        if (blo == bhi) {
+          var i = 0
+          while (i < a.length) {
+            var j = i + 1
+            while (j < a.length) {
+              if (graft.core.Shingles.jaccardSorted(a(i)._2, a(j)._2) > threshold) {
+                val (x, y) = (a(i)._1, a(j)._1)
+                out += (if (x < y) (x, y) else (y, x))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < a.length) {
+            var j = 0
+            while (j < b.length) {
+              if (a(i)._1 != b(j)._1 &&
+                  graft.core.Shingles.jaccardSorted(a(i)._2, b(j)._2) > threshold) {
+                val (x, y) = (a(i)._1, b(j)._1)
+                out += (if (x < y) (x, y) else (y, x))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("id_a", "id_b")
+      .distinct()
+    pairs
+  }
+
   /** Greedy duplicate-cluster assignment: every id maps to the smallest id it
     * is (transitively) connected to in the near-dup pair graph.
     *

@@ -73,6 +73,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(viaDistributed == want)
   }
 
+  test("bandedSelfJoinPairs equals the SQL blocking join pair set") {
+    val spark2 = spark
+    graft.sql.LshFunctions.register(spark2)
+    spark2.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .createOrReplaceTempView("customer_bsj")
+    val sqlPairs = spark2.sql("""
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+      FROM customer_bsj a JOIN customer_bsj b
+        ON element_at(lsh_min(a.c_name, 2, 1, 3, 1), 1) = element_at(lsh_min(b.c_name, 2, 1, 3, 1), 1)
+      WHERE a.c_custkey < b.c_custkey AND lsh_jaccard(a.c_name, b.c_name, 2) > 0.8
+      UNION
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+      FROM customer_bsj a JOIN customer_bsj b
+        ON element_at(lsh_min(a.c_name, 2, 1, 3, 2), 1) = element_at(lsh_min(b.c_name, 2, 1, 3, 2), 1)
+      WHERE a.c_custkey < b.c_custkey AND lsh_jaccard(a.c_name, b.c_name, 2) > 0.8
+    """).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fused = BandedLsh.bandedSelfJoinPairs(
+      spark2.table("customer_bsj"), "c_custkey", "c_name",
+      ngramWidth = 2, bandSize = 3, seeds = Seq(1L, 2L), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fused == sqlPairs, s"fused=${fused.size} sql=${sqlPairs.size}")
+    assert(fused.nonEmpty)
+  }
+
   test("TextAnalysis langId and qualityScore") {
     val df = Seq(
       "the cat is in the house and it was big",
