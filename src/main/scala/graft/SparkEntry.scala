@@ -132,7 +132,7 @@ object SparkEntry {
       // PipelineOpsSpec ("bandedSelfJoinPairs equals the SQL blocking join").
       val customer = load(s, dir, "customer")
       graft.api.BandedLsh.bandedSelfJoinPairs(customer, "c_custkey", "c_name",
-          ngramWidth = 2, bandSize = 3, seeds = Seq(1L, 2L), threshold = 0.8)
+          ngramWidth = 2, bandCount = 1, bandSize = 3, seeds = Seq(1L, 2L), threshold = 0.8)
         .select(col("id_a").as("key_a"), col("id_b").as("key_b"))
         .orderBy("key_a", "key_b")
     }),

@@ -46,7 +46,16 @@ object BandedLsh {
   }
 
   /** Full near-dup pair mining: banded blocking + exact-Jaccard verification.
-    * Returns (id_a, id_b, sim) with sim > threshold. */
+    * Returns (id_a, id_b, sim) with sim > threshold.
+    *
+    * Uses the relational band join: with selective multi-band blocking over
+    * long documents the candidate set is small and the join shuffles only
+    * (id, band, hash) rows. The fused [[bandedSelfJoinPairs]] is the right
+    * tool for the opposite regime — explosive buckets of short keys — because
+    * it replicates the PAYLOAD bands×numBlocks times through the shuffle
+    * (measured: fused wins 3x on 15k near-identical names at 1 band, loses
+    * ~25% on 5k long documents at 8 bands). Both paths are spec-checked to
+    * produce identical pair sets. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
                    threshold: Double): DataFrame = {
@@ -75,30 +84,36 @@ object BandedLsh {
     *  4. distinct across seeds (the UNION).
     */
   def bandedSelfJoinPairs(df: DataFrame, idCol: String, textCol: String,
-                          ngramWidth: Int, bandSize: Int, seeds: Seq[Long],
+                          ngramWidth: Int, bandCount: Int, bandSize: Int, seeds: Seq[Long],
                           threshold: Double, numBlocks: Int = 8): DataFrame = {
     import df.sparkSession.implicits._
     val w = ngramWidth
     val rows = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
     val nb = numBlocks
+    val bandsPerSeed = bandCount
+    val seedList = seeds.toArray
     val exploded = rows.flatMap { case (id, text) =>
       if (text == null) Iterator.empty
       else {
         val salt = (java.lang.Long.remainderUnsigned(id, nb)).toInt
-        seeds.iterator.flatMap { seed =>
-          val fam = graft.core.MinHashFamily(1, bandSize, seed)
-          val bytes = text.getBytes("UTF-8")
-          val h = fam.hash(graft.core.Shingles.fromTextUtf8(bytes, 0, bytes.length, w))(0)
-          // replicate into every block-pair group this row's block touches
-          (0 until nb).iterator.map { other =>
-            val lo = math.min(salt, other)
-            val hi = math.max(salt, other)
-            (seed, h, lo, hi, salt, id, text)
+        val bytes = text.getBytes("UTF-8")
+        val set = graft.core.Shingles.fromTextUtf8(bytes, 0, bytes.length, w)
+        seedList.indices.iterator.flatMap { si =>
+          val fam = graft.core.MinHashFamily(bandsPerSeed, bandSize, seedList(si))
+          val hs = fam.hash(set)
+          hs.indices.iterator.flatMap { band =>
+            val bandKey = (si.toLong << 32) | band.toLong // distinct per (seed, band)
+            // replicate into every block-pair group this row's block touches
+            (0 until nb).iterator.map { other =>
+              val lo = math.min(salt, other)
+              val hi = math.max(salt, other)
+              (bandKey, hs(band), lo, hi, salt, id, text)
+            }
           }
         }
       }
-    }.toDF("seed", "h", "blo", "bhi", "salt", "id", "text")
-    val pairs = exploded
+    }.toDF("bk", "h", "blo", "bhi", "salt", "id", "text")
+    exploded
       .groupByKey(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))(
         org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaInt,
@@ -116,15 +131,16 @@ object BandedLsh {
           if (salt == blo) a += ((id, set))
           if (salt == bhi && blo != bhi) b += ((id, set))
         }
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
         if (blo == bhi) {
           var i = 0
           while (i < a.length) {
             var j = i + 1
             while (j < a.length) {
-              if (graft.core.Shingles.jaccardSorted(a(i)._2, a(j)._2) > threshold) {
+              val sim = graft.core.Shingles.jaccardSorted(a(i)._2, a(j)._2)
+              if (sim > threshold) {
                 val (x, y) = (a(i)._1, a(j)._1)
-                out += (if (x < y) (x, y) else (y, x))
+                out += (if (x < y) (x, y, sim) else (y, x, sim))
               }
               j += 1
             }
@@ -135,10 +151,12 @@ object BandedLsh {
           while (i < a.length) {
             var j = 0
             while (j < b.length) {
-              if (a(i)._1 != b(j)._1 &&
-                  graft.core.Shingles.jaccardSorted(a(i)._2, b(j)._2) > threshold) {
-                val (x, y) = (a(i)._1, b(j)._1)
-                out += (if (x < y) (x, y) else (y, x))
+              if (a(i)._1 != b(j)._1) {
+                val sim = graft.core.Shingles.jaccardSorted(a(i)._2, b(j)._2)
+                if (sim > threshold) {
+                  val (x, y) = (a(i)._1, b(j)._1)
+                  out += (if (x < y) (x, y, sim) else (y, x, sim))
+                }
               }
               j += 1
             }
@@ -147,9 +165,8 @@ object BandedLsh {
         }
         out.iterator
       }
-      .toDF("id_a", "id_b")
-      .distinct()
-    pairs
+      .toDF("id_a", "id_b", "sim")
+      .distinct() // a pair found in k bands carries the same sim k times
   }
 
   /** Greedy duplicate-cluster assignment: every id maps to the smallest id it

@@ -91,9 +91,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     """).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val fused = BandedLsh.bandedSelfJoinPairs(
       spark2.table("customer_bsj"), "c_custkey", "c_name",
-      ngramWidth = 2, bandSize = 3, seeds = Seq(1L, 2L), threshold = 0.8)
+      ngramWidth = 2, bandCount = 1, bandSize = 3, seeds = Seq(1L, 2L), threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fused == sqlPairs, s"fused=${fused.size} sql=${sqlPairs.size}")
+    assert(fused.nonEmpty)
+  }
+
+  test("nearDupPairs (join path) equals the fused multi-band path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val join = BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fused = BandedLsh.bandedSelfJoinPairs(docs, "doc_id", "text", 4, 8, 3, Seq(123L), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fused == join, s"fused=${fused.size} join=${join.size}")
     assert(fused.nonEmpty)
   }
 
