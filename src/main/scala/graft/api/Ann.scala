@@ -46,17 +46,21 @@ object Ann {
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                       bucketWidth: Double, bandCount: Int, bandSize: Int, seed: Long,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+    // ids-only through the band join and the distinct — shuffling d-dim
+    // vectors through candidate dedup would multiply shuffle volume by the
+    // embedding width; vectors re-attach afterwards (query side broadcast).
+    def banded(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
         posexplode(graft.functions.lsh_euclidean(col(vecCol), bucketWidth, bandCount, bandSize, seed)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val qb = banded(queries, "query_id", "qvec")
-    val cb = banded(corpus, "neighbor_id", "nvec")
-    val cand = qb.join(cb, Seq("band", "band_hash"))
+    val cand = banded(queries, "query_id").join(banded(corpus, "neighbor_id"), Seq("band", "band_hash"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qvec", "neighbor_id", "nvec").distinct()
+      .select("query_id", "neighbor_id").distinct()
+    val withVecs = cand
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cand.withColumn("sim", cosine(col("qvec"), col("nvec")))
+    withVecs.withColumn("sim", cosine(col("qvec"), col("nvec")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
