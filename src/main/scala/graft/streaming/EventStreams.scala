@@ -10,6 +10,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the state encoder codegen resolves it cleanly. */
 case class SessionState(startMs: Long, lastMs: Long, n: Long)
 
+/** Per-bucket membership state for [[EventStreams.nearDupCandidates]]. */
+case class BucketState(ids: Seq[Long], lastMs: Long)
+
+/** A streaming near-dup candidate: `doc_id` collided with prior `peer_id`
+  * in minhash band `band`. */
+case class DupCandidate(doc_id: Long, peer_id: Long, band: Int)
+
 /** Structured-Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value). The reference has no streaming
   * surface (SURVEY.md §2.3); these are the engine's additions, and each
@@ -95,6 +102,59 @@ object EventStreams {
         hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("__content_h")
       else hashed.dropDuplicates("__content_h")
     out.drop("__content_h")
+  }
+
+  /** Streaming banded-MinHash near-dup candidate detection: each arriving
+    * document's band hashes key into stateful buckets
+    * (flatMapGroupsWithState); a document colliding with prior bucket
+    * members emits one [[DupCandidate]] per prior member. Downstream
+    * verifies candidates (exact jaccard) in batch — state holds only ids
+    * (bounded per bucket by `maxBucket`, expired by event-time timeout after
+    * `ttl`), never document payloads, so state size is
+    * O(buckets × maxBucket × 8 B) regardless of corpus size.
+    *
+    * Expects columns (doc_id: long, ts: timestamp, text: string). */
+  def nearDupCandidates(docs: DataFrame, ngramWidth: Int, bandCount: Int,
+                        bandSize: Int, lshSeed: Long, watermarkDelay: String = "10 seconds",
+                        ttlMs: Long = 60 * 60 * 1000L, maxBucket: Int = 64): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    val w = ngramWidth
+    val banded = docs.select(col("doc_id").cast("long"), col("ts"), col("text"))
+      .as[(Long, Timestamp, String)]
+      .flatMap { case (id, ts, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val bytes = text.getBytes("UTF-8")
+          val set = graft.core.Shingles.fromTextUtf8(bytes, 0, bytes.length, w)
+          val hs = graft.core.MinHashFamily(bandCount, bandSize, lshSeed).hash(set)
+          hs.iterator.zipWithIndex.map { case (h, band) => (band, h, id, ts) }
+        }
+      }.toDF("band", "h", "doc_id", "ts")
+    val src = if (banded.isStreaming) banded.withWatermark("ts", watermarkDelay) else banded
+    src.as[(Int, Long, Long, Timestamp)]
+      .groupByKey { case (band, h, _, _) => (band, h) }
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(BucketState(Seq.empty, 0L))
+            val newRows = rows.toSeq.sortBy(r => (r._4.getTime, r._3))
+            val out = scala.collection.mutable.ArrayBuffer[DupCandidate]()
+            var members = prev.ids
+            var lastMs = prev.lastMs
+            newRows.foreach { case (_, _, id, ts) =>
+              members.foreach(p => if (p != id) out += DupCandidate(id, p, band))
+              members = (members :+ id).takeRight(maxBucket)
+              lastMs = math.max(lastMs, ts.getTime)
+            }
+            state.update(BucketState(members, lastMs))
+            state.setTimeoutTimestamp(lastMs + ttlMs)
+            out.iterator
+          }
+      }
   }
 
   /** Batch-mode sessionization with identical gap semantics, built on window

@@ -72,6 +72,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupCandidates emits collisions against prior stream members") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.nearDupCandidates(df, ngramWidth = 3, bandCount = 6,
+        bandSize = 2, lshSeed = 7L)
+      .writeStream.format("memory").queryName("ndc").outputMode("append").start()
+    try {
+      val base = "spark native locality sensitive hashing engine for the pipeline"
+      mem.addData((1L, ts(0), base), (2L, ts(1), "completely unrelated content words here"))
+      q.processAllAvailable()
+      mem.addData((3L, ts(2), base)) // exact dup of doc 1 arriving later
+      q.processAllAvailable()
+      val cands = spark.sql("SELECT DISTINCT doc_id, peer_id FROM ndc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands.contains((3L, 1L)), s"got $cands")
+      assert(!cands.exists(c => c._1 == 2L || c._2 == 2L), s"unrelated doc collided: $cands")
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches gap semantics") {
     import spark.implicits._
     val events = Seq(
