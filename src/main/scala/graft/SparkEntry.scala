@@ -68,42 +68,63 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- reference LSH surface (SURVEY §2.1) — pinned by golden tests ----
+    // Hash arrays are posexploded to (id, band, h) scalar rows: the driver's
+    // comparator can't sort/hash array cells, and the scalar shape is also
+    // what an independent recomputation would produce row-by-row.
     "lsh_min_text" -> ((s, dir) => {
       withLsh(s)
       load(s, dir, "documents").createOrReplaceTempView("documents")
-      s.sql("""SELECT doc_id, lsh_min(text, 2, 3, 2, 123) AS hash
-               FROM documents ORDER BY doc_id""")
+      s.sql("""SELECT doc_id, band, h FROM (
+                 SELECT doc_id, posexplode(lsh_min(text, 2, 3, 2, 123)) AS (band, h)
+                 FROM documents)
+               ORDER BY doc_id, band""")
     }),
     "lsh_min32_text" -> ((s, dir) => {
       withLsh(s)
       load(s, dir, "documents").createOrReplaceTempView("documents")
-      s.sql("""SELECT doc_id, lsh_min32(text, 2, 3, 2, 123) AS hash
-               FROM documents ORDER BY doc_id""")
+      s.sql("""SELECT doc_id, band, h FROM (
+                 SELECT doc_id, posexplode(lsh_min32(text, 2, 3, 2, 123)) AS (band, h)
+                 FROM documents)
+               ORDER BY doc_id, band""")
     }),
     "lsh_min_shingles" -> ((s, dir) => {
       withLsh(s)
       load(s, dir, "documents").createOrReplaceTempView("documents")
       // word-bigram shingles (the reference's documented shingle-list use,
-      // lsh_min.test:56-75), built with Spark array functions
+      // lsh_min.test:56-75), built with Spark array functions. The index list
+      // is filter(sequence(1, n), i -> i < n) rather than sequence(1, n-1):
+      // for a single-word doc n-1 = 0 and sequence(1, 0) DESCENDS ([1, 0]),
+      // making element_at(words, 0) throw under ANSI mode; the filter shape
+      // yields an empty list instead (empty-shingle semantics, SURVEY §2.2.4).
       s.sql("""
-        SELECT doc_id,
-               lsh_min(transform(sequence(1, size(split(text, ' ')) - 1),
-                                 i -> concat(element_at(split(text, ' '), i), ' ',
-                                             element_at(split(text, ' '), i + 1))),
-                       3, 2, 123) AS hash
-        FROM documents ORDER BY doc_id""")
+        SELECT doc_id, band, h FROM (
+          SELECT doc_id,
+                 posexplode(lsh_min(
+                   transform(filter(sequence(1, size(split(text, ' '))),
+                                    i -> i < size(split(text, ' '))),
+                             i -> concat(element_at(split(text, ' '), i), ' ',
+                                         element_at(split(text, ' '), i + 1))),
+                   3, 2, 123)) AS (band, h)
+          FROM documents)
+        ORDER BY doc_id, band""")
     }),
     "lsh_euclidean_embed" -> ((s, dir) => {
       withLsh(s)
       load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql("""SELECT vec_id, lsh_euclidean(CAST(embedding AS ARRAY<DOUBLE>), 0.5, 2, 3, 123) AS hash
-               FROM embeddings ORDER BY vec_id""")
+      s.sql("""SELECT vec_id, band, h FROM (
+                 SELECT vec_id,
+                        posexplode(lsh_euclidean(CAST(embedding AS ARRAY<DOUBLE>), 0.5, 2, 3, 123)) AS (band, h)
+                 FROM embeddings)
+               ORDER BY vec_id, band""")
     }),
     "lsh_euclidean32_embed" -> ((s, dir) => {
       withLsh(s)
       load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql("""SELECT vec_id, lsh_euclidean32(CAST(embedding AS ARRAY<DOUBLE>), 0.5, 2, 3, 123) AS hash
-               FROM embeddings ORDER BY vec_id""")
+      s.sql("""SELECT vec_id, band, h FROM (
+                 SELECT vec_id,
+                        posexplode(lsh_euclidean32(CAST(embedding AS ARRAY<DOUBLE>), 0.5, 2, 3, 123)) AS (band, h)
+                 FROM embeddings)
+               ORDER BY vec_id, band""")
     }),
     "lsh_jaccard_docs" -> ((s, dir) => {
       withLsh(s)
@@ -299,14 +320,19 @@ object SparkEntry {
     }),
     "doc_signatures" -> ((s, dir) => {
       // SimHash + rolling-min + winnowed fingerprints (rows-only: FxHash64
-      // chains are not expressible in DuckDB; pinned by PipelineOpsSpec)
+      // chains are not expressible in DuckDB; pinned by PipelineOpsSpec).
+      // The winnow fingerprint set is posexploded to one (fp_pos, fp) scalar
+      // row per element (outer: a doc shorter than k keeps one row with null
+      // fp) so the driver comparator sees no array cells.
       withLsh(s)
       load(s, dir, "documents").createOrReplaceTempView("documents")
       s.sql("""
-        SELECT doc_id, simhash64(text) AS sh,
-               min_fingerprint(text, 8) AS min_fp,
-               winnow_fingerprint(text, 8, 16) AS winnow_fp
-        FROM documents ORDER BY doc_id""")
+        SELECT doc_id, sh, min_fp, fp_pos, fp FROM (
+          SELECT doc_id, simhash64(text) AS sh,
+                 min_fingerprint(text, 8) AS min_fp,
+                 posexplode_outer(winnow_fingerprint(text, 8, 16)) AS (fp_pos, fp)
+          FROM documents)
+        ORDER BY doc_id, fp_pos""")
     }),
     "simhash_dedup_pairs" -> ((s, dir) => {
       val docs = load(s, dir, "documents")

@@ -205,25 +205,40 @@ object BandedLsh {
   }
 
   private def distributedClusters(pairs: DataFrame, maxIters: Int): DataFrame = {
-    // undirected edges as (node, neighbor-min candidate)
+    // True hash-min over the RETAINED edge set: each round every node takes
+    // the min of its own label and all neighbors' labels. Pointer-jumping
+    // alone (label(label(id)) over the initial labels) is NOT enough — with
+    // edges (1,3),(2,3) node 2's initial label is 2 and jumping through 2
+    // never discovers 1; the component min only propagates along edges.
+    // A pointer-jump term is still folded into the same round as an
+    // accelerator (label doubling), making convergence O(log diameter).
     // localCheckpoint each round: iterative self-joins otherwise double the
-    // lineage per iteration and recompute the whole prefix every action
-    var labels = pairs.select(col("id_a").as("id"), col("id_b").as("peer"))
+    // lineage per iteration and recompute the whole prefix every action.
+    val adj = pairs.select(col("id_a").as("id"), col("id_b").as("peer"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("peer")))
+      .localCheckpoint(true)
+    var labels = adj
       .groupBy("id").agg(least(min(col("peer")), col("id")).as("cluster"))
       .localCheckpoint(true)
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
-      val next = labels.as("l")
-        .join(labels.select(col("id").as("cid"), col("cluster").as("ccluster")).as("r"),
-          col("l.cluster") === col("cid"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("ccluster"), col("cluster"))).as("cluster"))
+      val peerLabels = labels.select(col("id").as("peer"), col("cluster").as("peer_cluster"))
+      val neighborMin = adj.join(peerLabels, "peer")
+        .groupBy("id").agg(min(col("peer_cluster")).as("nmin"))
+      val jump = labels.select(col("id").as("jid"), col("cluster").as("jcluster"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(jump, col("cluster") === col("jid"), "left")
+        .select(col("id"), col("cluster").as("prev"),
+          least(col("cluster"),
+            coalesce(col("nmin"), col("cluster")),
+            coalesce(col("jcluster"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      // convergence check is a scan of the just-materialized round output —
+      // no extra join job (the old check re-joined next against labels)
+      converged = next.filter(col("cluster") =!= col("prev")).limit(1).count() == 0
+      labels = next.select("id", "cluster")
       i += 1
     }
     labels

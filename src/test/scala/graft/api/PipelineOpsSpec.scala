@@ -73,6 +73,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(viaDistributed == want)
   }
 
+  test("dupClusters distributed path: min propagates along edges, not just pointers") {
+    // edges (1,3),(2,3): node 2's only path to the component min 1 runs
+    // THROUGH node 3 — pointer-jumping the initial labels alone leaves node 2
+    // labeled 2 forever (its initial label is itself); true hash-min must
+    // converge every node to 1
+    val pairs = Seq((1L, 3L, 0.9), (2L, 3L, 0.9)).toDF("id_a", "id_b", "sim")
+    val want = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+    val got = BandedLsh.dupClusters(pairs, driverThreshold = 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // long chain: pointer-jump acceleration must still reach the min within
+    // the default iteration budget
+    val chain = (1L until 40L).map(i => (i, i + 1, 0.9)).toDF("id_a", "id_b", "sim")
+    val gotChain = BandedLsh.dupClusters(chain, driverThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotChain.forall(_._2 == 1L), s"non-min labels: ${gotChain.filter(_._2 != 1L).mkString(",")}")
+  }
+
   test("bandedSelfJoinPairs equals the SQL blocking join pair set") {
     val spark2 = spark
     graft.sql.LshFunctions.register(spark2)

@@ -117,6 +117,31 @@ class LshSqlSpec extends AnyFunSuite {
     assert(j.head.getDouble(0) == 1.0)
   }
 
+  test("word-bigram shingle build is ANSI-safe on 0/1-word docs") {
+    import spark.implicits._
+    // sequence(1, size-1) would DESCEND ([1, 0]) for a single-word doc and
+    // element_at(words, 0) then throws under ANSI; the filter(sequence(...))
+    // shape used by the lsh_min_shingles query must instead degrade to the
+    // empty shingle list (SURVEY §2.2.4 empty-shingle semantics)
+    Seq((1L, "one"), (2L, ""), (3L, "two words"), (4L, "a b c"))
+      .toDF("doc_id", "text").createOrReplaceTempView("temp_tiny_docs")
+    val got = spark.sql("""
+      SELECT doc_id,
+             lsh_min(transform(filter(sequence(1, size(split(text, ' '))),
+                                      i -> i < size(split(text, ' '))),
+                               i -> concat(element_at(split(text, ' '), i), ' ',
+                                           element_at(split(text, ' '), i + 1))),
+                     3, 2, 123) AS hash
+      FROM temp_tiny_docs ORDER BY doc_id""").collect()
+    assert(got.length == 4)
+    // 0/1-word docs share the empty-shingle hash; multi-word docs differ
+    assert(got(0).getSeq[Long](1) == got(1).getSeq[Long](1))
+    assert(got(2).getSeq[Long](1) != got(0).getSeq[Long](1))
+    // 2-word doc: exactly the one bigram "two words"
+    assert(got(2).getSeq[Long](1) ==
+      spark.sql("SELECT lsh_min(ARRAY('two words'), 3, 2, 123) h").collect().head.getSeq[Long](0))
+  }
+
   test("banded LSH blocking join (README.md:150-164 pattern)") {
     import spark.implicits._
     val a = Seq((1L, "Charlotte Brown"), (2L, "Emily Davis"), (3L, "Michael Wilson"))
