@@ -29,26 +29,32 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String], tsCol: String,
            valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // All value columns of a right row travel as ONE struct, carried by ONE
+    // last(ignoreNulls = true): the attached values therefore always come
+    // from the same most-recent right row, including that row's NULL fields.
+    // A per-column carry would instead skip a legitimately-NULL value and
+    // could combine fields from different right rows.
+    val vStruct = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy(nullable = true)))
     // side ordinal: right rows sort BEFORE left rows at equal timestamps so a
     // same-instant right row is visible to the left row (<= semantics)
-    val l = left.withColumn("__side", lit(1))
-    var r = right.select((keyCols :+ tsCol).map(col) ++ valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    var r = right.select((keyCols :+ tsCol).map(col) :+
+        struct(valueCols.map(col): _*).as("__v"): _*)
       .withColumn("__side", lit(0))
     // align schemas for the union
-    for (c <- leftCols if !keyCols.contains(c) && c != tsCol) r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    var lAligned = l
-    for (c <- valueCols) lAligned = lAligned.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType))
-    val unioned = lAligned.select((leftCols.map(col) ++
-        valueCols.map(c => col(s"__v_$c")) :+ col("__side")): _*)
-      .unionByName(r.select((leftCols.map(col) ++
-        valueCols.map(c => col(s"__v_$c")) :+ col("__side")): _*))
+    for (c <- leftCols if !keyCols.contains(c) && c != tsCol)
+      r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    val lAligned = left
+      .withColumn("__v", lit(null).cast(vStruct))
+      .withColumn("__side", lit(1))
+    val unioned = lAligned.select(leftCols.map(col) :+ col("__v") :+ col("__side"): _*)
+      .unionByName(r.select(leftCols.map(col) :+ col("__v") :+ col("__side"): _*))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

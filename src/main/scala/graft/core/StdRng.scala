@@ -151,6 +151,14 @@ final class StdRng(seed: Long) {
   /** rand 0.8.5 `Standard` f64: (u >> 11) * 2^-53, in [0,1). */
   @inline def stdF64(): Double = (nextU64() >>> 11) * 1.1102230246251565e-16
 
+  /** rand 0.8.5 `Open01` f64: top-52-bit mantissa into [1,2), minus
+    * (1 - EPSILON/2), giving (0,1) — ln() of it is always finite. This is
+    * what rand_distr 0.4.3's ziggurat Marsaglia tail draws (normal.rs
+    * zero_case); `Standard` would admit exactly 0 and ln(0) = -Inf. */
+  @inline def open01F64(): Double =
+    java.lang.Double.longBitsToDouble((nextU64() >>> 12) | (1023L << 52)) -
+      (1.0 - java.lang.Math.ulp(1.0) / 2.0)
+
   /** rand_distr 0.4.3 `StandardNormal` via the 256-layer ziggurat
     * (utils.rs `ziggurat`, symmetric): u in [-1,1) from the [2,4) mantissa
     * trick, layer from the low 8 bits, Marsaglia tail for layer 0. */
@@ -164,12 +172,13 @@ final class StdRng(seed: Long) {
       val x = u * X(i)
       if (math.abs(x) < X(i + 1)) return x
       if (i == 0) {
-        // Marsaglia tail (rand_distr normal.rs zero_case)
+        // Marsaglia tail (rand_distr 0.4.3 normal.rs zero_case): both draws
+        // are Open01, x before y, one nextU64 each
         var xT = 1.0
         var yT = 0.0
         while (-2.0 * yT < xT * xT) {
-          xT = math.log(stdF64()) / ZigguratTables.R
-          yT = math.log(stdF64())
+          xT = math.log(open01F64()) / ZigguratTables.R
+          yT = math.log(open01F64())
         }
         return if (u < 0.0) xT - ZigguratTables.R else ZigguratTables.R - xT
       }

@@ -31,6 +31,23 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got(4).isNullAt(3))
   }
 
+  test("asof attaches all values from the SAME right row, keeping its nulls") {
+    import spark.implicits._
+    val events = Seq((1L, "A", ts(30))).toDF("event_id", "sym", "ts")
+    // most recent right row @20 has px = NULL and qty = 7; the older row @10
+    // has px = 99. A per-column carry would wrongly attach px = 99 (from the
+    // @10 row) next to qty = 7 (from the @20 row); row semantics require
+    // (NULL, 7) — the @20 row as-is.
+    val quotes = Seq(
+      ("A", ts(10), Some(99.0), Some(1L)),
+      ("A", ts(20), None, Some(7L)))
+      .toDF("sym", "ts", "px", "qty")
+    val got = AsofJoin.asof(events, quotes, Seq("sym"), "ts", Seq("px", "qty")).collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(3), s"px must be the @20 row's NULL, got ${got(0)}")
+    assert(got(0).getLong(4) == 7L)
+  }
+
   test("range join: exact boundaries, bucketed plan, no nested loop") {
     import spark.implicits._
     val points = Seq((1L, 0.0), (2L, 24999.99), (3L, 25000.0), (4L, 109999.0), (5L, 999999.0))

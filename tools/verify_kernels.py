@@ -90,6 +90,11 @@ class StdRng:
     # Standard f64: (next_u64 >> 11) * 2^-53
     def std_f64(self):
         return (self.next_u64() >> 11) * (2.0 ** -53)
+    # Open01 f64 (rand 0.8.5): 52-bit mantissa into [1,2) minus (1 - eps/2)
+    def open01_f64(self):
+        bits = self.next_u64() >> 12
+        v12 = struct.unpack("<d", struct.pack("<Q", bits | (1023 << 52)))[0]
+        return v12 - (1.0 - 2.220446049250313e-16 / 2.0)
 
 # ---- ziggurat tables (rand's generated ZIG_NORM_X / ZIG_NORM_F) ----
 ZIG_R = 3.654152885361008796
@@ -115,11 +120,14 @@ def std_normal(rng):
         x = u * ZX[i]
         if abs(x) < ZX[i + 1]: return x
         if i == 0:
+            # rand_distr 0.4.3 normal.rs zero_case: both draws Open01, x then
+            # y; returns x - R for the negative tail, R - x for the positive
+            # (x = ln(open01)/R is <= 0)
             while True:
-                x_ = math.log(1.0 - rng.std_f64()) / ZIG_R  # rand_distr zero_case uses ln(1-gen)
-                y_ = math.log(1.0 - rng.std_f64())
+                x_ = math.log(rng.open01_f64()) / ZIG_R
+                y_ = math.log(rng.open01_f64())
                 if -2.0 * y_ >= x_ * x_:
-                    return ZIG_R + x_ if u < 0.0 else -ZIG_R - x_  # sign per rand_distr
+                    return x_ - ZIG_R if u < 0.0 else ZIG_R - x_
         if ZF[i + 1] + (ZF[i] - ZF[i + 1]) * rng.std_f64() < math.exp(-x * x / 2.0):
             return x
 
