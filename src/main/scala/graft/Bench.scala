@@ -21,7 +21,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1_agg,lsh_min_text runs a subset (dev loop tool)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    def runAll(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

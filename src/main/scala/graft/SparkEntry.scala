@@ -101,21 +101,27 @@ object SparkEntry {
       withLsh(s)
       load(s, dir, "documents").createOrReplaceTempView("documents")
       // word-bigram shingles (the reference's documented shingle-list use,
-      // lsh_min.test:56-75), built with Spark array functions. The index list
-      // is filter(sequence(1, n), i -> i < n) rather than sequence(1, n-1):
-      // for a single-word doc n-1 = 0 and sequence(1, 0) DESCENDS ([1, 0]),
-      // making element_at(words, 0) throw under ANSI mode; the filter shape
-      // yields an empty list instead (empty-shingle semantics, SURVEY §2.2.4).
+      // lsh_min.test:56-75), built with Spark array functions. Shape matters
+      // twice over:
+      //  - no lambda body references an expression from outside the lambda:
+      //    CollapseProject inlines projection aliases, and a split() inlined
+      //    into a per-element lambda is re-evaluated once per ELEMENT (higher-
+      //    order functions are interpreted, no subexpression elimination) —
+      //    O(words · |text|) per row, measured 335x slower at sf0.1;
+      //  - zip_with(words, words[2:]) pads the short side with NULL, and the
+      //    outer slice(.., 1, n-1) drops that trailing NULL pair, so 0/1-word
+      //    docs yield an empty shingle list (empty-shingle semantics, SURVEY
+      //    §2.2.4) instead of the ANSI element_at(words, 0) error the naive
+      //    sequence(1, n-1) form hits (it DESCENDS [1, 0] when n = 1).
       s.sql("""
         SELECT doc_id, band, h FROM (
-          SELECT doc_id,
-                 posexplode(lsh_min(
-                   transform(filter(sequence(1, size(split(text, ' '))),
-                                    i -> i < size(split(text, ' '))),
-                             i -> concat(element_at(split(text, ' '), i), ' ',
-                                         element_at(split(text, ' '), i + 1))),
-                   3, 2, 123)) AS (band, h)
-          FROM documents)
+          SELECT doc_id, posexplode(lsh_min(shingles, 3, 2, 123)) AS (band, h)
+          FROM (
+            SELECT doc_id,
+                   slice(zip_with(words, slice(words, 2, greatest(size(words) - 1, 0)),
+                                  (a, b) -> concat(a, ' ', b)),
+                         1, greatest(size(words) - 1, 0)) AS shingles
+            FROM (SELECT doc_id, split(text, ' ') AS words FROM documents)))
         ORDER BY doc_id, band""")
     }),
     "lsh_euclidean_embed" -> ((s, dir) => {

@@ -123,23 +123,37 @@ class LshSqlSpec extends AnyFunSuite {
     // element_at(words, 0) then throws under ANSI; the filter(sequence(...))
     // shape used by the lsh_min_shingles query must instead degrade to the
     // empty shingle list (SURVEY §2.2.4 empty-shingle semantics)
-    Seq((1L, "one"), (2L, ""), (3L, "two words"), (4L, "a b c"))
+    Seq((1L, "one"), (2L, ""), (3L, "two words"), (4L, "a b c"), (5L, "x  y"))
       .toDF("doc_id", "text").createOrReplaceTempView("temp_tiny_docs")
+    // the exact shingle-building shape lsh_min_shingles uses in SparkEntry:
+    // zip_with over a pre-split words array (NO outer reference inside any
+    // lambda — CollapseProject would inline split() per element), trailing
+    // NULL pair sliced off
     val got = spark.sql("""
       SELECT doc_id,
-             lsh_min(transform(filter(sequence(1, size(split(text, ' '))),
-                                      i -> i < size(split(text, ' '))),
-                               i -> concat(element_at(split(text, ' '), i), ' ',
-                                           element_at(split(text, ' '), i + 1))),
+             lsh_min(slice(zip_with(words, slice(words, 2, greatest(size(words) - 1, 0)),
+                                    (a, b) -> concat(a, ' ', b)),
+                           1, greatest(size(words) - 1, 0)),
                      3, 2, 123) AS hash
-      FROM temp_tiny_docs ORDER BY doc_id""").collect()
-    assert(got.length == 4)
+      FROM (SELECT doc_id, split(text, ' ') AS words FROM temp_tiny_docs)
+      ORDER BY doc_id""").collect()
+    assert(got.length == 5)
     // 0/1-word docs share the empty-shingle hash; multi-word docs differ
     assert(got(0).getSeq[Long](1) == got(1).getSeq[Long](1))
     assert(got(2).getSeq[Long](1) != got(0).getSeq[Long](1))
     // 2-word doc: exactly the one bigram "two words"
     assert(got(2).getSeq[Long](1) ==
       spark.sql("SELECT lsh_min(ARRAY('two words'), 3, 2, 123) h").collect().head.getSeq[Long](0))
+    // every row matches the kernel computed on Java-split word bigrams
+    // (split keeps trailing/interior empty tokens: limit -1 semantics)
+    val fam = graft.core.MinHashFamily(3, 2, 123L)
+    val texts = Map(1L -> "one", 2L -> "", 3L -> "two words", 4L -> "a b c", 5L -> "x  y")
+    got.foreach { r =>
+      val words = texts(r.getLong(0)).split(" ", -1)
+      val bigrams = (0 until words.length - 1).map(i => words(i) + " " + words(i + 1))
+      val expected = fam.hash(graft.core.Shingles.fromShingles(bigrams.iterator)).toSeq
+      assert(r.getSeq[Long](1) == expected, s"doc ${r.getLong(0)}")
+    }
   }
 
   test("banded LSH blocking join (README.md:150-164 pattern)") {
