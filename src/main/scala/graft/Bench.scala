@@ -25,10 +25,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
-    def runAll(): Map[String, Double] = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Sink every query through the noop data source: full evaluation of every
+    // output column, zero I/O. A count() action here would let Catalyst prune
+    // the very expressions being benchmarked — for projection-only queries
+    // (lsh_jaccard_*, text_stats, lang_id, ...) count() collapses to a scan
+    // row-count and times nothing.
+    def runAll(): Map[String, Double] = {
+      // each pass starts cache-cold: intra-pass plan-cache reuse
+      // (minhash_dedup_pairs -> dedup_clusters) is a real shared-work win and
+      // stays, but a later PASS must not read pairs materialized by an
+      // earlier one or its numbers are cached-read fiction
+      spark.catalog.clearCache()
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
 
     val cold = runAll()
