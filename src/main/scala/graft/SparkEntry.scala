@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * with, minhash.rs / euclidean_hash.rs / README.md:150-164) or one of the
   * training-data-pipeline operators this engine adds (dedup, similarity
   * search, text analysis). Where the semantics are expressible in ANSI SQL,
-  * [[oracleSql]] carries an independent DuckDB recomputation; LSH hash
-  * outputs are not SQL-expressible without the extension (the driver's DuckDB
-  * has no `lsh` extension), so those queries are pinned instead by the
-  * bit-exact golden tests in GoldenVectorsSpec/LshSqlSpec and get rows-only
-  * checks here.
+  * [[oracleSql]] carries an independent DuckDB recomputation. The LSH hash
+  * queries — whose values DuckDB cannot *recompute* (no `lsh` extension) —
+  * are still value-checked: tools/gen_oracles.py re-derives every row with
+  * the independent Python implementation of the published pipeline
+  * (golden-gated against every reference test vector on each run)
+  * and emits literal `SELECT ... FROM (VALUES ...)` oracle SQL into
+  * src/main/resources/oracles/, loaded here. The kernels are additionally
+  * pinned by the bit-exact golden tests in GoldenVectorsSpec/LshSqlSpec.
   *
   * Design notes for oracle exactness:
   *  - outputs are deterministically ordered and use unique sort keys;
@@ -455,10 +458,25 @@ object SparkEntry {
     })
   )
 
+  /** Literal-VALUES oracle generated by tools/gen_oracles.py from the
+    * independent Python pipeline over the static sf0.01 fixtures (class doc).
+    * Loaded from resources: the row literals run to ~44 KB per query, past
+    * the JVM's 64 KB limit on a single string constant. */
+  private def valuesOracle(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/oracles/$name.sql")
+    require(in != null, s"missing generated oracle resource: $name")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** DuckDB-equivalent SQL per oracle-checkable query (same column names,
-    * same ordering). LSH hash queries are omitted deliberately — see class
-    * doc. */
+    * same ordering). */
   def oracleSql: Map[String, String] = Map(
+    "lsh_min_text" -> valuesOracle("lsh_min_text"),
+    "lsh_min32_text" -> valuesOracle("lsh_min32_text"),
+    "lsh_min_shingles" -> valuesOracle("lsh_min_shingles"),
+    "lsh_euclidean_embed" -> valuesOracle("lsh_euclidean_embed"),
+    "lsh_euclidean32_embed" -> valuesOracle("lsh_euclidean32_embed"),
     "lsh_jaccard_docs" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Generate literal-VALUES DuckDB oracle SQL for the LSH hash queries.
+
+The five core function queries (lsh_min_text, lsh_min32_text,
+lsh_min_shingles, lsh_euclidean_embed, lsh_euclidean32_embed) emit raw hash
+values that plain SQL cannot recompute — but a VALUES literal is still ANSI
+SQL. This tool re-derives every row with the *Python* implementation of the
+reference pipeline in verify_kernels.py (itself validated bit-exact against
+every golden vector in /root/reference/test/sql/lsh/*.test on import), runs
+it over the sf0.01 fixtures, and writes each result as a
+`SELECT ... FROM (VALUES ...)` statement into src/main/resources/oracles/.
+
+Python-vs-Scala is a genuinely independent implementation check: the two
+sides share no code, only the published algorithm (rustc-hash FxHash64,
+rand 0.8.5 StdRng/ChaCha12, ziggurat normal, saturating f64->u64).  The
+embeddings fixture is d=64, so this also covers the dot-product
+accumulation-order regime the d=5 goldens cannot reach (SURVEY §7.5.3).
+
+Usage: python3 tools/gen_oracles.py [sfDir] [sparkOutDir]
+  sfDir        fixture dir (default /root/testdata/sf0.01)
+  sparkOutDir  optional Verify output dir; when present every generated row
+               set is cross-checked against the Spark parquet before the SQL
+               is written (mismatch -> nonzero exit, nothing written).
+"""
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import verify_kernels as vk  # noqa: E402  (runs the golden gate on import)
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "src", "main", "resources", "oracles")
+
+M64 = (1 << 64) - 1
+
+
+def s64(u):
+    """u64 bit pattern -> signed 64 (Spark LongType representation)."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def s32(u):
+    """low-32 truncation -> signed 32 (lsh_*32 semantics, lib.rs:23-27)."""
+    u &= 0xFFFFFFFF
+    return u - (1 << 32) if u >= (1 << 31) else u
+
+
+class EuclideanFamily:
+    """A/b draws hoisted out of the per-row loop (identical output: the
+    reference reseeds per row, so every row sees the same draws)."""
+
+    def __init__(self, r, band_count, band_size, seed, d):
+        rng = vk.StdRng(seed)
+        self.r, self.band_size, self.d = r, band_size, d
+        self.bands = []
+        for _ in range(band_count):
+            A = [[vk.std_normal(rng) for _ in range(band_size)] for _ in range(d)]
+            b = [rng.uniform_f64(0.0, r) for _ in range(band_size)]
+            self.bands.append((A, b))
+
+    def hash(self, x):
+        import math
+        out = []
+        for A, b in self.bands:
+            comps = []
+            for j in range(self.band_size):
+                acc = 0.0
+                for k in range(self.d):
+                    acc += x[k] * A[k][j]
+                v = math.ceil((acc + b[j]) / self.r)
+                comps.append(0 if v < 0 else (int(v) if v <= M64 else M64))
+            f = vk.Fx().add(1).add(self.band_size)
+            for c in comps:
+                f.add(c)
+            out.append(f.fin())
+        return out
+
+
+def word_bigrams(text):
+    # Spark split(text, ' ') == Java split limit -1 == Python str.split(' ')
+    # with explicit separator: trailing/embedded empties kept.
+    words = text.split(" ")
+    return [words[i] + " " + words[i + 1] for i in range(len(words) - 1)]
+
+
+def emit(name, cols, types, rows, order_by):
+    """Write SELECT-over-VALUES SQL matching the Spark output schema."""
+    casts = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types))
+    values = ",\n".join("(" + ",".join(str(v) for v in r) + ")" for r in rows)
+    sql = (f"SELECT {casts}\n"
+           f"FROM (VALUES\n{values}\n) AS t({', '.join(cols)})\n"
+           f"ORDER BY {order_by}")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"{name}.sql")
+    with open(path, "w") as f:
+        f.write(sql)
+    print(f"wrote {name}: {len(rows)} rows, {os.path.getsize(path)} bytes")
+
+
+def crosscheck(name, rows, cols, spark_dir):
+    """Compare generated rows against the Spark Verify parquet (ordered)."""
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {', '.join(cols)} FROM '{spark_dir}/{name}/*.parquet'"
+    ).fetchall()
+    want = [tuple(r) for r in rows]
+    if len(got) != len(want):
+        print(f"CROSSCHECK FAIL {name}: {len(got)} spark rows vs {len(want)} oracle rows")
+        return False
+    bad = [(g, w) for g, w in zip(got, want) if tuple(g) != w]
+    if bad:
+        g, w = bad[0]
+        print(f"CROSSCHECK FAIL {name}: {len(bad)} rows differ; first spark={g} oracle={w}")
+        return False
+    print(f"crosscheck {name}: {len(want)} rows identical")
+    return True
+
+
+def main(sf_dir, spark_dir):
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    embs = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+
+    queries = {}
+
+    # ---- lsh_min(text, 2, 3, 2, 123) / lsh_min32 ----
+    min_rows, min32_rows = [], []
+    for doc_id, text in docs:
+        bands = vk.minhash_bands(vk.shingles_from_text(text, 2), 3, 2, 123)
+        for band, h in enumerate(bands):
+            min_rows.append((doc_id, band, s64(h)))
+            min32_rows.append((doc_id, band, s32(h)))
+    queries["lsh_min_text"] = (("doc_id", "band", "h"),
+                               ("BIGINT", "INTEGER", "BIGINT"),
+                               min_rows, "doc_id, band")
+    queries["lsh_min32_text"] = (("doc_id", "band", "h"),
+                                 ("BIGINT", "INTEGER", "INTEGER"),
+                                 min32_rows, "doc_id, band")
+
+    # ---- lsh_min(word-bigram shingles, 3, 2, 123) ----
+    sh_rows = []
+    for doc_id, text in docs:
+        shingles = vk.shingles_from_list(word_bigrams(text))
+        for band, h in enumerate(vk.minhash_bands(shingles, 3, 2, 123)):
+            sh_rows.append((doc_id, band, s64(h)))
+    queries["lsh_min_shingles"] = (("doc_id", "band", "h"),
+                                   ("BIGINT", "INTEGER", "BIGINT"),
+                                   sh_rows, "doc_id, band")
+
+    # ---- lsh_euclidean(CAST(embedding AS DOUBLE[]), 0.5, 2, 3, 123) ----
+    d = len(embs[0][1])
+    fam = EuclideanFamily(0.5, 2, 3, 123, d)
+    euc_rows, euc32_rows = [], []
+    for vec_id, emb in embs:
+        x = [float(v) for v in emb]  # exact f32 -> f64 widening
+        for band, h in enumerate(fam.hash(x)):
+            euc_rows.append((vec_id, band, s64(h)))
+            euc32_rows.append((vec_id, band, s32(h)))
+    queries["lsh_euclidean_embed"] = (("vec_id", "band", "h"),
+                                      ("BIGINT", "INTEGER", "BIGINT"),
+                                      euc_rows, "vec_id, band")
+    queries["lsh_euclidean32_embed"] = (("vec_id", "band", "h"),
+                                        ("BIGINT", "INTEGER", "INTEGER"),
+                                        euc32_rows, "vec_id, band")
+
+    ok = True
+    for name, (cols, types, rows, order_by) in queries.items():
+        if spark_dir:
+            ok &= crosscheck(name, rows, cols, spark_dir)
+    if not ok:
+        print("crosscheck failed; no SQL written")
+        return 1
+    for name, (cols, types, rows, order_by) in queries.items():
+        emit(name, cols, types, rows, order_by)
+    return 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sp = sys.argv[2] if len(sys.argv) > 2 else None
+    sys.exit(main(sf, sp))
