@@ -477,6 +477,8 @@ object SparkEntry {
     "lsh_min_shingles" -> valuesOracle("lsh_min_shingles"),
     "lsh_euclidean_embed" -> valuesOracle("lsh_euclidean_embed"),
     "lsh_euclidean32_embed" -> valuesOracle("lsh_euclidean32_embed"),
+    "doc_signatures" -> valuesOracle("doc_signatures"),
+    "simhash_dedup_pairs" -> valuesOracle("simhash_dedup_pairs"),
     "lsh_jaccard_docs" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -73,10 +73,20 @@ object SimHash {
     best
   }
 
-  /** Winnowed fingerprint set: minimum k-gram hash in each window of `w`
-    * consecutive k-gram positions (classic winnowing; Schleimer et al. 2003),
-    * deduplicated, ascending unsigned order. Bounded size, content-position
-    * robust — the practical doc-fingerprint for 100 TB near-dup mining. */
+  /** Winnowed fingerprint set: the minimum k-gram hash of every window of
+    * `w` consecutive k-gram positions, the window SLIDING by one position
+    * (classic winnowing; Schleimer et al. 2003 §2, rightmost minimum per
+    * window), deduplicated, ascending unsigned order.
+    *
+    * Sliding — not tiling — is what makes the fingerprint content-position
+    * robust: a one-character prefix insertion shifts every k-gram position,
+    * but each selected minimum is a local property of w adjacent k-grams, so
+    * all windows not touching the edit still select the same hash and the
+    * two fingerprint sets overlap in all but O(1) elements. (A tiled scan —
+    * `start += w` — is alignment-sensitive: the same insertion moves every
+    * tile boundary and can replace the entire set.) Fewer than w k-grams →
+    * one window over all of them. Bounded size (expected 2n/(w+1) distinct
+    * selections), the practical doc-fingerprint for 100 TB near-dup mining. */
   def winnow(text: String, k: Int, w: Int): Array[Long] = {
     val cps = Shingles.codePoints(text)
     val n = cps.length - k + 1
@@ -90,17 +100,22 @@ object SimHash {
       i += 1
     }
     val out = new java.util.TreeSet[java.lang.Long]((a, b) => java.lang.Long.compareUnsigned(a, b))
+    // Rightmost-minimum sliding scan. O(n·w) worst case with w a small
+    // constant (16 in doc_signatures) — the branch-free inner loop beats a
+    // monotonic deque's allocation churn at these widths.
     var start = 0
-    while (start < n) {
+    val lastStart = math.max(0, n - w)
+    while (start <= lastStart) {
       val end = math.min(start + w, n)
       var best = hashes(start)
       var j = start + 1
       while (j < end) {
-        if (java.lang.Long.compareUnsigned(hashes(j), best) < 0) best = hashes(j)
+        // <= : later position wins ties (robust winnowing's rightmost rule)
+        if (java.lang.Long.compareUnsigned(hashes(j), best) <= 0) best = hashes(j)
         j += 1
       }
       out.add(best)
-      start += w
+      start += 1
     }
     val arr = new Array[Long](out.size)
     val it = out.iterator()

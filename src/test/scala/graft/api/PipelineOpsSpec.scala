@@ -36,6 +36,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(SimHash.winnow("the quick brown fox jumps over the lazy dog", 4, 4).toSeq == w1.toSeq)
   }
 
+  test("winnow is robust to a prefix insertion (sliding windows, not tiles)") {
+    val text = "the quick brown fox jumps over the lazy dog and then some more text " +
+      "to make the fingerprint set comfortably larger than a couple of windows"
+    val k = 4
+    val w = 8
+    val base = SimHash.winnow(text, k, w).toSet
+    val shifted = SimHash.winnow("Z" + text, k, w).toSet
+    // Every window not touching the edited prefix selects the same local
+    // minimum, so the sets agree on all but O(1) elements — a tiled scan
+    // (start += w) realigns every boundary and fails this immediately.
+    val overlap = (base & shifted).size.toDouble / base.size
+    assert(overlap >= 1.0 - 1.0 / w,
+      s"prefix insertion kept only ${(overlap * 100).round}% of fingerprints")
+    // fewer than w k-grams -> exactly one window over all of them
+    assert(SimHash.winnow("abcde", 4, 8).length == 1)
+  }
+
   test("Dedup.exact keeps smallest tiebreak per content group") {
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa")).toDF("id", "text")
     val out = Dedup.exact(df, Seq("text"), "id").orderBy("id").collect()

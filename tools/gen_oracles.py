@@ -78,6 +78,61 @@ class EuclideanFamily:
         return out
 
 
+# ---- SimHash / fingerprint kernels (mirror graft.core.SimHash) ----
+
+def token_hash(cps):
+    """FxHash64 of code points, length-prefixed, no u32 truncation."""
+    f = vk.Fx().add(len(cps))
+    for c in cps:
+        f.add(c)
+    return f.fin()
+
+
+def simhash64(text):
+    votes = [0] * 64
+    any_token = False
+    for tok in text.split(" "):
+        if not tok:
+            continue
+        any_token = True
+        h = token_hash([ord(c) for c in tok])
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    if not any_token:
+        return 0
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def min_fingerprint(text, k):
+    cps = [ord(c) for c in text]
+    n = len(cps) - k + 1
+    if n <= 0:
+        return 0
+    return min(token_hash(cps[i:i + k]) for i in range(n))
+
+
+def winnow(text, k, w):
+    """Sliding-window winnowing (Schleimer et al. 2003): min k-gram hash per
+    window of w positions, window sliding by 1; dedup, ascending unsigned."""
+    cps = [ord(c) for c in text]
+    n = len(cps) - k + 1
+    if n <= 0:
+        return []
+    hashes = [token_hash(cps[i:i + k]) for i in range(n)]
+    out = set()
+    for start in range(max(1, n - w + 1)):
+        out.add(min(hashes[start:start + w]))
+    return sorted(out)
+
+
+def hamming(a, b):
+    return bin(a ^ b).count("1")
+
+
 def word_bigrams(text):
     # Spark split(text, ' ') == Java split limit -1 == Python str.split(' ')
     # with explicit separator: trailing/embedded empties kept.
@@ -168,6 +223,35 @@ def main(sf_dir, spark_dir):
     queries["lsh_euclidean32_embed"] = (("vec_id", "band", "h"),
                                         ("BIGINT", "INTEGER", "INTEGER"),
                                         euc32_rows, "vec_id, band")
+
+    # ---- doc_signatures: simhash64 + min_fingerprint(8) + winnow(8,16) ----
+    sig_rows = []
+    for doc_id, text in docs:
+        sh, mfp = s64(simhash64(text)), s64(min_fingerprint(text, 8))
+        fps = winnow(text, 8, 16)
+        if not fps:  # posexplode_outer keeps the row with NULL pos/fp
+            sig_rows.append((doc_id, sh, mfp, "NULL", "NULL"))
+        for pos, fp in enumerate(fps):
+            sig_rows.append((doc_id, sh, mfp, pos, s64(fp)))
+    assert not any(r[3] == "NULL" for r in sig_rows), \
+        "NULL fp rows present: oracle ORDER BY needs NULLS FIRST to match Spark"
+    queries["doc_signatures"] = (("doc_id", "sh", "min_fp", "fp_pos", "fp"),
+                                 ("BIGINT", "BIGINT", "BIGINT", "INTEGER", "BIGINT"),
+                                 sig_rows, "doc_id, fp_pos")
+
+    # ---- simhash_dedup_pairs (bands=4 -> 16-bit chunks, maxHamming=6) ----
+    shs = [(doc_id, simhash64(text)) for doc_id, text in docs]
+    pair_rows = []
+    for i in range(len(shs)):
+        for j in range(i + 1, len(shs)):
+            (ia, a), (ib, b) = shs[i], shs[j]
+            if any(((a >> (16 * c)) & 0xFFFF) == ((b >> (16 * c)) & 0xFFFF)
+                   for c in range(4)) and hamming(a, b) <= 6:
+                pair_rows.append((ia, ib, hamming(a, b)))
+    pair_rows.sort()
+    queries["simhash_dedup_pairs"] = (("id_a", "id_b", "hamming"),
+                                      ("BIGINT", "BIGINT", "INTEGER"),
+                                      pair_rows, "id_a, id_b")
 
     ok = True
     for name, (cols, types, rows, order_by) in queries.items():
