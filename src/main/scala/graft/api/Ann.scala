@@ -82,8 +82,43 @@ object Ann {
               sampleSize: Int = 10000,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    import org.apache.spark.sql.Row
-    val sample = corpus.select(vecCol).limit(sampleSize).collect()
+    val centroids = trainQuantizer(corpus, nlist, seed, iters, sampleSize, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignCell = udf { (v: Seq[Double]) => nearestCentroid(v.toArray, bc.value) }
+    val probeCells = udf { (v: Seq[Double]) => nearestCentroids(v.toArray, bc.value, nprobe) }
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .withColumn("cell", assignCell(col("nvec")))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(probeCells(col("qvec"))))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Train the IVF coarse quantizer: Lloyd's iterations over a seeded-hash
+    * sample of the corpus.
+    *
+    * The sample is the `sampleSize` rows with the smallest
+    * `xxhash64(id, seed)` — a deterministic uniform draw that depends only
+    * on row identity, never on partitioning or scan order (a bare
+    * `limit(n)` takes the first partition's head, which on a sorted or
+    * skew-partitioned corpus trains the quantizer on a biased prefix and
+    * silently craters recall). Plans as TakeOrderedAndProject: per-partition
+    * top-k + driver merge, no full sort, one corpus pass. */
+  private[api] def trainQuantizer(corpus: DataFrame, nlist: Int, seed: Long,
+                                  iters: Int, sampleSize: Int,
+                                  idCol: String, vecCol: String): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(vecCol).as("__vec"), xxhash64(col(idCol), lit(seed)).as("__h"),
+        col(idCol).as("__id"))
+      .orderBy(col("__h"), col("__id")) // id tiebreak keeps the cut total-ordered
+      .limit(sampleSize)
+      .select("__vec")
+      .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "corpus is empty")
     val d = sample.head.length
@@ -106,20 +141,7 @@ object Ann {
       }.toArray
       it += 1
     }
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assignCell = udf { (v: Seq[Double]) => nearestCentroid(v.toArray, bc.value) }
-    val probeCells = udf { (v: Seq[Double]) => nearestCentroids(v.toArray, bc.value, nprobe) }
-    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
-      .withColumn("cell", assignCell(col("nvec")))
-    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("cell", explode(probeCells(col("qvec"))))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    probed.join(cells, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qvec"), col("nvec")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    centroids
   }
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {

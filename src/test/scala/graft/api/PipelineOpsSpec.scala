@@ -106,6 +106,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val gotChain = BandedLsh.dupClusters(chain, driverThreshold = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(gotChain.forall(_._2 == 1L), s"non-min labels: ${gotChain.filter(_._2 != 1L).mkString(",")}")
+    // an exhausted iteration budget must fail loudly, never return wrong labels
+    val ex = intercept[IllegalStateException] {
+      BandedLsh.dupClusters(chain, maxIters = 1, driverThreshold = 0L).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("bandedSelfJoinPairs equals the SQL blocking join pair set") {
@@ -194,6 +199,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = Ann.ivfTopK(vecs, vecs.filter($"vec_id" < 2), k = 3,
       nlist = 4, nprobe = 2, seed = 99L).collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("Ann quantizer training is invariant under corpus repartitioning") {
+    // the sample is keyed on xxhash64(id, seed), never scan order: a layout
+    // change (repartition, sorted input) must not move a single centroid
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.tabulate(6)(d => math.sin(i * 1.3 + d) * 2.0))).toDF("vec_id", "embedding")
+    val base = Ann.trainQuantizer(vecs, nlist = 4, seed = 99L, iters = 5,
+      sampleSize = 32, idCol = "vec_id", vecCol = "embedding")
+    val shuffled = Ann.trainQuantizer(vecs.repartition(7), nlist = 4, seed = 99L, iters = 5,
+      sampleSize = 32, idCol = "vec_id", vecCol = "embedding")
+    val sorted = Ann.trainQuantizer(vecs.orderBy($"vec_id".desc), nlist = 4, seed = 99L,
+      iters = 5, sampleSize = 32, idCol = "vec_id", vecCol = "embedding")
+    assert(base.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
+    assert(base.map(_.toSeq).toSeq == sorted.map(_.toSeq).toSeq)
   }
 
   test("Multimodal extractFeatures + sampleFrames plumbing") {
