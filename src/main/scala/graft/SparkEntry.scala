@@ -49,7 +49,11 @@ object SparkEntry {
     * `dedup_clusters`. `.cache()` registers the plan with Spark's
     * CacheManager: both queries build structurally identical plans, so
     * whichever runs second reads the materialized pairs instead of
-    * recomputing the banded blocking join (the dominant cost of both). */
+    * recomputing the banded blocking join (the dominant cost of both).
+    * Lifecycle: scoped to the driver mains — Verify's JVM exits right after
+    * the run, and Bench clears the cache between timing passes so no pass
+    * rides pairs materialized by an earlier one (the first consumer within
+    * a pass honestly pays materialization). */
   private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     graft.api.BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5).cache()
@@ -579,6 +583,12 @@ object SparkEntry {
     // and the seed is fixed, so candidate recall is deterministically 1 on
     // this data (verified: 25/25 pairs, sims bit-exact). length >= 4 filter
     // mirrors bandedRows' empty-shingle drop.
+    // ASCII assumption: DuckDB substring() counts CHARACTERS while the Spark
+    // side shingles Unicode code points decoded from UTF-8 — the gram sets
+    // coincide only because the documents fixture is pure ASCII (verified).
+    // Multi-byte text would need a code-point-aware oracle (DuckDB substring
+    // is already code-point based, but length(text)-vs-byte-length and any
+    // surrogate handling would have to be re-audited before trusting it).
     "minhash_dedup_pairs" ->
       """WITH g AS (
         |  SELECT doc_id,

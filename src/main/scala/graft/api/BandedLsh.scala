@@ -241,6 +241,11 @@ object BandedLsh {
       labels = next.select("id", "cluster")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters: hash-min did not converge after $maxIters rounds — labels would be " +
+          "silently wrong on this graph; raise maxIters (rounds needed ~ log2 of the largest " +
+          "component's diameter thanks to the pointer-jump accelerator)")
     labels
   }
 }
