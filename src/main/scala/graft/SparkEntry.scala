@@ -483,6 +483,14 @@ object SparkEntry {
     "lsh_euclidean32_embed" -> valuesOracle("lsh_euclidean32_embed"),
     "doc_signatures" -> valuesOracle("doc_signatures"),
     "simhash_dedup_pairs" -> valuesOracle("simhash_dedup_pairs"),
+    // Candidate-set queries: the emitted pair/top-k SET is pinned by a
+    // VALUES literal independently re-derived in Python; the VALUE columns
+    // are recomputed by DuckDB itself (list_cosine_similarity over the
+    // embeddings table for the ANN sims; an exact 2-gram-Jaccard > 0.8
+    // recheck every blocking pair must survive).
+    "ann_topk_lsh" -> valuesOracle("ann_topk_lsh"),
+    "ann_topk_ivf" -> valuesOracle("ann_topk_ivf"),
+    "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
     "lsh_jaccard_docs" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -133,11 +133,173 @@ def hamming(a, b):
     return bin(a ^ b).count("1")
 
 
+# ---- Spark-compatible xxhash64 over one BIGINT column + a literal seed ----
+
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & M64
+
+
+def _xxh64_long(value, seed):
+    """XXH64 of one 8-byte (long) input — Spark's XXH64.hashLong."""
+    h = (seed + _P5 + 8) & M64
+    k1 = (_rotl((value * _P2) & M64, 31) * _P1) & M64
+    h ^= k1
+    h = (_rotl(h, 27) * _P1 + _P4) & M64
+    h ^= h >> 33
+    h = (h * _P2) & M64
+    h ^= h >> 29
+    h = (h * _P3) & M64
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64(row_id, seed_lit):
+    """Spark `xxhash64(id, lit(seed))`: children fold left from seed 42."""
+    h = _xxh64_long(row_id & M64, 42)
+    return s64(_xxh64_long(seed_lit & M64, h))
+
+
+# ---- cosine / top-k (mirror graft.api.Ann) ----
+
+def cosine(a, b):
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    import math
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def topk_rows(cand, vecs, k):
+    """cand: {query_id: set(neighbor_id)} -> (query_id, rank, neighbor_id, sim)
+    rows ranked by (sim desc, neighbor_id), rank 1-based."""
+    rows = []
+    for qid in sorted(cand):
+        scored = sorted(((cosine(vecs[qid], vecs[nid]), nid) for nid in cand[qid]),
+                        key=lambda t: (-t[0], t[1]))
+        for rank, (sim, nid) in enumerate(scored[:k], start=1):
+            rows.append((qid, rank, nid, sim))
+    return rows
+
+
+def nearest_centroid(v, cs):
+    best, bestd = 0, float("inf")
+    for c, cent in enumerate(cs):
+        dist = 0.0
+        for x, y in zip(v, cent):
+            t = x - y
+            dist += t * t
+        if dist < bestd:
+            bestd, best = dist, c
+    return best
+
+
+def nearest_centroids(v, cs, n):
+    scored = []
+    for c, cent in enumerate(cs):
+        dist = 0.0
+        for x, y in zip(v, cent):
+            t = x - y
+            dist += t * t
+        scored.append((dist, c))
+    scored.sort()
+    return [c for _, c in scored[:n]]
+
+
+def ivf_topk_rows(vecs, k, nlist, nprobe, seed, iters, sample_size):
+    """Mirror graft.api.Ann.ivfTopK incl. the seeded-hash sample order (the
+    Lloyd's float accumulation order is part of the bit-exact contract)."""
+    d = len(next(iter(vecs.values())))
+    order = sorted(vecs, key=lambda vid: (spark_xxhash64(vid, seed), vid))[:sample_size]
+    sample = [vecs[vid] for vid in order]
+    rng = vk.StdRng(seed)
+    centroids = [[vk.std_normal(rng) for _ in range(d)] for _ in range(nlist)]
+    for _ in range(iters):
+        sums = [[0.0] * d for _ in range(nlist)]
+        counts = [0] * nlist
+        for v in sample:
+            c = nearest_centroid(v, centroids)
+            counts[c] += 1
+            for j in range(d):
+                sums[c][j] += v[j]
+        centroids = [centroids[c] if counts[c] == 0
+                     else [sums[c][j] / counts[c] for j in range(d)]
+                     for c in range(nlist)]
+    cells = {vid: nearest_centroid(v, centroids) for vid, v in vecs.items()}
+    cand = {}
+    for qid in (vid for vid in vecs if vid < 10):
+        probes = set(nearest_centroids(vecs[qid], centroids, nprobe))
+        cand[qid] = {nid for nid, c in cells.items() if c in probes and nid != qid}
+    return topk_rows(cand, vecs, k)
+
+
+def lsh_topk_rows(vecs, k, bucket_width, band_count, band_size, seed):
+    """Mirror graft.api.Ann.lshBucketedTopK: euclidean band-bucket collisions
+    -> exact cosine rank."""
+    d = len(next(iter(vecs.values())))
+    fam = EuclideanFamily(bucket_width, band_count, band_size, seed, d)
+    buckets = {}
+    for vid, v in vecs.items():
+        for band, h in enumerate(fam.hash(v)):
+            buckets.setdefault((band, h), []).append(vid)
+    cand = {}
+    for qid in (vid for vid in vecs if vid < 10):
+        hits = set()
+        for band, h in enumerate(fam.hash(vecs[qid])):
+            hits.update(buckets.get((band, h), ()))
+        hits.discard(qid)
+        cand[qid] = hits
+    return topk_rows(cand, vecs, k)
+
+
+def blocking_pairs(customers, w, band_size, seeds, threshold):
+    """Mirror graft.api.BandedLsh.bandedSelfJoinPairs at bandCount=1:
+    per-seed single-band buckets, union across seeds, exact Jaccard filter."""
+    sets = {cid: vk.shingles_from_text(name, w) for cid, name in customers}
+    pairs = set()
+    for seed in seeds:
+        buckets = {}
+        for cid, _ in customers:
+            h = vk.minhash_bands(sets[cid], 1, band_size, seed)[0]
+            buckets.setdefault(h, []).append(cid)
+        for ids in buckets.values():
+            ids.sort()
+            for i in range(len(ids)):
+                a = sets[ids[i]]
+                for j in range(i + 1, len(ids)):
+                    b = sets[ids[j]]
+                    if a and b:
+                        inter = len(a & b)
+                        sim = inter / (len(a) + len(b) - inter)
+                    else:
+                        sim = 0.0
+                    if sim > threshold:
+                        pairs.add((ids[i], ids[j]))
+    return sorted(pairs)
+
+
 def word_bigrams(text):
     # Spark split(text, ' ') == Java split limit -1 == Python str.split(' ')
     # with explicit separator: trailing/embedded empties kept.
     words = text.split(" ")
     return [words[i] + " " + words[i + 1] for i in range(len(words) - 1)]
+
+
+def emit_sql(name, sql, nrows):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"{name}.sql")
+    with open(path, "w") as f:
+        f.write(sql)
+    print(f"wrote {name}: {nrows} rows, {os.path.getsize(path)} bytes")
 
 
 def emit(name, cols, types, rows, order_by):
@@ -147,11 +309,26 @@ def emit(name, cols, types, rows, order_by):
     sql = (f"SELECT {casts}\n"
            f"FROM (VALUES\n{values}\n) AS t({', '.join(cols)})\n"
            f"ORDER BY {order_by}")
-    os.makedirs(OUT_DIR, exist_ok=True)
-    path = os.path.join(OUT_DIR, f"{name}.sql")
-    with open(path, "w") as f:
-        f.write(sql)
-    print(f"wrote {name}: {len(rows)} rows, {os.path.getsize(path)} bytes")
+    emit_sql(name, sql, len(rows))
+
+
+def values_block(rows):
+    return ",\n".join("(" + ",".join(str(v) for v in r) + ")" for r in rows)
+
+
+def ann_oracle_sql(sel_rows):
+    """Pair set pinned by VALUES (independently derived above); the sim
+    column is recomputed by DuckDB itself from the embeddings table, so the
+    emitted similarity values are engine-checked, not copied."""
+    return (
+        'WITH sel(query_id, "rank", neighbor_id) AS (VALUES\n'
+        f"{values_block(sel_rows)}\n),\n"
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)\n"
+        'SELECT CAST(s.query_id AS BIGINT) AS query_id, CAST(s."rank" AS BIGINT) AS "rank",\n'
+        "       CAST(s.neighbor_id AS BIGINT) AS neighbor_id,\n"
+        "       list_cosine_similarity(q.v, n.v) AS sim\n"
+        "FROM sel s JOIN e q ON q.vec_id = s.query_id JOIN e n ON n.vec_id = s.neighbor_id\n"
+        'ORDER BY query_id, "rank"')
 
 
 def crosscheck(name, rows, cols, spark_dir):
@@ -253,8 +430,46 @@ def main(sf_dir, spark_dir):
                                       ("BIGINT", "BIGINT", "INTEGER"),
                                       pair_rows, "id_a, id_b")
 
+    # ---- candidate-set queries: set pinned by VALUES, values re-derived ----
+    vecs = {vid: [float(v) for v in emb] for vid, emb in embs}
+    custom = {}
+
+    lsh_rows = lsh_topk_rows(vecs, k=5, bucket_width=4.0, band_count=8,
+                             band_size=2, seed=7)
+    custom["ann_topk_lsh"] = (lsh_rows, ("query_id", '"rank"', "neighbor_id", "sim"),
+                              ann_oracle_sql([r[:3] for r in lsh_rows]))
+
+    ivf_rows = ivf_topk_rows(vecs, k=5, nlist=16, nprobe=4, seed=99,
+                             iters=5, sample_size=10000)
+    custom["ann_topk_ivf"] = (ivf_rows, ("query_id", '"rank"', "neighbor_id", "sim"),
+                              ann_oracle_sql([r[:3] for r in ivf_rows]))
+
+    customers = con.execute(
+        f"SELECT c_custkey, c_name FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
+    ).fetchall()
+    pairs = blocking_pairs(customers, w=2, band_size=3, seeds=[1, 2], threshold=0.8)
+    # soundness double-check inside the oracle: every pinned pair must ALSO
+    # pass DuckDB's own exact 2-gram Jaccard > 0.8 recheck, or it drops out
+    # and the row counts mismatch
+    blocking_sql = (
+        "WITH sel(key_a, key_b) AS (VALUES\n"
+        f"{values_block(pairs)}\n),\n"
+        "g AS (SELECT c_custkey,\n"
+        "             list_distinct(list_transform(generate_series(1, length(c_name) - 1),\n"
+        "                                          i -> substring(c_name, CAST(i AS INT), 2))) AS grams\n"
+        "      FROM customer)\n"
+        "SELECT CAST(s.key_a AS BIGINT) AS key_a, CAST(s.key_b AS BIGINT) AS key_b\n"
+        "FROM sel s JOIN g a ON a.c_custkey = s.key_a JOIN g b ON b.c_custkey = s.key_b\n"
+        "WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)\n"
+        "      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.8\n"
+        "ORDER BY key_a, key_b")
+    custom["lsh_blocking_join"] = (pairs, ("key_a", "key_b"), blocking_sql)
+
     ok = True
     for name, (cols, types, rows, order_by) in queries.items():
+        if spark_dir:
+            ok &= crosscheck(name, rows, cols, spark_dir)
+    for name, (rows, cols, _sql) in custom.items():
         if spark_dir:
             ok &= crosscheck(name, rows, cols, spark_dir)
     if not ok:
@@ -262,6 +477,8 @@ def main(sf_dir, spark_dir):
         return 1
     for name, (cols, types, rows, order_by) in queries.items():
         emit(name, cols, types, rows, order_by)
+    for name, (rows, cols, sql) in custom.items():
+        emit_sql(name, sql, len(rows))
     return 0
 
 
