@@ -40,20 +40,47 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  private def bandedExplode(df: DataFrame, outId: String, bucketWidth: Double,
+                            bandCount: Int, bandSize: Int, seed: Long,
+                            idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as(outId),
+      posexplode(graft.functions.lsh_euclidean(col(vecCol), bucketWidth, bandCount, bandSize, seed)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+  /** Materialize the corpus's (band, band_hash) bucket layout once, for
+    * repeated query batches: `(band, band_hash, neighbor_id)` rows
+    * hash-partitioned on the band-join key. Persist the result — `.cache()`
+    * for a session, or `write.bucketBy(n, "band", "band_hash")` to a table
+    * for the production layout (docs/SCALE.md) — and every subsequent
+    * [[lshBucketedTopK]] batch skips the corpus hash+explode+shuffle pass
+    * entirely: only the (tiny) query side is hashed and shuffled. */
+  def bucketCorpus(corpus: DataFrame, bucketWidth: Double, bandCount: Int,
+                   bandSize: Int, seed: Long,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bandedExplode(corpus, "neighbor_id", bucketWidth, bandCount, bandSize, seed, idCol, vecCol)
+      .repartition(col("band"), col("band_hash"))
+
   /** LSH-bucketed top-k: candidates are corpus vectors sharing at least one
     * `lsh_euclidean` band bucket with the query; exact cosine ranks the
     * candidates. Recall depends on (bucketWidth, bandCount, bandSize). */
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                       bucketWidth: Double, bandCount: Int, bandSize: Int, seed: Long,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshBucketedTopKPrebucketed(
+      bandedExplode(corpus, "neighbor_id", bucketWidth, bandCount, bandSize, seed, idCol, vecCol),
+      corpus, queries, k, bucketWidth, bandCount, bandSize, seed, idCol, vecCol)
+
+  /** [[lshBucketedTopK]] against a pre-materialized [[bucketCorpus]] layout:
+    * the corpus explosion is read, not recomputed. */
+  def lshBucketedTopKPrebucketed(bucketedCorpus: DataFrame, corpus: DataFrame,
+                                 queries: DataFrame, k: Int,
+                                 bucketWidth: Double, bandCount: Int, bandSize: Int, seed: Long,
+                                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // ids-only through the band join and the distinct — shuffling d-dim
     // vectors through candidate dedup would multiply shuffle volume by the
     // embedding width; vectors re-attach afterwards (query side broadcast).
-    def banded(df: DataFrame, id: String) =
-      df.select(col(idCol).as(id),
-        posexplode(graft.functions.lsh_euclidean(col(vecCol), bucketWidth, bandCount, bandSize, seed)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val cand = banded(queries, "query_id").join(banded(corpus, "neighbor_id"), Seq("band", "band_hash"))
+    val cand = bandedExplode(queries, "query_id", bucketWidth, bandCount, bandSize, seed, idCol, vecCol)
+      .join(bucketedCorpus, Seq("band", "band_hash"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val withVecs = cand

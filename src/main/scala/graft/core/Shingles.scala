@@ -7,8 +7,11 @@ package graft.core
   * (shingleset.rs:27-31); JVM Strings are UTF-16, so we expand to code points
   * first (surrogate pair = one shingle element), SURVEY.md §7.5.2.
   * Each window of `ngramWidth` code points is FxHash64-hashed with Rust
-  * slice framing and truncated to u32 (shingleset.rs:37-47); the salt hook
-  * exists in the reference but is always None from SQL, so it is omitted here.
+  * slice framing and truncated to u32 (shingleset.rs:37-47). The reference's
+  * salt hook (shingleset.rs:12-47, always None from its SQL surface) is
+  * mirrored as an `Option[String]` default-None parameter: a salted hasher
+  * state is derived once per set via [[FxHash.saltState]] and every window
+  * hash resumes from it.
   * Strings shorter than `ngramWidth` produce an empty set (windows() yields
   * nothing) — all-bands-collide footgun documented in SURVEY.md §2.2.4.
   */
@@ -56,7 +59,9 @@ object Shingles {
   }
 
   /** Shingle set over UTF-8 bytes (hot path; same semantics as fromText). */
-  def fromTextUtf8(bytes: Array[Byte], offset: Int, len: Int, ngramWidth: Int): IntHashSet = {
+  def fromTextUtf8(bytes: Array[Byte], offset: Int, len: Int, ngramWidth: Int,
+                   salt: Option[String] = None): IntHashSet = {
+    val st = FxHash.saltState(salt)
     val cps = codePointsUtf8(bytes, offset, len)
     val set = new IntHashSet(math.max(8, cps.length))
     val n = cps.length - ngramWidth + 1
@@ -64,14 +69,15 @@ object Shingles {
     var i = 0
     while (i < n) {
       System.arraycopy(cps, i, window, 0, ngramWidth)
-      set.add(FxHash.hashCodePoints(window, ngramWidth))
+      set.add(FxHash.hashCodePointsSalted(st, window, ngramWidth))
       i += 1
     }
     set
   }
 
   /** Shingle set of all `ngramWidth`-code-point windows (shingleset.rs:24-35). */
-  def fromText(s: String, ngramWidth: Int): IntHashSet = {
+  def fromText(s: String, ngramWidth: Int, salt: Option[String] = None): IntHashSet = {
+    val st = FxHash.saltState(salt)
     val cps = codePoints(s)
     val set = new IntHashSet(math.max(8, cps.length))
     val n = cps.length - ngramWidth + 1
@@ -79,7 +85,7 @@ object Shingles {
     var i = 0
     while (i < n) {
       System.arraycopy(cps, i, window, 0, ngramWidth)
-      set.add(FxHash.hashCodePoints(window, ngramWidth))
+      set.add(FxHash.hashCodePointsSalted(st, window, ngramWidth))
       i += 1
     }
     set
@@ -87,12 +93,13 @@ object Shingles {
 
   /** Shingle set from caller-provided shingle strings: each string hashed
     * whole as its code-point sequence (shingleset.rs:12-22). */
-  def fromShingles(shingles: Iterator[String]): IntHashSet = {
+  def fromShingles(shingles: Iterator[String], salt: Option[String] = None): IntHashSet = {
+    val st = FxHash.saltState(salt)
     val set = new IntHashSet(16)
     while (shingles.hasNext) {
       val s = shingles.next()
       val cps = codePoints(s)
-      set.add(FxHash.hashCodePoints(cps, cps.length))
+      set.add(FxHash.hashCodePointsSalted(st, cps, cps.length))
     }
     set
   }

@@ -201,6 +201,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("Ann pre-bucketed corpus layout: same results, corpus pass skipped") {
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(6)(d => math.cos(i * 0.7 + d) * 3.0))).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 3)
+    val direct = Ann.lshBucketedTopK(vecs, qs, k = 3,
+      bucketWidth = 4.0, bandCount = 4, bandSize = 2, seed = 7L)
+      .orderBy("query_id", "rank").collect()
+    val bucketed = Ann.bucketCorpus(vecs, bucketWidth = 4.0, bandCount = 4,
+      bandSize = 2, seed = 7L).cache()
+    try {
+      bucketed.count() // materialize the layout once
+      val pre = Ann.lshBucketedTopKPrebucketed(bucketed, vecs, qs, k = 3,
+        bucketWidth = 4.0, bandCount = 4, bandSize = 2, seed = 7L)
+      assert(pre.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq ==
+        direct.map(_.toSeq).toSeq)
+      // the second batch reads the materialized buckets instead of
+      // re-exploding the corpus
+      assert(pre.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally bucketed.unpersist()
+  }
+
   test("Ann quantizer training is invariant under corpus repartitioning") {
     // the sample is keyed on xxhash64(id, seed), never scan order: a layout
     // change (repartition, sorted input) must not move a single centroid

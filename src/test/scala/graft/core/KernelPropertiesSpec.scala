@@ -96,6 +96,32 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle salt hook: None is identity; salts partition the hash space") {
+    // No reference goldens exist (its SQL surface always passes None,
+    // minhash.rs:71,136) — these pin the structural contract: default/None
+    // must be byte-identical to the unsalted path (all golden vectors keep
+    // passing), salted sets are deterministic, and distinct salts disagree.
+    forSamples(text) { s =>
+      val plain = Shingles.fromText(s, 2).toArray.toSet
+      assert(Shingles.fromText(s, 2, None).toArray.toSet == plain)
+      val salted = Shingles.fromText(s, 2, Some("pepper")).toArray.toSet
+      assert(Shingles.fromText(s, 2, Some("pepper")).toArray.toSet == salted)
+      if (s.length >= 3) {
+        assert(salted != plain)
+        assert(Shingles.fromText(s, 2, Some("other")).toArray.toSet != salted)
+      }
+      // same cardinality: salting re-keys windows, it must not merge them
+      // (collisions aside — none observed over the sample corpus)
+      assert(salted.size == plain.size)
+    }
+    // FxHasher::write chunking boundaries: salts of length 1,2,3,4,7,8,9
+    // exercise every remainder branch (8/4/2/1-byte words)
+    val base = Shingles.fromText("boundary case text", 3).toArray.toSet
+    val all = Seq("a", "ab", "abc", "abcd", "abcdefg", "abcdefgh", "abcdefghi")
+      .map(sl => Shingles.fromText("boundary case text", 3, Some(sl)).toArray.toSet)
+    assert((all :+ base).distinct.size == all.size + 1, "some salt collided a whole set")
+  }
+
   test("IntHashSet agrees with scala Set") {
     forSamples(Gen.listOf(Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs =>
       val s = new IntHashSet(4)
