@@ -355,12 +355,19 @@ object SparkEntry {
       // fp) so the driver comparator sees no array cells.
       withLsh(s)
       load(s, dir, "documents").createOrReplaceTempView("documents")
+      // LATERAL VIEW — not a generator in the select list: ExtractGenerator
+      // would hoist the OTHER projection items (sh, min_fp) into the Project
+      // ABOVE the Generate, re-evaluating both hash kernels once per exploded
+      // fingerprint row (~31x per doc; and the global sort's range-sampling
+      // pass runs that inflated child twice). Materializing the scalars in a
+      // subquery below the lateral view keeps them once-per-document:
+      // measured 4.3s -> 0.6s at sf0.1.
       s.sql("""
-        SELECT doc_id, sh, min_fp, fp_pos, fp FROM (
-          SELECT doc_id, simhash64(text) AS sh,
-                 min_fingerprint(text, 8) AS min_fp,
-                 posexplode_outer(winnow_fingerprint(text, 8, 16)) AS (fp_pos, fp)
-          FROM documents)
+        SELECT doc_id, sh, min_fp, fp_pos, fp
+        FROM (SELECT doc_id, text, simhash64(text) AS sh,
+                     min_fingerprint(text, 8) AS min_fp
+              FROM documents) t
+        LATERAL VIEW OUTER posexplode(winnow_fingerprint(text, 8, 16)) g AS fp_pos, fp
         ORDER BY doc_id, fp_pos""")
     }),
     "simhash_dedup_pairs" -> ((s, dir) => {

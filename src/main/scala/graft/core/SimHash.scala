@@ -10,10 +10,14 @@ object SimHash {
 
   /** FxHash64 of one token's code points (length-prefixed, like the shingle
     * hash but without the u32 truncation). */
-  def tokenHash(cps: Array[Int], len: Int): Long = {
+  def tokenHash(cps: Array[Int], len: Int): Long = hashAt(cps, 0, len)
+
+  /** [[tokenHash]] of cps[off, off+len) without a window copy. */
+  @inline def hashAt(cps: Array[Int], off: Int, len: Int): Long = {
     var h = FxHash.add(0L, len.toLong)
-    var i = 0
-    while (i < len) {
+    var i = off
+    val end = off + len
+    while (i < end) {
       h = FxHash.add(h, cps(i).toLong & 0xffffffffL)
       i += 1
     }
@@ -24,17 +28,19 @@ object SimHash {
     * (+1 for a set bit, -1 for clear); result bit b is 1 iff the vote sum is
     * positive. Empty input → 0L. */
   def simhash64(text: String): Long = {
+    // decode once and slice tokens by index — token boundaries are the
+    // space code point (BMP, never part of a surrogate pair), so index
+    // slicing over code points yields exactly the substring tokens
+    val cps = Shingles.codePoints(text)
     val votes = new Array[Int](64)
     var i = 0
-    val n = text.length
+    val n = cps.length
     while (i < n) {
-      while (i < n && text.charAt(i) == ' ') i += 1
+      while (i < n && cps(i) == ' ') i += 1
       val start = i
-      while (i < n && text.charAt(i) != ' ') i += 1
+      while (i < n && cps(i) != ' ') i += 1
       if (i > start) {
-        val token = text.substring(start, i)
-        val cps = Shingles.codePoints(token)
-        val h = tokenHash(cps, cps.length)
+        val h = hashAt(cps, start, i - start)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -62,11 +68,9 @@ object SimHash {
     val n = cps.length - k + 1
     if (n <= 0) return 0L
     var best = -1L // u64::MAX
-    val window = new Array[Int](k)
     var i = 0
     while (i < n) {
-      System.arraycopy(cps, i, window, 0, k)
-      val h = tokenHash(window, k)
+      val h = hashAt(cps, i, k)
       if (java.lang.Long.compareUnsigned(h, best) < 0) best = h
       i += 1
     }
@@ -91,36 +95,54 @@ object SimHash {
     val cps = Shingles.codePoints(text)
     val n = cps.length - k + 1
     if (n <= 0) return Array.empty
+    // flip the sign bit once so plain signed compares give unsigned order
     val hashes = new Array[Long](n)
-    val window = new Array[Int](k)
     var i = 0
     while (i < n) {
-      System.arraycopy(cps, i, window, 0, k)
-      hashes(i) = tokenHash(window, k)
+      hashes(i) = hashAt(cps, i, k) ^ Long.MinValue
       i += 1
     }
-    val out = new java.util.TreeSet[java.lang.Long]((a, b) => java.lang.Long.compareUnsigned(a, b))
-    // Rightmost-minimum sliding scan. O(n·w) worst case with w a small
-    // constant (16 in doc_signatures) — the branch-free inner loop beats a
-    // monotonic deque's allocation churn at these widths.
-    var start = 0
-    val lastStart = math.max(0, n - w)
-    while (start <= lastStart) {
-      val end = math.min(start + w, n)
-      var best = hashes(start)
-      var j = start + 1
-      while (j < end) {
-        // <= : later position wins ties (robust winnowing's rightmost rule)
-        if (java.lang.Long.compareUnsigned(hashes(j), best) <= 0) best = hashes(j)
-        j += 1
+    // O(n) ascending-minima deque of positions; evicting on >= keeps the
+    // RIGHTMOST minimum per window (robust winnowing's tie rule). A
+    // selection is recorded only when the winning position changes —
+    // winnowing's density bound (2/(w+1)) makes that rare — into a
+    // primitive buffer; no boxed TreeSet in the per-position loop.
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val sel = new Array[Long](math.min(n, math.max(1, n - w + 1)))
+    var selLen = 0
+    var lastPos = -1
+    i = 0
+    while (i < n) {
+      val v = hashes(i)
+      while (tail > head && hashes(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1 || i == n - 1) { // window complete (or single short window)
+        val p = deque(head)
+        if (p != lastPos) {
+          sel(selLen) = hashes(p)
+          selLen += 1
+          lastPos = p
+        }
       }
-      out.add(best)
-      start += 1
+      i += 1
     }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
-    var idx = 0
-    while (it.hasNext) { arr(idx) = it.next(); idx += 1 }
-    arr
+    // ascending unsigned dedup (values are still sign-flipped: signed sort
+    // IS the unsigned order; flip back on emit)
+    val arr = java.util.Arrays.copyOf(sel, selLen)
+    java.util.Arrays.sort(arr)
+    var m = 0
+    i = 0
+    while (i < arr.length) {
+      if (m == 0 || arr(i) != arr(m - 1)) { arr(m) = arr(i); m += 1 }
+      i += 1
+    }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) { out(i) = arr(i) ^ Long.MinValue; i += 1 }
+    out
   }
 }
