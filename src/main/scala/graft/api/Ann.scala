@@ -110,13 +110,17 @@ object Ann {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val centroids = trainQuantizer(corpus, nlist, seed, iters, sampleSize, idCol, vecCol)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assignCell = udf { (v: Seq[Double]) => nearestCentroid(v.toArray, bc.value) }
-    val probeCells = udf { (v: Seq[Double]) => nearestCentroids(v.toArray, bc.value, nprobe) }
+    // codegen'd expressions over a broadcast centroid table — the corpus-wide
+    // assignment pass reads each vector once out of ArrayData with no boxed
+    // Seq[Double] per-row conversion (the former Scala-UDF tax)
+    import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell, ProbeCells}
+    val model = new CentroidModel(spark.sparkContext.broadcast(centroids))
     val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
-      .withColumn("cell", assignCell(col("nvec")))
+      .withColumn("cell",
+        ColumnShim.column(NearestCell(ColumnShim.expression(col("nvec")), model)))
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("cell", explode(probeCells(col("qvec"))))
+      .withColumn("cell",
+        explode(ColumnShim.column(ProbeCells(ColumnShim.expression(col("qvec")), model, nprobe))))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     probed.join(cells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -183,15 +187,6 @@ object Ann {
       c += 1
     }
     best
-  }
-
-  private def nearestCentroids(v: Array[Double], cs: Array[Array[Double]], n: Int): Array[Int] = {
-    cs.indices.map { c =>
-      var dist = 0.0
-      var j = 0
-      while (j < v.length) { val x = v(j) - cs(c)(j); dist += x * x; j += 1 }
-      (dist, c)
-    }.sortBy(x => (x._1, x._2)).take(n).map(_._2).toArray
   }
 
   /** Exact near-dup vector pairs: cosine above `threshold` over a bounded
