@@ -47,6 +47,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"expected codegen stage:\n$plan")
   }
 
+  test("doc_signatures computes scalar fingerprints once per doc, below the generate") {
+    // ExtractGenerator hoists non-generator select items ABOVE the Generate,
+    // re-evaluating them once per exploded row (~31x per doc, measured
+    // 4.3s -> 0.6s at sf0.1 when fixed). The LATERAL VIEW form must keep
+    // simhash64/min_fingerprint in the projection BELOW the generate.
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val df = SparkEntry.queries("doc_signatures")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, s"expected a Generate node:\n$plan")
+    def countKernels(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p.expressions.map(_.collect {
+        case e: org.apache.spark.sql.graft.SimHash64 => e
+        case e: org.apache.spark.sql.graft.MinFingerprint => e
+      }.size).sum
+    val below = gens.map(g => g.child.collect { case n => countKernels(n) }.sum).sum
+    val total = plan.collect { case n => countKernels(n) }.sum
+    assert(below >= 2, s"sh/min_fp must be evaluated below the generate:\n$plan")
+    assert(total == below, s"sh/min_fp must not be re-evaluated above the generate:\n$plan")
+  }
+
   test("minhash_dedup_pairs blocks on (band, hash) ids, not texts") {
     val plan = planOf("minhash_dedup_pairs")
     // the distinct before text re-attachment must aggregate only id pairs
