@@ -40,37 +40,50 @@ object EventStreams {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, events: Long)
 
-  /** Gap-based sessionization via mapGroupsWithState with an event-time
-    * timeout: a session closes when the watermark passes last-event + gap.
-    * Event-time (not processing-time) makes the operator deterministic and
-    * replayable, and avoids the continuous empty micro-batches a
-    * processing-time timeout schedules. Emits the running session on every
-    * update and the final session when it times out. */
+  /** Gap-based sessionization via flatMapGroupsWithState with an event-time
+    * timeout. Event-time (not processing-time) makes the operator
+    * deterministic and replayable, and avoids the continuous empty
+    * micro-batches a processing-time timeout schedules.
+    *
+    * Emits each session exactly once, WHEN IT CLOSES — either because a
+    * later event in some batch crossed the idle gap, or because the
+    * watermark passed last-event + gap (timeout). flatMap, not map: a single
+    * micro-batch can span several session boundaries for one user (bursty
+    * or historical replay input), and a one-row-per-group operator would
+    * silently discard every session but the last. Append-mode output,
+    * session-for-session identical to [[sessionizeBatch]] once the
+    * watermark has passed (spec: full-fixture streaming replay equals the
+    * batch twin). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
                  watermarkDelay: String = "10 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
     src.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, Session](GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId, evts, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+            Iterator.single(Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
           } else {
             val times = evts.map(_.ts.getTime).toSeq.sorted
-            val prev = state.getOption
-            val merged = times.foldLeft(prev) { (acc, t) =>
-              acc match {
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  Some(SessionState(s.startMs, t, s.n + 1))
-                case _ => Some(SessionState(t, t, 1)) // gap exceeded: new session
+                  cur = Some(SessionState(s.startMs, t, s.n + 1))
+                case Some(s) => // gap crossed inside the batch: close + restart
+                  closed += Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None => cur = Some(SessionState(t, t, 1))
               }
             }
-            val s = merged.get
+            val s = cur.get
             state.update(s)
             state.setTimeoutTimestamp(s.lastMs + gapMs)
-            Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+            closed.iterator
           }
       }
   }

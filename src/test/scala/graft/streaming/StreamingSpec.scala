@@ -36,20 +36,61 @@ class StreamingSpec extends AnyFunSuite {
     val mem = MemoryStream[EventStreams.Event]
     val q = EventStreams.sessionize(mem.toDS(), gapMs = 10 * 60_000L)
       .writeStream.format("memory").queryName("sess_out")
-      .outputMode("update").start()
+      .outputMode("append").start()
     try {
       mem.addData(
         EventStreams.Event(1, ts(0), 100, "click", 1.0),
-        EventStreams.Event(2, ts(3), 100, "click", 1.0))
+        EventStreams.Event(2, ts(3), 100, "click", 1.0),
+        // same batch, same user, past the gap: the first session must be
+        // emitted on the spot (flatMap), not silently replaced
+        EventStreams.Event(3, ts(30), 100, "click", 1.0))
       q.processAllAvailable()
-      // advance the watermark far past the gap: session must time out closed
-      mem.addData(EventStreams.Event(3, ts(120), 200, "view", 1.0))
+      // advance the watermark far past the gap: open sessions time out closed
+      mem.addData(EventStreams.Event(4, ts(120), 200, "view", 1.0))
       q.processAllAvailable()
-      mem.addData(EventStreams.Event(4, ts(240), 200, "view", 1.0))
+      mem.addData(EventStreams.Event(5, ts(240), 200, "view", 1.0))
       q.processAllAvailable()
       val rows = spark.sql("SELECT user_id, events FROM sess_out").collect()
-      // user 100's closed session carries both events
-      assert(rows.exists(r => r.getLong(0) == 100L && r.getLong(1) == 2L))
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.contains((100L, 2L)), s"in-batch closed session lost: $rows")
+      assert(rows.contains((100L, 1L)), s"timed-out tail session lost: $rows")
+    } finally q.stop()
+  }
+
+  test("streaming sessionize replay equals the batch twin on fixture events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // whole-second quantization: sessionizeBatch (and its DuckDB oracle)
+    // compare gaps in floor-seconds while the streaming operator uses ms —
+    // on whole-second data the two gap semantics coincide exactly
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_seconds(ts div 1000000000)"))
+      .select(col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[EventStreams.Event].collect().toSeq
+    val gap = 30 * 60_000L
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = gap)
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append").start()
+    try {
+      mem.addData(events) // full historical replay in one micro-batch
+      q.processAllAvailable()
+      // sentinel a year ahead: watermark passes every real session's
+      // timeout, so the per-user tail sessions all close
+      val far = new Timestamp(events.map(_.ts.getTime).max + 365L * 86400_000L)
+      mem.addData(EventStreams.Event(-1L, far, -1L, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM sess_eq WHERE user_id >= 0").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      val batch = EventStreams.sessionizeBatch(events.toDF(), gapMs = gap)
+        .select("user_id", "start", "end", "events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"streaming-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+      assert(batch.nonEmpty)
     } finally q.stop()
   }
 
