@@ -68,6 +68,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(total == below, s"sh/min_fp must not be re-evaluated above the generate:\n$plan")
   }
 
+  test("interval/window/asof joins never degrade to nested loops") {
+    // a range predicate planned as BroadcastNestedLoopJoin is the O(n^2)
+    // scale-killer this engine's bucketed/explode/union-and-carry shapes
+    // exist to avoid (measured 429s vs <1s at sf0.1 for the id-window scan)
+    for (q <- Seq("range_join", "dedup_near_window", "asof_join", "cosine_adjacent")) {
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q plans a nested-loop/cartesian join:\n$plan")
+    }
+  }
+
   test("minhash_dedup_pairs blocks on (band, hash) ids, not texts") {
     val plan = planOf("minhash_dedup_pairs")
     // the distinct before text re-attachment must aggregate only id pairs
