@@ -14,6 +14,13 @@ class PlanShapeSpec extends AnyFunSuite {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("entry flagship returns near-dup pairs (driver t1 smoke contract)") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty, "entry must return >0 rows at sf0.001")
+    // every emitted pair is ordered and above the jaccard threshold
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) > 0.5))
+  }
+
   test("q3_broadcast_dims broadcasts the small dimension tables") {
     val plan = planOf("q3_broadcast_dims")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
