@@ -21,9 +21,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // sessionize_stream is the driver-correctness replay harness: its cost
+    // is single-threaded MemoryStream feeding + per-micro-batch scheduling,
+    // not engine throughput (sessionize_batch is the throughput twin) — a
+    // bench row for it would measure the harness, so it's excluded.
+    val notBenchable = Set("sessionize_stream")
     // SPARK_GRAFT_ONLY=q1_agg,lsh_min_text runs a subset (dev loop tool)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      !notBenchable.contains(n) && only.forall(_.contains(n)) }
 
     // Sink every query through the noop data source: full evaluation of every
     // output column, zero I/O. A count() action here would let Catalyst prune
@@ -38,22 +44,33 @@ object Bench {
       spark.catalog.clearCache()
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a failed query must read as a failure in the JSON, not as a
+        // near-zero-latency success: record NaN and log the error
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
       }
     }
 
     val cold = runAll()
     val warm = runAll()
     val warm2 = runAll()
-    // best-of-3: one-off GC/compilation/system-noise spikes on any pass
-    // don't get attributed to a query
-    val best = cold.map { case (k, v) => k -> math.min(v, math.min(warm(k), warm2(k))) }
+    // best-of-3 over the passes that succeeded: one-off GC/compilation/noise
+    // spikes don't get attributed to a query; a query that failed every pass
+    // reports -1 (NaN would be invalid JSON) and is excluded from the total
+    val best = cold.map { case (k, _) =>
+      val ok = Seq(cold(k), warm(k), warm2(k)).filterNot(_.isNaN)
+      k -> (if (ok.nonEmpty) ok.min else -1.0)
+    }
     val qs = best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (best.nonEmpty) best.values.sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    val total = best.values.filter(_ >= 0).sum
+    val coldTotal = cold.values.filterNot(_.isNaN).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -61,10 +61,16 @@ object SparkEntry {
 
   /** Flagship query on sf=0.001: banded-MinHash near-dup candidate pairs over
     * documents, the reference's headline pattern (README.md:150-164) done the
-    * scale-out way (posexplode band join, SURVEY.md §7.4). */
-  def entry(spark: SparkSession): DataFrame = {
+    * scale-out way (posexplode band join, SURVEY.md §7.4).
+    *
+    * The no-dir overload is the driver's smoke contract (fixed signature);
+    * the dir-taking overload is the real definition so the flagship runs
+    * against any scale factor. */
+  def entry(spark: SparkSession): DataFrame =
+    entry(spark, "/root/testdata/sf0.001")
+
+  def entry(spark: SparkSession, dir: String): DataFrame = {
     withLsh(spark)
-    val dir = "/root/testdata/sf0.001"
     load(spark, dir, "documents").createOrReplaceTempView("documents")
     spark.sql("""
       WITH banded AS (
@@ -466,6 +472,36 @@ object SparkEntry {
           col("start").cast("long").as("start_s"), col("end").cast("long").as("end_s"),
           col("events"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // Streaming surface, driver-verified end-to-end: the fixture replayed
+    // through a real Structured Streaming query (MemoryStream source over
+    // several micro-batches, watermark + event-time-timeout sessionization,
+    // memory sink), against the SAME DuckDB oracle as sessionize_batch —
+    // streamed sessions must equal the batch twin session-for-session.
+    // Whole-second quantization: the oracle compares gaps in floor-seconds
+    // while the operator uses ms; on second-truncated timestamps the two gap
+    // semantics coincide exactly (see StreamingSpec replay note).
+    // session_id is re-derived by start order — sessions are disjoint per
+    // user, so row_number over start equals the batch twin's running sum.
+    "sessionize_stream" -> ((s, dir) => {
+      import s.implicits._
+      val events = loadEvents(s, dir)
+        .withColumn("ts", expr("timestamp_seconds(cast(ts as long))"))
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      val sessions = graft.streaming.EventStreams.sessionizeReplay(
+        s, events, gapMs = 30 * 60 * 1000L, nBatches = 3)
+      val byStart = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("start")
+      sessions
+        .withColumn("session_id", row_number().over(byStart).cast("long"))
+        .select(col("user_id"), col("session_id"),
+          col("start").cast("long").as("start_s"), col("end").cast("long").as("end_s"),
+          col("events"))
+        .orderBy("user_id", "session_id")
     })
   )
 
@@ -744,20 +780,25 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN (SELECT * FROM o WHERE rn = 1) o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
         |ORDER BY event_id""".stripMargin,
-    "sessionize_batch" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
-        |y AS (SELECT user_id, ts,
-        |             CASE WHEN prev_ts IS NULL
-        |                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-        |                  THEN 1 ELSE 0 END AS new_s
-        |      FROM x),
-        |z AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id FROM y)
-        |SELECT user_id, session_id,
-        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
-        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
-        |       count(*) AS events
-        |FROM z GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+    "sessionize_batch" -> sessionizeOracleSql,
+    // the streaming replay must equal the batch twin session-for-session,
+    // so it shares the batch oracle verbatim
+    "sessionize_stream" -> sessionizeOracleSql
   )
+
+  private val sessionizeOracleSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+      |y AS (SELECT user_id, ts,
+      |             CASE WHEN prev_ts IS NULL
+      |                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+      |                  THEN 1 ELSE 0 END AS new_s
+      |      FROM x),
+      |z AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id FROM y)
+      |SELECT user_id, session_id,
+      |       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+      |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+      |       count(*) AS events
+      |FROM z GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
 }

@@ -6,9 +6,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Per-user session accumulator for [[EventStreams.sessionize]]; top-level so
-  * the state encoder codegen resolves it cleanly. */
-case class SessionState(startMs: Long, lastMs: Long, n: Long)
+/** One gap-connected run of events for a user — a session still open for
+  * extension: `[startMs, endMs]` containing `n` events. Top-level so the
+  * state encoder codegen resolves it cleanly. */
+case class SessionRun(startMs: Long, endMs: Long, n: Long)
+
+/** Per-user state for [[EventStreams.sessionize]]: the open runs, sorted by
+  * start, pairwise separated by more than the gap. */
+case class SessionRuns(runs: List[SessionRun])
 
 /** Per-bucket membership state for [[EventStreams.nearDupCandidates]]. */
 case class BucketState(ids: Seq[Long], lastMs: Long)
@@ -45,46 +50,59 @@ object EventStreams {
     * deterministic and replayable, and avoids the continuous empty
     * micro-batches a processing-time timeout schedules.
     *
-    * Emits each session exactly once, WHEN IT CLOSES — either because a
-    * later event in some batch crossed the idle gap, or because the
-    * watermark passed last-event + gap (timeout). flatMap, not map: a single
-    * micro-batch can span several session boundaries for one user (bursty
-    * or historical replay input), and a one-row-per-group operator would
-    * silently discard every session but the last. Append-mode output,
-    * session-for-session identical to [[sessionizeBatch]] once the
-    * watermark has passed (spec: full-fixture streaming replay equals the
-    * batch twin). */
+    * State is a list of gap-merged session RUNS (disjoint intervals more
+    * than the gap apart), and a run is emitted exactly once — only when the
+    * watermark has passed its `end + gap`, i.e. when no admissible event can
+    * still extend or bridge it. Late-but-within-watermark events arriving in
+    * a later micro-batch therefore merge into (or bridge) the right runs
+    * instead of dragging a session's end backwards, and the output is
+    * session-for-session identical to [[sessionizeBatch]] for ANY
+    * within-watermark arrival order (spec: two-batch out-of-order replay +
+    * full-fixture replay both equal the batch twin). Events below the
+    * watermark are dropped, the standard late-data rule — an emitted
+    * session can't be retracted in append mode. flatMap, not map: one
+    * watermark advance can close several runs for one user (bursty or
+    * historical replay input). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
                  watermarkDelay: String = "10 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
     src.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionRuns, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId, evts, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
-          } else {
-            val times = evts.map(_.ts.getTime).toSeq.sorted
-            val closed = scala.collection.mutable.ArrayBuffer[Session]()
-            var cur = state.getOption
-            times.foreach { t =>
-              cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, t, s.n + 1))
-                case Some(s) => // gap crossed inside the batch: close + restart
-                  closed += Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None => cur = Some(SessionState(t, t, 1))
-              }
+        (userId, evts, state: GroupState[SessionRuns]) =>
+          // batch mode has no watermark: Long.MinValue = "never close early"
+          // (sessionizeBatch is the batch surface; this operator is for streams)
+          val wm =
+            try state.getCurrentWatermarkMs()
+            catch { case _: UnsupportedOperationException => Long.MinValue }
+          val prior = state.getOption.map(_.runs).getOrElse(Nil)
+          val merged =
+            if (state.hasTimedOut) prior
+            else {
+              // sorted-start interval merge with gap tolerance: the gap-
+              // connected components of (prior runs ++ new event points) are
+              // exactly the sessions the batch twin computes on sorted times
+              val pts = evts.map(_.ts.getTime).filter(_ >= wm)
+                .toSeq.sorted.map(t => SessionRun(t, t, 1L)).toList
+              (prior ++ pts).sortBy(r => (r.startMs, r.endMs))
+                .foldLeft(List.empty[SessionRun]) {
+                  case (cur :: done, r) if r.startMs <= cur.endMs + gapMs =>
+                    SessionRun(cur.startMs, math.max(cur.endMs, r.endMs), cur.n + r.n) :: done
+                  case (acc, r) => r :: acc
+                }.reverse
             }
-            val s = cur.get
-            state.update(s)
-            state.setTimeoutTimestamp(s.lastMs + gapMs)
-            closed.iterator
+          val (closed, open) = merged.partition(_.endMs + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionRuns(open))
+            // earliest still-open run decides the next timeout; guaranteed
+            // > watermark by the partition above. Re-set every call — an
+            // invocation that doesn't set a timeout clears it.
+            if (wm != Long.MinValue) state.setTimeoutTimestamp(open.head.endMs + gapMs)
           }
+          closed.iterator.map(r =>
+            Session(userId, new Timestamp(r.startMs), new Timestamp(r.endMs), r.n))
       }
   }
 
@@ -168,6 +186,44 @@ object EventStreams {
             out.iterator
           }
       }
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Replay a finite event set through [[sessionize]] as a REAL Structured
+    * Streaming query — MemoryStream source split over `nBatches`
+    * micro-batches in the given (arbitrary) order, memory sink, then one
+    * far-future flush event so the watermark closes every open session —
+    * and return the emitted sessions as a batch DataFrame.
+    *
+    * This is the driver-verification harness that puts the streaming
+    * operator under the SAME independent oracle as its batch twin
+    * ([[sessionizeBatch]]'s SQL): equality holds for any within-watermark
+    * arrival order, so arbitrary fixture order over several micro-batches
+    * is a genuine end-to-end check of watermarks, event-time timeouts and
+    * cross-batch state. Not a production source — production streams come
+    * from `readStream` (files/Kafka); the operator under test is identical
+    * either way. */
+  def sessionizeReplay(spark: SparkSession, events: Seq[Event], gapMs: Long,
+                       nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    // unique sink name per invocation: the memory sink table outlives stop()
+    val sink = s"graft_sessionize_replay_${replaySeq.incrementAndGet()}"
+    // watermark delay far beyond the fixture's time range: replay disorder is
+    // never "late", so the streamed sessions must equal the batch twin exactly
+    val q = sessionize(mem.toDS(), gapMs, watermarkDelay = "3650 days")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (events.size + nBatches - 1) / nBatches)
+      events.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val far = new Timestamp(events.iterator.map(_.ts.getTime).max + 4000L * 86400_000L)
+      mem.addData(Event(-1L, far, -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).filter(col("user_id") >= 0)
+      .select("user_id", "start", "end", "events")
   }
 
   /** Batch-mode sessionization with identical gap semantics, built on window

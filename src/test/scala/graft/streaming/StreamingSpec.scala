@@ -94,6 +94,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize merges cross-batch out-of-order events like the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Out-of-order ACROSS micro-batches, within the watermark delay: the
+    // late events must merge into / bridge existing runs — never drag a
+    // session's end before its start, never split a session the batch twin
+    // merges. (Regression: the previous per-session state extended lastMs
+    // backwards on this input.)
+    val gap = 10 * 60_000L
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = gap, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 100 at t=12 and t=30 (two separate open runs);
+      mem.addData(
+        EventStreams.Event(1, ts(12), 100, "click", 1.0),
+        EventStreams.Event(2, ts(30), 100, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: LATE events — t=10 (before the first run's start) and t=21
+      // (bridges the 12..30 gap, so all four events become ONE session)
+      mem.addData(
+        EventStreams.Event(3, ts(10), 100, "click", 1.0),
+        EventStreams.Event(4, ts(21), 100, "click", 1.0))
+      q.processAllAvailable()
+      // flush: watermark far past every timeout
+      mem.addData(EventStreams.Event(-1L, ts(100_000), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM sess_ooo WHERE user_id >= 0").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      val batch = EventStreams.sessionizeBatch(Seq(
+        (1L, ts(12), 100L, "click", 1.0), (2L, ts(30), 100L, "click", 1.0),
+        (3L, ts(10), 100L, "click", 1.0), (4L, ts(21), 100L, "click", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"), gapMs = gap)
+        .select("user_id", "start", "end", "events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"streaming-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+      assert(streamed == Set((100L, ts(10), ts(30), 4L)), s"got $streamed")
+      assert(streamed.forall { case (_, s, e, _) => !e.before(s) })
+    } finally q.stop()
+  }
+
   test("dedupByContent drops repeated texts across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -5,6 +5,7 @@ Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -52,7 +53,15 @@ def main(sf_dir, out_dir):
             for c in a.columns:
                 av, bv = a[c], b[c]
                 try:
-                    eq = (av == bv) | (av.isna() & bv.isna())
+                    # float columns: tiny relative tolerance so a DuckDB
+                    # version changing its summation order (FMA, pairwise)
+                    # can't spuriously fail an otherwise-exact pass; ints and
+                    # strings stay exact-equality
+                    if av.dtype.kind == "f" and bv.dtype.kind == "f":
+                        eq = pd.Series(np.isclose(av, bv, rtol=1e-12, atol=0.0,
+                                                  equal_nan=True), index=av.index)
+                    else:
+                        eq = (av == bv) | (av.isna() & bv.isna())
                 except Exception:
                     eq = av.astype(str) == bv.astype(str)
                 if not eq.all():

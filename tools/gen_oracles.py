@@ -331,11 +331,16 @@ def ann_oracle_sql(sel_rows):
         'ORDER BY query_id, "rank"')
 
 
-def crosscheck(name, rows, cols, spark_dir):
-    """Compare generated rows against the Spark Verify parquet (ordered)."""
+def crosscheck(name, rows, cols, spark_dir, order_by):
+    """Compare generated rows against the Spark Verify parquet, with an
+    explicit ORDER BY on the query's sort keys — glob order plus intra-file
+    order happens to preserve a single-part write's ORDER BY, but a
+    multi-part write would zip rows positionally out of order and fail the
+    crosscheck spuriously."""
     con = duckdb.connect()
     got = con.execute(
-        f"SELECT {', '.join(cols)} FROM '{spark_dir}/{name}/*.parquet'"
+        f"SELECT {', '.join(cols)} FROM '{spark_dir}/{name}/*.parquet' "
+        f"ORDER BY {order_by}"
     ).fetchall()
     want = [tuple(r) for r in rows]
     if len(got) != len(want):
@@ -465,13 +470,16 @@ def main(sf_dir, spark_dir):
         "ORDER BY key_a, key_b")
     custom["lsh_blocking_join"] = (pairs, ("key_a", "key_b"), blocking_sql)
 
+    custom_order = {"ann_topk_lsh": 'query_id, "rank"',
+                    "ann_topk_ivf": 'query_id, "rank"',
+                    "lsh_blocking_join": "key_a, key_b"}
     ok = True
     for name, (cols, types, rows, order_by) in queries.items():
         if spark_dir:
-            ok &= crosscheck(name, rows, cols, spark_dir)
+            ok &= crosscheck(name, rows, cols, spark_dir, order_by)
     for name, (rows, cols, _sql) in custom.items():
         if spark_dir:
-            ok &= crosscheck(name, rows, cols, spark_dir)
+            ok &= crosscheck(name, rows, cols, spark_dir, custom_order[name])
     if not ok:
         print("crosscheck failed; no SQL written")
         return 1
