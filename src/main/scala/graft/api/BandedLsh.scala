@@ -86,86 +86,44 @@ object BandedLsh {
   def bandedSelfJoinPairs(df: DataFrame, idCol: String, textCol: String,
                           ngramWidth: Int, bandCount: Int, bandSize: Int, seeds: Seq[Long],
                           threshold: Double, numBlocks: Int = 8): DataFrame = {
-    import df.sparkSession.implicits._
-    val w = ngramWidth
-    val rows = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    import org.apache.spark.sql.graft.{BlockedSelfJoin, PlanShim}
+    val spark = df.sparkSession
     val nb = numBlocks
-    val bandsPerSeed = bandCount
-    val seedList = seeds.toArray
-    val exploded = rows.flatMap { case (id, text) =>
-      if (text == null) Iterator.empty
-      else {
-        val salt = (java.lang.Long.remainderUnsigned(id, nb)).toInt
-        val bytes = text.getBytes("UTF-8")
-        val set = graft.core.Shingles.fromTextUtf8(bytes, 0, bytes.length, w)
-        seedList.indices.iterator.flatMap { si =>
-          val fam = graft.core.MinHashFamily(bandsPerSeed, bandSize, seedList(si))
-          val hs = fam.hash(set)
-          hs.indices.iterator.flatMap { band =>
-            val bandKey = (si.toLong << 32) | band.toLong // distinct per (seed, band)
-            // replicate into every block-pair group this row's block touches
-            (0 until nb).iterator.map { other =>
-              val lo = math.min(salt, other)
-              val hi = math.max(salt, other)
-              (bandKey, hs(band), lo, hi, salt, id, text)
-            }
-          }
-        }
-      }
-    }.toDF("bk", "h", "blo", "bhi", "salt", "id", "text")
-    exploded
-      .groupByKey(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))(
-        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaInt,
-          org.apache.spark.sql.Encoders.scalaInt))
-      .flatMapGroups { (key: (Long, Long, Int, Int), it: Iterator[org.apache.spark.sql.Row]) =>
-        val blo = key._3
-        val bhi = key._4
-        val a = scala.collection.mutable.ArrayBuffer[(Long, Array[Int])]()
-        val b = scala.collection.mutable.ArrayBuffer[(Long, Array[Int])]()
-        it.foreach { r =>
-          val salt = r.getInt(4)
-          val id = r.getLong(5)
-          val bytes = r.getString(6).getBytes("UTF-8")
-          val set = graft.core.Shingles.sortedShinglesUtf8(bytes, 0, bytes.length, w)
-          if (salt == blo) a += ((id, set))
-          if (salt == bhi && blo != bhi) b += ((id, set))
-        }
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-        if (blo == bhi) {
-          var i = 0
-          while (i < a.length) {
-            var j = i + 1
-            while (j < a.length) {
-              val sim = graft.core.Shingles.jaccardSorted(a(i)._2, a(j)._2)
-              if (sim > threshold) {
-                val (x, y) = (a(i)._1, a(j)._1)
-                out += (if (x < y) (x, y, sim) else (y, x, sim))
-              }
-              j += 1
-            }
-            i += 1
-          }
-        } else {
-          var i = 0
-          while (i < a.length) {
-            var j = 0
-            while (j < b.length) {
-              if (a(i)._1 != b(j)._1) {
-                val sim = graft.core.Shingles.jaccardSorted(a(i)._2, b(j)._2)
-                if (sim > threshold) {
-                  val (x, y) = (a(i)._1, b(j)._1)
-                  out += (if (x < y) (x, y, sim) else (y, x, sim))
-                }
-              }
-              j += 1
-            }
-            i += 1
-          }
-        }
-        out.iterator
-      }
-      .toDF("id_a", "id_b", "sim")
+    // Rows shorter than the n-gram width all carry the EMPTY shingle set:
+    // they hash identically in every band (one catastrophic mega-bucket) yet
+    // can never pass a threshold > 0 (jaccard of an empty set is 0), so they
+    // are dropped before blocking.
+    val salted = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= ngramWidth)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
+        pmod(col(idCol).cast("long"), lit(nb)).cast("int").as("salt"))
+    // Codegen'd band explosion: per seed, posexplode the lsh_min band array
+    // (the family cache makes per-seed hashing cheap), tag with a
+    // (seedIndex << 32) | band blocking key, and union — one relational child
+    // the optimizer can prune/push into.
+    val perSeed = seeds.zipWithIndex.map { case (seed, si) =>
+      salted
+        .select(col("id"), col("text"), col("salt"),
+          posexplode(graft.functions.lsh_min(col("text"), ngramWidth, bandCount, bandSize, seed)))
+        .select((lit(si.toLong << 32) + col("pos").cast("long")).as("bk"),
+          col("col").as("h"), col("salt"), col("id"), col("text"))
+    }.reduce(_ unionAll _)
+    // Triangle block replication: each row meets every block once, so every
+    // bucket pair meets in exactly one (blo, bhi) group per band —
+    // numBlocks·(numBlocks+1)/2-way parallelism inside even a single
+    // mega-bucket (AQE cannot split one key; this does).
+    val exploded = perSeed
+      .select(col("bk"), col("h"), col("salt"), col("id"), col("text"),
+        explode(sequence(lit(0), lit(nb - 1))).as("other"))
+      .select(col("bk"), col("h"),
+        least(col("salt"), col("other")).cast("int").as("blo"),
+        greatest(col("salt"), col("other")).cast("int").as("bhi"),
+        col("salt"), col("id"), col("text"))
+    // the custom whole-operator plan node (see BlockedSelfJoin scaladoc):
+    // clustered+sorted on (bk, h, blo, bhi), streamed group-at-a-time
+    PlanShim.ofRows(spark,
+        BlockedSelfJoin(ngramWidth, threshold, BlockedSelfJoin.outputAttrs(),
+          PlanShim.logical(exploded)))
       .distinct() // a pair found in k bands carries the same sim k times
   }
 

@@ -46,12 +46,19 @@ object LshFunctions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft.sql.LshFunctions", null, name)
 
-  /** Install into the session's function registry. Idempotent. */
+  /** Install into the session's function registry, and the
+    * [[org.apache.spark.sql.graft.BlockedSelfJoinStrategy]] planner strategy
+    * into `experimental.extraStrategies` (the runtime counterpart of
+    * injectPlannerStrategy for sessions built without the extensions conf).
+    * Idempotent. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    val strategy = org.apache.spark.sql.graft.BlockedSelfJoinStrategy
+    if (!spark.experimental.extraStrategies.contains(strategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ strategy
   }
 }
 
@@ -64,5 +71,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.sql.LshFunctions", null, name), builder))
     }
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.BlockedSelfJoinStrategy)
   }
 }
