@@ -484,6 +484,34 @@ object SparkEntry {
     // semantics coincide exactly (see StreamingSpec replay note).
     // session_id is re-derived by start order — sessions are disjoint per
     // user, so row_number over start equals the batch twin's running sum.
+    // Second streaming stateful operator under a driver oracle: the fixture
+    // documents replayed through the banded near-dup candidate stream
+    // (flatMapGroupsWithState bucket state over 3 micro-batches). With the
+    // replay harness's unbounded bucket/TTL the emitted set normalized to
+    // unordered pairs is exactly the per-band co-bucket pair set — pure
+    // MinHash bucket math that tools/gen_oracles.py re-derives independently
+    // into a VALUES oracle. Short texts are dropped up front exactly like
+    // the batch blocking path (empty shingle set = one catastrophic bucket).
+    "stream_neardup_candidates" -> ((s, dir) => {
+      import s.implicits._
+      // +1 on the synthetic event time: Spark's initial watermark is 0 (the
+      // epoch), and the stateful operator's late-data filter drops rows with
+      // ts <= watermark — so a doc at timestamp_seconds(0) would silently
+      // vanish from the stream (observed: doc 0's 28 pairs missing).
+      val docs = load(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 4)
+        .select(col("doc_id").cast("long"),
+          expr("timestamp_seconds(doc_id + 1)").as("ts"), col("text"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq.sortBy(_._1)
+      graft.streaming.EventStreams.nearDupReplay(s, docs,
+          ngramWidth = 4, bandCount = 8, bandSize = 3, lshSeed = 123L, nBatches = 3)
+        .select(col("band"),
+          least(col("doc_id"), col("peer_id")).as("id_a"),
+          greatest(col("doc_id"), col("peer_id")).as("id_b"))
+        .distinct()
+        .orderBy("band", "id_a", "id_b")
+    }),
+
     "sessionize_stream" -> ((s, dir) => {
       import s.implicits._
       val events = loadEvents(s, dir)
@@ -534,6 +562,7 @@ object SparkEntry {
     "ann_topk_lsh" -> valuesOracle("ann_topk_lsh"),
     "ann_topk_ivf" -> valuesOracle("ann_topk_ivf"),
     "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
+    "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
     "lsh_jaccard_docs" ->
       """WITH g AS (
         |  SELECT doc_id,

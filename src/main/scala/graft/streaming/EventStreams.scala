@@ -226,6 +226,37 @@ object EventStreams {
       .select("user_id", "start", "end", "events")
   }
 
+  /** Replay a finite document set through [[nearDupCandidates]] as a real
+    * Structured Streaming query and return every emitted candidate.
+    *
+    * Driver-verification harness: with an effectively unbounded bucket
+    * capacity and TTL (the defaults here), every pair of documents sharing a
+    * (band, hash) bucket meets exactly once — whichever arrives later emits
+    * against the earlier member — so the emitted set, normalized to
+    * unordered pairs, equals the full co-bucket pair set per band
+    * REGARDLESS of micro-batch arrival order. That set is pure MinHash
+    * bucket math, independently re-derivable (tools/gen_oracles.py), which
+    * turns the stateful streaming operator into an oracle-checkable one.
+    * Production use keeps the bounded defaults of [[nearDupCandidates]]
+    * (maxBucket, ttl) and accepts the documented recall trade. */
+  def nearDupReplay(spark: SparkSession, docs: Seq[(Long, Timestamp, String)],
+                    ngramWidth: Int, bandCount: Int, bandSize: Int, lshSeed: Long,
+                    nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, String)]
+    val sink = s"graft_neardup_replay_${replaySeq.incrementAndGet()}"
+    val q = nearDupCandidates(mem.toDF().toDF("doc_id", "ts", "text"),
+        ngramWidth, bandCount, bandSize, lshSeed,
+        watermarkDelay = "3650 days", ttlMs = Long.MaxValue / 4, maxBucket = 1 << 20)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (docs.size + nBatches - 1) / nBatches)
+      docs.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(sink)
+  }
+
   /** Batch-mode sessionization with identical gap semantics, built on window
     * functions — the oracle twin of [[sessionize]] and the scalable batch
     * formulation (two shuffles: by user, then by (user, session)). */

@@ -435,6 +435,26 @@ def main(sf_dir, spark_dir):
                                       ("BIGINT", "BIGINT", "INTEGER"),
                                       pair_rows, "id_a, id_b")
 
+    # ---- stream_neardup_candidates: per-band co-bucket pairs (8x3, 123) ----
+    # Oracle for the STREAMING bucket-state operator: with the replay
+    # harness's unbounded bucket/TTL, the stream's emitted candidates
+    # normalized to unordered pairs equal this pure bucket math for any
+    # micro-batch arrival order. Short texts (< ngram width) are dropped on
+    # both sides (empty shingle set = one catastrophic bucket).
+    nd_buckets = {}
+    for doc_id, text in docs:
+        if len(text) < 4:
+            continue
+        for band, h in enumerate(
+                vk.minhash_bands(vk.shingles_from_text(text, 4), 8, 3, 123)):
+            nd_buckets.setdefault((band, h), []).append(doc_id)
+    nd_rows = sorted((band, a, b)
+                     for (band, _h), ids in nd_buckets.items()
+                     for i, a in enumerate(ids) for b in ids[i + 1:])
+    queries["stream_neardup_candidates"] = (("band", "id_a", "id_b"),
+                                            ("INTEGER", "BIGINT", "BIGINT"),
+                                            nd_rows, "band, id_a, id_b")
+
     # ---- candidate-set queries: set pinned by VALUES, values re-derived ----
     vecs = {vid: [float(v) for v in emb] for vid, emb in embs}
     custom = {}
