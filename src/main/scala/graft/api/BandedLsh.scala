@@ -17,7 +17,15 @@ object BandedLsh {
     * would otherwise form one catastrophic bucket. */
   def bandedRows(df: DataFrame, idCol: String, textCol: String,
                  ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long): DataFrame = {
+    // Spread the CPU-bound minhash kernel across the cluster BEFORE hashing:
+    // banding parallelism must not be capped by the input file layout (a
+    // single-row-group parquet file scans as ONE task, serializing the whole
+    // shingle+hash pass — measured 1.0s single-threaded at sf0.1 inside a
+    // broadcast build). The id-hash shuffle moves each doc once and is
+    // dwarfed by the (band, hash) shuffle/broadcast that always follows.
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     df.filter(length(col(textCol)) >= ngramWidth)
+      .repartition(n, col(idCol))
       .select(col(idCol), col(textCol),
         posexplode(graft.functions.lsh_min(col(textCol), ngramWidth, bandCount, bandSize, seed)))
       .withColumnRenamed("pos", "band")
@@ -119,11 +127,22 @@ object BandedLsh {
         least(col("salt"), col("other")).cast("int").as("blo"),
         greatest(col("salt"), col("other")).cast("int").as("bhi"),
         col("salt"), col("id"), col("text"))
+    // Strict repartition on the blocking keys BEFORE the operator: the
+    // in-group work is quadratic in group size, which AQE cannot see — it
+    // sizes shuffles on input bytes, and the exploded input is tiny, so the
+    // ENSURE_REQUIREMENTS exchange gets coalesced to ~3 partitions and the
+    // triangle parallelism evaporates (measured: 3 tasks, 2.2s wall for a
+    // 0.15s-wall workload). repartition(n, cols) is REPARTITION_BY_NUM,
+    // which AQE must not touch, and it already satisfies the operator's
+    // ClusteredDistribution so EnsureRequirements adds only the local sort.
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val clustered = exploded.repartition(shuffleParts,
+      col("bk"), col("h"), col("blo"), col("bhi"))
     // the custom whole-operator plan node (see BlockedSelfJoin scaladoc):
     // clustered+sorted on (bk, h, blo, bhi), streamed group-at-a-time
     PlanShim.ofRows(spark,
         BlockedSelfJoin(ngramWidth, threshold, BlockedSelfJoin.outputAttrs(),
-          PlanShim.logical(exploded)))
+          PlanShim.logical(clustered)))
       .distinct() // a pair found in k bands carries the same sim k times
   }
 

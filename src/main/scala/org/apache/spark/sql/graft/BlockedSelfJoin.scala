@@ -121,13 +121,18 @@ case class BlockedSelfJoinExec(
           proj(row)
         }
 
-        /** Consume one full sorted key run; return its passing pairs. */
+        /** Consume one full sorted key run; return its passing pairs.
+          * Hot loop: primitive parallel arrays (no tuple boxing), metric
+          * updates batched once per group (a per-comparison `SQLMetric +=`
+          * is a virtual call × tens of millions of pairs). */
         private def nextGroup(): Iterator[(Long, Long, Double)] = {
           val first = in.head
           val bk = first.getLong(0); val h = first.getLong(1)
           val blo = first.getInt(2); val bhi = first.getInt(3)
-          val a = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Int])]
-          val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Int])]
+          val aIds = new scala.collection.mutable.ArrayBuffer[Long]
+          val aSets = new scala.collection.mutable.ArrayBuffer[Array[Int]]
+          val bIds = new scala.collection.mutable.ArrayBuffer[Long]
+          val bSets = new scala.collection.mutable.ArrayBuffer[Array[Int]]
           var continue = true
           while (continue && in.hasNext) {
             val r = in.head
@@ -139,38 +144,42 @@ case class BlockedSelfJoinExec(
               val id = r.getLong(5)
               val txt = r.getUTF8String(6).getBytes
               val set = graft.core.Shingles.sortedShinglesUtf8(txt, 0, txt.length, w)
-              if (salt == blo) a += ((id, set))
-              if (salt == bhi && blo != bhi) b += ((id, set))
+              if (salt == blo) { aIds += id; aSets += set }
+              if (salt == bhi && blo != bhi) { bIds += id; bSets += set }
             }
           }
-          numGroups += 1
+          val ida = aIds.toArray; val seta = aSets.toArray
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var comparisons = 0L
           if (blo == bhi) {
             var i = 0
-            while (i < a.length) {
+            while (i < ida.length) {
+              val idI = ida(i); val setI = seta(i)
               var j = i + 1
-              while (j < a.length) {
-                val sim = graft.core.Shingles.jaccardSorted(a(i)._2, a(j)._2)
-                numComparisons += 1
+              while (j < ida.length) {
+                val sim = graft.core.Shingles.jaccardSorted(setI, seta(j))
+                comparisons += 1
                 if (sim > t) {
-                  val (x, y) = (a(i)._1, a(j)._1)
-                  out += (if (x < y) (x, y, sim) else (y, x, sim))
+                  val y = ida(j)
+                  out += (if (idI < y) (idI, y, sim) else (y, idI, sim))
                 }
                 j += 1
               }
               i += 1
             }
           } else {
+            val idb = bIds.toArray; val setb = bSets.toArray
             var i = 0
-            while (i < a.length) {
+            while (i < ida.length) {
+              val idI = ida(i); val setI = seta(i)
               var j = 0
-              while (j < b.length) {
-                if (a(i)._1 != b(j)._1) {
-                  val sim = graft.core.Shingles.jaccardSorted(a(i)._2, b(j)._2)
-                  numComparisons += 1
+              while (j < idb.length) {
+                if (idI != idb(j)) {
+                  val sim = graft.core.Shingles.jaccardSorted(setI, setb(j))
+                  comparisons += 1
                   if (sim > t) {
-                    val (x, y) = (a(i)._1, b(j)._1)
-                    out += (if (x < y) (x, y, sim) else (y, x, sim))
+                    val y = idb(j)
+                    out += (if (idI < y) (idI, y, sim) else (y, idI, sim))
                   }
                 }
                 j += 1
@@ -178,6 +187,8 @@ case class BlockedSelfJoinExec(
               i += 1
             }
           }
+          numGroups += 1
+          numComparisons += comparisons
           out.iterator
         }
       }
