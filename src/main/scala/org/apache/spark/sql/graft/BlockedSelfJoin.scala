@@ -79,6 +79,10 @@ case class BlockedSelfJoinExec(
     output: Seq[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
+  // outputs are produced here, not drawn from the child — without this the
+  // plan printer flags the node's "missing inputs" with a `!`
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+
   private def groupKeys = child.output.take(4)
 
   // all rows of one (bk, h, blo, bhi) group in one partition, sorted so the

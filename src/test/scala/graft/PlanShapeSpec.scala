@@ -86,6 +86,51 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("fused self-join keeps full shuffle width under AQE") {
+    // AQE sizes shuffles on input BYTES; the blocked self-join's in-group
+    // work is quadratic in group size and invisible to it, so an
+    // ENSURE_REQUIREMENTS exchange gets coalesced (measured: 3 tasks and a
+    // 4x slowdown at sf0.1). The operator's input must arrive via a strict
+    // REPARTITION_BY_NUM exchange, which AQE is forbidden to resize.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    import org.apache.spark.sql.graft.BlockedSelfJoinExec
+    val df = SparkEntry.queries("lsh_blocking_join")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    // materialized AQE stages wrap their subplans as members, not children —
+    // plain collect() stops at the stage boundary, so walk through them
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec => p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BlockedSelfJoinExec]),
+      s"expected BlockedSelfJoinExec:\n${df.queryExecution.executedPlan}")
+    val strict = nodes.collectFirst {
+      case s: ShuffleExchangeExec if s.shuffleOrigin == REPARTITION_BY_NUM => s
+    }
+    assert(strict.nonEmpty,
+      s"fused join input must be a strict REPARTITION_BY_NUM exchange (AQE-proof):\n" +
+        df.queryExecution.executedPlan)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(strict.get.outputPartitioning.numPartitions == n,
+      s"exchange must keep the full $n partitions, got " +
+        s"${strict.get.outputPartitioning.numPartitions}")
+    // and no AQE shuffle read may sit directly on it, resizing it after the fact
+    val resized = nodes.collect {
+      case r: AQEShuffleReadExec if (r.child match {
+        case q: QueryStageExec => q.plan match {
+          case s: ShuffleExchangeExec => s.shuffleOrigin == REPARTITION_BY_NUM
+          case _ => false
+        }
+        case _ => false
+      }) => r
+    }
+    assert(resized.isEmpty, s"AQE must not resize the strict exchange:\n$resized")
+  }
+
   test("minhash_dedup_pairs blocks on (band, hash) ids, not texts") {
     val plan = planOf("minhash_dedup_pairs")
     // the distinct before text re-attachment must aggregate only id pairs
