@@ -432,6 +432,29 @@ object SparkEntry {
         .join(media.select(col("media_id"), sha2(col("bytes"), 256).as("sha256")), "media_id")
         .orderBy("media_id")
     }),
+    // Deterministic hash-based sampling/splitting (graft.api.Sampling):
+    // sample membership is a pure function of (key, seed) — layout-,
+    // partitioning- and run-invariant, which is what makes a 100 TB data
+    // recipe reproducible. Oracles re-derive Spark's xxhash64 chain in
+    // Python (gen_oracles.spark_xxhash64) and pin the selected sets as
+    // VALUES; attribute columns are joined back from the table by DuckDB.
+    "sample_hash" -> ((s, dir) => {
+      graft.api.Sampling.sampleByHash(load(s, dir, "documents"), "doc_id", 0.2, 7L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "sample_stratified" -> ((s, dir) => {
+      graft.api.Sampling.stratifiedSampleByHash(
+          load(s, dir, "documents"), "lang", "doc_id", k = 5, seed = 11L)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+    "dataset_splits" -> ((s, dir) => {
+      graft.api.Sampling.assignSplits(load(s, dir, "documents"), "doc_id", 5L,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
     "range_join" -> ((s, dir) => {
       // orders priced into irregular bands: a point-in-interval range join,
       // bucketed (graft.api.RangeJoin) instead of nested-loop
@@ -563,6 +586,9 @@ object SparkEntry {
     "ann_topk_ivf" -> valuesOracle("ann_topk_ivf"),
     "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
+    "sample_hash" -> valuesOracle("sample_hash"),
+    "sample_stratified" -> valuesOracle("sample_stratified"),
+    "dataset_splits" -> valuesOracle("dataset_splits"),
     "lsh_jaccard_docs" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -1,0 +1,86 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, hash-based sampling and dataset splitting — the data-
+  * recipe operators of a training pipeline (subsample a corpus, hold out
+  * validation/test, cap per-source contributions), done the only way that
+  * works at 100 TB: a pure function of each row's key.
+  *
+  * Everything here is layout-, partitioning- and run-invariant: the sample
+  * a row belongs to depends only on (key, seed), never on partition order,
+  * executor count or RNG state (contrast `df.sample`, whose output changes
+  * with partitioning). That is what makes a data recipe reproducible and
+  * incrementally extensible — new data added to the corpus joins the same
+  * splits without reshuffling old rows, because old keys keep their hash.
+  *
+  * The reference has no sampling surface (its scope is the LSH kernels);
+  * these compose with it — e.g. sample → near-dup → train split.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) score from the seeded 64-bit hash of `key`: the top 53
+    * bits of `xxhash64(key, seed)` as an exact double. Codegen'd built-ins
+    * only — no UDF, no RNG, filter-friendly. */
+  def hashScore(key: Column, seed: Long): Column =
+    (shiftrightunsigned(xxhash64(key, lit(seed)), 11).cast("double")
+      / lit((1L << 53).toDouble))
+
+  /** Deterministic Bernoulli sample: keeps rows with `hashScore < fraction`.
+    * A pure narrow filter — no shuffle, no state; at scale it runs inside
+    * the scan's codegen stage and composes with pushdown on other
+    * predicates. */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double, seed: Long): DataFrame =
+    df.filter(hashScore(col(keyCol), seed) < fraction)
+
+  /** Exact per-stratum uniform sample without replacement: the `k` rows
+    * with the smallest hash scores in each stratum (hash-order top-k is a
+    * uniform k-subset; the key tiebreak makes it total).
+    *
+    * Scale note: the window sorts each stratum inside one partition, so
+    * this shape is for strata that fit a partition (languages, sources,
+    * shards — the typical case). For mega-strata, pre-thin with
+    * `prefilterFraction` (a no-shuffle Bernoulli pass with the SAME score,
+    * so survivors are exactly the stratum's smallest-score rows as long as
+    * ~k of them survive): choose ~3k / expected_stratum_size and the
+    * window then sorts thousands of rows, not billions. The two-phase
+    * result is identical to the one-phase result whenever every stratum
+    * retains >= k rows (spec-checked). */
+  def stratifiedSampleByHash(df: DataFrame, stratumCol: String, keyCol: String,
+                             k: Int, seed: Long,
+                             prefilterFraction: Option[Double] = None): DataFrame = {
+    val score = hashScore(col(keyCol), seed)
+    val thinned = prefilterFraction match {
+      case Some(f) => df.filter(score < f)
+      case None => df
+    }
+    val w = Window.partitionBy(stratumCol).orderBy(score.asc, col(keyCol).asc)
+    thinned.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** Assign every row to exactly one named split (train/val/test …) by
+    * cumulative hash-score ranges: `splits` maps name -> fraction and must
+    * sum to ~1 (the final range is closed at 1.0 so rounding can never drop
+    * a row). Pure projection — no shuffle; rows keep their split forever as
+    * the corpus grows, and the same (key, seed) yields the same split on
+    * any cluster. */
+  def assignSplits(df: DataFrame, keyCol: String, seed: Long,
+                   splits: Seq[(String, Double)],
+                   splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split fractions must sum to 1, got $total")
+    val score = hashScore(col(keyCol), seed)
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // last split is the otherwise-branch: every row lands somewhere even at
+    // the floating-point boundary score ~ 1.0
+    val expr = splits.init.zip(bounds.init).reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), hi)) => when(score < hi, name).otherwise(acc)
+    }
+    df.withColumn(splitCol, expr)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Deterministic sampling/splitting invariants: layout invariance is the
+  * whole point of hash-based sampling, so it is what the spec pins. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("sampleByHash is partitioning- and run-invariant") {
+    val a = Sampling.sampleByHash(docs, "doc_id", 0.25, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.sampleByHash(docs.repartition(7).sortWithinPartitions(desc("text")),
+        "doc_id", 0.25, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("sampleByHash hits the requested fraction and seeds are independent") {
+    val n = docs.count().toDouble
+    val f = 0.3
+    val kept = Sampling.sampleByHash(docs, "doc_id", f, seed = 1L).count().toDouble
+    assert(math.abs(kept / n - f) < 0.1, s"kept ${kept / n}, wanted ~$f")
+    val other = Sampling.sampleByHash(docs, "doc_id", f, seed = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.sampleByHash(docs, "doc_id", f, seed = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first != other, "different seeds must draw different samples")
+  }
+
+  test("stratifiedSampleByHash takes exactly k per stratum, uniform in hash order") {
+    val k = 3
+    val out = Sampling.stratifiedSampleByHash(docs, "lang", "doc_id", k, seed = 11L)
+    val perStratum = out.groupBy("lang").count().collect()
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { r =>
+      val expect = math.min(k.toLong, sizes(r.getString(0)))
+      assert(r.getLong(1) == expect, s"stratum ${r.getString(0)}")
+    }
+  }
+
+  test("prefiltered stratified sample equals the one-phase result when enough survives") {
+    val one = Sampling.stratifiedSampleByHash(docs, "lang", "doc_id", 3, seed = 11L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val two = Sampling.stratifiedSampleByHash(docs, "lang", "doc_id", 3, seed = 11L,
+        prefilterFraction = Some(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(one.sameElements(two))
+  }
+
+  test("assignSplits is exhaustive, disjoint and layout-invariant") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.assignSplits(docs, "doc_id", seed = 5L, splits)
+    assert(out.count() == docs.count(), "every row keeps exactly one split")
+    val labels = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels.keySet.subsetOf(Set("train", "val", "test")))
+    assert(labels("train") > labels.getOrElse("val", 0L))
+    val again = Sampling.assignSplits(docs.repartition(5), "doc_id", seed = 5L, splits)
+      .filter(col("split") === "test").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val first = out.filter(col("split") === "test").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(first.sameElements(again))
+  }
+
+  test("assignSplits rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, "doc_id", 5L, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("sampleByHash stays a narrow plan: no exchange, filter in the scan stage") {
+    val plan = Sampling.sampleByHash(docs, "doc_id", 0.25, 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
+  }
+}

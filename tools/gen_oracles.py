@@ -490,9 +490,71 @@ def main(sf_dir, spark_dir):
         "ORDER BY key_a, key_b")
     custom["lsh_blocking_join"] = (pairs, ("key_a", "key_b"), blocking_sql)
 
+    # ---- deterministic hash sampling / splits (mirror graft.api.Sampling) ----
+    # Sampling.hashScore = top 53 bits of xxhash64(key, seed) as an exact
+    # double in [0,1) — bit-identical here, so the selected sets are an
+    # independent re-derivation; attribute columns (source, n_chars, lang)
+    # are joined back from the table by DuckDB itself.
+    def hash_score(key, seed):
+        return ((spark_xxhash64(key, seed) & M64) >> 11) / float(1 << 53)
+
+    drows = con.execute(
+        f"SELECT doc_id, lang, source, n_chars FROM '{sf_dir}/documents.parquet'"
+        " ORDER BY doc_id").fetchall()
+
+    sample_rows = [(did, src, nch) for did, _lang, src, nch in drows
+                   if hash_score(did, 7) < 0.2]
+    sample_sql = (
+        "WITH sel(doc_id) AS (VALUES\n"
+        f"{values_block([(r[0],) for r in sample_rows])}\n)\n"
+        "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, d.source, d.n_chars\n"
+        "FROM sel s JOIN documents d ON d.doc_id = s.doc_id\n"
+        "ORDER BY doc_id")
+    custom["sample_hash"] = (sample_rows, ("doc_id", "source", "n_chars"), sample_sql)
+
+    by_lang = {}
+    for did, lang, _src, _nch in drows:
+        by_lang.setdefault(lang, []).append(did)
+    strat_rows = sorted(
+        (lang, did) for lang, ids in by_lang.items()
+        for did in sorted(ids, key=lambda i: (hash_score(i, 11), i))[:5])
+    strat_sql = (
+        "WITH sel(doc_id) AS (VALUES\n"
+        f"{values_block([(did,) for _lang, did in strat_rows])}\n)\n"
+        "SELECT d.lang, CAST(s.doc_id AS BIGINT) AS doc_id\n"
+        "FROM sel s JOIN documents d ON d.doc_id = s.doc_id\n"
+        "ORDER BY lang, doc_id")
+    custom["sample_stratified"] = (strat_rows, ("lang", "doc_id"), strat_sql)
+
+    # split bounds accumulate left-to-right exactly like Sampling.assignSplits'
+    # scanLeft — do NOT replace with literals (0.8 + 0.1 in binary is not 0.9)
+    split_fracs = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    bounds, acc = [], 0.0
+    for nm, f in split_fracs:
+        acc += f
+        bounds.append((nm, acc))
+
+    def split_of(did):
+        sc = hash_score(did, 5)
+        for nm, hi in bounds[:-1]:
+            if sc < hi:
+                return nm
+        return bounds[-1][0]
+
+    split_rows = [(did, split_of(did)) for did, _lang, _src, _nch in drows]
+    split_sql = (
+        "WITH sel(doc_id, split) AS (VALUES\n"
+        + ",\n".join(f"({did}, '{sp}')" for did, sp in split_rows)
+        + "\n)\nSELECT CAST(doc_id AS BIGINT) AS doc_id,"
+          " CAST(split AS VARCHAR) AS split\nFROM sel\nORDER BY doc_id")
+    custom["dataset_splits"] = (split_rows, ("doc_id", "split"), split_sql)
+
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
-                    "lsh_blocking_join": "key_a, key_b"}
+                    "lsh_blocking_join": "key_a, key_b",
+                    "sample_hash": "doc_id",
+                    "sample_stratified": "lang, doc_id",
+                    "dataset_splits": "doc_id"}
     ok = True
     for name, (cols, types, rows, order_by) in queries.items():
         if spark_dir:
