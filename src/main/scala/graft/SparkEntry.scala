@@ -455,6 +455,19 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     }),
+    // Benchmark decontamination (graft.api.Contamination): the "benchmark"
+    // is a hash-sampled 2% of the corpus (deterministic, so the oracle can
+    // re-derive it); flag corpus docs sharing >= 50 distinct 8-gram
+    // shingles with any benchmark doc. Broadcast-join shape: the corpus
+    // side never shuffles. Oracle recomputes the shingle-set intersections
+    // in Python (vk.shingles_from_text, golden-gated).
+    "contamination_check" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val bench = graft.api.Sampling.sampleByHash(docs, "doc_id", 0.02, 99L)
+      graft.api.Contamination.sharedNgrams(docs, bench, "doc_id", "text",
+          ngramWidth = 8, minShared = 50L)
+        .orderBy("doc_id", "bench_id")
+    }),
     "range_join" -> ((s, dir) => {
       // orders priced into irregular bands: a point-in-interval range join,
       // bucketed (graft.api.RangeJoin) instead of nested-loop
@@ -587,6 +600,7 @@ object SparkEntry {
     "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
     "sample_hash" -> valuesOracle("sample_hash"),
+    "contamination_check" -> valuesOracle("contamination_check"),
     "sample_stratified" -> valuesOracle("sample_stratified"),
     "dataset_splits" -> valuesOracle("dataset_splits"),
     "lsh_jaccard_docs" ->

@@ -1,0 +1,61 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find corpus documents that share n-gram
+  * content with an evaluation/benchmark set — the standard pre-training
+  * hygiene pass (an eval example leaking into the training corpus inflates
+  * downstream scores).
+  *
+  * Shape chosen for the real cardinalities: benchmarks are tiny (10^3..10^5
+  * documents) while the corpus is the 100 TB side, so the benchmark's
+  * exploded shingle hashes are BROADCAST and the corpus is never shuffled —
+  * each corpus partition streams once through scan → shingle → broadcast
+  * hash join → partial count aggregation. The only shuffle is the final
+  * per-(doc, bench) count combine, whose volume is bounded by actual
+  * overlap, not corpus size.
+  *
+  * Shingle identity is the same u32 FxHash set `lsh_min` minimizes over and
+  * `lsh_jaccard` intersects ([[graft.functions.shingle_hashes]],
+  * shingleset.rs:24-35), so "shared shingles" here is exactly the
+  * intersection-size numerator of the reference's jaccard.
+  */
+object Contamination {
+
+  /** (doc_id, bench_id, shared_ngrams) for every corpus/benchmark pair
+    * sharing at least `minShared` distinct `ngramWidth`-gram shingles.
+    * Corpus rows whose id appears in the benchmark are excluded (a
+    * benchmark hosted inside the corpus table would otherwise match
+    * itself).
+    *
+    * @param minShared contamination threshold in distinct shared n-grams;
+    *                  with w=8 and typical prose, >= 8 shared 8-grams is a
+    *                  strong verbatim-overlap signal (tune per corpus).
+    */
+  def sharedNgrams(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                   textCol: String, ngramWidth: Int, minShared: Long): DataFrame = {
+    def exploded(df: DataFrame, outId: String) =
+      df.filter(col(textCol).isNotNull && length(col(textCol)) >= ngramWidth)
+        .select(col(idCol).cast("long").as(outId),
+          explode(graft.functions.shingle_hashes(col(textCol), ngramWidth)).as("sh"))
+    // shingle_hashes emits distinct shingles per document, so the join hits
+    // each (corpus doc, bench doc, shared shingle) exactly once and a plain
+    // count is the distinct intersection size — no count(distinct) Expand.
+    exploded(corpus, "doc_id")
+      .join(broadcast(exploded(benchmark, "bench_id")), "sh")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** The clean corpus: drop every document flagged against the benchmark.
+    * Left-anti join on the flagged id set — ids only, payloads untouched. */
+  def removeContaminated(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, ngramWidth: Int, minShared: Long): DataFrame = {
+    val flagged = sharedNgrams(corpus, benchmark, idCol, textCol, ngramWidth, minShared)
+      .select(col("doc_id")).distinct()
+    corpus.join(flagged, corpus(idCol) === flagged("doc_id"), "left_anti")
+  }
+}

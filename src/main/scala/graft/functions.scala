@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{ColumnShim, HammingDist, LshEuclidean, LshJaccard, LshMin, MinFingerprint, SimHash64, WinnowFingerprint}
+import org.apache.spark.sql.graft.{ColumnShim, HammingDist, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -65,4 +65,9 @@ object functions {
   /** Winnowed k-gram fingerprint set (window w). */
   def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
     toCol(WinnowFingerprint(col2expr(text), col2expr(lit(k.toLong)), col2expr(lit(w.toLong))))
+
+  /** Sorted distinct u32 FxHash shingle set of the text's w-code-point
+    * windows — the set lsh_min/lsh_jaccard operate on, as a column. */
+  def shingle_hashes(text: Column, ngramWidth: Int): Column =
+    toCol(ShingleHashes(col2expr(text), col2expr(lit(ngramWidth.toLong))))
 }

@@ -55,6 +55,31 @@ case class MinFingerprint(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** shingle_hashes(text, w): the sorted distinct u32 FxHash shingle set of
+  * the text's w-code-point windows — the same set every lsh_min band
+  * minimizes over (shingleset.rs:24-35) and lsh_jaccard intersects,
+  * exposed as a column so set-level operators (n-gram overlap /
+  * decontamination joins) can explode and join on shingle identity.
+  * Ascending order is part of the contract (deterministic output). */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def prettyName: String = "shingle_hashes"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
+    LshParams.checkConstant(Seq(right -> "ngram_width"))
+  }
+  @transient private lazy val w = LshParams.evalLong(right, "ngram_width").toInt
+  override protected def nullSafeEval(v: Any, wv: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    new GenericArrayData(Shingles.sortedShinglesUtf8(bytes, 0, bytes.length, w))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** winnow_fingerprint(text, k, w): winnowed k-gram fingerprint set. */
 case class WinnowFingerprint(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {

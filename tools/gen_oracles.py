@@ -549,6 +549,23 @@ def main(sf_dir, spark_dir):
           " CAST(split AS VARCHAR) AS split\nFROM sel\nORDER BY doc_id")
     custom["dataset_splits"] = (split_rows, ("doc_id", "split"), split_sql)
 
+    # ---- contamination_check: shared 8-gram shingles vs a hash-sampled
+    # "benchmark" (2%, seed 99 — same deterministic sample the query draws).
+    # Shingle sets via vk.shingles_from_text (golden-gated on import), so
+    # the intersection counts are an independent re-derivation of the
+    # Scala ShingleHashes explode + broadcast join + count.
+    bench_ids = {did for did, _t in docs if hash_score(did, 99) < 0.02}
+    cont_sets = {did: vk.shingles_from_text(t, 8)
+                 for did, t in docs if t is not None and len(t) >= 8}
+    cont_rows = sorted(
+        (did, bid, len(cont_sets[did] & cont_sets[bid]))
+        for bid in bench_ids if bid in cont_sets
+        for did in cont_sets if did != bid
+        if len(cont_sets[did] & cont_sets[bid]) >= 50)
+    queries["contamination_check"] = (("doc_id", "bench_id", "shared_ngrams"),
+                                      ("BIGINT", "BIGINT", "BIGINT"),
+                                      cont_rows, "doc_id, bench_id")
+
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
                     "lsh_blocking_join": "key_a, key_b",
