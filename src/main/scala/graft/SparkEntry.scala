@@ -464,8 +464,13 @@ object SparkEntry {
     "contamination_check" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
       val bench = graft.api.Sampling.sampleByHash(docs, "doc_id", 0.02, 99L)
+      // corpusParallelism: the fixture is one parquet split, which would
+      // serialize the corpus-side explode (a local artifact — at real scale
+      // the scan's splits provide this and None is correct; see scaladoc)
       graft.api.Contamination.sharedNgrams(docs, bench, "doc_id", "text",
-          ngramWidth = 8, minShared = 50L)
+          ngramWidth = 8, minShared = 50L,
+          corpusParallelism =
+            Some(s.conf.get("spark.sql.shuffle.partitions").toInt))
         .orderBy("doc_id", "bench_id")
     }),
     "range_join" -> ((s, dir) => {

@@ -32,17 +32,30 @@ object Contamination {
     * @param minShared contamination threshold in distinct shared n-grams;
     *                  with w=8 and typical prose, >= 8 shared 8-grams is a
     *                  strong verbatim-overlap signal (tune per corpus).
+    * @param corpusParallelism OPT-IN corpus repartition before the shingle
+    *                  explode, for inputs whose split count is below the
+    *                  cluster's cores (single-file fixtures, few huge row
+    *                  groups — measured: a one-split scan serializes the
+    *                  whole explode+join). Leave None at real scale: scan
+    *                  splits already provide the parallelism, and a corpus-
+    *                  sized shuffle is exactly what this operator exists to
+    *                  avoid.
     */
   def sharedNgrams(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-                   textCol: String, ngramWidth: Int, minShared: Long): DataFrame = {
+                   textCol: String, ngramWidth: Int, minShared: Long,
+                   corpusParallelism: Option[Int] = None): DataFrame = {
     def exploded(df: DataFrame, outId: String) =
       df.filter(col(textCol).isNotNull && length(col(textCol)) >= ngramWidth)
         .select(col(idCol).cast("long").as(outId),
           explode(graft.functions.shingle_hashes(col(textCol), ngramWidth)).as("sh"))
+    val corpusSide = corpusParallelism match {
+      case Some(n) => corpus.repartition(n, col(idCol))
+      case None => corpus
+    }
     // shingle_hashes emits distinct shingles per document, so the join hits
     // each (corpus doc, bench doc, shared shingle) exactly once and a plain
     // count is the distinct intersection size — no count(distinct) Expand.
-    exploded(corpus, "doc_id")
+    exploded(corpusSide, "doc_id")
       .join(broadcast(exploded(benchmark, "bench_id")), "sh")
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
