@@ -455,6 +455,28 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     }),
+    // Corpus-wide token histogram (vocabulary building): explode + two-phase
+    // agg + TakeOrderedAndProject top-k. Oracle: DuckDB recomputes the same
+    // histogram from scratch (genuinely comparable work, not VALUES).
+    "vocab_topk" -> ((s, dir) => {
+      graft.api.TextAnalysis.vocabTopK(load(s, dir, "documents"), "text", 100)
+        .orderBy(col("cnt").desc, col("token").asc)
+    }),
+    // Deterministic training-order shuffle: position is a pure function of
+    // (doc_id, seed). The API op (Sampling.shuffleByHash) is the scalable
+    // range-partitioned sort; the verification query adds row_number over
+    // the same order to pin positions (single-partition window — fine for a
+    // correctness dump, not part of the API shape).
+    "corpus_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(
+        graft.api.Sampling.hashScore(col("doc_id"), 21L).asc, col("doc_id").asc)
+      load(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("pos", "doc_id")
+        .orderBy("pos")
+    }),
     // Benchmark decontamination (graft.api.Contamination): the "benchmark"
     // is a hash-sampled 2% of the corpus (deterministic, so the oracle can
     // re-derive it); flag corpus docs sharing >= 50 distinct 8-gram
@@ -606,6 +628,15 @@ object SparkEntry {
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
     "sample_hash" -> valuesOracle("sample_hash"),
     "contamination_check" -> valuesOracle("contamination_check"),
+    "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
+    "vocab_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 100""".stripMargin,
     "sample_stratified" -> valuesOracle("sample_stratified"),
     "dataset_splits" -> valuesOracle("dataset_splits"),
     "lsh_jaccard_docs" ->

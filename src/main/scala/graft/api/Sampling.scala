@@ -62,6 +62,14 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Deterministic corpus shuffle: total-order the rows by (hash score,
+    * key) — the reproducible training-order shuffle. Plans as a range-
+    * partitioned global sort (sampling pass + sort pass), the scalable
+    * shape; the order is a pure function of (key, seed), so re-runs, other
+    * clusters and other partitionings produce the identical sequence. */
+  def shuffleByHash(df: DataFrame, keyCol: String, seed: Long): DataFrame =
+    df.orderBy(hashScore(col(keyCol), seed).asc, col(keyCol).asc)
+
   /** Assign every row to exactly one named split (train/val/test …) by
     * cumulative hash-score ranges: `splits` maps name -> fraction and must
     * sum to ~1 (the final range is closed at 1.0 so rounding can never drop

@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID (stopword
@@ -59,4 +59,25 @@ object TextAnalysis {
     val stopTerm = least(lit(1.0), stopwordRatio(text) * 4.0)
     lenTerm * 0.4 + divTerm * 0.3 + stopTerm * 0.3
   }
+
+  /** Corpus-wide token histogram, descending — the vocabulary-building scan
+    * of a tokenizer/BPE training pipeline. Tokens are maximal lowercase
+    * `[a-z]+` runs (everything else separates), a deterministic ASCII
+    * normalization any engine reproduces exactly.
+    *
+    * Shape: explode → two-phase hash aggregation (map-side partial combine
+    * collapses each partition to its distinct tokens — vocabulary-sized,
+    * not corpus-sized — before the one shuffle). `topK` then plans as
+    * TakeOrderedAndProject: per-partition heaps + a driver merge of k rows,
+    * never a full sort of the vocabulary. */
+  def vocabCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Top-k vocabulary by count, ties broken alphabetically (total order —
+    * reproducible across engines). */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    vocabCounts(df, textCol).orderBy(col("cnt").desc, col("token").asc).limit(k)
 }

@@ -76,6 +76,27 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffleByHash is a reproducible total order, invariant to input layout") {
+    val a = Sampling.shuffleByHash(docs, "doc_id", 21L)
+      .select("doc_id").collect().map(_.getLong(0))
+    val b = Sampling.shuffleByHash(docs.repartition(7), "doc_id", 21L)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(a.sameElements(b), "shuffle order must not depend on partitioning")
+    assert(!a.sameElements(a.sorted), "seeded order should differ from id order")
+    assert(a.toSet == docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("vocabTopK plans top-k as TakeOrderedAndProject, not a full sort") {
+    val df = TextAnalysis.vocabTopK(docs, "text", 20)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    // descending counts with alphabetic tiebreak — a total order
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (c, t) => (-c, t) }))
+  }
+
   test("sampleByHash stays a narrow plan: no exchange, filter in the scan stage") {
     val plan = Sampling.sampleByHash(docs, "doc_id", 0.25, 7L)
       .queryExecution.executedPlan.toString

@@ -566,6 +566,15 @@ def main(sf_dir, spark_dir):
                                       ("BIGINT", "BIGINT", "BIGINT"),
                                       cont_rows, "doc_id, bench_id")
 
+    # ---- corpus_shuffle: deterministic training order (seed 21) ----
+    # position = rank in (hash_score, doc_id) order — the same pure function
+    # of (key, seed) Sampling.shuffleByHash sorts by.
+    shuffled = sorted((did for did, _t in docs),
+                      key=lambda did: (hash_score(did, 21), did))
+    queries["corpus_shuffle"] = (("pos", "doc_id"), ("BIGINT", "BIGINT"),
+                                 [(pos + 1, did) for pos, did in enumerate(shuffled)],
+                                 "pos")
+
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
                     "lsh_blocking_join": "key_a, key_b",
