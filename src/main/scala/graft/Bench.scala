@@ -18,6 +18,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

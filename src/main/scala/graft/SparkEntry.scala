@@ -422,6 +422,20 @@ object SparkEntry {
           bucketWidth = 4.0, bandCount = 8, bandSize = 2, seed = 7L)
         .orderBy("query_id", "rank")
     }),
+    "ann_topk_lsh_bucketed" -> ((s, dir) => {
+      // the production repeat-batch layout: the band explosion is persisted
+      // as a bucketed+sorted table ONCE, and the batch join reads it with
+      // zero corpus-side exchange (PlanShapeSpec pins the plan). Results are
+      // identical to ann_topk_lsh by construction — same family, same seed.
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      graft.api.Ann.saveBucketedCorpus(emb, "graft_ann_bucketed_idx", 8,
+        bucketWidth = 4.0, bandCount = 8, bandSize = 2, seed = 7L)
+      graft.api.Ann.lshBucketedTopKFromTable("graft_ann_bucketed_idx",
+          emb, emb.filter(col("vec_id") < 10), 5,
+          bucketWidth = 4.0, bandCount = 8, bandSize = 2, seed = 7L)
+        .orderBy("query_id", "rank")
+    }),
     "multimodal_features" -> ((s, dir) => {
       // documents.text as an opaque binary payload: byte-level features via
       // the partition-batched extractor + a sha256 checksum column
@@ -623,6 +637,7 @@ object SparkEntry {
     // embeddings table for the ANN sims; an exact 2-gram-Jaccard > 0.8
     // recheck every blocking pair must survive).
     "ann_topk_lsh" -> valuesOracle("ann_topk_lsh"),
+    "ann_topk_lsh_bucketed" -> valuesOracle("ann_topk_lsh_bucketed"),
     "ann_topk_ivf" -> valuesOracle("ann_topk_ivf"),
     "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),

@@ -70,6 +70,52 @@ object Ann {
       bandedExplode(corpus, "neighbor_id", bucketWidth, bandCount, bandSize, seed, idCol, vecCol),
       corpus, queries, k, bucketWidth, bandCount, bandSize, seed, idCol, vecCol)
 
+  /** Persist the [[bucketCorpus]] layout as a Spark bucketed table — the
+    * production form of the pre-bucketed ANN index (docs/SCALE.md). The
+    * `(band, band_hash, neighbor_id)` rows are written parquet, bucketed AND
+    * sorted on the band-join key, so every subsequent query batch's band
+    * join reads the corpus side with **zero exchange**: the bucketed scan
+    * already satisfies the join's required distribution, and only the (tiny)
+    * query side shuffles — into `numBuckets` partitions to match. At 100 TB
+    * this turns every repeat batch from "re-hash + re-shuffle the corpus"
+    * into "shuffle the batch".
+    *
+    * `numBuckets` is the corpus-side parallelism for all future batches:
+    * size it like a shuffle-partition count for the exploded corpus
+    * (rows × bandCount), not the raw corpus. Re-run to refresh the index
+    * after corpus changes (mode=overwrite). */
+  def saveBucketedCorpus(corpus: DataFrame, table: String, numBuckets: Int,
+                         bucketWidth: Double, bandCount: Int, bandSize: Int, seed: Long,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // with an in-memory catalog the table registration dies with the JVM but
+    // its warehouse directory survives, and CREATE refuses the orphaned
+    // location — best-effort cleanup for unqualified names in `default`
+    if (!table.contains('.')) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    bandedExplode(corpus, "neighbor_id", bucketWidth, bandCount, bandSize, seed, idCol, vecCol)
+      .write.format("parquet")
+      .bucketBy(numBuckets, "band", "band_hash")
+      .sortBy("band", "band_hash")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** [[lshBucketedTopK]] served from a [[saveBucketedCorpus]] table: the
+    * corpus is neither re-hashed nor re-shuffled — the band join consumes
+    * the bucketed layout in place. */
+  def lshBucketedTopKFromTable(table: String, corpus: DataFrame,
+                               queries: DataFrame, k: Int,
+                               bucketWidth: Double, bandCount: Int, bandSize: Int, seed: Long,
+                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshBucketedTopKPrebucketed(corpus.sparkSession.table(table), corpus, queries, k,
+      bucketWidth, bandCount, bandSize, seed, idCol, vecCol)
+
   /** [[lshBucketedTopK]] against a pre-materialized [[bucketCorpus]] layout:
     * the corpus explosion is read, not recomputed. */
   def lshBucketedTopKPrebucketed(bucketedCorpus: DataFrame, corpus: DataFrame,

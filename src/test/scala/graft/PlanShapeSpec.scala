@@ -86,6 +86,53 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed ANN index: corpus side of the band join has zero exchange") {
+    // the production repeat-batch layout (docs/SCALE.md): the persisted
+    // bucketed+sorted table must satisfy the band join's distribution by
+    // itself — the only shuffle in the candidate join is the query side
+    // being hashed into the table's bucket count. Broadcast is disabled so
+    // the join actually exercises the distribution (a broadcast would hide
+    // a mis-bucketed table).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    graft.api.Ann.saveBucketedCorpus(emb, "graft_plan_bucket_idx", 4,
+      bucketWidth = 4.0, bandCount = 8, bandSize = 2, seed = 7L)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the candidate join subplan, query side built from public pieces
+      val qside = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          posexplode(graft.functions.lsh_euclidean(col("embedding"), 4.0, 8, 2, 7L)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      val j = qside.join(spark.table("graft_plan_bucket_idx"), Seq("band", "band_hash"))
+      assert(j.collect().nonEmpty)
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+        case q: QueryStageExec => p +: walk(q.plan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+      val nodes = walk(j.queryExecution.executedPlan)
+      val scans = nodes.collect { case s: FileSourceScanExec => s }
+      assert(scans.exists(_.bucketedScan),
+        s"corpus side must be a bucketed scan:\n${j.queryExecution.executedPlan}")
+      val exchanges = nodes.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 1,
+        s"only the query side may shuffle (got ${exchanges.size}):\n" +
+          j.queryExecution.executedPlan)
+      assert(exchanges.head.outputPartitioning.numPartitions == 4,
+        "query side must shuffle into the table's bucket count")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_plan_bucket_idx")
+    }
+  }
+
   test("fused self-join keeps full shuffle width under AQE") {
     // AQE sizes shuffles on input BYTES; the blocked self-join's in-group
     // work is quadratic in group size and invisible to it, so an

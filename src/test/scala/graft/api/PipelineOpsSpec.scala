@@ -222,6 +222,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally bucketed.unpersist()
   }
 
+  test("Ann bucketed-table index serves identical results to the direct path") {
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(6)(d => math.cos(i * 0.7 + d) * 3.0))).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 3)
+    val direct = Ann.lshBucketedTopK(vecs, qs, k = 3,
+      bucketWidth = 4.0, bandCount = 4, bandSize = 2, seed = 7L)
+      .orderBy("query_id", "rank").collect()
+    Ann.saveBucketedCorpus(vecs, "graft_test_bucket_idx", 4,
+      bucketWidth = 4.0, bandCount = 4, bandSize = 2, seed = 7L)
+    try {
+      val fromTable = Ann.lshBucketedTopKFromTable("graft_test_bucket_idx",
+        vecs, qs, k = 3, bucketWidth = 4.0, bandCount = 4, bandSize = 2, seed = 7L)
+      assert(fromTable.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq ==
+        direct.map(_.toSeq).toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_bucket_idx")
+  }
+
   test("Ann quantizer training is invariant under corpus repartitioning") {
     // the sample is keyed on xxhash64(id, seed), never scan order: a layout
     // change (repartition, sorted input) must not move a single centroid

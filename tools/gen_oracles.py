@@ -463,6 +463,12 @@ def main(sf_dir, spark_dir):
                              band_size=2, seed=7)
     custom["ann_topk_lsh"] = (lsh_rows, ("query_id", '"rank"', "neighbor_id", "sim"),
                               ann_oracle_sql([r[:3] for r in lsh_rows]))
+    # the bucketed-table variant serves the SAME index from a persisted
+    # layout — bit-identical results by construction, separate driver row so
+    # the materialized path is independently gated
+    custom["ann_topk_lsh_bucketed"] = (lsh_rows,
+                                       ("query_id", '"rank"', "neighbor_id", "sim"),
+                                       ann_oracle_sql([r[:3] for r in lsh_rows]))
 
     ivf_rows = ivf_topk_rows(vecs, k=5, nlist=16, nprobe=4, seed=99,
                              iters=5, sample_size=10000)
@@ -576,6 +582,7 @@ def main(sf_dir, spark_dir):
                                  "pos")
 
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
+                    "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
                     "lsh_blocking_join": "key_a, key_b",
                     "sample_hash": "doc_id",
