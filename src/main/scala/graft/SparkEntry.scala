@@ -387,6 +387,22 @@ object SparkEntry {
       // oracleSql comment)
       nearDupPairsShared(s, dir).orderBy("id_a", "id_b")
     }),
+    "incremental_dedup" -> ((s, dir) => {
+      // incremental ingestion at 100 TB: the admitted corpus's band
+      // signatures are persisted ONCE as a bucketed table; admitting a new
+      // batch hashes and shuffles only the batch — the index side of the
+      // band join reads in place with zero exchange. Oracle is the DuckDB
+      // brute-force cross ground truth (recall deterministically 1 at these
+      // params, same family as minhash_dedup_pairs).
+      val docs = load(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+      graft.api.BandedLsh.saveSignatureIndex(corpus, "graft_sig_idx", 8,
+        "doc_id", "text", 4, 8, 3, 123L)
+      graft.api.BandedLsh.nearDupAgainstIndex("graft_sig_idx", corpus, batch,
+          "doc_id", "text", 4, 8, 3, 123L, 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
     "dedup_clusters" -> ((s, dir) => {
       // connected-component labels over the minhash near-dup graph
       // (union-find / hash-min; each doc labeled with its cluster min id);
@@ -773,6 +789,22 @@ object SparkEntry {
         |WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // Cross ground truth for the incremental path: every (batch >= 400,
+    // corpus < 400) pair above the exact-Jaccard threshold — if the indexed
+    // band join missed one (recall < 1) or invented one, rows mismatch.
+    "incremental_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 3),
+        |                                      i -> substring(text, CAST(i AS INT), 4))) AS grams
+        |  FROM documents WHERE length(text) >= 4)
+        |SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id,
+        |       CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |       / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) AS sim
+        |FROM g a JOIN g b ON b.doc_id >= 400 AND a.doc_id < 400
+        |WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.5
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     // Connected components over the same ground-truth pair graph, via
     // transitive closure (the graph is tiny: only near-dup nodes appear).
     "dedup_clusters" ->

@@ -86,25 +86,10 @@ object Ann {
     * after corpus changes (mode=overwrite). */
   def saveBucketedCorpus(corpus: DataFrame, table: String, numBuckets: Int,
                          bucketWidth: Double, bandCount: Int, bandSize: Int, seed: Long,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val spark = corpus.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // with an in-memory catalog the table registration dies with the JVM but
-    // its warehouse directory survives, and CREATE refuses the orphaned
-    // location — best-effort cleanup for unqualified names in `default`
-    if (!table.contains('.')) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
-    bandedExplode(corpus, "neighbor_id", bucketWidth, bandCount, bandSize, seed, idCol, vecCol)
-      .write.format("parquet")
-      .bucketBy(numBuckets, "band", "band_hash")
-      .sortBy("band", "band_hash")
-      .mode("overwrite")
-      .saveAsTable(table)
-  }
+                         idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    BucketedWrite.saveBucketed(
+      bandedExplode(corpus, "neighbor_id", bucketWidth, bandCount, bandSize, seed, idCol, vecCol),
+      table, numBuckets, Seq("band", "band_hash"))
 
   /** [[lshBucketedTopK]] served from a [[saveBucketedCorpus]] table: the
     * corpus is neither re-hashed nor re-shuffled — the band join consumes

@@ -146,6 +146,54 @@ object BandedLsh {
       .distinct() // a pair found in k bands carries the same sim k times
   }
 
+  /** Persist the corpus's banded MinHash signatures as a bucketed table —
+    * the incremental-ingestion index. `(band, band_hash, corpus_id)` rows,
+    * bucketed AND sorted on the band-join key: every future
+    * [[nearDupAgainstIndex]] batch joins the index with **zero corpus-side
+    * exchange** (the bucketed scan satisfies the join's distribution), so
+    * admitting a new batch to a 100 TB deduplicated corpus costs
+    * hash+shuffle of the BATCH, never a corpus pass. Ids only — texts stay
+    * in the corpus table and re-attach per candidate by id join.
+    *
+    * Rebuild after compaction; for rolling ingestion append the admitted
+    * batch's own band rows (`bandedRows`) with `insertInto`. */
+  def saveSignatureIndex(corpus: DataFrame, table: String, numBuckets: Int,
+                         idCol: String, textCol: String,
+                         ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long): Unit =
+    BucketedWrite.saveBucketed(
+      bandedRows(corpus, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
+        .select(col("band"), col("band_hash"), col(idCol).as("corpus_id")),
+      table, numBuckets, Seq("band", "band_hash"))
+
+  /** Near-dup pairs between an incoming `batch` and an indexed corpus
+    * ([[saveSignatureIndex]]): band-collide the batch's signatures against
+    * the index, then exact-Jaccard-verify each candidate. Returns
+    * `(batch_id, corpus_id, sim)` with sim > threshold — the admission
+    * filter for incremental dedup ("drop the batch doc if it near-dups
+    * anything already admitted"). The LSH params MUST match the ones the
+    * index was built with (same family, same seed) or recall silently
+    * collapses; batch docs that also appear in the corpus id-space are
+    * excluded from self-pairing. */
+  def nearDupAgainstIndex(indexTable: String, corpus: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
+                          threshold: Double): DataFrame = {
+    val idx = batch.sparkSession.table(indexTable)
+    val cand = bandedRows(batch, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
+      .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
+      .join(idx, Seq("band", "band_hash"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    cand
+      .join(batch.select(col(idCol).as("batch_id"), col(textCol).as("batch_text")), "batch_id")
+      .join(corpus.select(col(idCol).as("corpus_id"), col(textCol).as("corpus_text")), "corpus_id")
+      .withColumn("sim",
+        graft.functions.lsh_jaccard(col("batch_text"), col("corpus_text"), ngramWidth))
+      .filter(col("sim") > threshold)
+      .select("batch_id", "corpus_id", "sim")
+  }
+
   /** Greedy duplicate-cluster assignment: every id maps to the smallest id it
     * is (transitively) connected to in the near-dup pair graph.
     *

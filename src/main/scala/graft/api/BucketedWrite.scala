@@ -1,0 +1,31 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared writer for persisted index layouts ([[Ann.saveBucketedCorpus]],
+  * [[BandedLsh.saveSignatureIndex]]): a parquet table bucketed AND sorted on
+  * the join keys, so downstream equi-joins on those keys read the table with
+  * zero exchange — the bucketed scan satisfies the join's required
+  * distribution by itself. */
+private[api] object BucketedWrite {
+
+  def saveBucketed(df: DataFrame, table: String, numBuckets: Int,
+                   keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // with an in-memory catalog the table registration dies with the JVM but
+    // its warehouse directory survives, and CREATE refuses the orphaned
+    // location — best-effort cleanup for unqualified names in `default`
+    if (!table.contains('.')) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    df.write.format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+}

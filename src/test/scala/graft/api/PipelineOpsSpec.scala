@@ -222,6 +222,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally bucketed.unpersist()
   }
 
+  test("signature index: batch-vs-index pairs equal the self-join's cross pairs") {
+    // incremental ingestion must find exactly the near-dup pairs the full
+    // (corpus + batch) self-join finds between the two sides — same family,
+    // same seed, same verify threshold
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" < 35)
+    val batch = docs.filter($"doc_id" >= 35)
+    val full = BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.3)
+      .filter(($"id_a" < 35) =!= ($"id_b" < 35))
+      .select(greatest($"id_a", $"id_b").as("batch_id"),
+        least($"id_a", $"id_b").as("corpus_id"), $"sim")
+      .orderBy("batch_id", "corpus_id").collect()
+    BandedLsh.saveSignatureIndex(corpus, "graft_test_sig_idx", 4,
+      "doc_id", "text", 4, 8, 3, 123L)
+    try {
+      val inc = BandedLsh.nearDupAgainstIndex("graft_test_sig_idx", corpus, batch,
+          "doc_id", "text", 4, 8, 3, 123L, 0.3)
+        .orderBy("batch_id", "corpus_id").collect()
+      assert(inc.nonEmpty, "fixture must contain at least one cross pair")
+      assert(inc.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_sig_idx")
+  }
+
   test("Ann bucketed-table index serves identical results to the direct path") {
     val vecs = (0L until 60L).map(i =>
       (i, Array.tabulate(6)(d => math.cos(i * 0.7 + d) * 3.0))).toDF("vec_id", "embedding")
