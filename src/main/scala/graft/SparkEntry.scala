@@ -353,6 +353,10 @@ object SparkEntry {
           graft.api.TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
+    "repetition_stats" -> ((s, dir) => {
+      graft.api.TextAnalysis.repetitionStats(load(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
     "doc_signatures" -> ((s, dir) => {
       // SimHash + rolling-min + winnowed fingerprints (rows-only: FxHash64
       // chains are not expressible in DuckDB; pinned by PipelineOpsSpec).
@@ -887,6 +891,25 @@ object SparkEntry {
         |         + CAST(length(list_distinct(ws)) AS DOUBLE) / length(ws) * 0.3
         |         + least(1.0, CAST(h_en AS DOUBLE) / length(ws) * 4.0) * 0.3 AS quality
         |FROM w ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(words) AS word_count,
+        |         1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dup_word_frac,
+        |         CASE WHEN len(words) < 2 THEN [] ELSE
+        |           list_transform(generate_series(1, len(words) - 1),
+        |                          i -> words[i] || ' ' || words[i + 1]) END AS grams
+        |  FROM w),
+        |gc AS (SELECT doc_id, gram, count(*) AS c
+        |       FROM base, unnest(grams) AS t(gram) GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total, count(*) AS ndistinct
+        |        FROM gc GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.word_count AS BIGINT) AS word_count, b.dup_word_frac,
+        |       coalesce(CAST(a.maxc AS DOUBLE) / a.total, 0.0) AS top_2gram_frac,
+        |       coalesce(CAST(a.total - a.ndistinct AS DOUBLE) / a.total, 0.0) AS dup_2gram_frac
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "cosine_adjacent" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim

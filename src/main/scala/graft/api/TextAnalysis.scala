@@ -80,4 +80,47 @@ object TextAnalysis {
     * reproducible across engines). */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
     vocabCounts(df, textCol).orderBy(col("cnt").desc, col("token").asc).limit(k)
+
+  /** Per-document repetition signals (the Gopher-rule family): repeated
+    * words and word-2-grams are the classic marker of boilerplate /
+    * degenerate text that quality-filtering drops before training.
+    *
+    *  - `word_count`     — whitespace tokens
+    *  - `dup_word_frac`  — 1 − distinct/total words
+    *  - `top_2gram_frac` — occurrences of the most frequent word 2-gram,
+    *                        over all 2-gram occurrences
+    *  - `dup_2gram_frac` — fraction of 2-gram occurrences beyond each
+    *                        gram's first (1 − distinct/total)
+    *
+    * Shape: the 2-gram mode is computed the scale way — explode the grams,
+    * two-phase count per (doc, gram), re-aggregate per doc — NOT a per-row
+    * `transform(distinct, g -> count)` lambda, which is O(words²) per
+    * document and blows up on exactly the degenerate documents this filter
+    * exists to catch. All ratios are exact integer-over-integer double
+    * divisions, bit-reproducible in any IEEE engine. */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val base = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("w"))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("word_count"),
+        (lit(1.0) - size(array_distinct(col("w"))).cast("double")
+          / size(col("w")).cast("double")).as("dup_word_frac"),
+        // guard: Spark's sequence(1, 0) counts DOWN; short docs get no grams
+        expr("CASE WHEN size(w) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END").as("grams"))
+    val gramAgg = base
+      .select(col(idCol), explode(col("grams")).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        max(col("c")).as("maxc"), sum(col("c")).as("total"),
+        count(lit(1)).as("ndistinct"))
+    base.join(gramAgg, Seq(idCol), "left")
+      .select(col(idCol), col("word_count"), col("dup_word_frac"),
+        coalesce(col("maxc").cast("double") / col("total").cast("double"),
+          lit(0.0)).as("top_2gram_frac"),
+        coalesce((col("total") - col("ndistinct")).cast("double")
+          / col("total").cast("double"), lit(0.0)).as("dup_2gram_frac"))
+  }
 }

@@ -159,6 +159,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("TextAnalysis repetitionStats flags degenerate repetition") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // one word, one gram, repeated
+      (2L, "all words here are different"), // no repetition at all
+      (3L, "x")                             // no 2-grams: fracs must be 0.0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df).orderBy("doc_id").collect()
+    val spam = got(0)
+    assert(spam.getLong(1) == 4 && spam.getDouble(2) == 0.75)  // 1 - 1/4
+    assert(spam.getDouble(3) == 1.0 && spam.getDouble(4) == 2.0 / 3.0)
+    val clean = got(1)
+    assert(clean.getDouble(2) == 0.0 && clean.getDouble(3) == 0.25 &&
+      clean.getDouble(4) == 0.0)
+    val short = got(2)
+    assert(short.getLong(1) == 1 && short.getDouble(3) == 0.0 &&
+      short.getDouble(4) == 0.0)
+  }
+
   test("Ann cosine + brute-force top-k on a tiny corpus") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
