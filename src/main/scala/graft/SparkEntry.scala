@@ -353,6 +353,15 @@ object SparkEntry {
           graft.api.TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
+    "pack_sequences" -> ((s, dir) => {
+      // concat-and-chunk packing in the deterministic shuffled training
+      // order (same seed as corpus_shuffle): global token offsets via the
+      // two-level distributed prefix sum, chunk ids by integer division
+      val docs = load(s, dir, "documents")
+      graft.api.Packing.packSequences(docs, "doc_id",
+          size(split(trim(col("text")), "\\s+")), 256, 21L)
+        .orderBy("id")
+    }),
     "repetition_stats" -> ((s, dir) => {
       graft.api.TextAnalysis.repetitionStats(load(s, dir, "documents"))
         .orderBy("doc_id")
@@ -664,6 +673,7 @@ object SparkEntry {
     "sample_hash" -> valuesOracle("sample_hash"),
     "contamination_check" -> valuesOracle("contamination_check"),
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
+    "pack_sequences" -> valuesOracle("pack_sequences"),
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token

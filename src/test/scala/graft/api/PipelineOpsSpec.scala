@@ -177,6 +177,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       short.getDouble(4) == 0.0)
   }
 
+  test("Packing two-level prefix sum equals the global window, any bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 200L).map(i => (i, (i * 7 % 13) + 1)).toDF("doc_id", "ntok")
+    // sequential truth: one global window in (hashScore, id) order
+    val w = Window.orderBy(Sampling.hashScore($"id", 21L).asc, $"id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val truth = df.select($"doc_id".as("id"), $"ntok".cast("long").as("tokens"))
+      .withColumn("token_offset", coalesce(sum($"tokens").over(w), lit(0L)))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (buckets <- Seq(1, 7, 64)) {
+      val got = Packing.packSequences(df, "doc_id", $"ntok", seqLen = 16,
+          seed = 21L, buckets = buckets)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == truth.toSeq, s"buckets=$buckets diverged from global window")
+    }
+    // chunk ids: integer division of the verified offsets
+    val chunks = Packing.packSequences(df, "doc_id", $"ntok", 16, 21L)
+      .orderBy("id").collect()
+    chunks.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) / 16)
+      assert(r.getLong(4) == (r.getLong(2) + r.getLong(1) - 1) / 16)
+    }
+    // zero-token rows occupy no space and are dropped
+    val withEmpty = df.withColumn("ntok", when($"doc_id" === 5L, 0L).otherwise($"ntok"))
+    assert(Packing.packSequences(withEmpty, "doc_id", $"ntok", 16, 21L)
+      .filter($"id" === 5L).count() == 0)
+  }
+
   test("Ann cosine + brute-force top-k on a tiny corpus") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),

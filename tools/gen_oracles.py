@@ -23,6 +23,7 @@ Usage: python3 tools/gen_oracles.py [sfDir] [sparkOutDir]
                is written (mismatch -> nonzero exit, nothing written).
 """
 import os
+import re
 import sys
 
 import duckdb
@@ -580,6 +581,23 @@ def main(sf_dir, spark_dir):
     queries["corpus_shuffle"] = (("pos", "doc_id"), ("BIGINT", "BIGINT"),
                                  [(pos + 1, did) for pos, did in enumerate(shuffled)],
                                  "pos")
+
+    # ---- pack_sequences: concat-and-chunk packing in shuffled order ----
+    # exclusive prefix sum of whitespace token counts over the (hash_score,
+    # doc_id) order — the sequential re-derivation the distributed two-level
+    # prefix sum must reproduce exactly; chunk ids by integer division
+    toks = {did: len(re.split(r"\s+", t.strip())) for did, t in docs}
+    pack_order = sorted((did for did, _t in docs if toks[did] > 0),
+                        key=lambda did: (hash_score(did, 21), did))
+    pack_rows, off, seq_len = [], 0, 256
+    for did in pack_order:
+        t = toks[did]
+        pack_rows.append((did, t, off, off // seq_len, (off + t - 1) // seq_len))
+        off += t
+    pack_rows.sort()
+    queries["pack_sequences"] = (
+        ("id", "tokens", "token_offset", "chunk_start", "chunk_end"),
+        ("BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT"), pack_rows, "id")
 
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
