@@ -618,6 +618,21 @@ object SparkEntry {
         .orderBy("band", "id_a", "id_b")
     }),
 
+    "stream_dedup_content" -> ((s, dir) => {
+      import s.implicits._
+      // the fixture has no exact content dups, so a shifted copy of the
+      // corpus (doc_id + 1000, same text) is unioned in: the stream must
+      // drop all 500 copies — which arrive in LATER micro-batches than
+      // their originals, making this a cross-batch dedup-state check.
+      // Fed in doc_id order, the survivor set is min-doc_id-per-text.
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val withCopies = docs ++ docs.map { case (id, t) => (id + 1000L, t) }
+      graft.streaming.EventStreams.dedupContentReplay(s, withCopies, nBatches = 4)
+        .orderBy("doc_id")
+    }),
+
     "sessionize_stream" -> ((s, dir) => {
       import s.implicits._
       val events = loadEvents(s, dir)
@@ -968,7 +983,18 @@ object SparkEntry {
     "sessionize_batch" -> sessionizeOracleSql,
     // the streaming replay must equal the batch twin session-for-session,
     // so it shares the batch oracle verbatim
-    "sessionize_stream" -> sessionizeOracleSql
+    "sessionize_stream" -> sessionizeOracleSql,
+    // streaming content dedup: fed in doc_id order, the survivor per
+    // distinct text is the smallest doc_id — pure SQL over the same
+    // corpus-plus-shifted-copies union the query streams
+    "stream_dedup_content" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000, text FROM documents),
+        |r AS (SELECT doc_id, text,
+        |             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |      FROM u)
+        |SELECT doc_id, text FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 
   private val sessionizeOracleSql: String =

@@ -257,6 +257,36 @@ object EventStreams {
     spark.table(sink)
   }
 
+  /** Replay a finite document sequence through [[dedupByContent]] as a real
+    * Structured Streaming query, in the GIVEN order, and return every
+    * surviving row.
+    *
+    * Driver-verification harness for watermark-bounded streaming dedup:
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per content
+    * hash, so with docs fed in id order the survivor set is exactly
+    * "min doc_id per distinct text" — a pure SQL fact any engine can
+    * recompute. Splitting over micro-batches makes later batches' duplicate
+    * drops a genuine cross-batch state check. Event times are synthesized
+    * monotone from arrival position, starting at +1s (the initial watermark
+    * is the epoch and stateful operators drop rows at ts <= watermark). */
+  def dedupContentReplay(spark: SparkSession, docs: Seq[(Long, String)],
+                         nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, String)]
+    val sink = s"graft_dedup_replay_${replaySeq.incrementAndGet()}"
+    val timed = docs.zipWithIndex.map { case ((id, text), i) =>
+      (id, new Timestamp((i + 1) * 1000L), text)
+    }
+    val q = dedupByContent(mem.toDF().toDF("doc_id", "ts", "text"), "text")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (timed.size + nBatches - 1) / nBatches)
+      timed.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(sink).select("doc_id", "text")
+  }
+
   /** Batch-mode sessionization with identical gap semantics, built on window
     * functions — the oracle twin of [[sessionize]] and the scalable batch
     * formulation (two shuffles: by user, then by (user, session)). */
