@@ -100,23 +100,36 @@ object TextAnalysis {
     * divisions, bit-reproducible in any IEEE engine. */
   def repetitionStats(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val base = df
+    // One shuffle by id up front, for two reasons: (1) kernel parallelism
+    // must not be capped by the input file layout (one-row-group parquet =
+    // one scan task = the whole tokenize pass serialized — measured 10.4s
+    // single-task at sf0.1); (2) the exchange is a CollapseProject barrier,
+    // so the word array is materialized below the generate instead of the
+    // split being re-inlined into every consumer. Both downstream branches
+    // hang off the same exchange (ReuseExchange — shuffled once).
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val tokens = df
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("w"))
-      .select(col(idCol),
-        size(col("w")).cast("long").as("word_count"),
-        (lit(1.0) - size(array_distinct(col("w"))).cast("double")
-          / size(col("w")).cast("double")).as("dup_word_frac"),
-        // guard: Spark's sequence(1, 0) counts DOWN; short docs get no grams
-        expr("CASE WHEN size(w) < 2 THEN array() ELSE " +
-          "transform(sequence(1, size(w) - 1), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END").as("grams"))
-    val gramAgg = base
-      .select(col(idCol), explode(col("grams")).as("gram"))
+      .repartition(n, col(idCol))
+    val wordStats = tokens.select(col(idCol),
+      size(col("w")).cast("long").as("word_count"),
+      (lit(1.0) - size(array_distinct(col("w"))).cast("double")
+        / size(col("w")).cast("double")).as("dup_word_frac"))
+    // generator-ONLY projection: with no scalar select items next to the
+    // explode, ExtractGenerator hoists nothing and the gram transform is
+    // evaluated once per document — never once per exploded row (the
+    // hoisting trap re-ran it per gram: O(words²) per doc, measured as the
+    // rest of the 10.4s stage). Guard: Spark's sequence(1, 0) counts DOWN.
+    val gramRows = tokens.select(col(idCol),
+      explode(expr("CASE WHEN size(w) < 2 THEN array() ELSE " +
+        "transform(sequence(1, size(w) - 1), " +
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END")).as("gram"))
+    val gramAgg = gramRows
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(
         max(col("c")).as("maxc"), sum(col("c")).as("total"),
         count(lit(1)).as("ndistinct"))
-    base.join(gramAgg, Seq(idCol), "left")
+    wordStats.join(gramAgg, Seq(idCol), "left")
       .select(col(idCol), col("word_count"), col("dup_word_frac"),
         coalesce(col("maxc").cast("double") / col("total").cast("double"),
           lit(0.0)).as("top_2gram_frac"),
