@@ -451,6 +451,10 @@ object SparkEntry {
           bucketWidth = 4.0, bandCount = 8, bandSize = 2, seed = 7L)
         .orderBy("query_id", "rank")
     }),
+    "quantize_embeddings" -> ((s, dir) => {
+      graft.api.Ann.quantizeInt8(load(s, dir, "embeddings"))
+        .orderBy("vec_id", "pos")
+    }),
     "ann_topk_lsh_bucketed" -> ((s, dir) => {
       // the production repeat-batch layout: the band explosion is persisted
       // as a bucketed+sorted table ONCE, and the batch join reads it with
@@ -935,6 +939,19 @@ object SparkEntry {
         |       coalesce(CAST(a.total - a.ndistinct AS DOUBLE) / a.total, 0.0) AS dup_2gram_frac
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "quantize_embeddings" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, scale, v,
+        |             CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0)
+        |                  ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+        |             END AS qvec
+        |      FROM s)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, CAST(qvec[i] AS BIGINT) AS q, scale,
+        |       abs(qvec[i] * scale - v[i]) AS abs_err
+        |FROM q, unnest(generate_series(1, len(v))) AS t(i)
+        |ORDER BY vec_id, pos""".stripMargin,
     "cosine_adjacent" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim

@@ -220,6 +220,37 @@ object Ann {
     best
   }
 
+  /** Symmetric per-vector int8 quantization — the storage-shrink step for
+    * an embedding corpus (float64 → int8 is 8×; a 100 TB embedding store
+    * becomes 12.5 TB plus one scale per vector). `scale = max|x| / 127`,
+    * `q_i = floor(x_i/scale + 0.5)` ∈ [−127, 127] (the explicit
+    * floor-plus-half form is bit-reproducible across engines, where
+    * `round()` tie semantics are not); all-zero vectors quantize to zeros.
+    *
+    * Output is exploded to `(id, pos, q, scale, abs_err)` rows —
+    * `abs_err = |q·scale − x|` is the reconstruction error, the quantity a
+    * pipeline monitors to decide whether int8 is safe for its recall
+    * target. Narrow (no shuffle beyond the parallelism floor): quantization
+    * is a pure per-row kernel. The scale/qvec scalars are materialized
+    * behind a repartition barrier so ExtractGenerator hoists attribute
+    * references above the explode, never re-evaluated expressions. */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .withColumn("qvec", expr("CASE WHEN scale = 0.0 THEN transform(v, x -> 0) " +
+        "ELSE transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) END"))
+      .repartition(n, col(idCol))
+    base
+      .select(col(idCol), col("scale"), col("v"), posexplode(col("qvec")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col").cast("long").as("q"), col("scale"),
+        abs(col("col") * col("scale") - element_at(col("v"), col("pos") + 1)).as("abs_err"))
+  }
+
   /** Exact near-dup vector pairs: cosine above `threshold` over a bounded
     * id-window candidate set (explode+equi-join, never a range join). */
   def cosineNearDupWindow(df: DataFrame, window: Int, threshold: Double,

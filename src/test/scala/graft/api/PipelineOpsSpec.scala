@@ -177,6 +177,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       short.getDouble(4) == 0.0)
   }
 
+  test("Ann.quantizeInt8: bounded codes, exact reconstruction bound, zero vec") {
+    val df = Seq(
+      (1L, Array(1.0, -2.0, 0.5)),
+      (2L, Array(0.0, 0.0, 0.0)),   // all-zero: scale 0, codes 0
+      (3L, Array(127.0))            // scale 1: exact representation
+    ).toDF("vec_id", "embedding")
+    val got = Ann.quantizeInt8(df).orderBy("vec_id", "pos").collect()
+    val v1 = got.filter(_.getLong(0) == 1L)
+    assert(v1.map(_.getLong(2)).toSeq == Seq(64, -127, 32)) // scale = 2/127
+    assert(v1.forall(r => r.getDouble(4) <= r.getDouble(3) / 2 + 1e-15))
+    val v2 = got.filter(_.getLong(0) == 2L)
+    assert(v2.forall(r => r.getLong(2) == 0L && r.getDouble(4) == 0.0))
+    val v3 = got.filter(_.getLong(0) == 3L)
+    assert(v3.head.getLong(2) == 127L && v3.head.getDouble(4) == 0.0)
+  }
+
   test("Packing two-level prefix sum equals the global window, any bucket count") {
     import org.apache.spark.sql.expressions.Window
     val df = (0L until 200L).map(i => (i, (i * 7 % 13) + 1)).toDF("doc_id", "ntok")
