@@ -400,6 +400,33 @@ object SparkEntry {
       // oracleSql comment)
       nearDupPairsShared(s, dir).orderBy("id_a", "id_b")
     }),
+    "curate_corpus" -> ((s, dir) => {
+      // The full training-data recipe as ONE composed pipeline — what a
+      // user of this engine actually runs end-to-end: narrow quality gates
+      // (pushed into the scan) → exact dedup → near-dup cluster drop (only
+      // cluster minima survive) → benchmark decontamination → deterministic
+      // split assignment, keep train. Every stage is the already-gated
+      // operator; the oracle re-derives the whole chain independently in
+      // Python, so composition bugs (wrong drop set, wrong stage order)
+      // surface as row mismatches.
+      val docs = load(s, dir, "documents")
+      val quality = docs.filter(col("lang") === "en" && col("n_chars") >= 100)
+      val exact = graft.api.Dedup.exact(quality, Seq("text"), "doc_id")
+      val pairs = graft.api.BandedLsh.nearDupPairs(
+        exact, "doc_id", "text", 4, 8, 3, 123L, 0.5)
+      val dropNear = graft.api.BandedLsh.dupClusters(pairs)
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
+      val bench = graft.api.Sampling.sampleByHash(docs, "doc_id", 0.02, 99L)
+      val clean = graft.api.Contamination.removeContaminated(
+        deduped, bench, "doc_id", "text", 8, 50L)
+      graft.api.Sampling.assignSplits(clean, "doc_id", 5L,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "incremental_dedup" -> ((s, dir) => {
       // incremental ingestion at 100 TB: the admitted corpus's band
       // signatures are persisted ONCE as a bucketed table; admitting a new
@@ -693,6 +720,7 @@ object SparkEntry {
     "contamination_check" -> valuesOracle("contamination_check"),
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),
+    "curate_corpus" -> valuesOracle("curate_corpus"),
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token

@@ -599,6 +599,57 @@ def main(sf_dir, spark_dir):
         ("id", "tokens", "token_offset", "chunk_start", "chunk_end"),
         ("BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT"), pack_rows, "id")
 
+    # ---- curate_corpus: the composed recipe re-derived end to end ----
+    # quality gate -> exact dedup (min id per text) -> near-dup cluster drop
+    # (union-find minima survive; same family/params as minhash_dedup_pairs,
+    # recall deterministically 1) -> decontamination vs the seed-99 bench
+    # sample -> split assignment, train only
+    lang_n = {did: (lang, nch) for did, lang, _src, nch in drows}
+    text_by_id = dict(docs)
+    q_ids = sorted(did for did, _t in docs
+                   if lang_n[did][0] == "en" and lang_n[did][1] >= 100)
+    seen_t, exact_ids = set(), []
+    for did in q_ids:  # ascending: first occurrence = min id per content
+        t = text_by_id[did]
+        if t not in seen_t:
+            seen_t.add(t)
+            exact_ids.append(did)
+    sets4 = {did: vk.shingles_from_text(text_by_id[did], 4)
+             for did in exact_ids if len(text_by_id[did]) >= 4}
+    nd_b = {}
+    for did in exact_ids:
+        if did in sets4:
+            for band, h in enumerate(vk.minhash_bands(sets4[did], 8, 3, 123)):
+                nd_b.setdefault((band, h), []).append(did)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent.get(x, x)
+        return x
+
+    for ids in nd_b.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sets4[ids[i]], sets4[ids[j]]
+                inter = len(a & b)
+                if a and b and inter / (len(a) + len(b) - inter) > 0.5:
+                    ra, rb = find(ids[i]), find(ids[j])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    deduped_ids = [did for did in exact_ids if find(did) == did]
+    cont8 = {did: vk.shingles_from_text(text_by_id[did], 8)
+             for did in deduped_ids if len(text_by_id[did]) >= 8}
+    clean_ids = [
+        did for did in deduped_ids
+        if did not in cont8 or not any(
+            bid != did and bid in cont_sets
+            and len(cont8[did] & cont_sets[bid]) >= 50 for bid in bench_ids)]
+    curate_rows = sorted((did, lang_n[did][1]) for did in clean_ids
+                         if split_of(did) == "train")
+    queries["curate_corpus"] = (("doc_id", "n_chars"), ("BIGINT", "BIGINT"),
+                                curate_rows, "doc_id")
+
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
