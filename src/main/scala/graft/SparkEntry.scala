@@ -649,6 +649,21 @@ object SparkEntry {
         .orderBy("band", "id_a", "id_b")
     }),
 
+    "stream_windowed_counts" -> ((s, dir) => {
+      import s.implicits._
+      // the streaming twin of q9_events_window, replayed over micro-batches;
+      // append-mode windows close as the watermark advances and must equal
+      // the batch aggregation exactly
+      val events = loadEvents(s, dir)
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      graft.streaming.EventStreams.windowedCountsReplay(s, events, "1 hour", 3)
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("cnt"), col("min_v"), col("max_v"))
+        .orderBy("win_start", "event_type")
+    }),
     "stream_dedup_content" -> ((s, dir) => {
       import s.implicits._
       // the fixture has no exact content dups, so a shifted copy of the
@@ -1029,6 +1044,13 @@ object SparkEntry {
     // the streaming replay must equal the batch twin session-for-session,
     // so it shares the batch oracle verbatim
     "sessionize_stream" -> sessionizeOracleSql,
+    // append-mode streaming windows must equal the batch aggregation — the
+    // q9 oracle verbatim
+    "stream_windowed_counts" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS win_start,
+        |       event_type, count(*) AS cnt, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), event_type
+        |ORDER BY win_start, event_type""".stripMargin,
     // streaming content dedup: fed in doc_id order, the survivor per
     // distinct text is the smallest doc_id — pure SQL over the same
     // corpus-plus-shifted-copies union the query streams

@@ -257,6 +257,33 @@ object EventStreams {
     spark.table(sink)
   }
 
+  /** Replay a finite event set through [[windowedCounts]] as a real
+    * Structured Streaming query (append mode: a window only emits once the
+    * watermark passes its end) and return every emitted window row.
+    *
+    * Driver-verification harness: with a watermark delay beyond the
+    * fixture's time range nothing is ever late, so the emitted windows must
+    * equal the batch twin (`q9_events_window`'s SQL) for ANY micro-batch
+    * arrival order. A far-future flush event advances the watermark past
+    * every real window; its own forever-open window is filtered out. */
+  def windowedCountsReplay(spark: SparkSession, events: Seq[Event],
+                           windowLen: String = "1 hour", nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sink = s"graft_windowed_replay_${replaySeq.incrementAndGet()}"
+    val q = windowedCounts(mem.toDF(), windowLen, watermark = "3650 days")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (events.size + nBatches - 1) / nBatches)
+      events.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val far = new Timestamp(events.iterator.map(_.ts.getTime).max + 4000L * 86400_000L)
+      mem.addData(Event(-1L, far, -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).filter(col("event_type") =!= "flush")
+  }
+
   /** Replay a finite document sequence through [[dedupByContent]] as a real
     * Structured Streaming query, in the GIVEN order, and return every
     * surviving row.
