@@ -496,6 +496,18 @@ object SparkEntry {
           bucketWidth = 4.0, bandCount = 8, bandSize = 2, seed = 7L)
         .orderBy("query_id", "rank")
     }),
+    "frame_sample" -> ((s, dir) => {
+      // frame sampling over opaque binary payloads: every 4th 16-byte block
+      // (stride 4 = 64-byte step) explodes to one frame row. Fixture text is
+      // pure ASCII, so the DuckDB oracle's character substring equals the
+      // byte slice exactly.
+      val media = load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+      graft.api.Multimodal.sampleFrames(media, 4)
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_bytes").cast("string").as("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
+    }),
     "multimodal_features" -> ((s, dir) => {
       // documents.text as an opaque binary payload: byte-level features via
       // the partition-batched extractor + a sha256 checksum column
@@ -1011,6 +1023,12 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank"
         |  FROM scored)
         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "frame_sample" ->
+      """SELECT doc_id AS media_id, i AS frame_idx,
+        |       substring(text, CAST(i * 64 + 1 AS INT), 16) AS frame_bytes
+        |FROM documents,
+        |     unnest(generate_series(0, CAST(floor((length(text) - 1) / 64.0) AS BIGINT))) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |       CAST(length(text) AS BIGINT) AS size_bytes,
