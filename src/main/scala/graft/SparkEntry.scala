@@ -362,6 +362,25 @@ object SparkEntry {
           size(split(trim(col("text")), "\\s+")), 256, 21L)
         .orderBy("id")
     }),
+    "vocab_per_lang" -> ((s, dir) => {
+      // per-language top-5 vocabulary: the per-stratum window variant of
+      // vocab_topk (every stratum ranks in parallel)
+      graft.api.TextAnalysis.vocabTopKPerGroup(
+          load(s, dir, "documents"), "lang", "text", 5)
+        .orderBy("lang", "rank")
+    }),
+    "length_quantiles" -> ((s, dir) => {
+      // per-language document-length quantiles (exact, linear
+      // interpolation — the same definition as DuckDB's quantile_cont)
+      load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"),
+          expr("percentile(n_chars, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
     "repetition_stats" -> ((s, dir) => {
       graft.api.TextAnalysis.repetitionStats(load(s, dir, "documents"))
         .orderBy("doc_id")
@@ -756,6 +775,25 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY cnt DESC, token
         |LIMIT 100""".stripMargin,
+    "vocab_per_lang" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM t WHERE token <> '' GROUP BY lang, token),
+        |r AS (SELECT lang, token, cnt,
+        |             CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS BIGINT) AS "rank"
+        |      FROM c)
+        |SELECT lang, token, cnt, "rank" FROM r WHERE "rank" <= 5
+        |ORDER BY lang, "rank"""".stripMargin,
+    "length_quantiles" ->
+      """SELECT lang,
+        |       quantile_cont(n_chars, 0.5) AS p50,
+        |       quantile_cont(n_chars, 0.9) AS p90,
+        |       quantile_cont(n_chars, 0.99) AS p99,
+        |       count(*) AS n
+        |FROM documents GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "sample_stratified" -> valuesOracle("sample_stratified"),
     "dataset_splits" -> valuesOracle("dataset_splits"),
     "lsh_jaccard_docs" ->

@@ -81,6 +81,25 @@ object TextAnalysis {
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
     vocabCounts(df, textCol).orderBy(col("cnt").desc, col("token").asc).limit(k)
 
+  /** Top-k vocabulary PER GROUP (e.g. per language) — the per-stratum
+    * variant of [[vocabTopK]]: explode → two-phase (group, token) count →
+    * window top-k within each group. The window partitions by group, so
+    * every stratum ranks in parallel; ties break alphabetically for a total
+    * order. At 100 TB the (group, token) aggregate is vocabulary-sized per
+    * group after map-side combine, never corpus-sized. */
+  def vocabTopKPerGroup(df: DataFrame, groupCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(groupCol).orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-document repetition signals (the Gopher-rule family): repeated
     * words and word-2-grams are the classic marker of boilerplate /
     * degenerate text that quality-filtering drops before training.
