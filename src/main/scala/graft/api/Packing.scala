@@ -46,16 +46,29 @@ object Packing {
       .select(col(idCol).as("id"), tokensCol.cast("long").as("tokens"))
       .filter(col("tokens") > 0)
       .withColumn("bucket", floor(score * lit(buckets)).cast("int"))
+      // no-op for non-null ids (a null id has no hash score and no place in
+      // the packed order — dropped). Stated explicitly so BOTH branches
+      // below carry the identical filter: the final join would otherwise
+      // infer isnotnull(bucket) into just the streamed side, the subtrees
+      // would differ, and AQE could not reuse the shuffle (second scan).
+      .filter(col("bucket").isNotNull)
     // within-bucket exclusive prefix sum: buckets-way parallel window
     val wIn = Window.partitionBy("bucket")
       .orderBy(score.asc, col("id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBucket = base.withColumn("bucket_run",
       coalesce(sum(col("tokens")).over(wIn), lit(0L)))
-    // bucket offsets: `buckets` rows — the single-partition window here is
-    // over the TOTALS, never the data
+    // bucket totals DERIVED from the window output (last row's inclusive
+    // sum = max(bucket_run + tokens)), not re-aggregated from `base`: the
+    // totals branch then shares the window branch's shuffle stage
+    // (ReuseExchange) and the whole operator reads the data ONCE — a
+    // separate groupBy on `base` would rescan and re-tokenize the corpus.
+    // The single-partition window here is over the `buckets` TOTALS rows,
+    // never the data.
     val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("bucket").agg(sum("tokens").as("btotal"))
+    val offsets = inBucket
+      .groupBy("bucket")
+      .agg(max(col("bucket_run") + col("tokens")).as("btotal"))
       .withColumn("boffset", coalesce(sum(col("btotal")).over(wB), lit(0L)))
       .select("bucket", "boffset")
     inBucket.join(broadcast(offsets), "bucket")
