@@ -128,6 +128,11 @@ object TextAnalysis {
     // hang off the same exchange (ReuseExchange — shuffled once).
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val tokens = df
+      // the id filter is a no-op for real corpora, stated explicitly so the
+      // final join's inferred isnotnull lands in BOTH branches identically
+      // and the shared exchange is reused (one corpus scan, not two) —
+      // plan-pinned in PlanShapeSpec
+      .filter(col(idCol).isNotNull)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("w"))
       .repartition(n, col(idCol))
     val wordStats = tokens.select(col(idCol),

@@ -133,28 +133,33 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("pack_sequences reads the corpus once: totals branch reuses the window exchange") {
-    // the bucket-totals side is derived from the window output, so both
-    // branches hang off ONE tokenize+shuffle — a second corpus scan would
-    // double the dominant cost at scale. Reuse shows up as a single parquet
-    // scan in the executed plan (the twin subtree becomes a reused
-    // exchange/stage).
+  test("two-branch operators read the corpus once (shuffle/stage reuse)") {
+    // pack_sequences (window + totals branches) and repetition_stats
+    // (word-stats + gram branches) each fork one shuffled input into two
+    // consumers joined at the end. Both branches must hang off ONE
+    // tokenize+shuffle — a second corpus scan would double the dominant
+    // cost at scale. Reuse shows up as a single parquet scan in the
+    // executed plan (the twin subtree becomes a reused exchange/stage);
+    // the classic defeat is the final join inferring isnotnull(key) into
+    // only one branch, making the subtrees differ.
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    val df = SparkEntry.queries("pack_sequences")(spark, dir)
-    df.collect()
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
       case q: QueryStageExec => p +: walk(q.plan)
       case _ => p +: p.children.flatMap(walk)
     }
-    val nodes = walk(df.queryExecution.executedPlan)
-    val scans = nodes.collect { case s: FileSourceScanExec => s }
-    val reused = nodes.collect { case r: ReusedExchangeExec => r }
-    assert(scans.size == 1 || reused.nonEmpty,
-      s"expected one corpus scan (shuffle reuse), got ${scans.size} scans / " +
-        s"${reused.size} reused exchanges:\n${df.queryExecution.executedPlan}")
+    for (name <- Seq("pack_sequences", "repetition_stats")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val nodes = walk(df.queryExecution.executedPlan)
+      val scans = nodes.collect { case s: FileSourceScanExec => s }
+      val reused = nodes.collect { case r: ReusedExchangeExec => r }
+      assert(scans.size == 1 || reused.nonEmpty,
+        s"$name: expected one corpus scan (shuffle reuse), got ${scans.size} scans / " +
+          s"${reused.size} reused exchanges:\n${df.queryExecution.executedPlan}")
+    }
   }
 
   test("fused self-join keeps full shuffle width under AQE") {
