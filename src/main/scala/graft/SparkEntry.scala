@@ -362,6 +362,14 @@ object SparkEntry {
           size(split(trim(col("text")), "\\s+")), 256, 21L)
         .orderBy("id")
     }),
+    "chunk_documents" -> ((s, dir) => {
+      // overlapping 100-char windows, 20-char overlap (step 80) — the
+      // pre-embedding chunking pass; fixture is ASCII so the DuckDB
+      // character substring equals the byte slice
+      graft.api.TextAnalysis.chunkDocuments(
+          load(s, dir, "documents"), "doc_id", "text", 100, 20)
+        .orderBy("doc_id", "chunk_id")
+    }),
     "vocab_per_lang" -> ((s, dir) => {
       // per-language top-5 vocabulary: the per-stratum window variant of
       // vocab_topk (every stratum ranks in parallel)
@@ -775,6 +783,14 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY cnt DESC, token
         |LIMIT 100""".stripMargin,
+    "chunk_documents" ->
+      """SELECT doc_id, i AS chunk_id,
+        |       substring(text, CAST(i * 80 + 1 AS INT), 100) AS chunk_text,
+        |       CAST(length(substring(text, CAST(i * 80 + 1 AS INT), 100)) AS BIGINT) AS chunk_len
+        |FROM documents,
+        |     unnest(generate_series(0, CAST(floor((length(text) - 1) / 80.0) AS BIGINT))) AS t(i)
+        |WHERE length(text) > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "vocab_per_lang" ->
       """WITH t AS (
         |  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token

@@ -100,6 +100,28 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Split documents into overlapping character windows — the chunking
+    * step before embedding long documents (chunk size bounded by the
+    * encoder's context, overlap preserving cross-boundary context). Chunk
+    * `i` starts at `i·(chunkChars − overlapChars)`; the last chunk may be
+    * short. A pure generate — no shuffle, no state; at 100 TB it runs
+    * inside the scan stage and multiplies rows by ~len/step. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkChars: Int, overlapChars: Int): DataFrame = {
+    require(chunkChars > overlapChars && overlapChars >= 0,
+      "need chunkChars > overlapChars >= 0")
+    val step = chunkChars - overlapChars
+    val chunks = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L),
+          floor((length(col(textCol)) - 1).cast("double") / step).cast("long"))).as("chunk_id"))
+    chunks.select(col(idCol), col("chunk_id"),
+        col(textCol).substr((col("chunk_id") * step + 1).cast("int"),
+          lit(chunkChars)).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
+
   /** Per-document repetition signals (the Gopher-rule family): repeated
     * words and word-2-grams are the classic marker of boilerplate /
     * degenerate text that quality-filtering drops before training.

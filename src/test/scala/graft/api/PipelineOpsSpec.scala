@@ -177,6 +177,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       short.getDouble(4) == 0.0)
   }
 
+  test("TextAnalysis chunkDocuments: overlap, short tail, empty docs dropped") {
+    val df = Seq(
+      (1L, "abcdefghij"),  // len 10, chunk 5 / overlap 2 → starts 0,3,6,9
+      (2L, "abc"),         // single short chunk
+      (3L, ""),            // dropped
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "doc_id", "text", 5, 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "abcde", 5L), (1L, 1L, "defgh", 5L),
+      (1L, 2L, "ghij", 4L), (1L, 3L, "j", 1L),
+      (2L, 0L, "abc", 3L)))
+    // consecutive chunks overlap: what chunk i has past the step is chunk i+1's head
+    got.sliding(2).foreach {
+      case Array((d1, _, t1, _), (d2, _, t2, _)) if d1 == d2 =>
+        assert(t1.drop(3) == t2.take(t1.length - 3))
+      case _ =>
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, "doc_id", "text", 5, 5)
+    }
+  }
+
   test("Ann.quantizeInt8: bounded codes, exact reconstruction bound, zero vec") {
     val df = Seq(
       (1L, Array(1.0, -2.0, 0.5)),
