@@ -370,6 +370,53 @@ object SparkEntry {
           load(s, dir, "documents"), "doc_id", "text", 100, 20)
         .orderBy("doc_id", "chunk_id")
     }),
+    "normalize_text" -> ((s, dir) => {
+      // the fixture text is already clean, so the query feeds the operator
+      // a deterministically dirtied variant (leading/inner space runs +
+      // uppercased prefix) that both engines construct identically — the
+      // normalization is genuinely exercised, not a no-op
+      val dirty = concat(lit("  "), upper(substring(col("text"), 1, 30)),
+        lit("   "), col("text"))
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.api.TextAnalysis.normalizeText(dirty).as("clean_text"))
+        .withColumn("clean_len", length(col("clean_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+    "pii_redact" -> ((s, dir) => {
+      // deterministic PII injection (email on doc_id%2, IP on %3, phone on
+      // %5 — both engines build the same dirty string), then typed
+      // redaction; counts are measured on the dirty text pre-redaction
+      val docs = load(s, dir, "documents")
+      val dirty = docs.select(col("doc_id"), concat(col("text"),
+        expr("CASE WHEN doc_id % 2 = 0 THEN ' reach user' || CAST(doc_id AS STRING) || '@example.com' ELSE '' END"),
+        expr("CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS STRING) || '.0.' || CAST(doc_id % 100 AS STRING) ELSE '' END"),
+        expr("CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END")
+      ).as("t"))
+      dirty.select(col("doc_id"),
+          graft.api.TextAnalysis.redactPii(col("t")).as("redacted"),
+          regexp_count(col("t"), lit(graft.api.TextAnalysis.emailPattern)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(graft.api.TextAnalysis.ipv4Pattern)).cast("long").as("n_ips"),
+          regexp_count(col("t"), lit(graft.api.TextAnalysis.phonePattern)).cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+    "tfidf_topk" -> ((s, dir) => {
+      // top-3 characteristic terms per document by log-free tf-idf
+      graft.api.TextAnalysis.tfIdfTopK(
+          load(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    }),
+    "boilerplate_filter" -> ((s, dir) => {
+      // C4-style boilerplate marking: 2-grams in >=6% of docs form the
+      // blacklist; docs over 50% blacklisted occurrences are dropped
+      graft.api.TextAnalysis.boilerplateStats(
+          load(s, dir, "documents"), "doc_id", "text", 0.06, 0.5)
+        .orderBy("doc_id")
+    }),
+    "embed_normalize" -> ((s, dir) => {
+      graft.api.Ann.l2Normalize(load(s, dir, "embeddings"))
+        .orderBy("vec_id", "pos")
+    }),
     "vocab_per_lang" -> ((s, dir) => {
       // per-language top-5 vocabulary: the per-stratum window variant of
       // vocab_topk (every stratum ranks in parallel)
@@ -791,6 +838,83 @@ object SparkEntry {
         |     unnest(generate_series(0, CAST(floor((length(text) - 1) / 80.0) AS BIGINT))) AS t(i)
         |WHERE length(text) > 0
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "normalize_text" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         '  ' || upper(substring(text, 1, 30)) || '   ' || text AS t
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id,
+        |         lower(trim(regexp_replace(regexp_replace(t, '[\x00-\x1F]', ' ', 'g'),
+        |                                   '\s+', ' ', 'g'))) AS clean_text
+        |  FROM dirty)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS clean_len
+        |FROM clean ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(t,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    "tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM tok WHERE len(token) > 0 GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df_docs,
+        |         CAST(tf * n_docs AS DOUBLE) / df_docs AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, "rank", token, tf, df_docs, score FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS "rank"
+        |  FROM scored)
+        |WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+    "boilerplate_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |occ AS (
+        |  SELECT doc_id, gram FROM (
+        |    SELECT doc_id, CASE WHEN len(ws) < 2 THEN [] ELSE
+        |      list_transform(generate_series(1, len(ws) - 1),
+        |                     i -> ws[i] || ' ' || ws[i + 1]) END AS grams
+        |    FROM w), unnest(grams) AS t(gram)),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |bl AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS nd FROM occ GROUP BY gram)
+        |  CROSS JOIN n WHERE CAST(nd AS DOUBLE) >= 0.06 * n_docs),
+        |per AS (
+        |  SELECT o.doc_id, count(*) AS total_grams, count(b.gram) AS flagged_grams
+        |  FROM occ o LEFT JOIN bl b ON o.gram = b.gram GROUP BY o.doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(p.total_grams, 0) AS total_grams,
+        |       coalesce(p.flagged_grams, 0) AS flagged_grams,
+        |       coalesce(CAST(p.flagged_grams AS DOUBLE) / p.total_grams, 0.0) AS flagged_frac,
+        |       CAST(CASE WHEN coalesce(CAST(p.flagged_grams AS DOUBLE) / p.total_grams, 0.0) > 0.5
+        |                 THEN 0 ELSE 1 END AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "embed_normalize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, norm,
+        |       CASE WHEN norm = 0.0 THEN 0.0 ELSE v[i] / norm END AS nval
+        |FROM nrm, unnest(generate_series(1, len(v))) AS t(i)
+        |ORDER BY vec_id, pos""".stripMargin,
     "vocab_per_lang" ->
       """WITH t AS (
         |  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token

@@ -251,6 +251,30 @@ object Ann {
         abs(col("col") * col("scale") - element_at(col("v"), col("pos") + 1)).as("abs_err"))
   }
 
+  /** L2-normalize embeddings — the pass that turns cosine ANN into
+    * dot-product ANN (and keeps IVF centroids on the unit sphere). Norm is
+    * a sequential in-order accumulate over the array (same recipe as
+    * [[cosine]], bit-reproducible); sqrt and the division are exactly
+    * rounded IEEE ops, so an external engine matches bit-for-bit. Output is
+    * exploded to `(id, pos, norm, nval)` rows; the all-zero vector maps to
+    * itself (norm 0 guarded). Same narrow shape as [[quantizeInt8]]:
+    * per-row kernel behind a repartition barrier so the norm is
+    * materialized once per vector, never re-evaluated per exploded row. */
+  def l2Normalize(df: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .repartition(n, col(idCol))
+    base
+      .select(col(idCol), col("norm"), posexplode(col("v")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("norm"),
+        when(col("norm") === 0.0, lit(0.0))
+          .otherwise(col("col") / col("norm")).as("nval"))
+  }
+
   /** Exact near-dup vector pairs: cosine above `threshold` over a bounded
     * id-window candidate set (explode+equi-join, never a range join). */
   def cosineNearDupWindow(df: DataFrame, window: Int, threshold: Double,

@@ -100,6 +100,81 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** C4-style boilerplate detection: word 2-grams that occur in at least
+    * `minDocFrac` of all documents form a blacklist; a document whose
+    * occurrences are more than `flagFrac` blacklisted is boilerplate
+    * (navigation chrome, license headers, templated spam) and marked
+    * `keep = 0`. Returns every input row annotated with
+    * `(total_grams, flagged_grams, flagged_frac, keep)`.
+    *
+    * Shape: one shuffle on gram for document frequencies (two-phase, the
+    * distinct (doc, gram) combine is map-side); the blacklist is
+    * *frequency-thresholded, so it shrinks relative to corpus size* — at
+    * 100 TB it is grams in ≥6% of billions of documents, a few thousand
+    * rows — and joins back broadcast. Stats re-attach to the corpus by id
+    * left join so gram-less documents survive with frac 0. All ratios are
+    * exact int-over-int double divisions. */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+                       minDocFrac: Double, flagFrac: Double): DataFrame = {
+    val tokens = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    // generator-only projection: nothing for ExtractGenerator to hoist
+    val occ = tokens.select(col(idCol),
+      explode(expr("CASE WHEN size(w) < 2 THEN array() ELSE " +
+        "transform(sequence(1, size(w) - 1), " +
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END")).as("gram"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val blacklist = occ.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("nd").cast("double") >= lit(minDocFrac) * col("n_docs"))
+      .select(col("gram"), lit(1L).as("flagged"))
+    val perDoc = occ.join(broadcast(blacklist), Seq("gram"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("total_grams"),
+        count(col("flagged")).as("flagged_grams"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("flagged_grams"), lit(0L)).as("flagged_grams"),
+        coalesce(col("flagged_grams").cast("double") / col("total_grams"),
+          lit(0.0)).as("flagged_frac"))
+      .withColumn("keep",
+        when(col("flagged_frac") > flagFrac, 0L).otherwise(1L))
+  }
+
+  /** Top-k characteristic terms per document, ranked by a log-free tf-idf
+    * (`tf · N / df` — same ranking as classic tf-idf for a fixed corpus,
+    * but exact integer-over-integer arithmetic instead of an `ln` whose
+    * last bit varies across libm implementations, so an external engine
+    * reproduces scores bit-for-bit).
+    *
+    * Shape: explode → two-phase (doc, token) count (one shuffle on the
+    * pair); `df` re-aggregates that output by token (vocabulary-sized after
+    * map-side combine) and joins back broadcast — document frequencies are
+    * a vocabulary table, never corpus-sized; the per-doc window top-k runs
+    * every document partition in parallel. Corpus size N enters as a
+    * broadcast 1-row cross join, not a driver action. */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(docFreq), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df_docs"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"),
+        col("df_docs"), col("score"))
+  }
+
   /** Split documents into overlapping character windows — the chunking
     * step before embedding long documents (chunk size bounded by the
     * encoder's context, overlap preserving cross-boundary context). Chunk
@@ -121,6 +196,32 @@ object TextAnalysis {
           lit(chunkChars)).as("chunk_text"))
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
   }
+
+  /** Canonical text normalization — the cleanup pass that runs before
+    * dedup/tokenization so near-identical documents hash identically:
+    * control chars → space, whitespace runs collapsed, trimmed, lowercased.
+    * A pure per-row projection (three codegen'd regexp/string ops): no
+    * shuffle, runs inside the scan stage at any scale. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1F]", " "), "\\s+", " ")))
+
+  /** PII patterns kept deliberately simple and in the common RE2/Java regex
+    * subset (character classes, bounded repeats, word boundaries) so an
+    * external engine reproduces the exact same matches. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses and NNN-NNN-NNNN phone numbers with
+    * typed placeholder tokens. Email first (its local part may contain
+    * digit runs), then IP (dots, so the phone pattern can never see it),
+    * then phone. Per-row projection, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
 
   /** Per-document repetition signals (the Gopher-rule family): repeated
     * words and word-2-grams are the classic marker of boilerplate /

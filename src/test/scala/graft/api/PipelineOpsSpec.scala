@@ -177,6 +177,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       short.getDouble(4) == 0.0)
   }
 
+  test("TextAnalysis normalizeText and redactPii") {
+    val df = Seq("  Mixed \tCASEtext   with junk  ").toDF("text")
+    val clean = df.select(TextAnalysis.normalizeText($"text")).head.getString(0)
+    assert(clean == "mixed case text with junk")
+    val pii = Seq("mail a.b+c@ex.co.uk or 10.1.2.3 call 555-123-4567 x 555-12-3456")
+      .toDF("text")
+    val red = pii.select(TextAnalysis.redactPii($"text")).head.getString(0)
+    assert(red == "mail <EMAIL> or <IP> call <PHONE> x 555-12-3456")
+  }
+
+  test("TextAnalysis tfIdfTopK ranks rare terms above common ones") {
+    val df = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "alpha gamma"),
+      (3L, "alpha delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopK(df, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+    // doc 1: beta tf=2 df=1 → 6.0 beats alpha tf=1 df=3 → 1.0
+    assert(got.filter(_._1 == 1L).map(t => (t._3, t._4)).toSeq ==
+      Seq(("beta", 6.0), ("alpha", 1.0)))
+    // docs 2/3: their unique term (df=1, score 3.0) outranks alpha (1.0)
+    assert(got.filter(_._1 == 2L).head._3 == "gamma")
+    assert(got.filter(_._1 == 3L).head._3 == "delta")
+  }
+
+  test("TextAnalysis boilerplateStats flags documents dominated by common grams") {
+    val common = "click here to subscribe"
+    val docs = (0L until 8L).map(i => (i, common)) :+
+      (8L, "genuinely original content nothing shared") :+
+      (9L, s"$common but this one also has lots of fresh unique prose around it")
+    val df = docs.toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateStats(df, "doc_id", "text", 0.5, 0.5)
+      .orderBy("doc_id").collect()
+    // the 8 pure-boilerplate docs are dropped, the original doc survives
+    assert(got.take(8).forall(_.getLong(4) == 0L))
+    assert(got(8).getLong(4) == 1L && got(8).getDouble(3) == 0.0)
+    // the mixed doc: 3 of 13 grams blacklisted → kept
+    assert(got(9).getLong(4) == 1L && got(9).getLong(2) == 3L)
+  }
+
+  test("Ann.l2Normalize: unit norm, zero vector fixed point") {
+    val df = Seq(
+      (1L, Array(3.0, 4.0)),
+      (2L, Array(0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Ann.l2Normalize(df).orderBy("vec_id", "pos").collect()
+    assert(got(0).getDouble(2) == 5.0 && got(0).getDouble(3) == 0.6)
+    assert(got(1).getDouble(3) == 0.8)
+    assert(got(2).getDouble(2) == 0.0 && got(2).getDouble(3) == 0.0)
+  }
+
   test("TextAnalysis chunkDocuments: overlap, short tail, empty docs dropped") {
     val df = Seq(
       (1L, "abcdefghij"),  // len 10, chunk 5 / overlap 2 → starts 0,3,6,9
