@@ -622,6 +622,25 @@ object SparkEntry {
       graft.api.TextAnalysis.vocabTopK(load(s, dir, "documents"), "text", 100)
         .orderBy(col("cnt").desc, col("token").asc)
     }),
+    // Approximate distinct order keys per return flag via the mergeable
+    // hll_distinct aggregate (graft.core.HyperLogLog: FxHash64 values,
+    // raw estimator — bit-deterministic by construction) next to the exact
+    // count for calibration. p=10 puts the fixture cardinalities (~11k at
+    // sf0.01) in the raw estimator's calibrated regime (n ≫ 2.5·2^p). The
+    // sketch is the 100 TB shape: map-side partial folds values into 1 KB
+    // register arrays, the shuffle carries one sketch per (flag, partition)
+    // — never the key set, unlike exact COUNT(DISTINCT)'s two-phase
+    // expand-and-shuffle of every distinct key. Oracle: full Python
+    // re-derivation of the registers + estimate (VALUES literal).
+    "sketch_distinct" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          graft.functions.hll_distinct(col("l_orderkey").cast("string"), 10)
+            .as("hll_estimate"))
+        .orderBy("l_returnflag")
+    }),
     // Deterministic training-order shuffle: position is a pure function of
     // (doc_id, seed). The API op (Sampling.shuffleByHash) is the scalable
     // range-partitioned sort; the verification query adds row_number over
@@ -822,6 +841,7 @@ object SparkEntry {
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),
+    "sketch_distinct" -> valuesOracle("sketch_distinct"),
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{ColumnShim, HammingDist, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, WinnowFingerprint}
+import org.apache.spark.sql.graft.{ColumnShim, HammingDist, HllDistinct, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -70,4 +70,9 @@ object functions {
     * windows — the set lsh_min/lsh_jaccard operate on, as a column. */
   def shingle_hashes(text: Column, ngramWidth: Int): Column =
     toCol(ShingleHashes(col2expr(text), col2expr(lit(ngramWidth.toLong))))
+
+  /** Mergeable HyperLogLog distinct-count aggregate (2^p registers,
+    * raw estimate — [[graft.core.HyperLogLog]] for the pinned spec). */
+  def hll_distinct(value: Column, p: Int): Column =
+    toCol(HllDistinct(col2expr(value), col2expr(lit(p.toLong))).toAggregateExpression())
 }

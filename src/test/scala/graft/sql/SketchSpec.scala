@@ -1,0 +1,88 @@
+package graft.sql
+
+import graft.TestSpark
+import graft.core.{HyperLogLog, Shingles, SimHash}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** hll_distinct: the mergeable HyperLogLog aggregate. Pins the kernel spec,
+  * the Spark surfaces (SQL + DataFrame), and the properties that matter at
+  * scale: partitioning/order invariance (the sketch is a per-register max)
+  * and calibrated accuracy of the raw estimator. */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def kernelEstimate(values: Seq[String], p: Int): Double = {
+    val regs = new Array[Byte](1 << p)
+    values.foreach { v =>
+      val cps = Shingles.codePoints(v)
+      HyperLogLog.add(regs, SimHash.tokenHash(cps, cps.length), p)
+    }
+    HyperLogLog.rawEstimate(regs)
+  }
+
+  test("raw estimate within 3 standard errors across cardinalities") {
+    // the raw estimator is only calibrated for n >> 2.5*m (the pinned spec
+    // omits the ln-based small-range correction) — test in that regime
+    val p = 10
+    val se = 1.04 / math.sqrt((1 << p).toDouble)
+    for (n <- Seq(10000, 50000, 200000)) {
+      val est = kernelEstimate((0 until n).map(i => s"token_$i"), p)
+      assert(math.abs(est - n) / n < 3 * se,
+        s"n=$n estimate=$est off by ${math.abs(est - n) / n}")
+    }
+  }
+
+  test("estimate is insensitive to duplication, order, and partitioning") {
+    val tokens = (0 until 3000).map(i => s"w$i")
+    val base = tokens.toDF("t").agg(graft.functions.hll_distinct($"t", 10))
+      .head.getDouble(0)
+    // duplicates don't move a distinct sketch
+    val dup = (tokens ++ tokens ++ tokens.reverse).toDF("t")
+      .agg(graft.functions.hll_distinct($"t", 10)).head.getDouble(0)
+    assert(dup == base)
+    // partitioning changes which partial sketches exist, not their merge
+    val repart = tokens.toDF("t").repartition(7)
+      .agg(graft.functions.hll_distinct($"t", 10)).head.getDouble(0)
+    assert(repart == base)
+    // and the Spark value equals the kernel run sequentially
+    assert(base == kernelEstimate(tokens, 10))
+  }
+
+  test("SQL surface, grouping, and null handling") {
+    Seq(("a", Some("x")), ("a", Some("y")), ("a", None), ("b", Some("x")))
+      .toDF("g", "t").createOrReplaceTempView("sketch_in")
+    val rows = spark.sql(
+      "SELECT g, hll_distinct(t, 12) AS est FROM sketch_in GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows.length == 2)
+    // nulls are ignored: group a saw exactly {x, y}, group b exactly {x}
+    assert(rows(0).getDouble(1) == kernelEstimate(Seq("x", "y"), 12))
+    assert(rows(1).getDouble(1) == kernelEstimate(Seq("x"), 12))
+  }
+
+  test("p is validated at analysis time") {
+    val df = Seq("a").toDF("t")
+    val e = intercept[Exception] {
+      df.agg(graft.functions.hll_distinct($"t", 3)).collect()
+    }
+    assert(e.getMessage.contains("p must be in [4, 16]"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT hll_distinct(t, id) FROM (SELECT 'a' AS t, 1 AS id)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("constant"))
+  }
+
+  test("merge is an elementwise register max (kernel)") {
+    val a = new Array[Byte](16); val b = new Array[Byte](16)
+    a(3) = 5; b(3) = 2; b(9) = 7
+    HyperLogLog.mergeInto(a, b)
+    assert(a(3) == 5 && a(9) == 7)
+    intercept[IllegalArgumentException] {
+      HyperLogLog.mergeInto(new Array[Byte](16), new Array[Byte](32))
+    }
+  }
+}

@@ -650,13 +650,58 @@ def main(sf_dir, spark_dir):
     queries["curate_corpus"] = (("doc_id", "n_chars"), ("BIGINT", "BIGINT"),
                                 curate_rows, "doc_id")
 
+    # ---- sketch_distinct: HLL distinct order keys per return flag ----
+    # Full re-derivation of graft.core.HyperLogLog's pinned spec: FxHash64
+    # value hash (over the decimal string's code points, matching the
+    # query's CAST(l_orderkey AS STRING)), idx = top p bits, rho =
+    # nlz(remainder)+1, raw estimator with exact 2^-rho terms summed in
+    # register-index order (every step IEEE-correctly-rounded on both
+    # sides -> bit-exact double).
+    P = 10
+    M = 1 << P
+    flag_keys = con.execute(
+        f"SELECT l_returnflag, l_orderkey FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    regs, exact_keys = {}, {}
+    for flag, okey in flag_keys:
+        r = regs.setdefault(flag, [0] * M)
+        s = exact_keys.setdefault(flag, set())
+        s.add(okey)
+        h = token_hash([ord(c) for c in str(okey)])
+        idx = h >> (64 - P)
+        w = (h << P) & M64
+        rho = (64 - P + 1) if w == 0 else (64 - w.bit_length() + 1)
+        if rho > r[idx]:
+            r[idx] = rho
+
+    def hll_raw(r):
+        m = len(r)
+        ssum = 0.0
+        for v in r:
+            ssum += 1.0 / (1 << v)
+        return (0.7213 / (1.0 + 1.079 / m)) * m * m / ssum
+
+    sketch_rows = sorted((flag, len(exact_keys[flag]), hll_raw(regs[flag]))
+                         for flag in regs)
+    sketch_sql = (
+        "SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,"
+        " CAST(exact_orders AS BIGINT) AS exact_orders,"
+        " CAST(hll_estimate AS DOUBLE) AS hll_estimate\n"
+        "FROM (VALUES\n"
+        f"{values_block([(repr(f), n, e) for f, n, e in sketch_rows])}\n"
+        ") AS t(l_returnflag, exact_orders, hll_estimate)\nORDER BY l_returnflag")
+    custom["sketch_distinct"] = (sketch_rows,
+                                 ("l_returnflag", "exact_orders", "hll_estimate"),
+                                 sketch_sql)
+
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
                     "lsh_blocking_join": "key_a, key_b",
                     "sample_hash": "doc_id",
                     "sample_stratified": "lang, doc_id",
-                    "dataset_splits": "doc_id"}
+                    "dataset_splits": "doc_id",
+                    "sketch_distinct": "l_returnflag"}
     ok = True
     for name, (cols, types, rows, order_by) in queries.items():
         if spark_dir:
