@@ -641,6 +641,48 @@ object SparkEntry {
             .as("hll_estimate"))
         .orderBy("l_returnflag")
     }),
+    // Bloom-filter semi-join pruning: build one 2^17-bit filter over the
+    // urgent orders' customer keys (a 16 KB aggregate — the only thing that
+    // leaves the orders scan), broadcast it onto the customer table, and
+    // emit probe vs truth per customer. might_contain=false is a guaranteed
+    // non-member — at 100 TB the filter prunes the probe-side scan down to
+    // possible matches BEFORE any join shuffle, for one broadcast variable's
+    // worth of traffic. is_member (the exact semi join) pins the no-false-
+    // negative contract row by row; oracle: full Python re-derivation of
+    // the filter bits + probes (VALUES), is_member recomputed by DuckDB.
+    "bloom_semijoin" -> ((s, dir) => {
+      val urgentKeys = load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val bloom = urgentKeys.select(col("o_custkey").cast("string").as("k"))
+        .agg(graft.functions.bloom_build(col("k"), 17, 5).as("bloom"))
+      val members = urgentKeys.distinct().withColumn("is_member", lit(true))
+      load(s, dir, "customer")
+        .crossJoin(broadcast(bloom))
+        .join(broadcast(members), col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          graft.functions.bloom_contains(col("bloom"),
+            col("c_custkey").cast("string")).as("might_contain"),
+          coalesce(col("is_member"), lit(false)).as("is_member"))
+        .orderBy("c_custkey")
+    }),
+    // Count-Min frequency estimation: one pass folds every token occurrence
+    // into a d=4 × 2^12 counter grid (128 KB crosses the shuffle, never the
+    // token multiset), then the exact top-20 vocabulary probes it. The
+    // estimate-≥-truth contract is visible in the emitted columns; oracle:
+    // full Python re-derivation of the counters + probes (VALUES).
+    "cms_topk" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val cms = toks.agg(graft.functions.cms_build(col("token"), 4, 12).as("cms"))
+      graft.api.TextAnalysis.vocabTopK(load(s, dir, "documents"), "text", 20)
+        .withColumnRenamed("cnt", "exact_cnt")
+        .crossJoin(broadcast(cms))
+        .select(col("token"), col("exact_cnt"),
+          graft.functions.cms_estimate(col("cms"), col("token")).as("cms_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token").asc)
+    }),
     // Deterministic training-order shuffle: position is a pure function of
     // (doc_id, seed). The API op (Sampling.shuffleByHash) is the scalable
     // range-partitioned sort; the verification query adds row_number over
@@ -842,6 +884,8 @@ object SparkEntry {
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),
     "sketch_distinct" -> valuesOracle("sketch_distinct"),
+    "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
+    "cms_topk" -> valuesOracle("cms_topk"),
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token

@@ -1,0 +1,132 @@
+package graft.core
+
+/** Bloom filter and Count-Min sketch kernels — with [[HyperLogLog]], the
+  * engine's mergeable-sketch family. All three share the properties that
+  * make them pinnable across engines and correct under Spark's execution
+  * model: updates commute (bit-OR / counter-add / register-max), so the
+  * result is independent of row order and partitioning, and the fixed-size
+  * state is what crosses the shuffle, never the value set.
+  *
+  * Shared hash schedule (documented spec, re-derived independently by the
+  * oracle tooling): h1 = the engine-wide FxHash64 token hash of the value's
+  * code points ([[SimHash.tokenHash]]); h2 = one extra FxHash round folding
+  * the golden-ratio gamma into h1; probe i uses g_i = h1 + i·h2 (wrapping),
+  * taking the TOP `log2 size` bits — classic Kirsch–Mitzenmacher double
+  * hashing, k independent-enough probes from two hash values.
+  *
+  * Wire format (BinaryType): little-endian u64 words, one header word, then
+  * the state. Bloom header = (log2m << 8) | k; CMS header = (d << 32) |
+  * log2w. Self-describing, so the probe side needs only the sketch bytes.
+  */
+object Sketches {
+
+  final val HashGamma: Long = 0x9e3779b97f4a7c15L
+
+  @inline def h1OfCodePoints(cps: Array[Int]): Long = SimHash.tokenHash(cps, cps.length)
+  @inline def h2Of(h1: Long): Long = FxHash.add(h1, HashGamma)
+
+  @inline private def probe(h1: Long, h2: Long, i: Int, logSize: Int): Int =
+    ((h1 + i.toLong * h2) >>> (64 - logSize)).toInt
+
+  // ---- Bloom ----
+
+  def bloomWords(logm: Int): Int = 1 << (logm - 6) // m bits / 64
+
+  def bloomAdd(words: Array[Long], h1: Long, k: Int, logm: Int): Unit = {
+    val h2 = h2Of(h1)
+    var i = 0
+    while (i < k) {
+      val bit = probe(h1, h2, i, logm)
+      words(1 + (bit >>> 6)) |= (1L << (bit & 63)) // words(0) is the header
+      i += 1
+    }
+  }
+
+  def bloomContains(words: Array[Long], h1: Long): Boolean = {
+    val header = words(0)
+    val logm = ((header >>> 8) & 0xff).toInt
+    val k = (header & 0xff).toInt
+    val h2 = h2Of(h1)
+    var i = 0
+    while (i < k) {
+      val bit = probe(h1, h2, i, logm)
+      if ((words(1 + (bit >>> 6)) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def bloomEmpty(logm: Int, k: Int): Array[Long] = {
+    val words = new Array[Long](1 + bloomWords(logm))
+    words(0) = (logm.toLong << 8) | k.toLong
+    words
+  }
+
+  // ---- Count-Min ----
+
+  def cmsEmpty(d: Int, logw: Int): Array[Long] = {
+    val counters = new Array[Long](1 + (d << logw))
+    counters(0) = (d.toLong << 32) | logw.toLong
+    counters
+  }
+
+  def cmsAdd(counters: Array[Long], h1: Long, d: Int, logw: Int): Unit = {
+    val h2 = h2Of(h1)
+    var i = 0
+    while (i < d) {
+      counters(1 + (i << logw) + probe(h1, h2, i, logw)) += 1L
+      i += 1
+    }
+  }
+
+  def cmsEstimate(counters: Array[Long], h1: Long): Long = {
+    val header = counters(0)
+    val d = (header >>> 32).toInt
+    val logw = (header & 0xffffffffL).toInt
+    val h2 = h2Of(h1)
+    var min = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val c = counters(1 + (i << logw) + probe(h1, h2, i, logw))
+      if (c < min) min = c
+      i += 1
+    }
+    min
+  }
+
+  /** Merge `other` into `acc`: bit-OR for Bloom, counter-add for CMS.
+    * Headers must agree (same shape), and header | header == header + ... —
+    * so the header word is merged by the caller keeping acc's. */
+  def mergeOr(acc: Array[Long], other: Array[Long]): Unit = {
+    checkShape(acc, other)
+    var i = 1
+    while (i < acc.length) { acc(i) |= other(i); i += 1 }
+  }
+
+  def mergeAdd(acc: Array[Long], other: Array[Long]): Unit = {
+    checkShape(acc, other)
+    var i = 1
+    while (i < acc.length) { acc(i) += other(i); i += 1 }
+  }
+
+  private def checkShape(acc: Array[Long], other: Array[Long]): Unit =
+    require(acc.length == other.length && acc(0) == other(0),
+      s"cannot merge sketches of different shape: header ${acc(0)}/${acc.length} vs ${other(0)}/${other.length}")
+
+  // ---- wire format ----
+
+  def toBytes(words: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(words)
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.length % 8 == 0, s"sketch binary must be 8-byte aligned, got ${bytes.length}")
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(out)
+    out
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{ColumnShim, HammingDist, HllDistinct, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, ColumnShim, HammingDist, HllDistinct, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -75,4 +75,23 @@ object functions {
     * raw estimate — [[graft.core.HyperLogLog]] for the pinned spec). */
   def hll_distinct(value: Column, p: Int): Column =
     toCol(HllDistinct(col2expr(value), col2expr(lit(p.toLong))).toAggregateExpression())
+
+  /** Mergeable Bloom-filter aggregate: 2^log2m bits, k probes
+    * ([[graft.core.Sketches]] for the pinned spec and wire format). */
+  def bloom_build(value: Column, log2m: Int, k: Int): Column =
+    toCol(BloomBuild(col2expr(value), col2expr(lit(log2m.toLong)),
+      col2expr(lit(k.toLong))).toAggregateExpression())
+
+  /** Probe a [[bloom_build]] filter: false is a guaranteed non-member. */
+  def bloom_contains(bloom: Column, value: Column): Column =
+    toCol(BloomContains(col2expr(bloom), col2expr(value)))
+
+  /** Mergeable Count-Min sketch aggregate: d rows × 2^log2w counters. */
+  def cms_build(value: Column, d: Int, log2w: Int): Column =
+    toCol(CmsBuild(col2expr(value), col2expr(lit(d.toLong)),
+      col2expr(lit(log2w.toLong))).toAggregateExpression())
+
+  /** Estimated frequency of `value` in a [[cms_build]] sketch (≥ truth). */
+  def cms_estimate(cms: Column, value: Column): Column =
+    toCol(CmsEstimate(col2expr(cms), col2expr(value)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{HammingDist, HllDistinct, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, HammingDist, HllDistinct, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, WinnowFingerprint}
 
 /** Registration of the five LSH SQL functions, the analog of the reference's
   * extension entry point (/root/reference/src/lib.rs:40-53). After
@@ -46,11 +46,27 @@ object LshFunctions {
       require(args.length == 2, "shingle_hashes expects 2 arguments")
       ShingleHashes(args(0), args(1))
     }),
-    // aggregate: the analyzer wraps a bare AggregateFunction in an
+    // aggregates: the analyzer wraps a bare AggregateFunction in an
     // AggregateExpression, so the same builder shape works
     "hll_distinct" -> ((args: Seq[Expression]) => {
       require(args.length == 2, "hll_distinct expects 2 arguments")
       HllDistinct(args(0), args(1))
+    }),
+    "bloom_build" -> ((args: Seq[Expression]) => {
+      require(args.length == 3, "bloom_build expects 3 arguments")
+      BloomBuild(args(0), args(1), args(2))
+    }),
+    "bloom_contains" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "bloom_contains expects 2 arguments")
+      BloomContains(args(0), args(1))
+    }),
+    "cms_build" -> ((args: Seq[Expression]) => {
+      require(args.length == 3, "cms_build expects 3 arguments")
+      CmsBuild(args(0), args(1), args(2))
+    }),
+    "cms_estimate" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "cms_estimate expects 2 arguments")
+      CmsEstimate(args(0), args(1))
     }))
 
   private def info(name: String): ExpressionInfo =

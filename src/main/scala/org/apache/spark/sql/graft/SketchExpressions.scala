@@ -1,12 +1,13 @@
 package org.apache.spark.sql.graft
 
-import _root_.graft.core.{HyperLogLog, Shingles, SimHash}
+import _root_.graft.core.{HyperLogLog, Shingles, SimHash, Sketches}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -79,4 +80,165 @@ case class HllDistinct(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), pExpr = newChildren(1))
+}
+
+private[graft] object SketchExprs {
+  def valueHash(v: Any): Long = {
+    val cps = Shingles.codePoints(v.asInstanceOf[UTF8String].toString)
+    Sketches.h1OfCodePoints(cps)
+  }
+
+  def checkRange(name: String, v: Long, lo: Int, hi: Int): TypeCheckResult =
+    if (v < lo || v > hi) TypeCheckFailure(s"$name must be in [$lo, $hi], got $v")
+    else TypeCheckSuccess
+}
+
+/** bloom_build(value, log2m, k): mergeable Bloom-filter aggregate over
+  * string values ([[graft.core.Sketches]] for the pinned hash schedule and
+  * wire format). Returns the filter as BinaryType — broadcast it back and
+  * probe with [[BloomContains]] to prune a big scan before a shuffle
+  * (runtime semi-join filtering, the classic 100 TB join-pruning move:
+  * might_contain=false is a guaranteed non-member, so only possible matches
+  * reach the join). Merge is a bitwise OR — order/partitioning invariant.
+  */
+case class BloomBuild(
+    child: Expression,
+    logmExpr: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
+
+  override def prettyName: String = "bloom_build"
+  override def children: Seq[Expression] = Seq(child, logmExpr, kExpr)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
+    val const = LshParams.checkConstant(Seq(logmExpr -> "log2m", kExpr -> "k"))
+    if (!const.isInstanceOf[TypeCheckSuccess.type]) return const
+    val r = SketchExprs.checkRange("log2m", LshParams.evalLong(logmExpr, "log2m"), 6, 30)
+    if (!r.isInstanceOf[TypeCheckSuccess.type]) return r
+    SketchExprs.checkRange("k", LshParams.evalLong(kExpr, "k"), 1, 16)
+  }
+
+  @transient private lazy val logm = LshParams.evalLong(logmExpr, "log2m").toInt
+  @transient private lazy val k = LshParams.evalLong(kExpr, "k").toInt
+
+  override def createAggregationBuffer(): Array[Long] = Sketches.bloomEmpty(logm, k)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) Sketches.bloomAdd(buffer, SketchExprs.valueHash(v), k, logm)
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], input: Array[Long]): Array[Long] = {
+    Sketches.mergeOr(buffer, input)
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = Sketches.toBytes(buffer)
+  override def serialize(buffer: Array[Long]): Array[Byte] = Sketches.toBytes(buffer)
+  override def deserialize(storageFormat: Array[Byte]): Array[Long] =
+    Sketches.fromBytes(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBuild =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBuild =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), logmExpr = newChildren(1), kExpr = newChildren(2))
+}
+
+/** bloom_contains(bloom, value): probe a [[BloomBuild]] filter. False is
+  * definitive (no false negatives); true may be a false positive at the
+  * filter's design rate. Self-describing binary — log2m and k ride in the
+  * header word. */
+case class BloomContains(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def prettyName: String = "bloom_contains"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(bloom: Any, v: Any): Any =
+    Sketches.bloomContains(Sketches.fromBytes(bloom.asInstanceOf[Array[Byte]]),
+      SketchExprs.valueHash(v))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cms_build(value, d, log2w): mergeable Count-Min sketch aggregate —
+  * approximate per-value frequencies from one pass without shuffling the
+  * value set (estimate ≥ true count; error ≤ N·e/2^log2w with probability
+  * 1−e^−d). Merge is an elementwise counter add — order/partitioning
+  * invariant, and exact in 64-bit integers, so the sketch is bit-pinnable
+  * like the Bloom/HLL states. */
+case class CmsBuild(
+    child: Expression,
+    dExpr: Expression,
+    logwExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
+
+  override def prettyName: String = "cms_build"
+  override def children: Seq[Expression] = Seq(child, dExpr, logwExpr)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
+    val const = LshParams.checkConstant(Seq(dExpr -> "d", logwExpr -> "log2w"))
+    if (!const.isInstanceOf[TypeCheckSuccess.type]) return const
+    val r = SketchExprs.checkRange("d", LshParams.evalLong(dExpr, "d"), 1, 8)
+    if (!r.isInstanceOf[TypeCheckSuccess.type]) return r
+    SketchExprs.checkRange("log2w", LshParams.evalLong(logwExpr, "log2w"), 4, 24)
+  }
+
+  @transient private lazy val d = LshParams.evalLong(dExpr, "d").toInt
+  @transient private lazy val logw = LshParams.evalLong(logwExpr, "log2w").toInt
+
+  override def createAggregationBuffer(): Array[Long] = Sketches.cmsEmpty(d, logw)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) Sketches.cmsAdd(buffer, SketchExprs.valueHash(v), d, logw)
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], input: Array[Long]): Array[Long] = {
+    Sketches.mergeAdd(buffer, input)
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = Sketches.toBytes(buffer)
+  override def serialize(buffer: Array[Long]): Array[Byte] = Sketches.toBytes(buffer)
+  override def deserialize(storageFormat: Array[Byte]): Array[Long] =
+    Sketches.fromBytes(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsBuild =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsBuild =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), dExpr = newChildren(1), logwExpr = newChildren(2))
+}
+
+/** cms_estimate(cms, value): estimated frequency of `value` in the stream a
+  * [[CmsBuild]] sketch summarized (min over the d counter rows). */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def prettyName: String = "cms_estimate"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(cms: Any, v: Any): Any =
+    Sketches.cmsEstimate(Sketches.fromBytes(cms.asInstanceOf[Array[Byte]]),
+      SketchExprs.valueHash(v))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

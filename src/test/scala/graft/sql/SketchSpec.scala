@@ -85,4 +85,58 @@ class SketchSpec extends AnyFunSuite {
       HyperLogLog.mergeInto(new Array[Byte](16), new Array[Byte](32))
     }
   }
+
+  test("bloom filter: no false negatives, partitioning-invariant bits") {
+    val keys = (0 until 2000).map(i => s"key$i")
+    val df = keys.toDF("k")
+    val bloom = df.agg(graft.functions.bloom_build($"k", 14, 4).as("b"))
+    // every inserted key probes true, across a repartitioned rebuild too
+    val probed = df.crossJoin(bloom)
+      .select(graft.functions.bloom_contains($"b", $"k").as("hit"))
+      .collect()
+    assert(probed.forall(_.getBoolean(0)))
+    val bits = bloom.head.getAs[Array[Byte]](0)
+    val bits7 = df.repartition(7).agg(graft.functions.bloom_build($"k", 14, 4))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bits, bits7))
+    // non-members are mostly rejected (fpp at this sizing ~ <5%)
+    val misses = (0 until 1000).map(i => s"other$i").toDF("k")
+      .crossJoin(bloom)
+      .filter(graft.functions.bloom_contains($"b", $"k"))
+      .count()
+    assert(misses < 100, s"false-positive count $misses out of 1000")
+  }
+
+  test("count-min: estimate >= truth, exact for skewed heavy hitter") {
+    val rows = Seq.fill(500)("heavy") ++ (0 until 200).map(i => s"light$i")
+    val df = rows.toDF("t")
+    val cms = df.agg(graft.functions.cms_build($"t", 4, 10).as("c"))
+    val est = df.distinct().crossJoin(cms)
+      .select($"t", graft.functions.cms_estimate($"c", $"t").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("heavy") >= 500)
+    // with 201 distinct values in 4x1024 counters collisions are rare; the
+    // heavy hitter dominates any collided cell, so its min-row is exact
+    assert(est("heavy") == 500)
+    (0 until 200).foreach(i => assert(est(s"light$i") >= 1))
+    // partitioning invariance of the counter grid
+    val a = cms.head.getAs[Array[Byte]](0)
+    val b = df.repartition(5).agg(graft.functions.cms_build($"t", 4, 10))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("sketch SQL surface and shape validation") {
+    Seq("x", "y").toDF("t").createOrReplaceTempView("sketch_sql_in")
+    val r = spark.sql(
+      """SELECT bloom_contains(b, 'x') AS hx, bloom_contains(b, 'zz') AS hz,
+        |       cms_estimate(c, 'x') AS ex
+        |FROM (SELECT bloom_build(t, 10, 3) AS b, cms_build(t, 2, 8) AS c
+        |      FROM sketch_sql_in)""".stripMargin).head
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getLong(2) == 1L)
+    val e = intercept[Exception] {
+      Seq("x").toDF("t").agg(graft.functions.bloom_build($"t", 40, 3)).collect()
+    }
+    assert(e.getMessage.contains("log2m must be in [6, 30]"))
+  }
 }

@@ -694,6 +694,74 @@ def main(sf_dir, spark_dir):
                                  ("l_returnflag", "exact_orders", "hll_estimate"),
                                  sketch_sql)
 
+    # ---- bloom_semijoin / cms_topk: Bloom + Count-Min sketches ----
+    # Shared double-hashing schedule (graft.core.Sketches): h1 = FxHash64
+    # token hash, h2 = one FxHash round folding the golden gamma into h1,
+    # probe i = top log2(size) bits of h1 + i*h2.
+    GAMMA = 0x9E3779B97F4A7C15
+
+    def h2_of(h1):
+        f = vk.Fx()
+        f.h = h1
+        return f.add(GAMMA).fin()
+
+    def probes(value, n, log_size):
+        h1 = token_hash([ord(c) for c in value])
+        h2 = h2_of(h1)
+        return [((h1 + i * h2) & M64) >> (64 - log_size) for i in range(n)]
+
+    LOGM, K = 17, 5
+    bloom_bits = set()
+    urgent = con.execute(
+        f"SELECT o_custkey FROM '{sf_dir}/orders.parquet' "
+        "WHERE o_orderpriority = '1-URGENT'").fetchall()
+    members = {r[0] for r in urgent}
+    for (ck,) in urgent:
+        bloom_bits.update(probes(str(ck), K, LOGM))
+    custkeys = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
+    ).fetchall()]
+    bloom_rows = [(ck,
+                   all(b in bloom_bits for b in probes(str(ck), K, LOGM)),
+                   ck in members)
+                  for ck in custkeys]
+    bloom_sql = (
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey,"
+        " CAST(might_contain AS BOOLEAN) AS might_contain,"
+        " CAST(is_member AS BOOLEAN) AS is_member\n"
+        "FROM (VALUES\n"
+        f"{values_block(bloom_rows)}\n"
+        ") AS t(c_custkey, might_contain, is_member)\nORDER BY c_custkey")
+    custom["bloom_semijoin"] = (bloom_rows,
+                                ("c_custkey", "might_contain", "is_member"),
+                                bloom_sql)
+
+    D, LOGW = 4, 12
+    counters = [[0] * (1 << LOGW) for _ in range(D)]
+    tok_counts = {}
+    for _doc_id, text in docs:
+        for tok in re.split("[^a-z]+", text.lower()):
+            if not tok:
+                continue
+            tok_counts[tok] = tok_counts.get(tok, 0) + 1
+            for i, idx in enumerate(probes(tok, D, LOGW)):
+                counters[i][idx] += 1
+    top20 = sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    cms_rows = [(repr(tok), cnt,
+                 min(counters[i][idx]
+                     for i, idx in enumerate(probes(tok, D, LOGW))))
+                for tok, cnt in top20]
+    cms_sql = (
+        "SELECT CAST(token AS VARCHAR) AS token,"
+        " CAST(exact_cnt AS BIGINT) AS exact_cnt,"
+        " CAST(cms_cnt AS BIGINT) AS cms_cnt\n"
+        "FROM (VALUES\n"
+        f"{values_block(cms_rows)}\n"
+        ") AS t(token, exact_cnt, cms_cnt)\nORDER BY exact_cnt DESC, token")
+    custom["cms_topk"] = ([(t[1:-1], c, e) for (t, c, e) in cms_rows],
+                          ("token", "exact_cnt", "cms_cnt"),
+                          cms_sql)
+
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
@@ -701,7 +769,9 @@ def main(sf_dir, spark_dir):
                     "sample_hash": "doc_id",
                     "sample_stratified": "lang, doc_id",
                     "dataset_splits": "doc_id",
-                    "sketch_distinct": "l_returnflag"}
+                    "sketch_distinct": "l_returnflag",
+                    "bloom_semijoin": "c_custkey",
+                    "cms_topk": "exact_cnt DESC, token"}
     ok = True
     for name, (cols, types, rows, order_by) in queries.items():
         if spark_dir:
