@@ -811,6 +811,23 @@ object SparkEntry {
           col("event_type"), col("cnt"), col("min_v"), col("max_v"))
         .orderBy("win_start", "event_type")
     }),
+    "stream_hll_users" -> ((s, dir) => {
+      import s.implicits._
+      // streaming distinct users per (hour, type): COUNT(DISTINCT) is
+      // rejected in streaming aggregations, the mergeable hll_distinct
+      // sketch is the answer — and its order invariance makes the replayed
+      // estimates bit-equal to a batch run, which the Python VALUES oracle
+      // (register-level re-derivation) pins per window
+      val events = loadEvents(s, dir)
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      graft.streaming.EventStreams.windowedDistinctReplay(s, events, "1 hour", 3, p = 10)
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("approx_users"))
+        .orderBy("win_start", "event_type")
+    }),
     "stream_dedup_content" -> ((s, dir) => {
       import s.implicits._
       // the fixture has no exact content dups, so a shifted copy of the
@@ -886,6 +903,7 @@ object SparkEntry {
     "sketch_distinct" -> valuesOracle("sketch_distinct"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),
+    "stream_hll_users" -> valuesOracle("stream_hll_users"),
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token

@@ -42,6 +42,24 @@ object EventStreams {
         col("cnt"), col("min_v"), col("max_v"))
   }
 
+  /** Windowed approximate distinct users per event type — the streaming
+    * distinct count. Structured Streaming rejects COUNT(DISTINCT) in a
+    * streaming aggregation outright (it would need the full per-window key
+    * set in the state store); the mergeable hll_distinct sketch is the
+    * standard answer: the state per (window, type) is one 2^p-byte register
+    * array, updates fold in place, and because the sketch is order- and
+    * partitioning-invariant the streaming result is bit-identical to the
+    * batch twin for any within-watermark arrival order — not just
+    * approximately equal. Works on a `readStream` or batch frame alike. */
+  def windowedDistinctUsers(events: DataFrame, windowLen: String = "1 hour",
+                            watermark: String = "10 minutes", p: Int = 12): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(_root_.graft.functions.hll_distinct(col("user_id").cast("string"), p)
+        .as("approx_users"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("approx_users"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, events: Long)
 
@@ -273,6 +291,31 @@ object EventStreams {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val sink = s"graft_windowed_replay_${replaySeq.incrementAndGet()}"
     val q = windowedCounts(mem.toDF(), windowLen, watermark = "3650 days")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (events.size + nBatches - 1) / nBatches)
+      events.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val far = new Timestamp(events.iterator.map(_.ts.getTime).max + 4000L * 86400_000L)
+      mem.addData(Event(-1L, far, -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).filter(col("event_type") =!= "flush")
+  }
+
+  /** Replay a finite event set through [[windowedDistinctUsers]] — same
+    * harness as [[windowedCountsReplay]] (append mode, far watermark so
+    * nothing is late, flush event to close every real window). The sketch's
+    * order/partition invariance upgrades the usual replay contract: the
+    * emitted estimates are bit-equal to the batch twin for ANY micro-batch
+    * split of the input, which the driver oracle pins value-for-value. */
+  def windowedDistinctReplay(spark: SparkSession, events: Seq[Event],
+                             windowLen: String = "1 hour", nBatches: Int = 3,
+                             p: Int = 12): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sink = s"graft_hll_replay_${replaySeq.incrementAndGet()}"
+    val q = windowedDistinctUsers(mem.toDF(), windowLen, watermark = "3650 days", p = p)
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try {
       val chunk = math.max(1, (events.size + nBatches - 1) / nBatches)

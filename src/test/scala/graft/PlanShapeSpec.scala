@@ -214,4 +214,22 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("HashAggregate") && l.contains("id_a") && l.contains("id_b") && !l.contains("text"))
     assert(distinctOverIds, s"candidate distinct should carry only ids:\n$plan")
   }
+
+  test("sketch aggregates fold map-side: only sketch state crosses the shuffle") {
+    // the mergeable-sketch contract: a partial ObjectHashAggregate runs
+    // before the exchange (values fold into the fixed-size buffer in the
+    // scan stage) and the final aggregate merges buffers after it — the
+    // shuffle carries sketches, never the value set
+    for (name <- Seq("sketch_distinct", "cms_topk", "bloom_semijoin")) {
+      val plan = planOf(name)
+      val lines = plan.linesIterator.toSeq
+      val partial = lines.indexWhere(l =>
+        l.contains("ObjectHashAggregate") && l.contains("partial_"))
+      val finalAgg = lines.indexWhere(l =>
+        l.contains("ObjectHashAggregate") && !l.contains("partial_"))
+      assert(partial >= 0, s"$name: no partial sketch aggregate in plan:\n$plan")
+      assert(finalAgg >= 0 && finalAgg < partial, // executed plans print top-down
+        s"$name: final merge must consume the exchange above the partial:\n$plan")
+    }
+  }
 }

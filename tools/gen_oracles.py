@@ -762,6 +762,36 @@ def main(sf_dir, spark_dir):
                           ("token", "exact_cnt", "cms_cnt"),
                           cms_sql)
 
+    # ---- stream_hll_users: windowed HLL distinct users (streaming twin) ----
+    # The streaming replay is bit-equal to a batch fold because the sketch
+    # is order-invariant; re-derive the per-(hour, type) registers exactly
+    # as for sketch_distinct (p=10, values are str(user_id)).
+    PS = 10
+    win_rows = con.execute(
+        "SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),"
+        " '%Y-%m-%d %H:%M') AS w, event_type, user_id"
+        f" FROM '{sf_dir}/events.parquet'").fetchall()
+    win_regs = {}
+    for w, et, uid in win_rows:
+        r = win_regs.setdefault((w, et), [0] * (1 << PS))
+        h = token_hash([ord(c) for c in str(uid)])
+        idx = h >> (64 - PS)
+        rem = (h << PS) & M64
+        rho = (64 - PS + 1) if rem == 0 else (64 - rem.bit_length() + 1)
+        if rho > r[idx]:
+            r[idx] = rho
+    hll_rows = sorted((w, et, hll_raw(r)) for (w, et), r in win_regs.items())
+    hll_sql = (
+        "SELECT CAST(win_start AS VARCHAR) AS win_start,"
+        " CAST(event_type AS VARCHAR) AS event_type,"
+        " CAST(approx_users AS DOUBLE) AS approx_users\n"
+        "FROM (VALUES\n"
+        f"{values_block([(repr(w), repr(et), e) for w, et, e in hll_rows])}\n"
+        ") AS t(win_start, event_type, approx_users)\nORDER BY win_start, event_type")
+    custom["stream_hll_users"] = (hll_rows,
+                                  ("win_start", "event_type", "approx_users"),
+                                  hll_sql)
+
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
@@ -771,7 +801,8 @@ def main(sf_dir, spark_dir):
                     "dataset_splits": "doc_id",
                     "sketch_distinct": "l_returnflag",
                     "bloom_semijoin": "c_custkey",
-                    "cms_topk": "exact_cnt DESC, token"}
+                    "cms_topk": "exact_cnt DESC, token",
+                    "stream_hll_users": "win_start, event_type"}
     ok = True
     for name, (cols, types, rows, order_by) in queries.items():
         if spark_dir:
