@@ -220,6 +220,21 @@ object SparkEntry {
         GROUP BY c.c_mktsegment
         ORDER BY c_mktsegment""")
     }),
+    // Skew-salted fact⋈dim join (graft.api.Skew.saltedJoin): the fact side
+    // scatters across 8 salt buckets by row hash, the dim side replicates
+    // 8-fold, so a hot order key occupies 8 reducers instead of one. The
+    // result is column-identical to the plain join — the oracle IS the
+    // plain join in DuckDB.
+    "salted_join_agg" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+      val ord = load(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      graft.api.Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+          Seq(col("l_orderkey"), col("l_partkey")), 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("line_cnt"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
     "q3_broadcast_dims" -> ((s, dir) => {
       load(s, dir, "region").createOrReplaceTempView("region")
       load(s, dir, "nation").createOrReplaceTempView("nation")
@@ -1064,6 +1079,12 @@ object SparkEntry {
         |                JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY c.c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "salted_join_agg" ->
+      """SELECT o.o_orderpriority, count(*) AS line_cnt,
+        |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q3_broadcast_dims" ->
       """SELECT r.r_name, count(*) AS customers,
         |       min(c.c_acctbal) AS min_bal, max(c.c_acctbal) AS max_bal

@@ -12,6 +12,39 @@ object SimHash {
     * hash but without the u32 truncation). */
   def tokenHash(cps: Array[Int], len: Int): Long = hashAt(cps, 0, len)
 
+  /** [[tokenHash]] straight off UTF-8 bytes — the aggregate/probe hot path:
+    * two passes (count code points for the length prefix, then fold), zero
+    * allocation. Identical output to tokenHash(codePoints(s)) for any
+    * well-formed UTF-8 (decoder mirrors Shingles.codePointsUtf8). */
+  def tokenHashUtf8(bytes: Array[Byte], offset: Int, len: Int): Long = {
+    val end = offset + len
+    var i = offset
+    var n = 0
+    while (i < end) {
+      val b0 = bytes(i) & 0xff
+      i += (if (b0 < 0x80) 1 else if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4)
+      n += 1
+    }
+    var h = FxHash.add(0L, n.toLong)
+    i = offset
+    while (i < end) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xe0) { cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2 }
+      else if (b0 < 0xf0) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+        i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+        i += 4
+      }
+      h = FxHash.add(h, cp.toLong & 0xffffffffL)
+    }
+    h
+  }
+
   /** [[tokenHash]] of cps[off, off+len) without a window copy. */
   @inline def hashAt(cps: Array[Int], off: Int, len: Int): Long = {
     var h = FxHash.add(0L, len.toLong)

@@ -42,20 +42,6 @@ object Sketches {
     }
   }
 
-  def bloomContains(words: Array[Long], h1: Long): Boolean = {
-    val header = words(0)
-    val logm = ((header >>> 8) & 0xff).toInt
-    val k = (header & 0xff).toInt
-    val h2 = h2Of(h1)
-    var i = 0
-    while (i < k) {
-      val bit = probe(h1, h2, i, logm)
-      if ((words(1 + (bit >>> 6)) & (1L << (bit & 63))) == 0L) return false
-      i += 1
-    }
-    true
-  }
-
   def bloomEmpty(logm: Int, k: Int): Array[Long] = {
     val words = new Array[Long](1 + bloomWords(logm))
     words(0) = (logm.toLong << 8) | k.toLong
@@ -77,21 +63,6 @@ object Sketches {
       counters(1 + (i << logw) + probe(h1, h2, i, logw)) += 1L
       i += 1
     }
-  }
-
-  def cmsEstimate(counters: Array[Long], h1: Long): Long = {
-    val header = counters(0)
-    val d = (header >>> 32).toInt
-    val logw = (header & 0xffffffffL).toInt
-    val h2 = h2Of(h1)
-    var min = Long.MaxValue
-    var i = 0
-    while (i < d) {
-      val c = counters(1 + (i << logw) + probe(h1, h2, i, logw))
-      if (c < min) min = c
-      i += 1
-    }
-    min
   }
 
   /** Merge `other` into `acc`: bit-OR for Bloom, counter-add for CMS.
@@ -128,5 +99,46 @@ object Sketches {
     java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .asLongBuffer().get(out)
     out
+  }
+
+  @inline private def wordAt(bytes: Array[Byte], word: Int): Long = {
+    val off = word * 8
+    var w = 0L
+    var j = 7
+    while (j >= 0) { w = (w << 8) | (bytes(off + j) & 0xffL); j -= 1 }
+    w
+  }
+
+  /** Probe the wire bytes directly — the per-row path. A probe touches only
+    * the header and k (Bloom) / d (CMS) words; materializing the whole
+    * sketch per row would copy the full state for every probe-side row,
+    * which at probe-scan scale is the dominant cost, not the hashing. */
+  def bloomContainsBytes(bytes: Array[Byte], h1: Long): Boolean = {
+    val header = wordAt(bytes, 0)
+    val logm = ((header >>> 8) & 0xff).toInt
+    val k = (header & 0xff).toInt
+    val h2 = h2Of(h1)
+    var i = 0
+    while (i < k) {
+      val bit = probe(h1, h2, i, logm)
+      if ((wordAt(bytes, 1 + (bit >>> 6)) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def cmsEstimateBytes(bytes: Array[Byte], h1: Long): Long = {
+    val header = wordAt(bytes, 0)
+    val d = (header >>> 32).toInt
+    val logw = (header & 0xffffffffL).toInt
+    val h2 = h2Of(h1)
+    var min = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val c = wordAt(bytes, 1 + (i << logw) + probe(h1, h2, i, logw))
+      if (c < min) min = c
+      i += 1
+    }
+    min
   }
 }

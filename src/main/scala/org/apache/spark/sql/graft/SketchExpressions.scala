@@ -56,10 +56,7 @@ case class HllDistinct(
 
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val cps = Shingles.codePoints(v.asInstanceOf[UTF8String].toString)
-      HyperLogLog.add(buffer, SimHash.tokenHash(cps, cps.length), p)
-    }
+    if (v != null) HyperLogLog.add(buffer, SketchExprs.valueHash(v), p)
     buffer
   }
 
@@ -83,9 +80,12 @@ case class HllDistinct(
 }
 
 private[graft] object SketchExprs {
+  /** FxHash64 token hash of a UTF8String without the String/code-point
+    * array round trip — this runs once per row on the aggregate update and
+    * probe paths. */
   def valueHash(v: Any): Long = {
-    val cps = Shingles.codePoints(v.asInstanceOf[UTF8String].toString)
-    Sketches.h1OfCodePoints(cps)
+    val b = v.asInstanceOf[UTF8String].getBytes
+    SimHash.tokenHashUtf8(b, 0, b.length)
   }
 
   def checkRange(name: String, v: Long, lo: Int, hi: Int): TypeCheckResult =
@@ -164,7 +164,7 @@ case class BloomContains(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = BooleanType
   override protected def nullSafeEval(bloom: Any, v: Any): Any =
-    Sketches.bloomContains(Sketches.fromBytes(bloom.asInstanceOf[Array[Byte]]),
+    Sketches.bloomContainsBytes(bloom.asInstanceOf[Array[Byte]],
       SketchExprs.valueHash(v))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -237,7 +237,7 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(cms: Any, v: Any): Any =
-    Sketches.cmsEstimate(Sketches.fromBytes(cms.asInstanceOf[Array[Byte]]),
+    Sketches.cmsEstimateBytes(cms.asInstanceOf[Array[Byte]],
       SketchExprs.valueHash(v))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

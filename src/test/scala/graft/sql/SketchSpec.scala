@@ -76,6 +76,19 @@ class SketchSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("constant"))
   }
 
+  test("tokenHashUtf8 equals the code-point token hash across unicode planes") {
+    val rng = new scala.util.Random(11)
+    val samples = Seq("", "a", "hello world", "héllo", "日本語テキスト",
+      "emoji 😀 pair", "mixed ascii ünd 中文 🌀") ++
+      (0 until 50).map(_ => rng.alphanumeric.take(rng.nextInt(30)).mkString)
+    for (s <- samples) {
+      val cps = Shingles.codePoints(s)
+      val viaCps = SimHash.tokenHash(cps, cps.length)
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(SimHash.tokenHashUtf8(bytes, 0, bytes.length) == viaCps, s"for '$s'")
+    }
+  }
+
   test("merge is an elementwise register max (kernel)") {
     val a = new Array[Byte](16); val b = new Array[Byte](16)
     a(3) = 5; b(3) = 2; b(9) = 7
