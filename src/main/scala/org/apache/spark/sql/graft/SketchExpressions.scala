@@ -17,14 +17,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * register array itself: partial aggregation folds values map-side, the
   * shuffle carries one sketch per (group, partition) instead of the value
   * set, and merge is an elementwise register max — the canonical mergeable-
-  * sketch shape for distinct counting at 100 TB. Output is the raw HLL
-  * estimate (DoubleType, bit-deterministic, ±1.04/sqrt(2^p) std error).
+  * sketch shape for distinct counting at 100 TB. Output is the standard
+  * two-regime HLL estimate (raw harmonic mean; linear counting with the
+  * engine-pinned ln below the raw range — [[graft.core.HyperLogLog]]):
+  * DoubleType, bit-deterministic, ±1.04/sqrt(2^p) std error in the raw
+  * regime and near-exact at small cardinalities.
   *
   * NULL values are ignored (standard SQL aggregate semantics); a group with
-  * no non-null values estimates 0 distinct via the all-zero register array's
-  * alpha_m·m correction-free estimate — callers wanting SQL COUNT(DISTINCT)
-  * NULL-emptiness semantics filter first. `p` must be a query constant in
-  * [4, 16], checked at analysis time like every lsh_* parameter.
+  * no non-null values estimates exactly 0.0 (all registers empty → linear
+  * counting m·ln(m/m)) — callers wanting SQL COUNT(DISTINCT) NULL-emptiness
+  * semantics filter first. `p` must be a query constant in [4, 16], checked
+  * at analysis time like every lsh_* parameter.
   */
 case class HllDistinct(
     child: Expression,
@@ -65,7 +68,7 @@ case class HllDistinct(
     buffer
   }
 
-  override def eval(buffer: Array[Byte]): Any = HyperLogLog.rawEstimate(buffer)
+  override def eval(buffer: Array[Byte]): Any = HyperLogLog.estimate(buffer)
 
   // the register array IS the wire format — nothing to encode
   override def serialize(buffer: Array[Byte]): Array[Byte] = buffer

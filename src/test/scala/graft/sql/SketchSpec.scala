@@ -20,7 +20,7 @@ class SketchSpec extends AnyFunSuite {
       val cps = Shingles.codePoints(v)
       HyperLogLog.add(regs, SimHash.tokenHash(cps, cps.length), p)
     }
-    HyperLogLog.rawEstimate(regs)
+    HyperLogLog.estimate(regs)
   }
 
   test("raw estimate within 3 standard errors across cardinalities") {
@@ -33,6 +33,28 @@ class SketchSpec extends AnyFunSuite {
       assert(math.abs(est - n) / n < 3 * se,
         s"n=$n estimate=$est off by ${math.abs(est - n) / n}")
     }
+  }
+
+  test("linear counting makes small cardinalities near-exact") {
+    // below the raw range the estimator switches to m*ln(m/V) with the
+    // engine-pinned ln — the regime every sparse group (streaming windows,
+    // rare strata) lives in
+    assert(kernelEstimate(Nil, 10) == 0.0)
+    for (n <- Seq(1, 5, 50, 500)) {
+      val est = kernelEstimate((0 until n).map(i => s"u$i"), 10)
+      assert(math.abs(est - n) <= math.max(1.0, 0.05 * n),
+        s"n=$n estimate=$est")
+    }
+  }
+
+  test("lnPinned tracks libm ln to a few ulps on the linear-counting domain") {
+    for (x <- Seq(1.0, 1.0000001, 1.5, 2.0, 3.14159, 10.0, 1024.0, 65536.0, 1e12)) {
+      val got = HyperLogLog.lnPinned(x)
+      val want = math.log(x)
+      assert(math.abs(got - want) <= 16 * math.ulp(math.max(want, 1.0)),
+        s"x=$x got=$got want=$want")
+    }
+    intercept[IllegalArgumentException](HyperLogLog.lnPinned(0.5))
   }
 
   test("estimate is insensitive to duplication, order, and partitioning") {

@@ -674,12 +674,35 @@ def main(sf_dir, spark_dir):
         if rho > r[idx]:
             r[idx] = rho
 
+    def ln_pinned(x):
+        # graft.core.HyperLogLog.lnPinned: exact power-of-two range
+        # reduction, then the fixed 14-term atanh series in ascending order
+        import struct
+        bits = struct.unpack("<Q", struct.pack("<d", x))[0]
+        e = ((bits >> 52) & 0x7FF) - 1023
+        f = struct.unpack("<d", struct.pack("<Q",
+            (bits & 0x000FFFFFFFFFFFFF) | 0x3FF0000000000000))[0]
+        t = (f - 1.0) / (f + 1.0)
+        t2 = t * t
+        term = t
+        s = t
+        for k in range(3, 29, 2):
+            term *= t2
+            s += term / float(k)
+        return float(e) * 0.6931471805599453 + 2.0 * s
+
     def hll_raw(r):
         m = len(r)
         ssum = 0.0
         for v in r:
             ssum += 1.0 / (1 << v)
-        return (0.7213 / (1.0 + 1.079 / m)) * m * m / ssum
+        raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / ssum
+        # two-regime estimate (HyperLogLog.estimate): linear counting with
+        # the pinned ln below the raw range when an empty register remains
+        if raw > 2.5 * m:
+            return raw
+        zeros = sum(1 for v in r if v == 0)
+        return raw if zeros == 0 else m * ln_pinned(m / zeros)
 
     sketch_rows = sorted((flag, len(exact_keys[flag]), hll_raw(regs[flag]))
                          for flag in regs)
