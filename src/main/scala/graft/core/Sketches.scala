@@ -114,9 +114,14 @@ object Sketches {
     * sketch per row would copy the full state for every probe-side row,
     * which at probe-scan scale is the dominant cost, not the hashing. */
   def bloomContainsBytes(bytes: Array[Byte], h1: Long): Boolean = {
+    require(bytes.length >= 16 && bytes.length % 8 == 0,
+      s"not a sketch binary: ${bytes.length} bytes")
     val header = wordAt(bytes, 0)
     val logm = ((header >>> 8) & 0xff).toInt
     val k = (header & 0xff).toInt
+    require(logm >= 6 && logm <= 30 && k >= 1 && k <= 16 &&
+      bytes.length == 8 * (1 + bloomWords(logm)),
+      s"bloom binary shape mismatch: header says log2m=$logm k=$k, got ${bytes.length} bytes")
     val h2 = h2Of(h1)
     var i = 0
     while (i < k) {
@@ -128,9 +133,14 @@ object Sketches {
   }
 
   def cmsEstimateBytes(bytes: Array[Byte], h1: Long): Long = {
+    require(bytes.length >= 16 && bytes.length % 8 == 0,
+      s"not a sketch binary: ${bytes.length} bytes")
     val header = wordAt(bytes, 0)
     val d = (header >>> 32).toInt
     val logw = (header & 0xffffffffL).toInt
+    require(d >= 1 && d <= 8 && logw >= 4 && logw <= 20 &&
+      bytes.length == 8 * (1 + (d << logw)),
+      s"cms binary shape mismatch: header says d=$d log2w=$logw, got ${bytes.length} bytes")
     val h2 = h2Of(h1)
     var min = Long.MaxValue
     var i = 0

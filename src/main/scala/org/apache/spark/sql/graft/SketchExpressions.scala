@@ -200,7 +200,9 @@ case class CmsBuild(
     if (!const.isInstanceOf[TypeCheckSuccess.type]) return const
     val r = SketchExprs.checkRange("d", LshParams.evalLong(dExpr, "d"), 1, 8)
     if (!r.isInstanceOf[TypeCheckSuccess.type]) return r
-    SketchExprs.checkRange("log2w", LshParams.evalLong(logwExpr, "log2w"), 4, 24)
+    // cap: d=8 × 2^20 is already a 64 MB grid per group — CMS error decays
+    // as 1/w, so wider grids buy nothing a bigger d can't
+    SketchExprs.checkRange("log2w", LshParams.evalLong(logwExpr, "log2w"), 4, 20)
   }
 
   @transient private lazy val d = LshParams.evalLong(dExpr, "d").toInt

@@ -173,5 +173,11 @@ class SketchSpec extends AnyFunSuite {
       Seq("x").toDF("t").agg(graft.functions.bloom_build($"t", 40, 3)).collect()
     }
     assert(e.getMessage.contains("log2m must be in [6, 30]"))
+    // probing garbage binary fails loudly, not with an index error
+    val g = intercept[Exception] {
+      Seq(Array[Byte](1, 2, 3)).toDF("b")
+        .select(graft.functions.bloom_contains($"b", lit("x"))).collect()
+    }
+    assert(g.getMessage.contains("not a sketch binary"), g.getMessage)
   }
 }
