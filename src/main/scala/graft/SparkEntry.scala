@@ -607,6 +607,17 @@ object SparkEntry {
         .join(media.select(col("media_id"), sha2(col("bytes"), 256).as("sha256")), "media_id")
         .orderBy("media_id")
     }),
+    "multimodal_resize" -> ((s, dir) => {
+      // aspect-preserving resize plan + stub thumbnail in one batched
+      // decode pass; the binary thumb is pinned via its sha256 (same
+      // convention as multimodal_features' checksum)
+      val media = load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+      graft.api.Multimodal.resizeStub(media, 64)
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"), sha2(col("thumb_bytes"), 256).as("thumb_sha256"))
+        .orderBy("media_id")
+    }),
     // Deterministic hash-based sampling/splitting (graft.api.Sampling):
     // sample membership is a pure function of (key, seed) — layout-,
     // partitioning- and run-invariant, which is what makes a 100 TB data
@@ -1320,6 +1331,25 @@ object SparkEntry {
         |       END AS mean_byte,
         |       sha256(text) AS sha256
         |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CASE WHEN length(text) >= 2 THEN ascii(substring(text,1,1))*256 + ascii(substring(text,2,1)) ELSE 0 END AS width,
+        |    CASE WHEN length(text) >= 4 THEN ascii(substring(text,3,1))*256 + ascii(substring(text,4,1)) ELSE 0 END AS height
+        |  FROM documents),
+        |d AS (
+        |  SELECT media_id, text, width, height,
+        |    CASE WHEN width <= 64 AND height <= 64 THEN width
+        |         WHEN width >= height THEN 64
+        |         ELSE width * 64 // height END AS out_w,
+        |    CASE WHEN width <= 64 AND height <= 64 THEN height
+        |         WHEN width >= height THEN height * 64 // width
+        |         ELSE 64 END AS out_h
+        |  FROM f)
+        |SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |       CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+        |       sha256(substring(text, 1, CAST(LEAST(out_w, length(text)) AS INT))) AS thumb_sha256
+        |FROM d ORDER BY media_id""".stripMargin,
     "range_join" ->
       """WITH bands(band_id, lo, hi) AS (VALUES
         |  (CAST(1 AS BIGINT), 0.0, 25000.0), (2, 25000.0, 60000.0), (3, 60000.0, 110000.0),

@@ -72,6 +72,42 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Resize/thumbnail stub: one partition-batched pass decodes (stub) each
+    * payload, computes aspect-preserving target dims against `maxDim`
+    * (integer arithmetic — reproducible anywhere), and emits a
+    * deterministic fake thumbnail (the leading out_w-byte slice; a real
+    * implementation replaces decodeBytes and the slice with codec calls,
+    * the row shape and batching stay). Dims of 0 (payload too short for
+    * the stub header) pass through with an empty thumb. */
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("out_w", IntegerType, nullable = true),
+    StructField("out_h", IntegerType, nullable = true),
+    StructField("thumb_bytes", BinaryType, nullable = true)))
+
+  def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (r.isNullAt(1)) Row(id, null, null, null, null, null)
+        else {
+          val bytes = r.getAs[Array[Byte]](1)
+          val (_, w, h, _) = decodeBytes(bytes)
+          val (ow, oh) =
+            if (w <= maxDim && h <= maxDim) (w, h)
+            else if (w >= h) (maxDim, h * maxDim / w)
+            else (w * maxDim / h, maxDim)
+          Row(id, w, h, ow, oh, bytes.slice(0, math.min(ow, bytes.length)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
+
   /** Frame sampling for a (fake) video payload: every `stride`-th 16-byte
     * block becomes one "frame" row — demonstrates the explode-with-ordinal
     * shape a real frame sampler produces. */

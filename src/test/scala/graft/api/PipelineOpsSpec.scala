@@ -432,4 +432,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     assert(feats(0).getLong(2) == again(0).getLong(2))
   }
+
+  test("Multimodal resizeStub preserves aspect and caps the long side") {
+    // stub header: width = b0<<8|b1, height = b2<<8|b3
+    def payload(w: Int, h: Int, len: Int): Array[Byte] = {
+      val b = new Array[Byte](len)
+      b(0) = (w >> 8).toByte; b(1) = w.toByte
+      b(2) = (h >> 8).toByte; b(3) = h.toByte
+      b
+    }
+    val media = Seq(
+      (1L, payload(200, 100, 80)), // wide: out = (64, 32)
+      (2L, payload(50, 200, 80)),  // tall: out = (16, 64)
+      (3L, payload(40, 30, 80)))   // small: unchanged
+      .toDF("media_id", "bytes")
+    val rows = Multimodal.resizeStub(media, 64).orderBy("media_id").collect()
+    assert(rows(0).getInt(3) == 64 && rows(0).getInt(4) == 32)
+    assert(rows(1).getInt(3) == 16 && rows(1).getInt(4) == 64)
+    assert(rows(2).getInt(3) == 40 && rows(2).getInt(4) == 30)
+    // thumb = leading out_w bytes of the payload (stub resample)
+    assert(rows(0).getAs[Array[Byte]](5).length == 64)
+    assert(rows(2).getAs[Array[Byte]](5).length == 40)
+  }
 }
