@@ -667,6 +667,25 @@ object SparkEntry {
             .as("hll_estimate"))
         .orderBy("l_returnflag")
     }),
+    // Sketch persistence/rollup: stage 1 builds one HLL sketch STATE per
+    // (flag, ship-month) — in production these land in a table, one row per
+    // partition-day, and the raw data is never re-read; stage 2 re-aggregates
+    // the states with sketch_merge and reads the estimate. Merge
+    // associativity (register max) makes the rolled estimate bit-equal to a
+    // flat pass over the union — the oracle pins exactly that: its VALUES
+    // come from Python folding the corpus flat, and n_partials pins that
+    // the rollup really consumed one sketch per month.
+    "sketch_rollup" -> ((s, dir) => {
+      val monthly = load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("mo"))
+        .agg(graft.functions.hll_sketch(
+          col("l_orderkey").cast("string"), 10).as("sk"))
+      monthly.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_partials"),
+          graft.functions.hll_estimate(
+            graft.functions.sketch_merge(col("sk"))).as("rolled_estimate"))
+        .orderBy("l_returnflag")
+    }),
     // Bloom-filter semi-join pruning: build one 2^17-bit filter over the
     // urgent orders' customer keys (a 16 KB aggregate — the only thing that
     // leaves the orders scan), broadcast it onto the customer table, and
@@ -927,6 +946,7 @@ object SparkEntry {
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),
     "sketch_distinct" -> valuesOracle("sketch_distinct"),
+    "sketch_rollup" -> valuesOracle("sketch_rollup"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),
     "stream_hll_users" -> valuesOracle("stream_hll_users"),

@@ -16,7 +16,11 @@ package graft.core
   *
   * Wire format (BinaryType): little-endian u64 words, one header word, then
   * the state. Bloom header = (log2m << 8) | k; CMS header = (d << 32) |
-  * log2w. Self-describing, so the probe side needs only the sketch bytes.
+  * log2w; HLL header = p (registers follow as raw bytes). The header ranges
+  * are disjoint (p ≤ 16 < 1537 ≤ bloom < 2^13 < 2^32 ≤ cms), so
+  * [[mergeBytes]] can dispatch the right merge — byte-max / bit-OR /
+  * counter-add — from the bytes alone: sketches persisted by different
+  * runs re-aggregate without the original build parameters.
   */
 object Sketches {
 
@@ -107,6 +111,66 @@ object Sketches {
     var j = 7
     while (j >= 0) { w = (w << 8) | (bytes(off + j) & 0xffL); j -= 1 }
     w
+  }
+
+  // ---- HLL wire + cross-kind merge (sketch persistence/rollup) ----
+
+  /** HLL registers → wire bytes: header word = p, then the 2^p registers. */
+  def hllToBytes(registers: Array[Byte], p: Int): Array[Byte] = {
+    require(registers.length == (1 << p), s"register count ${registers.length} != 2^$p")
+    val out = new Array[Byte](8 + registers.length)
+    out(0) = p.toByte // header little-endian; p < 128 so one byte suffices
+    System.arraycopy(registers, 0, out, 8, registers.length)
+    out
+  }
+
+  /** Estimate straight off [[hllToBytes]] wire bytes. */
+  def hllEstimateBytes(bytes: Array[Byte]): Double = {
+    require(bytes.length >= 8, s"not a sketch binary: ${bytes.length} bytes")
+    val p = wordAt(bytes, 0)
+    require(p >= HyperLogLog.MinP && p <= HyperLogLog.MaxP &&
+      bytes.length == 8 + (1L << p),
+      s"hll binary shape mismatch: header says p=$p, got ${bytes.length} bytes")
+    val regs = new Array[Byte]((1 << p.toInt))
+    System.arraycopy(bytes, 8, regs, 0, regs.length)
+    HyperLogLog.estimate(regs)
+  }
+
+  /** Merge two wire-format sketches in place (`other` into `acc`),
+    * dispatching on the disjoint header ranges: HLL → per-register byte
+    * max, Bloom → bit-OR, CMS → 64-bit counter add. Shapes must match. */
+  def mergeBytes(acc: Array[Byte], other: Array[Byte]): Unit = {
+    require(acc.length == other.length && acc.length >= 8,
+      s"cannot merge sketches of different size: ${acc.length} vs ${other.length}")
+    val h = wordAt(acc, 0)
+    require(h == wordAt(other, 0),
+      s"cannot merge sketches of different shape: header $h vs ${wordAt(other, 0)}")
+    if (h <= HyperLogLog.MaxP) { // HLL: byte max over registers
+      var i = 8
+      while (i < acc.length) {
+        if (other(i) > acc(i)) acc(i) = other(i)
+        i += 1
+      }
+    } else if (h < (1L << 32)) { // Bloom: bitwise OR (byte OR == word OR)
+      var i = 8
+      while (i < acc.length) {
+        acc(i) = (acc(i) | other(i)).toByte
+        i += 1
+      }
+    } else { // CMS: 64-bit little-endian counter adds
+      var w = 1
+      val words = acc.length / 8
+      while (w < words) {
+        putWordAt(acc, w, wordAt(acc, w) + wordAt(other, w))
+        w += 1
+      }
+    }
+  }
+
+  @inline private def putWordAt(bytes: Array[Byte], word: Int, v: Long): Unit = {
+    val off = word * 8
+    var j = 0
+    while (j < 8) { bytes(off + j) = ((v >>> (8 * j)) & 0xff).toByte; j += 1 }
   }
 
   /** Probe the wire bytes directly — the per-row path. A probe touches only

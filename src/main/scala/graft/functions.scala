@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, ColumnShim, HammingDist, HllDistinct, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, ColumnShim, HammingDist, HllDistinct, HllEstimate, HllSketch, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -94,4 +94,18 @@ object functions {
   /** Estimated frequency of `value` in a [[cms_build]] sketch (≥ truth). */
   def cms_estimate(cms: Column, value: Column): Column =
     toCol(CmsEstimate(col2expr(cms), col2expr(value)))
+
+  /** HyperLogLog sketch STATE (binary) — persist per-partition/day sketches,
+    * roll them up later with [[sketch_merge]] + [[hll_estimate]]. */
+  def hll_sketch(value: Column, p: Int): Column =
+    toCol(HllSketch(col2expr(value), col2expr(lit(p.toLong))).toAggregateExpression())
+
+  /** Re-aggregate persisted sketch states (HLL/Bloom/CMS — dispatched from
+    * the wire header). */
+  def sketch_merge(sketch: Column): Column =
+    toCol(SketchMerge(col2expr(sketch)).toAggregateExpression())
+
+  /** Distinct-count estimate from a persisted [[hll_sketch]] state. */
+  def hll_estimate(sketch: Column): Column =
+    toCol(HllEstimate(col2expr(sketch)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, HammingDist, HllDistinct, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, HammingDist, HllDistinct, HllEstimate, HllSketch, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
 
 /** Registration of the five LSH SQL functions, the analog of the reference's
   * extension entry point (/root/reference/src/lib.rs:40-53). After
@@ -67,6 +67,18 @@ object LshFunctions {
     "cms_estimate" -> ((args: Seq[Expression]) => {
       require(args.length == 2, "cms_estimate expects 2 arguments")
       CmsEstimate(args(0), args(1))
+    }),
+    "hll_sketch" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "hll_sketch expects 2 arguments")
+      HllSketch(args(0), args(1))
+    }),
+    "sketch_merge" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "sketch_merge expects 1 argument")
+      SketchMerge(args(0))
+    }),
+    "hll_estimate" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "hll_estimate expects 1 argument")
+      HllEstimate(args(0))
     }))
 
   private def info(name: String): ExpressionInfo =

@@ -234,6 +234,120 @@ case class CmsBuild(
     copy(child = newChildren(0), dExpr = newChildren(1), logwExpr = newChildren(2))
 }
 
+/** hll_sketch(value, p): like [[HllDistinct]] but emits the sketch STATE
+  * (BinaryType, [[graft.core.Sketches.hllToBytes]] wire format) instead of
+  * the estimate — the persistence half of the sketch algebra. Write the
+  * per-(group, day) sketches to a table once; later rollups re-aggregate
+  * them with [[SketchMerge]] and read the estimate with [[HllEstimate]],
+  * never touching the raw data again. Merge associativity makes the rolled
+  * estimate bit-equal to one computed flat over the union. */
+case class HllSketch(
+    child: Expression,
+    pExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with ImplicitCastInputTypes {
+
+  override def prettyName: String = "hll_sketch"
+  override def children: Seq[Expression] = Seq(child, pExpr)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
+    val const = LshParams.checkConstant(Seq(pExpr -> "p"))
+    if (!const.isInstanceOf[TypeCheckSuccess.type]) return const
+    SketchExprs.checkRange("p", LshParams.evalLong(pExpr, "p"),
+      HyperLogLog.MinP, HyperLogLog.MaxP)
+  }
+
+  @transient private lazy val p = LshParams.evalLong(pExpr, "p").toInt
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) HyperLogLog.add(buffer, SketchExprs.valueHash(v), p)
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], input: Array[Byte]): Array[Byte] = {
+    HyperLogLog.mergeInto(buffer, input)
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = Sketches.hllToBytes(buffer, p)
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(storageFormat: Array[Byte]): Array[Byte] = storageFormat
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), pExpr = newChildren(1))
+}
+
+/** sketch_merge(bin): re-aggregate persisted sketch states ([[HllSketch]],
+  * [[BloomBuild]] or [[CmsBuild]] output — the kind and merge op are
+  * dispatched from the wire header). NULL inputs are skipped; a group with
+  * no non-null sketches yields NULL. All sketches in a group must share one
+  * shape. */
+case class SketchMerge(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with ImplicitCastInputTypes {
+
+  override def prettyName: String = "sketch_merge"
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  // empty array = "no sketch seen yet" (a zero-length sketch is invalid)
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def mergeInto(buffer: Array[Byte], bytes: Array[Byte]): Array[Byte] =
+    if (bytes.isEmpty) buffer
+    else if (buffer.isEmpty) bytes.clone()
+    else { Sketches.mergeBytes(buffer, bytes); buffer }
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buffer else mergeInto(buffer, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(buffer: Array[Byte], input: Array[Byte]): Array[Byte] =
+    mergeInto(buffer, input)
+
+  override def eval(buffer: Array[Byte]): Any = if (buffer.isEmpty) null else buffer
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(storageFormat: Array[Byte]): Array[Byte] = storageFormat
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SketchMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SketchMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** hll_estimate(bin): distinct-count estimate from a persisted [[HllSketch]]
+  * state. */
+case class HllEstimate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def prettyName: String = "hll_estimate"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    Sketches.hllEstimateBytes(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** cms_estimate(cms, value): estimated frequency of `value` in the stream a
   * [[CmsBuild]] sketch summarized (min over the d counter rows). */
 case class CmsEstimate(left: Expression, right: Expression)

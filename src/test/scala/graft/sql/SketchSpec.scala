@@ -161,6 +161,41 @@ class SketchSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("sketch algebra: persisted states re-aggregate to the flat result") {
+    // two-level HLL rollup == flat estimate (merge associativity)
+    val df = (0 until 5000).map(i => (i % 7, s"k${i % 1300}")).toDF("g", "t")
+    val flat = df.agg(graft.functions.hll_distinct($"t", 10)).head.getDouble(0)
+    val rolled = df.groupBy("g")
+      .agg(graft.functions.hll_sketch($"t", 10).as("sk"))
+      .agg(graft.functions.hll_estimate(graft.functions.sketch_merge($"sk")))
+      .head.getDouble(0)
+    assert(rolled == flat)
+    // bloom states OR together: the merged filter contains both halves
+    val bloomOf = (r: org.apache.spark.sql.DataFrame) =>
+      r.agg(graft.functions.bloom_build($"t", 10, 3).as("b"))
+    val merged = bloomOf(Seq("left").toDF("t"))
+      .union(bloomOf(Seq("right").toDF("t")))
+      .agg(graft.functions.sketch_merge($"b").as("b"))
+    val hits = merged.select(
+      graft.functions.bloom_contains($"b", lit("left")),
+      graft.functions.bloom_contains($"b", lit("right")),
+      graft.functions.bloom_contains($"b", lit("neither"))).head
+    assert(hits.getBoolean(0) && hits.getBoolean(1) && !hits.getBoolean(2))
+    // cms states ADD together: counts accumulate across persisted sketches
+    val cmsOf = (n: Int) => Seq.fill(n)("x").toDF("t")
+      .agg(graft.functions.cms_build($"t", 2, 8).as("c"))
+    val total = cmsOf(3).union(cmsOf(4))
+      .agg(graft.functions.sketch_merge($"c").as("c"))
+      .select(graft.functions.cms_estimate($"c", lit("x"))).head.getLong(0)
+    assert(total == 7L)
+    // merging different shapes fails loudly
+    val bad = intercept[Exception] {
+      bloomOf(Seq("a").toDF("t")).union(cmsOf(1).withColumnRenamed("c", "b"))
+        .agg(graft.functions.sketch_merge($"b")).collect()
+    }
+    assert(bad.getMessage.contains("different"), bad.getMessage)
+  }
+
   test("sketch SQL surface and shape validation") {
     Seq("x", "y").toDF("t").createOrReplaceTempView("sketch_sql_in")
     val r = spark.sql(

@@ -717,6 +717,25 @@ def main(sf_dir, spark_dir):
                                  ("l_returnflag", "exact_orders", "hll_estimate"),
                                  sketch_sql)
 
+    # ---- sketch_rollup: two-level HLL merge == flat fold (associativity) ----
+    # The rolled registers are the elementwise max over the per-month
+    # registers, i.e. exactly the flat per-flag registers computed above —
+    # so the oracle reuses them; n_partials = distinct ship months.
+    months = con.execute(
+        "SELECT l_returnflag, count(DISTINCT month(CAST(l_shipdate AS TIMESTAMP)))"
+        f" FROM '{sf_dir}/lineitem.parquet' GROUP BY 1").fetchall()
+    rollup_rows = sorted((flag, n, hll_raw(regs[flag])) for flag, n in months)
+    rollup_sql = (
+        "SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,"
+        " CAST(n_partials AS BIGINT) AS n_partials,"
+        " CAST(rolled_estimate AS DOUBLE) AS rolled_estimate\n"
+        "FROM (VALUES\n"
+        f"{values_block([(repr(f), n, e) for f, n, e in rollup_rows])}\n"
+        ") AS t(l_returnflag, n_partials, rolled_estimate)\nORDER BY l_returnflag")
+    custom["sketch_rollup"] = (rollup_rows,
+                               ("l_returnflag", "n_partials", "rolled_estimate"),
+                               rollup_sql)
+
     # ---- bloom_semijoin / cms_topk: Bloom + Count-Min sketches ----
     # Shared double-hashing schedule (graft.core.Sketches): h1 = FxHash64
     # token hash, h2 = one FxHash round folding the golden gamma into h1,
@@ -823,6 +842,7 @@ def main(sf_dir, spark_dir):
                     "sample_stratified": "lang, doc_id",
                     "dataset_splits": "doc_id",
                     "sketch_distinct": "l_returnflag",
+                    "sketch_rollup": "l_returnflag",
                     "bloom_semijoin": "c_custkey",
                     "cms_topk": "exact_cnt DESC, token",
                     "stream_hll_users": "win_start, event_type"}
