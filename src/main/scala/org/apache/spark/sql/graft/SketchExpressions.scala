@@ -29,17 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * semantics filter first. `p` must be a query constant in [4, 16], checked
   * at analysis time like every lsh_* parameter.
   */
-case class HllDistinct(
-    child: Expression,
-    pExpr: Expression,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with ImplicitCastInputTypes {
+abstract class HllAggBase extends TypedImperativeAggregate[Array[Byte]]
+    with ImplicitCastInputTypes {
+  def child: Expression
+  def pExpr: Expression
 
-  override def prettyName: String = "hll_distinct"
   override def children: Seq[Expression] = Seq(child, pExpr)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
-  override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -47,13 +43,11 @@ case class HllDistinct(
     if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
     val const = LshParams.checkConstant(Seq(pExpr -> "p"))
     if (!const.isInstanceOf[TypeCheckSuccess.type]) return const
-    val v = LshParams.evalLong(pExpr, "p")
-    if (v < HyperLogLog.MinP || v > HyperLogLog.MaxP)
-      TypeCheckFailure(s"p must be in [${HyperLogLog.MinP}, ${HyperLogLog.MaxP}], got $v")
-    else TypeCheckSuccess
+    SketchExprs.checkRange("p", LshParams.evalLong(pExpr, "p"),
+      HyperLogLog.MinP, HyperLogLog.MaxP)
   }
 
-  @transient private lazy val p = LshParams.evalLong(pExpr, "p").toInt
+  @transient protected lazy val p: Int = LshParams.evalLong(pExpr, "p").toInt
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
 
@@ -68,12 +62,19 @@ case class HllDistinct(
     buffer
   }
 
-  override def eval(buffer: Array[Byte]): Any = HyperLogLog.estimate(buffer)
-
-  // the register array IS the wire format — nothing to encode
+  // the register array IS the shuffle format — nothing to encode
   override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
   override def deserialize(storageFormat: Array[Byte]): Array[Byte] = storageFormat
+}
 
+case class HllDistinct(
+    child: Expression,
+    pExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0) extends HllAggBase {
+  override def prettyName: String = "hll_distinct"
+  override def dataType: DataType = DoubleType
+  override def eval(buffer: Array[Byte]): Any = HyperLogLog.estimate(buffer)
   override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): HllDistinct =
@@ -245,43 +246,10 @@ case class HllSketch(
     child: Expression,
     pExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with ImplicitCastInputTypes {
-
+    override val inputAggBufferOffset: Int = 0) extends HllAggBase {
   override def prettyName: String = "hll_sketch"
-  override def children: Seq[Expression] = Seq(child, pExpr)
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val base = super.checkInputDataTypes()
-    if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
-    val const = LshParams.checkConstant(Seq(pExpr -> "p"))
-    if (!const.isInstanceOf[TypeCheckSuccess.type]) return const
-    SketchExprs.checkRange("p", LshParams.evalLong(pExpr, "p"),
-      HyperLogLog.MinP, HyperLogLog.MaxP)
-  }
-
-  @transient private lazy val p = LshParams.evalLong(pExpr, "p").toInt
-
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
-
-  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) HyperLogLog.add(buffer, SketchExprs.valueHash(v), p)
-    buffer
-  }
-
-  override def merge(buffer: Array[Byte], input: Array[Byte]): Array[Byte] = {
-    HyperLogLog.mergeInto(buffer, input)
-    buffer
-  }
-
   override def eval(buffer: Array[Byte]): Any = Sketches.hllToBytes(buffer, p)
-  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
-  override def deserialize(storageFormat: Array[Byte]): Array[Byte] = storageFormat
-
   override def withNewMutableAggBufferOffset(newOffset: Int): HllSketch =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): HllSketch =
