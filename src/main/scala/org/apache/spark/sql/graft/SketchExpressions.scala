@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -161,15 +160,27 @@ case class BloomBuild(
 /** bloom_contains(bloom, value): probe a [[BloomBuild]] filter. False is
   * definitive (no false negatives); true may be a false positive at the
   * filter's design rate. Self-describing binary — log2m and k ride in the
-  * header word. */
+  * header word. Hand codegen: the probe runs inside the scan's
+  * whole-stage-codegen loop (a CodegenFallback here would break codegen for
+  * the entire probe-side projection — the hot path this filter exists for). */
 case class BloomContains(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "bloom_contains"
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = BooleanType
+
+  def probe(bloom: Array[Byte], v: UTF8String): Boolean =
+    Sketches.bloomContainsBytes(bloom, SketchExprs.valueHash(v))
+
   override protected def nullSafeEval(bloom: Any, v: Any): Any =
-    Sketches.bloomContainsBytes(bloom.asInstanceOf[Array[Byte]],
-      SketchExprs.valueHash(v))
+    probe(bloom.asInstanceOf[Array[Byte]], v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this, classOf[BloomContains].getName)
+    nullSafeCodeGen(ctx, ev, (b, v) => s"${ev.value} = $ref.probe($b, $v);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -307,25 +318,42 @@ case class SketchMerge(
   * state. */
 case class HllEstimate(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
+    with ImplicitCastInputTypes {
   override def prettyName: String = "hll_estimate"
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(v: Any): Any =
     Sketches.hllEstimateBytes(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.core.Sketches.hllEstimateBytes($b)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** cms_estimate(cms, value): estimated frequency of `value` in the stream a
-  * [[CmsBuild]] sketch summarized (min over the d counter rows). */
+  * [[CmsBuild]] sketch summarized (min over the d counter rows). Hand
+  * codegen like [[BloomContains]] — probes stay inside whole-stage codegen. */
 case class CmsEstimate(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "cms_estimate"
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = LongType
+
+  def probe(cms: Array[Byte], v: UTF8String): Long =
+    Sketches.cmsEstimateBytes(cms, SketchExprs.valueHash(v))
+
   override protected def nullSafeEval(cms: Any, v: Any): Any =
-    Sketches.cmsEstimateBytes(cms.asInstanceOf[Array[Byte]],
-      SketchExprs.valueHash(v))
+    probe(cms.asInstanceOf[Array[Byte]], v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cmsExpr", this, classOf[CmsEstimate].getName)
+    nullSafeCodeGen(ctx, ev, (c, v) => s"${ev.value} = $ref.probe($c, $v);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -196,6 +196,27 @@ class SketchSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("different"), bad.getMessage)
   }
 
+  test("probe expressions compile under strict whole-stage codegen") {
+    // fallback=false turns a broken doGenCode into a hard error instead of
+    // a silent interpreted fallback — this pins that the probes really run
+    // inside the generated scan loop
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = (0 until 100).map(i => s"v$i").toDF("t")
+      val sk = df.agg(
+        graft.functions.bloom_build($"t", 10, 3).as("b"),
+        graft.functions.cms_build($"t", 2, 8).as("c"),
+        graft.functions.hll_sketch($"t", 8).as("h"))
+      val r = df.crossJoin(sk).select(
+        graft.functions.bloom_contains($"b", $"t"),
+        graft.functions.cms_estimate($"c", $"t"),
+        graft.functions.hll_estimate($"h")).collect()
+      assert(r.length == 100 && r.forall(_.getBoolean(0)))
+      assert(r.forall(_.getLong(1) >= 1L))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("sketch SQL surface and shape validation") {
     Seq("x", "y").toDF("t").createOrReplaceTempView("sketch_sql_in")
     val r = spark.sql(
