@@ -132,4 +132,55 @@ class KernelPropertiesSpec extends AnyFunSuite {
       xs.foreach(x => assert(s.contains(x)))
     }
   }
+
+  test("tokenHashUtf8 == code-point token hash for arbitrary unicode") {
+    val uni: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "語", "中", "ß"),
+      1 -> Gen.oneOf("😀", "🌀", "𝕏"))).map(_.mkString) // incl. surrogate pairs
+    forSamples(uni) { s =>
+      val cps = Shingles.codePoints(s)
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(SimHash.tokenHashUtf8(bytes, 0, bytes.length) ==
+        SimHash.tokenHash(cps, cps.length))
+    }
+  }
+
+  test("sketch algebra law: sketch(A) ⊕ sketch(B) == sketch(A ++ B), all kinds") {
+    def h(s: String) = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      SimHash.tokenHashUtf8(b, 0, b.length)
+    }
+    val values: Gen[(List[String], List[String])] =
+      Gen.zip(Gen.listOf(text), Gen.listOf(text))
+    forSamples(values, n = 100) { case (as, bs) =>
+      // HLL: register max
+      def hll(vs: Seq[String]) = {
+        val r = new Array[Byte](1 << 6)
+        vs.foreach(v => HyperLogLog.add(r, h(v), 6))
+        Sketches.hllToBytes(r, 6)
+      }
+      val mergedH = hll(as)
+      Sketches.mergeBytes(mergedH, hll(bs))
+      assert(java.util.Arrays.equals(mergedH, hll(as ++ bs)))
+      // Bloom: bit OR
+      def bloom(vs: Seq[String]) = {
+        val w = Sketches.bloomEmpty(8, 3)
+        vs.foreach(v => Sketches.bloomAdd(w, h(v), 3, 8))
+        Sketches.toBytes(w)
+      }
+      val mergedB = bloom(as)
+      Sketches.mergeBytes(mergedB, bloom(bs))
+      assert(java.util.Arrays.equals(mergedB, bloom(as ++ bs)))
+      // CMS: counter add
+      def cms(vs: Seq[String]) = {
+        val c = Sketches.cmsEmpty(2, 6)
+        vs.foreach(v => Sketches.cmsAdd(c, h(v), 2, 6))
+        Sketches.toBytes(c)
+      }
+      val mergedC = cms(as)
+      Sketches.mergeBytes(mergedC, cms(bs))
+      assert(java.util.Arrays.equals(mergedC, cms(as ++ bs)))
+    }
+  }
 }
