@@ -113,6 +113,76 @@ object Sketches {
     w
   }
 
+  // ---- HDR-style log-linear quantile histogram ----
+  // Non-negative longs bucket by bit surgery (exact): values < 2^b land in
+  // 2^b linear buckets; above that, each octave splits into 2^b log-linear
+  // sub-buckets, so relative error is bounded by 2^-b. Counts merge by add
+  // (the same CMS merge branch), quantiles read off the cumulative walk with
+  // the nearest-rank rule — every step integer-exact, so the whole sketch is
+  // bit-deterministic like the rest of the family. Header = (9 << 32) | b
+  // (above the CMS range, merges as counter-add).
+
+  def histBuckets(b: Int): Int = (64 - b) << b
+
+  def histEmpty(b: Int): Array[Long] = {
+    val counters = new Array[Long](1 + histBuckets(b))
+    counters(0) = (9L << 32) | b.toLong
+    counters
+  }
+
+  def histBucketOf(v: Long, b: Int): Int = {
+    require(v >= 0, s"histogram values must be non-negative, got $v")
+    if (v < (1L << b)) v.toInt
+    else {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val o = msb - b + 1
+      val sub = ((v >>> (msb - b)) & ((1L << b) - 1)).toInt
+      (o << b) + sub
+    }
+  }
+
+  /** Lower bound of bucket i — the quantile estimate returned for ranks
+    * landing in it (≤ true value < bound · (1 + 2^-b) in the log region). */
+  def histBucketLow(i: Int, b: Int): Long = {
+    if (i < (1 << b)) i.toLong
+    else {
+      val o = i >>> b
+      val sub = (i & ((1 << b) - 1)).toLong
+      (1L << (b + o - 1)) + (sub << (o - 1))
+    }
+  }
+
+  def histAdd(counters: Array[Long], v: Long, b: Int): Unit =
+    counters(1 + histBucketOf(v, b)) += 1L
+
+  /** Nearest-rank quantile straight off the wire bytes: rank = ceil(q·n)
+    * clamped to [1, n]; walk the cumulative counts. Returns -1 for an empty
+    * histogram. */
+  def histQuantileBytes(bytes: Array[Byte], q: Double): Long = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    require(bytes.length >= 16 && bytes.length % 8 == 0,
+      s"not a sketch binary: ${bytes.length} bytes")
+    val header = wordAt(bytes, 0)
+    val b = (header & 0xffffffffL).toInt
+    require((header >>> 32) == 9L && b >= 1 && b <= 8 &&
+      bytes.length == 8 * (1 + histBuckets(b)),
+      s"hist binary shape mismatch: header $header, ${bytes.length} bytes")
+    val words = bytes.length / 8
+    var n = 0L
+    var w = 1
+    while (w < words) { n += wordAt(bytes, w); w += 1 }
+    if (n == 0L) return -1L
+    val rank = math.min(n, math.max(1L, math.ceil(q * n.toDouble).toLong))
+    var cum = 0L
+    w = 1
+    while (w < words) {
+      cum += wordAt(bytes, w)
+      if (cum >= rank) return histBucketLow(w - 1, b)
+      w += 1
+    }
+    -1L // unreachable: cum == n >= rank after the last bucket
+  }
+
   // ---- HLL wire + cross-kind merge (sketch persistence/rollup) ----
 
   /** HLL registers → wire bytes: header word = p, then the 2^p registers. */

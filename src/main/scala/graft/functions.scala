@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, ColumnShim, HammingDist, HllDistinct, HllEstimate, HllSketch, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, ColumnShim, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -108,4 +108,13 @@ object functions {
   /** Distinct-count estimate from a persisted [[hll_sketch]] state. */
   def hll_estimate(sketch: Column): Column =
     toCol(HllEstimate(col2expr(sketch)))
+
+  /** Mergeable HDR-style quantile histogram over non-negative longs
+    * (relative error ≤ 2^-b). */
+  def hist_sketch(value: Column, b: Int): Column =
+    toCol(HistSketch(col2expr(value), col2expr(lit(b.toLong))).toAggregateExpression())
+
+  /** Nearest-rank quantile from a [[hist_sketch]] state. */
+  def hist_quantile(sketch: Column, q: Double): Column =
+    toCol(HistQuantile(col2expr(sketch), col2expr(lit(q))))
 }

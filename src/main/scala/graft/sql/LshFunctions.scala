@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, HammingDist, HllDistinct, HllEstimate, HllSketch, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
 
 /** Registration of the five LSH SQL functions, the analog of the reference's
   * extension entry point (/root/reference/src/lib.rs:40-53). After
@@ -79,6 +79,14 @@ object LshFunctions {
     "hll_estimate" -> ((args: Seq[Expression]) => {
       require(args.length == 1, "hll_estimate expects 1 argument")
       HllEstimate(args(0))
+    }),
+    "hist_sketch" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "hist_sketch expects 2 arguments")
+      HistSketch(args(0), args(1))
+    }),
+    "hist_quantile" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "hist_quantile expects 2 arguments")
+      HistQuantile(args(0), args(1))
     }))
 
   private def info(name: String): ExpressionInfo =

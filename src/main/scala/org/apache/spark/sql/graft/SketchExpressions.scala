@@ -314,6 +314,83 @@ case class SketchMerge(
     copy(child = newChildren(0))
 }
 
+/** hist_sketch(value, b): mergeable HDR-style quantile histogram over
+  * non-negative longs ([[graft.core.Sketches]].histBucketOf for the exact
+  * bucketing spec). One pass, (64−b)·2^b counters of fixed state per group
+  * (16 KB at b=5) against exact percentile's full sort — the standard
+  * latency/length-distribution shape at 100 TB. Counts merge by add, so the
+  * state is order/partitioning-invariant, persists, and rolls up through
+  * [[SketchMerge]]; [[HistQuantile]] reads nearest-rank quantiles with
+  * relative error ≤ 2^−b. */
+case class HistSketch(
+    child: Expression,
+    bExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
+
+  override def prettyName: String = "hist_sketch"
+  override def children: Seq[Expression] = Seq(child, bExpr)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isInstanceOf[TypeCheckSuccess.type]) return base
+    val const = LshParams.checkConstant(Seq(bExpr -> "b"))
+    if (!const.isInstanceOf[TypeCheckSuccess.type]) return const
+    SketchExprs.checkRange("b", LshParams.evalLong(bExpr, "b"), 1, 8)
+  }
+
+  @transient private lazy val b = LshParams.evalLong(bExpr, "b").toInt
+
+  override def createAggregationBuffer(): Array[Long] = Sketches.histEmpty(b)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) Sketches.histAdd(buffer, v.asInstanceOf[Long], b)
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], input: Array[Long]): Array[Long] = {
+    Sketches.mergeAdd(buffer, input)
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = Sketches.toBytes(buffer)
+  override def serialize(buffer: Array[Long]): Array[Byte] = Sketches.toBytes(buffer)
+  override def deserialize(storageFormat: Array[Byte]): Array[Long] =
+    Sketches.fromBytes(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), bExpr = newChildren(1))
+}
+
+/** hist_quantile(bin, q): nearest-rank quantile from a persisted
+  * [[HistSketch]] state (-1 for an empty histogram). Hand codegen like the
+  * other probes. */
+case class HistQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "hist_quantile"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(bin: Any, q: Any): Any =
+    Sketches.histQuantileBytes(bin.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (bin, q) => s"graft.core.Sketches.histQuantileBytes($bin, $q)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** hll_estimate(bin): distinct-count estimate from a persisted [[HllSketch]]
   * state. */
 case class HllEstimate(child: Expression)

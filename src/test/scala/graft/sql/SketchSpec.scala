@@ -196,6 +196,38 @@ class SketchSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("different"), bad.getMessage)
   }
 
+  test("hist_sketch: bounded-error quantiles, exact in the linear region") {
+    import graft.core.Sketches
+    // linear region (< 2^b): buckets are exact, so quantiles are exact
+    val small = (1L to 20L) ++ (1L to 20L)
+    val dfS = small.toDF("v")
+      .agg(graft.functions.hist_sketch($"v", 5).as("h"))
+      .select(graft.functions.hist_quantile($"h", 0.5),
+        graft.functions.hist_quantile($"h", 1.0))
+      .head
+    assert(dfS.getLong(0) == 10L && dfS.getLong(1) == 20L)
+    // log region: relative error bounded by 2^-b
+    val big = (1 to 10000).map(i => i.toLong * 37L)
+    val q90 = big.toDF("v")
+      .agg(graft.functions.hist_sketch($"v", 5).as("h"))
+      .select(graft.functions.hist_quantile($"h", 0.9)).head.getLong(0)
+    val exact = big.sorted.apply(math.ceil(0.9 * big.size).toInt - 1)
+    assert(math.abs(q90 - exact).toDouble / exact <= 1.0 / 32 + 1e-9,
+      s"q90=$q90 exact=$exact")
+    // partitioning invariance + rollup through sketch_merge
+    val flat = big.toDF("v").agg(graft.functions.hist_sketch($"v", 5))
+      .head.getAs[Array[Byte]](0)
+    val rolled = big.zipWithIndex.map { case (v, i) => (i % 7, v) }.toDF("g", "v")
+      .groupBy("g").agg(graft.functions.hist_sketch($"v", 5).as("h"))
+      .agg(graft.functions.sketch_merge($"h")).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(flat, rolled))
+    // empty histogram and negative input
+    assert(Sketches.histQuantileBytes(Sketches.toBytes(Sketches.histEmpty(5)), 0.5) == -1L)
+    intercept[Exception] {
+      Seq(-1L).toDF("v").agg(graft.functions.hist_sketch($"v", 5)).collect()
+    }
+  }
+
   test("probe expressions compile under strict whole-stage codegen") {
     // fallback=false turns a broken doGenCode into a hard error instead of
     // a silent interpreted fallback — this pins that the probes really run

@@ -736,6 +736,51 @@ def main(sf_dir, spark_dir):
                                ("l_returnflag", "n_partials", "rolled_estimate"),
                                rollup_sql)
 
+    # ---- hist_quantiles: HDR log-linear histogram quantiles ----
+    # Mirrors graft.core.Sketches.histBucketOf/histBucketLow (bit-exact
+    # integer bucketing) and the nearest-rank rule rank = ceil(q*n).
+    HB = 5
+
+    def hist_bucket(v, b):
+        if v < (1 << b):
+            return v
+        msb = v.bit_length() - 1
+        return ((msb - b + 1) << b) + ((v >> (msb - b)) & ((1 << b) - 1))
+
+    def hist_low(i, b):
+        if i < (1 << b):
+            return i
+        o = i >> b
+        return (1 << (b + o - 1)) + ((i & ((1 << b) - 1)) << (o - 1))
+
+    import math as _math
+    lang_lens = con.execute(
+        f"SELECT lang, n_chars FROM '{sf_dir}/documents.parquet'").fetchall()
+    lhist = {}
+    for lang, nch in lang_lens:
+        lhist.setdefault(lang, []).append(hist_bucket(nch, HB))
+
+    def hist_q(buckets, q):
+        n = len(buckets)
+        rank = min(n, max(1, _math.ceil(q * float(n))))
+        cum = 0
+        for i in sorted(set(buckets)):
+            cum += buckets.count(i)
+            if cum >= rank:
+                return hist_low(i, HB)
+        return -1
+
+    hq_rows = sorted((lang, len(bs), hist_q(bs, 0.5), hist_q(bs, 0.9),
+                      hist_q(bs, 0.99)) for lang, bs in lhist.items())
+    hq_sql = (
+        "SELECT CAST(lang AS VARCHAR) AS lang, CAST(n AS BIGINT) AS n,"
+        " CAST(p50 AS BIGINT) AS p50, CAST(p90 AS BIGINT) AS p90,"
+        " CAST(p99 AS BIGINT) AS p99\n"
+        "FROM (VALUES\n"
+        f"{values_block([(repr(l), n, a, b_, c) for l, n, a, b_, c in hq_rows])}\n"
+        ") AS t(lang, n, p50, p90, p99)\nORDER BY lang")
+    custom["hist_quantiles"] = (hq_rows, ("lang", "n", "p50", "p90", "p99"), hq_sql)
+
     # ---- bloom_semijoin / cms_topk: Bloom + Count-Min sketches ----
     # Shared double-hashing schedule (graft.core.Sketches): h1 = FxHash64
     # token hash, h2 = one FxHash round folding the golden gamma into h1,
@@ -843,6 +888,7 @@ def main(sf_dir, spark_dir):
                     "dataset_splits": "doc_id",
                     "sketch_distinct": "l_returnflag",
                     "sketch_rollup": "l_returnflag",
+                    "hist_quantiles": "lang",
                     "bloom_semijoin": "c_custkey",
                     "cms_topk": "exact_cnt DESC, token",
                     "stream_hll_users": "win_start, event_type"}
