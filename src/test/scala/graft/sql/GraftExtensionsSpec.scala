@@ -36,17 +36,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
         java.lang.Long.parseUnsignedLong("6891191098855684803"),
         java.lang.Long.parseUnsignedLong("6484452798683863108"),
         java.lang.Long.parseUnsignedLong("14488917645112899542")))
-      // one probe per remaining injected function: resolution is the point
-      val probes = Seq(
-        "SELECT lsh_min32('ab', 2, 1, 1, 1)",
-        "SELECT lsh_euclidean(array(1.0d, 2.0d), 0.5d, 1, 1, 1)",
-        "SELECT lsh_euclidean32(array(1.0d, 2.0d), 0.5d, 1, 1, 1)",
-        "SELECT lsh_jaccard('abc', 'abd', 2)",
-        "SELECT simhash64('hello world')",
-        "SELECT hamming_dist(1L, 3L)",
-        "SELECT min_fingerprint('hello world', 4)",
-        "SELECT winnow_fingerprint('hello world hello', 4, 5)")
-      probes.foreach(q => s2.sql(q).collect())
+      // one probe per injected function, keyed so the list CANNOT silently
+      // miss a newly registered function: the assertion below fails the
+      // suite when LshFunctions.all grows without a probe here
+      val probes = Map(
+        "lsh_min" -> "SELECT lsh_min('ab', 2, 1, 1, 1)",
+        "lsh_min32" -> "SELECT lsh_min32('ab', 2, 1, 1, 1)",
+        "lsh_euclidean" -> "SELECT lsh_euclidean(array(1.0d, 2.0d), 0.5d, 1, 1, 1)",
+        "lsh_euclidean32" -> "SELECT lsh_euclidean32(array(1.0d, 2.0d), 0.5d, 1, 1, 1)",
+        "lsh_jaccard" -> "SELECT lsh_jaccard('abc', 'abd', 2)",
+        "simhash64" -> "SELECT simhash64('hello world')",
+        "hamming_dist" -> "SELECT hamming_dist(1L, 3L)",
+        "min_fingerprint" -> "SELECT min_fingerprint('hello world', 4)",
+        "winnow_fingerprint" -> "SELECT winnow_fingerprint('hello world hello', 4, 5)",
+        "shingle_hashes" -> "SELECT shingle_hashes('hello', 2)",
+        "hll_distinct" -> "SELECT hll_distinct(t, 10) FROM (SELECT 'x' AS t)",
+        "bloom_build" -> "SELECT bloom_build(t, 10, 3) FROM (SELECT 'x' AS t)",
+        "bloom_contains" ->
+          "SELECT bloom_contains(b, 'x') FROM (SELECT bloom_build(t, 10, 3) AS b FROM (SELECT 'x' AS t))",
+        "cms_build" -> "SELECT cms_build(t, 2, 8) FROM (SELECT 'x' AS t)",
+        "cms_estimate" ->
+          "SELECT cms_estimate(c, 'x') FROM (SELECT cms_build(t, 2, 8) AS c FROM (SELECT 'x' AS t))",
+        "hll_sketch" -> "SELECT hll_sketch(t, 8) FROM (SELECT 'x' AS t)",
+        "sketch_merge" ->
+          "SELECT sketch_merge(s) FROM (SELECT hll_sketch(t, 8) AS s FROM (SELECT 'x' AS t))",
+        "hll_estimate" ->
+          "SELECT hll_estimate(s) FROM (SELECT hll_sketch(t, 8) AS s FROM (SELECT 'x' AS t))",
+        "hist_sketch" -> "SELECT hist_sketch(v, 5) FROM (SELECT 7L AS v)",
+        "hist_quantile" ->
+          "SELECT hist_quantile(h, 0.5d) FROM (SELECT hist_sketch(v, 5) AS h FROM (SELECT 7L AS v))")
+      assert(probes.keySet == graft.sql.LshFunctions.all.map(_._1).toSet,
+        "extension probe list out of sync with LshFunctions.all")
+      probes.values.foreach(q => s2.sql(q).collect())
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
