@@ -1,7 +1,7 @@
 package graft.core
 
-/** Bloom filter and Count-Min sketch kernels — with [[HyperLogLog]], the
-  * engine's mergeable-sketch family. All three share the properties that
+/** Bloom filter, Count-Min and HDR-histogram kernels — with [[HyperLogLog]],
+  * the engine's mergeable-sketch family. All four share the properties that
   * make them pinnable across engines and correct under Spark's execution
   * model: updates commute (bit-OR / counter-add / register-max), so the
   * result is independent of row order and partitioning, and the fixed-size
@@ -16,11 +16,13 @@ package graft.core
   *
   * Wire format (BinaryType): little-endian u64 words, one header word, then
   * the state. Bloom header = (log2m << 8) | k; CMS header = (d << 32) |
-  * log2w; HLL header = p (registers follow as raw bytes). The header ranges
-  * are disjoint (p ≤ 16 < 1537 ≤ bloom < 2^13 < 2^32 ≤ cms), so
+  * log2w; histogram header = (9 << 32) | b; HLL header = p (registers follow
+  * as raw bytes). The header ranges are disjoint
+  * (p ≤ 16 < 1537 ≤ bloom < 2^13 < 2^32 ≤ cms < 9·2^32 ≤ hist), so
   * [[mergeBytes]] can dispatch the right merge — byte-max / bit-OR /
-  * counter-add — from the bytes alone: sketches persisted by different
-  * runs re-aggregate without the original build parameters.
+  * counter-add (CMS and histogram both) — from the bytes alone: sketches
+  * persisted by different runs re-aggregate without the original build
+  * parameters.
   */
 object Sketches {
 
