@@ -873,6 +873,23 @@ object SparkEntry {
           col("event_type"), col("cnt"), col("min_v"), col("max_v"))
         .orderBy("win_start", "event_type")
     }),
+    "stream_hist_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      // streaming per-(hour, type) value percentiles: exact percentiles
+      // can't run in a streaming aggregation (they'd buffer every value);
+      // the mergeable HDR histogram can, and its order invariance makes the
+      // replay bit-equal to a batch fold — pinned by the Python VALUES
+      // oracle re-deriving every window's buckets
+      val events = loadEvents(s, dir)
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      graft.streaming.EventStreams.windowedQuantilesReplay(s, events, "1 hour", 3, b = 5)
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("p50_x100"), col("p95_x100"))
+        .orderBy("win_start", "event_type")
+    }),
     "stream_hll_users" -> ((s, dir) => {
       import s.implicits._
       // streaming distinct users per (hour, type): COUNT(DISTINCT) is
@@ -965,6 +982,7 @@ object SparkEntry {
     "sketch_distinct" -> valuesOracle("sketch_distinct"),
     "sketch_rollup" -> valuesOracle("sketch_rollup"),
     "hist_quantiles" -> valuesOracle("hist_quantiles"),
+    "stream_hist_quantiles" -> valuesOracle("stream_hist_quantiles"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),
     "stream_hll_users" -> valuesOracle("stream_hll_users"),

@@ -60,6 +60,26 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"), col("approx_users"))
   }
 
+  /** Windowed value quantiles per event type via the mergeable HDR
+    * histogram — the streaming percentile. Exact percentiles are as
+    * unavailable in a streaming aggregation as COUNT(DISTINCT) (they'd
+    * buffer every value per open window); the histogram state is
+    * (64−b)·2^b counters per (window, type), updates commute, and the
+    * stream is bit-equal to the batch twin for any within-watermark
+    * arrival order. Values enter as centi-units (CAST(value·100 AS LONG),
+    * truncation — deterministic in any IEEE engine); quantiles come back
+    * in the same units. */
+  def windowedValueQuantiles(events: DataFrame, windowLen: String = "1 hour",
+                             watermark: String = "10 minutes", b: Int = 5): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(_root_.graft.functions.hist_sketch(
+        (col("value") * lit(100.0)).cast("long"), b).as("h"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        _root_.graft.functions.hist_quantile(col("h"), 0.5).as("p50_x100"),
+        _root_.graft.functions.hist_quantile(col("h"), 0.95).as("p95_x100"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, events: Long)
 
@@ -316,6 +336,28 @@ object EventStreams {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val sink = s"graft_hll_replay_${replaySeq.incrementAndGet()}"
     val q = windowedDistinctUsers(mem.toDF(), windowLen, watermark = "3650 days", p = p)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (events.size + nBatches - 1) / nBatches)
+      events.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val far = new Timestamp(events.iterator.map(_.ts.getTime).max + 4000L * 86400_000L)
+      mem.addData(Event(-1L, far, -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).filter(col("event_type") =!= "flush")
+  }
+
+  /** Replay harness for [[windowedValueQuantiles]] — same contract as
+    * [[windowedDistinctReplay]]: far watermark, flush event, estimates
+    * bit-equal to the batch twin for any micro-batch split. */
+  def windowedQuantilesReplay(spark: SparkSession, events: Seq[Event],
+                              windowLen: String = "1 hour", nBatches: Int = 3,
+                              b: Int = 5): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sink = s"graft_hist_replay_${replaySeq.incrementAndGet()}"
+    val q = windowedValueQuantiles(mem.toDF(), windowLen, watermark = "3650 days", b = b)
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try {
       val chunk = math.max(1, (events.size + nBatches - 1) / nBatches)

@@ -164,6 +164,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(total > 0)
   }
 
+  test("windowedValueQuantiles replay is bit-equal to the batch twin") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val events = rng.shuffle((0 until 400).toList).map { i =>
+      EventStreams.Event(i.toLong, ts(i % 170), i.toLong % 97, "m",
+        (i % 250) * 1.37 + 0.5)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("win_start", "event_type", "p50_x100", "p95_x100")
+      .orderBy("win_start")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = rows(EventStreams.windowedValueQuantiles(events.toDF(), "1 hour", b = 5))
+    val streamed = rows(EventStreams.windowedQuantilesReplay(spark, events, "1 hour", 4, b = 5))
+    assert(streamed == batch)
+    // sanity: estimates sit within the histogram's relative error of exact
+    val exactP50 = {
+      val vs = events.filter(e => e.ts.getTime < ts(60).getTime)
+        .map(e => (e.value * 100).toLong).sorted
+      vs(math.ceil(0.5 * vs.size).toInt - 1)
+    }
+    assert(math.abs(batch.head._3 - exactP50).toDouble / math.max(exactP50, 1) <= 1.0 / 32 + 1e-9)
+  }
+
   test("dedupByContent drops repeated texts across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

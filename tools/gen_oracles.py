@@ -781,6 +781,32 @@ def main(sf_dir, spark_dir):
         ") AS t(lang, n, p50, p90, p99)\nORDER BY lang")
     custom["hist_quantiles"] = (hq_rows, ("lang", "n", "p50", "p90", "p99"), hq_sql)
 
+    # ---- stream_hist_quantiles: windowed HDR quantiles (streaming twin) ----
+    # Same order-invariance argument as stream_hll_users: the replayed
+    # histogram equals a flat per-(hour, type) fold. Values enter as
+    # centi-units int(v*100) (both engines truncate toward zero for
+    # positives; the double product is correctly rounded in both).
+    win_vals = con.execute(
+        "SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),"
+        " '%Y-%m-%d %H:%M') AS w, event_type, value"
+        f" FROM '{sf_dir}/events.parquet'").fetchall()
+    win_hist = {}
+    for w, et, v in win_vals:
+        win_hist.setdefault((w, et), []).append(hist_bucket(int(v * 100), HB))
+    shq_rows = sorted((w, et, hist_q(bs, 0.5), hist_q(bs, 0.95))
+                      for (w, et), bs in win_hist.items())
+    shq_sql = (
+        "SELECT CAST(win_start AS VARCHAR) AS win_start,"
+        " CAST(event_type AS VARCHAR) AS event_type,"
+        " CAST(p50_x100 AS BIGINT) AS p50_x100,"
+        " CAST(p95_x100 AS BIGINT) AS p95_x100\n"
+        "FROM (VALUES\n"
+        f"{values_block([(repr(w), repr(et), a, b_) for w, et, a, b_ in shq_rows])}\n"
+        ") AS t(win_start, event_type, p50_x100, p95_x100)\nORDER BY win_start, event_type")
+    custom["stream_hist_quantiles"] = (shq_rows,
+                                       ("win_start", "event_type", "p50_x100", "p95_x100"),
+                                       shq_sql)
+
     # ---- bloom_semijoin / cms_topk: Bloom + Count-Min sketches ----
     # Shared double-hashing schedule (graft.core.Sketches): h1 = FxHash64
     # token hash, h2 = one FxHash round folding the golden gamma into h1,
@@ -889,6 +915,7 @@ def main(sf_dir, spark_dir):
                     "sketch_distinct": "l_returnflag",
                     "sketch_rollup": "l_returnflag",
                     "hist_quantiles": "lang",
+                    "stream_hist_quantiles": "win_start, event_type",
                     "bloom_semijoin": "c_custkey",
                     "cms_topk": "exact_cnt DESC, token",
                     "stream_hll_users": "win_start, event_type"}
