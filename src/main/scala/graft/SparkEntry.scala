@@ -635,6 +635,16 @@ object SparkEntry {
           col("out_w"), col("out_h"), sha2(col("thumb_bytes"), 256).as("thumb_sha256"))
         .orderBy("media_id")
     }),
+    // Weighted sampling (A-ES exponential keys over the pinned ln): longer
+    // documents proportionally likelier — the reproducible data-mixing
+    // primitive. Oracle: full Python re-derivation of u, score and the
+    // top-k selection (VALUES), lengths re-attached by DuckDB.
+    "sample_weighted" -> ((s, dir) => {
+      graft.api.Sampling.weightedSampleTopK(
+          load(s, dir, "documents"), "doc_id", "n_chars", 50, seed = 31L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // Deterministic hash-based sampling/splitting (graft.api.Sampling):
     // sample membership is a pure function of (key, seed) — layout-,
     // partitioning- and run-invariant, which is what makes a 100 TB data
@@ -975,6 +985,7 @@ object SparkEntry {
     "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
     "sample_hash" -> valuesOracle("sample_hash"),
+    "sample_weighted" -> valuesOracle("sample_weighted"),
     "contamination_check" -> valuesOracle("contamination_check"),
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),

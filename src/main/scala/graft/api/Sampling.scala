@@ -35,6 +35,33 @@ object Sampling {
   def sampleByHash(df: DataFrame, keyCol: String, fraction: Double, seed: Long): DataFrame =
     df.filter(hashScore(col(keyCol), seed) < fraction)
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES): keep
+    * the k rows with the smallest ln(1/u)/w, u the seeded uniform of the
+    * key — equivalent to the classic largest-u^(1/w) rule, and for k=1 the
+    * inclusion probability is exactly w_i/Σw (spec-checked empirically).
+    * The data-mixing primitive: sample sources proportional to quality
+    * weights, reproducibly.
+    *
+    * Deterministic ACROSS ENGINES, not just across runs: u is an exact
+    * 53-bit hash fraction (nudged into (0,1] so 1/u is finite) and the log
+    * is the engine-pinned [[graft.functions.ln_pinned]] — every arithmetic
+    * step correctly rounded IEEE, so an independent implementation selects
+    * the identical sample. Global top-k plans as TakeOrderedAndProject
+    * (per-partition heaps, no full sort shuffle). Rows with weight <= 0 or
+    * NULL are excluded. */
+  def weightedSampleTopK(df: DataFrame, keyCol: String, weightCol: String,
+                         k: Int, seed: Long): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (shiftrightunsigned(xxhash64(col(keyCol), lit(seed)), 11) + lit(1L))
+      .cast("double") / lit((1L << 53).toDouble)
+    val score = graft.functions.ln_pinned(lit(1.0) / u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wscore", score)
+      .orderBy(col("__wscore").asc, col(keyCol).asc)
+      .limit(k)
+      .drop("__wscore")
+  }
+
   /** Exact per-stratum uniform sample without replacement: the `k` rows
     * with the smallest hash scores in each stratum (hash-order top-k is a
     * uniform k-subset; the key tiebreak makes it total).

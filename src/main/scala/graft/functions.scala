@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, ColumnShim, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, ColumnShim, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -117,4 +117,7 @@ object functions {
   /** Nearest-rank quantile from a [[hist_sketch]] state. */
   def hist_quantile(sketch: Column, q: Double): Column =
     toCol(HistQuantile(col2expr(sketch), col2expr(lit(q))))
+
+  /** Engine-pinned natural log on [1, ∞) — deterministic across engines. */
+  def ln_pinned(x: Column): Column = toCol(LnPinned(col2expr(x)))
 }

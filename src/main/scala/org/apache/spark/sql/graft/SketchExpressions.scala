@@ -391,6 +391,27 @@ case class HistQuantile(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** ln_pinned(x): the engine-pinned natural log on [1, ∞)
+  * ([[graft.core.HyperLogLog.lnPinned]]) as a SQL/column primitive —
+  * bit-identical wherever the documented recipe is followed, unlike libm
+  * ln. What makes deterministic weighted sampling (exponential keys)
+  * expressible as a pure column expression. */
+case class LnPinned(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def prettyName: String = "ln_pinned"
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    HyperLogLog.lnPinned(v.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.core.HyperLogLog.lnPinned($x)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hll_estimate(bin): distinct-count estimate from a persisted [[HllSketch]]
   * state. */
 case class HllEstimate(child: Expression)

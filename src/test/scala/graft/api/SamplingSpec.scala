@@ -102,4 +102,28 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
   }
+
+  test("weightedSampleTopK: layout-invariant, top-k plan, w_i/Σw for k=1") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (2L, 3.0), (3L, 0.0), (4L, -1.0)).toDF("k", "w")
+    // k=1 inclusion probability is exactly w_i / Σw — count wins over seeds
+    val wins = (0 until 400).map { s =>
+      Sampling.weightedSampleTopK(df, "k", "w", 1, seed = s.toLong)
+        .head.getLong(0)
+    }
+    assert(!wins.contains(3L) && !wins.contains(4L), "non-positive weights must never win")
+    val share2 = wins.count(_ == 2L).toDouble / wins.size
+    assert(share2 > 0.65 && share2 < 0.85, s"weight-3 item won $share2, want ~0.75")
+    // layout invariance of the selected set
+    val base = Sampling.weightedSampleTopK(docs, "doc_id", "n_chars", 20, 5L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val shuffled = Sampling.weightedSampleTopK(
+        docs.repartition(7).sortWithinPartitions(desc("text")), "doc_id", "n_chars", 20, 5L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(base == shuffled)
+    // global top-k must plan as TakeOrderedAndProject, not a full sort
+    val plan = Sampling.weightedSampleTopK(docs, "doc_id", "n_chars", 20, 5L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
 }

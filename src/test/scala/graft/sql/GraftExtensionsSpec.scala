@@ -64,7 +64,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "SELECT hll_estimate(s) FROM (SELECT hll_sketch(t, 8) AS s FROM (SELECT 'x' AS t))",
         "hist_sketch" -> "SELECT hist_sketch(v, 5) FROM (SELECT 7L AS v)",
         "hist_quantile" ->
-          "SELECT hist_quantile(h, 0.5d) FROM (SELECT hist_sketch(v, 5) AS h FROM (SELECT 7L AS v))")
+          "SELECT hist_quantile(h, 0.5d) FROM (SELECT hist_sketch(v, 5) AS h FROM (SELECT 7L AS v))",
+        "ln_pinned" -> "SELECT ln_pinned(2.5d)")
       assert(probes.keySet == graft.sql.LshFunctions.all.map(_._1).toSet,
         "extension probe list out of sync with LshFunctions.all")
       probes.values.foreach(q => s2.sql(q).collect())

@@ -736,6 +736,28 @@ def main(sf_dir, spark_dir):
                                ("l_returnflag", "n_partials", "rolled_estimate"),
                                rollup_sql)
 
+    # ---- sample_weighted: A-ES weighted sample over the pinned ln ----
+    # score = ln_pinned(1/u)/w, u the 53-bit hash fraction nudged into
+    # (0,1]; smallest k scores win (ties by key). Every step is
+    # correctly-rounded IEEE arithmetic, so this re-derivation must select
+    # the identical sample.
+    def aes_score(did, w, seed):
+        u = (((spark_xxhash64(did, seed) & M64) >> 11) + 1) / float(1 << 53)
+        return ln_pinned(1.0 / u) / float(w)
+
+    wsel = sorted(
+        ((aes_score(did, nch, 31), did) for did, _l, _s, nch in drows if nch > 0)
+    )[:50]
+    wrows = sorted((did, dict((d, n) for d, _l, _s, n in drows)[did])
+                   for _sc, did in wsel)
+    wsql = (
+        "WITH sel(doc_id) AS (VALUES\n"
+        f"{values_block([(did,) for did, _n in wrows])}\n)\n"
+        "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, d.n_chars\n"
+        "FROM sel s JOIN documents d ON d.doc_id = s.doc_id\n"
+        "ORDER BY doc_id")
+    custom["sample_weighted"] = (wrows, ("doc_id", "n_chars"), wsql)
+
     # ---- hist_quantiles: HDR log-linear histogram quantiles ----
     # Mirrors graft.core.Sketches.histBucketOf/histBucketLow (bit-exact
     # integer bucketing) and the nearest-rank rule rank = ceil(q*n).
@@ -915,6 +937,7 @@ def main(sf_dir, spark_dir):
                     "sketch_distinct": "l_returnflag",
                     "sketch_rollup": "l_returnflag",
                     "hist_quantiles": "lang",
+                    "sample_weighted": "doc_id",
                     "stream_hist_quantiles": "win_start, event_type",
                     "bloom_semijoin": "c_custkey",
                     "cms_topk": "exact_cnt DESC, token",
