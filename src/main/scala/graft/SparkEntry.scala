@@ -639,6 +639,15 @@ object SparkEntry {
     // documents proportionally likelier — the reproducible data-mixing
     // primitive. Oracle: full Python re-derivation of u, score and the
     // top-k selection (VALUES), lengths re-attached by DuckDB.
+    // Source-mixing recipe: named sources keep 90%/50%, everything else
+    // 20% — one narrow filter over one seeded score. Oracle: Python
+    // re-derivation of the per-source Bernoulli keeps (VALUES).
+    "mix_sources" -> ((s, dir) => {
+      graft.api.Sampling.mixSources(load(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 0.9, "src1" -> 0.9, "src2" -> 0.5), 0.2, seed = 17L)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
     "sample_weighted" -> ((s, dir) => {
       graft.api.Sampling.weightedSampleTopK(
           load(s, dir, "documents"), "doc_id", "n_chars", 50, seed = 31L)
@@ -986,6 +995,7 @@ object SparkEntry {
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
     "sample_hash" -> valuesOracle("sample_hash"),
     "sample_weighted" -> valuesOracle("sample_weighted"),
+    "mix_sources" -> valuesOracle("mix_sources"),
     "contamination_check" -> valuesOracle("contamination_check"),
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),

@@ -62,6 +62,24 @@ object Sampling {
       .drop("__wscore")
   }
 
+  /** Deterministic source mixing: per-source Bernoulli rates over ONE
+    * seeded hash score — the corpus-mixing recipe (downweight low-quality
+    * sources, upweight books, ...) as a single narrow filter, no shuffle,
+    * layout/run-invariant like every hash sample here. Sources not in
+    * `rates` use `defaultRate`. The when-chain suits a handful of named
+    * sources (the typical mixing table); thousands of sources would join a
+    * broadcast rates dimension instead. */
+  def mixSources(df: DataFrame, sourceCol: String, keyCol: String,
+                 rates: Map[String, Double], defaultRate: Double,
+                 seed: Long): DataFrame = {
+    require(defaultRate >= 0 && defaultRate <= 1 &&
+      rates.values.forall(r => r >= 0 && r <= 1), "rates must be in [0, 1]")
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashScore(col(keyCol), seed) < rateCol)
+  }
+
   /** Exact per-stratum uniform sample without replacement: the `k` rows
     * with the smallest hash scores in each stratum (hash-order top-k is a
     * uniform k-subset; the key tiebreak makes it total).

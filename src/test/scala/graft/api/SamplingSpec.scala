@@ -103,6 +103,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
   }
 
+  test("mixSources applies per-source rates over one score, no shuffle") {
+    val mixed = Sampling.mixSources(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5, seed = 3L)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == total("src0"), "rate 1.0 keeps everything")
+    assert(!bySrc.contains("src1"), "rate 0.0 drops everything")
+    // default-rate sources keep roughly half
+    val restKept = bySrc.filterKeys(s => s != "src0" && s != "src1").values.sum.toDouble
+    val restAll = total.filterKeys(s => s != "src0" && s != "src1").values.sum.toDouble
+    assert(math.abs(restKept / restAll - 0.5) < 0.2)
+    // the keep decision is the same score as sampleByHash: a kept row in a
+    // rate-r source is exactly a sampleByHash(r) survivor
+    val viaSample = Sampling.sampleByHash(docs.filter(col("source") === "src2"),
+      "doc_id", 0.5, 3L).select("doc_id").collect().map(_.getLong(0)).sorted
+    val viaMix = mixed.filter(col("source") === "src2")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(viaSample.sameElements(viaMix))
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixing must stay narrow:\n$plan")
+  }
+
   test("weightedSampleTopK: layout-invariant, top-k plan, w_i/Σw for k=1") {
     import spark.implicits._
     val df = Seq((1L, 1.0), (2L, 3.0), (3L, 0.0), (4L, -1.0)).toDF("k", "w")

@@ -758,6 +758,18 @@ def main(sf_dir, spark_dir):
         "ORDER BY doc_id")
     custom["sample_weighted"] = (wrows, ("doc_id", "n_chars"), wsql)
 
+    # ---- mix_sources: per-source Bernoulli rates over one hash score ----
+    MIX_RATES = {"src0": 0.9, "src1": 0.9, "src2": 0.5}
+    mix_rows = sorted((did, src) for did, _l, src, _n in drows
+                      if hash_score(did, 17) < MIX_RATES.get(src, 0.2))
+    mix_sql = (
+        "WITH sel(doc_id) AS (VALUES\n"
+        f"{values_block([(did,) for did, _s in mix_rows])}\n)\n"
+        "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, d.source\n"
+        "FROM sel s JOIN documents d ON d.doc_id = s.doc_id\n"
+        "ORDER BY doc_id")
+    custom["mix_sources"] = (mix_rows, ("doc_id", "source"), mix_sql)
+
     # ---- hist_quantiles: HDR log-linear histogram quantiles ----
     # Mirrors graft.core.Sketches.histBucketOf/histBucketLow (bit-exact
     # integer bucketing) and the nearest-rank rule rank = ceil(q*n).
@@ -938,6 +950,7 @@ def main(sf_dir, spark_dir):
                     "sketch_rollup": "l_returnflag",
                     "hist_quantiles": "lang",
                     "sample_weighted": "doc_id",
+                    "mix_sources": "doc_id",
                     "stream_hist_quantiles": "win_start, event_type",
                     "bloom_semijoin": "c_custkey",
                     "cms_topk": "exact_cnt DESC, token",
