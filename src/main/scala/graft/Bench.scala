@@ -73,9 +73,19 @@ object Bench {
       k -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     val qs = best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val coldQs = cold.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isNaN) -1.0 else v) }.mkString("{", ",", "}")
     val total = best.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$coldQs,"cold_total_sec":$coldTotal,"sf":"$sfDir"}"""
+    println(json)
+    // stdout is buried in sbt/log4j noise, so the driver's parse of the line
+    // above fails (`BENCH_r*.json: "parsed": null`); a file with nothing else
+    // in it is the machine-readable channel
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

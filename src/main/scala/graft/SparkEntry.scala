@@ -155,6 +155,50 @@ object SparkEntry {
                  FROM embeddings)
                ORDER BY vec_id, band""")
     }),
+    "lsh_min32_shingles" -> ((s, dir) => {
+      // the lsh_min32 shingle-list overload (minhash.rs:204-234) — same
+      // word-bigram construction as lsh_min_shingles (see the shape notes
+      // there); the only delta is the low-32 truncation law (lib.rs:23-27)
+      withLsh(s)
+      load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""
+        SELECT doc_id, band, h FROM (
+          SELECT doc_id, posexplode(lsh_min32(shingles, 3, 2, 123)) AS (band, h)
+          FROM (
+            SELECT doc_id,
+                   slice(zip_with(words, slice(words, 2, greatest(size(words) - 1, 0)),
+                                  (a, b) -> concat(a, ' ', b)),
+                         1, greatest(size(words) - 1, 0)) AS shingles
+            FROM (SELECT doc_id, split(text, ' ') AS words FROM documents)))
+        ORDER BY doc_id, band""")
+    }),
+    "lsh_euclidean_d384" -> ((s, dir) => {
+      // lsh_euclidean at a production embedding dim: six differently-scaled
+      // copies of the d=64 fixture vector concatenated into d=384. This is
+      // the regime SURVEY §7.5.3 flags — 384 sequential dot-product
+      // accumulation steps, where a last-ulp difference in summation order
+      // vs the reference (euclidean_hasher.rs:28-38) would flip a ceil
+      // bucket. Both engines accumulate left-to-right in correctly-rounded
+      // IEEE doubles, so hashes are bit-exact; the Python oracle re-derives
+      // the same 384-step fold. Scale constants are exact dyadic rationals
+      // (sign-mixed so positive/negative accumulation both occur).
+      withLsh(s)
+      load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql("""SELECT vec_id, band, h FROM (
+                 SELECT vec_id, posexplode(lsh_euclidean(x, 0.5, 2, 3, 123)) AS (band, h)
+                 FROM (
+                   SELECT vec_id,
+                          flatten(array(
+                            transform(e, v -> v * 0.5D),
+                            transform(e, v -> v * -1.25D),
+                            transform(e, v -> v * 2.0D),
+                            transform(e, v -> v * 0.75D),
+                            transform(e, v -> v * -0.125D),
+                            transform(e, v -> v * 1.5D))) AS x
+                   FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e
+                         FROM embeddings)))
+               ORDER BY vec_id, band""")
+    }),
     "lsh_jaccard_docs" -> ((s, dir) => {
       withLsh(s)
       load(s, dir, "documents").createOrReplaceTempView("documents")
@@ -557,6 +601,17 @@ object SparkEntry {
       // second of the two queries reuses the materialized candidates instead
       // of recomputing the banded join.
       graft.api.BandedLsh.dupClusters(nearDupPairsShared(s, dir)).orderBy("id")
+    }),
+    "dedup_clusters_distributed" -> ((s, dir) => {
+      // the SAME clustering against the SAME transitive-closure oracle, but
+      // with driverThreshold = 0 so the distributed hash-min + pointer-jump
+      // branch runs (the default query's graph is under the 1M-edge driver
+      // threshold, so without this the scale path would only ever be
+      // spec-tested). Path is provable from the result plan: the distributed
+      // branch ends in a localCheckpoint RDD scan, the driver branch in a
+      // LocalRelation (pinned by DedupSpec).
+      graft.api.BandedLsh.dupClusters(nearDupPairsShared(s, dir),
+        driverThreshold = 0L).orderBy("id")
     }),
     "cosine_adjacent" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
@@ -979,7 +1034,9 @@ object SparkEntry {
     "lsh_min_text" -> valuesOracle("lsh_min_text"),
     "lsh_min32_text" -> valuesOracle("lsh_min32_text"),
     "lsh_min_shingles" -> valuesOracle("lsh_min_shingles"),
+    "lsh_min32_shingles" -> valuesOracle("lsh_min32_shingles"),
     "lsh_euclidean_embed" -> valuesOracle("lsh_euclidean_embed"),
+    "lsh_euclidean_d384" -> valuesOracle("lsh_euclidean_d384"),
     "lsh_euclidean32_embed" -> valuesOracle("lsh_euclidean32_embed"),
     "doc_signatures" -> valuesOracle("doc_signatures"),
     "simhash_dedup_pairs" -> valuesOracle("simhash_dedup_pairs"),
@@ -1284,6 +1341,28 @@ object SparkEntry {
         |SELECT u AS id, least(u, min(v)) AS cluster
         |FROM reach GROUP BY u
         |ORDER BY id""".stripMargin,
+    // identical ground truth: the distributed branch must produce the exact
+    // same labels as the driver union-find
+    "dedup_clusters_distributed" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 3),
+        |                                      i -> substring(text, CAST(i AS INT), 4))) AS grams
+        |  FROM documents WHERE length(text) >= 4),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON b.doc_id > a.doc_id
+        |  WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.5),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+        |)
+        |SELECT u AS id, least(u, min(v)) AS cluster
+        |FROM reach GROUP BY u
+        |ORDER BY id""".stripMargin,
     "dedup_near_window" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -1408,6 +1487,12 @@ object SparkEntry {
         |       END AS mean_byte,
         |       sha256(text) AS sha256
         |FROM documents ORDER BY media_id""".stripMargin,
+    // NOTE (multimodal_features / multimodal_resize oracles): the width/
+    // height/mean/thumb derivations below use CHARACTER functions
+    // (ascii/substring/length) while the Scala side reads raw UTF-8 BYTES;
+    // they agree only because the documents fixture is pure ASCII (1 char =
+    // 1 byte). The fixture must stay ASCII for these oracles — a multi-byte
+    // character would silently diverge the oracle from the implementation.
     "multimodal_resize" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id, text,

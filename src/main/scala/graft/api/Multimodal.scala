@@ -2,20 +2,25 @@ package graft.api
 
 import graft.core.FxHash
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnShim, DecodeMedia, MediaDecoder}
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media travel as opaque `binary` columns with a
-  * typed metadata struct; decode/feature-extraction runs partition-batched so
-  * a real decoder (image/audio libs are not in this container) drops into
-  * [[decodeStub]] without touching schema, partitioning, or the driver.
+  * typed metadata struct; decode/feature-extraction runs as a Catalyst
+  * expression ([[org.apache.spark.sql.graft.DecodeMedia]]) so the whole pass
+  * stays inside WholeStageCodegen — no RDD drop-out, no Row conversion per
+  * payload. The decoder is an injected [[MediaDecoder]]: a real codec
+  * implementation (image/audio libs are not in this container) replaces only
+  * the decoder object, holding its native contexts in `@transient lazy val`s
+  * for per-executor-JVM lazy init; schema, plan shape, and the driver queries
+  * don't change.
   *
-  * The stub "decoder" is deterministic: byte-level stats + an FxHash64
-  * checksum + fake dimensions parsed from the first bytes, so tests and
-  * oracles can pin outputs while the Spark-side shape (binary columns,
-  * mapPartitions batching, per-partition decoder init, feature schema) is the
-  * real production shape.
+  * The default [[StubDecoder]] is deterministic: byte-level stats + an
+  * FxHash64 checksum + fake dimensions parsed from the first bytes, so tests
+  * and oracles can pin outputs while the Spark-side shape (binary columns,
+  * codegen'd decode, feature schema) is the real production shape.
   */
 object Multimodal {
 
@@ -35,50 +40,56 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("mean_byte", DoubleType, nullable = true)))
 
-  /** Deterministic stand-in for a media decoder (??? in this container: no
-    * codec libraries). A real implementation replaces only this function. */
-  def decodeBytes(bytes: Array[Byte]): (Long, Int, Int, Double) = {
-    var h = 0L
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) {
-      h = FxHash.add(h, bytes(i).toLong & 0xffL)
-      sum += bytes(i).toLong & 0xffL
-      i += 1
-    }
-    val width = if (bytes.length >= 2) ((bytes(0) & 0xff) << 8 | (bytes(1) & 0xff)) else 0
-    val height = if (bytes.length >= 4) ((bytes(2) & 0xff) << 8 | (bytes(3) & 0xff)) else 0
-    val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-    (h, width, height, mean)
-  }
-
-  /** Partition-batched feature extraction. The iterator shape mirrors what a
-    * real decoder needs: per-partition init (codec contexts), streaming rows,
-    * no per-row driver round trips. */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
-      // per-partition decoder init would go here
-      rows.map { r =>
-        val id = r.getLong(0)
-        if (r.isNullAt(1)) Row(id, null, null, null, null, null)
-        else {
-          val bytes = r.getAs[Array[Byte]](1)
-          val (h, w, ht, mean) = decodeBytes(bytes)
-          Row(id, bytes.length.toLong, h, w, ht, mean)
-        }
+  /** Deterministic stand-in for a media decoder (no codec libraries in this
+    * container — the "???" of the exercise). A real implementation supplies
+    * its own [[MediaDecoder]]; only the decoder object changes. */
+  object StubDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): (Long, Int, Int, Double) = {
+      var h = 0L
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) {
+        h = FxHash.add(h, bytes(i).toLong & 0xffL)
+        sum += bytes(i).toLong & 0xffL
+        i += 1
       }
+      val width = if (bytes.length >= 2) ((bytes(0) & 0xff) << 8 | (bytes(1) & 0xff)) else 0
+      val height = if (bytes.length >= 4) ((bytes(2) & 0xff) << 8 | (bytes(3) & 0xff)) else 0
+      val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+      (h, width, height, mean)
     }
-    spark.createDataFrame(rdd, featureSchema)
   }
 
-  /** Resize/thumbnail stub: one partition-batched pass decodes (stub) each
-    * payload, computes aspect-preserving target dims against `maxDim`
-    * (integer arithmetic — reproducible anywhere), and emits a
-    * deterministic fake thumbnail (the leading out_w-byte slice; a real
-    * implementation replaces decodeBytes and the slice with codec calls,
-    * the row shape and batching stay). Dims of 0 (payload too short for
-    * the stub header) pass through with an empty thumb. */
+  /** Back-compat alias for the stub decode (specs and docs reference it). */
+  def decodeBytes(bytes: Array[Byte]): (Long, Int, Int, Double) =
+    StubDecoder.decode(bytes)
+
+  /** decode_media(bytes) as a Column: struct(checksum, width, height,
+    * mean_byte), NULL payload → NULL struct. */
+  def decodeMedia(bytes: Column, decoder: MediaDecoder = StubDecoder): Column =
+    ColumnShim.column(DecodeMedia(ColumnShim.expression(bytes), decoder))
+
+  /** Feature extraction as one codegen'd projection: a single decode per row
+    * (downstream field reads are GetStructFields over the shared call —
+    * subexpression-eliminated), evaluated inside the scan's codegen stage. */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame =
+    media.select(col("media_id"), col("bytes"),
+        decodeMedia(col("bytes"), decoder).as("f"))
+      .select(col("media_id"),
+        when(col("bytes").isNotNull, length(col("bytes")).cast("long")).as("size_bytes"),
+        col("f.checksum").as("checksum"),
+        col("f.width").as("width"),
+        col("f.height").as("height"),
+        col("f.mean_byte").as("mean_byte"))
+
+  /** Resize/thumbnail stub: decode (injected decoder) + aspect-preserving
+    * target dims against `maxDim` (integer arithmetic — reproducible
+    * anywhere) + a deterministic fake thumbnail (the leading out_w-byte
+    * slice; a real implementation swaps the decoder and replaces the slice
+    * with an encode expression — row shape stays). Dims of 0 (payload too
+    * short for the stub header) pass through with an empty thumb. All
+    * built-ins over one decode struct: the whole thing is a single
+    * codegen'd projection, like [[extractFeatures]]. */
   val resizeSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = true),
@@ -87,25 +98,33 @@ object Multimodal {
     StructField("out_h", IntegerType, nullable = true),
     StructField("thumb_bytes", BinaryType, nullable = true)))
 
-  def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
+  def resizeStub(media: DataFrame, maxDim: Int,
+                 decoder: MediaDecoder = StubDecoder): DataFrame = {
     require(maxDim > 0, s"maxDim must be positive, got $maxDim")
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        if (r.isNullAt(1)) Row(id, null, null, null, null, null)
-        else {
-          val bytes = r.getAs[Array[Byte]](1)
-          val (_, w, h, _) = decodeBytes(bytes)
-          val (ow, oh) =
-            if (w <= maxDim && h <= maxDim) (w, h)
-            else if (w >= h) (maxDim, h * maxDim / w)
-            else (w * maxDim / h, maxDim)
-          Row(id, w, h, ow, oh, bytes.slice(0, math.min(ow, bytes.length)))
-        }
-      }
-    }
-    spark.createDataFrame(rdd, resizeSchema)
+    val w = col("f.width")
+    val h = col("f.height")
+    // integer scaling exactly as a native resizer would: long side → maxDim,
+    // short side → floor(short * maxDim / long)
+    val outW = when(w <= maxDim && h <= maxDim, w)
+      .otherwise(when(w >= h, lit(maxDim))
+        .otherwise((w.cast("long") * maxDim / h).cast("int")))
+    val outH = when(w <= maxDim && h <= maxDim, h)
+      .otherwise(when(w >= h, (h.cast("long") * maxDim / w).cast("int"))
+        .otherwise(lit(maxDim)))
+    // the isNotNull guards keep NULL payloads all-NULL: a CASE chain's
+    // `otherwise` would otherwise turn a NULL condition into the literal
+    // fallback (out_h = maxDim for a NULL payload)
+    val live = col("bytes").isNotNull
+    media.select(col("media_id"), col("bytes"),
+        decodeMedia(col("bytes"), decoder).as("f"))
+      .select(col("media_id"), col("bytes"),
+        w.as("width"), h.as("height"),
+        when(live, outW).as("out_w"), when(live, outH).as("out_h"))
+      // substr on BinaryType is the byte slice [0, out_w) — clamps to the
+      // payload length by itself, and out_w = 0 yields the empty array
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"),
+        col("bytes").substr(lit(1), col("out_w")).as("thumb_bytes"))
   }
 
   /** Frame sampling for a (fake) video payload: every `stride`-th 16-byte

@@ -48,7 +48,13 @@ object Sampling {
     * step correctly rounded IEEE, so an independent implementation selects
     * the identical sample. Global top-k plans as TakeOrderedAndProject
     * (per-partition heaps, no full sort shuffle). Rows with weight <= 0 or
-    * NULL are excluded. */
+    * NULL are excluded.
+    *
+    * PRECONDITION: `keyCol` values must be unique (same contract as
+    * [[sampleByHash]] — these are keyed samples). Duplicate keys share one
+    * (score, key) sort value, so which duplicate survives the limit(k)
+    * boundary would be partition-order-dependent, voiding the determinism
+    * claim. */
   def weightedSampleTopK(df: DataFrame, keyCol: String, weightCol: String,
                          k: Int, seed: Long): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")

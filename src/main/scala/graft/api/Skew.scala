@@ -24,10 +24,23 @@ object Skew {
     *
     * Result = fact.join(dim, factKey === dimKey, joinType) column-for-column
     * (salt columns are internal); spec-pinned equal to the unsalted join.
-    */
+    *
+    * Fact-side-preserving join types only (inner / cross / left_outer /
+    * left_semi / left_anti): the equivalence holds because every output row
+    * is driven by exactly one fact row, which lives in exactly one salt
+    * bucket. right/full outer would emit one null-padded row per UNMATCHED
+    * (dim row, salt bucket) pair — up to n−1 spurious rows per dim key — so
+    * they are rejected up front. (Skew on the preserved dim side of a right
+    * join = this function with the arguments swapped.) */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                  scatter: Seq[Column], n: Int, joinType: String = "inner"): DataFrame = {
     require(n >= 1, s"salt fan-out must be >= 1, got $n")
+    val normalized = joinType.toLowerCase.replaceAll("[ _]", "")
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(normalized),
+      s"saltedJoin supports fact-side-preserving join types only " +
+        s"(inner/cross/left_outer/left_semi/left_anti); for '$joinType' the " +
+        s"n-fold dim replication would emit spurious null-padded rows")
     val fs = fact.withColumn("__salt",
       pmod(xxhash64(scatter: _*), lit(n.toLong)).cast("int"))
     val ds = dim.withColumn("__salt",

@@ -67,14 +67,17 @@ object EventStreams {
     * (64−b)·2^b counters per (window, type), updates commute, and the
     * stream is bit-equal to the batch twin for any within-watermark
     * arrival order. Values enter as centi-units (CAST(value·100 AS LONG),
-    * truncation — deterministic in any IEEE engine); quantiles come back
-    * in the same units. */
+    * truncation — deterministic in any IEEE engine), clamped to >= 0: the
+    * histogram's domain is non-negative longs, and without the clamp a
+    * single negative value would throw inside the aggregate and kill a
+    * long-running streaming query at runtime. Quantiles come back in
+    * centi-units. */
   def windowedValueQuantiles(events: DataFrame, windowLen: String = "1 hour",
                              watermark: String = "10 minutes", b: Int = 5): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     src.groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(_root_.graft.functions.hist_sketch(
-        (col("value") * lit(100.0)).cast("long"), b).as("h"))
+        greatest(lit(0L), (col("value") * lit(100.0)).cast("long")), b).as("h"))
       .select(col("window.start").as("win_start"), col("event_type"),
         _root_.graft.functions.hist_quantile(col("h"), 0.5).as("p50_x100"),
         _root_.graft.functions.hist_quantile(col("h"), 0.95).as("p95_x100"))

@@ -215,6 +215,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(distinctOverIds, s"candidate distinct should carry only ids:\n$plan")
   }
 
+  test("multimodal decode stays inside codegen — no RDD drop-out") {
+    // decode_media is a Catalyst expression: the whole feature/resize pass
+    // must plan as a codegen'd projection over the parquet scan. The failure
+    // mode this pins against is the rdd.mapPartitions shape, which exits
+    // Tungsten and pays InternalRow->Row->InternalRow per payload (shows up
+    // as Scan ExistingRDD + SerializeFromObject/DeserializeToObject nodes).
+    for (name <- Seq("multimodal_features", "multimodal_resize")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize the adaptive plan so codegen stages materialize
+      val plan = df.queryExecution.executedPlan.toString
+      for (bad <- Seq("ExistingRDD", "SerializeFromObject", "DeserializeToObject",
+                      "MapPartitions"))
+        assert(!plan.contains(bad), s"$name: RDD drop-out node $bad in plan:\n$plan")
+      assert(plan.contains("*("), s"$name: expected a codegen stage:\n$plan")
+      assert(plan.contains("decode_media"), s"$name: expected decode_media:\n$plan")
+    }
+  }
+
   test("sketch aggregates fold map-side: only sketch state crosses the shuffle") {
     // the mergeable-sketch contract: a partial ObjectHashAggregate runs
     // before the exchange (values fold into the fixed-size buffer in the

@@ -81,13 +81,23 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("BandedLsh.dupClusters labels connected components to min id") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 5L, 0.9), (7L, 8L, 0.9)).toDF("id_a", "id_b", "sim")
     val want = Seq((1L, 1L), (2L, 1L), (5L, 1L), (7L, 7L), (8L, 7L))
-    val viaUnionFind = BandedLsh.dupClusters(pairs).orderBy("id").collect()
+    val uf = BandedLsh.dupClusters(pairs)
+    val viaUnionFind = uf.orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaUnionFind == want)
     // force the distributed hash-min path and require identical labels
-    val viaDistributed = BandedLsh.dupClusters(pairs, driverThreshold = 0L)
-      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = BandedLsh.dupClusters(pairs, driverThreshold = 0L)
+    val viaDistributed = dist.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaDistributed == want)
+    // path taken is provable from the plan: the driver union-find returns a
+    // LocalRelation; the distributed branch's result is a checkpointed RDD
+    // scan — this is what makes dedup_clusters_distributed's green driver
+    // row evidence that the SCALE branch (not the collect) produced it
+    assert(uf.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.getClass.getSimpleName.contains("LocalRelation")))
+    assert(dist.queryExecution.optimizedPlan.collectLeaves()
+      .exists(_.getClass.getSimpleName.contains("LogicalRDD")))
   }
 
   test("dupClusters distributed path: min propagates along edges, not just pointers") {

@@ -381,15 +381,20 @@ def main(sf_dir, spark_dir):
                                  ("BIGINT", "INTEGER", "INTEGER"),
                                  min32_rows, "doc_id, band")
 
-    # ---- lsh_min(word-bigram shingles, 3, 2, 123) ----
-    sh_rows = []
+    # ---- lsh_min / lsh_min32 (word-bigram shingles, 3, 2, 123) ----
+    # one loop, both truncation laws (lib.rs:23-27: u32 = low 32 bits)
+    sh_rows, sh32_rows = [], []
     for doc_id, text in docs:
         shingles = vk.shingles_from_list(word_bigrams(text))
         for band, h in enumerate(vk.minhash_bands(shingles, 3, 2, 123)):
             sh_rows.append((doc_id, band, s64(h)))
+            sh32_rows.append((doc_id, band, s32(h)))
     queries["lsh_min_shingles"] = (("doc_id", "band", "h"),
                                    ("BIGINT", "INTEGER", "BIGINT"),
                                    sh_rows, "doc_id, band")
+    queries["lsh_min32_shingles"] = (("doc_id", "band", "h"),
+                                     ("BIGINT", "INTEGER", "INTEGER"),
+                                     sh32_rows, "doc_id, band")
 
     # ---- lsh_euclidean(CAST(embedding AS DOUBLE[]), 0.5, 2, 3, 123) ----
     d = len(embs[0][1])
@@ -406,6 +411,22 @@ def main(sf_dir, spark_dir):
     queries["lsh_euclidean32_embed"] = (("vec_id", "band", "h"),
                                         ("BIGINT", "INTEGER", "INTEGER"),
                                         euc32_rows, "vec_id, band")
+
+    # ---- lsh_euclidean at d=384: six scaled copies of the fixture vector
+    # (mirrors the flatten(array(transform(...)))) construction in
+    # SparkEntry's lsh_euclidean_d384 — copy-major order, left-to-right
+    # 384-step dot-product fold, all steps correctly-rounded IEEE doubles).
+    D384_SCALES = [0.5, -1.25, 2.0, 0.75, -0.125, 1.5]
+    fam384 = EuclideanFamily(0.5, 2, 3, 123, len(D384_SCALES) * d)
+    d384_rows = []
+    for vec_id, emb in embs:
+        x = [float(v) for v in emb]
+        x384 = [v * c for c in D384_SCALES for v in x]
+        for band, h in enumerate(fam384.hash(x384)):
+            d384_rows.append((vec_id, band, s64(h)))
+    queries["lsh_euclidean_d384"] = (("vec_id", "band", "h"),
+                                     ("BIGINT", "INTEGER", "BIGINT"),
+                                     d384_rows, "vec_id, band")
 
     # ---- doc_signatures: simhash64 + min_fingerprint(8) + winnow(8,16) ----
     sig_rows = []
@@ -819,14 +840,16 @@ def main(sf_dir, spark_dir):
     # Same order-invariance argument as stream_hll_users: the replayed
     # histogram equals a flat per-(hour, type) fold. Values enter as
     # centi-units int(v*100) (both engines truncate toward zero for
-    # positives; the double product is correctly rounded in both).
+    # positives; the double product is correctly rounded in both), clamped
+    # to >= 0 — mirrors the greatest(0L, ...) guard in
+    # EventStreams.windowedValueQuantiles.
     win_vals = con.execute(
         "SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),"
         " '%Y-%m-%d %H:%M') AS w, event_type, value"
         f" FROM '{sf_dir}/events.parquet'").fetchall()
     win_hist = {}
     for w, et, v in win_vals:
-        win_hist.setdefault((w, et), []).append(hist_bucket(int(v * 100), HB))
+        win_hist.setdefault((w, et), []).append(hist_bucket(max(0, int(v * 100)), HB))
     shq_rows = sorted((w, et, hist_q(bs, 0.5), hist_q(bs, 0.95))
                       for (w, et), bs in win_hist.items())
     shq_sql = (
