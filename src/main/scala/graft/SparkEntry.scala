@@ -279,6 +279,26 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("o_orderpriority")
     }),
+    "skewsafe_band_join" -> ((s, dir) => {
+      // adversarial band-join workload from TPC-H keys: every o_custkey/
+      // c_custkey below 100 collapses into ONE (band, band_hash) bucket
+      // (~1k orders × ~99 customers ≈ 10^5 pairs — classified hot and
+      // grid-blocked across 8 tasks), everything else stays a cold
+      // singleton bucket on the plain-join path. The oracle is the plain
+      // DuckDB join: bandJoinSkewSafe must be row-for-row EXACT, the
+      // blocking only changes which task computes a pair.
+      def bucketed(t: String, key: String, id: String, as: String) =
+        load(s, dir, t).select(lit(0).as("band"),
+          when(col(key) < 100, lit(0L)).otherwise(col(key).cast("long")).as("band_hash"),
+          col(id).cast("long").as(as))
+      graft.api.BandedLsh.bandJoinSkewSafe(
+          bucketed("orders", "o_custkey", "o_orderkey", "id_a"),
+          bucketed("customer", "c_custkey", "c_custkey", "id_b"),
+          scatterA = col("id_a"), hotThreshold = 10000L, blocks = 8)
+        .groupBy("band_hash")
+        .agg(count(lit(1)).as("pairs"), min("id_a").as("min_a"), max("id_b").as("max_b"))
+        .orderBy("band_hash")
+    }),
     "q3_broadcast_dims" -> ((s, dir) => {
       load(s, dir, "region").createOrReplaceTempView("region")
       load(s, dir, "nation").createOrReplaceTempView("nation")
@@ -1230,6 +1250,17 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // the plain join IS the oracle: skew blocking must not change the rows
+    "skewsafe_band_join" ->
+      """WITH a AS (SELECT CASE WHEN o_custkey < 100 THEN 0 ELSE o_custkey END AS band_hash,
+        |                  o_orderkey AS id_a FROM orders),
+        |     b AS (SELECT CASE WHEN c_custkey < 100 THEN 0 ELSE c_custkey END AS band_hash,
+        |                  c_custkey AS id_b FROM customer)
+        |SELECT CAST(a.band_hash AS BIGINT) AS band_hash, count(*) AS pairs,
+        |       min(id_a) AS min_a, max(id_b) AS max_b
+        |FROM a JOIN b ON a.band_hash = b.band_hash
+        |GROUP BY a.band_hash
+        |ORDER BY band_hash""".stripMargin,
     "q3_broadcast_dims" ->
       """SELECT r.r_name, count(*) AS customers,
         |       min(c.c_acctbal) AS min_bal, max(c.c_acctbal) AS max_bal

@@ -146,6 +146,67 @@ object BandedLsh {
       .distinct() // a pair found in k bands carries the same sim k times
   }
 
+  /** Skew-hardened bipartite band join: `a JOIN b USING (band, band_hash)`,
+    * exact same rows as the plain join, but adversarial mega-buckets cannot
+    * serialize onto one reducer. The plain hash join puts ALL m×n pairs of a
+    * hot `(band, band_hash)` bucket in ONE task, and AQE cannot help — its
+    * skew splitting sizes on shuffle-file BYTES, which for a band join are
+    * tiny ids; the blowup is in the join OUTPUT (docs/SCALE.md). The fused
+    * [[bandedSelfJoinPairs]] solves this for self-joins; this is the
+    * two-sided (batch×index, A×B) counterpart.
+    *
+    * Shape: per-bucket counts on both sides (map-side-combined count-only
+    * aggregations), buckets with `countA·countB > hotThreshold` form the hot
+    * set — broadcast both ways (it is by construction tiny: a handful of
+    * degenerate keys, or the input was not worth blocking). Cold buckets take
+    * the plain join untouched. Hot-bucket rows of `a` scatter into `blocks`
+    * deterministic blocks by `scatterA` (a per-row-entropy column — an id,
+    * never the join key) and hot rows of `b` replicate to every block, so a
+    * hot bucket's pairs land on `blocks` tasks ((m/blocks)·n per task instead
+    * of m·n). Union of the two branches = the exact plain-join row set
+    * (spec-pinned, plus a partition-spread assertion on an adversarial hot
+    * bucket). Pick `blocks` ≈ m·n/perTaskPairBudget for the largest bucket
+    * you intend to survive.
+    *
+    * `a` and `b` must have disjoint non-key column names (same contract as
+    * the plain `join(..., Seq("band", "band_hash"))`). */
+  def bandJoinSkewSafe(a: DataFrame, b: DataFrame, scatterA: Column,
+                       hotThreshold: Long = 1000000L, blocks: Int = 16): DataFrame = {
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
+    require(blocks >= 2, s"blocks must be >= 2, got $blocks")
+    val keys = Seq("band", "band_hash")
+    val overlap = (a.columns.toSet & b.columns.toSet) -- keys
+    require(overlap.isEmpty, s"non-key columns must be disjoint, both sides have: $overlap")
+    val ca = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cb"))
+    // the hot set is small by construction; broadcast() it so the cold/hot
+    // routing of both full sides is a narrow broadcast semi/anti join, never
+    // an extra shuffle of a or b
+    val hot = broadcast(
+      ca.join(cb, keys)
+        .filter(col("__ca") * col("__cb") > hotThreshold)
+        .select(keys.map(col): _*))
+    val cold = a.join(hot, keys, "left_anti")
+      .join(b.join(hot, keys, "left_anti"), keys)
+    // strict REPARTITION_BY_NUM on (keys, __blk) for the hot branch: the
+    // blocked rows are tiny in BYTES, so AQE would coalesce the
+    // ENSURE_REQUIREMENTS exchange right back into a handful of tasks and
+    // erase the parallelism the blocking just bought (the same
+    // output-blind-AQE trap BlockedSelfJoin guards against). The cold branch
+    // is left to AQE on purpose — its buckets are bounded by construction,
+    // and coalescing them is the right call.
+    val n = a.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val blkKeys = (keys :+ "__blk").map(col)
+    val aHot = a.join(hot, keys, "left_semi")
+      .withColumn("__blk", pmod(xxhash64(scatterA), lit(blocks.toLong)).cast("int"))
+      .repartition(n, blkKeys: _*)
+    val bHot = b.join(hot, keys, "left_semi")
+      .withColumn("__blk", explode(sequence(lit(0), lit(blocks - 1))))
+      .repartition(n, blkKeys: _*)
+    val hotJoined = aHot.join(bHot, keys :+ "__blk").drop("__blk")
+    cold.unionByName(hotJoined)
+  }
+
   /** Persist the corpus's banded MinHash signatures as a bucketed table —
     * the incremental-ingestion index. `(band, band_hash, corpus_id)` rows,
     * bucketed AND sorted on the band-join key: every future
