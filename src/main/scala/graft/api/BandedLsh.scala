@@ -216,15 +216,38 @@ object BandedLsh {
     * hash+shuffle of the BATCH, never a corpus pass. Ids only — texts stay
     * in the corpus table and re-attach per candidate by id join.
     *
+    * Degenerate buckets are split out AT BUILD TIME: buckets with more than
+    * `hotBucketCap` members (boilerplate-dominated corpora produce them; the
+    * empty-shingle guard in [[bandedRows]] removes only one cause) go to a
+    * sidecar table `<table>_hot` instead of the main index. The probe join
+    * then grid-blocks just those rows ([[nearDupAgainstIndex]]) — a
+    * classification that costs ZERO per batch because it was paid once at
+    * build time, which is the only placement compatible with "a batch pays
+    * only its own cost" (probe-time counting would re-scan the corpus per
+    * batch).
+    *
     * Rebuild after compaction; for rolling ingestion append the admitted
     * batch's own band rows (`bandedRows`) with `insertInto`. */
   def saveSignatureIndex(corpus: DataFrame, table: String, numBuckets: Int,
                          idCol: String, textCol: String,
-                         ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long): Unit =
-    BucketedWrite.saveBucketed(
-      bandedRows(corpus, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
-        .select(col("band"), col("band_hash"), col(idCol).as("corpus_id")),
-      table, numBuckets, Seq("band", "band_hash"))
+                         ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
+                         hotBucketCap: Long = 100000L): Unit = {
+    require(hotBucketCap >= 1, s"hotBucketCap must be >= 1, got $hotBucketCap")
+    val keys = Seq("band", "band_hash")
+    val rows = bandedRows(corpus, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
+      .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"))
+    // the hot KEY set is tiny by construction (only buckets that exceed the
+    // cap); broadcast it so the split is a narrow filter over the band rows
+    val hotKeys = broadcast(
+      rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") > hotBucketCap)
+        .select(keys.map(col): _*))
+    BucketedWrite.saveBucketed(rows.join(hotKeys, keys, "left_anti"),
+      table, numBuckets, keys)
+    BucketedWrite.dropTable(corpus.sparkSession, s"${table}_hot")
+    rows.join(hotKeys, keys, "left_semi")
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${table}_hot")
+  }
 
   /** Near-dup pairs between an incoming `batch` and an indexed corpus
     * ([[saveSignatureIndex]]): band-collide the batch's signatures against
@@ -234,15 +257,46 @@ object BandedLsh {
     * anything already admitted"). The LSH params MUST match the ones the
     * index was built with (same family, same seed) or recall silently
     * collapses; batch docs that also appear in the corpus id-space are
-    * excluded from self-pairing. */
+    * excluded from self-pairing.
+    *
+    * Mega-bucket hardening: if the index was built with a `<table>_hot`
+    * sidecar, batch rows in those degenerate buckets are grid-blocked —
+    * scattered into `blocks` deterministic blocks against a ×blocks
+    * replication of the (small) hot-row set, behind strict
+    * REPARTITION_BY_NUM exchanges — so a hot bucket's m·n candidate pairs
+    * spread over `blocks` tasks instead of one reducer, while the cold path
+    * keeps the zero-index-side-exchange bucketed join untouched. Per-batch
+    * cost: the batch's own rows plus the hot rows only — never a corpus
+    * scan (the hot/cold split was decided at build time). Indexes built
+    * before the sidecar existed probe exactly as before. */
   def nearDupAgainstIndex(indexTable: String, corpus: DataFrame, batch: DataFrame,
                           idCol: String, textCol: String,
                           ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
-                          threshold: Double): DataFrame = {
-    val idx = batch.sparkSession.table(indexTable)
-    val cand = bandedRows(batch, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
+                          threshold: Double, blocks: Int = 16): DataFrame = {
+    require(blocks >= 2, s"blocks must be >= 2, got $blocks")
+    val spark = batch.sparkSession
+    val keys = Seq("band", "band_hash")
+    val idx = spark.table(indexTable)
+    val batchRows = bandedRows(batch, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
       .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
-      .join(idx, Seq("band", "band_hash"))
+    val collided =
+      if (!spark.catalog.tableExists(s"${indexTable}_hot"))
+        batchRows.join(idx, keys)
+      else {
+        val hotRows = spark.table(s"${indexTable}_hot")
+        val hotKeys = broadcast(hotRows.select(keys.map(col): _*).distinct())
+        val cold = batchRows.join(hotKeys, keys, "left_anti").join(idx, keys)
+        val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val blkKeys = (keys :+ "__blk").map(col)
+        val bHot = batchRows.join(hotKeys, keys, "left_semi")
+          .withColumn("__blk", pmod(xxhash64(col("batch_id")), lit(blocks.toLong)).cast("int"))
+          .repartition(n, blkKeys: _*)
+        val iHot = hotRows
+          .withColumn("__blk", explode(sequence(lit(0), lit(blocks - 1))))
+          .repartition(n, blkKeys: _*)
+        cold.unionByName(bHot.join(iHot, keys :+ "__blk").drop("__blk"))
+      }
+    val cand = collided
       .filter(col("batch_id") =!= col("corpus_id"))
       .select("batch_id", "corpus_id")
       .distinct()

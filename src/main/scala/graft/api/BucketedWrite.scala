@@ -9,19 +9,24 @@ import org.apache.spark.sql.DataFrame
   * distribution by itself. */
 private[api] object BucketedWrite {
 
-  def saveBucketed(df: DataFrame, table: String, numBuckets: Int,
-                   keys: Seq[String]): Unit = {
-    val spark = df.sparkSession
+  /** DROP TABLE plus warehouse-dir cleanup: with an in-memory catalog the
+    * table registration dies with the JVM but its warehouse directory
+    * survives, and CREATE refuses the orphaned location — best-effort
+    * cleanup for unqualified names in `default`. */
+  def dropTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // with an in-memory catalog the table registration dies with the JVM but
-    // its warehouse directory survives, and CREATE refuses the orphaned
-    // location — best-effort cleanup for unqualified names in `default`
     if (!table.contains('.')) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+  }
+
+  def saveBucketed(df: DataFrame, table: String, numBuckets: Int,
+                   keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    dropTable(spark, table)
     df.write.format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

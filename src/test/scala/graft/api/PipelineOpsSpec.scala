@@ -438,7 +438,48 @@ class PipelineOpsSpec extends AnyFunSuite {
         .orderBy("batch_id", "corpus_id").collect()
       assert(inc.nonEmpty, "fixture must contain at least one cross pair")
       assert(inc.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
-    } finally spark.sql("DROP TABLE IF EXISTS graft_test_sig_idx")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_sig_idx")
+      spark.sql("DROP TABLE IF EXISTS graft_test_sig_idx_hot")
+    }
+  }
+
+  test("signature index splits mega-buckets to the hot sidecar; probe results unchanged") {
+    // 120 identical corpus docs collapse every band into one degenerate
+    // bucket — the shape that would put all m·n candidate pairs on one
+    // reducer. With the cap, those rows go to <table>_hot at BUILD time and
+    // the probe grid-blocks them; the pair set must equal the uncapped
+    // (all-cold, legacy-layout) index's.
+    val dupText = "the same boilerplate paragraph repeated across the corpus"
+    val corpus = ((0L until 120L).map(i => (i, dupText)) ++
+      (200L until 230L).map(i => (i, s"unique document body number $i with extra words")))
+      .toDF("doc_id", "text")
+    val batch = ((1000L until 1020L).map(i => (i, dupText)) ++
+      Seq((1100L, "unique document body number 205 with extra words")))
+      .toDF("doc_id", "text")
+    BandedLsh.saveSignatureIndex(corpus, "graft_test_hot_idx", 4,
+      "doc_id", "text", 4, 8, 3, 123L, hotBucketCap = 50L)
+    BandedLsh.saveSignatureIndex(corpus, "graft_test_cold_idx", 4,
+      "doc_id", "text", 4, 8, 3, 123L) // default cap: nothing hot
+    try {
+      val hotRows = spark.table("graft_test_hot_idx_hot")
+      assert(hotRows.count() == 120 * 8,
+        "all 8 bands of the 120 identical docs must live in the sidecar")
+      assert(spark.table("graft_test_hot_idx").count() == 30 * 8)
+      assert(spark.table("graft_test_cold_idx_hot").count() == 0)
+      def probe(idx: String) =
+        BandedLsh.nearDupAgainstIndex(idx, corpus, batch,
+            "doc_id", "text", 4, 8, 3, 123L, 0.5, blocks = 4)
+          .orderBy("batch_id", "corpus_id").collect().map(_.toSeq).toSeq
+      val viaHot = probe("graft_test_hot_idx")
+      // all 20x120 mega-bucket pairs present (hot path found everything) ...
+      assert(viaHot.size >= 20 * 120,
+        s"expected at least the 2400 mega-bucket pairs, got ${viaHot.size}")
+      // ... and pair-for-pair equal to the uncapped legacy-layout index
+      assert(viaHot == probe("graft_test_cold_idx"))
+    } finally for (t <- Seq("graft_test_hot_idx", "graft_test_hot_idx_hot",
+                            "graft_test_cold_idx", "graft_test_cold_idx_hot"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   test("Ann bucketed-table index serves identical results to the direct path") {
