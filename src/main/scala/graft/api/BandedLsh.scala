@@ -169,7 +169,15 @@ object BandedLsh {
     * you intend to survive.
     *
     * `a` and `b` must have disjoint non-key column names (same contract as
-    * the plain `join(..., Seq("band", "band_hash"))`). */
+    * the plain `join(..., Seq("band", "band_hash"))`).
+    *
+    * Each input is consumed by the count pass AND its cold/hot branch — if
+    * an input is an expensive pipeline (banding over a raw corpus), persist
+    * or checkpoint it first rather than paying the kernel repeatedly
+    * ([[saveSignatureIndex]] does exactly this internally; its persisted
+    * index avoids probe-time counting altogether, which is why the
+    * batch-vs-index path classifies at BUILD time instead of calling
+    * this). */
   def bandJoinSkewSafe(a: DataFrame, b: DataFrame, scatterA: Column,
                        hotThreshold: Long = 1000000L, blocks: Int = 16): DataFrame = {
     require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
