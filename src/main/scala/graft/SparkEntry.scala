@@ -304,7 +304,7 @@ object SparkEntry {
       load(s, dir, "nation").createOrReplaceTempView("nation")
       load(s, dir, "customer").createOrReplaceTempView("customer")
       // region/nation are tiny: Catalyst broadcast-joins them (checked in
-      // BenchPlanSpec); the oracle only sees the result.
+      // PlanShapeSpec); the oracle only sees the result.
       s.sql("""
         SELECT r.r_name, count(*) AS customers,
                min(c.c_acctbal) AS min_bal, max(c.c_acctbal) AS max_bal

@@ -5,6 +5,13 @@ import graft.core.SimHash
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Top-level (not nested in the suite) so the expression's decoder reference
+  * serializes without dragging the test class into the task closure. */
+object FixedTestDecoder extends org.apache.spark.sql.graft.MediaDecoder {
+  def decode(bytes: Array[Byte]): (Long, Int, Int, Double) =
+    (bytes.length.toLong * 100L, 2, 3, 0.5)
+}
+
 class PipelineOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -528,6 +535,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     // determinism: same input, same checksum
     val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     assert(feats(0).getLong(2) == again(0).getLong(2))
+  }
+
+  test("Multimodal decoder seam: a custom decoder drops in, schema unchanged") {
+    // the pluggable-decoder contract: swapping the decoder object changes
+    // only decoded VALUES — same schema, same plan shape, no operator edits
+    val media = Seq((1L, "abcd".getBytes("UTF-8")), (2L, Array.emptyByteArray))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.extractFeatures(media, FixedTestDecoder)
+      .orderBy("media_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(400L, 0L)) // checksum = len*100
+    assert(out.forall(r => r.getInt(3) == 2 && r.getInt(4) == 3 && r.getDouble(5) == 0.5))
+    assert(Multimodal.extractFeatures(media, FixedTestDecoder).schema ==
+      Multimodal.extractFeatures(media).schema)
+    val rs = Multimodal.resizeStub(media, 64, FixedTestDecoder)
+      .orderBy("media_id").collect()
+    assert(rs.forall(r => r.getInt(1) == 2 && r.getInt(2) == 3)) // decoder dims flow through
   }
 
   test("Multimodal resizeStub preserves aspect and caps the long side") {
