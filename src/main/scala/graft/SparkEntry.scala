@@ -633,6 +633,18 @@ object SparkEntry {
       graft.api.BandedLsh.dupClusters(nearDupPairsShared(s, dir),
         driverThreshold = 0L).orderBy("id")
     }),
+    "dedup_keep_best" -> ((s, dir) => {
+      // the step after clustering: keep ONE representative per duplicate
+      // cluster (longest text, doc_id tiebreak), pass singletons through —
+      // i.e. the actual deduplicated corpus. Shares the cached pair plan
+      // with minhash_dedup_pairs/dedup_clusters.
+      val docs = load(s, dir, "documents")
+      val clusters = graft.api.BandedLsh.dupClusters(nearDupPairsShared(s, dir))
+      graft.api.Dedup.keepBestPerCluster(docs, clusters, "doc_id",
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "cosine_adjacent" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -1394,6 +1406,32 @@ object SparkEntry {
         |SELECT u AS id, least(u, min(v)) AS cluster
         |FROM reach GROUP BY u
         |ORDER BY id""".stripMargin,
+    // survivors: per transitive-closure cluster keep (max n_chars, min
+    // doc_id); docs outside the pair graph are singletons and survive
+    "dedup_keep_best" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 3),
+        |                                      i -> substring(text, CAST(i AS INT), 4))) AS grams
+        |  FROM documents WHERE length(text) >= 4),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON b.doc_id > a.doc_id
+        |  WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.5),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+        |),
+        |labels AS (SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+        |SELECT doc_id, n_chars FROM (
+        |  SELECT d.doc_id, d.n_chars,
+        |         row_number() OVER (PARTITION BY coalesce(l.cluster, d.doc_id)
+        |                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_near_window" ->
       """WITH g AS (
         |  SELECT doc_id,

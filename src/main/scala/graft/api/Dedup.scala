@@ -20,6 +20,35 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Survivor selection after near-dup clustering: one representative per
+    * duplicate cluster, ranked by `rank` (e.g. longest text, best quality
+    * score — ties MUST be broken by a unique column, normally the id, or
+    * the survivor is partition-order-dependent). Rows absent from
+    * `clusters` are singletons and survive unchanged. This is the step
+    * that turns [[BandedLsh.dupClusters]]' labels into an actual
+    * deduplicated corpus — "drop near-dups, keep the best copy".
+    *
+    * One shuffle on the cluster label; the per-group work is a top-1
+    * row_number, so group size only bounds a streamed sort run, never
+    * memory. Cluster labels cover only near-dup members (sparse), so the
+    * left join is a broadcast in practice and the window's skew is capped
+    * by the largest dup cluster — at 100 TB a mega-cluster means
+    * boilerplate that upstream filters should have dropped, and its cost
+    * here is one sorted scan, not a pair explosion. */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame, idCol: String,
+                         rank: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(rank.nonEmpty, "rank must order survivors (last key should be unique)")
+    val labeled = docs.join(
+      clusters.select(col("id").as("__cid"), col("cluster").as("__cluster")),
+      docs(idCol) === col("__cid"), "left")
+    // singletons cluster with themselves
+    val grouped = labeled.withColumn("__grp", coalesce(col("__cluster"), col(idCol)))
+    val w = Window.partitionBy(col("__grp")).orderBy(rank: _*)
+    grouped.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__grp", "__cid", "__cluster")
+  }
+
   /** SimHash near-dup candidate pairs: 64-bit simhash split into `bands`
     * equal bit-chunks; two docs are candidates if any chunk matches exactly
     * (Hamming ≤ bands-1 guarantees a chunk match — standard pigeonhole

@@ -76,6 +76,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(1) == 3L))
   }
 
+  test("Dedup.keepBestPerCluster keeps one best representative, singletons survive") {
+    val docs = Seq((1L, "aa", 10L), (2L, "bb", 30L), (3L, "cc", 30L), (9L, "zz", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster")
+    val got = Dedup.keepBestPerCluster(docs, clusters, "doc_id",
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // doc 2 wins the cluster (n_chars tie with 3, smaller id); 9 is a singleton
+    assert(got == Seq(2L, 9L))
+  }
+
   test("BandedLsh.nearDupPairs finds the planted near-dup") {
     val base = "spark native analytics engine with locality sensitive hashing support"
     val df = Seq((1L, base), (2L, base + " x"), (3L, "totally different content about nothing relevant"))
