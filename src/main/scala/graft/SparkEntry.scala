@@ -664,6 +664,16 @@ object SparkEntry {
           nlist = 16, nprobe = 4, seed = 99L)
         .orderBy("query_id", "rank")
     }),
+    "ann_topk_pq" -> ((s, dir) => {
+      // product-quantization ADC: corpus scanned as 8 subspace codes, not
+      // vectors; the pinned oracle re-derives codebooks, codes, per-query
+      // distance tables and the (adist, id)-ranked top-k in Python
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      graft.api.Ann.pqTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          m = 8, ksub = 16, seed = 55L, iters = 4)
+        .orderBy("query_id", "rank")
+    }),
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -1080,6 +1090,7 @@ object SparkEntry {
     "ann_topk_lsh" -> valuesOracle("ann_topk_lsh"),
     "ann_topk_lsh_bucketed" -> valuesOracle("ann_topk_lsh_bucketed"),
     "ann_topk_ivf" -> valuesOracle("ann_topk_ivf"),
+    "ann_topk_pq" -> valuesOracle("ann_topk_pq"),
     "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
     "sample_hash" -> valuesOracle("sample_hash"),

@@ -220,6 +220,102 @@ object Ann {
     best
   }
 
+  /** Train `m` product-quantization codebooks of `ksub` centroids each:
+    * the vector splits into `m` subspaces and each runs the same seeded
+    * Lloyd's recipe as [[trainQuantizer]] over the same layout-invariant
+    * hash sample. Draw order is part of the bit-exact contract:
+    * subspace-major, then centroid, then dim (mirrored line-for-line in
+    * tools/gen_oracles.py). */
+  private[api] def trainPq(corpus: DataFrame, m: Int, ksub: Int, seed: Long,
+                           iters: Int, sampleSize: Int,
+                           idCol: String, vecCol: String): Array[Array[Array[Double]]] = {
+    val sample = corpus
+      .select(col(vecCol).as("__vec"), xxhash64(col(idCol), lit(seed)).as("__h"),
+        col(idCol).as("__id"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(sampleSize)
+      .select("__vec")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "corpus is empty")
+    val d = sample.head.length
+    require(m >= 1 && d % m == 0, s"vector dim $d must split into m=$m equal subspaces")
+    val dsub = d / m
+    val rng = new graft.core.StdRng(seed)
+    val books = Array.fill(m)(Array.fill(ksub)(Array.fill(dsub)(rng.stdNormal())))
+    var s = 0
+    while (s < m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var cents = books(s)
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        sub.foreach { v =>
+          val c = nearestCentroid(v, cents)
+          counts(c) += 1
+          var j = 0
+          while (j < dsub) { sums(c)(j) += v(j); j += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }.toArray
+        it += 1
+      }
+      books(s) = cents
+      s += 1
+    }
+    books
+  }
+
+  /** Product-quantization ANN (ADC): the corpus is encoded ONCE into `m`
+    * per-subspace centroid codes — the classic memory-scale path, 8 codes
+    * standing in for 64 doubles shrinks a 100 TB embedding store ~64× — and
+    * each query batch scans CODES, never vectors: per-query distance
+    * tables (`m`·`ksub` doubles, KBs) are built on the driver from the
+    * small query side (same contract as [[bruteForceTopK]]'s broadcast),
+    * broadcast, and each corpus row pays `m` array lookups + adds inside
+    * codegen. Approximate squared-L2 ranks ascending with a neighbor-id
+    * tiebreak; all arithmetic is fixed-order IEEE, so results are
+    * bit-reproducible and oracle-pinned (`ann_topk_pq`). Compose with IVF
+    * cells for the full IVF-PQ layout (cluster pruning × compressed
+    * residual scan) — both halves exist and are oracle-gated separately. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int, ksub: Int,
+             seed: Long, iters: Int = 5, sampleSize: Int = 10000,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.{AdcTables, ColumnShim, PqAdcDist, PqCodes, PqModel}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    val books = trainPq(corpus, m, ksub, seed, iters, sampleSize, idCol, vecCol)
+    val model = new PqModel(spark.sparkContext.broadcast(books))
+    val codes = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      ColumnShim.column(PqCodes(ColumnShim.expression(col(vecCol)), model)).as("codes"))
+    val qrows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qrows.nonEmpty, "queries are empty")
+    val dsub = qrows.head._2.length / m
+    val tables = qrows.map { case (qid, q) =>
+      qid -> Array.tabulate(m) { s =>
+        Array.tabulate(ksub) { c =>
+          val cent = books(s)(c)
+          var dist = 0.0
+          var j = 0
+          while (j < dsub) { val t = q(s * dsub + j) - cent(j); dist += t * t; j += 1 }
+          dist
+        }
+      }
+    }.toMap
+    val adc = new AdcTables(spark.sparkContext.broadcast(tables))
+    val qids = broadcast(queries.select(col(idCol).cast("long").as("query_id")))
+    val scored = codes.join(qids, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", ColumnShim.column(PqAdcDist(
+        ColumnShim.expression(col("query_id")), ColumnShim.expression(col("codes")), adc)))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
   /** Symmetric per-vector int8 quantization — the storage-shrink step for
     * an embedding corpus (float64 → int8 is 8×; a 100 TB embedding store
     * becomes 12.5 TB plus one scale per vector). `scale = max|x| / 127`,

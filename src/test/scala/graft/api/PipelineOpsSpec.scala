@@ -517,6 +517,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_bucket_idx")
   }
 
+  test("Ann.pqTopK: ADC ranking is deterministic and layout-invariant") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.3 + d) * 2.0))).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 2)
+    val a = Ann.pqTopK(vecs, qs, k = 3, m = 4, ksub = 8, seed = 5L)
+      .orderBy("query_id", "rank").collect()
+    assert(a.length == 6) // k rows per query
+    assert(a.forall(_.getDouble(3) >= 0.0)) // squared distances
+    // per query, adist ascends with rank (id tiebreak)
+    a.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sorted.sameElements(sorted.sorted))
+    }
+    // bit-identical under corpus repartitioning: the hash sample, codebooks,
+    // codes and ADC sums are all layout-invariant
+    val b = Ann.pqTopK(vecs.repartition(7), qs, k = 3, m = 4, ksub = 8, seed = 5L)
+      .orderBy("query_id", "rank").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("Ann quantizer training is invariant under corpus repartitioning") {
     // the sample is keyed on xxhash64(id, seed), never scan order: a layout
     // change (repartition, sorted input) must not move a single centroid

@@ -243,6 +243,64 @@ def ivf_topk_rows(vecs, k, nlist, nprobe, seed, iters, sample_size):
     return topk_rows(cand, vecs, k)
 
 
+def pq_topk_rows(vecs, k, m, ksub, seed, iters, sample_size):
+    """Mirror graft.api.Ann.pqTopK: per-subspace Lloyd's codebooks (same
+    seeded-hash sample and subspace-major draw order), corpus codes,
+    per-query ADC tables, (adist asc, neighbor_id asc) top-k. Every float
+    step is fixed-order IEEE, so the pinned adist doubles are bit-exact."""
+    d = len(next(iter(vecs.values())))
+    dsub = d // m
+    order = sorted(vecs, key=lambda vid: (spark_xxhash64(vid, seed), vid))[:sample_size]
+    sample = [vecs[vid] for vid in order]
+    rng = vk.StdRng(seed)
+    books = [[[vk.std_normal(rng) for _ in range(dsub)] for _ in range(ksub)]
+             for _ in range(m)]
+    for s in range(m):
+        sub = [v[s * dsub:(s + 1) * dsub] for v in sample]
+        cents = books[s]
+        for _ in range(iters):
+            sums = [[0.0] * dsub for _ in range(ksub)]
+            counts = [0] * ksub
+            for v in sub:
+                c = nearest_centroid(v, cents)
+                counts[c] += 1
+                for j in range(dsub):
+                    sums[c][j] += v[j]
+            cents = [cents[c] if counts[c] == 0
+                     else [sums[c][j] / counts[c] for j in range(dsub)]
+                     for c in range(ksub)]
+        books[s] = cents
+    codes = {vid: [nearest_centroid(v[s * dsub:(s + 1) * dsub], books[s])
+                   for s in range(m)]
+             for vid, v in vecs.items()}
+    rows = []
+    for qid in sorted(vid for vid in vecs if vid < 10):
+        q = vecs[qid]
+        table = []
+        for s in range(m):
+            trow = []
+            for c in range(ksub):
+                cent = books[s][c]
+                dist = 0.0
+                for j in range(dsub):
+                    t = q[s * dsub + j] - cent[j]
+                    dist += t * t
+                trow.append(dist)
+            table.append(trow)
+        scored = []
+        for nid, cs in codes.items():
+            if nid == qid:
+                continue
+            acc = 0.0
+            for s in range(m):
+                acc += table[s][cs[s]]
+            scored.append((acc, nid))
+        scored.sort()
+        for rank, (adist, nid) in enumerate(scored[:k], 1):
+            rows.append((qid, rank, nid, adist))
+    return rows
+
+
 def lsh_topk_rows(vecs, k, bucket_width, band_count, band_size, seed):
     """Mirror graft.api.Ann.lshBucketedTopK: euclidean band-bucket collisions
     -> exact cosine rank."""
@@ -496,6 +554,25 @@ def main(sf_dir, spark_dir):
                              iters=5, sample_size=10000)
     custom["ann_topk_ivf"] = (ivf_rows, ("query_id", '"rank"', "neighbor_id", "sim"),
                               ann_oracle_sql([r[:3] for r in ivf_rows]))
+
+    # ---- ann_topk_pq: ADC over product-quantization codes. The adist is a
+    # codebook artifact DuckDB cannot recompute from the embeddings, so the
+    # full rows (including the doubles) are pinned; shortest-roundtrip repr
+    # parses back to the identical bits.
+    pq_rows = pq_topk_rows(vecs, k=5, m=8, ksub=16, seed=55,
+                           iters=4, sample_size=10000)
+    pq_sql = (
+        'SELECT CAST(query_id AS BIGINT) AS query_id,'
+        ' CAST("rank" AS BIGINT) AS "rank",\n'
+        ' CAST(neighbor_id AS BIGINT) AS neighbor_id,'
+        ' CAST(adist AS DOUBLE) AS adist\n'
+        "FROM (VALUES\n"
+        f"{values_block([(q, r, n, repr(a)) for q, r, n, a in pq_rows])}\n"
+        ') AS t(query_id, "rank", neighbor_id, adist)\n'
+        'ORDER BY query_id, "rank"')
+    custom["ann_topk_pq"] = (pq_rows,
+                             ("query_id", '"rank"', "neighbor_id", "adist"),
+                             pq_sql)
 
     customers = con.execute(
         f"SELECT c_custkey, c_name FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
@@ -965,6 +1042,7 @@ def main(sf_dir, spark_dir):
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
+                    "ann_topk_pq": 'query_id, "rank"',
                     "lsh_blocking_join": "key_a, key_b",
                     "sample_hash": "doc_id",
                     "sample_stratified": "lang, doc_id",
