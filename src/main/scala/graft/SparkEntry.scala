@@ -674,6 +674,16 @@ object SparkEntry {
           m = 8, ksub = 16, seed = 55L, iters = 4)
         .orderBy("query_id", "rank")
     }),
+    "ann_topk_ivfpq" -> ((s, dir) => {
+      // the composed IVF-PQ layout: coarse-cell pruning (nprobe of nlist)
+      // × PQ-compressed ADC scan — both models trained in the query, both
+      // re-derived in the pinned Python oracle
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      graft.api.Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          nlist = 16, nprobe = 4, m = 8, ksub = 16, seed = 77L, iters = 4)
+        .orderBy("query_id", "rank")
+    }),
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -1091,6 +1101,7 @@ object SparkEntry {
     "ann_topk_lsh_bucketed" -> valuesOracle("ann_topk_lsh_bucketed"),
     "ann_topk_ivf" -> valuesOracle("ann_topk_ivf"),
     "ann_topk_pq" -> valuesOracle("ann_topk_pq"),
+    "ann_topk_ivfpq" -> valuesOracle("ann_topk_ivfpq"),
     "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
     "sample_hash" -> valuesOracle("sample_hash"),

@@ -316,6 +316,60 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "adist")
   }
 
+  /** IVF-PQ: the canonical large-scale ANN layout — IVF cell pruning ×
+    * PQ-compressed scan. The corpus is assigned to `nlist` coarse cells AND
+    * encoded into `m` subspace codes in ONE narrow pass (two codegen'd
+    * expressions over the same scan); a query probes `nprobe` cells and
+    * ADC-scores only those rows from its broadcast distance tables. Search
+    * cost ≈ (nprobe/nlist) of the corpus × m lookups per row, over a store
+    * ~64× smaller than the raw vectors. Coarse quantizer draws from
+    * `seed`, PQ codebooks from `seed + 1` (independent streams, both
+    * mirrored in the Python oracle); ranking is (adist asc, neighbor_id)
+    * like [[pqTopK]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int, nprobe: Int, m: Int, ksub: Int, seed: Long,
+                iters: Int = 5, sampleSize: Int = 10000,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.{AdcTables, CentroidModel, ColumnShim, NearestCell, PqAdcDist, PqCodes, PqModel, ProbeCells}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    val cents = trainQuantizer(corpus, nlist, seed, iters, sampleSize, idCol, vecCol)
+    val books = trainPq(corpus, m, ksub, seed + 1, iters, sampleSize, idCol, vecCol)
+    val cmodel = new CentroidModel(spark.sparkContext.broadcast(cents))
+    val pmodel = new PqModel(spark.sparkContext.broadcast(books))
+    val index = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      ColumnShim.column(NearestCell(ColumnShim.expression(col(vecCol)), cmodel)).as("cell"),
+      ColumnShim.column(PqCodes(ColumnShim.expression(col(vecCol)), pmodel)).as("codes"))
+    val qrows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qrows.nonEmpty, "queries are empty")
+    val dsub = qrows.head._2.length / m
+    val tables = qrows.map { case (qid, q) =>
+      qid -> Array.tabulate(m) { s =>
+        Array.tabulate(ksub) { c =>
+          val cent = books(s)(c)
+          var dist = 0.0
+          var j = 0
+          while (j < dsub) { val t = q(s * dsub + j) - cent(j); dist += t * t; j += 1 }
+          dist
+        }
+      }
+    }.toMap
+    val adc = new AdcTables(spark.sparkContext.broadcast(tables))
+    val probed = broadcast(queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell",
+        explode(ColumnShim.column(ProbeCells(ColumnShim.expression(col("qvec")), cmodel, nprobe))))
+      .select("query_id", "cell"))
+    val scored = index.join(probed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", ColumnShim.column(PqAdcDist(
+        ColumnShim.expression(col("query_id")), ColumnShim.expression(col("codes")), adc)))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
   /** Symmetric per-vector int8 quantization — the storage-shrink step for
     * an embedding corpus (float64 → int8 is 8×; a 100 TB embedding store
     * becomes 12.5 TB plus one scale per vector). `scale = max|x| / 127`,

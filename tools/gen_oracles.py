@@ -301,6 +301,84 @@ def pq_topk_rows(vecs, k, m, ksub, seed, iters, sample_size):
     return rows
 
 
+def ivfpq_topk_rows(vecs, k, nlist, nprobe, m, ksub, seed, iters, sample_size):
+    """Mirror graft.api.Ann.ivfPqTopK: coarse quantizer from stream `seed`
+    (sample order xxhash64(id, seed)), PQ codebooks from stream `seed + 1`
+    (its OWN sample order, xxhash64(id, seed+1) — Lloyd's accumulation order
+    is part of the contract), candidates = probed cells, rank by
+    (adist asc, neighbor_id asc)."""
+    d = len(next(iter(vecs.values())))
+    dsub = d // m
+    # coarse quantizer — identical recipe to ivf_topk_rows
+    order = sorted(vecs, key=lambda vid: (spark_xxhash64(vid, seed), vid))[:sample_size]
+    sample = [vecs[vid] for vid in order]
+    rng = vk.StdRng(seed)
+    cents = [[vk.std_normal(rng) for _ in range(d)] for _ in range(nlist)]
+    for _ in range(iters):
+        sums = [[0.0] * d for _ in range(nlist)]
+        counts = [0] * nlist
+        for v in sample:
+            c = nearest_centroid(v, cents)
+            counts[c] += 1
+            for j in range(d):
+                sums[c][j] += v[j]
+        cents = [cents[c] if counts[c] == 0
+                 else [sums[c][j] / counts[c] for j in range(d)]
+                 for c in range(nlist)]
+    # PQ codebooks — identical recipe to pq_topk_rows, seed+1 streams
+    order2 = sorted(vecs, key=lambda vid: (spark_xxhash64(vid, seed + 1), vid))[:sample_size]
+    sample2 = [vecs[vid] for vid in order2]
+    rng2 = vk.StdRng(seed + 1)
+    books = [[[vk.std_normal(rng2) for _ in range(dsub)] for _ in range(ksub)]
+             for _ in range(m)]
+    for s in range(m):
+        sub = [v[s * dsub:(s + 1) * dsub] for v in sample2]
+        bcents = books[s]
+        for _ in range(iters):
+            sums = [[0.0] * dsub for _ in range(ksub)]
+            counts = [0] * ksub
+            for v in sub:
+                c = nearest_centroid(v, bcents)
+                counts[c] += 1
+                for j in range(dsub):
+                    sums[c][j] += v[j]
+            bcents = [bcents[c] if counts[c] == 0
+                      else [sums[c][j] / counts[c] for j in range(dsub)]
+                      for c in range(ksub)]
+        books[s] = bcents
+    cells = {vid: nearest_centroid(v, cents) for vid, v in vecs.items()}
+    codes = {vid: [nearest_centroid(v[s * dsub:(s + 1) * dsub], books[s])
+                   for s in range(m)]
+             for vid, v in vecs.items()}
+    rows = []
+    for qid in sorted(vid for vid in vecs if vid < 10):
+        q = vecs[qid]
+        probes = set(nearest_centroids(q, cents, nprobe))
+        table = []
+        for s in range(m):
+            trow = []
+            for c in range(ksub):
+                cent = books[s][c]
+                dist = 0.0
+                for j in range(dsub):
+                    t = q[s * dsub + j] - cent[j]
+                    dist += t * t
+                trow.append(dist)
+            table.append(trow)
+        scored = []
+        for nid, cs in codes.items():
+            if nid == qid or cells[nid] not in probes:
+                continue
+            acc = 0.0
+            for s in range(m):
+                acc += table[s][cs[s]]
+            scored.append((acc, nid))
+        scored.sort()
+        for rank, (adist, nid) in enumerate(scored[:k], 1):
+            rows.append((qid, rank, nid, adist))
+    return rows
+
+
 def lsh_topk_rows(vecs, k, bucket_width, band_count, band_size, seed):
     """Mirror graft.api.Ann.lshBucketedTopK: euclidean band-bucket collisions
     -> exact cosine rank."""
@@ -573,6 +651,21 @@ def main(sf_dir, spark_dir):
     custom["ann_topk_pq"] = (pq_rows,
                              ("query_id", '"rank"', "neighbor_id", "adist"),
                              pq_sql)
+
+    ivfpq_rows = ivfpq_topk_rows(vecs, k=5, nlist=16, nprobe=4, m=8, ksub=16,
+                                 seed=77, iters=4, sample_size=10000)
+    ivfpq_sql = (
+        'SELECT CAST(query_id AS BIGINT) AS query_id,'
+        ' CAST("rank" AS BIGINT) AS "rank",\n'
+        ' CAST(neighbor_id AS BIGINT) AS neighbor_id,'
+        ' CAST(adist AS DOUBLE) AS adist\n'
+        "FROM (VALUES\n"
+        f"{values_block([(q, r, n, repr(a)) for q, r, n, a in ivfpq_rows])}\n"
+        ') AS t(query_id, "rank", neighbor_id, adist)\n'
+        'ORDER BY query_id, "rank"')
+    custom["ann_topk_ivfpq"] = (ivfpq_rows,
+                                ("query_id", '"rank"', "neighbor_id", "adist"),
+                                ivfpq_sql)
 
     customers = con.execute(
         f"SELECT c_custkey, c_name FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
@@ -1043,6 +1136,7 @@ def main(sf_dir, spark_dir):
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
                     "ann_topk_pq": 'query_id, "rank"',
+                    "ann_topk_ivfpq": 'query_id, "rank"',
                     "lsh_blocking_join": "key_a, key_b",
                     "sample_hash": "doc_id",
                     "sample_stratified": "lang, doc_id",
