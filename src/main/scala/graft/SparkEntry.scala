@@ -613,6 +613,17 @@ object SparkEntry {
           "doc_id", "text", 4, 8, 3, 123L, 0.5)
         .orderBy("batch_id", "corpus_id")
     }),
+    "crossdedup_join" -> ((s, dir) => {
+      // the direct A×B near-dup join (no index): banded blocking through
+      // the mega-bucket-hardened band join, exact-Jaccard verified — same
+      // ground truth as incremental_dedup (the index path must agree with
+      // the direct path), different column orientation
+      val docs = load(s, dir, "documents")
+      graft.api.BandedLsh.nearDupJoin(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", "doc_id", "text", 4, 8, 3, 123L, 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_clusters" -> ((s, dir) => {
       // connected-component labels over the minhash near-dup graph
       // (union-find / hash-min; each doc labeled with its cluster min id);
@@ -1371,6 +1382,21 @@ object SparkEntry {
     // Cross ground truth for the incremental path: every (batch >= 400,
     // corpus < 400) pair above the exact-Jaccard threshold — if the indexed
     // band join missed one (recall < 1) or invented one, rows mismatch.
+    // direct A×B twin of incremental_dedup's ground truth, oriented
+    // (corpus-side id_a < 400, batch-side id_b >= 400)
+    "crossdedup_join" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 3),
+        |                                      i -> substring(text, CAST(i AS INT), 4))) AS grams
+        |  FROM documents WHERE length(text) >= 4)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |       / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) AS sim
+        |FROM g a JOIN g b ON a.doc_id < 400 AND b.doc_id >= 400
+        |WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "incremental_dedup" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -215,6 +215,36 @@ object BandedLsh {
     cold.unionByName(hotJoined)
   }
 
+  /** Near-dup pairs between two DIFFERENT corpora: banded blocking on both
+    * sides, the mega-bucket-hardened [[bandJoinSkewSafe]] band join, then
+    * exact-Jaccard verification — the A×B counterpart of [[nearDupPairs]]
+    * for one-off comparisons (benchmark-vs-corpus, vendor-feed-vs-corpus).
+    * For REPEATED batches against the same corpus, build the persisted
+    * index instead ([[saveSignatureIndex]] + [[nearDupAgainstIndex]]) and
+    * pay the corpus-side hashing once. Returns `(id_a, id_b, sim)` with
+    * sim > threshold; both banded inputs are projected to ids before the
+    * join (texts re-attach at verification). */
+  def nearDupJoin(a: DataFrame, b: DataFrame,
+                  idColA: String, textColA: String, idColB: String, textColB: String,
+                  ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
+                  threshold: Double,
+                  hotThreshold: Long = 1000000L, blocks: Int = 16): DataFrame = {
+    val ra = bandedRows(a, idColA, textColA, ngramWidth, bandCount, bandSize, seed)
+      .select(col(idColA).as("id_a"), col("band"), col("band_hash"))
+    val rb = bandedRows(b, idColB, textColB, ngramWidth, bandCount, bandSize, seed)
+      .select(col(idColB).as("id_b"), col("band"), col("band_hash"))
+    val cand = bandJoinSkewSafe(ra, rb, col("id_a"), hotThreshold, blocks)
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(a.select(col(idColA).as("id_a"), col(textColA).as("__text_a")), "id_a")
+      .join(b.select(col(idColB).as("id_b"), col(textColB).as("__text_b")), "id_b")
+      .withColumn("sim",
+        graft.functions.lsh_jaccard(col("__text_a"), col("__text_b"), ngramWidth))
+      .filter(col("sim") > threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Persist the corpus's banded MinHash signatures as a bucketed table —
     * the incremental-ingestion index. `(band, band_hash, corpus_id)` rows,
     * bucketed AND sorted on the band-join key: every future

@@ -462,6 +462,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupJoin (A×B) equals the full self-join's cross-side pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter($"doc_id" < 35)
+    val b = docs.filter($"doc_id" >= 35)
+    val full = BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.3)
+      .filter(($"id_a" < 35) =!= ($"id_b" < 35))
+      .select(least($"id_a", $"id_b").as("id_a"),
+        greatest($"id_a", $"id_b").as("id_b"), $"sim")
+      .orderBy("id_a", "id_b").collect()
+    val cross = BandedLsh.nearDupJoin(a, b, "doc_id", "text", "doc_id", "text",
+        4, 8, 3, 123L, 0.3)
+      .orderBy("id_a", "id_b").collect()
+    assert(cross.nonEmpty && cross.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
   test("signature index splits mega-buckets to the hot sidecar; probe results unchanged") {
     // 120 identical corpus docs collapse every band into one degenerate
     // bucket — the shape that would put all m·n candidate pairs on one
