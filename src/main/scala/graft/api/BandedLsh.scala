@@ -229,6 +229,13 @@ object BandedLsh {
                   ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
                   threshold: Double,
                   hotThreshold: Long = 1000000L, blocks: Int = 16): DataFrame = {
+    // Deliberately NOT checkpointed: bandJoinSkewSafe consumes each side
+    // three times (count + cold + hot), but measured at sf0.1 an eager
+    // localCheckpoint COSTS more than the banding recompute it saves
+    // (1.7 s -> 3.0 s: materialization + the lost scan/join codegen fusion
+    // outweigh two extra cheap passes). Callers whose inputs are genuinely
+    // expensive can persist before calling; the hash kernel itself is cheap
+    // relative to its scan.
     val ra = bandedRows(a, idColA, textColA, ngramWidth, bandCount, bandSize, seed)
       .select(col(idColA).as("id_a"), col("band"), col("band_hash"))
     val rb = bandedRows(b, idColB, textColB, ngramWidth, bandCount, bandSize, seed)
