@@ -477,6 +477,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cross.nonEmpty && cross.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
   }
 
+  test("rolling ingestion: admitted batch signatures append to the index correctly") {
+    // the scaladoc's rolling-ingestion recipe: admit batch 1 against the
+    // index, APPEND its band rows, then batch 2 must near-dup against
+    // corpus AND batch-1 admits through the bucketed join — if the append
+    // wrote misbucketed files, the zero-exchange join would silently miss
+    // batch1-vs-batch2 pairs (worse than failing loudly)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" < 30)
+    val batch1 = docs.filter($"doc_id" >= 30 && $"doc_id" < 40)
+    val batch2 = docs.filter($"doc_id" >= 40 && $"doc_id" < 50)
+    BandedLsh.saveSignatureIndex(corpus, "graft_test_roll_idx", 4,
+      "doc_id", "text", 4, 8, 3, 123L)
+    try {
+      def admit(pool: org.apache.spark.sql.DataFrame,
+                batch: org.apache.spark.sql.DataFrame) = {
+        val dup = BandedLsh.nearDupAgainstIndex("graft_test_roll_idx", pool, batch,
+          "doc_id", "text", 4, 8, 3, 123L, 0.3)
+        batch.join(dup.select(col("batch_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      }
+      val adm1 = admit(corpus, batch1).cache()
+      // append the admitted rows' signatures (the scaladoc recipe)
+      BandedLsh.bandedRows(adm1, "doc_id", "text", 4, 8, 3, 123L)
+        .select(col("band"), col("band_hash"), col("doc_id").as("corpus_id"))
+        .write.mode("append").insertInto("graft_test_roll_idx")
+      val adm2 = admit(corpus.unionByName(adm1.select(corpus.columns.map(col): _*)), batch2)
+      val got = (adm1.select("doc_id").collect() ++ adm2.select("doc_id").collect())
+        .map(_.getLong(0)).toSet
+      // sequential ground truth from the full exact pair graph
+      val pairSet = BandedLsh.nearDupPairs(docs.filter($"doc_id" < 50),
+          "doc_id", "text", 4, 8, 3, 123L, 0.3)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def dup(x: Long, admitted: Set[Long]) =
+        admitted.exists(y => pairSet.contains((math.min(x, y), math.max(x, y))))
+      // per batch, keeps are judged against the PRE-batch index only —
+      // intra-batch pairs don't block admission (matching the operator)
+      var admitted = (0L until 30L).toSet
+      var want = Set.empty[Long]
+      for (b <- Seq(30L until 40L, 40L until 50L)) {
+        val keep = b.filterNot(x => dup(x, admitted)).toSet
+        admitted ++= keep; want ++= keep
+      }
+      assert(got == want,
+        s"admission mismatch: extra=${got -- want} missing=${want -- got}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_roll_idx")
+      spark.sql("DROP TABLE IF EXISTS graft_test_roll_idx_hot")
+    }
+  }
+
   test("signature index splits mega-buckets to the hot sidecar; probe results unchanged") {
     // 120 identical corpus docs collapse every band into one degenerate
     // bucket — the shape that would put all m·n candidate pairs on one
