@@ -409,6 +409,14 @@ object SparkEntry {
                CAST(size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS stopwords
         FROM documents ORDER BY doc_id""")
     }),
+    "token_entropy" -> ((s, dir) => {
+      // pinned-ln Shannon entropy of each doc's token distribution — the
+      // gibberish/boilerplate quality signal; sorted-count fold makes the
+      // float sum partition-order-independent (VALUES oracle re-derives
+      // the identical fold in Python)
+      graft.api.TextAnalysis.tokenEntropy(load(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
     "token_count" -> ((s, dir) => {
       load(s, dir, "documents").createOrReplaceTempView("documents")
       s.sql("""
@@ -1126,6 +1134,7 @@ object SparkEntry {
     "sketch_rollup" -> valuesOracle("sketch_rollup"),
     "hist_quantiles" -> valuesOracle("hist_quantiles"),
     "stream_hist_quantiles" -> valuesOracle("stream_hist_quantiles"),
+    "token_entropy" -> valuesOracle("token_entropy"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),
     "stream_hll_users" -> valuesOracle("stream_hll_users"),

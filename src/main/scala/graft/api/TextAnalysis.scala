@@ -283,4 +283,37 @@ object TextAnalysis {
         coalesce((col("total") - col("ndistinct")).cast("double")
           / col("total").cast("double"), lit(0.0)).as("dup_2gram_frac"))
   }
+
+  /** Shannon entropy of each document's token distribution, in bits —
+    * the gibberish/boilerplate signal quality filters threshold on (low
+    * entropy = repeated boilerplate, implausibly high = random noise).
+    *
+    * Deterministic ACROSS ENGINES, which a naive `sum(p*log(p))` is not,
+    * twice over: (1) a distributed float sum's addition order depends on
+    * partitioning, so the per-doc count list is sorted first and folded
+    * left-to-right; (2) `log` is engine-specific, so every term uses the
+    * pinned ln — and since its domain is [1, inf) while p ≤ 1, terms are
+    * computed as `p · ln(1/p)` with `1/p = n/c ≥ 1`. Exact-count
+    * aggregation (two shuffles, the vocab shape) feeds the fold; docs with
+    * no tokens score 0 with n_tokens 0. */
+  def tokenEntropy(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val perDoc = toks
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("c"))).as("cs"),
+        sum(col("c")).cast("double").as("n"))
+    val h = aggregate(col("cs"), lit(0.0), (acc, c) =>
+      acc + (c.cast("double") / col("n")) *
+        graft.functions.ln_pinned(col("n") / c.cast("double")))
+    val scored = perDoc.select(col(idCol),
+      (h / graft.functions.ln_pinned(lit(2.0))).as("token_entropy_bits"),
+      col("n").cast("long").as("n_tokens"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_entropy_bits"), lit(0.0)).as("token_entropy_bits"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
 }

@@ -251,6 +251,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       short.getDouble(4) == 0.0)
   }
 
+  test("TextAnalysis tokenEntropy: uniform = log2(k), constant = 0, empty = 0") {
+    val docs = Seq(
+      (1L, "a b c d"),        // 4 distinct tokens -> 2 bits
+      (2L, "x x x x"),        // single repeated token -> 0 bits
+      (3L, ""),               // no tokens -> 0 bits, n 0
+      (4L, "a a b b")         // two tokens at p=1/2 -> 1 bit
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(math.abs(got(0)._2 - 2.0) < 1e-12 && got(0)._3 == 4)
+    assert(got(1)._2 == 0.0 && got(1)._3 == 4)
+    assert(got(2)._2 == 0.0 && got(2)._3 == 0)
+    assert(math.abs(got(3)._2 - 1.0) < 1e-12)
+  }
+
   test("TextAnalysis normalizeText and redactPii") {
     val df = Seq("  Mixed \tCASEtext   with junk  ").toDF("text")
     val clean = df.select(TextAnalysis.normalizeText($"text")).head.getString(0)

@@ -1132,11 +1132,40 @@ def main(sf_dir, spark_dir):
                                   ("win_start", "event_type", "approx_users"),
                                   hll_sql)
 
+    # ---- token_entropy: pinned-ln Shannon entropy over sorted token counts
+    # (mirrors TextAnalysis.tokenEntropy: p·ln(1/p) terms keep ln_pinned in
+    # its [1, inf) domain; the sorted left-to-right fold is the same
+    # order-canonicalization the Spark side uses).
+    from collections import Counter
+    te_rows = []
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            te_rows.append((doc_id, 0.0, 0))
+            continue
+        cs = sorted(Counter(toks).values())
+        n = float(len(toks))
+        acc = 0.0
+        for c in cs:
+            acc += (c / n) * ln_pinned(n / c)
+        te_rows.append((doc_id, acc / ln_pinned(2.0), len(toks)))
+    te_sql = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(token_entropy_bits AS DOUBLE) AS token_entropy_bits,"
+        " CAST(n_tokens AS BIGINT) AS n_tokens\n"
+        "FROM (VALUES\n"
+        f"{values_block([(d, repr(h), n) for d, h, n in te_rows])}\n"
+        ") AS t(doc_id, token_entropy_bits, n_tokens)\nORDER BY doc_id")
+    custom["token_entropy"] = (te_rows,
+                               ("doc_id", "token_entropy_bits", "n_tokens"),
+                               te_sql)
+
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
                     "ann_topk_pq": 'query_id, "rank"',
                     "ann_topk_ivfpq": 'query_id, "rank"',
+                    "token_entropy": "doc_id",
                     "lsh_blocking_join": "key_a, key_b",
                     "sample_hash": "doc_id",
                     "sample_stratified": "lang, doc_id",
