@@ -621,6 +621,16 @@ object SparkEntry {
           "doc_id", "text", 4, 8, 3, 123L, 0.5)
         .orderBy("batch_id", "corpus_id")
     }),
+    "signature_dedup_pairs" -> ((s, dir) => {
+      // near-dup verification WITHOUT texts: candidates from the same 8x3
+      // banding as minhash_dedup_pairs, but sim estimated as the equal
+      // fraction of a 24-component min-hash signature — nothing but
+      // (id, signature) rows move after the hashing scan. Oracle: full
+      // Python re-derivation (banding collisions + signature fractions).
+      graft.api.BandedLsh.nearDupPairsBySignature(load(s, dir, "documents"),
+          "doc_id", "text", 4, 8, 3, 123L, k = 24, sigSeed = 321L, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
     "crossdedup_join" -> ((s, dir) => {
       // the direct A×B near-dup join (no index): banded blocking through
       // the mega-bucket-hardened band join, exact-Jaccard verified — same
@@ -1135,6 +1145,7 @@ object SparkEntry {
     "hist_quantiles" -> valuesOracle("hist_quantiles"),
     "stream_hist_quantiles" -> valuesOracle("stream_hist_quantiles"),
     "token_entropy" -> valuesOracle("token_entropy"),
+    "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),
     "stream_hll_users" -> valuesOracle("stream_hll_users"),

@@ -146,6 +146,53 @@ object BandedLsh {
       .distinct() // a pair found in k bands carries the same sim k times
   }
 
+  /** Near-dup pairs verified by SIGNATURE similarity instead of exact
+    * Jaccard: each doc carries `k` independent min-hash components
+    * (`lsh_min` with bandSize = 1, so each "band" is one raw min-hash), and
+    * the estimator is the fraction of equal components — an unbiased
+    * estimate of Jaccard with stderr ≈ 1/sqrt(k). Why it exists: the exact
+    * verifier re-attaches TEXTS to every candidate pair, which at 100 TB
+    * moves document payloads through two id joins; this path never touches
+    * texts after the one hashing scan — candidates and verification both
+    * run on (id, signature) rows, ~8k bytes/doc. Use when an estimated
+    * sim with known error beats paying the text shuffle (pre-filtering
+    * before an exact pass, or dedup at thresholds where ±1/sqrt(k) is
+    * immaterial). Returns (id_a, id_b, est_sim) with est_sim > threshold;
+    * blocking uses `bandCount`×`bandSize` banding exactly like
+    * [[nearDupPairs]]. */
+  def nearDupPairsBySignature(df: DataFrame, idCol: String, textCol: String,
+                              ngramWidth: Int, bandCount: Int, bandSize: Int,
+                              seed: Long, k: Int, sigSeed: Long,
+                              threshold: Double): DataFrame = {
+    require(k >= 1, s"signature length must be >= 1, got $k")
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // one pass computes BOTH the blocking bands and the k-component
+    // signature; only (id, bands, sig) ever shuffles
+    val hashed = df
+      .filter(length(col(textCol)) >= ngramWidth)
+      .repartition(n, col(idCol))
+      .select(col(idCol).as("id"),
+        graft.functions.lsh_min(col(textCol), ngramWidth, bandCount, bandSize, seed).as("bands"),
+        graft.functions.lsh_min(col(textCol), ngramWidth, k, 1, sigSeed).as("sig"))
+    val banded = hashed.select(col("id"), col("sig"),
+        posexplode(col("bands")))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("band_hash"))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_hash"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn("est_sim",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+            when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+      .filter(col("est_sim") > threshold)
+      .select("id_a", "id_b", "est_sim")
+  }
+
   /** Skew-hardened bipartite band join: `a JOIN b USING (band, band_hash)`,
     * exact same rows as the plain join, but adversarial mega-buckets cannot
     * serialize onto one reducer. The plain hash join puts ALL m×n pairs of a

@@ -477,6 +477,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupPairsBySignature: identical texts estimate 1.0, no text columns move") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content that shares nothing at all here")
+    ).toDF("id", "text")
+    val got = BandedLsh.nearDupPairsBySignature(df, "id", "text",
+        4, 8, 3, 42L, k = 24, sigSeed = 7L, threshold = 0.5)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+    assert(got.head.getDouble(2) == 1.0) // identical shingle sets -> identical signatures
+    // the scale claim: no text attribute appears anywhere above the hashing
+    // projection — candidates and verification run on (id, sig) only
+    val plan = BandedLsh.nearDupPairsBySignature(df, "id", "text",
+        4, 8, 3, 42L, k = 24, sigSeed = 7L, threshold = 0.5)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty &&
+      joins.forall(_.output.forall(a => !a.name.contains("text"))),
+      s"join output must carry no text columns:\n$plan")
+  }
+
   test("nearDupJoin (A×B) equals the full self-join's cross-side pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = docs.filter($"doc_id" < 35)

@@ -1160,12 +1160,44 @@ def main(sf_dir, spark_dir):
                                ("doc_id", "token_entropy_bits", "n_tokens"),
                                te_sql)
 
+    # ---- signature_dedup_pairs: banding collisions + 24-component
+    # signature-fraction similarity (mirrors BandedLsh.nearDupPairsBySignature:
+    # same 8x3 blocking as minhash_dedup_pairs, est = equal components / 24).
+    sp_sigs, sp_buckets = {}, {}
+    for doc_id, text in docs:
+        if len(text) < 4:
+            continue
+        sh = vk.shingles_from_text(text, 4)
+        sp_sigs[doc_id] = vk.minhash_bands(sh, 24, 1, 321)
+        for band, h in enumerate(vk.minhash_bands(sh, 8, 3, 123)):
+            sp_buckets.setdefault((band, h), []).append(doc_id)
+    sp_pairs = set()
+    for ids in sp_buckets.values():
+        uniq = sorted(set(ids))
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                sp_pairs.add((uniq[i], uniq[j]))
+    sp_rows = []
+    for pa, pb in sorted(sp_pairs):
+        eq = sum(1 for x, y in zip(sp_sigs[pa], sp_sigs[pb]) if x == y)
+        est = eq / 24.0
+        if est > 0.4:
+            sp_rows.append((pa, pb, est))
+    sp_sql = (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,"
+        " CAST(est_sim AS DOUBLE) AS est_sim\n"
+        "FROM (VALUES\n"
+        f"{values_block([(a_, b_, repr(e)) for a_, b_, e in sp_rows])}\n"
+        ") AS t(id_a, id_b, est_sim)\nORDER BY id_a, id_b")
+    custom["signature_dedup_pairs"] = (sp_rows, ("id_a", "id_b", "est_sim"), sp_sql)
+
     custom_order = {"ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
                     "ann_topk_pq": 'query_id, "rank"',
                     "ann_topk_ivfpq": 'query_id, "rank"',
                     "token_entropy": "doc_id",
+                    "signature_dedup_pairs": "id_a, id_b",
                     "lsh_blocking_join": "key_a, key_b",
                     "sample_hash": "doc_id",
                     "sample_stratified": "lang, doc_id",
