@@ -1062,6 +1062,23 @@ object SparkEntry {
           col("event_type"), col("approx_users"))
         .orderBy("win_start", "event_type")
     }),
+    "stream_cms_userfreq" -> ((s, dir) => {
+      import s.implicits._
+      // streaming known-key frequency monitoring per (hour, type): the CMS
+      // completes the streaming sketch family (counts/HLL/HDR/CMS). Watched
+      // keys 0..4; replayed estimates are bit-equal to a batch fold (sketch
+      // order invariance), pinned by the Python counter re-derivation.
+      val events = loadEvents(s, dir)
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      graft.streaming.EventStreams.windowedFreqReplay(s, events,
+          probeUsers = Seq(0L, 1L, 2L, 3L, 4L), "1 hour", 3, d = 4, log2w = 12)
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("user_id"), col("est_cnt"))
+        .orderBy("win_start", "event_type", "user_id")
+    }),
     "stream_dedup_content" -> ((s, dir) => {
       import s.implicits._
       // the fixture has no exact content dups, so a shifted copy of the
@@ -1146,6 +1163,7 @@ object SparkEntry {
     "stream_hist_quantiles" -> valuesOracle("stream_hist_quantiles"),
     "token_entropy" -> valuesOracle("token_entropy"),
     "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
+    "stream_cms_userfreq" -> valuesOracle("stream_cms_userfreq"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),
     "stream_hll_users" -> valuesOracle("stream_hll_users"),

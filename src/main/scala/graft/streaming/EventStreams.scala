@@ -83,6 +83,33 @@ object EventStreams {
         _root_.graft.functions.hist_quantile(col("h"), 0.95).as("p95_x100"))
   }
 
+  /** Windowed frequency monitoring for KNOWN keys via the mergeable
+    * Count-Min sketch — completes the streaming sketch family (counts /
+    * HLL distinct / HDR quantiles / CMS frequencies). The production shape:
+    * track how often each watched entity (hot users, flagged domains)
+    * appears per window without keeping per-key state for the full key
+    * space — the sketch is d·2^log2w counters per (window, type) no matter
+    * the user cardinality, and estimates are upper bounds (≥ truth) with
+    * the usual CMS guarantee. `probeUsers` are the watched keys; estimates
+    * are order/partition-invariant like every sketch here, so the stream
+    * is bit-equal to the batch twin for any within-watermark arrival
+    * order. */
+  def windowedUserFreq(events: DataFrame, probeUsers: Seq[Long],
+                       windowLen: String = "1 hour",
+                       watermark: String = "10 minutes",
+                       d: Int = 4, log2w: Int = 12): DataFrame = {
+    require(probeUsers.nonEmpty, "probeUsers must name at least one watched key")
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(_root_.graft.functions.cms_build(col("user_id").cast("string"), d, log2w).as("cms"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        explode(array(probeUsers.map(u =>
+          struct(lit(u).as("user_id"),
+            _root_.graft.functions.cms_estimate(col("cms"), lit(u.toString)).as("est_cnt"))): _*)).as("p"))
+      .select(col("win_start"), col("event_type"),
+        col("p.user_id").as("user_id"), col("p.est_cnt").as("est_cnt"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, events: Long)
 
@@ -361,6 +388,29 @@ object EventStreams {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val sink = s"graft_hist_replay_${replaySeq.incrementAndGet()}"
     val q = windowedValueQuantiles(mem.toDF(), windowLen, watermark = "3650 days", b = b)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (events.size + nBatches - 1) / nBatches)
+      events.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val far = new Timestamp(events.iterator.map(_.ts.getTime).max + 4000L * 86400_000L)
+      mem.addData(Event(-1L, far, -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).filter(col("event_type") =!= "flush")
+  }
+
+  /** Replay harness for [[windowedUserFreq]] — same contract as
+    * [[windowedDistinctReplay]]: far watermark, flush event, estimates
+    * bit-equal to the batch twin for any micro-batch split. */
+  def windowedFreqReplay(spark: SparkSession, events: Seq[Event], probeUsers: Seq[Long],
+                         windowLen: String = "1 hour", nBatches: Int = 3,
+                         d: Int = 4, log2w: Int = 12): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sink = s"graft_cms_replay_${replaySeq.incrementAndGet()}"
+    val q = windowedUserFreq(mem.toDF(), probeUsers, windowLen,
+        watermark = "3650 days", d = d, log2w = log2w)
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try {
       val chunk = math.max(1, (events.size + nBatches - 1) / nBatches)

@@ -164,6 +164,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(total > 0)
   }
 
+  test("windowedUserFreq replay is bit-equal to the batch twin, estimates >= truth") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val events = rng.shuffle((0 until 300).toList).map { i =>
+      EventStreams.Event(i.toLong, ts(i % 170), i.toLong % 7,
+        if (i % 2 == 0) "click" else "view", i.toDouble)
+    }
+    val watched = Seq(0L, 1L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("win_start", "event_type", "user_id", "est_cnt")
+      .orderBy("win_start", "event_type", "user_id")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = rows(EventStreams.windowedUserFreq(events.toDF(), watched, "1 hour"))
+    for (nBatches <- Seq(1, 4))
+      assert(rows(EventStreams.windowedFreqReplay(spark, events, watched,
+        "1 hour", nBatches)) == batch, s"nBatches=$nBatches")
+    // CMS guarantee: every estimate bounds the true per-window count below
+    val truth = events.groupBy(e =>
+        (new Timestamp(e.ts.getTime / 3600000L * 3600000L), e.event_type, e.user_id))
+      .view.mapValues(_.size).toMap
+    assert(batch.nonEmpty && batch.forall { case (w, et, u, est) =>
+      est >= truth.getOrElse((w, et, u), 0) })
+  }
+
   test("windowedValueQuantiles replay is bit-equal to the batch twin") {
     import spark.implicits._
     val rng = new scala.util.Random(13)

@@ -1132,6 +1132,37 @@ def main(sf_dir, spark_dir):
                                   ("win_start", "event_type", "approx_users"),
                                   hll_sql)
 
+    # ---- stream_cms_userfreq: windowed CMS known-key frequencies ----
+    # Same order-invariance argument as the other streaming sketches; the
+    # per-(hour, type) counters re-derive exactly as cms_topk's (d=4,
+    # log2w=12, values are str(user_id)), probed at watched keys 0..4.
+    CD, CLOGW = 4, 12
+    win_users = con.execute(
+        "SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),"
+        " '%Y-%m-%d %H:%M') AS w, event_type, user_id"
+        f" FROM '{sf_dir}/events.parquet'").fetchall()
+    win_cms = {}
+    for w, et, uid in win_users:
+        cs = win_cms.setdefault((w, et), [[0] * (1 << CLOGW) for _ in range(CD)])
+        for i, idx in enumerate(probes(str(uid), CD, CLOGW)):
+            cs[i][idx] += 1
+    scf_rows = sorted(
+        (w, et, u, min(cs[i][idx]
+                       for i, idx in enumerate(probes(str(u), CD, CLOGW))))
+        for (w, et), cs in win_cms.items() for u in range(5))
+    scf_sql = (
+        "SELECT CAST(win_start AS VARCHAR) AS win_start,"
+        " CAST(event_type AS VARCHAR) AS event_type,"
+        " CAST(user_id AS BIGINT) AS user_id,"
+        " CAST(est_cnt AS BIGINT) AS est_cnt\n"
+        "FROM (VALUES\n"
+        f"{values_block([(repr(w), repr(et), u, c) for w, et, u, c in scf_rows])}\n"
+        ") AS t(win_start, event_type, user_id, est_cnt)\n"
+        "ORDER BY win_start, event_type, user_id")
+    custom["stream_cms_userfreq"] = (scf_rows,
+                                     ("win_start", "event_type", "user_id", "est_cnt"),
+                                     scf_sql)
+
     # ---- token_entropy: pinned-ln Shannon entropy over sorted token counts
     # (mirrors TextAnalysis.tokenEntropy: p·ln(1/p) terms keep ln_pinned in
     # its [1, inf) domain; the sorted left-to-right fold is the same
@@ -1210,7 +1241,8 @@ def main(sf_dir, spark_dir):
                     "stream_hist_quantiles": "win_start, event_type",
                     "bloom_semijoin": "c_custkey",
                     "cms_topk": "exact_cnt DESC, token",
-                    "stream_hll_users": "win_start, event_type"}
+                    "stream_hll_users": "win_start, event_type",
+                    "stream_cms_userfreq": "win_start, event_type, user_id"}
     ok = True
     for name, (cols, types, rows, order_by) in queries.items():
         if spark_dir:
