@@ -82,10 +82,15 @@ object Bench {
     println(json)
     // stdout is buried in sbt/log4j noise, so the driver's parse of the line
     // above fails (`BENCH_r*.json: "parsed": null`); a file with nothing else
-    // in it is the machine-readable channel
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // in it is the machine-readable channel. A SPARK_GRAFT_ONLY dev-loop
+    // subset must NOT overwrite it — a partial total is indistinguishable
+    // from a full run — unless an explicit out path says otherwise.
+    val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    if (only.isEmpty || explicitOut.isDefined) {
+      val outFile = explicitOut.getOrElse("BENCH.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -290,11 +290,35 @@ object Ann {
     val model = new PqModel(spark.sparkContext.broadcast(books))
     val codes = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       ColumnShim.column(PqCodes(ColumnShim.expression(col(vecCol)), model)).as("codes"))
+    val tables = buildAdcTables(collectQueries(queries, idCol, vecCol), books, m, ksub)
+    val adc = new AdcTables(spark.sparkContext.broadcast(tables))
+    val qids = broadcast(queries.select(col(idCol).cast("long").as("query_id")))
+    val scored = codes.join(qids, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", ColumnShim.column(PqAdcDist(
+        ColumnShim.expression(col("query_id")), ColumnShim.expression(col("codes")), adc)))
+    rankByAdc(scored, k)
+  }
+
+  /** Query collect shared by the PQ paths — the query batch is the small
+    * side, same contract as [[bruteForceTopK]]'s broadcast. */
+  private def collectQueries(queries: DataFrame, idCol: String,
+                             vecCol: String): Array[(Long, Array[Double])] = {
     val qrows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(qrows.nonEmpty, "queries are empty")
+    qrows
+  }
+
+  /** Per-query ADC tables: `tables(qid)(sub)(code)` = squared L2 between
+    * the query's subvector and that codebook centroid. ONE shared builder
+    * for [[pqTopK]] and [[ivfPqTopK]] — the fixed-order fold is part of the
+    * bit-exact oracle contract, and a divergence between two copies would
+    * silently split the two operators' semantics. */
+  private def buildAdcTables(qrows: Array[(Long, Array[Double])],
+                             books: Array[Array[Array[Double]]],
+                             m: Int, ksub: Int): Map[Long, Array[Array[Double]]] = {
     val dsub = qrows.head._2.length / m
-    val tables = qrows.map { case (qid, q) =>
+    qrows.map { case (qid, q) =>
       qid -> Array.tabulate(m) { s =>
         Array.tabulate(ksub) { c =>
           val cent = books(s)(c)
@@ -305,11 +329,10 @@ object Ann {
         }
       }
     }.toMap
-    val adc = new AdcTables(spark.sparkContext.broadcast(tables))
-    val qids = broadcast(queries.select(col(idCol).cast("long").as("query_id")))
-    val scored = codes.join(qids, col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", ColumnShim.column(PqAdcDist(
-        ColumnShim.expression(col("query_id")), ColumnShim.expression(col("codes")), adc)))
+  }
+
+  /** Shared (adist asc, neighbor_id) top-k tail of the PQ paths. */
+  private def rankByAdc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -340,21 +363,7 @@ object Ann {
     val index = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       ColumnShim.column(NearestCell(ColumnShim.expression(col(vecCol)), cmodel)).as("cell"),
       ColumnShim.column(PqCodes(ColumnShim.expression(col(vecCol)), pmodel)).as("codes"))
-    val qrows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(qrows.nonEmpty, "queries are empty")
-    val dsub = qrows.head._2.length / m
-    val tables = qrows.map { case (qid, q) =>
-      qid -> Array.tabulate(m) { s =>
-        Array.tabulate(ksub) { c =>
-          val cent = books(s)(c)
-          var dist = 0.0
-          var j = 0
-          while (j < dsub) { val t = q(s * dsub + j) - cent(j); dist += t * t; j += 1 }
-          dist
-        }
-      }
-    }.toMap
+    val tables = buildAdcTables(collectQueries(queries, idCol, vecCol), books, m, ksub)
     val adc = new AdcTables(spark.sparkContext.broadcast(tables))
     val probed = broadcast(queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
       .withColumn("cell",
@@ -364,10 +373,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", ColumnShim.column(PqAdcDist(
         ColumnShim.expression(col("query_id")), ColumnShim.expression(col("codes")), adc)))
-    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adist")
+    rankByAdc(scored, k)
   }
 
   /** Symmetric per-vector int8 quantization — the storage-shrink step for

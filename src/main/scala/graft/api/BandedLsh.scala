@@ -319,7 +319,13 @@ object BandedLsh {
     * batch).
     *
     * Rebuild after compaction; for rolling ingestion append the admitted
-    * batch's own band rows (`bandedRows`) with `insertInto`. */
+    * batch's rows with [[appendToSignatureIndex]] — NOT a bare `insertInto`
+    * into the main table, which would break the probe's invariant that
+    * hot-bucket rows live only in the sidecar (an appended row in a hot
+    * bucket would become invisible to hot-branch probes). Appends cannot
+    * re-classify buckets (a cold bucket growing past the cap stays cold
+    * until the next rebuild — same contract as "rebuild after
+    * compaction"). */
   def saveSignatureIndex(corpus: DataFrame, table: String, numBuckets: Int,
                          idCol: String, textCol: String,
                          ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
@@ -368,6 +374,31 @@ object BandedLsh {
     } finally rows.unpersist()
   }
 
+  /** Append an admitted batch's signatures to a [[saveSignatureIndex]]
+    * index, maintaining the hot/cold routing invariant the probe relies on:
+    * rows in sidecar-classified buckets go to `<table>_hot`, everything
+    * else to the bucketed main table. Cost: hashing + one tiny broadcast of
+    * the hot key set — the batch's own cost, never a corpus pass. */
+  def appendToSignatureIndex(batch: DataFrame, table: String,
+                             idCol: String, textCol: String,
+                             ngramWidth: Int, bandCount: Int, bandSize: Int,
+                             seed: Long): Unit = {
+    val spark = batch.sparkSession
+    val keys = Seq("band", "band_hash")
+    val rows = bandedRows(batch, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
+      .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"))
+    if (spark.catalog.tableExists(s"${table}_hot")) {
+      val hotKeys = broadcast(
+        spark.table(s"${table}_hot").select(keys.map(col): _*).distinct())
+      rows.join(hotKeys, keys, "left_anti")
+        .write.mode("append").insertInto(table)
+      rows.join(hotKeys, keys, "left_semi")
+        .write.mode("append").insertInto(s"${table}_hot")
+    } else {
+      rows.write.mode("append").insertInto(table)
+    }
+  }
+
   /** Near-dup pairs between an incoming `batch` and an indexed corpus
     * ([[saveSignatureIndex]]): band-collide the batch's signatures against
     * the index, then exact-Jaccard-verify each candidate. Returns
@@ -398,8 +429,15 @@ object BandedLsh {
     val idx = spark.table(indexTable)
     val batchRows = bandedRows(batch, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
       .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
+    // emptiness, not just existence: the common no-degenerate-buckets case
+    // writes a metadata-only empty sidecar, and paying two strict
+    // repartition exchanges plus an empty grid join per probe for it would
+    // tax every healthy index. The limit(1) peek is one metadata-cheap job
+    // at plan-construction time.
+    val sidecarLive = spark.catalog.tableExists(s"${indexTable}_hot") &&
+      !spark.table(s"${indexTable}_hot").limit(1).isEmpty
     val collided =
-      if (!spark.catalog.tableExists(s"${indexTable}_hot"))
+      if (!sidecarLive)
         batchRows.join(idx, keys)
       else {
         val hotRows = spark.table(s"${indexTable}_hot")

@@ -31,15 +31,6 @@ object Multimodal {
     StructField("mime", StringType, nullable = true),
     StructField("meta", MapType(StringType, StringType), nullable = true)))
 
-  /** Extracted-feature schema. */
-  val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("size_bytes", LongType, nullable = true),
-    StructField("checksum", LongType, nullable = true),
-    StructField("width", IntegerType, nullable = true),
-    StructField("height", IntegerType, nullable = true),
-    StructField("mean_byte", DoubleType, nullable = true)))
-
   /** Deterministic stand-in for a media decoder (no codec libraries in this
     * container — the "???" of the exercise). A real implementation supplies
     * its own [[MediaDecoder]]; only the decoder object changes. */
@@ -89,15 +80,8 @@ object Multimodal {
     * with an encode expression — row shape stays). Dims of 0 (payload too
     * short for the stub header) pass through with an empty thumb. All
     * built-ins over one decode struct: the whole thing is a single
-    * codegen'd projection, like [[extractFeatures]]. */
-  val resizeSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = true),
-    StructField("height", IntegerType, nullable = true),
-    StructField("out_w", IntegerType, nullable = true),
-    StructField("out_h", IntegerType, nullable = true),
-    StructField("thumb_bytes", BinaryType, nullable = true)))
-
+    * codegen'd projection, like [[extractFeatures]]. Output:
+    * (media_id, width, height, out_w, out_h, thumb_bytes). */
   def resizeStub(media: DataFrame, maxDim: Int,
                  decoder: MediaDecoder = StubDecoder): DataFrame = {
     require(maxDim > 0, s"maxDim must be positive, got $maxDim")

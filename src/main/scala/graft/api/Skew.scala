@@ -36,7 +36,8 @@ object Skew {
                  scatter: Seq[Column], n: Int, joinType: String = "inner"): DataFrame = {
     require(n >= 1, s"salt fan-out must be >= 1, got $n")
     val normalized = joinType.toLowerCase.replaceAll("[ _]", "")
-    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+    require(Set("inner", "cross", "left", "leftouter",
+        "leftsemi", "semi", "leftanti", "anti")
       .contains(normalized),
       s"saltedJoin supports fact-side-preserving join types only " +
         s"(inner/cross/left_outer/left_semi/left_anti); for '$joinType' the " +

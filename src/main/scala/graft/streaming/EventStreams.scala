@@ -75,9 +75,13 @@ object EventStreams {
   def windowedValueQuantiles(events: DataFrame, windowLen: String = "1 hour",
                              watermark: String = "10 minutes", b: Int = 5): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    // the isNotNull guard keeps NULL values SKIPPED (the aggregate's null
+    // behavior) — a bare greatest(0L, NULL) would coerce them to 0 and
+    // count phantom samples
     src.groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(_root_.graft.functions.hist_sketch(
-        greatest(lit(0L), (col("value") * lit(100.0)).cast("long")), b).as("h"))
+        when(col("value").isNotNull,
+          greatest(lit(0L), (col("value") * lit(100.0)).cast("long"))), b).as("h"))
       .select(col("window.start").as("win_start"), col("event_type"),
         _root_.graft.functions.hist_quantile(col("h"), 0.5).as("p50_x100"),
         _root_.graft.functions.hist_quantile(col("h"), 0.95).as("p95_x100"))

@@ -536,10 +536,10 @@ class PipelineOpsSpec extends AnyFunSuite {
           Seq("doc_id"), "left_anti")
       }
       val adm1 = admit(corpus, batch1).cache()
-      // append the admitted rows' signatures (the scaladoc recipe)
-      BandedLsh.bandedRows(adm1, "doc_id", "text", 4, 8, 3, 123L)
-        .select(col("band"), col("band_hash"), col("doc_id").as("corpus_id"))
-        .write.mode("append").insertInto("graft_test_roll_idx")
+      // append the admitted rows' signatures (the scaladoc recipe — routes
+      // hot-bucket rows to the sidecar so the probe invariant holds)
+      BandedLsh.appendToSignatureIndex(adm1, "graft_test_roll_idx",
+        "doc_id", "text", 4, 8, 3, 123L)
       val adm2 = admit(corpus.unionByName(adm1.select(corpus.columns.map(col): _*)), batch2)
       val got = (adm1.select("doc_id").collect() ++ adm2.select("doc_id").collect())
         .map(_.getLong(0)).toSet
@@ -599,6 +599,24 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"expected at least the 2400 mega-bucket pairs, got ${viaHot.size}")
       // ... and pair-for-pair equal to the uncapped legacy-layout index
       assert(viaHot == probe("graft_test_cold_idx"))
+      // rolling append INTO a hot bucket: the routed append must land the
+      // new doc's rows in the sidecar, where hot-branch probes see them — a
+      // bare insertInto to the main table would make the doc invisible to
+      // every hot-bucket probe (the probe anti-joins hot keys off the cold
+      // path)
+      val newDoc = Seq((2000L, dupText)).toDF("doc_id", "text")
+      BandedLsh.appendToSignatureIndex(newDoc, "graft_test_hot_idx",
+        "doc_id", "text", 4, 8, 3, 123L)
+      assert(spark.table("graft_test_hot_idx_hot")
+        .filter($"corpus_id" === 2000L).count() == 8,
+        "appended hot-bucket rows must route to the sidecar")
+      val probe2 = BandedLsh.nearDupAgainstIndex("graft_test_hot_idx",
+          corpus.unionByName(newDoc),
+          Seq((3000L, dupText)).toDF("doc_id", "text"),
+          "doc_id", "text", 4, 8, 3, 123L, 0.5, blocks = 4)
+        .collect()
+      assert(probe2.exists(r => r.getLong(1) == 2000L),
+        s"probe must find the appended hot-bucket doc, got ${probe2.map(_.getLong(1)).toSet}")
     } finally for (t <- Seq("graft_test_hot_idx", "graft_test_hot_idx_hot",
                             "graft_test_cold_idx", "graft_test_cold_idx_hot"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
