@@ -62,7 +62,23 @@ object Bench {
       }
     }
 
+    // Environmental-noise instruments: the round-6 "cold regression"
+    // (cold_total 78 s -> 116 s with zero code change to the regressed
+    // queries) did not reproduce on re-run (75 s) — it was machine
+    // contention during the driver's run. Record the ambient load average
+    // BEFORE the run and the process-CPU/wall ratio of the cold pass so the
+    // next anomalous number is attributable from the JSON alone: slow cold
+    // with low cpu/wall ratio or high ambient load = contention, not code.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvgStart = osBean.getSystemLoadAverage
+    def processCpuNs: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
+    val cpu0 = processCpuNs
     val cold = runAll()
+    val coldCpu = if (cpu0 >= 0) (processCpuNs - cpu0) / 1e9 else -1.0
     val warm = runAll()
     val warm2 = runAll()
     // best-of-3 over the passes that succeeded: one-off GC/compilation/noise
@@ -72,25 +88,45 @@ object Bench {
       val ok = Seq(cold(k), warm(k), warm2(k)).filterNot(_.isNaN)
       k -> (if (ok.nonEmpty) ok.min else -1.0)
     }
-    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val coldQs = cold.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v.isNaN) -1.0 else v) }.mkString("{", ",", "}")
     val total = best.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filterNot(_.isNaN).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$coldQs,"cold_total_sec":$coldTotal,"sf":"$sfDir"}"""
-    println(json)
-    // stdout is buried in sbt/log4j noise, so the driver's parse of the line
-    // above fails (`BENCH_r*.json: "parsed": null`); a file with nothing else
-    // in it is the machine-readable channel. A SPARK_GRAFT_ONLY dev-loop
-    // subset must NOT overwrite it — a partial total is indistinguishable
-    // from a full run — unless an explicit out path says otherwise.
+
+    def mapJson(m: Map[String, Double], dp: Int, keep: Set[String] = Set.empty): String =
+      m.filter { case (k, _) => keep.isEmpty || keep(k) }
+        .map { case (k, v) =>
+          val vv = if (v.isNaN) -1.0 else v
+          "\"" + k + "\":" + (if (dp == 0) vv.toString else s"%.${dp}f".format(vv))
+        }.mkString("{", ",", "}")
+    def payload(qs: String, extra: String): String =
+      s"""{"metric":"total","value":%.2f,"unit":"sec","queries":$qs$extra,"cold_total_sec":%.2f,"cold_cpu_sec":%.1f,"load_avg_start":%.2f,"sf":"$sfDir"}"""
+        .format(total, coldTotal, coldCpu, loadAvgStart)
+
+    // Full precision + the per-query cold map go to a file: the driver's
+    // stdout capture keeps only the LAST 2000 characters, so the
+    // machine-readable stdout line must fit that window (minus sbt's
+    // trailing "[success] ..." line, ~80 chars) or its head gets cut and
+    // the driver records `"parsed": null` (exactly what happened through
+    // round 6 at full precision: 4.5 KB). Degrade deterministically:
+    // 2 decimals, then 1, then only the slowest 50 queries.
+    val full = payload(mapJson(best, 0), ",\"cold_queries\":" + mapJson(cold, 0))
+    val compact = Seq(
+      payload(mapJson(best, 2), ""),
+      payload(mapJson(best, 1), ""),
+      payload(mapJson(best, 1, best.toSeq.sortBy(-_._2).take(50).map(_._1).toSet), "")
+    ).find(_.length <= 1870).getOrElse(payload("{}", ""))
+
+    // A SPARK_GRAFT_ONLY dev-loop subset must NOT overwrite BENCH.json — a
+    // partial total is indistinguishable from a full run — unless an
+    // explicit out path says otherwise.
     val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
     if (only.isEmpty || explicitOut.isDefined) {
       val outFile = explicitOut.getOrElse("BENCH.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
+    // the final stdout line, after spark.stop() so no executor shutdown
+    // logging can land between it and process exit
+    println(compact)
   }
 }

@@ -12,7 +12,12 @@ import org.apache.spark.sql.SparkSession
   * found; `run >> wall` means healthy parallelism, `tasks=1` on a heavy
   * stage means a serialized kernel, `wall >> run/tasks` means skew.
   *
-  * Usage: runMain graft.Scratch q1_agg[,q2_join_agg,...] [explain]
+  * Usage: runMain graft.Scratch q1_agg[,q2_join_agg,...] [explain|cold]
+  *
+  * `cold` skips the warm pass and profiles the FIRST run — with fork:=true
+  * each runMain is a fresh JVM, so one query per invocation gives its true
+  * standalone first-run cost (JIT + codegen + any index/broadcast builds),
+  * which is what a 100 TB run-once batch job pays.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -36,9 +41,10 @@ object Scratch {
       }
     })
 
+    val cold = args.contains("cold")
     for (name <- args(0).split(",")) {
       val fn = SparkEntry.queries(name)
-      fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+      if (!cold) fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
       spark.catalog.clearCache()
       stages.clear()
       val t0 = System.nanoTime()
