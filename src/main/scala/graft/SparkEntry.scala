@@ -621,6 +621,28 @@ object SparkEntry {
           "doc_id", "text", 4, 8, 3, 123L, 0.5)
         .orderBy("batch_id", "corpus_id")
     }),
+    "rolling_dedup" -> ((s, dir) => {
+      // rolling ingestion end-to-end: index built on docs < 300, batch
+      // 300..399 APPENDED (appendToSignatureIndex — the hot/cold routed
+      // path), then docs >= 400 probed against the full indexed corpus.
+      // hotBucketCap=5 forces a real hot sidecar at this SF and
+      // threshold=0.35 keeps pairs whose only band collisions route through
+      // hot buckets — including via batch-appended rows, which is exactly
+      // the path the round-6 routing bug broke. Oracle: pinned Python
+      // re-derivation of the banding-collision + exact-Jaccard set (a
+      // brute-force oracle can't work here: banding recall < 1 at 0.35, so
+      // the emitted set is LSH-defined, like signature_dedup_pairs).
+      val docs = load(s, dir, "documents")
+      graft.api.BandedLsh.saveSignatureIndex(docs.filter(col("doc_id") < 300),
+        "graft_roll_idx", 8, "doc_id", "text", 4, 8, 3, 123L, hotBucketCap = 5)
+      graft.api.BandedLsh.appendToSignatureIndex(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "graft_roll_idx", "doc_id", "text", 4, 8, 3, 123L)
+      graft.api.BandedLsh.nearDupAgainstIndex("graft_roll_idx",
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", 4, 8, 3, 123L, 0.35)
+        .orderBy("batch_id", "corpus_id")
+    }),
     "signature_dedup_pairs" -> ((s, dir) => {
       // near-dup verification WITHOUT texts: candidates from the same 8x3
       // banding as minhash_dedup_pairs, but sim estimated as the equal
@@ -1163,6 +1185,7 @@ object SparkEntry {
     "stream_hist_quantiles" -> valuesOracle("stream_hist_quantiles"),
     "token_entropy" -> valuesOracle("token_entropy"),
     "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
+    "rolling_dedup" -> valuesOracle("rolling_dedup"),
     "stream_cms_userfreq" -> valuesOracle("stream_cms_userfreq"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),

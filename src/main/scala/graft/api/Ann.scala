@@ -392,7 +392,7 @@ object Ann {
     * references above the explode, never re-evaluated expressions. */
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = SparkEnv.shufflePartitions(df.sparkSession)
     val base = df
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("scale",
@@ -418,7 +418,7 @@ object Ann {
     * materialized once per vector, never re-evaluated per exploded row. */
   def l2Normalize(df: DataFrame, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = SparkEnv.shufflePartitions(df.sparkSession)
     val base = df
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm",

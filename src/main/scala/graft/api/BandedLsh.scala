@@ -23,7 +23,7 @@ object BandedLsh {
     // shingle+hash pass — measured 1.0s single-threaded at sf0.1 inside a
     // broadcast build). The id-hash shuffle moves each doc once and is
     // dwarfed by the (band, hash) shuffle/broadcast that always follows.
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = SparkEnv.shufflePartitions(df.sparkSession)
     df.filter(length(col(textCol)) >= ngramWidth)
       .repartition(n, col(idCol))
       .select(col(idCol), col(textCol),
@@ -135,7 +135,7 @@ object BandedLsh {
     // 0.15s-wall workload). repartition(n, cols) is REPARTITION_BY_NUM,
     // which AQE must not touch, and it already satisfies the operator's
     // ClusteredDistribution so EnsureRequirements adds only the local sort.
-    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val shuffleParts = SparkEnv.shufflePartitions(spark)
     val clustered = exploded.repartition(shuffleParts,
       col("bk"), col("h"), col("blo"), col("bhi"))
     // the custom whole-operator plan node (see BlockedSelfJoin scaladoc):
@@ -165,7 +165,7 @@ object BandedLsh {
                               seed: Long, k: Int, sigSeed: Long,
                               threshold: Double): DataFrame = {
     require(k >= 1, s"signature length must be >= 1, got $k")
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = SparkEnv.shufflePartitions(df.sparkSession)
     // one pass computes BOTH the blocking bands and the k-component
     // signature; only (id, bands, sig) ever shuffles
     val hashed = df
@@ -250,7 +250,7 @@ object BandedLsh {
     // output-blind-AQE trap BlockedSelfJoin guards against). The cold branch
     // is left to AQE on purpose — its buckets are bounded by construction,
     // and coalescing them is the right call.
-    val n = a.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = SparkEnv.shufflePartitions(a.sparkSession)
     val blkKeys = (keys :+ "__blk").map(col)
     val aHot = a.join(hot, keys, "left_semi")
       .withColumn("__blk", pmod(xxhash64(scatterA), lit(blocks.toLong)).cast("int"))
@@ -378,7 +378,16 @@ object BandedLsh {
     * index, maintaining the hot/cold routing invariant the probe relies on:
     * rows in sidecar-classified buckets go to `<table>_hot`, everything
     * else to the bucketed main table. Cost: hashing + one tiny broadcast of
-    * the hot key set — the batch's own cost, never a corpus pass. */
+    * the hot key set — the batch's own cost, never a corpus pass.
+    *
+    * Appends never RE-classify buckets: a cold bucket that grows past the
+    * build-time `hotBucketCap` through repeated appends stays in the main
+    * table (re-creating the single-reducer pathology the sidecar exists to
+    * prevent) until the next [[saveSignatureIndex]] rebuild. Probing per
+    * append for this would cost the corpus pass the whole design avoids, so
+    * drift detection is a separate maintenance scan: run
+    * [[signatureIndexHealth]] on whatever cadence compactions run and
+    * rebuild when it returns rows. */
   def appendToSignatureIndex(batch: DataFrame, table: String,
                              idCol: String, textCol: String,
                              ngramWidth: Int, bandCount: Int, bandSize: Int,
@@ -398,6 +407,21 @@ object BandedLsh {
       rows.write.mode("append").insertInto(table)
     }
   }
+
+  /** Maintenance scan for append drift on a [[saveSignatureIndex]] index:
+    * returns the main-table buckets whose row count now exceeds
+    * `hotBucketCap` (i.e. buckets that WOULD be sidecar-classified by a
+    * rebuild but are still on the probe's cold path). Empty result = the
+    * build-time classification still holds. One aggregation pass over the
+    * ids-only index table — run it on the compaction cadence, not per
+    * append ([[appendToSignatureIndex]] deliberately never pays a corpus
+    * pass); any rows returned mean a rebuild is due. */
+  def signatureIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                           table: String, hotBucketCap: Long): DataFrame =
+    spark.table(table)
+      .groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bucket_rows"))
+      .filter(col("bucket_rows") > hotBucketCap)
 
   /** Near-dup pairs between an incoming `batch` and an indexed corpus
     * ([[saveSignatureIndex]]): band-collide the batch's signatures against
@@ -443,7 +467,7 @@ object BandedLsh {
         val hotRows = spark.table(s"${indexTable}_hot")
         val hotKeys = broadcast(hotRows.select(keys.map(col): _*).distinct())
         val cold = batchRows.join(hotKeys, keys, "left_anti").join(idx, keys)
-        val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val n = SparkEnv.shufflePartitions(spark)
         val blkKeys = (keys :+ "__blk").map(col)
         val bHot = batchRows.join(hotKeys, keys, "left_semi")
           .withColumn("__blk", pmod(xxhash64(col("batch_id")), lit(blocks.toLong)).cast("int"))

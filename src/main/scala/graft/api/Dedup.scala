@@ -34,7 +34,17 @@ object Dedup {
     * left join is a broadcast in practice and the window's skew is capped
     * by the largest dup cluster — at 100 TB a mega-cluster means
     * boilerplate that upstream filters should have dropped, and its cost
-    * here is one sorted scan, not a pair explosion. */
+    * here is one sorted scan, not a pair explosion.
+    *
+    * CONTRACT on `clusters`: every cluster label must itself be the id of a
+    * member of that cluster (as [[BandedLsh.dupClusters]] guarantees —
+    * labels are min member ids). Singletons are grouped under their own id
+    * via `coalesce(cluster, id)`, so a label colliding with a NON-member
+    * doc's id would silently pull that doc into the cluster's window and
+    * can drop it. Arbitrary label schemes (uuids, dense ranks) violate this
+    * only if a label equals some doc id; when in doubt, assert
+    * `clusters.filter(col("id") === col("cluster"))` has one row per
+    * distinct label before calling. */
   def keepBestPerCluster(docs: DataFrame, clusters: DataFrame, idCol: String,
                          rank: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(rank.nonEmpty, "rank must order survivors (last key should be unique)")

@@ -249,7 +249,7 @@ object TextAnalysis {
     // so the word array is materialized below the generate instead of the
     // split being re-inlined into every consumer. Both downstream branches
     // hang off the same exchange (ReuseExchange — shuffled once).
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = SparkEnv.shufflePartitions(df.sparkSession)
     val tokens = df
       // the id filter is a no-op for real corpora, stated explicitly so the
       // final join's inferred isnotnull lands in BOTH branches identically

@@ -61,7 +61,11 @@ object EventStreams {
   }
 
   /** Windowed value quantiles per event type via the mergeable HDR
-    * histogram — the streaming percentile. Exact percentiles are as
+    * histogram — the streaming percentile. NON-NEGATIVE VALUE DOMAIN ONLY:
+    * negative inputs are clamped to 0, not dropped or failed, so feeding a
+    * stream of deltas/balances silently biases p50/p95 toward 0 — pre-shift
+    * such streams into a non-negative encoding before this operator.
+    * Exact percentiles are as
     * unavailable in a streaming aggregation as COUNT(DISTINCT) (they'd
     * buffer every value per open window); the histogram state is
     * (64−b)·2^b counters per (window, type), updates commute, and the

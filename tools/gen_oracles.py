@@ -1222,7 +1222,41 @@ def main(sf_dir, spark_dir):
         ") AS t(id_a, id_b, est_sim)\nORDER BY id_a, id_b")
     custom["signature_dedup_pairs"] = (sp_rows, ("id_a", "id_b", "est_sim"), sp_sql)
 
-    custom_order = {"ann_topk_lsh": 'query_id, "rank"',
+    # ---- rolling_dedup: probe docs (>= 400) vs an indexed corpus built in
+    # two steps (save index on < 300, append 300..399) — mirrors
+    # saveSignatureIndex(hotBucketCap=5) + appendToSignatureIndex +
+    # nearDupAgainstIndex(threshold=0.35). The emitted set is banding-
+    # defined (>= 1 shared 8x3 band) then exact-Jaccard verified, so pairs
+    # whose ONLY collisions route through hot-sidecar buckets (including
+    # batch-appended rows — the round-6 routing-bug scenario) are
+    # load-bearing: mis-routing an append drops rows here.
+    rd_bands, rd_shingles = {}, {}
+    for doc_id, text in docs:
+        if len(text) < 4:
+            continue
+        sh = vk.shingles_from_text(text, 4)
+        rd_shingles[doc_id] = set(sh)
+        rd_bands[doc_id] = vk.minhash_bands(sh, 8, 3, 123)
+    rd_rows = []
+    for c in sorted(d for d in rd_bands if d >= 400):
+        for o in sorted(d for d in rd_bands if d < 400):
+            if not any(rd_bands[c][b] == rd_bands[o][b] for b in range(8)):
+                continue
+            sa, sb = rd_shingles[c], rd_shingles[o]
+            inter = len(sa & sb)
+            sim = inter / (len(sa) + len(sb) - inter)
+            if sim > 0.35:
+                rd_rows.append((c, o, sim))
+    rd_sql = (
+        "SELECT CAST(batch_id AS BIGINT) AS batch_id,"
+        " CAST(corpus_id AS BIGINT) AS corpus_id, CAST(sim AS DOUBLE) AS sim\n"
+        "FROM (VALUES\n"
+        f"{values_block([(c_, o_, repr(s_)) for c_, o_, s_ in rd_rows])}\n"
+        ") AS t(batch_id, corpus_id, sim)\nORDER BY batch_id, corpus_id")
+    custom["rolling_dedup"] = (rd_rows, ("batch_id", "corpus_id", "sim"), rd_sql)
+
+    custom_order = {"rolling_dedup": "batch_id, corpus_id",
+                    "ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
                     "ann_topk_pq": 'query_id, "rank"',
