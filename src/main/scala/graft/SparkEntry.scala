@@ -793,6 +793,23 @@ object SparkEntry {
           col("out_w"), col("out_h"), sha2(col("thumb_bytes"), 256).as("thumb_sha256"))
         .orderBy("media_id")
     }),
+    "multimodal_features_real" -> ((s, dir) => {
+      // a REAL codec through the decoder seam: deterministic RGB rasters
+      // (pixel byte = FxHash chain of (id, x, y, channel), dims varying
+      // with id) are PNG-encoded once on the driver via javax.imageio and
+      // DECODED inside the codegen'd DecodeMedia expression by
+      // ImageIoDecoder on executor threads. The pinned oracle re-derives
+      // checksum/dims/mean from the pixel recipe alone — Python never
+      // touches a PNG — so any decode deviation (wrong pixel order, color
+      // conversion, off-by-one dims) breaks the hash match. `dir` is
+      // unused: testdata ships no image fixtures, so the payloads are
+      // synthesized; the decode path is the production path.
+      graft.api.Multimodal.extractFeatures(
+          graft.api.Multimodal.syntheticPngs(s, 64),
+          graft.api.Multimodal.ImageIoDecoder)
+        .select("media_id", "checksum", "width", "height", "mean_byte")
+        .orderBy("media_id")
+    }),
     // Weighted sampling (A-ES exponential keys over the pinned ln): longer
     // documents proportionally likelier — the reproducible data-mixing
     // primitive. Oracle: full Python re-derivation of u, score and the
@@ -1186,6 +1203,7 @@ object SparkEntry {
     "token_entropy" -> valuesOracle("token_entropy"),
     "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
     "rolling_dedup" -> valuesOracle("rolling_dedup"),
+    "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "stream_cms_userfreq" -> valuesOracle("stream_cms_userfreq"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),

@@ -55,6 +55,79 @@ object Multimodal {
   def decodeBytes(bytes: Array[Byte]): (Long, Int, Int, Double) =
     StubDecoder.decode(bytes)
 
+  /** A REAL image decoder on `javax.imageio` (public JDK surface — no
+    * external codec libraries needed): decodes PNG/JPEG/GIF/BMP payloads
+    * and emits pixel-derived features, so the [[DecodeMedia]] seam carries
+    * an actual codec, not just the stub. Features are defined off the
+    * decoded raster, never the container bytes (two encoders producing
+    * different PNG byte streams of the same pixels get identical features):
+    *  - checksum: FxHash64 chain over (r, g, b) of every pixel, row-major;
+    *  - width/height: raster dims;
+    *  - mean_byte: mean of all RGB channel values (sum/count — exact
+    *    integer arithmetic until one final division, so bit-reproducible).
+    * Undecodable payloads (ImageIO finds no reader, or the stream is
+    * corrupt) map to the deterministic sentinel (0L, -1, -1, -1.0) rather
+    * than throwing — a poisoned row must not kill a 100 TB scan, and -1
+    * dims are distinguishable from every real image. `ImageIO.read`
+    * allocates a fresh reader per call, so the object is executor-thread
+    * safe with no shared native context. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): (Long, Int, Int, Double) = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+      if (img == null) (0L, -1, -1, -1.0)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var chk = 0L
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            chk = FxHash.add(FxHash.add(FxHash.add(chk, r), g), b)
+            sum += r + g + b
+            x += 1
+          }
+          y += 1
+        }
+        (chk, w, h, sum.toDouble / (w.toLong * h * 3))
+      }
+    }
+  }
+
+  /** Deterministic PNG fixtures for gating [[ImageIoDecoder]]: `n` images
+    * whose dims vary with id (16+id%9 × 16+id%7) and whose pixel channel
+    * bytes are `FxHash(add(add(add(add(0,id),x),y),c)) & 0xff` — a recipe an
+    * independent re-derivation can compute WITHOUT any PNG machinery. The
+    * PNG encode runs once on the driver (n tiny images — a fixture, not a
+    * data path); the decode runs distributed through [[DecodeMedia]].
+    * Because PNG is lossless and these images carry no ICC profile, the
+    * decoded raster must equal the recipe exactly. */
+  def syntheticPngs(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { m =>
+      val w = 16 + m % 9
+      val h = 16 + m % 7
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        def ch(c: Int): Int =
+          (FxHash.add(FxHash.add(FxHash.add(FxHash.add(0L, m.toLong), x.toLong), y.toLong), c.toLong) & 0xffL).toInt
+        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      (m.toLong, out.toByteArray)
+    }
+    import spark.implicits._
+    rows.toDF("media_id", "bytes")
+  }
+
   /** decode_media(bytes) as a Column: struct(checksum, width, height,
     * mean_byte), NULL payload → NULL struct. */
   def decodeMedia(bytes: Column, decoder: MediaDecoder = StubDecoder): Column =

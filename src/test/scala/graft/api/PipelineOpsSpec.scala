@@ -724,6 +724,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rs.forall(r => r.getInt(1) == 2 && r.getInt(2) == 3)) // decoder dims flow through
   }
 
+  test("Multimodal ImageIoDecoder: real PNG decode matches the pixel recipe; bad bytes hit the sentinel") {
+    // encode->decode roundtrip through the REAL codec: features computed
+    // from the decoded raster must equal features computed from the pixel
+    // recipe directly (PNG is lossless; no ICC profile is written)
+    val media = Multimodal.syntheticPngs(spark, 4)
+    val out = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+      .orderBy("media_id").collect()
+    for (r <- out) {
+      val m = r.getLong(0).toInt
+      val (w, h) = (16 + m % 9, 16 + m % 7)
+      var chk = 0L; var sum = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val v = graft.core.FxHash.add(graft.core.FxHash.add(graft.core.FxHash.add(
+          graft.core.FxHash.add(0L, m.toLong), x.toLong), y.toLong), c.toLong) & 0xffL
+        chk = graft.core.FxHash.add(chk, v); sum += v
+      }
+      assert(r.getInt(3) == w && r.getInt(4) == h, s"dims for id $m")
+      assert(r.getLong(2) == chk, s"pixel checksum for id $m")
+      assert(r.getDouble(5) == sum.toDouble / (w.toLong * h * 3), s"mean for id $m")
+    }
+    // undecodable payloads: deterministic sentinel, no throw, no row loss
+    val bad = Seq((9L, "not a png at all".getBytes("UTF-8"))).toDF("media_id", "bytes")
+    val badOut = Multimodal.extractFeatures(bad, Multimodal.ImageIoDecoder).collect()
+    assert(badOut.length == 1 && badOut(0).getLong(2) == 0L &&
+      badOut(0).getInt(3) == -1 && badOut(0).getInt(4) == -1 &&
+      badOut(0).getDouble(5) == -1.0)
+  }
+
   test("Multimodal resizeStub preserves aspect and caps the long side") {
     // stub header: width = b0<<8|b1, height = b2<<8|b3
     def payload(w: Int, h: Int, len: Int): Array[Byte] = {

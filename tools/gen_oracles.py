@@ -1255,7 +1255,36 @@ def main(sf_dir, spark_dir):
         ") AS t(batch_id, corpus_id, sim)\nORDER BY batch_id, corpus_id")
     custom["rolling_dedup"] = (rd_rows, ("batch_id", "corpus_id", "sim"), rd_sql)
 
+    # ---- multimodal_features_real: re-derive ImageIoDecoder's features
+    # straight from the synthetic-PNG pixel recipe (Multimodal.syntheticPngs:
+    # dims 16+id%9 x 16+id%7, channel byte = FxHash(add(add(add(add(0,id),
+    # x),y),c)) & 0xff) — no PNG machinery in Python, so the Spark side's
+    # encode->ImageIO decode roundtrip must reproduce the raster exactly.
+    mr_rows = []
+    for m in range(64):
+        mw, mh = 16 + m % 9, 16 + m % 7
+        chk = vk.Fx()
+        tot = 0
+        for y in range(mh):
+            for x in range(mw):
+                for c in range(3):
+                    v = vk.Fx().add(m).add(x).add(y).add(c).fin() & 0xFF
+                    chk.add(v)
+                    tot += v
+        mean = tot / (mw * mh * 3)
+        mr_rows.append((m, s64(chk.fin()), mw, mh, mean))
+    mr_sql = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(checksum AS BIGINT) AS checksum, CAST(width AS INT) AS width,"
+        " CAST(height AS INT) AS height, CAST(mean_byte AS DOUBLE) AS mean_byte\n"
+        "FROM (VALUES\n"
+        f"{values_block([(m_, c_, w_, h_, repr(mb_)) for m_, c_, w_, h_, mb_ in mr_rows])}\n"
+        ") AS t(media_id, checksum, width, height, mean_byte)\nORDER BY media_id")
+    custom["multimodal_features_real"] = (
+        mr_rows, ("media_id", "checksum", "width", "height", "mean_byte"), mr_sql)
+
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
+                    "multimodal_features_real": "media_id",
                     "ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
