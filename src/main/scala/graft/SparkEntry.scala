@@ -87,6 +87,19 @@ object SparkEntry {
     """)
   }
 
+  /** Byte-level BPE merge list for the token_count_bpe / pack_sequences_bpe
+    * gates — stands in for a learned vocabulary (merges are DATA the caller
+    * supplies; no model ships with the engine). Order is rank: earlier
+    * merges apply first. MIRRORED verbatim in tools/gen_oracles.py
+    * (BPE_MERGES) — keep the two lists identical or the crosscheck fails. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"), ("s", "t"),
+    ("a", "r"), ("o", "u"), ("i", "t"), ("an", "d"), ("in", "g"), ("t", "o"),
+    ("o", "f"), ("e", "d"), ("i", "s"), ("a", "l"), ("l", "e"), ("c", "o"),
+    ("s", "e"), ("m", "e"), ("d", "e"), ("the", "r"), ("h", "a"), ("c", "e"),
+    ("l", "i"), ("h", "i"), ("u", "r"), ("r", "o"), ("w", "h"), ("wh", "i"))
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -416,6 +429,26 @@ object SparkEntry {
       // the identical fold in Python)
       graft.api.TextAnalysis.tokenEntropy(load(s, dir, "documents"))
         .orderBy("doc_id")
+    }),
+    "token_count_bpe" -> ((s, dir) => {
+      // byte-level BPE token counting under a user-supplied merge list
+      // (BpeMerges below; gen_oracles.py mirrors the list and the exact
+      // merge algorithm, so counts are pinned end to end). This is the
+      // token-budget primitive a training pipeline prices data with — the
+      // regex-based token_count stays as the cheap heuristic twin.
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.bpe_count(col("text"), BpeMerges).as("n_tokens_bpe"))
+        .orderBy("doc_id")
+    }),
+    "pack_sequences_bpe" -> ((s, dir) => {
+      // pack_sequences with the REAL tokenizer threaded in as the length
+      // column: chunk boundaries now fall at BPE token budgets, not
+      // whitespace-word budgets — the form a training-data pipeline
+      // actually runs. Same distributed two-level prefix sum.
+      graft.api.Packing.packSequences(load(s, dir, "documents"), "doc_id",
+          graft.functions.bpe_count(col("text"), BpeMerges), 256, 21L)
+        .orderBy("id")
     }),
     "token_count" -> ((s, dir) => {
       load(s, dir, "documents").createOrReplaceTempView("documents")
@@ -1204,6 +1237,8 @@ object SparkEntry {
     "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
     "rolling_dedup" -> valuesOracle("rolling_dedup"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
+    "token_count_bpe" -> valuesOracle("token_count_bpe"),
+    "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
     "stream_cms_userfreq" -> valuesOracle("stream_cms_userfreq"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),

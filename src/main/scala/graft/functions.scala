@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, ColumnShim, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, BpeRanks, CmsBuild, CmsEstimate, ColumnShim, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -120,4 +120,10 @@ object functions {
 
   /** Engine-pinned natural log on [1, ∞) — deterministic across engines. */
   def ln_pinned(x: Column): Column = toCol(LnPinned(col2expr(x)))
+
+  /** Byte-level BPE token count under a caller-supplied merge list (the
+    * public GPT-2-family algorithm; no model file is bundled — learned
+    * merges are data). See [[org.apache.spark.sql.graft.BpeCount]]. */
+  def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
+    toCol(BpeCount(col2expr(text), new BpeRanks(merges)))
 }

@@ -1,0 +1,130 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled merge table for byte-level BPE (the public GPT-2-family
+  * algorithm: tokens start as single bytes; the lowest-rank adjacent pair
+  * merges, all occurrences left-to-right, until no listed pair remains).
+  *
+  * Merge pairs arrive as UTF-8 strings — the natural way to write a learned
+  * vocabulary down ("t"+"h", "th"+"e") — and are compiled once per
+  * (de)serialized instance into byte-token form. Internally a token is a
+  * latin-1 `String` (one char per byte, lossless both ways), so pair lookup
+  * is one tuple-keyed map hit and a merge is string concat; contrast with
+  * byte-array keys, whose equality Java gets wrong silently.
+  */
+final class BpeRanks(val merges: Seq[(String, String)]) extends Serializable {
+  @transient lazy val rank: java.util.HashMap[(String, String), Integer] = {
+    val m = new java.util.HashMap[(String, String), Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put((BpeRanks.latin1(a), BpeRanks.latin1(b)), i)
+    }
+    m
+  }
+}
+
+object BpeRanks {
+  /** UTF-8 bytes of `s`, re-read as latin-1: one char per byte. */
+  private[graft] def latin1(s: String): String =
+    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+}
+
+/** `bpe_count(text)` → number of byte-level BPE tokens under a supplied
+  * merge list. Words are maximal runs of non-(ASCII-whitespace) bytes of
+  * the UTF-8 encoding — the same split a bytes-level `\s+` regex produces —
+  * and each word is tokenized independently (merges never cross
+  * whitespace, matching every published byte-BPE pre-tokenizer's contract).
+  * NULL text → NULL. The count is exactly `len(bpe(word))` summed over
+  * words, so a Python re-derivation with the same merges is bit-identical —
+  * no model file is bundled; the caller supplies learned merges as data. */
+case class BpeCount(child: Expression, ranks: BpeRanks)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "bpe_count"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any =
+    BpeCount.countTokens(ranks, v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks, classOf[BpeRanks].getName)
+    val mod = s"${classOf[BpeCount].getName}$$.MODULE$$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $mod.countTokens($r, $c.getBytes());")
+  }
+
+  // BpeRanks is compared by merge list, not identity, so plan equality
+  // (subexpression elimination, cached plans) keeps working
+  override def equals(o: Any): Boolean = o match {
+    case BpeCount(c, r) => c == child && r.merges == ranks.merges
+    case _ => false
+  }
+  override def hashCode(): Int = child.hashCode * 31 + ranks.merges.hashCode
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeCount {
+  private def isWs(b: Byte): Boolean =
+    b == 32 || (b >= 9 && b <= 13) // space, \t \n \v \f \r — ASCII \s
+
+  /** Shared by interpreted eval and generated code (static call target). */
+  def countTokens(ranks: BpeRanks, utf8: Array[Byte]): Long = {
+    var total = 0L
+    var i = 0
+    val n = utf8.length
+    while (i < n) {
+      while (i < n && isWs(utf8(i))) i += 1
+      val start = i
+      while (i < n && !isWs(utf8(i))) i += 1
+      if (i > start) total += countWord(ranks, utf8, start, i)
+    }
+    total
+  }
+
+  private def countWord(ranks: BpeRanks, bytes: Array[Byte], from: Int, until: Int): Int = {
+    var toks = new Array[String](until - from)
+    var i = from
+    while (i < until) {
+      toks(i - from) = String.valueOf((bytes(i) & 0xff).toChar)
+      i += 1
+    }
+    val rank = ranks.rank
+    var n = toks.length
+    while (n > 1) {
+      // lowest-rank adjacent pair (ranks are unique, so ties can't happen)
+      var best = Integer.MAX_VALUE
+      var bi = -1
+      var j = 0
+      while (j < n - 1) {
+        val r = rank.get((toks(j), toks(j + 1)))
+        if (r != null && r < best) { best = r; bi = j }
+        j += 1
+      }
+      if (bi < 0) return n
+      val a = toks(bi)
+      val b = toks(bi + 1)
+      // merge ALL occurrences of (a, b) left-to-right in one pass — the
+      // standard BPE step (merging only the first occurrence is a different
+      // algorithm with different counts)
+      val out = new Array[String](n)
+      var w = 0
+      var k = 0
+      while (k < n) {
+        if (k < n - 1 && toks(k) == a && toks(k + 1) == b) {
+          out(w) = a + b; w += 1; k += 2
+        } else {
+          out(w) = toks(k); w += 1; k += 1
+        }
+      }
+      toks = out
+      n = w
+    }
+    n
+  }
+}

@@ -790,6 +790,64 @@ def main(sf_dir, spark_dir):
         ("id", "tokens", "token_offset", "chunk_start", "chunk_end"),
         ("BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT"), pack_rows, "id")
 
+    # ---- token_count_bpe / pack_sequences_bpe: byte-level BPE under the
+    # pinned merge list (MIRROR of SparkEntry.BpeMerges — keep identical).
+    # Algorithm mirror of BpeCount.countWord: words are maximal runs of
+    # non-ASCII-whitespace bytes of the UTF-8 encoding; tokens start as
+    # single bytes; the lowest-rank adjacent pair merges ALL occurrences
+    # left-to-right; repeat until no listed pair remains.
+    BPE_MERGES = [
+        ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"),
+        ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"), ("s", "t"),
+        ("a", "r"), ("o", "u"), ("i", "t"), ("an", "d"), ("in", "g"), ("t", "o"),
+        ("o", "f"), ("e", "d"), ("i", "s"), ("a", "l"), ("l", "e"), ("c", "o"),
+        ("s", "e"), ("m", "e"), ("d", "e"), ("the", "r"), ("h", "a"), ("c", "e"),
+        ("l", "i"), ("h", "i"), ("u", "r"), ("r", "o"), ("w", "h"), ("wh", "i")]
+    bpe_rank = {(a.encode(), b.encode()): i for i, (a, b) in enumerate(BPE_MERGES)}
+
+    def bpe_count(text):
+        total = 0
+        for w in re.split(rb"[\t\n\x0b\x0c\r ]+", text.encode("utf-8")):
+            if not w:
+                continue
+            toks = [w[i:i + 1] for i in range(len(w))]
+            while len(toks) > 1:
+                best, bi = None, -1
+                for j in range(len(toks) - 1):
+                    r = bpe_rank.get((toks[j], toks[j + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, bi = r, j
+                if bi < 0:
+                    break
+                a, b = toks[bi], toks[bi + 1]
+                out, k = [], 0
+                while k < len(toks):
+                    if k < len(toks) - 1 and toks[k] == a and toks[k + 1] == b:
+                        out.append(a + b)
+                        k += 2
+                    else:
+                        out.append(toks[k])
+                        k += 1
+                toks = out
+            total += len(toks)
+        return total
+
+    bpe_toks = {did: bpe_count(t) for did, t in docs}
+    queries["token_count_bpe"] = (
+        ("doc_id", "n_tokens_bpe"), ("BIGINT", "BIGINT"),
+        sorted(bpe_toks.items()), "doc_id")
+    bpe_order = sorted((did for did, _t in docs if bpe_toks[did] > 0),
+                       key=lambda did: (hash_score(did, 21), did))
+    bpe_pack_rows, off = [], 0
+    for did in bpe_order:
+        t = bpe_toks[did]
+        bpe_pack_rows.append((did, t, off, off // seq_len, (off + t - 1) // seq_len))
+        off += t
+    bpe_pack_rows.sort()
+    queries["pack_sequences_bpe"] = (
+        ("id", "tokens", "token_offset", "chunk_start", "chunk_end"),
+        ("BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT"), bpe_pack_rows, "id")
+
     # ---- curate_corpus: the composed recipe re-derived end to end ----
     # quality gate -> exact dedup (min id per text) -> near-dup cluster drop
     # (union-find minima survive; same family/params as minhash_dedup_pairs,
