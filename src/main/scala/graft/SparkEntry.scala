@@ -775,6 +775,36 @@ object SparkEntry {
           bucketWidth = 4.0, bandCount = 8, bandSize = 2, seed = 7L)
         .orderBy("query_id", "rank")
     }),
+    "ann_recall" -> ((s, dir) => {
+      // the quality-regression gate: recall@10 vs exact brute force for each
+      // index family at its gated config, pinned in the oracle (determinism
+      // alone can't catch an nprobe/band/codebook drift that stays bit-exact
+      // to its own oracle while silently cratering result quality; AnnSpec
+      // asserts the >= 0.9 floor). ivfpq runs the production rerank pattern
+      // — ADC shortlist (k=50), exact top-10 by containment — because raw
+      // ADC ranking at small code sizes is geometry-limited on this
+      // iid-random fixture (~0.1-0.6 recall@10 at ANY config: top-10 cosine
+      // gaps of ~500 iid gaussians are smaller than any quantizer's error).
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val qs = emb.filter(col("vec_id") < 10)
+      val brute = graft.api.Ann.bruteForceTopK(emb, qs, 10)
+        .select(col("query_id"), col("neighbor_id"))
+      def recallOf(method: String, approx: DataFrame): DataFrame =
+        brute.join(approx.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(method).as("method"), col("n_hits"),
+            lit(100L).as("n_total"),
+            (col("n_hits").cast("double") / lit(100.0)).as("recall"))
+      recallOf("ivf", graft.api.Ann.ivfTopK(emb, qs, 10,
+          nlist = 16, nprobe = 4, seed = 99L, iters = 5))
+        .unionByName(recallOf("ivfpq_rerank", graft.api.Ann.ivfPqTopK(emb, qs, 50,
+          nlist = 16, nprobe = 8, m = 32, ksub = 256, seed = 77L, iters = 4)))
+        .unionByName(recallOf("lsh", graft.api.Ann.lshBucketedTopK(emb, qs, 10,
+          bucketWidth = 4.0, bandCount = 8, bandSize = 2, seed = 7L)))
+        .orderBy("method")
+    }),
     "quantize_embeddings" -> ((s, dir) => {
       graft.api.Ann.quantizeInt8(load(s, dir, "embeddings"))
         .orderBy("vec_id", "pos")
@@ -1239,6 +1269,7 @@ object SparkEntry {
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "token_count_bpe" -> valuesOracle("token_count_bpe"),
     "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
+    "ann_recall" -> valuesOracle("ann_recall"),
     "stream_cms_userfreq" -> valuesOracle("stream_cms_userfreq"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),

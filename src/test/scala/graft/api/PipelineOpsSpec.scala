@@ -677,6 +677,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("ann_recall floor: every gated index family holds recall@10 >= 0.9") {
+    // the stated quality bar behind the pinned ann_recall oracle row: the
+    // VALUES pin catches any drift bit-exactly, this floor says how much
+    // quality the gated configs are required to deliver on the fixture
+    val out = graft.SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("ivf", "ivfpq_rerank", "lsh"))
+    for (r <- out)
+      assert(r.getDouble(3) >= 0.9,
+        s"${r.getString(0)} recall ${r.getDouble(3)} below the 0.9 floor")
+  }
+
   test("Ann quantizer training is invariant under corpus repartitioning") {
     // the sample is keyed on xxhash64(id, seed), never scan order: a layout
     // change (repartition, sorted input) must not move a single centroid

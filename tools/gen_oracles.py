@@ -667,6 +667,39 @@ def main(sf_dir, spark_dir):
                                 ("query_id", '"rank"', "neighbor_id", "adist"),
                                 ivfpq_sql)
 
+    # ---- ann_recall: recall@10 vs exact brute force for each index family
+    # at its gated config — the quality-regression gate (determinism alone
+    # can't catch an nprobe/band/codebook drift that stays bit-exact to its
+    # own oracle while silently cratering result quality). ivfpq uses the
+    # production rerank pattern: ADC shortlist (k=50) -> exact top-10 —
+    # recall = shortlist containment of the true top-10. Raw ADC ranking at
+    # small code sizes is geometry-limited on this iid-random fixture
+    # (~0.1-0.6 recall@10 regardless of config) and is not gated.
+    ar_brute = {}
+    for q, r, n, s in topk_rows({q: {n for n in vecs if n != q}
+                                 for q in vecs if q < 10}, vecs, 10):
+        ar_brute.setdefault(q, set()).add(n)
+    ar_total = 10 * len(ar_brute)
+
+    def ar_hits(rows_):
+        got = {}
+        for q, r, n, s in rows_:
+            got.setdefault(q, set()).add(n)
+        return sum(len(ar_brute[q] & got.get(q, set())) for q in ar_brute)
+
+    ar_rows = sorted(
+        (m_, h_, ar_total, h_ / ar_total) for m_, h_ in [
+            ("ivf", ar_hits(ivf_topk_rows(vecs, 10, 16, 4, 99, 5, 10000))),
+            ("ivfpq_rerank", ar_hits(ivfpq_topk_rows(vecs, 50, 16, 8, 32, 256, 77, 4, 10000))),
+            ("lsh", ar_hits(lsh_topk_rows(vecs, 10, 4.0, 8, 2, 7)))])
+    ar_sql = (
+        "SELECT CAST(method AS VARCHAR) AS method, CAST(n_hits AS BIGINT) AS n_hits,"
+        " CAST(n_total AS BIGINT) AS n_total, CAST(recall AS DOUBLE) AS recall\n"
+        "FROM (VALUES\n"
+        f"{values_block([(repr(m_), h_, t_, repr(r_)) for m_, h_, t_, r_ in ar_rows])}\n"
+        ") AS t(method, n_hits, n_total, recall)\nORDER BY method")
+    custom["ann_recall"] = (ar_rows, ("method", "n_hits", "n_total", "recall"), ar_sql)
+
     customers = con.execute(
         f"SELECT c_custkey, c_name FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
     ).fetchall()
@@ -1343,6 +1376,7 @@ def main(sf_dir, spark_dir):
 
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
                     "multimodal_features_real": "media_id",
+                    "ann_recall": "method",
                     "ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
