@@ -717,6 +717,23 @@ object SparkEntry {
       graft.api.BandedLsh.dupClusters(nearDupPairsShared(s, dir),
         driverThreshold = 0L).orderBy("id")
     }),
+    "dedup_clusters_chain" -> ((s, dir) => {
+      // convergence-boundary gate for the distributed branch: eight
+      // deliberate long chains (edges doc_id -> doc_id+8, so component =
+      // residue class, diameter = |docs|/8) with driverThreshold = 0 —
+      // hash-min + pointer-jump must propagate the min across ~62 hops at
+      // sf0.01 (~6 doubling rounds + the convergence-detection round),
+      // where the default gated graphs converge almost immediately.
+      // maxIters = 16 covers the diameter growing with SF (bench runs
+      // sf0.1: diameter ~624 -> ~11 rounds); the non-convergence THROW path
+      // is spec-exercised (PipelineOpsSpec brackets the round count).
+      // Oracle: contiguous ids make the component min = doc_id % 8.
+      val ids = load(s, dir, "documents").select(col("doc_id"))
+      val edges = ids.select(col("doc_id").as("id_a"), (col("doc_id") + 8).as("id_b"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      graft.api.BandedLsh.dupClusters(edges, maxIters = 16, driverThreshold = 0L)
+        .orderBy("id")
+    }),
     "dedup_keep_best" -> ((s, dir) => {
       // the step after clustering: keep ONE representative per duplicate
       // cluster (longest text, doc_id tiebreak), pass singletons through —
@@ -1598,6 +1615,13 @@ object SparkEntry {
         |)
         |SELECT u AS id, least(u, min(v)) AS cluster
         |FROM reach GROUP BY u
+        |ORDER BY id""".stripMargin,
+    // chain gate: edges (doc_id, doc_id+8) over contiguous ids make the
+    // component = residue class and the min member id = doc_id % 8 — an
+    // independently-derivable closed form, no transitive closure needed
+    "dedup_clusters_chain" ->
+      """SELECT doc_id AS id, CAST(doc_id % 8 AS BIGINT) AS cluster
+        |FROM documents
         |ORDER BY id""".stripMargin,
     // survivors: per transitive-closure cluster keep (max n_chars, min
     // doc_id); docs outside the pair graph are singletons and survive

@@ -141,6 +141,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("dupClusters round count: log-diameter convergence, boundary throws") {
+    // a diameter-32 chain pins the ROUND COUNT window: pointer-jump doubling
+    // needs ~log2(32)=5 propagation rounds plus the convergence-detection
+    // round — strictly more than 2 (multi-iteration is really exercised)
+    // and at most 8 (the acceleration really is logarithmic, not linear);
+    // the minimal budget minus one must hit the non-convergence throw, so
+    // both sides of the boundary run under this spec.
+    val chain = (0L until 32L).map(i => (i, i + 1, 0.9)).toDF("id_a", "id_b", "sim")
+    val minIters = (1 to 9).find { k =>
+      try {
+        BandedLsh.dupClusters(chain, maxIters = k, driverThreshold = 0L).collect(); true
+      } catch { case _: IllegalStateException => false }
+    }
+    assert(minIters.isDefined, "no budget up to 9 converged a 33-node chain")
+    assert(minIters.get > 2 && minIters.get <= 8,
+      s"round count ${minIters.get} outside the log-diameter window (3..8)")
+    val ex = intercept[IllegalStateException] {
+      BandedLsh.dupClusters(chain, maxIters = minIters.get - 1, driverThreshold = 0L).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val ok = BandedLsh.dupClusters(chain, maxIters = minIters.get, driverThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.length == 33 && ok.forall(_._2 == 0L))
+  }
+
   test("bandJoinSkewSafe: adversarial mega-bucket spreads across tasks, rows unchanged") {
     // one hot bucket: 400 a-rows × 150 b-rows = 60k pairs on ONE reducer in
     // the plain join; plus cold buckets that must take the untouched path
