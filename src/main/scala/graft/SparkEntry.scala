@@ -1213,6 +1213,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "stream_rolling_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // streaming twin of rolling_dedup: docs >= 300 arrive over 4
+      // micro-batches against an index built on docs < 300 (hotBucketCap=5:
+      // live hot sidecar, so appends route both ways). Cross-batch state is
+      // load-bearing: e.g. doc 326 (batch 1) is appended and must block its
+      // near-dup 457 when it arrives in batch 4. Threshold 0.5 keeps the
+      // admission semantics aligned with incremental_dedup; the oracle is a
+      // full Python re-derivation of the per-batch greedy admission over
+      // banding collisions + exact Jaccard.
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val (corpus, stream) = docs.partition(_._1 < 300)
+      graft.streaming.EventStreams.rollingDedupReplay(s, corpus, stream,
+          nBatches = 4, ngramWidth = 4, bandCount = 8, bandSize = 3,
+          seed = 123L, threshold = 0.5, hotBucketCap = 5L)
+        .orderBy("doc_id")
+    }),
+
     "sessionize_stream" -> ((s, dir) => {
       import s.implicits._
       val events = loadEvents(s, dir)
@@ -1287,6 +1307,7 @@ object SparkEntry {
     "token_count_bpe" -> valuesOracle("token_count_bpe"),
     "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
     "ann_recall" -> valuesOracle("ann_recall"),
+    "stream_rolling_dedup" -> valuesOracle("stream_rolling_dedup"),
     "stream_cms_userfreq" -> valuesOracle("stream_cms_userfreq"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.DataFrame
   * the join keys, so downstream equi-joins on those keys read the table with
   * zero exchange — the bucketed scan satisfies the join's required
   * distribution by itself. */
-private[api] object BucketedWrite {
+private[graft] object BucketedWrite {
 
   /** DROP TABLE plus warehouse-dir cleanup: with an in-memory catalog the
     * table registration dies with the JVM but its warehouse directory

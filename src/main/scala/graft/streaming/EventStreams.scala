@@ -460,6 +460,78 @@ object EventStreams {
     spark.table(sink).select("doc_id", "text")
   }
 
+  /** Streaming rolling ingestion — the streaming twin of the
+    * saveSignatureIndex → appendToSignatureIndex → nearDupAgainstIndex
+    * batch recipe, proving the index stays probe-consistent ACROSS
+    * micro-batches: a doc admitted (and appended) in batch k must block its
+    * near-dups arriving in batch k+1, including through hot-sidecar routes.
+    * Each micro-batch, under `foreachBatch`:
+    *   1. probe the incoming docs against the current index + admitted
+    *      corpus (`nearDupAgainstIndex` — the LSH params must match the
+    *      build's);
+    *   2. admit the non-colliding docs (intra-batch pairs deliberately
+    *      don't block — same contract as the batch admission loop);
+    *   3. append admitted texts to the corpus table and their signatures
+    *      through the hot/cold-routed [[graft.api.BandedLsh.appendToSignatureIndex]].
+    * Returns `(doc_id, admitted)` for every streamed doc, read back from
+    * the corpus table — the decision log IS the table state, no driver-side
+    * bookkeeping to drift from it. MemoryStream feeding is the test
+    * harness; the foreachBatch body is the production shape. */
+  def rollingDedupReplay(spark: SparkSession, corpus: Seq[(Long, String)],
+                         stream: Seq[(Long, String)], nBatches: Int,
+                         ngramWidth: Int, bandCount: Int, bandSize: Int,
+                         seed: Long, threshold: Double,
+                         hotBucketCap: Long): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = replaySeq.incrementAndGet()
+    val idxTbl = s"graft_roll_stream_idx_$n"
+    val corpTbl = s"graft_roll_stream_corpus_$n"
+    val corpusDf = corpus.toDF("doc_id", "text")
+    graft.api.BandedLsh.saveSignatureIndex(corpusDf, idxTbl, 8, "doc_id", "text",
+      ngramWidth, bandCount, bandSize, seed, hotBucketCap)
+    // the per-JVM replay counter restarts while the warehouse dir persists:
+    // drop table AND orphaned location or CREATE refuses the leftover dir
+    graft.api.BucketedWrite.dropTable(spark, corpTbl)
+    corpusDf.write.mode("overwrite").format("parquet").saveAsTable(corpTbl)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // foreachBatch executes on a CLONED SparkSession, and V1 table
+        // relation caches are per-session: an insert invalidates only the
+        // writing session's cache, so reads routed through any OTHER
+        // session silently serve the pre-append file listing (measured:
+        // every append invisible, all admissions false). All reads below go
+        // through the batch's own session, refreshed defensively first —
+        // the writes also run on it, keeping invalidation and lookup on the
+        // same cache.
+        val ss = batch.sparkSession
+        Seq(corpTbl, idxTbl, s"${idxTbl}_hot").foreach(ss.catalog.refreshTable)
+        val b = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val dup = graft.api.BandedLsh.nearDupAgainstIndex(idxTbl,
+            ss.table(corpTbl), b, "doc_id", "text",
+            ngramWidth, bandCount, bandSize, seed, threshold)
+          .select(col("batch_id").as("doc_id")).distinct()
+        val keep = b.join(dup, Seq("doc_id"), "left_anti")
+        keep.write.mode("append").insertInto(corpTbl)
+        graft.api.BandedLsh.appendToSignatureIndex(keep, idxTbl, "doc_id", "text",
+          ngramWidth, bandCount, bandSize, seed)
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      val chunk = math.max(1, (stream.size + nBatches - 1) / nBatches)
+      stream.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    // the final read is on the OUTER session — refresh or it too would
+    // serve the build-time listing
+    spark.catalog.refreshTable(corpTbl)
+    stream.map(_._1).toDF("doc_id")
+      .join(spark.table(corpTbl).select(col("doc_id"), lit(true).as("in_corpus")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("in_corpus"), lit(false)).as("admitted"))
+  }
+
   /** Batch-mode sessionization with identical gap semantics, built on window
     * functions — the oracle twin of [[sessionize]] and the scalable batch
     * formulation (two shuffles: by user, then by (user, session)). */

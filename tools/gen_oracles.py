@@ -1346,6 +1346,41 @@ def main(sf_dir, spark_dir):
         ") AS t(batch_id, corpus_id, sim)\nORDER BY batch_id, corpus_id")
     custom["rolling_dedup"] = (rd_rows, ("batch_id", "corpus_id", "sim"), rd_sql)
 
+    # ---- stream_rolling_dedup: per-micro-batch greedy admission (mirrors
+    # EventStreams.rollingDedupReplay: docs >= 300 sorted by id, chunked into
+    # 4 batches of ceil(n/4); a doc is blocked iff it banding-collides AND
+    # exact-Jaccard > 0.5 with any doc admitted BEFORE its batch — corpus or
+    # earlier-batch admit; intra-batch pairs don't block). Reuses rd_bands /
+    # rd_shingles (same 4-gram 8x3 seed-123 family).
+    def sr_blocks(a, b):
+        if a not in rd_bands or b not in rd_bands:
+            return False
+        if not any(rd_bands[a][k] == rd_bands[b][k] for k in range(8)):
+            return False
+        sa, sb = rd_shingles[a], rd_shingles[b]
+        inter = len(sa & sb)
+        return inter / (len(sa) + len(sb) - inter) > 0.5
+
+    sr_all = sorted(did for did, _t in docs)
+    sr_admitted = set(d for d in sr_all if d < 300)
+    sr_stream = [d for d in sr_all if d >= 300]
+    sr_chunk = max(1, -(-len(sr_stream) // 4))
+    sr_rows = []
+    for i in range(0, len(sr_stream), sr_chunk):
+        batch = sr_stream[i:i + sr_chunk]
+        kept = [b for b in batch
+                if not any(sr_blocks(b, a) for a in sr_admitted)]
+        sr_rows.extend((b, b in set(kept)) for b in batch)
+        sr_admitted.update(kept)
+    sr_rows.sort()
+    sr_sql = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(admitted AS BOOLEAN) AS admitted\n"
+        "FROM (VALUES\n"
+        f"{values_block([(d_, str(a_).upper()) for d_, a_ in sr_rows])}\n"
+        ") AS t(doc_id, admitted)\nORDER BY doc_id")
+    custom["stream_rolling_dedup"] = (sr_rows, ("doc_id", "admitted"), sr_sql)
+
     # ---- multimodal_features_real: re-derive ImageIoDecoder's features
     # straight from the synthetic-PNG pixel recipe (Multimodal.syntheticPngs:
     # dims 16+id%9 x 16+id%7, channel byte = FxHash(add(add(add(add(0,id),
@@ -1377,6 +1412,7 @@ def main(sf_dir, spark_dir):
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
                     "multimodal_features_real": "media_id",
                     "ann_recall": "method",
+                    "stream_rolling_dedup": "doc_id",
                     "ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
                     "ann_topk_ivf": 'query_id, "rank"',
