@@ -430,6 +430,40 @@ object SparkEntry {
       graft.api.TextAnalysis.tokenEntropy(load(s, dir, "documents"))
         .orderBy("doc_id")
     }),
+    // ---- source/sink coverage beyond parquet (the reference's DuckDB host
+    // reads CSV/JSON natively; a Spark user needs the same corpus paths).
+    // Each gate is a full write -> read-back round trip with an explicit
+    // schema, value-checked against the parquet ground truth — so encoder
+    // AND decoder must both be lossless, not just parse.
+    "source_csv_roundtrip" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_csv"
+      docs.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(docs.schema).option("header", "true").csv(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+    "source_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_jsonl"
+      docs.write.mode("overwrite").json(path)
+      s.read.schema(docs.schema).json(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+    "sink_partitioned" -> ((s, dir) => {
+      // hive-partitioned parquet sink + partition-pruned readback: the
+      // 100 TB layout pattern (partition on a low-cardinality routing
+      // column; a reader filtering on it must scan only that directory —
+      // PlanShapeSpec pins the pruned scan's partition count)
+      val docs = load(s, dir, "documents")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_sink_partitioned"
+      docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .filter(col("lang") === "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     "token_count_bpe" -> ((s, dir) => {
       // byte-level BPE token counting under a user-supplied merge list
       // (BpeMerges below; gen_oracles.py mirrors the list and the exact
@@ -1308,6 +1342,18 @@ object SparkEntry {
     "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
     "ann_recall" -> valuesOracle("ann_recall"),
     "stream_rolling_dedup" -> valuesOracle("stream_rolling_dedup"),
+    // round-trip sources: the oracle is the parquet ground truth itself —
+    // any encode/decode loss (quoting, types, partition-column re-derive)
+    // breaks the hash match
+    "source_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "source_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     "stream_cms_userfreq" -> valuesOracle("stream_cms_userfreq"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),

@@ -250,4 +250,71 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$name: final merge must consume the exchange above the partial:\n$plan")
     }
   }
+
+  test("sink_partitioned readback prunes to the filtered partition directory") {
+    // the 100 TB layout contract: a filter on the partition column must
+    // become a PartitionFilter (directory pruning — the other languages'
+    // files are never listed into the scan), not a post-scan row filter
+    val plan = planOf("sink_partitioned")
+    assert(plan.contains("PartitionFilters: ["),
+      s"lang filter must prune partitions:\n$plan")
+    assert("""PartitionFilters: \[[^\]]*lang[^\]]*= en""".r.findFirstIn(plan).isDefined,
+      s"lang = en must appear as a partition filter:\n$plan")
+    // and lang must NOT also run as a data filter against row contents
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
+      s"partition column must not be re-filtered as data:\n$plan")
+  }
+
+  test("signature index stays a zero-exchange bucketed scan after appends") {
+    // rolling-ingestion scale contract: appendToSignatureIndex must keep
+    // the main table's bucketed layout, so a post-append probe's band join
+    // still reads the index with no index-side shuffle (broadcast disabled
+    // to force the join to prove the distribution)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.api.BandedLsh.saveSignatureIndex(docs.filter(col("doc_id") < 30),
+      "graft_plan_sig_idx", 4, "doc_id", "text", 4, 8, 3, 123L)
+    graft.api.BandedLsh.appendToSignatureIndex(
+      docs.filter(col("doc_id") >= 30 && col("doc_id") < 40),
+      "graft_plan_sig_idx", "doc_id", "text", 4, 8, 3, 123L)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batchRows = graft.api.BandedLsh.bandedRows(
+          docs.filter(col("doc_id") >= 40), "doc_id", "text", 4, 8, 3, 123L)
+        .select(col("band"), col("band_hash"), col("doc_id").as("batch_id"))
+      val j = batchRows.join(spark.table("graft_plan_sig_idx"), Seq("band", "band_hash"))
+      assert(j.collect().nonEmpty, "fixture must produce collisions")
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+        case q: QueryStageExec => p +: walk(q.plan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+      val nodes = walk(j.queryExecution.executedPlan)
+      val idxScan = nodes.collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("graft_plan_sig_idx")) => s
+      }
+      assert(idxScan.nonEmpty && idxScan.forall(_.bucketedScan),
+        s"appended index must still serve a bucketed scan:\n${j.queryExecution.executedPlan}")
+      // no exchange may sit on the index side: every shuffle in the plan
+      // must be above the batch rows only
+      val exchangesOverIdx = nodes.collect { case e: ShuffleExchangeExec => e }
+        .filter(e => walk(e).exists {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.exists(_.toString.contains("graft_plan_sig_idx"))
+          case _ => false
+        })
+      assert(exchangesOverIdx.isEmpty,
+        s"index side must not shuffle after appends:\n${j.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_plan_sig_idx")
+      spark.sql("DROP TABLE IF EXISTS graft_plan_sig_idx_hot")
+    }
+  }
 }
