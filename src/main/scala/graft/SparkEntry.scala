@@ -1119,6 +1119,15 @@ object SparkEntry {
         .select("event_id", "asof_o_orderkey", "asof_o_totalprice")
         .orderBy("event_id")
     }),
+    "resample_gapfill" -> ((s, dir) => {
+      // daily resample + forward fill per user — "latest state as of every
+      // interval" feature engineering; survivor per bucket is the last
+      // observation by (ts, event_id), gaps carry the previous value,
+      // leading gaps stay NULL with observed=false
+      graft.api.TimeSeries.resampleGapFill(loadEvents(s, dir),
+          "user_id", "ts", "value", 86400L, "event_id")
+        .orderBy("user_id", "bucket_s")
+    }),
     "sessionize_batch" -> ((s, dir) => {
       val events = loadEvents(s, dir)
       graft.streaming.EventStreams.sessionizeBatch(events, gapMs = 30 * 60 * 1000L)
@@ -1884,6 +1893,25 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN (SELECT * FROM o WHERE rn = 1) o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
         |ORDER BY event_id""".stripMargin,
+    // daily buckets: survivor per (user, bucket) = last observation by
+    // (ts, event_id) — the HUGEINT composite key orders identically to
+    // Spark's struct(ts, event_id) because event_id < 1e10; forward fill
+    // via IGNORE NULLS last_value over the per-user grid
+    "resample_gapfill" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400 AS bucket_s,
+        |         arg_max(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000000 + event_id) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(min(bucket_s), max(bucket_s), 86400)) AS bucket_s
+        |  FROM b GROUP BY user_id)
+        |SELECT g.user_id AS user_id, g.bucket_s AS bucket_s,
+        |       last_value(b.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.bucket_s
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |       b.v IS NOT NULL AS observed
+        |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s
+        |ORDER BY 1, 2""".stripMargin,
     "sessionize_batch" -> sessionizeOracleSql,
     // the streaming replay must equal the batch twin session-for-session,
     // so it shares the batch oracle verbatim

@@ -1,0 +1,60 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization for event streams: resample onto a fixed-step
+  * grid and forward-fill gaps — the feature-engineering shape behind
+  * "latest state as of every interval" training inputs.
+  */
+object TimeSeries {
+
+  /** Resample `events` per `keyCol` onto a `stepSeconds` grid and
+    * forward-fill gaps with the last observation.
+    *
+    * Semantics:
+    *  - bucket = floor(epoch_seconds(ts) / step) * step;
+    *  - per (key, bucket) the surviving observation is the LAST one, by
+    *    (ts, tieBreak) — `tieBreak` MUST be unique per row (an event id) or
+    *    the survivor under equal timestamps is partition-order-dependent;
+    *  - the grid spans each key's own [min bucket, max bucket] — keys are
+    *    not stretched to the global range (that join explosion belongs to
+    *    the caller if they want it);
+    *  - gaps forward-fill from the last observed bucket; leading gaps stay
+    *    NULL (`observed` marks real observations). NULL-valued events are
+    *    dropped up front: a NULL observation is no observation, not a fill
+    *    barrier.
+    *
+    * Scale shape: one partial+final aggregation to buckets (shuffle on
+    * (key, bucket) — uniform by construction), one per-key explode of
+    * range/step grid rows, one shuffle for the per-key ordered window.
+    * Grid size is bounded by span/step per key, independent of event
+    * count — resampling 100 TB of events to hourly buckets moves only
+    * (keys × buckets) rows after the first aggregation. The fill window is
+    * a single streamed sort run per key; skew is bounded by the longest
+    * key span, not by event volume. */
+  def resampleGapFill(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, stepSeconds: Long,
+                      tieBreak: String): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val b = events
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        (floor(col(tsCol).cast("long") / stepSeconds) * stepSeconds)
+          .cast("long").as("bucket_s"),
+        col(valueCol).as("v"), col(tsCol).as("__ts"), col(tieBreak).as("__tb"))
+      .groupBy("key", "bucket_s")
+      .agg(max_by(col("v"), struct(col("__ts"), col("__tb"))).as("v"))
+    val grid = b.groupBy("key")
+      .agg(min("bucket_s").as("lo"), max("bucket_s").as("hi"))
+      .select(col("key"),
+        explode(sequence(col("lo"), col("hi"), lit(stepSeconds))).as("bucket_s"))
+    val w = Window.partitionBy("key").orderBy("bucket_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq("key", "bucket_s"), "left")
+      .select(col("key").as(keyCol), col("bucket_s"),
+        last(col("v"), ignoreNulls = true).over(w).as("value"),
+        col("v").isNotNull.as("observed"))
+  }
+}
