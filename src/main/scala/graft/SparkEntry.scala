@@ -1122,10 +1122,24 @@ object SparkEntry {
     "resample_gapfill" -> ((s, dir) => {
       // daily resample + forward fill per user — "latest state as of every
       // interval" feature engineering; survivor per bucket is the last
-      // observation by (ts, event_id), gaps carry the previous value,
-      // leading gaps stay NULL with observed=false
+      // observation by (ts, event_id), gaps carry the previous value
+      // (per-key grids start at the first observed bucket, so every row
+      // carries one; observed=false marks the fills)
       graft.api.TimeSeries.resampleGapFill(loadEvents(s, dir),
           "user_id", "ts", "value", 86400L, "event_id")
+        .orderBy("user_id", "bucket_s")
+    }),
+    "rolling_stats" -> ((s, dir) => {
+      // trailing-7-day window stats over the daily resampled+filled series
+      // (rolling features for training inputs). min/max are selections,
+      // the sum is centi-unit longs — exact on any engine regardless of
+      // window evaluation strategy (Spark accumulates frames
+      // incrementally, DuckDB may use a segment tree; double sums would
+      // diverge in the last bits)
+      graft.api.TimeSeries.rollingStats(
+          graft.api.TimeSeries.resampleGapFill(loadEvents(s, dir),
+            "user_id", "ts", "value", 86400L, "event_id"),
+          "user_id", "bucket_s", "value", 7)
         .orderBy("user_id", "bucket_s")
     }),
     "sessionize_batch" -> ((s, dir) => {
@@ -1912,6 +1926,33 @@ object SparkEntry {
         |       b.v IS NOT NULL AS observed
         |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s
         |ORDER BY 1, 2""".stripMargin,
+    // same grid as resample_gapfill, then the trailing-7 window; the sum
+    // runs over floor(value*100) BIGINTs so both engines add integers
+    "rolling_stats" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400 AS bucket_s,
+        |         arg_max(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000000 + event_id) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(min(bucket_s), max(bucket_s), 86400)) AS bucket_s
+        |  FROM b GROUP BY user_id),
+        |f AS (
+        |  SELECT g.user_id AS user_id, g.bucket_s AS bucket_s,
+        |         last_value(b.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.bucket_s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |  FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s)
+        |SELECT user_id, bucket_s, value,
+        |       min(value) OVER w AS roll_min,
+        |       max(value) OVER w AS roll_max,
+        |       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS roll_sum_x100,
+        |       count(value) OVER w AS roll_cnt,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+        |         / count(value) OVER w AS roll_avg_x100
+        |FROM f
+        |WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, bucket_s""".stripMargin,
     "sessionize_batch" -> sessionizeOracleSql,
     // the streaming replay must equal the batch twin session-for-session,
     // so it shares the batch oracle verbatim

@@ -21,10 +21,11 @@ object TimeSeries {
     *  - the grid spans each key's own [min bucket, max bucket] — keys are
     *    not stretched to the global range (that join explosion belongs to
     *    the caller if they want it);
-    *  - gaps forward-fill from the last observed bucket; leading gaps stay
-    *    NULL (`observed` marks real observations). NULL-valued events are
-    *    dropped up front: a NULL observation is no observation, not a fill
-    *    barrier.
+    *  - gaps forward-fill from the last observed bucket (`observed` marks
+    *    real observations; because each key's grid starts at its first
+    *    observed bucket, every grid row has a fill source and the output
+    *    `value` is never NULL). NULL-valued events are dropped up front: a
+    *    NULL observation is no observation, not a fill barrier.
     *
     * Scale shape: one partial+final aggregation to buckets (shuffle on
     * (key, bucket) — uniform by construction), one per-key explode of
@@ -56,5 +57,37 @@ object TimeSeries {
       .select(col("key").as(keyCol), col("bucket_s"),
         last(col("v"), ignoreNulls = true).over(w).as("value"),
         col("v").isNotNull.as("observed"))
+  }
+
+  /** Rolling-window statistics over a regular series (normally a
+    * [[resampleGapFill]] output): per key, over the trailing `nRows` rows
+    * ordered by `orderCol`, emit min / max / an exact centi-unit sum /
+    * count / mean. NULL values (leading gaps) are skipped by every
+    * aggregate; an all-NULL window yields NULL stats.
+    *
+    * Exactness across engines is designed in, not hoped for: min/max are
+    * selections (bit-exact on any engine), and the sum runs over
+    * `floor(value·100)` longs — integer addition is order-independent,
+    * where a double sum would differ between Spark's incremental frame
+    * accumulation and e.g. DuckDB's segment-tree evaluation. The mean is
+    * one exact division of exact integers. Callers needing different
+    * precision scale the factor, not the design.
+    *
+    * Scale shape: one shuffle on the key, one streamed sort run per key —
+    * frame cost O(nRows) per row (min/max recompute per frame at worst);
+    * skew bounded by the longest per-key series, which for a resampled
+    * grid is span/step, independent of raw event volume. */
+  def rollingStats(series: DataFrame, keyCol: String, orderCol: String,
+                   valueCol: String, nRows: Int): DataFrame = {
+    require(nRows >= 1, s"nRows must be >= 1, got $nRows")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-(nRows - 1L), Window.currentRow)
+    series.select(col(keyCol), col(orderCol), col(valueCol),
+        min(col(valueCol)).over(w).as("roll_min"),
+        max(col(valueCol)).over(w).as("roll_max"),
+        sum(floor(col(valueCol) * 100).cast("long")).over(w).as("roll_sum_x100"),
+        count(col(valueCol)).over(w).as("roll_cnt"))
+      .withColumn("roll_avg_x100",
+        col("roll_sum_x100").cast("double") / col("roll_cnt"))
   }
 }

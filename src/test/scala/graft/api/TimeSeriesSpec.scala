@@ -10,7 +10,7 @@ class TimeSeriesSpec extends AnyFunSuite {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
 
-  test("resampleGapFill: buckets, forward fill, leading gaps, ties, null drop") {
+  test("resampleGapFill: buckets, forward fill, ties, null drop") {
     val events = Seq(
       // key 1: obs at t=0 and t=250; gap bucket [100,200); leading ok
       (1L, ts(10), 5.0, 1L),
