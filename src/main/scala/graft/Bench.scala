@@ -91,15 +91,19 @@ object Bench {
     val total = best.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filterNot(_.isNaN).sum
 
+    // Locale.ROOT: Scala's .format uses the JVM default locale, which on a
+    // non-English machine prints comma decimal separators — invalid JSON,
+    // resurrecting the exact parsed:null failure this file exists to fix
+    def fmt(dp: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     def mapJson(m: Map[String, Double], dp: Int, keep: Set[String] = Set.empty): String =
       m.filter { case (k, _) => keep.isEmpty || keep(k) }
         .map { case (k, v) =>
           val vv = if (v.isNaN) -1.0 else v
-          "\"" + k + "\":" + (if (dp == 0) vv.toString else s"%.${dp}f".format(vv))
+          "\"" + k + "\":" + (if (dp == 0) vv.toString else fmt(dp, vv))
         }.mkString("{", ",", "}")
     def payload(qs: String, extra: String): String =
-      s"""{"metric":"total","value":%.2f,"unit":"sec","queries":$qs$extra,"cold_total_sec":%.2f,"cold_cpu_sec":%.1f,"load_avg_start":%.2f,"sf":"$sfDir"}"""
-        .format(total, coldTotal, coldCpu, loadAvgStart)
+      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":$qs$extra,"cold_total_sec":${fmt(2, coldTotal)},"cold_cpu_sec":${fmt(1, coldCpu)},"load_avg_start":${fmt(2, loadAvgStart)},"sf":"$sfDir"}"""
 
     // Full precision + the per-query cold map go to a file: the driver's
     // stdout capture keeps only the LAST 2000 characters, so the

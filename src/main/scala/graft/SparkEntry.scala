@@ -434,17 +434,34 @@ object SparkEntry {
     // reads CSV/JSON natively; a Spark user needs the same corpus paths).
     // Each gate is a full write -> read-back round trip with an explicit
     // schema, value-checked against the parquet ground truth — so encoder
-    // AND decoder must both be lossless, not just parse.
+    // AND decoder must both be lossless, not just parse. The fixture text
+    // is clean, so the gates DIRTY it deterministically (embedded newline,
+    // quote, comma, trailing space; doc 0 becomes the empty string — the
+    // cases real corpus text actually contains and default CSV configs
+    // actually lose); the oracle reconstructs the same dirtied column.
     "source_csv_roundtrip" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
+      val docs = load(s, dir, "documents").withColumn("text",
+        when(col("doc_id") === 0, lit(""))
+          .otherwise(concat(col("text"), lit("\nq\"uo,te "), col("lang"), lit(" "))))
       val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_csv"
-      docs.write.mode("overwrite").option("header", "true").csv(path)
-      s.read.schema(docs.schema).option("header", "true").csv(path)
+      // the lossless CSV recipe (each option covers a measured loss):
+      // multiLine for embedded newlines; nullValue sentinel so quoted empty
+      // strings aren't read back as NULL; writer whitespace trimming OFF
+      // (it defaults ON and silently eats trailing spaces)
+      docs.write.mode("overwrite").option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "\\N").option("emptyValue", "\"\"")
+        .csv(path)
+      s.read.schema(docs.schema).option("header", "true")
+        .option("multiLine", "true").option("nullValue", "\\N").csv(path)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
     "source_jsonl_roundtrip" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
+      val docs = load(s, dir, "documents").withColumn("text",
+        when(col("doc_id") === 0, lit(""))
+          .otherwise(concat(col("text"), lit("\nq\"uo,te "), col("lang"), lit(" "))))
       val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_jsonl"
       docs.write.mode("overwrite").json(path)
       s.read.schema(docs.schema).json(path)
@@ -1369,10 +1386,16 @@ object SparkEntry {
     // any encode/decode loss (quoting, types, partition-column re-derive)
     // breaks the hash match
     "source_csv_roundtrip" ->
-      """SELECT doc_id, text, lang, source, n_chars
+      """SELECT doc_id,
+        |       CASE WHEN doc_id = 0 THEN ''
+        |            ELSE text || chr(10) || 'q"uo,te ' || lang || ' ' END AS text,
+        |       lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "source_jsonl_roundtrip" ->
-      """SELECT doc_id, text, lang, source, n_chars
+      """SELECT doc_id,
+        |       CASE WHEN doc_id = 0 THEN ''
+        |            ELSE text || chr(10) || 'q"uo,te ' || lang || ' ' END AS text,
+        |       lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "sink_partitioned" ->
       """SELECT doc_id, text, lang, source, n_chars

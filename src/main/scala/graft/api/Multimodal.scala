@@ -72,7 +72,15 @@ object Multimodal {
     * allocates a fresh reader per call, so the object is executor-thread
     * safe with no shared native context. */
   object ImageIoDecoder extends MediaDecoder {
+    // ImageIO's default useCache=true spools every InputStream decode
+    // through a temp FILE — one create/write/delete per row on a scan hot
+    // path, for payloads already in memory. Disable once per JVM (lazy val:
+    // runs on first decode in each executor).
+    @transient private lazy val inMemoryIo: Unit =
+      javax.imageio.ImageIO.setUseCache(false)
+
     def decode(bytes: Array[Byte]): (Long, Int, Int, Double) = {
+      inMemoryIo
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: java.io.IOException | _: RuntimeException => null }

@@ -10,9 +10,16 @@ private[graft] object SparkEnv {
     * value — deployments that set it to `"auto"` (or any vendor-specific
     * token) would otherwise throw NumberFormatException from every operator
     * that sizes a strict repartition off it. The fallback matches what such
-    * deployments mean: "size shuffles to the cluster". */
-  def shufflePartitions(spark: SparkSession): Int = {
-    val raw = spark.conf.get("spark.sql.shuffle.partitions", "")
-    raw.toIntOption.filter(_ > 0).getOrElse(spark.sparkContext.defaultParallelism)
-  }
+    * deployments mean: "size shuffles to the cluster".
+    *
+    * The no-default `conf.get` is deliberate: on an unset session it
+    * returns the registered default ("200"), while `conf.get(key, "")`
+    * would VALIDATE the empty-string fallback against the registered
+    * intConf and throw on every stock session (verified against the
+    * shipped Spark 4.1.2). The Try covers hypothetical sessions where even
+    * the registered lookup fails. */
+  def shufflePartitions(spark: SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions")).toOption
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(spark.sparkContext.defaultParallelism)
 }

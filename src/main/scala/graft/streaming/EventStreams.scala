@@ -512,7 +512,16 @@ object EventStreams {
             ss.table(corpTbl), b, "doc_id", "text",
             ngramWidth, bandCount, bandSize, seed, threshold)
           .select(col("batch_id").as("doc_id")).distinct()
-        val keep = b.join(dup, Seq("doc_id"), "left_anti")
+        // PIN the admission decision before any side effect: keep is lazy,
+        // and the writes below mutate the very tables its probe reads — an
+        // unpinned keep re-evaluates during the index append AFTER the
+        // corpus insert landed this batch's own rows, so intra-batch
+        // near-dup admits (A,B admitted together, sim > threshold) suddenly
+        // see each other as corpus near-dups and BOTH drop out of the
+        // re-evaluation: corpus keeps them but their signature rows are
+        // never appended, and later near-dups probe into a hole. The
+        // localCheckpoint also stops paying the probe join three times.
+        val keep = b.join(dup, Seq("doc_id"), "left_anti").localCheckpoint(true)
         keep.write.mode("append").insertInto(corpTbl)
         graft.api.BandedLsh.appendToSignatureIndex(keep, idxTbl, "doc_id", "text",
           ngramWidth, bandCount, bandSize, seed)

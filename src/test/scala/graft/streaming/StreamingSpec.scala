@@ -251,6 +251,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rollingDedupReplay: intra-batch admits land in the index (pin-before-write)") {
+    // the regression the /code-review pass caught: keep is lazy and the
+    // foreachBatch writes mutate the tables its probe reads — unpinned, the
+    // index append re-evaluated keep AFTER the corpus insert landed A and
+    // B, so the identical pair saw each other as corpus near-dups, dropped
+    // out of the re-evaluation, and their signature rows were never
+    // appended. Observable: a batch-2 duplicate of A probed into the hole
+    // and was wrongly admitted.
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "totally unrelated corpus document body zero"),
+      (1L, "another unrelated corpus document body one"))
+    val dupText = "the exact same brand new document text arriving twice"
+    val stream = Seq(
+      (10L, dupText), (11L, dupText),                     // batch 1: intra-batch pair, BOTH admit
+      (12L, dupText), (13L, "a genuinely fresh document body"))  // batch 2: 12 must block on the appended rows
+    val out = EventStreams.rollingDedupReplay(spark, corpus, stream,
+        nBatches = 2, ngramWidth = 4, bandCount = 8, bandSize = 3,
+        seed = 123L, threshold = 0.5, hotBucketCap = 100000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(out == Seq((10L, true), (11L, true), (12L, false), (13L, true)),
+      s"got $out")
+  }
+
   test("sessionizeBatch matches gap semantics") {
     import spark.implicits._
     val events = Seq(
