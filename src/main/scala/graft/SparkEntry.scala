@@ -1136,6 +1136,15 @@ object SparkEntry {
         .select("event_id", "asof_o_orderkey", "asof_o_totalprice")
         .orderBy("event_id")
     }),
+    "value_stats" -> ((s, dir) => {
+      // exact per-type moments (count/min/max/mean/population variance)
+      // over centi-unit integers — the standardization pass two engines can
+      // agree on bit-exactly, where avg()/var_pop() over raw doubles drift
+      // in the last ulps with accumulation order
+      graft.api.TimeSeries.valueStats(loadEvents(s, dir),
+          Seq("event_type"), "value")
+        .orderBy("event_type")
+    }),
     "resample_gapfill" -> ((s, dir) => {
       // daily resample + forward fill per user — "latest state as of every
       // interval" feature engineering; survivor per bucket is the last
@@ -1949,6 +1958,18 @@ object SparkEntry {
         |       b.v IS NOT NULL AS observed
         |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_s = b.bucket_s
         |ORDER BY 1, 2""".stripMargin,
+    // integer-exact moments: HUGEINT sums of centi-units, variance as
+    // (n*Sxx - Sx^2)/n^2 with one final exact-integer->double division
+    "value_stats" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS HUGEINT) AS x, value
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+        |       CAST(sum(x) AS DOUBLE) / count(*) AS mean_x100,
+        |       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+        |         / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_x100
+        |FROM c GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // same grid as resample_gapfill, then the trailing-7 window; the sum
     // runs over floor(value*100) BIGINTs so both engines add integers
     "rolling_stats" ->

@@ -77,6 +77,33 @@ object TimeSeries {
     * frame cost O(nRows) per row (min/max recompute per frame at worst);
     * skew bounded by the longest per-key series, which for a resampled
     * grid is span/step, independent of raw event volume. */
+  /** Exact per-group moment statistics over a double column, via centi-unit
+    * integer arithmetic: count, min, max, mean and population variance of
+    * `floor(value·100)` — the standardization pass (feature scaling,
+    * outlier thresholds) computed so two engines agree BIT-exactly.
+    * `avg`/`var_pop` over raw doubles are accumulation-order-dependent
+    * (Spark's partial aggregation tree vs a columnar engine's blocks differ
+    * in the last ulps); over longs, Σx and Σx² are exact in any order, and
+    * mean = Σx/n, var = (n·Σx² − (Σx)²)/n² are single exact-integer
+    * divisions. Σx² of centi-units overflows Long at ~9·10^8 rows per group
+    * for values ~|1000|, so both sums run as DECIMAL(38,0) — overflow-free
+    * to ~10^18 rows. One partial+final aggregation; only the five
+    * fixed-size accumulators cross the shuffle. */
+  def valueStats(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val x = floor(col(valueCol) * 100).cast("decimal(38,0)")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"),
+        sum(x).as("__s"), sum(x * x).as("__s2"))
+      .select(keyCols.map(col) ++ Seq(
+        col("n"), col("min_v"), col("max_v"),
+        (col("__s").cast("double") / col("n")).as("mean_x100"),
+        ((col("n").cast("decimal(38,0)") * col("__s2") - col("__s") * col("__s")).cast("double")
+          / (col("n").cast("double") * col("n").cast("double"))).as("var_x100")): _*)
+  }
+
   def rollingStats(series: DataFrame, keyCol: String, orderCol: String,
                    valueCol: String, nRows: Int): DataFrame = {
     require(nRows >= 1, s"nRows must be >= 1, got $nRows")

@@ -38,6 +38,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     ))
   }
 
+  test("valueStats: exact centi-unit moments, negatives floor toward -inf, nulls drop") {
+    val df = Seq(
+      (Some(1.0), "a"), (Some(2.0), "a"), (Some(4.0), "a"),
+      (Some(-0.015), "b"), (None: Option[Double], "b")
+    ).toDF("value", "event_type")
+    val out = TimeSeries.valueStats(df, Seq("event_type"), "value")
+      .orderBy("event_type").collect()
+    // group a: x = (100, 200, 400); n=3, mean = 700/3, var = (3*210000-490000)/9
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == 1.0 && out(0).getDouble(3) == 4.0)
+    assert(out(0).getDouble(4) == 700.0 / 3)
+    assert(out(0).getDouble(5) == (3.0 * 210000 - 490000) / 9)
+    // group b: floor(-1.5) = -2 (toward -inf, matching every SQL floor);
+    // the NULL row contributes nothing
+    assert(out(1).getLong(1) == 1L && out(1).getDouble(4) == -2.0
+      && out(1).getDouble(5) == 0.0)
+  }
+
   test("resampleGapFill: grid spans each key's own range, not the global one") {
     val events = Seq(
       (1L, ts(0), 1.0, 1L), (1L, ts(900), 2.0, 2L),
