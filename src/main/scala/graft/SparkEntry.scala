@@ -1215,6 +1215,23 @@ object SparkEntry {
         .orderBy("band", "id_a", "id_b")
     }),
 
+    "stream_resample_last" -> ((s, dir) => {
+      import s.implicits._
+      // streaming twin of resample_gapfill's bucketing stage: per (1-day
+      // window, user) the max-(ts, event_id) observation survives; the
+      // unique tie key makes the survivor arrival-order-deterministic, so
+      // the replay is bit-equal to the batch bucketing (gap FILLING stays
+      // batch-side — it needs closed predecessors)
+      val events = loadEvents(s, dir)
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      graft.streaming.EventStreams.windowedLastValueReplay(s, events, "1 day", 3)
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("user_id"), col("last_value"))
+        .orderBy("win_start", "user_id")
+    }),
     "stream_windowed_counts" -> ((s, dir) => {
       import s.implicits._
       // the streaming twin of q9_events_window, replayed over micro-batches;
@@ -1970,6 +1987,15 @@ object SparkEntry {
         |         / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_x100
         |FROM c GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // the streaming bucketing twin: per (day, user) last observation by the
+    // same HUGEINT composite tie key as resample_gapfill
+    "stream_resample_last" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS win_start,
+        |       user_id,
+        |       arg_max(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000000 + event_id) AS last_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // same grid as resample_gapfill, then the trailing-7 window; the sum
     // runs over floor(value*100) BIGINTs so both engines add integers
     "rolling_stats" ->

@@ -360,6 +360,46 @@ object EventStreams {
     spark.table(sink).filter(col("event_type") =!= "flush")
   }
 
+  /** Windowed last observation per user — the streaming face of
+    * [[graft.api.TimeSeries.resampleGapFill]]'s bucketing stage: per
+    * (window, user), the value of the max-(ts, event_id) event survives. A
+    * declarative max_by aggregate, so it runs identically in streaming
+    * (append mode + watermark) and batch, and the unique tie key makes the
+    * survivor deterministic for ANY arrival order — which is what lets the
+    * replay land bit-equal on the batch twin. Forward-FILL deliberately
+    * stays batch-side: filling bucket k requires bucket k-1 CLOSED (a
+    * per-key ordered pass over emitted windows), not an open streaming
+    * aggregation. NULL values are skipped (no observation). */
+  def windowedLastValue(events: DataFrame, windowLen: String = "1 day",
+                        watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), windowLen), col("user_id"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"))
+      .select(col("window.start").as("win_start"), col("user_id"), col("last_value"))
+  }
+
+  /** Replay harness for [[windowedLastValue]] — same contract as
+    * [[windowedCountsReplay]]: far watermark, flush event, closed windows
+    * equal the batch twin for any micro-batch split. */
+  def windowedLastValueReplay(spark: SparkSession, events: Seq[Event],
+                              windowLen: String = "1 day", nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sink = s"graft_lastval_replay_${replaySeq.incrementAndGet()}"
+    val q = windowedLastValue(mem.toDF(), windowLen, watermark = "3650 days")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (events.size + nBatches - 1) / nBatches)
+      events.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val far = new Timestamp(events.iterator.map(_.ts.getTime).max + 4000L * 86400_000L)
+      mem.addData(Event(-1L, far, -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).filter(col("user_id") =!= -1L)
+  }
+
   /** Replay a finite event set through [[windowedDistinctUsers]] — same
     * harness as [[windowedCountsReplay]] (append mode, far watermark so
     * nothing is late, flush event to close every real window). The sketch's
