@@ -1215,6 +1215,26 @@ object SparkEntry {
         .orderBy("band", "id_a", "id_b")
     }),
 
+    "stream_attribution_join" -> ((s, dir) => {
+      import s.implicits._
+      // stream-stream interval join: every purchase attributed to the same
+      // user's clicks in the preceding hour, replayed over two
+      // MemoryStreams with clicks fed ahead of purchases so cross-batch
+      // matches are load-bearing; inner matches emit exactly once, so the
+      // replay equals DuckDB's batch self-join
+      val events = loadEvents(s, dir)
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.EventStreams.Event].collect().toSeq.sortBy(_.ts.getTime)
+      graft.streaming.EventStreams.attributionJoinReplay(s,
+          events.filter(_.event_type == "click"),
+          events.filter(_.event_type == "purchase"), "1 hour", 3)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts").cast("long").as("click_s"),
+          col("purchase_ts").cast("long").as("purchase_s"), col("value"))
+        .orderBy("click_id", "purchase_id")
+    }),
     "stream_resample_last" -> ((s, dir) => {
       import s.implicits._
       // streaming twin of resample_gapfill's bucketing stage: per (1-day
@@ -1987,6 +2007,18 @@ object SparkEntry {
         |         / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_x100
         |FROM c GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // batch self-join ground truth for the stream-stream interval join
+    "stream_attribution_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.user_id AS user_id,
+        |       CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS click_s,
+        |       CAST(floor(epoch(CAST(p.ts AS TIMESTAMP))) AS BIGINT) AS purchase_s,
+        |       p.value AS value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     // the streaming bucketing twin: per (day, user) last observation by the
     // same HUGEINT composite tie key as resample_gapfill
     "stream_resample_last" ->

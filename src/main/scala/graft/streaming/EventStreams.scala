@@ -360,6 +360,61 @@ object EventStreams {
     spark.table(sink).filter(col("event_type") =!= "flush")
   }
 
+  /** Stream-stream interval join — click-to-purchase attribution: each
+    * purchase joins every click by the same user in the preceding
+    * `maxDelay`. The canonical two-stream stateful join: both sides carry
+    * watermarks and the join predicate carries the time bound, so Spark
+    * can size the buffered state to watermark + delay instead of holding
+    * both streams forever — state is O(events within the delay horizon),
+    * the property that keeps this runnable on an unbounded 100 TB/day
+    * event feed. Inner-join matches emit as they form, so the result set
+    * equals the batch join for any micro-batch split with no window
+    * closing needed. Works identically on batch inputs (no watermark, same
+    * predicate). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      maxDelay: String = "1 hour",
+                      watermark: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val c = wm(clicks).select(col("event_id").as("click_id"),
+      col("ts").as("click_ts"), col("user_id"))
+    val p = wm(purchases).select(col("event_id").as("purchase_id"),
+      col("ts").as("purchase_ts"), col("user_id").as("p_user"), col("value"))
+    c.join(p, expr(s"user_id = p_user AND purchase_ts >= click_ts " +
+        s"AND purchase_ts <= click_ts + interval $maxDelay"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
+  /** Replay harness for [[attributionJoin]]: two MemoryStreams fed in
+    * alternating chunks (clicks slightly ahead, so cross-batch matches —
+    * purchase arriving batches after its click — are exercised). Inner
+    * interval joins need no flush event: every match emits once both sides
+    * have arrived. */
+  def attributionJoinReplay(spark: SparkSession, clicks: Seq[Event],
+                            purchases: Seq[Event], maxDelay: String = "1 hour",
+                            nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sink = s"graft_attr_replay_${replaySeq.incrementAndGet()}"
+    val q = attributionJoin(memC.toDF(), memP.toDF(), maxDelay, watermark = "3650 days")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = (xs: Seq[Event]) => math.max(1, (xs.size + nBatches - 1) / nBatches)
+      val cs = clicks.grouped(chunk(clicks)).toSeq
+      val ps = purchases.grouped(chunk(purchases)).toSeq
+      for (i <- 0 until math.max(cs.size, ps.size)) {
+        if (i < cs.size) memC.addData(cs(i))
+        q.processAllAvailable()
+        if (i < ps.size) memP.addData(ps(i))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+  }
+
   /** Windowed last observation per user — the streaming face of
     * [[graft.api.TimeSeries.resampleGapFill]]'s bucketing stage: per
     * (window, user), the value of the max-(ts, event_id) event survives. A
