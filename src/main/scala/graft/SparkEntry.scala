@@ -40,6 +40,18 @@ object SparkEntry {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The streaming replay harnesses feed typed Events from the driver; the
+    * collect IS the harness (MemoryStream takes local data), not a query
+    * plan — one definition so a schema tweak can't miss a site. */
+  private def eventsSeq(spark: SparkSession, dir: String): Seq[graft.streaming.EventStreams.Event] = {
+    import spark.implicits._
+    loadEvents(spark, dir)
+      .select(col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[graft.streaming.EventStreams.Event].collect().toSeq
+  }
+
   private def withLsh(spark: SparkSession): SparkSession = {
     graft.sql.LshFunctions.register(spark)
     spark
@@ -1222,11 +1234,7 @@ object SparkEntry {
       // MemoryStreams with clicks fed ahead of purchases so cross-batch
       // matches are load-bearing; inner matches emit exactly once, so the
       // replay equals DuckDB's batch self-join
-      val events = loadEvents(s, dir)
-        .select(col("event_id").cast("long").as("event_id"), col("ts"),
-          col("user_id").cast("long").as("user_id"), col("event_type"),
-          col("value").cast("double").as("value"))
-        .as[graft.streaming.EventStreams.Event].collect().toSeq.sortBy(_.ts.getTime)
+      val events = eventsSeq(s, dir).sortBy(_.ts.getTime)
       graft.streaming.EventStreams.attributionJoinReplay(s,
           events.filter(_.event_type == "click"),
           events.filter(_.event_type == "purchase"), "1 hour", 3)
@@ -1242,11 +1250,7 @@ object SparkEntry {
       // unique tie key makes the survivor arrival-order-deterministic, so
       // the replay is bit-equal to the batch bucketing (gap FILLING stays
       // batch-side — it needs closed predecessors)
-      val events = loadEvents(s, dir)
-        .select(col("event_id").cast("long").as("event_id"), col("ts"),
-          col("user_id").cast("long").as("user_id"), col("event_type"),
-          col("value").cast("double").as("value"))
-        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      val events = eventsSeq(s, dir)
       graft.streaming.EventStreams.windowedLastValueReplay(s, events, "1 day", 3)
         .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
           col("user_id"), col("last_value"))
@@ -1257,11 +1261,7 @@ object SparkEntry {
       // the streaming twin of q9_events_window, replayed over micro-batches;
       // append-mode windows close as the watermark advances and must equal
       // the batch aggregation exactly
-      val events = loadEvents(s, dir)
-        .select(col("event_id").cast("long").as("event_id"), col("ts"),
-          col("user_id").cast("long").as("user_id"), col("event_type"),
-          col("value").cast("double").as("value"))
-        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      val events = eventsSeq(s, dir)
       graft.streaming.EventStreams.windowedCountsReplay(s, events, "1 hour", 3)
         .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
           col("event_type"), col("cnt"), col("min_v"), col("max_v"))
@@ -1274,11 +1274,7 @@ object SparkEntry {
       // the mergeable HDR histogram can, and its order invariance makes the
       // replay bit-equal to a batch fold — pinned by the Python VALUES
       // oracle re-deriving every window's buckets
-      val events = loadEvents(s, dir)
-        .select(col("event_id").cast("long").as("event_id"), col("ts"),
-          col("user_id").cast("long").as("user_id"), col("event_type"),
-          col("value").cast("double").as("value"))
-        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      val events = eventsSeq(s, dir)
       graft.streaming.EventStreams.windowedQuantilesReplay(s, events, "1 hour", 3, b = 5)
         .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
           col("event_type"), col("p50_x100"), col("p95_x100"))
@@ -1291,11 +1287,7 @@ object SparkEntry {
       // sketch is the answer — and its order invariance makes the replayed
       // estimates bit-equal to a batch run, which the Python VALUES oracle
       // (register-level re-derivation) pins per window
-      val events = loadEvents(s, dir)
-        .select(col("event_id").cast("long").as("event_id"), col("ts"),
-          col("user_id").cast("long").as("user_id"), col("event_type"),
-          col("value").cast("double").as("value"))
-        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      val events = eventsSeq(s, dir)
       graft.streaming.EventStreams.windowedDistinctReplay(s, events, "1 hour", 3, p = 10)
         .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
           col("event_type"), col("approx_users"))
@@ -1307,11 +1299,7 @@ object SparkEntry {
       // completes the streaming sketch family (counts/HLL/HDR/CMS). Watched
       // keys 0..4; replayed estimates are bit-equal to a batch fold (sketch
       // order invariance), pinned by the Python counter re-derivation.
-      val events = loadEvents(s, dir)
-        .select(col("event_id").cast("long").as("event_id"), col("ts"),
-          col("user_id").cast("long").as("user_id"), col("event_type"),
-          col("value").cast("double").as("value"))
-        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      val events = eventsSeq(s, dir)
       graft.streaming.EventStreams.windowedFreqReplay(s, events,
           probeUsers = Seq(0L, 1L, 2L, 3L, 4L), "1 hour", 3, d = 4, log2w = 12)
         .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),

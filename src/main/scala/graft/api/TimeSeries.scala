@@ -77,18 +77,39 @@ object TimeSeries {
     * frame cost O(nRows) per row (min/max recompute per frame at worst);
     * skew bounded by the longest per-key series, which for a resampled
     * grid is span/step, independent of raw event volume. */
+  def rollingStats(series: DataFrame, keyCol: String, orderCol: String,
+                   valueCol: String, nRows: Int): DataFrame = {
+    require(nRows >= 1, s"nRows must be >= 1, got $nRows")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-(nRows - 1L), Window.currentRow)
+    series.select(col(keyCol), col(orderCol), col(valueCol),
+        min(col(valueCol)).over(w).as("roll_min"),
+        max(col(valueCol)).over(w).as("roll_max"),
+        sum(floor(col(valueCol) * 100).cast("long")).over(w).as("roll_sum_x100"),
+        count(col(valueCol)).over(w).as("roll_cnt"))
+      .withColumn("roll_avg_x100",
+        col("roll_sum_x100").cast("double") / col("roll_cnt"))
+  }
+
   /** Exact per-group moment statistics over a double column, via centi-unit
     * integer arithmetic: count, min, max, mean and population variance of
     * `floor(value·100)` — the standardization pass (feature scaling,
     * outlier thresholds) computed so two engines agree BIT-exactly.
     * `avg`/`var_pop` over raw doubles are accumulation-order-dependent
     * (Spark's partial aggregation tree vs a columnar engine's blocks differ
-    * in the last ulps); over longs, Σx and Σx² are exact in any order, and
-    * mean = Σx/n, var = (n·Σx² − (Σx)²)/n² are single exact-integer
+    * in the last ulps); over integers, Σx and Σx² are exact in any order,
+    * and mean = Σx/n, var = (n·Σx² − (Σx)²)/n² are single exact-integer
     * divisions. Σx² of centi-units overflows Long at ~9·10^8 rows per group
-    * for values ~|1000|, so both sums run as DECIMAL(38,0) — overflow-free
-    * to ~10^18 rows. One partial+final aggregation; only the five
-    * fixed-size accumulators cross the shuffle. */
+    * for values ~|1000|, so both sums run as DECIMAL(38,0).
+    *
+    * Exactness bound: the variance numerator n·Σx² ≤ (n·max|x|)² must fit
+    * 38 digits, i.e. n·max|x| < 10^19 — about 10^14 rows per group at
+    * values ~|1000| (centi-units ~10^5). Past that the decimal product
+    * overflows, and under Spark's default non-ANSI mode that means a
+    * SILENT NULL in `var_x100`, not an error — callers at that scale
+    * should pre-aggregate per partition-period or rescale the factor.
+    * One partial+final aggregation; only the five fixed-size accumulators
+    * cross the shuffle. */
   def valueStats(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
     val x = floor(col(valueCol) * 100).cast("decimal(38,0)")
     df.filter(col(valueCol).isNotNull)
@@ -102,19 +123,5 @@ object TimeSeries {
         (col("__s").cast("double") / col("n")).as("mean_x100"),
         ((col("n").cast("decimal(38,0)") * col("__s2") - col("__s") * col("__s")).cast("double")
           / (col("n").cast("double") * col("n").cast("double"))).as("var_x100")): _*)
-  }
-
-  def rollingStats(series: DataFrame, keyCol: String, orderCol: String,
-                   valueCol: String, nRows: Int): DataFrame = {
-    require(nRows >= 1, s"nRows must be >= 1, got $nRows")
-    val w = Window.partitionBy(keyCol).orderBy(orderCol)
-      .rowsBetween(-(nRows - 1L), Window.currentRow)
-    series.select(col(keyCol), col(orderCol), col(valueCol),
-        min(col(valueCol)).over(w).as("roll_min"),
-        max(col(valueCol)).over(w).as("roll_max"),
-        sum(floor(col(valueCol) * 100).cast("long")).over(w).as("roll_sum_x100"),
-        count(col(valueCol)).over(w).as("roll_cnt"))
-      .withColumn("roll_avg_x100",
-        col("roll_sum_x100").cast("double") / col("roll_cnt"))
   }
 }

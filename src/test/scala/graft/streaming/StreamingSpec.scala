@@ -251,6 +251,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedLastValue replay equals the batch twin; tie key decides survivors") {
+    import spark.implicits._
+    val events = Seq(
+      EventStreams.Event(1L, ts(10), 100L, "m", 1.0),
+      EventStreams.Event(3L, ts(50), 100L, "m", 3.0),   // same ts as id 2...
+      EventStreams.Event(2L, ts(50), 100L, "m", 2.0),   // ...id 3 wins the tie
+      EventStreams.Event(4L, ts(7200), 100L, "m", 4.0), // next window
+      EventStreams.Event(5L, ts(20), 200L, "m", 5.0))
+    val streamed = EventStreams.windowedLastValueReplay(spark, events, "1 hour", nBatches = 3)
+      .orderBy("win_start", "user_id").collect().map(_.toSeq).toSeq
+    val batch = EventStreams.windowedLastValue(
+        events.toDF(), "1 hour", watermark = "1 hour")
+      .orderBy("win_start", "user_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(batch.map(r => (r(1), r(2))) ==
+      Seq((100L, 3.0), (200L, 5.0), (100L, 4.0)))
+  }
+
+  test("attributionJoin replay equals the batch join; cross-batch matches emit") {
+    import spark.implicits._
+    // NB: this suite's ts() is in MINUTES
+    val clicks = Seq(
+      EventStreams.Event(1L, ts(0), 100L, "click", 0.0),
+      EventStreams.Event(2L, ts(100), 100L, "click", 0.0),
+      EventStreams.Event(3L, ts(0), 200L, "click", 0.0))
+    val purchases = Seq(
+      EventStreams.Event(10L, ts(60), 100L, "purchase", 9.5),  // 60 min after click 1 — the INCLUSIVE boundary
+      EventStreams.Event(11L, ts(130), 100L, "purchase", 1.0), // 30 min after click 2; 130 > 60 excludes click 1
+      EventStreams.Event(12L, ts(50), 300L, "purchase", 2.0))  // no click for user 300
+    val streamed = EventStreams.attributionJoinReplay(spark, clicks, purchases,
+        "1 hour", nBatches = 2)
+      .orderBy("click_id", "purchase_id").collect().map(_.toSeq).toSeq
+    val batch = EventStreams.attributionJoin(clicks.toDF(), purchases.toDF(), "1 hour")
+      .orderBy("click_id", "purchase_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(batch.map(r => (r(0), r(1))) == Seq((1L, 10L), (2L, 11L)))
+  }
+
   test("rollingDedupReplay: intra-batch admits land in the index (pin-before-write)") {
     // the regression the /code-review pass caught: keep is lazy and the
     // foreachBatch writes mutate the tables its probe reads — unpinned, the
