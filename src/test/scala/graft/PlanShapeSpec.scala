@@ -251,6 +251,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("value_stats folds map-side: partial hash aggregate before the exchange") {
+    // the exact-moments contract is only scale-safe if the five fixed-size
+    // accumulators combine map-side — a final-only aggregate would shuffle
+    // every row to the group's reducer
+    val plan = planOf("value_stats")
+    val lines = plan.linesIterator.toSeq
+    val partial = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_"))
+    val finalAgg = lines.indexWhere(l =>
+      l.contains("HashAggregate") && !l.contains("partial_"))
+    assert(partial >= 0, s"no partial aggregate in plan:\n$plan")
+    assert(finalAgg >= 0 && finalAgg < partial, // executed plans print top-down
+      s"final merge must consume the exchange above the partial:\n$plan")
+  }
+
   test("sink_partitioned readback prunes to the filtered partition directory") {
     // the 100 TB layout contract: a filter on the partition column must
     // become a PartitionFilter (directory pruning — the other languages'
