@@ -809,6 +809,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    "cosine_lsh_pairs" -> ((s, dir) => {
+      // random-hyperplane (sign) LSH completes the blocking-family triad:
+      // 64-bit sketches, 8 bands of 8 bits, exact-cosine verification at
+      // 0.3 (4603 candidates of 125k possible pairs -> 121 verified at this
+      // fixture). Oracle: full Python re-derivation (StdRng hyperplanes ->
+      // sketches -> chunk buckets -> cosine), pinned VALUES.
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      graft.api.Ann.cosineLshPairs(emb, nbits = 64, bands = 8, seed = 41L,
+          threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
     "cosine_adjacent" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -1415,6 +1427,7 @@ object SparkEntry {
     "token_count_bpe" -> valuesOracle("token_count_bpe"),
     "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
     "ann_recall" -> valuesOracle("ann_recall"),
+    "cosine_lsh_pairs" -> valuesOracle("cosine_lsh_pairs"),
     "stream_rolling_dedup" -> valuesOracle("stream_rolling_dedup"),
     // round-trip sources: the oracle is the parquet ground truth itself —
     // any encode/decode loss (quoting, types, partition-column re-derive)

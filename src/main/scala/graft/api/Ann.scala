@@ -25,6 +25,48 @@ object Ann {
     dot / (na * nb)
   }
 
+  /** Cosine near-dup pair mining via random-hyperplane (sign) LSH — the
+    * third blocking family next to MinHash (Jaccard) and p-stable
+    * (Euclidean): each vector's 64-bit [[graft.functions.cosine_sketch64]]
+    * splits into `bands` equal bit-chunks; two vectors are candidates iff
+    * some chunk matches exactly (for sketches within Hamming distance
+    * bands−1 this is the pigeonhole guarantee, and chunk-match probability
+    * decays as (1 − θ/π)^(64/bands) — tune bands for the recall/cost
+    * point); candidates verify with exact cosine > `threshold`.
+    *
+    * Scale shape, same as the MinHash band join: ids+chunks only through
+    * the blocking shuffle and the distinct (shuffling d-dim vectors through
+    * candidate dedup would multiply volume by the embedding width); vectors
+    * re-attach by id join for the verify step. All-pairs never happens —
+    * cost is per-bucket quadratic, with the same mega-bucket caveats (and
+    * mitigations) as the MinHash path. */
+  def cosineLshPairs(df: DataFrame, nbits: Int, bands: Int, seed: Long,
+                     threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bands >= 1 && nbits % bands == 0,
+      s"bands must divide nbits, got nbits=$nbits bands=$bands")
+    val width = nbits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val sk = df.select(col(idCol).as("id"),
+      graft.functions.cosine_sketch64(col(vecCol), nbits, seed).as("sk"))
+    val banded = sk.select(col("id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sk"))
+      .withColumn("chunk",
+        expr(s"shiftrightunsigned(sk, band * $width)").bitwiseAND(lit(mask)))
+      .select("id", "band", "chunk")
+    val a = banded.select(col("id").as("id_a"), col("band"), col("chunk"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("chunk"))
+    val cand = a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Exact top-k neighbors for each query row (brute force). `queries` must
     * be small enough to broadcast; the corpus is never shuffled — the ranking
     * happens per corpus partition and only k rows per query survive. */

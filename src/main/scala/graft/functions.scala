@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, BpeRanks, CmsBuild, CmsEstimate, ColumnShim, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, BpeRanks, CmsBuild, CmsEstimate, ColumnShim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -120,6 +120,10 @@ object functions {
 
   /** Engine-pinned natural log on [1, ∞) — deterministic across engines. */
   def ln_pinned(x: Column): Column = toCol(LnPinned(col2expr(x)))
+
+  /** 64-bit random-hyperplane cosine sketch (sign LSH). */
+  def cosine_sketch64(vec: Column, nbits: Int, seed: Long): Column =
+    toCol(CosineSketch64(col2expr(vec), nbits, seed))
 
   /** Byte-level BPE token count under a caller-supplied merge list (the
     * public GPT-2-family algorithm; no model file is bundled — learned

@@ -647,6 +647,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("Ann.cosineLshPairs: sign-LSH blocking finds near-parallel vectors, verifies exactly") {
+    // identical direction -> identical sketch -> candidate in every chunk;
+    // near-parallel (tiny perturbation) -> sketch within a few bits ->
+    // pigeonhole chunk match; unrelated directions drop at verification or
+    // never collide. Every emitted pair must genuinely pass the threshold
+    // (blocking can lose pairs, never invent them).
+    val base = Array.tabulate(16)(i => math.sin(i * 0.9) + 1.5)
+    val near = base.zipWithIndex.map { case (v, i) => v + (if (i == 0) 1e-6 else 0.0) }
+    val anti = base.map(-_)
+    val vecs = Seq(
+      (1L, base), (2L, base.map(_ * 2.0)), // same direction, sim = 1
+      (3L, near),                          // near-parallel
+      (4L, anti)                           // opposite: sim = -1, never passes
+    ).toDF("vec_id", "embedding")
+    val rows = Ann.cosineLshPairs(vecs, nbits = 64, bands = 8, seed = 41L, threshold = 0.9)
+      .orderBy("id_a", "id_b").collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"got ${got.mkString(",")}")
+    assert(got.forall(_._3 > 0.9))
+    assert(got.head._3 == 1.0) // scaled copy: exactly parallel
+    // determinism: same seed, same sketches, same pairs
+    val again = Ann.cosineLshPairs(vecs, 64, 8, 41L, 0.9)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+  }
+
   test("Ann bucketed-table index serves identical results to the direct path") {
     val vecs = (0L until 60L).map(i =>
       (i, Array.tabulate(6)(d => math.cos(i * 0.7 + d) * 3.0))).toDF("vec_id", "embedding")

@@ -700,6 +700,52 @@ def main(sf_dir, spark_dir):
         ") AS t(method, n_hits, n_total, recall)\nORDER BY method")
     custom["ann_recall"] = (ar_rows, ("method", "n_hits", "n_total", "recall"), ar_sql)
 
+    # ---- cosine_lsh_pairs: random-hyperplane (sign) LSH blocking + exact
+    # cosine verification (mirrors Ann.cosineLshPairs / CosineFamily: 64
+    # N(0,1) hyperplanes drawn bit-major from StdRng(41); bit = dot >= 0;
+    # 8 bands of 8 bits; candidates share a chunk; verified sim > 0.3).
+    cl_nbits, cl_bands, cl_seed, cl_thr = 64, 8, 41, 0.3
+    cl_d = len(next(iter(vecs.values())))
+    cl_rng = vk.StdRng(cl_seed)
+    cl_dirs = [[vk.std_normal(cl_rng) for _ in range(cl_d)]
+               for _ in range(cl_nbits)]
+
+    def cl_sketch(x):
+        bits = 0
+        for b_ in range(cl_nbits):
+            acc = 0.0
+            row = cl_dirs[b_]
+            for k_ in range(cl_d):
+                acc += x[k_] * row[k_]
+            if acc >= 0.0:
+                bits |= (1 << b_)
+        return bits
+
+    cl_sk = {vid: cl_sketch(v) for vid, v in vecs.items()}
+    cl_width = cl_nbits // cl_bands
+    cl_mask = (1 << cl_width) - 1
+    cl_buckets = {}
+    for vid, s_ in cl_sk.items():
+        for b_ in range(cl_bands):
+            cl_buckets.setdefault((b_, (s_ >> (b_ * cl_width)) & cl_mask), []).append(vid)
+    cl_cand = set()
+    for ids in cl_buckets.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cl_cand.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    cl_rows = []
+    for a_, b_ in sorted(cl_cand):
+        s_ = cosine(vecs[a_], vecs[b_])
+        if s_ > cl_thr:
+            cl_rows.append((a_, b_, s_))
+    cl_sql = (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,"
+        " CAST(sim AS DOUBLE) AS sim\n"
+        "FROM (VALUES\n"
+        f"{values_block([(a_, b_, repr(s_)) for a_, b_, s_ in cl_rows])}\n"
+        ") AS t(id_a, id_b, sim)\nORDER BY id_a, id_b")
+    custom["cosine_lsh_pairs"] = (cl_rows, ("id_a", "id_b", "sim"), cl_sql)
+
     customers = con.execute(
         f"SELECT c_custkey, c_name FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
     ).fetchall()
@@ -1412,6 +1458,7 @@ def main(sf_dir, spark_dir):
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
                     "multimodal_features_real": "media_id",
                     "ann_recall": "method",
+                    "cosine_lsh_pairs": "id_a, id_b",
                     "stream_rolling_dedup": "doc_id",
                     "ann_topk_lsh": 'query_id, "rank"',
                     "ann_topk_lsh_bucketed": 'query_id, "rank"',
