@@ -43,25 +43,27 @@ object Ann {
   def cosineLshPairs(df: DataFrame, nbits: Int, bands: Int, seed: Long,
                      threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(bands >= 1 && nbits % bands == 0,
-      s"bands must divide nbits, got nbits=$nbits bands=$bands")
-    val width = nbits / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    val sk = df.select(col(idCol).as("id"),
+    // Zero-norm vectors have no direction: their cosine is undefined (the
+    // norm division throws DIVIDE_BY_ZERO under Spark 4's default ANSI
+    // mode, or yields NaN — which Spark's ordering ranks ABOVE every
+    // threshold — under non-ANSI), and they sketch to all-ones bits so
+    // they'd always collide with each other. Excluded up front, like the
+    // empty-shingle guard in the MinHash path.
+    val live = df.filter(
+      aggregate(col(vecCol), lit(0.0), (acc, v) => acc + v * v) > 0.0)
+    val sk = live.select(col(idCol).as("id"),
       graft.functions.cosine_sketch64(col(vecCol), nbits, seed).as("sk"))
     val banded = sk.select(col("id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sk"))
-      .withColumn("chunk",
-        expr(s"shiftrightunsigned(sk, band * $width)").bitwiseAND(lit(mask)))
-      .select("id", "band", "chunk")
+        posexplode(SketchBlocking.chunks(col("sk"), bands, nbits)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val a = banded.select(col("id").as("id_a"), col("band"), col("chunk"))
     val b = banded.select(col("id").as("id_b"), col("band"), col("chunk"))
     val cand = a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
-      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .join(live.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(live.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") > threshold)
       .select("id_a", "id_b", "sim")

@@ -65,13 +65,10 @@ object Dedup {
     * blocking), then verified with a full Hamming-distance threshold. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       bands: Int, maxHamming: Int): DataFrame = {
-    val width = 64 / bands
     val sim = df.select(col(idCol).as("id"), col(textCol).as("text"),
       graft.functions.simhash64(col(textCol)).as("sh"))
     val banded = sim.select(col("id"), col("sh"),
-      posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("sh"), b * width)
-          .bitwiseAND(lit((1L << width) - 1))): _*)))
+      posexplode(SketchBlocking.chunks(col("sh"), bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("chunk"))
     val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"), col("chunk"))

@@ -721,7 +721,10 @@ def main(sf_dir, spark_dir):
                 bits |= (1 << b_)
         return bits
 
-    cl_sk = {vid: cl_sketch(v) for vid, v in vecs.items()}
+    # zero-norm vectors are excluded up front (no direction; mirrors the
+    # operator's guard — under ANSI Spark the cosine division would throw)
+    cl_sk = {vid: cl_sketch(v) for vid, v in vecs.items()
+             if any(x != 0.0 for x in v)}
     cl_width = cl_nbits // cl_bands
     cl_mask = (1 << cl_width) - 1
     cl_buckets = {}
