@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output goes straight to this process's stdout/stderr, unprefixed.
+// sbt's default LoggedOutput wraps every forked line in "[info] ", which
+// breaks the driver's machine-line JSON parse (BENCH "parsed": null).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

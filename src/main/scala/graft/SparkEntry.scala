@@ -2048,7 +2048,7 @@ object SparkEntry {
         |SELECT user_id, bucket_s, value,
         |       min(value) OVER w AS roll_min,
         |       max(value) OVER w AS roll_max,
-        |       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS roll_sum_x100,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS roll_sum_x100,
         |       count(value) OVER w AS roll_cnt,
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS DOUBLE)
         |         / count(value) OVER w AS roll_avg_x100

@@ -69,11 +69,29 @@ object Ann {
       .select("id_a", "id_b", "sim")
   }
 
+  /** The "queries must be small" contract, ENFORCED: every ANN path either
+    * collects the query batch to the driver or broadcasts it to all
+    * executors, so a 10 M-row query side would OOM silently — long after
+    * the job was submitted, with an opaque heap error. Counting
+    * `limit(cap+1)` short-circuits at cap+1 rows (LocalLimit), so the probe
+    * costs one cheap job, never a full scan of a large query side. Cap is
+    * `graft.ann.maxQueryRows` (default 100 000). */
+  private def requireSmallQueries(queries: DataFrame, op: String): Unit = {
+    val maxQ = SparkEnv.annMaxQueryRows(queries.sparkSession)
+    val n = queries.limit(maxQ + 1).count()
+    require(n <= maxQ,
+      s"$op: query side has > $maxQ rows (graft.ann.maxQueryRows) — ANN query " +
+        "batches are driver-collected/broadcast by contract; split the batch " +
+        "into smaller ones or raise spark.conf graft.ann.maxQueryRows")
+  }
+
   /** Exact top-k neighbors for each query row (brute force). `queries` must
-    * be small enough to broadcast; the corpus is never shuffled — the ranking
-    * happens per corpus partition and only k rows per query survive. */
+    * be small enough to broadcast (enforced via `graft.ann.maxQueryRows`);
+    * the corpus is never shuffled — the ranking happens per corpus partition
+    * and only k rows per query survive. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireSmallQueries(queries, "bruteForceTopK")
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
       .join(q, col("query_id") =!= col("neighbor_id"))
@@ -347,6 +365,7 @@ object Ann {
     * side, same contract as [[bruteForceTopK]]'s broadcast. */
   private def collectQueries(queries: DataFrame, idCol: String,
                              vecCol: String): Array[(Long, Array[Double])] = {
+    requireSmallQueries(queries, "collectQueries")
     val qrows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(qrows.nonEmpty, "queries are empty")

@@ -62,13 +62,21 @@ object Dedup {
   /** SimHash near-dup candidate pairs: 64-bit simhash split into `bands`
     * equal bit-chunks; two docs are candidates if any chunk matches exactly
     * (Hamming ≤ bands-1 guarantees a chunk match — standard pigeonhole
-    * blocking), then verified with a full Hamming-distance threshold. */
+    * blocking), then verified with a full Hamming-distance threshold.
+    *
+    * `bands` need not divide 64: chunks are `64/bands` bits wide and the
+    * top `64 mod bands` bits are simply not blocked on (e.g. bands=3 →
+    * 3×21-bit chunks, top bit ignored). The pigeonhole recall guarantee is
+    * unaffected — ≤ bands-1 differing bits among the covered bits still
+    * forces a matching chunk, and differences confined to the ignored bits
+    * only ADD candidates (which full-Hamming verification then filters). */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       bands: Int, maxHamming: Int): DataFrame = {
+    require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
     val sim = df.select(col(idCol).as("id"), col(textCol).as("text"),
       graft.functions.simhash64(col(textCol)).as("sh"))
     val banded = sim.select(col("id"), col("sh"),
-      posexplode(SketchBlocking.chunks(col("sh"), bands)))
+      posexplode(SketchBlocking.chunks(col("sh"), bands, bands * (64 / bands))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("chunk"))
     val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"), col("chunk"))

@@ -71,7 +71,7 @@ object Multimodal {
     * dims are distinguishable from every real image. `ImageIO.read`
     * allocates a fresh reader per call, so the object is executor-thread
     * safe with no shared native context. */
-  object ImageIoDecoder extends MediaDecoder {
+  class ImageIoDecoder(val maxPixels: Long) extends MediaDecoder {
     // ImageIO's default useCache=true spools every InputStream decode
     // through a temp FILE — one create/write/delete per row on a scan hot
     // path, for payloads already in memory. Disable once per JVM (lazy val:
@@ -79,12 +79,38 @@ object Multimodal {
     @transient private lazy val inMemoryIo: Unit =
       javax.imageio.ImageIO.setUseCache(false)
 
+    private val sentinel = (0L, -1, -1, -1.0)
+
+    // Header-only dimension read, then a bounded full decode. A
+    // few-hundred-byte payload can DECLARE a 60000×60000 raster; decoding it
+    // allocates ~14 GB and dies with OutOfMemoryError — which the
+    // decode-failure catch must not swallow (a real heap exhaustion
+    // elsewhere would be masked), so the guard has to fire BEFORE pixel
+    // decode. ImageReader.getWidth/getHeight parse only the header.
     def decode(bytes: Array[Byte]): (Long, Int, Int, Double) = {
       inMemoryIo
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val w = reader.getWidth(0).toLong
+              val h = reader.getHeight(0).toLong
+              if (w <= 0 || h <= 0 || w * h > maxPixels) null
+              else reader.read(0)
+            } finally {
+              reader.dispose()
+              iis.close()
+            }
+          }
+        }
         catch { case _: java.io.IOException | _: RuntimeException => null }
-      if (img == null) (0L, -1, -1, -1.0)
+      if (img == null) sentinel
       else {
         val w = img.getWidth
         val h = img.getHeight
@@ -108,6 +134,10 @@ object Multimodal {
       }
     }
   }
+
+  /** Default instance: 64 MP cap (~256 MB of INT_RGB raster — far above any
+    * legitimate thumbnail/feature payload, far below executor-killing). */
+  object ImageIoDecoder extends ImageIoDecoder(64L * 1024 * 1024)
 
   /** Deterministic PNG fixtures for gating [[ImageIoDecoder]]: `n` images
     * whose dims vary with id (16+id%9 × 16+id%7) and whose pixel channel

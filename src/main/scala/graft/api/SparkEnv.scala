@@ -22,4 +22,14 @@ private[graft] object SparkEnv {
     scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions")).toOption
       .flatMap(_.toIntOption).filter(_ > 0)
       .getOrElse(spark.sparkContext.defaultParallelism)
+
+  /** `graft.ann.maxQueryRows` (default 100 000): the enforced ceiling on the
+    * ANN query-batch size — every ANN path collects or broadcasts the query
+    * side, so an unbounded batch OOMs the driver silently. Unregistered
+    * runtime conf: `conf.get` throws NoSuchElementException when unset, so
+    * the Try IS the default path, not just armor. */
+  def annMaxQueryRows(spark: SparkSession): Int =
+    scala.util.Try(spark.conf.get("graft.ann.maxQueryRows")).toOption
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(100000)
 }

@@ -34,11 +34,22 @@ object TimeSeries {
     * count — resampling 100 TB of events to hourly buckets moves only
     * (keys × buckets) rows after the first aggregation. The fill window is
     * a single streamed sort run per key; skew is bounded by the longest
-    * key span, not by event volume. */
+    * key span, not by event volume.
+    *
+    * The grid is generated in 4096-bucket chunks (outer explode of chunk
+    * ordinals, inner `sequence` per chunk), never as one span-length array
+    * row — a key with a multi-year span at small `stepSeconds` would
+    * otherwise build a single array past Spark's element limit / task
+    * memory with an opaque error. Keys whose span exceeds
+    * `maxBucketsPerKey` (default 100 M — ~3 years at 1 s steps) fail fast
+    * with a named-key message instead: an outlier early timestamp (epoch 0
+    * from a parse bug) is data corruption to surface, not a grid to
+    * materialize. */
   def resampleGapFill(events: DataFrame, keyCol: String, tsCol: String,
                       valueCol: String, stepSeconds: Long,
-                      tieBreak: String): DataFrame = {
+                      tieBreak: String, maxBucketsPerKey: Long = 100000000L): DataFrame = {
     require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    require(maxBucketsPerKey > 0, s"maxBucketsPerKey must be positive, got $maxBucketsPerKey")
     val b = events
       .filter(col(valueCol).isNotNull)
       .select(col(keyCol).as("key"),
@@ -47,10 +58,28 @@ object TimeSeries {
         col(valueCol).as("v"), col(tsCol).as("__ts"), col(tieBreak).as("__tb"))
       .groupBy("key", "bucket_s")
       .agg(max_by(col("v"), struct(col("__ts"), col("__tb"))).as("v"))
+    val gridChunk = 4096L
+    val chunkSpan = stepSeconds * gridChunk
+    // buckets are multiples of stepSeconds, so (hi - lo) is step-divisible
+    val nBuckets = floor((col("hi") - col("lo")) / stepSeconds).cast("long") + lit(1L)
+    val guardedLo = when(nBuckets > maxBucketsPerKey,
+      raise_error(concat(
+        lit("resampleGapFill: key "), col("key").cast("string"),
+        lit(" spans "), nBuckets.cast("string"),
+        lit(s" buckets at stepSeconds=$stepSeconds (> maxBucketsPerKey=$maxBucketsPerKey)" +
+          " — outlier timestamp in the data, or raise maxBucketsPerKey"))))
+      .otherwise(col("lo"))
     val grid = b.groupBy("key")
       .agg(min("bucket_s").as("lo"), max("bucket_s").as("hi"))
+      .select(col("key"), guardedLo.as("lo"), col("hi"))
+      .select(col("key"), col("lo"), col("hi"),
+        explode(sequence(lit(0L),
+          floor((col("hi") - col("lo")) / chunkSpan).cast("long"))).as("__c"))
       .select(col("key"),
-        explode(sequence(col("lo"), col("hi"), lit(stepSeconds))).as("bucket_s"))
+        explode(sequence(
+          col("lo") + col("__c") * chunkSpan,
+          least(col("hi"), col("lo") + (col("__c") + 1L) * chunkSpan - stepSeconds),
+          lit(stepSeconds))).as("bucket_s"))
     val w = Window.partitionBy("key").orderBy("bucket_s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(b, Seq("key", "bucket_s"), "left")

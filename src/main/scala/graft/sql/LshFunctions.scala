@@ -104,7 +104,11 @@ object LshFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      // skip names already present (e.g. the session loaded GraftExtensions):
+      // re-registering triggers a "replaced a previously registered function"
+      // WARN per function per session, flooding captured output
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
     val strategy = org.apache.spark.sql.graft.BlockedSelfJoinStrategy
     if (!spark.experimental.extraStrategies.contains(strategy))

@@ -423,6 +423,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top.head.getDouble(3) > 0.99)
   }
 
+  test("ANN query-side size contract is enforced, not just documented") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 1.0 + d)))).toDF("vec_id", "embedding")
+    spark.conf.set("graft.ann.maxQueryRows", "5")
+    try {
+      // over the cap: fail fast at submit time with the conf name in the
+      // message — NOT a driver OOM halfway through the collect
+      val e = intercept[IllegalArgumentException] {
+        Ann.bruteForceTopK(vecs, vecs, 3)
+      }
+      assert(e.getMessage.contains("graft.ann.maxQueryRows"))
+      val e2 = intercept[IllegalArgumentException] {
+        Ann.pqTopK(vecs, vecs, 3, m = 2, ksub = 4, seed = 7L)
+      }
+      assert(e2.getMessage.contains("graft.ann.maxQueryRows"))
+      // at/below the cap: unaffected
+      assert(Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" < 3), 2).count() > 0)
+    } finally spark.conf.unset("graft.ann.maxQueryRows")
+  }
+
   test("Ann.lshBucketedTopK returns a subset ranked identically") {
     val vecs = (0L until 40L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 1.0 + d)))).toDF("vec_id", "embedding")
