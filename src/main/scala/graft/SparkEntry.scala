@@ -739,6 +739,25 @@ object SparkEntry {
           "doc_id", "text", 4, 8, 3, 123L, 0.35)
         .orderBy("batch_id", "corpus_id")
     }),
+    "index_health" -> ((s, dir) => {
+      // maintenance gate for append drift: index built on docs < 300
+      // (hotBucketCap=5 — a real sidecar at this SF), docs 300..399
+      // appended (appends route hot/cold but deliberately never
+      // RE-classify buckets), then signatureIndexHealth must report
+      // exactly the cold-main buckets the appends pushed past the cap —
+      // the "rebuild due" signal the append contract defers to this scan.
+      // Oracle: full Python re-derivation (build-time classification +
+      // append routing + main-table counts) — ~34 drifted buckets at
+      // sf0.01, so the gate is non-vacuous.
+      val docs = load(s, dir, "documents")
+      graft.api.BandedLsh.saveSignatureIndex(docs.filter(col("doc_id") < 300),
+        "graft_health_idx", 8, "doc_id", "text", 4, 8, 3, 123L, hotBucketCap = 5)
+      graft.api.BandedLsh.appendToSignatureIndex(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "graft_health_idx", "doc_id", "text", 4, 8, 3, 123L)
+      graft.api.BandedLsh.signatureIndexHealth(s, "graft_health_idx", 5L)
+        .orderBy("band", "band_hash")
+    }),
     "signature_dedup_pairs" -> ((s, dir) => {
       // near-dup verification WITHOUT texts: candidates from the same 8x3
       // banding as minhash_dedup_pairs, but sim estimated as the equal
@@ -1371,6 +1390,47 @@ object SparkEntry {
           col("start").cast("long").as("start_s"), col("end").cast("long").as("end_s"),
           col("events"))
         .orderBy("user_id", "session_id")
+    }),
+    "stream_late_sessions" -> ((s, dir) => {
+      import s.implicits._
+      // LATE-data admission gate: unlike every other replay (watermark
+      // delay beyond the fixture range — nothing is ever late), this one
+      // replays out of order ACROSS a real 1-hour watermark boundary.
+      // Batch 1 feeds event_id % 3 != 0 (establishing watermark
+      // W = max ts(batch1) − 1 h for the next batch); batch 2 feeds the
+      // % 3 == 0 rows, of which Spark admits exactly ts > W and DROPS
+      // ts <= W (the pre-function late-row filter). The fixture has no
+      // row landing exactly ON W, so two synthetic probe events pin the
+      // boundary at any SF: one at ts == W (must vanish — the <=) and one
+      // at ts == W + 1 s (must survive as a 1-event session). The oracle
+      // models the admit set explicitly in SQL — on-time rows UNION late
+      // rows above W UNION the surviving probe — then sessionizes it with
+      // the batch recipe: the emitted sessions must equal the batch twin
+      // over the admitted subset, nothing more (no dropped row leaks in)
+      // and nothing less (admitted late rows still merge into open runs).
+      val events = loadEvents(s, dir)
+        .withColumn("ts", expr("timestamp_seconds(cast(ts as long))"))
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.EventStreams.Event].collect().toSeq
+      val (late, onTime) = events.partition(_.event_id % 3 == 0)
+      val wMs = onTime.iterator.map(_.ts.getTime).max - 3600_000L
+      val probes = Seq(
+        graft.streaming.EventStreams.Event(-100L,
+          new java.sql.Timestamp(wMs), 1000000000L, "probe", 0.0),
+        graft.streaming.EventStreams.Event(-101L,
+          new java.sql.Timestamp(wMs + 1000L), 1000000001L, "probe", 0.0))
+      val sessions = graft.streaming.EventStreams.sessionizeLateReplay(
+        s, Seq(onTime, late ++ probes), gapMs = 30 * 60 * 1000L, watermarkDelay = "1 hour")
+      val byStart = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("start")
+      sessions
+        .withColumn("session_id", row_number().over(byStart).cast("long"))
+        .select(col("user_id"), col("session_id"),
+          col("start").cast("long").as("start_s"), col("end").cast("long").as("end_s"),
+          col("events"))
+        .orderBy("user_id", "session_id")
     })
   )
 
@@ -1423,6 +1483,7 @@ object SparkEntry {
     "token_entropy" -> valuesOracle("token_entropy"),
     "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
     "rolling_dedup" -> valuesOracle("rolling_dedup"),
+    "index_health" -> valuesOracle("index_health"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "token_count_bpe" -> valuesOracle("token_count_bpe"),
     "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
@@ -2060,6 +2121,38 @@ object SparkEntry {
     // the streaming replay must equal the batch twin session-for-session,
     // so it shares the batch oracle verbatim
     "sessionize_stream" -> sessionizeOracleSql,
+    // the late-data replay: the oracle models the admission rule itself —
+    // on-time rows (event_id % 3 != 0) plus late rows STRICTLY above the
+    // watermark max(on-time ts) − 1 h — then sessionizes the admitted set
+    // with the batch recipe (whole-second arithmetic like the main oracle)
+    "stream_late_sessions" ->
+      """WITH raw AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s
+        |  FROM events),
+        |wm AS (SELECT max(ts_s) - 3600 AS w FROM raw WHERE event_id % 3 <> 0),
+        |adm AS (
+        |  SELECT user_id, ts_s FROM raw WHERE event_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT user_id, ts_s FROM raw, wm WHERE event_id % 3 = 0 AND ts_s > w
+        |  UNION ALL
+        |  -- boundary probes: ts == W is dropped (ts <= watermark — absent
+        |  -- here by construction), ts == W + 1 survives
+        |  SELECT CAST(1000000001 AS BIGINT) AS user_id, w + 1 AS ts_s FROM wm),
+        |x AS (SELECT user_id, ts_s,
+        |             lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS prev_ts
+        |      FROM adm),
+        |y AS (SELECT user_id, ts_s,
+        |             CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM x),
+        |z AS (SELECT user_id, ts_s,
+        |             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS BIGINT) AS session_id
+        |      FROM y)
+        |SELECT user_id, session_id,
+        |       min(ts_s) AS start_s, max(ts_s) AS end_s, count(*) AS events
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     // append-mode streaming windows must equal the batch aggregation — the
     // q9 oracle verbatim
     "stream_windowed_counts" ->

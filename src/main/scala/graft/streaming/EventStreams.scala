@@ -302,6 +302,38 @@ object EventStreams {
       .select("user_id", "start", "end", "events")
   }
 
+  /** Replay [[sessionize]] with a SHORT watermark and caller-controlled
+    * micro-batches — the late-data admission harness. Every other replay
+    * here sets the delay beyond the fixture's time range so nothing is ever
+    * late; this one feeds each element of `batches` as exactly one
+    * micro-batch under a real `watermarkDelay`, so rows arriving after the
+    * watermark passed them are genuinely DROPPED and the caller's oracle
+    * must model the drop set explicitly. The admission rule under test:
+    * batch k's rows are filtered against the watermark established by
+    * batches 0..k-1 (max event time minus delay), and the drop predicate
+    * is `ts <= watermark` — Spark's pre-function late-row filter (the
+    * nearDup replay's documented epoch-0 drop) combined with the
+    * operator's own `>= wm` guard. A final far-future flush closes every
+    * surviving session. */
+  def sessionizeLateReplay(spark: SparkSession, batches: Seq[Seq[Event]], gapMs: Long,
+                           watermarkDelay: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sink = s"graft_late_sessionize_replay_${replaySeq.incrementAndGet()}"
+    val q = sessionize(mem.toDS(), gapMs, watermarkDelay)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val far = new Timestamp(
+        batches.flatten.iterator.map(_.ts.getTime).max + 4000L * 86400_000L)
+      mem.addData(Event(-1L, far, -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).filter(col("user_id") >= 0)
+      .select("user_id", "start", "end", "events")
+  }
+
   /** Replay a finite document set through [[nearDupCandidates]] as a real
     * Structured Streaming query and return every emitted candidate.
     *

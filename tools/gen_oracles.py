@@ -1395,6 +1395,37 @@ def main(sf_dir, spark_dir):
         ") AS t(batch_id, corpus_id, sim)\nORDER BY batch_id, corpus_id")
     custom["rolling_dedup"] = (rd_rows, ("batch_id", "corpus_id", "sim"), rd_sql)
 
+    # ---- index_health: append-drift maintenance scan (mirrors
+    # saveSignatureIndex(docs<300, hotBucketCap=5) + appendToSignatureIndex
+    # (300..399) + signatureIndexHealth(cap=5)). Build-time classification:
+    # buckets with > 5 rows go to the hot sidecar; appends route by that
+    # FROZEN classification (never re-classify); the health scan reports
+    # main-table buckets that appends pushed past the cap. Reuses rd_bands
+    # (same 4-gram 8x3 seed-123 family, len >= 4 filter = bandedRows').
+    from collections import Counter as _Counter
+    ih_build = _Counter()
+    for did, bs in rd_bands.items():
+        if did < 300:
+            for b, h in enumerate(bs):
+                ih_build[(b, h)] += 1
+    ih_hot = {k for k, c in ih_build.items() if c > 5}
+    ih_main = _Counter({k: c for k, c in ih_build.items() if k not in ih_hot})
+    for did, bs in rd_bands.items():
+        if 300 <= did < 400:
+            for b, h in enumerate(bs):
+                if (b, h) not in ih_hot:
+                    ih_main[(b, h)] += 1
+    ih_rows = sorted((b, s64(h), c) for (b, h), c in ih_main.items() if c > 5)
+    assert ih_rows, "index_health gate is vacuous: no drifted buckets at this SF"
+    ih_sql = (
+        "SELECT CAST(band AS INT) AS band,"
+        " CAST(band_hash AS BIGINT) AS band_hash,"
+        " CAST(bucket_rows AS BIGINT) AS bucket_rows\n"
+        "FROM (VALUES\n"
+        f"{values_block(ih_rows)}\n"
+        ") AS t(band, band_hash, bucket_rows)\nORDER BY band, band_hash")
+    custom["index_health"] = (ih_rows, ("band", "band_hash", "bucket_rows"), ih_sql)
+
     # ---- stream_rolling_dedup: per-micro-batch greedy admission (mirrors
     # EventStreams.rollingDedupReplay: docs >= 300 sorted by id, chunked into
     # 4 batches of ceil(n/4); a doc is blocked iff it banding-collides AND
@@ -1459,6 +1490,7 @@ def main(sf_dir, spark_dir):
         mr_rows, ("media_id", "checksum", "width", "height", "mean_byte"), mr_sql)
 
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
+                    "index_health": "band, band_hash",
                     "multimodal_features_real": "media_id",
                     "ann_recall": "method",
                     "cosine_lsh_pairs": "id_a, id_b",
