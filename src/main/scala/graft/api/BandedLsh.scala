@@ -569,4 +569,59 @@ object BandedLsh {
           "component's diameter thanks to the pointer-jump accelerator)")
     labels
   }
+
+  /** Optional MLlib-backed near-dup join (SURVEY.md §2.5): same
+    * `(id_a, id_b, sim)` contract as [[nearDupPairs]] — `id_a < id_b`,
+    * `sim > threshold` — but computed with stock
+    * `org.apache.spark.ml.feature.MinHashLSH.approxSimilarityJoin` over a
+    * `HashingTF(binary)` encoding of the char-n-gram shingle sets. Pipeline:
+    * SQL built-ins generate the distinct n-grams (no UDF), `HashingTF` maps
+    * them into a 2^`vocabBits` binary term space, `MinHashLSH` with
+    * `numHashTables` single-hash tables blocks, and the join's `keyDistance`
+    * (exact Jaccard distance over the term space) verifies.
+    *
+    * NOT bit-compatible with the custom kernels: MLlib's `(a·x+b) mod prime`
+    * family shares nothing with the reference's FxHash/ChaCha12 chain
+    * (SURVEY §2.5), its tables are 1-row OR-amplification where
+    * [[nearDupPairs]] bands AND `bandSize` minima, and `sim` here is Jaccard
+    * over HashingTF's hashed term space, where a collision can merge two
+    * distinct shingles. Candidates and sims are therefore approximations of
+    * the custom path; the spec gates recall against it, not parity. Use this
+    * when interoperating with an existing MLlib pipeline (e.g. to reuse a
+    * fitted model or compose with other `ml.feature` stages); use
+    * [[nearDupPairs]] when reproducibility against the reference matters.
+    *
+    * Scale shape is the same as the custom path's relational form: one
+    * explode of `numHashTables` hash values, one shuffle on (table, hash),
+    * ids only through the join. Rows shorter than `ngramWidth` are dropped
+    * up front (empty shingle set — same rule as [[bandedRows]]; MLlib
+    * additionally requires ≥ 1 non-zero vector entry). */
+  def approxJoinMllib(df: DataFrame, idCol: String, textCol: String,
+                      ngramWidth: Int, numHashTables: Int, seed: Long,
+                      threshold: Double, vocabBits: Int = 18): DataFrame = {
+    require(vocabBits >= 1 && vocabBits <= 30,
+      s"vocabBits must be in [1, 30], got $vocabBits")
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val grams = df.filter(length(col(textCol)) >= ngramWidth)
+      .select(col(idCol).as("__id"),
+        array_distinct(expr(
+          s"transform(sequence(1, length($textCol) - ${ngramWidth - 1}), " +
+            s"i -> substring($textCol, i, $ngramWidth))")).as("__grams"))
+    val featurized = new HashingTF()
+      .setInputCol("__grams").setOutputCol("__features")
+      .setNumFeatures(1 << vocabBits).setBinary(true)
+      .transform(grams)
+      .select("__id", "__features")
+    val model = new MinHashLSH()
+      .setInputCol("__features").setOutputCol("__hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+      .fit(featurized)
+    // approxSimilarityJoin keeps pairs with distance < threshold, so the
+    // Jaccard-distance cutoff 1 - threshold reproduces sim > threshold with
+    // matching strictness
+    model.approxSimilarityJoin(featurized, featurized, 1.0 - threshold, "__dist")
+      .select(col("datasetA.__id").as("id_a"), col("datasetB.__id").as("id_b"),
+        (lit(1.0) - col("__dist")).as("sim"))
+      .filter(col("id_a") < col("id_b"))
+  }
 }

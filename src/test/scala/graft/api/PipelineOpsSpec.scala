@@ -246,6 +246,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fused.nonEmpty)
   }
 
+  test("approxJoinMllib: recall vs the custom path, sims agree off-boundary") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val custom = BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val mllib = BandedLsh.approxJoinMllib(docs, "doc_id", "text",
+        ngramWidth = 4, numHashTables = 8, seed = 123L, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // recall over the custom path's solid pairs (sim comfortably above the
+    // threshold — boundary pairs can legitimately flip on either side from
+    // HashingTF term collisions): MLlib's 8 single-hash OR-tables admit a
+    // true pair of sim s with p = 1-(1-s)^8 >= 0.94 at s = 0.3, so a 0.9
+    // floor is conservative, not tuned to the fixture
+    val solid = custom.filter(_._2 >= 0.35)
+    assert(solid.nonEmpty, "fixture produced no pairs above 0.35 — vacuous test")
+    val recalled = solid.keys.count(mllib.contains)
+    assert(recalled.toDouble / solid.size >= 0.9,
+      s"mllib recall ${recalled}/${solid.size} below 0.9 floor")
+    // on shared pairs the two sims measure the same Jaccard (exact shingle
+    // sets vs 2^18 hashed term space) and must agree tightly
+    val shared = solid.keys.filter(mllib.contains)
+    assert(shared.forall(k => math.abs(custom(k) - mllib(k)) < 0.05),
+      "shared-pair sims diverge > 0.05: HashingTF space too collided")
+    // contract shape: ordered ids, sims strictly above threshold
+    assert(mllib.keys.forall { case (a, b) => a < b })
+    assert(mllib.values.forall(_ > 0.3))
+  }
+
   test("TextAnalysis langId and qualityScore") {
     val df = Seq(
       "the cat is in the house and it was big",
