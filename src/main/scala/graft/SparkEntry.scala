@@ -514,7 +514,10 @@ object SparkEntry {
         .orderBy("id")
     }),
     "token_count" -> ((s, dir) => {
-      load(s, dir, "documents").createOrReplaceTempView("documents")
+      // spread: four regex counters per row, re-sorted by the ORDER BY —
+      // parallelism must not be capped by the one-row-group fixture scan
+      graft.api.SparkEnv.spread(load(s, dir, "documents"))
+        .createOrReplaceTempView("documents")
       s.sql("""
         SELECT doc_id,
                CAST(size(split(text, '\\s+')) AS BIGINT) AS ws_tokens,
@@ -569,8 +572,9 @@ object SparkEntry {
     "pii_redact" -> ((s, dir) => {
       // deterministic PII injection (email on doc_id%2, IP on %3, phone on
       // %5 — both engines build the same dirty string), then typed
-      // redaction; counts are measured on the dirty text pre-redaction
-      val docs = load(s, dir, "documents")
+      // redaction; counts are measured on the dirty text pre-redaction.
+      // spread: the regex chain is per-row work re-sorted downstream
+      val docs = graft.api.SparkEnv.spread(load(s, dir, "documents"))
       val dirty = docs.select(col("doc_id"), concat(col("text"),
         expr("CASE WHEN doc_id % 2 = 0 THEN ' reach user' || CAST(doc_id AS STRING) || '@example.com' ELSE '' END"),
         expr("CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS STRING) || '.0.' || CAST(doc_id % 100 AS STRING) ELSE '' END"),
@@ -647,7 +651,10 @@ object SparkEntry {
       // row per element (outer: a doc shorter than k keeps one row with null
       // fp) so the driver comparator sees no array cells.
       withLsh(s)
-      load(s, dir, "documents").createOrReplaceTempView("documents")
+      // spread: three hash-kernel chains per row (simhash, rolling-min,
+      // winnow) — per-row work, re-sorted by the final ORDER BY
+      graft.api.SparkEnv.spread(load(s, dir, "documents"))
+        .createOrReplaceTempView("documents")
       // LATERAL VIEW — not a generator in the select list: ExtractGenerator
       // would hoist the OTHER projection items (sh, min_fp) into the Project
       // ABOVE the Generate, re-evaluating both hash kernels once per exploded
@@ -1102,7 +1109,9 @@ object SparkEntry {
     // estimate-≥-truth contract is visible in the emitted columns; oracle:
     // full Python re-derivation of the counters + probes (VALUES).
     "cms_topk" -> ((s, dir) => {
-      val toks = load(s, dir, "documents")
+      // spread: the sketch update loop must not serialize on the fixture's
+      // one-row-group scan (CMS counters are additive — order-independent)
+      val toks = graft.api.SparkEnv.spread(load(s, dir, "documents"))
         .select(explode(split(lower(col("text")), "[^a-z]+")).as("token"))
         .filter(length(col("token")) > 0)
       val cms = toks.agg(graft.functions.cms_build(col("token"), 4, 12).as("cms"))

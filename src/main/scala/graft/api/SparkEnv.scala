@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Small shared accessors for Spark runtime configuration. */
 private[graft] object SparkEnv {
@@ -32,4 +32,21 @@ private[graft] object SparkEnv {
     scala.util.Try(spark.conf.get("graft.ann.maxQueryRows")).toOption
       .flatMap(_.toIntOption).filter(_ > 0)
       .getOrElse(100000)
+
+  /** Round-robin repartition to the session's shuffle parallelism — but ONLY
+    * when the input's planned partitioning is narrower, which is what makes
+    * this a layout fix rather than a scale pessimization. A single-row-group
+    * parquet file scans as ONE task, so every per-row kernel fused into that
+    * stage (tokenize, regex, sketch update, hash chain) runs serialized no
+    * matter how many cores the session has — measured as the dominant cold
+    * cost of the sketch/token queries on the one-row-group fixtures. At real
+    * scale the scan has at least `spark.sql.shuffle.partitions` splits and
+    * this returns the input unchanged, exchange-free. Callers must only
+    * spread inputs to order-independent work (counts, mergeable sketches,
+    * per-row projections that re-sort downstream); the partition-count probe
+    * plans the scan but runs no job. */
+  def spread(df: DataFrame): DataFrame = {
+    val n = shufflePartitions(df.sparkSession)
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
 }

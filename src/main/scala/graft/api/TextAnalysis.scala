@@ -71,7 +71,8 @@ object TextAnalysis {
     * TakeOrderedAndProject: per-partition heaps + a driver merge of k rows,
     * never a full sort of the vocabulary. */
   def vocabCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
+    SparkEnv.spread(df) // tokenize parallelism must not be capped by file layout
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
@@ -298,7 +299,10 @@ object TextAnalysis {
     * no tokens score 0 with n_tokens 0. */
   def tokenEntropy(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val toks = df.select(col(idCol), explode(words(col(textCol))).as("tok"))
+    // spread-safe: the sorted-count fold above makes the per-doc sum
+    // partition-order-independent by construction
+    val toks = SparkEnv.spread(df)
+      .select(col(idCol), explode(words(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
     val perDoc = toks
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))

@@ -890,4 +890,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(0).getAs[Array[Byte]](5).length == 64)
     assert(rows(2).getAs[Array[Byte]](5).length == 40)
   }
+
+  test("SparkEnv.spread: widens a narrow scan, no-ops an already-wide input") {
+    // narrow input (1 partition) widens to the session's shuffle parallelism
+    val narrow = spark.range(100).coalesce(1).toDF("id")
+    val widened = SparkEnv.spread(narrow)
+    assert(widened.rdd.getNumPartitions == SparkEnv.shufflePartitions(spark))
+    assert(widened.count() == 100)
+    // already-wide input comes back unchanged — same object, zero exchange
+    val wide = spark.range(100).repartition(8).toDF("id")
+    assert(SparkEnv.spread(wide) eq wide)
+  }
 }
