@@ -200,27 +200,58 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int, nprobe: Int, seed: Long, iters: Int = 5,
               sampleSize: Int = 10000,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    fitIvf(corpus, nlist, seed, iters, sampleSize, idCol, vecCol)
+      .search(queries, k, nprobe, idCol, vecCol)
+
+  /** A fitted IVF index: the trained coarse quantizer (tiny, broadcast once)
+    * plus the cell-assigned corpus. Train ONCE, search MANY query batches —
+    * the production shape for a 100 TB corpus, where the quantizer-training
+    * sample pass and the corpus-wide cell assignment are the expensive part
+    * and query batches arrive repeatedly. `cells` is a lazy plan over the
+    * corpus: `.persist()` it (or write it out partitioned by `cell`) before
+    * repeated searches, or each search re-runs the assignment scan. */
+  final class IvfIndex private[api] (
+      val centroids: Array[Array[Double]],
+      private[api] val model: org.apache.spark.sql.graft.CentroidModel,
+      /** `(cell, neighbor_id, nvec)` — the assigned corpus. */
+      val cells: DataFrame) {
+    def search(queries: DataFrame, k: Int, nprobe: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      import org.apache.spark.sql.graft.{ColumnShim, ProbeCells}
+      require(k >= 1, s"k must be >= 1, got $k")
+      val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .withColumn("cell",
+          explode(ColumnShim.column(ProbeCells(ColumnShim.expression(col("qvec")), model, nprobe))))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      probed.join(cells, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosine(col("qvec"), col("nvec")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    }
+  }
+
+  /** Train the IVF coarse quantizer and assign the corpus to cells, returning
+    * a reusable [[IvfIndex]]. [[ivfTopK]] is exactly `fitIvf(...).search(...)`
+    * — same bit-exact results, same oracle — so single-shot callers lose
+    * nothing; repeated-batch callers stop paying the training sample pass and
+    * (with `cells` persisted) the assignment scan per batch. */
+  def fitIvf(corpus: DataFrame, nlist: Int, seed: Long, iters: Int = 5,
+             sampleSize: Int = 10000,
+             idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val spark = corpus.sparkSession
     val centroids = trainQuantizer(corpus, nlist, seed, iters, sampleSize, idCol, vecCol)
     // codegen'd expressions over a broadcast centroid table — the corpus-wide
     // assignment pass reads each vector once out of ArrayData with no boxed
     // Seq[Double] per-row conversion (the former Scala-UDF tax)
-    import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell, ProbeCells}
+    import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell}
     val model = new CentroidModel(spark.sparkContext.broadcast(centroids))
     val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
       .withColumn("cell",
         ColumnShim.column(NearestCell(ColumnShim.expression(col("nvec")), model)))
-    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("cell",
-        explode(ColumnShim.column(ProbeCells(ColumnShim.expression(col("qvec")), model, nprobe))))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    probed.join(cells, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qvec"), col("nvec")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    new IvfIndex(centroids, model, cells)
   }
 
   /** Train the IVF coarse quantizer: Lloyd's iterations over a seeded-hash
@@ -416,27 +447,67 @@ object Ann {
                 nlist: Int, nprobe: Int, m: Int, ksub: Int, seed: Long,
                 iters: Int = 5, sampleSize: Int = 10000,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.graft.{AdcTables, CentroidModel, ColumnShim, NearestCell, PqAdcDist, PqCodes, PqModel, ProbeCells}
     require(k >= 1, s"k must be >= 1, got $k")
+    fitIvfPq(corpus, nlist, m, ksub, seed, iters, sampleSize, idCol, vecCol)
+      .search(queries, k, nprobe, idCol, vecCol)
+  }
+
+  /** A fitted IVF-PQ index: both trained models (coarse centroids + PQ
+    * codebooks, KBs, broadcast once) and the compressed corpus — each row
+    * reduced to a cell id and `m` byte codes, ~64× smaller than the raw
+    * vectors. Train/encode ONCE, search MANY batches: per batch only the
+    * query-side ADC tables (`m`·`ksub` doubles per query) are rebuilt and
+    * broadcast. `encoded` is a lazy plan — `.persist()` it or write it out
+    * (partitioned/bucketed by `cell`) before repeated searches, or each
+    * search re-runs the encode scan over the raw corpus. */
+  final class IvfPqIndex private[api] (
+      val centroids: Array[Array[Double]],
+      val books: Array[Array[Array[Double]]],
+      private[api] val cmodel: org.apache.spark.sql.graft.CentroidModel,
+      private[api] val m: Int,
+      private[api] val ksub: Int,
+      /** `(neighbor_id, cell, codes)` — the compressed index. */
+      val encoded: DataFrame) {
+    def search(queries: DataFrame, k: Int, nprobe: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      import org.apache.spark.sql.graft.{AdcTables, ColumnShim, PqAdcDist, ProbeCells}
+      require(k >= 1, s"k must be >= 1, got $k")
+      val spark = encoded.sparkSession
+      val tables = buildAdcTables(collectQueries(queries, idCol, vecCol), books, m, ksub)
+      val adc = new AdcTables(spark.sparkContext.broadcast(tables))
+      val probed = broadcast(queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+        .withColumn("cell",
+          explode(ColumnShim.column(ProbeCells(ColumnShim.expression(col("qvec")), cmodel, nprobe))))
+        .select("query_id", "cell"))
+      val scored = encoded.join(probed, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist", ColumnShim.column(PqAdcDist(
+          ColumnShim.expression(col("query_id")), ColumnShim.expression(col("codes")), adc)))
+      rankByAdc(scored, k)
+    }
+  }
+
+  /** Train the coarse quantizer (from `seed`) and PQ codebooks (from
+    * `seed + 1`, independent streams) and encode the corpus, returning a
+    * reusable [[IvfPqIndex]]. [[ivfPqTopK]] is exactly
+    * `fitIvfPq(...).search(...)` — same bit-exact results, same oracle — so
+    * the single-shot and repeated-batch paths can never drift apart. The
+    * plain-PQ layout ([[pqTopK]]) is the `nlist = 1` degenerate case of this
+    * index; production corpora want the cell pruning, so only the composed
+    * form gets the fitted API. */
+  def fitIvfPq(corpus: DataFrame, nlist: Int, m: Int, ksub: Int, seed: Long,
+               iters: Int = 5, sampleSize: Int = 10000,
+               idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
+    import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell, PqCodes, PqModel}
     val spark = corpus.sparkSession
     val cents = trainQuantizer(corpus, nlist, seed, iters, sampleSize, idCol, vecCol)
     val books = trainPq(corpus, m, ksub, seed + 1, iters, sampleSize, idCol, vecCol)
     val cmodel = new CentroidModel(spark.sparkContext.broadcast(cents))
     val pmodel = new PqModel(spark.sparkContext.broadcast(books))
-    val index = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+    val encoded = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       ColumnShim.column(NearestCell(ColumnShim.expression(col(vecCol)), cmodel)).as("cell"),
       ColumnShim.column(PqCodes(ColumnShim.expression(col(vecCol)), pmodel)).as("codes"))
-    val tables = buildAdcTables(collectQueries(queries, idCol, vecCol), books, m, ksub)
-    val adc = new AdcTables(spark.sparkContext.broadcast(tables))
-    val probed = broadcast(queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("cell",
-        explode(ColumnShim.column(ProbeCells(ColumnShim.expression(col("qvec")), cmodel, nprobe))))
-      .select("query_id", "cell"))
-    val scored = index.join(probed, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", ColumnShim.column(PqAdcDist(
-        ColumnShim.expression(col("query_id")), ColumnShim.expression(col("codes")), adc)))
-    rankByAdc(scored, k)
+    new IvfPqIndex(cents, books, cmodel, m, ksub, encoded)
   }
 
   /** Symmetric per-vector int8 quantization — the storage-shrink step for

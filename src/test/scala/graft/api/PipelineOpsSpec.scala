@@ -502,6 +502,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("Ann fit/search: one fitted index serves many batches, bit-equal to the one-shot path") {
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 0.7 + d) * 3.0))).toDF("vec_id", "embedding")
+    val batch1 = vecs.filter($"vec_id" < 2)
+    val batch2 = vecs.filter($"vec_id" >= 10 && $"vec_id" < 13)
+
+    // IVF: fitted search == ivfTopK (which now delegates), on two batches
+    val ivf = Ann.fitIvf(vecs, nlist = 4, seed = 99L)
+    ivf.cells.persist()
+    try {
+      for (qs <- Seq(batch1, batch2)) {
+        val fitted = ivf.search(qs, k = 3, nprobe = 2)
+          .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+        val oneShot = Ann.ivfTopK(vecs, qs, k = 3, nlist = 4, nprobe = 2, seed = 99L)
+          .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+        assert(fitted == oneShot)
+        assert(fitted.nonEmpty)
+      }
+    } finally ivf.cells.unpersist()
+
+    // IVF-PQ: same contract over the compressed index
+    val ivfpq = Ann.fitIvfPq(vecs, nlist = 4, m = 4, ksub = 8, seed = 77L, iters = 4)
+    ivfpq.encoded.persist()
+    try {
+      for (qs <- Seq(batch1, batch2)) {
+        val fitted = ivfpq.search(qs, k = 3, nprobe = 2)
+          .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+        val oneShot = Ann.ivfPqTopK(vecs, qs, k = 3, nlist = 4, nprobe = 2,
+          m = 4, ksub = 8, seed = 77L, iters = 4)
+          .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+        assert(fitted == oneShot)
+        assert(fitted.nonEmpty)
+      }
+    } finally ivfpq.encoded.unpersist()
+    // the compressed index really is cell+codes only — no raw vectors
+    assert(ivfpq.encoded.columns.toSeq == Seq("neighbor_id", "cell", "codes"))
+  }
+
   test("Ann pre-bucketed corpus layout: same results, corpus pass skipped") {
     val vecs = (0L until 60L).map(i =>
       (i, Array.tabulate(6)(d => math.cos(i * 0.7 + d) * 3.0))).toDF("vec_id", "embedding")
