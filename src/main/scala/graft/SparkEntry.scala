@@ -289,6 +289,24 @@ object SparkEntry {
         GROUP BY c.c_mktsegment
         ORDER BY c_mktsegment""")
     }),
+    // Inner join on a pure OR of cross-side equalities — the SURVEY §7.4
+    // banded-join idiom, relationally. Without OrEquiJoinExpansion Spark
+    // plans this as a broadcast nested-loop (O(n·m) comparisons); with it,
+    // two disjoint equi-joins UNION ALL'd (OrJoinRewriteSpec pins the plan
+    // shape + null/multiplicity semantics; this gate pins the values).
+    "or_join_expand" -> ((s, dir) => {
+      withLsh(s) // installs the optimizer rule on runtime-registered sessions
+      load(s, dir, "customer").createOrReplaceTempView("customer")
+      load(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql("""
+        SELECT c_nationkey AS nation, count(*) AS pairs,
+               sum(CAST(s_nationkey AS BIGINT)) AS sum_snation
+        FROM customer c JOIN supplier s
+          ON c.c_nationkey = s.s_nationkey
+          OR right(c.c_name, 2) = right(s.s_name, 2)
+        GROUP BY c_nationkey
+        ORDER BY nation""")
+    }),
     // Skew-salted fact⋈dim join (graft.api.Skew.saltedJoin): the fact side
     // scatters across 8 salt buckets by row hash, the dim side replicates
     // 8-fold, so a hot order key occupies 8 reducers instead of one. The
@@ -1681,6 +1699,14 @@ object SparkEntry {
         |                JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY c.c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "or_join_expand" ->
+      """SELECT c_nationkey AS nation, count(*) AS pairs,
+        |       CAST(sum(CAST(s_nationkey AS BIGINT)) AS BIGINT) AS sum_snation
+        |FROM customer c JOIN supplier s
+        |  ON c.c_nationkey = s.s_nationkey
+        |  OR right(c.c_name, 2) = right(s.s_name, 2)
+        |GROUP BY c_nationkey
+        |ORDER BY nation""".stripMargin,
     "salted_join_agg" ->
       """SELECT o.o_orderpriority, count(*) AS line_cnt,
         |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

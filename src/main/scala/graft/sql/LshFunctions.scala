@@ -113,6 +113,9 @@ object LshFunctions {
     val strategy = org.apache.spark.sql.graft.BlockedSelfJoinStrategy
     if (!spark.experimental.extraStrategies.contains(strategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ strategy
+    val orRule = org.apache.spark.sql.graft.OrEquiJoinExpansion
+    if (!spark.experimental.extraOptimizations.contains(orRule))
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ orRule
   }
 }
 
@@ -126,5 +129,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.sql.LshFunctions", null, name), builder))
     }
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.BlockedSelfJoinStrategy)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.OrEquiJoinExpansion)
   }
 }
