@@ -200,9 +200,11 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int, nprobe: Int, seed: Long, iters: Int = 5,
               sampleSize: Int = 10000,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k") // aligned with pqTopK/ivfPqTopK
     fitIvf(corpus, nlist, seed, iters, sampleSize, idCol, vecCol)
       .search(queries, k, nprobe, idCol, vecCol)
+  }
 
   /** A fitted IVF index: the trained coarse quantizer (tiny, broadcast once)
     * plus the cell-assigned corpus. Train ONCE, search MANY query batches —
@@ -214,7 +216,7 @@ object Ann {
   final class IvfIndex private[api] (
       val centroids: Array[Array[Double]],
       private[api] val model: org.apache.spark.sql.graft.CentroidModel,
-      /** `(cell, neighbor_id, nvec)` — the assigned corpus. */
+      /** `(neighbor_id, nvec, cell)` — the assigned corpus. */
       val cells: DataFrame) {
     def search(queries: DataFrame, k: Int, nprobe: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -34,19 +34,38 @@ private[graft] object SparkEnv {
       .getOrElse(100000)
 
   /** Round-robin repartition to the session's shuffle parallelism — but ONLY
-    * when the input's planned partitioning is narrower, which is what makes
-    * this a layout fix rather than a scale pessimization. A single-row-group
-    * parquet file scans as ONE task, so every per-row kernel fused into that
-    * stage (tokenize, regex, sketch update, hash chain) runs serialized no
-    * matter how many cores the session has — measured as the dominant cold
-    * cost of the sketch/token queries on the one-row-group fixtures. At real
-    * scale the scan has at least `spark.sql.shuffle.partitions` splits and
-    * this returns the input unchanged, exchange-free. Callers must only
-    * spread inputs to order-independent work (counts, mergeable sketches,
-    * per-row projections that re-sort downstream); the partition-count probe
-    * plans the scan but runs no job. */
+    * for a narrow scan (scan/project/filter chain) whose planned partitioning
+    * is below it, which is what makes this a layout fix rather than a scale
+    * pessimization. A single-row-group parquet file scans as ONE task, so
+    * every per-row kernel fused into that stage (tokenize, regex, sketch
+    * update, hash chain) runs serialized no matter how many cores the
+    * session has — measured as the dominant cold cost of the sketch/token
+    * queries on the one-row-group fixtures. At real scale the scan has at
+    * least `spark.sql.shuffle.partitions` splits and this returns the input
+    * unchanged, exchange-free.
+    *
+    * Inputs that already contain a shuffle (joins, aggregates) return
+    * unchanged WITHOUT probing: their exchange already set the parallelism,
+    * and — the sharp edge — probing them via `.rdd` under AQE would
+    * materialize every upstream query stage eagerly (real jobs at
+    * plan-construction time, re-run on execution) and would read the
+    * AQE-coalesced partition count, round-robin-shuffling a large
+    * intermediate to "fix" it. Narrow scan plans never go adaptive, so the
+    * `.rdd` partition probe there plans the scan but runs no job. Callers
+    * must only spread inputs to order-independent work (counts, mergeable
+    * sketches, per-row projections that re-sort downstream). */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, LogicalPlan, Project, SubqueryAlias}
+    def narrowScan(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case p: Project => narrowScan(p.child)
+      case f: LFilter => narrowScan(f.child)
+      case s: SubqueryAlias => narrowScan(s.child)
+      case _ => false
+    }
     val n = shufflePartitions(df.sparkSession)
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+    if (!narrowScan(df.queryExecution.optimizedPlan)) df
+    else if (df.rdd.getNumPartitions >= n) df
+    else df.repartition(n)
   }
 }

@@ -81,12 +81,12 @@ object OrEquiJoinExpansion extends Rule[LogicalPlan] {
       val conjuncts = splitAnd(cond)
       val hasEquiKey = conjuncts.exists(sidedEquality(_, l, r))
       val cap = maxDisjuncts
-      val expandable = if (hasEquiKey) None else conjuncts.zipWithIndex.collectFirst {
-        case (c, i) if {
-          val ds = splitOr(c)
-          ds.length >= 2 && ds.length <= cap && ds.forall(sidedEquality(_, l, r))
-        } => (splitOr(c), conjuncts.patch(i, Nil, 1))
-      }
+      val expandable = if (hasEquiKey) None else
+        conjuncts.zipWithIndex.iterator.map { case (c, i) => (splitOr(c), i) }
+          .collectFirst {
+            case (ds, i) if ds.length >= 2 && ds.length <= cap &&
+              ds.forall(sidedEquality(_, l, r)) => (ds, conjuncts.patch(i, Nil, 1))
+          }
       expandable match {
         case Some((disjuncts, rest)) =>
           val pieces = disjuncts.zipWithIndex.map { case (ck, k) =>

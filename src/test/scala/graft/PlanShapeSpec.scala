@@ -40,6 +40,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), s"query side should broadcast:\n$plan")
   }
 
+  test("or_join_expand plans as equi-joins, never a nested loop") {
+    val plan = planOf("or_join_expand")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"OR-of-equalities join must be expanded by OrEquiJoinExpansion:\n$plan")
+    assert(plan.contains("Union"), s"expected per-disjunct joins unioned:\n$plan")
+  }
+
   test("q1_agg uses two-phase (partial) hash aggregation") {
     val plan = planOf("q1_agg")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,

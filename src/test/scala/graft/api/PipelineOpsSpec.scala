@@ -929,14 +929,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(2).getAs[Array[Byte]](5).length == 40)
   }
 
-  test("SparkEnv.spread: widens a narrow scan, no-ops an already-wide input") {
-    // narrow input (1 partition) widens to the session's shuffle parallelism
-    val narrow = spark.range(100).coalesce(1).toDF("id")
+  test("SparkEnv.spread: widens a narrow scan, no-ops wide or shuffled inputs") {
+    // narrow scan (1 split) widens to the session's shuffle parallelism
+    val narrow = spark.range(0, 100, 1, 1).toDF("id")
     val widened = SparkEnv.spread(narrow)
     assert(widened.rdd.getNumPartitions == SparkEnv.shufflePartitions(spark))
     assert(widened.count() == 100)
-    // already-wide input comes back unchanged — same object, zero exchange
-    val wide = spark.range(100).repartition(8).toDF("id")
+    // a scan already at/above the parallelism floor: unchanged, same object
+    val wide = spark.range(0, 100, 1, 8).toDF("id")
     assert(SparkEnv.spread(wide) eq wide)
+    // an input with its own shuffle is NOT probed or repartitioned — the
+    // exchange set the parallelism, and probing via .rdd under AQE would
+    // run the upstream stages eagerly (twice)
+    val shuffled = spark.range(0, 100, 1, 1).toDF("id")
+      .groupBy(col("id") % 7).count()
+    assert(SparkEnv.spread(shuffled) eq shuffled)
   }
 }
