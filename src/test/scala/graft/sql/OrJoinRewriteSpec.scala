@@ -1,7 +1,7 @@
 package graft.sql
 
 import graft.TestSpark
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -81,6 +81,47 @@ class OrJoinRewriteSpec extends AnyFunSuite {
     // a disjunct touching only one side is not a join key: declined
     val oneSided = left.join(right, left("lk1") === right("rk1") || left("lk2") > 0L)
     assert(!oneSided.queryExecution.executedPlan.toString.contains("Union"))
+  }
+
+  test("randomized equivalence: rewritten join == cross-filter ground truth") {
+    // 12 deterministic trials over random tables with nulls, duplicate rows,
+    // and 2-4 disjuncts — the adversarial surface for three-valued logic and
+    // multiplicity, beyond the hand-picked cases above
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 1 to 12) {
+      val nd = 2 + rng.nextInt(3) // disjunct count: 2..4 key columns
+      def randRows(n: Int): Seq[(Long, Seq[Option[Long]])] =
+        (0 until n).map { i =>
+          (i.toLong, Seq.fill(nd)(if (rng.nextInt(5) == 0) None
+            else Some(rng.nextInt(6).toLong)))
+        } ++ (0 until n / 5).map { i => // duplicated rows
+          (i.toLong, Seq.fill(nd)(Some(rng.nextInt(6).toLong)))
+        }
+      val lrows = randRows(25)
+      val rrows = randRows(18)
+      def toDf(rows: Seq[(Long, Seq[Option[Long]])], p: String) = {
+        val cols = (0 until nd).map(k => s"$p$k")
+        val data = rows.map { case (id, ks) => Row.fromSeq(id +: ks.map(_.orNull)) }
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField(s"${p}id", org.apache.spark.sql.types.LongType, nullable = false) +:
+            cols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.LongType, nullable = true)))
+        spark.createDataFrame(spark.sparkContext.parallelize(data, 3), schema)
+      }
+      val l = toDf(lrows, "l")
+      val r = toDf(rrows, "r")
+      val cond = (0 until nd).map(k => l(s"l$k") === r(s"r$k")).reduce(_ || _)
+      val df = l.join(r, cond).select("lid", "rid")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"trial $trial (nd=$nd) not rewritten:\n$plan")
+      val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      val expect = (for {
+        (lid, lks) <- lrows
+        (rid, rks) <- rrows
+        if lks.zip(rks).exists { case (a, b) => a.isDefined && a == b }
+      } yield (lid, rid)).sorted
+      assert(got == expect, s"trial $trial (nd=$nd): ${got.size} vs ${expect.size} pairs")
+    }
   }
 
   test("rewrite fires through SQL with the banded-signature idiom") {
