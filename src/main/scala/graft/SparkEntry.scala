@@ -32,12 +32,13 @@ object SparkEntry {
   private def load(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a long
-    * (legacy conf); normalize to a micros timestamp column here. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (readable only as a
+    * long under the legacy conf) and TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ) across driver rounds; normalize either to a micros
+    * TIMESTAMP column here. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.streaming.EventStreams.normalizeEventTs(load(spark, dir, "events"))
   }
 
   /** The streaming replay harnesses feed typed Events from the driver; the

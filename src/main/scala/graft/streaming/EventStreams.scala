@@ -31,6 +31,23 @@ case class DupCandidate(doc_id: Long, peer_id: Long, band: Int)
   */
 object EventStreams {
 
+  /** The driver's events fixture has shipped `ts` under two parquet
+    * encodings across rounds: TIMESTAMP(NANOS), which Spark only reads as a
+    * raw Long (under `spark.sql.legacy.parquet.nanosAsLong`), and
+    * TIMESTAMP(MICROS) without a zone, which Spark reads as TIMESTAMP_NTZ.
+    * Normalize either to a session-zoned TIMESTAMP column (sessions here
+    * always run UTC, so the NTZ wall-clock is value-preserving). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"unsupported events.ts type: $other (expected LONG nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+  }
+
   /** Tumbling-window aggregation with a watermark: the canonical streaming
     * rollup. Works on a `readStream` or batch DataFrame alike. */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",

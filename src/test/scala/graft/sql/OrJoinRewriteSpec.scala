@@ -101,7 +101,9 @@ class OrJoinRewriteSpec extends AnyFunSuite {
       val rrows = randRows(18)
       def toDf(rows: Seq[(Long, Seq[Option[Long]])], p: String) = {
         val cols = (0 until nd).map(k => s"$p$k")
-        val data = rows.map { case (id, ks) => Row.fromSeq(id +: ks.map(_.orNull)) }
+        val data = rows.map { case (id, ks) =>
+          Row.fromSeq(id +: ks.map(_.map(Long.box).orNull))
+        }
         val schema = org.apache.spark.sql.types.StructType(
           org.apache.spark.sql.types.StructField(s"${p}id", org.apache.spark.sql.types.LongType, nullable = false) +:
             cols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.LongType, nullable = true)))

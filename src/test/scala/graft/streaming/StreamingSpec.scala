@@ -64,8 +64,9 @@ class StreamingSpec extends AnyFunSuite {
     // compare gaps in floor-seconds while the streaming operator uses ms —
     // on whole-second data the two gap semantics coincide exactly
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_seconds(ts div 1000000000)"))
+    val events = EventStreams.normalizeEventTs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .withColumn("ts", expr("timestamp_seconds(cast(ts as long))"))
       .select(col("event_id").cast("long").as("event_id"), col("ts"),
         col("user_id").cast("long").as("user_id"), col("event_type"),
         col("value").cast("double").as("value"))
