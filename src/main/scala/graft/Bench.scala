@@ -17,11 +17,25 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC everywhere: normalizeEventTs casts TIMESTAMP_NTZ -> TIMESTAMP,
+      // which is only value-preserving in UTC. TestSpark/Verify pin it via
+      // sbt fork javaOptions; a spark-submit of this main on a non-UTC host
+      // must not silently shift every event window boundary.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The two deliberate tiny-input global windows (Packing bucket totals,
+    // corpus_shuffle's pinned positions) each emit a WindowExec
+    // "No Partition Defined" WARN per run; across 3 passes x 90 queries the
+    // repeats flood the driver's 2000-char stdout tail and can push the
+    // machine-readable JSON line out of its capture window. Those sites are
+    // documented as bounded; silence just this logger, not WARN generally.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // sessionize_stream is the driver-correctness replay harness: its cost
     // is single-threaded MemoryStream feeding + per-micro-batch scheduling,

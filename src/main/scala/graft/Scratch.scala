@@ -24,6 +24,8 @@ object Scratch {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // see Bench.scala: normalizeEventTs's NTZ cast requires a UTC session
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse-scratch")

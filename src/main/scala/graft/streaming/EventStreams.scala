@@ -40,7 +40,19 @@ object EventStreams {
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // The div-1000 assumes epoch NANOS. A fixture shipping plain INT64
+      // micros/millis (no parquet logical type) would be misread 1000x+ with
+      // no error, only downstream oracle mismatches — so guard per row:
+      // any non-null value below 1e17 (epoch nanos for 1973-03-03; modern
+      // micros are ~2e15, millis ~2e12) fails fast. A row-level conditional
+      // stays codegen'd and works on streaming frames, where an eager
+      // min() scan could not run.
+      case LongType => df.withColumn("ts", expr(
+        """timestamp_micros(if(ts is null or ts >= 100000000000000000,
+          |  ts div 1000,
+          |  cast(raise_error(concat('events.ts=', ts,
+          |    ' is too small to be epoch nanoseconds; fixture likely micros/millis'))
+          |   as bigint)))""".stripMargin))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalArgumentException(

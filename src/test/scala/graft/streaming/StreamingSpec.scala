@@ -12,6 +12,24 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(min: Int): Timestamp = new Timestamp(3600_000L * 10 + min * 60_000L)
 
+  test("normalizeEventTs accepts epoch-nanos Longs and rejects micros-scale values") {
+    import spark.implicits._
+    // 2026-01-01T00:00:00Z in nanos: well above the 1e17 plausibility floor
+    val nanos = 1_767_225_600_000_000_000L
+    val ok = EventStreams.normalizeEventTs(
+      Seq(nanos).toDF("ts"))
+      .select(col("ts").cast("long")).head().getLong(0)
+    assert(ok == nanos / 1_000_000_000L, "nanos Long should normalize to the same instant")
+    // the same instant in MICROS (~1.8e15) must fail fast, not be silently
+    // divided by 1000 into a 1970s timestamp
+    val ex = intercept[Exception] {
+      EventStreams.normalizeEventTs(Seq(nanos / 1000L).toDF("ts")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("too small to be epoch nanoseconds")), msgs(ex).toString)
+  }
+
   test("windowedCounts over a MemoryStream emits watermarked window rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
