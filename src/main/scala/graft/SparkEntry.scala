@@ -1174,6 +1174,30 @@ object SparkEntry {
             Some(s.conf.get("spark.sql.shuffle.partitions").toInt))
         .orderBy("doc_id", "bench_id")
     }),
+    // Embedding-level decontamination: the semantic complement of
+    // contamination_check — flag corpus vectors within cosine 0.25 of any
+    // benchmark vector (hash-sampled 2%, same deterministic draw). The
+    // bench side broadcasts; the corpus never shuffles. Oracle: the pair
+    // SET is pinned (Python re-derives the xxhash64 sample + cosines);
+    // the sim VALUES are recomputed by DuckDB's own
+    // list_cosine_similarity over the table.
+    "contamination_embed" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val bench = graft.api.Sampling.sampleByHash(emb, "vec_id", 0.02, 99L)
+      graft.api.Contamination.embedOverlap(emb, bench, tau = 0.25)
+        .orderBy("vec_id", "bench_id")
+    }),
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space (16 cells,
+    // seeded sample-init Lloyd's), then drop any vector with a lower-id
+    // cosine->=0.35 neighbor in its own cell. 73 of 500 fixture vectors
+    // drop; the pairwise work is sum(|cell|^2) = 16k vs the 125k brute
+    // force. Oracle: full Python re-derivation (xxhash64 sample order ->
+    // Lloyd's in accumulation order -> per-cell pairs), pinned VALUES.
+    "semantic_dedup" -> ((s, dir) => {
+      graft.api.SemanticDedup.semanticDedup(load(s, dir, "embeddings"),
+          nClusters = 16, tau = 0.35, seed = 77L, iters = 5, sampleSize = 500)
+        .orderBy("vec_id")
+    }),
     "range_join" -> ((s, dir) => {
       // orders priced into irregular bands: a point-in-interval range join,
       // bucketed (graft.api.RangeJoin) instead of nested-loop
@@ -1501,6 +1525,8 @@ object SparkEntry {
     "sample_weighted" -> valuesOracle("sample_weighted"),
     "mix_sources" -> valuesOracle("mix_sources"),
     "contamination_check" -> valuesOracle("contamination_check"),
+    "contamination_embed" -> valuesOracle("contamination_embed"),
+    "semantic_dedup" -> valuesOracle("semantic_dedup"),
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),

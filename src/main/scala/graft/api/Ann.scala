@@ -268,7 +268,8 @@ object Ann {
     * top-k + driver merge, no full sort, one corpus pass. */
   private[api] def trainQuantizer(corpus: DataFrame, nlist: Int, seed: Long,
                                   iters: Int, sampleSize: Int,
-                                  idCol: String, vecCol: String): Array[Array[Double]] = {
+                                  idCol: String, vecCol: String,
+                                  initFromSample: Boolean = false): Array[Array[Double]] = {
     val sample = corpus
       .select(col(vecCol).as("__vec"), xxhash64(col(idCol), lit(seed)).as("__h"),
         col(idCol).as("__id"))
@@ -279,9 +280,20 @@ object Ann {
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "corpus is empty")
     val d = sample.head.length
-    // deterministic init: N(0,1) directions from the engine RNG
+    // deterministic init, two modes (both pinned by the Python oracle
+    // mirror): N(0,1) directions from the engine RNG — the original IVF
+    // behavior, kept for its pinned oracles — or the first nlist sample
+    // vectors (the sample is hash-ordered, so this is a uniform draw).
+    // Off-manifold N(0,1) centroids mostly capture nothing and never move
+    // (empty cells keep their init), which IVF recall tolerates but
+    // SemanticDedup's sum-of-squared-cluster-sizes cost does not: on the
+    // sf0.01 embeddings it collapses 16 cells to 2 non-empty
+    // (sizes [277, 223], Σ|c|² = 127k of a 125k-pair brute force) where
+    // sample init balances them (sizes 25..39, Σ|c|² = 16k).
     val rng = new graft.core.StdRng(seed)
-    var centroids = Array.fill(nlist)(Array.fill(d)(rng.stdNormal()))
+    var centroids =
+      if (initFromSample) Array.tabulate(nlist)(i => sample(i % sample.length).clone)
+      else Array.fill(nlist)(Array.fill(d)(rng.stdNormal()))
     var it = 0
     while (it < iters) {
       val sums = Array.fill(nlist)(new Array[Double](d))

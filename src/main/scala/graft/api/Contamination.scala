@@ -71,4 +71,32 @@ object Contamination {
       .select(col("doc_id")).distinct()
     corpus.join(flagged, corpus(idCol) === flagged("doc_id"), "left_anti")
   }
+
+  /** Embedding-level decontamination, the semantic complement of
+    * [[sharedNgrams]]: n-gram matching misses paraphrases and translations;
+    * cosine similarity over embeddings catches them. Emits
+    * (vec_id, bench_id, sim) for every corpus/benchmark vector pair with
+    * cosine >= `tau` (self-pairs excluded — a benchmark hosted inside the
+    * corpus table must not flag itself).
+    *
+    * Same cardinality shape as the n-gram pass: the benchmark side is tiny
+    * and BROADCAST; the corpus streams once through scan → broadcast
+    * nested-loop join → cosine filter, never shuffling. Cost is
+    * |corpus| × |bench| cosine evaluations inside codegen — at 100 TB
+    * pre-filter the bench side per corpus partition with an ANN index
+    * ([[Ann.lshBucketedTopK]]) if |bench| exceeds ~10⁵.
+    */
+  def embedOverlap(corpus: DataFrame, benchmark: DataFrame, tau: Double,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    def side(df: DataFrame, outId: String, outVec: String) =
+      df.select(col(idCol).cast("long").as(outId),
+        col(vecCol).cast("array<double>").as(outVec))
+    side(corpus, "vec_id", "cv")
+      .crossJoin(broadcast(side(benchmark, "bench_id", "bv")))
+      .filter(col("vec_id") =!= col("bench_id"))
+      .withColumn("sim", Ann.cosine(col("cv"), col("bv")))
+      .filter(col("sim") >= tau)
+      .select("vec_id", "bench_id", "sim")
+  }
 }

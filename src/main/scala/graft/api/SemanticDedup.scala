@@ -1,0 +1,85 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): k-means-cluster the embedding space, then hunt
+  * near-duplicates only *within* each cluster — the pairwise work drops
+  * from O(n²) to Σ_c |c|², and the cluster id is a shuffle key, so the
+  * quadratic part is per-partition and embarrassingly parallel.
+  *
+  * The reference has no embedding operators at all (its surface is the five
+  * LSH scalars, SURVEY.md §2); this is one of the engine's
+  * training-data-pipeline additions, sharing the ANN module's trained
+  * quantizer so a corpus that already fitted an IVF index
+  * ([[Ann.fitIvf]]) reuses the same centroids for dedup.
+  *
+  * Scale shape:
+  *  - centroid training reads a seeded-hash sample once
+  *    ([[Ann.trainQuantizer]]: TakeOrderedAndProject, no full sort);
+  *  - assignment is one codegen'd projection over a broadcast centroid
+  *    table (`NearestCell`) — zero shuffle;
+  *  - the only shuffle is the self-join on `cluster`, whose per-key volume
+  *    is the cluster size — pick `nClusters` so n/nClusters vectors fit a
+  *    partition (SemDeDup used 11k clusters for 100M+ points). A corpus
+  *    with a pathological mega-cluster has the same remedy as a hot LSH
+  *    bucket: raise `nClusters`, or grid-block the hot key
+  *    (see [[BandedLsh]]'s hot-bucket sidecar pattern).
+  */
+object SemanticDedup {
+
+  /** Input vectors with their k-means cell: (idCol, vecCol, cluster).
+    * Deterministic for a given (nClusters, seed, iters, sampleSize) —
+    * centroid init and the Lloyd's accumulation order are part of the
+    * engine's bit-exact contract (mirrored by the Python oracle).
+    */
+  def assignClusters(df: DataFrame, nClusters: Int, seed: Long,
+                     iters: Int = 5, sampleSize: Int = 10000,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell}
+    val base = df.select(col(idCol).cast("long").as(idCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val centroids = Ann.trainQuantizer(base, nClusters, seed, iters, sampleSize,
+      idCol, vecCol, initFromSample = true)
+    val model = new CentroidModel(df.sparkSession.sparkContext.broadcast(centroids))
+    base.withColumn("cluster",
+      ColumnShim.column(NearestCell(ColumnShim.expression(col(vecCol)), model)))
+  }
+
+  /** Per-vector dedup verdict: (idCol, cluster, kept). A vector is dropped
+    * (kept = false) iff some *lower-id* member of its cluster has cosine
+    * similarity >= `tau` with it — the deterministic "keep the earliest
+    * representative" rule (SemDeDup keeps one arbitrary member per similar
+    * group; lowest-id is that choice made reproducible). The rule is
+    * single-pass pairwise, not transitive: a dropped vector still shadows
+    * later near-copies of itself, so each similarity chain keeps exactly
+    * its first element.
+    *
+    * Only ids and the verdict flow out; join the result back on `idCol` to
+    * materialize the surviving rows.
+    */
+  def semanticDedup(df: DataFrame, nClusters: Int, tau: Double, seed: Long,
+                    iters: Int = 5, sampleSize: Int = 10000,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assigned =
+      assignClusters(df, nClusters, seed, iters, sampleSize, idCol, vecCol)
+    // ids+cluster through the shuffle twice, vectors re-attached by the
+    // cluster-key join itself (both sides need the vector for the verify,
+    // and each side's projection is narrow: id, cluster, d doubles).
+    val a = assigned.select(col(idCol).as("id_a"), col("cluster"),
+      col(vecCol).as("va"))
+    val b = assigned.select(col(idCol).as("id_b"), col("cluster"),
+      col(vecCol).as("vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Ann.cosine(col("va"), col("vb")) >= lit(tau))
+      .select(col("id_b").as(idCol))
+      .distinct()
+    assigned.select(col(idCol), col("cluster"))
+      .join(dropped.withColumn("__dropped", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("__dropped").isNull.as("kept"))
+  }
+}

@@ -216,6 +216,29 @@ def nearest_centroids(v, cs, n):
     return [c for _, c in scored[:n]]
 
 
+def kmeans_cells(vecs, nlist, seed, iters, sample_size):
+    """Mirror graft.api.Ann.trainQuantizer(initFromSample=true) + NearestCell
+    assignment: hash-ordered sample, centroids initialized from the first
+    nlist sample vectors, Lloyd's in accumulation order. Returns
+    {vec_id: cell}."""
+    order = sorted(vecs, key=lambda vid: (spark_xxhash64(vid, seed), vid))[:sample_size]
+    sample = [vecs[vid] for vid in order]
+    d = len(sample[0])
+    centroids = [list(sample[i % len(sample)]) for i in range(nlist)]
+    for _ in range(iters):
+        sums = [[0.0] * d for _ in range(nlist)]
+        counts = [0] * nlist
+        for v in sample:
+            c = nearest_centroid(v, centroids)
+            counts[c] += 1
+            for j in range(d):
+                sums[c][j] += v[j]
+        centroids = [centroids[c] if counts[c] == 0
+                     else [sums[c][j] / counts[c] for j in range(d)]
+                     for c in range(nlist)]
+    return {vid: nearest_centroid(v, centroids) for vid, v in vecs.items()}
+
+
 def ivf_topk_rows(vecs, k, nlist, nprobe, seed, iters, sample_size):
     """Mirror graft.api.Ann.ivfTopK incl. the seeded-hash sample order (the
     Lloyd's float accumulation order is part of the bit-exact contract)."""
@@ -1489,6 +1512,45 @@ def main(sf_dir, spark_dir):
     custom["multimodal_features_real"] = (
         mr_rows, ("media_id", "checksum", "width", "height", "mean_byte"), mr_sql)
 
+    # ---- semantic_dedup (mirror graft.api.SemanticDedup): 16-cell k-means
+    # (sample init, seed 77), drop any vector with a lower-id cosine>=0.35
+    # neighbor in its own cell. Full rows pinned: the cells depend on the
+    # Lloyd's float chain DuckDB cannot recompute.
+    sem_cells = kmeans_cells(vecs, nlist=16, seed=77, iters=5, sample_size=500)
+    sem_members = {}
+    for vid in sorted(vecs):
+        sem_members.setdefault(sem_cells[vid], []).append(vid)
+    sem_rows = []
+    for vid in sorted(vecs):
+        mem = sem_members[sem_cells[vid]]
+        kept = not any(cosine(vecs[a], vecs[vid]) >= 0.35
+                       for a in mem if a < vid)
+        sem_rows.append((vid, sem_cells[vid], kept))
+    sem_sql = (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INTEGER) AS cluster,\n"
+        "       CAST(kept AS BOOLEAN) AS kept\n"
+        "FROM (VALUES\n"
+        f"{values_block([(v, c, 'TRUE' if k else 'FALSE') for v, c, k in sem_rows])}\n"
+        ") AS t(vec_id, cluster, kept)\nORDER BY vec_id")
+    custom["semantic_dedup"] = (sem_rows, ("vec_id", "cluster", "kept"), sem_sql)
+
+    # ---- contamination_embed: xxhash64 2%-sample bench, corpus pairs with
+    # cosine >= 0.25. The pair SET is pinned; the sim column is recomputed
+    # by DuckDB's list_cosine_similarity (engine-checked, not copied).
+    ce_bench = sorted(v for v in vecs if hash_score(v, 99) < 0.02)
+    ce_rows = [(vid, bid, cosine(vecs[vid], vecs[bid]))
+               for vid in sorted(vecs) for bid in ce_bench
+               if vid != bid and cosine(vecs[vid], vecs[bid]) >= 0.25]
+    ce_sql = (
+        "WITH sel(vec_id, bench_id) AS (VALUES\n"
+        f"{values_block([r[:2] for r in ce_rows])}\n),\n"
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)\n"
+        "SELECT CAST(s.vec_id AS BIGINT) AS vec_id, CAST(s.bench_id AS BIGINT) AS bench_id,\n"
+        "       list_cosine_similarity(c.v, b.v) AS sim\n"
+        "FROM sel s JOIN e c ON c.vec_id = s.vec_id JOIN e b ON b.vec_id = s.bench_id\n"
+        "ORDER BY vec_id, bench_id")
+    custom["contamination_embed"] = (ce_rows, ("vec_id", "bench_id", "sim"), ce_sql)
+
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
                     "index_health": "band, band_hash",
                     "multimodal_features_real": "media_id",
@@ -1503,6 +1565,8 @@ def main(sf_dir, spark_dir):
                     "token_entropy": "doc_id",
                     "signature_dedup_pairs": "id_a, id_b",
                     "lsh_blocking_join": "key_a, key_b",
+                    "semantic_dedup": "vec_id",
+                    "contamination_embed": "vec_id, bench_id",
                     "sample_hash": "doc_id",
                     "sample_stratified": "lang, doc_id",
                     "dataset_splits": "doc_id",
