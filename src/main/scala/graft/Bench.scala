@@ -36,6 +36,12 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // Same reason: nearDupPairsShared re-issues .cache() on a structurally
+    // identical plan from its second consumer onward (the documented shared-
+    // work design), and CacheManager WARNs "already cached" every time.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager",
+      org.apache.logging.log4j.Level.ERROR)
 
     // sessionize_stream is the driver-correctness replay harness: its cost
     // is single-threaded MemoryStream feeding + per-micro-batch scheduling,

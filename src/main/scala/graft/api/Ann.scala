@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   /** Cosine similarity of two double-array columns (sequential accumulation,
-    * dot / (||a|| * ||b||)). */
+    * dot / (||a|| * ||b||)). Backed by the codegen'd
+    * [[org.apache.spark.sql.graft.CosineSim]] expression — bit-identical to
+    * the former `aggregate(zip_with(...))` formulation (same IEEE op order),
+    * but it stays inside whole-stage codegen instead of interpreting two
+    * lambda trees per pair. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
+    import org.apache.spark.sql.graft.{ColumnShim, CosineSim}
+    ColumnShim.column(CosineSim(ColumnShim.expression(a), ColumnShim.expression(b)))
   }
 
   /** Cosine near-dup pair mining via random-hyperplane (sign) LSH — the

@@ -89,9 +89,12 @@ object Contamination {
   def embedOverlap(corpus: DataFrame, benchmark: DataFrame, tau: Double,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
+    // zero-norm guard, same as cosineLshPairs: an undefined cosine must not
+    // throw (ANSI) or NaN-rank above tau (non-ANSI)
     def side(df: DataFrame, outId: String, outVec: String) =
       df.select(col(idCol).cast("long").as(outId),
         col(vecCol).cast("array<double>").as(outVec))
+        .filter(aggregate(col(outVec), lit(0.0), (acc, v) => acc + v * v) > 0.0)
     side(corpus, "vec_id", "cv")
       .crossJoin(broadcast(side(benchmark, "bench_id", "bv")))
       .filter(col("vec_id") =!= col("bench_id"))

@@ -66,12 +66,18 @@ object SemanticDedup {
                     vecCol: String = "embedding"): DataFrame = {
     val assigned =
       assignClusters(df, nClusters, seed, iters, sampleSize, idCol, vecCol)
+    // Zero-norm vectors have no direction, so their cosine is undefined
+    // (ANSI DIVIDE_BY_ZERO, or NaN which ranks above every tau): they never
+    // drop and never shadow — excluded from the pair join, kept in the
+    // output (same guard as cosineLshPairs).
+    val live = assigned.filter(
+      aggregate(col(vecCol), lit(0.0), (acc, v) => acc + v * v) > 0.0)
     // ids+cluster through the shuffle twice, vectors re-attached by the
     // cluster-key join itself (both sides need the vector for the verify,
     // and each side's projection is narrow: id, cluster, d doubles).
-    val a = assigned.select(col(idCol).as("id_a"), col("cluster"),
+    val a = live.select(col(idCol).as("id_a"), col("cluster"),
       col(vecCol).as("va"))
-    val b = assigned.select(col(idCol).as("id_b"), col("cluster"),
+    val b = live.select(col(idCol).as("id_b"), col("cluster"),
       col(vecCol).as("vb"))
     val dropped = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
 
@@ -29,4 +29,66 @@ case class CosineSketch64(child: Expression, nbits: Int, seed: Long)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+object CosineSim {
+
+  /** dot/(√Σa²·√Σb²) with strict left-to-right accumulation: per element,
+    * multiply then add, in array order, no FMA — the identical IEEE op
+    * sequence as the `zip_with`+`aggregate` formulation this expression
+    * replaced, so every pinned cosine oracle is unchanged bit for bit.
+    * Null (boxed) for length mismatch or a null element — the same result
+    * the HOF chain produced (zip_with pads with null, the products fold to
+    * null). Zero norms divide to IEEE NaN/Inf exactly like the Column `/`
+    * (double division is never an ANSI error). */
+  def computeBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var dot = 0.0
+    i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < n) { val x = a.getDouble(i); na += x * x; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < n) { val y = b.getDouble(i); nb += y * y; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** `cosine_sim(a, b)` — pairwise cosine similarity as a single codegen'd
+  * expression. Exists because the higher-order-function formulation
+  * (`aggregate(zip_with(...))`) evaluates its lambdas interpreted, outside
+  * whole-stage codegen, and cosine is the per-pair kernel of every
+  * verify/score stage in the ANN, semantic-dedup and decontamination
+  * paths — the hottest scalar in the embedding half of the engine. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "cosine_sim"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.computeBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = CosineSim.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = $cls.computeBoxed($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
