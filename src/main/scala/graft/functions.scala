@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, BpeRanks, CmsBuild, CmsEstimate, ColumnShim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, BpeRanks, CmsBuild, CmsEstimate, ColumnShim, CosineSim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -124,6 +124,12 @@ object functions {
   /** 64-bit random-hyperplane cosine sketch (sign LSH). */
   def cosine_sketch64(vec: Column, nbits: Int, seed: Long): Column =
     toCol(CosineSketch64(col2expr(vec), nbits, seed))
+
+  /** Pairwise cosine similarity (codegen'd, strict left-to-right
+    * accumulation — the engine's bit-deterministic scoring kernel; also
+    * [[graft.api.Ann.cosine]]). */
+  def cosine_sim(a: Column, b: Column): Column =
+    toCol(CosineSim(col2expr(a), col2expr(b)))
 
   /** Byte-level BPE token count under a caller-supplied merge list (the
     * public GPT-2-family algorithm; no model file is bundled — learned

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, CosineSim, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
 
 /** Registration of the five LSH SQL functions, the analog of the reference's
   * extension entry point (/root/reference/src/lib.rs:40-53). After
@@ -91,6 +91,10 @@ object LshFunctions {
     "ln_pinned" -> ((args: Seq[Expression]) => {
       require(args.length == 1, "ln_pinned expects 1 argument")
       LnPinned(args(0))
+    }),
+    "cosine_sim" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "cosine_sim expects 2 arguments")
+      CosineSim(args(0), args(1))
     }))
 
   private def info(name: String): ExpressionInfo =

@@ -47,6 +47,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Union"), s"expected per-disjunct joins unioned:\n$plan")
   }
 
+  test("semantic_dedup: assignment is a pure projection, pairs shuffle only on cluster") {
+    val plan = planOf("semantic_dedup")
+    // the codegen'd kernels are in the plan (no HOF lambda drop-out)
+    assert(plan.contains("nearest_centroid"), s"expected NearestCell assignment:\n$plan")
+    assert(plan.contains("cosine_sim"), s"expected codegen'd cosine verify:\n$plan")
+    // the only exchanges are hashpartitioning(cluster...) for the self-join
+    // and the final verdict join — never an all-pairs cartesian
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup must never go all-pairs:\n$plan")
+  }
+
+  test("contamination_embed: bench side broadcasts, corpus never shuffles") {
+    val plan = planOf("contamination_embed")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"bench side must broadcast:\n$plan")
+    // corpus flows scan -> cosine filter with no hash/range repartition
+    assert(!plan.contains("hashpartitioning"),
+      s"corpus side must not shuffle:\n$plan")
+  }
+
   test("q1_agg uses two-phase (partial) hash aggregation") {
     val plan = planOf("q1_agg")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,

@@ -14,6 +14,19 @@ class LshSqlSpec extends AnyFunSuite {
 
   private def u64(s: String): Long = java.lang.Long.parseUnsignedLong(s)
 
+  test("cosine_sim via SQL: exact value, null propagation, length mismatch") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS s").collect()
+    assert(math.abs(r.head.getDouble(0) - 1.0) < 1e-12)
+    // orthogonal -> 0; null input -> null; mismatched lengths -> null
+    assert(spark.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 3.0D))")
+      .head().getDouble(0) == 0.0)
+    assert(spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))")
+      .head().isNullAt(0))
+    assert(spark.sql("SELECT cosine_sim(array(1.0D), array(1.0D, 2.0D))")
+      .head().isNullAt(0))
+  }
+
   test("lsh_min scalar over SQL") {
     val rows = spark.sql("SELECT lsh_min('Princeton University', 2, 3, 2, 123) AS h").collect()
     assert(rows.head.getSeq[Long](0) == Seq(u64("6891191098855684803"),
