@@ -38,13 +38,23 @@ object SemanticDedup {
                      iters: Int = 5, sampleSize: Int = 10000,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell}
     val base = df.select(col(idCol).cast("long").as(idCol),
       col(vecCol).cast("array<double>").as(vecCol))
     val centroids = Ann.trainQuantizer(base, nClusters, seed, iters, sampleSize,
       idCol, vecCol, initFromSample = true)
+    assignToCentroids(base, centroids, vecCol)
+  }
+
+  /** Assignment under caller-supplied centroids — e.g. the trained
+    * quantizer of an existing [[Ann.IvfIndex]] (`index.centroids`), so a
+    * corpus that already fitted an ANN index dedups in its cells without a
+    * second training pass. */
+  def assignToCentroids(df: DataFrame, centroids: Array[Array[Double]],
+                        vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell}
+    require(centroids.nonEmpty, "at least one centroid required")
     val model = new CentroidModel(df.sparkSession.sparkContext.broadcast(centroids))
-    base.withColumn("cluster",
+    df.withColumn("cluster",
       ColumnShim.column(NearestCell(ColumnShim.expression(col(vecCol)), model)))
   }
 
@@ -87,5 +97,18 @@ object SemanticDedup {
     assigned.select(col(idCol), col("cluster"))
       .join(dropped.withColumn("__dropped", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cluster"), col("__dropped").isNull.as("kept"))
+  }
+
+  /** The deduplicated corpus: input rows whose id survived
+    * [[semanticDedup]]. Ids-only anti join — payload columns never move
+    * through the dedup shuffles. */
+  def keepRepresentatives(df: DataFrame, nClusters: Int, tau: Double,
+                          seed: Long, iters: Int = 5, sampleSize: Int = 10000,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val droppedIds =
+      semanticDedup(df, nClusters, tau, seed, iters, sampleSize, idCol, vecCol)
+        .filter(!col("kept")).select(col(idCol).as("__drop_id"))
+    df.join(droppedIds, df(idCol) === col("__drop_id"), "left_anti")
   }
 }
