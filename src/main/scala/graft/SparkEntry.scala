@@ -1310,6 +1310,28 @@ object SparkEntry {
         .orderBy("band", "id_a", "id_b")
     }),
 
+    // Streaming cosine-LSH blocking (the third streaming blocking family):
+    // replay the embeddings as a 3-micro-batch stream through the sign-LSH
+    // bucket state; the emitted candidate set must equal pure co-bucket
+    // math (Python hyperplane -> sketch -> chunk re-derivation, pinned) —
+    // same sketch params as the batch cosine_lsh_pairs, so stream and
+    // batch block identically.
+    "stream_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = load(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"),
+          expr("timestamp_seconds(vec_id + 1)").as("ts"),
+          col("embedding").cast("array<double>"))
+        .as[(Long, java.sql.Timestamp, Seq[Double])].collect().toSeq.sortBy(_._1)
+      graft.streaming.EventStreams.embedNearDupReplay(s, vecs,
+          nbits = 64, bands = 8, lshSeed = 41L, nBatches = 3)
+        .select(col("band"),
+          least(col("doc_id"), col("peer_id")).as("id_a"),
+          greatest(col("doc_id"), col("peer_id")).as("id_b"))
+        .distinct()
+        .orderBy("band", "id_a", "id_b")
+    }),
+
     "stream_attribution_join" -> ((s, dir) => {
       import s.implicits._
       // stream-stream interval join: every purchase attributed to the same
@@ -1521,6 +1543,7 @@ object SparkEntry {
     "ann_topk_ivfpq" -> valuesOracle("ann_topk_ivfpq"),
     "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
+    "stream_embed_neardup" -> valuesOracle("stream_embed_neardup"),
     "sample_hash" -> valuesOracle("sample_hash"),
     "sample_weighted" -> valuesOracle("sample_weighted"),
     "mix_sources" -> valuesOracle("mix_sources"),

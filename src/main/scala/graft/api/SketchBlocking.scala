@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * into `bands` equal bit-chunks; rows sharing any (band, chunk) pair are
   * candidates. Used by both SimHash (Hamming) and cosine sign-sketch pair
   * mining — one implementation so fixes reach every family. */
-private[api] object SketchBlocking {
+private[graft] object SketchBlocking {
 
   /** All-ones mask for a `width`-bit chunk. Scala shifts are mod 64, so the
     * naive `(1L << width) - 1` at width = 64 (bands = 1) is 0 — which would

@@ -266,6 +266,59 @@ object EventStreams {
           hs.iterator.zipWithIndex.map { case (h, band) => (band, h, id, ts) }
         }
       }.toDF("band", "h", "doc_id", "ts")
+    bucketCollisions(banded, watermarkDelay, ttlMs, maxBucket)
+  }
+
+  /** Streaming embedding near-dup candidates via random-hyperplane (sign)
+    * LSH — the cosine-family member of the streaming blocking set, next to
+    * the MinHash [[nearDupCandidates]]: each arriving vector's
+    * `cosine_sketch64` splits into `bands` equal bit-chunks (the same
+    * chunk layout as the batch [[graft.api.Ann.cosineLshPairs]], so batch
+    * and stream block identically), and each (band, chunk) keys the shared
+    * bounded bucket state. Emits one [[DupCandidate]] per prior co-bucket
+    * member; downstream verifies with exact cosine in batch. Zero-norm
+    * vectors are skipped up front (they sketch to all-ones and would
+    * always collide; their cosine is undefined — same exclusion as every
+    * batch cosine path).
+    *
+    * Expects columns (vec_id: long, ts: timestamp, embedding: array<double>). */
+  def embedNearDupCandidates(vecs: DataFrame, nbits: Int, bands: Int, lshSeed: Long,
+                             watermarkDelay: String = "10 seconds",
+                             ttlMs: Long = 60 * 60 * 1000L,
+                             maxBucket: Int = 64): Dataset[DupCandidate] = {
+    import vecs.sparkSession.implicits._
+    require(bands >= 1 && nbits % bands == 0,
+      s"bands must divide nbits, got nbits=$nbits bands=$bands")
+    val width = nbits / bands
+    val mask = graft.api.SketchBlocking.chunkMask(width)
+    val banded = vecs.select(col("vec_id").cast("long"), col("ts"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Timestamp, Seq[Double])]
+      .flatMap { case (id, ts, emb) =>
+        if (emb == null) Iterator.empty
+        else {
+          val arr = emb.toArray
+          var normSq = 0.0
+          var i = 0
+          while (i < arr.length) { normSq += arr(i) * arr(i); i += 1 }
+          if (normSq == 0.0) Iterator.empty
+          else {
+            val sk = graft.core.CosineFamily(nbits, lshSeed, arr.length).sketch(arr)
+            (0 until bands).iterator.map(b => (b, (sk >>> (b * width)) & mask, id, ts))
+          }
+        }
+      }.toDF("band", "h", "doc_id", "ts")
+    bucketCollisions(banded, watermarkDelay, ttlMs, maxBucket)
+  }
+
+  /** The shared stateful core of the streaming blockers: (band, h, id, ts)
+    * rows key into bounded bucket membership; an id colliding with prior
+    * members emits one candidate per member. State holds only ids (capped
+    * at `maxBucket`, expired by event-time timeout after `ttlMs`), never
+    * payloads — O(buckets × maxBucket × 8 B) regardless of corpus size. */
+  private def bucketCollisions(banded: DataFrame, watermarkDelay: String,
+                               ttlMs: Long, maxBucket: Int): Dataset[DupCandidate] = {
+    import banded.sparkSession.implicits._
     val src = if (banded.isStreaming) banded.withWatermark("ts", watermarkDelay) else banded
     src.as[(Int, Long, Long, Timestamp)]
       .groupByKey { case (band, h, _, _) => (band, h) }
@@ -390,6 +443,30 @@ object EventStreams {
     try {
       val chunk = math.max(1, (docs.size + nBatches - 1) / nBatches)
       docs.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(sink)
+  }
+
+  /** Replay a finite embedding set through [[embedNearDupCandidates]] —
+    * the cosine twin of [[nearDupReplay]], same disorder-tolerant config
+    * (watermark beyond the fixture range, effectively-unbounded TTL and
+    * bucket cap) so the candidate set must equal pure co-bucket math for
+    * any micro-batch split. */
+  def embedNearDupReplay(spark: SparkSession,
+                         vecs: Seq[(Long, Timestamp, Seq[Double])],
+                         nbits: Int, bands: Int, lshSeed: Long,
+                         nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, Seq[Double])]
+    val sink = s"graft_embed_neardup_replay_${replaySeq.incrementAndGet()}"
+    val q = embedNearDupCandidates(mem.toDF().toDF("vec_id", "ts", "embedding"),
+        nbits, bands, lshSeed,
+        watermarkDelay = "3650 days", ttlMs = Long.MaxValue / 4, maxBucket = 1 << 20)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (vecs.size + nBatches - 1) / nBatches)
+      vecs.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
     } finally q.stop()
     spark.table(sink)
   }

@@ -183,4 +183,29 @@ class KernelPropertiesSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(mergedC, cms(as ++ bs)))
     }
   }
+
+  test("CosineSim.computeBoxed is bit-equal to the sequential HOF fold it replaced") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vec: Gen[Array[Double]] = Gen.chooseNum(1, 48).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3)).map(_.toArray))
+    forSamples(Gen.zip(vec, vec), n = 300) { case (a0, b0) =>
+      // equal lengths: truncate to the shorter (mismatch -> null, tested in SQL spec)
+      val n = math.min(a0.length, b0.length)
+      val a = a0.take(n); val b = b0.take(n)
+      // reference fold, exactly as aggregate(zip_with(a,b,_*_),0.0,_+_) evaluated:
+      // per element multiply-then-add in array order, separate norm passes
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); i += 1 }
+      var na = 0.0; i = 0
+      while (i < n) { na += a(i) * a(i); i += 1 }
+      var nb = 0.0; i = 0
+      while (i < n) { nb += b(i) * b(i); i += 1 }
+      val want = dot / (math.sqrt(na) * math.sqrt(nb))
+      val got = org.apache.spark.sql.graft.CosineSim.computeBoxed(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      assert(java.lang.Double.doubleToRawLongBits(got.doubleValue()) ==
+        java.lang.Double.doubleToRawLongBits(want),
+        s"cosine bits differ: got $got want $want")
+    }
+  }
 }

@@ -30,6 +30,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("too small to be epoch nanoseconds")), msgs(ex).toString)
   }
 
+  test("embedNearDupCandidates: replay equals batch co-bucket math; zero-norm skipped") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long"),
+        expr("timestamp_seconds(vec_id + 1)").as("ts"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, java.sql.Timestamp, Seq[Double])].collect().toSeq.sortBy(_._1)
+    // inject one zero-norm vector: it must never emit or absorb candidates
+    val dim = emb.head._3.length
+    val withZero = emb :+ ((9999L, new Timestamp(86400_000L),
+      Seq.fill(dim)(0.0)))
+    val got = EventStreams.embedNearDupReplay(spark, withZero,
+        nbits = 64, bands = 8, lshSeed = 41L, nBatches = 4)
+      .select(least(col("doc_id"), col("peer_id")), greatest(col("doc_id"), col("peer_id")), col("band"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(!got.exists { case (a, b, _) => a == 9999L || b == 9999L },
+      "zero-norm vector must not block")
+    // batch recomputation of the same co-bucket pairs via the expression path
+    val vecs = emb.toDF("vec_id", "ts", "embedding")
+      .filter(aggregate(col("embedding"), lit(0.0), (acc, v) => acc + v * v) > 0.0)
+    val banded = vecs.select(col("vec_id"),
+        posexplode(graft.api.SketchBlocking.chunks(
+          graft.functions.cosine_sketch64(col("embedding"), 64, 41L), 8, 64)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("chunk"))
+    val want = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"), col("a.band"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"streamed candidates != batch co-bucket pairs (${got.size} vs ${want.size})")
+    assert(want.nonEmpty, "fixture must produce at least one candidate")
+  }
+
   test("windowedCounts over a MemoryStream emits watermarked window rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -772,6 +772,24 @@ def main(sf_dir, spark_dir):
         ") AS t(id_a, id_b, sim)\nORDER BY id_a, id_b")
     custom["cosine_lsh_pairs"] = (cl_rows, ("id_a", "id_b", "sim"), cl_sql)
 
+    # ---- stream_embed_neardup: streaming sign-LSH blocking. Same sketch
+    # chain as cosine_lsh_pairs (shared cl_* params above); the streamed
+    # candidate set is pure per-band co-bucket math — one (band, a, b) row
+    # per band the pair collides in, no cosine threshold (verification is a
+    # downstream batch step).
+    sen_rows = sorted(
+        (b_, min(i_, j_), max(i_, j_))
+        for (b_, _chunk), ids in cl_buckets.items()
+        for x in range(len(ids)) for y in range(x + 1, len(ids))
+        for i_, j_ in [(ids[x], ids[y])])
+    sen_sql = (
+        "SELECT CAST(band AS INTEGER) AS band, CAST(id_a AS BIGINT) AS id_a,"
+        " CAST(id_b AS BIGINT) AS id_b\n"
+        "FROM (VALUES\n"
+        f"{values_block(sen_rows)}\n"
+        ") AS t(band, id_a, id_b)\nORDER BY band, id_a, id_b")
+    custom["stream_embed_neardup"] = (sen_rows, ("band", "id_a", "id_b"), sen_sql)
+
     customers = con.execute(
         f"SELECT c_custkey, c_name FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
     ).fetchall()
@@ -1566,6 +1584,7 @@ def main(sf_dir, spark_dir):
                     "signature_dedup_pairs": "id_a, id_b",
                     "lsh_blocking_join": "key_a, key_b",
                     "semantic_dedup": "vec_id",
+                    "stream_embed_neardup": "band, id_a, id_b",
                     "contamination_embed": "vec_id, bench_id",
                     "sample_hash": "doc_id",
                     "sample_stratified": "lang, doc_id",
