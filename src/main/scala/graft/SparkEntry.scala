@@ -453,6 +453,15 @@ object SparkEntry {
                CAST(size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS stopwords
         FROM documents ORDER BY doc_id""")
     }),
+    // CCNet-style unigram cross-entropy: avg negative log-likelihood of
+    // each doc under the corpus' own unigram distribution (pinned ln +
+    // sorted fold, so the doubles are engine-exact). Oracle: full Python
+    // re-derivation (tokenize -> corpus counts -> sorted term fold),
+    // pinned VALUES.
+    "doc_logprob" -> ((s, dir) => {
+      graft.api.TextAnalysis.docLogProb(load(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
     "token_entropy" -> ((s, dir) => {
       // pinned-ln Shannon entropy of each doc's token distribution — the
       // gibberish/boilerplate quality signal; sorted-count fold makes the
@@ -1558,6 +1567,7 @@ object SparkEntry {
     "hist_quantiles" -> valuesOracle("hist_quantiles"),
     "stream_hist_quantiles" -> valuesOracle("stream_hist_quantiles"),
     "token_entropy" -> valuesOracle("token_entropy"),
+    "doc_logprob" -> valuesOracle("doc_logprob"),
     "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
     "rolling_dedup" -> valuesOracle("rolling_dedup"),
     "index_health" -> valuesOracle("index_health"),

@@ -320,4 +320,53 @@ object TextAnalysis {
         coalesce(col("token_entropy_bits"), lit(0.0)).as("token_entropy_bits"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
+
+  /** CCNet-style unigram cross-entropy quality score: each document's
+    * average negative log-likelihood (nats) under the corpus' OWN unigram
+    * token distribution, `avg_nll = (1/n) Σ_t c_t · (ln N − ln cnt_t)` —
+    * boilerplate built from the corpus' most common tokens scores low,
+    * rare-token noise scores high; curation thresholds both tails (the
+    * CCNet recipe scores against an external LM's distribution; the
+    * self-scored variant needs no model artifact and is fully
+    * reproducible). Tokenization is [[vocabCounts]]'s, so the vocabulary
+    * and the document tokens share one identity.
+    *
+    * Deterministic across engines the same two ways as [[tokenEntropy]]:
+    * the per-doc terms are sorted (by corpus count, then doc count —
+    * entries tying on both have bit-equal terms, so the order within ties
+    * cannot matter) and folded left-to-right, and every log is the pinned
+    * ln (domain [1, ∞): counts ≥ 1 keep every argument inside).
+    *
+    * Scale shape: the (token, cnt) vocabulary aggregate is vocab-sized
+    * after map-side combine, never corpus-sized; the doc-token join is on
+    * `token` (AQE broadcasts it when the vocabulary is small — at web
+    * scale, frequency-cap the vocab and route the long tail to a floor
+    * count before this join); the per-doc combine is the only other
+    * shuffle. Docs with no tokens score 0 with n_tokens 0. */
+  def docLogProb(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val vocab = vocabCounts(df, textCol)
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val toks = SparkEnv.spread(df)
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val perDoc = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .join(vocab, "token")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("cnt"), col("c")))).as("terms"),
+        sum(col("c")).cast("double").as("n"))
+      .crossJoin(broadcast(total))
+    val nll = aggregate(col("terms"), lit(0.0), (acc, t) =>
+      acc + t.getField("c").cast("double") *
+        (graft.functions.ln_pinned(col("total").cast("double")) -
+          graft.functions.ln_pinned(t.getField("cnt").cast("double"))))
+    val scored = perDoc.select(col(idCol), (nll / col("n")).as("avg_nll"),
+      col("n").cast("long").as("n_tokens"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
 }

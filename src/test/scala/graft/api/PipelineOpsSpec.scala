@@ -318,6 +318,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got(3)._2 - 1.0) < 1e-12)
   }
 
+  test("TextAnalysis docLogProb: hand-computed cross-entropy, empty doc, tail ordering") {
+    val docs = Seq(
+      (1L, "the the cat"), // terms: cat(corpus 1)x1, the(corpus 3)x2
+      (2L, "the dog"),
+      (3L, "")             // no tokens -> 0, n 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.docLogProb(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // corpus: the=3, cat=1, dog=1, total=5
+    val ln5 = math.log(5.0); val ln3 = math.log(3.0)
+    val want1 = (1.0 * ln5 + 2.0 * (ln5 - ln3)) / 3.0
+    val want2 = ((ln5 - 0.0) + (ln5 - ln3)) / 2.0
+    assert(math.abs(got(0)._2 - want1) < 1e-9 && got(0)._3 == 3)
+    assert(math.abs(got(1)._2 - want2) < 1e-9 && got(1)._3 == 2)
+    assert(got(2)._2 == 0.0 && got(2)._3 == 0)
+    // the common-token doc must score lower nll than the rare-token doc
+    assert(got(0)._2 < got(1)._2)
+  }
+
   test("TextAnalysis normalizeText and redactPii") {
     val df = Seq("  Mixed \tCASEtext   with junk  ").toDF("text")
     val clean = df.select(TextAnalysis.normalizeText($"text")).head.getString(0)

@@ -1372,6 +1372,37 @@ def main(sf_dir, spark_dir):
                                ("doc_id", "token_entropy_bits", "n_tokens"),
                                te_sql)
 
+    # ---- doc_logprob: CCNet-style unigram cross-entropy (mirrors
+    # TextAnalysis.docLogProb: vocabCounts tokenizer = lower + [^a-z]+
+    # split; per-doc terms sorted by (corpus cnt, doc count) and folded
+    # left-to-right in pinned ln — ties on both keys have bit-equal terms,
+    # so the within-tie order is immaterial).
+    import re as _re
+    def lp_tokens(text):
+        return [t for t in _re.split("[^a-z]+", text.lower()) if t]
+    lp_vocab = Counter()
+    for _did, text in docs:
+        lp_vocab.update(lp_tokens(text))
+    lp_total = float(sum(lp_vocab.values()))
+    lp_rows = []
+    for doc_id, text in docs:
+        toks = lp_tokens(text)
+        if not toks:
+            lp_rows.append((doc_id, 0.0, 0))
+            continue
+        terms = sorted((lp_vocab[t], c) for t, c in Counter(toks).items())
+        acc = 0.0
+        for cnt, c in terms:
+            acc += float(c) * (ln_pinned(lp_total) - ln_pinned(float(cnt)))
+        lp_rows.append((doc_id, acc / float(len(toks)), len(toks)))
+    lp_sql = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(avg_nll AS DOUBLE) AS avg_nll,"
+        " CAST(n_tokens AS BIGINT) AS n_tokens\n"
+        "FROM (VALUES\n"
+        f"{values_block([(d_, repr(v_), n_) for d_, v_, n_ in lp_rows])}\n"
+        ") AS t(doc_id, avg_nll, n_tokens)\nORDER BY doc_id")
+    custom["doc_logprob"] = (lp_rows, ("doc_id", "avg_nll", "n_tokens"), lp_sql)
+
     # ---- signature_dedup_pairs: banding collisions + 24-component
     # signature-fraction similarity (mirrors BandedLsh.nearDupPairsBySignature:
     # same 8x3 blocking as minhash_dedup_pairs, est = equal components / 24).
@@ -1581,6 +1612,7 @@ def main(sf_dir, spark_dir):
                     "ann_topk_pq": 'query_id, "rank"',
                     "ann_topk_ivfpq": 'query_id, "rank"',
                     "token_entropy": "doc_id",
+                    "doc_logprob": "doc_id",
                     "signature_dedup_pairs": "id_a, id_b",
                     "lsh_blocking_join": "key_a, key_b",
                     "semantic_dedup": "vec_id",
