@@ -345,14 +345,21 @@ object TextAnalysis {
     * shuffle. Docs with no tokens score 0 with n_tokens 0. */
   def docLogProb(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val vocab = vocabCounts(df, textCol)
-    val total = vocab.agg(sum(col("cnt")).as("total"))
     val toks = SparkEnv.spread(df)
       .select(col(idCol),
         explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
       .filter(length(col("token")) > 0)
-    val perDoc = toks.groupBy(col(idCol), col("token"))
+    val perDocTok = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("c"))
+    // vocabulary DERIVED from the per-doc aggregate, not a second corpus
+    // explode: the vocab branch and the join branch share the identical
+    // (id, token) aggregate subtree, so ReuseExchange reads and tokenizes
+    // the corpus ONCE (the Packing.packSequences offsets trick). Counts are
+    // identical to vocabCounts' by associativity — bit-exact, since they
+    // are integers.
+    val vocab = perDocTok.groupBy(col("token")).agg(sum(col("c")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val perDoc = perDocTok
       .join(vocab, "token")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("cnt"), col("c")))).as("terms"),

@@ -177,7 +177,9 @@ class PlanShapeSpec extends AnyFunSuite {
       case q: QueryStageExec => p +: walk(q.plan)
       case _ => p +: p.children.flatMap(walk)
     }
-    for (name <- Seq("pack_sequences", "repetition_stats")) {
+    // doc_logprob forks the (id, token) aggregate three ways (vocab,
+    // total, join) — all must hang off one tokenize+shuffle
+    for (name <- Seq("pack_sequences", "repetition_stats", "doc_logprob")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val nodes = walk(df.queryExecution.executedPlan)
