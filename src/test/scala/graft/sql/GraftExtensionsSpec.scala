@@ -65,7 +65,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "hist_sketch" -> "SELECT hist_sketch(v, 5) FROM (SELECT 7L AS v)",
         "hist_quantile" ->
           "SELECT hist_quantile(h, 0.5d) FROM (SELECT hist_sketch(v, 5) AS h FROM (SELECT 7L AS v))",
-        "ln_pinned" -> "SELECT ln_pinned(2.5d)")
+        "ln_pinned" -> "SELECT ln_pinned(2.5d)",
+        "cosine_sim" -> "SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d))")
       assert(probes.keySet == graft.sql.LshFunctions.all.map(_._1).toSet,
         "extension probe list out of sync with LshFunctions.all")
       probes.values.foreach(q => s2.sql(q).collect())
