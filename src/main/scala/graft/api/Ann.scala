@@ -27,6 +27,14 @@ object Ann {
     ColumnShim.column(CosineSim(ColumnShim.expression(a), ColumnShim.expression(b)))
   }
 
+  /** Squared L2 norm (codegen'd; bit-equal to the sequential
+    * `aggregate(v, 0.0, (acc, x) => acc + x*x)` fold). The zero-norm-guard
+    * kernel of every cosine path. */
+  def normSq(v: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnShim, NormSq}
+    ColumnShim.column(NormSq(ColumnShim.expression(v)))
+  }
+
   /** Cosine near-dup pair mining via random-hyperplane (sign) LSH — the
     * third blocking family next to MinHash (Jaccard) and p-stable
     * (Euclidean): each vector's 64-bit [[graft.functions.cosine_sketch64]]
@@ -51,8 +59,7 @@ object Ann {
     // threshold — under non-ANSI), and they sketch to all-ones bits so
     // they'd always collide with each other. Excluded up front, like the
     // empty-shingle guard in the MinHash path.
-    val live = df.filter(
-      aggregate(col(vecCol), lit(0.0), (acc, v) => acc + v * v) > 0.0)
+    val live = df.filter(normSq(col(vecCol)) > 0.0)
     val sk = live.select(col(idCol).as("id"),
       graft.functions.cosine_sketch64(col(vecCol), nbits, seed).as("sk"))
     val banded = sk.select(col("id"),
@@ -294,8 +301,23 @@ object Ann {
     // sample init balances them (sizes 25..39, Σ|c|² = 16k).
     val rng = new graft.core.StdRng(seed)
     var centroids =
-      if (initFromSample) Array.tabulate(nlist)(i => sample(i % sample.length).clone)
-      else Array.fill(nlist)(Array.fill(d)(rng.stdNormal()))
+      if (initFromSample) {
+        // DISTINCT init vectors, first-seen order: a dedup corpus is full of
+        // exact-duplicate embeddings, and two bit-equal init centroids can
+        // never separate (strict-< assignment starves the higher index;
+        // empty cells keep their init) — silently halving the effective
+        // cell count. When the sample has fewer distinct vectors than
+        // nlist, the extras repeat the distinct set (those cells stay
+        // empty, harmlessly).
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+        var i = 0
+        while (i < sample.length && picked.length < nlist) {
+          if (seen.add(sample(i).toSeq)) picked += sample(i)
+          i += 1
+        }
+        Array.tabulate(nlist)(j => picked(j % picked.length).clone)
+      } else Array.fill(nlist)(Array.fill(d)(rng.stdNormal()))
     var it = 0
     while (it < iters) {
       val sums = Array.fill(nlist)(new Array[Double](d))

@@ -86,18 +86,26 @@ object Contamination {
     * pre-filter the bench side per corpus partition with an ANN index
     * ([[Ann.lshBucketedTopK]]) if |bench| exceeds ~10⁵.
     */
+  /** @param benchInCorpus the benchmark rows live inside the corpus table
+    *        under the SAME id space (this module's default framing, like
+    *        [[sharedNgrams]]): equal-id pairs are the benchmark matching
+    *        itself and are excluded. Set FALSE when corpus and benchmark
+    *        are separate tables with independent id spaces — there an
+    *        equal id is a coincidence, and silently dropping that pair
+    *        would let a contaminated document through. */
   def embedOverlap(corpus: DataFrame, benchmark: DataFrame, tau: Double,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+                   vecCol: String = "embedding",
+                   benchInCorpus: Boolean = true): DataFrame = {
     // zero-norm guard, same as cosineLshPairs: an undefined cosine must not
     // throw (ANSI) or NaN-rank above tau (non-ANSI)
     def side(df: DataFrame, outId: String, outVec: String) =
       df.select(col(idCol).cast("long").as(outId),
         col(vecCol).cast("array<double>").as(outVec))
-        .filter(aggregate(col(outVec), lit(0.0), (acc, v) => acc + v * v) > 0.0)
+        .filter(Ann.normSq(col(outVec)) > 0.0)
     side(corpus, "vec_id", "cv")
       .crossJoin(broadcast(side(benchmark, "bench_id", "bv")))
-      .filter(col("vec_id") =!= col("bench_id"))
+      .filter(if (benchInCorpus) col("vec_id") =!= col("bench_id") else lit(true))
       .withColumn("sim", Ann.cosine(col("cv"), col("bv")))
       .filter(col("sim") >= tau)
       .select("vec_id", "bench_id", "sim")

@@ -80,8 +80,7 @@ object SemanticDedup {
     // (ANSI DIVIDE_BY_ZERO, or NaN which ranks above every tau): they never
     // drop and never shadow — excluded from the pair join, kept in the
     // output (same guard as cosineLshPairs).
-    val live = assigned.filter(
-      aggregate(col(vecCol), lit(0.0), (acc, v) => acc + v * v) > 0.0)
+    val live = assigned.filter(Ann.normSq(col(vecCol)) > 0.0)
     // ids+cluster through the shuffle twice, vectors re-attached by the
     // cluster-key join itself (both sides need the vector for the verify,
     // and each side's projection is narrow: id, cluster, d doubles).

@@ -43,12 +43,15 @@ object EventStreams {
       // The div-1000 assumes epoch NANOS. A fixture shipping plain INT64
       // micros/millis (no parquet logical type) would be misread 1000x+ with
       // no error, only downstream oracle mismatches — so guard per row:
-      // any non-null value below 1e17 (epoch nanos for 1973-03-03; modern
-      // micros are ~2e15, millis ~2e12) fails fast. A row-level conditional
-      // stays codegen'd and works on streaming frames, where an eager
-      // min() scan could not run.
+      // a POSITIVE value below 1e17 (epoch nanos for 1973-03-03; modern
+      // micros are ~2e15, millis ~2e12) fails fast. Zero and negatives pass
+      // through: an epoch-zero sentinel or pre-1970 nanos are legitimate,
+      // and for them div 1000 remains value-correct while no magnitude test
+      // can tell their unit apart. A row-level conditional stays codegen'd
+      // and works on streaming frames, where an eager min() scan could not
+      // run.
       case LongType => df.withColumn("ts", expr(
-        """timestamp_micros(if(ts is null or ts >= 100000000000000000,
+        """timestamp_micros(if(ts is null or ts <= 0 or ts >= 100000000000000000,
           |  ts div 1000,
           |  cast(raise_error(concat('events.ts=', ts,
           |    ' is too small to be epoch nanoseconds; fixture likely micros/millis'))

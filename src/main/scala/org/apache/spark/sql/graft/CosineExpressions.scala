@@ -62,6 +62,55 @@ object CosineSim {
   }
 }
 
+object NormSq {
+
+  /** Σv² with the identical left-to-right accumulation as
+    * `aggregate(v, 0.0, (acc, x) => acc + x*x)` — bit-equal to the HOF
+    * guard it replaces; null (boxed) on a null element, as the HOF fold
+    * null-propagates. */
+  def computeBoxed(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    acc
+  }
+}
+
+/** `norm_sq(v)` — squared L2 norm as a codegen'd expression. Exists for the
+  * zero-norm guards on the embedding hot paths (cosineLshPairs,
+  * SemanticDedup, embedOverlap): the interpreted HOF fold they previously
+  * used re-introduced exactly the per-row lambda overhead [[CosineSim]]
+  * removed from the pair stage. */
+case class NormSq(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "norm_sq"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    NormSq.computeBoxed(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = NormSq.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, v => s"""
+      java.lang.Double ${ev.value}_r = $cls.computeBoxed($v);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `cosine_sim(a, b)` — pairwise cosine similarity as a single codegen'd
   * expression. Exists because the higher-order-function formulation
   * (`aggregate(zip_with(...))`) evaluates its lambdas interpreted, outside

@@ -91,5 +91,12 @@ class SemanticDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
     assert(got.forall { case (a, b) => a != b })
+    // separate-table id spaces: benchInCorpus=false must NOT drop equal-id
+    // coincidences — vec 0 vs bench 0 are different rows there
+    val cross = Contamination.embedOverlap(emb, bench, tau = -2.0,
+        benchInCorpus = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross.exists { case (a, b) => a == b },
+      "equal-id cross-table pairs must survive with benchInCorpus=false")
   }
 }

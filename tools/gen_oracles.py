@@ -224,7 +224,17 @@ def kmeans_cells(vecs, nlist, seed, iters, sample_size):
     order = sorted(vecs, key=lambda vid: (spark_xxhash64(vid, seed), vid))[:sample_size]
     sample = [vecs[vid] for vid in order]
     d = len(sample[0])
-    centroids = [list(sample[i % len(sample)]) for i in range(nlist)]
+    # distinct init vectors, first-seen order (mirrors the Scala dedup walk:
+    # bit-equal init centroids could never separate under strict-< ties)
+    picked, seen = [], set()
+    for v in sample:
+        if len(picked) >= nlist:
+            break
+        t = tuple(v)
+        if t not in seen:
+            seen.add(t)
+            picked.append(v)
+    centroids = [list(picked[i % len(picked)]) for i in range(nlist)]
     for _ in range(iters):
         sums = [[0.0] * d for _ in range(nlist)]
         counts = [0] * nlist
