@@ -736,6 +736,25 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // The embedding-side composed recipe, analog of curate_corpus:
+    // semantic dedup (SemDeDup cells, keep-earliest) → embedding
+    // decontamination (drop anything cosine-near the hash-sampled bench)
+    // → surviving (vec_id, cluster). Every stage is the already-gated
+    // operator; the oracle re-derives the chain in Python, so composition
+    // bugs (wrong drop set, wrong stage order) surface as row mismatches.
+    "curate_embeddings" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val verdicts = graft.api.SemanticDedup.semanticDedup(emb,
+        nClusters = 16, tau = 0.35, seed = 77L, iters = 5, sampleSize = 500)
+      val kept = emb.join(
+        verdicts.filter(col("kept")).select("vec_id", "cluster"), "vec_id")
+      val bench = graft.api.Sampling.sampleByHash(emb, "vec_id", 0.02, 99L)
+      val flagged = graft.api.Contamination.embedOverlap(kept, bench, tau = 0.25)
+        .select(col("vec_id")).distinct()
+      kept.join(flagged, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
     "incremental_dedup" -> ((s, dir) => {
       // incremental ingestion at 100 TB: the admitted corpus's band
       // signatures are persisted ONCE as a bucketed table; admitting a new
@@ -1562,6 +1581,7 @@ object SparkEntry {
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),
+    "curate_embeddings" -> valuesOracle("curate_embeddings"),
     "sketch_distinct" -> valuesOracle("sketch_distinct"),
     "sketch_rollup" -> valuesOracle("sketch_rollup"),
     "hist_quantiles" -> valuesOracle("hist_quantiles"),

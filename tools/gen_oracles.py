@@ -1610,6 +1610,21 @@ def main(sf_dir, spark_dir):
         "ORDER BY vec_id, bench_id")
     custom["contamination_embed"] = (ce_rows, ("vec_id", "bench_id", "sim"), ce_sql)
 
+    # ---- curate_embeddings: the composed embedding recipe — semantic-dedup
+    # survivors (sem_rows) minus anything cosine>=0.25-near the bench
+    # sample. Stage order matters: decontamination sees only the KEPT
+    # corpus, and the bench is drawn from the FULL corpus.
+    cu_kept = {v: c for v, c, k in sem_rows if k}
+    cu_flagged = {v for v in cu_kept for b in ce_bench
+                  if v != b and cosine(vecs[v], vecs[b]) >= 0.25}
+    cu_rows = [(v, cu_kept[v]) for v in sorted(cu_kept) if v not in cu_flagged]
+    cu_sql = (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INTEGER) AS cluster\n"
+        "FROM (VALUES\n"
+        f"{values_block(cu_rows)}\n"
+        ") AS t(vec_id, cluster)\nORDER BY vec_id")
+    custom["curate_embeddings"] = (cu_rows, ("vec_id", "cluster"), cu_sql)
+
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
                     "index_health": "band, band_hash",
                     "multimodal_features_real": "media_id",
@@ -1628,6 +1643,7 @@ def main(sf_dir, spark_dir):
                     "semantic_dedup": "vec_id",
                     "stream_embed_neardup": "band, id_a, id_b",
                     "contamination_embed": "vec_id, bench_id",
+                    "curate_embeddings": "vec_id",
                     "sample_hash": "doc_id",
                     "sample_stratified": "lang, doc_id",
                     "dataset_splits": "doc_id",
