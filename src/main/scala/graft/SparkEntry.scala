@@ -508,6 +508,21 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    // ORC round trip (the third columnar/source format, bundled with
+    // Spark): same deterministically-dirtied text as the CSV/JSONL gates —
+    // ORC is typed and binary-exact, so unlike CSV no recipe options are
+    // needed; the gate pins that the encoder/decoder pair is lossless on
+    // the hostile strings anyway.
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").withColumn("text",
+        when(col("doc_id") === 0, lit(""))
+          .otherwise(concat(col("text"), lit("\nq\"uo,te "), col("lang"), lit(" "))))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_orc"
+      docs.write.mode("overwrite").orc(path)
+      s.read.schema(docs.schema).orc(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     "sink_partitioned" -> ((s, dir) => {
       // hive-partitioned parquet sink + partition-pruned readback: the
       // 100 TB layout pattern (partition on a low-cardinality routing
@@ -1607,6 +1622,12 @@ object SparkEntry {
         |       lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "source_jsonl_roundtrip" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id = 0 THEN ''
+        |            ELSE text || chr(10) || 'q"uo,te ' || lang || ' ' END AS text,
+        |       lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "source_orc_roundtrip" ->
       """SELECT doc_id,
         |       CASE WHEN doc_id = 0 THEN ''
         |            ELSE text || chr(10) || 'q"uo,te ' || lang || ' ' END AS text,
