@@ -72,6 +72,27 @@ object SparkEntry {
     graft.api.BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5).cache()
   }
 
+  /** The deterministically-dirtied documents shared by every source-format
+    * round-trip gate (embedded newline, quote, comma, trailing space; doc 0
+    * becomes the empty string — the cases real corpus text actually
+    * contains and default CSV configs actually lose). ONE recipe, here and
+    * in [[dirtiedDocsOracleSql]]: a tweak that touched only one of the six
+    * former copies would make that format's gate silently test a different
+    * string than its oracle reconstructs. */
+  private def dirtiedDocs(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents").withColumn("text",
+      when(col("doc_id") === 0, lit(""))
+        .otherwise(concat(col("text"), lit("\nq\"uo,te "), col("lang"), lit(" "))))
+
+  /** DuckDB reconstruction of [[dirtiedDocs]] — the shared oracle of the
+    * round-trip gates. */
+  private val dirtiedDocsOracleSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id = 0 THEN ''
+      |            ELSE text || chr(10) || 'q"uo,te ' || lang || ' ' END AS text,
+      |       lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Flagship query on sf=0.001: banded-MinHash near-dup candidate pairs over
     * documents, the reference's headline pattern (README.md:150-164) done the
     * scale-out way (posexplode band join, SURVEY.md §7.4).
@@ -475,14 +496,11 @@ object SparkEntry {
     // Each gate is a full write -> read-back round trip with an explicit
     // schema, value-checked against the parquet ground truth — so encoder
     // AND decoder must both be lossless, not just parse. The fixture text
-    // is clean, so the gates DIRTY it deterministically (embedded newline,
-    // quote, comma, trailing space; doc 0 becomes the empty string — the
-    // cases real corpus text actually contains and default CSV configs
-    // actually lose); the oracle reconstructs the same dirtied column.
+    // is clean, so the gates DIRTY it deterministically via dirtiedDocs /
+    // dirtiedDocsOracleSql — ONE recipe shared by all three format gates
+    // and their oracles.
     "source_csv_roundtrip" -> ((s, dir) => {
-      val docs = load(s, dir, "documents").withColumn("text",
-        when(col("doc_id") === 0, lit(""))
-          .otherwise(concat(col("text"), lit("\nq\"uo,te "), col("lang"), lit(" "))))
+      val docs = dirtiedDocs(s, dir)
       val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_csv"
       // the lossless CSV recipe (each option covers a measured loss):
       // multiLine for embedded newlines; nullValue sentinel so quoted empty
@@ -499,9 +517,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "source_jsonl_roundtrip" -> ((s, dir) => {
-      val docs = load(s, dir, "documents").withColumn("text",
-        when(col("doc_id") === 0, lit(""))
-          .otherwise(concat(col("text"), lit("\nq\"uo,te "), col("lang"), lit(" "))))
+      val docs = dirtiedDocs(s, dir)
       val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_jsonl"
       docs.write.mode("overwrite").json(path)
       s.read.schema(docs.schema).json(path)
@@ -514,9 +530,7 @@ object SparkEntry {
     // needed; the gate pins that the encoder/decoder pair is lossless on
     // the hostile strings anyway.
     "source_orc_roundtrip" -> ((s, dir) => {
-      val docs = load(s, dir, "documents").withColumn("text",
-        when(col("doc_id") === 0, lit(""))
-          .otherwise(concat(col("text"), lit("\nq\"uo,te "), col("lang"), lit(" "))))
+      val docs = dirtiedDocs(s, dir)
       val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_orc"
       docs.write.mode("overwrite").orc(path)
       s.read.schema(docs.schema).orc(path)
@@ -1616,23 +1630,11 @@ object SparkEntry {
     // any encode/decode loss (quoting, types, partition-column re-derive)
     // breaks the hash match
     "source_csv_roundtrip" ->
-      """SELECT doc_id,
-        |       CASE WHEN doc_id = 0 THEN ''
-        |            ELSE text || chr(10) || 'q"uo,te ' || lang || ' ' END AS text,
-        |       lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      dirtiedDocsOracleSql,
     "source_jsonl_roundtrip" ->
-      """SELECT doc_id,
-        |       CASE WHEN doc_id = 0 THEN ''
-        |            ELSE text || chr(10) || 'q"uo,te ' || lang || ' ' END AS text,
-        |       lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      dirtiedDocsOracleSql,
     "source_orc_roundtrip" ->
-      """SELECT doc_id,
-        |       CASE WHEN doc_id = 0 THEN ''
-        |            ELSE text || chr(10) || 'q"uo,te ' || lang || ' ' END AS text,
-        |       lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      dirtiedDocsOracleSql,
     "sink_partitioned" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,

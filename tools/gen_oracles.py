@@ -1615,8 +1615,11 @@ def main(sf_dir, spark_dir):
     # sample. Stage order matters: decontamination sees only the KEPT
     # corpus, and the bench is drawn from the FULL corpus.
     cu_kept = {v: c for v, c, k in sem_rows if k}
-    cu_flagged = {v for v in cu_kept for b in ce_bench
-                  if v != b and cosine(vecs[v], vecs[b]) >= 0.25}
+    # flagged set DERIVED from ce_rows (they already cover the full corpus
+    # with the v != b rule and the 0.25 threshold): one place owns the
+    # contamination semantics, and the composed oracle cannot drift from
+    # the contamination_embed oracle it is documented to compose
+    cu_flagged = {v for v, _b, _s in ce_rows if v in cu_kept}
     cu_rows = [(v, cu_kept[v]) for v in sorted(cu_kept) if v not in cu_flagged]
     cu_sql = (
         "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INTEGER) AS cluster\n"
