@@ -185,10 +185,14 @@ object BandedLsh {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b")
       .distinct()
+      // codegen'd agreement count (bit-equal to the zip_with fold: an
+      // integer count, then one double division)
       .withColumn("est_sim",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-            when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+        org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.graft.MatchCount(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("sig_a")),
+            org.apache.spark.sql.graft.ColumnShim.expression(col("sig_b"))))
+          .cast("double") / lit(k.toDouble))
       .filter(col("est_sim") > threshold)
       .select("id_a", "id_b", "est_sim")
   }

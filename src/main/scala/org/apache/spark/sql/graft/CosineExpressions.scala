@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** `cosine_sketch64(vec)` → 64-bit random-hyperplane sketch under a seeded
   * [[graft.core.CosineFamily]]: bit i = 1 iff the vector's dot product with
@@ -60,6 +60,55 @@ object CosineSim {
     while (i < n) { val y = b.getDouble(i); nb += y * y; i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+}
+
+object MatchCount {
+
+  /** Count of positions where the two long arrays agree — the MinHash
+    * signature-similarity numerator. Null (boxed) for length mismatch or a
+    * null element, matching the zip_with fold it replaces. */
+  def computeBoxed(a: ArrayData, b: ArrayData): java.lang.Integer = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var c = 0
+    i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+}
+
+/** `match_count(a, b)` — component-agreement count of two long-array
+  * signatures, codegen'd: the estimate kernel of the signature near-dup
+  * path, previously an interpreted `aggregate(zip_with(...))` per candidate
+  * pair (the same lambda tax [[CosineSim]] removed from the cosine paths). */
+case class MatchCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "match_count"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MatchCount.computeBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = MatchCount.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Integer ${ev.value}_r = $cls.computeBoxed($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.intValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 object NormSq {
