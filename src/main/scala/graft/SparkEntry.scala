@@ -765,6 +765,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // Prototype/coreset selection: the 5 most central vectors per semantic
+    // cell (squared L2 to the cell centroid, ties by id) — the data-pruning
+    // companion of semantic_dedup, same trained cells. Oracle: full Python
+    // re-derivation (kmeans -> per-cell distance rank), pinned VALUES.
+    "semantic_prototypes" -> ((s, dir) => {
+      graft.api.SemanticDedup.clusterPrototypes(load(s, dir, "embeddings"),
+          nClusters = 16, k = 5, seed = 77L, iters = 5, sampleSize = 500)
+        .orderBy("cluster", "rank")
+    }),
     // The embedding-side composed recipe, analog of curate_corpus:
     // semantic dedup (SemDeDup cells, keep-earliest) → embedding
     // decontamination (drop anything cosine-near the hash-sampled bench)
@@ -1611,6 +1620,7 @@ object SparkEntry {
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),
     "curate_embeddings" -> valuesOracle("curate_embeddings"),
+    "semantic_prototypes" -> valuesOracle("semantic_prototypes"),
     "sketch_distinct" -> valuesOracle("sketch_distinct"),
     "sketch_rollup" -> valuesOracle("sketch_rollup"),
     "hist_quantiles" -> valuesOracle("hist_quantiles"),

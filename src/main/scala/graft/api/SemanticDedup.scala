@@ -98,6 +98,43 @@ object SemanticDedup {
       .select(col(idCol), col("cluster"), col("__dropped").isNull.as("kept"))
   }
 
+  /** Prototype / coreset selection (the SSL-prototypes companion of
+    * SemDeDup — Sorscher et al. 2022, "Beyond neural scaling laws"): the
+    * `k` most CENTRAL vectors of each k-means cell, ranked by squared L2
+    * to the cell centroid (ties by id — total order, reproducible).
+    * Central prototypes summarize a cell for data pruning; conversely the
+    * rows this does NOT keep are each cell's outskirts, which that line of
+    * work keeps for hard-example selection — filter against the returned
+    * ids for either recipe.
+    *
+    * Scale shape: assignment + distance are one codegen'd projection over
+    * broadcast centroids (zero shuffle); the only shuffle is the rank
+    * window's partition-by-cell, and what shuffles is (id, cell, dist) —
+    * never the vectors. */
+  def clusterPrototypes(df: DataFrame, nClusters: Int, k: Int, seed: Long,
+                        iters: Int = 5, sampleSize: Int = 10000,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell, NearestCellDist}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.select(col(idCol).cast("long").as(idCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val centroids = Ann.trainQuantizer(base, nClusters, seed, iters, sampleSize,
+      idCol, vecCol, initFromSample = true)
+    val model = new CentroidModel(df.sparkSession.sparkContext.broadcast(centroids))
+    val scored = base.select(col(idCol),
+      ColumnShim.column(NearestCell(ColumnShim.expression(col(vecCol)), model))
+        .as("cluster"),
+      ColumnShim.column(NearestCellDist(ColumnShim.expression(col(vecCol)), model))
+        .as("center_dist"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("center_dist").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("cluster"), col("rank"), col("center_dist"))
+  }
+
   /** The deduplicated corpus: input rows whose id survived
     * [[semanticDedup]]. Ids-only anti join — payload columns never move
     * through the dedup shuffles. */

@@ -37,6 +37,25 @@ final class CentroidModel(bc: Broadcast[Array[Array[Double]]]) extends Serializa
     best
   }
 
+  /** Squared L2 to the nearest centroid (same strict-< winner as
+    * [[nearest]]; full accumulation in index order — part of the bit-exact
+    * contract with the Python oracle). */
+  def nearestDist(v: ArrayData): Double = {
+    val x = v.toDoubleArray()
+    val cents = cs
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dist = 0.0
+      var j = 0
+      while (j < x.length) { val t = x(j) - cent(j); dist += t * t; j += 1 }
+      if (dist < bestD) bestD = dist
+      c += 1
+    }
+    bestD
+  }
+
   /** The `n` nearest centroid indices, ordered by (distance, index). */
   def probes(v: ArrayData, n: Int): ArrayData = {
     val x = v.toDoubleArray()
@@ -71,6 +90,27 @@ case class NearestCell(child: Expression, model: CentroidModel)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centroidModel", model, classOf[CentroidModel].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.nearest($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `dist = nearest_centroid_dist(vec)` — squared L2 to the assigned cell's
+  * centroid: the centrality score of prototype/coreset selection. */
+case class NearestCellDist(child: Expression, model: CentroidModel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "nearest_centroid_dist"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(v: Any): Any =
+    model.nearestDist(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidModel", model, classOf[CentroidModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.nearestDist($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -78,6 +78,27 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(viaIvf.select("cluster").distinct().count() >= 1)
   }
 
+  test("clusterPrototypes: k most central per cell, prefix of the full ranking") {
+    val all = SemanticDedup.clusterPrototypes(emb, nClusters = 4, k = 1 << 20,
+      seed = 77L, sampleSize = 100)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(0), r.getDouble(3)))
+    assert(all.length == emb.count(), "k >= cell size must rank every vector")
+    // ranks are dense per cell and ordered by (center_dist, id)
+    all.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length).toSeq)
+      val dists = sorted.map(_._4)
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+        "center_dist must be non-decreasing in rank")
+    }
+    // a small k returns exactly the per-cell prefix of the full ranking
+    val top2 = SemanticDedup.clusterPrototypes(emb, nClusters = 4, k = 2,
+      seed = 77L, sampleSize = 100)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(0))).toSet
+    val want = all.filter(_._2 <= 2).map(t => (t._1, t._2, t._3)).toSet
+    assert(top2 == want)
+  }
+
   test("embedOverlap flags exactly the above-threshold cross pairs, self excluded") {
     val bench = emb.filter(col("vec_id") < 3)
     val got = Contamination.embedOverlap(emb, bench, tau = 0.2)

@@ -216,11 +216,10 @@ def nearest_centroids(v, cs, n):
     return [c for _, c in scored[:n]]
 
 
-def kmeans_cells(vecs, nlist, seed, iters, sample_size):
-    """Mirror graft.api.Ann.trainQuantizer(initFromSample=true) + NearestCell
-    assignment: hash-ordered sample, centroids initialized from the first
-    nlist sample vectors, Lloyd's in accumulation order. Returns
-    {vec_id: cell}."""
+def kmeans_centroids(vecs, nlist, seed, iters, sample_size):
+    """Mirror graft.api.Ann.trainQuantizer(initFromSample=true): hash-ordered
+    sample, centroids initialized from the first nlist DISTINCT sample
+    vectors, Lloyd's in accumulation order. Returns the centroid list."""
     order = sorted(vecs, key=lambda vid: (spark_xxhash64(vid, seed), vid))[:sample_size]
     sample = [vecs[vid] for vid in order]
     d = len(sample[0])
@@ -246,7 +245,22 @@ def kmeans_cells(vecs, nlist, seed, iters, sample_size):
         centroids = [centroids[c] if counts[c] == 0
                      else [sums[c][j] / counts[c] for j in range(d)]
                      for c in range(nlist)]
-    return {vid: nearest_centroid(v, centroids) for vid, v in vecs.items()}
+    return centroids
+
+
+def kmeans_cells(vecs, nlist, seed, iters, sample_size):
+    """NearestCell assignment under [[kmeans_centroids]]: {vec_id: cell}."""
+    cents = kmeans_centroids(vecs, nlist, seed, iters, sample_size)
+    return {vid: nearest_centroid(v, cents) for vid, v in vecs.items()}
+
+
+def centroid_dist(v, cent):
+    """Squared L2 in index order (mirrors CentroidModel.nearestDist)."""
+    dist = 0.0
+    for x, y in zip(v, cent):
+        t = x - y
+        dist += t * t
+    return dist
 
 
 def ivf_topk_rows(vecs, k, nlist, nprobe, seed, iters, sample_size):
@@ -1575,7 +1589,8 @@ def main(sf_dir, spark_dir):
     # (sample init, seed 77), drop any vector with a lower-id cosine>=0.35
     # neighbor in its own cell. Full rows pinned: the cells depend on the
     # Lloyd's float chain DuckDB cannot recompute.
-    sem_cells = kmeans_cells(vecs, nlist=16, seed=77, iters=5, sample_size=500)
+    sem_cents = kmeans_centroids(vecs, nlist=16, seed=77, iters=5, sample_size=500)
+    sem_cells = {vid: nearest_centroid(v, sem_cents) for vid, v in vecs.items()}
     sem_members = {}
     for vid in sorted(vecs):
         sem_members.setdefault(sem_cells[vid], []).append(vid)
@@ -1592,6 +1607,27 @@ def main(sf_dir, spark_dir):
         f"{values_block([(v, c, 'TRUE' if k else 'FALSE') for v, c, k in sem_rows])}\n"
         ") AS t(vec_id, cluster, kept)\nORDER BY vec_id")
     custom["semantic_dedup"] = (sem_rows, ("vec_id", "cluster", "kept"), sem_sql)
+
+    # ---- semantic_prototypes: k=5 most central vectors per cell (squared
+    # L2 to the cell centroid, ties by id) — mirrors
+    # SemanticDedup.clusterPrototypes over the SAME trained cells.
+    pr_rows = []
+    for cell in sorted(set(sem_cells.values())):
+        ranked = sorted(
+            (centroid_dist(vecs[vid], sem_cents[cell]), vid)
+            for vid in sem_members[cell])
+        for r, (d_, vid) in enumerate(ranked[:5], start=1):
+            pr_rows.append((vid, cell, r, d_))
+    pr_rows.sort(key=lambda t: (t[1], t[2]))
+    pr_sql = (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INTEGER) AS cluster,\n"
+        "       CAST(\"rank\" AS BIGINT) AS \"rank\", CAST(center_dist AS DOUBLE) AS center_dist\n"
+        "FROM (VALUES\n"
+        f"{values_block([(v, c, r, repr(d_)) for v, c, r, d_ in pr_rows])}\n"
+        ") AS t(vec_id, cluster, \"rank\", center_dist)\nORDER BY cluster, \"rank\"")
+    custom["semantic_prototypes"] = (pr_rows,
+                                     ("vec_id", "cluster", '"rank"', "center_dist"),
+                                     pr_sql)
 
     # ---- contamination_embed: xxhash64 2%-sample bench, corpus pairs with
     # cosine >= 0.25. The pair SET is pinned; the sim column is recomputed
@@ -1647,6 +1683,7 @@ def main(sf_dir, spark_dir):
                     "stream_embed_neardup": "band, id_a, id_b",
                     "contamination_embed": "vec_id, bench_id",
                     "curate_embeddings": "vec_id",
+                    "semantic_prototypes": 'cluster, "rank"',
                     "sample_hash": "doc_id",
                     "sample_stratified": "lang, doc_id",
                     "dataset_splits": "doc_id",
