@@ -993,13 +993,17 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 10)
       val brute = graft.api.Ann.bruteForceTopK(emb, qs, 10)
         .select(col("query_id"), col("neighbor_id"))
+      // denominator derived from the brute-force set itself (|queries|*k),
+      // so the gate re-scales if the fixture's query count ever changes
+      val bruteTotal = brute.agg(count(lit(1)).as("n_total"))
       def recallOf(method: String, approx: DataFrame): DataFrame =
         brute.join(approx.select(col("query_id"), col("neighbor_id")),
             Seq("query_id", "neighbor_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
-          .select(lit(method).as("method"), col("n_hits"),
-            lit(100L).as("n_total"),
-            (col("n_hits").cast("double") / lit(100.0)).as("recall"))
+          .crossJoin(bruteTotal)
+          .select(lit(method).as("method"), col("n_hits"), col("n_total"),
+            (col("n_hits").cast("double") / col("n_total").cast("double"))
+              .as("recall"))
       recallOf("ivf", graft.api.Ann.ivfTopK(emb, qs, 10,
           nlist = 16, nprobe = 4, seed = 99L, iters = 5))
         .unionByName(recallOf("ivfpq_rerank", graft.api.Ann.ivfPqTopK(emb, qs, 50,
@@ -1209,17 +1213,17 @@ object SparkEntry {
     }),
     // Deterministic training-order shuffle: position is a pure function of
     // (doc_id, seed). The API op (Sampling.shuffleByHash) is the scalable
-    // range-partitioned sort; the verification query adds row_number over
-    // the same order to pin positions (single-partition window — fine for a
-    // correctness dump, not part of the API shape).
+    // range-partitioned sort; the verification query pins explicit
+    // positions via Packing's two-level prefix sum with tokens=1 — each
+    // row occupies one slot, so token_offset IS the exclusive count of
+    // predecessors in the same (hashScore, id) order and pos =
+    // token_offset + 1. Scale-shaped: bucketed parallel windows, never a
+    // single-partition row_number.
     "corpus_shuffle" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(
-        graft.api.Sampling.hashScore(col("doc_id"), 21L).asc, col("doc_id").asc)
-      load(s, dir, "documents")
-        .select(col("doc_id"))
-        .withColumn("pos", row_number().over(w).cast("long"))
-        .select("pos", "doc_id")
+      graft.api.Packing.packSequences(
+          load(s, dir, "documents").select(col("doc_id")),
+          "doc_id", lit(1L), seqLen = 1, seed = 21L)
+        .select((col("token_offset") + lit(1L)).as("pos"), col("id").as("doc_id"))
         .orderBy("pos")
     }),
     // Benchmark decontamination (graft.api.Contamination): the "benchmark"

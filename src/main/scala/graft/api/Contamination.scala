@@ -85,8 +85,8 @@ object Contamination {
     * |corpus| × |bench| cosine evaluations inside codegen — at 100 TB
     * pre-filter the bench side per corpus partition with an ANN index
     * ([[Ann.lshBucketedTopK]]) if |bench| exceeds ~10⁵.
-    */
-  /** @param benchInCorpus the benchmark rows live inside the corpus table
+    *
+    * @param benchInCorpus the benchmark rows live inside the corpus table
     *        under the SAME id space (this module's default framing, like
     *        [[sharedNgrams]]): equal-id pairs are the benchmark matching
     *        itself and are excluded. Set FALSE when corpus and benchmark

@@ -31,6 +31,15 @@ case class DupCandidate(doc_id: Long, peer_id: Long, band: Int)
   */
 object EventStreams {
 
+  /** Smallest positive Long accepted as epoch nanoseconds by
+    * [[normalizeEventTs]]: 1e17 ns = 1973-03-03. Genuine nanosecond data
+    * from 1970-01-01..1973-03-03 falls below it and is (incorrectly)
+    * rejected — callers with early-epoch nanos should normalize upstream,
+    * or relax this floor. The deliberate trade: modern micros (~2e15) and
+    * millis (~2e12) land far below, so a fixture shipping the wrong unit
+    * fails fast instead of being misread 1000x. */
+  val MinPlausibleEpochNanos: Long = 100000000000000000L
+
   /** The driver's events fixture has shipped `ts` under two parquet
     * encodings across rounds: TIMESTAMP(NANOS), which Spark only reads as a
     * raw Long (under `spark.sql.legacy.parquet.nanosAsLong`), and
@@ -51,10 +60,12 @@ object EventStreams {
       // and works on streaming frames, where an eager min() scan could not
       // run.
       case LongType => df.withColumn("ts", expr(
-        """timestamp_micros(if(ts is null or ts <= 0 or ts >= 100000000000000000,
+        s"""timestamp_micros(if(ts is null or ts <= 0 or ts >= $MinPlausibleEpochNanos,
           |  ts div 1000,
           |  cast(raise_error(concat('events.ts=', ts,
-          |    ' is too small to be epoch nanoseconds; fixture likely micros/millis'))
+          |    ' is below the nanos-plausibility floor ($MinPlausibleEpochNanos =',
+          |    ' 1973-03-03); fixture is likely micros/millis — or genuine',
+          |    ' pre-1973 nanos, which need the floor relaxed upstream'))
           |   as bigint)))""".stripMargin))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df

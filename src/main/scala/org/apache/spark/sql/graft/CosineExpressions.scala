@@ -66,7 +66,12 @@ object MatchCount {
 
   /** Count of positions where the two long arrays agree — the MinHash
     * signature-similarity numerator. Null (boxed) for length mismatch or a
-    * null element, matching the zip_with fold it replaces. */
+    * null element. NOTE: this is deliberately STRICTER than the
+    * zip_with/aggregate fold it replaced — that fold padded the shorter
+    * array with nulls and scored each padded position as a mismatch
+    * (numeric result), whereas this returns NULL so a malformed pair is
+    * dropped by the est_sim filter instead of under-scored. Signatures are
+    * fixed-length k, so well-formed data never hits the difference. */
   def computeBoxed(a: ArrayData, b: ArrayData): java.lang.Integer = {
     val n = a.numElements()
     if (n != b.numElements()) return null

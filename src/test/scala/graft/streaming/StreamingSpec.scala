@@ -27,7 +27,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("too small to be epoch nanoseconds")), msgs(ex).toString)
+    assert(msgs(ex).exists(_.contains("below the nanos-plausibility floor")), msgs(ex).toString)
     // epoch-zero sentinels and pre-1970 nanos are legitimate, not misreads
     val edge = EventStreams.normalizeEventTs(Seq(0L, -1_000_000_000_000_000_000L).toDF("ts"))
       .select(col("ts").cast("long")).collect().map(_.getLong(0)).toSet
