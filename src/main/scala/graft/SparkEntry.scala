@@ -971,6 +971,22 @@ object SparkEntry {
           nlist = 16, nprobe = 4, m = 8, ksub = 16, seed = 77L, iters = 4)
         .orderBy("query_id", "rank")
     }),
+    "ann_topk_ivfpq_fitted" -> ((s, dir) => {
+      // the train-once / search-many-SESSIONS path: fit the same IVF-PQ
+      // config as ann_topk_ivfpq, persist codebooks + cell-partitioned
+      // codes as tables, reload, and search from the persisted form —
+      // bit-equal to the in-session path by construction (same oracle).
+      // PlanShapeSpec pins that the search scans only the probed cell
+      // partitions with zero corpus-side exchange.
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val idx = graft.api.Ann.fitIvfPq(emb,
+        nlist = 16, m = 8, ksub = 16, seed = 77L, iters = 4)
+      graft.api.Ann.saveIvfPqIndex(idx, "graft_ivfpq_idx")
+      graft.api.Ann.loadIvfPqIndex(s, "graft_ivfpq_idx")
+        .search(emb.filter(col("vec_id") < 10), 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -1611,6 +1627,8 @@ object SparkEntry {
     "ann_topk_ivf" -> valuesOracle("ann_topk_ivf"),
     "ann_topk_pq" -> valuesOracle("ann_topk_pq"),
     "ann_topk_ivfpq" -> valuesOracle("ann_topk_ivfpq"),
+    // bit-equal to ann_topk_ivfpq by construction: same pinned VALUES
+    "ann_topk_ivfpq_fitted" -> valuesOracle("ann_topk_ivfpq"),
     "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
     "stream_embed_neardup" -> valuesOracle("stream_embed_neardup"),

@@ -508,16 +508,32 @@ object Ann {
       val encoded: DataFrame) {
     def search(queries: DataFrame, k: Int, nprobe: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      import org.apache.spark.sql.catalyst.util.ArrayData
       import org.apache.spark.sql.graft.{AdcTables, ColumnShim, PqAdcDist, ProbeCells}
       require(k >= 1, s"k must be >= 1, got $k")
       val spark = encoded.sparkSession
-      val tables = buildAdcTables(collectQueries(queries, idCol, vecCol), books, m, ksub)
+      val qrows = collectQueries(queries, idCol, vecCol)
+      val tables = buildAdcTables(qrows, books, m, ksub)
       val adc = new AdcTables(spark.sparkContext.broadcast(tables))
+      // Static probe-cell pruning: the batch's probed cells are computable
+      // at planning time (the same CentroidModel.probes kernel the
+      // ProbeCells expression runs — queries are already collected for the
+      // ADC tables, so this costs nothing extra). The IN filter reaches the
+      // scan's partition enumeration, so a [[saveIvfPqIndex]] table
+      // (directory-partitioned by cell) reads ONLY the probed
+      // ~nprobe/nlist of the corpus — the IVF pruning promise delivered at
+      // the storage layer, not just the join. Results are unchanged: the
+      // per-query cell join below is strictly finer than this union.
+      val probeCells = qrows
+        .flatMap { case (_, q) =>
+          cmodel.probes(ArrayData.toArrayData(q), nprobe).toIntArray() }
+        .distinct.sorted
+      val pruned = encoded.filter(col("cell").isin(probeCells.toIndexedSeq.map(Int.box): _*))
       val probed = broadcast(queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
         .withColumn("cell",
           explode(ColumnShim.column(ProbeCells(ColumnShim.expression(col("qvec")), cmodel, nprobe))))
         .select("query_id", "cell"))
-      val scored = encoded.join(probed, Seq("cell"))
+      val scored = pruned.join(probed, Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("adist", ColumnShim.column(PqAdcDist(
           ColumnShim.expression(col("query_id")), ColumnShim.expression(col("codes")), adc)))
@@ -545,6 +561,67 @@ object Ann {
     val encoded = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       ColumnShim.column(NearestCell(ColumnShim.expression(col(vecCol)), cmodel)).as("cell"),
       ColumnShim.column(PqCodes(ColumnShim.expression(col(vecCol)), pmodel)).as("codes"))
+    new IvfPqIndex(cents, books, cmodel, m, ksub, encoded)
+  }
+
+  /** Persist a fitted [[IvfPqIndex]] as two catalog tables — the
+    * train-once / search-many-sessions form of IVF-PQ:
+    *
+    *  - `{prefix}_codes`: the compressed corpus `(neighbor_id, codes)`
+    *    directory-partitioned by `cell`, so a search batch's static
+    *    probe-cell IN filter ([[IvfPqIndex.search]]) prunes at partition
+    *    enumeration and only ~nprobe/nlist of the files are ever opened.
+    *    At 100 TB this is the difference between scanning 64×-compressed
+    *    codes for the whole corpus and for just the probed cells.
+    *  - `{prefix}_model`: the coarse centroids and PQ codebooks as plain
+    *    rows `(kind, i, j, vec)` — KBs; collected and re-broadcast on load.
+    *
+    * Overwrites both tables. [[loadIvfPqIndex]] restores an index whose
+    * searches are bit-equal to the in-session original (same models, same
+    * codes, same ADC fold). */
+  def saveIvfPqIndex(index: IvfPqIndex, tablePrefix: String): Unit = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    BucketedWrite.dropTable(spark, s"${tablePrefix}_codes")
+    BucketedWrite.dropTable(spark, s"${tablePrefix}_model")
+    index.encoded.write.format("parquet")
+      .partitionBy("cell").mode("overwrite")
+      .saveAsTable(s"${tablePrefix}_codes")
+    val centRows = index.centroids.zipWithIndex.toSeq
+      .map { case (v, i) => ("centroid", i, 0, v.toSeq) }
+    val bookRows = for {
+      (sub, s) <- index.books.zipWithIndex.toSeq
+      (cv, c) <- sub.zipWithIndex
+    } yield ("book", s, c, cv.toSeq)
+    (centRows ++ bookRows).toDF("kind", "i", "j", "vec")
+      .coalesce(1) // KB-sized model: one file, not one per shuffle partition
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${tablePrefix}_model")
+  }
+
+  /** Rebuild an [[IvfPqIndex]] from [[saveIvfPqIndex]] tables. The model
+    * table (KBs) is collected and re-broadcast; the codes table becomes the
+    * index's `encoded` plan — a partitioned scan, so searches prune to the
+    * probed cells and re-encode nothing. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     tablePrefix: String): IvfPqIndex = {
+    import org.apache.spark.sql.graft.CentroidModel
+    val rows = spark.table(s"${tablePrefix}_model").collect()
+    def vecsOf(kind: String): Array[((Int, Int), Array[Double])] = rows
+      .filter(_.getAs[String]("kind") == kind)
+      .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")),
+        r.getAs[scala.collection.Seq[Double]]("vec").toArray))
+    val cents = vecsOf("centroid").sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"${tablePrefix}_model holds no centroids")
+    val bookEntries = vecsOf("book")
+    require(bookEntries.nonEmpty, s"${tablePrefix}_model holds no codebooks")
+    val m = bookEntries.map(_._1._1).max + 1
+    val ksub = bookEntries.map(_._1._2).max + 1
+    val byKey = bookEntries.toMap
+    val books = Array.tabulate(m, ksub)((s, c) => byKey((s, c)))
+    val cmodel = new CentroidModel(spark.sparkContext.broadcast(cents))
+    val encoded = spark.table(s"${tablePrefix}_codes")
+      .select("neighbor_id", "cell", "codes")
     new IvfPqIndex(cents, books, cmodel, m, ksub, encoded)
   }
 

@@ -160,6 +160,51 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF-PQ index: search prunes to probed cell partitions, zero corpus exchange") {
+    // the train-once/search-many-sessions layout (Ann.saveIvfPqIndex): the
+    // codes table is directory-partitioned by cell and the search's static
+    // probe-cell IN filter must prune at partition ENUMERATION — only
+    // ~nprobe/nlist of the files open. The corpus side must reach the
+    // (broadcast) candidate join with no shuffle; the one allowed
+    // ShuffleExchange is the final per-query ranking window.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val idx = graft.api.Ann.fitIvfPq(emb, nlist = 8, m = 8, ksub = 16, seed = 77L, iters = 4)
+    graft.api.Ann.saveIvfPqIndex(idx, "graft_plan_ivfpq_idx")
+    try {
+      val q = graft.api.Ann.loadIvfPqIndex(spark, "graft_plan_ivfpq_idx")
+        .search(emb.filter(col("vec_id") < 3), 5, nprobe = 2)
+      assert(q.collect().nonEmpty)
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+        case s: QueryStageExec => p +: walk(s.plan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+      val nodes = walk(q.queryExecution.executedPlan)
+      val codesScans = nodes.collect {
+        case s: FileSourceScanExec if s.schema.fieldNames.contains("codes") => s }
+      assert(codesScans.nonEmpty, s"expected a codes-table scan:\n${q.queryExecution.executedPlan}")
+      val scan = codesScans.head
+      assert(scan.partitionFilters.nonEmpty,
+        s"probe-cell filter must reach partition enumeration:\n${q.queryExecution.executedPlan}")
+      // 3 queries x nprobe=2 probe at most 6 distinct of the 8 cells
+      val nParts = scan.selectedPartitions.partitionCount
+      assert(nParts <= 6 && nParts < 8,
+        s"expected pruned cell partitions, got $nParts of 8")
+      val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= 1,
+        s"corpus side must not shuffle (only the ranking window may; got ${shuffles.size}):\n" +
+          q.queryExecution.executedPlan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_plan_ivfpq_idx_codes")
+      spark.sql("DROP TABLE IF EXISTS graft_plan_ivfpq_idx_model")
+    }
+  }
+
   test("two-branch operators read the corpus once (shuffle/stage reuse)") {
     // pack_sequences (window + totals branches) and repetition_stats
     // (word-stats + gram branches) each fork one shuffled input into two

@@ -559,6 +559,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivfpq.encoded.columns.toSeq == Seq("neighbor_id", "cell", "codes"))
   }
 
+  test("Ann saved IVF-PQ index: load round-trips models+codes, search bit-equal") {
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.3 + d) * 2.0))).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 4)
+    val idx = Ann.fitIvfPq(vecs, nlist = 4, m = 4, ksub = 8, seed = 77L, iters = 4)
+    Ann.saveIvfPqIndex(idx, "graft_spec_ivfpq_idx")
+    try {
+      val loaded = Ann.loadIvfPqIndex(spark, "graft_spec_ivfpq_idx")
+      // models survive the table round trip exactly (bit-equal doubles)
+      assert(loaded.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+      assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+        idx.books.map(_.map(_.toSeq).toSeq).toSeq)
+      val direct = idx.search(qs, k = 3, nprobe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val fromDisk = loaded.search(qs, k = 3, nprobe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(fromDisk == direct)
+      assert(fromDisk.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_spec_ivfpq_idx_codes")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_ivfpq_idx_model")
+    }
+  }
+
   test("Ann pre-bucketed corpus layout: same results, corpus pass skipped") {
     val vecs = (0L until 60L).map(i =>
       (i, Array.tabulate(6)(d => math.cos(i * 0.7 + d) * 3.0))).toDF("vec_id", "embedding")
