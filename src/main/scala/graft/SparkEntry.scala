@@ -537,6 +537,19 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    // Avro round trip (graft.sources.AvroFiles — this build ships no
+    // spark-avro module, so the source is built on Avro core + the
+    // splittable Hadoop input format): same dirtied recipe as CSV/JSONL/
+    // ORC; typed binary container, so losslessness needs no options —
+    // the gate pins the encoder/decoder pair on the hostile strings.
+    "source_avro_roundtrip" -> ((s, dir) => {
+      val docs = dirtiedDocs(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_avro"
+      graft.sources.AvroFiles.write(docs, path)
+      graft.sources.AvroFiles.read(s, path, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     "sink_partitioned" -> ((s, dir) => {
       // hive-partitioned parquet sink + partition-pruned readback: the
       // 100 TB layout pattern (partition on a low-cardinality routing
@@ -1666,6 +1679,8 @@ object SparkEntry {
     "source_jsonl_roundtrip" ->
       dirtiedDocsOracleSql,
     "source_orc_roundtrip" ->
+      dirtiedDocsOracleSql,
+    "source_avro_roundtrip" ->
       dirtiedDocsOracleSql,
     "sink_partitioned" ->
       """SELECT doc_id, text, lang, source, n_chars
