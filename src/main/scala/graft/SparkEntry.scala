@@ -1109,6 +1109,23 @@ object SparkEntry {
         .select("media_id", "checksum", "width", "height", "mean_byte")
         .orderBy("media_id")
     }),
+    "multimodal_features_jpeg" -> ((s, dir) => {
+      // the second real codec path through the same decoder seam: the
+      // recipe rasters JPEG-encoded (lossy, quality 0.95). Dims are pinned
+      // exactly; the decoded mean byte is pinned to within 2.0 of the
+      // recipe mean via a boolean the oracle re-derives as TRUE from the
+      // recipe alone (codec-legal quantization noise on these fixtures
+      // measures < 0.5; a wrong reader/color-space/truncated decode is
+      // tens off or hits the -1 sentinel). MultimodalSpec additionally
+      // pins decode determinism across runs.
+      val media = graft.api.Multimodal.syntheticJpegs(s, 48)
+      graft.api.Multimodal.extractFeatures(media,
+          graft.api.Multimodal.ImageIoDecoder)
+        .join(media.select("media_id", "recipe_mean"), "media_id")
+        .select(col("media_id"), col("width"), col("height"),
+          (abs(col("mean_byte") - col("recipe_mean")) <= lit(2.0)).as("mean_ok"))
+        .orderBy("media_id")
+    }),
     // Weighted sampling (A-ES exponential keys over the pinned ln): longer
     // documents proportionally likelier — the reproducible data-mixing
     // primitive. Oracle: full Python re-derivation of u, score and the
@@ -1666,6 +1683,7 @@ object SparkEntry {
     "rolling_dedup" -> valuesOracle("rolling_dedup"),
     "index_health" -> valuesOracle("index_health"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
+    "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "token_count_bpe" -> valuesOracle("token_count_bpe"),
     "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
     "ann_recall" -> valuesOracle("ann_recall"),

@@ -149,21 +149,66 @@ object Multimodal {
     * decoded raster must equal the recipe exactly. */
   def syntheticPngs(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { m =>
-      val w = 16 + m % 9
-      val h = 16 + m % 7
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) {
-        def ch(c: Int): Int =
-          (FxHash.add(FxHash.add(FxHash.add(FxHash.add(0L, m.toLong), x.toLong), y.toLong), c.toLong) & 0xffL).toInt
-        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
-      }
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
+      javax.imageio.ImageIO.write(recipeRaster(m), "png", out)
       (m.toLong, out.toByteArray)
     }
     import spark.implicits._
     rows.toDF("media_id", "bytes")
+  }
+
+  /** The shared deterministic raster recipe behind [[syntheticPngs]] and
+    * [[syntheticJpegs]]: dims 16+id%9 × 16+id%7, channel byte =
+    * `FxHash(add(add(add(add(0,id),x),y),c)) & 0xff`. */
+  private def recipeRaster(m: Int): java.awt.image.BufferedImage = {
+    val w = 16 + m % 9
+    val h = 16 + m % 7
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      def ch(c: Int): Int =
+        (FxHash.add(FxHash.add(FxHash.add(FxHash.add(0L, m.toLong), x.toLong), y.toLong), c.toLong) & 0xffL).toInt
+      img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+    }
+    img
+  }
+
+  /** JPEG fixtures for the SECOND [[ImageIoDecoder]] codec path — same
+    * pixel recipe as [[syntheticPngs]], encoded lossy at `quality`. JPEG
+    * cannot be gated bit-exact (its decoded raster is codec-defined, not
+    * recipe-defined), so each row also carries the pre-encode raster's
+    * `recipe_mean`: the gate pins dims EXACTLY (JPEG preserves them) and
+    * the decoded mean byte to within a small tolerance of the recipe mean
+    * — a garbage decode (wrong reader, wrong color space, truncated
+    * raster) lands far outside it, while codec-legal quantization noise
+    * stays well inside. */
+  def syntheticJpegs(spark: org.apache.spark.sql.SparkSession, n: Int,
+                     quality: Float = 0.95f): DataFrame = {
+    val rows = (0 until n).map { m =>
+      val img = recipeRaster(m)
+      var sum = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      val recipeMean = sum.toDouble / (img.getWidth.toLong * img.getHeight * 3)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      (m.toLong, out.toByteArray, recipeMean)
+    }
+    import spark.implicits._
+    rows.toDF("media_id", "bytes", "recipe_mean")
   }
 
   /** decode_media(bytes) as a Column: struct(checksum, width, height,

@@ -950,6 +950,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       badOut(0).getDouble(5) == -1.0)
   }
 
+  test("Multimodal ImageIoDecoder: JPEG decode is deterministic and near the recipe raster") {
+    // the lossy second codec path: dims must survive exactly; the decoded
+    // mean byte must sit within a tight band of the recipe mean (measured
+    // < 0.5 at quality 0.95 — the gate's 2.0 tolerance has 4x headroom);
+    // and decode must be bit-deterministic across runs (same checksums),
+    // which is what lets the driver gate's boolean stay stable.
+    val media = Multimodal.syntheticJpegs(spark, 8)
+    def features() = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+      .orderBy("media_id").collect()
+    val out = features()
+    val recipeMeans = media.select("media_id", "recipe_mean").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (r <- out) {
+      val m = r.getLong(0).toInt
+      assert(r.getInt(3) == 16 + m % 9 && r.getInt(4) == 16 + m % 7, s"dims for id $m")
+      val err = math.abs(r.getDouble(5) - recipeMeans(m.toLong))
+      assert(err < 2.0, s"mean err $err for id $m exceeds the gate tolerance")
+    }
+    assert(out.map(_.getLong(2)).toSeq == features().map(_.getLong(2)).toSeq,
+      "JPEG decode must be deterministic run-to-run")
+  }
+
   test("Multimodal resizeStub preserves aspect and caps the long side") {
     // stub header: width = b0<<8|b1, height = b2<<8|b3
     def payload(w: Int, h: Int, len: Int): Array[Byte] = {

@@ -1585,6 +1585,25 @@ def main(sf_dir, spark_dir):
     custom["multimodal_features_real"] = (
         mr_rows, ("media_id", "checksum", "width", "height", "mean_byte"), mr_sql)
 
+    # ---- multimodal_features_jpeg: the lossy second codec path. Python
+    # cannot decode JPEG here, and JPEG's decoded raster is codec-defined —
+    # so the oracle pins what IS recipe-derivable: exact dims (JPEG
+    # preserves them) and mean_ok=TRUE, the Spark side's claim that the
+    # decoded mean byte lies within 2.0 of the recipe raster's mean
+    # (measured codec noise < 0.5 at quality 0.95; a wrong decode is tens
+    # off or the -1 sentinel).
+    mj_rows = [(m, 16 + m % 9, 16 + m % 7, "TRUE") for m in range(48)]
+    mj_sql = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(width AS INT) AS width, CAST(height AS INT) AS height,"
+        " CAST(mean_ok AS BOOLEAN) AS mean_ok\n"
+        "FROM (VALUES\n"
+        f"{values_block(mj_rows)}\n"
+        ") AS t(media_id, width, height, mean_ok)\nORDER BY media_id")
+    custom["multimodal_features_jpeg"] = (
+        [(m, w, h, True) for m, w, h, _ in mj_rows],
+        ("media_id", "width", "height", "mean_ok"), mj_sql)
+
     # ---- semantic_dedup (mirror graft.api.SemanticDedup): 16-cell k-means
     # (sample init, seed 77), drop any vector with a lower-id cosine>=0.35
     # neighbor in its own cell. Full rows pinned: the cells depend on the
@@ -1667,6 +1686,7 @@ def main(sf_dir, spark_dir):
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
                     "index_health": "band, band_hash",
                     "multimodal_features_real": "media_id",
+                    "multimodal_features_jpeg": "media_id",
                     "ann_recall": "method",
                     "cosine_lsh_pairs": "id_a, id_b",
                     "stream_rolling_dedup": "doc_id",
