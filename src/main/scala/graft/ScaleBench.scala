@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope validator — NOT part of the driver contract (dev tool, like
+  * [[Scratch]]). The sf0.1 bench proves correctness and per-query absolute
+  * cost; this main measures how the HEAVY operator family scales when the
+  * corpus grows 3×/10×/30×, to confirm the docs/SCALE.md claims empirically:
+  *
+  *   - banded near-dup mining ~ linear in rows (pair output held linear by
+  *     construction, see cipher note below);
+  *   - signature-index build = fixed catalog/commit cost + linear banding;
+  *   - index probe with a FIXED batch ~ flat-ish (grows only with the
+  *     index scan, no shuffle on the corpus side);
+  *   - semantic dedup ~ linear when nClusters scales with n (the documented
+  *     recipe — Σ|cell|² stays linear only if |cell| is held constant);
+  *   - IVF-PQ ~ linear at fixed (nlist, nprobe): encode is linear, search
+  *     scans a fixed nprobe/nlist fraction;
+  *   - distributed clustering ~ linear in edges at constant diameter
+  *     (replication preserves per-replica cluster diameter);
+  *   - README per-seed UNION idiom vs the posexplode scale idiom vs the
+  *     fused operator: identical pair sets (same band family), measured
+  *     head-to-head for the crossover note.
+  *
+  * Fixture scaling is deterministic and structure-preserving:
+  *
+  *   - documents ×k = k replicas; replica r's text goes through a keyed
+  *     substitution cipher (Fisher–Yates permutation of [a-zA-Z0-9] seeded
+  *     by r; r=0 is identity). Within a replica every text maps through the
+  *     SAME permutation, so the intra-replica near-dup structure (shingle
+  *     overlaps, Jaccard values) is preserved EXACTLY; across replicas the
+  *     letter 4-grams are remapped, so cross-replica collisions vanish and
+  *     the true pair count is exactly k × base — the denominator a linear
+  *     slope claim needs. (A rotation cipher would collide at r ≡ r' mod 26;
+  *     seeded permutations don't.)
+  *   - embeddings ×k = k replicas; replica r's vector is rotated by
+  *     (r·7 mod 64) dimensions — norm- and intra-replica-geometry-
+  *     preserving, decorrelated across replicas.
+  *
+  * Usage: runMain graft.ScaleBench [scales=1,3,10,30] [ops=op1,op2,...]
+  * Writes scaled fixtures under /tmp/graft-scale/x{k}/ (reused if present)
+  * and prints one result line per (op, scale): seconds + output rows.
+  */
+object ScaleBench {
+
+  private val Alphabet = ('a' to 'z').mkString + ('A' to 'Z').mkString + ('0' to '9').mkString
+
+  /** Seeded Fisher–Yates permutation of the cipher alphabet; r=0 = identity. */
+  private def cipherTo(r: Int): String = {
+    if (r == 0) return Alphabet
+    val arr = Alphabet.toCharArray
+    val rnd = new java.util.Random(0x5ca1eL * 1000003L + r)
+    var i = arr.length - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = arr(i); arr(i) = arr(j); arr(j) = t
+      i -= 1
+    }
+    new String(arr)
+  }
+
+  private val Stride = 10000000L
+
+  private def scaledDocs(spark: SparkSession, base: DataFrame, k: Int): DataFrame = {
+    val reps = (0 until k).map { r =>
+      base.select(
+        (col("doc_id") + lit(r * Stride)).as("doc_id"),
+        (if (r == 0) col("text") else translate(col("text"), Alphabet, cipherTo(r))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    reps.reduce(_.unionAll(_))
+  }
+
+  private def scaledEmbeddings(spark: SparkSession, base: DataFrame, k: Int): DataFrame = {
+    val reps = (0 until k).map { r =>
+      val off = (r * 7) % 64
+      val rotated =
+        if (off == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${off + 1}, size(embedding)), slice(embedding, 1, $off))")
+      base.select(
+        (col("vec_id") + lit(r * Stride)).as("vec_id"),
+        rotated.cast("array<float>").as("embedding"),
+        col("label"))
+    }
+    reps.reduce(_.unionAll(_))
+  }
+
+  private def ensureFixtures(spark: SparkSession, baseDir: String, k: Int): String = {
+    val dir = s"/tmp/graft-scale/x$k"
+    val done = new java.io.File(s"$dir/_DONE")
+    if (!done.exists()) {
+      scaledDocs(spark, spark.read.parquet(s"$baseDir/documents.parquet"), k)
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      scaledEmbeddings(spark, spark.read.parquet(s"$baseDir/embeddings.parquet"), k)
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      done.getParentFile.mkdirs(); done.createNewFile()
+    }
+    dir
+  }
+
+  /** README.md:150-164 verbatim pattern at production banding: one join per
+    * band on `element_at(lsh_min(text, 4, 8, 3, 42), i)`, UNION across the 8
+    * bands, exact-jaccard filter. Same band family as the scale idiom, so
+    * the pair set is identical — only the plan shape differs (8 self-joins
+    * each shuffling full texts, vs one ids-only posexplode join). */
+  private def unionIdiomSql(bands: Int): String =
+    (1 to bands).map { i =>
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM sdocs a JOIN sdocs b
+         |  ON element_at(lsh_min(a.text, 4, 8, 3, 42), $i) =
+         |     element_at(lsh_min(b.text, 4, 8, 3, 42), $i)
+         |WHERE a.doc_id < b.doc_id AND lsh_jaccard(a.text, b.text, 4) > 0.6""".stripMargin
+    }.mkString("\nUNION\n")
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.find(_.startsWith("scales="))
+      .map(_.stripPrefix("scales=").split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(1, 3, 10, 30))
+    val opsFilter = args.find(_.startsWith("ops="))
+      .map(_.stripPrefix("ops=").split(",").toSet)
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse-scale")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sql.LshFunctions.register(spark)
+
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dirs = scales.map(k => k -> ensureFixtures(spark, baseDir, k)).toMap
+
+    def docs(k: Int) = spark.read.parquet(s"${dirs(k)}/documents.parquet")
+    def emb(k: Int)  = spark.read.parquet(s"${dirs(k)}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+    // Each op returns the output row count (the forcing action); -1 = no
+    // natural count (index build). `k` parameterizes data AND, where the
+    // documented recipe says so, the operator knobs (nClusters ∝ n).
+    val ops: Seq[(String, Int => Long)] = Seq[(String, Int => Long)](
+      "minhash_pairs" -> { (k: Int) =>
+        api.BandedLsh.nearDupPairs(docs(k), "doc_id", "text", 4, 8, 3, 42L, 0.6).count()
+      },
+      "union_idiom" -> { (k: Int) =>
+        docs(k).createOrReplaceTempView("sdocs")
+        spark.sql(unionIdiomSql(8)).count()
+      },
+      "fused_idiom" -> { (k: Int) =>
+        api.BandedLsh.bandedSelfJoinPairs(docs(k), "doc_id", "text",
+          ngramWidth = 4, bandCount = 8, bandSize = 3, seeds = Seq(42L), threshold = 0.6).count()
+      },
+      "index_build" -> { (k: Int) =>
+        val t = s"scale_idx_x$k"
+        Seq(t, s"${t}_hot", s"${t}_meta").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+        api.BandedLsh.saveSignatureIndex(docs(k), t, 8, "doc_id", "text", 4, 8, 3, 123L)
+        -1L
+      },
+      "index_probe" -> { (k: Int) =>
+        // fixed 500-doc batch (base replica) against the ×k index; corpus df
+        // re-attaches texts on the already-collided ids only
+        api.BandedLsh.nearDupAgainstIndex(s"scale_idx_x$k", docs(k),
+          docs(k).filter(col("doc_id") < 500), "doc_id", "text", 4, 8, 3, 123L, 0.35).count()
+      },
+      "semantic_dedup" -> { (k: Int) =>
+        // nClusters ∝ n: the documented scale recipe (holds |cell| constant
+        // so Σ|cell|² stays linear)
+        api.SemanticDedup.semanticDedup(emb(k), nClusters = 16 * k, tau = 0.35, seed = 7L).count()
+      },
+      "ann_ivfpq" -> { (k: Int) =>
+        // fixed (nlist, nprobe): search scans a fixed fraction of the corpus,
+        // encode is linear — overall linear is the claim
+        val queries = emb(1).filter(col("vec_id") < 50)
+        api.Ann.ivfPqTopK(emb(k), queries, k = 10,
+          nlist = 32, nprobe = 8, m = 8, ksub = 16, seed = 11L).count()
+      },
+      // diagnostic: candidate-pair census straight from bucket sizes —
+      // Σ C(n,2) over (band, band_hash) buckets — without materializing a
+      // single pair. This is how the ×100 blowup below was localized.
+      "census" -> { (k: Int) =>
+        val c = api.BandedLsh.bandedRows(docs(k), "doc_id", "text", 4, 8, 3, 42L)
+          .groupBy("band", "band_hash").count()
+        val a = c.agg(sum(col("count") * (col("count") - 1) / 2).as("pairs"),
+          max("count").as("maxb"), count(lit(1)).as("buckets")).collect()(0)
+        println(s"  census x$k: candidatePairs=${a.get(0)} maxBucket=${a.get(1)} buckets=${a.get(2)}")
+        c.orderBy(col("count").desc).limit(5).collect()
+          .foreach(r => println(s"  top bucket band=${r.get(0)} hash=${r.get(1)} n=${r.get(2)}"))
+        0L
+      },
+      // census-routed near-dup mining: relational below the candidate
+      // budget, fused above it (the ×100 cliff protection)
+      "adaptive" -> { (k: Int) =>
+        api.BandedLsh.nearDupPairsAdaptive(docs(k), "doc_id", "text", 4, 8, 3, 42L, 0.6).count()
+      },
+      "clusters_distributed" -> { (k: Int) =>
+        val pairs = api.BandedLsh.nearDupPairsAdaptive(docs(k), "doc_id", "text", 4, 8, 3, 42L, 0.6)
+          .select("id_a", "id_b")
+        api.BandedLsh.dupClusters(pairs, maxIters = 15, driverThreshold = 0L).count()
+      }
+    ).filter { case (n, _) => opsFilter.forall(_.contains(n)) }
+
+    // global warmup: run every op once at the smallest scale untimed, so the
+    // session's one-time JIT/codegen/family-cache cost doesn't land on
+    // whichever (op, smallest-scale) cell runs first and corrupt its slope
+    for ((_, fn) <- ops) { spark.catalog.clearCache(); fn(scales.head) }
+
+    println(f"${"op"}%-22s ${"scale"}%5s ${"rows"}%10s ${"sec"}%8s")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
+    for ((name, fn) <- ops; k <- scales) {
+      // two runs, report min: first run absorbs JIT/codegen/family-cache
+      // warmup that a steady-state slope must not include
+      var rows = 0L
+      var best = Double.MaxValue
+      for (_ <- 1 to 2) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        rows = fn(k)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      results += ((name, k, rows, best))
+      println(f"$name%-22s $k%5d $rows%10d $best%8.2f")
+    }
+
+    // slope summary: t(k)/t(1) per op — linear ops should track k, flat ops ~1
+    println("\nslope t(k)/t(1):")
+    for ((name, _) <- ops) {
+      val rs = results.filter(_._1 == name)
+      rs.find(_._2 == scales.head).foreach { base =>
+        val line = rs.map { case (_, k, _, s) => f"x$k=${s / base._4}%.1f" }.mkString("  ")
+        println(f"$name%-22s $line")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -751,6 +751,17 @@ object SparkEntry {
       // oracleSql comment)
       nearDupPairsShared(s, dir).orderBy("id_a", "id_b")
     }),
+    // Scale-cliff-protected near-dup mining (BandedLsh.nearDupPairsAdaptive):
+    // a candidate census routes between the relational and fused paths.
+    // maxRelationalCandidates=0 forces the FUSED route here — the relational
+    // route is exactly minhash_dedup_pairs above, so this gate pins the
+    // routed branch against the same brute-force ground truth (recall 1 at
+    // 8x3 banding on this data; identical params/seed/threshold).
+    "neardup_adaptive" -> ((s, dir) => {
+      graft.api.BandedLsh.nearDupPairsAdaptive(load(s, dir, "documents"),
+          "doc_id", "text", 4, 8, 3, 123L, 0.5, maxRelationalCandidates = 0L)
+        .orderBy("id_a", "id_b")
+    }),
     "curate_corpus" -> ((s, dir) => {
       // The full training-data recipe as ONE composed pipeline — what a
       // user of this engine actually runs end-to-end: narrow quality gates
@@ -1953,6 +1964,21 @@ object SparkEntry {
     // is already code-point based, but length(text)-vs-byte-length and any
     // surrogate handling would have to be re-audited before trusting it).
     "minhash_dedup_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 3),
+        |                                      i -> substring(text, CAST(i AS INT), 4))) AS grams
+        |  FROM documents WHERE length(text) >= 4)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |       / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) AS sim
+        |FROM g a JOIN g b ON b.doc_id > a.doc_id
+        |WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same ground truth as minhash_dedup_pairs: the adaptive gate forces the
+    // fused route over identical params, and recall is 1 at this banding
+    "neardup_adaptive" ->
       """WITH g AS (
         |  SELECT doc_id,
         |         list_distinct(list_transform(generate_series(1, length(text) - 3),

@@ -73,6 +73,72 @@ object BandedLsh {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Candidate-pair census over the banded blocking buckets: Σ C(n,2) and
+    * the largest bucket, computed straight from bucket SIZES (one
+    * map-side-combined aggregation over (band, band_hash) counts) without
+    * materializing a single pair. Returns (candidatePairs, maxBucket,
+    * inputRows). Cost is one banding pass + a count-only shuffle — ~2 s on
+    * a 500k-doc corpus — against which [[nearDupPairsAdaptive]] routes
+    * between the relational and fused verification paths. Also useful as a
+    * standalone pre-flight: a census result of 10^10 pairs says "fix your
+    * banding or expect an all-pairs bill" BEFORE the cluster pays it. */
+  def candidateCensus(df: DataFrame, idCol: String, textCol: String,
+                      ngramWidth: Int, bandCount: Int, bandSize: Int,
+                      seed: Long): (Long, Long, Long) = {
+    val r = bandedRows(df, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L)),
+        coalesce(max(col("n")), lit(0L)),
+        coalesce((sum(col("n")) / bandCount).cast("long"), lit(0L)))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** [[nearDupPairs]] with scale-cliff protection: runs [[candidateCensus]]
+    * first and routes to the fused [[bandedSelfJoinPairs]] operator when the
+    * candidate volume (or a single bucket) exceeds what the relational path
+    * handles gracefully. Same (id_a, id_b, sim) output either way —
+    * pair-set and sim equality across the three paths is spec-pinned.
+    *
+    * Why the routing exists (measured, local[32], sf0.1 documents replicated
+    * with structure-preserving ciphers — see ScaleBench / docs/SCALE.md):
+    * the relational path verifies AFTER `distinct()` + two id-joins, so the
+    * candidate-pair stream reaches `lsh_jaccard` with no bucket locality and
+    * the expression's bounded shingle memo (2^17 entries) stops covering the
+    * working set once distinct texts exceed it. At 150k docs (6.6e7
+    * candidates) the path is fine (22 s); at 500k docs (2.4e8 candidates,
+    * 500k distinct texts) per-pair cost inflates ~50× (memo misses +
+    * re-shingling garbage + the materialized pair set's memory pressure)
+    * and the job effectively never finishes — while the fused operator,
+    * which interns each group's shingle arrays locally and never
+    * materializes candidates through join machinery, completes in 35 s.
+    * The census is the cheap discriminator: candidates and max-bucket size
+    * are both visible from bucket counts alone.
+    *
+    * Defaults sit between the measured-good and measured-bad points:
+    * `maxRelationalCandidates` = 1e8 (6.6e7 measured fine, 2.4e8 measured
+    * pathological), `maxRelationalBucket` = 8192 (a bucket's C(n,2) pairs
+    * land on ONE sort-merge-join task; 8192² /2 ≈ 3.4e7 pairs ≈ minutes —
+    * the fused triangle blocking splits exactly this). */
+  def nearDupPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
+                           ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
+                           threshold: Double,
+                           maxRelationalCandidates: Long = 100000000L,
+                           maxRelationalBucket: Long = 8192L,
+                           numBlocks: Int = 8): DataFrame = {
+    val (cand, maxBucket, _) =
+      candidateCensus(df, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
+    if (cand <= maxRelationalCandidates && maxBucket <= maxRelationalBucket)
+      nearDupPairs(df, idCol, textCol, ngramWidth, bandCount, bandSize, seed, threshold)
+    else {
+      val idType = df.schema(idCol).dataType
+      bandedSelfJoinPairs(df, idCol, textCol, ngramWidth, bandCount, bandSize,
+          seeds = Seq(seed), threshold = threshold, numBlocks = numBlocks)
+        .select(col("id_a").cast(idType).as("id_a"),
+          col("id_b").cast(idType).as("id_b"), col("sim"))
+    }
+  }
+
   /** Fused banded self-join: the same pair set as the README's per-seed
     * blocking join + jaccard filter (`lsh_min(..)[1]` equality per seed,
     * UNION, `lsh_jaccard > threshold`), computed as a native pairwise loop

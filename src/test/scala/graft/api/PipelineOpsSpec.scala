@@ -246,6 +246,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fused.nonEmpty)
   }
 
+  test("nearDupPairsAdaptive: both routes produce the nearDupPairs set") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // generous budgets -> relational route; zero budgets -> fused route
+    val rel = BandedLsh.nearDupPairsAdaptive(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fused = BandedLsh.nearDupPairsAdaptive(docs, "doc_id", "text", 4, 8, 3, 123L, 0.5,
+        maxRelationalCandidates = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rel == base, s"relational route: adaptive=${rel.size} base=${base.size}")
+    assert(fused == base, s"fused route: adaptive=${fused.size} base=${base.size}")
+    assert(base.nonEmpty)
+  }
+
+  test("candidateCensus matches the materialized candidate-pair count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (cand, maxBucket, rows) =
+      BandedLsh.candidateCensus(docs, "doc_id", "text", 4, 8, 3, 123L)
+    // ground truth from the banded rows themselves: Σ C(n,2) over buckets
+    val counts = BandedLsh.bandedRows(docs, "doc_id", "text", 4, 8, 3, 123L)
+      .groupBy("band", "band_hash").count().collect().map(_.getLong(2))
+    assert(cand == counts.map(n => n * (n - 1) / 2).sum)
+    assert(maxBucket == counts.max)
+    assert(rows == counts.sum / 8) // 8 bands per surviving doc
+  }
+
   test("approxJoinMllib: recall vs the custom path, sims agree off-boundary") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val custom = BandedLsh.nearDupPairs(docs, "doc_id", "text", 4, 8, 3, 123L, 0.3)
