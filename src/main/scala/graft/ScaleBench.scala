@@ -173,7 +173,8 @@ object ScaleBench {
       "ann_ivfpq" -> { (k: Int) =>
         // fixed (nlist, nprobe): search scans a fixed fraction of the corpus,
         // encode is linear — overall linear is the claim
-        val queries = emb(1).filter(col("vec_id") < 50)
+        // replica-0 ids < 50: present at every scale (replica 0 is identity)
+        val queries = emb(k).filter(col("vec_id") < 50)
         api.Ann.ivfPqTopK(emb(k), queries, k = 10,
           nlist = 32, nprobe = 8, m = 8, ksub = 16, seed = 11L).count()
       },

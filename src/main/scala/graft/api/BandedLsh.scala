@@ -63,7 +63,14 @@ object BandedLsh {
     * it replicates the PAYLOAD bands×numBlocks times through the shuffle
     * (measured: fused wins 3x on 15k near-identical names at 1 band, loses
     * ~25% on 5k long documents at 8 bands). Both paths are spec-checked to
-    * produce identical pair sets. */
+    * produce identical pair sets.
+    *
+    * SCALE LIMIT (measured round 10, docs/SCALE.md "Measured scale slopes"):
+    * this path's post-distinct verification loses bucket locality, so past
+    * ~1e8 candidates / 2^17 distinct texts the jaccard memo stops covering
+    * the working set and per-pair cost inflates ~50×. For corpora that may
+    * cross that line, call [[nearDupPairsAdaptive]], which censuses the
+    * buckets first and routes to the fused operator. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
                    threshold: Double): DataFrame = {
