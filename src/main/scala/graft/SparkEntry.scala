@@ -445,6 +445,26 @@ object SparkEntry {
         FROM documents GROUP BY md5(text)
         ORDER BY text_hash""")
     }),
+    // Cross-doc duplicate token SPANS (Dedup.dupSpans): exact-substring
+    // dedup a la Lee et al. 2022, as distributed shingle-hash grouping
+    // instead of a global suffix array. Oracle: DuckDB re-derives the same
+    // definition from the raw text — grams grouped by their STRING (the
+    // Spark side groups by xxhash64, so a hash collision would surface
+    // here as a mismatch, not hide).
+    "dup_span_detect" -> ((s, dir) => {
+      graft.api.Dedup.dupSpans(load(s, dir, "documents"), "doc_id", "text",
+          width = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+    // The destructive edit: flagged spans cut, text rebuilt from the kept
+    // tokens (canonical single-space join). Every doc survives — what Lee
+    // et al. actually do to the training set, vs dropping whole docs.
+    "dup_span_cut" -> ((s, dir) => {
+      graft.api.Dedup.cutDupSpans(load(s, dir, "documents"), "doc_id", "text",
+          width = 8)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     "dedup_near_window" -> ((s, dir) => {
       withLsh(s)
       load(s, dir, "documents").createOrReplaceTempView("documents")
@@ -1951,6 +1971,55 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS copies
         |FROM documents GROUP BY md5(text)
         |ORDER BY text_hash""".stripMargin,
+    // Independent re-derivation of dupSpans: grams keyed by their literal
+    // string (vs Spark's xxhash64), same min!=max cross-doc rule, same
+    // gaps-and-islands merge. DuckDB list slicing is 1-based inclusive;
+    // generate_series(1, n-7) is empty for docs under 8 tokens.
+    "dup_span_detect" ->
+      """WITH lists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM lists)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
+        |            FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos, fin,
+        |    CASE WHEN pos > coalesce(max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM flagged),
+        |isl2 AS (SELECT doc_id, pos, fin,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(fin) AS BIGINT) AS span_end,
+        |       CAST(max(fin) - min(pos) + 1 AS BIGINT) AS n_tokens
+        |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    // The cut: token positions inside any flagged window are dropped, the
+    // remainder re-joined by single spaces. LEFT JOIN keeps fully-cut docs
+    // as empty strings, matching Spark's array_join on an empty array.
+    "dup_span_cut" ->
+      """WITH lists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, i - 1 AS pos, l[i] AS tok
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM lists)),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM lists)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
+        |            FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
+        |kept AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS text
+        |  FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM flagged f
+        |                    WHERE f.doc_id = t.doc_id AND t.pos BETWEEN f.pos AND f.fin)
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(k.text, '') AS text
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Ground-truth oracle: brute-force all-pairs exact 4-gram Jaccard. The
     // LSH path must emit exactly this set — at the planted-dup sim floor
     // (0.93 at sf0.01) the 8-band/3-row miss probability is ~2.6e-6 per pair

@@ -87,4 +87,100 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document duplicate SPAN detection — exact-substring dedup at the
+    * token level (the pass Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", runs with a suffix array; doc-level
+    * near-dup above cannot see a boilerplate paragraph pasted into
+    * otherwise-distinct pages). A token position is flagged when some
+    * `width`-token window covering it also occurs in ANOTHER document;
+    * overlapping/contiguous flagged windows merge into maximal spans.
+    * Emits (doc_id, span_start, span_end, n_tokens) with inclusive 0-based
+    * token indices over the lowercased `[a-z]+` token stream (the module's
+    * shared tokenizer). By construction every span is >= `width` tokens, so
+    * `width` doubles as the Lee-et-al minimum-match-length knob.
+    *
+    * Distributed shape (why shingle-hash grouping, not a suffix array): a
+    * suffix array is a global sorted structure — building one across
+    * executors is a multi-pass terasort. Grouping `width`-gram hashes
+    * needs only (hash, doc_id, pos) triples — 24 bytes/token — through
+    * ONE exchange, and "occurs in >= 2 distinct docs" collapses to
+    * `min(doc_id) != max(doc_id)`, a map-side-partial min/max agg with no
+    * count-distinct Expand and no second distinct pass. Downstream, the
+    * semi-join moves the same triples and the island merge is a per-doc
+    * window (parallel across docs, state bounded by flagged grams per
+    * doc). Text never crosses the wire: gram identity is xxhash64 of the
+    * joined window — at 10^12 grams the 64-bit collision expectation is
+    * ~0.03 spurious gram matches corpus-wide, each at worst extending a
+    * span by < `width` tokens (Lee et al. accept the same hash risk).
+    *
+    * Cost is one corpus pass + two hash-keyed exchanges of fixed-width
+    * triples; the window runs only over flagged positions (sparse —
+    * bounded by actual duplication, not corpus size). */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               width: Int): DataFrame = {
+    require(width >= 2, s"width must be >= 2 tokens, got $width")
+    val w = lit(width)
+    val toks = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= lit(""))
+    // sequence(0, n-width) needs n >= width: a shorter doc has no window
+    // (and sequence() with start > stop would count DOWN, not return empty)
+    val grams = df
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= width)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - w),
+          i => xxhash64(array_join(slice(col("__toks"), i + 1, w), " ")))))
+      .withColumnRenamed("col", "gh")
+    // a gram is a cross-doc duplicate iff >= 2 distinct docs contain it,
+    // i.e. min(doc_id) != max(doc_id) — no distinct, no Expand
+    val dupHashes = grams.groupBy("gh")
+      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("gh")
+    val flagged = grams.join(dupHashes, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + w - 1).as("fin"))
+    // gaps-and-islands per doc: a window starting past the running max end
+    // + 1 opens a new span (== end+1 is contiguous token coverage → merge)
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("fin")).over(
+      byPos.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__brk",
+        when(col("pos") > coalesce(prevEnd, lit(-2L)) + 1, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "__island")
+      .agg(min("pos").cast("long").as("span_start"),
+        max("fin").cast("long").as("span_end"),
+        (max("fin") - min("pos") + 1).cast("long").as("n_tokens"))
+      .drop("__island")
+  }
+
+  /** The corpus with [[dupSpans]] applied destructively: flagged token
+    * spans are CUT from each document (Lee et al.'s actual training-set
+    * edit — dropping whole near-dup docs loses the unique remainder). The
+    * rebuilt text is the kept tokens joined by single spaces, in order;
+    * docs with no flagged span pass through with the same normalization
+    * applied (so output text is uniformly the canonical token stream).
+    * Span lookup joins only (doc_id → span list) — spans are sparse, the
+    * join is broadcast-sized in practice, and the cut itself is a
+    * per-row `filter` over the token array, codegen'd, no shuffle beyond
+    * [[dupSpans]]' own. */
+  def cutDupSpans(df: DataFrame, idCol: String, textCol: String,
+                  width: Int): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, width)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+      .withColumnRenamed("doc_id", "__span_doc")
+    val toks = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= lit(""))
+    val keep = filter(col("__toks"),
+      (_, i) => !exists(col("__spans"),
+        sp => i >= sp("span_start") && i <= sp("span_end")))
+    df.withColumn("__toks", toks)
+      .join(spans, df(idCol).cast("long") === spans("__span_doc"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn(textCol, array_join(keep, " "))
+      .drop("__toks", "__spans", "__span_doc")
+  }
 }

@@ -1,0 +1,94 @@
+package graft.api
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Dedup.dupSpans]] / [[Dedup.cutDupSpans]] semantics on crafted
+  * corpora: the cross-doc-only rule, the island-merge adjacency boundary,
+  * the sub-width short-doc guard, and the destructive cut (including a
+  * fully-cut document surviving as an empty string). The driver gates
+  * (`dup_span_detect`, `dup_span_cut`) cover the fixture-scale DuckDB
+  * re-derivation; this spec covers the boundaries the fixture may not hit.
+  */
+class DupSpansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // letters only — digits are token separators under the [^a-z]+ tokenizer
+  private def toks(n: Int, tag: String): String =
+    (0 until n).map(i => s"$tag${('a' + i).toChar}").mkString(" ")
+
+  private def spans(df: org.apache.spark.sql.DataFrame) =
+    Dedup.dupSpans(df, "doc_id", "text", width = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("shared window flags the exact span in both docs, unique text does not") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta"
+    // doc 1: 3 unique + shared + 3 unique; doc 2: shared at position 0
+    val df = Seq(
+      (1L, s"${toks(3, "u")} $shared ${toks(3, "v")}"),
+      (2L, s"$shared ${toks(5, "w")}"),
+      (3L, toks(12, "z")))
+      .toDF("doc_id", "text")
+    // only the 4-token shared window duplicates across docs
+    assert(spans(df).toSeq == Seq((1L, 3L, 6L, 4L), (2L, 0L, 3L, 4L)))
+  }
+
+  test("overlapping and contiguous flagged windows merge; a 1-token gap splits") {
+    import spark.implicits._
+    // doc 1 and 2 share two windows: positions 0-3 and 5-8 of doc 1 — one
+    // unflagged token (4) between them → two spans (gap = end+2 case).
+    // doc 3/4 share positions 0-3 and 4-7 — contiguous coverage (end+1
+    // case) → ONE merged span 0-7.
+    val a = "alpha beta gamma delta"
+    val b = "eps zeta eta theta"
+    val df = Seq(
+      (1L, s"$a gapone $b"),
+      (2L, s"$a gaptwo $b xx"),
+      (3L, s"$a $b"),
+      (4L, s"$a $b yy"))
+      .toDF("doc_id", "text")
+    val got = spans(df)
+    assert(got.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 3L, 4L), (1L, 5L, 8L, 4L)))
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 7L, 8L)))
+  }
+
+  test("a gram repeated within ONE doc only is not a cross-doc duplicate") {
+    import spark.implicits._
+    val rep = "alpha beta gamma delta"
+    val df = Seq(
+      (1L, s"$rep ${toks(3, "u")} $rep"),
+      (2L, toks(12, "z")))
+      .toDF("doc_id", "text")
+    assert(spans(df).isEmpty)
+  }
+
+  test("docs shorter than width emit no windows and cannot flag") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    assert(spans(df).isEmpty)
+    // but at width 3 the same pair is one full-doc span each
+    val got3 = Dedup.dupSpans(df.toDF("doc_id", "text"), "doc_id", "text", width = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got3.toSeq == Seq((1L, 0L, 2L), (2L, 0L, 2L)))
+  }
+
+  test("cutDupSpans removes exactly the flagged tokens; full cut leaves empty text") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta"
+    val df = Seq(
+      (1L, s"KEEPA Keepb $shared keepc"),   // mixed case: output is canonical lowercase
+      (2L, shared),                          // fully cut -> ""
+      (3L, toks(6, "z")))                    // untouched, just normalized
+      .toDF("doc_id", "text")
+    val got = Dedup.cutDupSpans(df, "doc_id", "text", width = 4)
+      .orderBy("doc_id").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (1L, "keepa keepb keepc"),
+      (2L, ""),
+      (3L, toks(6, "z"))))
+  }
+}
