@@ -389,6 +389,21 @@ object SparkEntry {
         WHERE rnk <= 3
         ORDER BY o_orderpriority, rnk""")
     }),
+    // q4's exact result computed the scale way: topk_by folds a k-entry
+    // heap map-side, so the shuffle carries <= k rows per (group, task)
+    // instead of every order row into a per-priority sort partition
+    // (TopKByScore scaladoc; PlanShapeSpec pins no-Window + partial agg).
+    // The oracle is the window idiom — the two shapes must agree row-for-row.
+    "topk_per_group" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.topk_by(col("o_totalprice").cast("double"),
+          col("o_orderkey").cast("long"), 3).as("tk"))
+        .select(col("o_orderpriority"), posexplode(col("tk")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
     "q5_semi_anti" -> ((s, dir) => {
       load(s, dir, "customer").createOrReplaceTempView("customer")
       load(s, dir, "orders").createOrReplaceTempView("orders")
@@ -1932,6 +1947,18 @@ object SparkEntry {
         |ORDER BY r_name""".stripMargin,
     "q4_window_topn" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+    // the window idiom IS the oracle for the heap-aggregate path: both
+    // rank by (o_totalprice DESC, o_orderkey ASC), so agreement pins the
+    // aggregate's ordering, tiebreak, and k-truncation semantics
+    "topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+        |       CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, BpeRanks, CmsBuild, CmsEstimate, ColumnShim, CosineSim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, BpeRanks, CmsBuild, CmsEstimate, ColumnShim, CosineSim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -136,4 +136,14 @@ object functions {
     * merges are data). See [[org.apache.spark.sql.graft.BpeCount]]. */
   def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeCount(col2expr(text), new BpeRanks(merges)))
+
+  /** Per-group top-k selection as a mergeable bounded-heap aggregate —
+    * the scale-shape replacement for `row_number() OVER (...) <= k`
+    * (see [[org.apache.spark.sql.graft.TopKByScore]]: k entries per
+    * (group, task) cross the shuffle instead of every row). Returns
+    * `array<struct<score double, id bigint>>` in (score DESC, id ASC)
+    * order. */
+  def topk_by(score: Column, id: Column, k: Int): Column =
+    toCol(TopKByScore(col2expr(score), col2expr(id),
+      col2expr(lit(k.toLong))).toAggregateExpression())
 }

@@ -325,6 +325,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("topk_per_group is a partial heap aggregate, not a window sort") {
+    // the point of topk_by: k entries per (group, task) cross the shuffle.
+    // A WindowExec here would mean the whole table shuffled into group
+    // partitions and sorted — the shape the aggregate exists to replace.
+    val plan = planOf("topk_per_group")
+    assert(!plan.contains("Window"), s"top-k must not fall back to a window:\n$plan")
+    val lines = plan.linesIterator.toSeq
+    val partial = lines.indexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial_topk_by"))
+    val finalAgg = lines.indexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("topk_by") && !l.contains("partial_"))
+    assert(partial >= 0, s"no partial topk_by aggregate in plan:\n$plan")
+    assert(finalAgg >= 0 && finalAgg < partial,
+      s"final heap merge must consume the exchange above the partial:\n$plan")
+  }
+
   test("value_stats folds map-side: partial hash aggregate before the exchange") {
     // the exact-moments contract is only scale-safe if the five fixed-size
     // accumulators combine map-side — a final-only aggregate would shuffle
