@@ -1336,6 +1336,21 @@ object SparkEntry {
             Some(s.conf.get("spark.sql.shuffle.partitions").toInt))
         .orderBy("doc_id", "bench_id")
     }),
+    // The same decontamination behind a broadcast Bloom pre-filter — the
+    // big-benchmark shape (sharedNgramsBloomPruned scaladoc: a fixed-size
+    // bit array broadcasts where the exact shingle set cannot, the exact
+    // join then runs un-hinted on the ~2%+fp survivors). Bloom fp's are
+    // eliminated by the exact join, so this MUST hash-match the same
+    // pinned oracle as contamination_check — one oracle, two plans.
+    "contamination_bloom" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val bench = graft.api.Sampling.sampleByHash(docs, "doc_id", 0.02, 99L)
+      graft.api.Contamination.sharedNgramsBloomPruned(docs, bench, "doc_id",
+          "text", ngramWidth = 8, minShared = 50L, log2m = 20, k = 5,
+          corpusParallelism =
+            Some(s.conf.get("spark.sql.shuffle.partitions").toInt))
+        .orderBy("doc_id", "bench_id")
+    }),
     // Embedding-level decontamination: the semantic complement of
     // contamination_check — flag corpus vectors within cosine 0.25 of any
     // benchmark vector (hash-sampled 2%, same deterministic draw). The
@@ -1712,6 +1727,9 @@ object SparkEntry {
     "sample_weighted" -> valuesOracle("sample_weighted"),
     "mix_sources" -> valuesOracle("mix_sources"),
     "contamination_check" -> valuesOracle("contamination_check"),
+    // bit-identical contract with contamination_check: the Bloom is a
+    // pure pre-filter, so both plans answer to the same pinned oracle
+    "contamination_bloom" -> valuesOracle("contamination_check"),
     "contamination_embed" -> valuesOracle("contamination_embed"),
     "semantic_dedup" -> valuesOracle("semantic_dedup"),
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),

@@ -63,6 +63,47 @@ object Contamination {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** [[sharedNgrams]] behind a broadcast BLOOM pre-filter — the shape for
+    * benchmark suites too big to broadcast as an exact join hash table.
+    * [[sharedNgrams]] broadcasts the bench's exploded shingle set (fine to
+    * ~10^7 shingles); a full eval-suite sweep can carry 10^8+, where the
+    * broadcast table is multi-GB per executor. A Bloom filter over the same
+    * hashes is 2^log2m BITS regardless (log2m=30 → 128 MB for ~1% fp at
+    * 10^8 keys), so it still broadcasts — and `might_contain=false` is a
+    * guaranteed non-member, so the map-side probe drops every corpus
+    * shingle outside the bench set (minus the fp rate) BEFORE any join.
+    * The exact join then runs UN-HINTED on the survivors: a shuffle whose
+    * volume is actual-overlap + fp leakage, not corpus size — Bloom false
+    * positives are eliminated there, so the output is bit-identical to
+    * [[sharedNgrams]] (the gate pins both paths to one oracle).
+    *
+    * Two bench passes (bloom build + exact side) — the bench is the tiny
+    * side, re-reading it is noise next to the corpus scan either way. */
+  def sharedNgramsBloomPruned(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String, ngramWidth: Int,
+                              minShared: Long, log2m: Int = 22, k: Int = 5,
+                              corpusParallelism: Option[Int] = None): DataFrame = {
+    def exploded(df: DataFrame, outId: String) =
+      df.filter(col(textCol).isNotNull && length(col(textCol)) >= ngramWidth)
+        .select(col(idCol).cast("long").as(outId),
+          explode(graft.functions.shingle_hashes(col(textCol), ngramWidth)).as("sh"))
+    val corpusSide = corpusParallelism match {
+      case Some(n) => corpus.repartition(n, col(idCol))
+      case None => corpus
+    }
+    val bloom = exploded(benchmark, "bench_id")
+      .agg(graft.functions.bloom_build(col("sh").cast("string"), log2m, k).as("bf"))
+    exploded(corpusSide, "doc_id")
+      .crossJoin(broadcast(bloom))
+      .filter(graft.functions.bloom_contains(col("bf"), col("sh").cast("string")))
+      .drop("bf")
+      .join(exploded(benchmark, "bench_id"), "sh")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** The clean corpus: drop every document flagged against the benchmark.
     * Left-anti join on the flagged id set — ids only, payloads untouched. */
   def removeContaminated(corpus: DataFrame, benchmark: DataFrame, idCol: String,

@@ -47,4 +47,42 @@ class ContaminationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$plan")
   }
+
+  test("bloom-pruned path is bit-identical to sharedNgrams, even under heavy fp") {
+    val bench = Sampling.sampleByHash(docs, "doc_id", 0.1, 99L)
+    val exact = Contamination.sharedNgrams(docs, bench, "doc_id", "text", 8, 10L)
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    // log2m=8 (256 bits, k=1) is deliberately undersized: most probes come
+    // back might_contain=true, so this exercises fp survival through the
+    // pre-filter AND their elimination by the exact join
+    for (log2m <- Seq(8, 20)) {
+      val pruned = Contamination.sharedNgramsBloomPruned(
+          docs, bench, "doc_id", "text", 8, 10L, log2m = log2m, k = 1)
+        .orderBy("doc_id", "bench_id").collect().toSeq
+      assert(pruned == exact, s"log2m=$log2m diverged from the exact path")
+    }
+  }
+
+  test("bloom probe filters the corpus before the exact join reaches it") {
+    val bench = Sampling.sampleByHash(docs, "doc_id", 0.1, 99L)
+    val plan = Contamination.sharedNgramsBloomPruned(
+        docs, bench, "doc_id", "text", 8, 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_contains"),
+      s"map-side bloom probe missing from plan:\n$plan")
+    // Catalyst folds the probe into the broadcast(one-row-bloom) cross
+    // join's condition — still a map-side drop per corpus partition. What
+    // must NOT happen: the probe surviving only above the exact join
+    // (pruning nothing). So: the probe's line is the broadcast join of the
+    // bloom row, and the exact shingle join appears ABOVE it (executed
+    // plans print top-down).
+    val lines = plan.linesIterator.toSeq
+    val probeAt = lines.indexWhere(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("bloom_contains"))
+    val exactJoinAt = lines.indexWhere(l =>
+      l.contains("Join") && l.contains("[sh") && !l.contains("bloom_contains"))
+    assert(probeAt >= 0, s"bloom probe must gate the corpus scan:\n$plan")
+    assert(exactJoinAt >= 0 && exactJoinAt < probeAt,
+      s"exact join must consume the bloom-pruned stream:\n$plan")
+  }
 }
