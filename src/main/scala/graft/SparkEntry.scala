@@ -598,6 +598,24 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    // Z-order clustered parquet sink + box-query readback: orders laid out
+    // on the Morton curve of (o_custkey, price-in-cents), so the 2-D box
+    // filter prunes files from ordinary parquet min/max stats on BOTH
+    // columns (ZOrder scaladoc; ZOrderSpec measures the file-pruning win
+    // vs a hash layout). Correctness: readback ≡ the same box query on the
+    // source table.
+    "sink_zorder" -> ((s, dir) => {
+      val orders = load(s, dir, "orders")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_sink_zorder"
+      graft.api.ZOrder.writeZOrdered(orders, path,
+        col("o_custkey"), (col("o_totalprice") * 100).cast("long"), nFiles = 16)
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(100, 300) &&
+          col("o_totalprice").between(20000.0, 120000.0))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
     "token_count_bpe" -> ((s, dir) => {
       // byte-level BPE token counting under a user-supplied merge list
       // (BpeMerges below; gen_oracles.py mirrors the list and the exact
@@ -1575,6 +1593,19 @@ object SparkEntry {
           col("event_type"), col("approx_users"))
         .orderBy("win_start", "event_type")
     }),
+    "stream_topk_events" -> ((s, dir) => {
+      import s.implicits._
+      // streaming EXACT top-3 events by value per (hour, type): bounded
+      // k-entry heap state per open group (windowedTopKEvents scaladoc).
+      // Unlike the sketch gates this one is exact, so the oracle is the
+      // plain SQL window twin, not a pinned re-derivation.
+      val events = eventsSeq(s, dir)
+      graft.streaming.EventStreams.windowedTopKReplay(s, events, k = 3,
+          "1 hour", nBatches = 3)
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("rnk"), col("event_id"), col("value"))
+        .orderBy("win_start", "event_type", "rnk")
+    }),
     "stream_cms_userfreq" -> ((s, dir) => {
       import s.implicits._
       // streaming known-key frequency monitoring per (hour, type): the CMS
@@ -1767,6 +1798,13 @@ object SparkEntry {
     "sink_partitioned" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    // the z-order write must be a pure LAYOUT change: box-query readback
+    // over the curve-clustered files ≡ the same box query on the source
+    "sink_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300 AND o_totalprice BETWEEN 20000 AND 120000
+        |ORDER BY o_orderkey""".stripMargin,
     "stream_cms_userfreq" -> valuesOracle("stream_cms_userfreq"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
     "cms_topk" -> valuesOracle("cms_topk"),
@@ -2503,6 +2541,18 @@ object SparkEntry {
         |       event_type, count(*) AS cnt, min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), event_type
         |ORDER BY win_start, event_type""".stripMargin,
+    // the streaming top-k is EXACT (bounded heap, total order), so the
+    // oracle is the ordinary window twin — same ranking as topk_per_group
+    "stream_topk_events" ->
+      """SELECT win_start, event_type, CAST(rnk AS BIGINT) AS rnk, event_id,
+        |       value FROM (
+        |  SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS win_start,
+        |         event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), event_type
+        |                            ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3
+        |ORDER BY win_start, event_type, rnk""".stripMargin,
     // streaming content dedup: fed in doc_id order, the survivor per
     // distinct text is the smallest doc_id — pure SQL over the same
     // corpus-plus-shifted-copies union the query streams

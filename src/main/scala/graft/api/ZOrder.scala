@@ -1,0 +1,62 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustered layout: interleave the bits of two
+  * dimension columns and range-partition + sort the write on the resulting
+  * z-value, so every output file covers a small contiguous curve segment —
+  * i.e. a narrow min/max BOX in BOTH dimensions at once. Parquet readers
+  * then skip files/row groups on either dimension's predicate from the
+  * ordinary column statistics: multi-dimensional data skipping with zero
+  * reader-side cooperation, the lakehouse layout move for 100 TB tables
+  * queried by more than one key (a plain sort clusters one dimension and
+  * scatters the other; hive partitioning only fits low-cardinality
+  * columns).
+  *
+  * Everything here is built-in column ops — the bit-spread is 12 shift/
+  * mask expressions, fully inside whole-stage codegen, no UDF and no
+  * custom Expression needed.
+  */
+object ZOrder {
+
+  /** Bit-spread: place the low 31 bits of `x` at even positions 0,2,..,60
+    * (the standard parallel-prefix Morton spread, e.g. Interleave() in
+    * graphics literature). */
+  private def spread(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0x7FFFFFFFL))
+    v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x3333333333333333L))
+    v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** The 62-bit Morton code of two dimensions: bit i of `a` lands at
+    * position 2i, bit i of `b` at 2i+1, so longs compare in curve order
+    * (always non-negative — signed ordering is safe).
+    *
+    * CONTRACT: inputs are cast to long and their low 31 bits are used;
+    * callers with negative, fractional or >2^31 domains must pre-scale
+    * (quantize prices to cents, days since epoch, etc.). Locality follows
+    * bit distance, so dimensions should be roughly uniformly spread over
+    * their range for balanced curve segments — ranks or quantile codes
+    * beat raw heavy-tailed values. */
+  def zvalue2(a: Column, b: Column): Column =
+    spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
+
+  /** Write `df` as parquet clustered on the z-curve of (dimA, dimB):
+    * range-partition into `nFiles` curve segments, sort each segment, drop
+    * the helper column. One shuffle (the range exchange, with its sampling
+    * pass) — the same cost as any global sort-for-layout write; the
+    * payoff is every subsequent box-query read. */
+  def writeZOrdered(df: DataFrame, path: String, dimA: Column, dimB: Column,
+                    nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    df.withColumn("__z", zvalue2(dimA, dimB))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -103,6 +103,50 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"), col("approx_users"))
   }
 
+  /** Windowed top-k events per (window, type) via the mergeable bounded-
+    * heap aggregate ([[graft.functions.topk_by]]) — the streaming
+    * leaderboard. An exact streaming top-k needs only k entries of state
+    * per open (window, type) group (16·k bytes — the same bounded-state
+    * argument as the sketch family, but EXACT, because top-k under a total
+    * order is itself mergeable: offer() is associative/commutative over
+    * row sets). The (score DESC, id ASC) id tiebreak totally orders rows,
+    * so any within-watermark arrival order replays bit-equal to the batch
+    * twin — the un-tiebroken variant of this operator would be
+    * nondeterministic under micro-batch boundaries and could never gate.
+    * Works on a `readStream` or batch frame alike. */
+  def windowedTopKEvents(events: DataFrame, k: Int, windowLen: String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(_root_.graft.functions.topk_by(col("value"), col("event_id"), k).as("tk"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        posexplode(col("tk")))
+      .select(col("win_start"), col("event_type"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("event_id"), col("col.score").as("value"))
+  }
+
+  /** Replay harness for [[windowedTopKEvents]] — same contract as
+    * [[windowedDistinctReplay]]: far watermark, flush event, results
+    * bit-equal to the batch twin for any micro-batch split. */
+  def windowedTopKReplay(spark: SparkSession, events: Seq[Event], k: Int,
+                         windowLen: String = "1 hour", nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sink = s"graft_topk_replay_${replaySeq.incrementAndGet()}"
+    val q = windowedTopKEvents(mem.toDF(), k, windowLen, watermark = "3650 days")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (events.size + nBatches - 1) / nBatches)
+      events.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val far = new Timestamp(events.iterator.map(_.ts.getTime).max + 4000L * 86400_000L)
+      mem.addData(Event(-1L, far, -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).filter(col("event_type") =!= "flush")
+  }
+
   /** Windowed value quantiles per event type via the mergeable HDR
     * histogram — the streaming percentile. NON-NEGATIVE VALUE DOMAIN ONLY:
     * negative inputs are clamped to 0, not dropped or failed, so feeding a

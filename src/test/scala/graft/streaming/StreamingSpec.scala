@@ -220,6 +220,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(total > 0)
   }
 
+  test("windowedTopKEvents replay is bit-equal to the batch twin, any batch split") {
+    import spark.implicits._
+    // shuffled arrival + deliberate score ties (value has only 7 distinct
+    // levels): the id tiebreak must make every split replay identically,
+    // including which of the tied rows survives at the k boundary
+    val rng = new scala.util.Random(11)
+    val events = rng.shuffle((0 until 300).toList).map { i =>
+      EventStreams.Event(i.toLong, ts(i % 170), i.toLong % 97,
+        if (i % 2 == 0) "click" else "view", (i % 7).toDouble)
+    }
+    val batch = EventStreams.windowedTopKEvents(events.toDF(), k = 3, "1 hour")
+      .orderBy("win_start", "event_type", "rnk")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    for (nBatches <- Seq(1, 4)) {
+      val streamed = EventStreams.windowedTopKReplay(spark, events, k = 3, "1 hour", nBatches)
+        .orderBy("win_start", "event_type", "rnk")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      assert(streamed == batch, s"nBatches=$nBatches")
+    }
+    // sanity: each (window, type) emits exactly 3 ranked rows, scores
+    // non-increasing, tied scores in ascending id order
+    assert(batch.groupBy(e => (e._1, e._2)).forall(_._2.map(_._3).sorted == Seq(1L, 2L, 3L)))
+    batch.groupBy(e => (e._1, e._2)).values.foreach { g =>
+      val sorted = g.sortBy(_._3)
+      sorted.sliding(2).foreach { case Seq(a, b) =>
+        assert(a._5 > b._5 || (a._5 == b._5 && a._4 < b._4))
+      case _ => }
+    }
+  }
+
   test("windowedUserFreq replay is bit-equal to the batch twin, estimates >= truth") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
