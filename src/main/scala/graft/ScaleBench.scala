@@ -196,6 +196,15 @@ object ScaleBench {
       "adaptive" -> { (k: Int) =>
         api.BandedLsh.nearDupPairsAdaptive(docs(k), "doc_id", "text", 4, 8, 3, 42L, 0.6).count()
       },
+      // duplicate-span mining: gram explode + min/max agg + semi join all
+      // linear in tokens; island merge is per-doc. NOTE the cipher remaps
+      // letters to digits/case, so replica token boundaries (and with them
+      // the exact span count) shift vs base — intra-replica duplicate
+      // structure stays self-consistent, and RUNTIME linearity is the claim
+      // under test, not an exact k× row count.
+      "dup_spans" -> { (k: Int) =>
+        api.Dedup.dupSpans(docs(k), "doc_id", "text", width = 8).count()
+      },
       "clusters_distributed" -> { (k: Int) =>
         val pairs = api.BandedLsh.nearDupPairsAdaptive(docs(k), "doc_id", "text", 4, 8, 3, 42L, 0.6)
           .select("id_a", "id_b")

@@ -1356,8 +1356,9 @@ object SparkEntry {
     }),
     // The same decontamination behind a broadcast Bloom pre-filter — the
     // big-benchmark shape (sharedNgramsBloomPruned scaladoc: a fixed-size
-    // bit array broadcasts where the exact shingle set cannot, the exact
-    // join then runs un-hinted on the ~2%+fp survivors). Bloom fp's are
+    // bit array broadcasts where the exact shingle set cannot; the
+    // shuffle-exact mode for genuinely oversized benches is spec-gated,
+    // the gate runs the default broadcast-exact plan). Bloom fp's are
     // eliminated by the exact join, so this MUST hash-match the same
     // pinned oracle as contamination_check — one oracle, two plans.
     "contamination_bloom" -> ((s, dir) => {

@@ -11,6 +11,53 @@ import org.apache.spark.sql.functions._
   */
 object BandedLsh {
 
+  /** Plan (bandCount, bandSize) for a target recall at a Jaccard
+    * threshold — the knob the reference's README leaves to hand-tuning
+    * (README.md:133-141 shows one fixed 8×3 example). Banded MinHash
+    * admits a pair of similarity s with probability 1 − (1 − s^r)^b
+    * (the standard S-curve, e.g. Leskovec/Rajaraman/Ullman ch. 3); given
+    * a threshold and required recall at that threshold, this returns the
+    * LARGEST row count r (steepest curve → fewest sub-threshold false
+    * candidates, i.e. least verification work) whose required band count
+    * b = ceil(ln(1−recall) / ln(1−threshold^r)) fits `maxBands`, plus
+    * that b. Cost model: bands multiply the blocking join's exploded-row
+    * volume linearly, while rows only lengthen each signature — so cap
+    * `maxBands` by shuffle budget and let r absorb the precision.
+    *
+    * Returns (bandCount, bandSize). Always satisfiable: r=1 needs
+    * b = ln(1−recall)/ln(1−threshold) which is finite for threshold>0;
+    * if even that exceeds maxBands, this throws rather than silently
+    * under-recalling. */
+  def planBands(threshold: Double, targetRecall: Double,
+                maxBands: Int = 64, maxRows: Int = 16): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0, s"recall in (0,1), got $targetRecall")
+    require(maxBands >= 1 && maxRows >= 1, "maxBands and maxRows must be >= 1")
+    def bandsFor(r: Int): Int = {
+      val hit = math.pow(threshold, r) // P(one band matches the pair)
+      val missOne = 1.0 - hit
+      if (missOne <= 0.0) 1 // threshold^r == 1 numerically: one band suffices
+      // hit below double epsilon: missOne rounds to exactly 1.0 and
+      // log(1.0) = 0 would make the division return -Infinity → a bogus
+      // 1-band "plan" that under-recalls catastrophically. No finite band
+      // count reaches the target here.
+      else if (missOne >= 1.0) Int.MaxValue
+      else math.ceil(math.log1p(-targetRecall) / math.log(missOne)).toInt.max(1)
+    }
+    (maxRows to 1 by -1).iterator
+      .map(r => (bandsFor(r), r))
+      .find(_._1 <= maxBands)
+      .getOrElse(throw new IllegalArgumentException(
+        s"recall $targetRecall at threshold $threshold needs ${bandsFor(1)} " +
+          s"bands even at bandSize=1 — raise maxBands or lower the target"))
+  }
+
+  /** The S-curve itself: P(pair of similarity `s` becomes a candidate)
+    * under (bandCount, bandSize) banding. Exposed for planning/reporting
+    * (e.g. expected false-candidate rate at a sub-threshold similarity). */
+  def candidateProbability(s: Double, bandCount: Int, bandSize: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, bandSize), bandCount)
+
   /** Explode `lsh_min(textCol, ...)` into (band, hash) rows keyed by `idCol`.
     * Rows whose text is shorter than `ngramWidth` hash identically everywhere
     * (empty shingle set, SURVEY.md §2.2.4) and are dropped up front — they

@@ -72,17 +72,29 @@ object Contamination {
     * 10^8 keys), so it still broadcasts — and `might_contain=false` is a
     * guaranteed non-member, so the map-side probe drops every corpus
     * shingle outside the bench set (minus the fp rate) BEFORE any join.
-    * The exact join then runs UN-HINTED on the survivors: a shuffle whose
-    * volume is actual-overlap + fp leakage, not corpus size — Bloom false
-    * positives are eliminated there, so the output is bit-identical to
-    * [[sharedNgrams]] (the gate pins both paths to one oracle).
+    * The exact join then eliminates the fp's, so the output is
+    * bit-identical to [[sharedNgrams]] (the gate pins both paths to one
+    * oracle). Its strategy is the `broadcastExact` knob:
+    *
+    *  - `true` (default): the exact bench side broadcasts like
+    *    [[sharedNgrams]]' — the bloom is a pure map-side pre-prune that
+    *    cuts probe/aggregation work and costs only the per-shingle probe.
+    *  - `false`: the oversized-bench mode this variant exists for — when
+    *    the exact hash table exceeds the broadcast budget, the join runs
+    *    as a shuffle over the SURVIVORS, whose volume is actual-overlap +
+    *    fp leakage, not corpus size. (On a corpus whose shingle space the
+    *    bench largely covers — tiny vocabularies, bench sampled from the
+    *    corpus itself — the bloom prunes little and this mode degenerates
+    *    to shuffling the corpus shingle stream; that is inherent to the
+    *    regime, not a plan defect.)
     *
     * Two bench passes (bloom build + exact side) — the bench is the tiny
     * side, re-reading it is noise next to the corpus scan either way. */
   def sharedNgramsBloomPruned(corpus: DataFrame, benchmark: DataFrame,
                               idCol: String, textCol: String, ngramWidth: Int,
                               minShared: Long, log2m: Int = 22, k: Int = 5,
-                              corpusParallelism: Option[Int] = None): DataFrame = {
+                              corpusParallelism: Option[Int] = None,
+                              broadcastExact: Boolean = true): DataFrame = {
     def exploded(df: DataFrame, outId: String) =
       df.filter(col(textCol).isNotNull && length(col(textCol)) >= ngramWidth)
         .select(col(idCol).cast("long").as(outId),
@@ -91,13 +103,23 @@ object Contamination {
       case Some(n) => corpus.repartition(n, col(idCol))
       case None => corpus
     }
-    val bloom = exploded(benchmark, "bench_id")
-      .agg(graft.functions.bloom_build(col("sh").cast("string"), log2m, k).as("bf"))
+    // The bloom is built EAGERLY (one pass over the tiny bench side) and
+    // inlined as a binary literal: the probe then sits as a plain Filter
+    // inside the corpus scan's whole-stage codegen, with zero join
+    // machinery around it. The lazy alternative — crossJoin(broadcast(
+    // one-row-bloom)) — planned as a BroadcastNestedLoopJoin that broke
+    // codegen around the explode and cost ~2x the whole exact path at
+    // sf0.1. Long-typed probes throughout: no per-shingle digit-string
+    // allocation (SketchExprs.valueHashLong). Precedent for the eager
+    // collect: Ann's quantizer training — bounded state (≤ 2^log2m bits),
+    // never corpus-sized.
+    val bloomBytes = exploded(benchmark, "bench_id")
+      .agg(graft.functions.bloom_build(col("sh"), log2m, k).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val exactSide = exploded(benchmark, "bench_id")
     exploded(corpusSide, "doc_id")
-      .crossJoin(broadcast(bloom))
-      .filter(graft.functions.bloom_contains(col("bf"), col("sh").cast("string")))
-      .drop("bf")
-      .join(exploded(benchmark, "bench_id"), "sh")
+      .filter(graft.functions.bloom_contains(lit(bloomBytes), col("sh")))
+      .join(if (broadcastExact) broadcast(exactSide) else exactSide, "sh")
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("shared_ngrams"))

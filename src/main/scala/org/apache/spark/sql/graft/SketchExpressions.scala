@@ -91,14 +91,29 @@ private[graft] object SketchExprs {
     SimHash.tokenHashUtf8(b, 0, b.length)
   }
 
+  /** 64-bit mix for LongType sketch inputs (SplitMix64 finalizer, Steele
+    * et al. 2014 — public-domain constants): the zero-allocation path for
+    * numeric keys, vs the UTF8 digit-string detour a cast would take.
+    * NOTE: long 42 and string "42" hash differently by design — build and
+    * probe must agree on the input type. */
+  def valueHashLong(v: Long): Long = {
+    var z = v + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   def checkRange(name: String, v: Long, lo: Int, hi: Int): TypeCheckResult =
     if (v < lo || v > hi) TypeCheckFailure(s"$name must be in [$lo, $hi], got $v")
     else TypeCheckSuccess
 }
 
 /** bloom_build(value, log2m, k): mergeable Bloom-filter aggregate over
-  * string values ([[graft.core.Sketches]] for the pinned hash schedule and
-  * wire format). Returns the filter as BinaryType — broadcast it back and
+  * string or long values ([[graft.core.Sketches]] for the pinned hash
+  * schedule and wire format; long inputs take the zero-allocation
+  * SplitMix64 path — long 42 and string "42" are DIFFERENT keys, build
+  * and probe must agree on the type). Returns the filter as BinaryType —
+  * broadcast it back and
   * probe with [[BloomContains]] to prune a big scan before a shuffle
   * (runtime semi-join filtering, the classic 100 TB join-pruning move:
   * might_contain=false is a guaranteed non-member, so only possible matches
@@ -114,7 +129,8 @@ case class BloomBuild(
 
   override def prettyName: String = "bloom_build"
   override def children: Seq[Expression] = Seq(child, logmExpr, kExpr)
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType, LongType)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(StringType, LongType), LongType, LongType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
@@ -133,9 +149,15 @@ case class BloomBuild(
 
   override def createAggregationBuffer(): Array[Long] = Sketches.bloomEmpty(logm, k)
 
+  @transient private lazy val longInput = child.dataType == LongType
+
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) Sketches.bloomAdd(buffer, SketchExprs.valueHash(v), k, logm)
+    if (v != null) {
+      val h = if (longInput) SketchExprs.valueHashLong(v.asInstanceOf[Long])
+              else SketchExprs.valueHash(v)
+      Sketches.bloomAdd(buffer, h, k, logm)
+    }
     buffer
   }
 
@@ -166,20 +188,27 @@ case class BloomBuild(
 case class BloomContains(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "bloom_contains"
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, TypeCollection(StringType, LongType))
   override def dataType: DataType = BooleanType
 
   def probe(bloom: Array[Byte], v: UTF8String): Boolean =
     Sketches.bloomContainsBytes(bloom, SketchExprs.valueHash(v))
+  def probeLong(bloom: Array[Byte], v: Long): Boolean =
+    Sketches.bloomContainsBytes(bloom, SketchExprs.valueHashLong(v))
+
+  @transient private lazy val longInput = right.dataType == LongType
 
   override protected def nullSafeEval(bloom: Any, v: Any): Any =
-    probe(bloom.asInstanceOf[Array[Byte]], v.asInstanceOf[UTF8String])
+    if (longInput) probeLong(bloom.asInstanceOf[Array[Byte]], v.asInstanceOf[Long])
+    else probe(bloom.asInstanceOf[Array[Byte]], v.asInstanceOf[UTF8String])
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val ref = ctx.addReferenceObj("bloomExpr", this, classOf[BloomContains].getName)
-    nullSafeCodeGen(ctx, ev, (b, v) => s"${ev.value} = $ref.probe($b, $v);")
+    val m = if (longInput) "probeLong" else "probe"
+    nullSafeCodeGen(ctx, ev, (b, v) => s"${ev.value} = $ref.$m($b, $v);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -55,11 +55,13 @@ class ContaminationSpec extends AnyFunSuite {
     // log2m=8 (256 bits, k=1) is deliberately undersized: most probes come
     // back might_contain=true, so this exercises fp survival through the
     // pre-filter AND their elimination by the exact join
-    for (log2m <- Seq(8, 20)) {
+    for (log2m <- Seq(8, 20); bcast <- Seq(true, false)) {
       val pruned = Contamination.sharedNgramsBloomPruned(
-          docs, bench, "doc_id", "text", 8, 10L, log2m = log2m, k = 1)
+          docs, bench, "doc_id", "text", 8, 10L, log2m = log2m, k = 1,
+          broadcastExact = bcast)
         .orderBy("doc_id", "bench_id").collect().toSeq
-      assert(pruned == exact, s"log2m=$log2m diverged from the exact path")
+      assert(pruned == exact,
+        s"log2m=$log2m broadcastExact=$bcast diverged from the exact path")
     }
   }
 
@@ -70,18 +72,19 @@ class ContaminationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("bloom_contains"),
       s"map-side bloom probe missing from plan:\n$plan")
-    // Catalyst folds the probe into the broadcast(one-row-bloom) cross
-    // join's condition — still a map-side drop per corpus partition. What
-    // must NOT happen: the probe surviving only above the exact join
-    // (pruning nothing). So: the probe's line is the broadcast join of the
-    // bloom row, and the exact shingle join appears ABOVE it (executed
-    // plans print top-down).
+    // The eagerly-built bloom is a binary LITERAL, so the probe must be a
+    // plain Filter in the corpus stage — no join machinery (the lazy
+    // crossJoin(broadcast) form planned as a codegen-breaking
+    // BroadcastNestedLoopJoin). And it must sit BELOW the exact join
+    // (executed plans print top-down), or it prunes nothing.
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bloom probe must not need a nested-loop join:\n$plan")
     val lines = plan.linesIterator.toSeq
     val probeAt = lines.indexWhere(l =>
-      l.contains("BroadcastNestedLoopJoin") && l.contains("bloom_contains"))
+      l.contains("Filter") && l.contains("bloom_contains"))
     val exactJoinAt = lines.indexWhere(l =>
       l.contains("Join") && l.contains("[sh") && !l.contains("bloom_contains"))
-    assert(probeAt >= 0, s"bloom probe must gate the corpus scan:\n$plan")
+    assert(probeAt >= 0, s"bloom probe must be a Filter in the corpus stage:\n$plan")
     assert(exactJoinAt >= 0 && exactJoinAt < probeAt,
       s"exact join must consume the bloom-pruned stream:\n$plan")
   }
