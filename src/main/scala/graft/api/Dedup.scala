@@ -116,15 +116,22 @@ object Dedup {
     *
     * Cost is one corpus pass + two hash-keyed exchanges of fixed-width
     * triples; the window runs only over flagged positions (sparse —
-    * bounded by actual duplication, not corpus size). */
+    * bounded by actual duplication, not corpus size).
+    *
+    * `spreadInput` (default true, [[SparkEnv.spread]]): the gram
+    * hash+explode is the CPU-heavy step and runs at the SCAN's
+    * parallelism — a single-file input (fixtures, small exports) would
+    * serialize it on one task (measured 2.7× at sf0.1). At real scale the
+    * scan's splits already provide the width and spread() is a no-op
+    * by its own partition-count check. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
-               width: Int): DataFrame = {
+               width: Int, spreadInput: Boolean = true): DataFrame = {
     require(width >= 2, s"width must be >= 2 tokens, got $width")
     val w = lit(width)
     val toks = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= lit(""))
     // sequence(0, n-width) needs n >= width: a shorter doc has no window
     // (and sequence() with start > stop would count DOWN, not return empty)
-    val grams = df
+    val grams = (if (spreadInput) SparkEnv.spread(df) else df)
       .select(col(idCol).cast("long").as("doc_id"), toks.as("__toks"))
       .filter(size(col("__toks")) >= width)
       .select(col("doc_id"), posexplode(
@@ -167,8 +174,8 @@ object Dedup {
     * per-row `filter` over the token array, codegen'd, no shuffle beyond
     * [[dupSpans]]' own. */
   def cutDupSpans(df: DataFrame, idCol: String, textCol: String,
-                  width: Int): DataFrame = {
-    val spans = dupSpans(df, idCol, textCol, width)
+                  width: Int, spreadInput: Boolean = true): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, width, spreadInput)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
       .withColumnRenamed("doc_id", "__span_doc")
@@ -176,7 +183,7 @@ object Dedup {
     val keep = filter(col("__toks"),
       (_, i) => !exists(col("__spans"),
         sp => i >= sp("span_start") && i <= sp("span_end")))
-    df.withColumn("__toks", toks)
+    (if (spreadInput) SparkEnv.spread(df) else df).withColumn("__toks", toks)
       .join(spans, df(idCol).cast("long") === spans("__span_doc"), "left")
       .withColumn("__spans", coalesce(col("__spans"),
         array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
