@@ -45,6 +45,31 @@ object ZOrder {
   def zvalue2(a: Column, b: Column): Column =
     spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
 
+  /** Rank-normalize a heavy-tailed dimension into [0, 2^bits) quantile
+    * codes for [[zvalue2]] — raw values unbalance the curve (a lognormal
+    * price column puts 99% of rows in the curve's first segments and the
+    * per-file min/max boxes stop discriminating). One bounded-memory
+    * Greenwald–Khanna pass (`stat.approxQuantile`, eager like the ANN
+    * quantizer training) collects 2^bits − 1 cut points; the code is then
+    * "count of cuts ≤ v" — a codegen'd fold over a ≤4095-element literal
+    * array, monotone in the value, so range predicates on the RAW column
+    * still map to contiguous code ranges and parquet stats still prune.
+    *
+    * Default 8 bits per dim = a 256×256 curve grid — ample for file-level
+    * skipping (files per table are thousands, not millions); more bits
+    * only lengthen the per-row fold. This is a LAYOUT helper: codes
+    * depend on approxQuantile's merge order, so don't build
+    * correctness-gated results on them — the written data itself is
+    * unchanged either way. */
+  def quantileCode(df: DataFrame, dim: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 12, s"bits must be in [1, 12], got $bits")
+    val nCuts = (1 << bits) - 1
+    val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+    val cuts = df.select(dim.cast("double").as("__q"))
+      .stat.approxQuantile("__q", probs, 1.0 / (4 << bits))
+    size(filter(lit(cuts), c => c <= dim.cast("double")))
+  }
+
   /** Write `df` as parquet clustered on the z-curve of (dimA, dimB):
     * range-partition into `nFiles` curve segments, sort each segment, drop
     * the helper column. One shuffle (the range exchange, with its sampling

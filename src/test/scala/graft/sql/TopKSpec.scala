@@ -61,6 +61,17 @@ class TopKSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 11L, 3.0), (2, 10L, 1.0)))
   }
 
+  test("topk_by is callable from SQL via the registry") {
+    import spark.implicits._
+    graft.sql.LshFunctions.register(spark)
+    Seq(("a", 5.0, 1L), ("a", 7.0, 2L), ("a", 6.0, 3L))
+      .toDF("g", "s", "id").createOrReplaceTempView("topk_sql_t")
+    val got = spark.sql(
+      "SELECT g, topk_by(s, id, 2) AS tk FROM topk_sql_t GROUP BY g")
+      .selectExpr("g", "tk[0].id AS first", "tk[1].id AS second").head()
+    assert(got.getLong(1) == 2L && got.getLong(2) == 3L)
+  }
+
   test("k must be a constant in range") {
     import spark.implicits._
     val df = Seq(("a", 1.0, 1L)).toDF("g", "s", "id")
