@@ -480,6 +480,14 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // The duplication report: % of each source's tokens inside cross-doc
+    // dup spans — the before/after number for span cutting. Oracle reuses
+    // the dup_span_detect CTE chain and joins per-doc token totals.
+    "dup_span_stats" -> ((s, dir) => {
+      graft.api.Dedup.dupSpanStats(load(s, dir, "documents"), "doc_id",
+          "text", groupCol = "source", width = 8)
+        .orderBy("source")
+    }),
     "dedup_near_window" -> ((s, dir) => {
       withLsh(s)
       load(s, dir, "documents").createOrReplaceTempView("documents")
@@ -2079,6 +2087,36 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(fin) AS BIGINT) AS span_end,
         |       CAST(max(fin) - min(pos) + 1 AS BIGINT) AS n_tokens
         |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    // same CTE chain as dup_span_detect, rolled up per source; the
+    // fraction is a double ratio of two exact integer sums (bit-stable)
+    "dup_span_stats" ->
+      """WITH lists AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM lists)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
+        |            FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos, fin,
+        |    CASE WHEN pos > coalesce(max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM flagged),
+        |isl2 AS (SELECT doc_id, pos, fin,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl),
+        |spans AS (SELECT doc_id, max(fin) - min(pos) + 1 AS n_tokens
+        |          FROM isl2 GROUP BY doc_id, island),
+        |per_doc AS (SELECT doc_id, sum(n_tokens) AS dup_toks FROM spans GROUP BY doc_id),
+        |docs AS (SELECT doc_id, source, len(l) AS n_toks FROM lists)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(count(p.dup_toks) AS BIGINT) AS docs_with_dups,
+        |       CAST(sum(d.n_toks) AS BIGINT) AS tokens,
+        |       CAST(coalesce(sum(p.dup_toks), 0) AS BIGINT) AS dup_tokens,
+        |       CAST(coalesce(sum(p.dup_toks), 0) AS DOUBLE) / sum(d.n_toks) AS dup_token_frac
+        |FROM docs d LEFT JOIN per_doc p USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // The cut: token positions inside any flagged window are dropped, the
     // remainder re-joined by single spaces. LEFT JOIN keeps fully-cut docs
     // as empty strings, matching Spark's array_join on an empty array.

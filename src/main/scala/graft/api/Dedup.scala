@@ -163,6 +163,36 @@ object Dedup {
       .drop("__island")
   }
 
+  /** Corpus-level duplication report over [[dupSpans]]: per `groupCol`
+    * (source, crawl, shard...), how many documents carry any cross-doc
+    * duplicate span and what fraction of the group's TOKENS sits inside
+    * one — the number a pretraining data report quotes ("X% of source Y
+    * is duplicated text") and the before/after measure for
+    * [[cutDupSpans]]. Span token-counts aggregate per doc first (tiny),
+    * then join the per-doc token totals — group cardinality bounds every
+    * aggregate after the [[dupSpans]] exchanges. Fractions are exact
+    * integer ratios cast at the end. */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, width: Int,
+                   spreadInput: Boolean = true): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= lit(""))
+    val docs = (if (spreadInput) SparkEnv.spread(df) else df)
+      .select(col(idCol).cast("long").as("doc_id"), col(groupCol).as("grp"),
+        size(toks).cast("long").as("n_toks"))
+    val perDoc = dupSpans(df, idCol, textCol, width, spreadInput)
+      .groupBy("doc_id")
+      .agg(sum("n_tokens").as("dup_toks"), count(lit(1)).as("n_spans"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("grp").as(groupCol))
+      .agg(
+        count(lit(1)).as("docs"),
+        count(col("dup_toks")).as("docs_with_dups"),
+        sum("n_toks").as("tokens"),
+        coalesce(sum("dup_toks"), lit(0L)).as("dup_tokens"),
+        (coalesce(sum("dup_toks"), lit(0L)).cast("double") /
+          sum("n_toks")).as("dup_token_frac"))
+  }
+
   /** The corpus with [[dupSpans]] applied destructively: flagged token
     * spans are CUT from each document (Lee et al.'s actual training-set
     * edit — dropping whole near-dup docs loses the unique remainder). The

@@ -75,6 +75,30 @@ class DupSpansSpec extends AnyFunSuite {
     assert(got3.toSeq == Seq((1L, 0L, 2L), (2L, 0L, 2L)))
   }
 
+  test("dupSpanStats ties out: cut removes exactly dup_tokens per group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, filter => afilter, length, lit, lower, size, split, sum}
+    val shared = "alpha beta gamma delta"
+    val df = Seq(
+      (1L, s"${toks(3, "u")} $shared ${toks(3, "v")}", "s0"),
+      (2L, s"$shared ${toks(5, "w")}", "s0"),
+      (3L, toks(12, "z"), "s1"))
+      .toDF("doc_id", "text", "source")
+    val stats = Dedup.dupSpanStats(df, "doc_id", "text", "source", width = 4)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // s0: 10+9=19 tokens, both docs carry the 4-token span (8 dup tokens);
+    // s1: 12 tokens, no dup docs
+    assert(stats.toSeq == Seq(("s0", 2L, 2L, 19L, 8L), ("s1", 1L, 0L, 12L, 0L)))
+    // conservation: tokens surviving the cut == tokens - dup_tokens
+    val cut = Dedup.cutDupSpans(df, "doc_id", "text", width = 4)
+    val survivors = cut
+      .select(size(afilter(split(lower(col("text")), "[^a-z]+"),
+        t => length(t) > lit(0))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(survivors == (19L + 12L) - 8L)
+  }
+
   test("cutDupSpans removes exactly the flagged tokens; full cut leaves empty text") {
     import spark.implicits._
     val shared = "alpha beta gamma delta"
