@@ -624,6 +624,21 @@ object SparkEntry {
           "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // Small-files compaction (Layout.compact): fragment the corpus into 64
+    // shards, rewrite size-targeted, read back — the maintenance rewrite
+    // must be a pure layout change (readback ≡ source). LayoutSpec pins
+    // the file-count math and sorted-compaction clustering.
+    "sink_compacted" -> ((s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val frag = s"$tmp/graft_sink_frag"
+      val out = s"$tmp/graft_sink_compacted"
+      load(s, dir, "documents").repartition(64).write.mode("overwrite").parquet(frag)
+      val (_, bytes) = graft.api.Layout.describeFiles(s, frag)
+      graft.api.Layout.compact(s, frag, out, targetBytes = math.max(1L, bytes / 4))
+      s.read.parquet(out)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     "token_count_bpe" -> ((s, dir) => {
       // byte-level BPE token counting under a user-supplied merge list
       // (BpeMerges below; gen_oracles.py mirrors the list and the exact
@@ -1807,6 +1822,11 @@ object SparkEntry {
     "sink_partitioned" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    // like sink_partitioned/sink_zorder: a compaction rewrite must be a
+    // pure layout change
+    "sink_compacted" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the z-order write must be a pure LAYOUT change: box-query readback
     // over the curve-clustered files ≡ the same box query on the source
     "sink_zorder" ->
