@@ -196,6 +196,21 @@ object ScaleBench {
       "adaptive" -> { (k: Int) =>
         api.BandedLsh.nearDupPairsAdaptive(docs(k), "doc_id", "text", 4, 8, 3, 42L, 0.6).count()
       },
+      // decontamination with a FIXED bench (2% of the base replica) vs the
+      // ×k corpus: both paths scan+shingle linearly; the cipher decorrelates
+      // replicas 1..k-1 from the bench's shingle set, so the bloom filter
+      // prunes them map-side and the join/agg work stays ~flat while the
+      // exact path's broadcast-join probe volume grows with the corpus.
+      "contam_exact" -> { (k: Int) =>
+        val bench = api.Sampling.sampleByHash(docs(1), "doc_id", 0.02, 99L)
+        api.Contamination.sharedNgrams(docs(k), bench, "doc_id", "text", 8, 50L,
+          corpusParallelism = Some(32)).count()
+      },
+      "contam_bloom" -> { (k: Int) =>
+        val bench = api.Sampling.sampleByHash(docs(1), "doc_id", 0.02, 99L)
+        api.Contamination.sharedNgramsBloomPruned(docs(k), bench, "doc_id", "text",
+          8, 50L, log2m = 20, k = 5, corpusParallelism = Some(32)).count()
+      },
       // duplicate-span mining: gram explode + min/max agg + semi join all
       // linear in tokens; island merge is per-doc. NOTE the cipher remaps
       // letters to digits/case, so replica token boundaries (and with them

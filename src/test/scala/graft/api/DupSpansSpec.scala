@@ -75,6 +75,53 @@ class DupSpansSpec extends AnyFunSuite {
     assert(got3.toSeq == Seq((1L, 0L, 2L), (2L, 0L, 2L)))
   }
 
+  test("randomized corpora match an in-memory brute-force reference") {
+    import spark.implicits._
+    // small vocab forces heavy accidental window sharing; 30 corpora of
+    // 6-10 docs each, widths 3..5 — exercises island merging shapes the
+    // crafted cases can't enumerate
+    val vocab = Vector("ka", "kb", "kc", "kd", "ke", "kf")
+    val rng = new scala.util.Random(41)
+
+    def bruteSpans(docs: Seq[(Long, String)], w: Int): Seq[(Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toVector
+      }.toMap
+      val grams = toks.toSeq.flatMap { case (id, ts) =>
+        ts.sliding(w).zipWithIndex.collect {
+          case (win, i) if win.length == w => (win.mkString(" "), id, i)
+        }
+      }
+      val dupG = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val flagged = grams.filter(g => dupG(g._1))
+        .groupBy(_._2).view.mapValues(_.map(_._3).distinct.sorted)
+      flagged.toSeq.flatMap { case (id, starts) =>
+        // merge [s, s+w-1] intervals that overlap or touch
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        for (s <- starts) {
+          val (a, b) = (s.toLong, (s + w - 1).toLong)
+          if (spans.nonEmpty && a <= spans.last._2 + 1)
+            spans(spans.length - 1) = (spans.last._1, math.max(spans.last._2, b))
+          else spans += ((a, b))
+        }
+        spans.map { case (a, b) => (id, a, b) }
+      }.sorted
+    }
+
+    for (trial <- 0 until 30) {
+      val w = 3 + trial % 3
+      val docs = (0 until (6 + rng.nextInt(5))).map { d =>
+        val n = 4 + rng.nextInt(14)
+        (d.toLong, (0 until n).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .select("doc_id", "span_start", "span_end").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = bruteSpans(docs, w)
+      assert(got == want, s"trial $trial w=$w docs=$docs")
+    }
+  }
+
   test("dupSpanStats ties out: cut removes exactly dup_tokens per group") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, filter => afilter, length, lit, lower, size, split, sum}
