@@ -48,7 +48,10 @@ object Layout {
               targetBytes: Long, sortBy: Seq[Column] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(outPath != inPath, "compact cannot overwrite its own input in place")
-    val (_, bytes) = describeFiles(spark, inPath)
+    val (files, bytes) = describeFiles(spark, inPath)
+    // an empty directory would otherwise surface as spark.read's opaque
+    // "unable to infer schema" — fail with the actual problem
+    require(files > 0, s"no data files under $inPath — nothing to compact")
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(inPath)
     val shaped =

@@ -110,6 +110,10 @@ private[graft] object TopKHeap {
   * Deterministic by construction: the id tiebreak totally orders rows, so
   * the result is a pure function of the row set (partitioning/arrival
   * order can't change it — the property every `queries()` gate relies on).
+  * NaN scores rank ABOVE every finite score (java.lang.Double.compare —
+  * the same largest-value placement Spark's DESC sort and DuckDB give
+  * NaN, so the window-idiom oracle agrees); filter them first if NaN
+  * means "unscored" in your data.
   * NULL score or id skips the row (SQL aggregate convention); ids must be
   * unique per group for the tiebreak to be total (duplicate (score, id)
   * pairs make the survivor-set ambiguous only between identical entries,

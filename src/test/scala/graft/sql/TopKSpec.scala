@@ -61,6 +61,19 @@ class TopKSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 11L, 3.0), (2, 10L, 1.0)))
   }
 
+  test("NaN scores rank above finite ones, agreeing with the window idiom") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 1L), ("a", Double.NaN, 2L), ("a", 99.0, 3L),
+      ("a", Double.NaN, 4L)).toDF("g", "s", "id")
+    val agg = topk(df, 3).orderBy("rnk").collect().map(r => r.getLong(2)).toSeq
+    val win = df.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("s").desc, col("id").asc)))
+      .filter(col("rnk") <= 3).orderBy("rnk")
+      .collect().map(_.getLong(2)).toSeq
+    assert(agg == Seq(2L, 4L, 3L) && win == agg)
+  }
+
   test("topk_by is callable from SQL via the registry") {
     import spark.implicits._
     graft.sql.LshFunctions.register(spark)
