@@ -201,13 +201,17 @@ object ScaleBench {
       // replicas 1..k-1 from the bench's shingle set, so the bloom filter
       // prunes them map-side and the join/agg work stays ~flat while the
       // exact path's broadcast-join probe volume grows with the corpus.
+      // bench drawn from the BASE fixture (= replica 0 at every scale), not
+      // dirs(1) — the ×1 fixture only exists when scale 1 was requested
       "contam_exact" -> { (k: Int) =>
-        val bench = api.Sampling.sampleByHash(docs(1), "doc_id", 0.02, 99L)
+        val bench = api.Sampling.sampleByHash(
+          spark.read.parquet(s"$baseDir/documents.parquet"), "doc_id", 0.02, 99L)
         api.Contamination.sharedNgrams(docs(k), bench, "doc_id", "text", 8, 50L,
           corpusParallelism = Some(32)).count()
       },
       "contam_bloom" -> { (k: Int) =>
-        val bench = api.Sampling.sampleByHash(docs(1), "doc_id", 0.02, 99L)
+        val bench = api.Sampling.sampleByHash(
+          spark.read.parquet(s"$baseDir/documents.parquet"), "doc_id", 0.02, 99L)
         api.Contamination.sharedNgramsBloomPruned(docs(k), bench, "doc_id", "text",
           8, 50L, log2m = 20, k = 5, corpusParallelism = Some(32)).count()
       },

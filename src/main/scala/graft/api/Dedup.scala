@@ -199,6 +199,9 @@ object Dedup {
     * rebuilt text is the kept tokens joined by single spaces, in order;
     * docs with no flagged span pass through with the same normalization
     * applied (so output text is uniformly the canonical token stream).
+    * Other columns pass through UNTOUCHED — a derived column like
+    * `n_chars` is stale relative to the rewritten text; recompute it
+    * downstream if consumed.
     * Span lookup joins only (doc_id → span list) — spans are sparse, the
     * join is broadcast-sized in practice, and the cut itself is a
     * per-row `filter` over the token array, codegen'd, no shuffle beyond
