@@ -325,6 +325,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dup_span_detect: map-side partial min/max, ids+hashes only, no cartesian") {
+    val plan = planOf("dup_span_detect")
+    // the cross-doc rule must fold map-side (min/max partials before the
+    // exchange) — a final-only agg would shuffle every gram occurrence raw
+    val lines = plan.linesIterator.toSeq
+    val partial = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_min") && l.contains("partial_max"))
+    assert(partial >= 0, s"no partial min/max over gram hashes:\n$plan")
+    // blocking is hash-keyed all the way: any nested-loop/cartesian here
+    // means a join lost its equi-key and the operator would be O(n^2)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span mining must stay equi-keyed:\n$plan")
+    // text never enters the gram exchanges: the only string column the
+    // shuffled side needs is gone after xxhash64 (project shows doc_id/pos/gh)
+    assert(plan.contains("xxhash64"), s"gram identity must be hashed:\n$plan")
+  }
+
   test("topk_per_group is a partial heap aggregate, not a window sort") {
     // the point of topk_by: k entries per (group, task) cross the shuffle.
     // A WindowExec here would mean the whole table shuffled into group
