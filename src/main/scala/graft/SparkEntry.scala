@@ -1226,6 +1226,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     }),
+    // Temperature-reweighted mixing (Sampling.mixByTemperature): shares
+    // ∝ count^0.5, materialized as per-source rates over the same hash
+    // filter. Oracle mirrors the exact count→pow→fold→rate derivation in
+    // Python (gen_oracles), so the rate arithmetic is pinned end to end.
+    "mix_temperature" -> ((s, dir) => {
+      val (kept, _) = graft.api.Sampling.mixByTemperature(
+        load(s, dir, "documents"), "source", "doc_id",
+        alpha = 0.5, targetRows = 300L, seed = 29L)
+      kept.select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
     "sample_weighted" -> ((s, dir) => {
       graft.api.Sampling.weightedSampleTopK(
           load(s, dir, "documents"), "doc_id", "n_chars", 50, seed = 31L)
@@ -1781,6 +1791,7 @@ object SparkEntry {
     "sample_hash" -> valuesOracle("sample_hash"),
     "sample_weighted" -> valuesOracle("sample_weighted"),
     "mix_sources" -> valuesOracle("mix_sources"),
+    "mix_temperature" -> valuesOracle("mix_temperature"),
     "contamination_check" -> valuesOracle("contamination_check"),
     // bit-identical contract with contamination_check: the Bloom is a
     // pure pre-filter, so both plans answer to the same pinned oracle

@@ -86,6 +86,44 @@ object Sampling {
     df.filter(hashScore(col(keyCol), seed) < rateCol)
   }
 
+  /** Temperature-reweighted source mixing (the standard pretraining
+    * rebalancing knob, e.g. multilingual sampling in Conneau & Lample
+    * 2019 / the data-mixture baselines DoReMi compares against): sampling
+    * share q_i ∝ p_i^alpha where p_i is source i's corpus share.
+    * alpha = 1 keeps natural proportions, alpha = 0 equalizes sources,
+    * between interpolates — upweighting the tail without flattening the
+    * head. Rates are materialized per source as
+    * rate_i = min(1, targetRows·q_i / count_i) and applied through
+    * [[mixSources]]' single narrow hash filter (no shuffle on the corpus;
+    * a source too small for its allocated share saturates at rate 1 and
+    * simply contributes all it has — re-run with a larger alpha or
+    * upsample separately if the allocation must be met exactly).
+    *
+    * One count aggregate (source-cardinality-sized) collects to the
+    * driver — sources are a handful-to-thousands, never corpus-scale.
+    * DETERMINISM: counts are exact longs; shares fold in lexicographic
+    * source order with IEEE pow/divide, so the derived rates — and hence
+    * the sampled id set — are bit-reproducible across engines (the gate's
+    * Python oracle mirrors the fold exactly).
+    *
+    * Returns (kept corpus, per-source rate map used). */
+  def mixByTemperature(df: DataFrame, sourceCol: String, keyCol: String,
+                       alpha: Double, targetRows: Long, seed: Long)
+      : (DataFrame, Map[String, Double]) = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1) // lexicographic fold order — pinned for reproducibility
+    require(counts.nonEmpty, "corpus has no rows to mix")
+    val powed = counts.map { case (s, c) => (s, c, math.pow(c.toDouble, alpha)) }
+    val z = powed.foldLeft(0.0) { case (acc, (_, _, w)) => acc + w }
+    val rates = powed.map { case (s, c, w) =>
+      s -> math.min(1.0, targetRows.toDouble * (w / z) / c.toDouble)
+    }.toMap
+    (mixSources(df, sourceCol, keyCol, rates, defaultRate = 0.0, seed), rates)
+  }
+
   /** Exact per-stratum uniform sample without replacement: the `k` rows
     * with the smallest hash scores in each stratum (hash-order top-k is a
     * uniform k-subset; the key tiebreak makes it total).

@@ -127,6 +127,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"mixing must stay narrow:\n$plan")
   }
 
+  test("mixByTemperature: alpha endpoints give natural / equalized allocations") {
+    val total = docs.count()
+    val bySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: q_i = p_i, so rate_i = target/N for EVERY source (natural
+    // proportions — the mix is an unbiased downsample)
+    val (_, natural) = Sampling.mixByTemperature(docs, "source", "doc_id",
+      alpha = 1.0, targetRows = total / 2, seed = 5L)
+    val flat = (total / 2).toDouble / total
+    natural.values.foreach(r => assert(math.abs(r - flat) < 1e-12, s"$natural"))
+    // alpha = 0: q_i = 1/|sources|, so expected take is equal per source —
+    // rate_i inversely proportional to count_i (capped at 1)
+    val (_, equal) = Sampling.mixByTemperature(docs, "source", "doc_id",
+      alpha = 0.0, targetRows = total / 2, seed = 5L)
+    val perSrc = (total / 2).toDouble / bySrc.size
+    equal.foreach { case (s, r) =>
+      assert(math.abs(r - math.min(1.0, perSrc / bySrc(s))) < 1e-12)
+    }
+    // kept rows are exactly mixSources under the derived rates (same seed)
+    val (kept, rates) = Sampling.mixByTemperature(docs, "source", "doc_id",
+      alpha = 0.5, targetRows = total / 3, seed = 7L)
+    val viaMix = Sampling.mixSources(docs, "source", "doc_id", rates, 0.0, 7L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(viaMix))
+  }
+
   test("weightedSampleTopK: layout-invariant, top-k plan, w_i/Σw for k=1") {
     import spark.implicits._
     val df = Seq((1L, 1.0), (2L, 3.0), (3L, 0.0), (4L, -1.0)).toDF("k", "w")

@@ -1166,6 +1166,29 @@ def main(sf_dir, spark_dir):
         "ORDER BY doc_id")
     custom["mix_sources"] = (mix_rows, ("doc_id", "source"), mix_sql)
 
+    # ---- mix_temperature: p^alpha reweighted rates (mirror of
+    # Sampling.mixByTemperature: exact counts, lexicographic source fold,
+    # math.pow/divide in the same order, then the same hash filter) ----
+    import math
+    T_ALPHA, T_TARGET, T_SEED = 0.5, 300, 29
+    tcnt = {}
+    for _did, _l, src, _n in drows:
+        tcnt[src] = tcnt.get(src, 0) + 1
+    tpow = [(s, tcnt[s], math.pow(float(tcnt[s]), T_ALPHA)) for s in sorted(tcnt)]
+    tz = 0.0
+    for _s, _c, w in tpow:
+        tz += w
+    trates = {s: min(1.0, float(T_TARGET) * (w / tz) / float(c)) for s, c, w in tpow}
+    mt_rows = sorted((did, src) for did, _l, src, _n in drows
+                     if hash_score(did, T_SEED) < trates[src])
+    mt_sql = (
+        "WITH sel(doc_id) AS (VALUES\n"
+        f"{values_block([(did,) for did, _s in mt_rows])}\n)\n"
+        "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, d.source\n"
+        "FROM sel s JOIN documents d ON d.doc_id = s.doc_id\n"
+        "ORDER BY doc_id")
+    custom["mix_temperature"] = (mt_rows, ("doc_id", "source"), mt_sql)
+
     # ---- hist_quantiles: HDR log-linear histogram quantiles ----
     # Mirrors graft.core.Sketches.histBucketOf/histBucketLow (bit-exact
     # integer bucketing) and the nearest-rank rule rank = ceil(q*n).
@@ -1712,6 +1735,7 @@ def main(sf_dir, spark_dir):
                     "hist_quantiles": "lang",
                     "sample_weighted": "doc_id",
                     "mix_sources": "doc_id",
+                    "mix_temperature": "doc_id",
                     "stream_hist_quantiles": "win_start, event_type",
                     "bloom_semijoin": "c_custkey",
                     "cms_topk": "exact_cnt DESC, token",
