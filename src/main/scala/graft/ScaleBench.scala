@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -224,6 +225,23 @@ object ScaleBench {
       "dup_spans" -> { (k: Int) =>
         api.Dedup.dupSpans(docs(k), "doc_id", "text", width = 8).count()
       },
+      // the topk_by claim measured: per-language top-100 docs by n_chars.
+      // The corpus has 3 languages, so the window shuffles ALL ×k rows
+      // into 3 hot partitions and sorts them; the heap aggregate folds
+      // map-side and ships ≤ 100 entries per (lang, task). Same output.
+      "topk_window" -> { (k: Int) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc)
+        docs(k).withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 100).count()
+      },
+      "topk_heap" -> { (k: Int) =>
+        docs(k).groupBy("lang")
+          .agg(graft.functions.topk_by(col("n_chars").cast("double"),
+            col("doc_id"), 100).as("tk"))
+          .select(col("lang"), explode(col("tk")))
+          .count()
+      },
       "clusters_distributed" -> { (k: Int) =>
         val pairs = api.BandedLsh.nearDupPairsAdaptive(docs(k), "doc_id", "text", 4, 8, 3, 42L, 0.6)
           .select("id_a", "id_b")
@@ -236,21 +254,37 @@ object ScaleBench {
     // whichever (op, smallest-scale) cell runs first and corrupt its slope
     for ((_, fn) <- ops) { spark.catalog.clearCache(); fn(scales.head) }
 
-    println(f"${"op"}%-22s ${"scale"}%5s ${"rows"}%10s ${"sec"}%8s")
+    // shuffle-write accounting per run: for operators whose wall time is
+    // scheduling-bound at fixture scale (e.g. the topk window-vs-heap
+    // pair), bytes crossing the exchanges is the dimension where the
+    // scale difference actually lives
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    println(f"${"op"}%-22s ${"scale"}%5s ${"rows"}%10s ${"sec"}%8s ${"shufMB"}%8s")
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
     for ((name, fn) <- ops; k <- scales) {
       // two runs, report min: first run absorbs JIT/codegen/family-cache
       // warmup that a steady-state slope must not include
       var rows = 0L
       var best = Double.MaxValue
+      var shuf = 0L
       for (_ <- 1 to 2) {
         spark.catalog.clearCache()
+        shuffleBytes.set(0L)
         val t0 = System.nanoTime()
         rows = fn(k)
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        // listener events are async (the bus drain API is private[spark]);
+        // a short settle suffices for a dev measurement tool
+        Thread.sleep(300)
+        shuf = shuffleBytes.get()
       }
       results += ((name, k, rows, best))
-      println(f"$name%-22s $k%5d $rows%10d $best%8.2f")
+      println(f"$name%-22s $k%5d $rows%10d $best%8.2f ${shuf / 1e6}%8.1f")
     }
 
     // slope summary: t(k)/t(1) per op — linear ops should track k, flat ops ~1
