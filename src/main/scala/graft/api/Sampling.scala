@@ -112,8 +112,10 @@ object Sampling {
       : (DataFrame, Map[String, Double]) = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    // null sources get no allocation and fall to mixSources' defaultRate=0
+    // (dropped) — they must not crash the lexicographic fold either
     val counts = df.groupBy(col(sourceCol)).count()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().filter(!_.isNullAt(0)).map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1) // lexicographic fold order — pinned for reproducibility
     require(counts.nonEmpty, "corpus has no rows to mix")
     val powed = counts.map { case (s, c) => (s, c, math.pow(c.toDouble, alpha)) }

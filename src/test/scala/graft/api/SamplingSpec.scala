@@ -145,6 +145,14 @@ class SamplingSpec extends AnyFunSuite {
     equal.foreach { case (s, r) =>
       assert(math.abs(r - math.min(1.0, perSrc / bySrc(s))) < 1e-12)
     }
+    // null-source rows get no allocation and are dropped, not crashed on
+    import spark.implicits._
+    val withNull = docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("source")).as("source"))
+    val (keptN, ratesN) = Sampling.mixByTemperature(withNull, "source", "doc_id",
+      alpha = 0.5, targetRows = 50L, seed = 5L)
+    assert(!ratesN.contains(null) &&
+      keptN.filter(col("source").isNull).count() == 0)
     // kept rows are exactly mixSources under the derived rates (same seed)
     val (kept, rates) = Sampling.mixByTemperature(docs, "source", "doc_id",
       alpha = 0.5, targetRows = total / 3, seed = 7L)
