@@ -1179,6 +1179,22 @@ object SparkEntry {
           col("out_w"), col("out_h"), sha2(col("thumb_bytes"), 256).as("thumb_sha256"))
         .orderBy("media_id")
     }),
+    // The AUDIO modality's real codec: deterministic 16-bit PCM (sample =
+    // FxHash chain of (id, k), mono/stereo, varying frame counts)
+    // WAV-encoded once on the driver via javax.sound.sampled and DECODED
+    // inside the codegen'd DecodeMedia expression by WavDecoder. PCM is
+    // lossless, so the pinned oracle re-derives checksum/frames/channels/
+    // mean|sample| from the sample recipe alone — Python never touches a
+    // WAV container.
+    "multimodal_features_wav" -> ((s, dir) => {
+      graft.api.Multimodal.extractFeatures(
+          graft.api.Multimodal.syntheticWavs(s, 48),
+          graft.api.Multimodal.WavDecoder)
+        .select(col("media_id"), col("checksum"),
+          col("width").as("n_frames"), col("height").as("channels"),
+          col("mean_byte").as("mean_abs"))
+        .orderBy("media_id")
+    }),
     "multimodal_features_real" -> ((s, dir) => {
       // a REAL codec through the decoder seam: deterministic RGB rasters
       // (pixel byte = FxHash chain of (id, x, y, channel), dims varying
@@ -1827,6 +1843,7 @@ object SparkEntry {
     "index_health" -> valuesOracle("index_health"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
+    "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),
     "token_count_bpe" -> valuesOracle("token_count_bpe"),
     "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
     "ann_recall" -> valuesOracle("ann_recall"),

@@ -173,6 +173,104 @@ object Multimodal {
     img
   }
 
+  /** A REAL audio decoder on `javax.sound.sampled` (public JDK, like
+    * [[ImageIoDecoder]]'s `javax.imageio`): 16-bit signed PCM WAV through
+    * the same [[MediaDecoder]] seam, so the audio modality carries an
+    * actual codec too. The fixed 4-tuple maps to audio as
+    * (checksum, n_frames, channels, mean_abs):
+    *  - checksum: FxHash64 chain over the unsigned-16 sample values in
+    *    stream order (frame-major, channels interleaved) — defined off the
+    *    DECODED samples, never the container bytes, so any correct WAV
+    *    writer of the same PCM yields the same value;
+    *  - n_frames / channels: the duration and layout facts;
+    *  - mean_abs: mean |sample| (integer sums, one final division — the
+    *    bit-reproducible amplitude proxy).
+    * Sample rate doesn't fit the 4-wide contract and belongs in the media
+    * `meta` sidecar. Non-PCM/non-16-bit encodings, frame counts past
+    * `maxFrames`, truncated data, and unparseable containers all map to
+    * the deterministic sentinel (0L, -1, -1, -1.0) — same
+    * poisoned-row-must-not-kill-the-scan rule as images.
+    * `AudioSystem.getAudioInputStream` allocates per call: executor-thread
+    * safe, no shared native context. */
+  class WavDecoder(val maxFrames: Long) extends MediaDecoder {
+    private val sentinel = (0L, -1, -1, -1.0)
+
+    def decode(bytes: Array[Byte]): (Long, Int, Int, Double) = {
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || frames <= 0 || frames > maxFrames) {
+            sentinel
+          } else {
+            val ch = fmt.getChannels
+            val n = frames.toInt * ch
+            val data = ais.readAllBytes()
+            if (data.length < n * 2) sentinel
+            else {
+              val hiOff = if (fmt.isBigEndian) 0 else 1
+              var chk = 0L
+              var sumAbs = 0L
+              var i = 0
+              while (i < n) {
+                val hi = data(2 * i + hiOff) & 0xff
+                val lo = data(2 * i + (1 - hiOff)) & 0xff
+                val u = (hi << 8) | lo
+                chk = FxHash.add(chk, u.toLong)
+                sumAbs += math.abs(if (u >= 0x8000) u - 0x10000 else u)
+                i += 1
+              }
+              (chk, frames.toInt, ch, sumAbs.toDouble / n)
+            }
+          }
+        } finally ais.close()
+      } catch {
+        case _: java.io.IOException |
+             _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: RuntimeException => sentinel
+      }
+    }
+  }
+
+  /** Default instance: cap at one hour of 48 kHz frames (~700 MB of stereo
+    * PCM — far above any feature-extraction payload). */
+  object WavDecoder extends WavDecoder(48000L * 3600)
+
+  /** Deterministic WAV fixtures for gating [[WavDecoder]] — the audio
+    * analog of [[syntheticPngs]]: id `m` gets `1 + m%2` channels and
+    * `400 + (m%5)·37` frames at `8000 + 1000·(m%3)` Hz, and interleaved
+    * sample k is the unsigned 16-bit value `FxHash(add(add(0,m),k)) &
+    * 0xffff` — re-derivable with no WAV machinery. PCM is lossless, so the
+    * encode→decode roundtrip must reproduce the samples exactly. */
+  def syntheticWavs(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { m =>
+      val channels = 1 + m % 2
+      val frames = 400 + (m % 5) * 37
+      val rate = 8000f + 1000f * (m % 3)
+      val pcm = new Array[Byte](frames * channels * 2)
+      var k = 0
+      while (k < frames * channels) {
+        val u = (FxHash.add(FxHash.add(0L, m.toLong), k.toLong) & 0xffffL).toInt
+        pcm(2 * k) = (u & 0xff).toByte        // little-endian: low byte first
+        pcm(2 * k + 1) = ((u >> 8) & 0xff).toByte
+        k += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+        true /* signed */, false /* little-endian */)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      (m.toLong, out.toByteArray)
+    }
+    import spark.implicits._
+    rows.toDF("media_id", "bytes")
+  }
+
   /** JPEG fixtures for the SECOND [[ImageIoDecoder]] codec path — same
     * pixel recipe as [[syntheticPngs]], encoded lossy at `quality`. JPEG
     * cannot be gated bit-exact (its decoded raster is codec-defined, not

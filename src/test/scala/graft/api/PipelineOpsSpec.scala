@@ -977,6 +977,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       badOut(0).getDouble(5) == -1.0)
   }
 
+  test("Multimodal WavDecoder: real PCM decode matches the sample recipe; bad/odd inputs hit the sentinel") {
+    // encode->decode through javax.sound.sampled: PCM is lossless, so
+    // features off the decoded stream must equal the recipe directly —
+    // including the stereo interleave order (frame-major)
+    val media = Multimodal.syntheticWavs(spark, 6)
+    val out = Multimodal.extractFeatures(media, Multimodal.WavDecoder)
+      .orderBy("media_id").collect()
+    for (r <- out) {
+      val m = r.getLong(0).toInt
+      val (ch, frames) = (1 + m % 2, 400 + (m % 5) * 37)
+      var chk = 0L; var tot = 0L
+      for (k <- 0 until frames * ch) {
+        val u = (graft.core.FxHash.add(graft.core.FxHash.add(0L, m.toLong),
+          k.toLong) & 0xffffL).toInt
+        chk = graft.core.FxHash.add(chk, u.toLong)
+        tot += math.abs(if (u >= 0x8000) u - 0x10000 else u)
+      }
+      assert(r.getInt(3) == frames && r.getInt(4) == ch, s"layout for id $m")
+      assert(r.getLong(2) == chk, s"sample checksum for id $m")
+      assert(r.getDouble(5) == tot.toDouble / (frames * ch), s"mean_abs for id $m")
+    }
+    // garbage bytes and a non-PCM container must sentinel, not throw
+    val bad = Seq((9L, "definitely not a riff".getBytes("UTF-8"))).toDF("media_id", "bytes")
+    val badOut = Multimodal.extractFeatures(bad, Multimodal.WavDecoder).collect()
+    assert(badOut.length == 1 && badOut(0).getLong(2) == 0L &&
+      badOut(0).getInt(3) == -1 && badOut(0).getInt(4) == -1 &&
+      badOut(0).getDouble(5) == -1.0)
+    // a PNG through the WAV decoder (wrong modality) also sentinels
+    val png = Multimodal.syntheticPngs(spark, 1)
+    val cross = Multimodal.extractFeatures(png, Multimodal.WavDecoder).collect()
+    assert(cross(0).getInt(3) == -1)
+  }
+
   test("Multimodal ImageIoDecoder: JPEG decode is deterministic and near the recipe raster") {
     // the lossy second codec path: dims must survive exactly; the decoded
     // mean byte must sit within a tight band of the recipe mean (measured

@@ -1627,6 +1627,33 @@ def main(sf_dir, spark_dir):
         [(m, w, h, True) for m, w, h, _ in mj_rows],
         ("media_id", "width", "height", "mean_ok"), mj_sql)
 
+    # ---- multimodal_features_wav: re-derive WavDecoder's features from
+    # the synthetic-PCM recipe (Multimodal.syntheticWavs: 1+m%2 channels,
+    # 400+(m%5)*37 frames, interleaved sample k = FxHash(add(add(0,m),k))
+    # & 0xffff) — no WAV machinery in Python; PCM is lossless, so the
+    # Spark side's encode->javax.sound decode roundtrip must reproduce the
+    # sample stream exactly.
+    wv_rows = []
+    for m in range(48):
+        ch = 1 + m % 2
+        frames = 400 + (m % 5) * 37
+        chk = vk.Fx()
+        tot = 0
+        for k in range(frames * ch):
+            u = vk.Fx().add(m).add(k).fin() & 0xFFFF
+            chk.add(u)
+            tot += abs(u - 0x10000 if u >= 0x8000 else u)
+        wv_rows.append((m, s64(chk.fin()), frames, ch, tot / (frames * ch)))
+    wv_sql = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(checksum AS BIGINT) AS checksum, CAST(n_frames AS INT) AS n_frames,"
+        " CAST(channels AS INT) AS channels, CAST(mean_abs AS DOUBLE) AS mean_abs\n"
+        "FROM (VALUES\n"
+        f"{values_block([(m_, c_, f_, ch_, repr(ma_)) for m_, c_, f_, ch_, ma_ in wv_rows])}\n"
+        ") AS t(media_id, checksum, n_frames, channels, mean_abs)\nORDER BY media_id")
+    custom["multimodal_features_wav"] = (
+        wv_rows, ("media_id", "checksum", "n_frames", "channels", "mean_abs"), wv_sql)
+
     # ---- semantic_dedup (mirror graft.api.SemanticDedup): 16-cell k-means
     # (sample init, seed 77), drop any vector with a lower-id cosine>=0.35
     # neighbor in its own cell. Full rows pinned: the cells depend on the
@@ -1709,6 +1736,7 @@ def main(sf_dir, spark_dir):
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
                     "index_health": "band, band_hash",
                     "multimodal_features_real": "media_id",
+                    "multimodal_features_wav": "media_id",
                     "multimodal_features_jpeg": "media_id",
                     "ann_recall": "method",
                     "cosine_lsh_pairs": "id_a, id_b",
