@@ -526,6 +526,14 @@ object SparkEntry {
       graft.api.TextAnalysis.docLogProb(load(s, dir, "documents"))
         .orderBy("doc_id")
     }),
+    // the word-ORDER-aware quality score: add-one bigram transition NLL
+    // under the corpus's own counts (docLogProbBigram scaladoc) — catches
+    // shuffled/garbled text the unigram scores as fluent. Oracle: full
+    // Python re-derivation (counts → sorted fold in pinned ln), VALUES.
+    "doc_logprob_bigram" -> ((s, dir) => {
+      graft.api.TextAnalysis.docLogProbBigram(load(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
     "token_entropy" -> ((s, dir) => {
       // pinned-ln Shannon entropy of each doc's token distribution — the
       // gibberish/boilerplate quality signal; sorted-count fold makes the
@@ -1838,6 +1846,7 @@ object SparkEntry {
     "stream_hist_quantiles" -> valuesOracle("stream_hist_quantiles"),
     "token_entropy" -> valuesOracle("token_entropy"),
     "doc_logprob" -> valuesOracle("doc_logprob"),
+    "doc_logprob_bigram" -> valuesOracle("doc_logprob_bigram"),
     "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
     "rolling_dedup" -> valuesOracle("rolling_dedup"),
     "index_health" -> valuesOracle("index_health"),

@@ -343,6 +343,57 @@ object TextAnalysis {
     * scale, frequency-cap the vocab and route the long tail to a floor
     * count before this join); the per-doc combine is the only other
     * shuffle. Docs with no tokens score 0 with n_tokens 0. */
+  /** Bigram upgrade of [[docLogProb]]: add-one-smoothed transition model
+    * p(w_i | w_{i-1}) = (C(prev,cur) + 1) / (C(prev,·) + V) under the
+    * corpus's OWN counts, scored as mean −ln p over each doc's n−1
+    * transitions. CCNet scores with a 5-gram KenLM; the bigram is the
+    * smallest model that sees word ORDER — shuffled or garbled text that
+    * the unigram scores as perfectly fluent lights up here. V = distinct
+    * tokens corpus-wide (the standard add-one vocabulary); docs under 2
+    * tokens score 0 with n_trans 0.
+    *
+    * Scale shape mirrors the unigram: bigram/prev-total tables derive
+    * from the per-doc aggregate subtree (one tokenize, ReuseExchange);
+    * post-combine state is the DISTINCT bigram table — Heaps-law sparse,
+    * nothing near vocab²; joins are keyed on (prev, cur) then prev. At
+    * web scale frequency-cap the bigram table and route the tail to the
+    * +1 smoothing floor before the join, exactly like the unigram vocab
+    * cap. Determinism: integer counts, per-doc terms sorted by
+    * (prevTotal, bigramCnt, docCount) — ties are bit-equal terms — folded
+    * left-to-right in pinned ln. */
+  def docLogProbBigram(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toksArr = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= lit(""))
+    val base = SparkEnv.spread(df).select(col(idCol), toksArr.as("__t"))
+    val vDf = base.select(explode(col("__t")).as("token"))
+      .agg(countDistinct(col("token")).cast("double").as("V"))
+    val perDocBig = base.filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("prev"),
+          element_at(col("__t"), i + 2).as("cur")))).as("bg"))
+      .groupBy(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("c"))
+    val bigCnt = perDocBig.groupBy(col("prev"), col("cur")).agg(sum(col("c")).as("cb"))
+    val prevCnt = bigCnt.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
+    val perDoc = perDocBig
+      .join(bigCnt, Seq("prev", "cur"))
+      .join(prevCnt, Seq("prev"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("cp"), col("cb"), col("c")))).as("terms"),
+        sum(col("c")).cast("double").as("n"))
+      .crossJoin(broadcast(vDf))
+    val nll = aggregate(col("terms"), lit(0.0), (acc, t) =>
+      acc + t.getField("c").cast("double") *
+        (graft.functions.ln_pinned(t.getField("cp").cast("double") + col("V")) -
+          graft.functions.ln_pinned(t.getField("cb").cast("double") + lit(1.0))))
+    val scored = perDoc.select(col(idCol), (nll / col("n")).as("avg_nll2"),
+      col("n").cast("long").as("n_trans"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("avg_nll2"), lit(0.0)).as("avg_nll2"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"))
+  }
+
   def docLogProb(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val toks = SparkEnv.spread(df)

@@ -1450,6 +1450,43 @@ def main(sf_dir, spark_dir):
         ") AS t(doc_id, avg_nll, n_tokens)\nORDER BY doc_id")
     custom["doc_logprob"] = (lp_rows, ("doc_id", "avg_nll", "n_tokens"), lp_sql)
 
+    # ---- doc_logprob_bigram: add-one bigram transition NLL (mirrors
+    # TextAnalysis.docLogProbBigram: V = distinct tokens corpus-wide,
+    # p = (C(prev,cur)+1)/(C(prev,.)+V), per-doc terms sorted by
+    # (prevTotal, bigramCnt, docCount), pinned-ln fold).
+    bg_vocab = set()
+    for _did, text in docs:
+        bg_vocab.update(lp_tokens(text))
+    bg_V = float(len(bg_vocab))
+    bg_big = Counter()
+    for _did, text in docs:
+        ts = lp_tokens(text)
+        for a, b in zip(ts, ts[1:]):
+            bg_big[(a, b)] += 1
+    bg_prev = Counter()
+    for (a, _b), c in bg_big.items():
+        bg_prev[a] += c
+    bg_rows = []
+    for doc_id, text in docs:
+        ts = lp_tokens(text)
+        if len(ts) < 2:
+            bg_rows.append((doc_id, 0.0, 0))
+            continue
+        terms = sorted((bg_prev[a], bg_big[(a, b)], c)
+                       for (a, b), c in Counter(zip(ts, ts[1:])).items())
+        acc = 0.0
+        for cp, cb, c in terms:
+            acc += float(c) * (ln_pinned(float(cp) + bg_V) - ln_pinned(float(cb) + 1.0))
+        bg_rows.append((doc_id, acc / float(len(ts) - 1), len(ts) - 1))
+    bg_sql = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(avg_nll2 AS DOUBLE) AS avg_nll2,"
+        " CAST(n_trans AS BIGINT) AS n_trans\n"
+        "FROM (VALUES\n"
+        f"{values_block([(d_, repr(v_), n_) for d_, v_, n_ in bg_rows])}\n"
+        ") AS t(doc_id, avg_nll2, n_trans)\nORDER BY doc_id")
+    custom["doc_logprob_bigram"] = (
+        bg_rows, ("doc_id", "avg_nll2", "n_trans"), bg_sql)
+
     # ---- signature_dedup_pairs: banding collisions + 24-component
     # signature-fraction similarity (mirrors BandedLsh.nearDupPairsBySignature:
     # same 8x3 blocking as minhash_dedup_pairs, est = equal components / 24).
@@ -1748,6 +1785,7 @@ def main(sf_dir, spark_dir):
                     "ann_topk_ivfpq": 'query_id, "rank"',
                     "token_entropy": "doc_id",
                     "doc_logprob": "doc_id",
+                    "doc_logprob_bigram": "doc_id",
                     "signature_dedup_pairs": "id_a, id_b",
                     "lsh_blocking_join": "key_a, key_b",
                     "semantic_dedup": "vec_id",
