@@ -225,6 +225,15 @@ object ScaleBench {
       "dup_spans" -> { (k: Int) =>
         api.Dedup.dupSpans(docs(k), "doc_id", "text", width = 8).count()
       },
+      // the destructive edit adds a second corpus pass (token filter +
+      // rebuild) and a sparse spans join on top of dup_spans — claim:
+      // same ~linear regime, roughly 2x the mining cost. Forcing action is
+      // a sum over the REBUILT text: a bare count() lets Catalyst eliminate
+      // the distinct-keyed left join and measures a row-count scan.
+      "span_cut" -> { (k: Int) =>
+        api.Dedup.cutDupSpans(docs(k), "doc_id", "text", width = 8)
+          .agg(sum(length(col("text")))).head().getLong(0)
+      },
       // the topk_by claim measured: per-language top-100 docs by n_chars.
       // The corpus has 3 languages, so the window shuffles ALL ×k rows
       // into 3 hot partitions and sorts them; the heap aggregate folds
