@@ -32,6 +32,19 @@ object SparkEntry {
   private def load(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Multilingual derivative of the documents fixture for the tokenizer-
+    * seam gates: accented Latin via translate (a→à, e→é — preserves the
+    * planted cross-doc duplicate structure, since translate is a per-char
+    * bijection here) plus a shared suffix containing digits, accented
+    * words and per-character-tokenized CJK. Both engines derive it with
+    * the same two builtins, so the gate pins the TOKENIZER, not fixture
+    * plumbing. Non-ASCII is written as \u escapes: source-encoding-proof. */
+  private def multilingualDocs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").select(col("doc_id"),
+      concat(translate(col("text"), "ae", "\u00e0\u00e9"),
+        lit(" 42 na\u00efve \u6570\u636e\u53bb\u91cd 123 d\u00e9j\u00e0 vu"))
+        .as("text"))
+
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) (readable only as a
     * long under the legacy conf) and TIMESTAMP(MICROS) (read as
     * TIMESTAMP_NTZ) across driver rounds; normalize either to a micros
@@ -488,6 +501,33 @@ object SparkEntry {
           "text", groupCol = "source", width = 8)
         .orderBy("source")
     }),
+    // The tokenizer-seam gates: span mining over a MULTILINGUAL derivative
+    // of the fixture (accented Latin via translate — preserves the planted
+    // cross-doc duplicate structure — plus a shared digits+CJK+accents
+    // suffix), with Tokenizers.unicodeWords. The ASCII tokenizer is blind
+    // to every character class this fixture adds; the oracle re-derives
+    // spans with the IDENTICAL two-step tokenizer in DuckDB RE2.
+    "dup_span_detect_tok" -> ((s, dir) => {
+      graft.api.Dedup.dupSpans(multilingualDocs(s, dir), "doc_id", "text",
+          width = 8, tokenize = graft.api.Tokenizers.unicodeWords)
+        .orderBy("doc_id", "span_start")
+    }),
+    "dup_span_cut_tok" -> ((s, dir) => {
+      graft.api.Dedup.cutDupSpans(multilingualDocs(s, dir), "doc_id", "text",
+          width = 8, tokenize = graft.api.Tokenizers.unicodeWords)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+    // Span mining over the REAL tokenizer: byte-level BPE token identity
+    // (Lee et al. run exact-substring dedup on tokenizer output, not word
+    // splits). Oracle: gen_oracles.py re-derives tokens+spans in Python
+    // from the same merge list, grams keyed by token-tuple CONTENT (vs
+    // Spark's xxhash64 — a hash collision would surface as a mismatch).
+    "dup_span_detect_bpe" -> ((s, dir) => {
+      graft.api.Dedup.dupSpans(load(s, dir, "documents"), "doc_id", "text",
+          width = 8, tokenize = graft.api.Tokenizers.bpe(BpeMerges))
+        .orderBy("doc_id", "span_start")
+    }),
     "dedup_near_window" -> ((s, dir) => {
       withLsh(s)
       load(s, dir, "documents").createOrReplaceTempView("documents")
@@ -628,6 +668,25 @@ object SparkEntry {
       s.read.parquet(path)
         .filter(col("o_custkey").between(100, 300) &&
           col("o_totalprice").between(20000.0, 120000.0))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+    // 3-D z-order: (custkey, price-cents, order-day) Morton triple — the
+    // (source, value, time) shape lakehouse tables actually cluster on.
+    // Readback is a 3-dim box query; the gate pins "pure layout change",
+    // ZOrderSpec pins the interleave + measured 3-D file pruning.
+    "sink_zorder3" -> ((s, dir) => {
+      val orders = load(s, dir, "orders")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_sink_zorder3"
+      graft.api.ZOrder.writeZOrdered3(orders, path,
+        col("o_custkey"), (col("o_totalprice") * 100).cast("long"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")), nFiles = 24)
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(100, 300) &&
+          col("o_totalprice").between(20000.0, 120000.0) &&
+          col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
           "o_totalprice")
         .orderBy("o_orderkey")
@@ -1094,6 +1153,27 @@ object SparkEntry {
       graft.api.Ann.loadIvfPqIndex(s, "graft_ivfpq_idx")
         .search(emb.filter(col("vec_id") < 10), 5, nprobe = 4)
         .orderBy("query_id", "rank")
+    }),
+    "ann_index_health" -> ((s, dir) => {
+      // append-drift maintenance for the persisted IVF-PQ index: fit+save
+      // on the corpus, then append 60 frozen-model-encoded copies of each
+      // of vectors 0..4 (deterministic drift concentrated in their cells —
+      // appends never retrain, mirroring the signature index contract);
+      // ivfPqIndexHealth must report exactly the ballooned cells. Oracle:
+      // Python re-derivation (same kmeans mirror as ann_topk_ivf* ->
+      // cell assignments -> counts -> skew filter); asserted non-vacuous.
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val idx = graft.api.Ann.fitIvfPq(emb,
+        nlist = 16, m = 8, ksub = 16, seed = 11L, iters = 5)
+      graft.api.Ann.saveIvfPqIndex(idx, "graft_annhealth_idx")
+      val drift = emb.filter(col("vec_id") < 5)
+        .crossJoin(s.range(1, 61).select(col("id").as("__rep")))
+        .select((col("vec_id") + col("__rep") * 100000L).as("vec_id"),
+          col("embedding"))
+      graft.api.Ann.appendToIvfPqIndex(drift, "graft_annhealth_idx")
+      graft.api.Ann.ivfPqIndexHealth(s, "graft_annhealth_idx", maxSkew = 1.5)
+        .orderBy("cell")
     }),
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
@@ -1850,6 +1930,7 @@ object SparkEntry {
     "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
     "rolling_dedup" -> valuesOracle("rolling_dedup"),
     "index_health" -> valuesOracle("index_health"),
+    "ann_index_health" -> valuesOracle("ann_index_health"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),
@@ -1883,6 +1964,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 300 AND o_totalprice BETWEEN 20000 AND 120000
+        |ORDER BY o_orderkey""".stripMargin,
+    "sink_zorder3" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300 AND o_totalprice BETWEEN 20000 AND 120000
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY o_orderkey""".stripMargin,
     "stream_cms_userfreq" -> valuesOracle("stream_cms_userfreq"),
     "bloom_semijoin" -> valuesOracle("bloom_semijoin"),
@@ -2212,6 +2299,69 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(k.text, '') AS text
         |FROM documents d LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // Tokenizer-seam twins: the same span chains over the multilingual
+    // fixture derivative (translate + shared digits/CJK/accents suffix,
+    // derived HERE with the same builtins) and the unicodeWords tokenizer —
+    // space-pad Han chars, split on non-letter/digit runs. RE2's \p{Han} /
+    // \p{L}\p{N} mirror Java's \p{IsHan} / \p{L}\p{N} exactly (verified on
+    // the fixture alphabet); grams again keyed by literal string.
+    "dup_span_detect_tok" ->
+      """WITH src AS (
+        |  SELECT doc_id, translate(text, 'ae', '\u00e0\u00e9')
+        |         || ' 42 na\u00efve \u6570\u636e\u53bb\u91cd 123 d\u00e9j\u00e0 vu' AS text
+        |  FROM documents),
+        |lists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |           regexp_replace(lower(text), '(\p{Han})', ' \1 ', 'g'),
+        |           '[^\p{L}\p{N}]+'), x -> x <> '') AS l
+        |  FROM src),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM lists)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
+        |            FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos, fin,
+        |    CASE WHEN pos > coalesce(max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM flagged),
+        |isl2 AS (SELECT doc_id, pos, fin,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(fin) AS BIGINT) AS span_end,
+        |       CAST(max(fin) - min(pos) + 1 AS BIGINT) AS n_tokens
+        |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "dup_span_cut_tok" ->
+      """WITH src AS (
+        |  SELECT doc_id, translate(text, 'ae', '\u00e0\u00e9')
+        |         || ' 42 na\u00efve \u6570\u636e\u53bb\u91cd 123 d\u00e9j\u00e0 vu' AS text
+        |  FROM documents),
+        |lists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |           regexp_replace(lower(text), '(\p{Han})', ' \1 ', 'g'),
+        |           '[^\p{L}\p{N}]+'), x -> x <> '') AS l
+        |  FROM src),
+        |toks AS (
+        |  SELECT doc_id, i - 1 AS pos, l[i] AS tok
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM lists)),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM lists)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
+        |            FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
+        |kept AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS text
+        |  FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM flagged f
+        |                    WHERE f.doc_id = t.doc_id AND t.pos BETWEEN f.pos AND f.fin)
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(k.text, '') AS text
+        |FROM src d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // BPE-token span mining: tokens+spans re-derived in Python from the
+    // same merge list (gen_oracles.py), grams keyed by token-tuple content
+    "dup_span_detect_bpe" -> valuesOracle("dup_span_detect_bpe"),
     // Ground-truth oracle: brute-force all-pairs exact 4-gram Jaccard. The
     // LSH path must emit exactly this set — at the planted-dup sim floor
     // (0.93 at sf0.01) the 8-band/3-row miss probability is ~2.6e-6 per pair

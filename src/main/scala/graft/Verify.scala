@@ -41,6 +41,10 @@ object Verify {
       case '\r' => "\\r"
       case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
+      // non-ASCII → \u escapes: the JSON stays pure ASCII, so no encoding
+      // step between here and DuckDB can mangle multilingual oracle SQL
+      // (surrogate halves escape individually — valid JSON pair form)
+      case c if c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql

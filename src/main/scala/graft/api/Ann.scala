@@ -625,6 +625,61 @@ object Ann {
     new IvfPqIndex(cents, books, cmodel, m, ksub, encoded)
   }
 
+  /** Append a batch to a persisted [[saveIvfPqIndex]] index: encode the
+    * batch under the index's FROZEN models (coarse centroids + PQ
+    * codebooks — appends never retrain, exactly like
+    * [[BandedLsh.appendToSignatureIndex]] never re-classifies) and insert
+    * into `{prefix}_codes`. Cost: the batch's own encode + one partitioned
+    * append — never a corpus pass. The flip side of frozen models is
+    * DRIFT: appended data the build-time quantizer doesn't fit piles into
+    * few cells (population skew → probe cost skews, and vectors land far
+    * from every codebook entry → recall decays). That detection is
+    * [[ivfPqIndexHealth]]'s job, on the compaction cadence. */
+  def appendToIvfPqIndex(batch: DataFrame, tablePrefix: String,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.graft.{ColumnShim, NearestCell, PqCodes, PqModel}
+    val spark = batch.sparkSession
+    val idx = loadIvfPqIndex(spark, tablePrefix)
+    val pmodel = new PqModel(spark.sparkContext.broadcast(idx.books))
+    val encoded = batch.select(col(idCol).cast("long").as("neighbor_id"),
+      ColumnShim.column(NearestCell(ColumnShim.expression(col(vecCol)), idx.cmodel)).as("cell"),
+      ColumnShim.column(PqCodes(ColumnShim.expression(col(vecCol)), pmodel)).as("codes"))
+    val table = s"${tablePrefix}_codes"
+    // insertInto is positional; saveAsTable moved the partition column last
+    encoded.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(table)
+  }
+
+  /** Maintenance scan for append drift on a persisted IVF-PQ index: the
+    * per-cell population of `{prefix}_codes` against the uniform
+    * expectation `total / nlist`, reporting cells whose skew
+    * `cell_rows · nlist / total` exceeds `maxSkew`. Empty result = the
+    * build-time quantizer still spreads the (now-appended) corpus; any
+    * rows returned mean probe cost is skewing onto few cells and recall
+    * is at risk for the ballooned cells' vectors — a refit
+    * ([[fitIvfPq]] + [[saveIvfPqIndex]]) is due. One count-only
+    * aggregation over the codes table (map-side combined, nlist rows
+    * after) — run on the compaction cadence, the same contract as
+    * [[BandedLsh.signatureIndexHealth]]. Returns (cell, cell_rows, skew)
+    * ordered nothing — caller sorts; skew is one exact-integer ratio cast
+    * once (bit-stable cross-engine). */
+  def ivfPqIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                       tablePrefix: String, maxSkew: Double = 4.0): DataFrame = {
+    require(maxSkew > 0.0, s"maxSkew must be positive, got $maxSkew")
+    val nlist = spark.table(s"${tablePrefix}_model")
+      .filter(col("kind") === "centroid").count()
+    require(nlist > 0, s"${tablePrefix}_model holds no centroids")
+    val counts = spark.table(s"${tablePrefix}_codes")
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("cell_rows"))
+    val total = counts.agg(sum("cell_rows").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("skew",
+        (col("cell_rows") * lit(nlist)).cast("double") / col("__total").cast("double"))
+      .filter(col("skew") > maxSkew)
+      .select("cell", "cell_rows", "skew")
+  }
+
   /** Symmetric per-vector int8 quantization — the storage-shrink step for
     * an embedding corpus (float64 → int8 is 8×; a 100 TB embedding store
     * becomes 12.5 TB plus one scale per vector). `scale = max|x| / 127`,

@@ -103,28 +103,45 @@ object BandedLsh {
   /** Full near-dup pair mining: banded blocking + exact-Jaccard verification.
     * Returns (id_a, id_b, sim) with sim > threshold.
     *
-    * Uses the relational band join: with selective multi-band blocking over
-    * long documents the candidate set is small and the join shuffles only
-    * (id, band, hash) rows. The fused [[bandedSelfJoinPairs]] is the right
-    * tool for the opposite regime — explosive buckets of short keys — because
-    * it replicates the PAYLOAD bands×numBlocks times through the shuffle
-    * (measured: fused wins 3x on 15k near-identical names at 1 band, loses
-    * ~25% on 5k long documents at 8 bands). Both paths are spec-checked to
-    * produce identical pair sets.
+    * Uses the relational band join with verification INSIDE the band join —
+    * `lsh_jaccard` runs on each band collision as it streams out of the
+    * join, BEFORE the distinct. This is the README idiom's own order
+    * (reference/README.md:138-141 filters each per-seed join, then unions)
+    * and it is what keeps the path linear at scale: inside a join task the
+    * buffered bucket's texts recur, so the jaccard expression's bounded
+    * shingle memo covers the working set (O(distinct-strings-per-bucket)
+    * shingle builds). Round 10 measured the opposite order — verify after
+    * `distinct()` + two id-joins — inflating per-pair cost ~50× past ~2^17
+    * distinct texts, because the deduplicated pair stream has no text
+    * locality at all (docs/SCALE.md "Measured scale slopes"; this rewrite
+    * removed that cliff — see SCALE.md for the re-measured ×100 slope).
+    * The cost moved instead to shuffling texts through the band exchange
+    * (bandCount copies) — the README idiom pays the same, and it is a
+    * linear byte cost AQE handles, not a super-linear CPU cliff. A pair
+    * colliding in k bands computes jaccard k times, but k-1 are memo hits
+    * on both texts; `distinct()` then collapses the duplicates (sim is a
+    * pure function of the pair, so distinct-on-(ids,sim) is exact).
     *
-    * SCALE LIMIT (measured round 10, docs/SCALE.md "Measured scale slopes"):
-    * this path's post-distinct verification loses bucket locality, so past
-    * ~1e8 candidates / 2^17 distinct texts the jaccard memo stops covering
-    * the working set and per-pair cost inflates ~50×. For corpora that may
-    * cross that line, call [[nearDupPairsAdaptive]], which censuses the
-    * buckets first and routes to the fused operator. */
+    * The fused [[bandedSelfJoinPairs]] remains the tool for explosive
+    * buckets of SHORT keys (a mega-bucket's C(n,2) collisions land on one
+    * join task here; the fused triangle blocking splits exactly that —
+    * measured 3× on 15k near-identical names). Both paths are spec-checked
+    * to produce identical pair sets; [[nearDupPairsAdaptive]] routes on a
+    * bucket census. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
                    threshold: Double): DataFrame = {
-    candidatePairs(df, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
+    val banded = bandedRows(df, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
+    val a = banded.select(col(idCol).as("id_a"), col(textCol).as("text_a"),
+      col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col(textCol).as("text_b"),
+      col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("sim", graft.functions.lsh_jaccard(col("text_a"), col("text_b"), ngramWidth))
       .filter(col("sim") > threshold)
       .select("id_a", "id_b", "sim")
+      .distinct()
   }
 
   /** Candidate-pair census over the banded blocking buckets: Σ C(n,2) and
@@ -214,8 +231,15 @@ object BandedLsh {
   def bandedSelfJoinPairs(df: DataFrame, idCol: String, textCol: String,
                           ngramWidth: Int, bandCount: Int, bandSize: Int, seeds: Seq[Long],
                           threshold: Double, numBlocks: Int = 8): DataFrame = {
-    import org.apache.spark.sql.graft.{BlockedSelfJoin, PlanShim}
+    import org.apache.spark.sql.graft.{BlockedSelfJoin, BlockedSelfJoinStrategy, PlanShim}
     val spark = df.sparkSession
+    // self-register the whole-operator planner strategy (idempotent): the
+    // operator must work from a bare session, not only after
+    // LshFunctions.register — a latent ordering dependency otherwise
+    // (surfaced by scoped Verify runs planning this query first)
+    if (!spark.experimental.extraStrategies.contains(BlockedSelfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ BlockedSelfJoinStrategy
     val nb = numBlocks
     // Rows shorter than the n-gram width all carry the EMPTY shingle set:
     // they hash identically in every band (one catastrophic mega-bucket) yet

@@ -96,9 +96,13 @@ object Dedup {
     * `width`-token window covering it also occurs in ANOTHER document;
     * overlapping/contiguous flagged windows merge into maximal spans.
     * Emits (doc_id, span_start, span_end, n_tokens) with inclusive 0-based
-    * token indices over the lowercased `[a-z]+` token stream (the module's
-    * shared tokenizer). By construction every span is >= `width` tokens, so
-    * `width` doubles as the Lee-et-al minimum-match-length knob.
+    * token indices over the stream `tokenize` produces (default
+    * [[Tokenizers.asciiWords]], the original gate tokenizer; pass
+    * [[Tokenizers.unicodeWords]] for multilingual corpora — digits,
+    * accented Latin and per-character CJK all become tokens — or a BPE
+    * tokenizer for Lee-et-al-faithful token identity). By construction
+    * every span is >= `width` tokens, so `width` doubles as the Lee-et-al
+    * minimum-match-length knob.
     *
     * Distributed shape (why shingle-hash grouping, not a suffix array): a
     * suffix array is a global sorted structure — building one across
@@ -125,10 +129,12 @@ object Dedup {
     * scan's splits already provide the width and spread() is a no-op
     * by its own partition-count check. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
-               width: Int, spreadInput: Boolean = true): DataFrame = {
+               width: Int, spreadInput: Boolean = true,
+               tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                 Tokenizers.asciiWords): DataFrame = {
     require(width >= 2, s"width must be >= 2 tokens, got $width")
     val w = lit(width)
-    val toks = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= lit(""))
+    val toks = tokenize(col(textCol))
     // sequence(0, n-width) needs n >= width: a shorter doc has no window
     // (and sequence() with start > stop would count DOWN, not return empty)
     val grams = (if (spreadInput) SparkEnv.spread(df) else df)
@@ -174,12 +180,14 @@ object Dedup {
     * integer ratios cast at the end. */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, width: Int,
-                   spreadInput: Boolean = true): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= lit(""))
+                   spreadInput: Boolean = true,
+                   tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                     Tokenizers.asciiWords): DataFrame = {
+    val toks = tokenize(col(textCol))
     val docs = (if (spreadInput) SparkEnv.spread(df) else df)
       .select(col(idCol).cast("long").as("doc_id"), col(groupCol).as("grp"),
         size(toks).cast("long").as("n_toks"))
-    val perDoc = dupSpans(df, idCol, textCol, width, spreadInput)
+    val perDoc = dupSpans(df, idCol, textCol, width, spreadInput, tokenize)
       .groupBy("doc_id")
       .agg(sum("n_tokens").as("dup_toks"), count(lit(1)).as("n_spans"))
     docs.join(perDoc, Seq("doc_id"), "left")
@@ -199,28 +207,50 @@ object Dedup {
     * rebuilt text is the kept tokens joined by single spaces, in order;
     * docs with no flagged span pass through with the same normalization
     * applied (so output text is uniformly the canonical token stream).
-    * Other columns pass through UNTOUCHED — a derived column like
-    * `n_chars` is stale relative to the rewritten text; recompute it
-    * downstream if consumed.
+    * Other columns pass through untouched UNLESS listed in `recompute`:
+    * a derived column like `n_chars` is stale relative to the rewritten
+    * text, and silently-stale derived columns are exactly the bug a
+    * pipeline ships — so pass `recompute = Map("n_chars" ->
+    * length(col("text")))` to re-derive it from the REWRITTEN row (the
+    * expressions see the post-cut text), or `drop = Seq("n_chars")` to
+    * refuse to carry it at all. `recompute` keys may also introduce new
+    * columns; a name in both `recompute` and `drop` is rejected.
     * Span lookup joins only (doc_id → span list) — spans are sparse, the
     * join is broadcast-sized in practice, and the cut itself is a
     * per-row `filter` over the token array, codegen'd, no shuffle beyond
     * [[dupSpans]]' own. */
   def cutDupSpans(df: DataFrame, idCol: String, textCol: String,
-                  width: Int, spreadInput: Boolean = true): DataFrame = {
-    val spans = dupSpans(df, idCol, textCol, width, spreadInput)
+                  width: Int, spreadInput: Boolean = true,
+                  tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                    Tokenizers.asciiWords,
+                  recompute: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                  drop: Seq[String] = Nil): DataFrame = {
+    val overlap = recompute.keySet.intersect(drop.toSet)
+    require(overlap.isEmpty,
+      s"columns listed in both recompute and drop: ${overlap.mkString(", ")}")
+    require(!recompute.contains(textCol) && !drop.contains(textCol),
+      s"'$textCol' is the rewrite target — it cannot be recomputed or dropped")
+    val spans = dupSpans(df, idCol, textCol, width, spreadInput, tokenize)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
       .withColumnRenamed("doc_id", "__span_doc")
-    val toks = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= lit(""))
+    val toks = tokenize(col(textCol))
     val keep = filter(col("__toks"),
       (_, i) => !exists(col("__spans"),
         sp => i >= sp("span_start") && i <= sp("span_end")))
-    (if (spreadInput) SparkEnv.spread(df) else df).withColumn("__toks", toks)
+    val cut = (if (spreadInput) SparkEnv.spread(df) else df).withColumn("__toks", toks)
       .join(spans, df(idCol).cast("long") === spans("__span_doc"), "left")
       .withColumn("__spans", coalesce(col("__spans"),
         array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
-      .withColumn(textCol, array_join(keep, " "))
+      // null-text rows have a null token array; coalesce to '' so they
+      // match the fully-cut-doc convention (empty canonical stream)
+      .withColumn(textCol, coalesce(array_join(keep, " "), lit("")))
       .drop("__toks", "__spans", "__span_doc")
+    // derived-column hygiene: re-derive AFTER the rewrite (expressions see
+    // the post-cut text), deterministically ordered for plan stability
+    val recomputed = recompute.toSeq.sortBy(_._1).foldLeft(cut) {
+      case (d, (name, e)) => d.withColumn(name, e)
+    }
+    if (drop.isEmpty) recomputed else recomputed.drop(drop: _*)
   }
 }

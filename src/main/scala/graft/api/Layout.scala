@@ -47,12 +47,22 @@ object Layout {
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long, sortBy: Seq[Column] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    require(outPath != inPath, "compact cannot overwrite its own input in place")
+    // in-place guard on FULLY-QUALIFIED paths: raw string equality lets
+    // trailing slashes / relative-vs-absolute aliases through, and
+    // mode("overwrite") would then delete the input before reading it
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp)
+    }
+    require(qualified(outPath) != qualified(inPath),
+      s"compact cannot overwrite its own input in place ($inPath resolves to ${qualified(inPath)})")
     val (files, bytes) = describeFiles(spark, inPath)
     // an empty directory would otherwise surface as spark.read's opaque
     // "unable to infer schema" — fail with the actual problem
     require(files > 0, s"no data files under $inPath — nothing to compact")
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val nFiles = math.min(Int.MaxValue.toLong,
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
     val df = spark.read.parquet(inPath)
     val shaped =
       if (sortBy.isEmpty) df.repartition(nFiles)

@@ -207,7 +207,13 @@ object Multimodal {
             sentinel
           } else {
             val ch = fmt.getChannels
-            val n = frames.toInt * ch
+            // Long math: a corrupt/high-channel header could wrap Int and
+            // turn the bounds checks below into garbage instead of the
+            // sentinel (frames is already capped, ch is header-controlled)
+            val nL = frames * ch
+            if (nL <= 0 || nL > Int.MaxValue / 2) sentinel
+            else {
+            val n = nL.toInt
             val data = ais.readAllBytes()
             if (data.length < n * 2) sentinel
             else {
@@ -224,6 +230,7 @@ object Multimodal {
                 i += 1
               }
               (chk, frames.toInt, ch, sumAbs.toDouble / n)
+            }
             }
           }
         } finally ais.close()

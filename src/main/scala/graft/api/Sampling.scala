@@ -112,6 +112,12 @@ object Sampling {
       : (DataFrame, Map[String, Double]) = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    // the rate map keys (and mixSources' when-chain) compare as strings —
+    // fail with the real problem, not a ClassCastException at collect time
+    require(df.schema(sourceCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"source column '$sourceCol' must be StringType, got " +
+        s"${df.schema(sourceCol).dataType.simpleString} — cast it first")
     // null sources get no allocation and fall to mixSources' defaultRate=0
     // (dropped) — they must not crash the lexicographic fold either
     val counts = df.groupBy(col(sourceCol)).count()

@@ -343,6 +343,40 @@ object TextAnalysis {
     * scale, frequency-cap the vocab and route the long tail to a floor
     * count before this join); the per-doc combine is the only other
     * shuffle. Docs with no tokens score 0 with n_tokens 0. */
+  def docLogProb(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = SparkEnv.spread(df)
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val perDocTok = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+    // vocabulary DERIVED from the per-doc aggregate, not a second corpus
+    // explode: the vocab branch and the join branch share the identical
+    // (id, token) aggregate subtree, so ReuseExchange reads and tokenizes
+    // the corpus ONCE (the Packing.packSequences offsets trick). Counts are
+    // identical to vocabCounts' by associativity — bit-exact, since they
+    // are integers.
+    val vocab = perDocTok.groupBy(col("token")).agg(sum(col("c")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val perDoc = perDocTok
+      .join(vocab, "token")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("cnt"), col("c")))).as("terms"),
+        sum(col("c")).cast("double").as("n"))
+      .crossJoin(broadcast(total))
+    val nll = aggregate(col("terms"), lit(0.0), (acc, t) =>
+      acc + t.getField("c").cast("double") *
+        (graft.functions.ln_pinned(col("total").cast("double")) -
+          graft.functions.ln_pinned(t.getField("cnt").cast("double"))))
+    val scored = perDoc.select(col(idCol), (nll / col("n")).as("avg_nll"),
+      col("n").cast("long").as("n_tokens"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   /** Bigram upgrade of [[docLogProb]]: add-one-smoothed transition model
     * p(w_i | w_{i-1}) = (C(prev,cur) + 1) / (C(prev,·) + V) under the
     * corpus's OWN counts, scored as mean −ln p over each doc's n−1
@@ -392,39 +426,5 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("avg_nll2"), lit(0.0)).as("avg_nll2"),
         coalesce(col("n_trans"), lit(0L)).as("n_trans"))
-  }
-
-  def docLogProb(df: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
-    val toks = SparkEnv.spread(df)
-      .select(col(idCol),
-        explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
-      .filter(length(col("token")) > 0)
-    val perDocTok = toks.groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("c"))
-    // vocabulary DERIVED from the per-doc aggregate, not a second corpus
-    // explode: the vocab branch and the join branch share the identical
-    // (id, token) aggregate subtree, so ReuseExchange reads and tokenizes
-    // the corpus ONCE (the Packing.packSequences offsets trick). Counts are
-    // identical to vocabCounts' by associativity — bit-exact, since they
-    // are integers.
-    val vocab = perDocTok.groupBy(col("token")).agg(sum(col("c")).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).as("total"))
-    val perDoc = perDocTok
-      .join(vocab, "token")
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("cnt"), col("c")))).as("terms"),
-        sum(col("c")).cast("double").as("n"))
-      .crossJoin(broadcast(total))
-    val nll = aggregate(col("terms"), lit(0.0), (acc, t) =>
-      acc + t.getField("c").cast("double") *
-        (graft.functions.ln_pinned(col("total").cast("double")) -
-          graft.functions.ln_pinned(t.getField("cnt").cast("double"))))
-    val scored = perDoc.select(col(idCol), (nll / col("n")).as("avg_nll"),
-      col("n").cast("long").as("n_tokens"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 }

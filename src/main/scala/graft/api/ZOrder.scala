@@ -45,6 +45,32 @@ object ZOrder {
   def zvalue2(a: Column, b: Column): Column =
     spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
 
+  /** Bit-spread for 3 dims: low 21 bits of `x` at positions 0,3,..,60
+    * (the standard 3-D Morton magic-mask sequence). */
+  private def spread3(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0x1FFFFFL))
+    v = v.bitwiseOR(shiftleft(v, 32)).bitwiseAND(lit(0x001F00000000FFFFL))
+    v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x001F0000FF0000FFL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** The 63-bit Morton code of THREE dimensions — bit i of `a` at 3i, of
+    * `b` at 3i+1, of `c` at 3i+2 (non-negative, signed ordering safe).
+    * Lakehouse tables typically cluster on a (source, time, length)-shaped
+    * triple; two dims leave the third scattered across every file.
+    *
+    * CONTRACT: low 21 bits per dim (2^21 = 2M distinct codes — far beyond
+    * the 2^bits quantile grid [[quantileCode]] produces, which is the
+    * recommended feeder for heavy-tailed dims exactly as with
+    * [[zvalue2]]). Same pre-scaling rules: quantize/rank first, negatives
+    * and >2^21 domains are the caller's to fold in. */
+  def zvalue3(a: Column, b: Column, c: Column): Column =
+    spread3(a.cast("long"))
+      .bitwiseOR(shiftleft(spread3(b.cast("long")), 1))
+      .bitwiseOR(shiftleft(spread3(c.cast("long")), 2))
+
   /** Rank-normalize a heavy-tailed dimension into [0, 2^bits) quantile
     * codes for [[zvalue2]] — raw values unbalance the curve (a lognormal
     * price column puts 99% of rows in the curve's first segments and the
@@ -76,9 +102,20 @@ object ZOrder {
     * pass) — the same cost as any global sort-for-layout write; the
     * payoff is every subsequent box-query read. */
   def writeZOrdered(df: DataFrame, path: String, dimA: Column, dimB: Column,
-                    nFiles: Int): Unit = {
+                    nFiles: Int): Unit =
+    writeByCurve(df, path, zvalue2(dimA, dimB), nFiles)
+
+  /** Three-dimension variant: files cover narrow min/max boxes in ALL
+    * three dims; any one- or two-dim predicate still prunes from ordinary
+    * parquet stats. */
+  def writeZOrdered3(df: DataFrame, path: String, dimA: Column, dimB: Column,
+                     dimC: Column, nFiles: Int): Unit =
+    writeByCurve(df, path, zvalue3(dimA, dimB, dimC), nFiles)
+
+  private def writeByCurve(df: DataFrame, path: String, z: Column,
+                           nFiles: Int): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    df.withColumn("__z", zvalue2(dimA, dimB))
+    df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

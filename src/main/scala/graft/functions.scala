@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, BpeRanks, CmsBuild, CmsEstimate, ColumnShim, CosineSim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, BpeRanks, BpeTokens, CmsBuild, CmsEstimate, ColumnShim, CosineSim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -136,6 +136,13 @@ object functions {
     * merges are data). See [[org.apache.spark.sql.graft.BpeCount]]. */
   def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeCount(col2expr(text), new BpeRanks(merges)))
+
+  /** The BPE token sequence itself (array<string>, latin-1-rendered byte
+    * tokens; `size(bpe_tokens) == bpe_count` by construction). The token
+    * stream behind [[graft.api.Tokenizers.bpe]]. See
+    * [[org.apache.spark.sql.graft.BpeTokens]]. */
+  def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =
+    toCol(BpeTokens(col2expr(text), new BpeRanks(merges)))
 
   /** Per-group top-k selection as a mergeable bounded-heap aggregate —
     * the scale-shape replacement for `row_number() OVER (...) <= k`

@@ -70,7 +70,7 @@ case class BpeCount(child: Expression, ranks: BpeRanks)
 }
 
 object BpeCount {
-  private def isWs(b: Byte): Boolean =
+  private[graft] def isWs(b: Byte): Boolean =
     b == 32 || (b >= 9 && b <= 13) // space, \t \n \v \f \r — ASCII \s
 
   /** Shared by interpreted eval and generated code (static call target). */
@@ -87,7 +87,15 @@ object BpeCount {
     total
   }
 
-  private def countWord(ranks: BpeRanks, bytes: Array[Byte], from: Int, until: Int): Int = {
+  private[graft] def countWord(ranks: BpeRanks, bytes: Array[Byte], from: Int, until: Int): Int =
+    mergeWord(ranks, bytes, from, until)._2
+
+  /** The BPE merge loop itself, shared by count and token emission:
+    * returns (token array, live length) — the array may be longer than the
+    * live prefix (it is the last merge pass's buffer). Tokens are latin-1
+    * strings (one char per raw byte). */
+  private[graft] def mergeWord(ranks: BpeRanks, bytes: Array[Byte],
+                               from: Int, until: Int): (Array[String], Int) = {
     var toks = new Array[String](until - from)
     var i = from
     while (i < until) {
@@ -106,7 +114,7 @@ object BpeCount {
         if (r != null && r < best) { best = r; bi = j }
         j += 1
       }
-      if (bi < 0) return n
+      if (bi < 0) return (toks, n)
       val a = toks(bi)
       val b = toks(bi + 1)
       // merge ALL occurrences of (a, b) left-to-right in one pass — the
@@ -125,6 +133,64 @@ object BpeCount {
       toks = out
       n = w
     }
-    n
+    (toks, n)
+  }
+}
+
+/** `bpe_tokens(text)` → the byte-level BPE token SEQUENCE, as
+  * array<string> (words in order, whitespace dropped — same
+  * pre-tokenizer contract as [[BpeCount]], so
+  * `size(bpe_tokens(t)) == bpe_count(t)` by construction). Token
+  * rendering: the token's raw bytes read one-char-per-byte (latin-1) into
+  * a string — lossless, so distinct byte sequences stay distinct, and no
+  * token can contain whitespace, which makes space-joined token windows
+  * (the dup-span gram identity) unambiguous. NULL text → NULL. This is
+  * the token stream [[graft.api.Tokenizers.bpe]] feeds to the dup-span
+  * family — Lee-et-al-faithful token identity for exact-substring dedup. */
+case class BpeTokens(child: Expression, ranks: BpeRanks)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "bpe_tokens"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    BpeTokens.tokenize(ranks, v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks, classOf[BpeRanks].getName)
+    val mod = s"${classOf[BpeTokens].getName}$$.MODULE$$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $mod.tokenize($r, $c.getBytes());")
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case BpeTokens(c, r) => c == child && r.merges == ranks.merges
+    case _ => false
+  }
+  override def hashCode(): Int = child.hashCode * 31 + ranks.merges.hashCode + 1
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeTokens {
+  /** Static call target for interpreted eval and generated code. */
+  def tokenize(ranks: BpeRanks,
+               utf8: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val n = utf8.length
+    while (i < n) {
+      while (i < n && BpeCount.isWs(utf8(i))) i += 1
+      val start = i
+      while (i < n && !BpeCount.isWs(utf8(i))) i += 1
+      if (i > start) {
+        val (toks, live) = BpeCount.mergeWord(ranks, utf8, start, i)
+        var k = 0
+        while (k < live) { buf += UTF8String.fromString(toks(k)); k += 1 }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
   }
 }

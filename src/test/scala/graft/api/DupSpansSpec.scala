@@ -162,4 +162,96 @@ class DupSpansSpec extends AnyFunSuite {
       (2L, ""),
       (3L, toks(6, "z"))))
   }
+
+  test("cutDupSpans recompute/drop: derived columns re-derive from the rewritten text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length => alen}
+    val shared = "alpha beta gamma delta"
+    val df = Seq(
+      (1L, s"$shared keepx", 100L), // stale n_chars on purpose
+      (2L, s"$shared keepy", 200L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Dedup.cutDupSpans(df, "doc_id", "text", width = 4,
+        recompute = Map("n_chars" -> alen(col("text")).cast("long")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the expression sees the POST-cut text, not the input
+    assert(got.toSeq == Seq((1L, "keepx", 5L), (2L, "keepy", 5L)))
+    // drop-list refuses to carry the stale column
+    val dropped = Dedup.cutDupSpans(df, "doc_id", "text", width = 4,
+      drop = Seq("n_chars"))
+    assert(!dropped.columns.contains("n_chars"))
+    // a name in both is a hard error, as is targeting the text column
+    intercept[IllegalArgumentException] {
+      Dedup.cutDupSpans(df, "doc_id", "text", width = 4,
+        recompute = Map("n_chars" -> alen(col("text")).cast("long")),
+        drop = Seq("n_chars"))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.cutDupSpans(df, "doc_id", "text", width = 4, drop = Seq("text"))
+    }
+  }
+
+  test("null text: dupSpans skips, cutDupSpans coalesces to empty string") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta"
+    val df = Seq((1L, s"$shared x"), (2L, shared), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(spans(df).forall(_._1 != 3L))
+    val got = Dedup.cutDupSpans(df, "doc_id", "text", width = 4)
+      .orderBy("doc_id").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // null-text doc matches the fully-cut convention (and the DuckDB
+    // oracle's coalesce) — '' not NULL
+    assert(got.toSeq == Seq((1L, "x"), (2L, ""), (3L, "")))
+  }
+
+  test("unicodeWords tokenizer: digits, accents and per-char CJK are tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "Héllo World 42 naïve 数据去重 123 café-test"))
+      .toDF("doc_id", "text")
+    val toks = df.select(Tokenizers.unicodeWords(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("héllo", "world", "42", "naïve",
+      "数", "据", "去", "重", "123", "café", "test"))
+    // the ASCII tokenizer is blind to all of the above except pure runs
+    val ascii = df.select(Tokenizers.asciiWords(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(ascii == Seq("h", "llo", "world", "na", "ve", "caf", "test"))
+  }
+
+  test("dupSpans through the unicode tokenizer finds spans ASCII mode cannot") {
+    import spark.implicits._
+    // shared window is all digits+CJK — zero tokens under asciiWords
+    val shared = "1 2 3 4 数据去重" // 8 tokens under unicodeWords
+    val df = Seq(
+      (1L, s"alpha beta $shared"),
+      (2L, s"$shared gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val uni = Dedup.dupSpans(df, "doc_id", "text", width = 8,
+        tokenize = Tokenizers.unicodeWords)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(uni.toSeq == Seq((1L, 2L, 9L), (2L, 0L, 7L)))
+    assert(spans(df).isEmpty) // ASCII tokenizer: the span is invisible
+  }
+
+  test("bpe tokenizer plugs into the seam; size(bpe_tokens) == bpe_count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"))
+    val df = Seq((1L, "the thin hand and then"), (2L, "then the hand and thin"))
+      .toDF("doc_id", "text")
+    val cnts = df.select(
+      asize(graft.functions.bpe_tokens(col("text"), merges)).cast("long").as("a"),
+      graft.functions.bpe_count(col("text"), merges).as("b")).collect()
+    assert(cnts.forall(r => r.getLong(0) == r.getLong(1)))
+    // spans over BPE token identity: both docs share >= width consecutive
+    // BPE tokens somewhere iff the merged streams share a window
+    val got = Dedup.dupSpans(df, "doc_id", "text", width = 2,
+        tokenize = Tokenizers.bpe(merges))
+      .collect()
+    assert(got.nonEmpty)
+  }
 }

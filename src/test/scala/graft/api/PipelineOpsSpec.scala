@@ -642,6 +642,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Ann ivfPqIndexHealth: healthy after build, a drifted append trips the report") {
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.3 + d) * 2.0))).toDF("vec_id", "embedding")
+    val idx = Ann.fitIvfPq(vecs, nlist = 4, m = 4, ksub = 8, seed = 77L, iters = 4)
+    Ann.saveIvfPqIndex(idx, "graft_spec_annhealth_idx")
+    try {
+      // freshly built: Lloyd's spread the corpus, no cell past 2x uniform
+      assert(Ann.ivfPqIndexHealth(spark, "graft_spec_annhealth_idx",
+        maxSkew = 2.0).isEmpty)
+      // drifted append: 120 copies of vec 0 (one point mass) — its cell
+      // balloons to >= 120/200*4 = 2.4x uniform while others shrink
+      val drift = vecs.filter($"vec_id" === 0L)
+        .crossJoin(spark.range(1, 121).select($"id".as("r")))
+        .select(($"vec_id" + $"r" * 1000L).as("vec_id"), $"embedding")
+      Ann.appendToIvfPqIndex(drift, "graft_spec_annhealth_idx")
+      val report = Ann.ivfPqIndexHealth(spark, "graft_spec_annhealth_idx",
+        maxSkew = 2.0).collect()
+      assert(report.length == 1, s"expected exactly the ballooned cell, got ${report.toSeq}")
+      assert(report(0).getLong(1) >= 120L) // cell_rows includes the appends
+      assert(report(0).getDouble(2) > 2.0)
+      // the report names the cell the drift vector actually encodes to
+      val driftCell = Ann.loadIvfPqIndex(spark, "graft_spec_annhealth_idx")
+        .encoded.filter($"neighbor_id" === 1000L).select("cell").head().getInt(0)
+      assert(report(0).getInt(0) == driftCell)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_spec_annhealth_idx_codes")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_annhealth_idx_model")
+    }
+  }
+
   test("Ann pre-bucketed corpus layout: same results, corpus pass skipped") {
     val vecs = (0L until 60L).map(i =>
       (i, Array.tabulate(6)(d => math.cos(i * 0.7 + d) * 3.0))).toDF("vec_id", "embedding")

@@ -74,6 +74,68 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zFiles <= 8, s"z layout should confine the box, touched $zFiles")
   }
 
+  /** Reference interleave for 3 dims: bit i of a -> 3i, b -> 3i+1, c -> 3i+2. */
+  private def mortonRef3(a: Long, b: Long, c: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 21) {
+      z |= ((a >> i) & 1L) << (3 * i)
+      z |= ((b >> i) & 1L) << (3 * i + 1)
+      z |= ((c >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    z
+  }
+
+  test("zvalue3 equals the bit-by-bit reference interleave") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val m21 = (1L << 21) - 1
+    val triples = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (m21, m21, m21)) ++
+      (0 until 200).map(_ => (rng.nextLong().abs & m21, rng.nextLong().abs & m21,
+        rng.nextLong().abs & m21))
+    val got = triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        ZOrder.zvalue3(col("a"), col("b"), col("c")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (a, b, c, z) =>
+      assert(z == mortonRef3(a, b, c), s"($a, $b, $c): got $z, want ${mortonRef3(a, b, c)}")
+      assert(z >= 0, "63-bit code must stay non-negative under signed ordering")
+    }
+    // bits above 21 are masked off per dim
+    val masked = Seq(((1L << 22) | 5L, (1L << 30) | 3L, 2L)).toDF("a", "b", "c")
+      .select(ZOrder.zvalue3(col("a"), col("b"), col("c"))).head().getLong(0)
+    assert(masked == mortonRef3(5L, 3L, 2L))
+  }
+
+  test("a 3-D box query prunes z3-ordered files far below a hash layout") {
+    import spark.implicits._
+    // 40k points uniform on [0,64)^3, 32 files each layout
+    val rng = new scala.util.Random(29)
+    val pts = (0 until 40000).map(i =>
+      (i.toLong, rng.nextInt(64).toLong, rng.nextInt(64).toLong, rng.nextInt(64).toLong))
+    val df = pts.toDF("id", "x", "y", "t")
+    val tmp = sys.props("java.io.tmpdir")
+    val zPath = s"$tmp/graft_zorder3_spec_z"
+    val hPath = s"$tmp/graft_zorder3_spec_h"
+    ZOrder.writeZOrdered3(df, zPath, col("x"), col("y"), col("t"), nFiles = 32)
+    df.repartition(32, col("id")).write.mode("overwrite").parquet(hPath)
+
+    def filesTouched(path: String): (Long, Long) = {
+      // box = top octant-of-octant on each dim: 1/8 per dim -> 0.2% volume
+      val box = spark.read.parquet(path)
+        .filter(col("x").between(16, 23) && col("y").between(32, 39) &&
+          col("t").between(8, 15))
+      (box.select(input_file_name()).distinct().count(), box.count())
+    }
+    val (zFiles, zRows) = filesTouched(zPath)
+    val (hFiles, hRows) = filesTouched(hPath)
+    assert(zRows == hRows, "layouts must return identical row sets")
+    assert(hFiles >= 28, s"hash layout should scatter the box, touched $hFiles")
+    assert(zFiles <= 8, s"z3 layout should confine the box, touched $zFiles")
+  }
+
   test("quantileCode balances a heavy-tailed dim and stays monotone") {
     import spark.implicits._
     // lognormal-ish: x = exp(N(0,2)) — raw values put almost all mass in

@@ -952,8 +952,10 @@ def main(sf_dir, spark_dir):
         ("l", "i"), ("h", "i"), ("u", "r"), ("r", "o"), ("w", "h"), ("wh", "i")]
     bpe_rank = {(a.encode(), b.encode()): i for i, (a, b) in enumerate(BPE_MERGES)}
 
-    def bpe_count(text):
-        total = 0
+    def bpe_tokens(text):
+        """Full BPE token sequence (words in order, whitespace dropped) —
+        the mirror of BpeTokens.tokenize; bpe_count is its length."""
+        all_toks = []
         for w in re.split(rb"[\t\n\x0b\x0c\r ]+", text.encode("utf-8")):
             if not w:
                 continue
@@ -976,8 +978,11 @@ def main(sf_dir, spark_dir):
                         out.append(toks[k])
                         k += 1
                 toks = out
-            total += len(toks)
-        return total
+            all_toks.extend(toks)
+        return all_toks
+
+    def bpe_count(text):
+        return len(bpe_tokens(text))
 
     bpe_toks = {did: bpe_count(t) for did, t in docs}
     queries["token_count_bpe"] = (
@@ -994,6 +999,46 @@ def main(sf_dir, spark_dir):
     queries["pack_sequences_bpe"] = (
         ("id", "tokens", "token_offset", "chunk_start", "chunk_end"),
         ("BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT"), bpe_pack_rows, "id")
+
+    # ---- dup_span_detect_bpe: exact-substring dedup spans over the BPE
+    # token stream (width 8), re-derived from bpe_tokens above. Grams are
+    # keyed by token-tuple CONTENT — the Spark side keys by xxhash64 of the
+    # space-joined window, so a hash collision shows up as a mismatch here
+    # instead of hiding. Island rule: a window whose start is <= running
+    # max end + 1 merges (contiguous token coverage).
+    SPAN_W = 8
+    span_toks = {did: bpe_tokens(t) for did, t in docs}
+    gram_docs = {}
+    for did, toks in span_toks.items():
+        for i in range(len(toks) - SPAN_W + 1):
+            g = tuple(toks[i:i + SPAN_W])
+            e = gram_docs.get(g)
+            if e is None:
+                gram_docs[g] = [did, did]
+            else:
+                if did < e[0]:
+                    e[0] = did
+                if did > e[1]:
+                    e[1] = did
+    dup_grams = {g for g, (mn, mx) in gram_docs.items() if mn != mx}
+    span_rows = []
+    for did in sorted(span_toks):
+        toks = span_toks[did]
+        spans = []
+        for i in range(len(toks) - SPAN_W + 1):
+            if tuple(toks[i:i + SPAN_W]) in dup_grams:
+                fin = i + SPAN_W - 1
+                if spans and i <= spans[-1][1] + 1:
+                    if fin > spans[-1][1]:
+                        spans[-1][1] = fin
+                else:
+                    spans.append([i, fin])
+        for s0, s1 in spans:
+            span_rows.append((did, s0, s1, s1 - s0 + 1))
+    queries["dup_span_detect_bpe"] = (
+        ("doc_id", "span_start", "span_end", "n_tokens"),
+        ("BIGINT", "BIGINT", "BIGINT", "BIGINT"), span_rows,
+        "doc_id, span_start")
 
     # ---- curate_corpus: the composed recipe re-derived end to end ----
     # quality gate -> exact dedup (min id per text) -> near-dup cluster drop
@@ -1581,6 +1626,53 @@ def main(sf_dir, spark_dir):
         f"{values_block(ih_rows)}\n"
         ") AS t(band, band_hash, bucket_rows)\nORDER BY band, band_hash")
     custom["index_health"] = (ih_rows, ("band", "band_hash", "bucket_rows"), ih_sql)
+
+    # ---- ann_index_health: append-drift maintenance for the persisted
+    # IVF-PQ index (mirrors fitIvfPq(nlist=16, seed=11, iters=5) cell
+    # assignment + 60 frozen-model-encoded copies of each of vecs 0..4
+    # appended + ivfPqIndexHealth(maxSkew=1.5)). PQ codes never affect cell
+    # counts, so the mirror needs only the coarse quantizer.
+    def fit_ivfpq_cells(vecs, nlist, seed, iters, sample_size):
+        """Coarse-quantizer cell assignment under fitIvfPq's training:
+        std_normal init from StdRng(seed) + Lloyd's over the hash-ordered
+        sample — the ivfpq_topk_rows recipe, NOT kmeans_cells' sample-init
+        (that mirrors trainQuantizer(initFromSample=true))."""
+        d = len(next(iter(vecs.values())))
+        order = sorted(vecs, key=lambda vid: (spark_xxhash64(vid, seed), vid))[:sample_size]
+        sample = [vecs[vid] for vid in order]
+        rng = vk.StdRng(seed)
+        cents = [[vk.std_normal(rng) for _ in range(d)] for _ in range(nlist)]
+        for _ in range(iters):
+            sums = [[0.0] * d for _ in range(nlist)]
+            counts = [0] * nlist
+            for v in sample:
+                c = nearest_centroid(v, cents)
+                counts[c] += 1
+                for j in range(d):
+                    sums[c][j] += v[j]
+            cents = [cents[c] if counts[c] == 0
+                     else [sums[c][j] / counts[c] for j in range(d)]
+                     for c in range(nlist)]
+        return {vid: nearest_centroid(v, cents) for vid, v in vecs.items()}
+
+    aih_cells = fit_ivfpq_cells(vecs, nlist=16, seed=11, iters=5, sample_size=10000)
+    aih_counts = _Counter(aih_cells.values())
+    for vid in range(5):
+        aih_counts[aih_cells[vid]] += 60
+    aih_total = len(vecs) + 5 * 60
+    aih_rows = sorted(
+        (c, n, n * 16 / aih_total)
+        for c, n in aih_counts.items() if n * 16 / aih_total > 1.5)
+    assert aih_rows, "ann_index_health gate is vacuous: no drifted cells"
+    assert len(aih_rows) < 16, "ann_index_health gate is vacuous: every cell trips"
+    aih_sql = (
+        "SELECT CAST(cell AS INT) AS cell,"
+        " CAST(cell_rows AS BIGINT) AS cell_rows,"
+        " CAST(skew AS DOUBLE) AS skew\n"
+        "FROM (VALUES\n"
+        f"{values_block([(c, n, repr(sk)) for c, n, sk in aih_rows])}\n"
+        ") AS t(cell, cell_rows, skew)\nORDER BY cell")
+    custom["ann_index_health"] = (aih_rows, ("cell", "cell_rows", "skew"), aih_sql)
 
     # ---- stream_rolling_dedup: per-micro-batch greedy admission (mirrors
     # EventStreams.rollingDedupReplay: docs >= 300 sorted by id, chunked into
