@@ -113,8 +113,10 @@ object BandedLsh {
     * shingle builds). Round 10 measured the opposite order — verify after
     * `distinct()` + two id-joins — inflating per-pair cost ~50× past ~2^17
     * distinct texts, because the deduplicated pair stream has no text
-    * locality at all (docs/SCALE.md "Measured scale slopes"; this rewrite
-    * removed that cliff — see SCALE.md for the re-measured ×100 slope).
+    * locality at all (docs/SCALE.md "Measured scale slopes"). The rewrite
+    * removed that cliff outright — re-measured at ×100 of sf0.1 (500k
+    * docs, 2.4e8 candidates): 45.8 s, sub-linear slope 41.5, vs the fused
+    * operator's 60.9 s — where the old order never finished.
     * The cost moved instead to shuffling texts through the band exchange
     * (bandCount copies) — the README idiom pays the same, and it is a
     * linear byte cost AQE handles, not a super-linear CPU cliff. A pair
@@ -165,36 +167,36 @@ object BandedLsh {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
-  /** [[nearDupPairs]] with scale-cliff protection: runs [[candidateCensus]]
-    * first and routes to the fused [[bandedSelfJoinPairs]] operator when the
-    * candidate volume (or a single bucket) exceeds what the relational path
-    * handles gracefully. Same (id_a, id_b, sim) output either way —
-    * pair-set and sim equality across the three paths is spec-pinned.
+  /** [[nearDupPairs]] with mega-bucket protection: runs [[candidateCensus]]
+    * first and routes to the fused [[bandedSelfJoinPairs]] operator when a
+    * single bucket (or, if the caller sets a budget, total candidate
+    * volume) exceeds what the relational path handles gracefully. Same
+    * (id_a, id_b, sim) output either way — pair-set and sim equality
+    * across the three paths is spec-pinned.
     *
-    * Why the routing exists (measured, local[32], sf0.1 documents replicated
-    * with structure-preserving ciphers — see ScaleBench / docs/SCALE.md):
-    * the relational path verifies AFTER `distinct()` + two id-joins, so the
-    * candidate-pair stream reaches `lsh_jaccard` with no bucket locality and
-    * the expression's bounded shingle memo (2^17 entries) stops covering the
-    * working set once distinct texts exceed it. At 150k docs (6.6e7
-    * candidates) the path is fine (22 s); at 500k docs (2.4e8 candidates,
-    * 500k distinct texts) per-pair cost inflates ~50× (memo misses +
-    * re-shingling garbage + the materialized pair set's memory pressure)
-    * and the job effectively never finishes — while the fused operator,
-    * which interns each group's shingle arrays locally and never
-    * materializes candidates through join machinery, completes in 35 s.
-    * The census is the cheap discriminator: candidates and max-bucket size
-    * are both visible from bucket counts alone.
+    * HISTORY of the routing (measured, local[32], sf0.1 documents
+    * replicated with structure-preserving ciphers — ScaleBench /
+    * docs/SCALE.md): round 10's relational path verified AFTER
+    * `distinct()` + two id-joins, lost all text locality, and effectively
+    * never finished at ×100 (500k docs, 2.4e8 candidates) — the router
+    * then existed to dodge that cliff. Round 11 moved verification inside
+    * the band join (the README idiom's order), and the re-measured ×100
+    * relational run is 45.8 s vs the fused operator's 60.9 s, shuffling
+    * 3.5× fewer bytes — so candidate VOLUME no longer routes by default
+    * (`maxRelationalCandidates` = Long.MaxValue; set a finite budget to
+    * re-enable, e.g. when verification CPU must be bounded up front).
     *
-    * Defaults sit between the measured-good and measured-bad points:
-    * `maxRelationalCandidates` = 1e8 (6.6e7 measured fine, 2.4e8 measured
-    * pathological), `maxRelationalBucket` = 8192 (a bucket's C(n,2) pairs
-    * land on ONE sort-merge-join task; 8192² /2 ≈ 3.4e7 pairs ≈ minutes —
-    * the fused triangle blocking splits exactly this). */
+    * What still routes: `maxRelationalBucket` = 8192. A degenerate
+    * bucket's C(n,2) collisions land on ONE sort-merge-join task
+    * (8192²/2 ≈ 3.4e7 pairs ≈ minutes, growing quadratically); the fused
+    * operator's triangle blocking splits exactly that — measured 3× on
+    * 15k near-identical short keys. The census reads both signals from
+    * bucket counts alone, ~2 s at 500k docs, without materializing a
+    * pair. */
   def nearDupPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
                            ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
                            threshold: Double,
-                           maxRelationalCandidates: Long = 100000000L,
+                           maxRelationalCandidates: Long = Long.MaxValue,
                            maxRelationalBucket: Long = 8192L,
                            numBlocks: Int = 8): DataFrame = {
     val (cand, maxBucket, _) =

@@ -281,12 +281,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(resized.isEmpty, s"AQE must not resize the strict exchange:\n$resized")
   }
 
-  test("minhash_dedup_pairs blocks on (band, hash) ids, not texts") {
+  test("minhash_dedup_pairs verifies INSIDE the band join, distinct carries no text") {
     val plan = planOf("minhash_dedup_pairs")
-    // the distinct before text re-attachment must aggregate only id pairs
-    val distinctOverIds = plan.linesIterator.exists(l =>
+    // the sim filter must sit below the distinct (verification streams out
+    // of the band join with bucket locality — the round-11 memo-locality
+    // fix; verify-after-distinct is the measured ×100 cliff)
+    val lines = plan.linesIterator.toIndexedSeq
+    // Catalyst folds the sim>threshold filter straight into the band join's
+    // condition (post-join predicate) — accept either that or a Filter node
+    val verifyLine = lines.indexWhere(l =>
+      l.contains("lsh_jaccard") && (l.contains("Filter") || l.contains("Join")))
+    val distinctLine = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("id_a") && l.contains("id_b"))
+    assert(verifyLine >= 0, s"jaccard verification filter missing:\n$plan")
+    assert(distinctLine >= 0, s"pair distinct missing:\n$plan")
+    // executedPlan prints top-down: the filter being BELOW the aggregate
+    // means a larger line index
+    assert(verifyLine > distinctLine,
+      s"jaccard must run inside the band join, before the distinct:\n$plan")
+    // the distinct itself must aggregate only (id_a, id_b, sim), no text
+    val distinctOverIds = lines.exists(l =>
       l.contains("HashAggregate") && l.contains("id_a") && l.contains("id_b") && !l.contains("text"))
-    assert(distinctOverIds, s"candidate distinct should carry only ids:\n$plan")
+    assert(distinctOverIds, s"pair distinct should carry ids+sim only:\n$plan")
   }
 
   test("multimodal decode stays inside codegen — no RDD drop-out") {
