@@ -782,6 +782,22 @@ object SparkEntry {
         .withColumn("clean_len", length(col("clean_text")).cast("long"))
         .orderBy("doc_id")
     }),
+    // Unicode canonicalization (unicode_norm): the step BEFORE any
+    // text-identity operator on multilingual data — NFC "é" and NFD
+    // "e"+U+0301 render identically but share no byte, so unnormalized
+    // corpora silently under-dedup. Fixture: both engines append the SAME
+    // decomposed (NFD) tail to each doc from identical literals; Spark's
+    // java.text.Normalizer NFC must then agree bit-for-bit with DuckDB's
+    // nfc_normalize (UAX #15 stability makes this a fair cross-engine pin).
+    "normalize_nfc" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.unicode_norm(
+            // tail mixes NFD (e+U+0301, a+U+0300, n+U+0303) decomposed forms
+            concat(col("text"), lit(" cafe\u0301 a\u0300 vu n\u0303o")),
+            "NFC").as("text_nfc"))
+        .orderBy("doc_id")
+    }),
     "pii_redact" -> ((s, dir) => {
       // deterministic PII injection (email on doc_id%2, IP on %3, phone on
       // %5 — both engines build the same dirty string), then typed
@@ -2003,6 +2019,9 @@ object SparkEntry {
         |  FROM dirty)
         |SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS clean_len
         |FROM clean ORDER BY doc_id""".stripMargin,
+    "normalize_nfc" ->
+      ("SELECT doc_id, nfc_normalize(text || ' cafe\u0301 a\u0300 vu n\u0303o')" +
+        " AS text_nfc FROM documents ORDER BY doc_id"),
     "pii_redact" ->
       """WITH dirty AS (
         |  SELECT doc_id, text

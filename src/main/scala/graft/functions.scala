@@ -144,6 +144,13 @@ object functions {
   def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeTokens(col2expr(text), new BpeRanks(merges)))
 
+  /** Unicode normalization (NFC default; NFD/NFKC/NFKD) — the
+    * canonicalization step before any text-identity operator (hashing,
+    * shingling, exact dedup): NFC and NFD spellings of the same text
+    * share no bytes. See [[org.apache.spark.sql.graft.UnicodeNorm]]. */
+  def unicode_norm(text: Column, form: String = "NFC"): Column =
+    toCol(org.apache.spark.sql.graft.UnicodeNorm(col2expr(text), form))
+
   /** Per-group top-k selection as a mergeable bounded-heap aggregate —
     * the scale-shape replacement for `row_number() OVER (...) <= k`
     * (see [[org.apache.spark.sql.graft.TopKByScore]]: k entries per

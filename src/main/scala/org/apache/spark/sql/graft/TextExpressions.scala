@@ -98,3 +98,47 @@ case class WinnowFingerprint(first: Expression, second: Expression, third: Expre
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
 }
+
+/** unicode_norm(text, form): Unicode normalization (NFC/NFD/NFKC/NFKD) via
+  * the JDK's `java.text.Normalizer` — the canonicalization step a
+  * multilingual dedup pipeline must run BEFORE hashing: NFC "é" (U+00E9)
+  * and NFD "e"+U+0301 render identically but share no byte, so every
+  * downstream identity — shingle sets, MinHash bands, gram hashes, exact
+  * dedup — silently treats them as different text. Unicode normalization
+  * forms are stable across conforming implementations (UAX #15 stability
+  * policy), which is what lets the NFC gate pin this cross-engine against
+  * DuckDB's `nfc_normalize` bit-for-bit. NULL → NULL; already-normalized
+  * strings pass through unchanged (Normalizer short-circuits on its own
+  * quick-check, so the common ASCII path is cheap). `form` is a
+  * construction-time constant — no per-row dispatch. */
+case class UnicodeNorm(child: Expression, form: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"form must be one of NFC, NFD, NFKC, NFKD — got '$form'")
+
+  override def prettyName: String = "unicode_norm"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override protected def nullSafeEval(v: Any): Any =
+    UnicodeNorm.normalize(v.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val mod = s"${classOf[UnicodeNorm].getName}$$.MODULE$$"
+    nullSafeCodeGen(ctx, ev, c => s"""${ev.value} = $mod.normalize($c, "$form");""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object UnicodeNorm {
+  /** Static call target for interpreted eval and generated code. */
+  def normalize(s: UTF8String, form: String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.valueOf(form)))
+}

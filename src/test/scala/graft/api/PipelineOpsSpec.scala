@@ -396,6 +396,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got(1)._1 - w2) < 1e-9 && got(1)._2 == 1)
   }
 
+  test("unicode_norm: NFC composes, NFD decomposes, NFKC folds, invalid form throws") {
+    import org.apache.spark.sql.functions.col
+    val nfdCafe = "cafe\u0301"     // e + combining acute (decomposed)
+    val nfcCafe = "caf\u00e9"      // precomposed
+    val lig = "\ufb01ne print"     // fi ligature U+FB01
+    val df = Seq((1L, nfdCafe), (2L, nfcCafe), (3L, lig),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    def norm(form: String) = df.select(col("id"),
+        graft.functions.unicode_norm(col("t"), form).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val nfc = norm("NFC")
+    assert(nfc(1L) == nfcCafe && nfc(2L) == nfcCafe) // both spellings converge
+    assert(nfc(3L) == lig)                           // NFC keeps compatibility chars
+    assert(nfc(4L) == null)                          // NULL -> NULL
+    val nfd = norm("NFD")
+    assert(nfd(1L) == nfdCafe && nfd(2L) == nfdCafe)
+    assert(norm("NFKC")(3L) == "fine print")         // ligature folds
+    // idempotence: normalizing twice equals normalizing once
+    val twice = df.select(graft.functions.unicode_norm(
+        graft.functions.unicode_norm(col("t"), "NFC"), "NFC").as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == df.select(graft.functions.unicode_norm(col("t"), "NFC"))
+      .collect().map(_.getString(0)).toSeq)
+    intercept[IllegalArgumentException] {
+      graft.functions.unicode_norm(col("t"), "NFX")
+    }
+  }
+
   test("TextAnalysis normalizeText and redactPii") {
     val df = Seq("  Mixed \tCASEtext   with junk  ").toDF("text")
     val clean = df.select(TextAnalysis.normalizeText($"text")).head.getString(0)
