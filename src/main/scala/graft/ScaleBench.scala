@@ -253,6 +253,13 @@ object ScaleBench {
       // The corpus has 3 languages, so the window shuffles ALL ×k rows
       // into 3 hot partitions and sorts them; the heap aggregate folds
       // map-side and ships ≤ 100 entries per (lang, task). Same output.
+      // whole-doc NFD packing: one (tokens, bucket) window shuffle + a
+      // distinct-lengths histogram walk on the driver — claim: linear in
+      // rows, driver cost flat (lengths don't multiply with replicas)
+      "pack_nfd" -> { (k: Int) =>
+        api.Packing.packDocsNextFit(docs(k), "doc_id",
+          size(split(trim(col("text")), "\\s+")).cast("long"), 256L, 21L).count()
+      },
       "topk_window" -> { (k: Int) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc)

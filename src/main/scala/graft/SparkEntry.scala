@@ -761,6 +761,19 @@ object SparkEntry {
           size(split(trim(col("text")), "\\s+")), 256, 21L)
         .orderBy("id")
     }),
+    // Whole-document bin packing (Packing.packDocsNextFit): docs placed
+    // UNSPLIT into 256-token bins, Next-Fit-Decreasing — the
+    // padding-minimizing twin of pack_sequences (which cuts docs at chunk
+    // boundaries). Distributed as per-length class-rank (two-level, no
+    // single-partition window) + a driver walk over the length HISTOGRAM
+    // (state bounded by distinct lengths, never corpus size). Oracle:
+    // Python re-runs the literal item-by-item NFD walk — so the batched
+    // histogram arithmetic is pinned against the sequential definition.
+    "pack_bins_nfd" -> ((s, dir) => {
+      graft.api.Packing.packDocsNextFit(load(s, dir, "documents"), "doc_id",
+          size(split(trim(col("text")), "\\s+")), capacity = 256L, seed = 21L)
+        .orderBy("id")
+    }),
     "chunk_documents" -> ((s, dir) => {
       // overlapping 100-char windows, 20-char overlap (step 80) — the
       // pre-embedding chunking pass; fixture is ASCII so the DuckDB
@@ -1952,6 +1965,7 @@ object SparkEntry {
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),
     "token_count_bpe" -> valuesOracle("token_count_bpe"),
     "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
+    "pack_bins_nfd" -> valuesOracle("pack_bins_nfd"),
     "ann_recall" -> valuesOracle("ann_recall"),
     "cosine_lsh_pairs" -> valuesOracle("cosine_lsh_pairs"),
     "stream_rolling_dedup" -> valuesOracle("stream_rolling_dedup"),

@@ -77,4 +77,138 @@ object Packing {
         expr(s"CAST(token_offset div $seqLen AS BIGINT)").as("chunk_start"),
         expr(s"CAST((token_offset + tokens - 1) div $seqLen AS BIGINT)").as("chunk_end"))
   }
+
+  /** One packing-schedule segment: class-rank range [startRank,
+    * startRank+count) of length-`len` docs maps to bins
+    * `startBin + (rank − startRank) / perBin`. */
+  private case class Seg(len: Long, startRank: Long, count: Long,
+                         startBin: Long, perBin: Long)
+
+  /** Whole-document bin packing — the padding-minimizing alternative to
+    * [[packSequences]]: documents are NOT split; each is placed whole into
+    * a fixed-`capacity` bin, Next-Fit-Decreasing (sort by length desc,
+    * fill the open bin until the next document doesn't fit, then open a
+    * new one — the standard streaming packer, waste ≤ 2×OPT, and in
+    * practice near-optimal on heavy-tailed corpus length distributions
+    * because the tail of short docs tops off every bin). Concat-and-chunk
+    * packs with ZERO waste but cuts documents mid-stream (attention
+    * crosses the cut or the fragment loses context); whole-doc packing is
+    * what you run when truncation is the thing being avoided.
+    *
+    * Deterministic and layout-invariant: the stream order is
+    * (tokens desc, hashScore asc, id asc) — a pure function of (id, seed).
+    * Oversize docs (tokens > capacity) each get a dedicated bin, in
+    * stream order, like every production packer.
+    *
+    * SCALE SHAPE — why this isn't a driver sort: NFD looks inherently
+    * sequential, but all docs of one length are interchangeable, so the
+    * whole walk collapses to per-LENGTH arithmetic:
+    *
+    *  1. per-doc class rank (position among same-length docs) via the
+    *     same two-level decomposition as [[packSequences]] — a
+    *     (tokens, bucket) window (parallel, no single-partition data
+    *     window) plus per-(tokens, bucket) offsets, each offset window
+    *     partitioned BY length (≤ `buckets` rows per partition);
+    *  2. the driver simulates the walk over the per-length COUNT
+    *     histogram (one tiny aggregate; state = one open-bin remainder),
+    *     batching runs of identical full bins — O(distinct lengths)
+    *     loop, independent of corpus size — and emits ≤ 3 arithmetic
+    *     [[Seg]]ments per length class;
+    *  3. docs join the broadcast schedule on length and map
+    *     rank → bin = startBin + (rank − startRank) / perBin.
+    *
+    * One data shuffle (the class-rank window), two tiny broadcasts.
+    * Driver state is bounded by DISTINCT lengths (≤ max doc length, and
+    * frequency-capped corpora keep this in the thousands), never corpus
+    * size. Rows with tokens <= 0 are dropped (nothing to pack).
+    *
+    * Returns (id, tokens, bin) — `bin` ids dense from 0 in stream order,
+    * so bin count = max(bin)+1 and per-bin fill is one groupBy away. */
+  def packDocsNextFit(df: DataFrame, idCol: String, tokensCol: Column,
+                      capacity: Long, seed: Long, buckets: Int = 64): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val spark = df.sparkSession
+    val score = Sampling.hashScore(col("id"), seed)
+    val base = df
+      .select(col(idCol).as("id"), tokensCol.cast("long").as("tokens"))
+      .filter(col("tokens") > 0 && col("id").isNotNull)
+      .withColumn("bucket", floor(score * lit(buckets)).cast("int"))
+    // class rank, two-level: row_number within (tokens, bucket)…
+    val wIn = Window.partitionBy("tokens", "bucket")
+      .orderBy(score.asc, col("id").asc)
+    val inBucket = base.withColumn("sub_rank", row_number().over(wIn).cast("long") - 1L)
+    // …plus per-(tokens, bucket) exclusive offsets; the offset window is
+    // per-LENGTH (≤ buckets rows each), parallel across lengths
+    val wB = Window.partitionBy("tokens").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = inBucket
+      .groupBy("tokens", "bucket")
+      .agg(count(lit(1)).as("bcnt"))
+      .withColumn("boff", coalesce(sum(col("bcnt")).over(wB), lit(0L)))
+      .select("tokens", "bucket", "boff")
+    val ranked = inBucket.join(broadcast(offsets), Seq("tokens", "bucket"))
+      .withColumn("rank", col("boff") + col("sub_rank"))
+    // driver walk over the per-length histogram (distinct-lengths-sized)
+    val hist = ranked.groupBy("tokens").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Seg]
+    var bin = 0L   // current open bin
+    var rem = capacity
+    var opened = false // bin 0 not yet opened
+    def open(): Unit = { bin = if (opened) bin + 1 else 0; opened = true; rem = capacity }
+    for ((s, c0) <- hist) {
+      var c = c0
+      var rank = 0L
+      if (s > capacity) {
+        // oversize: dedicated bins in stream order, one doc per bin
+        if (!opened) opened = true else bin += 1
+        segs += Seg(s, 0L, c, bin, 1L)
+        bin += c - 1
+        rem = 0 // the last oversize bin is over-full; nothing tops it off
+      } else {
+        // 1) top off the current open bin
+        if (!opened) open()
+        val t0 = math.min(c, rem / s)
+        if (t0 > 0) {
+          segs += Seg(s, rank, t0, bin, t0)
+          rem -= t0 * s; rank += t0; c -= t0
+        }
+        if (c > 0) {
+          // 2) runs of identical full bins, batched
+          val q = capacity / s
+          val full = c / q
+          if (full > 0) {
+            open()
+            segs += Seg(s, rank, full * q, bin, q)
+            bin += full - 1
+            rem = capacity - q * s
+            rank += full * q; c -= full * q
+          }
+          // 3) the leftover opens the next bin and leaves it open
+          if (c > 0) {
+            open()
+            segs += Seg(s, rank, c, bin, c)
+            rem = capacity - c * s
+            rank += c; c = 0
+          }
+        }
+      }
+    }
+    import spark.implicits._
+    // tuples, not the private case class: Janino cannot codegen an encoder
+    // for a private nested class (works via interpreted fallback, but logs
+    // a CompileException per run)
+    val schedule = segs.toSeq
+      .map(g => (g.len, g.startRank, g.count, g.startBin, g.perBin))
+      .toDF("seg_len", "seg_start", "seg_count", "seg_bin", "seg_per")
+    ranked
+      .join(broadcast(schedule), col("tokens") === col("seg_len") &&
+        col("rank") >= col("seg_start") &&
+        col("rank") < col("seg_start") + col("seg_count"))
+      .select(col("id"), col("tokens"),
+        // integer div, not `/` (which is double division on longs — exact
+        // only below 2^53; div is exact at any rank)
+        expr("CAST(seg_bin + (rank - seg_start) div seg_per AS BIGINT)").as("bin"))
+  }
 }

@@ -546,6 +546,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter($"id" === 5L).count() == 0)
   }
 
+  test("packDocsNextFit equals the sequential NFD walk; capacity + density hold") {
+    // heavy-tailed lengths incl. oversize docs and big same-length classes
+    val df = (0L until 300L).map { i =>
+      val len = if (i % 37 == 0) 50L else (i * 11 % 17) + 1L
+      (i, len)
+    }.toDF("doc_id", "ntok")
+    val capacity = 32L
+    val seed = 9L
+    // stream order truth: scores from the engine's own hashScore, then a
+    // literal item-by-item NFD walk in plain Scala
+    val stream = df.select($"doc_id", $"ntok",
+        Sampling.hashScore($"doc_id", seed).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, len, score) => (-len, score, id) }
+    val truth = scala.collection.mutable.Map.empty[Long, Long]
+    var bin = -1L
+    var rem = 0L
+    stream.foreach { case (id, len, _) =>
+      if (len > rem) { bin += 1; rem = capacity } // close, open fresh
+      truth(id) = bin
+      rem -= len // oversize drives rem negative -> next item opens a new bin
+      if (rem < 0) rem = 0
+    }
+    for (buckets <- Seq(1, 7, 64)) {
+      val got = Packing.packDocsNextFit(df, "doc_id", $"ntok", capacity,
+          seed, buckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == 300)
+      got.foreach { case (id, _, b) =>
+        assert(b == truth(id), s"doc $id: bin $b, truth ${truth(id)} (buckets=$buckets)")
+      }
+    }
+    val packed = Packing.packDocsNextFit(df, "doc_id", $"ntok", capacity, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // capacity: every bin fits, except dedicated oversize single-doc bins
+    val byBin = packed.groupBy(_._3)
+    byBin.foreach { case (b, docs) =>
+      val total = docs.map(_._2).sum
+      assert(total <= capacity || docs.length == 1,
+        s"bin $b overfull with ${docs.length} docs / $total tokens")
+    }
+    // density: bin ids are exactly 0..maxBin
+    assert(byBin.keySet == (0L to byBin.keys.max).toSet)
+    // zero/negative-token rows are dropped
+    val withEmpty = df.withColumn("ntok", when($"doc_id" === 5L, 0L).otherwise($"ntok"))
+    assert(Packing.packDocsNextFit(withEmpty, "doc_id", $"ntok", capacity, seed)
+      .filter($"id" === 5L).count() == 0)
+  }
+
   test("Ann cosine + brute-force top-k on a tiny corpus") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),

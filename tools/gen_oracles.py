@@ -1000,6 +1000,28 @@ def main(sf_dir, spark_dir):
         ("id", "tokens", "token_offset", "chunk_start", "chunk_end"),
         ("BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT"), bpe_pack_rows, "id")
 
+    # ---- pack_bins_nfd: whole-doc Next-Fit-Decreasing bin packing,
+    # capacity 256 whitespace tokens, stream order (tokens desc,
+    # hash_score(21) asc, id asc). The literal sequential walk — the Spark
+    # side computes the same assignment via histogram arithmetic, so this
+    # pins the batched schedule against the item-by-item definition.
+    # (toks = the pack_sequences whitespace token counts above.)
+    nfd_cap = 256
+    nfd_stream = sorted(((did, toks[did]) for did, _t in docs if toks[did] > 0),
+                        key=lambda e: (-e[1], hash_score(e[0], 21), e[0]))
+    nfd_rows = []
+    nfd_bin, nfd_rem = -1, 0
+    for did, t in nfd_stream:
+        if t > nfd_rem:
+            nfd_bin += 1
+            nfd_rem = nfd_cap
+        nfd_rows.append((did, t, nfd_bin))
+        nfd_rem = max(0, nfd_rem - t)  # oversize bin never tops off
+    nfd_rows.sort()
+    queries["pack_bins_nfd"] = (
+        ("id", "tokens", "bin"), ("BIGINT", "BIGINT", "BIGINT"),
+        nfd_rows, "id")
+
     # ---- dup_span_detect_bpe: exact-substring dedup spans over the BPE
     # token stream (width 8), re-derived from bpe_tokens above. Grams are
     # keyed by token-tuple CONTENT — the Spark side keys by xxhash64 of the
