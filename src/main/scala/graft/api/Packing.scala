@@ -96,31 +96,36 @@ object Packing {
     * what you run when truncation is the thing being avoided.
     *
     * Deterministic and layout-invariant: the stream order is
-    * (tokens desc, hashScore asc, id asc) — a pure function of (id, seed).
-    * Oversize docs (tokens > capacity) each get a dedicated bin, in
-    * stream order, like every production packer.
+    * (class desc, hashScore asc, id asc) — a pure function of (id, seed) —
+    * where class = min(tokens, capacity+1). Oversize docs (tokens >
+    * capacity) each get a dedicated bin, like every production packer;
+    * clamping them into ONE class is what bounds the state below (their
+    * exact length can't change their packing — always a bin of their own —
+    * so distinguishing 10^6 distinct oversize lengths buys nothing).
     *
     * SCALE SHAPE — why this isn't a driver sort: NFD looks inherently
-    * sequential, but all docs of one length are interchangeable, so the
-    * whole walk collapses to per-LENGTH arithmetic:
+    * sequential, but all docs of one class are interchangeable, so the
+    * whole walk collapses to per-CLASS arithmetic:
     *
-    *  1. per-doc class rank (position among same-length docs) via the
+    *  1. per-doc class rank (position among same-class docs) via the
     *     same two-level decomposition as [[packSequences]] — a
-    *     (tokens, bucket) window (parallel, no single-partition data
-    *     window) plus per-(tokens, bucket) offsets, each offset window
-    *     partitioned BY length (≤ `buckets` rows per partition);
-    *  2. the driver simulates the walk over the per-length COUNT
+    *     (class, bucket) window (parallel, no single-partition data
+    *     window) plus per-(class, bucket) offsets, each offset window
+    *     partitioned BY class (≤ `buckets` rows per partition);
+    *  2. the driver simulates the walk over the per-class COUNT
     *     histogram (one tiny aggregate; state = one open-bin remainder),
-    *     batching runs of identical full bins — O(distinct lengths)
-    *     loop, independent of corpus size — and emits ≤ 3 arithmetic
-    *     [[Seg]]ments per length class;
-    *  3. docs join the broadcast schedule on length and map
+    *     batching runs of identical full bins — O(capacity) loop,
+    *     independent of corpus size — and emits ≤ 3 arithmetic
+    *     [[Seg]]ments per class;
+    *  3. docs join the broadcast schedule on class and map
     *     rank → bin = startBin + (rank − startRank) / perBin.
     *
-    * One data shuffle (the class-rank window), two tiny broadcasts.
-    * Driver state is bounded by DISTINCT lengths (≤ max doc length, and
-    * frequency-capped corpora keep this in the thousands), never corpus
-    * size. Rows with tokens <= 0 are dropped (nothing to pack).
+    * One data shuffle (the class-rank window), two tiny broadcasts. Every
+    * bounded structure — the histogram collect (≤ capacity+1 rows), the
+    * offsets broadcast (≤ (capacity+1)·buckets rows), the schedule
+    * (≤ 3·(capacity+1) segments) — is bounded by CAPACITY, never by
+    * corpus size or the length distribution's support. Rows with
+    * tokens <= 0 are dropped (nothing to pack).
     *
     * Returns (id, tokens, bin) — `bin` ids dense from 0 in stream order,
     * so bin count = max(bin)+1 and per-bin fill is one groupBy away. */
@@ -133,24 +138,29 @@ object Packing {
     val base = df
       .select(col(idCol).as("id"), tokensCol.cast("long").as("tokens"))
       .filter(col("tokens") > 0 && col("id").isNotNull)
+      // packing class: oversize lengths collapse (each gets its own bin
+      // regardless of exact length) — this clamp is what bounds every
+      // driver/broadcast structure by capacity instead of the length
+      // distribution's support
+      .withColumn("cls", least(col("tokens"), lit(capacity + 1L)))
       .withColumn("bucket", floor(score * lit(buckets)).cast("int"))
-    // class rank, two-level: row_number within (tokens, bucket)…
-    val wIn = Window.partitionBy("tokens", "bucket")
+    // class rank, two-level: row_number within (cls, bucket)…
+    val wIn = Window.partitionBy("cls", "bucket")
       .orderBy(score.asc, col("id").asc)
     val inBucket = base.withColumn("sub_rank", row_number().over(wIn).cast("long") - 1L)
-    // …plus per-(tokens, bucket) exclusive offsets; the offset window is
-    // per-LENGTH (≤ buckets rows each), parallel across lengths
-    val wB = Window.partitionBy("tokens").orderBy("bucket")
+    // …plus per-(cls, bucket) exclusive offsets; the offset window is
+    // per-CLASS (≤ buckets rows each), parallel across classes
+    val wB = Window.partitionBy("cls").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = inBucket
-      .groupBy("tokens", "bucket")
+      .groupBy("cls", "bucket")
       .agg(count(lit(1)).as("bcnt"))
       .withColumn("boff", coalesce(sum(col("bcnt")).over(wB), lit(0L)))
-      .select("tokens", "bucket", "boff")
-    val ranked = inBucket.join(broadcast(offsets), Seq("tokens", "bucket"))
+      .select("cls", "bucket", "boff")
+    val ranked = inBucket.join(broadcast(offsets), Seq("cls", "bucket"))
       .withColumn("rank", col("boff") + col("sub_rank"))
-    // driver walk over the per-length histogram (distinct-lengths-sized)
-    val hist = ranked.groupBy("tokens").agg(count(lit(1)).as("c"))
+    // driver walk over the per-class histogram (≤ capacity+1 rows)
+    val hist = ranked.groupBy("cls").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     val segs = scala.collection.mutable.ArrayBuffer.empty[Seg]
     var bin = 0L   // current open bin
@@ -203,7 +213,7 @@ object Packing {
       .map(g => (g.len, g.startRank, g.count, g.startBin, g.perBin))
       .toDF("seg_len", "seg_start", "seg_count", "seg_bin", "seg_per")
     ranked
-      .join(broadcast(schedule), col("tokens") === col("seg_len") &&
+      .join(broadcast(schedule), col("cls") === col("seg_len") &&
         col("rank") >= col("seg_start") &&
         col("rank") < col("seg_start") + col("seg_count"))
       .select(col("id"), col("tokens"),

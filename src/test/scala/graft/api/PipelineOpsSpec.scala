@@ -547,19 +547,23 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("packDocsNextFit equals the sequential NFD walk; capacity + density hold") {
-    // heavy-tailed lengths incl. oversize docs and big same-length classes
+    // heavy-tailed lengths incl. TWO distinct oversize lengths (clamped
+    // into one class — their exact length must not matter) and big
+    // same-length classes
     val df = (0L until 300L).map { i =>
-      val len = if (i % 37 == 0) 50L else (i * 11 % 17) + 1L
+      val len = if (i % 37 == 0) 50L else if (i % 41 == 0) 40L
+        else (i * 11 % 17) + 1L
       (i, len)
     }.toDF("doc_id", "ntok")
     val capacity = 32L
     val seed = 9L
     // stream order truth: scores from the engine's own hashScore, then a
-    // literal item-by-item NFD walk in plain Scala
+    // literal item-by-item NFD walk in plain Scala over the documented
+    // order (class = min(len, capacity+1) desc, score, id)
     val stream = df.select($"doc_id", $"ntok",
         Sampling.hashScore($"doc_id", seed).as("score"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .sortBy { case (id, len, score) => (-len, score, id) }
+      .sortBy { case (id, len, score) => (-math.min(len, capacity + 1), score, id) }
     val truth = scala.collection.mutable.Map.empty[Long, Long]
     var bin = -1L
     var rem = 0L

@@ -1008,7 +1008,8 @@ def main(sf_dir, spark_dir):
     # (toks = the pack_sequences whitespace token counts above.)
     nfd_cap = 256
     nfd_stream = sorted(((did, toks[did]) for did, _t in docs if toks[did] > 0),
-                        key=lambda e: (-e[1], hash_score(e[0], 21), e[0]))
+                        key=lambda e: (-min(e[1], nfd_cap + 1),
+                                       hash_score(e[0], 21), e[0]))
     nfd_rows = []
     nfd_bin, nfd_rem = -1, 0
     for did, t in nfd_stream:
