@@ -615,6 +615,41 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    // Gzipped JSONL round trip — .jsonl.gz is THE pretraining interchange
+    // format (web-crawl shards ship this way); the gate exercises Spark's
+    // write-side codec option and the transparent decompress-on-read path
+    // (gz is NOT splittable: one file = one task, so real pipelines shard
+    // into many files — the write here keeps the corpus' partitioning).
+    // Same dirtied strings and oracle as the plain JSONL gate: compression
+    // must be invisible to the data.
+    "source_jsonl_gz_roundtrip" -> ((s, dir) => {
+      val docs = dirtiedDocs(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_jsonl_gz"
+      docs.write.mode("overwrite").option("compression", "gzip").json(path)
+      val files = new java.io.File(path).listFiles()
+      require(files.exists(_.getName.endsWith(".json.gz")),
+        s"expected gzip-compressed jsonl parts under $path")
+      s.read.schema(docs.schema).json(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+    // Zstd-compressed parquet sink: zstd is the modern lakehouse codec
+    // (better ratio than the snappy default at comparable decode speed —
+    // at 100 TB the ratio IS the scan bill). Per-write codec option, no
+    // session conf; readback ≡ source and the part files must actually
+    // carry the codec suffix (a silently-ignored option would leave the
+    // gate green on snappy).
+    "sink_parquet_zstd" -> ((s, dir) => {
+      val docs = dirtiedDocs(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_sink_zstd"
+      docs.write.mode("overwrite").option("compression", "zstd").parquet(path)
+      val files = new java.io.File(path).listFiles()
+      require(files.exists(_.getName.endsWith(".zstd.parquet")),
+        s"expected zstd-compressed parquet parts under $path")
+      s.read.parquet(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     // ORC round trip (the third columnar/source format, bundled with
     // Spark): same deterministically-dirtied text as the CSV/JSONL gates —
     // ORC is typed and binary-exact, so unlike CSV no recipe options are
@@ -1975,6 +2010,10 @@ object SparkEntry {
     "source_csv_roundtrip" ->
       dirtiedDocsOracleSql,
     "source_jsonl_roundtrip" ->
+      dirtiedDocsOracleSql,
+    "source_jsonl_gz_roundtrip" ->
+      dirtiedDocsOracleSql,
+    "sink_parquet_zstd" ->
       dirtiedDocsOracleSql,
     "source_orc_roundtrip" ->
       dirtiedDocsOracleSql,
