@@ -230,15 +230,10 @@ object ScaleBench {
       // CPU-bound — expected linear with a larger constant (the merge loop
       // is ~50x a regex split per token, all map-side before the exchange)
       "dup_spans_bpe" -> { (k: Int) =>
-        val merges = Seq(
-          ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"),
-          ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"), ("s", "t"),
-          ("a", "r"), ("o", "u"), ("i", "t"), ("an", "d"), ("in", "g"), ("t", "o"),
-          ("o", "f"), ("e", "d"), ("i", "s"), ("a", "l"), ("l", "e"), ("c", "o"),
-          ("s", "e"), ("m", "e"), ("d", "e"), ("the", "r"), ("h", "a"), ("c", "e"),
-          ("l", "i"), ("h", "i"), ("u", "r"), ("r", "o"), ("w", "h"), ("wh", "i"))
+        // SparkEntry.BpeMerges, not a copy: the benchmark must measure the
+        // exact tokenizer the dup_span_detect_bpe gate verifies
         api.Dedup.dupSpans(docs(k), "doc_id", "text", width = 8,
-          tokenize = api.Tokenizers.bpe(merges)).count()
+          tokenize = api.Tokenizers.bpe(SparkEntry.BpeMerges)).count()
       },
       // the destructive edit adds a second corpus pass (token filter +
       // rebuild) and a sparse spans join on top of dup_spans — claim:

@@ -139,7 +139,7 @@ object SparkEntry {
     * supplies; no model ships with the engine). Order is rank: earlier
     * merges apply first. MIRRORED verbatim in tools/gen_oracles.py
     * (BPE_MERGES) — keep the two lists identical or the crosscheck fails. */
-  private val BpeMerges: Seq[(String, String)] = Seq(
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"),
     ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"), ("s", "t"),
     ("a", "r"), ("o", "u"), ("i", "t"), ("an", "d"), ("in", "g"), ("t", "o"),
@@ -714,8 +714,12 @@ object SparkEntry {
     "sink_zorder3" -> ((s, dir) => {
       val orders = load(s, dir, "orders")
       val path = s"${sys.props("java.io.tmpdir")}/graft_sink_zorder3"
+      // whole-currency units, NOT cents: zvalue3 uses 21 bits/dim and
+      // price-cents reach ~2^26 — the masked wrap would silently scramble
+      // the price dimension's clustering (readback equality would still
+      // pass; the 3-D skipping would not). Whole units top out ~555k < 2^21.
       graft.api.ZOrder.writeZOrdered3(orders, path,
-        col("o_custkey"), (col("o_totalprice") * 100).cast("long"),
+        col("o_custkey"), col("o_totalprice").cast("long"),
         datediff(to_date(col("o_orderdate")), lit("1992-01-01")), nFiles = 24)
       s.read.parquet(path)
         .filter(col("o_custkey").between(100, 300) &&

@@ -233,15 +233,13 @@ object BandedLsh {
   def bandedSelfJoinPairs(df: DataFrame, idCol: String, textCol: String,
                           ngramWidth: Int, bandCount: Int, bandSize: Int, seeds: Seq[Long],
                           threshold: Double, numBlocks: Int = 8): DataFrame = {
-    import org.apache.spark.sql.graft.{BlockedSelfJoin, BlockedSelfJoinStrategy, PlanShim}
+    import org.apache.spark.sql.graft.{BlockedSelfJoin, PlanShim}
     val spark = df.sparkSession
     // self-register the whole-operator planner strategy (idempotent): the
     // operator must work from a bare session, not only after
     // LshFunctions.register — a latent ordering dependency otherwise
     // (surfaced by scoped Verify runs planning this query first)
-    if (!spark.experimental.extraStrategies.contains(BlockedSelfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ BlockedSelfJoinStrategy
+    graft.sql.LshFunctions.ensurePlannerStrategy(spark)
     val nb = numBlocks
     // Rows shorter than the n-gram width all carry the EMPTY shingle set:
     // they hash identically in every band (one catastrophic mega-bucket) yet

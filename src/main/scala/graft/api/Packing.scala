@@ -131,7 +131,8 @@ object Packing {
     * so bin count = max(bin)+1 and per-bin fill is one groupBy away. */
   def packDocsNextFit(df: DataFrame, idCol: String, tokensCol: Column,
                       capacity: Long, seed: Long, buckets: Int = 64): DataFrame = {
-    require(capacity > 0, "capacity must be positive")
+    require(capacity > 0 && capacity < Long.MaxValue,
+      "capacity must be positive (and capacity + 1 must not overflow)")
     require(buckets > 0, "buckets must be positive")
     val spark = df.sparkSession
     val score = Sampling.hashScore(col("id"), seed)
@@ -159,8 +160,11 @@ object Packing {
       .select("cls", "bucket", "boff")
     val ranked = inBucket.join(broadcast(offsets), Seq("cls", "bucket"))
       .withColumn("rank", col("boff") + col("sub_rank"))
-    // driver walk over the per-class histogram (≤ capacity+1 rows)
-    val hist = ranked.groupBy("cls").agg(count(lit(1)).as("c"))
+    // driver walk over the per-class histogram (≤ capacity+1 rows) — from
+    // `base`, not `ranked`: the counts are identical (the offsets join
+    // preserves every row) and collecting from `ranked` would execute both
+    // rank windows once for this collect and again for the schedule join
+    val hist = base.groupBy("cls").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     val segs = scala.collection.mutable.ArrayBuffer.empty[Seg]
     var bin = 0L   // current open bin

@@ -118,12 +118,20 @@ object LshFunctions {
       if (!registry.functionExists(FunctionIdentifier(name)))
         registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
-    val strategy = org.apache.spark.sql.graft.BlockedSelfJoinStrategy
-    if (!spark.experimental.extraStrategies.contains(strategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ strategy
+    ensurePlannerStrategy(spark)
     val orRule = org.apache.spark.sql.graft.OrEquiJoinExpansion
     if (!spark.experimental.extraOptimizations.contains(orRule))
       spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ orRule
+  }
+
+  /** Idempotent [[org.apache.spark.sql.graft.BlockedSelfJoinStrategy]]
+    * installation — the single registration idiom shared by [[register]]
+    * and the operators that need the strategy from a bare session
+    * ([[graft.api.BandedLsh.bandedSelfJoinPairs]]). */
+  def ensurePlannerStrategy(spark: SparkSession): Unit = {
+    val strategy = org.apache.spark.sql.graft.BlockedSelfJoinStrategy
+    if (!spark.experimental.extraStrategies.contains(strategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ strategy
   }
 }
 

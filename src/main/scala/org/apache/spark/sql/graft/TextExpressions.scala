@@ -120,8 +120,6 @@ case class UnicodeNorm(child: Expression, form: String)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StringType
 
-  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
-
   override protected def nullSafeEval(v: Any): Any =
     UnicodeNorm.normalize(v.asInstanceOf[UTF8String], form)
 
@@ -137,8 +135,17 @@ case class UnicodeNorm(child: Expression, form: String)
 }
 
 object UnicodeNorm {
-  /** Static call target for interpreted eval and generated code. */
-  def normalize(s: UTF8String, form: String): UTF8String =
-    UTF8String.fromString(
-      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.valueOf(form)))
+  /** Static call target for interpreted eval and generated code. The form
+    * resolves via a compile-time string switch, not per-row
+    * `Form.valueOf` reflection — this sits on the hot pre-identity
+    * canonicalization path. */
+  def normalize(s: UTF8String, form: String): UTF8String = {
+    val f = form match {
+      case "NFC" => java.text.Normalizer.Form.NFC
+      case "NFD" => java.text.Normalizer.Form.NFD
+      case "NFKC" => java.text.Normalizer.Form.NFKC
+      case _ => java.text.Normalizer.Form.NFKD
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(s.toString, f))
+  }
 }
