@@ -518,6 +518,20 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // Lee et al.'s ACTUAL rule (crossDocOnly=false): ANY second occurrence
+    // of a width-gram flags — including a repeat inside ONE document, the
+    // self-boilerplate case the cross-doc rule deliberately skips. Fixture
+    // derivative doubles every 7th doc's text (both engines build it from
+    // the same concat), guaranteeing intra-doc repeats the cross-doc gate
+    // provably ignores; oracle = same CTE chain with HAVING count(*) >= 2.
+    "dup_span_detect_within" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.api.Dedup.dupSpans(docs, "doc_id", "text", width = 8,
+          crossDocOnly = false)
+        .orderBy("doc_id", "span_start")
+    }),
     // Span mining over the REAL tokenizer: byte-level BPE token identity
     // (Lee et al. run exact-substring dedup on tokenizer output, not word
     // splits). Oracle: gen_oracles.py re-derives tokens+spans in Python
@@ -2375,6 +2389,30 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(k.text, '') AS text
         |FROM documents d LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "dup_span_detect_within" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents),
+        |lists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+        |  FROM src),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM lists)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
+        |            FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos, fin,
+        |    CASE WHEN pos > coalesce(max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM flagged),
+        |isl2 AS (SELECT doc_id, pos, fin,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(fin) AS BIGINT) AS span_end,
+        |       CAST(max(fin) - min(pos) + 1 AS BIGINT) AS n_tokens
+        |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
     // Tokenizer-seam twins: the same span chains over the multilingual
     // fixture derivative (translate + shared digits/CJK/accents suffix,
     // derived HERE with the same builtins) and the unicodeWords tokenizer —

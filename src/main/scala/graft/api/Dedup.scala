@@ -131,7 +131,8 @@ object Dedup {
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                width: Int, spreadInput: Boolean = true,
                tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                 Tokenizers.asciiWords): DataFrame = {
+                 Tokenizers.asciiWords,
+               crossDocOnly: Boolean = true): DataFrame = {
     require(width >= 2, s"width must be >= 2 tokens, got $width")
     val w = lit(width)
     val toks = tokenize(col(textCol))
@@ -144,12 +145,22 @@ object Dedup {
         transform(sequence(lit(0), size(col("__toks")) - w),
           i => xxhash64(array_join(slice(col("__toks"), i + 1, w), " ")))))
       .withColumnRenamed("col", "gh")
-    // a gram is a cross-doc duplicate iff >= 2 distinct docs contain it,
-    // i.e. min(doc_id) != max(doc_id) — no distinct, no Expand
-    val dupHashes = grams.groupBy("gh")
-      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
-      .filter(col("__mn") =!= col("__mx"))
-      .select("gh")
+    // crossDocOnly: a gram duplicates iff >= 2 distinct docs contain it,
+    // i.e. min(doc_id) != max(doc_id) — no distinct, no Expand.
+    // crossDocOnly = false is Lee et al.'s actual rule — ANY second
+    // occurrence counts, including a repeat inside ONE document (the
+    // boilerplate/self-repetition case the cross-doc rule deliberately
+    // skips): plain count >= 2, same map-side-combined aggregate. NOTE the
+    // flagging is still window-level: overlapping occurrences of a
+    // self-repeating gram each flag their own window, so a doc of one
+    // token repeated 2·width times becomes one full-doc span.
+    val gramAgg = grams.groupBy("gh")
+      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"),
+        count(lit(1)).as("__n"))
+    val dupHashes =
+      (if (crossDocOnly) gramAgg.filter(col("__mn") =!= col("__mx"))
+       else gramAgg.filter(col("__n") >= 2))
+        .select("gh")
     val flagged = grams.join(dupHashes, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + w - 1).as("fin"))
     // gaps-and-islands per doc: a window starting past the running max end
@@ -182,12 +193,13 @@ object Dedup {
                    groupCol: String, width: Int,
                    spreadInput: Boolean = true,
                    tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                     Tokenizers.asciiWords): DataFrame = {
+                     Tokenizers.asciiWords,
+                   crossDocOnly: Boolean = true): DataFrame = {
     val toks = tokenize(col(textCol))
     val docs = (if (spreadInput) SparkEnv.spread(df) else df)
       .select(col(idCol).cast("long").as("doc_id"), col(groupCol).as("grp"),
         size(toks).cast("long").as("n_toks"))
-    val perDoc = dupSpans(df, idCol, textCol, width, spreadInput, tokenize)
+    val perDoc = dupSpans(df, idCol, textCol, width, spreadInput, tokenize, crossDocOnly)
       .groupBy("doc_id")
       .agg(sum("n_tokens").as("dup_toks"), count(lit(1)).as("n_spans"))
     docs.join(perDoc, Seq("doc_id"), "left")
@@ -224,13 +236,14 @@ object Dedup {
                   tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                     Tokenizers.asciiWords,
                   recompute: Map[String, org.apache.spark.sql.Column] = Map.empty,
-                  drop: Seq[String] = Nil): DataFrame = {
+                  drop: Seq[String] = Nil,
+                  crossDocOnly: Boolean = true): DataFrame = {
     val overlap = recompute.keySet.intersect(drop.toSet)
     require(overlap.isEmpty,
       s"columns listed in both recompute and drop: ${overlap.mkString(", ")}")
     require(!recompute.contains(textCol) && !drop.contains(textCol),
       s"'$textCol' is the rewrite target — it cannot be recomputed or dropped")
-    val spans = dupSpans(df, idCol, textCol, width, spreadInput, tokenize)
+    val spans = dupSpans(df, idCol, textCol, width, spreadInput, tokenize, crossDocOnly)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
       .withColumnRenamed("doc_id", "__span_doc")

@@ -163,6 +163,35 @@ class DupSpansSpec extends AnyFunSuite {
       (3L, toks(6, "z"))))
   }
 
+  test("crossDocOnly=false flags intra-doc repeats the cross-doc rule skips") {
+    import spark.implicits._
+    val para = "alpha beta gamma delta"
+    // doc 1 repeats its own 4-token paragraph; no other doc shares it
+    val df = Seq(
+      (1L, s"$para ${toks(3, "u")} $para"),
+      (2L, toks(12, "z")))
+      .toDF("doc_id", "text")
+    // cross-doc: nothing (the repeat lives in ONE doc)
+    assert(spans(df).isEmpty)
+    // Lee-et-al rule: both occurrences flag, islands stay separate
+    val within = Dedup.dupSpans(df, "doc_id", "text", width = 4,
+        crossDocOnly = false)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(within.toSeq == Seq((1L, 0L, 3L, 4L), (1L, 7L, 10L, 4L)))
+    // cross-doc duplicates still flag under the within rule (count >= 2
+    // subsumes min != max)
+    val df2 = Seq((1L, s"$para x"), (2L, s"$para y")).toDF("doc_id", "text")
+    val w2 = Dedup.dupSpans(df2, "doc_id", "text", width = 4, crossDocOnly = false)
+      .collect().map(_.getLong(0)).sorted
+    assert(w2.toSeq == Seq(1L, 2L))
+    // the cut composes: repeats excised from the single doc
+    val cut = Dedup.cutDupSpans(df, "doc_id", "text", width = 4,
+        crossDocOnly = false)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(cut.toSeq == Seq((1L, toks(3, "u")), (2L, toks(12, "z"))))
+  }
+
   test("cutDupSpans recompute/drop: derived columns re-derive from the rewritten text") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, length => alen}
