@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, CosineSim, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, CosineSim, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, UnicodeNorm, WinnowFingerprint}
 
 /** Registration of the five LSH SQL functions, the analog of the reference's
   * extension entry point (/root/reference/src/lib.rs:40-53). After
@@ -99,6 +99,20 @@ object LshFunctions {
     "topk_by" -> ((args: Seq[Expression]) => {
       require(args.length == 3, "topk_by expects 3 arguments")
       TopKByScore(args(0), args(1), args(2))
+    }),
+    "unicode_norm" -> ((args: Seq[Expression]) => {
+      require(args.length == 1 || args.length == 2,
+        "unicode_norm expects 1 or 2 arguments (text[, form])")
+      val form =
+        if (args.length == 1) "NFC"
+        else {
+          // the form picks a construction-time constant (no per-row
+          // dispatch), so it must be foldable — same rule as the LSH
+          // params, evaluated here at resolution time
+          require(args(1).foldable, "unicode_norm form must be a constant string")
+          String.valueOf(args(1).eval(null))
+        }
+      UnicodeNorm(args(0), form)
     }))
 
   private def info(name: String): ExpressionInfo =

@@ -422,6 +422,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.functions.unicode_norm(col("t"), "NFX")
     }
+    // SQL registration (extensions path): default form NFC + explicit form
+    val viaSql = spark.sql(
+      "SELECT unicode_norm('cafe\\u0301'), unicode_norm('\\ufb01ne', 'NFKC')")
+      .head()
+    assert(viaSql.getString(0) == nfcCafe)
+    assert(viaSql.getString(1) == "fine")
   }
 
   test("TextAnalysis normalizeText and redactPii") {

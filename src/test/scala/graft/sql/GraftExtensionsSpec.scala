@@ -67,7 +67,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "SELECT hist_quantile(h, 0.5d) FROM (SELECT hist_sketch(v, 5) AS h FROM (SELECT 7L AS v))",
         "ln_pinned" -> "SELECT ln_pinned(2.5d)",
         "cosine_sim" -> "SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d))",
-        "topk_by" -> "SELECT topk_by(s, i, 2) FROM (SELECT 1.0d AS s, 7L AS i)")
+        "topk_by" -> "SELECT topk_by(s, i, 2) FROM (SELECT 1.0d AS s, 7L AS i)",
+        "unicode_norm" -> "SELECT unicode_norm('cafe\\u0301'), unicode_norm('x', 'NFKC')")
       assert(probes.keySet == graft.sql.LshFunctions.all.map(_._1).toSet,
         "extension probe list out of sync with LshFunctions.all")
       probes.values.foreach(q => s2.sql(q).collect())
