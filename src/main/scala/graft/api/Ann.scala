@@ -664,8 +664,11 @@ object Ann {
     * ordered nothing — caller sorts; skew is one exact-integer ratio cast
     * once (bit-stable cross-engine). */
   def ivfPqIndexHealth(spark: org.apache.spark.sql.SparkSession,
-                       tablePrefix: String, maxSkew: Double = 4.0): DataFrame = {
+                       tablePrefix: String, maxSkew: Double = 4.0,
+                       minSkew: Double = 0.0): DataFrame = {
     require(maxSkew > 0.0, s"maxSkew must be positive, got $maxSkew")
+    require(minSkew >= 0.0 && minSkew < maxSkew,
+      s"minSkew must be in [0, maxSkew), got $minSkew")
     val nlist = spark.table(s"${tablePrefix}_model")
       .filter(col("kind") === "centroid").count()
     require(nlist > 0, s"${tablePrefix}_model holds no centroids")
@@ -673,10 +676,16 @@ object Ann {
       .groupBy(col("cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("cell_rows"))
     val total = counts.agg(sum("cell_rows").as("__total"))
+    // minSkew > 0 also reports STARVED cells — the complementary drift
+    // signal (cells the appended data abandoned: relative mass collapsing
+    // means the probe's nprobe/nlist coverage fraction no longer describes
+    // the corpus; cells emptied ENTIRELY don't appear in the codes table
+    // and are detectable as nlist - count(distinct cell) by the caller).
+    // Default 0.0 keeps the original over-population-only contract.
     counts.crossJoin(broadcast(total))
       .withColumn("skew",
         (col("cell_rows") * lit(nlist)).cast("double") / col("__total").cast("double"))
-      .filter(col("skew") > maxSkew)
+      .filter(col("skew") > maxSkew || col("skew") < minSkew)
       .select("cell", "cell_rows", "skew")
   }
 

@@ -36,6 +36,17 @@ object Tokenizers {
     c => filter(split(regexp_replace(lower(c), "(\\p{IsHan})", " $1 "),
       "[^\\p{L}\\p{N}]+"), t => t =!= lit(""))
 
+  /** [[unicodeWords]] with NFC canonicalization first
+    * ([[graft.functions.unicode_norm]]): NFC "é" and NFD "e"+U+0301 render
+    * identically but tokenize to different byte sequences under any
+    * byte/codepoint tokenizer — so a corpus mixing normalization forms
+    * (the normal state of web text) silently under-detects duplicate
+    * spans. This is the tokenizer to use when inputs aren't already
+    * canonicalized; it only differs from [[unicodeWords]] on
+    * non-NFC input (spec-pinned). */
+  val unicodeWordsNFC: Column => Column =
+    c => unicodeWords(graft.functions.unicode_norm(c, "NFC"))
+
   /** Byte-level BPE tokenizer under a caller-supplied merge list
     * ([[graft.functions.bpe_tokens]]): token identity = the merged byte
     * token itself (the dup-span operators hash space-joined token windows,

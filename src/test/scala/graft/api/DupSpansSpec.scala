@@ -266,6 +266,32 @@ class DupSpansSpec extends AnyFunSuite {
     assert(spans(df).isEmpty) // ASCII tokenizer: the span is invisible
   }
 
+  test("unicodeWordsNFC: NFD and NFC spellings tokenize identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // same word: doc 1 decomposed (e+U+0301), doc 2 precomposed (U+00E9)
+    val df = Seq((1L, "cafe\u0301 au lait"), (2L, "caf\u00e9 au lait"))
+      .toDF("doc_id", "text")
+    val plain = df.select(Tokenizers.unicodeWords(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(plain(0) != plain(1), "without NFC the spellings must differ")
+    val nfc = df.select(Tokenizers.unicodeWordsNFC(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(nfc(0) == nfc(1), s"NFC tokenizer must unify spellings: ${nfc.toSeq}")
+    assert(nfc(0) == Seq("caf\u00e9", "au", "lait"))
+    // and the span miner then SEES the cross-doc duplicate that mixed
+    // normalization forms would otherwise hide
+    val docs = Seq(
+      (1L, "cafe\u0301 au lait tre\u0300s bon ce matin la\u0300"),
+      (2L, "caf\u00e9 au lait tr\u00e8s bon ce matin l\u00e0"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dupSpans(docs, "doc_id", "text", width = 8,
+      tokenize = Tokenizers.unicodeWords).collect().isEmpty)
+    val found = Dedup.dupSpans(docs, "doc_id", "text", width = 8,
+      tokenize = Tokenizers.unicodeWordsNFC).collect()
+    assert(found.length == 2, s"both docs must carry the span: ${found.toSeq}")
+  }
+
   test("bpe tokenizer plugs into the seam; size(bpe_tokens) == bpe_count") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, size => asize}

@@ -749,6 +749,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(report.length == 1, s"expected exactly the ballooned cell, got ${report.toSeq}")
       assert(report(0).getLong(1) >= 120L) // cell_rows includes the appends
       assert(report(0).getDouble(2) > 2.0)
+      // starved mode: the point-mass append collapsed every OTHER cell's
+      // relative share (~80 rows over 3 cells of a 200-row index ≈ 0.5×) —
+      // minSkew reports them as the complementary drift signal
+      val starved = Ann.ivfPqIndexHealth(spark, "graft_spec_annhealth_idx",
+        maxSkew = 2.0, minSkew = 0.8).collect()
+      assert(starved.length == 4, s"ballooned + 3 starved cells: ${starved.toSeq}")
+      assert(starved.count(_.getDouble(2) < 0.8) == 3)
       // the report names the cell the drift vector actually encodes to
       val driftCell = Ann.loadIvfPqIndex(spark, "graft_spec_annhealth_idx")
         .encoded.filter($"neighbor_id" === 1000L).select("cell").head().getInt(0)
