@@ -122,6 +122,53 @@ class DupSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized corpora: within-doc rule matches a brute-force reference") {
+    import spark.implicits._
+    // same property harness under Lee et al.'s full rule: a gram flags
+    // when it occurs >= 2 times ANYWHERE (tiny vocab -> rampant intra-doc
+    // repeats, the shapes the crafted cases can't enumerate)
+    val vocab = Vector("ka", "kb", "kc", "kd")
+    val rng = new scala.util.Random(43)
+
+    def bruteWithin(docs: Seq[(Long, String)], w: Int): Seq[(Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toVector
+      }.toMap
+      val grams = toks.toSeq.flatMap { case (id, ts) =>
+        ts.sliding(w).zipWithIndex.collect {
+          case (win, i) if win.length == w => (win.mkString(" "), id, i)
+        }
+      }
+      val dupG = grams.groupBy(_._1).filter(_._2.size >= 2).keySet
+      val flagged = grams.filter(g => dupG(g._1))
+        .groupBy(_._2).view.mapValues(_.map(_._3).distinct.sorted)
+      flagged.toSeq.flatMap { case (id, starts) =>
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        for (s <- starts) {
+          val (a, b) = (s.toLong, (s + w - 1).toLong)
+          if (spans.nonEmpty && a <= spans.last._2 + 1)
+            spans(spans.length - 1) = (spans.last._1, math.max(spans.last._2, b))
+          else spans += ((a, b))
+        }
+        spans.map { case (a, b) => (id, a, b) }
+      }.sorted
+    }
+
+    for (trial <- 0 until 20) {
+      val w = 3 + trial % 3
+      val docs = (0 until (4 + rng.nextInt(4))).map { d =>
+        val n = 4 + rng.nextInt(16)
+        (d.toLong, (0 until n).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", w,
+          crossDocOnly = false)
+        .select("doc_id", "span_start", "span_end").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = bruteWithin(docs, w)
+      assert(got == want, s"trial $trial w=$w docs=$docs")
+    }
+  }
+
   test("dupSpanStats ties out: cut removes exactly dup_tokens per group") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, filter => afilter, length, lit, lower, size, split, sum}

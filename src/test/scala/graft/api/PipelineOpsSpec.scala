@@ -605,6 +605,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter($"id" === 5L).count() == 0)
   }
 
+  test("packDocsNextFit: randomized corpora match the sequential walk") {
+    // 15 random corpora: random capacities, random length mixes incl.
+    // oversize and length == capacity edges — every assignment must equal
+    // the literal item-by-item NFD walk
+    val rng = new scala.util.Random(61)
+    for (trial <- 0 until 15) {
+      val capacity = 8L + rng.nextInt(40)
+      val n = 50 + rng.nextInt(150)
+      val seed = rng.nextLong()
+      val df = (0L until n.toLong).map { i =>
+        val len = rng.nextInt(4) match {
+          case 0 => 1L + rng.nextInt(capacity.toInt)        // general
+          case 1 => capacity                                 // exact fit
+          case 2 => capacity + 1L + rng.nextInt(20)          // oversize
+          case _ => 1L + rng.nextInt(3)                      // short tail
+        }
+        (i, len)
+      }.toDF("doc_id", "ntok")
+      val stream = df.select($"doc_id", $"ntok",
+          Sampling.hashScore($"doc_id", seed).as("score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy { case (id, len, score) => (-math.min(len, capacity + 1), score, id) }
+      val truth = scala.collection.mutable.Map.empty[Long, Long]
+      var bin = -1L
+      var rem = 0L
+      stream.foreach { case (id, len, _) =>
+        if (len > rem) { bin += 1; rem = capacity }
+        truth(id) = bin
+        rem = math.max(0L, rem - len)
+      }
+      val got = Packing.packDocsNextFit(df, "doc_id", $"ntok", capacity, seed,
+          buckets = 1 + rng.nextInt(16))
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(got.length == n)
+      got.foreach { case (id, b) =>
+        assert(b == truth(id), s"trial $trial cap=$capacity doc $id: $b != ${truth(id)}")
+      }
+    }
+  }
+
   test("Ann cosine + brute-force top-k on a tiny corpus") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
