@@ -641,9 +641,19 @@ object Ann {
     val spark = batch.sparkSession
     val idx = loadIvfPqIndex(spark, tablePrefix)
     val pmodel = new PqModel(spark.sparkContext.broadcast(idx.books))
+    // dimension guard IN the encode projection: a batch vector SHORTER
+    // than the trained dimension would otherwise assign a cell from a
+    // silent prefix distance (the kernel loops over the vector's length)
+    // — garbage codes in the index with no error. raise_error makes the
+    // mismatch loud at append time.
+    val d = idx.centroids(0).length
+    val vec = when(size(col(vecCol)) === d, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"appendToIvfPqIndex: index '$tablePrefix' was trained at dimension $d, batch vector has "),
+        size(col(vecCol)).cast("string"), lit(" elements"))))
     val encoded = batch.select(col(idCol).cast("long").as("neighbor_id"),
-      ColumnShim.column(NearestCell(ColumnShim.expression(col(vecCol)), idx.cmodel)).as("cell"),
-      ColumnShim.column(PqCodes(ColumnShim.expression(col(vecCol)), pmodel)).as("codes"))
+      ColumnShim.column(NearestCell(ColumnShim.expression(vec), idx.cmodel)).as("cell"),
+      ColumnShim.column(PqCodes(ColumnShim.expression(vec), pmodel)).as("codes"))
     val table = s"${tablePrefix}_codes"
     // insertInto is positional; saveAsTable moved the partition column last
     encoded.select(spark.table(table).columns.map(col).toIndexedSeq: _*)

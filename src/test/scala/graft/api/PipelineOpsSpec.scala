@@ -800,6 +800,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       val driftCell = Ann.loadIvfPqIndex(spark, "graft_spec_annhealth_idx")
         .encoded.filter($"neighbor_id" === 1000L).select("cell").head().getInt(0)
       assert(report(0).getInt(0) == driftCell)
+      // a wrong-dimension batch fails LOUD at append, not as silent
+      // prefix-distance garbage in the index
+      val badBatch = Seq((9999L, Array.tabulate(5)(_.toDouble)))
+        .toDF("vec_id", "embedding")
+      val e = intercept[Exception] {
+        Ann.appendToIvfPqIndex(badBatch, "graft_spec_annhealth_idx")
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("trained at dimension")), e.getMessage)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_spec_annhealth_idx_codes")
       spark.sql("DROP TABLE IF EXISTS graft_spec_annhealth_idx_model")
