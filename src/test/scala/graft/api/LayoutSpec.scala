@@ -52,5 +52,14 @@ class LayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Layout.compact(spark, "/tmp/x", "/tmp/x", 1024)
     }
+    // path ALIASES must be refused too — raw string equality would let a
+    // trailing slash or a relative spelling through, and mode("overwrite")
+    // would delete the input before reading it
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, "/tmp/x", "/tmp/x/", 1024)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, "/tmp/x/../x", "/tmp/x", 1024)
+    }
   }
 }

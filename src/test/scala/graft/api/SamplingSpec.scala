@@ -145,6 +145,14 @@ class SamplingSpec extends AnyFunSuite {
     equal.foreach { case (s, r) =>
       assert(math.abs(r - math.min(1.0, perSrc / bySrc(s))) < 1e-12)
     }
+    // a non-string source column fails with the real problem up front, not
+    // an opaque ClassCastException at collect time
+    val typeErr = intercept[IllegalArgumentException] {
+      Sampling.mixByTemperature(docs.select(col("doc_id"),
+          col("doc_id").as("source")), "source", "doc_id",
+        alpha = 0.5, targetRows = 10L, seed = 5L)
+    }
+    assert(typeErr.getMessage.contains("must be StringType"))
     // null-source rows get no allocation and are dropped, not crashed on
     import spark.implicits._
     val withNull = docs.select(col("doc_id"),
