@@ -127,8 +127,12 @@ object Packing {
     * corpus size or the length distribution's support. Rows with
     * tokens <= 0 are dropped (nothing to pack).
     *
-    * Returns (id, tokens, bin) — `bin` ids dense from 0 in stream order,
-    * so bin count = max(bin)+1 and per-bin fill is one groupBy away. */
+    * Returns (id, tokens, bin, bin_offset) — `bin` ids dense from 0 in
+    * stream order; `bin_offset` is the doc's token offset WITHIN its bin
+    * (stream order), i.e. exactly what a sequence assembler needs for
+    * position ids and attention-mask boundaries. The offset window
+    * partitions by bin — bins hold ≤ capacity docs, so every partition is
+    * tiny and the window parallelizes across the corpus/capacity bins. */
   def packDocsNextFit(df: DataFrame, idCol: String, tokensCol: Column,
                       capacity: Long, seed: Long, buckets: Int = 64): DataFrame = {
     require(capacity > 0 && capacity < Long.MaxValue,
@@ -216,13 +220,21 @@ object Packing {
     val schedule = segs.toSeq
       .map(g => (g.len, g.startRank, g.count, g.startBin, g.perBin))
       .toDF("seg_len", "seg_start", "seg_count", "seg_bin", "seg_per")
-    ranked
+    val assigned = ranked
       .join(broadcast(schedule), col("cls") === col("seg_len") &&
         col("rank") >= col("seg_start") &&
         col("rank") < col("seg_start") + col("seg_count"))
-      .select(col("id"), col("tokens"),
+      .select(col("id"), col("tokens"), col("cls"),
         // integer div, not `/` (which is double division on longs — exact
         // only below 2^53; div is exact at any rank)
         expr("CAST(seg_bin + (rank - seg_start) div seg_per AS BIGINT)").as("bin"))
+    // within-bin token offset in stream order (cls desc, score, id) — the
+    // per-bin exclusive prefix sum a sequence assembler consumes
+    val wBin = Window.partitionBy("bin")
+      .orderBy(col("cls").desc, Sampling.hashScore(col("id"), seed).asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    assigned
+      .withColumn("bin_offset", coalesce(sum(col("tokens")).over(wBin), lit(0L)))
+      .select("id", "tokens", "bin", "bin_offset")
   }
 }

@@ -570,22 +570,22 @@ class PipelineOpsSpec extends AnyFunSuite {
         Sampling.hashScore($"doc_id", seed).as("score"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy { case (id, len, score) => (-math.min(len, capacity + 1), score, id) }
-    val truth = scala.collection.mutable.Map.empty[Long, Long]
+    val truth = scala.collection.mutable.Map.empty[Long, (Long, Long)]
     var bin = -1L
     var rem = 0L
     stream.foreach { case (id, len, _) =>
       if (len > rem) { bin += 1; rem = capacity } // close, open fresh
-      truth(id) = bin
+      truth(id) = (bin, capacity - rem) // (bin, within-bin token offset)
       rem -= len // oversize drives rem negative -> next item opens a new bin
       if (rem < 0) rem = 0
     }
     for (buckets <- Seq(1, 7, 64)) {
       val got = Packing.packDocsNextFit(df, "doc_id", $"ntok", capacity,
           seed, buckets = buckets)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       assert(got.length == 300)
-      got.foreach { case (id, _, b) =>
-        assert(b == truth(id), s"doc $id: bin $b, truth ${truth(id)} (buckets=$buckets)")
+      got.foreach { case (id, _, b, off) =>
+        assert((b, off) == truth(id), s"doc $id: ($b, $off), truth ${truth(id)} (buckets=$buckets)")
       }
     }
     val packed = Packing.packDocsNextFit(df, "doc_id", $"ntok", capacity, seed)
@@ -627,20 +627,20 @@ class PipelineOpsSpec extends AnyFunSuite {
           Sampling.hashScore($"doc_id", seed).as("score"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy { case (id, len, score) => (-math.min(len, capacity + 1), score, id) }
-      val truth = scala.collection.mutable.Map.empty[Long, Long]
+      val truth = scala.collection.mutable.Map.empty[Long, (Long, Long)]
       var bin = -1L
       var rem = 0L
       stream.foreach { case (id, len, _) =>
         if (len > rem) { bin += 1; rem = capacity }
-        truth(id) = bin
+        truth(id) = (bin, capacity - rem)
         rem = math.max(0L, rem - len)
       }
       val got = Packing.packDocsNextFit(df, "doc_id", $"ntok", capacity, seed,
           buckets = 1 + rng.nextInt(16))
-        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
       assert(got.length == n)
-      got.foreach { case (id, b) =>
-        assert(b == truth(id), s"trial $trial cap=$capacity doc $id: $b != ${truth(id)}")
+      got.foreach { case (id, b, off) =>
+        assert((b, off) == truth(id), s"trial $trial cap=$capacity doc $id: ($b, $off) != ${truth(id)}")
       }
     }
   }

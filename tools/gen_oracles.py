@@ -1016,11 +1016,13 @@ def main(sf_dir, spark_dir):
         if t > nfd_rem:
             nfd_bin += 1
             nfd_rem = nfd_cap
-        nfd_rows.append((did, t, nfd_bin))
+        # bin_offset = tokens already placed in this bin (stream order)
+        nfd_rows.append((did, t, nfd_bin, nfd_cap - nfd_rem))
         nfd_rem = max(0, nfd_rem - t)  # oversize bin never tops off
     nfd_rows.sort()
     queries["pack_bins_nfd"] = (
-        ("id", "tokens", "bin"), ("BIGINT", "BIGINT", "BIGINT"),
+        ("id", "tokens", "bin", "bin_offset"),
+        ("BIGINT", "BIGINT", "BIGINT", "BIGINT"),
         nfd_rows, "id")
 
     # ---- dup_span_detect_bpe: exact-substring dedup spans over the BPE
