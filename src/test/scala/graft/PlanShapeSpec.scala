@@ -305,6 +305,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(distinctOverIds, s"pair distinct should carry ids+sim only:\n$plan")
   }
 
+  test("pack_bins_nfd: no single-partition data window (every Window has partition keys)") {
+    val plan = planOf("pack_bins_nfd")
+    // the NFD schedule needs three windows (class rank, class offsets,
+    // within-bin offsets) — each must carry a partitionBy, or one reducer
+    // would sort corpus-scale data (the exact shape packSequences' scaladoc
+    // warns about). An empty spec prints as "windowspecdefinition(<sort>"
+    // with no partition columns before the ordering.
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, s"expected window nodes:\n$plan")
+    windowLines.foreach { l =>
+      val spec = l.substring(l.indexOf("windowspecdefinition"))
+      // partition columns precede the first "ASC NULLS"/"DESC NULLS" sort key
+      val sortAt = spec.indexOf(" NULLS ")
+      assert(sortAt > 0, s"unparseable window spec: $l")
+      val beforeSort = spec.take(sortAt)
+      assert(beforeSort.count(_ == '#') >= 2,
+        s"window appears unpartitioned (single-reducer sort):\n$l\n$plan")
+    }
+  }
+
   test("multimodal decode stays inside codegen — no RDD drop-out") {
     // decode_media is a Catalyst expression: the whole feature/resize pass
     // must plan as a codegen'd projection over the parquet scan. The failure
