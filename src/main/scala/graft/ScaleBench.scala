@@ -248,12 +248,15 @@ object ScaleBench {
       // The corpus has 3 languages, so the window shuffles ALL ×k rows
       // into 3 hot partitions and sorts them; the heap aggregate folds
       // map-side and ships ≤ 100 entries per (lang, task). Same output.
-      // whole-doc NFD packing: one (tokens, bucket) window shuffle + a
-      // distinct-lengths histogram walk on the driver — claim: linear in
-      // rows, driver cost flat (lengths don't multiply with replicas)
+      // whole-doc NFD packing: the (class, bucket) rank window + the
+      // per-bin offset window + a capacity-bounded histogram walk on the
+      // driver — claim: linear in rows, driver cost flat. Forcing action
+      // sums bin_offset: a bare count() lets Catalyst ELIMINATE the
+      // offset window (the span_cut measurement trap again)
       "pack_nfd" -> { (k: Int) =>
         api.Packing.packDocsNextFit(docs(k), "doc_id",
-          size(split(trim(col("text")), "\\s+")).cast("long"), 256L, 21L).count()
+            size(split(trim(col("text")), "\\s+")).cast("long"), 256L, 21L)
+          .agg(sum(col("bin_offset")), count(lit(1))).head().getLong(1)
       },
       "topk_window" -> { (k: Int) =>
         val w = org.apache.spark.sql.expressions.Window
