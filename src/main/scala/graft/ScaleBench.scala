@@ -225,6 +225,13 @@ object ScaleBench {
       "dup_spans" -> { (k: Int) =>
         api.Dedup.dupSpans(docs(k), "doc_id", "text", width = 8).count()
       },
+      // Lee et al.'s full any-second-occurrence rule: same one-exchange
+      // aggregate as dup_spans with count>=2 instead of min!=max — claim:
+      // identical shape, output grows with intra-replica repeats
+      "dup_spans_within" -> { (k: Int) =>
+        api.Dedup.dupSpans(docs(k), "doc_id", "text", width = 8,
+          crossDocOnly = false).count()
+      },
       // the same mining through the byte-BPE tokenizer (token_count_bpe's
       // merge list): answers whether BPE tokenization turns the pass
       // CPU-bound — expected linear with a larger constant (the merge loop
