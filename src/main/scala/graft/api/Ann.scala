@@ -647,7 +647,11 @@ object Ann {
     // — garbage codes in the index with no error. raise_error makes the
     // mismatch loud at append time.
     val d = idx.centroids(0).length
-    val vec = when(size(col(vecCol)) === d, col(vecCol))
+    // explicit null branch: size(null) would make the concat (and so the
+    // whole raised message) null — a null batch vector must fail LOUD too
+    val vec = when(col(vecCol).isNull,
+        raise_error(lit(s"appendToIvfPqIndex: index '$tablePrefix' was trained at dimension $d, batch vector is NULL")))
+      .when(size(col(vecCol)) === d, col(vecCol))
       .otherwise(raise_error(concat(
         lit(s"appendToIvfPqIndex: index '$tablePrefix' was trained at dimension $d, batch vector has "),
         size(col(vecCol)).cast("string"), lit(" elements"))))

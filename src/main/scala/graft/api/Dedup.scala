@@ -227,6 +227,11 @@ object Dedup {
     * expressions see the post-cut text), or `drop = Seq("n_chars")` to
     * refuse to carry it at all. `recompute` keys may also introduce new
     * columns; a name in both `recompute` and `drop` is rejected.
+    * Recompute expressions MUST be independent of each other: all of them
+    * are applied in ONE projection, so each sees exactly the rewritten
+    * text plus the ORIGINAL columns — never another recomputed column's
+    * new value (an expression referencing a sibling recompute key reads
+    * that column's pre-recompute value, by contract, not by name order).
     * Span lookup joins only (doc_id → span list) — spans are sparse, the
     * join is broadcast-sized in practice, and the cut itself is a
     * per-row `filter` over the token array, codegen'd, no shuffle beyond
@@ -259,11 +264,11 @@ object Dedup {
       // match the fully-cut-doc convention (empty canonical stream)
       .withColumn(textCol, coalesce(array_join(keep, " "), lit("")))
       .drop("__toks", "__spans", "__span_doc")
-    // derived-column hygiene: re-derive AFTER the rewrite (expressions see
-    // the post-cut text), deterministically ordered for plan stability
-    val recomputed = recompute.toSeq.sortBy(_._1).foldLeft(cut) {
-      case (d, (name, e)) => d.withColumn(name, e)
-    }
+    // derived-column hygiene: re-derive AFTER the rewrite in a SINGLE
+    // projection — every expression sees the same input row (post-cut text
+    // + original columns), so evaluation can't depend on key order
+    val recomputed =
+      if (recompute.isEmpty) cut else cut.withColumns(recompute)
     if (drop.isEmpty) recomputed else recomputed.drop(drop: _*)
   }
 }

@@ -306,22 +306,25 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("pack_bins_nfd: no single-partition data window (every Window has partition keys)") {
-    val plan = planOf("pack_bins_nfd")
     // the NFD schedule needs three windows (class rank, class offsets,
     // within-bin offsets) — each must carry a partitionBy, or one reducer
     // would sort corpus-scale data (the exact shape packSequences' scaladoc
-    // warns about). An empty spec prints as "windowspecdefinition(<sort>"
-    // with no partition columns before the ordering.
-    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windowLines.nonEmpty, s"expected window nodes:\n$plan")
-    windowLines.foreach { l =>
-      val spec = l.substring(l.indexOf("windowspecdefinition"))
-      // partition columns precede the first "ASC NULLS"/"DESC NULLS" sort key
-      val sortAt = spec.indexOf(" NULLS ")
-      assert(sortAt > 0, s"unparseable window spec: $l")
-      val beforeSort = spec.take(sortAt)
-      assert(beforeSort.count(_ == '#') >= 2,
-        s"window appears unpartitioned (single-reducer sort):\n$l\n$plan")
+    // warns about). Checked STRUCTURALLY on the executed plan's Window exec
+    // nodes (a string heuristic over windowspecdefinition broke on
+    // multi-ref partition expressions and is Spark-version-fragile).
+    val exec = SparkEntry.queries("pack_bins_nfd")(spark, dir)
+      .queryExecution.executedPlan
+    def windowsIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windowsIn(a.executedPlan)
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+    }.flatten
+    val windows = windowsIn(exec)
+    assert(windows.nonEmpty, s"expected window nodes:\n$exec")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window (single-reducer sort): $w\n$exec")
     }
   }
 

@@ -29,6 +29,13 @@ class RocksDbStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
   private var saved: Option[String] = None
 
+  // SERIAL-EXECUTION ASSUMPTION: this suite mutates the SHARED session's
+  // state-store provider conf for its lifetime, which is safe only because
+  // sbt runs forked suites serially (`testForkedParallel` defaults false and
+  // build.sbt does not override it). If suite-level parallelism is ever
+  // enabled, a concurrently running streaming suite would silently execute
+  // under RocksDB (or race the afterAll restore) — switch this suite to a
+  // dedicated SparkSession.newSession() with the provider set there instead.
   override def beforeAll(): Unit = {
     super.beforeAll()
     saved = spark.conf.getOption(ProviderKey)
