@@ -133,18 +133,7 @@ object Dedup {
                tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                  Tokenizers.asciiWords,
                crossDocOnly: Boolean = true): DataFrame = {
-    require(width >= 2, s"width must be >= 2 tokens, got $width")
-    val w = lit(width)
-    val toks = tokenize(col(textCol))
-    // sequence(0, n-width) needs n >= width: a shorter doc has no window
-    // (and sequence() with start > stop would count DOWN, not return empty)
-    val grams = (if (spreadInput) SparkEnv.spread(df) else df)
-      .select(col(idCol).cast("long").as("doc_id"), toks.as("__toks"))
-      .filter(size(col("__toks")) >= width)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("__toks")) - w),
-          i => xxhash64(array_join(slice(col("__toks"), i + 1, w), " ")))))
-      .withColumnRenamed("col", "gh")
+    val grams = gramHashes(df, idCol, textCol, width, spreadInput, tokenize)
     // crossDocOnly: a gram duplicates iff >= 2 distinct docs contain it,
     // i.e. min(doc_id) != max(doc_id) — no distinct, no Expand.
     // crossDocOnly = false is Lee et al.'s actual rule — ANY second
@@ -162,7 +151,39 @@ object Dedup {
        else gramAgg.filter(col("__n") >= 2))
         .select("gh")
     val flagged = grams.join(dupHashes, Seq("gh"), "left_semi")
-      .select(col("doc_id"), col("pos"), (col("pos") + w - 1).as("fin"))
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
+    mergeIslands(flagged)
+  }
+
+  /** The `width`-gram hash stream of a corpus: one row per token window,
+    * `(doc_id, pos, gh)` with `gh = xxhash64` of the space-joined window —
+    * the shared front half of [[dupSpans]] and
+    * [[Contamination.contaminatedSpans]]. Fixed-width triples, computed in
+    * the scan's codegen span; everything downstream decides what "flagged"
+    * means. */
+  private[api] def gramHashes(df: DataFrame, idCol: String, textCol: String,
+                              width: Int, spreadInput: Boolean,
+                              tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    require(width >= 2, s"width must be >= 2 tokens, got $width")
+    val w = lit(width)
+    val toks = tokenize(col(textCol))
+    // sequence(0, n-width) needs n >= width: a shorter doc has no window
+    // (and sequence() with start > stop would count DOWN, not return empty)
+    (if (spreadInput) SparkEnv.spread(df) else df)
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= width)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - w),
+          i => xxhash64(array_join(slice(col("__toks"), i + 1, w), " ")))))
+      .withColumnRenamed("col", "gh")
+  }
+
+  /** Merge flagged token windows `(doc_id, pos, fin)` into maximal spans
+    * `(doc_id, span_start, span_end, n_tokens)` — the gaps-and-islands back
+    * half shared by every span-flagging rule. Parallel across docs; state
+    * bounded by flagged windows per doc (sparse). */
+  private[api] def mergeIslands(flagged: DataFrame): DataFrame = {
     // gaps-and-islands per doc: a window starting past the running max end
     // + 1 opens a new span (== end+1 is contiguous token coverage → merge)
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
@@ -194,12 +215,31 @@ object Dedup {
                    spreadInput: Boolean = true,
                    tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                      Tokenizers.asciiWords,
-                   crossDocOnly: Boolean = true): DataFrame = {
+                   crossDocOnly: Boolean = true): DataFrame =
+    spanStats(df,
+      dupSpans(df, idCol, textCol, width, spreadInput, tokenize, crossDocOnly),
+      idCol, textCol, groupCol, spreadInput, tokenize)
+
+  /** [[dupSpanStats]] over a PRE-COMPUTED spans DataFrame (any frame with
+    * `doc_id` + `n_tokens` per span — [[dupSpans]],
+    * [[Contamination.contaminatedSpans]], or a persisted span table).
+    * Span mining is the expensive pass of the family; a standard
+    * detect → report → cut → report-after pipeline that calls the
+    * re-mining signatures pays it FOUR times, while `spans =
+    * dupSpans(...).persist()` fed here and to [[cutSpans]] pays it once
+    * (persist or write the spans out — an unpersisted lazy plan re-mines
+    * on every action, which is exactly what this overload exists to
+    * avoid). */
+  def spanStats(df: DataFrame, spans: DataFrame, idCol: String,
+                textCol: String, groupCol: String,
+                spreadInput: Boolean = true,
+                tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                  Tokenizers.asciiWords): DataFrame = {
     val toks = tokenize(col(textCol))
     val docs = (if (spreadInput) SparkEnv.spread(df) else df)
       .select(col(idCol).cast("long").as("doc_id"), col(groupCol).as("grp"),
         size(toks).cast("long").as("n_toks"))
-    val perDoc = dupSpans(df, idCol, textCol, width, spreadInput, tokenize, crossDocOnly)
+    val perDoc = spans
       .groupBy("doc_id")
       .agg(sum("n_tokens").as("dup_toks"), count(lit(1)).as("n_spans"))
     docs.join(perDoc, Seq("doc_id"), "left")
@@ -242,13 +282,30 @@ object Dedup {
                     Tokenizers.asciiWords,
                   recompute: Map[String, org.apache.spark.sql.Column] = Map.empty,
                   drop: Seq[String] = Nil,
-                  crossDocOnly: Boolean = true): DataFrame = {
+                  crossDocOnly: Boolean = true): DataFrame =
+    cutSpans(df,
+      dupSpans(df, idCol, textCol, width, spreadInput, tokenize, crossDocOnly),
+      idCol, textCol, spreadInput, tokenize, recompute, drop)
+
+  /** [[cutDupSpans]] over a PRE-COMPUTED spans DataFrame (`doc_id`,
+    * `span_start`, `span_end` — inclusive 0-based token indices over the
+    * stream `tokenize` produces, which must therefore be the SAME
+    * tokenizer the spans were mined with). The materialized-span half of
+    * the one-mining-pass pipeline ([[spanStats]] scaladoc); also the cut
+    * stage for span sources other than [[dupSpans]] — e.g.
+    * [[Contamination.contaminatedSpans]]' benchmark-overlap spans. */
+  def cutSpans(df: DataFrame, spansDf: DataFrame, idCol: String,
+               textCol: String, spreadInput: Boolean = true,
+               tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                 Tokenizers.asciiWords,
+               recompute: Map[String, org.apache.spark.sql.Column] = Map.empty,
+               drop: Seq[String] = Nil): DataFrame = {
     val overlap = recompute.keySet.intersect(drop.toSet)
     require(overlap.isEmpty,
       s"columns listed in both recompute and drop: ${overlap.mkString(", ")}")
     require(!recompute.contains(textCol) && !drop.contains(textCol),
       s"'$textCol' is the rewrite target — it cannot be recomputed or dropped")
-    val spans = dupSpans(df, idCol, textCol, width, spreadInput, tokenize, crossDocOnly)
+    val spans = spansDf
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
       .withColumnRenamed("doc_id", "__span_doc")

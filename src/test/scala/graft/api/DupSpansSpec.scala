@@ -285,12 +285,12 @@ class DupSpansSpec extends AnyFunSuite {
   test("unicodeWords tokenizer: digits, accents and per-char CJK are tokens") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val df = Seq((1L, "Héllo World 42 naïve 数据去重 123 café-test"))
+    val df = Seq((1L, "H\u00e9llo World 42 na\u00efve \u6570\u636e\u53bb\u91cd 123 caf\u00e9-test"))
       .toDF("doc_id", "text")
     val toks = df.select(Tokenizers.unicodeWords(col("text")).as("t"))
       .head().getSeq[String](0)
-    assert(toks == Seq("héllo", "world", "42", "naïve",
-      "数", "据", "去", "重", "123", "café", "test"))
+    assert(toks == Seq("h\u00e9llo", "world", "42", "na\u00efve",
+      "\u6570", "\u636e", "\u53bb", "\u91cd", "123", "caf\u00e9", "test"))
     // the ASCII tokenizer is blind to all of the above except pure runs
     val ascii = df.select(Tokenizers.asciiWords(col("text")).as("t"))
       .head().getSeq[String](0)
@@ -300,7 +300,7 @@ class DupSpansSpec extends AnyFunSuite {
   test("dupSpans through the unicode tokenizer finds spans ASCII mode cannot") {
     import spark.implicits._
     // shared window is all digits+CJK — zero tokens under asciiWords
-    val shared = "1 2 3 4 数据去重" // 8 tokens under unicodeWords
+    val shared = "1 2 3 4 \u6570\u636e\u53bb\u91cd" // 8 tokens under unicodeWords
     val df = Seq(
       (1L, s"alpha beta $shared"),
       (2L, s"$shared gamma delta epsilon zeta eta theta iota kappa"))
@@ -355,5 +355,85 @@ class DupSpansSpec extends AnyFunSuite {
         tokenize = Tokenizers.bpe(merges))
       .collect()
     assert(got.nonEmpty)
+  }
+
+  test("NFD-vs-NFC spellings: only the NFC-canonicalizing tokenizer sees the cross-doc span") {
+    import spark.implicits._
+    // the same eight accented words, decomposed (NFD) vs precomposed
+    // (NFC) — identical on screen, different code-point streams
+    val nfd = "cafe\u0301 re\u0301sume\u0301 nai\u0308ve de\u0301ja\u0300 " +
+      "sen\u0303or jalapen\u0303o cre\u0300me bru\u0302le\u0301e"
+    val nfc = "caf\u00e9 r\u00e9sum\u00e9 na\u00efve d\u00e9j\u00e0 " +
+      "se\u00f1or jalape\u00f1o cr\u00e8me br\u00fbl\u00e9e"
+    val df = Seq((1L, nfd), (2L, nfc)).toDF("doc_id", "text")
+    val plain = Dedup.dupSpans(df, "doc_id", "text", width = 8,
+      tokenize = Tokenizers.unicodeWords).collect()
+    assert(plain.isEmpty,
+      "without canonicalization the spellings must not gram-match")
+    val norm = Dedup.dupSpans(df, "doc_id", "text", width = 8,
+        tokenize = Tokenizers.unicodeWordsNFC)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(norm.toSeq == Seq((1L, 0L, 7L, 8L), (2L, 0L, 7L, 8L)))
+  }
+
+  test("materialized-span overloads match the re-mining signatures") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta eps zeta eta theta"
+    val df = Seq(
+      (1L, s"${toks(3, "u")} $shared ${toks(3, "v")}", "a"),
+      (2L, s"$shared ${toks(5, "w")}", "a"),
+      (3L, toks(12, "z"), "b"))
+      .toDF("doc_id", "text", "source")
+    val spansDf = Dedup.dupSpans(df, "doc_id", "text", width = 4)
+    val statsVia = Dedup.spanStats(df, spansDf, "doc_id", "text", "source")
+      .orderBy("source").collect().toSeq
+    val statsDirect = Dedup.dupSpanStats(df, "doc_id", "text", "source", width = 4)
+      .orderBy("source").collect().toSeq
+    assert(statsVia == statsDirect)
+    val cutVia = Dedup.cutSpans(df, spansDf, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id", "text", "source").collect().toSeq
+    val cutDirect = Dedup.cutDupSpans(df, "doc_id", "text", width = 4)
+      .orderBy("doc_id").select("doc_id", "text", "source").collect().toSeq
+    assert(cutVia == cutDirect)
+  }
+
+  test("persisted spans: the composed stats+cut pipeline mines grams once") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta"
+    val df = Seq(
+      (1L, s"${toks(3, "u")} $shared", "a"),
+      (2L, s"$shared ${toks(4, "w")}", "a"))
+      .toDF("doc_id", "text", "source")
+    val spansDf = Dedup.dupSpans(df, "doc_id", "text", width = 4).persist()
+    try {
+      spansDf.count() // materialize — downstream plans read the cache
+      // gram mining's signature is the xxhash64-over-token-windows
+      // generate; a cached-span consumer must read an InMemoryTableScan
+      // and run NO gram explode of its own (the one-mining-pass
+      // contract). Walked structurally, STOPPING at the cache boundary —
+      // InMemoryRelation's printed description embeds the original mining
+      // plan, so a string search would false-positive on it.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def liveNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case c: InMemoryTableScanExec => Seq(c) // don't descend into the cache
+        case a: AdaptiveSparkPlanExec => liveNodes(a.executedPlan)
+        case s: QueryStageExec => liveNodes(s.plan)
+        case _ => p +: p.children.flatMap(liveNodes)
+      }
+      for (consumer <- Seq(
+          Dedup.cutSpans(df, spansDf, "doc_id", "text"),
+          Dedup.spanStats(df, spansDf, "doc_id", "text", "source"))) {
+        consumer.collect()
+        val nodes = liveNodes(consumer.queryExecution.executedPlan)
+        assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+          s"consumer should read the persisted spans:\n${consumer.queryExecution.executedPlan}")
+        assert(!nodes.exists(n => n.nodeName.contains("Generate") &&
+            n.expressions.exists(_.toString.contains("xxhash64"))),
+          s"consumer must not re-mine grams:\n${consumer.queryExecution.executedPlan}")
+      }
+    } finally spansDf.unpersist()
   }
 }
