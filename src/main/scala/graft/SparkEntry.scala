@@ -45,6 +45,45 @@ object SparkEntry {
         lit(" 42 na\u00efve \u6570\u636e\u53bb\u91cd 123 d\u00e9j\u00e0 vu"))
         .as("text"))
 
+  /** The NFC-tokenizer gate's fixture: docs 0 and 1 carry the SAME
+    * nine-word accented suffix — doc 0 in NFD (decomposed combining
+    * marks), doc 1 in NFC — the normal state of web text, where the two
+    * spellings render identically but tokenize to different code-point
+    * streams. Only an NFC-canonicalizing tokenizer can see the cross-doc
+    * duplicate between them (spec-pinned: plain unicodeWords provably
+    * finds no span there). Escaped \\uXXXX so the source encoding can
+    * never silently re-normalize the fixture. */
+  private val NfcSuffix = " caf\u00e9 r\u00e9sum\u00e9 na\u00efve d\u00e9j\u00e0 " +
+    "se\u00f1or jalape\u00f1o cr\u00e8me br\u00fbl\u00e9e fianc\u00e9e"
+  private val NfdSuffix = " cafe\u0301 re\u0301sume\u0301 nai\u0308ve de\u0301ja\u0300 " +
+    "sen\u0303or jalapen\u0303o cre\u0300me bru\u0302le\u0301e fiance\u0301e"
+  private def mixedNormDocs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") === 0, concat(col("text"), lit(NfdSuffix)))
+        .when(col("doc_id") === 1, concat(col("text"), lit(NfcSuffix)))
+        .otherwise(col("text")).as("text"))
+
+  /** The contamination-span gates' fixture: a DISJOINT (corpus, benchmark)
+    * split of `documents` (doc_id % 50), with a 10-token passage appended
+    * to every benchmark doc AND planted into corpus docs with doc_id % 7
+    * = 3 — a known benchmark leak in ~1/7 of the corpus, on top of
+    * whatever organic overlap the fixture's planted duplicates already
+    * straddle. Lowercase a-z tokens only, so the ascii tokenizer sees all
+    * ten. Mirrored verbatim in the oracle SQL. */
+  private val ContamPassage =
+    "zebra quagga okapi tapir gnu eland kudu oryx saiga argali"
+  private def contamSpanFixture(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = load(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" " + ContamPassage)).as("text"))
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" " + ContamPassage)))
+          .otherwise(col("text")).as("text"))
+    (corpus, bench)
+  }
+
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) (readable only as a
     * long under the legacy conf) and TIMESTAMP(MICROS) (read as
     * TIMESTAMP_NTZ) across driver rounds; normalize either to a micros
@@ -540,6 +579,18 @@ object SparkEntry {
     "dup_span_detect_bpe" -> ((s, dir) => {
       graft.api.Dedup.dupSpans(load(s, dir, "documents"), "doc_id", "text",
           width = 8, tokenize = graft.api.Tokenizers.bpe(BpeMerges))
+        .orderBy("doc_id", "span_start")
+    }),
+    // The normalization-form gate: docs 0/1 share a 9-word accented suffix
+    // spelled in NFD vs NFC (mixedNormDocs — the normal state of web
+    // text). Tokenizers.unicodeWordsNFC canonicalizes first, so the
+    // cross-pair span IS detected (spec-pinned: plain unicodeWords finds
+    // no span there). Oracle: DuckDB nfc_normalize + the identical RE2
+    // two-step — UAX #15 stability across Unicode versions is what makes
+    // the cross-engine pin fair (same argument as the normalize_nfc gate).
+    "dup_span_detect_nfc" -> ((s, dir) => {
+      graft.api.Dedup.dupSpans(mixedNormDocs(s, dir), "doc_id", "text",
+          width = 8, tokenize = graft.api.Tokenizers.unicodeWordsNFC)
         .orderBy("doc_id", "span_start")
     }),
     "dedup_near_window" -> ((s, dir) => {
@@ -1589,6 +1640,28 @@ object SparkEntry {
             Some(s.conf.get("spark.sql.shuffle.partitions").toInt))
         .orderBy("doc_id", "bench_id")
     }),
+    // Token-SPAN-level decontamination (Contamination.contaminatedSpans):
+    // flag corpus token spans whose 8-gram occurs anywhere in the benchmark
+    // set, then CUT them (the production edit — doc-level drop loses the
+    // unique remainder). Fixture: benchmark = docs with doc_id%50=0 plus a
+    // 10-token passage; corpus = the rest, with the same passage planted
+    // into docs with doc_id%7=3 (so ~1/7 of the corpus carries a known
+    // benchmark span) — both derivations are plain SQL, so DuckDB
+    // re-derives spans from the raw text with the identical tokenizer
+    // (grams by STRING vs Spark's xxhash64: collisions would surface).
+    "contamination_span_detect" -> ((s, dir) => {
+      val (corpus, bench) = contamSpanFixture(s, dir)
+      graft.api.Contamination.contaminatedSpans(corpus, bench, "doc_id",
+          "text", width = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+    "contamination_span_cut" -> ((s, dir) => {
+      val (corpus, bench) = contamSpanFixture(s, dir)
+      graft.api.Contamination.cutContaminatedSpans(corpus, bench, "doc_id",
+          "text", width = 8)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // Embedding-level decontamination: the semantic complement of
     // contamination_check — flag corpus vectors within cosine 0.25 of any
     // benchmark vector (hash-sampled 2%, same deterministic draw). The
@@ -1996,6 +2069,78 @@ object SparkEntry {
     // pure pre-filter, so both plans answer to the same pinned oracle
     "contamination_bloom" -> valuesOracle("contamination_check"),
     "contamination_embed" -> valuesOracle("contamination_embed"),
+    // Token-span decontamination: full cross-engine re-derivation — the
+    // corpus/bench split and planted passage are plain SQL, grams keyed by
+    // STRING (vs Spark's xxhash64), flagged = corpus gram IN bench grams,
+    // same gaps-and-islands merge as dup_span_detect.
+    "contamination_span_detect" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 3
+        |    THEN text || ' zebra quagga okapi tapir gnu eland kudu oryx saiga argali'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT doc_id, text || ' zebra quagga okapi tapir gnu eland kudu oryx saiga argali' AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |clists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+        |  FROM corpus),
+        |blists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+        |  FROM bench),
+        |cgrams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM clists)),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT unnest(generate_series(1, len(l) - 7)) AS i, l FROM blists)),
+        |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
+        |            FROM cgrams g WHERE g.gram IN (SELECT gram FROM bgrams)),
+        |isl AS (
+        |  SELECT doc_id, pos, fin,
+        |    CASE WHEN pos > coalesce(max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM flagged),
+        |isl2 AS (SELECT doc_id, pos, fin,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(fin) AS BIGINT) AS span_end,
+        |       CAST(max(fin) - min(pos) + 1 AS BIGINT) AS n_tokens
+        |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "contamination_span_cut" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 3
+        |    THEN text || ' zebra quagga okapi tapir gnu eland kudu oryx saiga argali'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT doc_id, text || ' zebra quagga okapi tapir gnu eland kudu oryx saiga argali' AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |clists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+        |  FROM corpus),
+        |blists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+        |  FROM bench),
+        |toks AS (
+        |  SELECT doc_id, i - 1 AS pos, l[i] AS tok
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM clists)),
+        |cgrams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM clists)),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT unnest(generate_series(1, len(l) - 7)) AS i, l FROM blists)),
+        |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
+        |            FROM cgrams g WHERE g.gram IN (SELECT gram FROM bgrams)),
+        |kept AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS text
+        |  FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM flagged f
+        |                    WHERE f.doc_id = t.doc_id AND t.pos BETWEEN f.pos AND f.fin)
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(k.text, '') AS text
+        |FROM corpus d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "semantic_dedup" -> valuesOracle("semantic_dedup"),
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),
@@ -2476,6 +2621,36 @@ object SparkEntry {
     // BPE-token span mining: tokens+spans re-derived in Python from the
     // same merge list (gen_oracles.py), grams keyed by token-tuple content
     "dup_span_detect_bpe" -> valuesOracle("dup_span_detect_bpe"),
+    // NFC-canonicalizing tokenizer over the mixed-normalization fixture:
+    // DuckDB nfc_normalize first, then the identical two-step tokenizer
+    "dup_span_detect_nfc" ->
+      """WITH src AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id = 0 THEN text || ' cafe\u0301 re\u0301sume\u0301 nai\u0308ve de\u0301ja\u0300 sen\u0303or jalapen\u0303o cre\u0300me bru\u0302le\u0301e fiance\u0301e'
+        |    WHEN doc_id = 1 THEN text || ' caf\u00e9 r\u00e9sum\u00e9 na\u00efve d\u00e9j\u00e0 se\u00f1or jalape\u00f1o cr\u00e8me br\u00fbl\u00e9e fianc\u00e9e'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |lists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |           regexp_replace(lower(nfc_normalize(text)), '(\p{Han})', ' \1 ', 'g'),
+        |           '[^\p{L}\p{N}]+'), x -> x <> '') AS l
+        |  FROM src),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM lists)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
+        |            FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos, fin,
+        |    CASE WHEN pos > coalesce(max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM flagged),
+        |isl2 AS (SELECT doc_id, pos, fin,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(fin) AS BIGINT) AS span_end,
+        |       CAST(max(fin) - min(pos) + 1 AS BIGINT) AS n_tokens
+        |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
     // Ground-truth oracle: brute-force all-pairs exact 4-gram Jaccard. The
     // LSH path must emit exactly this set — at the planted-dup sim floor
     // (0.93 at sf0.01) the 8-band/3-row miss probability is ~2.6e-6 per pair

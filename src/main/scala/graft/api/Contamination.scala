@@ -135,6 +135,67 @@ object Contamination {
     corpus.join(flagged, corpus(idCol) === flagged("doc_id"), "left_anti")
   }
 
+  /** Token-SPAN-level decontamination — the cross-corpus variant of
+    * [[Dedup.dupSpans]], and the edit real pipelines run before training:
+    * a corpus token position is flagged when some `width`-token window
+    * covering it occurs ANYWHERE in the benchmark set; flagged windows
+    * merge into maximal spans `(doc_id, span_start, span_end, n_tokens)`.
+    * Where [[removeContaminated]] drops the whole document (losing the
+    * unique remainder — the same argument [[Dedup.cutDupSpans]]'s scaladoc
+    * makes against doc-level drops), these spans feed [[Dedup.cutSpans]]
+    * to excise ONLY the benchmark-overlapping text: a doc quoting one
+    * eval question keeps everything else.
+    *
+    * Shape: the corpus side is [[Dedup.gramHashes]]' fixed-width
+    * `(doc_id, pos, gh)` triples computed in the scan's codegen span; the
+    * benchmark's DISTINCT gram hashes (its only exchange — bounded by
+    * benchmark size, tiny against a 100 TB corpus) build the semi-join
+    * hash table, which Spark broadcasts at real benchmark sizes — so the
+    * corpus is flagged WITHOUT shuffling it, and the only corpus-keyed
+    * exchange is the island merge over flagged positions (sparse —
+    * bounded by actual contamination, not corpus size). Token identity is
+    * whatever `tokenize` produces, same seam as the dup-span family — mine
+    * benchmark and corpus with the SAME tokenizer or grams never match.
+    *
+    * CONTRACT: corpus and benchmark must be DISJOINT document sets. Unlike
+    * [[sharedNgrams]], the flagging rule keeps no benchmark identity to
+    * self-exclude with — a benchmark hosted inside the corpus table must
+    * be anti-joined out of the corpus side first, or every benchmark doc
+    * flags itself end-to-end. */
+  def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, width: Int,
+                        spreadInput: Boolean = true,
+                        tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                          Tokenizers.asciiWords): DataFrame = {
+    val corpusGrams = Dedup.gramHashes(corpus, idCol, textCol, width, spreadInput, tokenize)
+    val benchHashes = Dedup.gramHashes(benchmark, idCol, textCol, width,
+        spreadInput = false, tokenize)
+      .select("gh").distinct()
+    val flagged = corpusGrams
+      .join(broadcast(benchHashes), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
+    Dedup.mergeIslands(flagged)
+  }
+
+  /** The corpus with [[contaminatedSpans]] applied destructively via
+    * [[Dedup.cutSpans]]: benchmark-overlapping token spans cut, text
+    * rebuilt as the kept tokens' canonical single-space stream, every
+    * document surviving. Same `recompute`/`drop` derived-column hygiene
+    * as [[Dedup.cutDupSpans]]. Two corpus passes (flag + cut), each
+    * pipelined in the scan; persist the spans and call the two stages
+    * yourself when the pipeline also wants a before/after
+    * [[Dedup.spanStats]] report. */
+  def cutContaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String, width: Int,
+                           spreadInput: Boolean = true,
+                           tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                             Tokenizers.asciiWords,
+                           recompute: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                           drop: Seq[String] = Nil): DataFrame =
+    Dedup.cutSpans(corpus,
+      contaminatedSpans(corpus, benchmark, idCol, textCol, width, spreadInput, tokenize),
+      idCol, textCol, spreadInput, tokenize, recompute, drop)
+
   /** Embedding-level decontamination, the semantic complement of
     * [[sharedNgrams]]: n-gram matching misses paraphrases and translations;
     * cosine similarity over embeddings catches them. Emits

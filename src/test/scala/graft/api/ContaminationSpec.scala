@@ -88,4 +88,49 @@ class ContaminationSpec extends AnyFunSuite {
     assert(exactJoinAt >= 0 && exactJoinAt < probeAt,
       s"exact join must consume the bloom-pruned stream:\n$plan")
   }
+
+  test("contaminatedSpans excises a planted benchmark paragraph, the remainder survives") {
+    import spark.implicits._
+    // letters only — digits are separators under the [^a-z]+ tokenizer
+    def words(n: Int, tag: String): String =
+      (0 until n).map(i => s"$tag${('a' + i % 26).toChar}").mkString(" ")
+    val benchPara = "zebra quagga okapi tapir gnu eland kudu oryx"
+    val uniqueHead = words(6, "head")
+    val uniqueTail = words(5, "tail")
+    val corpus = Seq(
+      (1L, s"$uniqueHead $benchPara $uniqueTail"), // leak mid-document
+      (2L, words(20, "clean")))                    // no benchmark content
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"${words(4, "bq")} $benchPara ${words(3, "bt")}"))
+      .toDF("doc_id", "text")
+    val spans = Contamination.contaminatedSpans(corpus, bench, "doc_id",
+        "text", width = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly the 8-token paragraph in doc 1 (positions 6..13), nothing else
+    assert(spans.toSeq == Seq((1L, 6L, 13L)))
+    val cut = Contamination.cutContaminatedSpans(corpus, bench, "doc_id",
+        "text", width = 4)
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(cut(0) == s"$uniqueHead $uniqueTail",
+      "the unique remainder must survive the cut")
+    assert(cut(1) == words(20, "clean"),
+      "a clean doc passes through as its canonical token stream")
+  }
+
+  test("contaminatedSpans: corpus flags without shuffling (benchmark grams broadcast)") {
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val df = Contamination.contaminatedSpans(corpus, bench, "doc_id", "text",
+      width = 8, spreadInput = false)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench gram set must broadcast into the semi-join:\n$plan")
+    // the corpus gram stream must not be exchange-partitioned for the
+    // flagging join (a sort-merge semi-join would shuffle BOTH sides on
+    // gh); the bench side's distinct legitimately exchanges on gh once,
+    // bounded by benchmark size, under the broadcast
+    assert(!plan.contains("SortMergeJoin"),
+      s"flagging must not sort-merge (corpus-side gh shuffle):\n$plan")
+  }
 }
