@@ -328,4 +328,58 @@ object Dedup {
       if (recompute.isEmpty) cut else cut.withColumns(recompute)
     if (drop.isEmpty) recomputed else recomputed.drop(drop: _*)
   }
+
+  /** [[cutSpans]] for spans mined under a BPE tokenizer
+    * ([[Tokenizers.bpe]]): the word-tokenizer cut rebuilds text by
+    * space-joining kept TOKENS, which under byte-level BPE yields token
+    * soup — this variant rebuilds at the BYTE level
+    * ([[graft.functions.bpe_cut]]: within-word byte concat, single space
+    * between surviving words), so the Lee-et-al-faithful detector and the
+    * destructive edit share ONE token identity end to end. `merges` must
+    * be the SAME list the spans were mined with — flat-stream token
+    * indices are only meaningful under the tokenizer that produced them.
+    * Same join shape, null-text convention and `recompute`/`drop`
+    * hygiene as [[cutSpans]]. */
+  def cutSpansBpe(df: DataFrame, spansDf: DataFrame, idCol: String,
+                  textCol: String, merges: Seq[(String, String)],
+                  spreadInput: Boolean = true,
+                  recompute: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                  drop: Seq[String] = Nil): DataFrame = {
+    val overlap = recompute.keySet.intersect(drop.toSet)
+    require(overlap.isEmpty,
+      s"columns listed in both recompute and drop: ${overlap.mkString(", ")}")
+    require(!recompute.contains(textCol) && !drop.contains(textCol),
+      s"'$textCol' is the rewrite target — it cannot be recomputed or dropped")
+    val spans = spansDf
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+      .withColumnRenamed("doc_id", "__span_doc")
+    val cut = (if (spreadInput) SparkEnv.spread(df) else df)
+      .join(spans, df(idCol).cast("long") === spans("__span_doc"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      // null-text rows rebuild as '' (the fully-cut-doc convention)
+      .withColumn(textCol, coalesce(
+        graft.functions.bpe_cut(col(textCol), col("__spans"), merges), lit("")))
+      .drop("__spans", "__span_doc")
+    val recomputed =
+      if (recompute.isEmpty) cut else cut.withColumns(recompute)
+    if (drop.isEmpty) recomputed else recomputed.drop(drop: _*)
+  }
+
+  /** [[cutDupSpans]] under BPE token identity: mine with
+    * [[Tokenizers.bpe]]`(merges)`, cut with the byte-level rebuild
+    * ([[cutSpansBpe]]) — detection and destruction share the tokenizer,
+    * closing the round-11 gap where the faithful BPE detector could only
+    * drive a word-level (token-soup) rewrite. */
+  def cutDupSpansBpe(df: DataFrame, idCol: String, textCol: String,
+                     width: Int, merges: Seq[(String, String)],
+                     spreadInput: Boolean = true,
+                     recompute: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                     drop: Seq[String] = Nil,
+                     crossDocOnly: Boolean = true): DataFrame =
+    cutSpansBpe(df,
+      dupSpans(df, idCol, textCol, width, spreadInput,
+        Tokenizers.bpe(merges), crossDocOnly),
+      idCol, textCol, merges, spreadInput, recompute, drop)
 }

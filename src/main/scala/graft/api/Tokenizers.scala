@@ -24,16 +24,23 @@ object Tokenizers {
 
   /** Unicode word tokenizer: lowercase; tokens are maximal runs of Unicode
     * letters+digits (`\p{L}\p{N}` — accented Latin, Greek, Cyrillic,
-    * Arabic, digits all survive), EXCEPT Han ideographs, which become one
-    * token per character (CJK has no space boundaries — per-character
-    * tokens are what make fixed-width grams meaningful there, the same
-    * granularity CJK IR systems default to). Implementation: space-pad
-    * every Han char, then split on non-letter/digit runs — both steps are
-    * plain Java-regex built-ins, and the identical two-step is expressible
-    * in DuckDB RE2 (`\p{Han}` / `[^\p{L}\p{N}]`), which is what lets the
-    * driver gate verify this tokenizer cross-engine. */
+    * Arabic, digits all survive), EXCEPT the scripts written WITHOUT space
+    * boundaries — Han ideographs, Japanese kana, Hangul and Thai — which
+    * become one token per character (per-character tokens are what make
+    * fixed-width grams meaningful where no delimiter exists, the same
+    * granularity CJK IR systems default to; Korean prose does space-break,
+    * but agglutinated particles make per-syllable grams the robust
+    * choice). Thai combining vowel/tone marks are category Mn, so the
+    * split step drops them — a gram identity over base characters,
+    * identical in both engines. Implementation: space-pad every
+    * no-boundary-script char, then split on non-letter/digit runs — both
+    * steps are plain Java-regex built-ins, and the identical two-step is
+    * expressible in DuckDB RE2 (script classes `\p{Han}\p{Hiragana}` etc.
+    * / `[^\p{L}\p{N}]`), which is what lets the driver gate verify this
+    * tokenizer cross-engine. */
   val unicodeWords: Column => Column =
-    c => filter(split(regexp_replace(lower(c), "(\\p{IsHan})", " $1 "),
+    c => filter(split(regexp_replace(lower(c),
+      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}\\p{IsThai}])", " $1 "),
       "[^\\p{L}\\p{N}]+"), t => t =!= lit(""))
 
   /** [[unicodeWords]] with NFC canonicalization first
@@ -52,10 +59,10 @@ object Tokenizers {
     * token itself (the dup-span operators hash space-joined token windows,
     * so any array<string> stream plugs in, and BPE tokens never contain
     * whitespace). Detection over BPE tokens matches how Lee et al.
-    * actually run the pass; note [[Dedup.cutDupSpans]]' rebuilt text under
-    * this tokenizer is the space-joined token stream, not prose — use it
-    * for span DETECTION and stats, and cut with a word tokenizer when the
-    * output must be text. */
+    * actually run the pass. Cut with [[Dedup.cutSpansBpe]] /
+    * [[Dedup.cutDupSpansBpe]] (byte-level detokenizing rebuild) — the
+    * generic word-tokenizer cut would space-join byte tokens into token
+    * soup. */
   def bpe(merges: Seq[(String, String)]): Column => Column =
     c => graft.functions.bpe_tokens(c, merges)
 }

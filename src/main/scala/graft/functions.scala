@@ -144,6 +144,14 @@ object functions {
   def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeTokens(col2expr(text), new BpeRanks(merges)))
 
+  /** Byte-level detokenizing span cut under the same merge list: drop the
+    * flagged flat-stream BPE token indices and rebuild the text from the
+    * kept tokens' BYTES (within-word concat, single space between
+    * surviving words). See [[org.apache.spark.sql.graft.BpeCutSpans]]. */
+  def bpe_cut(text: Column, spans: Column, merges: Seq[(String, String)]): Column =
+    toCol(org.apache.spark.sql.graft.BpeCutSpans(
+      col2expr(text), col2expr(spans), new BpeRanks(merges)))
+
   /** Unicode normalization (NFC default; NFD/NFKC/NFKD) — the
     * canonicalization step before any text-identity operator (hashing,
     * shingling, exact dedup): NFC and NFD spellings of the same text

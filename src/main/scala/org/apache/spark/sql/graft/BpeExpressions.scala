@@ -194,3 +194,142 @@ object BpeTokens {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
   }
 }
+
+/** `bpe_cut(text, spans)` → the document with the spans' BPE tokens CUT
+  * and the text rebuilt at the BYTE level — the detokenizing inverse that
+  * lets the Lee-et-al-faithful detector ([[BpeTokens]] token identity)
+  * drive the destructive edit. `spans` are inclusive 0-based indices over
+  * the FLAT token stream [[BpeTokens]] produces for the same text (the
+  * dup-span family's position convention), as
+  * `array<struct<span_start:bigint,span_end:bigint>>`.
+  *
+  * Rebuild rule: BPE tokens are byte segments of their word, so within a
+  * word the kept tokens' bytes concatenate (the exact inverse of
+  * tokenization — a partially-cut word splices its remaining bytes);
+  * words contributing no bytes vanish, and surviving words are joined by
+  * single spaces. A document with no spans therefore rebuilds as its
+  * canonical whitespace-normalized form, matching the word-tokenizer cut
+  * convention. Byte-faithful also means byte-faithful to token
+  * boundaries: on multi-byte scripts a span edge can split a character —
+  * exactly as Lee et al.'s token-level cut can — so outputs are only
+  * guaranteed valid UTF-8 where token boundaries respect character
+  * boundaries (always true for ASCII).
+  *
+  * Spans may arrive unsorted (collect_list order); they are sorted here.
+  * Overlapping spans are tolerated (a position is cut if ANY span covers
+  * it) so long as spans are sorted-disjoint after merge — the
+  * [[graft.api.Dedup]] island merge guarantees disjoint. NULL text or
+  * NULL spans → NULL (callers coalesce). */
+case class BpeCutSpans(left: Expression, right: Expression, ranks: BpeRanks)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, StructType}
+
+  override def prettyName: String = "bpe_cut"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val spansOk = right.dataType match {
+      case ArrayType(s: StructType, _) =>
+        s.fields.length == 2 &&
+          s.fields(0).name == "span_start" && s.fields(0).dataType == LongType &&
+          s.fields(1).name == "span_end" && s.fields(1).dataType == LongType
+      case _ => false
+    }
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: text must be STRING, got ${left.dataType.sql}")
+    else if (!spansOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: spans must be ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    BpeCutSpans.cut(ranks, t.asInstanceOf[UTF8String].getBytes,
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks, classOf[BpeRanks].getName)
+    val mod = s"${classOf[BpeCutSpans].getName}$$.MODULE$$"
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = $mod.cut($r, $t.getBytes(), $s);")
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case BpeCutSpans(l, rr, r) => l == left && rr == right && r.merges == ranks.merges
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (left.hashCode * 31 + right.hashCode) * 31 + ranks.merges.hashCode
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BpeCutSpans {
+  /** Static call target for interpreted eval and generated code. */
+  def cut(ranks: BpeRanks, utf8: Array[Byte],
+          spans: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val ns = spans.numElements()
+    val starts = new Array[Long](ns)
+    val ends = new Array[Long](ns)
+    var i = 0
+    var live = 0
+    while (i < ns) {
+      if (!spans.isNullAt(i)) {
+        val row = spans.getStruct(i, 2)
+        starts(live) = row.getLong(0)
+        ends(live) = row.getLong(1)
+        live += 1
+      }
+      i += 1
+    }
+    // insertion sort by start — span counts per doc are small (bounded by
+    // actual duplication), and collect_list order is nondeterministic
+    var a = 1
+    while (a < live) {
+      val s = starts(a); val e = ends(a)
+      var b = a - 1
+      while (b >= 0 && starts(b) > s) {
+        starts(b + 1) = starts(b); ends(b + 1) = ends(b); b -= 1
+      }
+      starts(b + 1) = s; ends(b + 1) = e
+      a += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(utf8.length)
+    var flat = 0L
+    var si = 0
+    var wrote = false
+    var p = 0
+    val n = utf8.length
+    while (p < n) {
+      while (p < n && BpeCount.isWs(utf8(p))) p += 1
+      val ws = p
+      while (p < n && !BpeCount.isWs(utf8(p))) p += 1
+      if (p > ws) {
+        val (toks, liveToks) = BpeCount.mergeWord(ranks, utf8, ws, p)
+        var k = 0
+        var wordWrote = false
+        while (k < liveToks) {
+          val idx = flat + k
+          while (si < live && ends(si) < idx) si += 1
+          val flagged = si < live && starts(si) <= idx && idx <= ends(si)
+          if (!flagged) {
+            if (!wordWrote) {
+              if (wrote) out.write(' ')
+              wordWrote = true; wrote = true
+            }
+            val t = toks(k)
+            var c = 0
+            while (c < t.length) { out.write(t.charAt(c).toInt & 0xff); c += 1 }
+          }
+          k += 1
+        }
+        flat += liveToks
+      }
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+}

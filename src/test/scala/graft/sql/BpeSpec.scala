@@ -37,7 +37,7 @@ class BpeSpec extends AnyFunSuite {
 
   test("words split on ASCII whitespace; merges never cross it") {
     assert(count("the the\tthe\nthe") == 4L)
-    // "t h" stays 2 single-byte tokens — the pair is in different words
+    // "t h" stays 2 single-byte tokens \u2014 the pair is in different words
     assert(count("t h") == 2L)
     // leading/trailing/multiple whitespace contributes nothing
     assert(count("  the   ") == 1L)
@@ -46,8 +46,8 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("byte-level: multi-byte UTF-8 counts bytes, NULL stays NULL") {
-    // 'é' is 2 UTF-8 bytes, no merges touch them
-    assert(count("é") == 2L)
+    // '\u00e9' is 2 UTF-8 bytes, no merges touch them
+    assert(count("\u00e9") == 2L)
     val r = Seq((1L, "the"), (2L, null.asInstanceOf[String])).toDF("id", "t")
       .select(org.apache.spark.sql.functions.col("id"),
         graft.functions.bpe_count(org.apache.spark.sql.functions.col("t"), merges).as("n"))
@@ -57,5 +57,48 @@ class BpeSpec extends AnyFunSuite {
 
   test("empty merge list degrades to byte count per word") {
     assert(count("hello world", Nil) == 10L)
+  }
+
+  private def cut(text: String, spans: Seq[(Long, Long)],
+                  m: Seq[(String, String)] = merges): String = {
+    import org.apache.spark.sql.functions._
+    val df = spans.toDF("span_start", "span_end")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("s"))
+      .withColumn("t", lit(text))
+    df.select(graft.functions.bpe_cut(col("t"), col("s"), m))
+      .collect()(0).getString(0)
+  }
+
+  test("bpe_cut: no spans rebuilds the canonical whitespace-normalized text") {
+    assert(cut("  the   quick\tther  ", Nil) == "the quick ther")
+  }
+
+  test("bpe_cut: cutting a whole word's tokens removes the word and its space") {
+    // "the quick the" -> tokens: [the] [q,u,i,c,k] [the]; cut flat index 0
+    assert(cut("the quick the", Seq((0L, 0L))) == "quick the")
+    // cut the trailing word (flat index 6)
+    assert(cut("the quick the", Seq((6L, 6L))) == "the quick")
+    // cut everything -> empty string
+    assert(cut("the quick the", Seq((0L, 6L))) == "")
+  }
+
+  test("bpe_cut: a partially-cut word splices its remaining bytes") {
+    // "ther quick": under merges, "ther" -> [ther] (1 token)... use "thx":
+    // [th, x] \u2014 cutting token 0 leaves the bytes "x" of the same word
+    assert(cut("thx quick", Seq((0L, 0L))) == "x quick")
+    // cutting token 1 (the x) leaves "th"
+    assert(cut("thx quick", Seq((1L, 1L))) == "th quick")
+  }
+
+  test("bpe_cut: byte rebuild is exact on multi-byte UTF-8 in kept regions") {
+    // "\u00e9" is 2 bytes = 2 single-byte tokens under these merges; keep it,
+    // cut the 'the' token after it \u2014 the rebuilt bytes decode exactly
+    // tokens: [0xc3][0xa9] [the] \u2192 cut flat index 2
+    assert(cut("\u00e9 the", Seq((2L, 2L))) == "\u00e9")
+  }
+
+  test("bpe_cut: spans arrive unsorted and overlapping without harm") {
+    assert(cut("the quick the", Seq((6L, 6L), (0L, 0L))) == "quick")
+    assert(cut("the quick the", Seq((0L, 3L), (2L, 6L))) == "")
   }
 }

@@ -486,10 +486,19 @@ def emit_sql(name, sql, nrows):
     print(f"wrote {name}: {nrows} rows, {os.path.getsize(path)} bytes")
 
 
+def sql_lit(v):
+    """Render one Python value as a SQL literal: str quotes (with ''
+    doubling), everything else keeps its repr — so oracle rows stay RAW
+    Python values and the parquet crosscheck compares them directly."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
 def emit(name, cols, types, rows, order_by):
     """Write SELECT-over-VALUES SQL matching the Spark output schema."""
     casts = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types))
-    values = ",\n".join("(" + ",".join(str(v) for v in r) + ")" for r in rows)
+    values = ",\n".join("(" + ",".join(sql_lit(v) for v in r) + ")" for r in rows)
     sql = (f"SELECT {casts}\n"
            f"FROM (VALUES\n{values}\n) AS t({', '.join(cols)})\n"
            f"ORDER BY {order_by}")
@@ -952,33 +961,37 @@ def main(sf_dir, spark_dir):
         ("l", "i"), ("h", "i"), ("u", "r"), ("r", "o"), ("w", "h"), ("wh", "i")]
     bpe_rank = {(a.encode(), b.encode()): i for i, (a, b) in enumerate(BPE_MERGES)}
 
+    def bpe_word_toks(w):
+        """BPE merge loop for one whitespace-free word (bytes) — the
+        mirror of BpeCount.mergeWord."""
+        toks = [w[i:i + 1] for i in range(len(w))]
+        while len(toks) > 1:
+            best, bi = None, -1
+            for j in range(len(toks) - 1):
+                r = bpe_rank.get((toks[j], toks[j + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, j
+            if bi < 0:
+                break
+            a, b = toks[bi], toks[bi + 1]
+            out, k = [], 0
+            while k < len(toks):
+                if k < len(toks) - 1 and toks[k] == a and toks[k + 1] == b:
+                    out.append(a + b)
+                    k += 2
+                else:
+                    out.append(toks[k])
+                    k += 1
+            toks = out
+        return toks
+
     def bpe_tokens(text):
         """Full BPE token sequence (words in order, whitespace dropped) —
         the mirror of BpeTokens.tokenize; bpe_count is its length."""
         all_toks = []
         for w in re.split(rb"[\t\n\x0b\x0c\r ]+", text.encode("utf-8")):
-            if not w:
-                continue
-            toks = [w[i:i + 1] for i in range(len(w))]
-            while len(toks) > 1:
-                best, bi = None, -1
-                for j in range(len(toks) - 1):
-                    r = bpe_rank.get((toks[j], toks[j + 1]))
-                    if r is not None and (best is None or r < best):
-                        best, bi = r, j
-                if bi < 0:
-                    break
-                a, b = toks[bi], toks[bi + 1]
-                out, k = [], 0
-                while k < len(toks):
-                    if k < len(toks) - 1 and toks[k] == a and toks[k + 1] == b:
-                        out.append(a + b)
-                        k += 2
-                    else:
-                        out.append(toks[k])
-                        k += 1
-                toks = out
-            all_toks.extend(toks)
+            if w:
+                all_toks.extend(bpe_word_toks(w))
         return all_toks
 
     def bpe_count(text):
@@ -1064,6 +1077,33 @@ def main(sf_dir, spark_dir):
         ("doc_id", "span_start", "span_end", "n_tokens"),
         ("BIGINT", "BIGINT", "BIGINT", "BIGINT"), span_rows,
         "doc_id, span_start")
+
+    # ---- dup_span_cut_bpe: the byte-level detokenizing cut — the mirror
+    # of BpeCutSpans.cut. Within a word the kept tokens' bytes concatenate
+    # (a partially-cut word splices); words contributing no bytes vanish;
+    # surviving words join by single spaces, so a clean doc rebuilds as its
+    # whitespace-normalized form.
+    def bpe_cut_text(text, spans):
+        out_words = []
+        flat = 0
+        for w in re.split(rb"[\t\n\x0b\x0c\r ]+", text.encode("utf-8")):
+            if not w:
+                continue
+            toks = bpe_word_toks(w)
+            kept = b"".join(t for k, t in enumerate(toks)
+                            if not any(s0 <= flat + k <= s1 for s0, s1 in spans))
+            if kept:
+                out_words.append(kept)
+            flat += len(toks)
+        return b" ".join(out_words).decode("utf-8")
+
+    spans_by_doc = {}
+    for did, s0, s1, _n in span_rows:
+        spans_by_doc.setdefault(did, []).append((s0, s1))
+    bpe_cut_rows = [(did, bpe_cut_text(t, spans_by_doc.get(did, [])))
+                    for did, t in sorted(docs)]
+    queries["dup_span_cut_bpe"] = (
+        ("doc_id", "text"), ("BIGINT", "VARCHAR"), bpe_cut_rows, "doc_id")
 
     # ---- curate_corpus: the composed recipe re-derived end to end ----
     # quality gate -> exact dedup (min id per text) -> near-dup cluster drop
@@ -1889,6 +1929,7 @@ def main(sf_dir, spark_dir):
 
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
                     "index_health": "band, band_hash",
+                    "ann_index_health": "cell",
                     "multimodal_features_real": "media_id",
                     "multimodal_features_wav": "media_id",
                     "multimodal_features_jpeg": "media_id",
