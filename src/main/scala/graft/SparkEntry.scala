@@ -39,10 +39,20 @@ object SparkEntry {
     * words and per-character-tokenized CJK. Both engines derive it with
     * the same two builtins, so the gate pins the TOKENIZER, not fixture
     * plumbing. Non-ASCII is written as \u escapes: source-encoding-proof. */
+  /** Accented-Latin derivative of the fixture plus a shared suffix hitting
+    * every character class the ascii tokenizer is blind to: digits,
+    * accents, Han, hiragana+katakana, Hangul, Thai (with a combining tone
+    * mark U+0E49, which the `[^\p{L}\p{N}]` split step drops identically
+    * in both engines). The no-space kana/Thai runs segment per character
+    * only under the extended script classes (round 12) -- the exact
+    * under-detection the Han-only tokenizer had (spec-pinned in
+    * DupSpansSpec). */
   private def multilingualDocs(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents").select(col("doc_id"),
       concat(translate(col("text"), "ae", "\u00e0\u00e9"),
-        lit(" 42 na\u00efve \u6570\u636e\u53bb\u91cd 123 d\u00e9j\u00e0 vu"))
+        lit(" 42 na\u00efve \u6570\u636e\u53bb\u91cd" +
+          " \u3072\u3089\u304c\u306a\u30ab\u30bf \ud55c\uae00" +
+          " \u0e44\u0e17\u0e22\u0e02\u0e49\u0e2d 123 d\u00e9j\u00e0 vu"))
         .as("text"))
 
   /** The NFC-tokenizer gate's fixture: docs 0 and 1 carry the SAME
@@ -580,6 +590,17 @@ object SparkEntry {
       graft.api.Dedup.dupSpans(load(s, dir, "documents"), "doc_id", "text",
           width = 8, tokenize = graft.api.Tokenizers.bpe(BpeMerges))
         .orderBy("doc_id", "span_start")
+    }),
+    // The destructive edit under the SAME BPE token identity: flagged
+    // flat-stream token indices cut, text rebuilt from the kept tokens'
+    // BYTES (within-word concat, single space between surviving words) —
+    // detection and destruction share one tokenizer. Oracle: Python
+    // re-derives tokens -> spans -> byte rebuild from the same merge list.
+    "dup_span_cut_bpe" -> ((s, dir) => {
+      graft.api.Dedup.cutDupSpansBpe(load(s, dir, "documents"), "doc_id",
+          "text", width = 8, merges = BpeMerges)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .orderBy("doc_id")
     }),
     // The normalization-form gate: docs 0/1 share a 9-word accented suffix
     // spelled in NFD vs NFC (mixedNormDocs — the normal state of web
@@ -2567,11 +2588,11 @@ object SparkEntry {
     "dup_span_detect_tok" ->
       """WITH src AS (
         |  SELECT doc_id, translate(text, 'ae', '\u00e0\u00e9')
-        |         || ' 42 na\u00efve \u6570\u636e\u53bb\u91cd 123 d\u00e9j\u00e0 vu' AS text
+        |         || ' 42 na\u00efve \u6570\u636e\u53bb\u91cd \u3072\u3089\u304c\u306a\u30ab\u30bf \ud55c\uae00 \u0e44\u0e17\u0e22\u0e02\u0e49\u0e2d 123 d\u00e9j\u00e0 vu' AS text
         |  FROM documents),
         |lists AS (
         |  SELECT doc_id, list_filter(string_split_regex(
-        |           regexp_replace(lower(text), '(\p{Han})', ' \1 ', 'g'),
+        |           regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\p{Thai}])', ' \1 ', 'g'),
         |           '[^\p{L}\p{N}]+'), x -> x <> '') AS l
         |  FROM src),
         |grams AS (
@@ -2593,11 +2614,11 @@ object SparkEntry {
     "dup_span_cut_tok" ->
       """WITH src AS (
         |  SELECT doc_id, translate(text, 'ae', '\u00e0\u00e9')
-        |         || ' 42 na\u00efve \u6570\u636e\u53bb\u91cd 123 d\u00e9j\u00e0 vu' AS text
+        |         || ' 42 na\u00efve \u6570\u636e\u53bb\u91cd \u3072\u3089\u304c\u306a\u30ab\u30bf \ud55c\uae00 \u0e44\u0e17\u0e22\u0e02\u0e49\u0e2d 123 d\u00e9j\u00e0 vu' AS text
         |  FROM documents),
         |lists AS (
         |  SELECT doc_id, list_filter(string_split_regex(
-        |           regexp_replace(lower(text), '(\p{Han})', ' \1 ', 'g'),
+        |           regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\p{Thai}])', ' \1 ', 'g'),
         |           '[^\p{L}\p{N}]+'), x -> x <> '') AS l
         |  FROM src),
         |toks AS (
@@ -2621,6 +2642,9 @@ object SparkEntry {
     // BPE-token span mining: tokens+spans re-derived in Python from the
     // same merge list (gen_oracles.py), grams keyed by token-tuple content
     "dup_span_detect_bpe" -> valuesOracle("dup_span_detect_bpe"),
+    // byte-level detokenizing cut: Python rebuilds the kept tokens' bytes
+    // per word from the same merge list (gen_oracles.py)
+    "dup_span_cut_bpe" -> valuesOracle("dup_span_cut_bpe"),
     // NFC-canonicalizing tokenizer over the mixed-normalization fixture:
     // DuckDB nfc_normalize first, then the identical two-step tokenizer
     "dup_span_detect_nfc" ->
@@ -2632,7 +2656,7 @@ object SparkEntry {
         |  FROM documents),
         |lists AS (
         |  SELECT doc_id, list_filter(string_split_regex(
-        |           regexp_replace(lower(nfc_normalize(text)), '(\p{Han})', ' \1 ', 'g'),
+        |           regexp_replace(lower(nfc_normalize(text)), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\p{Thai}])', ' \1 ', 'g'),
         |           '[^\p{L}\p{N}]+'), x -> x <> '') AS l
         |  FROM src),
         |grams AS (

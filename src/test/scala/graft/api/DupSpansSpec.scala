@@ -357,6 +357,39 @@ class DupSpansSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("kana/Hangul/Thai runs segment per character; the Han-only class provably missed them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, filter => afilter, lit, lower, regexp_replace, split}
+    // 8-char hiragana+katakana run and a Thai run, shared by two docs with
+    // otherwise-unique text — no space boundaries anywhere in the runs
+    val kana = "\u3072\u3089\u304c\u306a\u30ab\u30bf\u30ab\u30ca" // \u3072\u3089\u304c\u306a\u30ab\u30bf\u30ab\u30ca
+    val thai = "\u0e44\u0e17\u0e22\u0e02\u0e2d\u0e04\u0e27\u0e32" // \u0e44\u0e17\u0e22\u0e02\u0e2d\u0e04\u0e27\u0e32\u0e21-ish, 8 base chars
+    val df = Seq(
+      (1L, s"${toks(4, "u")} $kana$thai"),
+      (2L, s"$kana$thai ${toks(5, "w")}"))
+      .toDF("doc_id", "text")
+    // the shipped tokenizer: every kana/Thai char is its own token
+    val tokens = df.select(Tokenizers.unicodeWords(col("text")).as("t"))
+      .limit(1).collect()(0).getSeq[String](0)
+    assert(tokens.containsSlice(kana.map(_.toString)) &&
+      tokens.containsSlice(thai.map(_.toString)),
+      s"kana/Thai must segment per character, got $tokens")
+    val got = Dedup.dupSpans(df, "doc_id", "text", width = 8,
+        tokenize = Tokenizers.unicodeWords)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 16 shared single-char tokens -> one 16-token span in each doc
+    assert(got.toSeq == Seq((1L, 4L, 19L, 16L), (2L, 0L, 15L, 16L)))
+    // the round-11 Han-only class: each run is ONE giant token, width-8
+    // grams never form across the pair's differing context -> zero spans
+    val hanOnly: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => afilter(split(regexp_replace(lower(c), "(\\p{IsHan})", " $1 "),
+        "[^\\p{L}\\p{N}]+"), t => t =!= lit(""))
+    assert(Dedup.dupSpans(df, "doc_id", "text", width = 8,
+      tokenize = hanOnly).collect().isEmpty,
+      "the Han-only tokenizer must provably find no span here")
+  }
+
   test("NFD-vs-NFC spellings: only the NFC-canonicalizing tokenizer sees the cross-doc span") {
     import spark.implicits._
     // the same eight accented words, decomposed (NFD) vs precomposed
