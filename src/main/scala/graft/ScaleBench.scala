@@ -251,6 +251,71 @@ object ScaleBench {
         api.Dedup.cutDupSpans(docs(k), "doc_id", "text", width = 8)
           .agg(sum(length(col("text")))).head().getLong(0)
       },
+      // the byte-level BPE cut (round 12): dup_spans_bpe's mining plus the
+      // bpe_cut rebuild pass — claim: same linear regime as span_cut with
+      // the BPE constant (the merge loop runs twice per doc: mine + cut)
+      "span_cut_bpe" -> { (k: Int) =>
+        api.Dedup.cutDupSpansBpe(docs(k), "doc_id", "text", width = 8,
+            merges = SparkEntry.BpeMerges)
+          .agg(sum(length(col("text")))).head().getLong(0)
+      },
+      // token-SPAN decontamination vs a FIXED benchmark (round 12): the
+      // corpus gram stream is flagged through a broadcast semi-join (no
+      // corpus shuffle) and only flagged positions reach the island merge
+      // — claim: linear corpus scan, exchange volume bounded by actual
+      // contamination (the cipher decorrelates replicas from the bench, so
+      // flagged mass stays ~constant while the corpus grows)
+      "contam_spans" -> { (k: Int) =>
+        val bench = spark.read.parquet(s"$baseDir/documents.parquet")
+          .filter(col("doc_id") % 50 === 0)
+        api.Contamination.contaminatedSpans(docs(k)
+            .filter(col("doc_id") % 50 =!= 0), bench,
+            "doc_id", "text", width = 8).count()
+      },
+      "contam_span_cut" -> { (k: Int) =>
+        val bench = spark.read.parquet(s"$baseDir/documents.parquet")
+          .filter(col("doc_id") % 50 === 0)
+        api.Contamination.cutContaminatedSpans(docs(k)
+            .filter(col("doc_id") % 50 =!= 0), bench,
+            "doc_id", "text", width = 8)
+          .agg(sum(length(col("text")))).head().getLong(0)
+      },
+      // IVF-PQ drift repair (round 12): fit+save+append a FIXED drift mode
+      // (setup, untimed claim) then rebalance — claim: the repair is
+      // drifted-row-bound, not corpus-bound — health is one count-only
+      // aggregation, the vector pull is a partition-pruned codes scan
+      // joined to a column-pruned corpus scan, and the rewrite touches
+      // only ballooned partitions, so cost stays ~flat as the corpus grows
+      // under constant drift
+      // IVF-PQ drift repair (round 12): rebalance is NOT idempotent (a
+      // repaired table has nothing ballooned), so each invocation rebuilds
+      // the drifted state fresh and prints its OWN rebalance-only seconds
+      // (the framework's cell time includes the fit+append setup, which is
+      // corpus-bound by design). Claim: the repair itself is
+      // drifted-row-bound, not corpus-bound — health is one count-only
+      // aggregation, the vector pull is a partition-pruned codes scan
+      // joined to a column-pruned corpus scan, and the rewrite touches
+      // only ballooned partitions — so rebalance-only stays ~flat as the
+      // corpus grows under constant drift.
+      "ann_rebalance" -> { (k: Int) =>
+        val t = s"scale_reb_x$k"
+        Seq(s"${t}_codes", s"${t}_model", s"${t}_rebalance_tmp")
+          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+        val idx = api.Ann.fitIvfPq(emb(k), nlist = 32, m = 8, ksub = 16,
+          seed = 11L, iters = 5)
+        api.Ann.saveIvfPqIndex(idx, t)
+        val drift = emb(k).filter(col("vec_id") < 5)
+          .crossJoin(spark.range(1, 61).select(col("id").as("__rep")))
+          .select((col("vec_id") + col("__rep") * 100000000L).as("vec_id"),
+            transform(col("embedding"),
+              x => x + lit(3.0) + col("__rep").cast("double") * lit(0.05)).as("embedding"))
+        api.Ann.appendToIvfPqIndex(drift, t)
+        val t0 = System.nanoTime()
+        val repaired = api.Ann.rebalanceIvfPqCells(emb(k).unionByName(drift), t,
+          seed = 77L, maxSkew = 1.5).count()
+        println(f"  rebalance-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($repaired cells repaired)")
+        repaired
+      },
       // the topk_by claim measured: per-language top-100 docs by n_chars.
       // The corpus has 3 languages, so the window shuffles ALL ×k rows
       // into 3 hot partitions and sorts them; the heap aggregate folds

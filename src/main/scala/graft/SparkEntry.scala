@@ -1329,6 +1329,38 @@ object SparkEntry {
       graft.api.Ann.ivfPqIndexHealth(s, "graft_annhealth_idx", maxSkew = 1.5)
         .orderBy("cell")
     }),
+    // The REPAIR for that drift signal (Ann.rebalanceIvfPqCells): same
+    // build+append shape but the drift is geometrically DIVERSE (base
+    // vector + 3.0 + 0.05*rep elementwise — a displaced new data mode, the
+    // realistic drift case and one a sub-quantizer can actually separate;
+    // identical copies would re-collapse into one cell under any
+    // geometry-respecting split). Ballooned cells split against locally
+    // refit sample-init sub-quantizers; only their rows are reassigned,
+    // codes carried, untouched partitions never rewritten (spec-pinned).
+    // Output: the per-cell population of the repaired index — pins the
+    // whole pipeline (frozen-model appends, health skews, per-cell
+    // k-means, in-place + appended centroids, global reassignment).
+    // Oracle: full Python re-derivation via the same kmeans mirrors.
+    "ann_index_rebalance" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val idx = graft.api.Ann.fitIvfPq(emb,
+        nlist = 16, m = 8, ksub = 16, seed = 11L, iters = 5)
+      graft.api.Ann.saveIvfPqIndex(idx, "graft_annreb_idx")
+      val drift = emb.filter(col("vec_id") < 5)
+        .crossJoin(s.range(1, 61).select(col("id").as("__rep")))
+        .select((col("vec_id") + col("__rep") * 100000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(3.0) + col("__rep").cast("double") * lit(0.05)).as("embedding"))
+      graft.api.Ann.appendToIvfPqIndex(drift, "graft_annreb_idx")
+      val full = emb.unionByName(drift)
+      graft.api.Ann.rebalanceIvfPqCells(full, "graft_annreb_idx",
+        seed = 77L, maxSkew = 1.5)
+      s.table("graft_annreb_idx_codes")
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("cell_rows"))
+        .orderBy("cell")
+    }),
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -2179,6 +2211,9 @@ object SparkEntry {
     "rolling_dedup" -> valuesOracle("rolling_dedup"),
     "index_health" -> valuesOracle("index_health"),
     "ann_index_health" -> valuesOracle("ann_index_health"),
+    // drift repair: per-cell population of the rebalanced index, Python
+    // re-derivation through the same quantizer mirrors (gen_oracles.py)
+    "ann_index_rebalance" -> valuesOracle("ann_index_rebalance"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),

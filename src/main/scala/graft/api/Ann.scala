@@ -581,16 +581,26 @@ object Ann {
     * codes, same ADC fold). */
   def saveIvfPqIndex(index: IvfPqIndex, tablePrefix: String): Unit = {
     val spark = index.encoded.sparkSession
-    import spark.implicits._
     BucketedWrite.dropTable(spark, s"${tablePrefix}_codes")
     BucketedWrite.dropTable(spark, s"${tablePrefix}_model")
     index.encoded.write.format("parquet")
       .partitionBy("cell").mode("overwrite")
       .saveAsTable(s"${tablePrefix}_codes")
-    val centRows = index.centroids.zipWithIndex.toSeq
+    writeModelTable(spark, index.centroids, index.books, tablePrefix)
+  }
+
+  /** The `{prefix}_model` write shared by [[saveIvfPqIndex]] and
+    * [[rebalanceIvfPqCells]] (which rewrites the centroid list in place). */
+  private def writeModelTable(spark: org.apache.spark.sql.SparkSession,
+                              cents: Array[Array[Double]],
+                              books: Array[Array[Array[Double]]],
+                              tablePrefix: String): Unit = {
+    import spark.implicits._
+    BucketedWrite.dropTable(spark, s"${tablePrefix}_model")
+    val centRows = cents.zipWithIndex.toSeq
       .map { case (v, i) => ("centroid", i, 0, v.toSeq) }
     val bookRows = for {
-      (sub, s) <- index.books.zipWithIndex.toSeq
+      (sub, s) <- books.zipWithIndex.toSeq
       (cv, c) <- sub.zipWithIndex
     } yield ("book", s, c, cv.toSeq)
     (centRows ++ bookRows).toDF("kind", "i", "j", "vec")
@@ -701,6 +711,100 @@ object Ann {
         (col("cell_rows") * lit(nlist)).cast("double") / col("__total").cast("double"))
       .filter(col("skew") > maxSkew || col("skew") < minSkew)
       .select("cell", "cell_rows", "skew")
+  }
+
+  /** The REPAIR for [[ivfPqIndexHealth]]'s drift signal: SPLIT each
+    * ballooned cell against a locally refit sub-quantizer, touching
+    * O(drifted rows) — never a full [[fitIvfPq]] corpus re-encode.
+    *
+    * Per ballooned cell (skew > `maxSkew`), `k = max(2, ceil(2·skew /
+    * maxSkew))` sub-centroids are trained on the cell's own vectors
+    * (hash-ordered sample, distinct-sample init + Lloyd's — the
+    * [[trainQuantizer]] `initFromSample` recipe, which actually separates
+    * a displaced data mode where off-manifold N(0,1) init collapses).
+    * The centroid list is updated IN PLACE — sub-centroid 0 replaces the
+    * ballooned entry (untouched cell ids never shift) and the rest append
+    * as new cells — then ONLY the ballooned cells' rows are reassigned by
+    * nearest-centroid over the updated list and rewritten (their PQ codes
+    * carry over unchanged: codes encode the raw vector under the frozen
+    * codebooks, independent of cell). Untouched cells' partitions are
+    * never rewritten — their files, and so their codes, stay bit-identical
+    * (spec-pinned), though reassigned rows may APPEND to them when the
+    * updated geometry says so.
+    *
+    * Cost: one health aggregation, a partition-pruned scan of the
+    * ballooned cells' codes joined to `corpus` on id for the vectors
+    * (only the drifted rows cross the wire; at 100 TB give the join a
+    * broadcastable flagged side or a bucketed corpus), one bounded sample
+    * collect per ballooned cell (≤ `sampleSize` vectors, ballooned cells
+    * ≤ nlist), and one partitioned rewrite of the reassigned rows. The
+    * reassigned set is MATERIALIZED to a scratch table before the old
+    * partitions drop — the rewrite must never re-read what it replaces.
+    *
+    * `corpus` must contain every indexed id (build + appends) under
+    * `idCol`/`vecCol`. Returns one row per repaired cell:
+    * `(cell, cell_rows, skew, subcells)` — empty means no cell exceeded
+    * `maxSkew` and nothing was touched. Note the health-after view: nlist
+    * GROWS by the appended sub-centroids, so every skew is re-based;
+    * re-run [[ivfPqIndexHealth]] for the authoritative post-repair state. */
+  def rebalanceIvfPqCells(corpus: DataFrame, tablePrefix: String, seed: Long,
+                          maxSkew: Double = 4.0, iters: Int = 5,
+                          sampleSize: Int = 10000,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(maxSkew > 0.0, s"maxSkew must be positive, got $maxSkew")
+    val idx = loadIvfPqIndex(spark, tablePrefix)
+    val ballooned = ivfPqIndexHealth(spark, tablePrefix, maxSkew)
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    if (ballooned.isEmpty)
+      return Seq.empty[(Int, Long, Double, Int)]
+        .toDF("cell", "cell_rows", "skew", "subcells")
+    val cellSet = ballooned.map(_._1).toIndexedSeq
+    val codesTable = s"${tablePrefix}_codes"
+    val flagged = spark.table(codesTable)
+      .filter(col("cell").isin(cellSet.map(Int.box): _*))
+      .select(col("neighbor_id"), col("cell"), col("codes"))
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__vec")), Seq("neighbor_id"))
+      .persist()
+    try {
+      val newCents = idx.centroids.map(_.clone)
+      val extras = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val report = ballooned.map { case (c, rows, skew) =>
+        val k = math.max(2, math.ceil(2.0 * skew / maxSkew).toInt)
+        val subs = trainQuantizer(flagged.filter(col("cell") === c),
+          k, seed + c, iters, sampleSize, "neighbor_id", "__vec",
+          initFromSample = true)
+        newCents(c) = subs(0)
+        extras ++= subs.drop(1)
+        (c, rows, skew, k)
+      }
+      val updated = new CentroidModel(
+        spark.sparkContext.broadcast(newCents ++ extras))
+      val reassigned = flagged.select(col("neighbor_id"),
+        ColumnShim.column(NearestCell(ColumnShim.expression(col("__vec")), updated)).as("cell"),
+        col("codes"))
+      // durably materialize BEFORE the source partitions drop: the DROP
+      // PARTITION DDL refreshes the table and UNCACHES dependent cached
+      // plans, so a .persist() here would silently recompute from the
+      // emptied source — a scratch table is immune to the invalidation
+      val scratch = s"${tablePrefix}_rebalance_tmp"
+      BucketedWrite.dropTable(spark, scratch)
+      reassigned.write.format("parquet").mode("overwrite").saveAsTable(scratch)
+      cellSet.foreach(c => spark.sql(
+        s"ALTER TABLE $codesTable DROP IF EXISTS PARTITION (cell=$c)"))
+      // insertInto is positional; saveAsTable moved the partition col last
+      spark.table(scratch)
+        .select(spark.table(codesTable).columns.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(codesTable)
+      BucketedWrite.dropTable(spark, scratch)
+      writeModelTable(spark, newCents ++ extras, idx.books, tablePrefix)
+      report.toSeq.toDF("cell", "cell_rows", "skew", "subcells")
+    } finally flagged.unpersist()
   }
 
   /** Symmetric per-vector int8 quantization — the storage-shrink step for

@@ -1,0 +1,117 @@
+package graft.api
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Ann.rebalanceIvfPqCells]]'s repair contract beyond the driver
+  * gate's full-pipeline hash: untouched cells' rows stay bit-identical, a
+  * healthy index is a no-op, the ballooned mass actually spreads below the
+  * build-time absolute bar, and search quality survives the repair.
+  */
+class AnnRebalanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+  /** fit + save + append displaced-diverse drift; returns the full corpus. */
+  private def buildDrifted(prefix: String): org.apache.spark.sql.DataFrame = {
+    val idx = Ann.fitIvfPq(emb, nlist = 8, m = 4, ksub = 16, seed = 11L, iters = 5)
+    Ann.saveIvfPqIndex(idx, prefix)
+    val drift = emb.filter(col("vec_id") < 3)
+      .crossJoin(spark.range(1, 41).select(col("id").as("__rep")))
+      .select((col("vec_id") + col("__rep") * 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(3.0) + col("__rep").cast("double") * lit(0.05)).as("embedding"))
+    Ann.appendToIvfPqIndex(drift, prefix)
+    emb.unionByName(drift)
+  }
+
+  private def codesMap(prefix: String): Map[Long, (Int, Seq[Byte])] =
+    spark.table(s"${prefix}_codes").collect()
+      .map(r => r.getAs[Long]("neighbor_id") ->
+        (r.getAs[Int]("cell"), r.getAs[scala.collection.Seq[Byte]]("codes").toSeq))
+      .toMap
+
+  test("repair spreads ballooned mass; untouched cells stay bit-identical") {
+    val prefix = "graft_rebspec_idx"
+    val full = buildDrifted(prefix)
+    val before = codesMap(prefix)
+    val ballooned = Ann.ivfPqIndexHealth(spark, prefix, maxSkew = 1.5)
+      .collect().map(_.getAs[Int]("cell")).toSet
+    assert(ballooned.nonEmpty, "fixture must balloon at least one cell")
+    val report = Ann.rebalanceIvfPqCells(full, prefix, seed = 77L, maxSkew = 1.5)
+      .collect()
+    assert(report.map(_.getAs[Int]("cell")).toSet == ballooned)
+    assert(report.forall(_.getAs[Int]("subcells") >= 2))
+    val after = codesMap(prefix)
+    assert(after.keySet == before.keySet, "repair must not add or drop rows")
+    // rows that sat in untouched cells keep cell AND codes bit-identical;
+    // reassigned rows keep their codes (PQ encodes the raw vector under
+    // frozen codebooks — only routing changes)
+    before.foreach { case (id, (cell, codes)) =>
+      if (!ballooned.contains(cell))
+        assert(after(id) == ((cell, codes)), s"untouched row $id changed")
+      else
+        assert(after(id)._2 == codes, s"reassigned row $id lost its codes")
+    }
+    // the absolute probe-cost bar: no cell holds more than maxSkew x the
+    // BUILD-TIME expected occupancy (relative skew re-bases as nlist grows)
+    val total = after.size.toDouble
+    val counts = after.values.groupBy(_._1).view.mapValues(_.size)
+    val bar = 1.5 * total / 8.0
+    assert(counts.values.max <= bar,
+      s"worst cell ${counts.maxBy(_._2)} still above the absolute bar $bar")
+    // and the appended sub-cells actually hold rows
+    assert(counts.keys.exists(_ >= 8), "no appended sub-cell was populated")
+  }
+
+  test("search quality survives the repair (no degradation; >= 0.9 floor)") {
+    val prefix = "graft_rebspec2_idx"
+    val full = buildDrifted(prefix)
+    val queries = emb.filter(col("vec_id") < 10)
+    // candidate recall at a probe fraction: overlap of partial-probe top-10
+    // with the full-probe top-10 (full probe == plain-PQ ADC ranking, which
+    // the repair leaves bit-identical — codes never change)
+    def recallAt(frac: Double): Double = {
+      val idx = Ann.loadIvfPqIndex(spark, prefix)
+      val nl = idx.centroids.length
+      val fullProbe = idx.search(queries, 10, nprobe = nl)
+        .select("query_id", "neighbor_id")
+      val part = idx.search(queries, 10,
+          nprobe = math.max(2, math.ceil(nl * frac).toInt))
+        .select("query_id", "neighbor_id")
+      val hit = fullProbe.join(part, Seq("query_id", "neighbor_id")).count()
+      hit.toDouble / fullProbe.count()
+    }
+    val halfBefore = recallAt(0.5)
+    Ann.rebalanceIvfPqCells(full, prefix, seed = 77L, maxSkew = 1.5)
+    val halfAfter = recallAt(0.5)
+    // the repair must not meaningfully degrade recall at the same probe
+    // FRACTION — note the comparison is slightly unfair to the repaired
+    // index: pre-repair, half the cells includes the ballooned cell
+    // holding ~40% of all rows (half the cells ≈ most of the mass), while
+    // post-repair the same fraction covers genuinely half the mass at a
+    // fraction of the scan cost — which is the point of the repair
+    assert(halfAfter >= halfBefore - 0.1,
+      s"repair degraded half-probe recall: $halfBefore -> $halfAfter")
+    // ...and the repaired index clears the quality floor at 3/4 probing
+    val floor = recallAt(0.75)
+    assert(floor >= 0.9, s"post-repair recall at 3/4 probing $floor < 0.9")
+  }
+
+  test("a healthy index is a no-op") {
+    val prefix = "graft_rebspec3_idx"
+    val idx = Ann.fitIvfPq(emb, nlist = 4, m = 4, ksub = 16, seed = 11L, iters = 5)
+    Ann.saveIvfPqIndex(idx, prefix)
+    val before = codesMap(prefix)
+    // absurdly high threshold: nothing can balloon
+    val report = Ann.rebalanceIvfPqCells(emb, prefix, seed = 77L, maxSkew = 1e9)
+    assert(report.isEmpty)
+    assert(codesMap(prefix) == before, "no-op must leave the codes table untouched")
+    assert(Ann.loadIvfPqIndex(spark, prefix).centroids.length == 4,
+      "no-op must leave the model untouched")
+  }
+}

@@ -1697,11 +1697,11 @@ def main(sf_dir, spark_dir):
     # assignment + 60 frozen-model-encoded copies of each of vecs 0..4
     # appended + ivfPqIndexHealth(maxSkew=1.5)). PQ codes never affect cell
     # counts, so the mirror needs only the coarse quantizer.
-    def fit_ivfpq_cells(vecs, nlist, seed, iters, sample_size):
-        """Coarse-quantizer cell assignment under fitIvfPq's training:
+    def fit_ivfpq_cents(vecs, nlist, seed, iters, sample_size):
+        """Coarse-quantizer CENTROIDS under fitIvfPq's training:
         std_normal init from StdRng(seed) + Lloyd's over the hash-ordered
-        sample — the ivfpq_topk_rows recipe, NOT kmeans_cells' sample-init
-        (that mirrors trainQuantizer(initFromSample=true))."""
+        sample — the ivfpq_topk_rows recipe, NOT kmeans_centroids'
+        sample-init (that mirrors trainQuantizer(initFromSample=true))."""
         d = len(next(iter(vecs.values())))
         order = sorted(vecs, key=lambda vid: (spark_xxhash64(vid, seed), vid))[:sample_size]
         sample = [vecs[vid] for vid in order]
@@ -1718,6 +1718,11 @@ def main(sf_dir, spark_dir):
             cents = [cents[c] if counts[c] == 0
                      else [sums[c][j] / counts[c] for j in range(d)]
                      for c in range(nlist)]
+        return cents
+
+    def fit_ivfpq_cells(vecs, nlist, seed, iters, sample_size):
+        """NearestCell assignment under [[fit_ivfpq_cents]]."""
+        cents = fit_ivfpq_cents(vecs, nlist, seed, iters, sample_size)
         return {vid: nearest_centroid(v, cents) for vid, v in vecs.items()}
 
     aih_cells = fit_ivfpq_cells(vecs, nlist=16, seed=11, iters=5, sample_size=10000)
@@ -1738,6 +1743,65 @@ def main(sf_dir, spark_dir):
         f"{values_block([(c, n, repr(sk)) for c, n, sk in aih_rows])}\n"
         ") AS t(cell, cell_rows, skew)\nORDER BY cell")
     custom["ann_index_health"] = (aih_rows, ("cell", "cell_rows", "skew"), aih_sql)
+
+    # ---- ann_index_rebalance: the drift REPAIR (rebalanceIvfPqCells).
+    # Same build (nlist=16, seed=11) but diverse drift (base + 3.0 +
+    # 0.05*rep elementwise), appended under the frozen quantizer; ballooned
+    # cells (skew > 1.5) split against per-cell sample-init sub-quantizers
+    # (kmeans_centroids, seed 77+cell); centroid list updated in place +
+    # appended; ONLY ballooned cells' rows reassigned by nearest over the
+    # updated list. Output mirror: per-cell population of the final index.
+    import math
+    reb_cents = fit_ivfpq_cents(vecs, nlist=16, seed=11, iters=5,
+                                sample_size=10000)
+    reb_vecs = dict(vecs)
+    reb_cell = {vid: nearest_centroid(v, reb_cents) for vid, v in vecs.items()}
+    for vid in range(5):
+        base = vecs[vid]
+        for rep in range(1, 61):
+            nid = vid + rep * 100000
+            v = [x + 3.0 + 0.05 * rep for x in base]
+            reb_vecs[nid] = v
+            reb_cell[nid] = nearest_centroid(v, reb_cents)
+    reb_total = len(reb_vecs)
+    reb_counts = _Counter(reb_cell.values())
+    reb_ballooned = sorted(
+        (c, n, n * 16 / reb_total)
+        for c, n in reb_counts.items() if n * 16 / reb_total > 1.5)
+    assert reb_ballooned, "ann_index_rebalance gate is vacuous: nothing ballooned"
+    new_cents = [list(c) for c in reb_cents]
+    extras = []
+    for c, _n, skew in reb_ballooned:
+        k = max(2, math.ceil(2.0 * skew / 1.5))
+        members = {vid: reb_vecs[vid]
+                   for vid, cc in reb_cell.items() if cc == c}
+        subs = kmeans_centroids(members, k, 77 + c, 5, 10000)
+        new_cents[c] = subs[0]
+        extras.extend(subs[1:])
+    all_cents = new_cents + extras
+    flagged_cells = {c for c, _n, _s in reb_ballooned}
+    final_cell = {vid: (nearest_centroid(reb_vecs[vid], all_cents)
+                        if cc in flagged_cells else cc)
+                  for vid, cc in reb_cell.items()}
+    reb_rows = sorted(_Counter(final_cell.values()).items())
+    # the repair must actually spread the mass: appended sub-cells hold
+    # rows, and NO cell holds more than maxSkew x the BUILD-TIME expected
+    # occupancy (the absolute probe-cost bar; relative skew re-bases as
+    # nlist grows, so untouched cells' skews rise by construction — the
+    # scaladoc's re-run-health-for-the-authoritative-state note)
+    assert any(c >= 16 for c, _n in reb_rows), \
+        "ann_index_rebalance vacuous: no appended sub-cell was populated"
+    reb_bar = 1.5 * reb_total / 16
+    worst_n = max(n for _c, n in reb_rows)
+    assert worst_n <= reb_bar, \
+        f"ann_index_rebalance: worst cell still holds {worst_n} rows > bar {reb_bar}"
+    reb_sql = (
+        "SELECT CAST(cell AS INT) AS cell,"
+        " CAST(cell_rows AS BIGINT) AS cell_rows\n"
+        "FROM (VALUES\n"
+        f"{values_block(reb_rows)}\n"
+        ") AS t(cell, cell_rows)\nORDER BY cell")
+    custom["ann_index_rebalance"] = (reb_rows, ("cell", "cell_rows"), reb_sql)
 
     # ---- stream_rolling_dedup: per-micro-batch greedy admission (mirrors
     # EventStreams.rollingDedupReplay: docs >= 300 sorted by id, chunked into
@@ -1930,6 +1994,7 @@ def main(sf_dir, spark_dir):
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
                     "index_health": "band, band_hash",
                     "ann_index_health": "cell",
+                    "ann_index_rebalance": "cell",
                     "multimodal_features_real": "media_id",
                     "multimodal_features_wav": "media_id",
                     "multimodal_features_jpeg": "media_id",
