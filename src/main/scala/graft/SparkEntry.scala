@@ -1715,6 +1715,18 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // The same pass under BPE token identity — cross-corpus flagging over
+    // the faithful tokenizer + the byte-level destructive rebuild, ONE
+    // token identity end to end (items the production pipeline composes).
+    // Oracle: Python re-derives bench gram tuples, flagged windows,
+    // islands and the byte rebuild from the same merge list.
+    "contamination_span_cut_bpe" -> ((s, dir) => {
+      val (corpus, bench) = contamSpanFixture(s, dir)
+      graft.api.Contamination.cutContaminatedSpansBpe(corpus, bench,
+          "doc_id", "text", width = 8, merges = BpeMerges)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // Embedding-level decontamination: the semantic complement of
     // contamination_check — flag corpus vectors within cosine 0.25 of any
     // benchmark vector (hash-sampled 2%, same deterministic draw). The
@@ -2680,6 +2692,9 @@ object SparkEntry {
     // byte-level detokenizing cut: Python rebuilds the kept tokens' bytes
     // per word from the same merge list (gen_oracles.py)
     "dup_span_cut_bpe" -> valuesOracle("dup_span_cut_bpe"),
+    // BPE-identity decontamination cut: bench gram tuples -> flagged
+    // corpus windows -> islands -> byte rebuild, all mirrored in Python
+    "contamination_span_cut_bpe" -> valuesOracle("contamination_span_cut_bpe"),
     // NFC-canonicalizing tokenizer over the mixed-normalization fixture:
     // DuckDB nfc_normalize first, then the identical two-step tokenizer
     "dup_span_detect_nfc" ->

@@ -196,6 +196,24 @@ object Contamination {
       contaminatedSpans(corpus, benchmark, idCol, textCol, width, spreadInput, tokenize),
       idCol, textCol, spreadInput, tokenize, recompute, drop)
 
+  /** [[cutContaminatedSpans]] under BPE token identity — the full
+    * Lee-et-al-faithful production pass in one call: benchmark-overlap
+    * spans mined over [[Tokenizers.bpe]]`(merges)` windows (both sides the
+    * SAME merge list, or grams never match) and excised with the
+    * byte-level rebuild ([[Dedup.cutSpansBpe]]). The shape is
+    * [[contaminatedSpans]]' (broadcast bench grams, corpus never shuffles
+    * for flagging) with the BPE merge loop as the map-side constant. */
+  def cutContaminatedSpansBpe(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String, width: Int,
+                              merges: Seq[(String, String)],
+                              spreadInput: Boolean = true,
+                              recompute: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                              drop: Seq[String] = Nil): DataFrame =
+    Dedup.cutSpansBpe(corpus,
+      contaminatedSpans(corpus, benchmark, idCol, textCol, width,
+        spreadInput, Tokenizers.bpe(merges)),
+      idCol, textCol, merges, spreadInput, recompute, drop)
+
   /** Embedding-level decontamination, the semantic complement of
     * [[sharedNgrams]]: n-gram matching misses paraphrases and translations;
     * cosine similarity over embeddings catches them. Emits

@@ -1105,6 +1105,39 @@ def main(sf_dir, spark_dir):
     queries["dup_span_cut_bpe"] = (
         ("doc_id", "text"), ("BIGINT", "VARCHAR"), bpe_cut_rows, "doc_id")
 
+    # ---- contamination_span_cut_bpe: the cross-corpus pass under BPE
+    # identity — mirrors contamSpanFixture (bench = doc_id%50==0 + passage;
+    # corpus = rest, passage planted at doc_id%7==3), flags corpus windows
+    # whose BPE token tuple occurs anywhere in the bench set, merges
+    # islands, rebuilds bytes (bpe_cut_text).
+    CONTAM_PASSAGE = " zebra quagga okapi tapir gnu eland kudu oryx saiga argali"
+    cb_bench = {did: t + CONTAM_PASSAGE for did, t in docs if did % 50 == 0}
+    cb_corpus = {did: (t + CONTAM_PASSAGE if did % 7 == 3 else t)
+                 for did, t in docs if did % 50 != 0}
+    cb_bench_grams = set()
+    for t in cb_bench.values():
+        toks = bpe_tokens(t)
+        for i in range(len(toks) - SPAN_W + 1):
+            cb_bench_grams.add(tuple(toks[i:i + SPAN_W]))
+    cb_rows = []
+    for did in sorted(cb_corpus):
+        t = cb_corpus[did]
+        toks = bpe_tokens(t)
+        spans = []
+        for i in range(len(toks) - SPAN_W + 1):
+            if tuple(toks[i:i + SPAN_W]) in cb_bench_grams:
+                fin = i + SPAN_W - 1
+                if spans and i <= spans[-1][1] + 1:
+                    if fin > spans[-1][1]:
+                        spans[-1][1] = fin
+                else:
+                    spans.append([i, fin])
+        cb_rows.append((did, bpe_cut_text(t, spans)))
+    assert any(r[1] != " ".join(cb_corpus[r[0]].split()) for r in cb_rows), \
+        "contamination_span_cut_bpe vacuous: nothing was cut"
+    queries["contamination_span_cut_bpe"] = (
+        ("doc_id", "text"), ("BIGINT", "VARCHAR"), cb_rows, "doc_id")
+
     # ---- curate_corpus: the composed recipe re-derived end to end ----
     # quality gate -> exact dedup (min id per text) -> near-dup cluster drop
     # (union-find minima survive; same family/params as minhash_dedup_pairs,
