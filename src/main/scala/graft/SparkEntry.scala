@@ -90,7 +90,8 @@ object SparkEntry {
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 3,
           concat(col("text"), lit(" " + ContamPassage)))
-          .otherwise(col("text")).as("text"))
+          .otherwise(col("text")).as("text"),
+        col("source"))
     (corpus, bench)
   }
 
@@ -1715,6 +1716,34 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // Split-leakage check (Contamination.splitLeakage): near-dup pairs
+    // straddling dataset splits — the post-split hygiene pass (hash splits
+    // assign by ID, so duplicate CONTENT crosses splits freely; a test doc
+    // near-duplicated in train inflates eval). Deterministic %10 split so
+    // the oracle re-derives it in SQL; pair ground truth is the same
+    // brute-force exact-Jaccard set as minhash_dedup_pairs (recall
+    // deterministically 1 at this banding on this fixture).
+    "split_leakage" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").withColumn("split",
+        when(col("doc_id") % 10 < 8, lit("train"))
+          .when(col("doc_id") % 10 === 8, lit("valid"))
+          .otherwise(lit("test")))
+      graft.api.Contamination.splitLeakage(docs, "doc_id", "text", "split",
+          ngramWidth = 4, bandCount = 8, bandSize = 3, seed = 123L,
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    // The contamination report a pipeline quotes before/after the cut:
+    // spanStats composed over contaminatedSpans through the
+    // materialized-span seam — "X% of source Y's tokens overlap the
+    // benchmark". One mining pass; group-cardinality-bounded rollup.
+    "contamination_span_stats" -> ((s, dir) => {
+      val (corpus, bench) = contamSpanFixture(s, dir)
+      val spans = graft.api.Contamination.contaminatedSpans(corpus, bench,
+        "doc_id", "text", width = 8)
+      graft.api.Dedup.spanStats(corpus, spans, "doc_id", "text", "source")
+        .orderBy("source")
+    }),
     // The same pass under BPE token identity — cross-corpus flagging over
     // the faithful tokenizer + the byte-level destructive rebuild, ONE
     // token identity end to end (items the production pipeline composes).
@@ -2695,6 +2724,49 @@ object SparkEntry {
     // BPE-identity decontamination cut: bench gram tuples -> flagged
     // corpus windows -> islands -> byte rebuild, all mirrored in Python
     "contamination_span_cut_bpe" -> valuesOracle("contamination_span_cut_bpe"),
+    // contamination report: the span CTE chain rolled up per source (the
+    // dup_span_stats shape over benchmark-flagged spans)
+    "contamination_span_stats" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 3
+        |    THEN text || ' zebra quagga okapi tapir gnu eland kudu oryx saiga argali'
+        |    ELSE text END AS text, source
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT doc_id, text || ' zebra quagga okapi tapir gnu eland kudu oryx saiga argali' AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |clists AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+        |  FROM corpus),
+        |blists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+        |  FROM bench),
+        |cgrams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM clists)),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(l[i : i + 7], ' ') AS gram
+        |  FROM (SELECT unnest(generate_series(1, len(l) - 7)) AS i, l FROM blists)),
+        |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
+        |            FROM cgrams g WHERE g.gram IN (SELECT gram FROM bgrams)),
+        |isl AS (
+        |  SELECT doc_id, pos, fin,
+        |    CASE WHEN pos > coalesce(max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM flagged),
+        |isl2 AS (SELECT doc_id, pos, fin,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl),
+        |spans AS (SELECT doc_id, max(fin) - min(pos) + 1 AS n_tokens
+        |          FROM isl2 GROUP BY doc_id, island),
+        |per_doc AS (SELECT doc_id, sum(n_tokens) AS dup_toks FROM spans GROUP BY doc_id),
+        |docs2 AS (SELECT doc_id, source, len(l) AS n_toks FROM clists)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(count(p.dup_toks) AS BIGINT) AS docs_with_dups,
+        |       CAST(sum(d.n_toks) AS BIGINT) AS tokens,
+        |       CAST(coalesce(sum(p.dup_toks), 0) AS BIGINT) AS dup_tokens,
+        |       CAST(coalesce(sum(p.dup_toks), 0) AS DOUBLE) / sum(d.n_toks) AS dup_token_frac
+        |FROM docs2 d LEFT JOIN per_doc p USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // NFC-canonicalizing tokenizer over the mixed-normalization fixture:
     // DuckDB nfc_normalize first, then the identical two-step tokenizer
     "dup_span_detect_nfc" ->
@@ -2748,6 +2820,30 @@ object SparkEntry {
         |       / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) AS sim
         |FROM g a JOIN g b ON b.doc_id > a.doc_id
         |WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same brute-force ground truth restricted to CROSS-SPLIT pairs, with
+    // the deterministic %10 split re-derived in SQL
+    "split_leakage" ->
+      """WITH sp AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |                      WHEN doc_id % 10 = 8 THEN 'valid'
+        |                      ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 3),
+        |                                      i -> substring(text, CAST(i AS INT), 4))) AS grams
+        |  FROM documents WHERE length(text) >= 4)
+        |SELECT a.doc_id AS id_a, sa.split AS split_a,
+        |       b.doc_id AS id_b, sb.split AS split_b,
+        |       CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |       / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) AS sim
+        |FROM g a JOIN g b ON b.doc_id > a.doc_id
+        |JOIN sp sa ON sa.doc_id = a.doc_id
+        |JOIN sp sb ON sb.doc_id = b.doc_id
+        |WHERE sa.split <> sb.split
+        |  AND CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     // same ground truth as minhash_dedup_pairs: the adaptive gate forces the

@@ -214,6 +214,34 @@ object Contamination {
         spreadInput, Tokenizers.bpe(merges)),
       idCol, textCol, merges, spreadInput, recompute, drop)
 
+  /** Split-leakage check — the hygiene pass AFTER dataset splitting: a
+    * test/valid document with a near-duplicate in train inflates eval
+    * exactly like benchmark contamination does, and hash-based splitting
+    * ([[Sampling]]) splits by ID, so near-duplicate CONTENT lands in
+    * different splits freely. Emits every near-dup pair that straddles two
+    * splits, `(id_a, split_a, id_b, split_b, sim)` — empty result = the
+    * split is leak-free at this threshold.
+    *
+    * Shape: [[BandedLsh.nearDupPairs]]' banded blocking join (linear in
+    * rows, verified inside the band join) + an ids-only join back to the
+    * split labels; the cross-split filter bounds output by actual leakage.
+    * For REPEATED checks against a fixed train set, build the persisted
+    * signature index and probe the eval sets instead
+    * ([[BandedLsh.nearDupAgainstIndex]]). */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splitCol: String, ngramWidth: Int, bandCount: Int,
+                   bandSize: Int, seed: Long, threshold: Double): DataFrame = {
+    val pairs = BandedLsh.nearDupPairs(df, idCol, textCol,
+      ngramWidth, bandCount, bandSize, seed, threshold)
+    val splits = df.select(col(idCol).cast("long").as("__id"),
+      col(splitCol).as("__split"))
+    pairs
+      .join(splits.select(col("__id").as("id_a"), col("__split").as("split_a")), "id_a")
+      .join(splits.select(col("__id").as("id_b"), col("__split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "split_a", "id_b", "split_b", "sim")
+  }
+
   /** Embedding-level decontamination, the semantic complement of
     * [[sharedNgrams]]: n-gram matching misses paraphrases and translations;
     * cosine similarity over embeddings catches them. Emits

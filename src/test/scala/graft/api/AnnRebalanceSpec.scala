@@ -102,6 +102,28 @@ class AnnRebalanceSpec extends AnyFunSuite {
     assert(floor >= 0.9, s"post-repair recall at 3/4 probing $floor < 0.9")
   }
 
+  test("repeated rebalance rounds reach a healthy fixpoint") {
+    // the maintenance loop's contract: each round splits what's ballooned
+    // UNDER THE CURRENT nlist (appending cells re-bases every skew, so one
+    // round can leave re-based stragglers); iterating must converge to an
+    // empty health report in a handful of rounds, not oscillate
+    val prefix = "graft_rebspec4_idx"
+    val full = buildDrifted(prefix)
+    var rounds = 0
+    while (rounds < 6 &&
+        !Ann.ivfPqIndexHealth(spark, prefix, maxSkew = 2.0).isEmpty) {
+      val repaired = Ann.rebalanceIvfPqCells(full, prefix, seed = 77L + rounds,
+        maxSkew = 2.0).count()
+      assert(repaired > 0, "health non-empty but rebalance repaired nothing")
+      rounds += 1
+    }
+    assert(Ann.ivfPqIndexHealth(spark, prefix, maxSkew = 2.0).isEmpty,
+      s"still unhealthy after $rounds rebalance rounds")
+    assert(rounds >= 1, "fixture must need at least one repair round")
+    // convergence did not lose or duplicate rows
+    assert(codesMap(prefix).size == full.count())
+  }
+
   test("a healthy index is a no-op") {
     val prefix = "graft_rebspec3_idx"
     val idx = Ann.fitIvfPq(emb, nlist = 4, m = 4, ksub = 16, seed = 11L, iters = 5)

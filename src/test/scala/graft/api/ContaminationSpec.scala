@@ -117,6 +117,29 @@ class ContaminationSpec extends AnyFunSuite {
       "a clean doc passes through as its canonical token stream")
   }
 
+  test("splitLeakage flags cross-split near-dup pairs only") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base, "train"),
+      (2L, base + " x", "test"),                   // cross-split near-dup: LEAK
+      (3L, base.replace("quick", "rapid"), "train"), // near-dup of 1, SAME split
+      (4L, "completely different content with no overlap at all here", "test"))
+      .toDF("doc_id", "text", "split")
+    val got = Contamination.splitLeakage(df, "doc_id", "text", "split",
+        ngramWidth = 4, bandCount = 8, bandSize = 3, seed = 123L, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got.forall { case (_, sa, _, sb) => sa != sb },
+      s"every flagged pair must straddle splits: ${got.toSeq}")
+    assert(got.exists { case (a, _, b, _) => (a, b) == (1L, 2L) },
+      s"the planted cross-split near-dup must flag: ${got.toSeq}")
+    assert(!got.exists { case (a, _, b, _) => (a, b) == (1L, 3L) },
+      s"a same-split near-dup is dedup's business, not leakage: ${got.toSeq}")
+    assert(!got.exists { case (a, _, b, _) => a == 4L || b == 4L },
+      s"unrelated content must not flag: ${got.toSeq}")
+  }
+
   test("contaminatedSpans: corpus flags without shuffling (benchmark grams broadcast)") {
     val bench = docs.filter(col("doc_id") % 50 === 0)
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
