@@ -1716,6 +1716,26 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // CCNet-style line-frequency boilerplate removal
+    // (Dedup.dropBoilerplateLines): lines occurring in >= 100 distinct
+    // docs drop from every doc. Fixture: newline-ify the text (replace
+    // ' the ' with \n — both engines do the same literal replace) and
+    // plant a header line in docs %3==0 and a footer in %4==0; organic
+    // line doc-frequency tops out at 5, the planted lines hit 125/167, so
+    // minDocs=100 separates cleanly (probed). Oracle: DuckDB re-derives
+    // lines by STRING (Spark hashes — collisions would surface).
+    "boilerplate_lines_drop" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter\n"))
+            .otherwise(lit("")),
+          regexp_replace(col("text"), " the ", "\n"),
+          when(col("doc_id") % 4 === 0, lit("\nall rights reserved"))
+            .otherwise(lit(""))).as("text"))
+      graft.api.Dedup.dropBoilerplateLines(docs, "doc_id", "text", minDocs = 100L)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // Split-leakage check (Contamination.splitLeakage): near-dup pairs
     // straddling dataset splits — the post-split hygiene pass (hash splits
     // assign by ID, so duplicate CONTENT crosses splits freely; a test doc
@@ -2822,6 +2842,30 @@ object SparkEntry {
         |WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // line-frequency boilerplate: lines keyed by STRING, distinct-doc
+    // counted, flagged >= 100, rebuild joins the kept lines in position
+    // order (string_split keeps empties; string_agg needs the coalesce
+    // for a doc whose every line was flagged)
+    "boilerplate_lines_drop" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END
+        |    || replace(text, ' the ', chr(10))
+        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i - 1 AS pos, l[i] AS line
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l
+        |        FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM src))),
+        |flagged AS (SELECT line FROM lines GROUP BY line
+        |            HAVING count(DISTINCT doc_id) >= 100),
+        |kept AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM lines WHERE line NOT IN (SELECT line FROM flagged)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(k.text, '') AS text
+        |FROM src s LEFT JOIN kept k USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     // same brute-force ground truth restricted to CROSS-SPLIT pairs, with
     // the deterministic %10 split re-derived in SQL
     "split_leakage" ->

@@ -367,6 +367,55 @@ object Dedup {
     if (drop.isEmpty) recomputed else recomputed.drop(drop: _*)
   }
 
+  /** Line-frequency boilerplate removal — the CCNet/RefinedWeb paragraph
+    * pass: a LINE (any `sep`-delimited segment) occurring in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav bars, cookie
+    * banners, "all rights reserved") and is dropped from every document;
+    * the rest of each document survives verbatim. This is the coarse
+    * sibling of [[dupSpans]]: line identity instead of token windows, a
+    * document-frequency threshold instead of "any second occurrence" —
+    * cheap enough to run FIRST, before span mining pays per-token work on
+    * text this pass would have deleted.
+    *
+    * Distributed shape mirrors [[cutSpans]]': lines travel the wire as
+    * `(doc_id, pos, xxhash64(line))` triples — text never shuffles. One
+    * exchange groups line hashes for the distinct-doc count, a semi-join
+    * flags positions (sparse — bounded by boilerplate mass, not corpus
+    * size), and the cut is a per-row filter over the re-split text keyed
+    * by the doc's flagged-position list. Gram identity is the 64-bit line
+    * hash; at 10^12 lines the collision expectation is the same ~0.03
+    * corpus-wide as [[dupSpans]]' (a collision deletes one innocent
+    * line).
+    *
+    * Empty lines (doubled separators, leading/trailing) count toward
+    * frequency like any line and are typically flagged and collapsed —
+    * which is the standard normalization anyway; pre-trim if exact
+    * whitespace layout must survive. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocs: Long, sep: String = "\n",
+                           spreadInput: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val src = if (spreadInput) SparkEnv.spread(df) else df
+    val lines = src
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("lh"))
+    val flaggedHashes = lines
+      .groupBy("lh").agg(countDistinct("doc_id").as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("lh")
+    val flaggedPos = lines.join(flaggedHashes, Seq("lh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos").cast("long")).as("__cut"))
+      .withColumnRenamed("doc_id", "__cut_doc")
+    src.join(flaggedPos, src(idCol).cast("long") === col("__cut_doc"), "left")
+      .withColumn("__cut", coalesce(col("__cut"), array().cast("array<bigint>")))
+      .withColumn(textCol, array_join(
+        filter(split(col(textCol), java.util.regex.Pattern.quote(sep), -1),
+          (_, i) => !array_contains(col("__cut"), i.cast("long"))), sep))
+      .drop("__cut", "__cut_doc")
+  }
+
   /** [[cutDupSpans]] under BPE token identity: mine with
     * [[Tokenizers.bpe]]`(merges)`, cut with the byte-level rebuild
     * ([[cutSpansBpe]]) — detection and destruction share the tokenizer,

@@ -410,6 +410,44 @@ class DupSpansSpec extends AnyFunSuite {
     assert(norm.toSeq == Seq((1L, 0L, 7L, 8L), (2L, 0L, 7L, 8L)))
   }
 
+  test("dropBoilerplateLines: frequency-flagged lines drop everywhere, the rest survives verbatim") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"$boiler\nunique alpha content\nmore unique text"),
+      (2L, s"intro line two\n$boiler\noutro line two"),
+      (3L, s"$boiler\nlast doc body"),
+      (4L, "never boilered\nat all"),
+      (5L, boiler)) // the whole doc is boilerplate -> empty string
+      .toDF("doc_id", "text")
+    val got = Dedup.dropBoilerplateLines(df, "doc_id", "text", minDocs = 3L)
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(got(0) == "unique alpha content\nmore unique text")
+    assert(got(1) == "intro line two\noutro line two")
+    assert(got(2) == "last doc body")
+    assert(got(3) == "never boilered\nat all", "untouched docs pass through verbatim")
+    assert(got(4) == "")
+    // below threshold nothing drops: the line sits in 4 docs, minDocs = 5
+    val loose = Dedup.dropBoilerplateLines(df, "doc_id", "text", minDocs = 5L)
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(loose(0).startsWith(boiler), "under-threshold lines must survive")
+    // frequency counts DISTINCT docs: a line repeated 3x inside ONE doc
+    // does not flag at minDocs = 3
+    val intra = Seq((1L, s"$boiler\n$boiler\n$boiler"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val keptIntra = Dedup.dropBoilerplateLines(intra, "doc_id", "text", minDocs = 3L)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .select("text").as[String].collect()(0)
+    assert(keptIntra == s"$boiler\n$boiler\n$boiler")
+    // custom separator
+    val pipey = Seq((1L, "a|boil|b"), (2L, "boil|c"), (3L, "boil"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val keptPipe = Dedup.dropBoilerplateLines(pipey, "doc_id", "text",
+        minDocs = 3L, sep = "|")
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(keptPipe.toSeq == Seq("a|b", "c", "", "d"))
+  }
+
   test("materialized-span overloads match the re-mining signatures") {
     import spark.implicits._
     val shared = "alpha beta gamma delta eps zeta eta theta"
