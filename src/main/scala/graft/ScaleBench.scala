@@ -287,6 +287,22 @@ object ScaleBench {
       // joined to a column-pruned corpus scan, and the rewrite touches
       // only ballooned partitions, so cost stays ~flat as the corpus grows
       // under constant drift
+      // line-frequency boilerplate removal (round 12): lines as
+      // (doc_id, pos, hash) triples through one (lh, doc)-keyed exchange +
+      // a broadcast semi-join + a positions-only rebuild join — claim:
+      // linear in lines, text never hash-shuffles (plan-pinned). The
+      // planted header/footer lands on every replica (appended after the
+      // cipher), so the flagged set is constant while the corpus grows.
+      "boiler_lines" -> { (k: Int) =>
+        val src = docs(k).select(col("doc_id"), concat(
+          when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter\n"))
+            .otherwise(lit("")),
+          regexp_replace(col("text"), " the ", "\n"),
+          when(col("doc_id") % 4 === 0, lit("\nall rights reserved"))
+            .otherwise(lit(""))).as("text"))
+        api.Dedup.dropBoilerplateLines(src, "doc_id", "text", minDocs = 100L)
+          .agg(sum(length(col("text")))).head().getLong(0)
+      },
       // IVF-PQ drift repair (round 12): rebalance is NOT idempotent (a
       // repaired table has nothing ballooned), so each invocation rebuilds
       // the drifted state fresh and prints its OWN rebalance-only seconds

@@ -328,6 +328,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate_lines_drop: text never crosses a hash exchange") {
+    // the operator's scale contract: lines travel as (doc_id, pos, hash)
+    // triples and flagged positions as (doc_id, pos) — the only exchanges
+    // that hash-partition must not carry the text column (the round-robin
+    // spread of the single-file fixture is the known dev-scale exception,
+    // a no-op at real scale)
+    val df = SparkEntry.queries("boilerplate_lines_drop")(spark, dir)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    def hashExchanges(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        hashExchanges(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        hashExchanges(s.plan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+        Seq(e)
+    }.flatten
+    val ex = hashExchanges(exec)
+    assert(ex.nonEmpty, s"expected hash exchanges:\n$exec")
+    ex.foreach { e =>
+      assert(!e.output.exists(a => a.name == "text" && a.dataType ==
+          org.apache.spark.sql.types.StringType),
+        s"text must not cross a hash exchange:\n$e")
+    }
+  }
+
   test("multimodal decode stays inside codegen — no RDD drop-out") {
     // decode_media is a Catalyst expression: the whole feature/resize pass
     // must plan as a codegen'd projection over the parquet scan. The failure
