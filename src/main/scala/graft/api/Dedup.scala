@@ -109,18 +109,20 @@ object Dedup {
     * executors is a multi-pass terasort. Grouping `width`-gram hashes
     * needs only (hash, doc_id, pos) triples — 24 bytes/token — through
     * ONE exchange, and "occurs in >= 2 distinct docs" collapses to
-    * `min(doc_id) != max(doc_id)`, a map-side-partial min/max agg with no
-    * count-distinct Expand and no second distinct pass. Downstream, the
-    * semi-join moves the same triples and the island merge is a per-doc
+    * `min(doc_id) != max(doc_id)` evaluated as a WINDOW over the gram
+    * hash — after the exchange a gram's whole occurrence group sits in
+    * one partition, so the rule is a partition-local min/max with no
+    * count-distinct Expand and no join. The island merge is a per-doc
     * window (parallel across docs, state bounded by flagged grams per
     * doc). Text never crosses the wire: gram identity is xxhash64 of the
     * joined window — at 10^12 grams the 64-bit collision expectation is
     * ~0.03 spurious gram matches corpus-wide, each at worst extending a
     * span by < `width` tokens (Lee et al. accept the same hash risk).
     *
-    * Cost is one corpus pass + two hash-keyed exchanges of fixed-width
-    * triples; the window runs only over flagged positions (sparse —
-    * bounded by actual duplication, not corpus size).
+    * Cost is ONE corpus pass (tokenize + window-hash, computed once) +
+    * one gh-keyed exchange of the fixed-width triples + one doc_id-keyed
+    * exchange of the flagged triples (sparse — bounded by actual
+    * duplication, not corpus size).
     *
     * `spreadInput` (default true, [[SparkEnv.spread]]): the gram
     * hash+explode is the CPU-heavy step and runs at the SCAN's
@@ -139,18 +141,27 @@ object Dedup {
     // crossDocOnly = false is Lee et al.'s actual rule — ANY second
     // occurrence counts, including a repeat inside ONE document (the
     // boilerplate/self-repetition case the cross-doc rule deliberately
-    // skips): plain count >= 2, same map-side-combined aggregate. NOTE the
-    // flagging is still window-level: overlapping occurrences of a
-    // self-repeating gram each flag their own window, so a doc of one
-    // token repeated 2·width times becomes one full-doc span.
-    val gramAgg = grams.groupBy("gh")
-      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"),
-        count(lit(1)).as("__n"))
-    val dupHashes =
-      (if (crossDocOnly) gramAgg.filter(col("__mn") =!= col("__mx"))
-       else gramAgg.filter(col("__n") >= 2))
-        .select("gh")
-    val flagged = grams.join(dupHashes, Seq("gh"), "left_semi")
+    // skips): plain count >= 2 over the same partition. NOTE the flagging
+    // is still window-level: overlapping occurrences of a self-repeating
+    // gram each flag their own window, so a doc of one token repeated
+    // 2·width times becomes one full-doc span.
+    //
+    // The rule is evaluated as a WINDOW over gh, not an aggregate +
+    // self-semi-join: a join back onto `grams` makes the plan compute the
+    // gram explode TWICE (Spark's exchange reuse does not unify the two
+    // canonically-distinct branches — measured 2 Generate nodes, i.e. the
+    // corpus tokenized and window-hashed twice, worst exactly where
+    // tokenize is expensive: BPE's merge loop). The window form is the
+    // shape the scaladoc promises: ONE exchange of the 24 B/token
+    // triples, one partition-key sort, no broadcast, one Generate.
+    val byGh = Window.partitionBy("gh")
+    val flagged = (if (crossDocOnly)
+        grams.withColumn("__mn", min("doc_id").over(byGh))
+          .withColumn("__mx", max("doc_id").over(byGh))
+          .filter(col("__mn") =!= col("__mx"))
+      else
+        grams.withColumn("__n", count(lit(1)).over(byGh))
+          .filter(col("__n") >= 2))
       .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
     mergeIslands(flagged)
   }
