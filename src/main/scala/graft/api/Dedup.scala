@@ -411,11 +411,19 @@ object Dedup {
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1)))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("lh"))
-    val flaggedHashes = lines
-      .groupBy("lh").agg(countDistinct("doc_id").as("__docs"))
+    // the document-frequency rule as WINDOWS over the line hash, not an
+    // aggregate + self-semi-join — the join form makes the plan compute
+    // the line explode twice (same double-tokenize trap [[dupSpans]] hit;
+    // Spark's exchange reuse does not unify the branches). One exchange +
+    // one (lh, doc_id) sort hosts both: dense_rank over doc_id counts
+    // distinct docs per line, its partition max is the line's document
+    // frequency.
+    val byLhDoc = Window.partitionBy("lh").orderBy("doc_id")
+    val byLh = Window.partitionBy("lh")
+    val flaggedPos = lines
+      .withColumn("__dr", dense_rank().over(byLhDoc))
+      .withColumn("__docs", max("__dr").over(byLh))
       .filter(col("__docs") >= minDocs)
-      .select("lh")
-    val flaggedPos = lines.join(flaggedHashes, Seq("lh"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_list(col("pos").cast("long")).as("__cut"))
       .withColumnRenamed("doc_id", "__cut_doc")
