@@ -133,7 +133,13 @@ object BandedLsh {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long,
                    threshold: Double): DataFrame = {
+    // explicit bucket repartition: the self-join below then reads ONE
+    // ReusedExchange for both sides (verified in the executed plan), so
+    // the minhash banding pass — the signature compute — runs once per
+    // document and the band exchange ships each doc's (text, signature)
+    // rows once, not once per join side
     val banded = bandedRows(df, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
+      .repartition(col("band"), col("band_hash"))
     val a = banded.select(col(idCol).as("id_a"), col(textCol).as("text_a"),
       col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col(textCol).as("text_b"),

@@ -75,9 +75,14 @@ object Dedup {
     require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
     val sim = df.select(col(idCol).as("id"), col(textCol).as("text"),
       graft.functions.simhash64(col(textCol)).as("sh"))
+    // explicit (band, chunk) repartition: the self-join below then reads
+    // ONE ReusedExchange for both sides (verified in the executed plan),
+    // so the full-text simhash pass runs once per document — without it
+    // each join side recomputes the scan + simhash64
     val banded = sim.select(col("id"), col("sh"),
       posexplode(SketchBlocking.chunks(col("sh"), bands, bands * (64 / bands))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .repartition(col("band"), col("chunk"))
     val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("chunk"))
     val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"), col("chunk"))
     a.join(b, Seq("band", "chunk"))
