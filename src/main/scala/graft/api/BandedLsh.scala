@@ -86,8 +86,11 @@ object BandedLsh {
     * whole corpus per band; texts are re-attached afterwards by two id joins. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long): DataFrame = {
+    // bucket repartition → the self-join reads ONE ReusedExchange: the
+    // banding pass (lsh_min) runs once per document, not once per side
     val banded = bandedRows(df, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
       .select(col(idCol), col("band"), col("band_hash"))
+      .repartition(col("band"), col("band_hash"))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     val idPairs = a.join(b, Seq("band", "band_hash"))
@@ -324,9 +327,12 @@ object BandedLsh {
       .select(col(idCol).as("id"),
         graft.functions.lsh_min(col(textCol), ngramWidth, bandCount, bandSize, seed).as("bands"),
         graft.functions.lsh_min(col(textCol), ngramWidth, k, 1, sigSeed).as("sig"))
+    // bucket repartition → the self-join reads ONE ReusedExchange: BOTH
+    // lsh_min passes (banding + signature) run once per document
     val banded = hashed.select(col("id"), col("sig"),
         posexplode(col("bands")))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("band_hash"))
+      .repartition(col("band"), col("band_hash"))
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band"), col("band_hash"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
