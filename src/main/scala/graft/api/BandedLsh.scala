@@ -320,17 +320,24 @@ object BandedLsh {
     require(k >= 1, s"signature length must be >= 1, got $k")
     val n = SparkEnv.shufflePartitions(df.sparkSession)
     // one pass computes BOTH the blocking bands and the k-component
-    // signature; only (id, bands, sig) ever shuffles
+    // signature; only (id, bands, sig) ever shuffles. The explode is the
+    // OUTER variant + a null filter, not a plain posexplode: Catalyst's
+    // InferFiltersFromGenerate fires on inner attribute generators and
+    // pushes the `size(bands) > 0` filter it infers below the spread
+    // exchange, re-evaluating BOTH lsh_min kernels per row at the scan
+    // (outer generates are exempt; empty-band rows surface as one null
+    // row and die in the same-stage filter — bit-identical output).
+    // bucket repartition → the self-join reads ONE ReusedExchange: both
+    // lsh_min passes run once per document.
     val hashed = df
       .filter(length(col(textCol)) >= ngramWidth)
       .repartition(n, col(idCol))
       .select(col(idCol).as("id"),
         graft.functions.lsh_min(col(textCol), ngramWidth, bandCount, bandSize, seed).as("bands"),
         graft.functions.lsh_min(col(textCol), ngramWidth, k, 1, sigSeed).as("sig"))
-    // bucket repartition → the self-join reads ONE ReusedExchange: BOTH
-    // lsh_min passes (banding + signature) run once per document
     val banded = hashed.select(col("id"), col("sig"),
-        posexplode(col("bands")))
+        posexplode_outer(col("bands")))
+      .filter(col("col").isNotNull)
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("band_hash"))
       .repartition(col("band"), col("band_hash"))
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),

@@ -127,7 +127,12 @@ object Dedup {
     * Cost is ONE corpus pass (tokenize + window-hash, computed once) +
     * one gh-keyed exchange of the fixed-width triples + one doc_id-keyed
     * exchange of the flagged triples (sparse — bounded by actual
-    * duplication, not corpus size).
+    * duplication, not corpus size). Degenerate-group note: the window
+    * buffers one gram's occurrence group per evaluation; a pathological
+    * mega-gram (the same width-window in 10^7+ places) makes its group a
+    * disk-backed spill on one task (WindowExec's external row buffer) —
+    * slower, never OOM, and exactly the text a boilerplate pass
+    * ([[dropBoilerplateLines]]) should have removed first.
     *
     * `spreadInput` (default true, [[SparkEnv.spread]]): the gram
     * hash+explode is the CPU-heavy step and runs at the SCAN's
@@ -406,7 +411,10 @@ object Dedup {
     * Empty lines (doubled separators, leading/trailing) count toward
     * frequency like any line and are typically flagged and collapsed —
     * which is the standard normalization anyway; pre-trim if exact
-    * whitespace layout must survive. */
+    * whitespace layout must survive. A line present in a large fraction
+    * of the corpus makes its window group a disk-backed spill on one
+    * task (WindowExec's external buffer) — slower, never OOM; the
+    * flagged output itself stays bounded by boilerplate mass. */
   def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                            minDocs: Long, sep: String = "\n",
                            spreadInput: Boolean = true): DataFrame = {
