@@ -96,11 +96,21 @@ object Bench {
     // load 2.10 cost the judge a diff audit to clear — wait (bounded) for
     // the ambient load to drop below 0.5 before timing, and when it never
     // does, say so EXPLICITLY in the JSON so round-over-round regressions
-    // are attributable without re-running anything.
-    val idleTarget = 0.5
+    // are attributable without re-running anything. Both knobs are
+    // env-tunable (GRAFT_BENCH_IDLE_TARGET / GRAFT_BENCH_IDLE_WAIT_SEC,
+    // seconds; 0 disables the wait), and a load far above anything a
+    // 2-minute wait could plausibly outlast (structurally-busy shared/CI
+    // hosts) skips the stall outright — the contention JSON field already
+    // carries the attribution there.
+    val idleTarget = sys.env.get("GRAFT_BENCH_IDLE_TARGET")
+      .map(_.toDouble).getOrElse(0.5)
+    val maxWaitSec = sys.env.get("GRAFT_BENCH_IDLE_WAIT_SEC")
+      .map(_.toLong).getOrElse(120L)
+    val hopelessLoad = idleTarget * 8.0
     val waitT0 = System.nanoTime()
-    val waitDeadline = waitT0 + 120L * 1000 * 1000 * 1000
+    val waitDeadline = waitT0 + maxWaitSec * 1000 * 1000 * 1000
     while (osBean.getSystemLoadAverage > idleTarget &&
+        osBean.getSystemLoadAverage < hopelessLoad &&
         System.nanoTime() < waitDeadline) {
       Thread.sleep(5000)
     }

@@ -280,6 +280,22 @@ object ScaleBench {
             "doc_id", "text", width = 8)
           .agg(sum(length(col("text")))).head().getLong(0)
       },
+      // embedding decontamination, both shapes, FIXED 500-vector bench
+      // (the full base replica) vs the ×k corpus. The NLJ pays
+      // |corpus|×|bench| cosines; the ANN form pays |corpus|×(nlist
+      // centroid distances + the probed cells' shortlist cosines,
+      // ~|bench|·nprobe/nlist) — both linear in k at fixed bench, but the
+      // ANN constant is ~nlist/|bench|+nprobe/nlist of the NLJ's, which is
+      // the whole point at |bench| = 10⁵+ (here 500: expect ~3-5×)
+      "contam_embed_nlj" -> { (k: Int) =>
+        val bench = spark.read.parquet(s"$baseDir/embeddings.parquet")
+        api.Contamination.embedOverlap(emb(k), bench, tau = 0.25).count()
+      },
+      "contam_embed_ann" -> { (k: Int) =>
+        val bench = spark.read.parquet(s"$baseDir/embeddings.parquet")
+        api.Contamination.embedOverlapAnn(emb(k), bench, tau = 0.25,
+          nlist = 16, nprobe = 2, seed = 101L).count()
+      },
       // IVF-PQ drift repair (round 12): fit+save+append a FIXED drift mode
       // (setup, untimed claim) then rebalance — claim: the repair is
       // drifted-row-bound, not corpus-bound — health is one count-only

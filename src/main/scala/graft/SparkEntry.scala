@@ -1789,6 +1789,22 @@ object SparkEntry {
       graft.api.Contamination.embedOverlap(emb, bench, tau = 0.25)
         .orderBy("vec_id", "bench_id")
     }),
+    // The IVF-shortlisted form of the same pass (embedOverlapAnn): a
+    // sample-init quantizer trained on the bench side routes each corpus
+    // vector to its 3-of-8 nearest bench cells before any cosine — the
+    // |corpus|x|bench| NLJ becomes corpus-scan-bound. Oracle: full Python
+    // re-derivation (kmeans_centroids over the bench sample -> NearestCell
+    // per bench vector -> nprobe probe list per corpus vector -> exact
+    // cosine on the shortlist); sim values recomputed by DuckDB's
+    // list_cosine_similarity. Recall vs contamination_embed is spec-pinned
+    // >= 0.9 (measured 0.993 at this config).
+    "contamination_embed_ann" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val bench = graft.api.Sampling.sampleByHash(emb, "vec_id", 0.02, 99L)
+      graft.api.Contamination.embedOverlapAnn(emb, bench, tau = 0.25,
+          nlist = 8, nprobe = 3, seed = 101L)
+        .orderBy("vec_id", "bench_id")
+    }),
     // SemDeDup (Abbas et al. 2023): k-means the embedding space (16 cells,
     // seeded sample-init Lloyd's), then drop any vector with a lower-id
     // cosine->=0.35 neighbor in its own cell. 73 of 500 fixture vectors
@@ -2183,6 +2199,7 @@ object SparkEntry {
     // pure pre-filter, so both plans answer to the same pinned oracle
     "contamination_bloom" -> valuesOracle("contamination_check"),
     "contamination_embed" -> valuesOracle("contamination_embed"),
+    "contamination_embed_ann" -> valuesOracle("contamination_embed_ann"),
     // Token-span decontamination: full cross-engine re-derivation — the
     // corpus/bench split and planted passage are plain SQL, grams keyed by
     // STRING (vs Spark's xxhash64), flagged = corpus gram IN bench grams,

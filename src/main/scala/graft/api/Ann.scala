@@ -88,7 +88,7 @@ object Ann {
     * `limit(cap+1)` short-circuits at cap+1 rows (LocalLimit), so the probe
     * costs one cheap job, never a full scan of a large query side. Cap is
     * `graft.ann.maxQueryRows` (default 100 000). */
-  private def requireSmallQueries(queries: DataFrame, op: String): Unit = {
+  private[api] def requireSmallQueries(queries: DataFrame, op: String): Unit = {
     val maxQ = SparkEnv.annMaxQueryRows(queries.sparkSession)
     val n = queries.limit(maxQ + 1).count()
     require(n <= maxQ,

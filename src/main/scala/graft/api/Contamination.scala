@@ -161,18 +161,41 @@ object Contamination {
     * [[sharedNgrams]], the flagging rule keeps no benchmark identity to
     * self-exclude with — a benchmark hosted inside the corpus table must
     * be anti-joined out of the corpus side first, or every benchmark doc
-    * flags itself end-to-end. */
+    * flags itself end-to-end. `excludeBenchIds = true` ENFORCES this: the
+    * benchmark's id set anti-joins the corpus side (ids only, broadcast in
+    * practice — the bench is the tiny side by the same cardinality
+    * argument as the gram broadcast), so a benchmark hosted in the corpus
+    * table is excluded loudly-by-construction instead of silently flagging
+    * itself. Default false: separate-table callers with independent id
+    * spaces must NOT drop corpus docs on id coincidences (the
+    * `benchInCorpus` argument of [[embedOverlap]], same trade).
+    *
+    * `broadcastBench = false` drops the explicit broadcast hint on the
+    * benchmark's gram-hash set: a full eval-suite sweep (10⁸+ distinct
+    * grams) can exceed the broadcast hard cap / driver memory, and there
+    * the flagging degrades to a shuffled semi-join (corpus gram triples
+    * exchange on gh — the [[Dedup.dupSpans]] shape) instead of failing the
+    * job. Default true: at real benchmark sizes the broadcast is the
+    * no-corpus-shuffle plan the scaladoc promises. */
   def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String, width: Int,
                         spreadInput: Boolean = true,
                         tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                          Tokenizers.asciiWords): DataFrame = {
-    val corpusGrams = Dedup.gramHashes(corpus, idCol, textCol, width, spreadInput, tokenize)
+                          Tokenizers.asciiWords,
+                        excludeBenchIds: Boolean = false,
+                        broadcastBench: Boolean = true): DataFrame = {
+    val corpusSide =
+      if (!excludeBenchIds) corpus
+      else corpus.join(
+        broadcast(benchmark.select(col(idCol).cast("long").as("__bench_id")).distinct()),
+        corpus(idCol).cast("long") === col("__bench_id"), "left_anti")
+    val corpusGrams = Dedup.gramHashes(corpusSide, idCol, textCol, width, spreadInput, tokenize)
     val benchHashes = Dedup.gramHashes(benchmark, idCol, textCol, width,
         spreadInput = false, tokenize)
       .select("gh").distinct()
     val flagged = corpusGrams
-      .join(broadcast(benchHashes), Seq("gh"), "left_semi")
+      .join(if (broadcastBench) broadcast(benchHashes) else benchHashes,
+        Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
     Dedup.mergeIslands(flagged)
   }
@@ -253,8 +276,8 @@ object Contamination {
     * and BROADCAST; the corpus streams once through scan → broadcast
     * nested-loop join → cosine filter, never shuffling. Cost is
     * |corpus| × |bench| cosine evaluations inside codegen — at 100 TB
-    * pre-filter the bench side per corpus partition with an ANN index
-    * ([[Ann.lshBucketedTopK]]) if |bench| exceeds ~10⁵.
+    * pre-filter the bench side with the IVF composition
+    * ([[embedOverlapAnn]]) if |bench| exceeds ~10⁵.
     *
     * @param benchInCorpus the benchmark rows live inside the corpus table
     *        under the SAME id space (this module's default framing, like
@@ -275,6 +298,65 @@ object Contamination {
         .filter(Ann.normSq(col(outVec)) > 0.0)
     side(corpus, "vec_id", "cv")
       .crossJoin(broadcast(side(benchmark, "bench_id", "bv")))
+      .filter(if (benchInCorpus) col("vec_id") =!= col("bench_id") else lit(true))
+      .withColumn("sim", Ann.cosine(col("cv"), col("bv")))
+      .filter(col("sim") >= tau)
+      .select("vec_id", "bench_id", "sim")
+  }
+
+  /** [[embedOverlap]] behind an IVF shortlist — the 100 TB shape its
+    * scaladoc promises: the brute pass pays |corpus| × |bench| cosines,
+    * which a full eval-suite sweep (|bench| = 10⁵..10⁶) turns into the
+    * most expensive pass in the pipeline. Here a coarse quantizer is
+    * trained on the BENCHMARK side (the tiny, fixed one — seeded
+    * sample-init Lloyd's, the [[Ann.trainQuantizer]] recipe) and each
+    * corpus vector exact-cosines only the bench vectors living in its
+    * `nprobe` nearest cells. Per-corpus-row cost drops from |bench|
+    * cosines to `nlist` centroid distances + ~|bench|·nprobe/nlist
+    * cosines; the corpus still streams once through the scan with NO
+    * shuffle (the bench cell table broadcasts — cells + raw vectors,
+    * |bench|-bounded; past ~10⁶ bench vectors drop the broadcast hint and
+    * let the cell join shuffle the exploded corpus keys instead).
+    *
+    * APPROXIMATE by construction: a pair whose bench cell is outside the
+    * corpus vector's probe list is missed — recall at the gated fixture
+    * is pinned ≥ 0.9 by spec (0.993 at nlist=8/nprobe=3 on the sf0.01
+    * embeddings), and every emitted pair is exact-verified, so precision
+    * is 1 relative to [[embedOverlap]]. Same zero-norm guard,
+    * `benchInCorpus` rule and output schema — `nprobe = nlist`
+    * degenerates to exactly [[embedOverlap]]'s pair set. */
+  def embedOverlapAnn(corpus: DataFrame, benchmark: DataFrame, tau: Double,
+                      nlist: Int, nprobe: Int, seed: Long,
+                      iters: Int = 5, sampleSize: Int = 10000,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      benchInCorpus: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell, ProbeCells}
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
+    val spark = corpus.sparkSession
+    def side(df: DataFrame, outId: String, outVec: String) =
+      df.select(col(idCol).cast("long").as(outId),
+        col(vecCol).cast("array<double>").as(outVec))
+        .filter(Ann.normSq(col(outVec)) > 0.0)
+    val bench = side(benchmark, "bench_id", "bv")
+    Ann.requireSmallQueries(bench, "embedOverlapAnn")
+    // quantizer trained on the zero-norm-FILTERED bench side, so the model
+    // is a pure function of the vectors that can actually match (mirrored
+    // in tools/gen_oracles.py via kmeans_centroids over the bench sample)
+    val cents = Ann.trainQuantizer(bench, nlist, seed, iters, sampleSize,
+      "bench_id", "bv", initFromSample = true)
+    val cmodel = new CentroidModel(spark.sparkContext.broadcast(cents))
+    val benchCells = bench.withColumn("cell",
+      ColumnShim.column(NearestCell(ColumnShim.expression(col("bv")), cmodel)))
+    // each bench vector lives in exactly ONE cell and probe cells are
+    // distinct, so the join hits each (corpus, bench) pair at most once —
+    // no candidate distinct needed
+    side(corpus, "vec_id", "cv")
+      .withColumn("cell", explode(
+        ColumnShim.column(ProbeCells(ColumnShim.expression(col("cv")), cmodel, nprobe))))
+      .join(broadcast(benchCells), Seq("cell"))
       .filter(if (benchInCorpus) col("vec_id") =!= col("bench_id") else lit(true))
       .withColumn("sim", Ann.cosine(col("cv"), col("bv")))
       .filter(col("sim") >= tau)

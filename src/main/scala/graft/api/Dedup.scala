@@ -144,8 +144,25 @@ object Dedup {
                width: Int, spreadInput: Boolean = true,
                tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                  Tokenizers.asciiWords,
-               crossDocOnly: Boolean = true): DataFrame = {
-    val grams = gramHashes(df, idCol, textCol, width, spreadInput, tokenize)
+               crossDocOnly: Boolean = true,
+               excludeGrams: Option[DataFrame] = None): DataFrame = {
+    // Pre-trim seam for known-degenerate grams: the window below buffers
+    // each gram's whole occurrence group in one task, so a pathological
+    // mega-gram (same width-window in 10^7+ places — boilerplate by
+    // definition) becomes a single-task disk spill. A count filter on the
+    // SAME window couldn't help (the group must be buffered to count it),
+    // so the trim happens BEFORE the exchange: `excludeGrams` (a `gh`
+    // frame, tiny by construction — produce it with [[hotGrams]] on the
+    // compaction cadence, the [[BandedLsh.signatureIndexHealth]] contract)
+    // anti-joins the triples map-side under a broadcast, and the hot
+    // group never reaches the window. Excluded grams are NOT flagged —
+    // route that text to [[dropBoilerplateLines]], which is the pass that
+    // owns high-document-frequency content.
+    val all = gramHashes(df, idCol, textCol, width, spreadInput, tokenize)
+    val grams = excludeGrams match {
+      case Some(hot) => all.join(broadcast(hot.select("gh")), Seq("gh"), "left_anti")
+      case None => all
+    }
     // crossDocOnly: a gram duplicates iff >= 2 distinct docs contain it,
     // i.e. min(doc_id) != max(doc_id) — no distinct, no Expand.
     // crossDocOnly = false is Lee et al.'s actual rule — ANY second
@@ -174,6 +191,25 @@ object Dedup {
           .filter(col("__n") >= 2))
       .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
     mergeIslands(flagged)
+  }
+
+  /** Maintenance scan for [[dupSpans]]' `excludeGrams` seam: every gram
+    * hash occurring more than `cap` times, `(gh, occurrences)`. A plain
+    * hash AGGREGATE, not a window — map-side combine collapses a
+    * mega-gram's group incrementally, so this pass is safe on exactly the
+    * degenerate keys the window form spills on. Output is bounded by
+    * tokens/cap rows (a corpus with more over-cap grams than that is all
+    * boilerplate). Run on the compaction cadence; feed the result (or its
+    * persisted table) back as `excludeGrams`. */
+  def hotGrams(df: DataFrame, idCol: String, textCol: String, width: Int,
+               cap: Long, spreadInput: Boolean = true,
+               tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                 Tokenizers.asciiWords): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    gramHashes(df, idCol, textCol, width, spreadInput, tokenize)
+      .groupBy("gh")
+      .agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") > cap)
   }
 
   /** The `width`-gram hash stream of a corpus: one row per token window,

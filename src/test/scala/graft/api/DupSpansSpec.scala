@@ -507,4 +507,35 @@ class DupSpansSpec extends AnyFunSuite {
       }
     } finally spansDf.unpersist()
   }
+
+  test("hotGrams + excludeGrams: a mega-gram is pre-trimmed, other spans unaffected") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta"       // the genuine cross-doc dup
+    val boiler = "all rights reserved tonight"  // planted in EVERY doc
+    val df = (1L to 40L).map { i =>
+      // letters only — digits are separators under the [^a-z]+ tokenizer
+      val tag = s"${('a' + (i / 26)).toChar}${('a' + (i % 26)).toChar}"
+      val unique = (0 until 6).map(j => s"u$tag${('a' + j).toChar}").mkString(" ")
+      val mid = if (i <= 2) s" $shared " else " "
+      (i, s"$boiler$mid$unique")
+    }.toDF("doc_id", "text")
+    // the boilerplate 4-gram occurs 40x, the genuine dup 2x
+    val hot = Dedup.hotGrams(df, "doc_id", "text", width = 4, cap = 10L)
+    val hotRows = hot.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hotRows.length == 1 && hotRows.head._2 == 40L,
+      s"exactly the planted mega-gram must trip the cap: ${hotRows.toSeq}")
+    val trimmed = Dedup.dupSpans(df, "doc_id", "text", width = 4,
+        excludeGrams = Some(hot))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 1-2 share the paragraph at positions 4..7 plus the bridging
+    // windows at pos 1..3 (boiler-tail + shared-head, 2 occurrences — a
+    // genuine cross-doc dup); the PURE boilerplate window at pos 0 (40
+    // occurrences) is trimmed, so the span starts at 1, not 0
+    assert(trimmed == Set((1L, 1L, 7L), (2L, 1L, 7L)),
+      s"only the genuine dup must flag after the trim: $trimmed")
+    // without the trim the boilerplate flags all 40 docs (the spill shape)
+    val untrimmed = Dedup.dupSpans(df, "doc_id", "text", width = 4)
+      .select("doc_id").distinct().count()
+    assert(untrimmed == 40L, s"control: boilerplate flags every doc, got $untrimmed")
+  }
 }

@@ -120,4 +120,25 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(cross.exists { case (a, b) => a == b },
       "equal-id cross-table pairs must survive with benchInCorpus=false")
   }
+
+  test("embedOverlapAnn is a recall>=0.9 subset of embedOverlap; full-probe degenerates to equality") {
+    val bench = Sampling.sampleByHash(emb, "vec_id", 0.05, 99L)
+    val exact = Contamination.embedOverlap(emb, bench, tau = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture is vacuous: no exact pairs")
+    val ann = Contamination.embedOverlapAnn(emb, bench, tau = 0.2,
+        nlist = 4, nprobe = 3, seed = 101L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1 relative to the brute pass: every emitted pair is
+    // exact-verified, so the ANN set can only MISS pairs, never add
+    assert(ann.subsetOf(exact), s"ANN emitted non-exact pairs: ${ann -- exact}")
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall $recall < 0.9 (|ann|=${ann.size}, |exact|=${exact.size})")
+    // nprobe = nlist probes every cell: the shortlist is the whole bench
+    // and the pair set must equal the brute pass exactly
+    val full = Contamination.embedOverlapAnn(emb, bench, tau = 0.2,
+        nlist = 4, nprobe = 4, seed = 101L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nprobe=nlist must degenerate to embedOverlap's pair set")
+  }
 }

@@ -2006,6 +2006,42 @@ def main(sf_dir, spark_dir):
         "ORDER BY vec_id, bench_id")
     custom["contamination_embed"] = (ce_rows, ("vec_id", "bench_id", "sim"), ce_sql)
 
+    # ---- contamination_embed_ann: the IVF-shortlisted form
+    # (Contamination.embedOverlapAnn). Mirror: sample-init Lloyd's
+    # (kmeans_centroids — trainQuantizer(initFromSample=true)) over the
+    # SAME 2%-hash bench sample, NearestCell per bench vector, nprobe=3
+    # probe list per corpus vector (nearest_centroids — distance-then-index
+    # tie order), exact cosine only where the bench cell is probed. Pair
+    # set pinned; sim values recomputed by DuckDB like contamination_embed.
+    cea_bvecs = {b: vecs[b] for b in ce_bench}
+    cea_cents = kmeans_centroids(cea_bvecs, 8, 101, 5, 10000)
+    cea_bcell = {b: nearest_centroid(v, cea_cents) for b, v in cea_bvecs.items()}
+    cea_rows = []
+    for vid in sorted(vecs):
+        probes = set(nearest_centroids(vecs[vid], cea_cents, 3))
+        for b in ce_bench:
+            if vid != b and cea_bcell[b] in probes:
+                sim = cosine(vecs[vid], vecs[b])
+                if sim >= 0.25:
+                    cea_rows.append((vid, b, sim))
+    assert cea_rows, "contamination_embed_ann gate is vacuous: no pairs"
+    # the shortlist must actually prune: strictly fewer pairs than nprobe =
+    # nlist would emit is NOT required (recall can be 1.0), but the recall
+    # floor the spec pins must hold in the mirror too
+    cea_recall = (len({r[:2] for r in cea_rows} & {r[:2] for r in ce_rows})
+                  / float(len(ce_rows)))
+    assert cea_recall >= 0.9, \
+        f"contamination_embed_ann mirror recall {cea_recall} < 0.9"
+    cea_sql = (
+        "WITH sel(vec_id, bench_id) AS (VALUES\n"
+        f"{values_block([r[:2] for r in cea_rows])}\n),\n"
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)\n"
+        "SELECT CAST(s.vec_id AS BIGINT) AS vec_id, CAST(s.bench_id AS BIGINT) AS bench_id,\n"
+        "       list_cosine_similarity(c.v, b.v) AS sim\n"
+        "FROM sel s JOIN e c ON c.vec_id = s.vec_id JOIN e b ON b.vec_id = s.bench_id\n"
+        "ORDER BY vec_id, bench_id")
+    custom["contamination_embed_ann"] = (cea_rows, ("vec_id", "bench_id", "sim"), cea_sql)
+
     # ---- curate_embeddings: the composed embedding recipe — semantic-dedup
     # survivors (sem_rows) minus anything cosine>=0.25-near the bench
     # sample. Stage order matters: decontamination sees only the KEPT
@@ -2047,6 +2083,7 @@ def main(sf_dir, spark_dir):
                     "semantic_dedup": "vec_id",
                     "stream_embed_neardup": "band, id_a, id_b",
                     "contamination_embed": "vec_id, bench_id",
+                    "contamination_embed_ann": "vec_id, bench_id",
                     "curate_embeddings": "vec_id",
                     "semantic_prototypes": 'cluster, "rank"',
                     "sample_hash": "doc_id",
