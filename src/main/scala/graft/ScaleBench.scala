@@ -280,6 +280,24 @@ object ScaleBench {
             "doc_id", "text", width = 8)
           .agg(sum(length(col("text")))).head().getLong(0)
       },
+      // incremental span mining (round 13): build the gram index on the
+      // ×k corpus (setup, untimed), then admit a FIXED base-sized batch
+      // (fresh id range, identity text so it collides with replica 0) and
+      // read the spans. Claim: the per-ingest cost is the batch's own
+      // mining + one column-pruned index scan — it must grow far slower
+      // than dup_spans' full re-mine of the union (the regime this index
+      // replaces for rolling corpora)
+      "span_index_append" -> { (k: Int) =>
+        val t = s"scale_gram_x$k"
+        api.Dedup.saveGramIndex(docs(k), t, 32, "doc_id", "text", width = 8)
+        val batch = spark.read.parquet(s"$baseDir/documents.parquet")
+          .select((col("doc_id") + lit(9990000000L)).as("doc_id"), col("text"))
+        val t0 = System.nanoTime()
+        api.Dedup.appendToGramIndex(batch, t, "doc_id", "text", width = 8)
+        val n = api.Dedup.dupSpansFromIndex(spark, t).count()
+        println(f"  append+detect x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($n spans)")
+        n
+      },
       // embedding decontamination, both shapes, FIXED 500-vector bench
       // (the full base replica) vs the ×k corpus. The NLJ pays
       // |corpus|×|bench| cosines; the ANN form pays |corpus|×(nlist
@@ -338,7 +356,7 @@ object ScaleBench {
         api.Ann.saveIvfPqIndex(idx, t)
         val drift = emb(k).filter(col("vec_id") < 5)
           .crossJoin(spark.range(1, 61).select(col("id").as("__rep")))
-          .select((col("vec_id") + col("__rep") * 100000000L).as("vec_id"),
+          .select((col("vec_id") + col("__rep") * 10000000000L).as("vec_id"),
             transform(col("embedding"),
               x => x + lit(3.0) + col("__rep").cast("double") * lit(0.05)).as("embedding"))
         api.Ann.appendToIvfPqIndex(drift, t)
@@ -347,6 +365,31 @@ object ScaleBench {
           seed = 77L, maxSkew = 1.5).count()
         println(f"  rebalance-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($repaired cells repaired)")
         repaired
+      },
+      // the complementary STARVATION repair (round 13): same setup shape
+      // as ann_rebalance but the drift is a big concentrated append that
+      // leaves the original cells relatively starved — claim: merge-only
+      // cost is starved-row-bound (health agg + partition-pruned pull of
+      // the starved cells' rows + one bounded rewrite), ~flat as the
+      // corpus grows under constant starved mass
+      "ann_merge" -> { (k: Int) =>
+        val t = s"scale_mrg_x$k"
+        Seq(s"${t}_codes", s"${t}_model", s"${t}_rebalance_tmp")
+          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+        val idx = api.Ann.fitIvfPq(emb(k), nlist = 32, m = 8, ksub = 16,
+          seed = 11L, iters = 5)
+        api.Ann.saveIvfPqIndex(idx, t)
+        val drift = emb(k).filter(col("vec_id") < 3)
+          .crossJoin(spark.range(1, 201).select(col("id").as("__rep")))
+          .select((col("vec_id") + col("__rep") * 10000000000L).as("vec_id"),
+            transform(col("embedding"),
+              x => x + lit(3.0) + col("__rep").cast("double") * lit(0.05)).as("embedding"))
+        api.Ann.appendToIvfPqIndex(drift, t)
+        val t0 = System.nanoTime()
+        val merged = api.Ann.mergeStarvedIvfPqCells(emb(k).unionByName(drift), t,
+          minSkew = 0.3).count()
+        println(f"  merge-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($merged cells retired)")
+        merged
       },
       // the topk_by claim measured: per-language top-100 docs by n_chars.
       // The corpus has 3 languages, so the window shuffles ALL ×k rows

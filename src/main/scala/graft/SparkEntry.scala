@@ -43,16 +43,21 @@ object SparkEntry {
     * every character class the ascii tokenizer is blind to: digits,
     * accents, Han, hiragana+katakana, Hangul, Thai (with a combining tone
     * mark U+0E49, which the `[^\p{L}\p{N}]` split step drops identically
-    * in both engines). The no-space kana/Thai runs segment per character
-    * only under the extended script classes (round 12) -- the exact
-    * under-detection the Han-only tokenizer had (spec-pinned in
-    * DupSpansSpec). */
+    * in both engines), and (round 13) Khmer/Lao/Myanmar/Tibetan \u2014 each
+    * carrying Mn/Mc dependent marks (coeng U+17D2, asat U+103A, vowel
+    * signs) that both engines drop, and Lao's Lo-classified spacing vowel
+    * U+0EB2 that both keep. The no-space runs segment per character only
+    * under the extended script classes -- the exact under-detection the
+    * narrower tokenizers had (spec-pinned in DupSpansSpec). */
   private def multilingualDocs(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents").select(col("doc_id"),
       concat(translate(col("text"), "ae", "\u00e0\u00e9"),
         lit(" 42 na\u00efve \u6570\u636e\u53bb\u91cd" +
           " \u3072\u3089\u304c\u306a\u30ab\u30bf \ud55c\uae00" +
-          " \u0e44\u0e17\u0e22\u0e02\u0e49\u0e2d 123 d\u00e9j\u00e0 vu"))
+          " \u0e44\u0e17\u0e22\u0e02\u0e49\u0e2d" +
+          " \u1781\u17d2\u1798\u17c2\u179a \u0ea5\u0eb2\u0ea7" +
+          " \u1019\u103c\u1014\u103a\u1019\u102c \u0f56\u0f7c\u0f51" +
+          " 123 d\u00e9j\u00e0 vu"))
         .as("text"))
 
   /** The NFC-tokenizer gate's fixture: docs 0 and 1 carry the SAME
@@ -532,6 +537,21 @@ object SparkEntry {
     "dup_span_detect" -> ((s, dir) => {
       graft.api.Dedup.dupSpans(load(s, dir, "documents"), "doc_id", "text",
           width = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+    // Incremental span mining (round 13): build the persisted gram index
+    // on 2/3 of the corpus, admit the rest as a rolling batch, read the
+    // spans from the flag state. The oracle is dup_span_detect's FULL-
+    // corpus SQL re-derivation verbatim — the rolling pipeline must land
+    // on exactly the batch answer over the union, while paying only the
+    // batch's mining cost per ingest (the corpus text is never re-read).
+    "rolling_dup_spans" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.api.Dedup.saveGramIndex(docs.filter(col("doc_id") % 3 < 2),
+        "graft_gram_idx", 8, "doc_id", "text", width = 8)
+      graft.api.Dedup.appendToGramIndex(docs.filter(col("doc_id") % 3 === 2),
+        "graft_gram_idx", "doc_id", "text", width = 8)
+      graft.api.Dedup.dupSpansFromIndex(s, "graft_gram_idx")
         .orderBy("doc_id", "span_start")
     }),
     // The destructive edit: flagged spans cut, text rebuilt from the kept
@@ -1362,6 +1382,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("cell_rows"))
         .orderBy("cell")
     }),
+    // The complementary repair (round 13): MERGE drift — a big append
+    // concentrated in one region (vec_id<5, 200 reps, same displacement
+    // family as the rebalance gate) leaves the original cells relatively
+    // starved; cells below minSkew=0.5 (two populated + the build's
+    // std_normal-init empty cells) retire into the Inf-sentinel dead
+    // state and ONLY their rows reassign to each row's nearest survivor.
+    // Oracle: full Python re-derivation of fit → assign → append → skew →
+    // mask → per-row nearest-surviving reassign; output = final per-cell
+    // populations of the codes table (dead cells absent).
+    "ann_index_merge" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val idx = graft.api.Ann.fitIvfPq(emb,
+        nlist = 16, m = 8, ksub = 16, seed = 11L, iters = 5)
+      graft.api.Ann.saveIvfPqIndex(idx, "graft_annmrg_idx")
+      val drift = emb.filter(col("vec_id") < 5)
+        .crossJoin(s.range(1, 201).select(col("id").as("__rep")))
+        .select((col("vec_id") + col("__rep") * 100000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(3.0) + col("__rep").cast("double") * lit(0.05)).as("embedding"))
+      graft.api.Ann.appendToIvfPqIndex(drift, "graft_annmrg_idx")
+      val full = emb.unionByName(drift)
+      graft.api.Ann.mergeStarvedIvfPqCells(full, "graft_annmrg_idx",
+        minSkew = 0.5)
+      s.table("graft_annmrg_idx_codes")
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("cell_rows"))
+        .orderBy("cell")
+    }),
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -2156,6 +2205,30 @@ object SparkEntry {
     * independent Python pipeline over the static sf0.01 fixtures (class doc).
     * Loaded from resources: the row literals run to ~44 KB per query, past
     * the JVM's 64 KB limit on a single string constant. */
+  /** dup_span_detect's full cross-engine re-derivation — also the oracle
+    * of `rolling_dup_spans` (the incremental index must land on exactly
+    * the batch answer over the union, so the two gates share one SQL). */
+  private val oracleSqlDupSpanDetect: String =
+    """WITH lists AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
+      |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM lists)),
+      |dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+      |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
+      |            FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
+      |isl AS (
+      |  SELECT doc_id, pos, fin,
+      |    CASE WHEN pos > coalesce(max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
+      |  FROM flagged),
+      |isl2 AS (SELECT doc_id, pos, fin,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(fin) AS BIGINT) AS span_end,
+      |       CAST(max(fin) - min(pos) + 1 AS BIGINT) AS n_tokens
+      |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+
   private def valuesOracle(name: String): String = {
     val in = getClass.getResourceAsStream(s"/oracles/$name.sql")
     require(in != null, s"missing generated oracle resource: $name")
@@ -2292,6 +2365,7 @@ object SparkEntry {
     // drift repair: per-cell population of the rebalanced index, Python
     // re-derivation through the same quantizer mirrors (gen_oracles.py)
     "ann_index_rebalance" -> valuesOracle("ann_index_rebalance"),
+    "ann_index_merge" -> valuesOracle("ann_index_merge"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),
@@ -2593,26 +2667,11 @@ object SparkEntry {
     // string (vs Spark's xxhash64), same min!=max cross-doc rule, same
     // gaps-and-islands merge. DuckDB list slicing is 1-based inclusive;
     // generate_series(1, n-7) is empty for docs under 8 tokens.
-    "dup_span_detect" ->
-      """WITH lists AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
-        |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM lists)),
-        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
-        |flagged AS (SELECT DISTINCT g.doc_id, g.pos, g.pos + 7 AS fin
-        |            FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
-        |isl AS (
-        |  SELECT doc_id, pos, fin,
-        |    CASE WHEN pos > coalesce(max(fin) OVER (PARTITION BY doc_id ORDER BY pos
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
-        |  FROM flagged),
-        |isl2 AS (SELECT doc_id, pos, fin,
-        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(fin) AS BIGINT) AS span_end,
-        |       CAST(max(fin) - min(pos) + 1 AS BIGINT) AS n_tokens
-        |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "dup_span_detect" -> oracleSqlDupSpanDetect,
+    // the incremental path must land on the full-corpus batch answer: the
+    // oracle IS dup_span_detect's SQL, re-referenced so the two can never
+    // drift apart
+    "rolling_dup_spans" -> oracleSqlDupSpanDetect,
     // same CTE chain as dup_span_detect, rolled up per source; the
     // fraction is a double ratio of two exact integer sums (bit-stable)
     "dup_span_stats" ->
@@ -2701,11 +2760,11 @@ object SparkEntry {
     "dup_span_detect_tok" ->
       """WITH src AS (
         |  SELECT doc_id, translate(text, 'ae', '\u00e0\u00e9')
-        |         || ' 42 na\u00efve \u6570\u636e\u53bb\u91cd \u3072\u3089\u304c\u306a\u30ab\u30bf \ud55c\uae00 \u0e44\u0e17\u0e22\u0e02\u0e49\u0e2d 123 d\u00e9j\u00e0 vu' AS text
+        |         || ' 42 na\u00efve \u6570\u636e\u53bb\u91cd \u3072\u3089\u304c\u306a\u30ab\u30bf \ud55c\uae00 \u0e44\u0e17\u0e22\u0e02\u0e49\u0e2d \u1781\u17d2\u1798\u17c2\u179a \u0ea5\u0eb2\u0ea7 \u1019\u103c\u1014\u103a\u1019\u102c \u0f56\u0f7c\u0f51 123 d\u00e9j\u00e0 vu' AS text
         |  FROM documents),
         |lists AS (
         |  SELECT doc_id, list_filter(string_split_regex(
-        |           regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\p{Thai}])', ' \1 ', 'g'),
+        |           regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\p{Thai}\p{Khmer}\p{Lao}\p{Myanmar}\p{Tibetan}])', ' \1 ', 'g'),
         |           '[^\p{L}\p{N}]+'), x -> x <> '') AS l
         |  FROM src),
         |grams AS (
@@ -2727,11 +2786,11 @@ object SparkEntry {
     "dup_span_cut_tok" ->
       """WITH src AS (
         |  SELECT doc_id, translate(text, 'ae', '\u00e0\u00e9')
-        |         || ' 42 na\u00efve \u6570\u636e\u53bb\u91cd \u3072\u3089\u304c\u306a\u30ab\u30bf \ud55c\uae00 \u0e44\u0e17\u0e22\u0e02\u0e49\u0e2d 123 d\u00e9j\u00e0 vu' AS text
+        |         || ' 42 na\u00efve \u6570\u636e\u53bb\u91cd \u3072\u3089\u304c\u306a\u30ab\u30bf \ud55c\uae00 \u0e44\u0e17\u0e22\u0e02\u0e49\u0e2d \u1781\u17d2\u1798\u17c2\u179a \u0ea5\u0eb2\u0ea7 \u1019\u103c\u1014\u103a\u1019\u102c \u0f56\u0f7c\u0f51 123 d\u00e9j\u00e0 vu' AS text
         |  FROM documents),
         |lists AS (
         |  SELECT doc_id, list_filter(string_split_regex(
-        |           regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\p{Thai}])', ' \1 ', 'g'),
+        |           regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\p{Thai}\p{Khmer}\p{Lao}\p{Myanmar}\p{Tibetan}])', ' \1 ', 'g'),
         |           '[^\p{L}\p{N}]+'), x -> x <> '') AS l
         |  FROM src),
         |toks AS (

@@ -502,13 +502,23 @@ object Ann {
     * (partitioned/bucketed by `cell`) before repeated searches, or each
     * search re-runs the encode scan over the raw corpus. */
   final class IvfPqIndex private[api] (
+      /** Coarse centroids by cell id. Cells retired by
+        * [[mergeStarvedIvfPqCells]] hold the +Infinity sentinel — every
+        * distance kernel ([[org.apache.spark.sql.graft.CentroidModel]])
+        * accumulates +Inf against them, so they can never win an
+        * assignment or rank into a probe list while live cells remain. */
       val centroids: Array[Array[Double]],
       val books: Array[Array[Array[Double]]],
       private[api] val cmodel: org.apache.spark.sql.graft.CentroidModel,
       private[api] val m: Int,
       private[api] val ksub: Int,
       /** `(neighbor_id, cell, codes)` — the compressed index. */
-      val encoded: DataFrame) {
+      val encoded: DataFrame,
+      /** Cell ids retired by [[mergeStarvedIvfPqCells]] (empty partitions,
+        * Inf-sentinel centroids). Ids never shift — retirement leaves the
+        * centroid list's length alone, which is what keeps untouched
+        * cells' files bit-identical across repairs. */
+      val deadCells: Set[Int] = Set.empty) {
     def search(queries: DataFrame, k: Int, nprobe: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
       import org.apache.spark.sql.catalyst.util.ArrayData
@@ -592,16 +602,23 @@ object Ann {
     writeModelTable(spark, index.centroids, index.books, tablePrefix)
   }
 
-  /** The `{prefix}_model` write shared by [[saveIvfPqIndex]] and
-    * [[rebalanceIvfPqCells]] (which rewrites the centroid list in place). */
+  /** The `{prefix}_model` write shared by [[saveIvfPqIndex]] and the two
+    * repairs ([[rebalanceIvfPqCells]] rewrites the centroid list in place;
+    * [[mergeStarvedIvfPqCells]] retires slots). Cells in `dead` write as
+    * `kind = "dead"` (their vec column keeps whatever the in-memory slot
+    * holds, for audit — [[loadIvfPqIndex]] substitutes the Inf sentinel
+    * regardless); [[ivfPqIndexHealth]]'s nlist counts only live
+    * `"centroid"` rows, so retirement re-bases skew the way the probe
+    * cost actually changed. */
   private def writeModelTable(spark: org.apache.spark.sql.SparkSession,
                               cents: Array[Array[Double]],
                               books: Array[Array[Array[Double]]],
-                              tablePrefix: String): Unit = {
+                              tablePrefix: String,
+                              dead: Set[Int] = Set.empty): Unit = {
     import spark.implicits._
     BucketedWrite.dropTable(spark, s"${tablePrefix}_model")
     val centRows = cents.zipWithIndex.toSeq
-      .map { case (v, i) => ("centroid", i, 0, v.toSeq) }
+      .map { case (v, i) => (if (dead(i)) "dead" else "centroid", i, 0, v.toSeq) }
     val bookRows = for {
       (sub, s) <- books.zipWithIndex.toSeq
       (cv, c) <- sub.zipWithIndex
@@ -624,8 +641,21 @@ object Ann {
       .filter(_.getAs[String]("kind") == kind)
       .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")),
         r.getAs[scala.collection.Seq[Double]]("vec").toArray))
-    val cents = vecsOf("centroid").sortBy(_._1).map(_._2)
-    require(cents.nonEmpty, s"${tablePrefix}_model holds no centroids")
+    val liveEntries = vecsOf("centroid")
+    require(liveEntries.nonEmpty, s"${tablePrefix}_model holds no live centroids")
+    // retired slots re-materialize as the +Inf sentinel: the distance
+    // kernels can never pick them, and keeping the SLOT keeps every other
+    // cell id stable (the bit-identical-untouched-partitions contract)
+    val deadEntries = vecsOf("dead")
+    val dead = deadEntries.map(_._1._1).toSet
+    val byCell = (liveEntries ++ deadEntries).map { case ((i, _), v) => i -> v }.toMap
+    val nSlots = byCell.keys.max + 1
+    require(byCell.size == nSlots,
+      s"${tablePrefix}_model has holes in its centroid slots (${byCell.size} of $nSlots)")
+    val cents = Array.tabulate(nSlots) { i =>
+      if (dead(i)) Array.fill(byCell(i).length)(Double.PositiveInfinity)
+      else byCell(i)
+    }
     val bookEntries = vecsOf("book")
     require(bookEntries.nonEmpty, s"${tablePrefix}_model holds no codebooks")
     val m = bookEntries.map(_._1._1).max + 1
@@ -635,7 +665,7 @@ object Ann {
     val cmodel = new CentroidModel(spark.sparkContext.broadcast(cents))
     val encoded = spark.table(s"${tablePrefix}_codes")
       .select("neighbor_id", "cell", "codes")
-    new IvfPqIndex(cents, books, cmodel, m, ksub, encoded)
+    new IvfPqIndex(cents, books, cmodel, m, ksub, encoded, dead)
   }
 
   /** Append a batch to a persisted [[saveIvfPqIndex]] index: encode the
@@ -745,11 +775,27 @@ object Ann {
     * partitions drop — the rewrite must never re-read what it replaces.
     *
     * `corpus` must contain every indexed id (build + appends) under
-    * `idCol`/`vecCol`. Returns one row per repaired cell:
+    * `idCol`/`vecCol` — ENFORCED: the repair fails loudly if the id join
+    * drops any flagged row (a stale corpus snapshot would otherwise
+    * silently shrink the index). Returns one row per repaired cell:
     * `(cell, cell_rows, skew, subcells)` — empty means no cell exceeded
     * `maxSkew` and nothing was touched. Note the health-after view: nlist
     * GROWS by the appended sub-centroids, so every skew is re-based;
-    * re-run [[ivfPqIndexHealth]] for the authoritative post-repair state. */
+    * re-run [[ivfPqIndexHealth]] for the authoritative post-repair state.
+    *
+    * CRASH RECOVERY (shared with [[mergeStarvedIvfPqCells]]): the commit
+    * order is scratch write → model write → DROP flagged partitions →
+    * append scratch → drop scratch, so the reassigned rows are durable
+    * BEFORE anything is destroyed and a leftover scratch table marks an
+    * interrupted repair. The repair REFUSES to start over a leftover
+    * scratch (it may hold the only copy of already-dropped rows). To
+    * recover: if `{prefix}_codes` still holds the flagged cells'
+    * partitions (the crash hit before the drops), drop the scratch table
+    * and re-run; if the partitions are gone, append the scratch's rows
+    * into `{prefix}_codes` (positionally, partition column last), then
+    * drop the scratch. A crash between model write and the drops leaves
+    * rows under superseded cell geometry — searches stay approximate-
+    * correct and re-running after recovery converges. */
   def rebalanceIvfPqCells(corpus: DataFrame, tablePrefix: String, seed: Long,
                           maxSkew: Double = 4.0, iters: Int = 5,
                           sampleSize: Int = 10000,
@@ -775,6 +821,17 @@ object Ann {
         col(vecCol).cast("array<double>").as("__vec")), Seq("neighbor_id"))
       .persist()
     try {
+      // corpus-coverage assertion: the inner join above silently DROPS any
+      // indexed row whose id is missing from `corpus` — those rows would
+      // vanish with the partition drop and never be rewritten. The health
+      // scan already counted the flagged cells' rows; the join must
+      // preserve every one of them.
+      val expectedRows = ballooned.map(_._2).sum
+      val joinedRows = flagged.count()
+      require(joinedRows == expectedRows,
+        s"rebalanceIvfPqCells: corpus is missing ${expectedRows - joinedRows} " +
+          s"of $expectedRows flagged indexed rows — a stale corpus snapshot " +
+          "would silently shrink the index; pass the full build+append corpus")
       val newCents = idx.centroids.map(_.clone)
       val extras = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
       val report = ballooned.map { case (c, rows, skew) =>
@@ -795,18 +852,131 @@ object Ann {
       // PARTITION DDL refreshes the table and UNCACHES dependent cached
       // plans, so a .persist() here would silently recompute from the
       // emptied source — a scratch table is immune to the invalidation
-      val scratch = s"${tablePrefix}_rebalance_tmp"
-      BucketedWrite.dropTable(spark, scratch)
-      reassigned.write.format("parquet").mode("overwrite").saveAsTable(scratch)
-      cellSet.foreach(c => spark.sql(
-        s"ALTER TABLE $codesTable DROP IF EXISTS PARTITION (cell=$c)"))
-      // insertInto is positional; saveAsTable moved the partition col last
-      spark.table(scratch)
-        .select(spark.table(codesTable).columns.map(col).toIndexedSeq: _*)
-        .write.mode("append").insertInto(codesTable)
-      BucketedWrite.dropTable(spark, scratch)
-      writeModelTable(spark, newCents ++ extras, idx.books, tablePrefix)
+      commitRepair(spark, codesTable, tablePrefix, reassigned, cellSet,
+        newCents ++ extras, idx.books, idx.deadCells)
       report.toSeq.toDF("cell", "cell_rows", "skew", "subcells")
+    } finally flagged.unpersist()
+  }
+
+  /** The durable tail shared by [[rebalanceIvfPqCells]] and
+    * [[mergeStarvedIvfPqCells]]: refuse a leftover scratch, stage the
+    * reassigned rows, commit the model, THEN drop + append + clean up —
+    * the order that makes every crash window recoverable (scaladoc on
+    * [[rebalanceIvfPqCells]]). */
+  private def commitRepair(spark: org.apache.spark.sql.SparkSession,
+                           codesTable: String, tablePrefix: String,
+                           reassigned: DataFrame, droppedCells: Seq[Int],
+                           cents: Array[Array[Double]],
+                           books: Array[Array[Array[Double]]],
+                           dead: Set[Int]): Unit = {
+    val scratch = s"${tablePrefix}_rebalance_tmp"
+    // a surviving warehouse DIRECTORY also counts: an interrupted repair in
+    // a dead JVM leaves the files but not the (in-memory) catalog entry
+    val scratchDir = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), scratch.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
+    }
+    require(!spark.catalog.tableExists(scratch) && !scratchDir,
+      s"$scratch exists: a prior repair of '$tablePrefix' was interrupted and " +
+        "the scratch may hold the ONLY copy of rows already dropped from " +
+        s"$codesTable. Recover first — if the flagged partitions still exist " +
+        "in the codes table, DROP the scratch and re-run; if they were " +
+        "dropped, append the scratch's rows into the codes table " +
+        "(positionally, partition column last), then drop the scratch.")
+    reassigned.write.format("parquet").mode("overwrite").saveAsTable(scratch)
+    writeModelTable(spark, cents, books, tablePrefix, dead)
+    droppedCells.foreach(c => spark.sql(
+      s"ALTER TABLE $codesTable DROP IF EXISTS PARTITION (cell=$c)"))
+    // insertInto is positional; saveAsTable moved the partition col last
+    spark.table(scratch)
+      .select(spark.table(codesTable).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(codesTable)
+    BucketedWrite.dropTable(spark, scratch)
+  }
+
+  /** The complement of [[rebalanceIvfPqCells]], for the OTHER drift mode:
+    * a long-lived index whose data distribution migrates accumulates
+    * near-empty cells ([[ivfPqIndexHealth]]'s `minSkew` signal) that burn
+    * nprobe coverage — a probe spent on a starved cell scans almost
+    * nothing, so effective recall decays with no repair short of a full
+    * refit. This MERGE retires them: each cell with relative skew below
+    * `minSkew` (including cells emptied entirely, which the health scan
+    * cannot see — they have no codes rows) is marked dead in the model
+    * (its slot becomes the +Inf sentinel: ids never shift, untouched
+    * partitions stay bit-identical) and ONLY its rows reassign by
+    * nearest-centroid over the surviving list — each row to its own
+    * nearest survivor, the same bounded O(drifted rows) shape as the
+    * split. PQ codes carry over unchanged (codes encode the raw vector
+    * under the frozen codebooks, independent of cell).
+    *
+    * Same corpus contract, coverage assertion, scratch staging and crash
+    * recovery as [[rebalanceIvfPqCells]] (the two repairs share
+    * [[commitRepair]] — run them on the same maintenance cadence, split
+    * first if both trip). Returns one row per retired cell:
+    * `(cell, cell_rows, skew)` (`0, 0.0` for wholly-empty cells); empty
+    * means nothing was below `minSkew`. Post-repair, nlist SHRINKS by the
+    * retired count, so every skew re-bases — re-run [[ivfPqIndexHealth]]
+    * for the authoritative state. */
+  def mergeStarvedIvfPqCells(corpus: DataFrame, tablePrefix: String,
+                             minSkew: Double,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(minSkew > 0.0, s"minSkew must be positive, got $minSkew")
+    val idx = loadIvfPqIndex(spark, tablePrefix)
+    val codesTable = s"${tablePrefix}_codes"
+    val starvedWithRows = ivfPqIndexHealth(spark, tablePrefix,
+        maxSkew = Double.MaxValue, minSkew = minSkew)
+      .filter(col("skew") < minSkew)
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // wholly-empty live cells: live slots with no codes rows at all (the
+    // health scan can only report cells that appear in the codes table).
+    // One column-pruned distinct over the codes table, nlist-bounded.
+    val populated = spark.table(codesTable)
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptyCells = idx.centroids.indices
+      .filter(c => !idx.deadCells(c) && !populated(c)).toArray
+    val starved = starvedWithRows.map(_._1) ++ emptyCells
+    if (starved.isEmpty)
+      return Seq.empty[(Int, Long, Double)].toDF("cell", "cell_rows", "skew")
+    val starvedSet = starved.toSet
+    val survivors = idx.centroids.indices
+      .count(c => !idx.deadCells(c) && !starvedSet(c))
+    require(survivors >= 1,
+      s"mergeStarvedIvfPqCells: every live cell is below minSkew=$minSkew — " +
+        "that is not migration drift, rebuild the index (fitIvfPq) instead")
+    val flagged = spark.table(codesTable)
+      .filter(col("cell").isin(starvedWithRows.map(c => Int.box(c._1)).toIndexedSeq: _*))
+      .select(col("neighbor_id"), col("cell"), col("codes"))
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__vec")), Seq("neighbor_id"))
+      .persist()
+    try {
+      val expectedRows = starvedWithRows.map(_._2).sum
+      val joinedRows = flagged.count()
+      require(joinedRows == expectedRows,
+        s"mergeStarvedIvfPqCells: corpus is missing ${expectedRows - joinedRows} " +
+          s"of $expectedRows starved indexed rows — a stale corpus snapshot " +
+          "would silently shrink the index; pass the full build+append corpus")
+      val newDead = idx.deadCells ++ starvedSet
+      // mask retired slots NOW so the reassignment can only land on
+      // survivors (the Inf sentinel loses every distance comparison)
+      val masked = idx.centroids.zipWithIndex.map { case (cent, c) =>
+        if (newDead(c)) Array.fill(cent.length)(Double.PositiveInfinity) else cent
+      }
+      val updated = new CentroidModel(spark.sparkContext.broadcast(masked))
+      val reassigned = flagged.select(col("neighbor_id"),
+        ColumnShim.column(NearestCell(ColumnShim.expression(col("__vec")), updated)).as("cell"),
+        col("codes"))
+      commitRepair(spark, codesTable, tablePrefix, reassigned, starved.toSeq,
+        idx.centroids, idx.books, newDead)
+      (starvedWithRows.toSeq ++ emptyCells.map(c => (c, 0L, 0.0)))
+        .sortBy(_._1).toDF("cell", "cell_rows", "skew")
     } finally flagged.unpersist()
   }
 

@@ -163,26 +163,37 @@ object Dedup {
       case Some(hot) => all.join(broadcast(hot.select("gh")), Seq("gh"), "left_anti")
       case None => all
     }
-    // crossDocOnly: a gram duplicates iff >= 2 distinct docs contain it,
-    // i.e. min(doc_id) != max(doc_id) — no distinct, no Expand.
-    // crossDocOnly = false is Lee et al.'s actual rule — ANY second
-    // occurrence counts, including a repeat inside ONE document (the
-    // boilerplate/self-repetition case the cross-doc rule deliberately
-    // skips): plain count >= 2 over the same partition. NOTE the flagging
-    // is still window-level: overlapping occurrences of a self-repeating
-    // gram each flag their own window, so a doc of one token repeated
-    // 2·width times becomes one full-doc span.
-    //
-    // The rule is evaluated as a WINDOW over gh, not an aggregate +
-    // self-semi-join: a join back onto `grams` makes the plan compute the
-    // gram explode TWICE (Spark's exchange reuse does not unify the two
-    // canonically-distinct branches — measured 2 Generate nodes, i.e. the
-    // corpus tokenized and window-hashed twice, worst exactly where
-    // tokenize is expensive: BPE's merge loop). The window form is the
-    // shape the scaladoc promises: ONE exchange of the 24 B/token
-    // triples, one partition-key sort, no broadcast, one Generate.
+    mergeIslands(flagGrams(grams, width, crossDocOnly))
+  }
+
+  /** The duplication flag rule over a gram-triple stream, shared by
+    * [[dupSpans]] and the incremental index ([[saveGramIndex]]):
+    * `(doc_id, pos, fin)` for every window the rule flags.
+    *
+    * crossDocOnly: a gram duplicates iff >= 2 distinct docs contain it,
+    * i.e. min(doc_id) != max(doc_id) — no distinct, no Expand.
+    * crossDocOnly = false is Lee et al.'s actual rule — ANY second
+    * occurrence counts, including a repeat inside ONE document (the
+    * boilerplate/self-repetition case the cross-doc rule deliberately
+    * skips): plain count >= 2 over the same partition. NOTE the flagging
+    * is still window-level: overlapping occurrences of a self-repeating
+    * gram each flag their own window, so a doc of one token repeated
+    * 2·width times becomes one full-doc span.
+    *
+    * The rule is evaluated as a WINDOW over gh, not an aggregate +
+    * self-semi-join: a join back onto `grams` makes the plan compute the
+    * gram explode TWICE (Spark's exchange reuse does not unify the two
+    * canonically-distinct branches — measured 2 Generate nodes, i.e. the
+    * corpus tokenized and window-hashed twice, worst exactly where
+    * tokenize is expensive: BPE's merge loop). The window form is the
+    * shape the scaladoc promises: ONE exchange of the 24 B/token
+    * triples, one partition-key sort, no broadcast, one Generate — and
+    * when the input is ALREADY gh-partitioned (the bucketed index table),
+    * no exchange at all. */
+  private[api] def flagGrams(grams: DataFrame, width: Int,
+                             crossDocOnly: Boolean): DataFrame = {
     val byGh = Window.partitionBy("gh")
-    val flagged = (if (crossDocOnly)
+    (if (crossDocOnly)
         grams.withColumn("__mn", min("doc_id").over(byGh))
           .withColumn("__mx", max("doc_id").over(byGh))
           .filter(col("__mn") =!= col("__mx"))
@@ -190,7 +201,6 @@ object Dedup {
         grams.withColumn("__n", count(lit(1)).over(byGh))
           .filter(col("__n") >= 2))
       .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
-    mergeIslands(flagged)
   }
 
   /** Maintenance scan for [[dupSpans]]' `excludeGrams` seam: every gram
@@ -257,6 +267,113 @@ object Dedup {
         (max("fin") - min("pos") + 1).cast("long").as("n_tokens"))
       .drop("__island")
   }
+
+  /** Persist a corpus's gram stream as the INCREMENTAL span-mining index —
+    * the rolling-ingestion form of [[dupSpans]] ([[BandedLsh.saveSignatureIndex]]'s
+    * pattern at the gram level): a rolling corpus re-mined per ingest pays
+    * tokenize + window-hash over ALL text every batch; this index stores
+    * the triples once so each ingest pays only ITS OWN gram work. Two
+    * tables:
+    *
+    *  - `{table}`: the `(gh, doc_id, pos)` triples, bucketed AND sorted on
+    *    `gh` — [[appendToGramIndex]]'s batch-vs-index semi-join reads the
+    *    corpus side with zero exchange, and the build's flag window runs
+    *    straight off the bucketed layout (no second exchange).
+    *  - `{table}_flags`: the flagged triples `(doc_id, pos, fin)` — sparse
+    *    (bounded by duplication mass), the running flag state
+    *    [[dupSpansFromIndex]] merges into spans on demand.
+    *
+    * `width`, `tokenize` and `crossDocOnly` are part of the index identity:
+    * every append MUST use the same values or grams never match (the
+    * [[Contamination.contaminatedSpans]] same-tokenizer contract). Rebuild
+    * after compaction/deletes — appends only add. */
+  def saveGramIndex(corpus: DataFrame, table: String, numBuckets: Int,
+                    idCol: String, textCol: String, width: Int,
+                    spreadInput: Boolean = true,
+                    tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      Tokenizers.asciiWords,
+                    crossDocOnly: Boolean = true): Unit = {
+    val spark = corpus.sparkSession
+    BucketedWrite.saveBucketed(
+      gramHashes(corpus, idCol, textCol, width, spreadInput, tokenize)
+        .select("gh", "doc_id", "pos"),
+      table, numBuckets, Seq("gh"))
+    // flags computed FROM the bucketed table: the scan already satisfies
+    // the window's gh-clustering, so the build pays ONE exchange total
+    // (the bucketed write's), and the mining pass is never run twice
+    BucketedWrite.dropTable(spark, s"${table}_flags")
+    flagGrams(spark.table(table), width, crossDocOnly)
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${table}_flags")
+  }
+
+  /** Admit a batch to a [[saveGramIndex]] index: mine the BATCH's grams
+    * once, then derive every flag the union rule adds —
+    *
+    *  1. batch windows duplicated within the batch ([[flagGrams]]);
+    *  2. batch windows whose gram already exists in the index (semi-join
+    *     against the bucketed table — zero corpus-side exchange);
+    *  3. OLD windows whose gram the batch re-introduces (the index scanned
+    *     once, column-pruned, probed map-side under a broadcast of the
+    *     batch's distinct gram set — the corpus TEXT is never re-read,
+    *     re-tokenized, or shuffled, which is the entire point).
+    *
+    * New flags upsert into `{table}_flags` (anti-join on the existing
+    * sparse flag set), and the batch's triples append into the bucketed
+    * table. Cost per ingest: the batch's own mining + batch-sized
+    * exchanges + one index read — never a corpus re-mine.
+    *
+    * CONTRACT: batch doc ids must be DISJOINT from every previously
+    * indexed id (the [[BandedLsh.appendToSignatureIndex]] rolling
+    * contract) — under `crossDocOnly` a batch-vs-index gram match is
+    * counted as cross-document on that basis. Appends are not idempotent:
+    * re-admitting a batch duplicates its triples (and under
+    * `crossDocOnly = false` flags them) — rebuild to recover. */
+  def appendToGramIndex(batch: DataFrame, table: String,
+                        idCol: String, textCol: String, width: Int,
+                        spreadInput: Boolean = true,
+                        tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                          Tokenizers.asciiWords,
+                        crossDocOnly: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    val flagsTable = s"${table}_flags"
+    // the batch's mining pass runs ONCE for its four consumers (within-
+    // batch flags, index-match flags, the distinct-gh probe set, and the
+    // triple append) — triples are ids+hashes, ~24 B/token, so even a huge
+    // batch persists MEMORY_AND_DISK safely (the saveSignatureIndex
+    // precedent and measurement)
+    val bg = gramHashes(batch, idCol, textCol, width, spreadInput, tokenize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val index = spark.table(table)
+      val withinBatch = flagGrams(bg, width, crossDocOnly)
+      val batchVsIndex = bg
+        .join(index.select("gh"), Seq("gh"), "left_semi")
+        .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
+      val oldVsBatch = index
+        .join(broadcast(bg.select("gh").distinct()), Seq("gh"), "left_semi")
+        .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
+      val newFlags = withinBatch
+        .unionByName(batchVsIndex)
+        .unionByName(oldVsBatch)
+        .distinct()
+        .join(spark.table(flagsTable).select("doc_id", "pos"),
+          Seq("doc_id", "pos"), "left_anti")
+      newFlags
+        .select(spark.table(flagsTable).columns.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(flagsTable)
+      bg.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(table)
+    } finally bg.unpersist()
+  }
+
+  /** The current duplicate-span set of a [[saveGramIndex]] index: the
+    * island merge over the persisted flag state — identical output to
+    * `dupSpans(build ∪ every appended batch)` (spec- and gate-pinned),
+    * at the cost of one scan of the SPARSE flags table, not a corpus
+    * re-mine. */
+  def dupSpansFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String): DataFrame =
+    mergeIslands(spark.table(s"${table}_flags"))
 
   /** Corpus-level duplication report over [[dupSpans]]: per `groupCol`
     * (source, crawl, shard...), how many documents carry any cross-doc

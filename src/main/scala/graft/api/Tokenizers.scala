@@ -25,22 +25,31 @@ object Tokenizers {
   /** Unicode word tokenizer: lowercase; tokens are maximal runs of Unicode
     * letters+digits (`\p{L}\p{N}` — accented Latin, Greek, Cyrillic,
     * Arabic, digits all survive), EXCEPT the scripts written WITHOUT space
-    * boundaries — Han ideographs, Japanese kana, Hangul and Thai — which
-    * become one token per character (per-character tokens are what make
-    * fixed-width grams meaningful where no delimiter exists, the same
-    * granularity CJK IR systems default to; Korean prose does space-break,
-    * but agglutinated particles make per-syllable grams the robust
-    * choice). Thai combining vowel/tone marks are category Mn, so the
-    * split step drops them — a gram identity over base characters,
-    * identical in both engines. Implementation: space-pad every
-    * no-boundary-script char, then split on non-letter/digit runs — both
-    * steps are plain Java-regex built-ins, and the identical two-step is
-    * expressible in DuckDB RE2 (script classes `\p{Han}\p{Hiragana}` etc.
-    * / `[^\p{L}\p{N}]`), which is what lets the driver gate verify this
-    * tokenizer cross-engine. */
+    * boundaries — Han ideographs, Japanese kana, Hangul, Thai, and (round
+    * 13) Khmer, Lao, Myanmar, Tibetan — which become one token per
+    * character (per-character tokens are what make fixed-width grams
+    * meaningful where no delimiter exists, the same granularity CJK IR
+    * systems default to; Korean prose does space-break, but agglutinated
+    * particles make per-syllable grams the robust choice). Combining
+    * vowel/tone marks (Thai U+0E49, Khmer coeng U+17D2, Myanmar asat
+    * U+103A, Tibetan vowels...) are category Mn/Mc, so the split step
+    * drops them — a gram identity over base characters, identical in both
+    * engines (probe-verified: Java and DuckDB RE2 emit the same stream
+    * for all nine script classes). Spacing vowels classified Lo (e.g. Lao
+    * U+0EB2) survive as their own tokens in both engines. Implementation:
+    * space-pad every no-boundary-script char, then split on
+    * non-letter/digit runs — both steps are plain Java-regex built-ins,
+    * and the identical two-step is expressible in DuckDB RE2 (script
+    * classes `\p{Han}\p{Hiragana}` etc. / `[^\p{L}\p{N}]`), which is what
+    * lets the driver gate verify this tokenizer cross-engine. (Java
+    * `\p{IsX}` is the BLOCK, RE2 `\p{X}` the SCRIPT — they agree on the
+    * core block of each of these scripts; the divergent code points are
+    * the rare extension blocks, e.g. Myanmar Extended-A/B, which fall
+    * back to run-tokens.) */
   val unicodeWords: Column => Column =
     c => filter(split(regexp_replace(lower(c),
-      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}\\p{IsThai}])", " $1 "),
+      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}\\p{IsThai}" +
+        "\\p{IsKhmer}\\p{IsLao}\\p{IsMyanmar}\\p{IsTibetan}])", " $1 "),
       "[^\\p{L}\\p{N}]+"), t => t =!= lit(""))
 
   /** [[unicodeWords]] with NFC canonicalization first

@@ -136,4 +136,158 @@ class AnnRebalanceSpec extends AnyFunSuite {
     assert(Ann.loadIvfPqIndex(spark, prefix).centroids.length == 4,
       "no-op must leave the model untouched")
   }
+
+  /** fit + save + a big CONCENTRATED append: the original cells end up
+    * relatively starved (the merge-repair drift mode). */
+  private def buildStarved(prefix: String): org.apache.spark.sql.DataFrame = {
+    val idx = Ann.fitIvfPq(emb, nlist = 8, m = 4, ksub = 16, seed = 11L, iters = 5)
+    Ann.saveIvfPqIndex(idx, prefix)
+    val drift = emb.filter(col("vec_id") < 3)
+      .crossJoin(spark.range(1, 301).select(col("id").as("__rep")))
+      .select((col("vec_id") + col("__rep") * 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(3.0) + col("__rep").cast("double") * lit(0.05)).as("embedding"))
+    Ann.appendToIvfPqIndex(drift, prefix)
+    emb.unionByName(drift)
+  }
+
+  test("merge retires starved cells; rows go to each row's nearest survivor; untouched bit-identical") {
+    val prefix = "graft_mrgspec_idx"
+    val full = buildStarved(prefix)
+    val before = codesMap(prefix)
+    val idx0 = Ann.loadIvfPqIndex(spark, prefix)
+    val populated = before.values.map(_._1).toSet
+    val starvedPop = Ann.ivfPqIndexHealth(spark, prefix,
+        maxSkew = Double.MaxValue, minSkew = 0.5)
+      .filter(col("skew") < 0.5).collect().map(_.getAs[Int]("cell")).toSet
+    val emptyLive = idx0.centroids.indices.filterNot(populated).toSet
+    assert(starvedPop.nonEmpty, "fixture must starve at least one populated cell")
+    val report = Ann.mergeStarvedIvfPqCells(full, prefix, minSkew = 0.5).collect()
+    val retired = report.map(_.getAs[Int]("cell")).toSet
+    assert(retired == starvedPop ++ emptyLive,
+      s"retired $retired != starved $starvedPop + empty $emptyLive")
+    // the model marks exactly the retired cells dead; ids never shift
+    val idx1 = Ann.loadIvfPqIndex(spark, prefix)
+    assert(idx1.deadCells == retired)
+    assert(idx1.centroids.length == idx0.centroids.length)
+    retired.foreach(c => assert(idx1.centroids(c)(0).isPosInfinity))
+    val after = codesMap(prefix)
+    assert(after.keySet == before.keySet, "merge must not add or drop rows")
+    // every row: untouched cells bit-identical (cell AND codes); starved
+    // rows land on their own nearest SURVIVOR with codes carried
+    val vecs = full.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Double]]("embedding").toArray).toMap
+    def nearestSurvivor(v: Array[Double]): Int =
+      idx0.centroids.indices.filterNot(retired)
+        .minBy { c =>
+          val cent = idx0.centroids(c)
+          var d = 0.0; var j = 0
+          while (j < v.length) { val t = v(j) - cent(j); d += t * t; j += 1 }
+          (d, c)
+        }
+    before.foreach { case (id, (cell, codes)) =>
+      if (!retired.contains(cell))
+        assert(after(id) == ((cell, codes)), s"untouched row $id changed")
+      else {
+        assert(after(id)._2 == codes, s"reassigned row $id lost its codes")
+        assert(after(id)._1 == nearestSurvivor(vecs(id)),
+          s"row $id landed on ${after(id)._1}, not its nearest survivor")
+      }
+    }
+    // retired partitions are empty, and future appends can't route there
+    assert(!after.values.exists(v => retired.contains(v._1)))
+    Ann.appendToIvfPqIndex(
+      emb.filter(col("vec_id") < 2)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding")), prefix)
+    val appended = codesMap(prefix).filterKeys(_ >= 900000L)
+    assert(appended.nonEmpty && !appended.values.exists(v => retired.contains(v._1)),
+      "appends must never route to a dead cell")
+    // recall re-gate: partial-probe top-10 containment in full-probe
+    // top-10 on the MERGED index clears the same 0.9 floor the rebalance
+    // test pins (probe counts in LIVE cells — probes() ranks Inf dead
+    // slots last, so they can never occupy a probe while live cells remain)
+    val live = idx1.centroids.length - idx1.deadCells.size
+    val queries = emb.filter(col("vec_id") < 10)
+    val fullProbe = idx1.search(queries, 10, nprobe = live)
+      .select("query_id", "neighbor_id")
+    val part = idx1.search(queries, 10, nprobe = math.max(2, (live * 3) / 4))
+      .select("query_id", "neighbor_id")
+    val recall = fullProbe.join(part, Seq("query_id", "neighbor_id")).count()
+      .toDouble / fullProbe.count()
+    assert(recall >= 0.9, s"post-merge recall at 3/4 live probing $recall < 0.9")
+  }
+
+  test("merge report is bounded-sane and a healthy index is a no-op") {
+    val prefix = "graft_mrgspec2_idx"
+    val idx = Ann.fitIvfPq(emb, nlist = 4, m = 4, ksub = 16, seed = 11L, iters = 5)
+    Ann.saveIvfPqIndex(idx, prefix)
+    val before = codesMap(prefix)
+    // threshold below any real cell's skew: nothing to merge (empty live
+    // cells — if any — would still retire, so pick the populated-only case)
+    val populated = before.values.map(_._1).toSet
+    val report = Ann.mergeStarvedIvfPqCells(emb, prefix, minSkew = 1e-9)
+    if (populated.size == 4) {
+      assert(report.isEmpty)
+      assert(codesMap(prefix) == before)
+    } else {
+      // only the never-populated cells retire; no rows move
+      assert(report.collect().forall(_.getAs[Long]("cell_rows") == 0L))
+      assert(codesMap(prefix) == before)
+    }
+  }
+
+  test("split+merge maintenance rounds reach health clean at BOTH bounds") {
+    val prefix = "graft_mrgspec5_idx"
+    val full = buildStarved(prefix)
+    def health() = Ann.ivfPqIndexHealth(spark, prefix, maxSkew = 2.0, minSkew = 0.3)
+    var rounds = 0
+    while (rounds < 8 && !health().isEmpty) {
+      Ann.rebalanceIvfPqCells(full, prefix, seed = 77L + rounds, maxSkew = 2.0)
+      Ann.mergeStarvedIvfPqCells(full, prefix, minSkew = 0.3)
+      rounds += 1
+    }
+    assert(health().isEmpty, s"still unhealthy at both bounds after $rounds rounds")
+    assert(rounds >= 1, "fixture must need at least one maintenance round")
+    assert(codesMap(prefix).size == full.count(),
+      "the maintenance loop must not lose or duplicate rows")
+  }
+
+  test("a leftover scratch table makes both repairs refuse loudly") {
+    val prefix = "graft_mrgspec3_idx"
+    val full = buildStarved(prefix)
+    import spark.implicits._
+    Seq((1L, 0, Array[Byte](1))).toDF("neighbor_id", "cell", "codes")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${prefix}_rebalance_tmp")
+    val eM = intercept[IllegalArgumentException] {
+      Ann.mergeStarvedIvfPqCells(full, prefix, minSkew = 0.5)
+    }
+    assert(eM.getMessage.contains("interrupted"), eM.getMessage)
+    val eR = intercept[IllegalArgumentException] {
+      Ann.rebalanceIvfPqCells(full, prefix, seed = 77L, maxSkew = 1.2)
+    }
+    assert(eR.getMessage.contains("interrupted"), eR.getMessage)
+    // the refusal must not have touched the index
+    spark.sql(s"DROP TABLE `${prefix}_rebalance_tmp`")
+    assert(codesMap(prefix).size == full.count())
+  }
+
+  test("a stale corpus snapshot fails loudly instead of shrinking the index") {
+    val prefix = "graft_mrgspec4_idx"
+    val full = buildStarved(prefix)
+    // drop some of the DRIFT ids the rebalance would need, and some of the
+    // BASE ids the merge would need
+    val staleForMerge = full.filter(col("vec_id") < 100000L && col("vec_id") % 7 =!= 0)
+    val eM = intercept[IllegalArgumentException] {
+      Ann.mergeStarvedIvfPqCells(staleForMerge, prefix, minSkew = 0.5)
+    }
+    assert(eM.getMessage.contains("missing"), eM.getMessage)
+    val eR = intercept[IllegalArgumentException] {
+      Ann.rebalanceIvfPqCells(full.filter(col("vec_id") % 2 === 0), prefix,
+        seed = 77L, maxSkew = 1.2)
+    }
+    assert(eR.getMessage.contains("missing"), eR.getMessage)
+    // both refusals left the index intact
+    assert(codesMap(prefix).size == full.count())
+  }
 }

@@ -508,6 +508,100 @@ class DupSpansSpec extends AnyFunSuite {
     } finally spansDf.unpersist()
   }
 
+  test("Khmer/Lao/Myanmar/Tibetan segment per character; the round-12 class provably missed them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, filter => afilter, lit, lower, regexp_replace, split}
+    // two 4-char Khmer+Lao runs and a Myanmar+Tibetan pair, shared by two
+    // docs with otherwise-unique text. Dependent marks ride along: coeng
+    // U+17D2 and vowel sign U+17C2 (Khmer), asat U+103A + vowel U+102C
+    // (Myanmar), vowel U+0F7C (Tibetan) — all Mn/Mc, dropped by the split
+    // in BOTH engines; Lao U+0EB2 is Lo and survives as its own token.
+    val kmLao = "ខ្មែរពន" + // khmer base chars x5
+      "ລາວ"                                    // lao x3 (incl Lo vowel)
+    val myTib = "မြန်မာ" +      // myanmar base x3
+      "བོད"                                    // tibetan base x2
+    val df = Seq(
+      (1L, s"${toks(4, "u")} $kmLao$myTib"),
+      (2L, s"$kmLao$myTib ${toks(5, "w")}"))
+      .toDF("doc_id", "text")
+    val tokens = df.select(Tokenizers.unicodeWords(col("text")).as("t"))
+      .limit(1).collect()(0).getSeq[String](0)
+    // 5 khmer + 3 lao + 3 myanmar + 2 tibetan = 13 single-char tokens
+    val expected = Seq("ខ", "ម", "រ", "ព", "ន",
+      "ລ", "າ", "ວ", "မ", "န", "မ",
+      "བ", "ད")
+    assert(tokens.containsSlice(expected),
+      s"SE-Asian scripts must segment per base character, got $tokens")
+    val got = Dedup.dupSpans(df, "doc_id", "text", width = 8,
+        tokenize = Tokenizers.unicodeWords)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 13 shared single-char tokens -> one 13-token span in each doc
+    assert(got.toSeq == Seq((1L, 4L, 16L, 13L), (2L, 0L, 12L, 13L)))
+    // the round-12 class (no SE-Asian scripts): each run is ONE giant
+    // token, width-8 grams never form across the differing context
+    val round12: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => afilter(split(regexp_replace(lower(c),
+        "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}\\p{IsThai}])", " $1 "),
+        "[^\\p{L}\\p{N}]+"), t => t =!= lit(""))
+    assert(Dedup.dupSpans(df, "doc_id", "text", width = 8,
+      tokenize = round12).collect().isEmpty,
+      "the round-12 tokenizer must provably find no span here")
+  }
+
+  test("gram index: build + rolling appends equal the batch re-mine over the union") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def spansOf(df: org.apache.spark.sql.DataFrame, crossDocOnly: Boolean) =
+      Dedup.dupSpans(df, "doc_id", "text", width = 8, crossDocOnly = crossDocOnly)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    for (crossDocOnly <- Seq(true, false)) {
+      val table = s"graft_gramidx_spec_$crossDocOnly"
+      // build on part 0, admit parts 1 and 2 as two rolling batches
+      Dedup.saveGramIndex(docs.filter(col("doc_id") % 3 === 0), table, 4,
+        "doc_id", "text", width = 8, crossDocOnly = crossDocOnly)
+      // after the build alone, the index must equal the batch answer on part 0
+      assert(Dedup.dupSpansFromIndex(spark, table).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        == spansOf(docs.filter(col("doc_id") % 3 === 0), crossDocOnly),
+        s"build-only spans diverge (crossDocOnly=$crossDocOnly)")
+      Dedup.appendToGramIndex(docs.filter(col("doc_id") % 3 === 1), table,
+        "doc_id", "text", width = 8, crossDocOnly = crossDocOnly)
+      assert(Dedup.dupSpansFromIndex(spark, table).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        == spansOf(docs.filter(col("doc_id") % 3 < 2), crossDocOnly),
+        s"first-append spans diverge (crossDocOnly=$crossDocOnly)")
+      Dedup.appendToGramIndex(docs.filter(col("doc_id") % 3 === 2), table,
+        "doc_id", "text", width = 8, crossDocOnly = crossDocOnly)
+      val rolled = Dedup.dupSpansFromIndex(spark, table).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rolled == spansOf(docs, crossDocOnly),
+        s"second-append spans diverge (crossDocOnly=$crossDocOnly)")
+      assert(rolled.nonEmpty, "fixture is vacuous: no duplicate spans")
+    }
+  }
+
+  test("gram index append: a batch gram resurfacing an OLD doc's window flags the old doc") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df1 = Seq(
+      (1L, s"${toks(5, "u")} $shared"),   // old doc carrying the passage once
+      (2L, toks(12, "v")))                 // old clean doc
+      .toDF("doc_id", "text")
+    val table = "graft_gramidx_spec_old"
+    Dedup.saveGramIndex(df1, table, 2, "doc_id", "text", width = 8)
+    assert(Dedup.dupSpansFromIndex(spark, table).count() == 0,
+      "nothing duplicates at build time")
+    // the batch re-introduces the passage: BOTH the old doc (positions
+    // 5..12) and the batch doc (positions 0..7) must flag
+    Dedup.appendToGramIndex(Seq((10L, s"$shared ${toks(4, "w")}"))
+        .toDF("doc_id", "text"), table, "doc_id", "text", width = 8)
+    val got = Dedup.dupSpansFromIndex(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 5L, 12L), (10L, 0L, 7L)), s"got $got")
+  }
+
   test("hotGrams + excludeGrams: a mega-gram is pre-trimmed, other spans unaffected") {
     import spark.implicits._
     val shared = "alpha beta gamma delta"       // the genuine cross-doc dup

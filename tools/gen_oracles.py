@@ -1836,6 +1836,51 @@ def main(sf_dir, spark_dir):
         ") AS t(cell, cell_rows)\nORDER BY cell")
     custom["ann_index_rebalance"] = (reb_rows, ("cell", "cell_rows"), reb_sql)
 
+    # ---- ann_index_merge: the complementary STARVATION repair
+    # (mergeStarvedIvfPqCells). Same build (nlist=16, seed=11) but a big
+    # concentrated append (vec_id<5, 200 reps) that leaves the original
+    # cells relatively starved; cells with skew < 0.5 among the populated
+    # PLUS the build's never-populated live cells retire (Inf-sentinel
+    # dead slots — ids never shift), and ONLY the starved populated cells'
+    # rows reassign, each to its own nearest SURVIVING centroid. Output
+    # mirror: per-cell population of the final codes table.
+    mrg_cents = fit_ivfpq_cents(vecs, nlist=16, seed=11, iters=5,
+                                sample_size=10000)
+    mrg_vecs = dict(vecs)
+    mrg_cell = {vid: nearest_centroid(v, mrg_cents) for vid, v in vecs.items()}
+    for vid in range(5):
+        base = vecs[vid]
+        for rep in range(1, 201):
+            nid = vid + rep * 100000
+            v = [x + 3.0 + 0.05 * rep for x in base]
+            mrg_vecs[nid] = v
+            mrg_cell[nid] = nearest_centroid(v, mrg_cents)
+    mrg_total = len(mrg_vecs)
+    mrg_counts = _Counter(mrg_cell.values())
+    mrg_starved_pop = sorted(
+        c for c, n in mrg_counts.items() if n * 16 / mrg_total < 0.5)
+    mrg_empty = sorted(c for c in range(16) if mrg_counts[c] == 0)
+    assert mrg_starved_pop, "ann_index_merge gate is vacuous: nothing starved"
+    assert mrg_empty, "ann_index_merge gate is vacuous: no empty live cells"
+    mrg_dead = set(mrg_starved_pop) | set(mrg_empty)
+    assert len(mrg_dead) < 16, "ann_index_merge: every cell would retire"
+    inf = float("inf")
+    mrg_masked = [[inf] * 64 if c in mrg_dead else mrg_cents[c]
+                  for c in range(16)]
+    mrg_final = {vid: (nearest_centroid(mrg_vecs[vid], mrg_masked)
+                       if cc in mrg_dead else cc)
+                 for vid, cc in mrg_cell.items()}
+    mrg_rows = sorted(_Counter(mrg_final.values()).items())
+    assert not any(c in mrg_dead for c, _n in mrg_rows), \
+        "ann_index_merge: a retired cell still holds rows"
+    mrg_sql = (
+        "SELECT CAST(cell AS INT) AS cell,"
+        " CAST(cell_rows AS BIGINT) AS cell_rows\n"
+        "FROM (VALUES\n"
+        f"{values_block(mrg_rows)}\n"
+        ") AS t(cell, cell_rows)\nORDER BY cell")
+    custom["ann_index_merge"] = (mrg_rows, ("cell", "cell_rows"), mrg_sql)
+
     # ---- stream_rolling_dedup: per-micro-batch greedy admission (mirrors
     # EventStreams.rollingDedupReplay: docs >= 300 sorted by id, chunked into
     # 4 batches of ceil(n/4); a doc is blocked iff it banding-collides AND
@@ -2064,6 +2109,7 @@ def main(sf_dir, spark_dir):
                     "index_health": "band, band_hash",
                     "ann_index_health": "cell",
                     "ann_index_rebalance": "cell",
+                    "ann_index_merge": "cell",
                     "multimodal_features_real": "media_id",
                     "multimodal_features_wav": "media_id",
                     "multimodal_features_jpeg": "media_id",
