@@ -251,6 +251,14 @@ object ScaleBench {
         api.Dedup.cutDupSpans(docs(k), "doc_id", "text", width = 8)
           .agg(sum(length(col("text")))).head().getLong(0)
       },
+      // the layout-preserving char-range cut (round 13): same mining as
+      // span_cut, the WordCutSpans byte-scan rebuild instead of the
+      // canonical token re-join — claim: identical regime (the rebuild is
+      // a per-row codegen'd pass either way)
+      "span_cut_exact" -> { (k: Int) =>
+        api.Dedup.cutDupSpansExact(docs(k), "doc_id", "text", width = 8)
+          .agg(sum(length(col("text")))).head().getLong(0)
+      },
       // the byte-level BPE cut (round 12): dup_spans_bpe's mining plus the
       // bpe_cut rebuild pass — claim: same linear regime as span_cut with
       // the BPE constant (the merge loop runs twice per doc: mine + cut)

@@ -563,6 +563,18 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // The layout-preserving cut (round 13): same spans, but each span
+    // deletes its CHARACTER range from the original text — whitespace,
+    // punctuation, digits and casing outside every span survive
+    // byte-identical, so unflagged documents round-trip bit-identical
+    // (which this gate checks corpus-wide: the oracle is a full Python
+    // re-derivation of spans + the byte-range cut over the original text).
+    "dup_span_cut_exact" -> ((s, dir) => {
+      graft.api.Dedup.cutDupSpansExact(load(s, dir, "documents"), "doc_id",
+          "text", width = 8)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // The duplication report: % of each source's tokens inside cross-doc
     // dup spans — the before/after number for span cutting. Oracle reuses
     // the dup_span_detect CTE chain and joins per-doc token totals.
@@ -2817,6 +2829,9 @@ object SparkEntry {
     // byte-level detokenizing cut: Python rebuilds the kept tokens' bytes
     // per word from the same merge list (gen_oracles.py)
     "dup_span_cut_bpe" -> valuesOracle("dup_span_cut_bpe"),
+    // layout-preserving char-range cut: full Python re-derivation (ascii
+    // spans -> byte-range delete over the ORIGINAL text), pinned VALUES
+    "dup_span_cut_exact" -> valuesOracle("dup_span_cut_exact"),
     // BPE-identity decontamination cut: bench gram tuples -> flagged
     // corpus windows -> islands -> byte rebuild, all mirrored in Python
     "contamination_span_cut_bpe" -> valuesOracle("contamination_span_cut_bpe"),

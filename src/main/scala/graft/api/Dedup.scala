@@ -541,6 +541,61 @@ object Dedup {
     if (drop.isEmpty) recomputed else recomputed.drop(drop: _*)
   }
 
+  /** [[cutSpans]] with the LAYOUT-PRESERVING rebuild
+    * ([[graft.functions.word_cut]]): instead of re-emitting the kept
+    * tokens as a canonical single-space stream, each span deletes its
+    * CHARACTER range from the original text (first flagged token's first
+    * byte through last flagged token's last byte, separators inside the
+    * span included) — whitespace, punctuation, digits and casing outside
+    * every span survive byte-identical, and an UNFLAGGED document
+    * round-trips bit-identical (gate- and spec-pinned). This is the
+    * production-polish cut when downstream consumers care about original
+    * layout; the classic normalized form remains [[cutSpans]].
+    *
+    * No tokenizer seam HERE by design: the byte-level run scan is
+    * hard-wired to [[Tokenizers.asciiWords]] identity (the k-th maximal
+    * ASCII-letter run IS token k), so `spansDf` must be mined with
+    * `asciiWords` over this same text column. Same join shape, null-text
+    * convention (null rebuilds as '' like the fully-cut doc) and
+    * `recompute`/`drop` hygiene as [[cutSpans]]. */
+  def cutSpansExact(df: DataFrame, spansDf: DataFrame, idCol: String,
+                    textCol: String, spreadInput: Boolean = true,
+                    recompute: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                    drop: Seq[String] = Nil): DataFrame = {
+    val overlap = recompute.keySet.intersect(drop.toSet)
+    require(overlap.isEmpty,
+      s"columns listed in both recompute and drop: ${overlap.mkString(", ")}")
+    require(!recompute.contains(textCol) && !drop.contains(textCol),
+      s"'$textCol' is the rewrite target — it cannot be recomputed or dropped")
+    val spans = spansDf
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+      .withColumnRenamed("doc_id", "__span_doc")
+    val cut = (if (spreadInput) SparkEnv.spread(df) else df)
+      .join(spans, df(idCol).cast("long") === spans("__span_doc"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn(textCol, coalesce(
+        graft.functions.word_cut(col(textCol), col("__spans")), lit("")))
+      .drop("__spans", "__span_doc")
+    val recomputed =
+      if (recompute.isEmpty) cut else cut.withColumns(recompute)
+    if (drop.isEmpty) recomputed else recomputed.drop(drop: _*)
+  }
+
+  /** [[cutDupSpans]] with the layout-preserving rebuild: mine with the
+    * (fixed) `asciiWords` identity, cut by character offsets
+    * ([[cutSpansExact]]). */
+  def cutDupSpansExact(df: DataFrame, idCol: String, textCol: String,
+                       width: Int, spreadInput: Boolean = true,
+                       recompute: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                       drop: Seq[String] = Nil,
+                       crossDocOnly: Boolean = true): DataFrame =
+    cutSpansExact(df,
+      dupSpans(df, idCol, textCol, width, spreadInput,
+        Tokenizers.asciiWords, crossDocOnly),
+      idCol, textCol, spreadInput, recompute, drop)
+
   /** Line-frequency boilerplate removal — the CCNet/RefinedWeb paragraph
     * pass: a LINE (any `sep`-delimited segment) occurring in at least
     * `minDocs` DISTINCT documents is boilerplate (nav bars, cookie

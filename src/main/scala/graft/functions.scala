@@ -152,6 +152,15 @@ object functions {
     toCol(org.apache.spark.sql.graft.BpeCutSpans(
       col2expr(text), col2expr(spans), new BpeRanks(merges)))
 
+  /** Layout-preserving span cut for `asciiWords`-identity spans: delete
+    * each span's character range (first flagged token's first byte through
+    * last flagged token's last byte, separators inside the span included);
+    * everything outside survives byte-identical — a document with no spans
+    * round-trips bit-identical. See
+    * [[org.apache.spark.sql.graft.WordCutSpans]]. */
+  def word_cut(text: Column, spans: Column): Column =
+    toCol(org.apache.spark.sql.graft.WordCutSpans(col2expr(text), col2expr(spans)))
+
   /** Unicode normalization (NFC default; NFD/NFKC/NFKD) — the
     * canonicalization step before any text-identity operator (hashing,
     * shingling, exact dedup): NFC and NFD spellings of the same text

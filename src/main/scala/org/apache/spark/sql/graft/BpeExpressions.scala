@@ -333,3 +333,134 @@ object BpeCutSpans {
     UTF8String.fromBytes(out.toByteArray)
   }
 }
+
+/** `text = word_cut(text, spans)` — the LAYOUT-PRESERVING destructive span
+  * cut for spans mined under [[graft.api.Tokenizers.asciiWords]] identity
+  * (round 13). The generic word cut ([[graft.api.Dedup.cutSpans]]) rebuilds
+  * text as the kept tokens' canonical single-space stream — original
+  * whitespace, punctuation, digits and casing are lost even for UNTOUCHED
+  * documents. This expression instead cuts by CHARACTER RANGE: token k is
+  * the k-th maximal ASCII-letter run of the original bytes (which maps 1:1
+  * onto `asciiWords`' k-th token — lowercasing is identity on run
+  * boundaries for ASCII, and multi-byte UTF-8 units are all >= 0x80, never
+  * letters), and a span [s0, s1] deletes everything from the first byte of
+  * run s0 through the last byte of run s1 — separators INSIDE the span go
+  * with it; everything outside survives byte-identical. A document with no
+  * spans round-trips bit-identical (gate- and spec-pinned).
+  *
+  * Caveat, documented not guarded: the 1:1 run↔token mapping assumes no
+  * non-ASCII character case-folds INTO ASCII letters (the U+212A KELVIN
+  * SIGN → 'k' / U+0130 → 'i' anomalies) — on text containing those,
+  * `asciiWords`' stream has extra tokens this byte scan cannot see, and
+  * positions shift. Mine and cut see the same text, so the practical rule
+  * is: spans fed here must come from `asciiWords` over this exact column.
+  *
+  * Same span conventions as [[BpeCutSpans]]: inclusive 0-based flat token
+  * indices, unsorted arrival tolerated (sorted here), disjoint after the
+  * island merge, positions past the last token ignored, NULL text or spans
+  * → NULL (callers coalesce). */
+case class WordCutSpans(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, StructType}
+
+  override def prettyName: String = "word_cut"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val spansOk = right.dataType match {
+      case ArrayType(s: StructType, _) =>
+        s.fields.length == 2 &&
+          s.fields(0).name == "span_start" && s.fields(0).dataType == LongType &&
+          s.fields(1).name == "span_end" && s.fields(1).dataType == LongType
+      case _ => false
+    }
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: text must be STRING, got ${left.dataType.sql}")
+    else if (!spansOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: spans must be ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    WordCutSpans.cut(t.asInstanceOf[UTF8String].getBytes,
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = s"${classOf[WordCutSpans].getName}$$.MODULE$$"
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = $mod.cut($t.getBytes(), $s);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordCutSpans {
+  @inline private def isLetter(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+
+  /** Static call target for interpreted eval and generated code. */
+  def cut(utf8: Array[Byte],
+          spans: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val ns = spans.numElements()
+    if (ns == 0) return UTF8String.fromBytes(utf8)
+    val starts = new Array[Long](ns)
+    val ends = new Array[Long](ns)
+    var i = 0
+    var live = 0
+    while (i < ns) {
+      if (!spans.isNullAt(i)) {
+        val row = spans.getStruct(i, 2)
+        starts(live) = row.getLong(0)
+        ends(live) = row.getLong(1)
+        live += 1
+      }
+      i += 1
+    }
+    if (live == 0) return UTF8String.fromBytes(utf8)
+    // insertion sort by start — span counts per doc are small (bounded by
+    // actual duplication), and collect_list order is nondeterministic
+    var a = 1
+    while (a < live) {
+      val s = starts(a); val e = ends(a)
+      var b = a - 1
+      while (b >= 0 && starts(b) > s) {
+        starts(b + 1) = starts(b); ends(b + 1) = ends(b); b -= 1
+      }
+      starts(b + 1) = s; ends(b + 1) = e
+      a += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(utf8.length)
+    var k = 0L      // token (letter-run) index
+    var si = 0
+    // true while inside a span whose last token hasn't closed yet — the
+    // separators BETWEEN two cut tokens go with the span; the separators
+    // flanking the span survive
+    var suppress = false
+    var p = 0
+    val n = utf8.length
+    while (p < n) {
+      if (!isLetter(utf8(p))) {
+        if (!suppress) out.write(utf8(p).toInt)
+        p += 1
+      } else {
+        val runStart = p
+        while (p < n && isLetter(utf8(p))) p += 1
+        while (si < live && ends(si) < k) si += 1
+        val flagged = si < live && starts(si) <= k && k <= ends(si)
+        if (!flagged) {
+          out.write(utf8, runStart, p - runStart)
+          suppress = false
+        } else {
+          suppress = k < ends(si)
+        }
+        k += 1
+      }
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+}

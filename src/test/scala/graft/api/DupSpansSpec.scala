@@ -508,6 +508,31 @@ class DupSpansSpec extends AnyFunSuite {
     } finally spansDf.unpersist()
   }
 
+  test("cutDupSpansExact: layout survives outside spans; unflagged docs round-trip bit-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val shared = "alpha beta gamma delta"
+    // layout-rich text: punctuation, digits, doubled spaces, casing — all
+    // destroyed by the canonical cut, all preserved by the exact cut
+    val doc1 = s"Head-1:  $shared, tail (42)!"
+    val doc2 = s"$shared #2\tkeepéd"
+    val clean = "No duplicates HERE: 100% original,\ttabs\nand newlines."
+    val df = Seq((1L, doc1), (2L, doc2), (3L, clean)).toDF("doc_id", "text")
+    val got = Dedup.cutDupSpansExact(df, "doc_id", "text", width = 4)
+      .orderBy("doc_id").select("text").as[String].collect()
+    // spans: tokens 1..4 in doc 1 ("alpha beta gamma delta" — "Head" is
+    // token 0); tokens 0..3 in doc 2. The span's char range goes, its
+    // FLANKING separators stay.
+    assert(got(0) == "Head-1:  , tail (42)!", s"doc1: ${got(0)}")
+    assert(got(1) == " #2\tkeepéd", s"doc2: ${got(1)}")
+    assert(got(2) == clean, "unflagged doc must round-trip bit-identical")
+    // control: the canonical cut normalizes everything (digits/punct are
+    // separators, casing lost) — the difference this variant exists for
+    val canonical = Dedup.cutDupSpans(df, "doc_id", "text", width = 4)
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(canonical(2) != clean && canonical(2) == "no duplicates here original tabs and newlines")
+  }
+
   test("Khmer/Lao/Myanmar/Tibetan segment per character; the round-12 class provably missed them") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, filter => afilter, lit, lower, regexp_replace, split}

@@ -1105,6 +1105,88 @@ def main(sf_dir, spark_dir):
     queries["dup_span_cut_bpe"] = (
         ("doc_id", "text"), ("BIGINT", "VARCHAR"), bpe_cut_rows, "doc_id")
 
+    # ---- dup_span_cut_exact: the layout-preserving char-range cut
+    # (WordCutSpans, round 13). Spans re-derived under asciiWords identity
+    # (lower + [^a-z]+ split, width 8, cross-doc rule, gram CONTENT keyed
+    # like the BPE mirror); the cut deletes each span's character range —
+    # first flagged letter-run's first char through last flagged run's
+    # last char, separators inside the span included — from the ORIGINAL
+    # text. Token k = k-th maximal ASCII-letter run of the original, the
+    # 1:1 asciiWords correspondence the Scala expression documents.
+    wx_toks = {did: [x for x in re.split(r"[^a-z]+", (t or "").lower()) if x]
+               for did, t in docs}
+    wx_gram_docs = {}
+    for did, toks in wx_toks.items():
+        for i in range(len(toks) - SPAN_W + 1):
+            g = tuple(toks[i:i + SPAN_W])
+            e = wx_gram_docs.get(g)
+            if e is None:
+                wx_gram_docs[g] = [did, did]
+            else:
+                if did < e[0]:
+                    e[0] = did
+                if did > e[1]:
+                    e[1] = did
+    wx_dup = {g for g, (mn, mx) in wx_gram_docs.items() if mn != mx}
+    wx_spans = {}
+    for did, toks in wx_toks.items():
+        spans = []
+        for i in range(len(toks) - SPAN_W + 1):
+            if tuple(toks[i:i + SPAN_W]) in wx_dup:
+                fin = i + SPAN_W - 1
+                if spans and i <= spans[-1][1] + 1:
+                    if fin > spans[-1][1]:
+                        spans[-1][1] = fin
+                else:
+                    spans.append([i, fin])
+        if spans:
+            wx_spans[did] = [(s0, s1) for s0, s1 in spans]
+
+    def word_cut_text(text, spans):
+        if not spans:
+            return text
+        spans = sorted(spans)
+        out = []
+        k = 0
+        si = 0
+        suppress = False
+        i = 0
+        n = len(text)
+
+        def is_letter(c):
+            return ("a" <= c <= "z") or ("A" <= c <= "Z")
+
+        while i < n:
+            if not is_letter(text[i]):
+                if not suppress:
+                    out.append(text[i])
+                i += 1
+            else:
+                j = i
+                while j < n and is_letter(text[j]):
+                    j += 1
+                while si < len(spans) and spans[si][1] < k:
+                    si += 1
+                flagged = si < len(spans) and spans[si][0] <= k <= spans[si][1]
+                if not flagged:
+                    out.append(text[i:j])
+                    suppress = False
+                else:
+                    suppress = k < spans[si][1]
+                k += 1
+                i = j
+        return "".join(out)
+
+    wx_rows = [(did, word_cut_text(t or "", wx_spans.get(did, [])))
+               for did, t in sorted(docs)]
+    # the gate's defining property, asserted in the mirror too: a document
+    # with no flagged span round-trips bit-identical
+    assert all(txt == dict(docs)[did] for did, txt in wx_rows
+               if did not in wx_spans), "unflagged doc failed to round-trip"
+    assert wx_spans, "dup_span_cut_exact gate is vacuous: no spans"
+    queries["dup_span_cut_exact"] = (
+        ("doc_id", "text"), ("BIGINT", "VARCHAR"), wx_rows, "doc_id")
+
     # ---- contamination_span_cut_bpe: the cross-corpus pass under BPE
     # identity — mirrors contamSpanFixture (bench = doc_id%50==0 + passage;
     # corpus = rest, passage planted at doc_id%7==3), flags corpus windows
