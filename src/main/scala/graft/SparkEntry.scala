@@ -1594,6 +1594,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // DSIR importance resampling (round 13; Xie et al. 2023): target =
+    // the English slice, raw = the full corpus; hashed unigram+bigram
+    // ratio table (crc32 buckets, add-one smoothing, ln_pinned logs),
+    // per-doc logw = sequential feature fold, A-ES draw in log space.
+    // Every step is bit-reproducible (exact counts, crc32, ln_pinned on
+    // [1,inf) arguments only), so the oracle pins BOTH the selected set
+    // and the logw doubles from a full Python re-derivation.
+    "dsir_resample" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.api.Sampling.dsirResample(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text",
+          k = 100, buckets = 1024, seed = 7L)
+        .select(col("doc_id").cast("long").as("doc_id"), col("logw"))
+        .orderBy("doc_id")
+    }),
     // Deterministic hash-based sampling/splitting (graft.api.Sampling):
     // sample membership is a pure function of (key, seed) — layout-,
     // partitioning- and run-invariant, which is what makes a 100 TB data
@@ -2277,6 +2292,7 @@ object SparkEntry {
     "stream_embed_neardup" -> valuesOracle("stream_embed_neardup"),
     "sample_hash" -> valuesOracle("sample_hash"),
     "sample_weighted" -> valuesOracle("sample_weighted"),
+    "dsir_resample" -> valuesOracle("dsir_resample"),
     "mix_sources" -> valuesOracle("mix_sources"),
     "mix_temperature" -> valuesOracle("mix_temperature"),
     "contamination_check" -> valuesOracle("contamination_check"),

@@ -188,4 +188,114 @@ object Sampling {
     }
     df.withColumn(splitCol, expr)
   }
+
+  /** The hashed n-gram feature stream of DSIR (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): unigrams
+    * then bigrams of the `asciiWords` token stream, in that order — the
+    * order is part of the bit-exact contract, because the per-document
+    * score folds these features sequentially. */
+  private def dsirFeatures(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = Tokenizers.asciiWords(text)
+    val bi = when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    concat(t, bi)
+  }
+
+  /** Per-bucket feature counts of a corpus under the DSIR hashing:
+    * `crc32(utf8(feature)) pmod buckets` — crc32 because the bucketing
+    * hash needs only uniformity and crc32 is exactly portable (zlib — the
+    * Python oracle mirrors it bit-for-bit, where Spark's string xxhash64
+    * has no public cross-engine twin). One map-side-combined aggregation,
+    * output bounded by `buckets` — collected to the driver (the model is
+    * `buckets` longs; keep `buckets` ≤ ~2^20, the paper uses 10^4). */
+  private def dsirBucketCounts(df: DataFrame, textCol: String,
+                               buckets: Int): Array[Long] = {
+    val rows = df
+      .select(explode(dsirFeatures(col(textCol))).as("f"))
+      .groupBy(pmod(crc32(col("f").cast("binary")), lit(buckets.toLong)).cast("int").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val out = new Array[Long](buckets)
+    rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
+  /** The DSIR per-bucket log importance ratios: add-one-smoothed hashed
+    * unigram+bigram models of `target` (the quality corpus the selection
+    * should look like) and `raw` (the corpus being selected from),
+    * `ratio_b = ln p_target(b) − ln p_raw(b)`. Expressed as
+    * `ln((t_b+1)·(R+B)) − ln((r_b+1)·(T+B))` so every log argument is
+    * ≥ 1 — the [[graft.functions.ln_pinned]] domain — making the whole
+    * table bit-reproducible cross-engine (libm ln is not). Two corpus
+    * scans (one per side), each one map-side-combined aggregation. */
+  def dsirLogRatios(raw: DataFrame, target: DataFrame, textCol: String,
+                    buckets: Int): Array[Double] = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val t = dsirBucketCounts(target, textCol, buckets)
+    val r = dsirBucketCounts(raw, textCol, buckets)
+    val tTot = t.sum.toDouble + buckets
+    val rTot = r.sum.toDouble + buckets
+    Array.tabulate(buckets) { b =>
+      graft.core.HyperLogLog.lnPinned((t(b) + 1).toDouble * rTot) -
+        graft.core.HyperLogLog.lnPinned((r(b) + 1).toDouble * tTot)
+    }
+  }
+
+  /** Per-document DSIR log importance weight under a fitted ratio table:
+    * the sequential fold of `ratios(bucket(feature))` over the document's
+    * feature stream (unigrams then bigrams, array order — bit-exact).
+    * Adds `logw` (0.0 for featureless docs); the ratio table rides the
+    * plan as a literal array (`buckets` doubles, one copy per plan). */
+  def dsirScore(df: DataFrame, textCol: String, ratios: Array[Double],
+                out: String = "logw"): DataFrame = {
+    val ratioLit = lit(ratios)
+    df.withColumn(out,
+      aggregate(dsirFeatures(col(textCol)), lit(0.0), (acc, f) =>
+        acc + element_at(ratioLit,
+          pmod(crc32(f.cast("binary")), lit(ratios.length.toLong)).cast("int") + 1)))
+  }
+
+  /** DSIR importance resampling end-to-end: fit the hashed-n-gram ratio
+    * table on (raw, target), score every raw document, and draw `k`
+    * documents without replacement with probability ∝ exp(logw) — the
+    * Efraimidis–Spirakis A-ES rule evaluated entirely in LOG space
+    * (`key = ln(ln(1/u)) − logw`, smallest k), because DSIR log weights
+    * span hundreds of nats and `exp(logw)` overflows where the log-space
+    * key does not. The transform is strictly monotone in the classic
+    * `ln(1/u)/w` key, so the selected set is IDENTICAL to
+    * [[weightedSampleTopK]] with `w = exp(logw)` wherever that is finite
+    * (spec-pinned). `ln(ln(1/u))` needs a log of a value that can sit
+    * below 1: both branches route through [[graft.functions.ln_pinned]]'s
+    * [1, ∞) domain (`e ≥ 1 → ln e`; `e < 1 → −ln(1/e)`), keeping the
+    * whole chain bit-reproducible — same seeded 53-bit uniform as every
+    * sampler here, nudged into (0, 1] so 1/u is finite.
+    *
+    * Plan shape: the ratio fit is two map-side-combined aggregations
+    * (driver state = `buckets` longs per side); scoring is a pure
+    * projection inside the scan; the draw is a global top-k
+    * (TakeOrderedAndProject — per-partition heaps, no full sort).
+    * `keyCol` values must be unique (the keyed-sample contract). Returns
+    * the selected rows plus their `logw`. */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, k: Int, buckets: Int = 4096,
+                   seed: Long = 0L): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val ratios = dsirLogRatios(raw, target, textCol, buckets)
+    val u = (shiftrightunsigned(xxhash64(col(idCol), lit(seed)), 11) + lit(1L))
+      .cast("double") / lit((1L << 53).toDouble)
+    val e = graft.functions.ln_pinned(lit(1.0) / u)
+    // e = 0 (u = 1, probability 2^-53 per key) would send 1/e to ∞ —
+    // its true key is −∞ (that row always wins), said explicitly
+    val lnLn = when(e === 0.0, lit(Double.NegativeInfinity))
+      .when(e >= 1.0, graft.functions.ln_pinned(e))
+      .otherwise(-graft.functions.ln_pinned(lit(1.0) / e))
+    dsirScore(raw, textCol, ratios)
+      .withColumn("__dsir_key", lnLn - col("logw"))
+      .orderBy(col("__dsir_key").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__dsir_key")
+  }
 }

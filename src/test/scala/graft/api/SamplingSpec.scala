@@ -193,4 +193,39 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
+
+  test("dsirResample: tilts toward the target, log-space A-ES equals weightedSampleTopK on exp(logw)") {
+    import org.apache.spark.sql.functions.{col, exp}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = docs.filter(col("lang") === "en")
+    val k = 60
+    val sel = Sampling.dsirResample(docs, target, "doc_id", "text",
+      k = k, buckets = 512, seed = 7L)
+    val selRows = sel.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(selRows.length == k)
+    // the selection must actually look more like the target than the corpus
+    val corpusEn = docs.filter(col("lang") === "en").count().toDouble / docs.count()
+    val selEn = selRows.count(_._2 == "en").toDouble / k
+    assert(selEn > corpusEn,
+      s"DSIR selection en-rate $selEn must beat the corpus base rate $corpusEn")
+    // log-space key is a strictly monotone transform of the classic
+    // ln(1/u)/w key: wherever exp(logw) is finite, the two rules must
+    // select the IDENTICAL set (same seed, same uniforms)
+    val ratios = Sampling.dsirLogRatios(docs, target, "text", 512)
+    val weighted = Sampling.dsirScore(docs, "text", ratios)
+      .withColumn("__w", exp(col("logw")))
+    assert(weighted.filter(!(col("__w") > 0.0) ||
+      col("__w").isNull || col("__w") === Double.PositiveInfinity).count() == 0,
+      "fixture precondition: every exp(logw) finite and positive")
+    val viaExp = Sampling.weightedSampleTopK(weighted, "doc_id", "__w", k, 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selRows.map(_._1).toSet == viaExp,
+      "log-space A-ES must select the same set as the exp-weight rule")
+    // determinism: a repartitioned input selects the identical rows
+    val again = Sampling.dsirResample(docs.repartition(13), target, "doc_id",
+        "text", k = k, buckets = 512, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == selRows.map(_._1).toSet)
+  }
 }

@@ -489,9 +489,15 @@ def emit_sql(name, sql, nrows):
 def sql_lit(v):
     """Render one Python value as a SQL literal: str quotes (with ''
     doubling), everything else keeps its repr — so oracle rows stay RAW
-    Python values and the parquet crosscheck compares them directly."""
+    Python values and the parquet crosscheck compares them directly.
+    Floats are quoted: DuckDB parses a BARE numeric literal as DECIMAL
+    first (dropping the 17th significant digit) before any DOUBLE cast,
+    while CAST('<repr>' AS DOUBLE) parses the shortest-round-trip repr
+    back to the identical bits."""
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return "'" + repr(v) + "'"
     return str(v)
 
 
@@ -1378,6 +1384,67 @@ def main(sf_dir, spark_dir):
         "FROM sel s JOIN documents d ON d.doc_id = s.doc_id\n"
         "ORDER BY doc_id")
     custom["sample_weighted"] = (wrows, ("doc_id", "n_chars"), wsql)
+
+    # ---- dsir_resample: DSIR hashed-n-gram importance resampling (round
+    # 13; Xie et al. 2023). Full re-derivation: ascii unigrams+bigrams,
+    # crc32 % 1024 buckets (zlib == Spark's crc32 over utf8 bytes),
+    # add-one-smoothed log ratios via ln_pinned on >=1 arguments only,
+    # per-doc logw as the SEQUENTIAL feature fold (unigrams then bigrams,
+    # stream order), A-ES draw in log space: key = lnln(1/u) - logw,
+    # smallest 100 (ties by doc_id). Both the selected set AND the logw
+    # doubles are pinned (every step correctly-rounded IEEE).
+    import zlib as _zlib
+    DSIR_B = 1024
+
+    def dsir_feats(text):
+        toks = [x for x in re.split(r"[^a-z]+", (text or "").lower()) if x]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def dsir_counts(texts):
+        c = [0] * DSIR_B
+        for t in texts:
+            for f in dsir_feats(t):
+                c[_zlib.crc32(f.encode("utf-8")) % DSIR_B] += 1
+        return c
+
+    lang_of = {did: lang for did, lang, _s, _n in drows}
+    dsir_t = dsir_counts(t for did, t in docs if lang_of[did] == "en")
+    dsir_r = dsir_counts(t for _did, t in docs)
+    dsir_tTot = float(sum(dsir_t)) + DSIR_B
+    dsir_rTot = float(sum(dsir_r)) + DSIR_B
+    dsir_ratio = [ln_pinned(float(dsir_t[b] + 1) * dsir_rTot)
+                  - ln_pinned(float(dsir_r[b] + 1) * dsir_tTot)
+                  for b in range(DSIR_B)]
+
+    def dsir_logw(text):
+        acc = 0.0
+        for f in dsir_feats(text):
+            acc += dsir_ratio[_zlib.crc32(f.encode("utf-8")) % DSIR_B]
+        return acc
+
+    def dsir_key(did, logw):
+        u = (((spark_xxhash64(did, 7) & M64) >> 11) + 1) / float(1 << 53)
+        e = ln_pinned(1.0 / u)
+        if e == 0.0:
+            lnln = float("-inf")
+        elif e >= 1.0:
+            lnln = ln_pinned(e)
+        else:
+            lnln = -ln_pinned(1.0 / e)
+        return lnln - logw
+
+    dsir_scored = [(dsir_key(did, dsir_logw(t)), did, dsir_logw(t))
+                   for did, t in docs]
+    dsir_sel = sorted((k, did) for k, did, _w in dsir_scored)[:100]
+    dsir_w = {did: w for _k, did, w in dsir_scored}
+    dsir_rows = sorted((did, dsir_w[did]) for _k, did in dsir_sel)
+    # sanity: the selection must actually tilt toward the target slice
+    en_rate_corpus = sum(1 for d in lang_of.values() if d == "en") / len(lang_of)
+    en_rate_sel = sum(1 for did, _w in dsir_rows if lang_of[did] == "en") / len(dsir_rows)
+    assert en_rate_sel > en_rate_corpus, \
+        f"dsir gate vacuous: selection en-rate {en_rate_sel} <= corpus {en_rate_corpus}"
+    queries["dsir_resample"] = (
+        ("doc_id", "logw"), ("BIGINT", "DOUBLE"), dsir_rows, "doc_id")
 
     # ---- mix_sources: per-source Bernoulli rates over one hash score ----
     MIX_RATES = {"src0": 0.9, "src1": 0.9, "src2": 0.5}
