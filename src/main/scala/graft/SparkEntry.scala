@@ -351,6 +351,21 @@ object SparkEntry {
         .select(col("id_a").as("key_a"), col("id_b").as("key_b"))
         .orderBy("key_a", "key_b")
     }),
+    "edit_blocked_pairs" -> ((s, dir) => {
+      // record-linkage shape: banded MinHash blocking on a SHORT key
+      // column verified by normalized Levenshtein ≥ 0.9 (one-char edits
+      // on the 18-char names). The oracle pins the candidate set via the
+      // Python minhash mirror, then DuckDB recomputes lev + edit_sim and
+      // re-applies the filter itself — the verification arithmetic is
+      // engine-checked end to end.
+      withLsh(s)
+      val customer = load(s, dir, "customer")
+      graft.api.BandedLsh.editVerifiedPairs(customer, "c_custkey", "c_name",
+          ngramWidth = 2, bandCount = 4, bandSize = 6, seed = 5L, minSim = 0.9)
+        .select(col("id_a").as("key_a"), col("id_b").as("key_b"),
+          col("lev"), col("edit_sim"))
+        .orderBy("key_a", "key_b")
+    }),
 
     // ---- relational surface the reference composes with (SURVEY §2.3) ----
     "q1_agg" -> ((s, dir) => {
@@ -693,6 +708,18 @@ object SparkEntry {
       graft.api.TextAnalysis.docLogProbBigram(load(s, dir, "documents"))
         .orderBy("doc_id")
     }),
+    "perplexity_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail: per-language ntile(3) over the bigram-LM
+      // score (avg_nll2 ASC, doc_id tie-break). The oracle re-derives the
+      // LM score with the independent Python mirror AND re-implements
+      // ANSI ntile, so both the scorer and the tiling are pinned.
+      val docs = load(s, dir, "documents")
+      val scored = graft.api.TextAnalysis.docLogProbBigram(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      graft.api.TextAnalysis.perplexityBuckets(scored, "lang", "avg_nll2")
+        .select(col("doc_id"), col("lang"), col("ppl_bucket"), col("ppl_class"))
+        .orderBy("doc_id")
+    }),
     "token_entropy" -> ((s, dir) => {
       // pinned-ln Shannon entropy of each doc's token distribution — the
       // gibberish/boilerplate quality signal; sorted-count fold makes the
@@ -883,6 +910,32 @@ object SparkEntry {
       graft.api.Packing.packSequences(load(s, dir, "documents"), "doc_id",
           graft.functions.bpe_count(col("text"), BpeMerges), 256, 21L)
         .orderBy("id")
+    }),
+    "bpe_train" -> ((s, dir) => {
+      // LEARN the byte-level BPE merge list from the corpus itself
+      // (Sennrich et al. dictionary trainer; BpeTrain scaladoc has the
+      // scale shape: one word-count aggregate, capped dict, driver merge
+      // loop). gen_oracles.py re-derives the identical merges in Python —
+      // same dict cut (count DESC, UTF-8 bytes ASC), same tie-break, same
+      // min-count-2 stop — so the learned vocabulary is pinned end to end.
+      val docs = load(s, dir, "documents")
+      graft.api.BpeTrain
+        .mergesDf(s, graft.api.BpeTrain.trainBpe(docs, "text", 48, vocabCap = 2048))
+        // rank/left/right are SQL keywords — aliased for the DuckDB oracle
+        .select(col("rank").cast("long").as("merge_rank"),
+          col("left").as("lhs"), col("right").as("rhs"))
+        .orderBy("merge_rank")
+    }),
+    "token_count_bpe_trained" -> ((s, dir) => {
+      // train -> apply composition: the learned merges drive the same
+      // bpe_count kernel the static-list gate uses. The oracle re-trains
+      // with the Python mirror and re-counts with its own tokenizer — two
+      // independent implementations of both halves.
+      val docs = load(s, dir, "documents")
+      val ranks = graft.api.BpeTrain.trainedRanks(docs, "text", 48, vocabCap = 2048)
+      docs.select(col("doc_id"),
+          graft.functions.bpe_count(col("text"), ranks).as("n_tokens_bpe"))
+        .orderBy("doc_id")
     }),
     "token_count" -> ((s, dir) => {
       // spread: four regex counters per row, re-sorted by the ORDER BY —
@@ -1609,6 +1662,20 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("logw"))
         .orderBy("doc_id")
     }),
+    "quality_nb_score" -> ((s, dir) => {
+      // hashed-feature multinomial NB quality classifier — the "linear
+      // classifier separating a curated seed from the rest" curation step
+      // (Brown et al. 2020 App. A) in its closed-form, bit-deterministic
+      // shape. Trains on source ∈ {src0, src1} as the seed; the oracle
+      // re-derives the counts, the ln_pinned log-odds table, the prior
+      // and the sequential score fold independently in Python.
+      val docs = load(s, dir, "documents")
+      graft.api.QualityClassifier.trainScore(docs, "text",
+          col("source").isin("src0", "src1"), buckets = 1024)
+        .select(col("doc_id"), col("nb_score"),
+          (col("nb_score") > 0.0).as("nb_keep"))
+        .orderBy("doc_id")
+    }),
     // Deterministic hash-based sampling/splitting (graft.api.Sampling):
     // sample membership is a pure function of (key, seed) — layout-,
     // partitioning- and run-invariant, which is what makes a 100 TB data
@@ -2131,6 +2198,21 @@ object SparkEntry {
           col("event_type"), col("user_id"), col("est_cnt"))
         .orderBy("win_start", "event_type", "user_id")
     }),
+    "stream_contamination" -> ((s, dir) => {
+      import s.implicits._
+      // stream-static decontamination: documents arrive over 4
+      // micro-batches and probe the static benchmark sample; the flag
+      // rule is per-doc-local, so the unioned stream output must equal
+      // the batch contamination_check bit-for-bit — the gate shares its
+      // oracle (same bench sample, same width/threshold).
+      val docs = load(s, dir, "documents")
+      val bench = graft.api.Sampling.sampleByHash(docs, "doc_id", 0.02, 99L)
+      val seq = docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      graft.streaming.EventStreams.contaminationReplay(s, seq, bench,
+          nBatches = 4, ngramWidth = 8, minShared = 50L)
+        .orderBy("doc_id", "bench_id")
+    }),
     "stream_dedup_content" -> ((s, dir) => {
       import s.implicits._
       // the fixture has no exact content dups, so a shifted copy of the
@@ -2288,14 +2370,19 @@ object SparkEntry {
     // bit-equal to ann_topk_ivfpq by construction: same pinned VALUES
     "ann_topk_ivfpq_fitted" -> valuesOracle("ann_topk_ivfpq"),
     "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
+    "edit_blocked_pairs" -> valuesOracle("edit_blocked_pairs"),
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
     "stream_embed_neardup" -> valuesOracle("stream_embed_neardup"),
     "sample_hash" -> valuesOracle("sample_hash"),
     "sample_weighted" -> valuesOracle("sample_weighted"),
     "dsir_resample" -> valuesOracle("dsir_resample"),
+    "quality_nb_score" -> valuesOracle("quality_nb_score"),
     "mix_sources" -> valuesOracle("mix_sources"),
     "mix_temperature" -> valuesOracle("mix_temperature"),
     "contamination_check" -> valuesOracle("contamination_check"),
+    // the streaming twin is per-doc-local and stateless, so its unioned
+    // micro-batch output is pinned by the SAME oracle as the batch gate
+    "stream_contamination" -> valuesOracle("contamination_check"),
     // bit-identical contract with contamination_check: the Bloom is a
     // pure pre-filter, so both plans answer to the same pinned oracle
     "contamination_bloom" -> valuesOracle("contamination_check"),
@@ -2386,6 +2473,7 @@ object SparkEntry {
     "token_entropy" -> valuesOracle("token_entropy"),
     "doc_logprob" -> valuesOracle("doc_logprob"),
     "doc_logprob_bigram" -> valuesOracle("doc_logprob_bigram"),
+    "perplexity_buckets" -> valuesOracle("perplexity_buckets"),
     "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
     "rolling_dedup" -> valuesOracle("rolling_dedup"),
     "index_health" -> valuesOracle("index_health"),
@@ -2398,6 +2486,8 @@ object SparkEntry {
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),
     "token_count_bpe" -> valuesOracle("token_count_bpe"),
+    "bpe_train" -> valuesOracle("bpe_train"),
+    "token_count_bpe_trained" -> valuesOracle("token_count_bpe_trained"),
     "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
     "pack_bins_nfd" -> valuesOracle("pack_bins_nfd"),
     "ann_recall" -> valuesOracle("ann_recall"),

@@ -1,0 +1,83 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.HyperLogLog.lnPinned
+
+/** Hashed-feature multinomial Naive Bayes quality classifier — the
+  * "train a linear classifier to separate a curated seed from the raw
+  * crawl, keep what scores high" step of the published LLM curation
+  * pipelines (GPT-3, Brown et al. 2020 App. A; LLaMA; PaLM). fastText's
+  * supervised mode is architecturally this: hashed unigram+bigram
+  * features, a linear decision — NB is its closed-form, bit-deterministic
+  * cousin (no SGD order dependence, so the model is exactly reproducible
+  * cross-engine, which SGD never is).
+  *
+  * Shares the DSIR feature pipeline ([[Sampling.dsirFeatures]]: asciiWords
+  * unigrams then bigrams, crc32-bucketed — crc32 because zlib gives the
+  * Python oracle a bit-exact twin) and its add-one-smoothed log-ratio
+  * algebra, every log argument ≥ 1 so [[graft.core.HyperLogLog.lnPinned]]
+  * covers the whole model.
+  *
+  * Scale shape: training = two map-side-combined aggregates (one per
+  * class), each bounded by `buckets`; the model is `buckets` doubles + one
+  * prior, riding the scoring plan as a literal array. Scoring = one
+  * corpus pass, whole-stage-codegen'd fold, no shuffle, no UDF. At 100 TB
+  * nothing here grows with the corpus except the two count scans.
+  */
+object QualityClassifier {
+
+  /** Per-bucket NB log-odds from a labeled corpus:
+    * `lo_b = ln p(b|pos) − ln p(b|neg)`, add-one smoothed, expressed as
+    * `ln((p_b+1)·(N+B)) − ln((n_b+1)·(P+B))` (all arguments ≥ 1). The
+    * same table DSIR would call log importance ratios of the positive
+    * seed against the negatives — NB's novelty is the labeled split and
+    * the document prior, not the algebra. */
+  def nbLogOdds(pos: DataFrame, neg: DataFrame, textCol: String,
+                buckets: Int): Array[Double] = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val p = Sampling.dsirBucketCounts(pos, textCol, buckets)
+    val n = Sampling.dsirBucketCounts(neg, textCol, buckets)
+    val pTot = p.sum.toDouble + buckets
+    val nTot = n.sum.toDouble + buckets
+    Array.tabulate(buckets) { b =>
+      lnPinned((p(b) + 1).toDouble * nTot) - lnPinned((n(b) + 1).toDouble * pTot)
+    }
+  }
+
+  /** The class prior term `ln(nPos) − ln(nNeg)` (document counts; both
+    * sides must be non-empty). */
+  def nbPrior(nPos: Long, nNeg: Long): Double = {
+    require(nPos >= 1 && nNeg >= 1, s"need non-empty classes, got $nPos/$nNeg")
+    lnPinned(nPos.toDouble) - lnPinned(nNeg.toDouble)
+  }
+
+  /** Score every document: `prior + Σ_f lo(bucket(f))` over the feature
+    * stream in array order (sequential fold — bit-exact, mirroring
+    * [[Sampling.dsirScore]]). Positive score ⇒ the seed class is more
+    * likely. Adds `out` (the prior alone for featureless docs). */
+  def nbScore(df: DataFrame, textCol: String, logOdds: Array[Double],
+              prior: Double, out: String = "nb_score"): DataFrame = {
+    val loLit = lit(logOdds)
+    df.withColumn(out,
+      aggregate(Sampling.dsirFeatures(col(textCol)), lit(prior), (acc, f) =>
+        acc + element_at(loLit,
+          pmod(crc32(f.cast("binary")), lit(logOdds.length.toLong)).cast("int") + 1)))
+  }
+
+  /** Train on `labelCol` (boolean: true = curated seed) and score the
+    * whole corpus in one call — the pipeline-step shape. Two training
+    * scans + one scoring pass. */
+  def trainScore(docs: DataFrame, textCol: String, labelCol: Column,
+                 buckets: Int, out: String = "nb_score"): DataFrame = {
+    val pos = docs.where(labelCol)
+    val neg = docs.where(!labelCol)
+    // prior first: its non-empty-class guard fires on cheap count-only
+    // scans, before the two feature aggregations are paid
+    val prior = nbPrior(pos.count(), neg.count())
+    val lo = nbLogOdds(pos, neg, textCol, buckets)
+    nbScore(docs, textCol, lo, prior, out)
+  }
+}

@@ -194,7 +194,7 @@ object Sampling {
     * then bigrams of the `asciiWords` token stream, in that order — the
     * order is part of the bit-exact contract, because the per-document
     * score folds these features sequentially. */
-  private def dsirFeatures(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[api] def dsirFeatures(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val t = Tokenizers.asciiWords(text)
     val bi = when(size(t) >= 2,
         zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
@@ -210,7 +210,7 @@ object Sampling {
     * has no public cross-engine twin). One map-side-combined aggregation,
     * output bounded by `buckets` — collected to the driver (the model is
     * `buckets` longs; keep `buckets` ≤ ~2^20, the paper uses 10^4). */
-  private def dsirBucketCounts(df: DataFrame, textCol: String,
+  private[api] def dsirBucketCounts(df: DataFrame, textCol: String,
                                buckets: Int): Array[Long] = {
     val rows = df
       .select(explode(dsirFeatures(col(textCol))).as("f"))

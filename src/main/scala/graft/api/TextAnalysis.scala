@@ -432,4 +432,34 @@ object TextAnalysis {
         coalesce(col("avg_nll2"), lit(0.0)).as("avg_nll2"),
         coalesce(col("n_trans"), lit(0L)).as("n_trans"))
   }
+
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
+    * rank each language's documents by an LM score ([[docLogProbBigram]]'s
+    * `avg_nll2` is the in-engine scorer; CCNet uses 5-gram KenLM
+    * perplexity — same monotone role) and split into `nBuckets` equal
+    * tiles — head (fluent) / middle / tail (noisy), the split CCNet
+    * publishes and pipelines filter or re-weight on.
+    *
+    * Deterministic: `ntile` over (score ASC, id ASC) — the id tie-break
+    * makes the tile edges engine-independent, so a Python re-derivation
+    * of ANSI ntile (first `m mod n` tiles take the extra row) is exact.
+    *
+    * Scale note: the window partitions by LANGUAGE — a handful of huge
+    * partitions at web scale (one sort per language, heavily skewed
+    * toward the head languages). That is still one shuffle and the sort
+    * is what exact tiling costs; the production relaxation when exactness
+    * isn't required is per-lang score thresholds from a quantile sketch
+    * (the [[graft.functions]] HDR/`hist_quantiles` machinery) applied
+    * map-only — same output up to sketch error, no per-lang sort. */
+  def perplexityBuckets(scored: DataFrame, langCol: String, scoreCol: String,
+                        idCol: String = "doc_id", nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col(scoreCol).asc, col(idCol).asc)
+    scored.withColumn("ppl_bucket", ntile(nBuckets).over(w))
+      .withColumn("ppl_class",
+        when(col("ppl_bucket") === 1, "head")
+          .when(col("ppl_bucket") === nBuckets, "tail")
+          .otherwise("middle"))
+  }
 }

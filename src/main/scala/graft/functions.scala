@@ -135,14 +135,20 @@ object functions {
     * public GPT-2-family algorithm; no model file is bundled — learned
     * merges are data). See [[org.apache.spark.sql.graft.BpeCount]]. */
   def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
-    toCol(BpeCount(col2expr(text), new BpeRanks(merges)))
+    toCol(BpeCount(col2expr(text), BpeRanks(merges)))
+
+  /** As above with a pre-compiled rank table — the shape a TRAINED
+    * vocabulary arrives in ([[graft.api.BpeTrain.trainedRanks]]; byte
+    * tokens must not re-enter the UTF-8 compile path). */
+  def bpe_count(text: Column, ranks: BpeRanks): Column =
+    toCol(BpeCount(col2expr(text), ranks))
 
   /** The BPE token sequence itself (array<string>, latin-1-rendered byte
     * tokens; `size(bpe_tokens) == bpe_count` by construction). The token
     * stream behind [[graft.api.Tokenizers.bpe]]. See
     * [[org.apache.spark.sql.graft.BpeTokens]]. */
   def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =
-    toCol(BpeTokens(col2expr(text), new BpeRanks(merges)))
+    toCol(BpeTokens(col2expr(text), BpeRanks(merges)))
 
   /** Byte-level detokenizing span cut under the same merge list: drop the
     * flagged flat-stream BPE token indices and rebuild the text from the
@@ -150,7 +156,7 @@ object functions {
     * surviving words). See [[org.apache.spark.sql.graft.BpeCutSpans]]. */
   def bpe_cut(text: Column, spans: Column, merges: Seq[(String, String)]): Column =
     toCol(org.apache.spark.sql.graft.BpeCutSpans(
-      col2expr(text), col2expr(spans), new BpeRanks(merges)))
+      col2expr(text), col2expr(spans), BpeRanks(merges)))
 
   /** Layout-preserving span cut for `asciiWords`-identity spans: delete
     * each span's character range (first flagged token's first byte through

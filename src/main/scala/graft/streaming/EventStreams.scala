@@ -484,6 +484,45 @@ object EventStreams {
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Streaming decontamination — the stream-static twin of
+    * [[graft.api.Contamination.sharedNgrams]]: each micro-batch of
+    * arriving documents probes the STATIC benchmark's broadcast shingle
+    * set and emits its (doc_id, bench_id, shared_ngrams) flags. The flag
+    * rule is per-document-LOCAL (a doc's flags depend only on its own
+    * text and the static bench), so the query is STATELESS — no
+    * watermark, no state store, and the union of micro-batch outputs is
+    * bit-equal to the batch run over the whole corpus, which is exactly
+    * what the gate pins (it shares contamination_check's oracle).
+    * `foreachBatch` is the composition point because the rule is an
+    * aggregation-after-join — the documented Structured Streaming shape
+    * for running a batch operator per micro-batch; at production scale
+    * the same body sits on a `readStream` source and appends to the
+    * flags table, and the static bench side broadcasts once per batch.
+    * MemoryStream feeding is the test harness. */
+  def contaminationReplay(spark: SparkSession, docs: Seq[(Long, String)],
+                          bench: DataFrame, nBatches: Int,
+                          ngramWidth: Int, minShared: Long): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = s"graft_stream_contam_${replaySeq.incrementAndGet()}"
+    graft.api.BucketedWrite.dropTable(spark, tbl)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.api.Contamination.sharedNgrams(batch, bench, "doc_id", "text",
+            ngramWidth, minShared)
+          .write.mode("append").format("parquet").saveAsTable(tbl)
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      val chunk = math.max(1, (docs.size + nBatches - 1) / nBatches)
+      docs.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.catalog.refreshTable(tbl)
+    spark.table(tbl)
+  }
+
   /** Replay a finite event set through [[sessionize]] as a REAL Structured
     * Streaming query — MemoryStream source split over `nBatches`
     * micro-batches in the given (arbitrary) order, memory sink, then one

@@ -9,26 +9,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * algorithm: tokens start as single bytes; the lowest-rank adjacent pair
   * merges, all occurrences left-to-right, until no listed pair remains).
   *
-  * Merge pairs arrive as UTF-8 strings — the natural way to write a learned
-  * vocabulary down ("t"+"h", "th"+"e") — and are compiled once per
-  * (de)serialized instance into byte-token form. Internally a token is a
+  * Merge pairs arrive either as UTF-8 strings (`BpeRanks.apply` — the
+  * hand-authored form, "t"+"h", "th"+"e") or as already-byte tokens
+  * (`fromByteTokens` — what [[graft.api.BpeTrain]] learns); both compile
+  * to the same internal byte-token form. Internally a token is a
   * latin-1 `String` (one char per byte, lossless both ways), so pair lookup
   * is one tuple-keyed map hit and a merge is string concat; contrast with
   * byte-array keys, whose equality Java gets wrong silently.
   */
-final class BpeRanks(val merges: Seq[(String, String)]) extends Serializable {
+final class BpeRanks private (val byteMerges: Seq[(String, String)]) extends Serializable {
   @transient lazy val rank: java.util.HashMap[(String, String), Integer] = {
-    val m = new java.util.HashMap[(String, String), Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.put((BpeRanks.latin1(a), BpeRanks.latin1(b)), i)
-    }
+    val m = new java.util.HashMap[(String, String), Integer](byteMerges.size * 2)
+    byteMerges.zipWithIndex.foreach { case ((a, b), i) => m.put((a, b), i) }
     m
   }
 }
 
 object BpeRanks {
-  /** UTF-8 bytes of `s`, re-read as latin-1: one char per byte. */
-  private[graft] def latin1(s: String): String =
+  /** Compile a merge list written as UTF-8 strings (the hand-authored /
+    * serialized form) — each side is re-read one-char-per-byte. */
+  def apply(utf8Merges: Seq[(String, String)]): BpeRanks =
+    new BpeRanks(utf8Merges.map { case (a, b) => (latin1(a), latin1(b)) })
+
+  /** Compile a merge list whose sides are ALREADY byte tokens (latin-1
+    * strings, one char per raw byte) — the form a trained vocabulary
+    * ([[graft.api.BpeTrain]]) produces. Applying the UTF-8 path to these
+    * would double-encode any byte ≥ 0x80. */
+  def fromByteTokens(pairs: Seq[(String, String)]): BpeRanks = new BpeRanks(pairs)
+
+  /** UTF-8 bytes of `s`, re-read as latin-1: one char per byte (public:
+    * the byte-token rendering callers like [[graft.api.BpeTrain]] use). */
+  def latin1(s: String): String =
     new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.charset.StandardCharsets.ISO_8859_1)
 }
@@ -60,10 +71,10 @@ case class BpeCount(child: Expression, ranks: BpeRanks)
   // BpeRanks is compared by merge list, not identity, so plan equality
   // (subexpression elimination, cached plans) keeps working
   override def equals(o: Any): Boolean = o match {
-    case BpeCount(c, r) => c == child && r.merges == ranks.merges
+    case BpeCount(c, r) => c == child && r.byteMerges == ranks.byteMerges
     case _ => false
   }
-  override def hashCode(): Int = child.hashCode * 31 + ranks.merges.hashCode
+  override def hashCode(): Int = child.hashCode * 31 + ranks.byteMerges.hashCode
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -165,10 +176,10 @@ case class BpeTokens(child: Expression, ranks: BpeRanks)
   }
 
   override def equals(o: Any): Boolean = o match {
-    case BpeTokens(c, r) => c == child && r.merges == ranks.merges
+    case BpeTokens(c, r) => c == child && r.byteMerges == ranks.byteMerges
     case _ => false
   }
-  override def hashCode(): Int = child.hashCode * 31 + ranks.merges.hashCode + 1
+  override def hashCode(): Int = child.hashCode * 31 + ranks.byteMerges.hashCode + 1
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -257,11 +268,11 @@ case class BpeCutSpans(left: Expression, right: Expression, ranks: BpeRanks)
   }
 
   override def equals(o: Any): Boolean = o match {
-    case BpeCutSpans(l, rr, r) => l == left && rr == right && r.merges == ranks.merges
+    case BpeCutSpans(l, rr, r) => l == left && rr == right && r.byteMerges == ranks.byteMerges
     case _ => false
   }
   override def hashCode(): Int =
-    (left.hashCode * 31 + right.hashCode) * 31 + ranks.merges.hashCode
+    (left.hashCode * 31 + right.hashCode) * 31 + ranks.byteMerges.hashCode
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =

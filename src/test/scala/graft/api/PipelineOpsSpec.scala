@@ -1276,4 +1276,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       .groupBy(col("id") % 7).count()
     assert(SparkEnv.spread(shuffled) eq shuffled)
   }
+  test("editVerifiedPairs: blocking candidates verified by normalized Levenshtein") {
+    val rows = Seq(
+      (1L, "Customer#000000001"),
+      (2L, "Customer#000000002"),   // lev 1 vs ids 1 and 3 -> sim 17/18 ≈ .944
+      (3L, "Customer#000000012"),   // lev 2 vs id 1        -> sim 16/18 ≈ .889
+      (4L, "Supplier#999999999")    // far from everything
+    ).toDF("id", "name")
+    val got = BandedLsh.editVerifiedPairs(rows, "id", "name",
+        ngramWidth = 2, bandCount = 8, bandSize = 2, seed = 7L, minSim = 0.9)
+      .select("id_a", "id_b", "lev").as[(Long, Long, Long)].collect().toSet
+    // only the single-edit pairs survive the 0.9 bar; nothing pairs with 4
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L)))
+    // relaxing the bar admits the two-edit pairs the blocking caught
+    val loose = BandedLsh.editVerifiedPairs(rows, "id", "name",
+        ngramWidth = 2, bandCount = 8, bandSize = 2, seed = 7L, minSim = 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose.contains((1L, 2L)) && loose.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
+  }
+  test("perplexityBuckets: ANSI ntile per lang, id tie-break, head/middle/tail") {
+    val scored = Seq(
+      // en: 7 docs, scores force order 10..70 -> tiles of 3/2/2
+      (1L, "en", 10.0), (2L, "en", 20.0), (3L, "en", 30.0), (4L, "en", 40.0),
+      (5L, "en", 50.0), (6L, "en", 60.0), (7L, "en", 70.0),
+      // fr: tie on score -> doc_id breaks it
+      (8L, "fr", 1.0), (9L, "fr", 1.0), (10L, "fr", 1.0)
+    ).toDF("doc_id", "lang", "s")
+    val got = TextAnalysis.perplexityBuckets(scored, "lang", "s")
+      .select("doc_id", "ppl_bucket", "ppl_class")
+      .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1, "head")) && got(2L) == ((1, "head")) && got(3L) == ((1, "head")))
+    assert(got(4L) == ((2, "middle")) && got(5L) == ((2, "middle")))
+    assert(got(6L) == ((3, "tail")) && got(7L) == ((3, "tail")))
+    assert(got(8L) == ((1, "head")) && got(9L) == ((2, "middle")) && got(10L) == ((3, "tail")))
+  }
 }

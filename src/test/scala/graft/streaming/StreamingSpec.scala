@@ -446,4 +446,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1).getLong(0) == 100L && out(1).getLong(4) == 1L)
     assert(out(2).getLong(0) == 200L && out(2).getLong(4) == 1L)
   }
+  test("contaminationReplay: unioned micro-batch flags equal the batch twin, any split") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee"),
+      (2L, "aaaa bbbb cccc xxxx yyyy"),
+      (3L, "zzzz wwww vvvv uuuu tttt"),
+      (10L, "aaaa bbbb cccc dddd eeee extra tail")
+    )
+    val bench = Seq((100L, "aaaa bbbb cccc dddd eeee")).toDF("doc_id", "text")
+    def batchRun = graft.api.Contamination
+      .sharedNgrams(docs.toDF("doc_id", "text"), bench, "doc_id", "text",
+        ngramWidth = 4, minShared = 5L)
+      .orderBy("doc_id", "bench_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    for (nb <- Seq(1, 2, 4)) {
+      val got = graft.streaming.EventStreams
+        .contaminationReplay(spark, docs, bench, nBatches = nb,
+          ngramWidth = 4, minShared = 5L)
+        .orderBy("doc_id", "bench_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == batchRun, s"nBatches=$nb")
+    }
+    assert(batchRun.nonEmpty && !batchRun.exists(_._1 == 3L))
+  }
 }

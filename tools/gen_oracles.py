@@ -850,6 +850,55 @@ def main(sf_dir, spark_dir):
         "ORDER BY key_a, key_b")
     custom["lsh_blocking_join"] = (pairs, ("key_a", "key_b"), blocking_sql)
 
+    # ---- edit_blocked_pairs: banded blocking verified by normalized
+    # Levenshtein (round 13; the record-linkage verifier for short keys).
+    # Candidates mirror BandedLsh.candidatePairs (4 bands x 6, one seed);
+    # the DuckDB oracle then recomputes lev + edit_sim ITSELF over the
+    # pinned candidate set and re-applies the >= 0.9 filter, so the
+    # verification arithmetic is engine-checked, not copied (ASCII keys:
+    # DuckDB's byte edits == Spark's char edits).
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    ec_sets = {cid: vk.shingles_from_text(name, 2) for cid, name in customers}
+    ec_buckets = {}
+    for cid, _n in customers:
+        for band, h in enumerate(vk.minhash_bands(ec_sets[cid], 4, 6, 5)):
+            ec_buckets.setdefault((band, h), []).append(cid)
+    ec_cand = set()
+    for ids in ec_buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ec_cand.add((ids[i], ids[j]))
+    ec_name = dict(customers)
+    ec_pairs = sorted(
+        p for p in ec_cand
+        if 1.0 - lev(ec_name[p[0]], ec_name[p[1]])
+        / max(len(ec_name[p[0]]), len(ec_name[p[1]])) >= 0.9)
+    assert ec_pairs and len(ec_pairs) < len(ec_cand), \
+        f"edit gate vacuous: {len(ec_pairs)} verified of {len(ec_cand)} candidates"
+    ec_sql = (
+        "WITH sel(key_a, key_b) AS (VALUES\n"
+        f"{values_block(ec_pairs)}\n)\n"
+        "SELECT CAST(s.key_a AS BIGINT) AS key_a, CAST(s.key_b AS BIGINT) AS key_b,\n"
+        "       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev,\n"
+        "       1.0 - levenshtein(a.c_name, b.c_name)\n"
+        "             / greatest(length(a.c_name), length(b.c_name)) AS edit_sim\n"
+        "FROM sel s JOIN customer a ON a.c_custkey = s.key_a\n"
+        "           JOIN customer b ON b.c_custkey = s.key_b\n"
+        "WHERE 1.0 - levenshtein(a.c_name, b.c_name)\n"
+        "            / greatest(length(a.c_name), length(b.c_name)) >= 0.9\n"
+        "ORDER BY key_a, key_b")
+    custom["edit_blocked_pairs"] = (ec_pairs, ("key_a", "key_b"), ec_sql)
+
     # ---- deterministic hash sampling / splits (mirror graft.api.Sampling) ----
     # Sampling.hashScore = top 53 bits of xxhash64(key, seed) as an exact
     # double in [0,1) — bit-identical here, so the selected sets are an
@@ -967,14 +1016,14 @@ def main(sf_dir, spark_dir):
         ("l", "i"), ("h", "i"), ("u", "r"), ("r", "o"), ("w", "h"), ("wh", "i")]
     bpe_rank = {(a.encode(), b.encode()): i for i, (a, b) in enumerate(BPE_MERGES)}
 
-    def bpe_word_toks(w):
-        """BPE merge loop for one whitespace-free word (bytes) — the
-        mirror of BpeCount.mergeWord."""
+    def bpe_word_toks_r(w, rank):
+        """BPE merge loop for one whitespace-free word (bytes) under an
+        explicit rank table — the mirror of BpeCount.mergeWord."""
         toks = [w[i:i + 1] for i in range(len(w))]
         while len(toks) > 1:
             best, bi = None, -1
             for j in range(len(toks) - 1):
-                r = bpe_rank.get((toks[j], toks[j + 1]))
+                r = rank.get((toks[j], toks[j + 1]))
                 if r is not None and (best is None or r < best):
                     best, bi = r, j
             if bi < 0:
@@ -990,6 +1039,9 @@ def main(sf_dir, spark_dir):
                     k += 1
             toks = out
         return toks
+
+    def bpe_word_toks(w):
+        return bpe_word_toks_r(w, bpe_rank)
 
     def bpe_tokens(text):
         """Full BPE token sequence (words in order, whitespace dropped) —
@@ -1018,6 +1070,65 @@ def main(sf_dir, spark_dir):
     queries["pack_sequences_bpe"] = (
         ("id", "tokens", "token_offset", "chunk_start", "chunk_end"),
         ("BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT"), bpe_pack_rows, "id")
+
+    # ---- bpe_train / token_count_bpe_trained: LEARNED byte-level BPE
+    # (round 13). Mirrors graft.api.BpeTrain exactly: dict = top-vocab_cap
+    # whitespace words by (count DESC, utf-8 bytes ASC); each round the
+    # best adjacent pair by (count DESC, pair bytes ASC) merges in all dict
+    # words, all occurrences left-to-right; stop when the best count < 2.
+    def bpe_train(texts, num_merges, vocab_cap):
+        wc = {}
+        for t in texts:
+            for w in re.split(rb"[\t\n\x0b\x0c\r ]+", t.encode("utf-8")):
+                if w:
+                    wc[w] = wc.get(w, 0) + 1
+        top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_cap]
+        words = [([w[i:i + 1] for i in range(len(w))], c) for w, c in top]
+        merges = []
+        for _ in range(num_merges):
+            pc = {}
+            for toks, c in words:
+                for j in range(len(toks) - 1):
+                    p = (toks[j], toks[j + 1])
+                    pc[p] = pc.get(p, 0) + c
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if pc[best] < 2:
+                break
+            merges.append(best)
+            a, b = best
+            nw = []
+            for toks, c in words:
+                out, k = [], 0
+                while k < len(toks):
+                    if k < len(toks) - 1 and toks[k] == a and toks[k + 1] == b:
+                        out.append(a + b)
+                        k += 2
+                    else:
+                        out.append(toks[k])
+                        k += 1
+                nw.append((out, c))
+            words = nw
+        return merges
+
+    bpe_trained = bpe_train((t for _did, t in docs), 48, 2048)
+    queries["bpe_train"] = (
+        ("merge_rank", "lhs", "rhs"), ("BIGINT", "VARCHAR", "VARCHAR"),
+        [(i, a.decode("latin-1"), b.decode("latin-1"))
+         for i, (a, b) in enumerate(bpe_trained)], "merge_rank")
+    bpe_trained_rank = {p: i for i, p in enumerate(bpe_trained)}
+
+    def bpe_count_trained(text):
+        n = 0
+        for w in re.split(rb"[\t\n\x0b\x0c\r ]+", text.encode("utf-8")):
+            if w:
+                n += len(bpe_word_toks_r(w, bpe_trained_rank))
+        return n
+
+    queries["token_count_bpe_trained"] = (
+        ("doc_id", "n_tokens_bpe"), ("BIGINT", "BIGINT"),
+        sorted((did, bpe_count_trained(t)) for did, t in docs), "doc_id")
 
     # ---- pack_bins_nfd: whole-doc Next-Fit-Decreasing bin packing,
     # capacity 256 whitespace tokens, stream order (tokens desc,
@@ -1446,6 +1557,40 @@ def main(sf_dir, spark_dir):
     queries["dsir_resample"] = (
         ("doc_id", "logw"), ("BIGINT", "DOUBLE"), dsir_rows, "doc_id")
 
+    # ---- quality_nb_score: hashed-feature multinomial Naive Bayes quality
+    # classifier (round 13; the Brown et al. 2020 App. A "curated seed vs
+    # rest" linear-classifier step, in its closed-form bit-deterministic
+    # shape). Same feature stream + ln_pinned add-one algebra as DSIR;
+    # pos seed = source in (src0, src1); prior = ln(nPos) - ln(nNeg);
+    # score = prior + SEQUENTIAL fold of per-bucket log-odds.
+    src_of = {did: s for did, _l, s, _n in drows}
+    nb_pos = [t for did, t in docs if src_of[did] in ("src0", "src1")]
+    nb_neg = [t for did, t in docs if src_of[did] not in ("src0", "src1")]
+    nb_p = dsir_counts(nb_pos)
+    nb_n = dsir_counts(nb_neg)
+    nb_pTot = float(sum(nb_p)) + DSIR_B
+    nb_nTot = float(sum(nb_n)) + DSIR_B
+    nb_lo = [ln_pinned(float(nb_p[b] + 1) * nb_nTot)
+             - ln_pinned(float(nb_n[b] + 1) * nb_pTot) for b in range(DSIR_B)]
+    nb_prior = ln_pinned(float(len(nb_pos))) - ln_pinned(float(len(nb_neg)))
+
+    def nb_score(text):
+        acc = nb_prior
+        for f in dsir_feats(text):
+            acc += nb_lo[_zlib.crc32(f.encode("utf-8")) % DSIR_B]
+        return acc
+
+    nb_rows = sorted((did, nb_score(t), nb_score(t) > 0.0) for did, t in docs)
+    # sanity: the classifier must actually separate — the seed sources
+    # should score above the rest on average
+    nb_avg_pos = sum(r[1] for r in nb_rows if src_of[r[0]] in ("src0", "src1")) / max(1, len(nb_pos))
+    nb_avg_neg = sum(r[1] for r in nb_rows if src_of[r[0]] not in ("src0", "src1")) / max(1, len(nb_neg))
+    assert nb_avg_pos > nb_avg_neg, \
+        f"nb gate vacuous: pos avg {nb_avg_pos} <= neg avg {nb_avg_neg}"
+    queries["quality_nb_score"] = (
+        ("doc_id", "nb_score", "nb_keep"), ("BIGINT", "DOUBLE", "BOOLEAN"),
+        nb_rows, "doc_id")
+
     # ---- mix_sources: per-source Bernoulli rates over one hash score ----
     MIX_RATES = {"src0": 0.9, "src1": 0.9, "src2": 0.5}
     mix_rows = sorted((did, src) for did, _l, src, _n in drows
@@ -1778,6 +1923,31 @@ def main(sf_dir, spark_dir):
         ") AS t(doc_id, avg_nll2, n_trans)\nORDER BY doc_id")
     custom["doc_logprob_bigram"] = (
         bg_rows, ("doc_id", "avg_nll2", "n_trans"), bg_sql)
+
+    # ---- perplexity_buckets: CCNet head/middle/tail per language (round
+    # 13; Wenzek et al. 2020). ntile(3) over (avg_nll2 ASC, doc_id ASC)
+    # within each lang — ANSI ntile: the first (m mod 3) tiles take the
+    # extra row. Re-derives both the LM score (bg_rows above) and the
+    # tiling independently.
+    ppl_score = {did: v for did, v, _n in bg_rows}
+    ppl_by_lang = {}
+    for did, lang, _s, _n in drows:
+        ppl_by_lang.setdefault(lang, []).append(did)
+    ppl_rows = []
+    for lang, ids in ppl_by_lang.items():
+        ids.sort(key=lambda d: (ppl_score[d], d))
+        base, extra = divmod(len(ids), 3)
+        pos = 0
+        for b in range(1, 4):
+            size = base + (1 if b <= extra else 0)
+            for did in ids[pos:pos + size]:
+                cls = "head" if b == 1 else ("tail" if b == 3 else "middle")
+                ppl_rows.append((did, lang, b, cls))
+            pos += size
+    ppl_rows.sort()
+    queries["perplexity_buckets"] = (
+        ("doc_id", "lang", "ppl_bucket", "ppl_class"),
+        ("BIGINT", "VARCHAR", "INT", "VARCHAR"), ppl_rows, "doc_id")
 
     # ---- signature_dedup_pairs: banding collisions + 24-component
     # signature-fraction similarity (mirrors BandedLsh.nearDupPairsBySignature:
@@ -2275,6 +2445,7 @@ def main(sf_dir, spark_dir):
                     "doc_logprob_bigram": "doc_id",
                     "signature_dedup_pairs": "id_a, id_b",
                     "lsh_blocking_join": "key_a, key_b",
+                    "edit_blocked_pairs": "key_a, key_b",
                     "semantic_dedup": "vec_id",
                     "stream_embed_neardup": "band, id_a, id_b",
                     "contamination_embed": "vec_id, bench_id",
