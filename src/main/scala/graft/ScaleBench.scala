@@ -430,6 +430,53 @@ object ScaleBench {
         val pairs = api.BandedLsh.nearDupPairsAdaptive(docs(k), "doc_id", "text", 4, 8, 3, 42L, 0.6)
           .select("id_a", "id_b")
         api.BandedLsh.dupClusters(pairs, maxIters = 15, driverThreshold = 0L).count()
+      },
+      // BPE vocabulary training: one word-count aggregate (linear scan,
+      // map-side combined), TakeOrdered dict cut bounded by vocabCap, and
+      // a corpus-size-INDEPENDENT driver merge loop — wall should be
+      // scan-bound, near-flat on 32 threads. The cipher multiplies the
+      // word vocabulary ×k but the dict cut keeps driver state at 2048
+      // either way.
+      "bpe_train" -> { (k: Int) =>
+        api.BpeTrain.trainBpe(docs(k), "text", 48, vocabCap = 2048).size.toLong
+      },
+      // NB quality classifier: two class-count scans + two bucket
+      // aggregates (model = 1024 doubles, constant) + one scoring pass —
+      // all linear, zero corpus shuffle. Forcing action sums the score:
+      // count() would let Catalyst prune the fold (the span_cut trap).
+      "nb_quality" -> { (k: Int) =>
+        val scored = api.QualityClassifier.trainScore(docs(k), "text",
+          col("source").isin("src0", "src1"), buckets = 1024)
+        scored.agg(sum(col("nb_score"))).collect()
+        scored.count()
+      },
+      // CCNet perplexity tiling: the bigram LM (linear aggregates +
+      // Heaps-sparse bigram table) + one per-language window sort.
+      // Forcing action sums the bucket column — count() prunes the window.
+      "ppl_buckets" -> { (k: Int) =>
+        val d = docs(k)
+        val scored = api.TextAnalysis.docLogProbBigram(d)
+          .join(d.select("doc_id", "lang"), "doc_id")
+        val t = api.TextAnalysis.perplexityBuckets(scored, "lang", "avg_nll2")
+        t.agg(sum(col("ppl_bucket"))).collect()
+        t.count()
+      },
+      // edit-verified record linkage on ×k customers (cipher-replicated
+      // inline — names decorrelate across replicas, so candidates = k ×
+      // base): ids-only band join + distinct + broadcast attach + one DP
+      // per unique pair — linear in candidates. Heavy per unit (the
+      // near-uniform key space admits ~17% of intra-replica pairs, see
+      // editVerifiedPairs scaladoc); measure to ×10.
+      "edit_pairs" -> { (k: Int) =>
+        val base = spark.read.parquet(s"$baseDir/customer.parquet")
+          .select("c_custkey", "c_name")
+        val scaled = (0 until k).map { r =>
+          base.select((col("c_custkey") + lit(r * Stride)).as("c_custkey"),
+            (if (r == 0) col("c_name")
+             else translate(col("c_name"), Alphabet, cipherTo(r))).as("c_name"))
+        }.reduce(_.unionAll(_))
+        api.BandedLsh.editVerifiedPairs(scaled, "c_custkey", "c_name",
+          2, 4, 6, 5L, 0.9).count()
       }
     ).filter { case (n, _) => opsFilter.forall(_.contains(n)) }
 

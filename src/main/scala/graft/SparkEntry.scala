@@ -1959,6 +1959,31 @@ object SparkEntry {
           nClusters = 16, tau = 0.35, seed = 77L, iters = 5, sampleSize = 500)
         .orderBy("vec_id")
     }),
+    "embed_tfidf" -> ((s, dir) => {
+      // hashed TF-IDF text embeddings (the MLlib HashingTF+IDF recipe,
+      // bit-deterministic): the text→vector bridge into the ANN/SemDeDup
+      // machinery. Both the raw tf·idf and the L2-normalized vector are
+      // pinned per (doc, bucket) — the oracle re-derives tokenize, crc32
+      // bucketing, df/idf and the norm chain independently in Python.
+      val docs = load(s, dir, "documents")
+      graft.api.TextAnalysis.tfidfEmbed(docs, "doc_id", "text", 32)
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("tfidf"), col("embedding"))).as(Seq("pos", "z")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("z.tfidf").as("tfidf"), col("z.embedding").as("nval"))
+        .orderBy("doc_id", "pos")
+    }),
+    "semantic_dedup_text" -> ((s, dir) => {
+      // end-to-end composition: text → hashed TF-IDF vectors → SemDeDup.
+      // The whole chain (tokenize, bucket, idf, norm, sample-init k-means,
+      // within-cell cosine rule) is re-derived by the Python mirror.
+      val docs = load(s, dir, "documents")
+      val vecs = graft.api.TextAnalysis.tfidfEmbed(docs, "doc_id", "text", 32)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      graft.api.SemanticDedup.semanticDedup(vecs, nClusters = 8, tau = 0.3,
+          seed = 7L, iters = 5, sampleSize = 500)
+        .orderBy("vec_id")
+    }),
     "range_join" -> ((s, dir) => {
       // orders priced into irregular bands: a point-in-interval range join,
       // bucketed (graft.api.RangeJoin) instead of nested-loop
@@ -2461,6 +2486,8 @@ object SparkEntry {
         |FROM corpus d LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "semantic_dedup" -> valuesOracle("semantic_dedup"),
+    "embed_tfidf" -> valuesOracle("embed_tfidf"),
+    "semantic_dedup_text" -> valuesOracle("semantic_dedup_text"),
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),

@@ -433,6 +433,59 @@ object TextAnalysis {
         coalesce(col("n_trans"), lit(0L)).as("n_trans"))
   }
 
+  /** Hashed TF-IDF document embeddings — the TEXT→VECTOR bridge into the
+    * engine's embedding machinery (ANN, SemDeDup, embedding
+    * decontamination) when no neural encoder is in the loop: the hashing
+    * trick of MLlib's HashingTF+IDF, made bit-deterministic. Per document:
+    * `tf[b]` = count of [[Tokenizers.asciiWords]] tokens with
+    * `crc32(token) mod dim = b` (crc32: the zlib-portable bucket hash the
+    * DSIR/NB family uses); `idf[b] = ln((N+1)/(df[b]+1))` with `df[b]` =
+    * documents with a nonzero bucket (the MLlib smoothing, both arguments
+    * ≥ 1 → pinned ln); vector = tf·idf, L2-normalized (sum of squares in
+    * bucket order; sqrt and divides are correctly-rounded IEEE — the same
+    * exactness contract as `embed_normalize`'s DuckDB oracle).
+    *
+    * Scale shape: one tokenize+bucket aggregate (map-side combined,
+    * output ≤ docs×dim rows), a dim-bounded df table collected to the
+    * driver (the idf model is `dim` doubles riding the plan as a
+    * literal), one per-doc combine. No corpus shuffle beyond the two
+    * aggregates; the dense-vector build is whole-stage-codegen'd
+    * expression work. Returns (idCol, tfidf array, embedding array) —
+    * `embedding` plugs straight into [[SemanticDedup.semanticDedup]] /
+    * [[Ann]]; tokenless documents carry zero vectors (norm 0 ⇒ kept
+    * as-is, the same zero-norm contract as the rest of the vector ops). */
+  def tfidfEmbed(docs: DataFrame, idCol: String, textCol: String,
+                 dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 16), s"dim must be in [2, 65536], got $dim")
+    val perDoc = docs
+      .select(col(idCol), explode(Tokenizers.asciiWords(col(textCol))).as("tok"))
+      .select(col(idCol),
+        pmod(crc32(col("tok").cast("binary")), lit(dim.toLong)).cast("int").as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+    val dfRows = perDoc.groupBy("b").agg(count(lit(1)).as("df")).collect()
+    val dfArr = new Array[Long](dim)
+    dfRows.foreach(r => dfArr(r.getInt(0)) = r.getLong(1))
+    val n = docs.count()
+    val idf = Array.tabulate(dim) { b =>
+      graft.core.HyperLogLog.lnPinned((n + 1).toDouble) -
+        graft.core.HyperLogLog.lnPinned((dfArr(b) + 1).toDouble)
+    }
+    val idfLit = lit(idf)
+    val sparse = perDoc.groupBy(col(idCol))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("b"), col("c"))))).as("m"))
+    val raw = transform(sequence(lit(0), lit(dim - 1)), b =>
+      coalesce(element_at(col("m"), b), lit(0L)).cast("double") *
+        element_at(idfLit, b + 1))
+    val withRaw = docs.select(col(idCol)).join(sparse, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("m").isNull,
+          array_repeat(lit(0.0), dim)).otherwise(raw).as("tfidf"))
+    val norm = sqrt(aggregate(col("tfidf"), lit(0.0), (acc, x) => acc + x * x))
+    withRaw.select(col(idCol), col("tfidf"),
+      when(norm === 0.0, col("tfidf"))
+        .otherwise(transform(col("tfidf"), x => x / norm)).as("embedding"))
+  }
+
   /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
     * rank each language's documents by an LM score ([[docLogProbBigram]]'s
     * `avg_nll2` is the in-engine scorer; CCNet uses 5-gram KenLM

@@ -2332,6 +2332,64 @@ def main(sf_dir, spark_dir):
         ") AS t(vec_id, cluster, kept)\nORDER BY vec_id")
     custom["semantic_dedup"] = (sem_rows, ("vec_id", "cluster", "kept"), sem_sql)
 
+    # ---- embed_tfidf / semantic_dedup_text (round 13): hashed TF-IDF
+    # text embeddings (MLlib HashingTF+IDF recipe, crc32 buckets, pinned-ln
+    # idf, correctly-rounded norm chain), then SemDeDup composed over them
+    # end to end with the same kmeans/cosine mirrors as semantic_dedup.
+    import math as _math
+    TD = 32
+    tf_cnt = {}
+    for did, t in docs:
+        c = {}
+        for tok in re.split(r"[^a-z]+", (t or "").lower()):
+            if tok:
+                b = _zlib.crc32(tok.encode("utf-8")) % TD
+                c[b] = c.get(b, 0) + 1
+        tf_cnt[did] = c
+    tf_df = [0] * TD
+    for c in tf_cnt.values():
+        for b in c:
+            tf_df[b] += 1
+    tf_N = len(docs)
+    tf_idf = [ln_pinned(float(tf_N + 1)) - ln_pinned(float(tf_df[b] + 1))
+              for b in range(TD)]
+    tf_raw, tf_nrm = {}, {}
+    for did, _t in docs:
+        raw = [float(tf_cnt[did].get(b, 0)) * tf_idf[b] for b in range(TD)]
+        acc = 0.0
+        for x in raw:
+            acc += x * x
+        nrm = _math.sqrt(acc)
+        tf_raw[did] = raw
+        tf_nrm[did] = [x / nrm for x in raw] if nrm != 0.0 else raw
+    et_rows = [(did, p, tf_raw[did][p], tf_nrm[did][p])
+               for did in sorted(tf_raw) for p in range(TD)]
+    queries["embed_tfidf"] = (
+        ("doc_id", "pos", "tfidf", "nval"),
+        ("BIGINT", "BIGINT", "DOUBLE", "DOUBLE"), et_rows, "doc_id, pos")
+
+    st_vecs = {did: tf_nrm[did] for did, _t in docs}
+    st_cents = kmeans_centroids(st_vecs, nlist=8, seed=7, iters=5, sample_size=500)
+    st_cells = {vid: nearest_centroid(v, st_cents) for vid, v in st_vecs.items()}
+    st_members = {}
+    for vid in sorted(st_vecs):
+        st_members.setdefault(st_cells[vid], []).append(vid)
+
+    def st_live(vid):
+        return any(x != 0.0 for x in st_vecs[vid])
+
+    st_rows = []
+    for vid in sorted(st_vecs):
+        mem = st_members[st_cells[vid]]
+        kept = not (st_live(vid) and any(
+            a < vid and st_live(a) and cosine(st_vecs[a], st_vecs[vid]) >= 0.3
+            for a in mem))
+        st_rows.append((vid, st_cells[vid], kept))
+    assert any(not k for _v, _c, k in st_rows), "semantic_dedup_text gate vacuous: nothing dropped"
+    queries["semantic_dedup_text"] = (
+        ("vec_id", "cluster", "kept"),
+        ("BIGINT", "INTEGER", "BOOLEAN"), st_rows, "vec_id")
+
     # ---- semantic_prototypes: k=5 most central vectors per cell (squared
     # L2 to the cell centroid, ties by id) — mirrors
     # SemanticDedup.clusterPrototypes over the SAME trained cells.
