@@ -1948,6 +1948,26 @@ object SparkEntry {
           nlist = 8, nprobe = 3, seed = 101L)
         .orderBy("vec_id", "bench_id")
     }),
+    // The big-bench escape hatch of the same pass: broadcastBench = false
+    // skips the maxQueryRows guard (proved here by pinning the conf BELOW
+    // the bench size) and shuffles the exploded corpus keys against the
+    // bench cells instead of broadcasting them. Identical quantizer,
+    // identical probe lists, identical exact-verify — the pair set is
+    // bit-equal to contamination_embed_ann's, so the oracle is shared;
+    // only the physical join changes (spec-pinned non-broadcast).
+    "contamination_embed_ann_big" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val bench = graft.api.Sampling.sampleByHash(emb, "vec_id", 0.02, 99L)
+      val prev = scala.util.Try(s.conf.get("graft.ann.maxQueryRows")).toOption
+      s.conf.set("graft.ann.maxQueryRows", "1")
+      try graft.api.Contamination.embedOverlapAnn(emb, bench, tau = 0.25,
+          nlist = 8, nprobe = 3, seed = 101L, broadcastBench = false)
+        .orderBy("vec_id", "bench_id")
+      finally prev match {
+        case Some(v) => s.conf.set("graft.ann.maxQueryRows", v)
+        case None => s.conf.unset("graft.ann.maxQueryRows")
+      }
+    }),
     // SemDeDup (Abbas et al. 2023): k-means the embedding space (16 cells,
     // seeded sample-init Lloyd's), then drop any vector with a lower-id
     // cosine->=0.35 neighbor in its own cell. 73 of 500 fixture vectors
@@ -2413,6 +2433,9 @@ object SparkEntry {
     "contamination_bloom" -> valuesOracle("contamination_check"),
     "contamination_embed" -> valuesOracle("contamination_embed"),
     "contamination_embed_ann" -> valuesOracle("contamination_embed_ann"),
+    // same pair set as contamination_embed_ann (only the physical join
+    // differs) — the oracle resource is shared by construction
+    "contamination_embed_ann_big" -> valuesOracle("contamination_embed_ann"),
     // Token-span decontamination: full cross-engine re-derivation — the
     // corpus/bench split and planted passage are plain SQL, grams keyed by
     // STRING (vs Spark's xxhash64), flagged = corpus gram IN bench grams,

@@ -871,10 +871,16 @@ object Ann {
                            dead: Set[Int]): Unit = {
     val scratch = s"${tablePrefix}_rebalance_tmp"
     // a surviving warehouse DIRECTORY also counts: an interrupted repair in
-    // a dead JVM leaves the files but not the (in-memory) catalog entry
+    // a dead JVM leaves the files but not the (in-memory) catalog entry.
+    // Resolved via the session catalog (defaultTablePath honors the CURRENT
+    // database — warehouse/<db>.db/<name> — and any database-level
+    // location), not warehouse.dir string concatenation, which misses the
+    // orphan outside the default database and would let the overwrite
+    // below destroy the only copy of already-dropped rows
     val scratchDir = {
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), scratch.toLowerCase)
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(scratch.toLowerCase)))
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
     }
     require(!spark.catalog.tableExists(scratch) && !scratchDir,

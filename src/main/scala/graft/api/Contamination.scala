@@ -315,8 +315,14 @@ object Contamination {
     * cosines to `nlist` centroid distances + ~|bench|·nprobe/nlist
     * cosines; the corpus still streams once through the scan with NO
     * shuffle (the bench cell table broadcasts — cells + raw vectors,
-    * |bench|-bounded; past ~10⁶ bench vectors drop the broadcast hint and
-    * let the cell join shuffle the exploded corpus keys instead).
+    * |bench|-bounded and enforced ≤ `graft.ann.maxQueryRows`). Past that
+    * bound — a full eval-suite union at 10⁵..10⁶ vectors — pass
+    * `broadcastBench = false`: the size guard is skipped, the hint
+    * dropped, and the cell join shuffles the exploded corpus keys against
+    * the bench cells instead (sort-merge on `cell`; parallelism is
+    * bounded by `nlist`, so size `nlist` ≥ the shuffle partition count
+    * for that path — a 10⁶-vector bench wants nlist ≈ 10³ anyway, and
+    * AQE's skew split handles a hot cell).
     *
     * APPROXIMATE by construction: a pair whose bench cell is outside the
     * corpus vector's probe list is missed — recall at the gated fixture
@@ -330,7 +336,8 @@ object Contamination {
                       iters: Int = 5, sampleSize: Int = 10000,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      benchInCorpus: Boolean = true): DataFrame = {
+                      benchInCorpus: Boolean = true,
+                      broadcastBench: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graft.{CentroidModel, ColumnShim, NearestCell, ProbeCells}
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     require(nprobe >= 1 && nprobe <= nlist,
@@ -341,7 +348,7 @@ object Contamination {
         col(vecCol).cast("array<double>").as(outVec))
         .filter(Ann.normSq(col(outVec)) > 0.0)
     val bench = side(benchmark, "bench_id", "bv")
-    Ann.requireSmallQueries(bench, "embedOverlapAnn")
+    if (broadcastBench) Ann.requireSmallQueries(bench, "embedOverlapAnn")
     // quantizer trained on the zero-norm-FILTERED bench side, so the model
     // is a pure function of the vectors that can actually match (mirrored
     // in tools/gen_oracles.py via kmeans_centroids over the bench sample)
@@ -353,10 +360,15 @@ object Contamination {
     // each bench vector lives in exactly ONE cell and probe cells are
     // distinct, so the join hits each (corpus, bench) pair at most once —
     // no candidate distinct needed
+    // broadcastBench=false pins SORT-MERGE explicitly (hint "merge"), not
+    // merely "no broadcast hint": compile-time stats at small SF would
+    // happily broadcast the CORPUS side instead — the exact accident this
+    // path exists to rule out at 100 TB, where neither side fits
     side(corpus, "vec_id", "cv")
       .withColumn("cell", explode(
         ColumnShim.column(ProbeCells(ColumnShim.expression(col("cv")), cmodel, nprobe))))
-      .join(broadcast(benchCells), Seq("cell"))
+      .join(if (broadcastBench) broadcast(benchCells) else benchCells.hint("merge"),
+        Seq("cell"))
       .filter(if (benchInCorpus) col("vec_id") =!= col("bench_id") else lit(true))
       .withColumn("sim", Ann.cosine(col("cv"), col("bv")))
       .filter(col("sim") >= tau)

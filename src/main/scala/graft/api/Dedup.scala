@@ -358,11 +358,33 @@ object Dedup {
         .distinct()
         .join(spark.table(flagsTable).select("doc_id", "pos"),
           Seq("doc_id", "pos"), "left_anti")
-      newFlags
+      // COMMIT ORDER: triples BEFORE flags. The two appends are separate
+      // transactions; if the session dies between them the index must be
+      // left in the state that still DETECTS. Triples-first, a crash
+      // leaves the batch's grams probe-able (future batches re-introducing
+      // them match via the triple table, and oldVsBatch then back-fills
+      // flags for the crashed batch's windows) — only the batch's own
+      // within/vs-index flags are missing until then, and a rebuild
+      // recovers them exactly. Flags-first, a crash leaves flags whose
+      // grams never entered the index: every future batch re-introducing
+      // them silently under-detects, permanently. The flag set is
+      // MATERIALIZED before the triple append lands — via localCheckpoint,
+      // NOT persist(): insertInto refreshes `table` and that refresh
+      // UNCACHES dependent cached plans (the DROP-PARTITION trap from the
+      // Ann repairs), so a persisted flags plan would silently recompute
+      // from the appended table and flag the batch against its own
+      // triples. The checkpoint truncates lineage, pinning the pre-append
+      // view; its blocks are ContextCleaner-freed on GC.
+      // Recovery after a crash between the two appends: either rebuild
+      // ([[saveGramIndex]] over the full corpus), or re-run ONLY the flag
+      // derivation for the batch (the triples are already in) — never
+      // re-run the whole append, which would duplicate triples.
+      val flagsOut = newFlags
         .select(spark.table(flagsTable).columns.map(col).toIndexedSeq: _*)
-        .write.mode("append").insertInto(flagsTable)
+        .localCheckpoint()
       bg.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
         .write.mode("append").insertInto(table)
+      flagsOut.write.mode("append").insertInto(flagsTable)
     } finally bg.unpersist()
   }
 

@@ -193,14 +193,19 @@ object Sampling {
     * Selection for Language Models via Importance Resampling"): unigrams
     * then bigrams of the `asciiWords` token stream, in that order — the
     * order is part of the bit-exact contract, because the per-document
-    * score folds these features sequentially. */
+    * score folds these features sequentially. NULL text yields the EMPTY
+    * stream, not NULL — so downstream folds land on their documented
+    * featureless-doc value (0.0 for [[dsirScore]], the prior for
+    * [[QualityClassifier.nbScore]]) instead of a NULL that would sort
+    * FIRST in [[dsirResample]]'s ascending top-k and hijack the sample
+    * (the Python mirror's `(t or '')` behavior). */
   private[api] def dsirFeatures(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val t = Tokenizers.asciiWords(text)
     val bi = when(size(t) >= 2,
         zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    concat(t, bi)
+    coalesce(concat(t, bi), array().cast("array<string>"))
   }
 
   /** Per-bucket feature counts of a corpus under the DSIR hashing:

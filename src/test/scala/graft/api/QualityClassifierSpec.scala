@@ -42,9 +42,11 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(QualityClassifier.nbPrior(8, 8) == 0.0)
     val lo = Array.fill(16)(0.5)
     val scored = QualityClassifier
-      .nbScore(Seq((0L, "")).toDF("doc_id", "text"), "text", lo, prior = 1.25)
-      .select("nb_score").as[Double].collect()
-    assert(scored.toSeq == Seq(1.25))
+      .nbScore(Seq((0L, ""), (1L, null)).toDF("doc_id", "text"), "text", lo,
+        prior = 1.25)
+      .orderBy("doc_id").select("nb_score").as[Double].collect()
+    // NULL text is a featureless doc, not a NULL score
+    assert(scored.toSeq == Seq(1.25, 1.25))
   }
 
   test("empty class fails loudly (no silent one-sided model)") {

@@ -228,4 +228,27 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == selRows.map(_._1).toSet)
   }
+
+  test("dsirScore/dsirResample: null text is featureless (logw 0.0), never a null key") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta"), (101L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    // nulls planted with ids that would win any null-first sort tie
+    val raw = Seq((0L, null), (1L, null), (2L, "alpha beta alpha"),
+        (3L, "delta"), (4L, "alpha"), (5L, null))
+      .toDF("doc_id", "text")
+    val ratios = Sampling.dsirLogRatios(raw, target, "text", 64)
+    val scored = Sampling.dsirScore(raw, "text", ratios)
+    assert(scored.filter(col("logw").isNull).count() == 0,
+      "null text must score, not null out")
+    assert(scored.filter(col("doc_id") === 0L).select("logw")
+      .as[Double].head() == 0.0, "null text folds to the empty-stream 0.0")
+    // a null-text row must not hijack the top-k via null-first ordering:
+    // k=2 over a fixture where the two real alpha docs carry all the weight
+    val sel = Sampling.dsirResample(raw, target, "doc_id", "text",
+        k = 2, buckets = 64, seed = 7L)
+      .select("doc_id", "logw").collect()
+    assert(sel.forall(r => !r.isNullAt(1)), "selected rows carry real logw")
+  }
 }

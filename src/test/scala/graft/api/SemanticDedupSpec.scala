@@ -141,4 +141,32 @@ class SemanticDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == exact, "nprobe=nlist must degenerate to embedOverlap's pair set")
   }
+
+  test("embedOverlapAnn broadcastBench=false: same pairs, shuffled join, no size guard") {
+    val spark = emb.sparkSession
+    val bench = Sampling.sampleByHash(emb, "vec_id", 0.05, 99L)
+    val hinted = Contamination.embedOverlapAnn(emb, bench, tau = 0.2,
+        nlist = 4, nprobe = 3, seed = 101L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pin the guard BELOW the bench size: the broadcast path must refuse,
+    // the fallback must proceed and produce the identical pair set
+    val prev = scala.util.Try(spark.conf.get("graft.ann.maxQueryRows")).toOption
+    spark.conf.set("graft.ann.maxQueryRows", "1")
+    try {
+      intercept[IllegalArgumentException] {
+        Contamination.embedOverlapAnn(emb, bench, tau = 0.2,
+          nlist = 4, nprobe = 3, seed = 101L)
+      }
+      val big = Contamination.embedOverlapAnn(emb, bench, tau = 0.2,
+        nlist = 4, nprobe = 3, seed = 101L, broadcastBench = false)
+      val plan = big.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"fallback must not broadcast the bench side:\n$plan")
+      assert(big.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == hinted,
+        "the big-bench fallback must not change the pair set")
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.ann.maxQueryRows", v)
+      case None => spark.conf.unset("graft.ann.maxQueryRows")
+    }
+  }
 }
