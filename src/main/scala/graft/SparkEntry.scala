@@ -1172,6 +1172,68 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // The 2026-era composed recipe — the published-pipeline stages the
+    // round-13 operators exist FOR, chained end to end: CCNet boilerplate-
+    // line removal → span-level benchmark decontamination (layout-
+    // preserving exact cut) → span-level dedup cut (exact) → NB quality
+    // filter (seed = the English slice, the GPT-3 "curated seed vs crawl"
+    // shape) → CCNet perplexity tiling over the bigram LM, tail dropped →
+    // DSIR selection toward the curated sources → split assignment, train
+    // kept. Decon runs BEFORE dedup so benchmark text can't vote in the
+    // duplication statistics; every scoring stage refits its model on ITS
+    // OWN input (order and threading are the contract this gate pins).
+    // Fixture: the boilerplate_lines_drop newline-ification (header %3,
+    // footer %4, ' the '→'\n') plus the contamination_span_cut_bpe plant
+    // (bench = %50==0 docs + passage, passage appended to corpus %7==3).
+    // Oracle: FULL-CHAIN Python re-derivation — every stage recomputed
+    // from scratch on the previous stage's output, so stage-order, id-
+    // threading and tokenizer-identity bugs surface as row mismatches.
+    "curate_corpus_v2" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val passage =
+        lit(" zebra quagga okapi tapir gnu eland kudu oryx saiga argali")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), concat(col("text"), passage).as("text"))
+      val corpus0 = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat(
+            when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter\n"))
+              .otherwise(lit("")),
+            regexp_replace(col("text"), " the ", "\n"),
+            when(col("doc_id") % 4 === 0, lit("\nall rights reserved"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 3, passage).otherwise(lit("")))
+            .as("text"))
+      val c1 = graft.api.Dedup.dropBoilerplateLines(
+        corpus0, "doc_id", "text", minDocs = 80L)
+      val deconSpans = graft.api.Contamination.contaminatedSpans(
+        c1, bench, "doc_id", "text", width = 8)
+      val c2 = graft.api.Dedup.cutSpansExact(c1, deconSpans, "doc_id", "text")
+      // checkpoint the text-rewrite frontier: five scoring stages below
+      // (NB train+score, LM fit+score, DSIR fit+score) each run actions
+      // over this lineage — without it the span mining re-executes per
+      // action (the caching a pipeline user would do between stages)
+      val c3 = graft.api.Dedup.cutDupSpansExact(c2, "doc_id", "text", width = 8)
+        .localCheckpoint()
+      val c4 = graft.api.QualityClassifier.trainScore(
+          c3, "text", col("lang") === "en", buckets = 1024)
+        .filter(col("nb_score") > 0.0)
+        .localCheckpoint()
+      val lm = graft.api.TextAnalysis.docLogProbBigram(c4)
+      val c5 = graft.api.TextAnalysis.perplexityBuckets(
+          c4.join(lm.select("doc_id", "avg_nll2"), "doc_id"), "lang", "avg_nll2")
+        .filter(col("ppl_class") =!= "tail")
+        .localCheckpoint()
+      val sel = graft.api.Sampling.dsirResample(c5,
+        c5.filter(col("source").isin("src0", "src1")), "doc_id", "text",
+        k = 80, buckets = 1024, seed = 7L)
+      graft.api.Sampling.assignSplits(sel, "doc_id", 5L,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_v2"),
+          col("ppl_class"), col("logw"))
+        .orderBy("doc_id")
+    }),
     // Prototype/coreset selection: the 5 most central vectors per semantic
     // cell (squared L2 to the cell centroid, ties by id) — the data-pruning
     // companion of semantic_dedup, same trained cells. Oracle: full Python
@@ -2514,6 +2576,7 @@ object SparkEntry {
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),
+    "curate_corpus_v2" -> valuesOracle("curate_corpus_v2"),
     "curate_embeddings" -> valuesOracle("curate_embeddings"),
     "semantic_prototypes" -> valuesOracle("semantic_prototypes"),
     "sketch_distinct" -> valuesOracle("sketch_distinct"),

@@ -1949,6 +1949,174 @@ def main(sf_dir, spark_dir):
         ("doc_id", "lang", "ppl_bucket", "ppl_class"),
         ("BIGINT", "VARCHAR", "INT", "VARCHAR"), ppl_rows, "doc_id")
 
+    # ---- curate_corpus_v2: the 2026-era composed recipe, re-derived end
+    # to end (round 14). Chain: boilerplate lines (minDocs=80, by string)
+    # -> span decon vs the planted bench (exact cut) -> cross-doc dup span
+    # cut (exact) -> NB filter (seed = en slice, score > 0) -> per-lang
+    # ntile(3) over a bigram LM REFIT on the survivors, tail dropped ->
+    # DSIR (target = src0/src1 slice of the survivors, k=80, seed 7) ->
+    # seed-5 splits, train only. Every stage refits on its own input;
+    # all folds/sorts mirror the per-operator oracles bit for bit.
+    V2_W = 8
+    v2_bench = {did: (t or "") + CONTAM_PASSAGE
+                for did, t in docs if did % 50 == 0}
+    v2 = {}
+    for did, t in docs:
+        if did % 50 == 0:
+            continue
+        v2[did] = (("subscribe to our newsletter\n" if did % 3 == 0 else "")
+                   + (t or "").replace(" the ", "\n")
+                   + ("\nall rights reserved" if did % 4 == 0 else "")
+                   + (CONTAM_PASSAGE if did % 7 == 3 else ""))
+    v2_linedocs = {}
+    for did, tt in v2.items():
+        for l in set(tt.split("\n")):
+            v2_linedocs[l] = v2_linedocs.get(l, 0) + 1
+    v2_boiler = {l for l, c in v2_linedocs.items() if c >= 80}
+    assert v2_boiler, "curate_v2 vacuous: no boilerplate line hit minDocs"
+    v2_c1 = {did: "\n".join(l for l in tt.split("\n") if l not in v2_boiler)
+             for did, tt in v2.items()}
+
+    def v2_toks(t):
+        return [x for x in re.split(r"[^a-z]+", (t or "").lower()) if x]
+
+    def v2_mine(ts, member):
+        spans = []
+        for i in range(len(ts) - V2_W + 1):
+            if tuple(ts[i:i + V2_W]) in member:
+                fin = i + V2_W - 1
+                if spans and i <= spans[-1][1] + 1:
+                    if fin > spans[-1][1]:
+                        spans[-1][1] = fin
+                else:
+                    spans.append([i, fin])
+        return [(a, b) for a, b in spans]
+
+    v2_bgrams = set()
+    for t in v2_bench.values():
+        bt = v2_toks(t)
+        for i in range(len(bt) - V2_W + 1):
+            v2_bgrams.add(tuple(bt[i:i + V2_W]))
+    v2_c2 = {did: word_cut_text(t, v2_mine(v2_toks(t), v2_bgrams))
+             for did, t in v2_c1.items()}
+    assert any(v2_c2[d] != v2_c1[d] for d in v2_c2), \
+        "curate_v2 vacuous: decon cut nothing"
+    v2_gd = {}
+    v2_t3 = {did: v2_toks(t) for did, t in v2_c2.items()}
+    for did, ts in v2_t3.items():
+        for i in range(len(ts) - V2_W + 1):
+            g = tuple(ts[i:i + V2_W])
+            e = v2_gd.get(g)
+            if e is None:
+                v2_gd[g] = [did, did]
+            else:
+                if did < e[0]:
+                    e[0] = did
+                if did > e[1]:
+                    e[1] = did
+    v2_dup = {g for g, (mn, mx) in v2_gd.items() if mn != mx}
+    v2_c3 = {did: word_cut_text(t, v2_mine(v2_t3[did], v2_dup))
+             for did, t in v2_c2.items()}
+    assert any(v2_c3[d] != v2_c2[d] for d in v2_c3), \
+        "curate_v2 vacuous: dup-span cut nothing"
+    # NB refit on c3 (seed = English slice), keep score > 0
+    v2_pos = [t for did, t in v2_c3.items() if lang_of[did] == "en"]
+    v2_neg = [t for did, t in v2_c3.items() if lang_of[did] != "en"]
+    v2_p = dsir_counts(v2_pos)
+    v2_n = dsir_counts(v2_neg)
+    v2_pTot = float(sum(v2_p)) + DSIR_B
+    v2_nTot = float(sum(v2_n)) + DSIR_B
+    v2_lo = [ln_pinned(float(v2_p[b] + 1) * v2_nTot)
+             - ln_pinned(float(v2_n[b] + 1) * v2_pTot) for b in range(DSIR_B)]
+    v2_prior = ln_pinned(float(len(v2_pos))) - ln_pinned(float(len(v2_neg)))
+
+    def v2_nb(text):
+        acc = v2_prior
+        for f in dsir_feats(text):
+            acc += v2_lo[_zlib.crc32(f.encode("utf-8")) % DSIR_B]
+        return acc
+
+    v2_c4 = {did: t for did, t in v2_c3.items() if v2_nb(t) > 0.0}
+    assert 0 < len(v2_c4) < len(v2_c3), \
+        f"curate_v2 NB filter degenerate: kept {len(v2_c4)}/{len(v2_c3)}"
+    # bigram LM refit on c4; per-lang ntile(3); drop tail
+    v2_vocab = set()
+    for t in v2_c4.values():
+        v2_vocab.update(lp_tokens(t))
+    v2_V = float(len(v2_vocab))
+    v2_big = Counter()
+    for t in v2_c4.values():
+        ts = lp_tokens(t)
+        for a, b in zip(ts, ts[1:]):
+            v2_big[(a, b)] += 1
+    v2_prev = Counter()
+    for (a, _b), c in v2_big.items():
+        v2_prev[a] += c
+    v2_score = {}
+    for did, t in v2_c4.items():
+        ts = lp_tokens(t)
+        if len(ts) < 2:
+            v2_score[did] = 0.0
+            continue
+        terms = sorted((v2_prev[a], v2_big[(a, b)], c)
+                       for (a, b), c in Counter(zip(ts, ts[1:])).items())
+        acc = 0.0
+        for cp, cb, c in terms:
+            acc += float(c) * (ln_pinned(float(cp) + v2_V)
+                               - ln_pinned(float(cb) + 1.0))
+        v2_score[did] = acc / float(len(ts) - 1)
+    v2_bylang = {}
+    for did in v2_c4:
+        v2_bylang.setdefault(lang_of[did], []).append(did)
+    v2_c5, v2_class = {}, {}
+    for lang, ids in v2_bylang.items():
+        ids.sort(key=lambda d: (v2_score[d], d))
+        base, extra = divmod(len(ids), 3)
+        pos_i = 0
+        for b in range(1, 4):
+            size = base + (1 if b <= extra else 0)
+            for did in ids[pos_i:pos_i + size]:
+                if b < 3:
+                    v2_c5[did] = v2_c4[did]
+                    v2_class[did] = "head" if b == 1 else "middle"
+            pos_i += size
+    assert len(v2_c5) < len(v2_c4), "curate_v2 vacuous: ppl tail empty"
+    # DSIR refit on c5 toward the curated sources, k=80 seed 7
+    V2_K = 80
+    assert len(v2_c5) >= V2_K, \
+        f"curate_v2: k={V2_K} exceeds survivors {len(v2_c5)}"
+    v2_t = dsir_counts(t for did, t in v2_c5.items()
+                       if src_of[did] in ("src0", "src1"))
+    v2_r = dsir_counts(v2_c5.values())
+    v2_tT = float(sum(v2_t)) + DSIR_B
+    v2_rT = float(sum(v2_r)) + DSIR_B
+    v2_ratio = [ln_pinned(float(v2_t[b] + 1) * v2_rT)
+                - ln_pinned(float(v2_r[b] + 1) * v2_tT)
+                for b in range(DSIR_B)]
+
+    def v2_logw(text):
+        acc = 0.0
+        for f in dsir_feats(text):
+            acc += v2_ratio[_zlib.crc32(f.encode("utf-8")) % DSIR_B]
+        return acc
+
+    v2_scored = [(dsir_key(did, v2_logw(t)), did, v2_logw(t))
+                 for did, t in v2_c5.items()]
+    v2_sel = [did for _k, did, _w in sorted(v2_scored)[:V2_K]]
+    v2_w = {did: w for _k, did, w in v2_scored}
+    v2_src_sel = sum(1 for d in v2_sel
+                     if src_of[d] in ("src0", "src1")) / float(V2_K)
+    v2_src_c5 = sum(1 for d in v2_c5
+                    if src_of[d] in ("src0", "src1")) / float(len(v2_c5))
+    assert v2_src_sel > v2_src_c5, \
+        f"curate_v2 DSIR vacuous: tilt {v2_src_sel} <= base {v2_src_c5}"
+    v2_rows = sorted((did, len(v2_c5[did]), v2_class[did], v2_w[did])
+                     for did in v2_sel if split_of(did) == "train")
+    assert len(v2_rows) >= 10, f"curate_v2: only {len(v2_rows)} train rows"
+    queries["curate_corpus_v2"] = (
+        ("doc_id", "n_chars_v2", "ppl_class", "logw"),
+        ("BIGINT", "BIGINT", "VARCHAR", "DOUBLE"), v2_rows, "doc_id")
+
     # ---- signature_dedup_pairs: banding collisions + 24-component
     # signature-fraction similarity (mirrors BandedLsh.nearDupPairsBySignature:
     # same 8x3 blocking as minhash_dedup_pairs, est = equal components / 24).
