@@ -198,6 +198,52 @@ object BandedLsh {
       .filter(col("edit_sim") >= minSim)
       .select("id_a", "id_b", "lev", "edit_sim")
 
+  /** [[editVerifiedPairs]] behind the [[candidateCensus]] pre-flight — the
+    * same mega-bucket governor [[nearDupPairsAdaptive]] wires in front of
+    * the Jaccard verifier, for the path whose candidate volume is MOST
+    * prone to explode: record-linkage banding is deliberately loose
+    * (recall-oriented few-band configs) over near-uniform key spaces, so
+    * one hot key (a default value, an empty-ish name, a templated SKU)
+    * puts C(n,2) collisions on ONE sort-merge-join task. When the largest
+    * bucket exceeds `maxRelationalBucket`, candidate ENUMERATION routes
+    * through the fused triangle-blocking operator
+    * ([[bandedSelfJoinPairs]] at `threshold = -1`, which emits every
+    * bucket collision — Jaccard ≥ 0 > −1 — with
+    * numBlocks·(numBlocks+1)/2-way parallelism inside even a single
+    * bucket), and the Levenshtein verify then runs on the same
+    * distinct-ids → text-attach tail as the relational path. Both routes
+    * share [[bandedRows]]' sub-width drop, so the PAIR SET IS IDENTICAL
+    * either way (spec-pinned on a planted degenerate key cluster).
+    * The census costs one extra banding pass (~2 s at 500k rows) — the
+    * pre-flight price of never hitting the quadratic single-task cliff. */
+  def editVerifiedPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
+                                ngramWidth: Int, bandCount: Int, bandSize: Int,
+                                seed: Long, minSim: Double,
+                                maxRelationalBucket: Long = 8192L,
+                                numBlocks: Int = 8): DataFrame = {
+    val (_, maxBucket, _) =
+      candidateCensus(df, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
+    if (maxBucket <= maxRelationalBucket)
+      editVerifiedPairs(df, idCol, textCol, ngramWidth, bandCount, bandSize,
+        seed, minSim)
+    else {
+      val idType = df.schema(idCol).dataType
+      val cand = bandedSelfJoinPairs(df, idCol, textCol, ngramWidth,
+          bandCount, bandSize, seeds = Seq(seed), threshold = -1.0,
+          numBlocks = numBlocks)
+        .select(col("id_a").cast(idType).as("id_a"),
+          col("id_b").cast(idType).as("id_b"))
+      cand
+        .join(df.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
+        .join(df.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+        .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .withColumn("edit_sim", lit(1.0) -
+          col("lev") / greatest(length(col("text_a")), length(col("text_b"))))
+        .filter(col("edit_sim") >= minSim)
+        .select("id_a", "id_b", "lev", "edit_sim")
+    }
+  }
+
   /** Candidate-pair census over the banded blocking buckets: Σ C(n,2) and
     * the largest bucket, computed straight from bucket SIZES (one
     * map-side-combined aggregation over (band, band_hash) counts) without

@@ -1294,6 +1294,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(loose.contains((1L, 2L)) && loose.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
   }
+  test("editVerifiedPairsAdaptive: a degenerate key cluster routes to the fused enumerator, same pairs") {
+    // 60 near-identical keys (single trailing-digit edits of one template)
+    // collide in essentially every band -> the largest bucket is ~60; with
+    // maxRelationalBucket below that the census must route; plus a handful
+    // of unrelated keys that must keep NOT pairing either way
+    val hot = (0 until 60).map(i => (i.toLong, f"Customer#0000000$i%02d"))
+    val cold = Seq((100L, "Supplier#999999999"), (101L, "Vendor#123456789"),
+      (102L, "Account#555000111"))
+    val rows = (hot ++ cold).toDF("id", "name")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val base = pairs(BandedLsh.editVerifiedPairs(rows, "id", "name",
+      ngramWidth = 2, bandCount = 4, bandSize = 2, seed = 7L, minSim = 0.9))
+    assert(base.nonEmpty, "fixture is vacuous: no edit-verified pairs")
+    // generous bucket bound -> relational route
+    val rel = pairs(BandedLsh.editVerifiedPairsAdaptive(rows, "id", "name",
+      ngramWidth = 2, bandCount = 4, bandSize = 2, seed = 7L, minSim = 0.9))
+    assert(rel == base, s"relational route: adaptive=${rel.size} base=${base.size}")
+    // bound below the hot cluster -> fused route, identical pair set
+    // (lev and edit_sim carried through bit-equal). Prove the route is
+    // actually taken: the census must see the planted mega-bucket.
+    val (_, maxBucket, _) = BandedLsh.candidateCensus(rows, "id", "name",
+      ngramWidth = 2, bandCount = 4, bandSize = 2, seed = 7L)
+    assert(maxBucket > 8L, s"fixture failed to plant a mega-bucket: $maxBucket")
+    val fused = pairs(BandedLsh.editVerifiedPairsAdaptive(rows, "id", "name",
+      ngramWidth = 2, bandCount = 4, bandSize = 2, seed = 7L, minSim = 0.9,
+      maxRelationalBucket = 8L))
+    assert(fused == base, s"fused route: adaptive=${fused.size} base=${base.size}")
+  }
   test("perplexityBuckets: ANSI ntile per lang, id tie-break, head/middle/tail") {
     val scored = Seq(
       // en: 7 docs, scores force order 10..70 -> tiles of 3/2/2
