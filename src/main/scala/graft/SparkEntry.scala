@@ -569,6 +569,24 @@ object SparkEntry {
       graft.api.Dedup.dupSpansFromIndex(s, "graft_gram_idx")
         .orderBy("doc_id", "span_start")
     }),
+    // The retention-delete lifecycle (round 14): build + append as above,
+    // then compact a takedown set (doc_id%5==0) OUT of the index —
+    // triples rewritten minus the deleted docs, flags RE-DERIVED from the
+    // surviving triples (never the corpus text). Oracle: the same
+    // dup-span CTE chain recomputed from scratch over ONLY the surviving
+    // documents — so a compaction that merely filtered flags (keeping a
+    // span whose only duplicate partner was deleted) mismatches.
+    "gram_index_compact" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      graft.api.Dedup.saveGramIndex(docs.filter(col("doc_id") % 3 < 2),
+        "graft_gram_cidx", 8, "doc_id", "text", width = 8)
+      graft.api.Dedup.appendToGramIndex(docs.filter(col("doc_id") % 3 === 2),
+        "graft_gram_cidx", "doc_id", "text", width = 8)
+      graft.api.Dedup.compactGramIndex(s, "graft_gram_cidx",
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id"), width = 8)
+      graft.api.Dedup.dupSpansFromIndex(s, "graft_gram_cidx")
+        .orderBy("doc_id", "span_start")
+    }),
     // The destructive edit: flagged spans cut, text rebuilt from the kept
     // tokens (canonical single-space join). Every doc survives — what Lee
     // et al. actually do to the training set, vs dropping whole docs.
@@ -2424,10 +2442,15 @@ object SparkEntry {
   /** dup_span_detect's full cross-engine re-derivation — also the oracle
     * of `rolling_dup_spans` (the incremental index must land on exactly
     * the batch answer over the union, so the two gates share one SQL). */
-  private val oracleSqlDupSpanDetect: String =
-    """WITH lists AS (
+  private val oracleSqlDupSpanDetect: String = oracleSqlDupSpanDetectOver("documents")
+
+  /** The dup-span CTE chain over an arbitrary document source — shared by
+    * dup_span_detect, rolling_dup_spans and (restricted to the surviving
+    * docs) gram_index_compact, so the three can never drift. */
+  private def oracleSqlDupSpanDetectOver(src: String): String =
+    s"""WITH lists AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
-      |  FROM documents),
+      |  FROM $src),
       |grams AS (
       |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i : i + 7], ' ') AS gram
       |  FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l FROM lists)),
@@ -2903,6 +2926,10 @@ object SparkEntry {
     // oracle IS dup_span_detect's SQL, re-referenced so the two can never
     // drift apart
     "rolling_dup_spans" -> oracleSqlDupSpanDetect,
+    // post-compaction state == the batch chain recomputed over ONLY the
+    // surviving documents (deletion changes the duplication relation)
+    "gram_index_compact" -> oracleSqlDupSpanDetectOver(
+      "(SELECT * FROM documents WHERE doc_id % 5 <> 0)"),
     // same CTE chain as dup_span_detect, rolled up per source; the
     // fraction is a double ratio of two exact integer sums (bit-stable)
     "dup_span_stats" ->

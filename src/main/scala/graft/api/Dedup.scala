@@ -285,8 +285,10 @@ object Dedup {
     *
     * `width`, `tokenize` and `crossDocOnly` are part of the index identity:
     * every append MUST use the same values or grams never match (the
-    * [[Contamination.contaminatedSpans]] same-tokenizer contract). Rebuild
-    * after compaction/deletes — appends only add. */
+    * [[Contamination.contaminatedSpans]] same-tokenizer contract). Appends
+    * only add; retention deletes go through [[compactGramIndex]], which
+    * rewrites triples minus a deletion set and re-derives flags without a
+    * corpus re-mine. */
   def saveGramIndex(corpus: DataFrame, table: String, numBuckets: Int,
                     idCol: String, textCol: String, width: Int,
                     spreadInput: Boolean = true,
@@ -396,6 +398,70 @@ object Dedup {
   def dupSpansFromIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String): DataFrame =
     mergeIslands(spark.table(s"${table}_flags"))
+
+  /** Retention-delete compaction for a [[saveGramIndex]] index: rewrite
+    * the bucketed triples MINUS `deletedIds` (DMCA takedowns, opt-outs,
+    * retention windows) and RE-DERIVE the flag state from the survivors —
+    * without ever re-reading, re-tokenizing, or shuffling the corpus
+    * text, which is what "no full rebuild" means here. Re-derivation, not
+    * filtering, because deletion changes the duplication RELATION, not
+    * just the row set: if the deleted doc was the only other holder of a
+    * gram, the surviving partner's windows are no longer duplicated and
+    * their flags must disappear. The triples alone carry everything the
+    * flag rule needs (`(gh, doc_id, pos)` → [[flagGrams]], the exact
+    * derivation the build runs), and the scratch is written gh-bucketed
+    * so that pass pays no exchange.
+    *
+    * `width` and `crossDocOnly` are the index-identity contract (same
+    * values as the build, like every append); the bucket count is read
+    * from the catalog so compaction cannot change the layout. `deletedIds`
+    * broadcasts — takedown lists are bounded in practice; a corpus-scale
+    * deletion is a rebuild, not a compaction.
+    *
+    * Crash safety, the [[graft.api.Ann]] `commitRepair` discipline: a
+    * leftover `{table}_compact_tmp` (catalog entry OR surviving warehouse
+    * directory) REFUSES the run. Commit order — stage survivors →
+    * rewrite flags from the scratch → drop old triples → rename scratch
+    * into place. Every window is recoverable: before the flag rewrite the
+    * index is untouched (drop the scratch, re-run); after it the flags
+    * already describe the post-compact state and only appends can
+    * transiently over-detect against deleted grams until the swap lands;
+    * between drop and rename the scratch holds the only copy — rename it
+    * to `table` by hand and the index is exactly the committed state. */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String, deletedIds: DataFrame, width: Int,
+                       crossDocOnly: Boolean = true): Unit = {
+    val flagsTable = s"${table}_flags"
+    val scratch = s"${table}_compact_tmp"
+    val scratchDir = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(scratch.toLowerCase)))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
+    }
+    require(!spark.catalog.tableExists(scratch) && !scratchDir,
+      s"$scratch exists: a prior compaction of '$table' was interrupted. " +
+        "If the main table still exists, DROP the scratch and re-run; if " +
+        "only the scratch survives (crash between drop and rename), " +
+        s"ALTER TABLE $scratch RENAME TO $table completes the commit.")
+    val numBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table is not a bucketed gram index"))
+    val del = deletedIds
+      .select(col(deletedIds.columns.head).cast("long").as("doc_id"))
+      .distinct()
+    BucketedWrite.saveBucketed(
+      spark.table(table).join(broadcast(del), Seq("doc_id"), "left_anti")
+        .select("gh", "doc_id", "pos"),
+      scratch, numBuckets, Seq("gh"))
+    BucketedWrite.dropTable(spark, flagsTable)
+    flagGrams(spark.table(scratch), width, crossDocOnly)
+      .write.format("parquet").mode("overwrite").saveAsTable(flagsTable)
+    BucketedWrite.dropTable(spark, table)
+    spark.sql(s"ALTER TABLE `$scratch` RENAME TO `$table`")
+  }
 
   /** Corpus-level duplication report over [[dupSpans]]: per `groupCol`
     * (source, crawl, shard...), how many documents carry any cross-doc

@@ -607,6 +607,48 @@ class DupSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("gram index compact: deletes rewrite triples AND re-derive flags (un-partnered spans vanish)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"${toks(5, "u")} $shared"),  // partner A of `shared`
+      (2L, s"$shared ${toks(4, "v")}"),  // partner B — the one we delete
+      (3L, s"$other ${toks(6, "w")}"),   // partner A of `other`
+      (4L, s"${toks(3, "x")} $other"))   // partner B — survives
+      .toDF("doc_id", "text")
+    val table = "graft_gramidx_spec_compact"
+    Dedup.saveGramIndex(df, table, 2, "doc_id", "text", width = 8)
+    assert(Dedup.dupSpansFromIndex(spark, table)
+      .select("doc_id").distinct().count() == 4)
+    Dedup.compactGramIndex(spark, table, Seq(2L).toDF("doc_id"), width = 8)
+    // doc 2 gone; doc 1's span must VANISH (its only partner was deleted)
+    // — a flag-filtering compaction would wrongly keep it; 3/4 unaffected
+    val got = Dedup.dupSpansFromIndex(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 0L, 7L), (4L, 3L, 10L)), s"got $got")
+    // the index equals the batch answer over the survivors, and stays
+    // appendable: re-admitting the deleted content re-flags doc 1
+    val survivors = df.filter(col("doc_id") =!= 2L)
+    assert(got == Dedup.dupSpans(survivors, "doc_id", "text", width = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    Dedup.appendToGramIndex(Seq((10L, shared)).toDF("doc_id", "text"),
+      table, "doc_id", "text", width = 8)
+    val re = Dedup.dupSpansFromIndex(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == Set((1L, 5L, 12L), (3L, 0L, 7L), (4L, 3L, 10L), (10L, 0L, 7L)),
+      s"post-compact append diverged: $re")
+    // a leftover scratch refuses the next compaction
+    spark.range(1).selectExpr("0L as gh", "id as doc_id", "0L as pos")
+      .write.format("parquet").saveAsTable(s"${table}_compact_tmp")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactGramIndex(spark, table, Seq(3L).toDF("doc_id"), width = 8)
+    }
+    assert(e.getMessage.contains("interrupted"))
+    spark.sql(s"DROP TABLE ${table}_compact_tmp")
+  }
+
   test("gram index append: a batch gram resurfacing an OLD doc's window flags the old doc") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
