@@ -477,6 +477,36 @@ object ScaleBench {
         }.reduce(_.unionAll(_))
         api.BandedLsh.editVerifiedPairs(scaled, "c_custkey", "c_name",
           2, 4, 6, 5L, 0.9).count()
+      },
+      // DSIR importance resampling: two bucket-bounded fit aggregates
+      // (target = the en slice, ratio table = 1024 doubles on the driver),
+      // one scoring pass (sequential fold inside the scan), and a global
+      // top-k via TakeOrderedAndProject — everything linear, no corpus
+      // shuffle. collect() of the k selected rows is the forcing action
+      // (runs the whole fit+score+draw chain exactly once).
+      "dsir" -> { (k: Int) =>
+        val d = docs(k)
+        api.Sampling.dsirResample(d, d.filter(col("lang") === "en"),
+            "doc_id", "text", k = 100, buckets = 1024, seed = 7L)
+          .select("logw").collect().length.toLong
+      },
+      // Gram-index retention compaction: build once per scale (untimed
+      // work folded in — the scenario times the LIFECYCLE a retention
+      // delete pays), then compact 10% of ids out. Compaction = one
+      // bucketed anti-join rewrite of the triples + the flag window over
+      // the bucketed scratch (no exchange) — linear in index size,
+      // corpus text never read.
+      "span_index_compact" -> { (k: Int) =>
+        val table = s"scale_gramc_x$k"
+        api.Dedup.saveGramIndex(docs(k), table, 32, "doc_id", "text", width = 8)
+        val t0 = System.nanoTime()
+        api.Dedup.compactGramIndex(spark, table,
+          docs(k).select("doc_id").filter(col("doc_id") % 10 === 0), width = 8)
+        val n = api.Dedup.dupSpansFromIndex(spark, table).count()
+        println(f"  compact+detect x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($n spans)")
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_flags")
+        n
       }
     ).filter { case (n, _) => opsFilter.forall(_.contains(n)) }
 
