@@ -738,6 +738,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("ppl_bucket"), col("ppl_class"))
         .orderBy("doc_id")
     }),
+    "perplexity_buckets_sketch" -> ((s, dir) => {
+      // the map-only relaxation of perplexity_buckets: per-lang histogram
+      // quantile cut bins (two bounded aggregates, integer cut selection)
+      // instead of the per-language window sort — the web-scale path the
+      // exact operator's scaladoc names. Oracle: full Python re-derivation
+      // of score + binning + cut loop, pinned VALUES. The (id, lang,
+      // score) projection is localCheckpointed so the three sketch passes
+      // read stored blocks, not three LM recomputations.
+      val docs = load(s, dir, "documents")
+      val scored = graft.api.TextAnalysis.docLogProbBigram(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "avg_nll2").localCheckpoint()
+      graft.api.TextAnalysis.perplexityBucketsSketch(
+          scored, "lang", "avg_nll2", nBuckets = 3, bins = 64)
+        .select(col("doc_id"), col("lang"), col("ppl_bin"), col("ppl_class"))
+        .orderBy("doc_id")
+    }),
     "token_entropy" -> ((s, dir) => {
       // pinned-ln Shannon entropy of each doc's token distribution — the
       // gibberish/boilerplate quality signal; sorted-count fold makes the
@@ -2610,6 +2627,7 @@ object SparkEntry {
     "doc_logprob" -> valuesOracle("doc_logprob"),
     "doc_logprob_bigram" -> valuesOracle("doc_logprob_bigram"),
     "perplexity_buckets" -> valuesOracle("perplexity_buckets"),
+    "perplexity_buckets_sketch" -> valuesOracle("perplexity_buckets_sketch"),
     "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
     "rolling_dedup" -> valuesOracle("rolling_dedup"),
     "index_health" -> valuesOracle("index_health"),

@@ -511,9 +511,9 @@ object TextAnalysis {
     * partitions at web scale (one sort per language, heavily skewed
     * toward the head languages). That is still one shuffle and the sort
     * is what exact tiling costs; the production relaxation when exactness
-    * isn't required is per-lang score thresholds from a quantile sketch
-    * (the [[graft.functions]] HDR/`hist_quantiles` machinery) applied
-    * map-only — same output up to sketch error, no per-lang sort. */
+    * isn't required is [[perplexityBucketsSketch]] — per-lang histogram
+    * quantile cut bins applied map-only, same classes up to threshold-bin
+    * error, no per-lang sort. */
   def perplexityBuckets(scored: DataFrame, langCol: String, scoreCol: String,
                         idCol: String = "doc_id", nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
@@ -524,5 +524,103 @@ object TextAnalysis {
         when(col("ppl_bucket") === 1, "head")
           .when(col("ppl_bucket") === nBuckets, "tail")
           .otherwise("middle"))
+  }
+
+  /** The map-only relaxation [[perplexityBuckets]]'s scaladoc names: CCNet
+    * head/middle/tail classes from a per-language fixed-resolution HISTOGRAM
+    * quantile instead of the exact per-language window sort. Two bounded
+    * aggregates (per-lang min/max, then per-(lang,bin) counts — both
+    * map-side combined, state ≤ |langs|·bins rows) replace the per-language
+    * sort that dominates the exact operator at web scale (measured ×10.3
+    * wall at ×100 corpus, docs/SCALE.md); classification is then one
+    * map-only pass against a driver-computed cut-bin table that rides the
+    * plan as a literal. Nothing corpus-sized crosses an exchange.
+    *
+    * Deterministic and externally re-derivable: the only float operation is
+    * the shared bin formula `floor((s-mn)/(mx-mn)·bins)` clamped to
+    * [0,bins-1] (mn/mx exact per-lang extremes; mx==mn puts everything in
+    * bin 0); cut-bin selection is INTEGER arithmetic — the smallest bin B_t
+    * whose cumulative count c satisfies `c·nBuckets ≥ t·n` — so a Python
+    * mirror reproduces classes bit-for-bit with no float-comparison hazard.
+    *
+    * Approximation contract: classes match the exact tiles except for docs
+    * sharing a threshold BIN with the true tile edge — error mass ≤ the
+    * occupancy of `nBuckets-1` bins per language, shrinking as 1/bins
+    * (spec-pinned ≥90% agreement at bins=64 on the fixture corpus).
+    * Output: input columns + `ppl_bin` (int) + `ppl_class`; there is no
+    * exact tile index by design — rank information is what the sketch
+    * trades away.
+    *
+    * The input is re-read three times (extremes, histogram, classify) —
+    * cheap when `scored` is a materialized (id, lang, score) projection,
+    * which is the pipeline shape; callers feeding an unmaterialized LM
+    * plan should localCheckpoint it first (the [[tfidfEmbed]] rationale).
+    */
+  def perplexityBucketsSketch(scored: DataFrame, langCol: String,
+                              scoreCol: String, nBuckets: Int = 3,
+                              bins: Int = 256): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    require(bins >= nBuckets, s"need bins >= nBuckets, got $bins")
+    val s = col(scoreCol).cast("double")
+    val ext = scored.groupBy(col(langCol))
+      .agg(min(s).as("mn"), max(s).as("mx"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // the shared bin formula — built once, reused by the histogram pass and
+    // the classify pass so both see the identical double arithmetic
+    def binOf(mnC: Column, mxC: Column): Column =
+      when(mxC === mnC, lit(0)).otherwise(
+        least(lit(bins - 1),
+          floor(((s - mnC) / (mxC - mnC)) * bins).cast("int")))
+    val mnLit = ext.foldLeft(lit(Double.NaN)) { case (acc, (l, (mn, _, _))) =>
+      when(col(langCol) === l, lit(mn)).otherwise(acc) }
+    val mxLit = ext.foldLeft(lit(Double.NaN)) { case (acc, (l, (_, mx, _))) =>
+      when(col(langCol) === l, lit(mx)).otherwise(acc) }
+    val hist = scored
+      .select(col(langCol), binOf(mnLit, mxLit).as("__b"))
+      .groupBy(col(langCol), col("__b")).agg(count(lit(1)).as("c"))
+      .collect()
+    val counts: Map[String, Array[Long]] = {
+      val m = scala.collection.mutable.Map[String, Array[Long]]()
+      hist.foreach { r =>
+        val arr = m.getOrElseUpdate(r.getString(0), new Array[Long](bins))
+        arr(r.getInt(1)) = r.getLong(2)
+      }
+      m.toMap
+    }
+    // per-lang cut bins: B_t = smallest bin with cum·nBuckets >= t·n
+    // (integer arithmetic; ANSI-tile-flavored but bin-granular)
+    val cuts: Map[String, Array[Int]] = counts.map { case (lang, arr) =>
+      val n = ext(lang)._3
+      val out = new Array[Int](nBuckets - 1)
+      var cum = 0L
+      var t = 1
+      var b = 0
+      while (b < bins && t < nBuckets) {
+        cum += arr(b)
+        while (t < nBuckets && cum * nBuckets >= t * n) {
+          out(t - 1) = b; t += 1
+        }
+        b += 1
+      }
+      while (t < nBuckets) { out(t - 1) = bins - 1; t += 1 }
+      lang -> out
+    }
+    // classify map-only: bucket = 1 + #cuts strictly below the doc's bin
+    val bucketOf = cuts.foldLeft(lit(1)) { case (acc, (lang, cut)) =>
+      when(col(langCol) === lang,
+        cut.foldLeft(lit(1))((a, cb) =>
+          a + when(col("__b") > cb, 1).otherwise(0))).otherwise(acc)
+    }
+    scored
+      .withColumn("__b", binOf(mnLit, mxLit))
+      .withColumn("__bk", bucketOf)
+      .withColumn("ppl_class",
+        when(col("__bk") === 1, "head")
+          .when(col("__bk") === nBuckets, "tail")
+          .otherwise("middle"))
+      .withColumnRenamed("__b", "ppl_bin")
+      .drop("__bk")
   }
 }

@@ -506,4 +506,18 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_plan_sig_idx_hot")
     }
   }
+
+  test("perplexityBucketsSketch classify pass: no window, no sort, no exchange") {
+    // the sketch's whole point vs the exact operator: the returned plan is
+    // a map-only classification (cut bins ride as literals) — the two
+    // bounded histogram aggregates run at build time, not in this plan
+    import spark.implicits._
+    val scored = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "fr",
+      (i % 37).toDouble)).toDF("doc_id", "lang", "s").localCheckpoint()
+    val out = api.TextAnalysis.perplexityBucketsSketch(scored, "lang", "s")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sketch classify must not window:\n$plan")
+    assert(!plan.contains("Sort"), s"sketch classify must not sort:\n$plan")
+    assert(!plan.contains("Exchange"), s"sketch classify must not shuffle:\n$plan")
+  }
 }

@@ -1340,4 +1340,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(6L) == ((3, "tail")) && got(7L) == ((3, "tail")))
     assert(got(8L) == ((1, "head")) && got(9L) == ((2, "middle")) && got(10L) == ((3, "tail")))
   }
+  test("perplexityBucketsSketch: bin cuts, degenerate lang, exact-tile agreement") {
+    // uniform en scores at high bins resolution: cut bins land exactly on
+    // the tile edges, so classes equal the exact operator's
+    val en = (1L to 30L).map(i => (i, "en", i.toDouble))
+    // de: all-equal scores -> single bin 0 -> everything head (pinned)
+    val de = Seq((101L, "de", 5.0), (102L, "de", 5.0), (103L, "de", 5.0))
+    val scored = (en ++ de).toDF("doc_id", "lang", "s")
+    val got = TextAnalysis.perplexityBucketsSketch(scored, "lang", "s",
+        nBuckets = 3, bins = 256)
+      .select("doc_id", "ppl_bin", "ppl_class")
+      .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = TextAnalysis.perplexityBuckets(scored, "lang", "s")
+      .select("doc_id", "ppl_class").as[(Long, String)].collect().toMap
+    (1L to 30L).foreach { i =>
+      assert(got(i)._2 == exact(i), s"doc $i: sketch=${got(i)._2} exact=${exact(i)}")
+    }
+    Seq(101L, 102L, 103L).foreach { i =>
+      assert(got(i) == ((0, "head")), s"degenerate lang doc $i: ${got(i)}")
+    }
+    // fixture-corpus agreement with the exact tiles at the gate's bins=64:
+    // error mass is bounded by the two threshold bins per language
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lm = TextAnalysis.docLogProbBigram(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "avg_nll2").localCheckpoint()
+    val sk = TextAnalysis.perplexityBucketsSketch(lm, "lang", "avg_nll2",
+        nBuckets = 3, bins = 64)
+      .select("doc_id", "ppl_class").as[(Long, String)].collect().toMap
+    val ex = TextAnalysis.perplexityBuckets(lm, "lang", "avg_nll2")
+      .select("doc_id", "ppl_class").as[(Long, String)].collect().toMap
+    val agree = sk.count { case (id, c) => ex(id) == c }
+    assert(agree.toDouble / sk.size >= 0.9,
+      s"sketch/exact agreement ${agree.toDouble / sk.size} < 0.9 (${sk.size} docs)")
+  }
 }

@@ -1949,6 +1949,51 @@ def main(sf_dir, spark_dir):
         ("doc_id", "lang", "ppl_bucket", "ppl_class"),
         ("BIGINT", "VARCHAR", "INT", "VARCHAR"), ppl_rows, "doc_id")
 
+    # ---- perplexity_buckets_sketch: the map-only histogram-quantile
+    # relaxation (round 14; mirrors TextAnalysis.perplexityBucketsSketch).
+    # Per-lang bin = min(bins-1, floor((s-mn)/(mx-mn)*bins)) (mx==mn -> 0;
+    # the ONLY float op, identical div-then-mul order as the Scala plan);
+    # cut bins by integer arithmetic (smallest B with cum*nB >= t*n);
+    # class = 1 + #cuts strictly below the doc's bin.
+    PPS_BINS, PPS_NB = 64, 3
+    pps_scores = {}
+    for did, lang, _s, _n in drows:
+        pps_scores.setdefault(lang, []).append((did, ppl_score[did]))
+    pps_rows = []
+    for lang, pairs in pps_scores.items():
+        mn = min(v for _d, v in pairs)
+        mx = max(v for _d, v in pairs)
+        n = len(pairs)
+
+        def pps_bin(v):
+            if mx == mn:
+                return 0
+            return min(PPS_BINS - 1, int(math.floor((v - mn) / (mx - mn) * PPS_BINS)))
+        hist = [0] * PPS_BINS
+        for _d, v in pairs:
+            hist[pps_bin(v)] += 1
+        cuts = []
+        cum, t = 0, 1
+        for b in range(PPS_BINS):
+            if t >= PPS_NB:
+                break
+            cum += hist[b]
+            while t < PPS_NB and cum * PPS_NB >= t * n:
+                cuts.append(b)
+                t += 1
+        while t < PPS_NB:
+            cuts.append(PPS_BINS - 1)
+            t += 1
+        for did, v in pairs:
+            bn = pps_bin(v)
+            bk = 1 + sum(1 for c in cuts if bn > c)
+            cls = "head" if bk == 1 else ("tail" if bk == PPS_NB else "middle")
+            pps_rows.append((did, lang, bn, cls))
+    pps_rows.sort()
+    queries["perplexity_buckets_sketch"] = (
+        ("doc_id", "lang", "ppl_bin", "ppl_class"),
+        ("BIGINT", "VARCHAR", "INT", "VARCHAR"), pps_rows, "doc_id")
+
     # ---- curate_corpus_v2: the 2026-era composed recipe, re-derived end
     # to end (round 14). Chain: boilerplate lines (minDocs=80, by string)
     # -> span decon vs the planted bench (exact cut) -> cross-doc dup span
