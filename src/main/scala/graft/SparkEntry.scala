@@ -1573,6 +1573,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("cell_rows"))
         .orderBy("cell")
     }),
+    "ann_index_compact" -> ((s, dir) => {
+      // retention-delete compaction (DMCA/GDPR takedowns): build under the
+      // health family's config so the oracle reuses the fitted-quantizer
+      // mirror, append a shifted batch under the frozen models, then every
+      // id % 9 == 0 deletes across base + appended. Models stay frozen and
+      // cell assignment is untouched, so the oracle needs NO quantizer
+      // re-run for the compaction itself — it drops the ids and counts.
+      // Output: per-cell population of the compacted codes table.
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val idx = graft.api.Ann.fitIvfPq(emb,
+        nlist = 16, m = 8, ksub = 16, seed = 11L, iters = 5)
+      graft.api.Ann.saveIvfPqIndex(idx, "graft_anncmp_idx")
+      val batch = emb.filter(col("vec_id") < 3)
+        .crossJoin(s.range(1, 41).select(col("id").as("__rep")))
+        .select((col("vec_id") + col("__rep") * 100000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(3.0) + col("__rep").cast("double") * lit(0.05)).as("embedding"))
+      graft.api.Ann.appendToIvfPqIndex(batch, "graft_anncmp_idx")
+      val deleted = emb.select("vec_id")
+        .unionByName(batch.select("vec_id"))
+        .filter(col("vec_id") % 9 === 0)
+      graft.api.Ann.compactIvfPqIndex(s, "graft_anncmp_idx", deleted)
+      s.table("graft_anncmp_idx_codes")
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("cell_rows"))
+        .orderBy("cell")
+    }),
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -2636,6 +2664,7 @@ object SparkEntry {
     // re-derivation through the same quantizer mirrors (gen_oracles.py)
     "ann_index_rebalance" -> valuesOracle("ann_index_rebalance"),
     "ann_index_merge" -> valuesOracle("ann_index_merge"),
+    "ann_index_compact" -> valuesOracle("ann_index_compact"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),

@@ -986,6 +986,63 @@ object Ann {
     } finally flagged.unpersist()
   }
 
+  /** Retention-delete compaction for a persisted [[saveIvfPqIndex]] index —
+    * the [[Dedup.compactGramIndex]] story for the embedding side: a
+    * takedown/GDPR deletion set must leave the index as if the deleted
+    * vectors were never ingested, WITHOUT the full refit+re-encode a
+    * rebuild costs. Models stay frozen (deletion cannot change what the
+    * quantizer learned any more than an append can — the
+    * [[appendToIvfPqIndex]] contract, mirrored), so compaction is purely a
+    * codes-table rewrite, and only of the partitions that actually hold
+    * deleted rows:
+    *
+    *   1. ONE column-pruned pass over `(neighbor_id, cell)` with the
+    *      deletion set BROADCAST (takedown sets are small by nature)
+    *      finds the affected cells — bounded output, ≤ nlist rows.
+    *   2. A partition-PRUNED scan of only those cells anti-joins the
+    *      deletion set; survivors stage through the [[commitRepair]]
+    *      scratch (same refuse-leftover guard and crash-window recovery
+    *      as the two repairs), then the affected partitions drop and the
+    *      survivors append. Untouched cells' files are never rewritten —
+    *      bit-identical, the same contract the repairs keep.
+    *
+    * Cost: O(index id-column scan) + O(affected partitions), never a
+    * corpus pass — the raw vectors are not needed at all. A cell whose
+    * every row is deleted stays LIVE with an empty partition: probes still
+    * rank it and scan nothing; on the maintenance cadence
+    * [[ivfPqIndexHealth]] flags it and [[mergeStarvedIvfPqCells]] retires
+    * it — compaction deliberately does not fold in retirement, so its
+    * output is exactly "the index minus the ids" (re-derivable by an
+    * external oracle with no quantizer re-run).
+    *
+    * Returns one row per affected cell `(cell, removed_rows)`, empty if no
+    * indexed row matched the deletion set. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        tablePrefix: String, deletedIds: DataFrame,
+                        idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val codesTable = s"${tablePrefix}_codes"
+    val del = deletedIds.select(col(idCol).cast("long").as("neighbor_id"))
+      .distinct()
+    val affected = spark.table(codesTable)
+      .select(col("neighbor_id"), col("cell").cast("int").as("cell"))
+      .join(broadcast(del), Seq("neighbor_id"), "left_semi")
+      .groupBy(col("cell")).agg(count(lit(1)).as("removed_rows"))
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    if (affected.isEmpty)
+      return Seq.empty[(Int, Long)].toDF("cell", "removed_rows")
+    val idx = loadIvfPqIndex(spark, tablePrefix)
+    val cellSet = affected.map(_._1).toIndexedSeq
+    val surviving = spark.table(codesTable)
+      .filter(col("cell").isin(cellSet.map(Int.box): _*))
+      .select(col("neighbor_id"), col("cell"), col("codes"))
+      .join(broadcast(del), Seq("neighbor_id"), "left_anti")
+    commitRepair(spark, codesTable, tablePrefix, surviving, cellSet,
+      idx.centroids, idx.books, idx.deadCells)
+    affected.toSeq.toDF("cell", "removed_rows")
+  }
+
   /** Symmetric per-vector int8 quantization — the storage-shrink step for
     * an embedding corpus (float64 → int8 is 8×; a 100 TB embedding store
     * becomes 12.5 TB plus one scale per vector). `scale = max|x| / 127`,

@@ -290,4 +290,61 @@ class AnnRebalanceSpec extends AnyFunSuite {
     // both refusals left the index intact
     assert(codesMap(prefix).size == full.count())
   }
+
+  test("compaction removes exactly the deleted ids; untouched cells bit-identical") {
+    val prefix = "graft_cmpspec_idx"
+    val full = buildDrifted(prefix)
+    val before = codesMap(prefix)
+    // delete half the rows of the two lowest populated cells — guarantees
+    // some populated cells stay untouched so the bit-identical check bites
+    val targetCells = before.values.map(_._1).toSet.toSeq.sorted.take(2).toSet
+    val deletedIds = before.collect {
+      case (id, (c, _)) if targetCells(c) && id % 2 == 0 => id }.toSet
+    assert(deletedIds.nonEmpty, "fixture must delete something")
+    import spark.implicits._
+    val deleted = deletedIds.toSeq.toDF("vec_id")
+    val affectedCells = before.collect {
+      case (id, (cell, _)) if deletedIds(id) => cell }.toSet
+    assert(affectedCells.nonEmpty &&
+      affectedCells.size < before.values.map(_._1).toSet.size,
+      "fixture must affect some but not all populated cells")
+    val report = Ann.compactIvfPqIndex(spark, prefix, deleted).collect()
+    assert(report.map(_.getAs[Int]("cell")).toSet == affectedCells,
+      "report must list exactly the affected cells")
+    assert(report.map(_.getAs[Long]("removed_rows")).sum ==
+      deletedIds.count(before.contains), "removed_rows must sum to the deletions")
+    val after = codesMap(prefix)
+    assert(after.keySet == before.keySet -- deletedIds,
+      "compaction must remove exactly the deleted ids")
+    // survivors keep cell AND codes bit-identical — compaction never
+    // re-encodes and never re-routes
+    after.foreach { case (id, v) => assert(v == before(id), s"row $id changed") }
+    // deleting ids absent from the index is a no-op with an empty report
+    val noop = Ann.compactIvfPqIndex(spark, prefix,
+      Seq(987654321L).toDF("vec_id")).collect()
+    assert(noop.isEmpty, "unknown ids must report no affected cells")
+    assert(codesMap(prefix) == after, "no-op compaction must not rewrite")
+    // search over the compacted index can never surface a deleted id
+    val got = Ann.loadIvfPqIndex(spark, prefix)
+      .search(emb.filter(col("vec_id") < 5), k = 10, nprobe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(got.intersect(deletedIds).isEmpty,
+      "a deleted id surfaced from a compacted index")
+  }
+
+  test("compaction refuses a leftover scratch from an interrupted repair") {
+    val prefix = "graft_cmpspec2_idx"
+    val full = buildDrifted(prefix)
+    import spark.implicits._
+    Seq((1L, 0, Array[Byte](1))).toDF("neighbor_id", "cell", "codes")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${prefix}_rebalance_tmp")
+    val e = intercept[IllegalArgumentException] {
+      Ann.compactIvfPqIndex(spark, prefix,
+        full.select("vec_id").filter(col("vec_id") % 9 === 0))
+    }
+    assert(e.getMessage.contains("interrupted"), e.getMessage)
+    spark.sql(s"DROP TABLE `${prefix}_rebalance_tmp`")
+    assert(codesMap(prefix).size == full.count())
+  }
 }

@@ -2413,6 +2413,41 @@ def main(sf_dir, spark_dir):
         ") AS t(cell, cell_rows)\nORDER BY cell")
     custom["ann_index_merge"] = (mrg_rows, ("cell", "cell_rows"), mrg_sql)
 
+    # ---- ann_index_compact: retention-delete compaction (round 14;
+    # mirrors Ann.compactIvfPqIndex). Same build (nlist=16, seed=11),
+    # a small shifted append (vec_id<3, 40 reps) under the frozen
+    # quantizer, then every id % 9 == 0 deletes. Models frozen, cell
+    # assignment untouched — the mirror just drops the deleted ids and
+    # counts per cell; no quantizer re-run is needed, which is the
+    # operator's whole contract.
+    cmp_cents = fit_ivfpq_cents(vecs, nlist=16, seed=11, iters=5,
+                                sample_size=10000)
+    cmp_vecs = dict(vecs)
+    cmp_cell = {vid: nearest_centroid(v, cmp_cents) for vid, v in vecs.items()}
+    for vid in range(3):
+        base = vecs[vid]
+        for rep in range(1, 41):
+            nid = vid + rep * 100000
+            v = [x + 3.0 + 0.05 * rep for x in base]
+            cmp_vecs[nid] = v
+            cmp_cell[nid] = nearest_centroid(v, cmp_cents)
+    cmp_deleted = {vid for vid in cmp_vecs if vid % 9 == 0}
+    assert cmp_deleted, "ann_index_compact gate is vacuous: nothing deletes"
+    cmp_affected = {cmp_cell[vid] for vid in cmp_deleted}
+    assert len(cmp_affected) > 1, \
+        "ann_index_compact gate is vacuous: deletions touch a single cell"
+    assert len(cmp_affected) < len(set(cmp_cell.values())), \
+        "ann_index_compact gate is vacuous: every populated cell is affected"
+    cmp_rows = sorted(_Counter(
+        c for vid, c in cmp_cell.items() if vid % 9 != 0).items())
+    cmp_sql = (
+        "SELECT CAST(cell AS INT) AS cell,"
+        " CAST(cell_rows AS BIGINT) AS cell_rows\n"
+        "FROM (VALUES\n"
+        f"{values_block(cmp_rows)}\n"
+        ") AS t(cell, cell_rows)\nORDER BY cell")
+    custom["ann_index_compact"] = (cmp_rows, ("cell", "cell_rows"), cmp_sql)
+
     # ---- stream_rolling_dedup: per-micro-batch greedy admission (mirrors
     # EventStreams.rollingDedupReplay: docs >= 300 sorted by id, chunked into
     # 4 batches of ceil(n/4); a doc is blocked iff it banding-collides AND
@@ -2700,6 +2735,7 @@ def main(sf_dir, spark_dir):
                     "ann_index_health": "cell",
                     "ann_index_rebalance": "cell",
                     "ann_index_merge": "cell",
+                    "ann_index_compact": "cell",
                     "multimodal_features_real": "media_id",
                     "multimodal_features_wav": "media_id",
                     "multimodal_features_jpeg": "media_id",
