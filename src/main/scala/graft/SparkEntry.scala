@@ -1354,6 +1354,34 @@ object SparkEntry {
       graft.api.BandedLsh.signatureIndexHealth(s, "graft_health_idx", 5L)
         .orderBy("band", "band_hash")
     }),
+    "sig_index_compact" -> ((s, dir) => {
+      // retention-delete compaction on the signature index — the third
+      // leg of the takedown trilogy (gram_index_compact, ann_index_compact).
+      // Same build+append as index_health (docs < 300 at hotBucketCap=5 —
+      // a real sidecar at this SF — then 300..399 appended under the
+      // frozen classification), then every doc_id % 7 == 0 deletes across
+      // both generations. Output: per-store per-bucket population of the
+      // compacted index, so BOTH exact removal and hot/cold routing are
+      // pinned — a hot-store bucket sitting below the cap in this output
+      // is the frozen-classification contract made visible. The oracle
+      // re-derives build classification + append routing + the deletion
+      // with no re-hash of anything (the compaction contract).
+      val docs = load(s, dir, "documents")
+      graft.api.BandedLsh.saveSignatureIndex(docs.filter(col("doc_id") < 300),
+        "graft_sigcmp_idx", 8, "doc_id", "text", 4, 8, 3, 123L, hotBucketCap = 5)
+      graft.api.BandedLsh.appendToSignatureIndex(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "graft_sigcmp_idx", "doc_id", "text", 4, 8, 3, 123L)
+      graft.api.BandedLsh.compactSignatureIndex(s, "graft_sigcmp_idx",
+        docs.filter(col("doc_id") < 400 && col("doc_id") % 7 === 0)
+          .select("doc_id"))
+      s.table("graft_sigcmp_idx").withColumn("store", lit("main"))
+        .unionByName(
+          s.table("graft_sigcmp_idx_hot").withColumn("store", lit("hot")))
+        .groupBy("store", "band", "band_hash")
+        .agg(count(lit(1)).as("bucket_rows"))
+        .orderBy("store", "band", "band_hash")
+    }),
     "signature_dedup_pairs" -> ((s, dir) => {
       // near-dup verification WITHOUT texts: candidates from the same 8x3
       // banding as minhash_dedup_pairs, but sim estimated as the equal
@@ -2659,6 +2687,7 @@ object SparkEntry {
     "signature_dedup_pairs" -> valuesOracle("signature_dedup_pairs"),
     "rolling_dedup" -> valuesOracle("rolling_dedup"),
     "index_health" -> valuesOracle("index_health"),
+    "sig_index_compact" -> valuesOracle("sig_index_compact"),
     "ann_index_health" -> valuesOracle("ann_index_health"),
     // drift repair: per-cell population of the rebalanced index, Python
     // re-derivation through the same quantizer mirrors (gen_oracles.py)

@@ -679,6 +679,105 @@ object BandedLsh {
       .agg(count(lit(1)).as("bucket_rows"))
       .filter(col("bucket_rows") > hotBucketCap)
 
+  /** Retention-delete compaction for a [[saveSignatureIndex]] index — the
+    * third leg of the takedown story ([[Dedup.compactGramIndex]] for gram
+    * spans, [[Ann.compactIvfPqIndex]] for embeddings): remove every banded
+    * row of `deletedIds` from BOTH stores (bucketed main + hot sidecar)
+    * without re-hashing, re-banding, or even touching the corpus text —
+    * the index is ids+hashes only, so compaction is an id-column-scan-bound
+    * rewrite, never a corpus pass. The deletion set broadcasts (takedown
+    * lists are bounded; a corpus-scale deletion is a rebuild).
+    *
+    * Bucket CLASSIFICATION stays frozen, symmetric with the append
+    * contract: a hot bucket whose population drops below the cap stays in
+    * the sidecar until the next rebuild — classification is probe ROUTING,
+    * not correctness, so deferring it is safe, and re-classifying here
+    * would rewrite cold partitions the deletion never touched. One
+    * documented consequence: both [[appendToSignatureIndex]] and
+    * [[nearDupAgainstIndex]] derive the hot key set FROM the sidecar's
+    * rows, so a hot bucket compaction empties entirely is implicitly
+    * de-classified (future appends route it cold); that is self-consistent
+    * on both paths, and [[signatureIndexHealth]] re-flags it if it ever
+    * re-grows past the cap.
+    *
+    * Crash safety, the `commitRepair` discipline: leftover
+    * `{table}_compact_tmp` / `{table}_hot_compact_tmp` (catalog entry OR
+    * surviving warehouse directory) REFUSES the run. Commit order — stage
+    * both survivor sets → swap the sidecar → swap the main table. Before
+    * the first swap the index is untouched (drop the scratches, re-run);
+    * between the swaps the index over-detects against deleted main rows
+    * only until a re-run (which then rewrites just the main side — the
+    * per-store no-op check makes re-runs converge); a crash inside a swap
+    * leaves the scratch holding the only copy — the refusal message names
+    * the RENAME that completes the commit.
+    *
+    * A store whose rows never matched the deletion set is NOT rewritten —
+    * its files stay bit-identical, same contract as the ANN repairs.
+    * Returns one row per rewritten store `(store, removed_rows)`, empty if
+    * no indexed row matched. */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                            table: String, deletedIds: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hotTable = s"${table}_hot"
+    val scratch = s"${table}_compact_tmp"
+    val hotScratch = s"${table}_hot_compact_tmp"
+    def scratchLeftover(name: String): Boolean =
+      spark.catalog.tableExists(name) || {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(name.toLowerCase)))
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
+      }
+    Seq(scratch, hotScratch).foreach { s =>
+      require(!scratchLeftover(s),
+        s"$s exists: a prior compaction of '$table' was interrupted. If " +
+          "the live table still exists, DROP the scratch and re-run; if " +
+          "only the scratch survives (crash inside the swap), ALTER TABLE " +
+          "<scratch> RENAME TO <live> completes the commit.")
+    }
+    val del = broadcast(deletedIds
+      .select(col(deletedIds.columns.head).cast("long").as("corpus_id"))
+      .distinct())
+    val numBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table is not a bucketed signature index"))
+    val mainRemoved = spark.table(table)
+      .join(del, Seq("corpus_id"), "left_semi").count()
+    val hotLive = spark.catalog.tableExists(hotTable)
+    val hotRemoved =
+      if (hotLive)
+        spark.table(hotTable).join(del, Seq("corpus_id"), "left_semi").count()
+      else 0L
+    // stage every survivor set BEFORE the first swap: the only
+    // unrecoverable-by-rerun window is inside a RENAME, and staging first
+    // keeps that window to the two metadata operations per store
+    // re-select the canonical column order: a USING-column join moves the
+    // join key to the front, and the rewritten table must keep the layout
+    // appendToSignatureIndex's positional insertInto expects
+    val cols = Seq("band", "band_hash", "corpus_id").map(col)
+    if (mainRemoved > 0)
+      BucketedWrite.saveBucketed(
+        spark.table(table).join(del, Seq("corpus_id"), "left_anti")
+          .select(cols: _*),
+        scratch, numBuckets, Seq("band", "band_hash"))
+    if (hotRemoved > 0)
+      spark.table(hotTable).join(del, Seq("corpus_id"), "left_anti")
+        .select(cols: _*)
+        .write.format("parquet").mode("overwrite").saveAsTable(hotScratch)
+    if (hotRemoved > 0) {
+      BucketedWrite.dropTable(spark, hotTable)
+      spark.sql(s"ALTER TABLE `$hotScratch` RENAME TO `$hotTable`")
+    }
+    if (mainRemoved > 0) {
+      BucketedWrite.dropTable(spark, table)
+      spark.sql(s"ALTER TABLE `$scratch` RENAME TO `$table`")
+    }
+    Seq(("main", mainRemoved), ("hot", hotRemoved))
+      .filter(_._2 > 0).toDF("store", "removed_rows")
+  }
+
   /** Near-dup pairs between an incoming `batch` and an indexed corpus
     * ([[saveSignatureIndex]]): band-collide the batch's signatures against
     * the index, then exact-Jaccard-verify each candidate. Returns

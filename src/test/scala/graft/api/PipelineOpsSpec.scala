@@ -1008,6 +1008,89 @@ class PipelineOpsSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("compactSignatureIndex: exact removal from both stores, frozen classification, probe intact") {
+    val dupText = "the same boilerplate paragraph repeated across the corpus"
+    val corpus = ((0L until 120L).map(i => (i, dupText)) ++
+      (200L until 230L).map(i => (i, s"unique document body number $i with extra words")))
+      .toDF("doc_id", "text")
+    val prefix = "graft_test_cmp_idx"
+    BandedLsh.saveSignatureIndex(corpus, prefix, 4,
+      "doc_id", "text", 4, 8, 3, 123L, hotBucketCap = 50L)
+    try {
+      // delete 100 of the 120 hot-bucket docs and 5 cold-store docs
+      val deletedIds = ((0L until 100L) ++ (200L until 205L)).toSet
+      val report = BandedLsh.compactSignatureIndex(spark, prefix,
+          deletedIds.toSeq.toDF("doc_id")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(report == Map("main" -> 5 * 8L, "hot" -> 100 * 8L),
+        s"report must count both stores' removed band rows, got $report")
+      val mainIds = spark.table(prefix).select("corpus_id")
+        .collect().map(_.getLong(0)).toSet
+      val hotIds = spark.table(s"${prefix}_hot").select("corpus_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(mainIds == (205L until 230L).toSet,
+        "main store must hold exactly the surviving cold docs")
+      // frozen classification: the bucket is now 20 rows — far below the
+      // cap — yet its survivors stay in the sidecar until a rebuild
+      assert(hotIds == (100L until 120L).toSet,
+        "hot store must hold exactly the surviving hot-bucket docs")
+      // probe over the compacted index = the surviving corpus's answer
+      val surviving = corpus.filter(!$"doc_id".isInCollection(deletedIds))
+      val got = BandedLsh.nearDupAgainstIndex(prefix, surviving,
+          Seq((3000L, dupText)).toDF("doc_id", "text"),
+          "doc_id", "text", 4, 8, 3, 123L, 0.5, blocks = 4)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+      assert(got == (100L until 120L).toSet,
+        s"probe must find all surviving near-dups and no deleted id, got $got")
+      // append into the still-classified (below-cap) hot bucket routes hot
+      BandedLsh.appendToSignatureIndex(Seq((2000L, dupText)).toDF("doc_id", "text"),
+        prefix, "doc_id", "text", 4, 8, 3, 123L)
+      assert(spark.table(s"${prefix}_hot")
+        .filter($"corpus_id" === 2000L).count() == 8,
+        "partially-deleted hot buckets keep routing appends to the sidecar")
+      // no-op deletion: empty report, nothing rewritten
+      val before = spark.table(prefix).collect().map(_.toSeq).toSet
+      assert(BandedLsh.compactSignatureIndex(spark, prefix,
+        Seq(987654321L).toDF("doc_id")).isEmpty)
+      assert(spark.table(prefix).collect().map(_.toSeq).toSet == before)
+      // deleting EVERY remaining hot row de-classifies the bucket (the key
+      // set lives in the sidecar): the next append routes cold — safe,
+      // classification is probe routing, and both paths read the same keys
+      BandedLsh.compactSignatureIndex(spark, prefix,
+        ((100L until 120L) :+ 2000L).toDF("doc_id"))
+      assert(spark.table(s"${prefix}_hot").count() == 0)
+      BandedLsh.appendToSignatureIndex(Seq((2001L, dupText)).toDF("doc_id", "text"),
+        prefix, "doc_id", "text", 4, 8, 3, 123L)
+      assert(spark.table(prefix).filter($"corpus_id" === 2001L).count() == 8,
+        "an emptied hot bucket's appends must land in the main store")
+    } finally for (t <- Seq(prefix, s"${prefix}_hot"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("compactSignatureIndex refuses leftover scratches from an interrupted run") {
+    val prefix = "graft_test_cmp2_idx"
+    val corpus = (0L until 20L)
+      .map(i => (i, s"unique document body number $i with extra words"))
+      .toDF("doc_id", "text")
+    BandedLsh.saveSignatureIndex(corpus, prefix, 4,
+      "doc_id", "text", 4, 8, 3, 123L)
+    try {
+      for (scr <- Seq(s"${prefix}_compact_tmp", s"${prefix}_hot_compact_tmp")) {
+        Seq((1L, 0, 0L)).toDF("corpus_id", "band", "band_hash")
+          .write.format("parquet").mode("overwrite").saveAsTable(scr)
+        val e = intercept[IllegalArgumentException] {
+          BandedLsh.compactSignatureIndex(spark, prefix,
+            Seq(0L).toDF("doc_id"))
+        }
+        assert(e.getMessage.contains("interrupted"), e.getMessage)
+        spark.sql(s"DROP TABLE `$scr`")
+      }
+      // both refusals left the index intact
+      assert(spark.table(prefix).count() == 20 * 8)
+    } finally for (t <- Seq(prefix, s"${prefix}_hot"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("Ann.cosineLshPairs: sign-LSH blocking finds near-parallel vectors, verifies exactly") {
     // identical direction -> identical sketch -> candidate in every chunk;
     // near-parallel (tiny perturbation) -> sketch within a few bits ->

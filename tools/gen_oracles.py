@@ -2257,6 +2257,47 @@ def main(sf_dir, spark_dir):
         ") AS t(band, band_hash, bucket_rows)\nORDER BY band, band_hash")
     custom["index_health"] = (ih_rows, ("band", "band_hash", "bucket_rows"), ih_sql)
 
+    # ---- sig_index_compact: retention-delete compaction on the signature
+    # index (mirrors the index_health build+append — docs<300 at cap=5,
+    # append 300..399 routed by the FROZEN build classification — then
+    # compactSignatureIndex with every doc_id % 7 == 0 deleted). The
+    # mirror re-hashes NOTHING for the compaction itself: classification
+    # is frozen (ih_hot), deletion just drops the ids, and the output is
+    # the per-store per-bucket population. A hot-store bucket at or below
+    # the cap in this output is the frozen-classification contract made
+    # visible; asserts pin that the gate exercises both stores and the
+    # below-cap-but-still-hot case.
+    sc_store = {}  # (store, band, h) -> count over SURVIVING rows
+    sc_del_main = sc_del_hot = 0
+    for did, bs in rd_bands.items():
+        if did >= 400:
+            continue
+        for b, h in enumerate(bs):
+            hot = (b, h) in ih_hot
+            if did % 7 == 0:
+                if hot:
+                    sc_del_hot += 1
+                else:
+                    sc_del_main += 1
+                continue
+            k = ("hot" if hot else "main", b, h)
+            sc_store[k] = sc_store.get(k, 0) + 1
+    assert sc_del_main and sc_del_hot, \
+        "sig_index_compact gate is vacuous: a store has no deletions"
+    assert any(st == "hot" and c <= 5 for (st, _, _), c in sc_store.items()), \
+        "sig_index_compact gate is vacuous: no below-cap hot bucket survives"
+    sc_rows = sorted((st, b, s64(h), c) for (st, b, h), c in sc_store.items())
+    sc_sql = (
+        "SELECT CAST(store AS VARCHAR) AS store, CAST(band AS INT) AS band,"
+        " CAST(band_hash AS BIGINT) AS band_hash,"
+        " CAST(bucket_rows AS BIGINT) AS bucket_rows\n"
+        "FROM (VALUES\n"
+        f"{values_block([(sql_lit(st), b, h, c) for st, b, h, c in sc_rows])}\n"
+        ") AS t(store, band, band_hash, bucket_rows)\n"
+        "ORDER BY store, band, band_hash")
+    custom["sig_index_compact"] = (
+        sc_rows, ("store", "band", "band_hash", "bucket_rows"), sc_sql)
+
     # ---- ann_index_health: append-drift maintenance for the persisted
     # IVF-PQ index (mirrors fitIvfPq(nlist=16, seed=11, iters=5) cell
     # assignment + 60 frozen-model-encoded copies of each of vecs 0..4
@@ -2732,6 +2773,7 @@ def main(sf_dir, spark_dir):
 
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
                     "index_health": "band, band_hash",
+                    "sig_index_compact": "store, band, band_hash",
                     "ann_index_health": "cell",
                     "ann_index_rebalance": "cell",
                     "ann_index_merge": "cell",
