@@ -507,6 +507,49 @@ object ScaleBench {
         spark.sql(s"DROP TABLE IF EXISTS $table")
         spark.sql(s"DROP TABLE IF EXISTS ${table}_flags")
         n
+      },
+      // ANN retention compaction: fit+save at ×k is setup (corpus-bound
+      // by design, outside the inner timer); the deletion set is FIXED
+      // and CLUSTERED (base-replica ids < 64 — "one entity's vectors",
+      // the GDPR shape), so the claim is isolated: compact-only = one
+      // ids-only codes-column scan (linear, cheap) + an anti-join rewrite
+      // of ONLY the partitions holding deleted rows — bounded by the
+      // deletion's cell spread, not the corpus. A SCATTERED corpus-wide
+      // takedown degrades gracefully to one codes-table rewrite (still
+      // never a refit, never a corpus pass).
+      "ann_compact" -> { (k: Int) =>
+        val t = s"scale_annc_x$k"
+        Seq(s"${t}_codes", s"${t}_model", s"${t}_rebalance_tmp")
+          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+        api.Ann.saveIvfPqIndex(api.Ann.fitIvfPq(emb(k), nlist = 32, m = 8,
+          ksub = 16, seed = 11L, iters = 5), t)
+        val del = emb(k).select("vec_id").filter(col("vec_id") < 64L)
+        val t0 = System.nanoTime()
+        val affected = api.Ann.compactIvfPqIndex(spark, t, del).count()
+        println(f"  compact-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($affected cells affected)")
+        affected
+      },
+      // Signature-index retention compaction: build (cap=50 — the base
+      // corpus's boilerplate clusters go hot; the cipher decorrelates
+      // replicas, so bucket sizes and the hot key set stay base-bounded
+      // as k grows) is setup; deletion = the base replica's %10 ids
+      // (fixed under a growing corpus). compact-only = two ids-only
+      // anti-join store rewrites — linear in index size, corpus text
+      // never re-read (the alternative is a full re-hash rebuild, which
+      // is corpus-bound).
+      "sig_compact" -> { (k: Int) =>
+        val t = s"scale_sigc_x$k"
+        Seq(t, s"${t}_hot", s"${t}_compact_tmp", s"${t}_hot_compact_tmp")
+          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+        api.BandedLsh.saveSignatureIndex(docs(k), t, 32, "doc_id", "text",
+          4, 8, 3, 123L, hotBucketCap = 50)
+        val del = docs(k).select("doc_id")
+          .filter(col("doc_id") < Stride && col("doc_id") % 10 === 0)
+        val t0 = System.nanoTime()
+        val removed = api.BandedLsh.compactSignatureIndex(spark, t, del)
+          .agg(coalesce(sum("removed_rows"), lit(0L))).head().getLong(0)
+        println(f"  compact-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($removed rows removed)")
+        removed
       }
     ).filter { case (n, _) => opsFilter.forall(_.contains(n)) }
 
