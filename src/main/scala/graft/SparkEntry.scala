@@ -998,6 +998,31 @@ object SparkEntry {
           graft.api.TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
+    "assign_row_ids" -> ((s, dir) => {
+      // contiguous global example ids in curriculum order (longest doc
+      // first, id tiebreak) WITHOUT the single-partition row_number window
+      // — the two-level prefix-sum decomposition (quantile-sampled range
+      // buckets -> parallel within-bucket window -> tiny offsets
+      // broadcast). Oracle: DuckDB's actual ROW_NUMBER() over the same
+      // order — the strongest possible check that the distributed
+      // decomposition reproduces the global window bit-for-bit.
+      val docs = load(s, dir, "documents")
+      graft.api.Packing.assignRowIds(docs, "doc_id",
+          col("n_chars").cast("double") * lit(-1.0), buckets = 7)
+        .orderBy("doc_id")
+    }),
+    "token_budget_select" -> ((s, dir) => {
+      // corpus assembly to a token budget: walk docs longest-first (the
+      // curriculum order above) and keep every doc whose inclusive
+      // running whitespace-token total fits 20k tokens — the "fill the
+      // budget by rank" step after scoring, as one distributed running
+      // sum + a filter (no driver loop, no global-order reducer).
+      val docs = load(s, dir, "documents")
+      graft.api.Packing.selectToTokenBudget(docs, "doc_id",
+          col("n_chars").cast("double") * lit(-1.0),
+          size(split(col("text"), "\\s+")), budget = 20000L, buckets = 7)
+        .orderBy("doc_id")
+    }),
     "pack_sequences" -> ((s, dir) => {
       // concat-and-chunk packing in the deterministic shuffled training
       // order (same seed as corpus_shuffle): global token offsets via the
@@ -2669,6 +2694,28 @@ object SparkEntry {
     "semantic_dedup" -> valuesOracle("semantic_dedup"),
     "embed_tfidf" -> valuesOracle("embed_tfidf"),
     "semantic_dedup_text" -> valuesOracle("semantic_dedup_text"),
+    // direct DuckDB re-computation: the oracle runs the REAL global
+    // window (single-partition — fine at oracle scale), so the
+    // distributed two-level decomposition is checked against the exact
+    // semantics it replaces
+    "assign_row_ids" ->
+      """SELECT doc_id,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1
+        |            AS BIGINT) AS row_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(length(regexp_split_to_array(text, '\s+')) AS BIGINT) AS tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, tokens,
+        |         SUM(tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, tokens, CAST(cum - tokens AS BIGINT) AS run
+        |FROM r WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),

@@ -237,4 +237,100 @@ object Packing {
       .withColumn("bin_offset", coalesce(sum(col("tokens")).over(wBin), lit(0L)))
       .select("id", "tokens", "bin", "bin_offset")
   }
+
+  /** Exclusive global running sum of `valueCol` in `(orderCol asc, id asc)`
+    * order — [[packSequences]]' two-level prefix-sum decomposition
+    * generalized to an ARBITRARY order key. The naive
+    * `sum(v) OVER (ORDER BY k)` is a single-partition window — every row
+    * through one reducer, a non-starter at corpus scale — so instead:
+    *
+    *  1. `buckets − 1` range boundaries come from one `approxQuantile`
+    *     pass (bounded driver state; accuracy only affects BALANCE, never
+    *     the result). Bucket = #boundaries ≤ key, compared in double space
+    *     — long→double is monotone, and key values that collapse to the
+    *     same double always share a bucket, so bucket order refines the
+    *     exact `(key, id)` order; the WITHIN-bucket sort uses the original
+    *     untruncated key with the id tiebreak, so the output is exact.
+    *  2. within-bucket exclusive running sum — a `buckets`-way parallel
+    *     window; bucket totals (tiny) get their own prefix sum and
+    *     broadcast back, exactly the [[packSequences]] shape: one data
+    *     shuffle, one broadcast, totals derived from the window branch so
+    *     the corpus is read once (ReuseExchange).
+    *
+    * Result is bit-identical to the global window for ANY bucket count
+    * (spec-pinned), so `buckets` is purely a parallelism knob. Null ids
+    * and null keys are dropped (no place in the order). `valueCol` may be
+    * any long (negative values fine — totals are sums, not running-max
+    * tricks). Output: `(id, value, run)` with `run` = sum of `value` over
+    * all strictly-preceding rows. */
+  def globalRunningSum(df: DataFrame, idCol: String, orderCol: Column,
+                       valueCol: Column, buckets: Int = 128,
+                       quantileErr: Double = 0.001): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df
+      .select(col(idCol).as("id"), orderCol.as("__ord"),
+        valueCol.cast("long").as("value"))
+      .filter(col("id").isNotNull && col("__ord").isNotNull)
+    // one bounded-state sampling pass; boundary placement only moves rows
+    // between buckets, it cannot change the prefix sums
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else base.select(col("__ord").cast("double").as("__d"))
+        .stat.approxQuantile("__d",
+          (1 until buckets).map(_.toDouble / buckets).toArray, quantileErr)
+        .distinct.sorted
+    val bucketed =
+      if (bounds.isEmpty) base.withColumn("bucket", lit(0))
+      else base.withColumn("bucket",
+        aggregate(typedLit(bounds.toSeq), lit(0),
+          (acc, b) => acc + when(b <= col("__ord").cast("double"), 1)
+            .otherwise(0)))
+    val wIn = Window.partitionBy("bucket")
+      .orderBy(col("__ord").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = bucketed.withColumn("bucket_run",
+      coalesce(sum(col("value")).over(wIn), lit(0L)))
+    // the single-partition window below runs over the ≤ `buckets` TOTALS
+    // rows, never the data; deriving totals from `inBucket` (not `base`)
+    // shares the window branch's exchange — one corpus read
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = inBucket
+      .groupBy("bucket").agg(sum(col("value")).as("btotal"))
+      .withColumn("boffset", coalesce(sum(col("btotal")).over(wB), lit(0L)))
+      .select("bucket", "boffset")
+    inBucket.join(broadcast(offsets), "bucket")
+      .select(col("id"), col("value"),
+        (col("boffset") + col("bucket_run")).as("run"))
+  }
+
+  /** Contiguous global row ids 0..N−1 in `(orderCol asc, id asc)` order —
+    * `row_number() OVER (ORDER BY …) − 1` without the single-partition
+    * window (see [[globalRunningSum]]; value ≡ 1). The shuffle-free id
+    * assignment every sharded training run needs (example ids, curriculum
+    * positions, stable sort keys for resharding). Pass a negated key for
+    * descending order. Output: `(<idCol>, row_id)`. */
+  def assignRowIds(df: DataFrame, idCol: String, orderCol: Column,
+                   buckets: Int = 128): DataFrame =
+    globalRunningSum(df, idCol, orderCol, lit(1L), buckets)
+      .select(col("id").as(idCol), col("run").as("row_id"))
+
+  /** Greedy prefix selection to a token budget: walk the corpus in
+    * `(orderCol asc, id asc)` order — rank ascending by whatever priority
+    * the pipeline ranks on (negated quality for best-first, a hash score
+    * for a shuffled subsample) — and keep every document whose INCLUSIVE
+    * running token total still fits `budget` ("fill the 15T-token budget
+    * by quality rank", the corpus-assembly step after scoring). The
+    * running total is [[globalRunningSum]] — no single-partition window,
+    * no driver iteration; the budget cut is one filter on the exclusive
+    * sum. Documents are kept or dropped whole (sequence packing decides
+    * intra-doc layout downstream). Output: `(<idCol>, tokens, run)` with
+    * `run` = tokens preceding the doc in selection order. */
+  def selectToTokenBudget(df: DataFrame, idCol: String, orderCol: Column,
+                          tokensCol: Column, budget: Long,
+                          buckets: Int = 128): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    globalRunningSum(df, idCol, orderCol, tokensCol, buckets)
+      .filter(col("run") + col("value") <= budget)
+      .select(col("id").as(idCol), col("value").as("tokens"), col("run"))
+  }
 }

@@ -552,6 +552,53 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter($"id" === 5L).count() == 0)
   }
 
+  test("globalRunningSum/assignRowIds equal the global window under ties, any bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties: only 6 distinct order-key values over 200 rows, so
+    // bucket boundaries land ON tied values and the dedup path runs;
+    // buckets=128 >> distinct keys exercises collapsed boundaries
+    val df = (0L until 200L).map(i => (i, i % 6, (i % 9) - 3)).toDF("doc_id", "k", "v")
+    val w = Window.orderBy($"k".asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val truth = df.withColumn("run", coalesce(sum($"v").over(w), lit(0L)))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    for (buckets <- Seq(1, 5, 128)) {
+      val got = Packing.globalRunningSum(df, "doc_id", $"k", $"v", buckets)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(got.toSeq == truth.toSeq,
+        s"buckets=$buckets diverged from the global window (negative values included)")
+    }
+    // assignRowIds = row_number over (ord, id), descending via negation
+    val wantIds = df.orderBy($"k".desc, $"doc_id".asc).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => (id, i.toLong) }.toMap
+    val gotIds = Packing.assignRowIds(df, "doc_id", -$"k", buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotIds == wantIds)
+    assert(gotIds.values.toSeq.sorted == (0L until 200L))
+    // null ids and null keys have no place in the order: dropped
+    val withNulls = df.unionByName(Seq((300L, null.asInstanceOf[java.lang.Long], 1L))
+      .toDF("doc_id", "k", "v"))
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], 1L, 1L))
+        .toDF("doc_id", "k", "v"))
+    assert(Packing.globalRunningSum(withNulls, "doc_id", $"k", $"v").count() == 200)
+  }
+
+  test("selectToTokenBudget keeps exactly the inclusive-cumsum-within-budget prefix") {
+    // walk in doc_id order with token runs 10,20,30,... — budget 100
+    // admits 10+20+30 (cum 60) and 40 (cum 100, EQUALITY kept); doc 5
+    // (cum 150) overflows and, because the running total still counts it,
+    // nothing after can sneak back in
+    val df = (1L to 8L).map(i => (i, i * 10)).toDF("doc_id", "ntok")
+    val got = Packing.selectToTokenBudget(df, "doc_id", $"doc_id", $"ntok",
+        budget = 100L, buckets = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 10L, 0L), (2L, 20L, 10L), (3L, 30L, 30L),
+      (4L, 40L, 60L)))
+    // budget 0: nothing fits
+    assert(Packing.selectToTokenBudget(df, "doc_id", $"doc_id", $"ntok", 0L)
+      .count() == 0)
+  }
+
   test("packDocsNextFit equals the sequential NFD walk; capacity + density hold") {
     // heavy-tailed lengths incl. TWO distinct oversize lengths (clamped
     // into one class — their exact length must not matter) and big
