@@ -413,6 +413,32 @@ object ScaleBench {
             size(split(trim(col("text")), "\\s+")).cast("long"), 256L, 21L)
           .agg(sum(col("bin_offset")), count(lit(1))).head().getLong(1)
       },
+      // the assign_row_ids claim, head-to-head like the topk pair: the
+      // naive ROW_NUMBER() over a global ORDER BY funnels every row
+      // through ONE reducer task; the two-level decomposition holds the
+      // same result with a buckets-way parallel window. The corpus
+      // fixture's ≤500k rows are below where the single reducer bites, so
+      // the pair runs on ×k·2M synthetic (id, key) rows — this operator
+      // is pure id/key/value work, so the synthetic input tests exactly
+      // what the corpus one would, at a row count where the claim lives
+      // (×100 = 200M rows). Forcing action sums the ids — a correctness
+      // cross-check too (both must give N(N−1)/2 — and count() would let
+      // Catalyst prune the window entirely).
+      "row_ids_global" -> { (k: Int) =>
+        val rows = spark.range(k * 2000000L).select(col("id"),
+          pmod(col("id") * 2654435761L, lit(10000L)).as("key"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("key").desc, col("id").asc)
+        rows.withColumn("row_id", row_number().over(w).cast("long") - 1L)
+          .agg(sum(col("row_id"))).head().getLong(0)
+      },
+      "row_ids_bucketed" -> { (k: Int) =>
+        val rows = spark.range(k * 2000000L).select(col("id"),
+          pmod(col("id") * 2654435761L, lit(10000L)).as("key"))
+        api.Packing.assignRowIds(rows, "id",
+            col("key").cast("double") * lit(-1.0), buckets = 128)
+          .agg(sum(col("row_id"))).head().getLong(0)
+      },
       "topk_window" -> { (k: Int) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc)

@@ -2451,6 +2451,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "stream_ann_append" -> ((s, dir) => {
+      import s.implicits._
+      // streaming ingestion into the IVF-PQ index: models fitted on
+      // vec_id < 300 only (the mirror fits on the same subset), then
+      // vec_id >= 300 arrives over 4 micro-batches through the cloned-
+      // session foreachBatch path. Frozen models make ingestion commute,
+      // so the oracle needs no batch boundaries: it assigns EVERY vector
+      // its frozen-quantizer cell and counts — which is exactly what a
+      // stale-session-cache bug would break (appends encoding against a
+      // stale model load, or a batch's insert invisible to the next).
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val idx = graft.api.Ann.fitIvfPq(emb.filter(col("vec_id") < 300),
+        nlist = 16, m = 8, ksub = 16, seed = 11L, iters = 5)
+      graft.api.Ann.saveIvfPqIndex(idx, "graft_annstr_idx")
+      val stream = emb.filter(col("vec_id") >= 300)
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      graft.streaming.EventStreams.annAppendReplay(s, "graft_annstr_idx",
+          stream, nBatches = 4)
+        .orderBy("cell")
+    }),
     "stream_rolling_dedup" -> ((s, dir) => {
       import s.implicits._
       // streaming twin of rolling_dedup: docs >= 300 arrive over 4
@@ -2741,6 +2762,7 @@ object SparkEntry {
     "ann_index_rebalance" -> valuesOracle("ann_index_rebalance"),
     "ann_index_merge" -> valuesOracle("ann_index_merge"),
     "ann_index_compact" -> valuesOracle("ann_index_compact"),
+    "stream_ann_append" -> valuesOracle("stream_ann_append"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),

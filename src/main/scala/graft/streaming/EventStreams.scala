@@ -949,6 +949,47 @@ object EventStreams {
       .select(col("doc_id"), coalesce(col("in_corpus"), lit(false)).as("admitted"))
   }
 
+  /** Streaming ingestion into a persisted IVF-PQ index
+    * ([[graft.api.Ann.saveIvfPqIndex]]): an embedding stream lands via
+    * [[graft.api.Ann.appendToIvfPqIndex]] one micro-batch at a time — the
+    * crawl-side twin of the batch append, the way [[rollingDedupReplay]]
+    * twins the signature index. Because the models are FROZEN, per-batch
+    * ingestion commutes: the final index is bit-identical to one big batch
+    * append regardless of batch boundaries (spec-pinned), so what this
+    * operator actually gates is the streaming PLUMBING — foreachBatch runs
+    * on a CLONED SparkSession whose V1 relation cache is independent, so
+    * every batch must refresh the model/codes tables through ITS OWN
+    * session or the frozen-model load and the insert's file listing go
+    * stale (the [[rollingDedupReplay]] trap, same fix). Returns per-cell
+    * population of the final codes table. */
+  def annAppendReplay(spark: SparkSession, tablePrefix: String,
+                      stream: Seq[(Long, Seq[Double])],
+                      nBatches: Int): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        Seq(s"${tablePrefix}_codes", s"${tablePrefix}_model")
+          .foreach(ss.catalog.refreshTable)
+        graft.api.Ann.appendToIvfPqIndex(
+          batch.select(col("vec_id").cast("long").as("vec_id"),
+            col("embedding").cast("array<double>").as("embedding")),
+          tablePrefix)
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      val chunk = math.max(1, (stream.size + nBatches - 1) / nBatches)
+      stream.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.catalog.refreshTable(s"${tablePrefix}_codes")
+    spark.table(s"${tablePrefix}_codes")
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("cell_rows"))
+  }
+
   /** Batch-mode sessionization with identical gap semantics, built on window
     * functions — the oracle twin of [[sessionize]] and the scalable batch
     * formulation (two shuffles: by user, then by (user, session)). */

@@ -433,6 +433,42 @@ class StreamingSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("annAppendReplay: streamed ingestion is bit-identical to one batch append") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic 8-dim fixture: 40 base vectors fit the models, 24 more
+    // arrive — streamed over 3 batches on one index, batch-appended on the
+    // twin. Frozen models must make the two codes tables row-identical
+    // (ids, cells, AND pq codes), regardless of batch boundaries.
+    def vec(i: Long): Seq[Double] =
+      (0 until 8).map(j => math.sin(i * 0.7 + j * 1.3) * (1 + (i % 5)))
+    val base = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val more = (100L until 124L).map(i => (i, vec(i)))
+    for (p <- Seq("graft_sann_a", "graft_sann_b");
+         t <- Seq(s"${p}_codes", s"${p}_model"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val idxA = graft.api.Ann.fitIvfPq(base, nlist = 4, m = 4, ksub = 8,
+      seed = 11L, iters = 3)
+    graft.api.Ann.saveIvfPqIndex(idxA, "graft_sann_a")
+    val idxB = graft.api.Ann.fitIvfPq(base, nlist = 4, m = 4, ksub = 8,
+      seed = 11L, iters = 3)
+    graft.api.Ann.saveIvfPqIndex(idxB, "graft_sann_b")
+    try {
+      val perCell = EventStreams.annAppendReplay(spark, "graft_sann_a",
+        more, nBatches = 3)
+      graft.api.Ann.appendToIvfPqIndex(more.toDF("vec_id", "embedding"),
+        "graft_sann_b")
+      def rows(p: String) = spark.table(s"${p}_codes")
+        .select(col("neighbor_id"), col("cell"), col("codes").cast("string"))
+        .collect().map(_.toSeq).toSet
+      assert(rows("graft_sann_a") == rows("graft_sann_b"),
+        "streamed and batch ingestion must produce identical codes tables")
+      assert(perCell.agg(sum("cell_rows")).head().getLong(0) == 40L + 24L)
+    } finally for (p <- Seq("graft_sann_a", "graft_sann_b");
+                   t <- Seq(s"${p}_codes", s"${p}_model"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("sessionizeBatch matches gap semantics") {
     import spark.implicits._
     val events = Seq(

@@ -2489,6 +2489,31 @@ def main(sf_dir, spark_dir):
         ") AS t(cell, cell_rows)\nORDER BY cell")
     custom["ann_index_compact"] = (cmp_rows, ("cell", "cell_rows"), cmp_sql)
 
+    # ---- stream_ann_append: streaming ingestion into the IVF-PQ index
+    # (mirrors fitIvfPq on vec_id < 300 ONLY + annAppendReplay of
+    # vec_id >= 300 over 4 micro-batches). Frozen models make ingestion
+    # commute, so the mirror needs no batch boundaries: fit the quantizer
+    # on the base subset (same seeded-hash sample order over the SUBSET),
+    # assign every vector its frozen cell, count per cell. Asserts pin
+    # that streamed vectors actually spread over multiple cells (a stale
+    # session-cache bug that dropped whole batches would change counts).
+    sa_base = {vid: v for vid, v in vecs.items() if vid < 300}
+    sa_stream = {vid: v for vid, v in vecs.items() if vid >= 300}
+    assert sa_base and sa_stream, "stream_ann_append gate is vacuous"
+    sa_cents = fit_ivfpq_cents(sa_base, nlist=16, seed=11, iters=5,
+                               sample_size=10000)
+    sa_cells = {vid: nearest_centroid(v, sa_cents) for vid, v in vecs.items()}
+    assert len({sa_cells[vid] for vid in sa_stream}) > 1, \
+        "stream_ann_append gate is vacuous: stream lands in one cell"
+    sa_rows = sorted(_Counter(sa_cells.values()).items())
+    sa_sql = (
+        "SELECT CAST(cell AS INT) AS cell,"
+        " CAST(cell_rows AS BIGINT) AS cell_rows\n"
+        "FROM (VALUES\n"
+        f"{values_block(sa_rows)}\n"
+        ") AS t(cell, cell_rows)\nORDER BY cell")
+    custom["stream_ann_append"] = (sa_rows, ("cell", "cell_rows"), sa_sql)
+
     # ---- stream_rolling_dedup: per-micro-batch greedy admission (mirrors
     # EventStreams.rollingDedupReplay: docs >= 300 sorted by id, chunked into
     # 4 batches of ceil(n/4); a doc is blocked iff it banding-collides AND
@@ -2778,6 +2803,7 @@ def main(sf_dir, spark_dir):
                     "ann_index_rebalance": "cell",
                     "ann_index_merge": "cell",
                     "ann_index_compact": "cell",
+                    "stream_ann_append": "cell",
                     "multimodal_features_real": "media_id",
                     "multimodal_features_wav": "media_id",
                     "multimodal_features_jpeg": "media_id",
