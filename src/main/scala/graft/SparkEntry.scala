@@ -1654,6 +1654,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("cell_rows"))
         .orderBy("cell")
     }),
+    "ann_novelty_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // dedup-at-ingest for the embedding store: index fitted on
+      // vec_id < 300 (the stream_ann_append model family) with the raw
+      // vectors co-persisted, then a stream of naturals (vec_id >= 300)
+      // plus EXACT clones (id+100000) of every vec_id % 5 == 0 arrives
+      // over 4 id-ordered chunks. ADC shortlists (k=8, nprobe=4), the
+      // EXACT squared-L2 decides (tau=1e-6 — an exact clone lands at 0,
+      // a genuine neighbor well above). Clones of base vectors must drop
+      // against the initial state; clones of streamed naturals arrive in
+      // later chunks and must drop against state EARLIER chunks appended
+      // (the cross-batch contract); naturals must admit.
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val idx = graft.api.Ann.fitIvfPq(emb.filter(col("vec_id") < 300),
+        nlist = 16, m = 8, ksub = 16, seed = 11L, iters = 5)
+      graft.api.Ann.saveIvfPqIndex(idx, "graft_annnov_idx")
+      graft.api.BucketedWrite.dropTable(s, "graft_annnov_corpus")
+      emb.filter(col("vec_id") < 300).write.format("parquet")
+        .mode("overwrite").saveAsTable("graft_annnov_corpus")
+      val stream = emb.filter(col("vec_id") >= 300)
+        .unionByName(emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      val chunk = math.max(1, (stream.size + 3) / 4)
+      stream.grouped(chunk).toSeq.map { c =>
+        graft.api.Ann.admitNovelVectors(c.toDF("vec_id", "embedding"),
+          "graft_annnov_idx", "graft_annnov_corpus",
+          tau = 1e-6, nprobe = 4, kCand = 8)
+      }.reduce(_.unionByName(_)).orderBy("vec_id")
+    }),
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -2763,6 +2794,7 @@ object SparkEntry {
     "ann_index_merge" -> valuesOracle("ann_index_merge"),
     "ann_index_compact" -> valuesOracle("ann_index_compact"),
     "stream_ann_append" -> valuesOracle("stream_ann_append"),
+    "ann_novelty_ingest" -> valuesOracle("ann_novelty_ingest"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),

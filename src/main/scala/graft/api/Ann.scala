@@ -1043,6 +1043,61 @@ object Ann {
     affected.toSeq.toDF("cell", "removed_rows")
   }
 
+  /** Novelty-gated ingestion into a persisted [[saveIvfPqIndex]] index —
+    * dedup-at-ingest for an embedding store, the vector-side analog of
+    * [[BandedLsh.nearDupAgainstIndex]]-based rolling admission. ADC is
+    * the SHORTLIST mechanism, never the verdict (the [[Contamination]]
+    * `embedOverlapAnn` principle — an IVF-PQ index's reconstruction error
+    * swamps true inter-vector distances, so an exact clone is
+    * indistinguishable from a genuine neighbor in ADC space, measured on
+    * this corpus: clone ADC 0.71–0.99 vs genuine 0.76–1.0):
+    *
+    *   1. each batch vector ADC-searches its `nprobe` cells for the
+    *      `kCand` nearest codes (partition-pruned scan, per-query-KB
+    *      tables);
+    *   2. the shortlist joins `corpusTable` — the raw-vector store this
+    *      operator co-maintains with the index — and the verdict is the
+    *      EXACT squared L2: best `<= tau` drops the vector;
+    *   3. survivors append to BOTH stores (codes under the frozen
+    *      models, raw rows to `corpusTable`).
+    *
+    * Cost per batch: the batch's own search + `kCand` exact distances per
+    * vector + the admitted rows' encode — never a corpus pass. Admission
+    * judges the PRE-batch state only (intra-batch near-dups admit
+    * together — batch-level dedup is [[semanticDedup]]'s job before
+    * ingestion), and the verdict is PINNED (localCheckpoint) before the
+    * appends mutate the tables the search read — the
+    * [[graft.streaming.EventStreams.rollingDedupReplay]] re-evaluation
+    * trap, same fix. A true near-dup whose original falls outside the
+    * ADC shortlist is admitted (shortlist recall, the standard IVF
+    * trade); widen `kCand`/`nprobe` to taste. Returns
+    * `(<idCol>, admitted)` for every batch row. */
+  def admitNovelVectors(batch: DataFrame, tablePrefix: String,
+                        corpusTable: String, tau: Double, nprobe: Int,
+                        kCand: Int = 8, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = loadIvfPqIndex(spark, tablePrefix)
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
+    val shortlist = idx.search(b, k = kCand, nprobe, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val sqdist = aggregate(
+      zip_with(col("qvec"), col("nvec"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val dup = shortlist
+      .join(b.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id")
+      .join(spark.table(corpusTable)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), "neighbor_id")
+      .filter(sqdist <= tau)
+      .select(col("query_id").as(idCol)).distinct()
+    val admitted = b.join(dup, Seq(idCol), "left_anti").localCheckpoint(true)
+    appendToIvfPqIndex(admitted, tablePrefix, idCol, vecCol)
+    admitted.write.mode("append").insertInto(corpusTable)
+    b.select(col(idCol))
+      .join(admitted.select(col(idCol), lit(true).as("admitted")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("admitted"), lit(false)).as("admitted"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage-shrink step for
     * an embedding corpus (float64 → int8 is 8×; a 100 TB embedding store
     * becomes 12.5 TB plus one scale per vector). `scale = max|x| / 127`,

@@ -332,6 +332,54 @@ class AnnRebalanceSpec extends AnyFunSuite {
       "a deleted id surfaced from a compacted index")
   }
 
+  test("admitNovelVectors: exact clones drop, novelty admits, cross-batch state holds") {
+    import spark.implicits._
+    val prefix = "graft_novspec_idx"
+    val corpTbl = "graft_novspec_corpus"
+    val base = emb.filter(col("vec_id") < 40)
+    val idx = Ann.fitIvfPq(base, nlist = 4, m = 4, ksub = 16, seed = 11L, iters = 5)
+    Ann.saveIvfPqIndex(idx, prefix)
+    BucketedWrite.dropTable(spark, corpTbl)
+    base.write.format("parquet").mode("overwrite").saveAsTable(corpTbl)
+    try {
+      val fresh = emb.filter(col("vec_id") >= 40 && col("vec_id") < 45)
+      val cloneOfBase = emb.filter(col("vec_id") === 7)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+      // batch 1: an exact clone of an INDEXED vector drops; genuinely new
+      // vectors admit — and an intra-batch identical pair admits TOGETHER
+      // (judged against the pre-batch state only, verdict pinned before
+      // the appends mutate the searched tables)
+      val twinText = emb.filter(col("vec_id") === 41)
+        .select((col("vec_id") + 2000L).as("vec_id"), col("embedding"))
+      val b1 = fresh.unionByName(cloneOfBase).unionByName(twinText)
+      val v1 = Ann.admitNovelVectors(b1, prefix, corpTbl,
+          tau = 1e-6, nprobe = 3, kCand = 8)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(v1(1007L) == false, "exact clone of an indexed vector must drop")
+      assert((40L until 45L).forall(v1(_)), "novel vectors must admit")
+      assert(v1(2041L), "intra-batch twin admits with its sibling (pre-batch state only)")
+      // batch 2: clones of batch-1 ADMITS must drop on the appended state
+      val b2 = emb.filter(col("vec_id") === 42)
+        .select((col("vec_id") + 3000L).as("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") === 41)
+          .select((col("vec_id") + 4000L).as("vec_id"), col("embedding")))
+      val v2 = Ann.admitNovelVectors(b2, prefix, corpTbl,
+          tau = 1e-6, nprobe = 3, kCand = 8)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(v2 == Map(3042L -> false, 4041L -> false),
+        s"clones of batch-1 admits must drop cross-batch, got $v2")
+      // both stores hold exactly base + batch-1 admits
+      val wantIds = (0L until 45L).toSet + 2041L
+      assert(codesMap(prefix).keySet == wantIds)
+      assert(spark.table(corpTbl).select("vec_id").collect()
+        .map(_.getLong(0)).toSet == wantIds,
+        "raw corpus store must track the index")
+    } finally {
+      for (t <- Seq(s"${prefix}_codes", s"${prefix}_model", corpTbl))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("compaction refuses a leftover scratch from an interrupted repair") {
     val prefix = "graft_cmpspec2_idx"
     val full = buildDrifted(prefix)

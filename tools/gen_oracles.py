@@ -2514,6 +2514,128 @@ def main(sf_dir, spark_dir):
         ") AS t(cell, cell_rows)\nORDER BY cell")
     custom["stream_ann_append"] = (sa_rows, ("cell", "cell_rows"), sa_sql)
 
+    # ---- ann_novelty_ingest: dedup-at-ingest (mirrors admitNovelVectors
+    # over 4 id-ordered chunks of naturals >= 300 plus exact clones
+    # id+100000 of every vec_id % 5 == 0, against the stream_ann_append
+    # model family). ADC only SHORTLISTS (top-8 by (adist, neighbor_id)
+    # over the nprobe=4 probed cells — reconstruction error swamps true
+    # distances, measured: clone ADC 0.71-0.99 vs genuine 0.76-1.0); the
+    # verdict is the EXACT squared-L2 against the co-persisted raw store,
+    # best <= tau drops. Admission judges the PRE-chunk state; an admitted
+    # vector joins the state for LATER chunks — a clone of a streamed
+    # natural dropping is the cross-batch contract. Every float is the
+    # fixed-order IEEE chain the Spark kernels run, so the pinned booleans
+    # are exact.
+    nv_m, nv_ksub, nv_nprobe, nv_k, nv_tau = 8, 16, 4, 8, 1e-6
+    nv_d = len(next(iter(vecs.values())))
+    nv_dsub = nv_d // nv_m
+
+    def fit_pq_books(vs, m, ksub, seed, iters, sample_size):
+        """PQ codebooks under fitIvfPq's training: stream `seed` feeds
+        std_normal init, sample order is xxhash64(id, seed) over the
+        fitted corpus — the pq_topk_rows recipe (fitIvfPq passes
+        seed + 1 for the books; the caller does that shift)."""
+        dsub_ = len(next(iter(vs.values()))) // m
+        order = sorted(vs, key=lambda vid: (spark_xxhash64(vid, seed), vid))[:sample_size]
+        sample = [vs[vid] for vid in order]
+        rng = vk.StdRng(seed)
+        books = [[[vk.std_normal(rng) for _ in range(dsub_)] for _ in range(ksub)]
+                 for _ in range(m)]
+        for s in range(m):
+            sub = [v[s * dsub_:(s + 1) * dsub_] for v in sample]
+            cents_ = books[s]
+            for _ in range(iters):
+                sums = [[0.0] * dsub_ for _ in range(ksub)]
+                counts = [0] * ksub
+                for v in sub:
+                    c = nearest_centroid(v, cents_)
+                    counts[c] += 1
+                    for j in range(dsub_):
+                        sums[c][j] += v[j]
+                cents_ = [cents_[c] if counts[c] == 0
+                          else [sums[c][j] / counts[c] for j in range(dsub_)]
+                          for c in range(ksub)]
+            books[s] = cents_
+        return books
+
+    nv_books = fit_pq_books(sa_base, nv_m, nv_ksub, seed=11 + 1, iters=5,
+                            sample_size=10000)
+
+    def nv_encode(v):
+        return [nearest_centroid(v[s * nv_dsub:(s + 1) * nv_dsub], nv_books[s])
+                for s in range(nv_m)]
+
+    def nv_adc(q, codes):
+        acc = 0.0
+        for s in range(nv_m):
+            cent = nv_books[s][codes[s]]
+            dist = 0.0
+            for j in range(nv_dsub):
+                t = q[s * nv_dsub + j] - cent[j]
+                dist += t * t
+            acc += dist
+        return acc
+
+    def nv_sqdist(q, v):
+        acc = 0.0
+        for j in range(len(q)):
+            t = q[j] - v[j]
+            acc += t * t
+        return acc
+
+    nv_state = {vid: (sa_cells[vid], nv_encode(v)) for vid, v in sa_base.items()}
+    nv_raw = dict(sa_base)
+    nv_stream = sorted(
+        [(vid, v) for vid, v in vecs.items() if vid >= 300] +
+        [(vid + 100000, v) for vid, v in vecs.items() if vid % 5 == 0])
+    nv_chunk = max(1, (len(nv_stream) + 3) // 4)
+    nv_rows = []
+    nv_clone_d, nv_nat_d = [], []
+    for i in range(0, len(nv_stream), nv_chunk):
+        batch = nv_stream[i:i + nv_chunk]
+        verdicts = []
+        for vid, v in batch:
+            probes = set(nearest_centroids(v, sa_cents, nv_nprobe))
+            scored = sorted(
+                (nv_adc(v, cs), nid)
+                for nid, (c, cs) in nv_state.items()
+                if c in probes and nid != vid)
+            best = None
+            for _, nid in scored[:nv_k]:
+                dd = nv_sqdist(v, nv_raw[nid])
+                if best is None or dd < best:
+                    best = dd
+            (nv_clone_d if vid >= 100000 else nv_nat_d).append(best)
+            verdicts.append((vid, v, best is None or best > nv_tau))
+        for vid, v, adm in verdicts:
+            nv_rows.append((vid, adm))
+            if adm:
+                nv_state[vid] = (nearest_centroid(v, sa_cents), nv_encode(v))
+                nv_raw[vid] = v
+    nv_rows.sort()
+    nv_cd = sorted(d for d in nv_clone_d if d is not None)
+    nv_nd = sorted(d for d in nv_nat_d if d is not None)
+    print(f"ann_novelty_ingest tau={nv_tau}: clone exact-best "
+          f"[{nv_cd[0]:.4g}..{nv_cd[-1]:.4g}] med={nv_cd[len(nv_cd)//2]:.4g}; "
+          f"natural exact-best [{nv_nd[0]:.4g}..{nv_nd[-1]:.4g}] "
+          f"med={nv_nd[len(nv_nd)//2]:.4g}")
+    nv_dropped_clones = sum(1 for vid, adm in nv_rows if vid >= 100000 and not adm)
+    nv_crossbatch = sum(1 for vid, adm in nv_rows
+                        if vid >= 100300 and not adm)
+    nv_admitted_nats = sum(1 for vid, adm in nv_rows if vid < 100000 and adm)
+    assert nv_dropped_clones > 0, "ann_novelty_ingest vacuous: no clone dropped"
+    assert nv_crossbatch > 0, \
+        "ann_novelty_ingest vacuous: no cross-batch drop (clone of a streamed natural)"
+    assert nv_admitted_nats > 0, "ann_novelty_ingest vacuous: no natural admitted"
+    assert any(not adm for vid, adm in nv_rows) and any(adm for _, adm in nv_rows)
+    nv_sql = (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(admitted AS BOOLEAN) AS admitted\n"
+        "FROM (VALUES\n"
+        f"{values_block([(vid, str(adm).upper()) for vid, adm in nv_rows])}\n"
+        ") AS t(vec_id, admitted)\nORDER BY vec_id")
+    custom["ann_novelty_ingest"] = (nv_rows, ("vec_id", "admitted"), nv_sql)
+
     # ---- stream_rolling_dedup: per-micro-batch greedy admission (mirrors
     # EventStreams.rollingDedupReplay: docs >= 300 sorted by id, chunked into
     # 4 batches of ceil(n/4); a doc is blocked iff it banding-collides AND
@@ -2804,6 +2926,7 @@ def main(sf_dir, spark_dir):
                     "ann_index_merge": "cell",
                     "ann_index_compact": "cell",
                     "stream_ann_append": "cell",
+                    "ann_novelty_ingest": "vec_id",
                     "multimodal_features_real": "media_id",
                     "multimodal_features_wav": "media_id",
                     "multimodal_features_jpeg": "media_id",
