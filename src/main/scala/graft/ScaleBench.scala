@@ -555,6 +555,36 @@ object ScaleBench {
         println(f"  compact-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($affected cells affected)")
         affected
       },
+      // Novelty-gated ingestion under a GROWING index, FIXED batch: fit +
+      // save + raw-store write at ×k is setup; the inner timer is one
+      // admit call on a 200-vector batch (half exact clones of indexed
+      // vectors, half shifted novels). Claim: batch-bound — the ADC
+      // search scans only the probed cells' partitions, the exact verify
+      // is kCand·|batch| distances, the appends are the admitted rows —
+      // never a corpus pass.
+      "ann_novelty" -> { (k: Int) =>
+        val t = s"scale_nov_x$k"
+        val ct = s"scale_nov_corpus_x$k"
+        // dropTable (not bare DROP IF EXISTS): the in-memory catalog dies
+        // with the JVM but the warehouse dir persists, and saveAsTable
+        // refuses the orphaned location on the next session
+        Seq(s"${t}_codes", s"${t}_model", ct)
+          .foreach(n => api.BucketedWrite.dropTable(spark, n))
+        api.Ann.saveIvfPqIndex(api.Ann.fitIvfPq(emb(k), nlist = 32, m = 8,
+          ksub = 16, seed = 11L, iters = 5), t)
+        emb(k).write.format("parquet").mode("overwrite").saveAsTable(ct)
+        val batch = emb(k).filter(col("vec_id") < 100)
+          .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+          .unionByName(emb(k).filter(col("vec_id") < 100)
+            .select((col("vec_id") + 910000000L).as("vec_id"),
+              transform(col("embedding"), x => x + lit(7.5)).as("embedding")))
+        val t0 = System.nanoTime()
+        val admitted = api.Ann.admitNovelVectors(batch, t, ct,
+            tau = 1e-6, nprobe = 4, kCand = 8)
+          .filter(col("admitted")).count()
+        println(f"  admit-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($admitted of 200 admitted)")
+        admitted
+      },
       // Signature-index retention compaction: build (cap=50 — the base
       // corpus's boilerplate clusters go hot; the cipher decorrelates
       // replicas, so bucket sizes and the hot key set stay base-bounded

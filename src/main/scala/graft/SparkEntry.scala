@@ -1023,6 +1023,17 @@ object SparkEntry {
           size(split(col("text"), "\\s+")), budget = 20000L, buckets = 7)
         .orderBy("doc_id")
     }),
+    "token_shard_assign" -> ((s, dir) => {
+      // token-balanced contiguous export sharding in the curriculum
+      // order: 16 shards of ~equal token mass, integer-exact boundaries.
+      // Same decomposition as assign_row_ids; the oracle re-runs the
+      // real global window + total.
+      val docs = load(s, dir, "documents")
+      graft.api.Packing.assignTokenShards(docs, "doc_id",
+          col("n_chars").cast("double") * lit(-1.0),
+          size(split(col("text"), "\\s+")), shards = 16, buckets = 7)
+        .orderBy("doc_id")
+    }),
     "pack_sequences" -> ((s, dir) => {
       // concat-and-chunk packing in the deterministic shuffled training
       // order (same seed as corpus_shuffle): global token offsets via the
@@ -2768,6 +2779,21 @@ object SparkEntry {
         |)
         |SELECT doc_id, tokens, CAST(cum - tokens AS BIGINT) AS run
         |FROM r WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
+    "token_shard_assign" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(length(regexp_split_to_array(text, '\s+')) AS BIGINT) AS tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, tokens,
+        |         SUM(tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |                           ROWS UNBOUNDED PRECEDING) - tokens AS run,
+        |         SUM(tokens) OVER () AS total
+        |  FROM t
+        |)
+        |SELECT doc_id, tokens,
+        |       CAST(LEAST(15, (run * 16) // total) AS INT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),

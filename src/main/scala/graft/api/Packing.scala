@@ -333,4 +333,37 @@ object Packing {
       .filter(col("run") + col("value") <= budget)
       .select(col("id").as(idCol), col("value").as("tokens"), col("run"))
   }
+
+  /** Token-balanced contiguous sharding — the export step that writes a
+    * curated corpus as `shards` files of ~equal TOKEN mass (equal doc
+    * COUNTS skew badly under heavy-tailed lengths) while preserving a
+    * deterministic global order, so shard k is exactly the k-th
+    * contiguous slice of the training stream: `shard =
+    * ⌊run·shards/total⌋` over the [[globalRunningSum]] exclusive prefix.
+    * Integer arithmetic throughout (exact at any corpus size — a double
+    * product loses exactness past 2^53); the one extra cost over the
+    * running sum is a column-pruned `sum(tokens)` scan for the total,
+    * which rides in as a 1-row broadcast, never an extra shuffle of the
+    * data. Zero-token docs at the stream tail clamp into the last shard.
+    * Output: `(<idCol>, tokens, shard)` with shard ids dense in
+    * [0, shards). */
+  def assignTokenShards(df: DataFrame, idCol: String, orderCol: Column,
+                        tokensCol: Column, shards: Int,
+                        buckets: Int = 128): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val rs = globalRunningSum(df, idCol, orderCol, tokensCol, buckets)
+    // total over the SAME row set the running sum ranks (null ids/keys are
+    // dropped there, so they must not count here either)
+    val total = df
+      .select(col(idCol).as("id"), orderCol.as("__ord"),
+        tokensCol.cast("long").as("value"))
+      .filter(col("id").isNotNull && col("__ord").isNotNull)
+      .agg(coalesce(sum(col("value")), lit(0L)).as("__total"))
+    rs.crossJoin(broadcast(total))
+      .select(col("id").as(idCol), col("value").as("tokens"),
+        when(col("__total") <= 0L, lit(0))
+          .otherwise(least(lit(shards - 1),
+            expr(s"CAST((run * $shards) div __total AS INT)")))
+          .as("shard"))
+  }
 }

@@ -599,6 +599,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("assignTokenShards: contiguous integer-exact boundaries, balanced mass, clamped tail") {
+    val df = (0L until 500L).map(i => (i, (i * 13 % 29) + 1)).toDF("doc_id", "ntok")
+    val shards = 8
+    val got = Packing.assignTokenShards(df, "doc_id", $"doc_id", $"ntok",
+        shards, buckets = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // sequential truth
+    val seq0 = (0L until 500L).map(i => (i, (i * 13 % 29) + 1))
+    val total = seq0.map(_._2).sum
+    var run = 0L
+    val want = seq0.map { case (id, t) =>
+      val s = math.min(shards - 1, (run * shards / total).toInt)
+      run += t; (id, t, s)
+    }
+    assert(got.toSeq == want)
+    // contiguous in stream order and every shard present
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+    assert(got.map(_._3).distinct.length == shards)
+    // token mass per shard within one max-doc of the ideal slice
+    val perShard = got.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    val ideal = total.toDouble / shards
+    perShard.values.foreach(m => assert(math.abs(m - ideal) <= 29 + ideal * 0.05,
+      s"shard mass $m too far from ideal $ideal"))
+    // zero-token docs at the stream tail clamp into the last shard
+    val withZero = df.unionByName(Seq((9999L, 0L)).toDF("doc_id", "ntok"))
+    val z = Packing.assignTokenShards(withZero, "doc_id", $"doc_id", $"ntok",
+      shards, buckets = 5).filter($"doc_id" === 9999L).head()
+    assert(z.getInt(2) == shards - 1)
+    // all-zero corpus: everything in shard 0, no division blowup
+    val zeros = Packing.assignTokenShards(
+      (0L until 10L).map((_, 0L)).toDF("doc_id", "ntok"),
+      "doc_id", $"doc_id", $"ntok", shards).collect()
+    assert(zeros.forall(_.getInt(2) == 0))
+  }
+
   test("packDocsNextFit equals the sequential NFD walk; capacity + density hold") {
     // heavy-tailed lengths incl. TWO distinct oversize lengths (clamped
     // into one class — their exact length must not matter) and big
