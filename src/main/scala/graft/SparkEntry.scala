@@ -1696,6 +1696,29 @@ object SparkEntry {
           tau = 1e-6, nprobe = 4, kCand = 8)
       }.reduce(_.unionByName(_)).orderBy("vec_id")
     }),
+    "ann_index_reindex" -> ((s, dir) => {
+      // full model refresh: build under the health family's config, push
+      // the cmp-fixture drifted append in (data the seed-11 quantizer
+      // doesn't fit), then reindex on the full raw corpus with FRESH
+      // models (seed 13). Output: per-cell population of the rebuilt
+      // index — the mirror refits on the combined corpus with the same
+      // seeded-hash sample order, so a reindex that leaked the old
+      // models, dropped rows, or mis-sampled shows up as count drift.
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val idx = graft.api.Ann.fitIvfPq(emb,
+        nlist = 16, m = 8, ksub = 16, seed = 11L, iters = 5)
+      graft.api.Ann.saveIvfPqIndex(idx, "graft_annrx_idx")
+      val drift = emb.filter(col("vec_id") < 3)
+        .crossJoin(s.range(1, 41).select(col("id").as("__rep")))
+        .select((col("vec_id") + col("__rep") * 100000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(3.0) + col("__rep").cast("double") * lit(0.05)).as("embedding"))
+      graft.api.Ann.appendToIvfPqIndex(drift, "graft_annrx_idx")
+      graft.api.Ann.reindexIvfPq(emb.unionByName(drift), "graft_annrx_idx",
+          nlist = 16, m = 8, ksub = 16, seed = 13L, iters = 5)
+        .orderBy("cell")
+    }),
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -2821,6 +2844,7 @@ object SparkEntry {
     "ann_index_compact" -> valuesOracle("ann_index_compact"),
     "stream_ann_append" -> valuesOracle("stream_ann_append"),
     "ann_novelty_ingest" -> valuesOracle("ann_novelty_ingest"),
+    "ann_index_reindex" -> valuesOracle("ann_index_reindex"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),

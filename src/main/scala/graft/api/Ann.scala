@@ -1043,6 +1043,65 @@ object Ann {
     affected.toSeq.toDF("cell", "removed_rows")
   }
 
+  /** Full model refresh for a persisted [[saveIvfPqIndex]] index — the
+    * "rebuild due" action [[ivfPqIndexHealth]]'s drift reports point at,
+    * for when the repairs can no longer buy recall back because the DATA
+    * moved, not just the cell populations: refit both models on `corpus`
+    * (the CURRENT raw vectors — the store [[admitNovelVectors]]
+    * co-maintains, or wherever the pipeline keeps them), re-encode
+    * everything, and SWAP crash-safely — the live index serves unchanged
+    * until the new codes AND model are fully staged. This is the one
+    * lifecycle step that re-encodes the corpus (that is what a reindex
+    * is); append, repair, and compact all exist so it stays RARE.
+    *
+    * Crash safety: unlike the repairs and compactions (whose scratches can
+    * hold the ONLY copy of dropped rows), a reindex is DETERMINISTIC in
+    * (corpus, seed) and re-derives everything from the raw store — so the
+    * discipline optimizes for loud failure, not data rescue. A leftover
+    * `{prefix}_reindex_tmp` (catalog OR directory) refuses the run.
+    * Commit order — stage the new encodes in the scratch → DROP the model
+    * table (from here every index load fails LOUD; no window serves a
+    * silently incoherent new-codes/old-model mix — note a RENAME-swap
+    * cannot provide this: renaming a partitioned managed table leaves the
+    * catalog's per-partition locations pointing at the moved-away scratch
+    * directory, and reads come back silently empty, observed) → static
+    * overwrite of the codes partitions from the scratch → write the new
+    * model (index live again) → drop the scratch. Recovery from ANY
+    * window: drop the scratch and re-run. Returns the new index's
+    * per-cell population. */
+  def reindexIvfPq(corpus: DataFrame, tablePrefix: String, nlist: Int,
+                   m: Int, ksub: Int, seed: Long, iters: Int = 5,
+                   sampleSize: Int = 10000, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val codesTable = s"${tablePrefix}_codes"
+    val scratch = s"${tablePrefix}_reindex_tmp"
+    val scratchDir = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(scratch.toLowerCase)))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
+    }
+    require(!spark.catalog.tableExists(scratch) && !scratchDir,
+      s"$scratch exists: a prior reindex of '$tablePrefix' was interrupted. " +
+        "Reindex is deterministic in (corpus, seed) — DROP the scratch and " +
+        "re-run; nothing needs rescuing from it.")
+    val idx = fitIvfPq(corpus, nlist, m, ksub, seed, iters, sampleSize,
+      idCol, vecCol)
+    idx.encoded.write.format("parquet").mode("overwrite").saveAsTable(scratch)
+    BucketedWrite.dropTable(spark, s"${tablePrefix}_model")
+    // insertInto is positional and the live table keeps its partition
+    // column LAST; static overwrite mode truncates every old partition
+    spark.table(scratch)
+      .select(spark.table(codesTable).columns.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").insertInto(codesTable)
+    writeModelTable(spark, idx.centroids, idx.books, tablePrefix)
+    BucketedWrite.dropTable(spark, scratch)
+    spark.table(codesTable)
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("cell_rows"))
+  }
+
   /** Novelty-gated ingestion into a persisted [[saveIvfPqIndex]] index —
     * dedup-at-ingest for an embedding store, the vector-side analog of
     * [[BandedLsh.nearDupAgainstIndex]]-based rolling admission. ADC is

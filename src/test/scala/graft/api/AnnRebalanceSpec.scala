@@ -332,6 +332,38 @@ class AnnRebalanceSpec extends AnyFunSuite {
       "a deleted id surfaced from a compacted index")
   }
 
+  test("reindex refreshes both models, keeps every id, refuses leftover scratches") {
+    val prefix = "graft_rxspec_idx"
+    val full = buildDrifted(prefix)
+    val beforeIds = codesMap(prefix).keySet
+    val beforeModel = spark.table(s"${prefix}_model").collect()
+      .map(_.toSeq).toSet
+    // fresh seed: models must actually change, ids must all survive
+    val report = Ann.reindexIvfPq(full, prefix, nlist = 8, m = 4, ksub = 16,
+      seed = 13L, iters = 5)
+    assert(report.agg(sum(col("cell_rows"))).head().getLong(0) == full.count())
+    assert(codesMap(prefix).keySet == beforeIds,
+      "reindex must keep exactly the corpus ids")
+    assert(spark.table(s"${prefix}_model").collect().map(_.toSeq).toSet
+      != beforeModel, "reindex must write FRESH models")
+    // the reloaded index searches coherently (new codes under new models)
+    val got = Ann.loadIvfPqIndex(spark, prefix)
+      .search(emb.filter(col("vec_id") < 3), k = 5, nprobe = 8)
+    assert(got.count() == 15)
+    // leftover scratch refuses and the live index stays untouched
+    val after = codesMap(prefix)
+    import spark.implicits._
+    Seq((1L, 0, Array[Byte](1))).toDF("neighbor_id", "cell", "codes")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${prefix}_reindex_tmp")
+    val e = intercept[IllegalArgumentException] {
+      Ann.reindexIvfPq(full, prefix, nlist = 8, m = 4, ksub = 16, seed = 17L)
+    }
+    assert(e.getMessage.contains("interrupted"), e.getMessage)
+    spark.sql(s"DROP TABLE `${prefix}_reindex_tmp`")
+    assert(codesMap(prefix) == after, "refusal must leave the index untouched")
+  }
+
   test("admitNovelVectors: exact clones drop, novelty admits, cross-batch state holds") {
     import spark.implicits._
     val prefix = "graft_novspec_idx"

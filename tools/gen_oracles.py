@@ -2489,6 +2489,28 @@ def main(sf_dir, spark_dir):
         ") AS t(cell, cell_rows)\nORDER BY cell")
     custom["ann_index_compact"] = (cmp_rows, ("cell", "cell_rows"), cmp_sql)
 
+    # ---- ann_index_reindex: full model refresh (mirrors fitIvfPq seed=11
+    # build + the cmp drifted append + reindexIvfPq(seed=13) on the FULL
+    # raw corpus). The reindex fits FRESH models on base + drift — the
+    # mirror refits with the same seeded-hash sample order over the
+    # combined ids and counts per cell; a reindex that leaked the old
+    # models, dropped rows, or mis-sampled drifts these counts. Reuses
+    # cmp_vecs (base + the 120 drifted appends, pre-deletion).
+    rx_cents = fit_ivfpq_cents(cmp_vecs, nlist=16, seed=13, iters=5,
+                               sample_size=10000)
+    rx_rows = sorted(_Counter(
+        nearest_centroid(v, rx_cents) for v in cmp_vecs.values()).items())
+    rx_old = sorted(_Counter(cmp_cell.values()).items())
+    assert rx_rows != rx_old, \
+        "ann_index_reindex gate is vacuous: fresh models reproduce the stale assignment"
+    rx_sql = (
+        "SELECT CAST(cell AS INT) AS cell,"
+        " CAST(cell_rows AS BIGINT) AS cell_rows\n"
+        "FROM (VALUES\n"
+        f"{values_block(rx_rows)}\n"
+        ") AS t(cell, cell_rows)\nORDER BY cell")
+    custom["ann_index_reindex"] = (rx_rows, ("cell", "cell_rows"), rx_sql)
+
     # ---- stream_ann_append: streaming ingestion into the IVF-PQ index
     # (mirrors fitIvfPq on vec_id < 300 ONLY + annAppendReplay of
     # vec_id >= 300 over 4 micro-batches). Frozen models make ingestion
@@ -2927,6 +2949,7 @@ def main(sf_dir, spark_dir):
                     "ann_index_compact": "cell",
                     "stream_ann_append": "cell",
                     "ann_novelty_ingest": "vec_id",
+                    "ann_index_reindex": "cell",
                     "multimodal_features_real": "media_id",
                     "multimodal_features_wav": "media_id",
                     "multimodal_features_jpeg": "media_id",
