@@ -280,22 +280,36 @@ object Packing {
           (1 until buckets).map(_.toDouble / buckets).toArray, quantileErr)
         .distinct.sorted
     val bucketed =
-      if (bounds.isEmpty) base.withColumn("bucket", lit(0))
-      else base.withColumn("bucket",
-        aggregate(typedLit(bounds.toSeq), lit(0),
-          (acc, b) => acc + when(b <= col("__ord").cast("double"), 1)
-            .otherwise(0)))
+      (if (bounds.isEmpty) base.withColumn("bucket", lit(0))
+       else base.withColumn("bucket",
+         aggregate(typedLit(bounds.toSeq), lit(0),
+           (acc, b) => acc + when(b <= col("__ord").cast("double"), 1)
+             .otherwise(0))))
+        // no-op for this non-null fold, stated explicitly so BOTH consumers
+        // below carry the identical filter: the offsets join would
+        // otherwise infer isnotnull(bucket) into just the streamed side,
+        // the subtrees would differ, and the offsets branch would re-scan
+        // the corpus instead of reusing the bucket exchange (the
+        // packSequences defeat, plan-pinned in PlanShapeSpec)
+        .filter(col("bucket").isNotNull)
     val wIn = Window.partitionBy("bucket")
       .orderBy(col("__ord").asc, col("id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBucket = bucketed.withColumn("bucket_run",
       coalesce(sum(col("value")).over(wIn), lit(0L)))
     // the single-partition window below runs over the ≤ `buckets` TOTALS
-    // rows, never the data; deriving totals from `inBucket` (not `base`)
-    // shares the window branch's exchange — one corpus read
+    // rows, never the data. Bucket totals are the LAST row's inclusive sum
+    // via max_by over the stream order — NOT sum(value), which does not
+    // depend on the window output, so Catalyst would prune the window from
+    // this branch and re-scan the corpus (observed: 3 scans, 0 reuse); and
+    // NOT packSequences' max(run + value), which is wrong under negative
+    // values. max_by keeps the dependence (branch shares the bucket
+    // exchange — one corpus read, plan-pinned) and reads the true total.
     val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = inBucket
-      .groupBy("bucket").agg(sum(col("value")).as("btotal"))
+      .groupBy("bucket")
+      .agg(max_by(col("bucket_run") + col("value"),
+        struct(col("__ord"), col("id"))).as("btotal"))
       .withColumn("boffset", coalesce(sum(col("btotal")).over(wB), lit(0L)))
       .select("bucket", "boffset")
     inBucket.join(broadcast(offsets), "bucket")

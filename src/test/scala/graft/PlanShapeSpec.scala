@@ -223,8 +223,14 @@ class PlanShapeSpec extends AnyFunSuite {
       case _ => p +: p.children.flatMap(walk)
     }
     // doc_logprob forks the (id, token) aggregate three ways (vocab,
-    // total, join) — all must hang off one tokenize+shuffle
-    for (name <- Seq("pack_sequences", "repetition_stats", "doc_logprob")) {
+    // total, join) — all must hang off one tokenize+shuffle.
+    // token_shard_assign: globalRunningSum's offsets branch must reuse
+    // the window branch's bucket exchange (scaladoc claim: the corpus is
+    // read once past the bounded approxQuantile sampling pass, which runs
+    // before this plan exists), and the only single-partition window may
+    // be the ≤buckets-row totals one — never the data
+    for (name <- Seq("pack_sequences", "repetition_stats", "doc_logprob",
+                     "token_shard_assign")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val nodes = walk(df.queryExecution.executedPlan)
