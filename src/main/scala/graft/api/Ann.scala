@@ -868,22 +868,10 @@ object Ann {
                            reassigned: DataFrame, droppedCells: Seq[Int],
                            cents: Array[Array[Double]],
                            books: Array[Array[Array[Double]]],
-                           dead: Set[Int]): Unit = {
+                           dead: Set[Int],
+                           writeModel: Boolean = true): Unit = {
     val scratch = s"${tablePrefix}_rebalance_tmp"
-    // a surviving warehouse DIRECTORY also counts: an interrupted repair in
-    // a dead JVM leaves the files but not the (in-memory) catalog entry.
-    // Resolved via the session catalog (defaultTablePath honors the CURRENT
-    // database — warehouse/<db>.db/<name> — and any database-level
-    // location), not warehouse.dir string concatenation, which misses the
-    // orphan outside the default database and would let the overwrite
-    // below destroy the only copy of already-dropped rows
-    val scratchDir = {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(scratch.toLowerCase)))
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
-    }
-    require(!spark.catalog.tableExists(scratch) && !scratchDir,
+    require(!BucketedWrite.scratchLeftover(spark, scratch),
       s"$scratch exists: a prior repair of '$tablePrefix' was interrupted and " +
         "the scratch may hold the ONLY copy of rows already dropped from " +
         s"$codesTable. Recover first — if the flagged partitions still exist " +
@@ -891,7 +879,11 @@ object Ann {
         "dropped, append the scratch's rows into the codes table " +
         "(positionally, partition column last), then drop the scratch.")
     reassigned.write.format("parquet").mode("overwrite").saveAsTable(scratch)
-    writeModelTable(spark, cents, books, tablePrefix, dead)
+    // the repairs CHANGE the models (split centroids / dead slots) and
+    // must commit them here; compaction's models are frozen by contract,
+    // and rewriting an unchanged model table would only add a
+    // drop-to-write crash window in which the model exists NOWHERE else
+    if (writeModel) writeModelTable(spark, cents, books, tablePrefix, dead)
     droppedCells.foreach(c => spark.sql(
       s"ALTER TABLE $codesTable DROP IF EXISTS PARTITION (cell=$c)"))
     // insertInto is positional; saveAsTable moved the partition col last
@@ -1038,8 +1030,11 @@ object Ann {
       .filter(col("cell").isin(cellSet.map(Int.box): _*))
       .select(col("neighbor_id"), col("cell"), col("codes"))
       .join(broadcast(del), Seq("neighbor_id"), "left_anti")
+    // writeModel = false: compaction's models are FROZEN (its whole
+    // contract), so the unchanged model table is never dropped-and-
+    // rewritten — no window exists in which the only copy is gone
     commitRepair(spark, codesTable, tablePrefix, surviving, cellSet,
-      idx.centroids, idx.books, idx.deadCells)
+      idx.centroids, idx.books, idx.deadCells, writeModel = false)
     affected.toSeq.toDF("cell", "removed_rows")
   }
 
@@ -1076,13 +1071,7 @@ object Ann {
     val spark = corpus.sparkSession
     val codesTable = s"${tablePrefix}_codes"
     val scratch = s"${tablePrefix}_reindex_tmp"
-    val scratchDir = {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(scratch.toLowerCase)))
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
-    }
-    require(!spark.catalog.tableExists(scratch) && !scratchDir,
+    require(!BucketedWrite.scratchLeftover(spark, scratch),
       s"$scratch exists: a prior reindex of '$tablePrefix' was interrupted. " +
         "Reindex is deterministic in (corpus, seed) — DROP the scratch and " +
         "re-run; nothing needs rescuing from it.")
@@ -1091,10 +1080,15 @@ object Ann {
     idx.encoded.write.format("parquet").mode("overwrite").saveAsTable(scratch)
     BucketedWrite.dropTable(spark, s"${tablePrefix}_model")
     // insertInto is positional and the live table keeps its partition
-    // column LAST; static overwrite mode truncates every old partition
+    // column LAST. The overwrite mode is pinned STATIC per-write: under a
+    // session-level dynamic mode, cells the fresh models leave empty would
+    // KEEP their old partitions — stale codes decoded against the new
+    // codebooks, duplicate ids, no error. Static truncates every old
+    // partition regardless of the session conf.
     spark.table(scratch)
       .select(spark.table(codesTable).columns.map(col).toIndexedSeq: _*)
-      .write.mode("overwrite").insertInto(codesTable)
+      .write.option("partitionOverwriteMode", "static")
+      .mode("overwrite").insertInto(codesTable)
     writeModelTable(spark, idx.centroids, idx.books, tablePrefix)
     BucketedWrite.dropTable(spark, scratch)
     spark.table(codesTable)
@@ -1129,27 +1123,45 @@ object Ann {
     * [[graft.streaming.EventStreams.rollingDedupReplay]] re-evaluation
     * trap, same fix. A true near-dup whose original falls outside the
     * ADC shortlist is admitted (shortlist recall, the standard IVF
-    * trade); widen `kCand`/`nprobe` to taste. Returns
-    * `(<idCol>, admitted)` for every batch row. */
+    * trade); widen `kCand`/`nprobe` to taste.
+    *
+    * An id the index ALREADY HOLDS always drops, before any distance is
+    * computed: re-ingesting the same id is the re-crawl shape, appending
+    * it would duplicate the id in both stores (breaking the repairs'
+    * corpus-coverage assertion), and the similarity path alone cannot
+    * catch it — the search excludes `query_id == neighbor_id`, so the
+    * row's own original is invisible to its shortlist. Returns
+    * `(<idCol>, admitted)` for every batch row; an empty batch returns an
+    * empty frame. */
   def admitNovelVectors(batch: DataFrame, tablePrefix: String,
                         corpusTable: String, tau: Double, nprobe: Int,
                         kCand: Int = 8, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
+    import batch.sparkSession.implicits._
     val spark = batch.sparkSession
-    val idx = loadIvfPqIndex(spark, tablePrefix)
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
-    val shortlist = idx.search(b, k = kCand, nprobe, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id"))
-    val sqdist = aggregate(
-      zip_with(col("qvec"), col("nvec"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val dup = shortlist
-      .join(b.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id")
-      .join(spark.table(corpusTable)
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), "neighbor_id")
-      .filter(sqdist <= tau)
-      .select(col("query_id").as(idCol)).distinct()
-    val admitted = b.join(dup, Seq(idCol), "left_anti").localCheckpoint(true)
+    def emptyVerdict = Seq.empty[(Long, Boolean)].toDF(idCol, "admitted")
+    if (b.isEmpty) return emptyVerdict
+    val idx = loadIvfPqIndex(spark, tablePrefix)
+    val fresh = b.join(spark.table(s"${tablePrefix}_codes")
+        .select(col("neighbor_id").as(idCol)),
+      Seq(idCol), "left_anti").localCheckpoint(true)
+    val dup =
+      if (fresh.isEmpty) emptyVerdict.select(col(idCol))
+      else {
+        val shortlist = idx.search(fresh, k = kCand, nprobe, idCol, vecCol)
+          .select(col("query_id"), col("neighbor_id"))
+        val sqdist = aggregate(
+          zip_with(col("qvec"), col("nvec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+        shortlist
+          .join(fresh.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id")
+          .join(spark.table(corpusTable)
+            .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), "neighbor_id")
+          .filter(sqdist <= tau)
+          .select(col("query_id").as(idCol)).distinct()
+      }
+    val admitted = fresh.join(dup, Seq(idCol), "left_anti").localCheckpoint(true)
     appendToIvfPqIndex(admitted, tablePrefix, idCol, vecCol)
     admitted.write.mode("append").insertInto(corpusTable)
     b.select(col(idCol))

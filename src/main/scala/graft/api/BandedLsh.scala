@@ -721,15 +721,8 @@ object BandedLsh {
     val hotTable = s"${table}_hot"
     val scratch = s"${table}_compact_tmp"
     val hotScratch = s"${table}_hot_compact_tmp"
-    def scratchLeftover(name: String): Boolean =
-      spark.catalog.tableExists(name) || {
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog.defaultTablePath(
-            org.apache.spark.sql.catalyst.TableIdentifier(name.toLowerCase)))
-        loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
-      }
     Seq(scratch, hotScratch).foreach { s =>
-      require(!scratchLeftover(s),
+      require(!BucketedWrite.scratchLeftover(spark, s),
         s"$s exists: a prior compaction of '$table' was interrupted. If " +
           "the live table still exists, DROP the scratch and re-run; if " +
           "only the scratch survives (crash inside the swap), ALTER TABLE " +

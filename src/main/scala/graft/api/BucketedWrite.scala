@@ -23,6 +23,24 @@ private[graft] object BucketedWrite {
     }
   }
 
+  /** True if `name` survives as a catalog entry OR a warehouse directory —
+    * the leftover-scratch probe every staged commit refuses on. An
+    * interrupted run in a dead JVM leaves the files but not the
+    * (in-memory) catalog entry, so the directory must be checked too —
+    * resolved via the session catalog's `defaultTablePath` (honors the
+    * CURRENT database, `warehouse/<db>.db/<name>`, and database-level
+    * locations), NOT `warehouse.dir` string concatenation, which misses
+    * orphans outside the default database and would let a staged
+    * overwrite destroy the only copy of already-dropped rows. */
+  def scratchLeftover(spark: org.apache.spark.sql.SparkSession,
+                      name: String): Boolean =
+    spark.catalog.tableExists(name) || {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(name.toLowerCase)))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
+    }
+
   def saveBucketed(df: DataFrame, table: String, numBuckets: Int,
                    keys: Seq[String]): Unit = {
     val spark = df.sparkSession

@@ -433,13 +433,7 @@ object Dedup {
                        crossDocOnly: Boolean = true): Unit = {
     val flagsTable = s"${table}_flags"
     val scratch = s"${table}_compact_tmp"
-    val scratchDir = {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(scratch.toLowerCase)))
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
-    }
-    require(!spark.catalog.tableExists(scratch) && !scratchDir,
+    require(!BucketedWrite.scratchLeftover(spark, scratch),
       s"$scratch exists: a prior compaction of '$table' was interrupted. " +
         "If the main table still exists, DROP the scratch and re-run; if " +
         "only the scratch survives (crash between drop and rename), " +

@@ -259,17 +259,22 @@ object Packing {
     *
     * Result is bit-identical to the global window for ANY bucket count
     * (spec-pinned), so `buckets` is purely a parallelism knob. Null ids
-    * and null keys are dropped (no place in the order). `valueCol` may be
-    * any long (negative values fine — totals are sums, not running-max
-    * tricks). Output: `(id, value, run)` with `run` = sum of `value` over
-    * all strictly-preceding rows. */
+    * and null keys are dropped (no place in the order); a null VALUE
+    * counts as 0 — coalesced up front, because the bucket-total max_by
+    * below reads the last stream row's `run + value`, and a null there
+    * would silently erase its whole bucket from every later offset (the
+    * global window's sum merely skips nulls; 0 reproduces that exactly).
+    * `valueCol` may otherwise be any long (negative values fine — totals
+    * are last-row inclusive sums, not running-max tricks). Output:
+    * `(id, value, run)` with `run` = sum of `value` over all
+    * strictly-preceding rows. */
   def globalRunningSum(df: DataFrame, idCol: String, orderCol: Column,
                        valueCol: Column, buckets: Int = 128,
                        quantileErr: Double = 0.001): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val base = df
       .select(col(idCol).as("id"), orderCol.as("__ord"),
-        valueCol.cast("long").as("value"))
+        coalesce(valueCol.cast("long"), lit(0L)).as("value"))
       .filter(col("id").isNotNull && col("__ord").isNotNull)
     // one bounded-state sampling pass; boundary placement only moves rows
     // between buckets, it cannot change the prefix sums

@@ -406,6 +406,18 @@ class AnnRebalanceSpec extends AnyFunSuite {
       assert(spark.table(corpTbl).select("vec_id").collect()
         .map(_.getLong(0)).toSet == wantIds,
         "raw corpus store must track the index")
+      // re-ingesting an ALREADY-INDEXED id drops on the id guard alone —
+      // the similarity path can't see it (search excludes query==neighbor)
+      // and appending would duplicate the id in both stores
+      val reingest = emb.filter(col("vec_id") === 7) // same id, same vector
+      val v3 = Ann.admitNovelVectors(reingest, prefix, corpTbl,
+          tau = 1e-6, nprobe = 3, kCand = 8)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(v3 == Map(7L -> false), s"re-crawled id must drop, got $v3")
+      assert(codesMap(prefix).keySet == wantIds, "no duplicate id may land")
+      // an empty batch returns an empty verdict, not an exception
+      assert(Ann.admitNovelVectors(emb.filter(col("vec_id") < 0), prefix,
+        corpTbl, tau = 1e-6, nprobe = 3).isEmpty)
     } finally {
       for (t <- Seq(s"${prefix}_codes", s"${prefix}_model", corpTbl))
         spark.sql(s"DROP TABLE IF EXISTS $t")

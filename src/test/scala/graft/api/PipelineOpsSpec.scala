@@ -581,6 +581,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       .unionByName(Seq((null.asInstanceOf[java.lang.Long], 1L, 1L))
         .toDF("doc_id", "k", "v"))
     assert(Packing.globalRunningSum(withNulls, "doc_id", $"k", $"v").count() == 200)
+    // a null VALUE counts 0 and must NOT erase its bucket's total from
+    // later offsets — plant the null on a row that is the LAST of its
+    // bucket under buckets=5 (the max_by row, where a null would have
+    // poisoned btotal before the coalesce)
+    val nullVal = df.withColumn("v",
+      when($"doc_id" === 199L, lit(null)).otherwise($"v"))
+    val truthNull = nullVal.withColumn("run", coalesce(sum($"v").over(w), lit(0L)))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    for (buckets <- Seq(1, 5)) {
+      val got = Packing.globalRunningSum(nullVal, "doc_id", $"k", $"v", buckets)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(got.toSeq == truthNull.toSeq,
+        s"buckets=$buckets: a null value poisoned its bucket total")
+    }
   }
 
   test("selectToTokenBudget keeps exactly the inclusive-cumsum-within-budget prefix") {

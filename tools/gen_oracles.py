@@ -290,11 +290,13 @@ def ivf_topk_rows(vecs, k, nlist, nprobe, seed, iters, sample_size):
     return topk_rows(cand, vecs, k)
 
 
-def pq_topk_rows(vecs, k, m, ksub, seed, iters, sample_size):
-    """Mirror graft.api.Ann.pqTopK: per-subspace Lloyd's codebooks (same
-    seeded-hash sample and subspace-major draw order), corpus codes,
-    per-query ADC tables, (adist asc, neighbor_id asc) top-k. Every float
-    step is fixed-order IEEE, so the pinned adist doubles are bit-exact."""
+def fit_pq_books(vecs, m, ksub, seed, iters, sample_size):
+    """PQ codebooks under the Spark training: per-subspace Lloyd's with
+    std_normal init from StdRng(seed), over the xxhash64(id, seed)-ordered
+    sample, subspace-major draw order. The ONE book-training mirror —
+    pqTopK passes its stream seed directly, fitIvfPq's mirrors pass
+    seed + 1 (the books train on an independent stream there). Every
+    float step is fixed-order IEEE."""
     d = len(next(iter(vecs.values())))
     dsub = d // m
     order = sorted(vecs, key=lambda vid: (spark_xxhash64(vid, seed), vid))[:sample_size]
@@ -317,9 +319,26 @@ def pq_topk_rows(vecs, k, m, ksub, seed, iters, sample_size):
                      else [sums[c][j] / counts[c] for j in range(dsub)]
                      for c in range(ksub)]
         books[s] = cents
-    codes = {vid: [nearest_centroid(v[s * dsub:(s + 1) * dsub], books[s])
-                   for s in range(m)]
-             for vid, v in vecs.items()}
+    return books
+
+
+def pq_encode(vecs, books, m):
+    """Corpus codes under frozen `books` (nearest sub-centroid per subspace)."""
+    dsub = len(books[0][0])
+    return {vid: [nearest_centroid(v[s * dsub:(s + 1) * dsub], books[s])
+                  for s in range(m)]
+            for vid, v in vecs.items()}
+
+
+def pq_topk_rows(vecs, k, m, ksub, seed, iters, sample_size):
+    """Mirror graft.api.Ann.pqTopK: per-subspace Lloyd's codebooks (same
+    seeded-hash sample and subspace-major draw order), corpus codes,
+    per-query ADC tables, (adist asc, neighbor_id asc) top-k. Every float
+    step is fixed-order IEEE, so the pinned adist doubles are bit-exact."""
+    d = len(next(iter(vecs.values())))
+    dsub = d // m
+    books = fit_pq_books(vecs, m, ksub, seed, iters, sample_size)
+    codes = pq_encode(vecs, books, m)
     rows = []
     for qid in sorted(vid for vid in vecs if vid < 10):
         q = vecs[qid]
@@ -372,31 +391,10 @@ def ivfpq_topk_rows(vecs, k, nlist, nprobe, m, ksub, seed, iters, sample_size):
         cents = [cents[c] if counts[c] == 0
                  else [sums[c][j] / counts[c] for j in range(d)]
                  for c in range(nlist)]
-    # PQ codebooks — identical recipe to pq_topk_rows, seed+1 streams
-    order2 = sorted(vecs, key=lambda vid: (spark_xxhash64(vid, seed + 1), vid))[:sample_size]
-    sample2 = [vecs[vid] for vid in order2]
-    rng2 = vk.StdRng(seed + 1)
-    books = [[[vk.std_normal(rng2) for _ in range(dsub)] for _ in range(ksub)]
-             for _ in range(m)]
-    for s in range(m):
-        sub = [v[s * dsub:(s + 1) * dsub] for v in sample2]
-        bcents = books[s]
-        for _ in range(iters):
-            sums = [[0.0] * dsub for _ in range(ksub)]
-            counts = [0] * ksub
-            for v in sub:
-                c = nearest_centroid(v, bcents)
-                counts[c] += 1
-                for j in range(dsub):
-                    sums[c][j] += v[j]
-            bcents = [bcents[c] if counts[c] == 0
-                      else [sums[c][j] / counts[c] for j in range(dsub)]
-                      for c in range(ksub)]
-        books[s] = bcents
+    # PQ codebooks — the shared fit_pq_books mirror, seed+1 streams
+    books = fit_pq_books(vecs, m, ksub, seed + 1, iters, sample_size)
     cells = {vid: nearest_centroid(v, cents) for vid, v in vecs.items()}
-    codes = {vid: [nearest_centroid(v[s * dsub:(s + 1) * dsub], books[s])
-                   for s in range(m)]
-             for vid, v in vecs.items()}
+    codes = pq_encode(vecs, books, m)
     rows = []
     for qid in sorted(vid for vid in vecs if vid < 10):
         q = vecs[qid]
@@ -2551,35 +2549,8 @@ def main(sf_dir, spark_dir):
     nv_m, nv_ksub, nv_nprobe, nv_k, nv_tau = 8, 16, 4, 8, 1e-6
     nv_d = len(next(iter(vecs.values())))
     nv_dsub = nv_d // nv_m
-
-    def fit_pq_books(vs, m, ksub, seed, iters, sample_size):
-        """PQ codebooks under fitIvfPq's training: stream `seed` feeds
-        std_normal init, sample order is xxhash64(id, seed) over the
-        fitted corpus — the pq_topk_rows recipe (fitIvfPq passes
-        seed + 1 for the books; the caller does that shift)."""
-        dsub_ = len(next(iter(vs.values()))) // m
-        order = sorted(vs, key=lambda vid: (spark_xxhash64(vid, seed), vid))[:sample_size]
-        sample = [vs[vid] for vid in order]
-        rng = vk.StdRng(seed)
-        books = [[[vk.std_normal(rng) for _ in range(dsub_)] for _ in range(ksub)]
-                 for _ in range(m)]
-        for s in range(m):
-            sub = [v[s * dsub_:(s + 1) * dsub_] for v in sample]
-            cents_ = books[s]
-            for _ in range(iters):
-                sums = [[0.0] * dsub_ for _ in range(ksub)]
-                counts = [0] * ksub
-                for v in sub:
-                    c = nearest_centroid(v, cents_)
-                    counts[c] += 1
-                    for j in range(dsub_):
-                        sums[c][j] += v[j]
-                cents_ = [cents_[c] if counts[c] == 0
-                          else [sums[c][j] / counts[c] for j in range(dsub_)]
-                          for c in range(ksub)]
-            books[s] = cents_
-        return books
-
+    # fitIvfPq trains its books on the seed+1 stream — the one shared
+    # fit_pq_books mirror (module level, also behind pq/ivfpq topk)
     nv_books = fit_pq_books(sa_base, nv_m, nv_ksub, seed=11 + 1, iters=5,
                             sample_size=10000)
 
@@ -2617,6 +2588,11 @@ def main(sf_dir, spark_dir):
         batch = nv_stream[i:i + nv_chunk]
         verdicts = []
         for vid, v in batch:
+            # id-level guard mirror: an id the index already holds always
+            # drops, before any distance (admitNovelVectors' re-crawl rule)
+            if vid in nv_state:
+                nv_rows.append((vid, False))
+                continue
             probes = set(nearest_centroids(v, sa_cents, nv_nprobe))
             scored = sorted(
                 (nv_adc(v, cs), nid)
