@@ -555,6 +555,22 @@ object ScaleBench {
         println(f"  compact-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($affected cells affected)")
         affected
       },
+      // Full reindex — the deliberately CORPUS-BOUND lifecycle step (fit
+      // on a fresh seed + re-encode everything + swap): measured as the
+      // baseline the whole maintenance family (append/repair/compact)
+      // exists to avoid paying per ingest. Claim: linear in the corpus.
+      "ann_reindex" -> { (k: Int) =>
+        val t = s"scale_rx_x$k"
+        Seq(s"${t}_codes", s"${t}_model", s"${t}_reindex_tmp")
+          .foreach(n => api.BucketedWrite.dropTable(spark, n))
+        api.Ann.saveIvfPqIndex(api.Ann.fitIvfPq(emb(k), nlist = 32, m = 8,
+          ksub = 16, seed = 11L, iters = 5), t)
+        val t0 = System.nanoTime()
+        val cells = api.Ann.reindexIvfPq(emb(k), t, nlist = 32, m = 8,
+          ksub = 16, seed = 13L, iters = 5).count()
+        println(f"  reindex-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($cells cells)")
+        cells
+      },
       // Novelty-gated ingestion under a GROWING index, FIXED batch: fit +
       // save + raw-store write at ×k is setup; the inner timer is one
       // admit call on a 200-vector batch (half exact clones of indexed

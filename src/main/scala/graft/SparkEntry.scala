@@ -1168,6 +1168,17 @@ object SparkEntry {
       graft.api.TextAnalysis.repetitionStats(load(s, dir, "documents"))
         .orderBy("doc_id")
     }),
+    "repetition_filter" -> ((s, dir) => {
+      // Gopher repetition rules as a verdict: thresholds calibrated to
+      // THIS corpus's stat quantiles (synthetic text sits at dup-word
+      // median ~0.54, far above MassiveWeb's regime) so every rule bites
+      // somewhere and 69/500 keep at sf0.01 — the oracle re-derives the
+      // full stats chain and re-applies the thresholds itself.
+      graft.api.TextAnalysis.repetitionFilter(load(s, dir, "documents"),
+          minWords = 40L, maxDupWordFrac = 0.54,
+          maxTop2GramFrac = 0.05, maxDup2GramFrac = 0.05)
+        .orderBy("doc_id")
+    }),
     "doc_signatures" -> ((s, dir) => {
       // SimHash + rolling-min + winnowed fingerprints (rows-only: FxHash64
       // chains are not expressible in DuckDB; pinned by PipelineOpsSpec).
@@ -3654,6 +3665,27 @@ object SparkEntry {
         |SELECT b.doc_id, CAST(b.word_count AS BIGINT) AS word_count, b.dup_word_frac,
         |       coalesce(CAST(a.maxc AS DOUBLE) / a.total, 0.0) AS top_2gram_frac,
         |       coalesce(CAST(a.total - a.ndistinct AS DOUBLE) / a.total, 0.0) AS dup_2gram_frac
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "repetition_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(words) AS word_count,
+        |         1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dup_word_frac,
+        |         CASE WHEN len(words) < 2 THEN [] ELSE
+        |           list_transform(generate_series(1, len(words) - 1),
+        |                          i -> words[i] || ' ' || words[i + 1]) END AS grams
+        |  FROM w),
+        |gc AS (SELECT doc_id, gram, count(*) AS c
+        |       FROM base, unnest(grams) AS t(gram) GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total, count(*) AS ndistinct
+        |        FROM gc GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       (b.word_count >= 40 AND b.dup_word_frac <= 0.54
+        |        AND coalesce(CAST(a.maxc AS DOUBLE) / a.total, 0.0) <= 0.05
+        |        AND coalesce(CAST(a.total - a.ndistinct AS DOUBLE) / a.total, 0.0) <= 0.05)
+        |         AS keep
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "quantize_embeddings" ->

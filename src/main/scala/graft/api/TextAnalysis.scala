@@ -290,6 +290,28 @@ object TextAnalysis {
           / col("total").cast("double"), lit(0.0)).as("dup_2gram_frac"))
   }
 
+  /** Gopher-style repetition gating (Rae et al. 2021, App. A — the
+    * "repetitious documents" rules): [[repetitionStats]]' within-document
+    * signals turned into one keep/drop verdict per document. A doc keeps
+    * iff it clears ALL of: a minimum word count, a duplicate-word-fraction
+    * cap, a top-bigram concentration cap, and a duplicate-bigram-fraction
+    * cap. The published thresholds were tuned on MassiveWeb; they are
+    * knobs here because every corpus recalibrates them off the stats'
+    * quantiles (a synthetic or domain corpus sits in a different regime).
+    * Non-destructive — returns `(<idCol>, keep)` for every document, one
+    * [[repetitionStats]] pass (same single tokenize+shuffle), and the
+    * caller filters or routes on the verdict. */
+  def repetitionFilter(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", minWords: Long = 50L,
+                       maxDupWordFrac: Double = 0.3,
+                       maxTop2GramFrac: Double = 0.18,
+                       maxDup2GramFrac: Double = 0.3): DataFrame =
+    repetitionStats(df, idCol, textCol).select(col(idCol),
+      (col("word_count") >= minWords &&
+        col("dup_word_frac") <= maxDupWordFrac &&
+        col("top_2gram_frac") <= maxTop2GramFrac &&
+        col("dup_2gram_frac") <= maxDup2GramFrac).as("keep"))
+
   /** Shannon entropy of each document's token distribution, in bits —
     * the gibberish/boilerplate signal quality filters threshold on (low
     * entropy = repeated boilerplate, implausibly high = random noise).

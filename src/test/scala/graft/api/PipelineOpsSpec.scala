@@ -613,6 +613,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("repetitionFilter: each Gopher rule gates independently") {
+    // thresholds chosen so each fixture doc trips exactly one rule
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // passes
+      (2L, "too short here"),                                           // word count
+      (3L, "dup alpha dup beta dup gamma dup delta dup epsilon"),       // dup words (non-adjacent: bigrams stay distinct)
+      (4L, "ping pong ping pong ping pong alpha beta gamma delta epsilon zeta") // bigram conc. (dwf 4/12 stays under cap)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFilter(docs, minWords = 5L,
+        maxDupWordFrac = 0.35, maxTop2GramFrac = 0.25, maxDup2GramFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false), got)
+    // sanity that the intended rule (not a sibling) fired for 3 and 4
+    val stats = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(stats(3L).getAs[Double]("dup_word_frac") > 0.35 &&
+      stats(3L).getAs[Double]("top_2gram_frac") <= 0.25)
+    assert(stats(4L).getAs[Double]("top_2gram_frac") > 0.25 &&
+      stats(4L).getAs[Double]("dup_word_frac") <= 0.35)
+  }
+
   test("assignTokenShards: contiguous integer-exact boundaries, balanced mass, clamped tail") {
     val df = (0L until 500L).map(i => (i, (i * 13 % 29) + 1)).toDF("doc_id", "ntok")
     val shards = 8
