@@ -814,6 +814,36 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    "source_jsonl_bz2_roundtrip" -> ((s, dir) => {
+      // bzip2-compressed JSONL — the one SPLITTABLE text codec in the
+      // family: unlike .json.gz (one stream per part, parallelism capped
+      // at the part count — the gz gate's documented cap), a single huge
+      // .json.bz2 still reads in parallel because the block structure
+      // lets Spark split mid-file. The gate pins that property, not just
+      // the roundtrip: the write is coalesced to ONE part and the read
+      // must still fan out past one partition.
+      val docs = dirtiedDocs(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_jsonl_bz2"
+      docs.coalesce(1).write.mode("overwrite")
+        .option("compression", "bzip2").json(path)
+      val files = new java.io.File(path).listFiles()
+      require(files.exists(_.getName.endsWith(".json.bz2")),
+        s"expected bzip2-compressed jsonl parts under $path")
+      // force small splits so splittability is OBSERVABLE at fixture size
+      // (one ~100 KB file is one split under the default 128 MB) — session
+      // conf, read at PLANNING time, so the pin evaluates inside the
+      // save/restore window and the returned plan is unaffected
+      val prev = s.conf.get("spark.sql.files.maxPartitionBytes")
+      s.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      try {
+        val probe = s.read.schema(docs.schema).json(path)
+        require(probe.rdd.getNumPartitions > 1,
+          "a single .json.bz2 file must split into multiple read partitions")
+      } finally s.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      s.read.schema(docs.schema).json(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     // Zstd-compressed parquet sink: zstd is the modern lakehouse codec
     // (better ratio than the snappy default at comparable decode speed —
     // at 100 TB the ratio IS the scan bill). Per-write codec option, no
@@ -2875,6 +2905,8 @@ object SparkEntry {
     "source_jsonl_roundtrip" ->
       dirtiedDocsOracleSql,
     "source_jsonl_gz_roundtrip" ->
+      dirtiedDocsOracleSql,
+    "source_jsonl_bz2_roundtrip" ->
       dirtiedDocsOracleSql,
     "sink_parquet_zstd" ->
       dirtiedDocsOracleSql,
