@@ -2557,6 +2557,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "stream_novelty_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // streaming twin of ann_novelty_ingest: the SAME stream, batch
+      // boundaries, models, and stores, but arriving through foreachBatch
+      // on a cloned session — admission is defined per batch against the
+      // pre-batch state, so the verdicts are bit-equal to the driver
+      // loop: one oracle, two plans (the contamination_embed_ann_big
+      // precedent). What this plan adds: the three-table (codes, model,
+      // raw corpus) cloned-session refresh, which a stale-cache bug
+      // would turn into wrong admissions, not a crash.
+      val emb = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val idx = graft.api.Ann.fitIvfPq(emb.filter(col("vec_id") < 300),
+        nlist = 16, m = 8, ksub = 16, seed = 11L, iters = 5)
+      graft.api.Ann.saveIvfPqIndex(idx, "graft_annnovs_idx")
+      graft.api.BucketedWrite.dropTable(s, "graft_annnovs_corpus")
+      emb.filter(col("vec_id") < 300).write.format("parquet")
+        .mode("overwrite").saveAsTable("graft_annnovs_corpus")
+      val stream = emb.filter(col("vec_id") >= 300)
+        .unionByName(emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      graft.streaming.EventStreams.annNoveltyReplay(s, "graft_annnovs_idx",
+          "graft_annnovs_corpus", stream, nBatches = 4,
+          tau = 1e-6, nprobe = 4, kCand = 8)
+        .orderBy("vec_id")
+    }),
     "stream_ann_append" -> ((s, dir) => {
       import s.implicits._
       // streaming ingestion into the IVF-PQ index: models fitted on
@@ -2886,6 +2913,9 @@ object SparkEntry {
     "stream_ann_append" -> valuesOracle("stream_ann_append"),
     "ann_novelty_ingest" -> valuesOracle("ann_novelty_ingest"),
     "ann_index_reindex" -> valuesOracle("ann_index_reindex"),
+    // shares ann_novelty_ingest's oracle: same stream, same batch
+    // boundaries, same frozen models — bit-equal verdicts, two plans
+    "stream_novelty_ingest" -> valuesOracle("ann_novelty_ingest"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),

@@ -990,6 +990,49 @@ object EventStreams {
       .agg(count(lit(1)).as("cell_rows"))
   }
 
+  /** Streaming novelty-gated ANN ingestion: [[annAppendReplay]]'s
+    * foreachBatch plumbing around [[graft.api.Ann.admitNovelVectors]] —
+    * each micro-batch searches the PRE-batch index state, drops
+    * near-duplicates on the exact verdict, and appends survivors to both
+    * stores. Cross-batch state is load-bearing exactly like
+    * [[rollingDedupReplay]]: a clone of a batch-1 admit arriving in batch
+    * 3 must drop on state batch 1 appended. Because admission semantics
+    * are defined per batch (pre-batch state only), the streamed verdicts
+    * are bit-equal to the batch-chunked driver loop at the same batch
+    * boundaries — one oracle, two plans. The cloned-session refresh
+    * covers all THREE tables the admit reads (codes, model, raw corpus).
+    * Returns `(vec_id, admitted)` for the whole stream. */
+  def annNoveltyReplay(spark: SparkSession, tablePrefix: String,
+                       corpusTable: String,
+                       stream: Seq[(Long, Seq[Double])], nBatches: Int,
+                       tau: Double, nprobe: Int,
+                       kCand: Int = 8): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        Seq(s"${tablePrefix}_codes", s"${tablePrefix}_model", corpusTable)
+          .foreach(ss.catalog.refreshTable)
+        graft.api.Ann.admitNovelVectors(
+            batch.select(col("vec_id").cast("long").as("vec_id"),
+              col("embedding").cast("array<double>").as("embedding")),
+            tablePrefix, corpusTable, tau, nprobe, kCand)
+          .collect()
+          .foreach(r => verdicts.synchronized {
+            verdicts += ((r.getLong(0), r.getBoolean(1))) })
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      val chunk = math.max(1, (stream.size + nBatches - 1) / nBatches)
+      stream.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    verdicts.toSeq.toDF("vec_id", "admitted")
+  }
+
   /** Batch-mode sessionization with identical gap semantics, built on window
     * functions — the oracle twin of [[sessionize]] and the scalable batch
     * formulation (two shuffles: by user, then by (user, session)). */
