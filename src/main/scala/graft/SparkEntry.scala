@@ -576,6 +576,47 @@ object SparkEntry {
     // dup-span CTE chain recomputed from scratch over ONLY the surviving
     // documents — so a compaction that merely filtered flags (keeping a
     // span whose only duplicate partner was deleted) mismatches.
+    "takedown_pipeline" -> ((s, dir) => {
+      // the takedown story END TO END: ONE deletion set threaded through
+      // both doc-side persisted index families over the same corpus split
+      // (build < 300, append 300..399, delete doc_id % 7 == 0), then
+      // every post-delete surface answered from the compacted state: the
+      // span index must detect as if the deleted docs never existed, and
+      // the signature probe of fresh docs (>= 400) against the surviving
+      // corpus must emit exactly the survivors' pair set. Composition
+      // bugs — a deletion set applied to one index but not the other,
+      // id-threading, stale reads across the two compactions — are what
+      // the per-index gates cannot see. Output: one tall frame,
+      // surface='span' rows (doc, span_start, n_tokens) + surface='pair'
+      // rows (batch, corpus, sim).
+      val docs = load(s, dir, "documents")
+      val deleted = docs
+        .filter(col("doc_id") < 400 && col("doc_id") % 7 === 0)
+        .select("doc_id")
+      graft.api.Dedup.saveGramIndex(docs.filter(col("doc_id") < 300),
+        "graft_take_gidx", 8, "doc_id", "text", width = 8)
+      graft.api.Dedup.appendToGramIndex(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "graft_take_gidx", "doc_id", "text", width = 8)
+      graft.api.Dedup.compactGramIndex(s, "graft_take_gidx", deleted, width = 8)
+      graft.api.BandedLsh.saveSignatureIndex(docs.filter(col("doc_id") < 300),
+        "graft_take_sidx", 8, "doc_id", "text", 4, 8, 3, 123L, hotBucketCap = 5)
+      graft.api.BandedLsh.appendToSignatureIndex(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "graft_take_sidx", "doc_id", "text", 4, 8, 3, 123L)
+      graft.api.BandedLsh.compactSignatureIndex(s, "graft_take_sidx", deleted)
+      val survivors = docs.filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
+      val spans = graft.api.Dedup.dupSpansFromIndex(s, "graft_take_gidx")
+        .select(lit("span").as("surface"), col("doc_id").cast("long").as("a"),
+          col("span_start").cast("long").as("b"),
+          col("n_tokens").cast("double").as("v"))
+      val pairs = graft.api.BandedLsh.nearDupAgainstIndex("graft_take_sidx",
+          survivors, docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", 4, 8, 3, 123L, 0.35)
+        .select(lit("pair").as("surface"), col("batch_id").cast("long").as("a"),
+          col("corpus_id").cast("long").as("b"), col("sim").as("v"))
+      spans.unionByName(pairs).orderBy("surface", "a", "b")
+    }),
     "gram_index_compact" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
       graft.api.Dedup.saveGramIndex(docs.filter(col("doc_id") % 3 < 2),
@@ -3230,6 +3271,7 @@ object SparkEntry {
     // surviving documents (deletion changes the duplication relation)
     "gram_index_compact" -> oracleSqlDupSpanDetectOver(
       "(SELECT * FROM documents WHERE doc_id % 5 <> 0)"),
+    "takedown_pipeline" -> valuesOracle("takedown_pipeline"),
     // same CTE chain as dup_span_detect, rolled up per source; the
     // fraction is a double ratio of two exact integer sums (bit-stable)
     "dup_span_stats" ->

@@ -2224,6 +2224,66 @@ def main(sf_dir, spark_dir):
         ") AS t(batch_id, corpus_id, sim)\nORDER BY batch_id, corpus_id")
     custom["rolling_dedup"] = (rd_rows, ("batch_id", "corpus_id", "sim"), rd_sql)
 
+    # ---- takedown_pipeline: ONE deletion set (doc_id % 7 == 0, < 400)
+    # through BOTH doc-side index families, every post-delete surface
+    # re-derived over the SURVIVORS only. Spans: the dup-span chain
+    # (lowercase [a-z]+ tokens, 8-grams, cross-doc dup grams, island
+    # merge) — a full Python re-derivation, independent of the DuckDB CTE
+    # the per-index gates use. Pairs: the rolling banding-collision +
+    # exact-Jaccard set (reuses rd_bands/rd_shingles) with the corpus
+    # side filtered to survivors. Composition bugs (deletion applied to
+    # one index only, id-threading) land here as row drift.
+    tk_alive = {did for did, _ in docs if did < 400 and did % 7 != 0}
+    tk_grams = {}
+    for did, text in docs:
+        if did not in tk_alive:
+            continue
+        toks = [w for w in re.split('[^a-z]+', text.lower()) if w]
+        for i in range(len(toks) - 7):
+            tk_grams.setdefault(' '.join(toks[i:i + 8]), []).append((did, i))
+    tk_flagged = {}
+    for g, occ in tk_grams.items():
+        ds = {d for d, _ in occ}
+        if len(ds) > 1:
+            for d, p in occ:
+                tk_flagged.setdefault(d, set()).add(p)
+    tk_rows = []
+    for d, poss in tk_flagged.items():
+        start = prev_fin = None
+        for p in sorted(poss):
+            if start is None:
+                start, prev_fin = p, p + 7
+            elif p > prev_fin + 1:
+                tk_rows.append(("span", d, start, float(prev_fin - start + 1)))
+                start, prev_fin = p, p + 7
+            else:
+                prev_fin = max(prev_fin, p + 7)
+        if start is not None:
+            tk_rows.append(("span", d, start, float(prev_fin - start + 1)))
+    assert tk_rows, "takedown_pipeline vacuous: no surviving dup span"
+    tk_npair = 0
+    for c in sorted(d for d in rd_bands if d >= 400):
+        for o in sorted(d for d in rd_bands if d < 400 and d % 7 != 0):
+            if not any(rd_bands[c][b] == rd_bands[o][b] for b in range(8)):
+                continue
+            sa, sb = rd_shingles[c], rd_shingles[o]
+            inter = len(sa & sb)
+            sim = inter / (len(sa) + len(sb) - inter)
+            if sim > 0.35:
+                tk_rows.append(("pair", c, o, sim))
+                tk_npair += 1
+    assert tk_npair, "takedown_pipeline vacuous: no surviving probe pair"
+    assert any(d % 7 == 0 and d < 400 for d in rd_bands), \
+        "takedown_pipeline vacuous: deletion set empty"
+    tk_rows.sort()
+    tk_sql = (
+        "SELECT CAST(surface AS VARCHAR) AS surface, CAST(a AS BIGINT) AS a,"
+        " CAST(b AS BIGINT) AS b, CAST(v AS DOUBLE) AS v\n"
+        "FROM (VALUES\n"
+        f"{values_block([(sql_lit(s_), a_, b_, sql_lit(v_)) for s_, a_, b_, v_ in tk_rows])}\n"
+        ") AS t(surface, a, b, v)\nORDER BY surface, a, b")
+    custom["takedown_pipeline"] = (tk_rows, ("surface", "a", "b", "v"), tk_sql)
+
     # ---- index_health: append-drift maintenance scan (mirrors
     # saveSignatureIndex(docs<300, hotBucketCap=5) + appendToSignatureIndex
     # (300..399) + signatureIndexHealth(cap=5)). Build-time classification:
@@ -2919,6 +2979,7 @@ def main(sf_dir, spark_dir):
     custom_order = {"rolling_dedup": "batch_id, corpus_id",
                     "index_health": "band, band_hash",
                     "sig_index_compact": "store, band, band_hash",
+                    "takedown_pipeline": "surface, a, b",
                     "ann_index_health": "cell",
                     "ann_index_rebalance": "cell",
                     "ann_index_merge": "cell",
