@@ -576,6 +576,20 @@ object SparkEntry {
     // dup-span CTE chain recomputed from scratch over ONLY the surviving
     // documents — so a compaction that merely filtered flags (keeping a
     // span whose only duplicate partner was deleted) mismatches.
+    "corpus_diff" -> ((s, dir) => {
+      // dataset-version audit: v1 = docs < 450, v2 = docs >= 50 with
+      // every doc_id % 13 == 0 rewritten (the re-crawl-updated shape) —
+      // all four statuses present. The operator compares 8-byte xxhash64
+      // signatures (the scale path: the full-outer join never carries
+      // bodies); the oracle compares the TEXT itself, so the gate also
+      // pins that the hash compare classifies identically on this corpus.
+      val docs = load(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") < 450)
+      val v2 = docs.filter(col("doc_id") >= 50)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      graft.api.Dedup.corpusDiff(v1, v2).orderBy("doc_id")
+    }),
     "takedown_pipeline" -> ((s, dir) => {
       // the takedown story END TO END: ONE deletion set threaded through
       // both doc-side persisted index families over the same corpus split
@@ -3272,6 +3286,19 @@ object SparkEntry {
     "gram_index_compact" -> oracleSqlDupSpanDetectOver(
       "(SELECT * FROM documents WHERE doc_id % 5 <> 0)"),
     "takedown_pipeline" -> valuesOracle("takedown_pipeline"),
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 450),
+        |v2 AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+        |                   ELSE text END AS text
+        |       FROM documents WHERE doc_id >= 50)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.text = n.text THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // same CTE chain as dup_span_detect, rolled up per source; the
     // fraction is a double ratio of two exact integer sums (bit-stable)
     "dup_span_stats" ->

@@ -753,4 +753,34 @@ object Dedup {
       dupSpans(df, idCol, textCol, width, spreadInput,
         Tokenizers.bpe(merges), crossDocOnly),
       idCol, textCol, merges, spreadInput, recompute, drop)
+
+  /** Corpus-version diff — the audit step between dataset releases
+    * ("what changed from v1 to v2?"): a full-outer id join classifying
+    * every id as `added` (new only), `removed` (old only), `changed`
+    * (both, different content) or `unchanged`. With `byHash` (default)
+    * the compare runs on `xxhash64(text)` computed BEFORE the shuffle, so
+    * the join carries (id, 8 B) instead of document bodies — at 100 TB
+    * the difference between a metadata-sized exchange and re-shuffling
+    * the corpus twice; a 64-bit collision mislabeling a changed doc as
+    * unchanged is ~N²/2⁶⁵ and acceptable for an audit (set
+    * `byHash = false` to compare bodies when it is not). One shuffle per
+    * side, no driver state. Output: `(<idCol>, status)`. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 byHash: Boolean = true): DataFrame = {
+    // null text coalesces to "" BEFORE the signature on both sides: a
+    // null would otherwise null the signature and misclassify a present
+    // row as added/removed (and null === null is null, not a match)
+    def sig(df: DataFrame, as: String) = {
+      val body = coalesce(col(textCol), lit(""))
+      df.select(col(idCol).cast("long").as("__id"),
+        (if (byHash) xxhash64(body) else body).as(as))
+    }
+    sig(oldDf, "__sig_old").join(sig(newDf, "__sig_new"), Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__sig_old").isNull, "added")
+          .when(col("__sig_new").isNull, "removed")
+          .when(col("__sig_old") === col("__sig_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

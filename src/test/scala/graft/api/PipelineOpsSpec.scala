@@ -613,6 +613,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("corpusDiff: all four statuses; hash and body compare agree; null text handled") {
+    val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "goes away"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "did change"), (4L, "brand new"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val want = Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged")
+    for (byHash <- Seq(true, false)) {
+      val got = Dedup.corpusDiff(v1, v2, byHash = byHash)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"byHash=$byHash: $got")
+    }
+  }
+
   test("repetitionFilter: each Gopher rule gates independently") {
     // thresholds chosen so each fixture doc trips exactly one rule
     val docs = Seq(
