@@ -887,14 +887,23 @@ object SparkEntry {
       // force small splits so splittability is OBSERVABLE at fixture size
       // (one ~100 KB file is one split under the default 128 MB) — session
       // conf, read at PLANNING time, so the pin evaluates inside the
-      // save/restore window and the returned plan is unaffected
-      val prev = s.conf.get("spark.sql.files.maxPartitionBytes")
-      s.conf.set("spark.sql.files.maxPartitionBytes", "16384")
-      try {
-        val probe = s.read.schema(docs.schema).json(path)
-        require(probe.rdd.getNumPartitions > 1,
-          "a single .json.bz2 file must split into multiple read partitions")
-      } finally s.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      // save/restore window and the returned plan is unaffected. Pin only
+      // when the compressed file actually exceeds the split size with
+      // margin: bzip2 compresses this deliberately repetitious synthetic
+      // text hard, and a smaller future fixture landing under one split
+      // would otherwise abort a perfectly fine roundtrip.
+      val splitBytes = 4096L
+      val bz2Size = files.filter(_.getName.endsWith(".json.bz2"))
+        .map(_.length).max
+      if (bz2Size > 2 * splitBytes) {
+        val prev = s.conf.get("spark.sql.files.maxPartitionBytes")
+        s.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
+        try {
+          val probe = s.read.schema(docs.schema).json(path)
+          require(probe.rdd.getNumPartitions > 1,
+            "a single .json.bz2 file must split into multiple read partitions")
+        } finally s.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      }
       s.read.schema(docs.schema).json(path)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")

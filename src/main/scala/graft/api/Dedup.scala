@@ -764,7 +764,14 @@ object Dedup {
     * the corpus twice; a 64-bit collision mislabeling a changed doc as
     * unchanged is ~N²/2⁶⁵ and acceptable for an audit (set
     * `byHash = false` to compare bodies when it is not). One shuffle per
-    * side, no driver state. Output: `(<idCol>, status)`. */
+    * side, no driver state. Output: `(<idCol>, status)`.
+    *
+    * Ids keep their own type (string URLs/UUIDs included — casting would
+    * null them and misclassify every row) and must be UNIQUE within each
+    * version: a duplicate id multiplies its rows M×N through the join,
+    * and "one verdict per id" is ill-posed for it anyway — run exact
+    * dedup first. Null ids never join-match, so such rows surface as
+    * added + removed; filter them upstream if that is not intended. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
                  idCol: String = "doc_id", textCol: String = "text",
                  byHash: Boolean = true): DataFrame = {
@@ -773,7 +780,7 @@ object Dedup {
     // row as added/removed (and null === null is null, not a match)
     def sig(df: DataFrame, as: String) = {
       val body = coalesce(col(textCol), lit(""))
-      df.select(col(idCol).cast("long").as("__id"),
+      df.select(col(idCol).as("__id"),
         (if (byHash) xxhash64(body) else body).as(as))
     }
     sig(oldDf, "__sig_old").join(sig(newDf, "__sig_new"), Seq("__id"), "full_outer")

@@ -633,12 +633,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // passes
       (2L, "too short here"),                                           // word count
       (3L, "dup alpha dup beta dup gamma dup delta dup epsilon"),       // dup words (non-adjacent: bigrams stay distinct)
-      (4L, "ping pong ping pong ping pong alpha beta gamma delta epsilon zeta") // bigram conc. (dwf 4/12 stays under cap)
+      (4L, "ping pong ping pong ping pong alpha beta gamma delta epsilon zeta"), // bigram conc. (dwf 4/12 stays under cap)
+      (5L, ("a1 b1 c1 d1 e1 f1 g1 h1 i1 j1 k1 l1 m1 n1 o1 p1 q1 r1" +
+        " glue word glue word")) // dup bigrams: "glue word" x2 of 21 grams, top frac 0.095 and dwf 0.09 stay under caps
     ).toDF("doc_id", "text")
     val got = TextAnalysis.repetitionFilter(docs, minWords = 5L,
-        maxDupWordFrac = 0.35, maxTop2GramFrac = 0.25, maxDup2GramFrac = 0.5)
+        maxDupWordFrac = 0.35, maxTop2GramFrac = 0.25, maxDup2GramFrac = 0.04)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false), got)
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false), got)
     // sanity that the intended rule (not a sibling) fired for 3 and 4
     val stats = TextAnalysis.repetitionStats(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -646,6 +649,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       stats(3L).getAs[Double]("top_2gram_frac") <= 0.25)
     assert(stats(4L).getAs[Double]("top_2gram_frac") > 0.25 &&
       stats(4L).getAs[Double]("dup_word_frac") <= 0.35)
+    // doc 5 trips ONLY the dup-2gram cap — the rule the other fixtures
+    // can't isolate (adjacent word dups inflate top-2gram too)
+    assert(stats(5L).getAs[Double]("dup_2gram_frac") > 0.04 &&
+      stats(5L).getAs[Double]("top_2gram_frac") <= 0.25 &&
+      stats(5L).getAs[Double]("dup_word_frac") <= 0.35 &&
+      stats(5L).getAs[Long]("word_count") >= 5L)
   }
 
   test("assignTokenShards: contiguous integer-exact boundaries, balanced mass, clamped tail") {

@@ -469,6 +469,47 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("annNoveltyReplay: verdicts equal the batch loop at EVERY batch split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // batch boundaries are semantic here (admission sees pre-batch state
+    // only): a clone of a streamed natural drops at nBatches>1 but can
+    // ADMIT intra-batch at nBatches=1 — so the check is replay(n) ==
+    // driver-loop(n) per n, not one pinned verdict set
+    def vec(i: Long): Seq[Double] =
+      (0 until 8).map(j => math.sin(i * 0.7 + j * 1.3) * (1 + (i % 5)))
+    val base = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val stream: Seq[(Long, Seq[Double])] =
+      (100L until 112L).map(i => (i, vec(i))) ++        // fresh
+      (0L until 3L).map(i => (1000L + i, vec(i))) ++    // clones of base
+      (100L until 103L).map(i => (2000L + i, vec(i)))   // clones of streamed
+    for (n <- Seq(1, 2, 3)) {
+      val ps = Seq(s"graft_snov_a$n", s"graft_snov_b$n")
+      for (p <- ps; t <- Seq(s"${p}_idx_codes", s"${p}_idx_model", s"${p}_corp"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      try {
+        for (p <- ps) {
+          graft.api.Ann.saveIvfPqIndex(graft.api.Ann.fitIvfPq(base,
+            nlist = 4, m = 4, ksub = 8, seed = 11L, iters = 3), s"${p}_idx")
+          base.write.format("parquet").mode("overwrite").saveAsTable(s"${p}_corp")
+        }
+        val streamed = EventStreams.annNoveltyReplay(spark,
+            s"${ps.head}_idx", s"${ps.head}_corp", stream, nBatches = n,
+            tau = 1e-6, nprobe = 3)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        val chunk = math.max(1, (stream.size + n - 1) / n)
+        val looped = stream.grouped(chunk).flatMap { c =>
+          graft.api.Ann.admitNovelVectors(c.toDF("vec_id", "embedding"),
+              s"${ps(1)}_idx", s"${ps(1)}_corp", tau = 1e-6, nprobe = 3)
+            .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+        }.toMap
+        assert(streamed == looped, s"nBatches=$n diverged: $streamed vs $looped")
+        assert(streamed.keySet.size == stream.size)
+      } finally for (p <- ps; t <- Seq(s"${p}_idx_codes", s"${p}_idx_model", s"${p}_corp"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("sessionizeBatch matches gap semantics") {
     import spark.implicits._
     val events = Seq(
