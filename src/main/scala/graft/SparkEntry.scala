@@ -1066,6 +1066,27 @@ object SparkEntry {
           graft.functions.bpe_count(col("text"), ranks).as("n_tokens_bpe"))
         .orderBy("doc_id")
     }),
+    "tokenizer_fertility" -> ((s, dir) => {
+      // multilingual tokenizer audit: tokens per 100 chars by language,
+      // for BOTH tokenizers (whitespace words vs the BPE-ish regex) —
+      // the fertility GAP between languages is the signal a tokenizer
+      // disadvantages a script (more tokens per character = less
+      // content per context window), the number a multilingual data
+      // card quotes. Map-side-combined aggregate, one scan; fertility =
+      // one double division of two exact integer sums (bit-stable).
+      graft.api.SparkEnv.spread(load(s, dir, "documents"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), "\\s+")).cast("long")).as("ws_tokens"),
+          sum(regexp_count(col("text"),
+            lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]")).cast("long")).as("bpe_tokens"),
+          sum(col("n_chars")).as("chars"))
+        .withColumn("ws_per_100c",
+          col("ws_tokens") * lit(100.0) / col("chars"))
+        .withColumn("bpe_per_100c",
+          col("bpe_tokens") * lit(100.0) / col("chars"))
+        .orderBy("lang")
+    }),
     "token_count" -> ((s, dir) => {
       // spread: four regex counters per row, re-sorted by the ORDER BY —
       // parallelism must not be capped by the one-row-group fixture scan
@@ -3753,6 +3774,16 @@ object SparkEntry {
         |       length(list_filter(string_split(text, ' '),
         |                          w -> list_contains(['the', 'a', 'of', 'and', 'is'], w))) AS stopwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tokenizer_fertility" ->
+      """SELECT lang, count(*) AS docs,
+        |       CAST(SUM(length(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS ws_tokens,
+        |       CAST(SUM(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |       CAST(SUM(length(regexp_split_to_array(text, '\s+'))) AS BIGINT) * 100.0
+        |         / CAST(SUM(n_chars) AS BIGINT) AS ws_per_100c,
+        |       CAST(SUM(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))) AS BIGINT) * 100.0
+        |         / CAST(SUM(n_chars) AS BIGINT) AS bpe_per_100c
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |       length(regexp_split_to_array(text, '\s+')) AS ws_tokens,
