@@ -569,13 +569,6 @@ object SparkEntry {
       graft.api.Dedup.dupSpansFromIndex(s, "graft_gram_idx")
         .orderBy("doc_id", "span_start")
     }),
-    // The retention-delete lifecycle (round 14): build + append as above,
-    // then compact a takedown set (doc_id%5==0) OUT of the index —
-    // triples rewritten minus the deleted docs, flags RE-DERIVED from the
-    // surviving triples (never the corpus text). Oracle: the same
-    // dup-span CTE chain recomputed from scratch over ONLY the surviving
-    // documents — so a compaction that merely filtered flags (keeping a
-    // span whose only duplicate partner was deleted) mismatches.
     "corpus_diff" -> ((s, dir) => {
       // dataset-version audit: v1 = docs < 450, v2 = docs >= 50 with
       // every doc_id % 13 == 0 rewritten (the re-crawl-updated shape) —
@@ -631,6 +624,13 @@ object SparkEntry {
           col("corpus_id").cast("long").as("b"), col("sim").as("v"))
       spans.unionByName(pairs).orderBy("surface", "a", "b")
     }),
+    // The retention-delete lifecycle (round 14): build + append as above,
+    // then compact a takedown set (doc_id%5==0) OUT of the index —
+    // triples rewritten minus the deleted docs, flags RE-DERIVED from the
+    // surviving triples (never the corpus text). Oracle: the same
+    // dup-span CTE chain recomputed from scratch over ONLY the surviving
+    // documents — so a compaction that merely filtered flags (keeping a
+    // span whose only duplicate partner was deleted) mismatches.
     "gram_index_compact" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
       graft.api.Dedup.saveGramIndex(docs.filter(col("doc_id") % 3 < 2),
@@ -2642,6 +2642,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "stream_gram_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // streaming twin for the LAST persisted index family without one:
+      // gram index built on docs < 300, docs >= 300 arrive over 4
+      // micro-batches through cloned-session appends. Gram appends are
+      // order-associative (each append flags BOTH sides of every new
+      // cross-batch duplication), so the final spans equal the batch
+      // chain over the whole corpus — the oracle IS dup_span_detect's
+      // full re-derivation; what the plan adds is the two-table
+      // (triples + flags) cloned-session refresh.
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val (corpus, stream) = docs.partition(_._1 < 300)
+      graft.streaming.EventStreams.gramIngestReplay(s, "graft_gram_sidx",
+          corpus, stream, nBatches = 4, width = 8)
+        .orderBy("doc_id", "span_start")
+    }),
     "stream_novelty_ingest" -> ((s, dir) => {
       import s.implicits._
       // streaming twin of ann_novelty_ingest: the SAME stream, batch
@@ -3311,6 +3329,9 @@ object SparkEntry {
     // oracle IS dup_span_detect's SQL, re-referenced so the two can never
     // drift apart
     "rolling_dup_spans" -> oracleSqlDupSpanDetect,
+    // streamed gram ingestion ends at the same index state (appends are
+    // order-associative), so the batch oracle applies verbatim
+    "stream_gram_ingest" -> oracleSqlDupSpanDetect,
     // post-compaction state == the batch chain recomputed over ONLY the
     // surviving documents (deletion changes the duplication relation)
     "gram_index_compact" -> oracleSqlDupSpanDetectOver(

@@ -990,6 +990,46 @@ object EventStreams {
       .agg(count(lit(1)).as("cell_rows"))
   }
 
+  /** Streaming ingestion into a persisted gram-span index
+    * ([[graft.api.Dedup.saveGramIndex]]): each micro-batch lands via
+    * [[graft.api.Dedup.appendToGramIndex]] — the last persisted index
+    * family to get its streaming twin. Appends are order-ASSOCIATIVE by
+    * construction (the flag state ultimately encodes the duplication
+    * relation of the union, and each append flags BOTH sides of every
+    * new cross-batch duplication), so the final index equals the batch
+    * build over the whole corpus regardless of batch boundaries — the
+    * gate reuses the batch dup-span oracle directly. The plumbing being
+    * gated is the cloned-session refresh across the triples AND flags
+    * tables (the rollingDedupReplay trap: a stale relation cache makes a
+    * batch mine against the pre-append listing, silently under-flagging
+    * every later duplication). Returns the final merged span set. */
+  def gramIngestReplay(spark: SparkSession, table: String,
+                       corpus: Seq[(Long, String)],
+                       stream: Seq[(Long, String)], nBatches: Int,
+                       width: Int): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.api.Dedup.saveGramIndex(corpus.toDF("doc_id", "text"), table, 8,
+      "doc_id", "text", width = width)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        Seq(table, s"${table}_flags").foreach(ss.catalog.refreshTable)
+        graft.api.Dedup.appendToGramIndex(
+          batch.select(col("doc_id").cast("long").as("doc_id"), col("text")),
+          table, "doc_id", "text", width = width)
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      val chunk = math.max(1, (stream.size + nBatches - 1) / nBatches)
+      stream.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    Seq(table, s"${table}_flags").foreach(spark.catalog.refreshTable)
+    graft.api.Dedup.dupSpansFromIndex(spark, table)
+  }
+
   /** Streaming novelty-gated ANN ingestion: [[annAppendReplay]]'s
     * foreachBatch plumbing around [[graft.api.Ann.admitNovelVectors]] —
     * each micro-batch searches the PRE-batch index state, drops
