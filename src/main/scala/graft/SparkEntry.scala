@@ -869,6 +869,55 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    "source_jsonl_corrupt" -> ((s, dir) => {
+      // crawl-ingest robustness: real JSONL dumps carry malformed lines
+      // (truncated records, stray HTML, encoding damage), and a 100 TB
+      // ingest must neither die on them NOR silently drop valid rows.
+      // PERMISSIVE mode + a columnNameOfCorruptRecord column makes the
+      // damage OBSERVABLE: corrupt lines surface as rows with the raw
+      // line captured, valid rows parse untouched. The gate plants 7
+      // malformed lines in a real dump, pins the corrupt COUNT exactly,
+      // and returns the valid rows — which must equal the uncorrupted
+      // roundtrip bit-for-bit.
+      val docs = dirtiedDocs(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_jsonl_bad"
+      docs.coalesce(1).write.mode("overwrite").json(path)
+      val part = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      val bad = Seq(
+        "{\"doc_id\": 900001, \"text\": \"truncated",
+        "<html><body>not json at all</body></html>",
+        "{\"doc_id\": } ",
+        "{'doc_id': 900002}",            // single quotes: invalid under allowSingleQuotes=false
+        "\u0000\u0001 binary junk",
+        "{\"doc_id\": 900003, \"n_chars\": \"NaN\"",
+        "}}")
+      java.nio.file.Files.write(part.toPath,
+        ("\n" + bad.mkString("\n") + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      // the local FS wrote a .crc sidecar at Spark-write time; the append
+      // above invalidates it and Hadoop's checksummed reader would fail
+      // the whole file — delete the sidecar so the read exercises the
+      // JSON parser's malformed-line path, not the checksum layer
+      new java.io.File(part.getParentFile, s".${part.getName}.crc").delete()
+      val schema = org.apache.spark.sql.types.StructType(
+        docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_bad", org.apache.spark.sql.types.StringType, true))
+      val back = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        // strict JSON: Spark's default allowSingleQuotes=true silently
+        // accepts the non-standard quoting crawlers emit — pin it off so
+        // the single-quote plant is corrupt as the spec'd format says
+        .option("allowSingleQuotes", "false")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+        .localCheckpoint(true) // one parse; the count and the select both read it
+      require(back.filter(col("_bad").isNotNull).count() == bad.length,
+        "every planted malformed line must surface as a corrupt record")
+      back.filter(col("_bad").isNull)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     "source_jsonl_bz2_roundtrip" -> ((s, dir) => {
       // bzip2-compressed JSONL — the one SPLITTABLE text codec in the
       // family: unlike .json.gz (one stream per part, parallelism capped
@@ -3040,6 +3089,8 @@ object SparkEntry {
     "source_jsonl_gz_roundtrip" ->
       dirtiedDocsOracleSql,
     "source_jsonl_bz2_roundtrip" ->
+      dirtiedDocsOracleSql,
+    "source_jsonl_corrupt" ->
       dirtiedDocsOracleSql,
     "sink_parquet_zstd" ->
       dirtiedDocsOracleSql,
