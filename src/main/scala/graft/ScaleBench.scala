@@ -555,6 +555,23 @@ object ScaleBench {
         println(f"  compact-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($affected cells affected)")
         affected
       },
+      // corpusDiff's byHash claim made measurable: v2 = ×k docs with 10%
+      // rewritten; the hash mode's full-outer join carries (id, 8 B)
+      // while body mode re-shuffles the text columns — the shufMB column
+      // is the whole story, the verdicts are identical (forced equal via
+      // the changed-count checksum both return).
+      "diff_hash" -> { (k: Int) =>
+        val v2 = docs(k).withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        api.Dedup.corpusDiff(docs(k), v2, byHash = true)
+          .filter(col("status") === "changed").count()
+      },
+      "diff_body" -> { (k: Int) =>
+        val v2 = docs(k).withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        api.Dedup.corpusDiff(docs(k), v2, byHash = false)
+          .filter(col("status") === "changed").count()
+      },
       // Full reindex — the deliberately CORPUS-BOUND lifecycle step (fit
       // on a fresh seed + re-encode everything + swap): measured as the
       // baseline the whole maintenance family (append/repair/compact)
