@@ -1111,8 +1111,10 @@ object Ann {
     *   2. the shortlist joins `corpusTable` — the raw-vector store this
     *      operator co-maintains with the index — and the verdict is the
     *      EXACT squared L2: best `<= tau` drops the vector;
-    *   3. survivors append to BOTH stores (codes under the frozen
-    *      models, raw rows to `corpusTable`).
+    *   3. survivors append to BOTH stores — raw rows to `corpusTable`
+    *      FIRST (id-guarded, so a crash between the two appends leaves a
+    *      harmless orphan raw row and a re-run converges; see the inline
+    *      note), then codes under the frozen models.
     *
     * Cost per batch: the batch's own search + `kCand` exact distances per
     * vector + the admitted rows' encode — never a corpus pass. Admission
@@ -1130,16 +1132,24 @@ object Ann {
     * it would duplicate the id in both stores (breaking the repairs'
     * corpus-coverage assertion), and the similarity path alone cannot
     * catch it — the search excludes `query_id == neighbor_id`, so the
-    * row's own original is invisible to its shortlist. Returns
-    * `(<idCol>, admitted)` for every batch row; an empty batch returns an
-    * empty frame. */
+    * row's own original is invisible to its shortlist. The same rule
+    * applies INTRA-batch: duplicate ids within one batch collapse to one
+    * arbitrary row before anything else runs. Returns
+    * `(<idCol>, admitted)` for every distinct batch id; an empty batch
+    * returns an empty frame. */
   def admitNovelVectors(batch: DataFrame, tablePrefix: String,
                         corpusTable: String, tau: Double, nprobe: Int,
                         kCand: Int = 8, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     import batch.sparkSession.implicits._
     val spark = batch.sparkSession
+    // one row per id: a batch carrying the same vec_id twice (a re-crawl
+    // emitting duplicates WITHIN one fetch) would otherwise append the id
+    // twice to both stores — exactly the duplication the persisted-id
+    // guard below exists to prevent, just sourced intra-batch. Arbitrary
+    // pick among the duplicates, same as the re-crawl rule.
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .dropDuplicates(idCol)
     def emptyVerdict = Seq.empty[(Long, Boolean)].toDF(idCol, "admitted")
     if (b.isEmpty) return emptyVerdict
     val idx = loadIvfPqIndex(spark, tablePrefix)
@@ -1161,9 +1171,25 @@ object Ann {
           .filter(sqdist <= tau)
           .select(col("query_id").as(idCol)).distinct()
       }
-    val admitted = fresh.join(dup, Seq(idCol), "left_anti").localCheckpoint(true)
+    val admitted = fresh.join(dup, Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol)).localCheckpoint(true)
+    // Crash discipline (two commits, no transaction spanning them): the
+    // RAW row lands first, guarded by a corpus-side id check. A crash
+    // between the appends leaves an orphan raw row — harmless (it is not
+    // in the index, so no shortlist can reference it, and reindexIvfPq
+    // from the raw store simply picks it up) — and a re-run CONVERGES:
+    // the codes-side guard above still sees the id as fresh (its own raw
+    // row cannot shortlist-match it — the orphan has no codes), re-admits
+    // it, the corpus-side guard skips the already-present raw row, and
+    // the codes append completes the pair. The former codes-first order
+    // was silently lossy: an id in codes with no raw vector is dropped by
+    // the freshness guard forever, so the exact-verify join loses that
+    // neighbor and a later reindex drops it from the index.
+    admitted
+      .join(spark.table(corpusTable).select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol))
+      .write.mode("append").insertInto(corpusTable)
     appendToIvfPqIndex(admitted, tablePrefix, idCol, vecCol)
-    admitted.write.mode("append").insertInto(corpusTable)
     b.select(col(idCol))
       .join(admitted.select(col(idCol), lit(true).as("admitted")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("admitted"), lit(false)).as("admitted"))

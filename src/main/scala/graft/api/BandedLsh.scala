@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Scale-out helpers for the reference's banded LSH blocking-join pattern
   * (/root/reference/README.md:133-164). The README idiom is one join per
@@ -221,6 +222,19 @@ object BandedLsh {
                                 seed: Long, minSim: Double,
                                 maxRelationalBucket: Long = 8192L,
                                 numBlocks: Int = 8): DataFrame = {
+    // The fused fallback ([[bandedSelfJoinPairs]]) carries ids as longs;
+    // a non-integral id (string UUID — plausible in record linkage) would
+    // cast to null and silently drop pairs ONLY when the hot-bucket route
+    // trips, breaking the identical-pair-set contract. Fail loudly up
+    // front instead; the relational [[editVerifiedPairs]] keeps native id
+    // types if longs are unavailable.
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"editVerifiedPairsAdaptive requires an integral id column (the " +
+          s"fused hot-bucket route carries ids as longs); '$idCol' is $t. " +
+          "Use editVerifiedPairs, or map ids to longs first.")
+    }
     val (_, maxBucket, _) =
       candidateCensus(df, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
     if (maxBucket <= maxRelationalBucket)

@@ -260,13 +260,16 @@ object Packing {
     * Result is bit-identical to the global window for ANY bucket count
     * (spec-pinned), so `buckets` is purely a parallelism knob. Null ids
     * and null keys are dropped (no place in the order); a null VALUE
-    * counts as 0 — coalesced up front, because the bucket-total max_by
-    * below reads the last stream row's `run + value`, and a null there
-    * would silently erase its whole bucket from every later offset (the
-    * global window's sum merely skips nulls; 0 reproduces that exactly).
-    * `valueCol` may otherwise be any long (negative values fine — totals
-    * are last-row inclusive sums, not running-max tricks). Output:
-    * `(id, value, run)` with `run` = sum of `value` over all
+    * counts as 0 — coalesced up front so the returned `value` column
+    * matches what the sums saw (the global window's sum merely skips
+    * nulls; 0 reproduces that exactly). `valueCol` may otherwise be any
+    * long (negative values fine — bucket totals are order-free
+    * sum(value), not running-max tricks), and duplicate `(orderCol, id)`
+    * rows are safe: the window breaks such ties arbitrarily, so WHICH
+    * tied row gets which prefix is nondeterministic (inherent to a
+    * non-total order — the global window has the same freedom), but
+    * every bucket total and therefore every other row's `run` is exact.
+    * Output: `(id, value, run)` with `run` = sum of `value` over all
     * strictly-preceding rows. */
   def globalRunningSum(df: DataFrame, idCol: String, orderCol: Column,
                        valueCol: Column, buckets: Int = 128,
@@ -300,21 +303,31 @@ object Packing {
     val wIn = Window.partitionBy("bucket")
       .orderBy(col("__ord").asc, col("id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val inBucket = bucketed.withColumn("bucket_run",
-      coalesce(sum(col("value")).over(wIn), lit(0L)))
+    // full-frame twin of wIn: sum over the WHOLE bucket — order-free, so
+    // duplicate (orderCol, id) rows (ids are not required unique; the
+    // window breaks such ties arbitrarily) cannot corrupt later buckets'
+    // offsets the way a pick-the-last-row max_by could. It must be a
+    // WINDOW output, not a plain groupBy sum: a bare sum(value) agg does
+    // not depend on the window, so Catalyst prunes the window from the
+    // offsets branch, the pruned branch requires fewer columns below the
+    // exchange, the subtrees stop matching, and the corpus is re-scanned
+    // (observed: 3 scans, 0 reuse — also the fate of a throwaway
+    // max(bucket_run) agg term, which unreferenced-aggregate pruning
+    // removes). The ORDERED full frame keeps the offsets branch's column
+    // requirements identical to the data branch's, so both hang off one
+    // bucket exchange (plan-pinned in PlanShapeSpec).
+    val wAll = Window.partitionBy("bucket")
+      .orderBy(col("__ord").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val inBucket = bucketed
+      .withColumn("bucket_run", coalesce(sum(col("value")).over(wIn), lit(0L)))
+      .withColumn("bucket_total", sum(col("value")).over(wAll))
     // the single-partition window below runs over the ≤ `buckets` TOTALS
-    // rows, never the data. Bucket totals are the LAST row's inclusive sum
-    // via max_by over the stream order — NOT sum(value), which does not
-    // depend on the window output, so Catalyst would prune the window from
-    // this branch and re-scan the corpus (observed: 3 scans, 0 reuse); and
-    // NOT packSequences' max(run + value), which is wrong under negative
-    // values. max_by keeps the dependence (branch shares the bucket
-    // exchange — one corpus read, plan-pinned) and reads the true total.
+    // rows, never the data
     val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = inBucket
       .groupBy("bucket")
-      .agg(max_by(col("bucket_run") + col("value"),
-        struct(col("__ord"), col("id"))).as("btotal"))
+      .agg(max(col("bucket_total")).as("btotal"))
       .withColumn("boffset", coalesce(sum(col("btotal")).over(wB), lit(0L)))
       .select("bucket", "boffset")
     inBucket.join(broadcast(offsets), "bucket")

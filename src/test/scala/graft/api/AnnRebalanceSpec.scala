@@ -418,6 +418,35 @@ class AnnRebalanceSpec extends AnyFunSuite {
       // an empty batch returns an empty verdict, not an exception
       assert(Ann.admitNovelVectors(emb.filter(col("vec_id") < 0), prefix,
         corpTbl, tau = 1e-6, nprobe = 3).isEmpty)
+      // a batch carrying the SAME id twice collapses to one row before
+      // anything runs — two appends of one id would duplicate it in both
+      // stores and break the repairs' corpus-coverage assertion
+      val twice = emb.filter(col("vec_id") === 46)
+        .select(lit(5046L).as("vec_id"), col("embedding"))
+      val vDup = Ann.admitNovelVectors(twice.unionByName(twice), prefix,
+          corpTbl, tau = 1e-6, nprobe = 3, kCand = 8)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(vDup == Map(5046L -> true), s"dup-id batch must admit once, got $vDup")
+      assert(spark.table(corpTbl).filter(col("vec_id") === 5046L).count() == 1L &&
+        spark.table(s"${prefix}_codes").filter(col("neighbor_id") === 5046L).count() == 1L,
+        "duplicate intra-batch id must land exactly once in each store")
+      // crash-window convergence: raw row landed, codes append died.
+      // A re-run of the same batch must re-admit the id (codes-side
+      // freshness guard), complete the codes append, and NOT duplicate
+      // the raw row (corpus-side guard)
+      val orphan = emb.filter(col("vec_id") === 47)
+        .select(lit(6047L).as("vec_id"), col("embedding"))
+      orphan.write.mode("append").insertInto(corpTbl) // simulate the crash
+      val vRerun = Ann.admitNovelVectors(orphan, prefix, corpTbl,
+          tau = 1e-6, nprobe = 3, kCand = 8)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(vRerun == Map(6047L -> true),
+        s"re-run after a crash between the appends must converge, got $vRerun")
+      assert(spark.table(corpTbl).filter(col("vec_id") === 6047L).count() == 1L,
+        "re-run must not duplicate the orphan raw row")
+      assert(spark.table(s"${prefix}_codes")
+        .filter(col("neighbor_id") === 6047L).count() == 1L,
+        "re-run must backfill the codes row")
     } finally {
       for (t <- Seq(s"${prefix}_codes", s"${prefix}_model", corpTbl))
         spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -595,6 +595,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(got.toSeq == truthNull.toSeq,
         s"buckets=$buckets: a null value poisoned its bucket total")
     }
+    // duplicate (orderCol, id) rows — ids are NOT required unique. The
+    // window breaks such ties arbitrarily, so WHICH tied copy gets which
+    // prefix is free, but bucket totals are order-free sum(value), so the
+    // multiset of (id, run) pairs must still equal the global window's
+    // (a pick-the-last-row tie-break would corrupt every later bucket's
+    // offset when the arbitrary pick isn't the true last)
+    val dups = df.unionByName(df.filter($"doc_id" % 7 === 0)) // exact copies
+    val truthDup = dups.withColumn("run", coalesce(sum($"v").over(w), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted
+    for (buckets <- Seq(1, 5, 128)) {
+      val got = Packing.globalRunningSum(dups, "doc_id", $"k", $"v", buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+      assert(got.toSeq == truthDup.toSeq,
+        s"buckets=$buckets: duplicate (orderCol, id) rows corrupted bucket totals")
+    }
   }
 
   test("selectToTokenBudget keeps exactly the inclusive-cumsum-within-budget prefix") {
@@ -1547,6 +1562,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       ngramWidth = 2, bandCount = 4, bandSize = 2, seed = 7L, minSim = 0.9,
       maxRelationalBucket = 8L))
     assert(fused == base, s"fused route: adaptive=${fused.size} base=${base.size}")
+    // non-integral ids fail LOUDLY at the entry point: the fused route
+    // carries ids as longs, so a string UUID would cast to null and
+    // silently drop pairs only when the hot-bucket route trips —
+    // breaking the identical-pair-set contract nondeterministically
+    val strIds = rows.select(concat(lit("u-"), col("id")).as("id"), col("name"))
+    val e = intercept[IllegalArgumentException] {
+      BandedLsh.editVerifiedPairsAdaptive(strIds, "id", "name",
+        ngramWidth = 2, bandCount = 4, bandSize = 2, seed = 7L, minSim = 0.9)
+    }
+    assert(e.getMessage.contains("integral id column"), e.getMessage)
   }
   test("perplexityBuckets: ANSI ntile per lang, id tie-break, head/middle/tail") {
     val scored = Seq(
