@@ -639,6 +639,102 @@ object ScaleBench {
           .agg(coalesce(sum("removed_rows"), lit(0L))).head().getLong(0)
         println(f"  compact-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($removed rows removed)")
         removed
+      },
+      // BPE trainer on the MERGES axis (corpus FIXED — the corpus axis is
+      // already measured flat, the dict aggregate being the only corpus
+      // pass): numMerges = 100·k over the 65536-cap lineitem-keys dict.
+      // Claim: the incremental pair-count trainer is ~linear in merges
+      // with a small constant (only words containing the merged pair
+      // update), while the naive full-recount loop pays O(dict) per merge
+      // — the gap that turns a 32k-merge production vocab from hours into
+      // minutes. Both run on the driver; rows = merge count learned.
+      "bpe_merges" -> { (k: Int) =>
+        val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+          .select(concat_ws(" ", col("l_orderkey"), col("l_partkey"),
+            col("l_suppkey")).as("text"))
+        val dict = api.BpeTrain.wordCounts(li, "text", 65536)
+          .collect().map(r =>
+            (org.apache.spark.sql.graft.BpeRanks.latin1(r.getString(0)),
+              r.getLong(1)))
+        val m = 100 * k
+        val t0 = System.nanoTime()
+        val inc = api.BpeTrain.trainOnDict(dict, m)
+        val tInc = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val naive = api.BpeTrain.trainOnDictNaive(dict, m)
+        val tNaive = (System.nanoTime() - t1) / 1e9
+        require(inc == naive, "incremental trainer diverged from reference")
+        println(f"  bpe x$k ($m merges, dict=${dict.length}): " +
+          f"incremental $tInc%.1fs naive $tNaive%.1fs")
+        inc.size.toLong
+      },
+      // Manifest-tracked staged curation (StagedPipeline): a 5-stage
+      // recipe (boilerplate → NB filter → perplexity tile → DSIR → split),
+      // three inner timers per scale. Claims: (a) staged ≈ inline + a
+      // ~constant per-stage commit (the parquet write of each frontier —
+      // the same materialization the inline chain pays as localCheckpoint,
+      // made durable); (b) resume after a simulated pre-emption (stages
+      // 0–2 committed, 3–4 chopped) costs the REMAINING stages only,
+      // independent of the committed prefix's cost — the property a
+      // pre-empted 100 TB run needs.
+      "staged_curation" -> { (k: Int) =>
+        val prefix = s"scale_staged_x$k"
+        api.StagedPipeline.reset(spark, prefix, maxStages = 8)
+        val src = docs(k).select(col("doc_id"), col("lang"), col("source"),
+          concat(
+            when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter\n"))
+              .otherwise(lit("")),
+            regexp_replace(col("text"), " the ", "\n"),
+            when(col("doc_id") % 4 === 0, lit("\nall rights reserved"))
+              .otherwise(lit(""))).as("text"))
+        val stages = Seq[(String, DataFrame => DataFrame)](
+          "boilerplate_drop" -> (x => api.Dedup.dropBoilerplateLines(
+            x, "doc_id", "text", minDocs = 100L)),
+          "nb_quality_filter" -> (x => api.QualityClassifier.trainScore(
+              x, "text", col("source").isin("src0", "src1"), buckets = 1024)
+            .filter(col("nb_score") > 0.0)),
+          "ppl_tile" -> (x => {
+            val lm = api.TextAnalysis.docLogProbBigram(x)
+            api.TextAnalysis.perplexityBuckets(
+                x.join(lm.select("doc_id", "avg_nll2"), "doc_id"),
+                "lang", "avg_nll2")
+              .filter(col("ppl_class") =!= "tail")
+          }),
+          "dsir_select" -> (x => api.Sampling.dsirResample(x,
+            x.filter(col("lang") === "en"), "doc_id", "text",
+            k = 100, buckets = 1024, seed = 7L)),
+          "train_split" -> (x => api.Sampling.assignSplits(x, "doc_id", 5L,
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+            .filter(col("split") === "train")
+            .select(col("doc_id"), col("logw"))))
+        // inline baseline: the localCheckpoint chain a single session runs
+        val t0 = System.nanoTime()
+        val inlineRows = stages.foldLeft(src) { case (d, (_, f)) =>
+          f(d).localCheckpoint() }.count()
+        val tInline = (System.nanoTime() - t0) / 1e9
+        // staged run: every stage commits its frontier + manifest row
+        val t1 = System.nanoTime()
+        val stagedRows = api.StagedPipeline.run(src, stages, prefix).count()
+        val tStaged = (System.nanoTime() - t1) / 1e9
+        require(stagedRows == inlineRows,
+          s"staged ($stagedRows) != inline ($inlineRows) rows")
+        // simulate a pre-emption after stage 2: chop the last two commits
+        // (manifest surgery + table drops), then time the resume — it must
+        // pay for stages 3-4 only, never the committed prefix
+        val keep = api.StagedPipeline.manifest(spark, prefix)
+          .filter(col("stage_idx") < 3).localCheckpoint(true)
+        api.BucketedWrite.dropTable(spark, s"${prefix}_manifest")
+        keep.write.format("parquet").saveAsTable(s"${prefix}_manifest")
+        Seq(3, 4).foreach(i =>
+          api.BucketedWrite.dropTable(spark, s"${prefix}_s$i"))
+        val t2 = System.nanoTime()
+        val resumedRows = api.StagedPipeline.run(src, stages, prefix).count()
+        val tResume = (System.nanoTime() - t2) / 1e9
+        require(resumedRows == stagedRows, "resume diverged")
+        println(f"  staged x$k: inline $tInline%.1fs staged $tStaged%.1fs " +
+          f"(overhead ${tStaged - tInline}%.1fs) resume-from-3 $tResume%.1fs")
+        api.StagedPipeline.reset(spark, prefix, maxStages = 8)
+        stagedRows
       }
     ).filter { case (n, _) => opsFilter.forall(_.contains(n)) }
 

@@ -32,6 +32,26 @@ object SparkEntry {
   private def load(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Deterministic URL column for the per-domain gates (the documents
+    * fixture has no URL): per-source hosts, a `WWW.` prefix on %5 ids,
+    * %40 path collisions, trailing slashes on %3, query strings on %7,
+    * fragments on %11 — every normalization rule in
+    * [[graft.api.Domains]] gets exercised. Mirrored verbatim in the
+    * DuckDB/Python oracles. */
+  private def withPlantedUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+      concat(lit("https://"),
+        when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".example.com/p"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("?q="), (col("doc_id") % 4).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("#s"), col("doc_id").cast("string")))
+          .otherwise(lit(""))).as("url"))
+
   /** Multilingual derivative of the documents fixture for the tokenizer-
     * seam gates: accented Latin via translate (a→à, e→é — preserves the
     * planted cross-doc duplicate structure, since translate is a per-char
@@ -1115,6 +1135,44 @@ object SparkEntry {
           graft.functions.bpe_count(col("text"), ranks).as("n_tokens_bpe"))
         .orderBy("doc_id")
     }),
+    "bpe_train_1k" -> ((s, dir) => {
+      // the trainer at PRODUCTION merge count: 1024 merges over an
+      // 8192-word dict (the documents fixture's 31-word vocabulary tops
+      // out at ~89 merges, so the corpus is the lineitem key triple as
+      // text — digit-rich words with deep shared-substring structure;
+      // integer columns only, whose string form is engine-independent).
+      // This is the gate the incremental pair-count trainer exists for:
+      // the naive full-recount loop is O(merges x dict) — the Python
+      // mirror (which IS that naive loop) takes ~19 s on this fixture,
+      // the incremental Scala trainer ~1 s, and the gap grows linearly
+      // in merges (docs/SCALE.md MERGES-axis row).
+      val li = load(s, dir, "lineitem")
+      val nums = li.select(concat_ws(" ",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey")).as("text"))
+      graft.api.BpeTrain
+        .mergesDf(s, graft.api.BpeTrain.trainBpe(nums, "text", 1024,
+          vocabCap = 8192))
+        .select(col("rank").cast("long").as("merge_rank"),
+          col("left").as("lhs"), col("right").as("rhs"))
+        .orderBy("merge_rank")
+    }),
+    "token_count_bpe_1k" -> ((s, dir) => {
+      // train -> apply composition at the 1k-merge scale: the learned
+      // ranks drive bpe_count over every lineitem row; output is the
+      // token-count histogram with a per-bucket orderkey checksum (60k
+      // per-row values would bloat the pinned oracle; the checksum pins
+      // WHICH rows land in each bucket, not just how many).
+      val li = load(s, dir, "lineitem")
+      val nums = li.select(col("l_orderkey"), concat_ws(" ",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey")).as("text"))
+      val ranks = graft.api.BpeTrain.trainedRanks(nums, "text", 1024,
+        vocabCap = 8192)
+      nums.select(col("l_orderkey"),
+          graft.functions.bpe_count(col("text"), ranks).as("n_tok"))
+        .groupBy("n_tok")
+        .agg(count(lit(1)).as("rows"), sum(col("l_orderkey")).as("key_sum"))
+        .orderBy("n_tok")
+    }),
     "tokenizer_fertility" -> ((s, dir) => {
       // multilingual tokenizer audit: tokens per 100 chars by language,
       // for BOTH tokenizers (whitespace words vs the BPE-ish regex) —
@@ -1478,6 +1536,68 @@ object SparkEntry {
         .filter(col("split") === "train")
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_v2"),
           col("ppl_class"), col("logw"))
+        .orderBy("doc_id")
+    }),
+    // curate_corpus_v2 made production-restartable: the SAME seven-stage
+    // recipe on the SAME fixture, but each stage commits its frontier to a
+    // manifest-tracked table (StagedPipeline) instead of threading through
+    // session-bound localCheckpoints. The gate drives the resume path
+    // end-to-end: a first run is pre-empted after three committed stages
+    // (stopAfter = 3, the crash a 100 TB run WILL hit), a second run
+    // replays the manifest, resumes from stage 4 reading the committed
+    // table (never recomputing stages 1–3 — spec-pinned via a tamper
+    // probe), and the final train selection must be BIT-EQUAL to
+    // curate_corpus_v2's full-chain Python oracle. Stage boundaries are
+    // exactly the v2 chain's checkpoint frames, so any schema a later
+    // stage needs that a committed table failed to carry surfaces here as
+    // a hash mismatch.
+    "curate_corpus_staged" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val passage =
+        lit(" zebra quagga okapi tapir gnu eland kudu oryx saiga argali")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), concat(col("text"), passage).as("text"))
+      val corpus0 = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat(
+            when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter\n"))
+              .otherwise(lit("")),
+            regexp_replace(col("text"), " the ", "\n"),
+            when(col("doc_id") % 4 === 0, lit("\nall rights reserved"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 3, passage).otherwise(lit("")))
+            .as("text"))
+      val stages = Seq[(String, DataFrame => DataFrame)](
+        "boilerplate_drop" -> (d => graft.api.Dedup.dropBoilerplateLines(
+          d, "doc_id", "text", minDocs = 80L)),
+        "decon_span_cut" -> (d => graft.api.Dedup.cutSpansExact(d,
+          graft.api.Contamination.contaminatedSpans(
+            d, bench, "doc_id", "text", width = 8), "doc_id", "text")),
+        "dup_span_cut" -> (d => graft.api.Dedup.cutDupSpansExact(
+          d, "doc_id", "text", width = 8)),
+        "nb_quality_filter" -> (d => graft.api.QualityClassifier.trainScore(
+            d, "text", col("lang") === "en", buckets = 1024)
+          .filter(col("nb_score") > 0.0)),
+        "ppl_tile" -> (d => {
+          val lm = graft.api.TextAnalysis.docLogProbBigram(d)
+          graft.api.TextAnalysis.perplexityBuckets(
+              d.join(lm.select("doc_id", "avg_nll2"), "doc_id"),
+              "lang", "avg_nll2")
+            .filter(col("ppl_class") =!= "tail")
+        }),
+        "dsir_select" -> (d => graft.api.Sampling.dsirResample(d,
+          d.filter(col("source").isin("src0", "src1")), "doc_id", "text",
+          k = 80, buckets = 1024, seed = 7L)),
+        "train_split" -> (d => graft.api.Sampling.assignSplits(d, "doc_id", 5L,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .filter(col("split") === "train")
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_v2"),
+            col("ppl_class"), col("logw"))))
+      val prefix = "graft_stagedcur"
+      graft.api.StagedPipeline.reset(s, prefix)
+      graft.api.StagedPipeline.run(corpus0, stages, prefix, stopAfter = 3)
+      graft.api.StagedPipeline.run(corpus0, stages, prefix)
         .orderBy("doc_id")
     }),
     // Prototype/coreset selection: the 5 most central vectors per semantic
@@ -2103,6 +2223,36 @@ object SparkEntry {
     "sample_hash" -> ((s, dir) => {
       graft.api.Sampling.sampleByHash(load(s, dir, "documents"), "doc_id", 0.2, 7L)
         .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // Per-domain curation (graft.api.Domains) — the RefinedWeb/Gopher
+    // stage that runs before anything content-based. The documents table
+    // has no URL column, so the gates plant one deterministically from
+    // (source, doc_id): per-source hosts with a WWW. prefix on %5 ids
+    // (normalization must strip it), %40 path collisions (URL dedup must
+    // fire), trailing slashes on %3, query strings on %7 (part of the
+    // identity) and fragments on %11 (not part of it).
+    "domain_quota_sample" -> ((s, dir) => {
+      // at most 8 docs per normalized host (20 planted hosts x 25 docs:
+      // the quota binds on every host), chosen by seeded hash score
+      // via the bounded-heap topk_by aggregate (never a per-host window
+      // sort). Oracle: Python re-derivation — same xxhash64 chain, same
+      // (score, id) tie order, regexp host extraction — pinned VALUES.
+      val urled = withPlantedUrls(load(s, dir, "documents"))
+      graft.api.Domains.domainQuotaSample(urled, "url", "doc_id",
+          maxPerDomain = 8, seed = 13L)
+        .select(col("doc_id"), graft.api.Domains.urlHost(col("url")).as("host"))
+        .orderBy("doc_id")
+    }),
+    "domain_dedup" -> ((s, dir) => {
+      // URL-level exact dedup: keep the min-id doc per normalized URL
+      // (scheme/fragment dropped, host lowercased + de-www'd, trailing
+      // slashes stripped, query kept). Oracle: DuckDB re-derives the
+      // whole normalization with its own regexp engine — two independent
+      // URL parsers must agree on the kept set.
+      val urled = withPlantedUrls(load(s, dir, "documents"))
+      graft.api.Domains.dedupByUrl(urled, "url", "doc_id")
+        .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
     "sample_stratified" -> ((s, dir) => {
@@ -2908,6 +3058,34 @@ object SparkEntry {
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
     "stream_embed_neardup" -> valuesOracle("stream_embed_neardup"),
     "sample_hash" -> valuesOracle("sample_hash"),
+    "domain_quota_sample" -> valuesOracle("domain_quota_sample"),
+    // independent URL parser: DuckDB re-derives host/path/query with its
+    // own regexp engine (RE2) against Spark's parse_url
+    "domain_dedup" -> """
+      WITH u AS (
+        SELECT doc_id, n_chars,
+          'https://' ||
+          CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END ||
+          source || '.example.com/p' || CAST(doc_id % 40 AS VARCHAR) ||
+          CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0
+               THEN '?q=' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END ||
+          CASE WHEN doc_id % 11 = 0
+               THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END AS url
+        FROM documents),
+      k AS (
+        SELECT doc_id, n_chars,
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+            ':[0-9]+$', ''), '^www\.', '')
+          || regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                            '/+$', '')
+          || CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = '' THEN ''
+                  ELSE '?' || regexp_extract(url, '\?([^#]*)', 1) END AS ukey
+        FROM u),
+      keep AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY ukey)
+      SELECT k.doc_id, k.n_chars FROM k JOIN keep USING (doc_id)
+      ORDER BY doc_id""",
     "sample_weighted" -> valuesOracle("sample_weighted"),
     "dsir_resample" -> valuesOracle("dsir_resample"),
     "quality_nb_score" -> valuesOracle("quality_nb_score"),
@@ -3041,6 +3219,9 @@ object SparkEntry {
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),
     "curate_corpus_v2" -> valuesOracle("curate_corpus_v2"),
+    // bit-equal to curate_corpus_v2 by construction: the staged run must
+    // reproduce the in-session chain exactly (same rows, same oracle)
+    "curate_corpus_staged" -> valuesOracle("curate_corpus_staged"),
     "curate_embeddings" -> valuesOracle("curate_embeddings"),
     "semantic_prototypes" -> valuesOracle("semantic_prototypes"),
     "sketch_distinct" -> valuesOracle("sketch_distinct"),
@@ -3074,6 +3255,8 @@ object SparkEntry {
     "token_count_bpe" -> valuesOracle("token_count_bpe"),
     "bpe_train" -> valuesOracle("bpe_train"),
     "token_count_bpe_trained" -> valuesOracle("token_count_bpe_trained"),
+    "bpe_train_1k" -> valuesOracle("bpe_train_1k"),
+    "token_count_bpe_1k" -> valuesOracle("token_count_bpe_1k"),
     "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
     "pack_bins_nfd" -> valuesOracle("pack_bins_nfd"),
     "ann_recall" -> valuesOracle("ann_recall"),

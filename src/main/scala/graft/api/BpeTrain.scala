@@ -79,10 +79,141 @@ object BpeTrain {
       .toDF("rank", "left", "right")
   }
 
-  /** The driver-side merge loop over the capped (word, count) dict.
-    * Package-visible so the spec can pin it on hand-computable fixtures. */
+  /** The driver-side merge loop over the capped (word, count) dict —
+    * INCREMENTAL pair-count maintenance (the classic trainer
+    * optimization): pair counts and a pair→words occurrence index are
+    * built once, and each merge updates only the words that CONTAIN the
+    * merged pair (subtract the word's old adjacent-pair bag, apply the
+    * merge, add the new bag). Best-pair selection is a lazy-deletion
+    * priority queue: every count change pushes a fresh entry; stale
+    * entries (stored count ≠ current) pop and drop. Semantics are
+    * bit-identical to the full-recount loop ([[trainOnDictNaive]],
+    * kept as the spec's reference): same (count DESC, pair bytes ASC)
+    * best-pair order, same overlap counting, same min-count-2 stop —
+    * spec-pinned equivalent on randomized dicts and the hand fixtures.
+    *
+    * Cost: O(dict tokens) init, then O(affected words + log #pairs) per
+    * merge — a production 32k–50k-merge vocab over a 65k-word dict is
+    * minutes of driver time instead of the naive loop's
+    * O(merges × dict) hours (measured on the MERGES axis in
+    * docs/SCALE.md). Package-visible so the spec can pin it on
+    * hand-computable fixtures. */
   private[graft] def trainOnDict(dict: Array[(String, Long)],
                                  numMerges: Int): Seq[(String, String)] = {
+    type Pair = (String, String)
+    val nW = dict.length
+    val words = new Array[Array[String]](nW)
+    val wcnt = new Array[Long](nW)
+    var i = 0
+    while (i < nW) {
+      words(i) = dict(i)._1.toCharArray.map(String.valueOf(_))
+      wcnt(i) = dict(i)._2
+      i += 1
+    }
+    val cnt = new java.util.HashMap[Pair, java.lang.Long]()
+    val occ = new java.util.HashMap[Pair, java.util.HashSet[Integer]]()
+    // one word's adjacent-pair bag (with overlap multiplicity, matching
+    // the naive scan: "aaa" counts (a,a) twice)
+    def bag(toks: Array[String]): java.util.HashMap[Pair, java.lang.Long] = {
+      val b = new java.util.HashMap[Pair, java.lang.Long]()
+      var j = 0
+      while (j < toks.length - 1) {
+        b.merge((toks(j), toks(j + 1)), 1L, (x, y) => x + y)
+        j += 1
+      }
+      b
+    }
+    case class Entry(count: Long, pair: Pair)
+    val pq = new java.util.PriorityQueue[Entry](math.max(16, nW),
+      (a: Entry, b: Entry) =>
+        if (a.count != b.count) java.lang.Long.compare(b.count, a.count)
+        else if (a.pair._1 != b.pair._1) a.pair._1.compareTo(b.pair._1)
+        else a.pair._2.compareTo(b.pair._2))
+    // init: global counts, occurrence index, one PQ entry per pair
+    i = 0
+    while (i < nW) {
+      val it = bag(words(i)).entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        cnt.merge(e.getKey, e.getValue.longValue() * wcnt(i), (x, y) => x + y)
+        occ.computeIfAbsent(e.getKey, _ => new java.util.HashSet[Integer]())
+          .add(i)
+      }
+      i += 1
+    }
+    cnt.forEach((p, c) => pq.add(Entry(c.longValue(), p)))
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Pair]
+    while (merges.size < numMerges) {
+      // pop stale entries until the top reflects a current count
+      var best: Pair = null
+      var bestC = 0L
+      var searching = true
+      while (searching) {
+        val e = pq.poll()
+        if (e == null) searching = false
+        else {
+          val cur = cnt.get(e.pair)
+          if (cur != null && cur.longValue() == e.count) {
+            best = e.pair; bestC = e.count; searching = false
+          } // else stale: drop and keep popping
+        }
+      }
+      if (best == null || bestC < 2) return merges.toSeq
+      merges += best
+      val holders = occ.get(best)
+      val changed = new java.util.HashSet[Pair]()
+      if (holders != null) {
+        val snapshot = holders.toArray(new Array[Integer](holders.size()))
+        var s = 0
+        while (s < snapshot.length) {
+          val wi = snapshot(s).intValue()
+          val oldBag = bag(words(wi))
+          words(wi) = applyMerge(words(wi), best._1, best._2)
+          val newBag = bag(words(wi))
+          val itOld = oldBag.entrySet().iterator()
+          while (itOld.hasNext) {
+            val e = itOld.next()
+            val p = e.getKey
+            cnt.merge(p, -e.getValue.longValue() * wcnt(wi), (x, y) => x + y)
+            changed.add(p)
+            if (!newBag.containsKey(p)) {
+              val set = occ.get(p)
+              if (set != null) { set.remove(Integer.valueOf(wi))
+                if (set.isEmpty) occ.remove(p) }
+            }
+          }
+          // the old loop subtracted each old pair's FULL multiplicity, so
+          // the new bag adds its full multiplicity back (not a delta)
+          val itNew = newBag.entrySet().iterator()
+          while (itNew.hasNext) {
+            val e = itNew.next()
+            val p = e.getKey
+            cnt.merge(p, e.getValue.longValue() * wcnt(wi), (x, y) => x + y)
+            changed.add(p)
+            occ.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+              .add(wi)
+          }
+          s += 1
+        }
+      }
+      // re-arm the queue with the changed pairs' CURRENT counts
+      val itC = changed.iterator()
+      while (itC.hasNext) {
+        val p = itC.next()
+        val c = cnt.get(p)
+        if (c != null && c.longValue() <= 0L) { cnt.remove(p); occ.remove(p) }
+        else if (c != null) pq.add(Entry(c.longValue(), p))
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The original full-recount merge loop — O(merges × dict tokens),
+    * kept as the independent reference [[trainOnDict]] is spec-pinned
+    * against (and as the readable statement of the semantics). */
+  private[graft] def trainOnDictNaive(dict: Array[(String, Long)],
+                                      numMerges: Int): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] = dict.map { case (w, c) =>
       (w.toCharArray.map(String.valueOf(_)), c)
     }

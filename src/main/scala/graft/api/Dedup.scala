@@ -203,6 +203,41 @@ object Dedup {
       .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
   }
 
+  /** [[dupSpans]] behind an automatic [[hotGrams]] census — the span
+    * family's analog of [[BandedLsh.nearDupPairsAdaptive]]'s mega-bucket
+    * governor, so callers no longer have to remember to thread the
+    * census manually. One pre-flight census pass finds every gram hash
+    * occurring more than `cap` times (the mega-grams whose occurrence
+    * group would otherwise become a single-task disk spill inside the
+    * flag window); they are excluded map-side under a broadcast
+    * anti-join exactly as [[dupSpans]]' `excludeGrams` seam documents,
+    * and REPORTED — the second element of the result is the excluded
+    * `(gh, occurrences)` frame (eagerly pinned, bounded by tokens/cap
+    * rows), never a silent cap. Excluded grams are NOT flagged; text
+    * that hot belongs to [[dropBoilerplateLines]].
+    *
+    * Cost: the census is one extra tokenize+hash pass plus a count-only
+    * map-side-combined shuffle — the pre-flight price of never hitting
+    * the mega-gram spill, the same trade the banding census makes. When
+    * the census comes back empty the exclusion join is skipped entirely
+    * and the plan is bit-identical to plain [[dupSpans]]. */
+  def dupSpansAdaptive(df: DataFrame, idCol: String, textCol: String,
+                       width: Int, cap: Long = 65536L,
+                       spreadInput: Boolean = true,
+                       tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                         Tokenizers.asciiWords,
+                       crossDocOnly: Boolean = true): (DataFrame, DataFrame) = {
+    val hot = hotGrams(df, idCol, textCol, width, cap, spreadInput, tokenize)
+      .localCheckpoint(true)
+    val spans =
+      if (hot.isEmpty)
+        dupSpans(df, idCol, textCol, width, spreadInput, tokenize, crossDocOnly)
+      else
+        dupSpans(df, idCol, textCol, width, spreadInput, tokenize, crossDocOnly,
+          excludeGrams = Some(hot))
+    (spans, hot)
+  }
+
   /** Maintenance scan for [[dupSpans]]' `excludeGrams` seam: every gram
     * hash occurring more than `cap` times, `(gh, occurrences)`. A plain
     * hash AGGREGATE, not a window — map-side combine collapses a

@@ -1,0 +1,134 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Resumable staged execution for composed curation recipes — the batch
+  * analog of the streaming restart story
+  * ([[graft.streaming.EventStreams]] `stream_restart_windows`) and the
+  * missing production shape of the in-session
+  * `curate_corpus_v2` chain (seven stages threaded through
+  * `localCheckpoint`, whose state dies with the session).
+  *
+  * A 100 TB curation run WILL be pre-empted mid-recipe; re-deriving five
+  * scoring stages from scratch on restart is a day of cluster time. Here
+  * each stage commits its output frontier to a parquet table
+  * `<prefix>_s<i>` and then appends one row to the manifest table
+  * `<prefix>_manifest` — the manifest row IS the commit point. A
+  * restarted run replays the manifest, validates it against the
+  * requested chain (stage names, contiguous prefix), and resumes from
+  * the first uncommitted stage, reading the last committed table instead
+  * of recomputing anything before it.
+  *
+  * Crash windows (same recoverability analysis as
+  * [[Ann.rebalanceIvfPqCells]]'s `commitRepair`, but simpler because a
+  * stage table is never the only copy of anything — every stage is a
+  * pure function of the PREVIOUS committed table, which the commit order
+  * never mutates):
+  *
+  *   - crash while computing/writing `<prefix>_s<i>`: no manifest row,
+  *     so resume drops the partial table (catalog entry AND orphaned
+  *     warehouse directory — [[BucketedWrite.dropTable]]) and re-runs
+  *     stage `i` from the intact stage `i−1` table;
+  *   - crash between the table write and the manifest append: identical
+  *     — the rewrite is bit-equal because stages are required
+  *     deterministic (every operator in this library is seeded);
+  *   - crash during the manifest append itself: the 1-row, 1-file append
+  *     either lands whole or leaves a torn parquet file that fails the
+  *     next manifest READ loudly — nothing silently resumes from a
+  *     half-committed state ([[reset]] recovers).
+  *
+  * Contract: stages must be deterministic DataFrame → DataFrame
+  * functions whose output schema carries everything later stages need
+  * (the committed table is the ONLY thing a resumed stage sees). The
+  * chain is validated by stage NAME: resuming with a renamed, reordered
+  * or shortened chain fails loudly rather than continuing a different
+  * recipe on top of foreign intermediates. Scale: the per-stage commit
+  * adds one parquet write + footer-level count per stage — the same
+  * materialization the in-session recipe already pays as
+  * `localCheckpoint`, made durable.
+  *
+  * Catalog durability carries the same caveat as every persisted index
+  * in this library ([[BucketedWrite.scratchLeftover]]): cross-JVM resume
+  * needs a persistent metastore (standard on any production cluster);
+  * under the local in-memory catalog the parquet directories survive a
+  * JVM crash but the registrations do not. */
+object StagedPipeline {
+
+  private def manifestTable(prefix: String) = s"${prefix}_manifest"
+  private def stageTable(prefix: String, i: Int) = s"${prefix}_s$i"
+
+  /** Committed stages in order: `(stage_idx, stage_name, out_table,
+    * out_rows)`; empty frame if no manifest exists yet. */
+  def manifest(spark: SparkSession, tablePrefix: String): DataFrame = {
+    import spark.implicits._
+    if (spark.catalog.tableExists(manifestTable(tablePrefix)))
+      spark.table(manifestTable(tablePrefix)).orderBy("stage_idx")
+    else Seq.empty[(Int, String, String, Long)]
+      .toDF("stage_idx", "stage_name", "out_table", "out_rows")
+  }
+
+  /** Drop the manifest and every stage table under `tablePrefix` —
+    * recovery from a torn manifest, or a clean slate for a fresh run.
+    * Safe at any time: stage tables are derived state (the recipe INPUT
+    * is never written under the prefix). */
+  def reset(spark: SparkSession, tablePrefix: String,
+            maxStages: Int = 64): Unit = {
+    BucketedWrite.dropTable(spark, manifestTable(tablePrefix))
+    (0 until maxStages).foreach(i =>
+      BucketedWrite.dropTable(spark, stageTable(tablePrefix, i)))
+  }
+
+  /** Run `stages` over `input`, committing each stage as described
+    * above, resuming from the manifest if one exists. `stopAfter = k`
+    * commits at most the first `k` stages and returns the last committed
+    * frontier — the pre-emption hook the resume spec and gate drive.
+    * Returns the final committed stage's table (so the result survives
+    * the session, like everything else here). */
+  def run(input: DataFrame, stages: Seq[(String, DataFrame => DataFrame)],
+          tablePrefix: String, stopAfter: Int = Int.MaxValue): DataFrame = {
+    require(stages.nonEmpty, "staged pipeline needs at least one stage")
+    require(stopAfter >= 1, s"stopAfter must be >= 1, got $stopAfter")
+    val spark = input.sparkSession
+    val names = stages.map(_._1)
+    require(names.distinct == names,
+      s"stage names must be unique, got ${names.mkString(", ")}")
+
+    // replay the manifest: it must be a contiguous 0..k-1 prefix whose
+    // names match the requested chain — anything else is a DIFFERENT
+    // recipe's leftovers, and silently resuming on top of foreign
+    // intermediates is the unrecoverable failure mode
+    val committed = manifest(spark, tablePrefix).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    committed.zipWithIndex.foreach { case ((idx, name), pos) =>
+      require(idx == pos,
+        s"$tablePrefix manifest is not a contiguous stage prefix " +
+          s"(found stage_idx=$idx at position $pos) — torn commit or " +
+          "mixed runs; reset(tablePrefix) and start over")
+      require(pos < names.length && names(pos) == name,
+        s"$tablePrefix manifest stage $pos is '$name' but the requested " +
+          s"chain has '${names.lift(pos).getOrElse("<none>")}' — the " +
+          "recipe changed; reset(tablePrefix) or use a new prefix")
+    }
+    val done = committed.length
+    val stop = math.min(stages.length, stopAfter)
+    var frontier =
+      if (done == 0) input else spark.table(stageTable(tablePrefix, done - 1))
+    for (i <- done until stop) {
+      val out = stages(i)._2(frontier)
+      val tbl = stageTable(tablePrefix, i)
+      // a partial table from a crashed attempt has no manifest row and
+      // holds nothing unique — drop catalog entry AND orphan directory
+      BucketedWrite.dropTable(spark, tbl)
+      out.write.format("parquet").saveAsTable(tbl)
+      val rows = spark.table(tbl).count()
+      import spark.implicits._
+      Seq((i, stages(i)._1, tbl, rows))
+        .toDF("stage_idx", "stage_name", "out_table", "out_rows")
+        .coalesce(1).write.format("parquet").mode("append")
+        .saveAsTable(manifestTable(tablePrefix))
+      frontier = spark.table(tbl)
+    }
+    if (stop == 0) frontier
+    else spark.table(stageTable(tablePrefix, stop - 1))
+  }
+}

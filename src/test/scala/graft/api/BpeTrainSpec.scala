@@ -32,6 +32,28 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(m == Seq(("p", "q")))
   }
 
+  test("incremental trainer == full-recount reference on randomized dicts") {
+    // the incremental pair-count maintenance must be BIT-identical to the
+    // naive recount at every merge — same best-pair order, same overlap
+    // counting (runs like "aaa"), same min-count-2 stop. Randomized words
+    // over a 4-letter alphabet make heavy ties, overlaps and cascades.
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 20) {
+      val dict = Array.fill(30 + rnd.nextInt(120)) {
+        val len = 1 + rnd.nextInt(12)
+        val w = Array.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString
+        (w, 1L + rnd.nextInt(9).toLong)
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+        .sortBy { case (w, c) => (-c, w) }
+      val merges = 1 + rnd.nextInt(200)
+      val fast = BpeTrain.trainOnDict(dict, merges)
+      val slow = BpeTrain.trainOnDictNaive(dict, merges)
+      assert(fast == slow,
+        s"trial $trial (merges=$merges, dict=${dict.length}): first " +
+          s"divergence at ${fast.zip(slow).indexWhere(p => p._1 != p._2)}")
+    }
+  }
+
   test("wordCounts: exact counts, whitespace split, cap keeps most frequent") {
     val docs = Seq("the cat  the", "the\tdog").toDF("text")
     val all = BpeTrain.wordCounts(docs, "text", 10).as[(String, Long)].collect().toMap

@@ -698,5 +698,23 @@ class DupSpansSpec extends AnyFunSuite {
     val untrimmed = Dedup.dupSpans(df, "doc_id", "text", width = 4)
       .select("doc_id").distinct().count()
     assert(untrimmed == 40L, s"control: boilerplate flags every doc, got $untrimmed")
+
+    // dupSpansAdaptive wires the census automatically: same spans as the
+    // manual hotGrams+excludeGrams threading, and the excluded set is
+    // REPORTED (never a silent cap)
+    val (autoSpans, excluded) = Dedup.dupSpansAdaptive(
+      df, "doc_id", "text", width = 4, cap = 10L)
+    assert(autoSpans.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == trimmed,
+      "adaptive must equal the manually-threaded census route")
+    val exRows = excluded.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exRows.toSeq == hotRows.toSeq,
+      s"the planted mega-gram must be reported: ${exRows.toSeq}")
+    // a cap nothing trips: empty report, spans identical to plain dupSpans
+    val (plainSpans, none) = Dedup.dupSpansAdaptive(
+      df, "doc_id", "text", width = 4, cap = 1000000L)
+    assert(none.isEmpty, "nothing over the cap must mean an empty report")
+    assert(plainSpans.select("doc_id").distinct().count() == 40L,
+      "with an empty census the adaptive path is plain dupSpans")
   }
 }

@@ -1,0 +1,128 @@
+package graft.api
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StagedPipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def input = (0L until 100L).map(i => (i, i % 10)).toDF("id", "v")
+
+  private def stages: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "square" -> (d => d.withColumn("v", col("v") * col("v"))),
+    "filter_even" -> (d => d.filter(col("id") % 2 === 0)),
+    "plus_one" -> (d => d.withColumn("v", col("v") + 1L)),
+    "total" -> (d => d.groupBy(col("v")).agg(count(lit(1)).as("n"))))
+
+  private def cleanup(prefix: String): Unit =
+    StagedPipeline.reset(spark, prefix)
+
+  test("full run equals the unstaged chain; manifest records every stage") {
+    val prefix = "graft_sps_full"
+    cleanup(prefix)
+    try {
+      val got = StagedPipeline.run(input, stages, prefix)
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = stages.foldLeft(input) { case (d, (_, f)) => f(d) }
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == want.toSeq)
+      val m = StagedPipeline.manifest(spark, prefix).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(3)))
+      assert(m.map(x => (x._1, x._2)).toSeq ==
+        stages.indices.zip(stages.map(_._1)))
+      assert(m.last._3 == want.length, "manifest out_rows must match")
+    } finally cleanup(prefix)
+  }
+
+  test("resume reads the committed frontier — a tampered stage table proves no recompute") {
+    val prefix = "graft_sps_resume"
+    cleanup(prefix)
+    try {
+      // pre-empted run: two stages commit, then the 'crash'
+      val partial = StagedPipeline.run(input, stages, prefix, stopAfter = 2)
+      assert(partial.count() == 50)
+      assert(StagedPipeline.manifest(spark, prefix).count() == 2)
+      // tamper with the committed stage-1 table: delete id 0. If resume
+      // recomputed stages 0-1 from the input, id 0 would reappear; if it
+      // resumes from the committed table (the contract), it stays gone.
+      val s1 = spark.table(s"${prefix}_s1").filter(col("id") =!= 0L)
+        .localCheckpoint(true)
+      s1.write.format("parquet").mode("overwrite")
+        .saveAsTable(s"${prefix}_s1_tampered")
+      BucketedWrite.dropTable(spark, s"${prefix}_s1")
+      spark.table(s"${prefix}_s1_tampered").write.format("parquet")
+        .saveAsTable(s"${prefix}_s1")
+      val fin = StagedPipeline.run(input, stages, prefix)
+      // id 0 had v=0 -> square 0 -> +1 = 1; without tampering v=1 has
+      // count 5 (ids 0,10,30,70,90 -> squares 0,1,81,49,1 ... compute via
+      // the unstaged chain instead of hand-arithmetic)
+      val want = stages.foldLeft(input.filter(col("id") =!= 0L)) {
+        case (d, (_, f)) => f(d) }
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // note: filter_even on the untampered input keeps id 0; tampering
+      // removed it AFTER stage 1, so the reference chain must drop it
+      // up front only because stages 0-1 are row-wise (id 0 survives
+      // both) — valid for this fixture
+      val got = fin.orderBy("v").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == want.toSeq,
+        "resume must read the committed stage table, not recompute")
+      BucketedWrite.dropTable(spark, s"${prefix}_s1_tampered")
+    } finally cleanup(prefix)
+  }
+
+  test("a crashed stage attempt (partial table, no manifest row) is rewritten on resume") {
+    val prefix = "graft_sps_crash"
+    cleanup(prefix)
+    try {
+      StagedPipeline.run(input, stages, prefix, stopAfter = 1)
+      // simulate a crash mid-stage-2: a garbage stage table exists but no
+      // manifest row was appended
+      Seq((999L, 999L)).toDF("id", "v").write.format("parquet")
+        .saveAsTable(s"${prefix}_s1")
+      val fin = StagedPipeline.run(input, stages, prefix)
+      val want = stages.foldLeft(input) { case (d, (_, f)) => f(d) }
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(fin.orderBy("v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == want.toSeq,
+        "an uncommitted partial stage table must be dropped and re-run")
+    } finally cleanup(prefix)
+  }
+
+  test("a changed or reordered chain fails loudly against the manifest") {
+    val prefix = "graft_sps_chain"
+    cleanup(prefix)
+    try {
+      StagedPipeline.run(input, stages, prefix, stopAfter = 2)
+      val renamed = stages.updated(0, "different_name" -> stages(0)._2)
+      val e = intercept[IllegalArgumentException] {
+        StagedPipeline.run(input, renamed, prefix)
+      }
+      assert(e.getMessage.contains("recipe changed"), e.getMessage)
+      // duplicate stage names are rejected before anything runs
+      val dup = stages :+ stages.head
+      val e2 = intercept[IllegalArgumentException] {
+        StagedPipeline.run(input, dup, "graft_sps_dupnames")
+      }
+      assert(e2.getMessage.contains("unique"), e2.getMessage)
+    } finally cleanup(prefix)
+  }
+
+  test("resume on a finished pipeline is a no-op returning the final table") {
+    val prefix = "graft_sps_done"
+    cleanup(prefix)
+    try {
+      val first = StagedPipeline.run(input, stages, prefix)
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // drop the INPUT-equivalent: pass an empty frame; a true no-op never
+      // touches it
+      val again = StagedPipeline.run(input.limit(0), stages, prefix)
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(again.toSeq == first.toSeq)
+      assert(StagedPipeline.manifest(spark, prefix).count() == stages.length)
+    } finally cleanup(prefix)
+  }
+}

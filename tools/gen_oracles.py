@@ -933,6 +933,35 @@ def main(sf_dir, spark_dir):
         "ORDER BY lang, doc_id")
     custom["sample_stratified"] = (strat_rows, ("lang", "doc_id"), strat_sql)
 
+    # ---- domain_quota_sample: per-domain quota (round 15). Mirrors
+    # graft.api.Domains: planted URL -> host via regexp (lowercase, strip
+    # one leading www.), keep the 8 smallest (hashScore(doc_id, 13), id)
+    # per host — independent re-derivation of both the URL parsing and
+    # the xxhash64 selection chain.
+    def planted_url(did, src):
+        u = ("https://" + ("WWW." if did % 5 == 0 else "") + src
+             + ".example.com/p" + str(did % 40))
+        if did % 3 == 0:
+            u += "/"
+        if did % 7 == 0:
+            u += "?q=" + str(did % 4)
+        if did % 11 == 0:
+            u += "#s" + str(did)
+        return u
+
+    def url_host(u):
+        h = re.match(r"^[a-z]+://([^/?#]+)", u).group(1).lower()
+        return re.sub(r"^www\.", "", h)
+
+    by_host = {}
+    for did, _lang, src, _nch in drows:
+        by_host.setdefault(url_host(planted_url(did, src)), []).append(did)
+    dq_rows = sorted(
+        (did, host) for host, ids in by_host.items()
+        for did in sorted(ids, key=lambda i: (hash_score(i, 13), i))[:8])
+    queries["domain_quota_sample"] = (
+        ("doc_id", "host"), ("BIGINT", "VARCHAR"), dq_rows, "doc_id")
+
     # split bounds accumulate left-to-right exactly like Sampling.assignSplits'
     # scanLeft — do NOT replace with literals (0.8 + 0.1 in binary is not 0.9)
     split_fracs = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
@@ -1127,6 +1156,45 @@ def main(sf_dir, spark_dir):
     queries["token_count_bpe_trained"] = (
         ("doc_id", "n_tokens_bpe"), ("BIGINT", "BIGINT"),
         sorted((did, bpe_count_trained(t)) for did, t in docs), "doc_id")
+
+    # ---- bpe_train_1k / token_count_bpe_1k: the trainer at PRODUCTION
+    # merge count (round 15). The documents fixture's 31-word vocabulary
+    # tops out at ~89 merges, so the 1k-merge corpus is the lineitem key
+    # triple rendered as text — digit-rich words (77k distinct at sf0.01)
+    # with the deep shared-substring structure a real byte-level vocab
+    # trains on. Integer columns only: their string form is identical
+    # across Spark/Python/DuckDB (doubles and timestamps are not). The
+    # mirror stays the NAIVE full-recount loop — the independent statement
+    # of the semantics the Scala incremental trainer must reproduce
+    # bit-for-bit (equivalence is additionally spec-pinned on random
+    # dicts in BpeTrainSpec).
+    li_keys = con.execute(
+        f"SELECT l_orderkey, l_partkey, l_suppkey FROM "
+        f"'{sf_dir}/lineitem.parquet'").fetchall()
+    li_texts = ["%d %d %d" % r for r in li_keys]
+    bpe_1k = bpe_train(iter(li_texts), 1024, 8192)
+    assert len(bpe_1k) >= 1000, f"bpe_train_1k: only {len(bpe_1k)} merges"
+    queries["bpe_train_1k"] = (
+        ("merge_rank", "lhs", "rhs"), ("BIGINT", "VARCHAR", "VARCHAR"),
+        [(i, a.decode("latin-1"), b.decode("latin-1"))
+         for i, (a, b) in enumerate(bpe_1k)], "merge_rank")
+    bpe_1k_rank = {p: i for i, p in enumerate(bpe_1k)}
+
+    def bpe_count_1k(text):
+        n = 0
+        for w in re.split(rb"[\t\n\x0b\x0c\r ]+", text.encode("utf-8")):
+            if w:
+                n += len(bpe_word_toks_r(w, bpe_1k_rank))
+        return n
+
+    hist = {}
+    for (ok, _pk, _sk), t in zip(li_keys, li_texts):
+        n = bpe_count_1k(t)
+        rows_, keys_ = hist.get(n, (0, 0))
+        hist[n] = (rows_ + 1, keys_ + ok)
+    queries["token_count_bpe_1k"] = (
+        ("n_tok", "rows", "key_sum"), ("BIGINT", "BIGINT", "BIGINT"),
+        sorted((n, r, ksum) for n, (r, ksum) in hist.items()), "n_tok")
 
     # ---- pack_bins_nfd: whole-doc Next-Fit-Decreasing bin packing,
     # capacity 256 whitespace tokens, stream order (tokens desc,
@@ -2157,6 +2225,12 @@ def main(sf_dir, spark_dir):
                      for did in v2_sel if split_of(did) == "train")
     assert len(v2_rows) >= 10, f"curate_v2: only {len(v2_rows)} train rows"
     queries["curate_corpus_v2"] = (
+        ("doc_id", "n_chars_v2", "ppl_class", "logw"),
+        ("BIGINT", "BIGINT", "VARCHAR", "DOUBLE"), v2_rows, "doc_id")
+    # curate_corpus_staged: the manifest-tracked resumable run of the SAME
+    # chain — its contract is bit-equality with the in-session recipe, so
+    # the oracle is v2's rows verbatim
+    queries["curate_corpus_staged"] = (
         ("doc_id", "n_chars_v2", "ppl_class", "logw"),
         ("BIGINT", "BIGINT", "VARCHAR", "DOUBLE"), v2_rows, "doc_id")
 
