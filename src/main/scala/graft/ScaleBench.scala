@@ -640,6 +640,30 @@ object ScaleBench {
         println(f"  compact-only x$k: ${(System.nanoTime() - t0) / 1e9}%.1fs ($removed rows removed)")
         removed
       },
+      // Per-domain curation family (round 15): planted URLs over ×k docs
+      // (hosts per source × replica, so the host count grows with k while
+      // per-host mass stays constant). Claim: all three ops are linear
+      // scan+aggregate shapes — blocklist = suffix-explode (ids+suffixes
+      // only) + broadcast semi + anti; URL dedup = ids+keys min aggregate
+      // + semi join; quota = bounded-heap topk_by + ids semi join. No
+      // text ever shuffles; no per-host window sort anywhere.
+      "domain_ops" -> { (k: Int) =>
+        val urled = docs(k).select(col("doc_id"),
+          concat(lit("https://"),
+            when(col("doc_id") % 2 === 0, lit("cdn.")).otherwise(lit("")),
+            col("source"), lit("-r"),
+            (col("doc_id") / Stride).cast("long").cast("string"),
+            lit(".example.com/p"), (col("doc_id") % 1000).cast("string"))
+            .as("url"))
+        import spark.implicits._
+        val blocked = Seq("src3-r0.example.com", "src5-r1.example.com")
+          .toDF("domain")
+        val afterBlock = api.Domains.filterBlockedHosts(
+          urled, "url", "doc_id", blocked)
+        val afterDedup = api.Domains.dedupByUrl(afterBlock, "url", "doc_id")
+        api.Domains.domainQuotaSample(afterDedup, "url", "doc_id",
+          maxPerDomain = 200, seed = 13L).count()
+      },
       // BPE trainer on the MERGES axis (corpus FIXED — the corpus axis is
       // already measured flat, the dict aggregate being the only corpus
       // pass): numMerges = 100·k over the 65536-cap lineitem-keys dict.

@@ -2244,6 +2244,35 @@ object SparkEntry {
         .select(col("doc_id"), graft.api.Domains.urlHost(col("url")).as("host"))
         .orderBy("doc_id")
     }),
+    "domain_blocklist" -> ((s, dir) => {
+      // suffix-aware host blocking: src3/src5 drop at BOTH depths (bare
+      // host and the cdn. subdomain — the suffix-chain semantics), while
+      // blocking cdn.src7 leaves bare src7 docs alone. The blocklist
+      // carries one UPPERCASE entry to pin case-insensitivity. Oracle:
+      // DuckDB re-derives the drop set with its own LIKE suffix logic.
+      import s.implicits._
+      val urled = load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          concat(lit("https://"),
+            when(col("doc_id") % 2 === 0, lit("cdn.")).otherwise(lit("")),
+            col("source"), lit(".example.com/p"),
+            col("doc_id").cast("string")).as("url"))
+      val blocked = Seq("src3.example.com", "SRC5.example.com",
+        "cdn.src7.example.com").toDF("domain")
+      graft.api.Domains.filterBlockedHosts(urled, "url", "doc_id", blocked)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "domain_token_quota" -> ((s, dir) => {
+      // mass-based quota: keep docs per host while the running n_chars
+      // total (seeded-hash order, ties by id) fits 2000. Oracle: Python
+      // re-derivation of host extraction + the per-host cumulative walk.
+      val urled = withPlantedUrls(load(s, dir, "documents"))
+      graft.api.Domains.domainTokenQuota(urled, "url", "doc_id",
+          col("n_chars"), budgetPerDomain = 2000L, seed = 13L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "domain_dedup" -> ((s, dir) => {
       // URL-level exact dedup: keep the min-id doc per normalized URL
       // (scheme/fragment dropped, host lowercased + de-www'd, trailing
@@ -3059,6 +3088,19 @@ object SparkEntry {
     "stream_embed_neardup" -> valuesOracle("stream_embed_neardup"),
     "sample_hash" -> valuesOracle("sample_hash"),
     "domain_quota_sample" -> valuesOracle("domain_quota_sample"),
+    "domain_token_quota" -> valuesOracle("domain_token_quota"),
+    "domain_blocklist" -> """
+      WITH u AS (
+        SELECT doc_id, n_chars,
+          CASE WHEN doc_id % 2 = 0 THEN 'cdn.' ELSE '' END
+          || source || '.example.com' AS host
+        FROM documents)
+      SELECT doc_id, n_chars FROM u
+      WHERE NOT (host = 'src3.example.com' OR host LIKE '%.src3.example.com'
+         OR host = 'src5.example.com' OR host LIKE '%.src5.example.com'
+         OR host = 'cdn.src7.example.com'
+         OR host LIKE '%.cdn.src7.example.com')
+      ORDER BY doc_id""",
     // independent URL parser: DuckDB re-derives host/path/query with its
     // own regexp engine (RE2) against Spark's parse_url
     "domain_dedup" -> """

@@ -76,6 +76,70 @@ object Domains {
     df.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** Suffix-aware host blocklist — the RefinedWeb/Gopher step that runs
+    * before any content is even read: drop every document whose
+    * normalized host equals a blocked domain OR is a subdomain of one
+    * (blocking `example.com` also blocks `cdn.example.com`; matches are
+    * on dot boundaries only, so `notexample.com` survives). A blocklist
+    * containing a bare TLD blocks that whole TLD — that is the caller's
+    * list meaning, not a bug.
+    *
+    * Scale shape: each host explodes into its dot-suffix chain
+    * (`a.b.c` → `a.b.c`, `b.c`, `c` — ids+suffixes only, ~4 short rows
+    * per doc), which equi-joins the broadcast blocklist; matched ids
+    * anti-join the corpus. The equi-join form is deliberate: the
+    * no-explode alternative is a broadcast NESTED-LOOP `ends_with` join —
+    * O(corpus × |blocklist|) comparisons, hopeless at a real blocklist's
+    * 10⁵+ entries, while the suffix chain is O(corpus × host depth)
+    * hashed probes regardless of list size. `blocked` must have a
+    * `domain` column (matched case-insensitively). */
+  def filterBlockedHosts(df: DataFrame, urlCol: String, idCol: String,
+                         blocked: DataFrame): DataFrame = {
+    val parts = split(urlHost(col(urlCol)), "\\.")
+    val suffixes = transform(
+      sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+    val hit = df
+      .select(col(idCol), explode(suffixes).as("domain"))
+      .join(broadcast(blocked.select(lower(col("domain")).as("domain"))),
+        Seq("domain"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(hit, Seq(idCol), "left_anti")
+  }
+
+  /** Per-domain TOKEN budget (the mass-based sibling of
+    * [[domainQuotaSample]] — crawl quotas are usually stated in
+    * bytes/tokens, not documents): within each normalized host, walk the
+    * docs in seeded-hash order (ties by id) and keep every doc whose
+    * INCLUSIVE running `massCol` total still fits `budgetPerDomain` —
+    * docs kept or dropped whole, the [[Packing.selectToTokenBudget]]
+    * rule applied per host.
+    *
+    * Scale shape: one running-sum window PARTITIONED BY host — parallel
+    * across hosts, running aggregation (no whole-group buffering), and
+    * the global single-reducer trap doesn't apply because the partition
+    * key is the host. The residual skew is a mega-host sorting on one
+    * task; if one host is a large fraction of the corpus, cap it by DOC
+    * count first ([[domainQuotaSample]], heap-based, skew-immune) and
+    * budget the remainder. Null hosts drop (no place in any quota). */
+  def domainTokenQuota(df: DataFrame, urlCol: String, idCol: String,
+                       massCol: Column, budgetPerDomain: Long,
+                       seed: Long): DataFrame = {
+    require(budgetPerDomain >= 0,
+      s"budgetPerDomain must be >= 0, got $budgetPerDomain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__host"))
+      .orderBy(col("__score").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__host", urlHost(col(urlCol)))
+      .filter(col("__host").isNotNull)
+      .withColumn("__score", Sampling.hashScore(col(idCol), seed))
+      .withColumn("__run", sum(massCol.cast("long")).over(w))
+      .filter(col("__run") <= budgetPerDomain)
+      .drop("__host", "__score", "__run")
+  }
+
   /** URL-level exact dedup: keep the smallest-id document per
     * [[normalizedUrl]] key (keep-earliest, the [[Dedup.exact]]
     * convention). One ids+keys aggregate (map-side-combined `min`) and

@@ -77,6 +77,53 @@ class DomainsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral id column"), e.getMessage)
   }
 
+  test("filterBlockedHosts: dot-boundary suffix semantics, case-insensitive") {
+    val df = Seq(
+      (1L, "https://example.com/a"),        // exact match -> drop
+      (2L, "https://cdn.example.com/b"),    // subdomain -> drop
+      (3L, "https://notexample.com/c"),     // NOT a dot-suffix -> keep
+      (4L, "https://www.EXAMPLE.com/d"),    // case + www-strip -> drop
+      (5L, "https://other.org/e"),          // unrelated -> keep
+      (6L, "https://deep.cdn.example.com/f") // any depth -> drop
+    ).toDF("doc_id", "url")
+    val blocked = Seq("Example.COM").toDF("domain")
+    val kept = Domains.filterBlockedHosts(df, "url", "doc_id", blocked)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 5L))
+    // a bare-TLD entry blocks the whole TLD (the list's meaning)
+    val tld = Domains.filterBlockedHosts(df, "url", "doc_id",
+        Seq("com").toDF("domain"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(tld.toSeq == Seq(5L))
+  }
+
+  test("domainTokenQuota: per-host inclusive-run cut, whole docs, zero-mass docs still fit") {
+    val df = Seq(
+      (1L, "https://a.com/1", 60L),
+      (2L, "https://a.com/2", 60L),
+      (3L, "https://a.com/3", 60L),
+      (4L, "https://a.com/4", 0L),   // zero mass: fits wherever it lands
+      (5L, "https://b.com/1", 100L)
+    ).toDF("doc_id", "url", "mass")
+    val kept = Domains.domainTokenQuota(df, "url", "doc_id", $"mass",
+        budgetPerDomain = 120L, seed = 9L)
+      .select("doc_id").as[Long].collect().sorted
+    // independent re-derivation: per host, hash order, inclusive cumsum
+    val rows = df.select($"doc_id",
+        Domains.urlHost($"url").as("h"),
+        Sampling.hashScore($"doc_id", 9L).as("s"), $"mass")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(0), r.getLong(3)))
+    val expect = rows.groupBy(_._1).values.flatMap { g =>
+      var run = 0L
+      g.sortBy(x => (x._2, x._3)).flatMap { case (_, _, id, m) =>
+        run += m; if (run <= 120L) Some(id) else None
+      }
+    }.toArray.sorted
+    assert(kept.toSeq == expect.toSeq)
+    assert(kept.nonEmpty && kept.length < 5,
+      s"fixture must make the budget bind somewhere: kept ${kept.toSeq}")
+  }
+
   test("domainCounts censuses normalized hosts") {
     val df = Seq(
       "https://www.a.com/1", "https://A.com/2", "https://b.com/1"

@@ -962,6 +962,23 @@ def main(sf_dir, spark_dir):
     queries["domain_quota_sample"] = (
         ("doc_id", "host"), ("BIGINT", "VARCHAR"), dq_rows, "doc_id")
 
+    # domain_token_quota: per-host greedy mass budget — walk each host's
+    # docs in (hashScore(doc_id, 13), doc_id) order, keep while the
+    # inclusive n_chars total fits 2000
+    nch = {did: n for did, _l, _s, n in drows}
+    dtq_rows = []
+    for host, ids in by_host.items():
+        run = 0
+        for did in sorted(ids, key=lambda i: (hash_score(i, 13), i)):
+            # no early break: a zero-mass doc AFTER the first overflow
+            # still fits (the Spark filter is per-row inclusive-run)
+            run += nch[did]
+            if run <= 2000:
+                dtq_rows.append((did, nch[did]))
+    queries["domain_token_quota"] = (
+        ("doc_id", "n_chars"), ("BIGINT", "BIGINT"),
+        sorted(dtq_rows), "doc_id")
+
     # split bounds accumulate left-to-right exactly like Sampling.assignSplits'
     # scanLeft — do NOT replace with literals (0.8 + 0.1 in binary is not 0.9)
     split_fracs = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
