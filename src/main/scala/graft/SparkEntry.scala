@@ -2273,6 +2273,42 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // The RefinedWeb-style FRONT-END composed end to end — the stages a
+    // web pipeline runs before any content-based operator: host blocklist
+    // -> URL-identity dedup -> per-domain token budget -> train split.
+    // Every stage is the already-gated operator; the oracle re-derives
+    // the whole chain in Python from each stage's survivor set, so
+    // stage-order and id-threading bugs surface as row mismatches.
+    "curate_web" -> ((s, dir) => {
+      import s.implicits._
+      val urled = withPlantedUrls(load(s, dir, "documents"))
+      val blocked = Seq("src3.example.com", "src5.example.com").toDF("domain")
+      val s1 = graft.api.Domains.filterBlockedHosts(urled, "url", "doc_id", blocked)
+      val s2 = graft.api.Domains.dedupByUrl(s1, "url", "doc_id")
+      val s3 = graft.api.Domains.domainTokenQuota(s2, "url", "doc_id",
+        col("n_chars"), budgetPerDomain = 2000L, seed = 13L)
+      graft.api.Sampling.assignSplits(s3, "doc_id", 5L,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "stream_domain_quota" -> ((s, dir) => {
+      // streaming twin of the domain quota — the crawl-side first-come
+      // rule: docs arrive in id order over 5 micro-batches; a host whose
+      // quota fills in batch k must reject its batch-k+1 arrivals from
+      // persisted flatMapGroupsWithState state (20 hosts x 25 docs vs
+      // quota 8: every host crosses a batch boundary mid-budget). The
+      // oracle is the sequential walk — valid for ANY chunking because
+      // the counter is cumulative and the order global.
+      import s.implicits._
+      val docs = withPlantedUrls(load(s, dir, "documents"))
+        .select(col("doc_id").cast("long"), col("url"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      graft.streaming.EventStreams.domainQuotaReplay(s, docs,
+          nBatches = 5, maxPerDomain = 8)
+        .orderBy("doc_id")
+    }),
     "domain_dedup" -> ((s, dir) => {
       // URL-level exact dedup: keep the min-id doc per normalized URL
       // (scheme/fragment dropped, host lowercased + de-www'd, trailing
@@ -3089,6 +3125,8 @@ object SparkEntry {
     "sample_hash" -> valuesOracle("sample_hash"),
     "domain_quota_sample" -> valuesOracle("domain_quota_sample"),
     "domain_token_quota" -> valuesOracle("domain_token_quota"),
+    "curate_web" -> valuesOracle("curate_web"),
+    "stream_domain_quota" -> valuesOracle("stream_domain_quota"),
     "domain_blocklist" -> """
       WITH u AS (
         SELECT doc_id, n_chars,

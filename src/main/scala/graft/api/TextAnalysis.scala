@@ -312,6 +312,79 @@ object TextAnalysis {
         col("top_2gram_frac") <= maxTop2GramFrac &&
         col("dup_2gram_frac") <= maxDup2GramFrac).as("keep"))
 
+  /** The Gopher STRUCTURAL quality rules (Rae et al. 2021, the filter
+    * suite every later pipeline quotes) — the lexical/layout half;
+    * [[repetitionFilter]] owns the repetition half. One narrow
+    * codegen'd pass, zero shuffle: every signal is integer counting over
+    * the word/line arrays plus one double division, so an independent
+    * engine reproduces each value bit-exactly (driver-gated against
+    * DuckDB recomputing the WHOLE rule set with its own list/string
+    * functions). A doc keeps iff ALL of:
+    *
+    *   - word count in [minWords, maxWords];
+    *   - mean word length in [minMeanWordLen, maxMeanWordLen] (filters
+    *     both gibberish runs and single-char noise);
+    *   - symbol-to-word ratio ≤ maxSymbolWordRatio (`#` and `...`
+    *     occurrences — SEO/nav debris);
+    *   - bullet-started line fraction ≤ maxBulletLineFrac and
+    *     `...`-ended line fraction ≤ maxEllipsisLineFrac (list/nav
+    *     pages, truncated scrapes);
+    *   - fraction of words containing ≥1 alphabetic char ≥
+    *     minAlphaWordFrac (tables of numbers);
+    *   - ≥ minStopwordHits distinct canonical stopwords present (the
+    *     "is it prose at all" test).
+    *
+    * Thresholds default to the published values; recalibrate per corpus
+    * (the [[repetitionFilter]] caveat). Words split on single spaces,
+    * lines on `\n` — the same conventions the rest of this file pins
+    * cross-engine. Returns every signal plus the `keep` verdict
+    * (non-destructive; empty/wordless docs keep=false with null
+    * ratios). */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolWordRatio: Double = 0.1,
+                  maxBulletLineFrac: Double = 0.9,
+                  maxEllipsisLineFrac: Double = 0.3,
+                  minAlphaWordFrac: Double = 0.8,
+                  minStopwordHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val ws = filter(split(t, " "), w => w =!= lit(""))
+    val ls = filter(split(t, "\n"), l => l =!= lit(""))
+    val nW = size(ws).cast("long")
+    val nL = size(ls).cast("long")
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0L, num.cast("double") / den.cast("double"))
+    val meanLen = ratio(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)), nW)
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val symRatio = ratio((hashes + ellipses).cast("long"), nW)
+    val bulletFrac = ratio(size(filter(ls, l =>
+      l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("•"))).cast("long"), nL)
+    val ellipsisFrac = ratio(
+      size(filter(ls, l => l.endsWith("..."))).cast("long"), nL)
+    val alphaFrac = ratio(
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long"), nW)
+    val stopHits = size(filter(
+      typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with")),
+      sw => array_contains(ws, sw))).cast("long")
+    df.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_word_ratio"), bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+        stopHits.as("stopword_hits"))
+      .withColumn("keep",
+        coalesce(col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_word_ratio") <= maxSymbolWordRatio &&
+          col("bullet_line_frac") <= maxBulletLineFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+          col("alpha_word_frac") >= minAlphaWordFrac &&
+          col("stopword_hits") >= minStopwordHits, lit(false)))
+  }
+
   /** Shannon entropy of each document's token distribution, in bits —
     * the gibberish/boilerplate signal quality filters threshold on (low
     * entropy = repeated boilerplate, implausibly high = random noise).

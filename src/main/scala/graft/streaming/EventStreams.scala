@@ -22,6 +22,9 @@ case class BucketState(ids: Seq[Long], lastMs: Long)
   * in minhash band `band`. */
 case class DupCandidate(doc_id: Long, peer_id: Long, band: Int)
 
+/** Per-host admitted-count state for [[EventStreams.domainQuotaAdmit]]. */
+case class HostQuota(count: Long)
+
 /** Structured-Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value). The reference has no streaming
   * surface (SURVEY.md §2.3); these are the engine's additions, and each
@@ -836,6 +839,74 @@ object EventStreams {
       q.processAllAvailable()
     } finally q.stop()
     spark.table(sink).filter(col("event_type") =!= "flush")
+  }
+
+  /** Streaming per-domain quota admission — the crawl-side twin of
+    * [[graft.api.Domains.domainQuotaSample]]. The batch rule is offline
+    * and order-free (keep the k smallest hash scores per host); a live
+    * crawl must decide AT ARRIVAL, so the streaming rule is first-come:
+    * admit while the host's admitted count is below `maxPerDomain`.
+    * Within a micro-batch a host's rows process in (ts, doc_id) order,
+    * so the overall decision is "the first `maxPerDomain` arrivals per
+    * host" — batch-boundary-INDEPENDENT (the counter is cumulative and
+    * the order is global), which is what lets one sequential oracle gate
+    * any replay chunking.
+    *
+    * State = ONE long per distinct host — O(hosts), the quota's inherent
+    * floor, and deliberately WITHOUT a timeout: an expiring counter would
+    * silently re-open a spent budget (quotas are per-crawl, not
+    * per-hour; restart a new query for a new crawl). Emits
+    * `(doc_id, host, admitted)` for every input row — the drop side is
+    * load-bearing for crawl telemetry, not just the survivors.
+    * Expects columns (doc_id: long, ts: timestamp, url: string). */
+  def domainQuotaAdmit(docs: DataFrame, maxPerDomain: Int,
+                       watermarkDelay: String = "10 seconds"): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    val src0 = docs.select(
+        graft.api.Domains.urlHost(col("url")).as("host"),
+        col("doc_id").cast("long").as("doc_id"), col("ts"))
+      .filter(col("host").isNotNull)
+    val src = if (src0.isStreaming) src0.withWatermark("ts", watermarkDelay)
+              else src0
+    src.as[(String, Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HostQuota, (Long, String, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (host, rows, state: GroupState[HostQuota]) =>
+          var c = state.getOption.map(_.count).getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            .map { case (_, id, _) =>
+              val admit = c < maxPerDomain
+              if (admit) c += 1
+              (id, host, admit)
+            }
+          state.update(HostQuota(c))
+          out.iterator
+      }.toDF("doc_id", "host", "admitted")
+  }
+
+  /** Replay a finite URL stream through [[domainQuotaAdmit]] as a real
+    * Structured Streaming query in the GIVEN order (event times synthesized
+    * monotone from arrival position), returning every verdict row. The
+    * cross-batch check is the whole point: a host whose quota fills in
+    * batch k must reject its batch-k+1 arrivals from persisted state. */
+  def domainQuotaReplay(spark: SparkSession, docs: Seq[(Long, String)],
+                        nBatches: Int, maxPerDomain: Int): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, String)]
+    val sink = s"graft_domquota_replay_${replaySeq.incrementAndGet()}"
+    val timed = docs.zipWithIndex.map { case ((id, url), i) =>
+      (id, new Timestamp((i + 1) * 1000L), url)
+    }
+    val q = domainQuotaAdmit(mem.toDF().toDF("doc_id", "ts", "url"), maxPerDomain)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (timed.size + nBatches - 1) / nBatches)
+      timed.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(sink).select("doc_id", "host", "admitted")
   }
 
   /** Replay a finite document sequence through [[dedupByContent]] as a real

@@ -431,6 +431,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"final heap merge must consume the exchange above the partial:\n$plan")
   }
 
+  test("domain_quota_sample selects via the heap aggregate; no window, text never shuffles") {
+    // the per-host cut must be the bounded-heap topk_by (k entries per
+    // (host, task) cross the shuffle), never a row_number window — and
+    // only ids/hosts may move: the kept-id semi-join attaches the corpus
+    // without ever exchanging a text column
+    val plan = planOf("domain_quota_sample")
+    assert(!plan.contains("Window"),
+      s"per-host quota must not fall back to a window sort:\n$plan")
+    val lines = plan.linesIterator.toSeq
+    assert(lines.exists(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial_topk_by")),
+      s"no partial heap aggregate in plan:\n$plan")
+    // domain_blocklist: the blocklist side must arrive broadcast — a
+    // shuffled or nested-loop join would defeat the suffix-chain design
+    val bplan = planOf("domain_blocklist")
+    assert(bplan.contains("BroadcastHashJoin") ||
+           bplan.contains("BroadcastExchange"),
+      s"blocklist must join broadcast:\n$bplan")
+    assert(!bplan.contains("BroadcastNestedLoopJoin"),
+      s"suffix matching must be an equi-join, not a nested loop:\n$bplan")
+  }
+
   test("value_stats folds map-side: partial hash aggregate before the exchange") {
     // the exact-moments contract is only scale-safe if the five fixed-size
     // accumulators combine map-side — a final-only aggregate would shuffle

@@ -510,6 +510,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("domainQuotaReplay: first-come quota, batch-boundary independent, state rejects cross-batch") {
+    // 3 hosts x 10 arrivals, quota 4: every host's budget fills mid-stream,
+    // so any multi-batch replay exercises a cross-batch rejection
+    val docs = (0L until 30L).map(i =>
+      (i, s"https://h${i % 3}.example.com/p$i")).toSeq
+    def verdicts(n: Int) = EventStreams.domainQuotaReplay(spark, docs, n, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val one = verdicts(1)
+    // sequential truth: first 4 arrivals per host admit
+    val cnt = scala.collection.mutable.Map.empty[String, Int]
+    val want = docs.map { case (id, url) =>
+      val h = s"h${id % 3}.example.com"
+      val c = cnt.getOrElse(h, 0)
+      val adm = c < 4
+      if (adm) cnt(h) = c + 1
+      (id, h, adm)
+    }
+    assert(one.toSeq == want)
+    // chunking must not change a single verdict (cumulative counter)
+    assert(verdicts(7).toSeq == one.toSeq, "micro-batch boundaries changed verdicts")
+    assert(one.count(_._3) == 12)
+  }
+
   test("sessionizeBatch matches gap semantics") {
     import spark.implicits._
     val events = Seq(

@@ -1002,6 +1002,64 @@ def main(sf_dir, spark_dir):
           " CAST(split AS VARCHAR) AS split\nFROM sel\nORDER BY doc_id")
     custom["dataset_splits"] = (split_rows, ("doc_id", "split"), split_sql)
 
+    # ---- curate_web: the RefinedWeb-style FRONT-END composed end to end
+    # (round 15) — host blocklist -> URL-identity dedup -> per-domain
+    # token budget -> train split. Full-chain re-derivation: each stage
+    # recomputed from the previous stage's survivor set, so stage-order
+    # and threading bugs surface as row mismatches.
+    def normalized_url(u):
+        host = url_host(u)
+        m = re.match(r"^[a-z]+://[^/?#]+([^?#]*)", u)
+        path = re.sub(r"/+$", "", m.group(1) if m else "")
+        qm = re.search(r"\?([^#]*)", u)
+        q = qm.group(1) if qm else ""
+        return host + path + (("?" + q) if q else "")
+
+    cw_blocked = ("src3.example.com", "src5.example.com")
+
+    def cw_host_blocked(h):
+        return h in cw_blocked or any(h.endswith("." + b) for b in cw_blocked)
+
+    cw_url = {did: planted_url(did, src) for did, _l, src, _n in drows}
+    cw_s1 = [did for did, _l, _s, _n in drows
+             if not cw_host_blocked(url_host(cw_url[did]))]
+    cw_bykey = {}
+    for did in cw_s1:
+        cw_bykey.setdefault(normalized_url(cw_url[did]), []).append(did)
+    cw_s2 = {min(ids) for ids in cw_bykey.values()}
+    cw_byhost = {}
+    for did in sorted(cw_s2):
+        cw_byhost.setdefault(url_host(cw_url[did]), []).append(did)
+    cw_s3 = []
+    for host, ids in cw_byhost.items():
+        run = 0
+        for did in sorted(ids, key=lambda i: (hash_score(i, 13), i)):
+            run += nch[did]
+            if run <= 2000:
+                cw_s3.append(did)
+    cw_rows = sorted((did, nch[did]) for did in cw_s3
+                     if split_of(did) == "train")
+    assert len(cw_rows) >= 10, f"curate_web: only {len(cw_rows)} train rows"
+    queries["curate_web"] = (
+        ("doc_id", "n_chars"), ("BIGINT", "BIGINT"), cw_rows, "doc_id")
+
+    # ---- stream_domain_quota: the crawl-side FIRST-COME quota (streaming
+    # twin). Sequential walk in arrival (= doc_id) order: admit while the
+    # host's cumulative admitted count < 8 — valid for any micro-batch
+    # chunking because the counter is cumulative and the order global.
+    sq_cnt = {}
+    sq_rows = []
+    for did, _l, src, _n in sorted(drows):
+        h = url_host(cw_url[did])
+        c = sq_cnt.get(h, 0)
+        adm = c < 8
+        if adm:
+            sq_cnt[h] = c + 1
+        sq_rows.append((did, h, adm))
+    queries["stream_domain_quota"] = (
+        ("doc_id", "host", "admitted"), ("BIGINT", "VARCHAR", "BOOLEAN"),
+        sq_rows, "doc_id")
+
     # ---- contamination_check: shared 8-gram shingles vs a hash-sampled
     # "benchmark" (2%, seed 99 — same deterministic sample the query draws).
     # Shingle sets via vk.shingles_from_text (golden-gated on import), so
