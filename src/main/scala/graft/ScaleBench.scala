@@ -647,22 +647,68 @@ object ScaleBench {
       // only) + broadcast semi + anti; URL dedup = ids+keys min aggregate
       // + semi join; quota = bounded-heap topk_by + ids semi join. No
       // text ever shuffles; no per-host window sort anywhere.
+      // round 16 extends the chain with the path-pattern filter and the
+      // canonical (percent-normalizing, query-sorting) dedup key — both
+      // the same linear scan+broadcast-join shapes as the rest
       "domain_ops" -> { (k: Int) =>
         val urled = docs(k).select(col("doc_id"),
           concat(lit("https://"),
             when(col("doc_id") % 2 === 0, lit("cdn.")).otherwise(lit("")),
             col("source"), lit("-r"),
             (col("doc_id") / Stride).cast("long").cast("string"),
-            lit(".example.com/p"), (col("doc_id") % 1000).cast("string"))
+            lit(".example.com"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit("/static/img"), (col("doc_id") % 1000).cast("string"),
+                lit(".png")))
+              .otherwise(
+                concat(lit("/p"), (col("doc_id") % 1000).cast("string"))))
             .as("url"))
         import spark.implicits._
         val blocked = Seq("src3-r0.example.com", "src5-r1.example.com")
           .toDF("domain")
+        val rules = Seq("prefix" -> "/static", "ext" -> ".png")
+          .toDF("kind", "pattern")
         val afterBlock = api.Domains.filterBlockedHosts(
           urled, "url", "doc_id", blocked)
-        val afterDedup = api.Domains.dedupByUrl(afterBlock, "url", "doc_id")
+        val afterPath = api.Domains.filterUrlPaths(
+          afterBlock, "url", "doc_id", rules)
+        val afterDedup = api.Domains.dedupByUrl(afterPath, "url", "doc_id",
+          sortQuery = true)
         api.Domains.domainQuotaSample(afterDedup, "url", "doc_id",
           maxPerDomain = 200, seed = 13L).count()
+      },
+      // Mega-host token-budget skew guard (round 16): 40% of every scale's
+      // rows sit on ONE host, the rest spread over 997 hosts. The plain
+      // domainTokenQuota window sorts the mega-host on one task (its
+      // documented residual skew); domainTokenQuotaAdaptive census-routes
+      // it through the bounded-heap doc-cap first. Kept sets must be
+      // bit-equal (mass >= 1). hotHostDocs scales with k so exactly the
+      // mega-host routes at every scale; rows = kept count.
+      "domain_quota_skew" -> { (k: Int) =>
+        def fixture = spark.range(k * 2000000L).select(
+          col("id").as("doc_id"),
+          when(col("id") % 5 < 2, lit("https://mega.example.com/p"))
+            .otherwise(concat(lit("https://h"),
+              (col("id") % 997).cast("string"),
+              lit(".example.com/p"))).as("url"),
+          (col("id") % 50 + 1).as("mass"))
+        val budget = 5000L
+        val t0 = System.nanoTime()
+        val plain = api.Domains.domainTokenQuota(fixture, "url", "doc_id",
+            col("mass"), budget, seed = 13L)
+          .agg(count(lit(1)), sum(col("doc_id"))).head()
+        val tPlain = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val adaptive = api.Domains.domainTokenQuotaAdaptive(fixture, "url",
+            "doc_id", col("mass"), budget, seed = 13L,
+            hotHostDocs = 400000L * k)
+          .agg(count(lit(1)), sum(col("doc_id"))).head()
+        val tAdaptive = (System.nanoTime() - t1) / 1e9
+        require(plain == adaptive,
+          s"adaptive diverged from plain: $plain vs $adaptive")
+        println(f"  quota_skew x$k: plain $tPlain%.1fs " +
+          f"adaptive $tAdaptive%.1fs (kept ${plain.getLong(0)})")
+        plain.getLong(0)
       },
       // BPE trainer on the MERGES axis (corpus FIXED — the corpus axis is
       // already measured flat, the dict aggregate being the only corpus
@@ -755,8 +801,20 @@ object ScaleBench {
         val resumedRows = api.StagedPipeline.run(src, stages, prefix).count()
         val tResume = (System.nanoTime() - t2) / 1e9
         require(resumedRows == stagedRows, "resume diverged")
+        // (c) cross-session recovery (round 16): kill every registration,
+        // keep every directory (the JVM-restart state), and time the
+        // recovered no-op resume — pure directory-listing recovery +
+        // final-table read, O(stages), corpus-size-independent
+        (Seq(s"${prefix}_manifest") ++ (0 until 5).map(i => s"${prefix}_s$i"))
+          .foreach(t => org.apache.spark.sql.graft.CatalogOps
+            .deregisterKeepingFiles(spark, t))
+        val t3 = System.nanoTime()
+        val recoveredRows = api.StagedPipeline.run(src, stages, prefix).count()
+        val tRecover = (System.nanoTime() - t3) / 1e9
+        require(recoveredRows == stagedRows, "recovered resume diverged")
         println(f"  staged x$k: inline $tInline%.1fs staged $tStaged%.1fs " +
-          f"(overhead ${tStaged - tInline}%.1fs) resume-from-3 $tResume%.1fs")
+          f"(overhead ${tStaged - tInline}%.1fs) resume-from-3 $tResume%.1fs " +
+          f"xsession-recover $tRecover%.1fs")
         api.StagedPipeline.reset(spark, prefix, maxStages = 8)
         stagedRows
       }

@@ -120,6 +120,57 @@ object SparkEntry {
     (corpus, bench)
   }
 
+  /** The staged-curation gates' shared fixture and 7-stage recipe —
+    * curate_corpus_staged (in-session stop/resume) and
+    * curate_corpus_staged_xsession (simulated JVM restart) must run the
+    * IDENTICAL chain so both land on the same pinned oracle. */
+  private def stagedCurationFixture(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(String, DataFrame => DataFrame)]) = {
+    val docs = load(s, dir, "documents")
+    val passage =
+      lit(" zebra quagga okapi tapir gnu eland kudu oryx saiga argali")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), concat(col("text"), passage).as("text"))
+    val corpus0 = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter\n"))
+            .otherwise(lit("")),
+          regexp_replace(col("text"), " the ", "\n"),
+          when(col("doc_id") % 4 === 0, lit("\nall rights reserved"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 3, passage).otherwise(lit("")))
+          .as("text"))
+    val stages = Seq[(String, DataFrame => DataFrame)](
+      "boilerplate_drop" -> (d => graft.api.Dedup.dropBoilerplateLines(
+        d, "doc_id", "text", minDocs = 80L)),
+      "decon_span_cut" -> (d => graft.api.Dedup.cutSpansExact(d,
+        graft.api.Contamination.contaminatedSpans(
+          d, bench, "doc_id", "text", width = 8), "doc_id", "text")),
+      "dup_span_cut" -> (d => graft.api.Dedup.cutDupSpansExact(
+        d, "doc_id", "text", width = 8)),
+      "nb_quality_filter" -> (d => graft.api.QualityClassifier.trainScore(
+          d, "text", col("lang") === "en", buckets = 1024)
+        .filter(col("nb_score") > 0.0)),
+      "ppl_tile" -> (d => {
+        val lm = graft.api.TextAnalysis.docLogProbBigram(d)
+        graft.api.TextAnalysis.perplexityBuckets(
+            d.join(lm.select("doc_id", "avg_nll2"), "doc_id"),
+            "lang", "avg_nll2")
+          .filter(col("ppl_class") =!= "tail")
+      }),
+      "dsir_select" -> (d => graft.api.Sampling.dsirResample(d,
+        d.filter(col("source").isin("src0", "src1")), "doc_id", "text",
+        k = 80, buckets = 1024, seed = 7L)),
+      "train_split" -> (d => graft.api.Sampling.assignSplits(d, "doc_id", 5L,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_v2"),
+          col("ppl_class"), col("logw"))))
+    (corpus0, stages)
+  }
+
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) (readable only as a
     * long under the legacy conf) and TIMESTAMP(MICROS) (read as
     * TIMESTAMP_NTZ) across driver rounds; normalize either to a micros
@@ -1401,6 +1452,47 @@ object SparkEntry {
           maxTop2GramFrac = 0.05, maxDup2GramFrac = 0.05)
         .orderBy("doc_id")
     }),
+    "gopher_rules" -> ((s, dir) => {
+      // The Gopher STRUCTURAL rule suite (the lexical/layout half;
+      // repetition_filter owns the other half) over a fixture with
+      // planted bullet / ellipsis / hash / numeric structures — the raw
+      // documents rarely trip those rules, so the plants make every
+      // signal take non-trivial values. Oracle: DuckDB recomputes the
+      // WHOLE rule set with its own list/string machinery (str_split +
+      // list lambdas vs Spark's higher-order functions); every ratio is
+      // an exact int/int division, bit-equal across engines.
+      val did = col("doc_id")
+      val docs = load(s, dir, "documents").select(did, concat(col("text"),
+        when(did % 5 === 0, lit("\n- item one\n- item two\n* item three" +
+          "\n\u2022 dotted item")).otherwise(lit("")),
+        when(did % 7 === 0, lit("\nread more... continued...\n### nav ###"))
+          .otherwise(lit("")),
+        when(did % 11 === 0, lit("\n12 345 6789 10 11 12 13 14 15 16"))
+          .otherwise(lit(""))).as("text"))
+      graft.api.TextAnalysis.gopherRules(docs).orderBy("doc_id")
+    }),
+    "bpe_vocab_roundtrip" -> ((s, dir) => {
+      // Persisted-vocabulary round-trip: train -> mergesDf -> saveAsTable
+      // -> reload from the catalog -> recompile BpeRanks -> count. A
+      // trained vocab is this pipeline's most-shipped artifact; the
+      // save/reload seam must reproduce the in-session counts exactly,
+      // so this gate reuses token_count_bpe_trained's pinned oracle —
+      // any serialization loss (byte-token mangling, rank reordering)
+      // lands as a count mismatch.
+      val docs = load(s, dir, "documents")
+      val merges = graft.api.BpeTrain.trainBpe(docs, "text", 48,
+        vocabCap = 2048)
+      graft.api.BucketedWrite.dropTable(s, "graft_bpe_vocab")
+      graft.api.BpeTrain.mergesDf(s, merges).write.format("parquet")
+        .saveAsTable("graft_bpe_vocab")
+      val reloaded = s.table("graft_bpe_vocab").orderBy("rank")
+        .select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+      val ranks = org.apache.spark.sql.graft.BpeRanks.fromByteTokens(reloaded)
+      docs.select(col("doc_id"),
+          graft.functions.bpe_count(col("text"), ranks).as("n_tokens_bpe"))
+        .orderBy("doc_id")
+    }),
     "doc_signatures" -> ((s, dir) => {
       // SimHash + rolling-min + winnowed fingerprints (rows-only: FxHash64
       // chains are not expressible in DuckDB; pinned by PipelineOpsSpec).
@@ -1552,51 +1644,30 @@ object SparkEntry {
     // stage needs that a committed table failed to carry surfaces here as
     // a hash mismatch.
     "curate_corpus_staged" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
-      val passage =
-        lit(" zebra quagga okapi tapir gnu eland kudu oryx saiga argali")
-      val bench = docs.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id"), concat(col("text"), passage).as("text"))
-      val corpus0 = docs.filter(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id"), col("lang"), col("source"),
-          concat(
-            when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter\n"))
-              .otherwise(lit("")),
-            regexp_replace(col("text"), " the ", "\n"),
-            when(col("doc_id") % 4 === 0, lit("\nall rights reserved"))
-              .otherwise(lit("")),
-            when(col("doc_id") % 7 === 3, passage).otherwise(lit("")))
-            .as("text"))
-      val stages = Seq[(String, DataFrame => DataFrame)](
-        "boilerplate_drop" -> (d => graft.api.Dedup.dropBoilerplateLines(
-          d, "doc_id", "text", minDocs = 80L)),
-        "decon_span_cut" -> (d => graft.api.Dedup.cutSpansExact(d,
-          graft.api.Contamination.contaminatedSpans(
-            d, bench, "doc_id", "text", width = 8), "doc_id", "text")),
-        "dup_span_cut" -> (d => graft.api.Dedup.cutDupSpansExact(
-          d, "doc_id", "text", width = 8)),
-        "nb_quality_filter" -> (d => graft.api.QualityClassifier.trainScore(
-            d, "text", col("lang") === "en", buckets = 1024)
-          .filter(col("nb_score") > 0.0)),
-        "ppl_tile" -> (d => {
-          val lm = graft.api.TextAnalysis.docLogProbBigram(d)
-          graft.api.TextAnalysis.perplexityBuckets(
-              d.join(lm.select("doc_id", "avg_nll2"), "doc_id"),
-              "lang", "avg_nll2")
-            .filter(col("ppl_class") =!= "tail")
-        }),
-        "dsir_select" -> (d => graft.api.Sampling.dsirResample(d,
-          d.filter(col("source").isin("src0", "src1")), "doc_id", "text",
-          k = 80, buckets = 1024, seed = 7L)),
-        "train_split" -> (d => graft.api.Sampling.assignSplits(d, "doc_id", 5L,
-            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-          .filter(col("split") === "train")
-          .select(col("doc_id"),
-            length(col("text")).cast("long").as("n_chars_v2"),
-            col("ppl_class"), col("logw"))))
+      val (corpus0, stages) = stagedCurationFixture(s, dir)
       val prefix = "graft_stagedcur"
       graft.api.StagedPipeline.reset(s, prefix)
       graft.api.StagedPipeline.run(corpus0, stages, prefix, stopAfter = 3)
+      graft.api.StagedPipeline.run(corpus0, stages, prefix)
+        .orderBy("doc_id")
+    }),
+    // The CROSS-SESSION resume leg: commit stages 1-3, then simulate the
+    // JVM restart a pre-empted 100 TB run actually suffers — every
+    // catalog registration dies, every warehouse parquet directory
+    // survives (CatalogOps.deregisterKeepingFiles produces exactly that
+    // state under the local in-memory catalog; a persistent-metastore
+    // cluster skips straight to the resume). The resumed run must
+    // recover the manifest + stage tables from the directory listing
+    // (StagedPipeline.recoverFromWarehouse), pay only stages 4+, and
+    // land bit-equal to curate_corpus_staged's pinned oracle.
+    "curate_corpus_staged_xsession" -> ((s, dir) => {
+      val (corpus0, stages) = stagedCurationFixture(s, dir)
+      val prefix = "graft_stagedxs"
+      graft.api.StagedPipeline.reset(s, prefix)
+      graft.api.StagedPipeline.run(corpus0, stages, prefix, stopAfter = 3)
+      (Seq(s"${prefix}_manifest") ++ (0 until 3).map(i => s"${prefix}_s$i"))
+        .foreach(t =>
+          org.apache.spark.sql.graft.CatalogOps.deregisterKeepingFiles(s, t))
       graft.api.StagedPipeline.run(corpus0, stages, prefix)
         .orderBy("doc_id")
     }),
@@ -2275,16 +2346,21 @@ object SparkEntry {
     }),
     // The RefinedWeb-style FRONT-END composed end to end — the stages a
     // web pipeline runs before any content-based operator: host blocklist
-    // -> URL-identity dedup -> per-domain token budget -> train split.
-    // Every stage is the already-gated operator; the oracle re-derives
-    // the whole chain in Python from each stage's survivor set, so
-    // stage-order and id-threading bugs surface as row mismatches.
+    // -> path-pattern filter -> URL-identity dedup -> per-domain token
+    // budget -> train split. Every stage is the already-gated operator;
+    // the oracle re-derives the whole chain in Python from each stage's
+    // survivor set, so stage-order and id-threading bugs surface as row
+    // mismatches. The /p13 prefix rule hits both the bare "/p13" paths
+    // and the trailing-slash "/p13/" variants (ids ≡ 13 mod 40 ∧ 0 mod
+    // 3), pinning the path-side slash normalization inside the chain.
     "curate_web" -> ((s, dir) => {
       import s.implicits._
       val urled = withPlantedUrls(load(s, dir, "documents"))
       val blocked = Seq("src3.example.com", "src5.example.com").toDF("domain")
       val s1 = graft.api.Domains.filterBlockedHosts(urled, "url", "doc_id", blocked)
-      val s2 = graft.api.Domains.dedupByUrl(s1, "url", "doc_id")
+      val s1b = graft.api.Domains.filterUrlPaths(s1, "url", "doc_id",
+        Seq("prefix" -> "/p13", "prefix" -> "/p27").toDF("kind", "pattern"))
+      val s2 = graft.api.Domains.dedupByUrl(s1b, "url", "doc_id")
       val s3 = graft.api.Domains.domainTokenQuota(s2, "url", "doc_id",
         col("n_chars"), budgetPerDomain = 2000L, seed = 13L)
       graft.api.Sampling.assignSplits(s3, "doc_id", 5L,
@@ -2317,6 +2393,57 @@ object SparkEntry {
       // URL parsers must agree on the kept set.
       val urled = withPlantedUrls(load(s, dir, "documents"))
       graft.api.Domains.dedupByUrl(urled, "url", "doc_id")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "domain_dedup_canonical" -> ((s, dir) => {
+      // URL canonicalization hardening (RFC 3986 normalization): %7e
+      // (unreserved, lowercase hex) decodes to ~ so the encoded/decoded
+      // twins collapse; %2f (reserved) keeps its encoding but uppercases
+      // to %2F — collapsing with its pre-uppercased twin while staying
+      // distinct from a literal '/'; sortQuery=true collapses ?b=2&a=1
+      // with ?a=1&b=2. Oracle: DuckDB re-derives the WHOLE normalization
+      // with its own machinery — strpos hex arithmetic + list lambdas vs
+      // Spark's conv/chr + higher-order functions (the two-independent-
+      // parsers discipline domain_dedup set).
+      val did = col("doc_id")
+      val k = (did % 30).cast("string")
+      val urled = load(s, dir, "documents").select(did, col("n_chars"),
+        concat(lit("https://www.example.com"),
+          when(did % 4 === 0, concat(lit("/%7edocs/a"), k))
+            .when(did % 4 === 1, concat(lit("/~docs/a"), k))
+            .when(did % 4 === 2, concat(lit("/x%2fy/p"), k, lit("?b=2&a=1")))
+            .otherwise(concat(lit("/x%2Fy/p"), k, lit("?a=1&b=2")))).as("url"))
+      graft.api.Domains.dedupByUrl(urled, "url", "doc_id", sortQuery = true)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "domain_path_filter" -> ((s, dir) => {
+      import s.implicits._
+      // path-level URL filtering: /admin (segment-boundary, hit by the
+      // planted mixed-case /Admin — matching is lowercased), /static/
+      // (trailing slash on the rule ignored), extension .png (hit by the
+      // planted uppercase .PNG). /staticfiles survives the /static rule
+      // (slash-boundary semantics), blog .html and /articles survive
+      // everything. Oracle: DuckDB re-derives the drop set with its own
+      // LIKE machinery against Spark's explode + broadcast equi-joins.
+      val did = col("doc_id")
+      val urled = load(s, dir, "documents").select(did, col("n_chars"),
+        concat(lit("https://h"), (did % 7).cast("string"), lit(".example.com"),
+          when(did % 5 === 0,
+            concat(lit("/static/img"), did.cast("string"), lit(".PNG")))
+            .when(did % 5 === 1,
+              concat(lit("/blog/post"), did.cast("string"), lit(".html")))
+            .when(did % 5 === 2,
+              concat(lit("/Admin/panel"), did.cast("string")))
+            .when(did % 5 === 3,
+              concat(lit("/staticfiles/f"), did.cast("string")))
+            .otherwise(
+              concat(lit("/articles/a"), did.cast("string"), lit("/"))))
+          .as("url"))
+      val rules = Seq("prefix" -> "/admin", "prefix" -> "/static/",
+        "ext" -> ".png").toDF("kind", "pattern")
+      graft.api.Domains.filterUrlPaths(urled, "url", "doc_id", rules)
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
@@ -3094,6 +3221,25 @@ object SparkEntry {
     finally in.close()
   }
 
+  /** DuckDB re-derivation of [[graft.api.Domains]]' percent-encoding
+    * normalization over column `c`, deliberately on DIFFERENT machinery
+    * than the Spark side (strpos hex arithmetic + list lambdas vs
+    * conv/chr + higher-order functions): decode unreserved-character
+    * triplets (codes 65-90, 97-122, 48-57, 45, 46, 95, 126), uppercase
+    * the hex of every other triplet, pass malformed `%`s through. */
+  private def duckPctNorm(c: String): String = {
+    val code = "((strpos('0123456789abcdef', lower(t[1:1])) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', lower(t[2:2])) - 1))"
+    s"""(str_split($c, '%')[1] || coalesce(array_to_string(
+            list_transform(str_split($c, '%')[2:], t ->
+              CASE WHEN NOT regexp_matches(t, '^[0-9A-Fa-f]{2}')
+                   THEN '%' || t
+                   WHEN $code BETWEEN 65 AND 90 OR $code BETWEEN 97 AND 122
+                     OR $code BETWEEN 48 AND 57 OR $code IN (45, 46, 95, 126)
+                   THEN chr(CAST($code AS INTEGER)) || t[3:]
+                   ELSE '%' || upper(t[1:2]) || t[3:] END), ''), ''))"""
+  }
+
   /** DuckDB-equivalent SQL per oracle-checkable query (same column names,
     * same ordering). */
   def oracleSql: Map[String, String] = Map(
@@ -3165,6 +3311,66 @@ object SparkEntry {
         FROM u),
       keep AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY ukey)
       SELECT k.doc_id, k.n_chars FROM k JOIN keep USING (doc_id)
+      ORDER BY doc_id""",
+    // canonicalization hardening: DuckDB re-runs the FULL RFC 3986
+    // normalization (duckPctNorm: strpos hex arithmetic) + bytewise
+    // query-param sort on its own parser's components
+    "domain_dedup_canonical" -> ("""
+      WITH u AS (
+        SELECT doc_id, n_chars,
+          'https://www.example.com' ||
+          CASE WHEN doc_id % 4 = 0
+                 THEN '/%7edocs/a' || CAST(doc_id % 30 AS VARCHAR)
+               WHEN doc_id % 4 = 1
+                 THEN '/~docs/a' || CAST(doc_id % 30 AS VARCHAR)
+               WHEN doc_id % 4 = 2
+                 THEN '/x%2fy/p' || CAST(doc_id % 30 AS VARCHAR) || '?b=2&a=1'
+               ELSE '/x%2Fy/p' || CAST(doc_id % 30 AS VARCHAR) || '?a=1&b=2'
+          END AS url
+        FROM documents),
+      p AS (
+        SELECT doc_id, n_chars,
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+            ':[0-9]+$', ''), '^www\.', '') AS host,
+          regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                         '/+$', '') AS rawpath,
+          regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        FROM u),
+      n AS (
+        SELECT doc_id, n_chars, host,
+          """ + duckPctNorm("rawpath") + """ AS npath,
+          """ + duckPctNorm("rawq") + """ AS nq
+        FROM p),
+      k AS (
+        SELECT doc_id, n_chars,
+          host || npath || CASE WHEN nq = '' THEN '' ELSE
+            '?' || array_to_string(list_sort(str_split(nq, '&')), '&')
+          END AS ukey
+        FROM n),
+      keep AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY ukey)
+      SELECT k.doc_id, k.n_chars FROM k JOIN keep USING (doc_id)
+      ORDER BY doc_id"""),
+    // path-pattern filtering: DuckDB re-derives the drop set with its
+    // own LIKE machinery against Spark's explode + broadcast equi-joins
+    "domain_path_filter" -> """
+      WITH u AS (
+        SELECT doc_id, n_chars, lower(regexp_replace(
+          CASE WHEN doc_id % 5 = 0
+                 THEN '/static/img' || CAST(doc_id AS VARCHAR) || '.PNG'
+               WHEN doc_id % 5 = 1
+                 THEN '/blog/post' || CAST(doc_id AS VARCHAR) || '.html'
+               WHEN doc_id % 5 = 2
+                 THEN '/Admin/panel' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 5 = 3
+                 THEN '/staticfiles/f' || CAST(doc_id AS VARCHAR)
+               ELSE '/articles/a' || CAST(doc_id AS VARCHAR) || '/'
+          END, '/+$', '')) AS path
+        FROM documents)
+      SELECT doc_id, n_chars FROM u
+      WHERE NOT (path = '/admin' OR path LIKE '/admin/%'
+              OR path = '/static' OR path LIKE '/static/%'
+              OR path LIKE '%.png')
       ORDER BY doc_id""",
     "sample_weighted" -> valuesOracle("sample_weighted"),
     "dsir_resample" -> valuesOracle("dsir_resample"),
@@ -3302,6 +3508,9 @@ object SparkEntry {
     // bit-equal to curate_corpus_v2 by construction: the staged run must
     // reproduce the in-session chain exactly (same rows, same oracle)
     "curate_corpus_staged" -> valuesOracle("curate_corpus_staged"),
+    // the cross-session leg runs the IDENTICAL chain through the
+    // simulated restart, so it must land on the same pinned oracle
+    "curate_corpus_staged_xsession" -> valuesOracle("curate_corpus_staged"),
     "curate_embeddings" -> valuesOracle("curate_embeddings"),
     "semantic_prototypes" -> valuesOracle("semantic_prototypes"),
     "sketch_distinct" -> valuesOracle("sketch_distinct"),
@@ -3335,6 +3544,9 @@ object SparkEntry {
     "token_count_bpe" -> valuesOracle("token_count_bpe"),
     "bpe_train" -> valuesOracle("bpe_train"),
     "token_count_bpe_trained" -> valuesOracle("token_count_bpe_trained"),
+    // the persisted-vocab round-trip must reproduce the in-session
+    // trained counts exactly — same pinned oracle by construction
+    "bpe_vocab_roundtrip" -> valuesOracle("token_count_bpe_trained"),
     "bpe_train_1k" -> valuesOracle("bpe_train_1k"),
     "token_count_bpe_1k" -> valuesOracle("token_count_bpe_1k"),
     "pack_sequences_bpe" -> valuesOracle("pack_sequences_bpe"),
@@ -4193,6 +4405,78 @@ object SparkEntry {
         |        AND coalesce(CAST(a.total - a.ndistinct AS DOUBLE) / a.total, 0.0) <= 0.05)
         |         AS keep
         |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // full independent re-derivation of the Gopher structural rule set:
+    // same planted fixture (chr(10)/chr(8226) so the file stays ASCII),
+    // DuckDB list lambdas vs Spark higher-order functions; every ratio
+    // is an exact int/int double division, bit-equal across engines
+    "gopher_rules" ->
+      """WITH f AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- item one' || chr(10)
+        |      || '- item two' || chr(10) || '* item three' || chr(10)
+        |      || chr(8226) || ' dotted item' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'read more... continued...'
+        |      || chr(10) || '### nav ###' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(10)
+        |      || '12 345 6789 10 11 12 13 14 15 16' ELSE '' END AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(str_split(text, ' '), x -> x <> '') AS ws,
+        |    list_filter(str_split(text, chr(10)), x -> x <> '') AS ls
+        |  FROM f),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS hashes,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |      AS BIGINT) AS ellipses,
+        |    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+        |      AS BIGINT) AS wlen,
+        |    CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+        |      OR starts_with(l, '* ') OR starts_with(l, chr(8226))))
+        |      AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS BIGINT)
+        |      AS ellipsis_lines,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have',
+        |      'with'], sw -> list_contains(ws, sw))) AS BIGINT)
+        |      AS stopword_hits
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0
+        |      THEN CAST(wlen AS DOUBLE) / CAST(n_words AS DOUBLE) END
+        |      AS mean_word_len,
+        |    CASE WHEN n_words > 0
+        |      THEN CAST(hashes + ellipses AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |      END AS symbol_word_ratio,
+        |    CASE WHEN n_lines > 0
+        |      THEN CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) END
+        |      AS bullet_line_frac,
+        |    CASE WHEN n_lines > 0
+        |      THEN CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |      END AS ellipsis_line_frac,
+        |    CASE WHEN n_words > 0
+        |      THEN CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END
+        |      AS alpha_word_frac,
+        |    stopword_hits
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+        |  stopword_hits,
+        |  COALESCE(n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_word_ratio <= 0.1
+        |    AND bullet_line_frac <= 0.9
+        |    AND ellipsis_line_frac <= 0.3
+        |    AND alpha_word_frac >= 0.8
+        |    AND stopword_hits >= 2, FALSE) AS keep
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
     "quantize_embeddings" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1117,7 +1117,11 @@ object Ann {
     *      note), then codes under the frozen models.
     *
     * Cost per batch: the batch's own search + `kCand` exact distances per
-    * vector + the admitted rows' encode — never a corpus pass. Admission
+    * vector + the admitted rows' encode, plus the two id guards' ids-only
+    * scans — the freshness guard anti-joins the codes table's id column
+    * and the corpus-side guard anti-joins `corpusTable`'s id column (one
+    * narrow column pruned at the parquet scan, no vector ever read by
+    * either) — never a pass over the corpus VECTORS. Admission
     * judges the PRE-batch state only (intra-batch near-dups admit
     * together — batch-level dedup is [[semanticDedup]]'s job before
     * ingestion), and the verdict is PINNED (localCheckpoint) before the

@@ -16,21 +16,59 @@ import org.apache.spark.sql.functions._
   * ids only. */
 object Domains {
 
-  /** Normalized host of a URL: `parse_url(url, 'HOST')` (which excludes
-    * any `:port`), lowercased, one leading `www.` stripped — the
-    * grouping key crawl pipelines quota and report on. Null/unparseable
-    * URLs yield null. */
+  /** Normalized host of a URL: `try_parse_url(url, 'HOST')` (which
+    * excludes any `:port`), lowercased, one leading `www.` stripped —
+    * the grouping key crawl pipelines quota and report on.
+    * Null/unparseable URLs yield null — `try_parse_url`, not
+    * `parse_url`, because under ANSI mode (Spark 4's default) the plain
+    * form THROWS on a malformed URL, and a 100 TB crawl is guaranteed
+    * to contain some. */
   def urlHost(url: Column): Column =
-    regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+    regexp_replace(lower(try_parse_url(url, lit("HOST"))), "^www\\.", "")
+
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization, builtins only:
+    * percent-triplets of UNRESERVED characters (`A-Z a-z 0-9 - . _ ~`)
+    * decode (`%7Efoo` = `~foo`, the classic homepage-URL twin), every
+    * other triplet keeps its encoding but uppercases its hex (`%2f` =
+    * `%2F` — RFC 3986 §6.2.2.1), and malformed `%`s (not followed by two
+    * hex digits) pass through untouched. Decoding only the unreserved
+    * set is what makes this SAFE: a reserved byte like `%26` (`&`) or
+    * `%2F` (`/`) stays encoded, so no decode can ever create a new
+    * path-segment or query-parameter boundary.
+    *
+    * Shape: one split on `%` + one `transform` over the pieces — all
+    * codegen'd builtins, no UDF; each piece after the first lost its
+    * leading `%`, so a piece starting with two hex digits IS a triplet
+    * (`conv` hex→code, `chr` code→char, unreserved test by char class). */
+  private def pctNormalize(s: Column): Column = {
+    val parts = split(s, "%", -1)
+    val fixed = transform(slice(parts, lit(2), size(parts) - 1), t => {
+      val hex = upper(substring(t, 1, 2))
+      val rest = substring(t, 3, Int.MaxValue)
+      val ch = call_function("chr", conv(hex, 16, 10).cast("long"))
+      when(!t.rlike("^[0-9A-Fa-f]{2}"), concat(lit("%"), t))
+        .when(ch.rlike("^[A-Za-z0-9._~-]$"), concat(ch, rest))
+        .otherwise(concat(lit("%"), hex, rest))
+    })
+    concat(element_at(parts, 1), array_join(fixed, ""))
+  }
 
   /** Canonical URL identity for exact dedup: normalized host + path with
-    * trailing slashes stripped + `?query` if present. Scheme and
-    * fragment drop out (neither changes the fetched document); path
-    * CASE is preserved (paths are case-sensitive, hosts are not). */
-  def normalizedUrl(url: Column): Column = {
-    val path = regexp_replace(
-      coalesce(parse_url(url, lit("PATH")), lit("")), "/+$", "")
-    val query = coalesce(parse_url(url, lit("QUERY")), lit(""))
+    * trailing slashes stripped + `?query` if present, both path and
+    * query [[pctNormalize]]d. Scheme and fragment drop out (neither
+    * changes the fetched document); path CASE is preserved (paths are
+    * case-sensitive, hosts are not). With `sortQuery = true` the query
+    * parameters are additionally sorted bytewise (`?b=2&a=1` =
+    * `?a=1&b=2` — the same page twice under most servers). Opt-in
+    * because it is HEURISTIC: a rare endpoint can be order-sensitive,
+    * and sorting also reorders duplicate keys (`?a=1&a=2`). Unparseable
+    * URLs (null host) yield null. */
+  def normalizedUrl(url: Column, sortQuery: Boolean = false): Column = {
+    val path = pctNormalize(regexp_replace(
+      coalesce(try_parse_url(url, lit("PATH")), lit("")), "/+$", ""))
+    val q0 = pctNormalize(coalesce(try_parse_url(url, lit("QUERY")), lit("")))
+    val query =
+      if (sortQuery) array_join(array_sort(split(q0, "&", -1)), "&") else q0
     concat(urlHost(url), path,
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
   }
@@ -144,12 +182,135 @@ object Domains {
     * [[normalizedUrl]] key (keep-earliest, the [[Dedup.exact]]
     * convention). One ids+keys aggregate (map-side-combined `min`) and
     * one semi-join — the document body is never read by the decision,
-    * which is the whole point of deduplicating on URL identity first. */
-  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    * which is the whole point of deduplicating on URL identity first.
+    * `sortQuery` passes through to [[normalizedUrl]] (opt-in
+    * query-parameter-order collapsing).
+    *
+    * Null-URL contract: documents whose URL does not parse (null host ⇒
+    * null key) are ALL KEPT — they have no URL identity, so no dedup
+    * decision applies to them (like [[filterBlockedHosts]], which keeps
+    * null hosts; unlike [[domainTokenQuota]], which documents dropping
+    * them). Grouping them would silently collapse every unparseable-URL
+    * document into one survivor — Spark groups all null keys together. */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String,
+                 sortQuery: Boolean = false): DataFrame = {
+    val key = normalizedUrl(col(urlCol), sortQuery)
     val keep = df
-      .select(normalizedUrl(col(urlCol)).as("__ukey"), col(idCol))
+      .select(key.as("__ukey"), col(idCol))
+      .filter(col("__ukey").isNotNull)
       .groupBy("__ukey").agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     df.join(keep, Seq(idCol), "left_semi")
+      .unionByName(df.filter(key.isNull))
+  }
+
+  /** Hosts whose doc count exceeds `hotHostDocs` AND whose count also
+    * exceeds the doc-count cap the budget implies — the census behind
+    * [[domainTokenQuotaAdaptive]]'s routing. Bounded driver set by
+    * construction: each qualifying host holds more than `hotHostDocs`
+    * docs, so there are at most `corpus / hotHostDocs` of them. */
+  private[graft] def hotHosts(df: DataFrame, urlCol: String,
+                              budgetDocsCap: Long,
+                              hotHostDocs: Long): Array[String] =
+    domainCounts(df, urlCol)
+      .filter(col("host").isNotNull && col("docs") > hotHostDocs &&
+        col("docs") > budgetDocsCap)
+      .select("host").collect().map(_.getString(0))
+
+  /** [[domainTokenQuota]] with the mega-host skew guard applied
+    * automatically — the third instance of this codebase's
+    * adaptive-default pattern (`Dedup.dupSpansAdaptive`,
+    * `BandedLsh.nearDupPairsAdaptive`): run the [[domainCounts]] census,
+    * and pre-cap every host above `hotHostDocs` docs to its
+    * `budgetPerDomain` first docs in the SAME (seeded-hash score, id)
+    * walk order via the bounded-heap [[domainQuotaSample]] path before
+    * the running-sum window sees it. The residual skew documented on
+    * [[domainTokenQuota]] (one mega-host sorting on one task) becomes a
+    * heap-merge, skew-immune by construction.
+    *
+    * Bit-equal to plain [[domainTokenQuota]] whenever every doc's
+    * `massCol` (cast to long) is ≥ 1 — then the inclusive-run budget
+    * keeps at most `budgetPerDomain` docs per host, all of which sit in
+    * the first `budgetPerDomain` positions of the walk, exactly the
+    * pre-capped set. Zero-mass docs void that bound (a 0-token doc
+    * past the cap would be kept by the plain walk but cut by the cap);
+    * a token/char mass is ≥ 1 for any non-empty doc — filter empties
+    * first if the corpus has them. Hosts with no more docs than the
+    * budget could keep gain nothing from capping and stay on the plain
+    * window path, as does everything when the census finds no hot host
+    * (then the returned plan IS the plain [[domainTokenQuota]] plan). */
+  def domainTokenQuotaAdaptive(df: DataFrame, urlCol: String, idCol: String,
+                               massCol: Column, budgetPerDomain: Long,
+                               seed: Long,
+                               hotHostDocs: Long = 4000000L): DataFrame = {
+    require(budgetPerDomain >= 0,
+      s"budgetPerDomain must be >= 0, got $budgetPerDomain")
+    val hot: Array[String] =
+      if (budgetPerDomain >= Int.MaxValue) Array.empty // cap heap un-sizable
+      else hotHosts(df, urlCol, budgetPerDomain, hotHostDocs)
+    if (hot.isEmpty)
+      domainTokenQuota(df, urlCol, idCol, massCol, budgetPerDomain, seed)
+    else {
+      val isHot = coalesce(
+        urlHost(col(urlCol)).isin(hot.toIndexedSeq: _*), lit(false))
+      val capped = domainQuotaSample(df.filter(isHot), urlCol, idCol,
+        budgetPerDomain.toInt, seed)
+      domainTokenQuota(df.filter(!isHot), urlCol, idCol, massCol,
+          budgetPerDomain, seed)
+        .unionByName(domainTokenQuota(capped, urlCol, idCol, massCol,
+          budgetPerDomain, seed))
+    }
+  }
+
+  /** Path-level URL filtering — the companion of [[filterBlockedHosts]]
+    * one level down: RefinedWeb-style pipelines filter URL PATTERNS as
+    * well as hosts (media/static assets by extension, whole site
+    * sections by path prefix). `rules` has columns `kind` ∈
+    * `{'prefix','ext'}` and `pattern`:
+    *
+    *   - `prefix` rules match at `/` segment boundaries: `/static`
+    *     blocks `/static` and `/static/img.png` but NOT `/staticfiles`
+    *     (the host-blocklist dot-boundary rule, applied to paths); a
+    *     trailing `/` on the rule is ignored;
+    *   - `ext` rules match the final `.ext` of the last path segment
+    *     (leading dot on the rule optional).
+    *
+    * Matching is case-insensitive on both sides (paths are compared
+    * lowercased — crawl filters want `.PNG` = `.png`; use
+    * [[dedupByUrl]] for case-exact identity). Unparseable URLs (null
+    * path) are kept, like [[filterBlockedHosts]].
+    *
+    * Scale shape, same as the host blocklist: each path explodes into
+    * its segment-boundary prefix chain (ids + short prefixes only, one
+    * row per segment) and equi-joins the broadcast prefix rules;
+    * extensions are one `regexp_extract` equi-joined to the broadcast
+    * ext rules. Both are hashed probes, O(corpus × path depth)
+    * regardless of rule-list size — never the broadcast nested-loop
+    * `startsWith`/`LIKE` join a naive form would plan, O(corpus ×
+    * |rules|) at a real list's 10⁵ entries. */
+  def filterUrlPaths(df: DataFrame, urlCol: String, idCol: String,
+                     rules: DataFrame): DataFrame = {
+    val path = lower(regexp_replace(
+      coalesce(try_parse_url(col(urlCol), lit("PATH")), lit("")), "/+$", ""))
+    // "/a/b/c" -> segs ["", "a", "b", "c"] -> "/a", "/a/b", "/a/b/c"
+    val segs = split(path, "/", -1)
+    val prefixes = when(size(segs) >= 2,
+      transform(sequence(lit(2), size(segs)),
+        i => array_join(slice(segs, lit(1), i), "/")))
+      .otherwise(array().cast("array<string>"))
+    val prefixRules = broadcast(rules.filter(col("kind") === "prefix")
+      .select(regexp_replace(lower(col("pattern")), "/+$", "").as("p")))
+    val extRules = broadcast(rules.filter(col("kind") === "ext")
+      .select(regexp_replace(lower(col("pattern")), "^\\.", "").as("e")))
+    val prefixHit = df
+      .select(col(idCol), explode(prefixes).as("p"))
+      .join(prefixRules, Seq("p"), "left_semi")
+    val extHit = df
+      .select(col(idCol), regexp_extract(path, "\\.([a-z0-9]+)$", 1).as("e"))
+      .filter(col("e") =!= "")
+      .join(extRules, Seq("e"), "left_semi")
+    val hit = prefixHit.select(col(idCol))
+      .unionByName(extHit.select(col(idCol))).distinct()
+    df.join(hit, Seq(idCol), "left_anti")
   }
 }

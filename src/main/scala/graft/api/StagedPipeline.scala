@@ -47,20 +47,65 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * materialization the in-session recipe already pays as
   * `localCheckpoint`, made durable.
   *
-  * Catalog durability carries the same caveat as every persisted index
-  * in this library ([[BucketedWrite.scratchLeftover]]): cross-JVM resume
-  * needs a persistent metastore (standard on any production cluster);
-  * under the local in-memory catalog the parquet directories survive a
-  * JVM crash but the registrations do not. */
+  * Cross-JVM resume does NOT need a persistent metastore: the commit
+  * point is the manifest PARQUET FILE, which survives any JVM death,
+  * and [[recoverFromWarehouse]] (run automatically by [[manifest]] /
+  * [[run]]) re-registers the manifest and every committed stage table
+  * from the warehouse directory listing when the catalog has lost them
+  * — the exact state an in-memory-catalog restart leaves behind
+  * (directories intact, registrations gone). Under a persistent
+  * metastore the recovery scan simply finds nothing to do. */
 object StagedPipeline {
 
   private def manifestTable(prefix: String) = s"${prefix}_manifest"
   private def stageTable(prefix: String, i: Int) = s"${prefix}_s$i"
 
+  /** Re-register committed tables whose catalog entries died with a
+    * previous JVM but whose warehouse directories survived — the
+    * in-memory-catalog restart shape ([[BucketedWrite.scratchLeftover]]
+    * reads the same way). Registers the manifest table first (its
+    * parquet file IS the commit record), then every `out_table` it
+    * lists; a listed stage table with neither a catalog entry nor a
+    * directory is a torn commit — fails loudly ([[reset]] recovers).
+    * External registrations (the data stays where it is); a later
+    * rewrite of a recovered stage goes through
+    * [[BucketedWrite.dropTable]], which removes the directory
+    * explicitly, so the external/managed distinction never leaks.
+    * Returns the number of tables re-registered (0 = nothing to
+    * recover). */
+  def recoverFromWarehouse(spark: SparkSession, tablePrefix: String): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var n = 0
+    // registered, or re-registered from a surviving directory
+    def ensure(t: String): Boolean = spark.catalog.tableExists(t) || {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(hconf).exists(loc) && {
+        spark.catalog.createTable(t, loc.toString, "parquet")
+        n += 1
+        true
+      }
+    }
+    if (ensure(manifestTable(tablePrefix))) {
+      spark.table(manifestTable(tablePrefix))
+        .orderBy("stage_idx").collect().foreach { r =>
+          val t = r.getString(2)
+          require(ensure(t),
+            s"$tablePrefix manifest lists committed stage table '$t' but " +
+              "neither a catalog entry nor a warehouse directory exists — " +
+              "torn state; reset(tablePrefix) and start over")
+        }
+    }
+    n
+  }
+
   /** Committed stages in order: `(stage_idx, stage_name, out_table,
-    * out_rows)`; empty frame if no manifest exists yet. */
+    * out_rows)`; empty frame if no manifest exists yet. Runs
+    * [[recoverFromWarehouse]] first, so a restarted JVM sees its
+    * committed stages without any extra call. */
   def manifest(spark: SparkSession, tablePrefix: String): DataFrame = {
     import spark.implicits._
+    recoverFromWarehouse(spark, tablePrefix)
     if (spark.catalog.tableExists(manifestTable(tablePrefix)))
       spark.table(manifestTable(tablePrefix)).orderBy("stage_idx")
     else Seq.empty[(Int, String, String, Long)]
@@ -128,7 +173,8 @@ object StagedPipeline {
         .saveAsTable(manifestTable(tablePrefix))
       frontier = spark.table(tbl)
     }
-    if (stop == 0) frontier
-    else spark.table(stageTable(tablePrefix, stop - 1))
+    // stages.nonEmpty + stopAfter >= 1 force stop >= 1: the last
+    // committed table always exists by the time we get here
+    spark.table(stageTable(tablePrefix, stop - 1))
   }
 }

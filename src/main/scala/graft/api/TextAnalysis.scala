@@ -317,9 +317,11 @@ object TextAnalysis {
     * [[repetitionFilter]] owns the repetition half. One narrow
     * codegen'd pass, zero shuffle: every signal is integer counting over
     * the word/line arrays plus one double division, so an independent
-    * engine reproduces each value bit-exactly (driver-gated against
-    * DuckDB recomputing the WHOLE rule set with its own list/string
-    * functions). A doc keeps iff ALL of:
+    * engine reproduces each value bit-exactly (the `gopher_rules` gate:
+    * DuckDB recomputes the WHOLE rule set — with planted bullet/
+    * ellipsis/numeric structures — using its own list/string functions;
+    * `GopherRulesSpec` exercises each rule independently). A doc keeps
+    * iff ALL of:
     *
     *   - word count in [minWords, maxWords];
     *   - mean word length in [minMeanWordLen, maxMeanWordLen] (filters
@@ -363,7 +365,7 @@ object TextAnalysis {
     val symRatio = ratio((hashes + ellipses).cast("long"), nW)
     val bulletFrac = ratio(size(filter(ls, l =>
       l.startsWith("- ") || l.startsWith("* ") ||
-        l.startsWith("•"))).cast("long"), nL)
+        l.startsWith("\u2022"))).cast("long"), nL)
     val ellipsisFrac = ratio(
       size(filter(ls, l => l.endsWith("..."))).cast("long"), nL)
     val alphaFrac = ratio(

@@ -132,4 +132,87 @@ class DomainsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == Map("a.com" -> 2L, "b.com" -> 1L))
   }
+
+  test("normalizedUrl percent-normalization: unreserved decodes, reserved uppercases") {
+    val got = Seq(
+      "https://ex.com/%7edocs", // unreserved, lowercase hex -> decodes
+      "https://ex.com/~docs",   // the decoded twin
+      "https://ex.com/a%2Fb",   // reserved: stays encoded
+      "https://ex.com/a%2fb",   // reserved, lowercase hex -> uppercases
+      "https://ex.com/a/b",     // a literal slash is NOT %2F
+      "https://ex.com/%41bc"    // %41 = 'A' (alpha unreserved) -> decodes
+    ).toDF("url").select(Domains.normalizedUrl($"url")).as[String].collect()
+    assert(got(0) == "ex.com/~docs" && got(1) == got(0))
+    assert(got(2) == "ex.com/a%2Fb" && got(3) == got(2))
+    assert(got(4) == "ex.com/a/b" && got(4) != got(2))
+    assert(got(5) == "ex.com/Abc")
+  }
+
+  test("normalizedUrl sortQuery collapses parameter order (opt-in only)") {
+    val df = Seq(
+      "https://ex.com/p?b=2&a=1",
+      "https://ex.com/p?a=1&b=2"
+    ).toDF("url")
+    val off = df.select(Domains.normalizedUrl($"url")).as[String].collect()
+    assert(off(0) != off(1), "param order is identity by default")
+    val on = df.select(Domains.normalizedUrl($"url", sortQuery = true))
+      .as[String].collect()
+    assert(on(0) == on(1) && on(0) == "ex.com/p?a=1&b=2")
+  }
+
+  test("dedupByUrl keeps ALL unparseable-URL docs (null key = no identity)") {
+    val df = Seq(
+      (1L, "https://ex.com/a"),
+      (2L, "https://ex.com/a"), // true duplicate of 1 -> dropped
+      (3L, "not a url"),
+      (4L, "not a url"),        // same junk string: BOTH kept
+      (5L, "https://ex.com/%zz") // malformed escape -> unparseable -> kept
+    ).toDF("doc_id", "url")
+    assert(df.select(Domains.normalizedUrl($"url")).as[String].collect()
+      .count(_ == null) == 3, "fixture must yield null keys")
+    val kept = Domains.dedupByUrl(df, "url", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("domainTokenQuotaAdaptive: mega-host routes via the census, result bit-equal") {
+    // host a.com holds 400 of 460 docs (the expected 40%-host shape);
+    // masses are uniform 7 so budget 70 keeps exactly 10 docs per host
+    val df = ((0L until 400L).map(i => (i, "https://a.com/p" + i, 7L)) ++
+      (400L until 460L).map(i => (i, s"https://b${i % 2}.com/p$i", 7L)))
+      .toDF("doc_id", "url", "mass")
+    val plain = Domains.domainTokenQuota(df, "url", "doc_id", $"mass",
+        budgetPerDomain = 70L, seed = 3L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(Domains.hotHosts(df, "url", 70L, 100L).toSeq == Seq("a.com"),
+      "the 40%-host must route through the capped path")
+    val adaptive = Domains.domainTokenQuotaAdaptive(df, "url", "doc_id",
+        $"mass", budgetPerDomain = 70L, seed = 3L, hotHostDocs = 100L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(adaptive.toSeq == plain.toSeq,
+      "capped mega-host path must be bit-equal to the plain window")
+    // census finds nothing hot -> the returned plan IS the plain path
+    assert(Domains.hotHosts(df, "url", 70L, 1000L).isEmpty)
+    val cold = Domains.domainTokenQuotaAdaptive(df, "url", "doc_id",
+        $"mass", budgetPerDomain = 70L, seed = 3L, hotHostDocs = 1000L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(cold.toSeq == plain.toSeq)
+  }
+
+  test("filterUrlPaths: segment-boundary prefixes, extensions, case-insensitive") {
+    val df = Seq(
+      (1L, "https://ex.com/static/img.png"), // prefix AND ext -> drop
+      (2L, "https://ex.com/staticfiles/f"),  // not a segment match -> keep
+      (3L, "https://ex.com/Admin/panel"),    // case-insensitive prefix -> drop
+      (4L, "https://ex.com/blog/a.html"),    // unmatched -> keep
+      (5L, "https://ex.com/pic.PNG"),        // case-insensitive ext -> drop
+      (6L, "https://ex.com/static"),         // bare prefix match -> drop
+      (7L, "not a url")                      // unparseable -> keep
+    ).toDF("doc_id", "url")
+    val rules = Seq("prefix" -> "/admin", "prefix" -> "/static/",
+      "ext" -> ".png").toDF("kind", "pattern")
+    val kept = Domains.filterUrlPaths(df, "url", "doc_id", rules)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L, 7L))
+  }
 }

@@ -1,0 +1,95 @@
+package graft.api
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Each Gopher structural rule exercised INDEPENDENTLY: every failing
+  * fixture doc trips exactly one rule (hand-checked against the pinned
+  * single-space / newline word and line conventions — note a word
+  * adjacent to a `\n` keeps the `\n` inside it, so fixtures place
+  * newlines between standalone tokens where word identity matters). */
+class GopherRulesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // thresholds sized for hand-computable fixtures
+  private def run(docs: Seq[(Long, String)]) =
+    TextAnalysis.gopherRules(docs.toDF("doc_id", "text"),
+        minWords = 5L, maxWords = 20L,
+        minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        maxSymbolWordRatio = 0.5, maxBulletLineFrac = 0.5,
+        maxEllipsisLineFrac = 0.5, minAlphaWordFrac = 0.5,
+        minStopwordHits = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("a plain prose doc passes every rule") {
+    val m = run(Seq(1L -> "the cat sat on a mat"))
+    assert(m(1L).getAs[Boolean]("keep"))
+    assert(m(1L).getAs[Long]("n_words") == 6L)
+    assert(m(1L).getAs[Double]("mean_word_len") == 15.0 / 6.0)
+    assert(m(1L).getAs[Long]("stopword_hits") == 1L) // "the"
+  }
+
+  test("word-count bounds: too few and too many words each fail alone") {
+    val m = run(Seq(
+      1L -> "the cat",                          // 2 < 5
+      2L -> ("the " + Seq.fill(20)("ab").mkString(" ")))) // 21 > 20
+    assert(!m(1L).getAs[Boolean]("keep"))
+    assert(m(1L).getAs[Long]("n_words") == 2L)
+    assert(!m(2L).getAs[Boolean]("keep"))
+    assert(m(2L).getAs[Long]("n_words") == 21L)
+  }
+
+  test("mean word length bounds fail alone (gibberish runs and single-char noise)") {
+    val m = run(Seq(
+      1L -> ("the aaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbb " +
+        "cccccccccccccccccccc dddddddddddddddddddd"), // 83/5 = 16.6 > 10
+      2L -> "the a b c d e"))                          // 8/6 = 1.33 < 2
+    assert(!m(1L).getAs[Boolean]("keep"))
+    assert(m(1L).getAs[Double]("mean_word_len") == 83.0 / 5.0)
+    assert(!m(2L).getAs[Boolean]("keep"))
+    assert(m(2L).getAs[Double]("mean_word_len") == 8.0 / 6.0)
+  }
+
+  test("symbol-to-word ratio fails alone (# debris)") {
+    val m = run(Seq(1L -> "the ## cat ## sat ## of"))
+    assert(!m(1L).getAs[Boolean]("keep"))
+    assert(m(1L).getAs[Double]("symbol_word_ratio") == 6.0 / 7.0)
+  }
+
+  test("bullet-line fraction fails alone; - * and \\u2022 all count as bullets") {
+    val m = run(Seq(1L -> "\u2022 x\n- y z\nthe of and be to have"))
+    assert(!m(1L).getAs[Boolean]("keep"))
+    assert(m(1L).getAs[Double]("bullet_line_frac") == 2.0 / 3.0)
+    assert(m(1L).getAs[Long]("stopword_hits") == 5L)
+  }
+
+  test("ellipsis-ended line fraction fails alone (truncated scrapes)") {
+    val m = run(Seq(1L -> "the cat sat...\nof and be to have..."))
+    assert(!m(1L).getAs[Boolean]("keep"))
+    assert(m(1L).getAs[Double]("ellipsis_line_frac") == 1.0)
+    // the two '...' also count as symbols but stay under the 0.5 ratio
+    assert(m(1L).getAs[Double]("symbol_word_ratio") == 2.0 / 7.0)
+  }
+
+  test("alphabetic-word fraction fails alone (tables of numbers)") {
+    val m = run(Seq(1L -> "the 12 34 56 78 90"))
+    assert(!m(1L).getAs[Boolean]("keep"))
+    assert(m(1L).getAs[Double]("alpha_word_frac") == 1.0 / 6.0)
+  }
+
+  test("stopword floor fails alone (not prose at all)") {
+    val m = run(Seq(1L -> "cat dog fox run jump"))
+    assert(!m(1L).getAs[Boolean]("keep"))
+    assert(m(1L).getAs[Long]("stopword_hits") == 0L)
+  }
+
+  test("empty and wordless docs keep=false with null ratios") {
+    val m = run(Seq(1L -> "", 2L -> "   "))
+    Seq(1L, 2L).foreach { id =>
+      assert(!m(id).getAs[Boolean]("keep"))
+      assert(m(id).getAs[Long]("n_words") == 0L)
+      assert(m(id).isNullAt(m(id).fieldIndex("mean_word_len")))
+    }
+  }
+}

@@ -111,6 +111,38 @@ class StagedPipelineSpec extends AnyFunSuite {
     } finally cleanup(prefix)
   }
 
+  test("catalog loss with surviving warehouse dirs (simulated JVM restart) recovers and resumes") {
+    val prefix = "graft_sps_xsession"
+    cleanup(prefix)
+    try {
+      StagedPipeline.run(input, stages, prefix, stopAfter = 2)
+      // tamper the committed stage-1 table (drop id 0) so a silent
+      // recompute of stages 0-1 would be caught, as in the in-session
+      // resume test
+      val s1 = spark.table(s"${prefix}_s1").filter(col("id") =!= 0L)
+        .localCheckpoint(true)
+      BucketedWrite.dropTable(spark, s"${prefix}_s1")
+      s1.write.format("parquet").saveAsTable(s"${prefix}_s1")
+      // simulated JVM death: every registration dies, every parquet
+      // directory survives — exactly what an in-memory-catalog restart
+      // leaves behind
+      Seq(s"${prefix}_manifest", s"${prefix}_s0", s"${prefix}_s1").foreach(
+        t => org.apache.spark.sql.graft.CatalogOps
+          .deregisterKeepingFiles(spark, t))
+      assert(!spark.catalog.tableExists(s"${prefix}_s1"))
+      assert(!spark.catalog.tableExists(s"${prefix}_manifest"))
+      val fin = StagedPipeline.run(input, stages, prefix)
+      val want = stages.foldLeft(input.filter(col("id") =!= 0L)) {
+        case (d, (_, f)) => f(d) }
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(fin.orderBy("v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == want.toSeq,
+        "cross-session resume must read the RECOVERED committed tables, " +
+          "not recompute from the input")
+      assert(StagedPipeline.manifest(spark, prefix).count() == stages.length)
+    } finally cleanup(prefix)
+  }
+
   test("resume on a finished pipeline is a no-op returning the final table") {
     val prefix = "graft_sps_done"
     cleanup(prefix)

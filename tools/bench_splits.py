@@ -9,23 +9,50 @@ bench_duckdb.py JSON) pair:
   2. DATA-BOUND split (DuckDB >= 100 ms) — the tracked gate number: both
      engines do real data work, so the ratio measures throughput, not
      scheduling floors.
-  3. CONSISTENT subset vs a prior round's comparable set (pass its JSON
-     as the optional 3rd arg) — the round-over-round progress read.
+  3. CONSISTENT subset vs a prior round's set (pass its JSON as the
+     optional 3rd arg — a prior BENCH_r{N}.json / graft.Bench JSON, or a
+     prior bench_duckdb.py JSON) — the round-over-round progress read.
+     When the prior is a SPARK bench, the spark-vs-prior-spark sum is
+     printed too, ALONGSIDE both runs' machine-condition fields
+     (cold_cpu_sec, load_avg_start): round 15's warm times ran ~22%
+     above round 14 purely from ambient load, so a consistent-subset
+     delta is only attributable when the conditions line is flat.
 
-Usage: bench_splits.py <spark_bench.json> <duckdb_bench.json> [prior_duckdb.json]
+Usage: bench_splits.py <spark_bench.json> <duckdb_bench.json> [prior.json]
 """
 import json
 import sys
 
 
+def load_bench(path):
+    """Accept a raw graft.Bench JSON, a driver BENCH_r{N}.json wrapper
+    ({"parsed": {...}}), or a bench_duckdb.py JSON."""
+    d = json.load(open(path))
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    return d
+
+
+def conditions(d):
+    parts = []
+    for k in ("cold_cpu_sec", "load_avg_start", "load_wait_sec"):
+        if k in d:
+            parts.append(f"{k}={d[k]}")
+    if "contention" in d:
+        parts.append(f"CONTENTION: {d['contention']}")
+    return " ".join(parts) if parts else "(no machine-condition fields)"
+
+
 def main(spark_path, duck_path, prior_path=None):
-    sp = json.load(open(spark_path))["queries"]
-    du = json.load(open(duck_path))["queries"]
+    spark_bench = load_bench(spark_path)
+    sp = spark_bench["queries"]
+    du = load_bench(duck_path)["queries"]
     common = sorted(set(sp) & set(du))
     drop = sorted(set(du) - set(sp))
     if drop:
         print(f"# duckdb-only (not in spark bench dict, e.g. only slowest-50"
               f" recorded): {' '.join(drop)}")
+    print(f"spark-side machine conditions: {conditions(spark_bench)}")
 
     def tot(names):
         s = sum(sp[n] for n in names)
@@ -44,11 +71,21 @@ def main(spark_path, duck_path, prior_path=None):
     print(f"  (trivia split: {len(tr)} queries, spark {s2:.1f}s vs "
           f"duckdb {d2:.1f}s — fixed per-query floor, amortizes at scale)")
     if prior_path:
-        prior = set(json.load(open(prior_path))["queries"])
-        cons = [n for n in common if n in prior]
+        prior_bench = load_bench(prior_path)
+        prior_q = prior_bench["queries"]
+        cons = [n for n in common if n in prior_q]
         s, d, r = tot(cons)
         print(f"CONSISTENT vs prior round ({len(cons)} queries): "
               f"spark {s:.1f}s duckdb {d:.1f}s = {r:.2f}x")
+        # a prior SPARK bench (not a duckdb one) also gives the direct
+        # spark-vs-prior-spark read — gate it on flat conditions
+        if "cold_cpu_sec" in prior_bench or "sf" in prior_bench:
+            ps = sum(prior_q[n] for n in cons)
+            ss = sum(sp[n] for n in cons)
+            print(f"  spark now {ss:.1f}s vs prior spark {ps:.1f}s "
+                  f"({(ss / ps - 1) * 100:+.1f}% on the consistent subset)")
+            print(f"  prior-side machine conditions: "
+                  f"{conditions(prior_bench)}")
     worst = sorted(common, key=lambda n: -(sp[n] / du[n] if du[n] else 0))[:5]
     best = sorted(common, key=lambda n: (sp[n] / du[n] if du[n] else 9e9))[:5]
     print("worst ratios:", ", ".join(

@@ -1023,6 +1023,20 @@ def main(sf_dir, spark_dir):
     cw_url = {did: planted_url(did, src) for did, _l, src, _n in drows}
     cw_s1 = [did for did, _l, _s, _n in drows
              if not cw_host_blocked(url_host(cw_url[did]))]
+
+    # path-pattern filter stage (round 16): segment-boundary prefix rules
+    # /p13 and /p27 on the lowercased, trailing-slash-stripped path —
+    # mirrors Domains.filterUrlPaths (hits both "/p13" and the planted
+    # trailing-slash "/p13/" variants)
+    def cw_path(u):
+        m = re.match(r"^[a-z]+://[^/?#]+([^?#]*)", u)
+        return re.sub(r"/+$", "", (m.group(1) if m else "")).lower()
+
+    cw_prefixes = ("/p13", "/p27")
+    cw_s1 = [did for did in cw_s1
+             if not any(cw_path(cw_url[did]) == p
+                        or cw_path(cw_url[did]).startswith(p + "/")
+                        for p in cw_prefixes)]
     cw_bykey = {}
     for did in cw_s1:
         cw_bykey.setdefault(normalized_url(cw_url[did]), []).append(did)
