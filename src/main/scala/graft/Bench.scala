@@ -53,7 +53,7 @@ object Bench {
       "stream_resample_last", "stream_attribution_join", "stream_late_sessions",
       "stream_embed_neardup", "stream_topk_events", "stream_restart_windows",
       "stream_contamination", "stream_ann_append", "stream_novelty_ingest",
-      "stream_gram_ingest", "stream_domain_quota")
+      "stream_gram_ingest", "stream_domain_quota", "stream_url_dedup")
     // SPARK_GRAFT_ONLY=q1_agg,lsh_min_text runs a subset (dev loop tool)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) =>

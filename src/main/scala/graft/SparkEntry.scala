@@ -2385,6 +2385,30 @@ object SparkEntry {
           nBatches = 5, maxPerDomain = 8)
         .orderBy("doc_id")
     }),
+    "domain_counts" -> ((s, dir) => {
+      // the per-host census (the skew report quota decisions read).
+      // Oracle: DuckDB recomputes host extraction + counts with its own
+      // regexp engine — genuinely comparable work, not VALUES.
+      graft.api.Domains.domainCounts(
+          withPlantedUrls(load(s, dir, "documents")), "url")
+        .orderBy("host")
+    }),
+    "stream_url_dedup" -> ((s, dir) => {
+      // streaming twin of domain_dedup — the crawl-frontier first-come
+      // rule: docs arrive in id order over 5 micro-batches; a URL first
+      // seen in batch k must reject its batch-k+1 re-fetches from
+      // persisted flatMapGroupsWithState state (the planted URLs repeat
+      // identities across the whole id range, so most keys straddle
+      // batch boundaries). Oracle: the sequential first-seen walk —
+      // valid for ANY chunking because the state is a per-key seen bit
+      // and the order global.
+      import s.implicits._
+      val docs = withPlantedUrls(load(s, dir, "documents"))
+        .select(col("doc_id").cast("long"), col("url"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      graft.streaming.EventStreams.urlDedupReplay(s, docs, nBatches = 5)
+        .orderBy("doc_id")
+    }),
     "domain_dedup" -> ((s, dir) => {
       // URL-level exact dedup: keep the min-id doc per normalized URL
       // (scheme/fragment dropped, host lowercased + de-www'd, trailing
@@ -3285,6 +3309,25 @@ object SparkEntry {
          OR host = 'cdn.src7.example.com'
          OR host LIKE '%.cdn.src7.example.com')
       ORDER BY doc_id""",
+    "domain_counts" -> """
+      WITH u AS (
+        SELECT
+          'https://' ||
+          CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END ||
+          source || '.example.com/p' || CAST(doc_id % 40 AS VARCHAR) ||
+          CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0
+               THEN '?q=' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END ||
+          CASE WHEN doc_id % 11 = 0
+               THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END AS url
+        FROM documents)
+      SELECT regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+               ':[0-9]+$', ''), '^www\.', '') AS host,
+             count(*) AS docs
+      FROM u GROUP BY 1
+      ORDER BY host""",
+    "stream_url_dedup" -> valuesOracle("stream_url_dedup"),
     // independent URL parser: DuckDB re-derives host/path/query with its
     // own regexp engine (RE2) against Spark's parse_url
     "domain_dedup" -> """

@@ -909,6 +909,75 @@ object EventStreams {
     spark.table(sink).select("doc_id", "host", "admitted")
   }
 
+  /** First-come streaming URL dedup — the streaming twin of
+    * [[graft.api.Domains.dedupByUrl]], the crawl-frontier shape: the
+    * FIRST document to arrive under each canonical URL key
+    * ([[graft.api.Domains.normalizedUrl]] — percent-normalized,
+    * optionally query-sorted) admits; every later arrival under the
+    * same key rejects, across micro-batch boundaries, from
+    * `flatMapGroupsWithState` state. Within one batch, arrival order is
+    * (event time, doc_id) — the same deterministic walk the quota twin
+    * pins.
+    *
+    * State per key is ONE boolean — O(distinct URLs), the inherent
+    * floor for exact first-come dedup, deliberately unexpired like
+    * [[domainQuotaAdmit]]'s counters (the frontier's key set IS the
+    * dedup contract; an expiring variant would silently re-admit old
+    * pages). Unparseable URLs (null key) admit UNCONDITIONALLY — the
+    * batch operator's null contract — implemented by keying each such
+    * doc to a private sentinel (`" " + doc_id`) so it forms its
+    * own single-row group; those sentinel entries do grow state with
+    * the junk-URL count, documented here rather than hidden. */
+  def urlDedupAdmit(docs: DataFrame, sortQuery: Boolean = true,
+                    watermarkDelay: String = "10 seconds"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val key = graft.api.Domains.normalizedUrl(col("url"), sortQuery)
+    val src0 = docs.select(
+      coalesce(key, concat(lit(" "), col("doc_id").cast("string")))
+        .as("ukey"),
+      col("doc_id").cast("long").as("doc_id"), col("ts"))
+    val src = if (src0.isStreaming) src0.withWatermark("ts", watermarkDelay)
+              else src0
+    src.as[(String, Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HostQuota, (Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[HostQuota]) =>
+          var c = state.getOption.map(_.count).getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            .map { case (_, id, _) =>
+              val admit = c < 1L
+              if (admit) c += 1
+              (id, admit)
+            }
+          state.update(HostQuota(c))
+          out.iterator
+      }.toDF("doc_id", "admitted")
+  }
+
+  /** Replay a finite URL stream through [[urlDedupAdmit]] as a real
+    * Structured Streaming query — the [[domainQuotaReplay]] harness
+    * shape. The cross-batch check is the point: a URL first seen in
+    * batch k must reject its batch-k+1 re-fetches from persisted
+    * state. */
+  def urlDedupReplay(spark: SparkSession, docs: Seq[(Long, String)],
+                     nBatches: Int): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, String)]
+    val sink = s"graft_urldedup_replay_${replaySeq.incrementAndGet()}"
+    val timed = docs.zipWithIndex.map { case ((id, url), i) =>
+      (id, new Timestamp((i + 1) * 1000L), url)
+    }
+    val q = urlDedupAdmit(mem.toDF().toDF("doc_id", "ts", "url"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(1, (timed.size + nBatches - 1) / nBatches)
+      timed.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(sink).select("doc_id", "admitted")
+  }
+
   /** Replay a finite document sequence through [[dedupByContent]] as a real
     * Structured Streaming query, in the GIVEN order, and return every
     * surviving row.

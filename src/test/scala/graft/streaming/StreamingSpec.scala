@@ -534,6 +534,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(one.count(_._3) == 12)
   }
 
+  test("urlDedupReplay: first-come per canonical key, cross-batch, nulls all admit") {
+    // 10 canonical identities fetched 3x each under cosmetic variants
+    // (scheme case / trailing slash / fragment collapse via
+    // normalizedUrl), interleaved so every key straddles batch
+    // boundaries; two junk-URL docs must BOTH admit (null-key contract)
+    val docs = (0L until 30L).map { i =>
+      val k = i % 10
+      val variant = (i / 10) match {
+        case 0 => s"https://ex.com/p$k"
+        case 1 => s"http://WWW.ex.com/p$k/"
+        case _ => s"https://ex.com/p$k#frag$i"
+      }
+      (i, variant)
+    } ++ Seq((30L, "not a url"), (31L, "also not a url"))
+    def verdicts(n: Int) = EventStreams.urlDedupReplay(spark, docs, n)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    val one = verdicts(1)
+    // sequential truth: ids 0-9 admit (first fetch of each key), 10-29
+    // reject (re-fetches), 30-31 admit (no URL identity)
+    val want = (0L until 30L).map(i => (i, i < 10L)) ++
+      Seq((30L, true), (31L, true))
+    assert(one.toSeq == want)
+    assert(verdicts(6).toSeq == one.toSeq,
+      "micro-batch boundaries changed verdicts")
+  }
+
   test("sessionizeBatch matches gap semantics") {
     import spark.implicits._
     val events = Seq(

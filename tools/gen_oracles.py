@@ -1074,6 +1074,23 @@ def main(sf_dir, spark_dir):
         ("doc_id", "host", "admitted"), ("BIGINT", "VARCHAR", "BOOLEAN"),
         sq_rows, "doc_id")
 
+    # ---- stream_url_dedup: first-come canonical-URL dedup (streaming
+    # twin of domain_dedup). Sequential walk in arrival (= doc_id) order:
+    # the first doc per normalized URL key admits — valid for any
+    # chunking because the state is a per-key seen bit and the order
+    # global. The planted URLs have no %-escapes and single-param
+    # queries, so the canonical (pct-normalized, query-sorted) key the
+    # Spark side computes equals this mirror's plain normalized_url.
+    ud_seen = set()
+    ud_rows = []
+    for did, _l, _src, _n in sorted(drows):
+        ukey = normalized_url(cw_url[did])
+        adm = ukey not in ud_seen
+        ud_seen.add(ukey)
+        ud_rows.append((did, adm))
+    queries["stream_url_dedup"] = (
+        ("doc_id", "admitted"), ("BIGINT", "BOOLEAN"), ud_rows, "doc_id")
+
     # ---- contamination_check: shared 8-gram shingles vs a hash-sampled
     # "benchmark" (2%, seed 99 — same deterministic sample the query draws).
     # Shingle sets via vk.shingles_from_text (golden-gated on import), so
