@@ -290,6 +290,13 @@ object Domains {
     * |rules|) at a real list's 10⁵ entries. */
   def filterUrlPaths(df: DataFrame, urlCol: String, idCol: String,
                      rules: DataFrame): DataFrame = {
+    // a typo'd kind would silently filter nothing — rule lists are tiny
+    // and driver-resident, so validate loudly up front
+    val badKinds = rules.select("kind").distinct().collect()
+      .map(_.getString(0)).filterNot(Set("prefix", "ext"))
+    require(badKinds.isEmpty,
+      s"filterUrlPaths rules must have kind 'prefix' or 'ext'; " +
+        s"got: ${badKinds.mkString(", ")}")
     val path = lower(regexp_replace(
       coalesce(try_parse_url(col(urlCol), lit("PATH")), lit("")), "/+$", ""))
     // "/a/b/c" -> segs ["", "a", "b", "c"] -> "/a", "/a/b", "/a/b/c"

@@ -214,5 +214,11 @@ class DomainsSpec extends AnyFunSuite {
     val kept = Domains.filterUrlPaths(df, "url", "doc_id", rules)
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 4L, 7L))
+    // a typo'd rule kind fails loudly instead of silently matching nothing
+    val e = intercept[IllegalArgumentException] {
+      Domains.filterUrlPaths(df, "url", "doc_id",
+        Seq("prefx" -> "/admin").toDF("kind", "pattern"))
+    }
+    assert(e.getMessage.contains("prefx"), e.getMessage)
   }
 }

@@ -105,6 +105,18 @@ class RocksDbStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.nonEmpty)
   }
 
+  test("first-come URL dedup (per-key seen state, the O(distinct URLs) op) under RocksDB") {
+    // one state entry per distinct URL is exactly the state shape that
+    // outgrows executor heap on a real frontier — the op this provider
+    // exists for. Verdicts must match the sequential first-seen walk.
+    val docs = (0L until 40L).map(i =>
+      (i, s"https://ex.com/p${i % 8}")) ++ Seq((40L, "junk url"))
+    val got = EventStreams.urlDedupReplay(spark, docs, nBatches = 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    val want = (0L until 40L).map(i => (i, i < 8L)) :+ ((40L, true))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("sketch state (HLL distinct) replay bit-equal under RocksDB") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
