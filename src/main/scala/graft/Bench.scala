@@ -153,8 +153,12 @@ object Bench {
       if (loadAvgStart > idleTarget)
         s""","contention":"load_avg ${fmt(2, loadAvgStart)} after ${fmt(0, loadWaitSec)}s idle wait; timings may be inflated by ambient load""""
       else ""
+    // kernel + JVM identity ride along so a cross-round environment shift
+    // (the round-15/16 +13% JVM-side drift with DuckDB flat) is
+    // attributable from the JSONs alone, without shell archaeology
+    val env = s""","os_version":"${sys.props.getOrElse("os.version", "?")}","jvm":"${sys.props.getOrElse("java.vm.version", "?")}""""
     def payload(qs: String, extra: String): String =
-      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":$qs$extra,"cold_total_sec":${fmt(2, coldTotal)},"cold_cpu_sec":${fmt(1, coldCpu)},"load_avg_start":${fmt(2, loadAvgStart)},"load_wait_sec":${fmt(0, loadWaitSec)}$contention,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":$qs$extra,"cold_total_sec":${fmt(2, coldTotal)},"cold_cpu_sec":${fmt(1, coldCpu)},"load_avg_start":${fmt(2, loadAvgStart)},"load_wait_sec":${fmt(0, loadWaitSec)}$contention$env,"sf":"$sfDir"}"""
 
     // Full precision + the per-query cold map go to a file: the driver's
     // stdout capture keeps only the LAST 2000 characters, so the

@@ -351,9 +351,21 @@ object TextAnalysis {
                   maxEllipsisLineFrac: Double = 0.3,
                   minAlphaWordFrac: Double = 0.8,
                   minStopwordHits: Int = 2): DataFrame = {
-    val t = col(textCol)
-    val ws = filter(split(t, " "), w => w =!= lit(""))
-    val ls = filter(split(t, "\n"), l => l =!= lit(""))
+    // the word/line arrays are materialized ONCE in a lower Project and
+    // every signal reads the attribute: higher-order functions sit
+    // outside codegen subexpression elimination, so the single-Project
+    // form re-split-and-filtered the text per signal (~10 passes per
+    // row — measured 2× slower at sf0.1). The expensive-alias rule
+    // (SPARK-36718) keeps CollapseProject from re-inlining them; spread
+    // parallelizes the single-file fixture scan like the rest of the
+    // file's per-doc operators.
+    val t0 = col(textCol)
+    val arr = SparkEnv.spread(df).select(col(idCol), t0.as("__t"),
+      filter(split(t0, " "), w => w =!= lit("")).as("__ws"),
+      filter(split(t0, "\n"), l => l =!= lit("")).as("__ls"))
+    val t = col("__t")
+    val ws = col("__ws")
+    val ls = col("__ls")
     val nW = size(ws).cast("long")
     val nL = size(ls).cast("long")
     def ratio(num: Column, den: Column): Column =
@@ -373,7 +385,7 @@ object TextAnalysis {
     val stopHits = size(filter(
       typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with")),
       sw => array_contains(ws, sw))).cast("long")
-    df.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
+    arr.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
         symRatio.as("symbol_word_ratio"), bulletFrac.as("bullet_line_frac"),
         ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
         stopHits.as("stopword_hits"))

@@ -35,7 +35,8 @@ def load_bench(path):
 
 def conditions(d):
     parts = []
-    for k in ("cold_cpu_sec", "load_avg_start", "load_wait_sec"):
+    for k in ("cold_cpu_sec", "load_avg_start", "load_wait_sec",
+              "os_version", "jvm"):
         if k in d:
             parts.append(f"{k}={d[k]}")
     if "contention" in d:
