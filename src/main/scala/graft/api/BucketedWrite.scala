@@ -16,8 +16,12 @@ private[graft] object BucketedWrite {
   def dropTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     if (!table.contains('.')) {
+      // defaultTablePath, not a warehouse-root concat: the orphan dir of
+      // a current-database table lives under `<db>.db/` when a session
+      // has USE'd off the default database
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

@@ -194,14 +194,17 @@ object Domains {
     * document into one survivor — Spark groups all null keys together. */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String,
                  sortQuery: Boolean = false): DataFrame = {
-    val key = normalizedUrl(col(urlCol), sortQuery)
-    val keep = df
-      .select(key.as("__ukey"), col(idCol))
+    val keyed = df.select(normalizedUrl(col(urlCol), sortQuery).as("__ukey"),
+      col(idCol))
+    // the null-key ids join the keep SET (ids-only), not the output via
+    // a second full-width scan of df — one semi-join probes the corpus
+    // exactly once regardless of the null-URL contract
+    val keep = keyed
       .filter(col("__ukey").isNotNull)
       .groupBy("__ukey").agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
+      .unionByName(keyed.filter(col("__ukey").isNull).select(col(idCol)))
     df.join(keep, Seq(idCol), "left_semi")
-      .unionByName(df.filter(key.isNull))
   }
 
   /** Hosts whose doc count exceeds `hotHostDocs` AND whose count also
@@ -247,6 +250,9 @@ object Domains {
       s"budgetPerDomain must be >= 0, got $budgetPerDomain")
     val hot: Array[String] =
       if (budgetPerDomain >= Int.MaxValue) Array.empty // cap heap un-sizable
+      else if (budgetPerDomain == 0) Array.empty // plain path keeps nothing;
+      // the heap pre-cap can't express k = 0 (domainQuotaSample requires
+      // a positive quota), and there is nothing to save anyway
       else hotHosts(df, urlCol, budgetPerDomain, hotHostDocs)
     if (hot.isEmpty)
       domainTokenQuota(df, urlCol, idCol, massCol, budgetPerDomain, seed)
@@ -290,13 +296,31 @@ object Domains {
     * |rules|) at a real list's 10⁵ entries. */
   def filterUrlPaths(df: DataFrame, urlCol: String, idCol: String,
                      rules: DataFrame): DataFrame = {
-    // a typo'd kind would silently filter nothing — rule lists are tiny
-    // and driver-resident, so validate loudly up front
-    val badKinds = rules.select("kind").distinct().collect()
-      .map(_.getString(0)).filterNot(Set("prefix", "ext"))
+    // a rule that can never match is indistinguishable from a clean
+    // corpus — rule lists are tiny and driver-resident, so validate
+    // loudly up front: unknown kinds, a prefix that normalizes to ""
+    // ("/" is not a prefix rule, it is "drop everything" — say so with
+    // a filter), and ext patterns the `\.([a-z0-9]+)$` extraction can
+    // never produce ("tar.gz", "c++")
+    val ruleRows = rules.select("kind", "pattern").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val badKinds = ruleRows.map(_._1).distinct.filterNot(Set("prefix", "ext"))
     require(badKinds.isEmpty,
       s"filterUrlPaths rules must have kind 'prefix' or 'ext'; " +
         s"got: ${badKinds.mkString(", ")}")
+    val emptyPrefixes = ruleRows.collect { case ("prefix", p)
+      if p.toLowerCase.replaceAll("/+$", "").isEmpty => p }
+    require(emptyPrefixes.isEmpty,
+      s"prefix rule(s) ${emptyPrefixes.mkString(", ")} normalize to '' " +
+        "and can never match a segment prefix — a whole-site drop is a " +
+        "host blocklist entry, not a path rule")
+    val badExts = ruleRows.collect { case ("ext", e)
+      if !e.toLowerCase.replaceAll("^\\.", "").matches("[a-z0-9]+") => e }
+    require(badExts.isEmpty,
+      s"ext rule(s) ${badExts.mkString(", ")} cannot match the final " +
+        "'.ext' of a path segment ([a-z0-9]+ after one optional dot); " +
+        "compound extensions like .tar.gz match on their last segment " +
+        "('gz')")
     val path = lower(regexp_replace(
       coalesce(try_parse_url(col(urlCol), lit("PATH")), lit("")), "/+$", ""))
     // "/a/b/c" -> segs ["", "a", "b", "c"] -> "/a", "/a/b", "/a/b/c"

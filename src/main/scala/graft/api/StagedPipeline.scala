@@ -76,10 +76,17 @@ object StagedPipeline {
   def recoverFromWarehouse(spark: SparkSession, tablePrefix: String): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
     var n = 0
-    // registered, or re-registered from a surviving directory
+    // registered, or re-registered from a surviving directory. The probe
+    // path comes from defaultTablePath — the catalog's own managed-table
+    // location rule, CURRENT-database-aware — not a warehouse-root string
+    // concat, which under `USE mydb` would both miss the real
+    // `mydb.db/<table>` directory (silently recovering nothing) and
+    // mis-register a stale same-named root directory as this database's
+    // table (resuming on foreign data).
     def ensure(t: String): Boolean = spark.catalog.tableExists(t) || {
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t.toLowerCase)))
       loc.getFileSystem(hconf).exists(loc) && {
         spark.catalog.createTable(t, loc.toString, "parquet")
         n += 1

@@ -867,23 +867,36 @@ object EventStreams {
         graft.api.Domains.urlHost(col("url")).as("host"),
         col("doc_id").cast("long").as("doc_id"), col("ts"))
       .filter(col("host").isNotNull)
+    firstKPerKeyAdmit(src0, maxPerDomain, watermarkDelay)
+      .select(col("doc_id"), col("key").as("host"), col("admitted"))
+  }
+
+  /** The shared first-k-per-key admission kernel behind
+    * [[domainQuotaAdmit]] (k = quota, key = host) and [[urlDedupAdmit]]
+    * (k = 1, key = canonical URL): one cumulative counter per key in
+    * `flatMapGroupsWithState` state, within-batch arrival order pinned
+    * to (event time, doc_id). Input columns `(key, doc_id, ts)`; output
+    * `(doc_id, key, admitted)`. */
+  private def firstKPerKeyAdmit(src0: DataFrame, k: Long,
+                                watermarkDelay: String): DataFrame = {
+    import src0.sparkSession.implicits._
     val src = if (src0.isStreaming) src0.withWatermark("ts", watermarkDelay)
               else src0
     src.as[(String, Long, Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[HostQuota, (Long, String, Boolean)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (host, rows, state: GroupState[HostQuota]) =>
+        case (key, rows, state: GroupState[HostQuota]) =>
           var c = state.getOption.map(_.count).getOrElse(0L)
           val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
             .map { case (_, id, _) =>
-              val admit = c < maxPerDomain
+              val admit = c < k
               if (admit) c += 1
-              (id, host, admit)
+              (id, key, admit)
             }
           state.update(HostQuota(c))
           out.iterator
-      }.toDF("doc_id", "host", "admitted")
+      }.toDF("doc_id", "key", "admitted")
   }
 
   /** Replay a finite URL stream through [[domainQuotaAdmit]] as a real
@@ -930,29 +943,13 @@ object EventStreams {
     * the junk-URL count, documented here rather than hidden. */
   def urlDedupAdmit(docs: DataFrame, sortQuery: Boolean = true,
                     watermarkDelay: String = "10 seconds"): DataFrame = {
-    import docs.sparkSession.implicits._
     val key = graft.api.Domains.normalizedUrl(col("url"), sortQuery)
     val src0 = docs.select(
-      coalesce(key, concat(lit(" "), col("doc_id").cast("string")))
+      coalesce(key, concat(lit(" "), col("doc_id").cast("string")))
         .as("ukey"),
       col("doc_id").cast("long").as("doc_id"), col("ts"))
-    val src = if (src0.isStreaming) src0.withWatermark("ts", watermarkDelay)
-              else src0
-    src.as[(String, Long, Timestamp)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[HostQuota, (Long, Boolean)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state: GroupState[HostQuota]) =>
-          var c = state.getOption.map(_.count).getOrElse(0L)
-          val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
-            .map { case (_, id, _) =>
-              val admit = c < 1L
-              if (admit) c += 1
-              (id, admit)
-            }
-          state.update(HostQuota(c))
-          out.iterator
-      }.toDF("doc_id", "admitted")
+    firstKPerKeyAdmit(src0, 1L, watermarkDelay)
+      .select(col("doc_id"), col("admitted"))
   }
 
   /** Replay a finite URL stream through [[urlDedupAdmit]] as a real

@@ -214,11 +214,32 @@ class DomainsSpec extends AnyFunSuite {
     val kept = Domains.filterUrlPaths(df, "url", "doc_id", rules)
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 4L, 7L))
-    // a typo'd rule kind fails loudly instead of silently matching nothing
+    // rules that could never match fail loudly instead of silently
+    // filtering nothing: a typo'd kind, a prefix that normalizes to ''
+    // ("/" means drop-everything — that is a host rule, not a path
+    // rule), an ext the extraction can never produce
     val e = intercept[IllegalArgumentException] {
       Domains.filterUrlPaths(df, "url", "doc_id",
         Seq("prefx" -> "/admin").toDF("kind", "pattern"))
     }
     assert(e.getMessage.contains("prefx"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Domains.filterUrlPaths(df, "url", "doc_id",
+        Seq("prefix" -> "/").toDF("kind", "pattern"))
+    }
+    assert(e2.getMessage.contains("segment prefix"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Domains.filterUrlPaths(df, "url", "doc_id",
+        Seq("ext" -> ".tar.gz").toDF("kind", "pattern"))
+    }
+    assert(e3.getMessage.contains("tar.gz"), e3.getMessage)
+  }
+
+  test("domainTokenQuotaAdaptive: budget 0 keeps nothing without tripping the heap pre-cap") {
+    val df = (0L until 500L).map(i => (i, "https://mega.com/p" + i, 5L))
+      .toDF("doc_id", "url", "mass")
+    val got = Domains.domainTokenQuotaAdaptive(df, "url", "doc_id", $"mass",
+      budgetPerDomain = 0L, seed = 1L, hotHostDocs = 100L)
+    assert(got.count() == 0L)
   }
 }

@@ -78,9 +78,12 @@ def main(spark_path, duck_path, prior_path=None):
         s, d, r = tot(cons)
         print(f"CONSISTENT vs prior round ({len(cons)} queries): "
               f"spark {s:.1f}s duckdb {d:.1f}s = {r:.2f}x")
-        # a prior SPARK bench (not a duckdb one) also gives the direct
+        # a prior SPARK bench (not a duckdb one — those carry an
+        # "engine" marker and an "sf" key too) also gives the direct
         # spark-vs-prior-spark read — gate it on flat conditions
-        if "cold_cpu_sec" in prior_bench or "sf" in prior_bench:
+        if (prior_bench.get("engine") != "duckdb"
+                and ("cold_cpu_sec" in prior_bench
+                     or "cold_total_sec" in prior_bench)):
             ps = sum(prior_q[n] for n in cons)
             ss = sum(sp[n] for n in cons)
             print(f"  spark now {ss:.1f}s vs prior spark {ps:.1f}s "
