@@ -12,7 +12,9 @@ private[graft] object BucketedWrite {
   /** DROP TABLE plus warehouse-dir cleanup: with an in-memory catalog the
     * table registration dies with the JVM but its warehouse directory
     * survives, and CREATE refuses the orphaned location — best-effort
-    * cleanup for unqualified names in `default`. */
+    * cleanup for unqualified names, resolved against the CURRENT
+    * database via `defaultTablePath` (under `USE mydb` the orphan lives
+    * in `<warehouse>/mydb.db/`, not at the warehouse root). */
   def dropTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     if (!table.contains('.')) {

@@ -191,7 +191,11 @@ object Domains {
     * decision applies to them (like [[filterBlockedHosts]], which keeps
     * null hosts; unlike [[domainTokenQuota]], which documents dropping
     * them). Grouping them would silently collapse every unparseable-URL
-    * document into one survivor — Spark groups all null keys together. */
+    * document into one survivor — Spark groups all null keys together.
+    * `idCol` must be non-null: the id is the semi-join identity (null
+    * never equi-matches null), so null-id rows drop regardless of URL —
+    * assign ids first ([[Packing.assignRowIds]]), the convention every
+    * id-keyed operator in this library shares. */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String,
                  sortQuery: Boolean = false): DataFrame = {
     val keyed = df.select(normalizedUrl(col(urlCol), sortQuery).as("__ukey"),
@@ -304,16 +308,24 @@ object Domains {
     // never produce ("tar.gz", "c++")
     val ruleRows = rules.select("kind", "pattern").collect()
       .map(r => (r.getString(0), r.getString(1)))
+    require(!ruleRows.exists(r => r._1 == null || r._2 == null),
+      "filterUrlPaths rules must have non-null kind and pattern")
     val badKinds = ruleRows.map(_._1).distinct.filterNot(Set("prefix", "ext"))
     require(badKinds.isEmpty,
       s"filterUrlPaths rules must have kind 'prefix' or 'ext'; " +
         s"got: ${badKinds.mkString(", ")}")
-    val emptyPrefixes = ruleRows.collect { case ("prefix", p)
-      if p.toLowerCase.replaceAll("/+$", "").isEmpty => p }
-    require(emptyPrefixes.isEmpty,
-      s"prefix rule(s) ${emptyPrefixes.mkString(", ")} normalize to '' " +
-        "and can never match a segment prefix — a whole-site drop is a " +
-        "host blocklist entry, not a path rule")
+    // every generated segment prefix starts with '/' (paths are
+    // root-anchored), so a rule without the leading slash — or one that
+    // normalizes to '' — could never match anything
+    val badPrefixes = ruleRows.collect { case ("prefix", p)
+      if {
+        val n = p.toLowerCase.replaceAll("/+$", "")
+        n.isEmpty || !n.startsWith("/")
+      } => p }
+    require(badPrefixes.isEmpty,
+      s"prefix rule(s) ${badPrefixes.mkString(", ")} can never match a " +
+        "segment prefix: rules must start with '/' and not normalize to " +
+        "'' (a whole-site drop is a host blocklist entry, not a path rule)")
     val badExts = ruleRows.collect { case ("ext", e)
       if !e.toLowerCase.replaceAll("^\\.", "").matches("[a-z0-9]+") => e }
     require(badExts.isEmpty,

@@ -233,6 +233,18 @@ class DomainsSpec extends AnyFunSuite {
         Seq("ext" -> ".tar.gz").toDF("kind", "pattern"))
     }
     assert(e3.getMessage.contains("tar.gz"), e3.getMessage)
+    // a prefix without its leading slash can never match a root-anchored
+    // segment prefix; null patterns get the same loud treatment
+    val e4 = intercept[IllegalArgumentException] {
+      Domains.filterUrlPaths(df, "url", "doc_id",
+        Seq("prefix" -> "admin").toDF("kind", "pattern"))
+    }
+    assert(e4.getMessage.contains("start with '/'"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException] {
+      Domains.filterUrlPaths(df, "url", "doc_id",
+        Seq(("prefix", null: String)).toDF("kind", "pattern"))
+    }
+    assert(e5.getMessage.contains("non-null"), e5.getMessage)
   }
 
   test("domainTokenQuotaAdaptive: budget 0 keeps nothing without tripping the heap pre-cap") {
