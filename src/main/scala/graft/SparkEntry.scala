@@ -2442,6 +2442,45 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    "domain_dedup_tracking" -> ((s, dir) => {
+      // tracking-parameter canonicalization (the FineWeb-class rule):
+      // ?id=N, ?id=N&utm_source=feed&UTM_campaign=x (uppercase pins
+      // case-insensitivity) and ?fbclid=<unique-per-doc>&id=N must all
+      // collapse to ?id=N — the same page under every referral — while
+      // the id param itself survives. Oracle: DuckDB re-derives the key
+      // extraction + prefix drop with its own list machinery.
+      val did = col("doc_id")
+      val urled = load(s, dir, "documents").select(did, col("n_chars"),
+        concat(lit("https://ex.example.com/p"), (did % 25).cast("string"),
+          when(did % 3 === 0, concat(lit("?id="), (did % 5).cast("string"),
+            lit("&utm_source=feed&UTM_campaign=x")))
+            .when(did % 3 === 1, concat(lit("?id="), (did % 5).cast("string")))
+            .otherwise(concat(lit("?fbclid=c"), did.cast("string"),
+              lit("&id="), (did % 5).cast("string")))).as("url"))
+      graft.api.Domains.dedupByUrl(urled, "url", "doc_id", sortQuery = true,
+          dropParamPrefixes = graft.api.Domains.TrackingParamPrefixes)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "domain_allowlist" -> ((s, dir) => {
+      // the allowlist dual of domain_blocklist on the same planted
+      // hosts: keep ONLY the three listed domains (suffix semantics —
+      // cdn.src3 is a subdomain of allowed src3; bare src7 is NOT under
+      // allowed cdn.src7). Oracle: the blocklist oracle's LIKE logic
+      // un-negated.
+      import s.implicits._
+      val urled = load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          concat(lit("https://"),
+            when(col("doc_id") % 2 === 0, lit("cdn.")).otherwise(lit("")),
+            col("source"), lit(".example.com/p"),
+            col("doc_id").cast("string")).as("url"))
+      val allowed = Seq("src3.example.com", "SRC5.example.com",
+        "cdn.src7.example.com").toDF("domain")
+      graft.api.Domains.keepAllowedHosts(urled, "url", "doc_id", allowed)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "domain_path_filter" -> ((s, dir) => {
       import s.implicits._
       // path-level URL filtering: /admin (segment-boundary, hit by the
@@ -3394,6 +3433,55 @@ object SparkEntry {
       keep AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY ukey)
       SELECT k.doc_id, k.n_chars FROM k JOIN keep USING (doc_id)
       ORDER BY doc_id"""),
+    // tracking-param canonicalization: DuckDB re-derives the key
+    // extraction + prefix drop + sort with its own list machinery
+    "domain_dedup_tracking" -> """
+      WITH u AS (
+        SELECT doc_id, n_chars,
+          '/p' || CAST(doc_id % 25 AS VARCHAR) AS path,
+          CASE WHEN doc_id % 3 = 0
+                 THEN 'id=' || CAST(doc_id % 5 AS VARCHAR)
+                   || '&utm_source=feed&UTM_campaign=x'
+               WHEN doc_id % 3 = 1
+                 THEN 'id=' || CAST(doc_id % 5 AS VARCHAR)
+               ELSE 'fbclid=c' || CAST(doc_id AS VARCHAR)
+                 || '&id=' || CAST(doc_id % 5 AS VARCHAR)
+          END AS q
+        FROM documents),
+      f AS (
+        SELECT doc_id, n_chars, path,
+          array_to_string(list_sort(list_filter(str_split(q, '&'), p ->
+            NOT (starts_with(lower(str_split(p, '=')[1]), 'utm_')
+              OR starts_with(lower(str_split(p, '=')[1]), 'fbclid')
+              OR starts_with(lower(str_split(p, '=')[1]), 'gclid')
+              OR starts_with(lower(str_split(p, '=')[1]), 'msclkid')
+              OR starts_with(lower(str_split(p, '=')[1]), 'mc_cid')
+              OR starts_with(lower(str_split(p, '=')[1]), 'mc_eid')
+              OR starts_with(lower(str_split(p, '=')[1]), 'igshid')))),
+            '&') AS fq
+        FROM u),
+      k AS (
+        SELECT doc_id, n_chars,
+          'ex.example.com' || path ||
+          CASE WHEN fq IS NULL OR fq = '' THEN '' ELSE '?' || fq END AS ukey
+        FROM f),
+      keep AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY ukey)
+      SELECT k.doc_id, k.n_chars FROM k JOIN keep USING (doc_id)
+      ORDER BY doc_id""",
+    // the allowlist dual: the blocklist oracle's LIKE suffix logic,
+    // un-negated
+    "domain_allowlist" -> """
+      WITH u AS (
+        SELECT doc_id, n_chars,
+          CASE WHEN doc_id % 2 = 0 THEN 'cdn.' ELSE '' END
+          || source || '.example.com' AS host
+        FROM documents)
+      SELECT doc_id, n_chars FROM u
+      WHERE (host = 'src3.example.com' OR host LIKE '%.src3.example.com'
+         OR host = 'src5.example.com' OR host LIKE '%.src5.example.com'
+         OR host = 'cdn.src7.example.com'
+         OR host LIKE '%.cdn.src7.example.com')
+      ORDER BY doc_id""",
     // path-pattern filtering: DuckDB re-derives the drop set with its
     // own LIKE machinery against Spark's explode + broadcast equi-joins
     "domain_path_filter" -> """

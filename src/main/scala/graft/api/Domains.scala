@@ -53,6 +53,16 @@ object Domains {
     concat(element_at(parts, 1), array_join(fixed, ""))
   }
 
+  /** The tracking-parameter key prefixes every web-scale dedup recipe
+    * strips (RefinedWeb/FineWeb-class canonicalization): analytics and
+    * click-id params that vary per referral while the fetched page does
+    * not. Matched as case-insensitive PREFIXES of the parameter key
+    * (`utm_` catches `utm_source`, `utm_campaign`, …). Deliberately
+    * conservative — no bare `ref`-style entries, which collide with
+    * real application params. */
+  val TrackingParamPrefixes: Seq[String] =
+    Seq("utm_", "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid")
+
   /** Canonical URL identity for exact dedup: normalized host + path with
     * trailing slashes stripped + `?query` if present, both path and
     * query [[pctNormalize]]d. Scheme and fragment drop out (neither
@@ -61,14 +71,28 @@ object Domains {
     * parameters are additionally sorted bytewise (`?b=2&a=1` =
     * `?a=1&b=2` — the same page twice under most servers). Opt-in
     * because it is HEURISTIC: a rare endpoint can be order-sensitive,
-    * and sorting also reorders duplicate keys (`?a=1&a=2`). Unparseable
-    * URLs (null host) yield null. */
-  def normalizedUrl(url: Column, sortQuery: Boolean = false): Column = {
+    * and sorting also reorders duplicate keys (`?a=1&a=2`).
+    * `dropParamPrefixes` (e.g. [[TrackingParamPrefixes]]) removes every
+    * query parameter whose KEY starts with a listed prefix,
+    * case-insensitively, BEFORE the sort — `?id=3&utm_source=feed` =
+    * `?id=3`, the same page under every referral; a query stripped to
+    * nothing drops its `?` entirely. Unparseable URLs (null host) yield
+    * null. */
+  def normalizedUrl(url: Column, sortQuery: Boolean = false,
+                    dropParamPrefixes: Seq[String] = Nil): Column = {
     val path = pctNormalize(regexp_replace(
       coalesce(try_parse_url(url, lit("PATH")), lit("")), "/+$", ""))
     val q0 = pctNormalize(coalesce(try_parse_url(url, lit("QUERY")), lit("")))
+    val q1 =
+      if (dropParamPrefixes.isEmpty) q0
+      else array_join(filter(split(q0, "&", -1), p => {
+        val key = lower(element_at(split(p, "=", 2), 1))
+        !dropParamPrefixes
+          .map(pre => key.startsWith(lit(pre.toLowerCase)))
+          .reduce(_ || _)
+      }), "&")
     val query =
-      if (sortQuery) array_join(array_sort(split(q0, "&", -1)), "&") else q0
+      if (sortQuery) array_join(array_sort(split(q1, "&", -1)), "&") else q1
     concat(urlHost(url), path,
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
   }
@@ -145,6 +169,29 @@ object Domains {
     df.join(hit, Seq(idCol), "left_anti")
   }
 
+  /** The allowlist dual of [[filterBlockedHosts]] — the curated-domain
+    * corpus shape (an OpenWebMath-style recipe keeps ONLY listed
+    * domains): keep every document whose normalized host equals an
+    * allowed domain or is a subdomain of one, same dot-boundary
+    * suffix-chain semantics, same broadcast-equi-join scale shape.
+    * Null/unparseable hosts DROP — the opposite of the blocklist's
+    * null contract, and forced by the semantics: an unlisted host is
+    * excluded, and no host is no listing. `allowed` must have a
+    * `domain` column (matched case-insensitively). */
+  def keepAllowedHosts(df: DataFrame, urlCol: String, idCol: String,
+                       allowed: DataFrame): DataFrame = {
+    val parts = split(urlHost(col(urlCol)), "\\.")
+    val suffixes = transform(
+      sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+    val hit = df
+      .select(col(idCol), explode(suffixes).as("domain"))
+      .join(broadcast(allowed.select(lower(col("domain")).as("domain"))),
+        Seq("domain"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(hit, Seq(idCol), "left_semi")
+  }
+
   /** Per-domain TOKEN budget (the mass-based sibling of
     * [[domainQuotaSample]] — crawl quotas are usually stated in
     * bytes/tokens, not documents): within each normalized host, walk the
@@ -197,8 +244,10 @@ object Domains {
     * assign ids first ([[Packing.assignRowIds]]), the convention every
     * id-keyed operator in this library shares. */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String,
-                 sortQuery: Boolean = false): DataFrame = {
-    val keyed = df.select(normalizedUrl(col(urlCol), sortQuery).as("__ukey"),
+                 sortQuery: Boolean = false,
+                 dropParamPrefixes: Seq[String] = Nil): DataFrame = {
+    val keyed = df.select(
+      normalizedUrl(col(urlCol), sortQuery, dropParamPrefixes).as("__ukey"),
       col(idCol))
     // the null-key ids join the keep SET (ids-only), not the output via
     // a second full-width scan of df — one semi-join probes the corpus

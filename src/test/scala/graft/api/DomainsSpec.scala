@@ -247,6 +247,36 @@ class DomainsSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("non-null"), e5.getMessage)
   }
 
+  test("normalizedUrl dropParamPrefixes strips tracking keys case-insensitively, keeps real params") {
+    val drop = Domains.TrackingParamPrefixes
+    val got = Seq(
+      "https://ex.com/p?id=3&utm_source=feed&UTM_campaign=x",
+      "https://ex.com/p?id=3",
+      "https://ex.com/p?fbclid=abc123&id=3",
+      "https://ex.com/p?utm_source=feed" // query strips to nothing -> no '?'
+    ).toDF("url")
+      .select(Domains.normalizedUrl($"url", sortQuery = true,
+        dropParamPrefixes = drop))
+      .as[String].collect()
+    assert(got(0) == "ex.com/p?id=3" && got(1) == got(0) && got(2) == got(0))
+    assert(got(3) == "ex.com/p")
+  }
+
+  test("keepAllowedHosts: suffix semantics, null hosts drop (the allowlist dual)") {
+    val df = Seq(
+      (1L, "https://example.com/a"),         // listed -> keep
+      (2L, "https://cdn.example.com/b"),     // subdomain of listed -> keep
+      (3L, "https://notexample.com/c"),      // not a dot-suffix -> drop
+      (4L, "https://www.EXAMPLE.com/d"),     // case + www-strip -> keep
+      (5L, "https://other.org/e"),           // unlisted -> drop
+      (6L, "not a url")                      // no host -> no listing -> drop
+    ).toDF("doc_id", "url")
+    val kept = Domains.keepAllowedHosts(df, "url", "doc_id",
+        Seq("Example.COM").toDF("domain"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("domainTokenQuotaAdaptive: budget 0 keeps nothing without tripping the heap pre-cap") {
     val df = (0L until 500L).map(i => (i, "https://mega.com/p" + i, 5L))
       .toDF("doc_id", "url", "mass")
