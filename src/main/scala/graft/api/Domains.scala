@@ -83,16 +83,22 @@ object Domains {
     val path = pctNormalize(regexp_replace(
       coalesce(try_parse_url(url, lit("PATH")), lit("")), "/+$", ""))
     val q0 = pctNormalize(coalesce(try_parse_url(url, lit("QUERY")), lit("")))
-    val q1 =
-      if (dropParamPrefixes.isEmpty) q0
-      else array_join(filter(split(q0, "&", -1), p => {
-        val key = lower(element_at(split(p, "=", 2), 1))
-        !dropParamPrefixes
-          .map(pre => key.startsWith(lit(pre.toLowerCase)))
-          .reduce(_ || _)
-      }), "&")
+    // one split; filter and sort stay in array form; one join (the
+    // default path skips the round-trip entirely)
     val query =
-      if (sortQuery) array_join(array_sort(split(q1, "&", -1)), "&") else q1
+      if (dropParamPrefixes.isEmpty && !sortQuery) q0
+      else {
+        val parts = split(q0, "&", -1)
+        val kept =
+          if (dropParamPrefixes.isEmpty) parts
+          else filter(parts, p => {
+            val key = lower(element_at(split(p, "=", 2), 1))
+            !dropParamPrefixes
+              .map(pre => key.startsWith(lit(pre.toLowerCase)))
+              .reduce(_ || _)
+          })
+        array_join(if (sortQuery) array_sort(kept) else kept, "&")
+      }
     concat(urlHost(url), path,
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
   }
@@ -156,17 +162,24 @@ object Domains {
     * hashed probes regardless of list size. `blocked` must have a
     * `domain` column (matched case-insensitively). */
   def filterBlockedHosts(df: DataFrame, urlCol: String, idCol: String,
-                         blocked: DataFrame): DataFrame = {
+                         blocked: DataFrame): DataFrame =
+    df.join(hostSuffixHits(df, urlCol, idCol, blocked),
+      Seq(idCol), "left_anti")
+
+  /** The shared suffix-chain matcher behind [[filterBlockedHosts]] and
+    * [[keepAllowedHosts]]: ids whose normalized host equals a listed
+    * domain or is a subdomain of one (dot boundaries only). One place
+    * owns the chain semantics so the two duals can never diverge. */
+  private def hostSuffixHits(df: DataFrame, urlCol: String, idCol: String,
+                             domains: DataFrame): DataFrame = {
     val parts = split(urlHost(col(urlCol)), "\\.")
     val suffixes = transform(
       sequence(lit(0), size(parts) - 1),
       i => array_join(slice(parts, i + 1, size(parts) - i), "."))
-    val hit = df
-      .select(col(idCol), explode(suffixes).as("domain"))
-      .join(broadcast(blocked.select(lower(col("domain")).as("domain"))),
+    df.select(col(idCol), explode(suffixes).as("domain"))
+      .join(broadcast(domains.select(lower(col("domain")).as("domain"))),
         Seq("domain"), "left_semi")
       .select(col(idCol)).distinct()
-    df.join(hit, Seq(idCol), "left_anti")
   }
 
   /** The allowlist dual of [[filterBlockedHosts]] — the curated-domain
@@ -179,18 +192,9 @@ object Domains {
     * excluded, and no host is no listing. `allowed` must have a
     * `domain` column (matched case-insensitively). */
   def keepAllowedHosts(df: DataFrame, urlCol: String, idCol: String,
-                       allowed: DataFrame): DataFrame = {
-    val parts = split(urlHost(col(urlCol)), "\\.")
-    val suffixes = transform(
-      sequence(lit(0), size(parts) - 1),
-      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
-    val hit = df
-      .select(col(idCol), explode(suffixes).as("domain"))
-      .join(broadcast(allowed.select(lower(col("domain")).as("domain"))),
-        Seq("domain"), "left_semi")
-      .select(col(idCol)).distinct()
-    df.join(hit, Seq(idCol), "left_semi")
-  }
+                       allowed: DataFrame): DataFrame =
+    df.join(hostSuffixHits(df, urlCol, idCol, allowed),
+      Seq(idCol), "left_semi")
 
   /** Per-domain TOKEN budget (the mass-based sibling of
     * [[domainQuotaSample]] — crawl quotas are usually stated in
