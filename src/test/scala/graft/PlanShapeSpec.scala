@@ -535,6 +535,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("domain family plans: broadcast equi-joins, no nested loop, no window sort") {
+    // filterUrlPaths / domain_blocklist / domain_allowlist: the rules and
+    // domain lists must arrive as BroadcastHashJoins over the exploded
+    // chains — a BroadcastNestedLoopJoin here is the O(corpus × rules)
+    // LIKE shape the explode form exists to avoid
+    for (q <- Seq("domain_path_filter", "domain_blocklist",
+        "domain_allowlist")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: expected broadcast equi-joins:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q must never plan a nested loop:\n$plan")
+    }
+    // the quota cut is the bounded-heap aggregate, never a per-host
+    // row_number window (the mega-host single-task sort)
+    val quota = planOf("domain_quota_sample")
+    assert(quota.contains("topk_by"),
+      s"quota must use the bounded-heap aggregate:\n$quota")
+    assert(!quota.contains("Window"),
+      s"quota must not window-sort per host:\n$quota")
+    // canonical dedup: the decision aggregates ids+keys (partial_min
+    // before the exchange — map-side combine), text never shuffles
+    val dedup = planOf("domain_dedup_canonical")
+    assert(dedup.contains("partial_min"),
+      s"dedup must map-side-combine the min(id):\n$dedup")
+  }
+
   test("perplexityBucketsSketch classify pass: no window, no sort, no exchange") {
     // the sketch's whole point vs the exact operator: the returned plan is
     // a map-only classification (cut bins ride as literals) — the two
