@@ -760,9 +760,19 @@ object ScaleBench {
         val stages = Seq[(String, DataFrame => DataFrame)](
           "boilerplate_drop" -> (x => api.Dedup.dropBoilerplateLines(
             x, "doc_id", "text", minDocs = 100L)),
-          "nb_quality_filter" -> (x => api.QualityClassifier.trainScore(
+          // the filter threshold is the run's MEDIAN score, not 0: the
+          // scale cipher washes likelihood ratios toward 0 while the
+          // negative class-prior log-odds stays, so an absolute 0 cut
+          // keeps nothing beyond x1 and later stages would measure
+          // empty frames (observed: 150k -> 0 rows at x30); the stage's
+          // COST (train + score + filter) is identical either way
+          "nb_quality_filter" -> (x => {
+            val scored = api.QualityClassifier.trainScore(
               x, "text", col("source").isin("src0", "src1"), buckets = 1024)
-            .filter(col("nb_score") > 0.0)),
+            val med = scored.stat.approxQuantile(
+              "nb_score", Array(0.5), 0.001).head
+            scored.filter(col("nb_score") > med)
+          }),
           "ppl_tile" -> (x => {
             val lm = api.TextAnalysis.docLogProbBigram(x)
             api.TextAnalysis.perplexityBuckets(
