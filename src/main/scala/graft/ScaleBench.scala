@@ -764,8 +764,12 @@ object ScaleBench {
           // scale cipher washes likelihood ratios toward 0 while the
           // negative class-prior log-odds stays, so an absolute 0 cut
           // keeps nothing beyond x1 and later stages would measure
-          // empty frames (observed: 150k -> 0 rows at x30); the stage's
-          // COST (train + score + filter) is identical either way
+          // empty frames (observed: 150k -> 0 rows at x30). The
+          // approxQuantile does add one extra aggregation pass over the
+          // scored frame vs the old absolute cut — it inflates this
+          // stage's cost equally in BOTH arms (inline and staged), so
+          // the staged-vs-inline OVERHEAD ratio stays honest even
+          // though each arm's absolute stage time is slightly higher
           "nb_quality_filter" -> (x => {
             val scored = api.QualityClassifier.trainScore(
               x, "text", col("source").isin("src0", "src1"), buckets = 1024)

@@ -3452,12 +3452,12 @@ object SparkEntry {
         SELECT doc_id, n_chars, path,
           array_to_string(list_sort(list_filter(str_split(q, '&'), p ->
             NOT (starts_with(lower(str_split(p, '=')[1]), 'utm_')
-              OR starts_with(lower(str_split(p, '=')[1]), 'fbclid')
-              OR starts_with(lower(str_split(p, '=')[1]), 'gclid')
-              OR starts_with(lower(str_split(p, '=')[1]), 'msclkid')
-              OR starts_with(lower(str_split(p, '=')[1]), 'mc_cid')
-              OR starts_with(lower(str_split(p, '=')[1]), 'mc_eid')
-              OR starts_with(lower(str_split(p, '=')[1]), 'igshid')))),
+              OR lower(str_split(p, '=')[1]) = 'fbclid'
+              OR lower(str_split(p, '=')[1]) = 'gclid'
+              OR lower(str_split(p, '=')[1]) = 'msclkid'
+              OR lower(str_split(p, '=')[1]) = 'mc_cid'
+              OR lower(str_split(p, '=')[1]) = 'mc_eid'
+              OR lower(str_split(p, '=')[1]) = 'igshid'))),
             '&') AS fq
         FROM u),
       k AS (

@@ -53,11 +53,13 @@ object Domains {
     concat(element_at(parts, 1), array_join(fixed, ""))
   }
 
-  /** The tracking-parameter key prefixes every web-scale dedup recipe
-    * strips (RefinedWeb/FineWeb-class canonicalization): analytics and
+  /** The tracking-parameter keys every web-scale dedup recipe strips
+    * (RefinedWeb/FineWeb-class canonicalization): analytics and
     * click-id params that vary per referral while the fetched page does
-    * not. Matched as case-insensitive PREFIXES of the parameter key
-    * (`utm_` catches `utm_source`, `utm_campaign`, …). Deliberately
+    * not. Matching is case-insensitive; an entry ENDING IN `_` is a key
+    * PREFIX (`utm_` catches `utm_source`, `utm_campaign`, …), any other
+    * entry matches the key EXACTLY — `gclid` strips `gclid=` but not an
+    * unrelated `gclid2=` or `fbclid_src=`, the FineWeb rule. Deliberately
     * conservative — no bare `ref`-style entries, which collide with
     * real application params. */
   val TrackingParamPrefixes: Seq[String] =
@@ -73,11 +75,12 @@ object Domains {
     * because it is HEURISTIC: a rare endpoint can be order-sensitive,
     * and sorting also reorders duplicate keys (`?a=1&a=2`).
     * `dropParamPrefixes` (e.g. [[TrackingParamPrefixes]]) removes every
-    * query parameter whose KEY starts with a listed prefix,
-    * case-insensitively, BEFORE the sort — `?id=3&utm_source=feed` =
-    * `?id=3`, the same page under every referral; a query stripped to
-    * nothing drops its `?` entirely. Unparseable URLs (null host) yield
-    * null. */
+    * query parameter whose KEY matches a listed entry, case-
+    * insensitively, BEFORE the sort — entries ending in `_` match as
+    * prefixes, all others as the exact key ([[TrackingParamPrefixes]]'
+    * contract) — `?id=3&utm_source=feed` = `?id=3`, the same page under
+    * every referral; a query stripped to nothing drops its `?`
+    * entirely. Unparseable URLs (null host) yield null. */
   def normalizedUrl(url: Column, sortQuery: Boolean = false,
                     dropParamPrefixes: Seq[String] = Nil): Column = {
     val path = pctNormalize(regexp_replace(
@@ -93,8 +96,12 @@ object Domains {
           if (dropParamPrefixes.isEmpty) parts
           else filter(parts, p => {
             val key = lower(element_at(split(p, "=", 2), 1))
+            // trailing '_' = prefix rule; anything else = exact key —
+            // 'gclid' must not strip an unrelated 'gclid2'
             !dropParamPrefixes
-              .map(pre => key.startsWith(lit(pre.toLowerCase)))
+              .map(_.toLowerCase)
+              .map(e => if (e.endsWith("_")) key.startsWith(lit(e))
+                        else key === lit(e))
               .reduce(_ || _)
           })
         array_join(if (sortQuery) array_sort(kept) else kept, "&")
@@ -299,12 +306,23 @@ object Domains {
     * budget could keep gain nothing from capping and stay on the plain
     * window path, as does everything when the census finds no hot host
     * (then the returned plan IS the plain [[domainTokenQuota]] plan). */
+  /** Above this census size the hot-host set routes through a broadcast
+    * join instead of a driver-inlined `isin` literal list — a plan with
+    * a 10⁵-entry IN-list is itself a scale bug (analysis/codegen blowup,
+    * and the list is serialized into every task). 1000 short host
+    * strings is well under both limits. */
+  private val MaxInlineHotHosts = 1000
+
   def domainTokenQuotaAdaptive(df: DataFrame, urlCol: String, idCol: String,
                                massCol: Column, budgetPerDomain: Long,
                                seed: Long,
                                hotHostDocs: Long = 4000000L): DataFrame = {
     require(budgetPerDomain >= 0,
       s"budgetPerDomain must be >= 0, got $budgetPerDomain")
+    require(hotHostDocs > 0,
+      s"hotHostDocs must be positive, got $hotHostDocs (the census " +
+        "driver set is bounded by corpus/hotHostDocs — a non-positive " +
+        "bound would collect every host)")
     val hot: Array[String] =
       if (budgetPerDomain >= Int.MaxValue) Array.empty // cap heap un-sizable
       else if (budgetPerDomain == 0) Array.empty // plain path keeps nothing;
@@ -314,11 +332,25 @@ object Domains {
     if (hot.isEmpty)
       domainTokenQuota(df, urlCol, idCol, massCol, budgetPerDomain, seed)
     else {
-      val isHot = coalesce(
-        urlHost(col(urlCol)).isin(hot.toIndexedSeq: _*), lit(false))
-      val capped = domainQuotaSample(df.filter(isHot), urlCol, idCol,
+      // split the corpus into hot-host / cold-host halves; small census
+      // -> literal IN-list (one codegen'd predicate, no join); large
+      // census (caller passed a small hotHostDocs) -> broadcast
+      // semi/anti joins, so the plan never embeds an unbounded literal
+      val (hotPart, coldPart) =
+        if (hot.length <= MaxInlineHotHosts) {
+          val isHot = coalesce(
+            urlHost(col(urlCol)).isin(hot.toIndexedSeq: _*), lit(false))
+          (df.filter(isHot), df.filter(!isHot))
+        } else {
+          import df.sparkSession.implicits._
+          val hotDf = broadcast(hot.toIndexedSeq.toDF("__hothost"))
+          val cond = urlHost(col(urlCol)) === col("__hothost")
+          (df.join(hotDf, cond, "left_semi"),
+            df.join(hotDf, cond, "left_anti"))
+        }
+      val capped = domainQuotaSample(hotPart, urlCol, idCol,
         budgetPerDomain.toInt, seed)
-      domainTokenQuota(df.filter(!isHot), urlCol, idCol, massCol,
+      domainTokenQuota(coldPart, urlCol, idCol, massCol,
           budgetPerDomain, seed)
         .unionByName(domainTokenQuota(capped, urlCol, idCol, massCol,
           budgetPerDomain, seed))

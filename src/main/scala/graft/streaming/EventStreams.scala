@@ -926,14 +926,19 @@ object EventStreams {
     * [[graft.api.Domains.dedupByUrl]], the crawl-frontier shape: the
     * FIRST document to arrive under each canonical URL key
     * ([[graft.api.Domains.normalizedUrl]] — percent-normalized,
-    * optionally query-sorted) admits; every later arrival under the
-    * same key rejects, across micro-batch boundaries, from
+    * optionally query-sorted, tracking params optionally stripped via
+    * `dropParamPrefixes` so the streaming key can match a batch
+    * [[graft.api.Domains.dedupByUrl]] run's exactly) admits; every
+    * later arrival under the same key rejects, across micro-batch
+    * boundaries, from
     * `flatMapGroupsWithState` state. Within one batch, arrival order is
     * (event time, doc_id) — the same deterministic walk the quota twin
     * pins.
     *
-    * State per key is ONE boolean — O(distinct URLs), the inherent
-    * floor for exact first-come dedup, deliberately unexpired like
+    * State per key is one [[HostQuota]] counter that saturates at 1 —
+    * the shared [[firstKPerKeyAdmit]] kernel with k = 1, functionally a
+    * seen-bit (one long, not one bit, per key) — O(distinct URLs), the
+    * inherent floor for exact first-come dedup, deliberately unexpired like
     * [[domainQuotaAdmit]]'s counters (the frontier's key set IS the
     * dedup contract; an expiring variant would silently re-admit old
     * pages). Unparseable URLs (null key) admit UNCONDITIONALLY — the
@@ -942,8 +947,10 @@ object EventStreams {
     * own single-row group; those sentinel entries do grow state with
     * the junk-URL count, documented here rather than hidden. */
   def urlDedupAdmit(docs: DataFrame, sortQuery: Boolean = true,
-                    watermarkDelay: String = "10 seconds"): DataFrame = {
-    val key = graft.api.Domains.normalizedUrl(col("url"), sortQuery)
+                    watermarkDelay: String = "10 seconds",
+                    dropParamPrefixes: Seq[String] = Nil): DataFrame = {
+    val key = graft.api.Domains.normalizedUrl(col("url"), sortQuery,
+      dropParamPrefixes)
     val src0 = docs.select(
       coalesce(key, concat(lit(" "), col("doc_id").cast("string")))
         .as("ukey"),
@@ -958,7 +965,8 @@ object EventStreams {
     * batch k must reject its batch-k+1 re-fetches from persisted
     * state. */
   def urlDedupReplay(spark: SparkSession, docs: Seq[(Long, String)],
-                     nBatches: Int): DataFrame = {
+                     nBatches: Int,
+                     dropParamPrefixes: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, String)]
@@ -966,7 +974,8 @@ object EventStreams {
     val timed = docs.zipWithIndex.map { case ((id, url), i) =>
       (id, new Timestamp((i + 1) * 1000L), url)
     }
-    val q = urlDedupAdmit(mem.toDF().toDF("doc_id", "ts", "url"))
+    val q = urlDedupAdmit(mem.toDF().toDF("doc_id", "ts", "url"),
+        dropParamPrefixes = dropParamPrefixes)
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try {
       val chunk = math.max(1, (timed.size + nBatches - 1) / nBatches)

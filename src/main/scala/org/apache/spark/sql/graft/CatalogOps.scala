@@ -12,7 +12,10 @@ import org.apache.spark.sql.catalyst.catalog.CatalogTableType
   * change) and then drops it, leaving the parquet files exactly where a
   * dead JVM would have left them. Drives the cross-session
   * [[graft.api.StagedPipeline]] resume gate and spec; lives in the
-  * spark.sql package tree because `sessionState` is `private[sql]`. */
+  * spark.sql package tree because it manipulates catalyst catalog
+  * internals (`CatalogTableType`, `alterTable` on raw metadata) that
+  * have no stable public surface — `sessionState` itself is public
+  * (`@Unstable`) and callable from anywhere. */
 object CatalogOps {
 
   /** Remove `table`'s catalog entry WITHOUT touching its files. No-op

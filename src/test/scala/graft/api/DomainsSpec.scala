@@ -253,13 +253,18 @@ class DomainsSpec extends AnyFunSuite {
       "https://ex.com/p?id=3&utm_source=feed&UTM_campaign=x",
       "https://ex.com/p?id=3",
       "https://ex.com/p?fbclid=abc123&id=3",
-      "https://ex.com/p?utm_source=feed" // query strips to nothing -> no '?'
+      "https://ex.com/p?utm_source=feed", // query strips to nothing -> no '?'
+      // exact-key rule: gclid2 / fbclid_src merely START with listed
+      // exact entries and must SURVIVE (only '_'-terminated entries are
+      // prefixes); bare gclid is stripped
+      "https://ex.com/p?gclid2=x&fbclid_src=y&gclid=z&id=3"
     ).toDF("url")
       .select(Domains.normalizedUrl($"url", sortQuery = true,
         dropParamPrefixes = drop))
       .as[String].collect()
     assert(got(0) == "ex.com/p?id=3" && got(1) == got(0) && got(2) == got(0))
     assert(got(3) == "ex.com/p")
+    assert(got(4) == "ex.com/p?fbclid_src=y&gclid2=x&id=3")
   }
 
   test("keepAllowedHosts: suffix semantics, null hosts drop (the allowlist dual)") {
@@ -283,5 +288,31 @@ class DomainsSpec extends AnyFunSuite {
     val got = Domains.domainTokenQuotaAdaptive(df, "url", "doc_id", $"mass",
       budgetPerDomain = 0L, seed = 1L, hotHostDocs = 100L)
     assert(got.count() == 0L)
+  }
+
+  test("domainTokenQuotaAdaptive: >1000-host census routes via broadcast join, bit-equal to plain") {
+    // 1100 hosts x 2 docs, hotHostDocs = 1 -> every host is "hot" and
+    // the census exceeds MaxInlineHotHosts, exercising the broadcast
+    // semi/anti split instead of the literal IN-list; mass >= 1 so the
+    // bit-equality contract with the plain window path holds
+    val df = (0L until 2200L).map(i =>
+        (i, s"https://h${i % 1100}.example.com/p$i", 3L))
+      .toDF("doc_id", "url", "mass")
+    val adaptive = Domains.domainTokenQuotaAdaptive(df, "url", "doc_id",
+        $"mass", budgetPerDomain = 3L, seed = 11L, hotHostDocs = 1L)
+      .select("doc_id").as[Long].collect().sorted
+    val plain = Domains.domainTokenQuota(df, "url", "doc_id",
+        $"mass", budgetPerDomain = 3L, seed = 11L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(adaptive.toSeq == plain.toSeq && adaptive.length == 1100)
+  }
+
+  test("domainTokenQuotaAdaptive: non-positive hotHostDocs is rejected loudly") {
+    val df = Seq((1L, "https://a.com/x", 2L)).toDF("doc_id", "url", "mass")
+    val e = intercept[IllegalArgumentException] {
+      Domains.domainTokenQuotaAdaptive(df, "url", "doc_id", $"mass",
+        budgetPerDomain = 5L, seed = 1L, hotHostDocs = 0L)
+    }
+    assert(e.getMessage.contains("hotHostDocs"), e.getMessage)
   }
 }

@@ -560,6 +560,30 @@ class StreamingSpec extends AnyFunSuite {
       "micro-batch boundaries changed verdicts")
   }
 
+  test("urlDedupReplay: dropParamPrefixes gives batch/stream key parity") {
+    import spark.implicits._
+    // tracking-param variants of the same page straddle batches; with
+    // the prefixes plumbed through, the streaming admit set must equal
+    // the batch dedupByUrl keep set on the SAME canonicalization
+    val docs = (0L until 12L).map { i =>
+      val k = i % 4
+      val q = (i / 4) match {
+        case 0 => s"?id=$k"
+        case 1 => s"?id=$k&utm_source=feed"
+        case _ => s"?fbclid=c$i&id=$k"
+      }
+      (i, s"https://ex.com/p$q")
+    }
+    val admitted = EventStreams.urlDedupReplay(spark, docs, nBatches = 4,
+        dropParamPrefixes = graft.api.Domains.TrackingParamPrefixes)
+      .filter($"admitted").select("doc_id").as[Long].collect().sorted
+    val batch = graft.api.Domains.dedupByUrl(
+        docs.toDF("doc_id", "url"), "url", "doc_id", sortQuery = true,
+        dropParamPrefixes = graft.api.Domains.TrackingParamPrefixes)
+      .select("doc_id").as[Long].collect().sorted
+    assert(admitted.toSeq == batch.toSeq && admitted.length == 4)
+  }
+
   test("sessionizeBatch matches gap semantics") {
     import spark.implicits._
     val events = Seq(
