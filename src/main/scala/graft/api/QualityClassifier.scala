@@ -80,4 +80,69 @@ object QualityClassifier {
     val lo = nbLogOdds(pos, neg, textCol, buckets)
     nbScore(docs, textCol, lo, prior, out)
   }
+
+  /** Key under which [[nbCountsDf]] stores the class DOCUMENT counts
+    * (the prior's inputs) alongside the per-bucket feature counts. */
+  private val DocCountBucket = -1
+
+  /** The NB model's SUFFICIENT STATISTICS as a tiny DataFrame — the
+    * persistable, MERGEABLE form of what [[trainScore]] computes
+    * transiently: one row per feature bucket `(bucket, pos_cnt,
+    * neg_cnt)` plus one `bucket = -1` row carrying the class document
+    * counts. Everything downstream ([[nbLogOdds]]' smoothed log-ratios,
+    * [[nbPrior]]) is a pure function of these counts, and counts are
+    * ADDITIVE across corpus slices — so a model "trained on A ∪ B" is
+    * exactly `nbCountsDf(A) + nbCountsDf(B)` summed per bucket, the
+    * fact the incremental-curation day-2 path is built on
+    * ([[IncrementalCuration]]). `buckets + 1` rows total: persist it as
+    * a plain table, append per batch, and [[modelFromCounts]]
+    * reconstitutes the model bit-exactly. */
+  def nbCountsDf(docs: DataFrame, textCol: String, labelCol: Column,
+                 buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = docs.where(labelCol)
+    val neg = docs.where(!labelCol)
+    val p = Sampling.dsirBucketCounts(pos, textCol, buckets)
+    val n = Sampling.dsirBucketCounts(neg, textCol, buckets)
+    val rows = (DocCountBucket, pos.count(), neg.count()) +:
+      Array.tabulate(buckets)(b => (b, p(b), n(b))).toIndexedSeq
+    rows.toDF("bucket", "pos_cnt", "neg_cnt")
+  }
+
+  /** Reconstitute `(logOdds, prior)` from a persisted [[nbCountsDf]]
+    * table, summing per-bucket counts across every appended generation
+    * first — the read side of the mergeable-counts contract. Bit-equal
+    * to training [[trainScore]]-style on the concatenation of every
+    * slice whose counts were appended (same integer counts ⇒ the same
+    * [[graft.core.HyperLogLog.lnPinned]] arguments ⇒ the same doubles).
+    * One scan of a `buckets + 1`-row-per-generation table. */
+  def modelFromCounts(spark: org.apache.spark.sql.SparkSession,
+                      table: String): (Array[Double], Double) = {
+    val rows = spark.table(table)
+      .groupBy("bucket")
+      .agg(sum("pos_cnt").as("p"), sum("neg_cnt").as("n"))
+      .collect()
+    val buckets = rows.length - 1
+    require(buckets >= 2 && rows.exists(_.getInt(0) == DocCountBucket),
+      s"'$table' is not an nbCountsDf table (${rows.length} bucket rows)")
+    val p = new Array[Long](buckets)
+    val n = new Array[Long](buckets)
+    var nPos = 0L
+    var nNeg = 0L
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      if (b == DocCountBucket) { nPos = r.getLong(1); nNeg = r.getLong(2) }
+      else { p(b) = r.getLong(1); n(b) = r.getLong(2) }
+    }
+    val prior = nbPrior(nPos, nNeg)
+    val pTot = p.sum.toDouble + buckets
+    val nTot = n.sum.toDouble + buckets
+    val lo = Array.tabulate(buckets) { b =>
+      lnPinned((p(b) + 1).toDouble * nTot) - lnPinned((n(b) + 1).toDouble * pTot)
+    }
+    (lo, prior)
+  }
 }

@@ -1,0 +1,182 @@
+package graft.api
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the day-2 exactness theorem: admitting a batch against the
+  * persisted day-1 indexes is BIT-EQUAL to the batch slice of running
+  * the whole recipe on the union corpus — across TWO consecutive
+  * batches (so the day-2 appends are proven to leave the state exactly
+  * right for day 3), with every verdict and span source exercised by a
+  * planted doc, including the statistic that crosses its threshold
+  * ONLY when the new batch's counts merge in (the case a frozen-state
+  * implementation gets wrong). */
+class IncrementalCurationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val P = IncrementalCuration.Params(
+    width = 3, minDocs = 3L, nbBuckets = 64,
+    bpeMerges = 8, bpeVocabCap = 256, numBuckets = 2)
+
+  private val Passage = "quick brown fox jumps over lazy dog here now"
+  // the planted LINES are 2 tokens — BELOW the gram width, so the
+  // line-frequency rule (not the dup-gram rule, which flags any
+  // cross-doc width-window) is the only thing that can cut them
+  private val L1 = "subscribe please"           // day-1 boilerplate (df 5)
+  private val L2 = "limited offer"              // crosses minDocs ONLY with B
+  private val L3 = "footer note"                // crosses minDocs ONLY with C
+  private val Q = "red green blue cyan magenta" // dup grams ONLY with B
+
+  // hash-derived LETTER-ONLY filler words (asciiWords tokenizes [a-z]+
+  // runs — a digit would fragment a word into shared single letters),
+  // unique across (i, j): no two docs share an accidental 3-gram or
+  // enough 4-char shingles to near-dup — the planted relations below
+  // are the ONLY relations in the corpus
+  private def fw(i: Long, n: Int): IndexedSeq[String] =
+    (1 to n).map { j =>
+      var x = (i * 1000L + j) * 2862933555777941757L + 3037000493L
+      (0 until 8).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ('a' + java.lang.Long.remainderUnsigned(x >>> 33, 26L).toInt).toChar
+      }.mkString
+    }
+  // positive-class doc: marker unigrams (good/clean/prose) interleaved
+  // with unique fillers — strong shared NB signal, zero shared grams
+  private def prose(i: Long, n: Int = 12): String = {
+    val f = fw(i, n)
+    s"good ${f(0)} clean ${f(1)} prose ${f(2)} " + f.drop(3).mkString(" ")
+  }
+  // negative-class doc: each of 12 spam unigrams twice, interleaved
+  private def spam(i: Long): String = {
+    val f = fw(i + 7000L, 24)
+    (0 until 24).map(k => s"spam${k % 12 + 1} ${f(k)}").mkString(" ")
+  }
+
+  // day-1 corpus A: ids 1-15 en "pos", 16-23 xx spam "neg"
+  private val dayA: Seq[(Long, String, String)] =
+    (1L to 15L).map { i =>
+      val t = i match {
+        case x if x <= 5 => prose(i) + "\n" + L1
+        case 6 | 7       => prose(i) + "\n" + L2
+        case 10          => prose(i) + " " + Q
+        case _           => prose(i)
+      }
+      (i, t, "en")
+    } ++ (16L to 23L).map(i => (i, spam(i), "xx"))
+
+  // day-2 batch B: ids 101-115
+  private val dayB: Seq[(Long, String, String)] = Seq(
+    (101L, prose(101) + "\n" + L1, "en"),     // L1 cut (day-1 boilerplate)
+    (102L, prose(102) + "\n" + L1, "en"),
+    (103L, prose(103) + "\n" + L1, "en"),
+    (104L, prose(104) + "\n" + L2, "en"),     // L2 NOW crosses minDocs
+    (105L, dayASelf(8L), "en"),               // exact dup of A8 -> drop
+    (106L, prose(106), "en"),
+    (107L, prose(106), "en"),                 // == B106 -> drop
+    (108L, dayASelf(9L) + " tail", "en"),     // near-dup of A9 -> drop
+    (109L, prose(109, 20), "en"),
+    (110L, prose(109, 20) + " tl", "en"),     // near-dup of B109 -> drop
+    (111L, prose(111) + " " + Passage, "en"), // decon cut
+    (112L, prose(112) + " " + Q, "en"),       // Q dup-gram cut (A10 + B112)
+    (113L, spam(113) + " odd one", "en"),     // NB-negative -> drop
+    (114L, prose(114) + "\n" + L3, "en"),     // L3 df 2 at day 2 (< 3)
+    (115L, prose(115) + "\n" + L3, "en"))
+
+  // day-3 batch C: ids 201-206 — every drop reason must see B's state
+  private val dayC: Seq[(Long, String, String)] = Seq(
+    (201L, prose(201), "en"),
+    (202L, prose(106), "en"),                 // exact dup of B106 -> drop
+    (203L, prose(109, 20) + " t3", "en"),     // near-dup of B109 -> drop
+    (204L, prose(204) + "\n" + L3, "en"),     // L3 NOW crosses minDocs
+    (205L, prose(205) + " " + Q, "en"),       // Q flagged via B's append
+    (206L, prose(206) + "\n" + L2, "en"))     // L2 flagged since day 2
+
+  private def dayASelf(i: Long): String =
+    dayA.find(_._1 == i).get._2
+
+  private def df(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "text", "lang")
+  private val bench = Seq((1000L, s"benchmark doc with $Passage inside"))
+    .toDF("doc_id", "text")
+
+  private def rowsOf(d: org.apache.spark.sql.DataFrame) =
+    d.orderBy("doc_id")
+      .select("doc_id", "n_chars_inc", "n_tok_inc", "nb_score")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+  test("admitBatch is bit-equal to the union-rerun batch slice, two days deep") {
+    val prefix = "graft_inccur_spec"
+    IncrementalCuration.reset(spark, prefix)
+    IncrementalCuration.buildState(df(dayA), prefix, "doc_id", "text",
+      col("lang") === "en", P)
+    val ranks = {
+      val merges = spark.table(s"${prefix}_vocab").orderBy("rank")
+        .select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+      org.apache.spark.sql.graft.BpeRanks.fromByteTokens(merges)
+    }
+
+    // cross-threshold distinguisher is real: L2's day-1 df is below cut
+    val dfL2inA = dayA.count(_._2.split("\n").contains(L2)).toLong
+    assert(dfL2inA == 2L && dfL2inA < P.minDocs)
+
+    val gotB = rowsOf(IncrementalCuration.admitBatch(df(dayB), bench,
+      df(dayA), prefix, "doc_id", "text", col("lang") === "en", P))
+    val refB = rowsOf(IncrementalCuration.admitReference(
+      df(dayA ++ dayB), bench, "doc_id", "text", col("lang") === "en",
+      batchMinId = 100L, ranks, P))
+    assert(gotB == refB, s"day-2 slice mismatch:\n got $gotB\n ref $refB")
+
+    val bIds = gotB.map(_._1).toSet
+    assert(!bIds.contains(105L), "exact dup vs day-1 index survived")
+    assert(!bIds.contains(107L), "within-batch exact dup survived")
+    assert(!bIds.contains(108L), "near-dup vs day-1 index survived")
+    assert(!bIds.contains(110L), "within-batch near-dup survived")
+    assert(bIds.contains(106L) && bIds.contains(109L),
+      "keep-earliest must keep the smallest id of each dup group")
+    assert(!bIds.contains(113L), "NB-negative doc survived")
+    // L1 (day-1 boilerplate) and L2 (crosses only with B) both cut
+    val chars = gotB.map(r => r._1 -> r._2).toMap
+    assert(chars(101L) < dayB.find(_._1 == 101L).get._2.length)
+    assert(chars(104L) < dayB.find(_._1 == 104L).get._2.length,
+      "merged-count boilerplate (threshold crossed only with B) not cut")
+    assert(chars(111L) < dayB.find(_._1 == 111L).get._2.length,
+      "benchmark passage not decontaminated")
+    assert(chars(112L) < dayB.find(_._1 == 112L).get._2.length,
+      "cross-day dup grams not cut")
+    // L3 must NOT be cut at day 2 (df 2 < 3)
+    assert(chars(114L) == dayB.find(_._1 == 114L).get._2.length.toLong)
+
+    // ---- day 3: the day-2 appends must have left state == A union B ----
+    val gotC = rowsOf(IncrementalCuration.admitBatch(df(dayC), bench,
+      df(dayA ++ dayB), prefix, "doc_id", "text", col("lang") === "en", P))
+    val refC = rowsOf(IncrementalCuration.admitReference(
+      df(dayA ++ dayB ++ dayC), bench, "doc_id", "text",
+      col("lang") === "en", batchMinId = 200L, ranks, P))
+    assert(gotC == refC, s"day-3 slice mismatch:\n got $gotC\n ref $refC")
+    val cIds = gotC.map(_._1).toSet
+    assert(!cIds.contains(202L), "exact dup vs day-2 batch survived")
+    assert(!cIds.contains(203L), "near-dup vs day-2 batch survived")
+    val charsC = gotC.map(r => r._1 -> r._2).toMap
+    assert(charsC(204L) < dayC.find(_._1 == 204L).get._2.length,
+      "L3 crossed minDocs only with C's counts and must now cut")
+    assert(charsC(206L) < dayC.find(_._1 == 206L).get._2.length)
+  }
+
+  test("admitBatch enforces the id high-water contract loudly") {
+    val prefix = "graft_inccur_hwm"
+    IncrementalCuration.reset(spark, prefix)
+    IncrementalCuration.buildState(df(dayA), prefix, "doc_id", "text",
+      col("lang") === "en", P)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.admitBatch(
+        df(Seq((5L, "too small an id", "en"))), bench, df(dayA),
+        prefix, "doc_id", "text", col("lang") === "en", P)
+    }
+    assert(e.getMessage.contains("high-water"), e.getMessage)
+  }
+}
