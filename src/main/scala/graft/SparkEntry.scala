@@ -171,6 +171,66 @@ object SparkEntry {
     (corpus0, stages)
   }
 
+  /** The incremental-curation gate's fixture: a day-1 corpus A
+    * (doc_id < 350), a day-2 batch B (>= 350) and the fixed benchmark
+    * (doc_id % 50 == 0 + passage), with every admission verdict planted
+    * NON-VACUOUSLY — mirrored line for line (same append order) in
+    * tools/gen_oracles.py:
+    *
+    *  - boilerplate: "subscribe to our newsletter" (day-1-known, df >=
+    *    minDocs in A alone) and "limited time offer" — planted so its
+    *    document frequency crosses minDocs ONLY when B's counts merge
+    *    in (the case a frozen-day-1 line table gets wrong; the Python
+    *    oracle asserts the A-side count is below the cut). Both lines
+    *    are < width tokens, so only the LINE rule can cut them;
+    *  - dup grams: a 10-token phrase shared across A docs (flagged at
+    *    build) and a second phrase in exactly ONE A doc + several B
+    *    docs — duplicated only once the batch appends (the
+    *    appendToGramIndex batch-vs-index path);
+    *  - exact dups: two B docs share one literal text (within-batch
+    *    keep-earliest) and ~15 B docs clone an A doc's text verbatim
+    *    (index-vs-batch drop);
+    *  - near dups: ~15 B docs clone an A doc plus a short suffix
+    *    (banding + exact-Jaccard > 0.5, dropped via the component
+    *    rule);
+    *  - decontamination: the passage planted in doc_id % 7 == 3;
+    *  - NB: organic lang labels (en = seed class). */
+  private def incrementalCurationFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = load(s, dir, "documents")
+    val passage =
+      lit(" zebra quagga okapi tapir gnu eland kudu oryx saiga argali")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), concat(col("text"), passage).as("text"))
+    val did = col("doc_id")
+    val fix0 = docs.filter(did % 50 =!= 0).select(did, col("lang"),
+      concat(
+        when(did % 3 === 0, lit("subscribe to our newsletter\n"))
+          .otherwise(lit("")),
+        regexp_replace(col("text"), " the ", "\n"),
+        when(did % 11 === 5 || (did >= 350 && did % 3 === 1),
+          lit("\nlimited time offer")).otherwise(lit("")),
+        when(did % 13 === 2 || (did >= 350 && did % 11 === 4),
+          lit(" lorem alpha beta gamma delta epsilon zeta eta theta iota"))
+          .otherwise(lit("")),
+        when(did === 151 || (did >= 350 && did % 31 === 9),
+          lit(" omega kappa sigma lambda upsilon phi chi psi rho nu"))
+          .otherwise(lit("")),
+        when(did % 7 === 3, passage).otherwise(lit("")))
+        .as("text"))
+    val src = fix0.select((col("doc_id") + 200).as("doc_id"),
+      col("text").as("__srctext"))
+    val corpus = fix0.join(src, Seq("doc_id"), "left")
+      .select(did, col("lang"),
+        when(did >= 350 && did % 97 === 0,
+          lit("the quick brown fox jumps over the lazy dog again and again"))
+          .when(did >= 350 && did % 10 === 3, col("__srctext"))
+          .when(did >= 350 && did % 10 === 6,
+            concat(col("__srctext"), lit(" incremental clone suffix tokens")))
+          .otherwise(col("text")).as("text"))
+    (corpus.filter(did < 350), corpus.filter(did >= 350), bench)
+  }
+
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) (readable only as a
     * long under the legacy conf) and TIMESTAMP(MICROS) (read as
     * TIMESTAMP_NTZ) across driver rounds; normalize either to a micros
@@ -1669,6 +1729,30 @@ object SparkEntry {
         .foreach(t =>
           org.apache.spark.sql.graft.CatalogOps.deregisterKeepingFiles(s, t))
       graft.api.StagedPipeline.run(corpus0, stages, prefix)
+        .orderBy("doc_id")
+    }),
+    // Incremental (day-2) curation — the production shape after day 1:
+    // build the five statistic indexes on corpus A (gram index, line
+    // document frequencies, NB sufficient statistics, raw-hash dedup
+    // index, signature index) plus the frozen BPE vocabulary, then
+    // admit batch B through the FULL recipe (boilerplate + decon +
+    // dup-span cuts, exact/near dedup, NB gate) against those indexes —
+    // A's text is never re-scanned. The oracle is the batch-B slice of
+    // the Python mirror running the whole recipe on A UNION B: the
+    // exactness contract (every statistic mergeable over raw text,
+    // IncrementalCuration's scaladoc theorem) makes that slice the
+    // incremental run's bit-exact answer, so any stale-index or
+    // id-threading bug in the composition lands as a hash mismatch.
+    // Two-day state composition is additionally spec-pinned
+    // (IncrementalCurationSpec admits a day-3 batch).
+    "curate_corpus_incremental" -> ((s, dir) => {
+      val (corpusA, batchB, bench) = incrementalCurationFixture(s, dir)
+      val prefix = "graft_inccur"
+      graft.api.IncrementalCuration.reset(s, prefix)
+      graft.api.IncrementalCuration.buildState(corpusA, prefix,
+        "doc_id", "text", col("lang") === "en")
+      graft.api.IncrementalCuration.admitBatch(batchB, bench, corpusA,
+          prefix, "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")
     }),
     // Prototype/coreset selection: the 5 most central vectors per semantic
@@ -3639,6 +3723,7 @@ object SparkEntry {
     // bit-equal to curate_corpus_v2 by construction: the staged run must
     // reproduce the in-session chain exactly (same rows, same oracle)
     "curate_corpus_staged" -> valuesOracle("curate_corpus_staged"),
+    "curate_corpus_incremental" -> valuesOracle("curate_corpus_incremental"),
     // the cross-session leg runs the IDENTICAL chain through the
     // simulated restart, so it must land on the same pinned oracle
     "curate_corpus_staged_xsession" -> valuesOracle("curate_corpus_staged"),

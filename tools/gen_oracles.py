@@ -2340,6 +2340,218 @@ def main(sf_dir, spark_dir):
         ("doc_id", "n_chars_v2", "ppl_class", "logw"),
         ("BIGINT", "BIGINT", "VARCHAR", "DOUBLE"), v2_rows, "doc_id")
 
+    # ---- curate_corpus_incremental: the day-2 admission recipe, mirrored
+    # as its CONTRACT states it — run the whole recipe on A UNION B raw
+    # (every statistic over raw text: line document frequency, dup grams,
+    # NB counts, exact/near dup identity) and slice the batch (>= 350).
+    # The Scala side admits B against day-1 indexes of A (< 350); the
+    # mergeable-statistics design makes this slice its bit-exact answer.
+    # Fixture mirrors SparkEntry.incrementalCurationFixture line for line
+    # (same concat order).
+    INC_P1 = " lorem alpha beta gamma delta epsilon zeta eta theta iota"
+    INC_P2 = " omega kappa sigma lambda upsilon phi chi psi rho nu"
+    INC_OFFER = "limited time offer"
+    INC_LIT = "the quick brown fox jumps over the lazy dog again and again"
+    INC_W = 8
+    INC_MINDOCS = 60
+    text_of = dict(docs)
+
+    def inc_fix0(did):
+        x = (text_of[did] or "").replace(" the ", "\n")
+        if did % 3 == 0:
+            x = "subscribe to our newsletter\n" + x
+        if did % 11 == 5 or (did >= 350 and did % 3 == 1):
+            x += "\n" + INC_OFFER
+        if did % 13 == 2 or (did >= 350 and did % 11 == 4):
+            x += INC_P1
+        if did == 151 or (did >= 350 and did % 31 == 9):
+            x += INC_P2
+        if did % 7 == 3:
+            x += CONTAM_PASSAGE
+        return x
+
+    inc = {}
+    for did, _t in docs:
+        if did % 50 == 0:
+            continue
+        if did >= 350 and did % 97 == 0:
+            inc[did] = INC_LIT
+        elif did >= 350 and did % 10 == 3:
+            inc[did] = inc_fix0(did - 200)
+        elif did >= 350 and did % 10 == 6:
+            inc[did] = inc_fix0(did - 200) + " incremental clone suffix tokens"
+        else:
+            inc[did] = inc_fix0(did)
+    inc_bench = {did: (t or "") + CONTAM_PASSAGE
+                 for did, t in docs if did % 50 == 0}
+
+    # the cross-threshold boilerplate line is the gate's point: its
+    # document frequency must sit BELOW minDocs on day-1 A alone and AT
+    # OR ABOVE it once B merges in (ditto, at day 1, for the known line)
+    inc_linedocs_a, inc_linedocs = {}, {}
+    for did, tt in inc.items():
+        for l in set(tt.split("\n")):
+            inc_linedocs[l] = inc_linedocs.get(l, 0) + 1
+            if did < 350:
+                inc_linedocs_a[l] = inc_linedocs_a.get(l, 0) + 1
+    assert inc_linedocs_a.get(INC_OFFER, 0) < INC_MINDOCS <= \
+        inc_linedocs[INC_OFFER], \
+        (f"inc offer-line df: A {inc_linedocs_a.get(INC_OFFER, 0)}, "
+         f"union {inc_linedocs.get(INC_OFFER, 0)} — fixture vacuous")
+    assert inc_linedocs_a.get("subscribe to our newsletter", 0) >= INC_MINDOCS
+    inc_boiler = {l for l, c in inc_linedocs.items() if c >= INC_MINDOCS}
+
+    # exact keep-earliest over raw text
+    inc_first = {}
+    for did in sorted(inc):
+        inc_first.setdefault(inc[did], did)
+    inc_exact_keep = {did for did in inc if inc_first[inc[did]] == did}
+    assert any(did >= 350 and did not in inc_exact_keep for did in inc), \
+        "inc fixture vacuous: no exact-dup drop in the batch"
+
+    # near-dup components (4-char shingles, 8x3 bands seed 123, exact
+    # Jaccard strictly > 0.5) — the rolling_dedup family
+    inc_bandmap, inc_sh = {}, {}
+    for did, tt in inc.items():
+        if len(tt) < 4:
+            continue
+        sh = vk.shingles_from_text(tt, 4)
+        inc_sh[did] = set(sh)
+        inc_bandmap[did] = vk.minhash_bands(sh, 8, 3, 123)
+    inc_parent = {}
+
+    def inc_find(x):
+        while inc_parent.get(x, x) != x:
+            inc_parent[x] = inc_parent.get(inc_parent[x], inc_parent[x])
+            x = inc_parent[x]
+        return x
+
+    inc_ids = sorted(inc_bandmap)
+    inc_npairs = 0
+    for i in range(len(inc_ids)):
+        for j in range(i + 1, len(inc_ids)):
+            a, b = inc_ids[i], inc_ids[j]
+            if not any(inc_bandmap[a][k] == inc_bandmap[b][k]
+                       for k in range(8)):
+                continue
+            sa, sb = inc_sh[a], inc_sh[b]
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) > 0.5:
+                ra, rb = inc_find(a), inc_find(b)
+                if ra != rb:
+                    if ra < rb:
+                        inc_parent[rb] = ra
+                    else:
+                        inc_parent[ra] = rb
+                inc_npairs += 1
+    inc_near_keep = {did for did in inc if inc_find(did) == did}
+    inc_near_batch_drops = [d for d in inc
+                            if d >= 350 and d not in inc_near_keep and
+                            d in inc_exact_keep]
+    assert inc_near_batch_drops, \
+        "inc fixture vacuous: no batch doc dropped by NEAR dedup alone"
+
+    # NB over raw A union B (seed = en slice)
+    inc_pos = [t for did, t in inc.items() if lang_of[did] == "en"]
+    inc_neg = [t for did, t in inc.items() if lang_of[did] != "en"]
+    inc_p = dsir_counts(inc_pos)
+    inc_n = dsir_counts(inc_neg)
+    inc_pTot = float(sum(inc_p)) + DSIR_B
+    inc_nTot = float(sum(inc_n)) + DSIR_B
+    inc_lo = [ln_pinned(float(inc_p[b] + 1) * inc_nTot)
+              - ln_pinned(float(inc_n[b] + 1) * inc_pTot)
+              for b in range(DSIR_B)]
+    inc_prior = ln_pinned(float(len(inc_pos))) - ln_pinned(float(len(inc_neg)))
+
+    def inc_nb(text):
+        acc = inc_prior
+        for f in dsir_feats(text):
+            acc += inc_lo[_zlib.crc32(f.encode("utf-8")) % DSIR_B]
+        return acc
+
+    # span sources over raw text: dup grams (union corpus), bench grams,
+    # boilerplate lines as token intervals; merged with the island rule
+    inc_gd = {}
+    inc_toks = {did: v2_toks(t) for did, t in inc.items()}
+    for did, ts in inc_toks.items():
+        for i in range(len(ts) - INC_W + 1):
+            g = tuple(ts[i:i + INC_W])
+            e = inc_gd.get(g)
+            if e is None:
+                inc_gd[g] = [did, did]
+            else:
+                if did < e[0]:
+                    e[0] = did
+                if did > e[1]:
+                    e[1] = did
+    inc_dup = {g for g, (mn, mx) in inc_gd.items() if mn != mx}
+    inc_bgrams = set()
+    for t in inc_bench.values():
+        bt = v2_toks(t)
+        for i in range(len(bt) - INC_W + 1):
+            inc_bgrams.add(tuple(bt[i:i + INC_W]))
+    # P2 is duplicated ONLY via the batch (one day-1 holder): its grams
+    # must be in the dup set (the appendToGramIndex batch-vs-index path)
+    p2t = v2_toks(INC_P2)
+    assert tuple(p2t[:INC_W]) in inc_dup, \
+        "inc fixture vacuous: P2 grams not duplicated via the batch"
+
+    def inc_spans(did):
+        ts = inc_toks[did]
+        iv = []
+        for i in range(len(ts) - INC_W + 1):
+            g = tuple(ts[i:i + INC_W])
+            if g in inc_dup or g in inc_bgrams:
+                iv.append([i, i + INC_W - 1])
+        off = 0
+        for line in inc[did].split("\n"):
+            n = len(v2_toks(line))
+            if line in inc_boiler and n > 0:
+                iv.append([off, off + n - 1])
+            off += n
+        iv.sort()
+        out = []
+        for a, b in iv:
+            if out and a <= out[-1][1] + 1:
+                if b > out[-1][1]:
+                    out[-1][1] = b
+            else:
+                out.append([a, b])
+        return [(a, b) for a, b in out]
+
+    # frozen day-1 vocabulary: trained on raw A texts only
+    inc_vocab = bpe_train((t for did, t in sorted(inc.items())
+                           if did < 350), 48, 2048)
+    inc_vocab_rank = {p: i for i, p in enumerate(inc_vocab)}
+
+    def inc_bpe_count(text):
+        n = 0
+        for w in re.split(rb"[\t\n\x0b\x0c\r ]+", text.encode("utf-8")):
+            if w:
+                n += len(bpe_word_toks_r(w, inc_vocab_rank))
+        return n
+
+    inc_rows = []
+    inc_nb_drops = 0
+    for did in sorted(d for d in inc if d >= 350):
+        if did not in inc_exact_keep or did not in inc_near_keep:
+            continue
+        score = inc_nb(inc[did])
+        if not score > 0.0:
+            inc_nb_drops += 1
+            continue
+        cut = word_cut_text(inc[did], inc_spans(did))
+        inc_rows.append((did, len(cut), inc_bpe_count(cut), score))
+    assert inc_nb_drops >= 1, "inc fixture vacuous: NB gate dropped nothing"
+    assert len(inc_rows) >= 20, f"inc gate too thin: {len(inc_rows)} rows"
+    # the decon cut must bite at least one admitted batch doc
+    assert any(len(word_cut_text(inc[d], inc_spans(d))) < len(inc[d])
+               for d, _c, _t, _s in inc_rows), \
+        "inc fixture vacuous: no admitted batch doc was span-cut"
+    queries["curate_corpus_incremental"] = (
+        ("doc_id", "n_chars_inc", "n_tok_inc", "nb_score"),
+        ("BIGINT", "BIGINT", "BIGINT", "DOUBLE"), inc_rows, "doc_id")
+
     # ---- signature_dedup_pairs: banding collisions + 24-component
     # signature-fraction similarity (mirrors BandedLsh.nearDupPairsBySignature:
     # same 8x3 blocking as minhash_dedup_pairs, est = equal components / 24).
