@@ -747,6 +747,43 @@ object ScaleBench {
       // 0–2 committed, 3–4 chopped) costs the REMAINING stages only,
       // independent of the committed prefix's cost — the property a
       // pre-empted 100 TB run needs.
+      // incremental (day-2) admission: day-1 indexes built on the ×k
+      // corpus A (minus 250 base docs so the batch has real exact dups
+      // to kill), then a FIXED 500-doc batch admitted against them. The
+      // claim under test: admit cost tracks |B| (flat-ish — only the
+      // pruned index-side scans grow), while the honest alternative (the
+      // full union rerun, admitReference) grows linearly with |A ∪ B|.
+      // Prints day-1 build / admit / rerun side by side per scale.
+      "incremental_admit" -> { (k: Int) =>
+        val prefix = s"scale_incr_x$k"
+        api.IncrementalCuration.reset(spark, prefix)
+        val all = docs(k)
+        val a = all.filter(!(col("doc_id") >= 4500 && col("doc_id") < 4750))
+        val batch = docs(1)
+          .filter(col("doc_id") >= 4500 && col("doc_id") < 5000)
+          .withColumn("doc_id", col("doc_id") + lit(k.toLong * Stride))
+        val bench = docs(1).filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("text"))
+        val label = col("lang") === "en"
+        val t0 = System.nanoTime()
+        api.IncrementalCuration.buildState(a, prefix, "doc_id", "text", label)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val admitted = api.IncrementalCuration.admitBatch(batch, bench, a,
+          prefix, "doc_id", "text", label).count()
+        val tAdmit = (System.nanoTime() - t1) / 1e9
+        val ranks = api.IncrementalCuration.loadVocab(spark, prefix)
+        val t2 = System.nanoTime()
+        val rerun = api.IncrementalCuration.admitReference(
+          a.unionByName(batch), bench, "doc_id", "text", label,
+          batchMinId = k.toLong * Stride, ranks).count()
+        val tRerun = (System.nanoTime() - t2) / 1e9
+        println(f"    incremental_admit x$k: day1-build $tBuild%.1fs " +
+          f"admit $tAdmit%.1fs full-rerun $tRerun%.1fs " +
+          f"(admitted $admitted, rerun $rerun)")
+        api.IncrementalCuration.reset(spark, prefix)
+        admitted
+      },
       "staged_curation" -> { (k: Int) =>
         val prefix = s"scale_staged_x$k"
         api.StagedPipeline.reset(spark, prefix, maxStages = 8)

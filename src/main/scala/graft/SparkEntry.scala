@@ -1531,6 +1531,28 @@ object SparkEntry {
           .otherwise(lit(""))).as("text"))
       graft.api.TextAnalysis.gopherRules(docs).orderBy("doc_id")
     }),
+    "gopher_rules_multilang" -> ((s, dir) => {
+      // The per-language Gopher seam: each space-delimited language's
+      // docs get THEIR language's function words planted (except every
+      // 17th doc — the non-vacuous fail case), so they pass under the
+      // per-lang stopword dispatch and would fail wholesale under the
+      // English-only list; zh stays unplanted and exercises the
+      // documented fallback (no zh entry -> the en list -> fail).
+      // Oracle: DuckDB re-derives the whole rule set AND the per-lang
+      // dispatch with its own CASE/list machinery.
+      val did = col("doc_id")
+      val inject = map(
+        lit("en"), lit("that have of "),
+        lit("es"), lit("el la de "),
+        lit("de"), lit("der die und "),
+        lit("fr"), lit("le la et "))
+      val docs = load(s, dir, "documents").select(did, col("lang"),
+        concat(
+          coalesce(when(did % 17 =!= 0, element_at(inject, col("lang"))),
+            lit("")),
+          col("text")).as("text"))
+      graft.api.TextAnalysis.gopherRulesPerLang(docs).orderBy("doc_id")
+    }),
     "bpe_vocab_roundtrip" -> ((s, dir) => {
       // Persisted-vocabulary round-trip: train -> mergesDf -> saveAsTable
       // -> reload from the catalog -> recompile BpeRanks -> count. A
@@ -4683,6 +4705,80 @@ object SparkEntry {
         |    stopword_hits
         |  FROM m)
         |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+        |  stopword_hits,
+        |  COALESCE(n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_word_ratio <= 0.1
+        |    AND bullet_line_frac <= 0.9
+        |    AND ellipsis_line_frac <= 0.3
+        |    AND alpha_word_frac >= 0.8
+        |    AND stopword_hits >= 2, FALSE) AS keep
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
+    // the per-lang suite: same signal algebra, stopword list dispatched
+    // by lang with the en fallback for unmapped languages (zh here)
+    "gopher_rules_multilang" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 17 <> 0 THEN
+        |      CASE lang WHEN 'en' THEN 'that have of '
+        |                WHEN 'es' THEN 'el la de '
+        |                WHEN 'de' THEN 'der die und '
+        |                WHEN 'fr' THEN 'le la et '
+        |                ELSE '' END
+        |    ELSE '' END || text AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(str_split(text, ' '), x -> x <> '') AS ws,
+        |    list_filter(str_split(text, chr(10)), x -> x <> '') AS ls
+        |  FROM f),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS hashes,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |      AS BIGINT) AS ellipses,
+        |    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+        |      AS BIGINT) AS wlen,
+        |    CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+        |      OR starts_with(l, '* ') OR starts_with(l, chr(8226))))
+        |      AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS BIGINT)
+        |      AS ellipsis_lines,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(
+        |      CASE lower(lang)
+        |        WHEN 'es' THEN ['el','la','de','que','y','en','los','con']
+        |        WHEN 'de' THEN ['der','die','und','das','ist','von','mit','zu']
+        |        WHEN 'fr' THEN ['le','la','et','les','des','que','dans','une']
+        |        ELSE ['the','be','to','of','and','that','have','with'] END,
+        |      sw -> list_contains(ws, sw))) AS BIGINT) AS stopword_hits
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, lang, n_words,
+        |    CASE WHEN n_words > 0
+        |      THEN CAST(wlen AS DOUBLE) / CAST(n_words AS DOUBLE) END
+        |      AS mean_word_len,
+        |    CASE WHEN n_words > 0
+        |      THEN CAST(hashes + ellipses AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |      END AS symbol_word_ratio,
+        |    CASE WHEN n_lines > 0
+        |      THEN CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) END
+        |      AS bullet_line_frac,
+        |    CASE WHEN n_lines > 0
+        |      THEN CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |      END AS ellipsis_line_frac,
+        |    CASE WHEN n_words > 0
+        |      THEN CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END
+        |      AS alpha_word_frac,
+        |    stopword_hits
+        |  FROM m)
+        |SELECT doc_id, lang, n_words, mean_word_len, symbol_word_ratio,
         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
         |  stopword_hits,
         |  COALESCE(n_words BETWEEN 50 AND 100000

@@ -344,8 +344,10 @@ object IncrementalCuration {
   }
 
   /** Reload the frozen day-1 vocabulary and recompile the counting
-    * ranks — the `bpe_vocab_roundtrip` seam. */
-  private def loadVocab(spark: SparkSession, prefix: String)
+    * ranks — the `bpe_vocab_roundtrip` seam. Public because
+    * [[admitReference]] (the verification twin) must run under the SAME
+    * frozen ranks the indexes carry. */
+  def loadVocab(spark: SparkSession, prefix: String)
       : org.apache.spark.sql.graft.BpeRanks = {
     val merges = spark.table(vocabTable(prefix)).orderBy("rank")
       .select("left", "right").collect()

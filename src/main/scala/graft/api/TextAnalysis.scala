@@ -363,6 +363,95 @@ object TextAnalysis {
     val arr = SparkEnv.spread(df).select(col(idCol), t0.as("__t"),
       filter(split(t0, " "), w => w =!= lit("")).as("__ws"),
       filter(split(t0, "\n"), l => l =!= lit("")).as("__ls"))
+    gopherSignalsAndKeep(arr, Seq(col(idCol)),
+      size(filter(
+        typedLit(GopherStopwords("en")),
+        sw => array_contains(col("__ws"), sw))).cast("long"),
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolWordRatio, maxBulletLineFrac, maxEllipsisLineFrac,
+      minAlphaWordFrac, minStopwordHits)
+  }
+
+  /** The published Gopher stopword list per language \u2014 the Rae et al.
+    * 2021 English eight, plus the same "top function words" recipe for
+    * the space-delimited languages the word-based rule suite applies to
+    * (FineWeb-2-style multilingual reproduction). CJK and other
+    * unsegmented scripts are deliberately ABSENT: "words split on
+    * single spaces" is meaningless there \u2014 route those languages
+    * through the tokenizer-aware family ([[tokenEntropy]],
+    * [[repetitionFilter]] with [[words]]) instead of pretending a
+    * space-split applies. */
+  val GopherStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "que", "dans", "une"))
+
+  /** [[gopherRules]] with the stopword test dispatched PER LANGUAGE \u2014
+    * the seam a multilingual corpus needs: under the English-only list
+    * every non-English doc fails the "is it prose at all" gate
+    * wholesale (its function words are not English function words),
+    * which silently deletes every other language from the corpus. The
+    * stopword list is looked up from `stopwords` by the (lowercased)
+    * `langCol` value; languages absent from the map fall back to
+    * `fallbackLang`'s list \u2014 stated loudly here because the fallback
+    * reintroduces exactly the wholesale-fail behavior for those
+    * languages: extend the map for every language the corpus carries.
+    * All other thresholds stay global (the published values are
+    * length/layout rules, far less language-sensitive than function
+    * words; pass different values per corpus slice if needed).
+    *
+    * Same plan shape as [[gopherRules]] (arrays materialized once in a
+    * lower Project); the dispatch is one `element_at` on a literal map
+    * \u2014 no join, no UDF, codegen'd. Output adds the `lang` column after
+    * the id. */
+  def gopherRulesPerLang(df: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", langCol: String = "lang",
+                         stopwords: Map[String, Seq[String]] = GopherStopwords,
+                         fallbackLang: String = "en",
+                         minWords: Long = 50L, maxWords: Long = 100000L,
+                         minMeanWordLen: Double = 3.0,
+                         maxMeanWordLen: Double = 10.0,
+                         maxSymbolWordRatio: Double = 0.1,
+                         maxBulletLineFrac: Double = 0.9,
+                         maxEllipsisLineFrac: Double = 0.3,
+                         minAlphaWordFrac: Double = 0.8,
+                         minStopwordHits: Int = 2): DataFrame = {
+    require(stopwords.contains(fallbackLang),
+      s"fallbackLang '$fallbackLang' has no stopword list in the map")
+    require(stopwords.values.forall(_.nonEmpty),
+      "every language's stopword list must be non-empty")
+    val t0 = col(textCol)
+    val arr = SparkEnv.spread(df).select(col(idCol), col(langCol), t0.as("__t"),
+      filter(split(t0, " "), w => w =!= lit("")).as("__ws"),
+      filter(split(t0, "\n"), l => l =!= lit("")).as("__ls"))
+    val swMap = map(stopwords.toSeq.sortBy(_._1).flatMap {
+      case (l, sws) => Seq(lit(l.toLowerCase), typedLit(sws))
+    }: _*)
+    val sws = coalesce(element_at(swMap, lower(col(langCol))),
+      typedLit(stopwords(fallbackLang)))
+    gopherSignalsAndKeep(arr, Seq(col(idCol), col(langCol)),
+      size(filter(sws, sw => array_contains(col("__ws"), sw))).cast("long"),
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolWordRatio, maxBulletLineFrac, maxEllipsisLineFrac,
+      minAlphaWordFrac, minStopwordHits)
+  }
+
+  /** The shared signal algebra behind [[gopherRules]] and
+    * [[gopherRulesPerLang]]: `arr` must carry `__t`/`__ws`/`__ls` (the
+    * once-materialized text/word/line columns \u2014 the SPARK-36718 plan
+    * shape both callers pin) and `stopHits` is the one rule the two
+    * variants compute differently. */
+  private def gopherSignalsAndKeep(arr: DataFrame, carry: Seq[Column],
+                                   stopHits: Column,
+                                   minWords: Long, maxWords: Long,
+                                   minMeanWordLen: Double,
+                                   maxMeanWordLen: Double,
+                                   maxSymbolWordRatio: Double,
+                                   maxBulletLineFrac: Double,
+                                   maxEllipsisLineFrac: Double,
+                                   minAlphaWordFrac: Double,
+                                   minStopwordHits: Int): DataFrame = {
     val t = col("__t")
     val ws = col("__ws")
     val ls = col("__ls")
@@ -382,13 +471,10 @@ object TextAnalysis {
       size(filter(ls, l => l.endsWith("..."))).cast("long"), nL)
     val alphaFrac = ratio(
       size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long"), nW)
-    val stopHits = size(filter(
-      typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with")),
-      sw => array_contains(ws, sw))).cast("long")
-    arr.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
+    arr.select(carry ++ Seq(nW.as("n_words"), meanLen.as("mean_word_len"),
         symRatio.as("symbol_word_ratio"), bulletFrac.as("bullet_line_frac"),
         ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
-        stopHits.as("stopword_hits"))
+        stopHits.as("stopword_hits")): _*)
       .withColumn("keep",
         coalesce(col("n_words").between(minWords, maxWords) &&
           col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&

@@ -92,4 +92,46 @@ class GopherRulesSpec extends AnyFunSuite {
       assert(m(id).isNullAt(m(id).fieldIndex("mean_word_len")))
     }
   }
+
+  test("per-lang dispatch: non-English prose passes under its own list, fails English-only") {
+    import spark.implicits._
+    val prose = (1 to 15).map(_ => "palabra bonita historia cuenta").mkString(" ")
+    val docs = Seq(
+      (1L, s"el la de $prose", "es"),   // es stopwords present -> keep
+      (2L, prose, "es"),                // no es stopwords -> fail own list
+      (3L, s"der die und $prose", "de"),
+      (4L, s"the of and that $prose", "pt"), // unmapped lang -> en fallback
+      (5L, s"el la de $prose", "pt")    // fallback = en -> es words don't count
+    ).toDF("doc_id", "text", "lang")
+    val perLang = TextAnalysis.gopherRulesPerLang(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(perLang(1L).getAs[Boolean]("keep"),
+      "es doc with es stopwords must pass its own list")
+    assert(!perLang(2L).getAs[Boolean]("keep") &&
+      perLang(2L).getAs[Long]("stopword_hits") == 0L)
+    assert(perLang(3L).getAs[Boolean]("keep"))
+    assert(perLang(4L).getAs[Boolean]("keep"),
+      "unmapped lang must fall back to the fallback list")
+    assert(!perLang(5L).getAs[Boolean]("keep"))
+    // the same es doc FAILS wholesale under the English-only suite —
+    // the exact behavior the per-lang seam exists to fix
+    val enOnly = TextAnalysis.gopherRules(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!enOnly(1L).getAs[Boolean]("keep") &&
+      enOnly(1L).getAs[Long]("stopword_hits") == 0L)
+  }
+
+  test("per-lang guards: fallback must be mapped, lists non-empty") {
+    import spark.implicits._
+    val df = Seq((1L, "x", "en")).toDF("doc_id", "text", "lang")
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.gopherRulesPerLang(df, fallbackLang = "xx")
+    }
+    assert(e1.getMessage.contains("fallbackLang"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.gopherRulesPerLang(df,
+        stopwords = Map("en" -> Seq.empty[String]))
+    }
+    assert(e2.getMessage.contains("non-empty"), e2.getMessage)
+  }
 }
