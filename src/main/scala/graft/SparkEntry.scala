@@ -2465,7 +2465,8 @@ object SparkEntry {
       val blocked = Seq("src3.example.com", "src5.example.com").toDF("domain")
       val s1 = graft.api.Domains.filterBlockedHosts(urled, "url", "doc_id", blocked)
       val s1b = graft.api.Domains.filterUrlPaths(s1, "url", "doc_id",
-        Seq("prefix" -> "/p13", "prefix" -> "/p27").toDF("kind", "pattern"))
+        Seq("prefix" -> "/p13", "prefix" -> "/p27", "param" -> "q=1")
+          .toDF("kind", "pattern"))
       val s2 = graft.api.Domains.dedupByUrl(s1b, "url", "doc_id")
       val s3 = graft.api.Domains.domainTokenQuota(s2, "url", "doc_id",
         col("n_chars"), budgetPerDomain = 2000L, seed = 13L)
@@ -2594,8 +2595,12 @@ object SparkEntry {
       // (trailing slash on the rule ignored), extension .png (hit by the
       // planted uppercase .PNG). /staticfiles survives the /static rule
       // (slash-boundary semantics), blog .html and /articles survive
-      // everything. Oracle: DuckDB re-derives the drop set with its own
-      // LIKE machinery against Spark's explode + broadcast equi-joins.
+      // everything — unless a QUERY-PARAM rule hits: ?Action=Edit
+      // (mixed case pins case-insensitivity; matched as the exact pair
+      // anywhere in the query) and ?uselang=... (bare-key rule) drop,
+      // ?action=view (same key, other value) survives the pair rule.
+      // Oracle: DuckDB re-derives the drop set with its own LIKE/list
+      // machinery against Spark's explode + broadcast equi-joins.
       val did = col("doc_id")
       val urled = load(s, dir, "documents").select(did, col("n_chars"),
         concat(lit("https://h"), (did % 7).cast("string"), lit(".example.com"),
@@ -2608,10 +2613,17 @@ object SparkEntry {
             .when(did % 5 === 3,
               concat(lit("/staticfiles/f"), did.cast("string")))
             .otherwise(
-              concat(lit("/articles/a"), did.cast("string"), lit("/"))))
+              concat(lit("/articles/a"), did.cast("string"), lit("/"))),
+          when(did % 6 === 1,
+            concat(lit("?id="), (did % 9).cast("string"),
+              lit("&Action=Edit")))
+            .when(did % 6 === 2, lit("?action=view"))
+            .when(did % 6 === 3, lit("?uselang=en&x=1"))
+            .otherwise(lit("")))
           .as("url"))
       val rules = Seq("prefix" -> "/admin", "prefix" -> "/static/",
-        "ext" -> ".png").toDF("kind", "pattern")
+        "ext" -> ".png", "param" -> "action=edit", "param" -> "uselang")
+        .toDF("kind", "pattern")
       graft.api.Domains.filterUrlPaths(urled, "url", "doc_id", rules)
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
@@ -3602,12 +3614,20 @@ object SparkEntry {
                WHEN doc_id % 5 = 3
                  THEN '/staticfiles/f' || CAST(doc_id AS VARCHAR)
                ELSE '/articles/a' || CAST(doc_id AS VARCHAR) || '/'
-          END, '/+$', '')) AS path
+          END, '/+$', '')) AS path,
+          lower(CASE WHEN doc_id % 6 = 1
+                 THEN 'id=' || CAST(doc_id % 9 AS VARCHAR) || '&Action=Edit'
+               WHEN doc_id % 6 = 2 THEN 'action=view'
+               WHEN doc_id % 6 = 3 THEN 'uselang=en&x=1'
+               ELSE '' END) AS q
         FROM documents)
       SELECT doc_id, n_chars FROM u
       WHERE NOT (path = '/admin' OR path LIKE '/admin/%'
               OR path = '/static' OR path LIKE '/static/%'
-              OR path LIKE '%.png')
+              OR path LIKE '%.png'
+              OR len(list_filter(str_split(q, '&'), p ->
+                   p = 'action=edit'
+                   OR str_split(p, '=')[1] = 'uselang')) > 0)
       ORDER BY doc_id""",
     "sample_weighted" -> valuesOracle("sample_weighted"),
     "dsir_resample" -> valuesOracle("dsir_resample"),

@@ -360,26 +360,34 @@ object Domains {
   /** Path-level URL filtering — the companion of [[filterBlockedHosts]]
     * one level down: RefinedWeb-style pipelines filter URL PATTERNS as
     * well as hosts (media/static assets by extension, whole site
-    * sections by path prefix). `rules` has columns `kind` ∈
-    * `{'prefix','ext'}` and `pattern`:
+    * sections by path prefix, machine pages by query parameter). `rules`
+    * has columns `kind` ∈ `{'prefix','ext','param'}` and `pattern`:
     *
     *   - `prefix` rules match at `/` segment boundaries: `/static`
     *     blocks `/static` and `/static/img.png` but NOT `/staticfiles`
     *     (the host-blocklist dot-boundary rule, applied to paths); a
     *     trailing `/` on the rule is ignored;
     *   - `ext` rules match the final `.ext` of the last path segment
-    *     (leading dot on the rule optional).
+    *     (leading dot on the rule optional);
+    *   - `param` rules match QUERY parameters (the MediaWiki-class
+    *     `?action=edit` filters): a bare `key` matches any parameter
+    *     with that key regardless of value; `key=value` matches the
+    *     exact pair. A leading `?` on the rule is ignored.
     *
-    * Matching is case-insensitive on both sides (paths are compared
-    * lowercased — crawl filters want `.PNG` = `.png`; use
-    * [[dedupByUrl]] for case-exact identity). Unparseable URLs (null
-    * path) are kept, like [[filterBlockedHosts]].
+    * Matching is case-insensitive on both sides (paths and params are
+    * compared lowercased — crawl filters want `.PNG` = `.png` and
+    * `Action=Edit` = `action=edit`; use [[dedupByUrl]] for case-exact
+    * identity). Unparseable URLs (null path) are kept, like
+    * [[filterBlockedHosts]]; a URL with no query never matches a param
+    * rule.
     *
     * Scale shape, same as the host blocklist: each path explodes into
     * its segment-boundary prefix chain (ids + short prefixes only, one
     * row per segment) and equi-joins the broadcast prefix rules;
     * extensions are one `regexp_extract` equi-joined to the broadcast
-    * ext rules. Both are hashed probes, O(corpus × path depth)
+    * ext rules; each query parameter explodes into its two match forms
+    * (`key`, `key=value`) and equi-joins the broadcast param rules.
+    * All are hashed probes, O(corpus × path depth + corpus × params)
     * regardless of rule-list size — never the broadcast nested-loop
     * `startsWith`/`LIKE` join a naive form would plan, O(corpus ×
     * |rules|) at a real list's 10⁵ entries. */
@@ -395,9 +403,10 @@ object Domains {
       .map(r => (r.getString(0), r.getString(1)))
     require(!ruleRows.exists(r => r._1 == null || r._2 == null),
       "filterUrlPaths rules must have non-null kind and pattern")
-    val badKinds = ruleRows.map(_._1).distinct.filterNot(Set("prefix", "ext"))
+    val badKinds = ruleRows.map(_._1).distinct
+      .filterNot(Set("prefix", "ext", "param"))
     require(badKinds.isEmpty,
-      s"filterUrlPaths rules must have kind 'prefix' or 'ext'; " +
+      s"filterUrlPaths rules must have kind 'prefix', 'ext' or 'param'; " +
         s"got: ${badKinds.mkString(", ")}")
     // every generated segment prefix starts with '/' (paths are
     // root-anchored), so a rule without the leading slash — or one that
@@ -418,6 +427,17 @@ object Domains {
         "'.ext' of a path segment ([a-z0-9]+ after one optional dot); " +
         "compound extensions like .tar.gz match on their last segment " +
         "('gz')")
+    // a param rule with an '&', or an empty key, can never equal one
+    // split query parameter's 'key' or 'key=value' form
+    val badParams = ruleRows.collect { case ("param", p)
+      if {
+        val n = p.toLowerCase.replaceAll("^\\?", "")
+        n.isEmpty || n.contains("&") || n.startsWith("=")
+      } => p }
+    require(badParams.isEmpty,
+      s"param rule(s) ${badParams.mkString(", ")} can never match a " +
+        "query parameter: rules are one 'key' or 'key=value' (no '&', " +
+        "non-empty key; a leading '?' is ignored)")
     val path = lower(regexp_replace(
       coalesce(try_parse_url(col(urlCol), lit("PATH")), lit("")), "/+$", ""))
     // "/a/b/c" -> segs ["", "a", "b", "c"] -> "/a", "/a/b", "/a/b/c"
@@ -430,6 +450,8 @@ object Domains {
       .select(regexp_replace(lower(col("pattern")), "/+$", "").as("p")))
     val extRules = broadcast(rules.filter(col("kind") === "ext")
       .select(regexp_replace(lower(col("pattern")), "^\\.", "").as("e")))
+    val paramRules = broadcast(rules.filter(col("kind") === "param")
+      .select(regexp_replace(lower(col("pattern")), "^\\?", "").as("f")))
     val prefixHit = df
       .select(col(idCol), explode(prefixes).as("p"))
       .join(prefixRules, Seq("p"), "left_semi")
@@ -437,8 +459,20 @@ object Domains {
       .select(col(idCol), regexp_extract(path, "\\.([a-z0-9]+)$", 1).as("e"))
       .filter(col("e") =!= "")
       .join(extRules, Seq("e"), "left_semi")
+    // each query parameter contributes its two match forms — the bare
+    // key and the full key=value pair — as short (id, form) rows; one
+    // hashed equi-join covers both rule shapes
+    val query = lower(coalesce(try_parse_url(col(urlCol), lit("QUERY")),
+      lit("")))
+    val paramForms = flatten(transform(
+      filter(split(query, "&", -1), p => p =!= ""),
+      p => array(element_at(split(p, "=", 2), 1), p)))
+    val paramHit = df
+      .select(col(idCol), explode(paramForms).as("f"))
+      .join(paramRules, Seq("f"), "left_semi")
     val hit = prefixHit.select(col(idCol))
-      .unionByName(extHit.select(col(idCol))).distinct()
+      .unionByName(extHit.select(col(idCol)))
+      .unionByName(paramHit.select(col(idCol))).distinct()
     df.join(hit, Seq(idCol), "left_anti")
   }
 }

@@ -247,6 +247,28 @@ class DomainsSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("non-null"), e5.getMessage)
   }
 
+  test("filterUrlPaths: param rules match key or key=value, case-insensitive") {
+    val df = Seq(
+      (1L, "https://ex.com/w?Action=Edit"),      // key=value, mixed case -> drop
+      (2L, "https://ex.com/w?action=view"),      // same key, other value -> keep
+      (3L, "https://ex.com/w?id=4&action=edit"), // pair anywhere in query -> drop
+      (4L, "https://ex.com/w?uselang=de"),       // bare-key rule -> drop
+      (5L, "https://ex.com/w?lang=de"),          // different key -> keep
+      (6L, "https://ex.com/w"),                  // no query -> keep
+      (7L, "https://ex.com/w?actionx=edit")      // key boundary respected -> keep
+    ).toDF("doc_id", "url")
+    val rules = Seq("param" -> "action=edit", "param" -> "?uselang")
+      .toDF("kind", "pattern")
+    val kept = Domains.filterUrlPaths(df, "url", "doc_id", rules)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 5L, 6L, 7L))
+    val e = intercept[IllegalArgumentException] {
+      Domains.filterUrlPaths(df, "url", "doc_id",
+        Seq("param" -> "a=1&b=2").toDF("kind", "pattern"))
+    }
+    assert(e.getMessage.contains("query parameter"), e.getMessage)
+  }
+
   test("normalizedUrl dropParamPrefixes strips tracking keys case-insensitively, keeps real params") {
     val drop = Domains.TrackingParamPrefixes
     val got = Seq(

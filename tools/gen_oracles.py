@@ -1037,6 +1037,16 @@ def main(sf_dir, spark_dir):
              if not any(cw_path(cw_url[did]) == p
                         or cw_path(cw_url[did]).startswith(p + "/")
                         for p in cw_prefixes)]
+
+    # query-param rule kind (round 17): the exact pair 'q=1' anywhere in
+    # the query drops (mirrors the kind='param' broadcast equi-join)
+    def cw_q(u):
+        qm = re.search(r"\?([^#]*)", u)
+        return (qm.group(1) if qm else "").lower()
+
+    cw_s1 = [did for did in cw_s1
+             if not any(p == "q=1"
+                        for p in cw_q(cw_url[did]).split("&") if p)]
     cw_bykey = {}
     for did in cw_s1:
         cw_bykey.setdefault(normalized_url(cw_url[did]), []).append(did)
