@@ -1753,6 +1753,22 @@ object SparkEntry {
       graft.api.StagedPipeline.run(corpus0, stages, prefix)
         .orderBy("doc_id")
     }),
+    // Drop-reason ledger over the committed staged chain: after the
+    // seven-stage run commits, attribute every input doc that didn't
+    // survive to the FIRST stage whose committed table lost it — one
+    // ids-only anti-join per stage over the already-committed tables,
+    // zero recipe re-execution. Oracle: the Python full-chain mirror
+    // already materializes every frontier; the ledger is its stage-set
+    // differences, so a frontier-threading bug in either the staged
+    // runner or the ledger lands as a row mismatch.
+    "curate_drop_ledger" -> ((s, dir) => {
+      val (corpus0, stages) = stagedCurationFixture(s, dir)
+      val prefix = "graft_ledger"
+      graft.api.StagedPipeline.reset(s, prefix)
+      graft.api.StagedPipeline.run(corpus0, stages, prefix)
+      graft.api.StagedPipeline.dropLedger(s, prefix, corpus0, "doc_id")
+        .orderBy("doc_id")
+    }),
     // Incremental (day-2) curation — the production shape after day 1:
     // build the five statistic indexes on corpus A (gram index, line
     // document frequencies, NB sufficient statistics, raw-hash dedup
@@ -3766,6 +3782,7 @@ object SparkEntry {
     // reproduce the in-session chain exactly (same rows, same oracle)
     "curate_corpus_staged" -> valuesOracle("curate_corpus_staged"),
     "curate_corpus_incremental" -> valuesOracle("curate_corpus_incremental"),
+    "curate_drop_ledger" -> valuesOracle("curate_drop_ledger"),
     // the cross-session leg runs the IDENTICAL chain through the
     // simulated restart, so it must land on the same pinned oracle
     "curate_corpus_staged_xsession" -> valuesOracle("curate_corpus_staged"),

@@ -184,4 +184,39 @@ object StagedPipeline {
     // committed table always exists by the time we get here
     spark.table(stageTable(tablePrefix, stop - 1))
   }
+
+  /** Per-document drop attribution over a committed run — the "which
+    * stage dropped doc X" report a real pipeline debugs with: for each
+    * committed stage, the ids present in the PREVIOUS frontier (the
+    * recipe `input` for stage 0) but absent from the stage's committed
+    * table, as `(<idCol>, stage_idx, stage)`. A doc appears at most
+    * once (the first stage that lost it); survivors of the whole chain
+    * appear nowhere.
+    *
+    * Cost shape: the staged tables already hold every frontier, so the
+    * ledger is one ids-only anti-join per committed stage — column-
+    * pruned scans of the committed parquet plus the input's id column,
+    * ZERO recipe re-execution and no text reads. Text-rewriting stages
+    * (span cuts, boilerplate) keep every row and correctly contribute
+    * nothing. `input` must be the same frame the run was given: the
+    * stage-0 diff is against it (the one thing the committed tables
+    * cannot know). */
+  def dropLedger(spark: SparkSession, tablePrefix: String,
+                 input: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val committed = manifest(spark, tablePrefix).collect()
+    require(committed.nonEmpty,
+      s"$tablePrefix has no committed stages to attribute drops over")
+    var prev = input.select(col(idCol))
+    val parts = committed.map { r =>
+      val (idx, name, tbl) = (r.getInt(0), r.getString(1), r.getString(2))
+      val cur = spark.table(tbl).select(col(idCol))
+      val dropped = prev.join(cur, Seq(idCol), "left_anti")
+        .select(col(idCol), lit(idx).cast("long").as("stage_idx"),
+          lit(name).as("stage"))
+      prev = cur
+      dropped
+    }
+    parts.reduce(_.unionByName(_))
+  }
 }

@@ -143,6 +143,30 @@ class StagedPipelineSpec extends AnyFunSuite {
     } finally cleanup(prefix)
   }
 
+  test("dropLedger attributes each lost doc to the FIRST stage that lost it") {
+    val prefix = "graft_sps_ledger"
+    cleanup(prefix)
+    try {
+      val st = Seq[(String, DataFrame => DataFrame)](
+        "rewrite" -> (d => d.withColumn("v", col("v") * 2L)), // keeps all rows
+        "drop_odd" -> (d => d.filter(col("id") % 2 === 0)),
+        "drop_big" -> (d => d.filter(col("id") < 50)))
+      StagedPipeline.run(input, st, prefix)
+      val got = StagedPipeline.dropLedger(spark, prefix, input, "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1)
+      val want = ((0L until 100L).filter(_ % 2 == 1)
+          .map(i => (i, 1L, "drop_odd")) ++
+        (50L until 100L).filter(_ % 2 == 0).map(i => (i, 2L, "drop_big")))
+        .sortBy(_._1)
+      assert(got.toSeq == want.toSeq)
+      // a doc dropped at drop_odd must NOT reappear under drop_big, and
+      // the rewrite stage must contribute nothing
+      assert(got.count(_._3 == "rewrite") == 0)
+      assert(got.map(_._1).distinct.length == got.length)
+    } finally cleanup(prefix)
+  }
+
   test("resume on a finished pipeline is a no-op returning the final table") {
     val prefix = "graft_sps_done"
     cleanup(prefix)

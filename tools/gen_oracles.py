@@ -2350,6 +2350,25 @@ def main(sf_dir, spark_dir):
         ("doc_id", "n_chars_v2", "ppl_class", "logw"),
         ("BIGINT", "BIGINT", "VARCHAR", "DOUBLE"), v2_rows, "doc_id")
 
+    # ---- curate_drop_ledger: per-doc drop attribution over the staged
+    # chain — the mirror already materializes every frontier, so the
+    # ledger is their set differences. Stages 0-2 (boilerplate/span
+    # cuts) rewrite text and keep every row by construction.
+    assert set(v2) == set(v2_c1) == set(v2_c2) == set(v2_c3), \
+        "text-rewriting stages must not drop rows"
+    dl_sel = set(v2_sel)
+    dl_rows = sorted(
+        [(did, 3, "nb_quality_filter") for did in v2_c3 if did not in v2_c4]
+        + [(did, 4, "ppl_tile") for did in v2_c4 if did not in v2_c5]
+        + [(did, 5, "dsir_select") for did in v2_c5 if did not in dl_sel]
+        + [(did, 6, "train_split") for did in v2_sel
+           if split_of(did) != "train"])
+    assert {i for _d, i, _s in dl_rows} == {3, 4, 5, 6}, \
+        f"ledger vacuous: stages {sorted({i for _d, i, _s in dl_rows})}"
+    queries["curate_drop_ledger"] = (
+        ("doc_id", "stage_idx", "stage"), ("BIGINT", "BIGINT", "VARCHAR"),
+        dl_rows, "doc_id")
+
     # ---- curate_corpus_incremental: the day-2 admission recipe, mirrored
     # as its CONTRACT states it — run the whole recipe on A UNION B raw
     # (every statistic over raw text: line document frequency, dup grams,
