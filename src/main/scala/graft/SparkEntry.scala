@@ -2585,6 +2585,31 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    "domain_param_census" -> ((s, dir) => {
+      // Census-driven tracking-param discovery: 25 pages each fetched
+      // under unique per-fetch sessionid values (same content) plus
+      // bare holders -> sessionid discovered safe (the static list
+      // misses it); ?page= changes the content -> rejected; constant
+      // lang=en honestly reports safe (the documented evidence-bounded
+      // epistemics). Oracle: DuckDB re-derives the whole census — key
+      // explode, per-key URL stripping, group content cardinality —
+      // with its own list machinery (content grouped by STRING, the
+      // dedup-oracle convention, vs Spark's xxhash64 identity).
+      val did = col("doc_id")
+      val g = (did % 25).cast("string")
+      val urled = load(s, dir, "documents").select(did,
+        when(did % 5 === 0,
+          concat(lit("paged "), g, lit(" "), (did % 2).cast("string")))
+          .otherwise(concat(lit("census page "), g)).as("ct"),
+        concat(lit("https://ex.com/"),
+          when(did % 5 === 0,
+            concat(lit("q"), g, lit("?page="), (did % 2).cast("string")))
+            .when(did % 7 === 0, concat(lit("p"), g, lit("?lang=en")))
+            .otherwise(concat(lit("p"), g, lit("?sessionid=s"),
+              did.cast("string"), lit("&lang=en")))).as("url"))
+      graft.api.Domains.discoverTrackingParams(urled, "url", "ct")
+        .orderBy("param")
+    }),
     "domain_allowlist" -> ((s, dir) => {
       // the allowlist dual of domain_blocklist on the same planted
       // hosts: keep ONLY the three listed domains (suffix semantics —
@@ -3602,6 +3627,62 @@ object SparkEntry {
       keep AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY ukey)
       SELECT k.doc_id, k.n_chars FROM k JOIN keep USING (doc_id)
       ORDER BY doc_id""",
+    // the census: per-key URL stripping + group content cardinality,
+    // re-derived with DuckDB's list machinery
+    "domain_param_census" -> """
+      WITH u AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0
+                 THEN 'paged ' || CAST(doc_id % 25 AS VARCHAR) || ' '
+                   || CAST(doc_id % 2 AS VARCHAR)
+               ELSE 'census page ' || CAST(doc_id % 25 AS VARCHAR)
+          END AS content,
+          'ex.com/' || CASE WHEN doc_id % 5 = 0
+                 THEN 'q' || CAST(doc_id % 25 AS VARCHAR)
+               ELSE 'p' || CAST(doc_id % 25 AS VARCHAR) END AS path,
+          CASE WHEN doc_id % 5 = 0
+                 THEN ['page=' || CAST(doc_id % 2 AS VARCHAR)]
+               WHEN doc_id % 7 = 0 THEN ['lang=en']
+               ELSE ['lang=en',
+                     'sessionid=s' || CAST(doc_id AS VARCHAR)]
+          END AS params
+        FROM documents),
+      plain AS (
+        SELECT doc_id, content,
+          path || CASE WHEN len(params) > 0
+            THEN '?' || array_to_string(list_sort(params), '&')
+            ELSE '' END AS ukey
+        FROM u),
+      k AS (
+        SELECT doc_id, content, path, params,
+          unnest(list_distinct(list_transform(params,
+            x -> str_split(x, '=')[1]))) AS param
+        FROM u),
+      b AS (
+        SELECT param, doc_id, content,
+          path || CASE WHEN len(kept) > 0
+            THEN '?' || array_to_string(list_sort(kept), '&')
+            ELSE '' END AS base
+        FROM (SELECT param, doc_id, content, path,
+                list_filter(params, x -> str_split(x, '=')[1] <> param)
+                  AS kept
+              FROM k)),
+      merged AS (
+        SELECT param, base, content FROM b
+        UNION ALL
+        SELECT kb.param, kb.base, pl.content
+        FROM (SELECT DISTINCT param, base FROM b) kb
+        JOIN plain pl ON pl.ukey = kb.base),
+      grp AS (
+        SELECT param, base, count(DISTINCT content) AS nh
+        FROM merged GROUP BY param, base),
+      st AS (SELECT param, count(*) AS n_docs FROM b GROUP BY param),
+      gr AS (SELECT param, count(*) AS n_groups, max(nh) AS worst
+             FROM grp GROUP BY param)
+      SELECT st.param, st.n_docs, gr.n_groups,
+        (gr.worst = 1 AND st.n_docs >= 2) AS safe
+      FROM st JOIN gr USING (param)
+      ORDER BY param""",
     // the allowlist dual: the blocklist oracle's LIKE suffix logic,
     // un-negated
     "domain_allowlist" -> """

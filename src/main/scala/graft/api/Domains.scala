@@ -357,6 +357,77 @@ object Domains {
     }
   }
 
+  /** Census-driven tracking-parameter discovery — the adaptive-default
+    * companion of the static [[TrackingParamPrefixes]] list: mine the
+    * corpus itself for query-parameter keys whose REMOVAL is never
+    * observed to change content identity. A `sessionid`-style
+    * site-local param no published list carries is exactly what this
+    * finds.
+    *
+    * Rule, per observed key `k`: strip `k` from every URL carrying it
+    * (the [[normalizedUrl]] canonical form, query sorted) and group by
+    * the stripped URL together with the docs already AT that URL
+    * without `k`. `k` is `safe` iff every such group holds exactly ONE
+    * distinct content identity (`xxhash64(textCol)`) — URLs differing
+    * only in `k` always served the same page. A key like `?page=` that
+    * ever distinguishes content splits a group and is rejected.
+    *
+    * Output report, one row per observed key: `(param, n_docs,
+    * n_groups, safe)` with `safe` additionally requiring `n_docs >=
+    * minDocs` (a param seen once passes vacuously — the floor is the
+    * confidence knob). Feed `safe` params straight to [[dedupByUrl]]'s
+    * `dropParamPrefixes` (exact-name matching). Epistemics, stated
+    * plainly: `safe` means NEVER OBSERVED to split content in THIS
+    * corpus — a constant-valued real param (every URL carries
+    * `lang=en`) is honestly reported safe because stripping it is a
+    * no-op here; the census is evidence-bounded, not semantic.
+    *
+    * Scale shape: one explode to (key, stripped-URL, content-hash)
+    * rows — bounded by Σ per-doc distinct keys, linear — plus the
+    * no-`k` holders attached by one equi-join of the distinct (key,
+    * base) set against the (ukey, hash) projection; two hash
+    * aggregations; ids and short strings only, document text never
+    * shuffles (the hash is computed at the scan). */
+  def discoverTrackingParams(df: DataFrame, urlCol: String, textCol: String,
+                             minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val ukey = normalizedUrl(col(urlCol), sortQuery = true)
+    val h = xxhash64(col(textCol))
+    val base = df
+      .select(ukey.as("__ukey"), h.as("__h"))
+      .filter(col("__ukey").isNotNull)
+    val pathPart = element_at(split(col("__ukey"), "\\?", 2), 1)
+    val qPart = element_at(split(col("__ukey"), "\\?", 2), 2)
+    val parts = filter(split(coalesce(qPart, lit("")), "&", -1),
+      p => p =!= "")
+    val keys = array_distinct(transform(parts,
+      p => element_at(split(p, "=", 2), 1)))
+    val withK = base
+      .select(col("__h"), pathPart.as("__path"), parts.as("__parts"),
+        explode(keys).as("param"))
+      .withColumn("__kept", filter(col("__parts"),
+        p => element_at(split(p, "=", 2), 1) =!= col("param")))
+      .select(col("param"), col("__h"),
+        concat(col("__path"),
+          when(size(col("__kept")) > 0,
+            concat(lit("?"), array_join(col("__kept"), "&")))
+            .otherwise(lit(""))).as("__base"))
+    // docs already sitting AT a stripped URL without the param join the
+    // group — stripping merges them, so their content counts too
+    val plainHolders = withK.select("param", "__base").distinct()
+      .join(base.select(col("__ukey").as("__base"), col("__h")), Seq("__base"))
+      .select("param", "__h", "__base")
+    val groups = withK.unionByName(plainHolders)
+      .groupBy("param", "__base")
+      .agg(countDistinct(col("__h")).as("__nh"))
+      .groupBy("param")
+      .agg(count(lit(1)).as("n_groups"), max(col("__nh")).as("__worst"))
+    val counts = withK.groupBy("param").agg(count(lit(1)).as("n_docs"))
+    counts.join(groups, Seq("param"))
+      .select(col("param"), col("n_docs"), col("n_groups"),
+        (col("__worst") === 1L && col("n_docs") >= minDocs).as("safe"))
+  }
+
   /** Path-level URL filtering — the companion of [[filterBlockedHosts]]
     * one level down: RefinedWeb-style pipelines filter URL PATTERNS as
     * well as hosts (media/static assets by extension, whole site

@@ -329,6 +329,42 @@ class DomainsSpec extends AnyFunSuite {
     assert(adaptive.toSeq == plain.toSeq && adaptive.length == 1100)
   }
 
+  test("discoverTrackingParams: census finds the sessionid the static list misses, feeds dedupByUrl") {
+    // 4 pages; each fetched 3x under a unique per-fetch sessionid (same
+    // content), once bare; plus a ?page= param that CHANGES content
+    val docs =
+      (0L until 12L).map { i =>
+        val g = i % 4
+        (i, s"https://ex.com/p$g?sessionid=s$i&lang=en", s"content $g")
+      } ++ (12L until 16L).map { i =>
+        val g = i % 4
+        (i, s"https://ex.com/p$g?lang=en", s"content $g") // bare holders
+      } ++ (16L until 20L).map { i =>
+        (i, s"https://ex.com/q?page=${i % 2}", s"paged ${i % 2}")
+      }
+    val df = docs.toDF("doc_id", "url", "text")
+    val report = Domains.discoverTrackingParams(df, "url", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // sessionid: 12 docs, 4 groups, never splits content -> SAFE (and
+    // absent from the static TrackingParamPrefixes list)
+    assert(report("sessionid") == ((12L, 4L, true)))
+    assert(!Domains.TrackingParamPrefixes.contains("sessionid"))
+    // page distinguishes content -> rejected
+    assert(report("page")._3 == false)
+    // lang is constant everywhere: stripping it is a no-op here, so the
+    // census honestly reports it safe (the documented epistemics)
+    assert(report("lang")._3 == true)
+    // feed the discovered list to dedupByUrl: the 12 sessionid variants
+    // + 4 bare holders collapse to the 4 smallest ids; paged docs keep
+    // their per-value identity (page was not discovered)
+    val discovered = report.collect { case (k, (_, _, true)) => k }.toSeq
+    val kept = Domains.dedupByUrl(df, "url", "doc_id", sortQuery = true,
+        dropParamPrefixes = discovered)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 3L, 16L, 17L))
+  }
+
   test("domainTokenQuotaAdaptive: non-positive hotHostDocs is rejected loudly") {
     val df = Seq((1L, "https://a.com/x", 2L)).toDF("doc_id", "url", "mass")
     val e = intercept[IllegalArgumentException] {
