@@ -2585,6 +2585,29 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    "domain_dedup_idn" -> ((s, dir) => {
+      // IDN/punycode host folding: the same page under the raw-unicode
+      // host, its percent-encoded spelling, and both casings of the
+      // xn-- form must collapse to ONE identity per path (keep min id);
+      // an ASCII control host keeps its own groups. Oracle: pinned
+      // VALUES from the Python mirror — DuckDB has no punycode, so the
+      // independent second implementation is CPython's RFC 3492 codec
+      // (+ unquote/NFC), vs the hand-derived graft.core.Punycode here.
+      val did = col("doc_id")
+      val k = (did % 30).cast("string")
+      val urled = load(s, dir, "documents").select(did, col("n_chars"),
+        concat(lit("https://"),
+          when(did % 7 === 0, lit("plain.example.de"))
+            .otherwise(
+              when(did % 4 === 0, lit("m\u00fcnchen.example.de"))
+                .when(did % 4 === 1, lit("M%C3%BCnchen.example.de"))
+                .when(did % 4 === 2, lit("xn--mnchen-3ya.example.de"))
+                .otherwise(lit("XN--MNCHEN-3YA.example.de"))),
+          lit("/a"), k).as("url"))
+      graft.api.Domains.dedupByUrl(urled, "url", "doc_id", idnHost = true)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "domain_param_census" -> ((s, dir) => {
       // Census-driven tracking-param discovery: 25 pages each fetched
       // under unique per-fetch sessionid values (same content) plus
@@ -3494,6 +3517,9 @@ object SparkEntry {
     "domain_quota_sample" -> valuesOracle("domain_quota_sample"),
     "domain_token_quota" -> valuesOracle("domain_token_quota"),
     "curate_web" -> valuesOracle("curate_web"),
+    // DuckDB has no punycode: the independent re-derivation is CPython's
+    // RFC 3492 codec (+ unquote/NFC) in tools/gen_oracles.py, pinned
+    "domain_dedup_idn" -> valuesOracle("domain_dedup_idn"),
     "stream_domain_quota" -> valuesOracle("stream_domain_quota"),
     "domain_blocklist" -> """
       WITH u AS (

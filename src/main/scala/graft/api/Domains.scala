@@ -80,9 +80,15 @@ object Domains {
     * prefixes, all others as the exact key ([[TrackingParamPrefixes]]'
     * contract) — `?id=3&utm_source=feed` = `?id=3`, the same page under
     * every referral; a query stripped to nothing drops its `?`
-    * entirely. Unparseable URLs (null host) yield null. */
+    * entirely. `idnHost = true` additionally folds the HOST to its
+    * ASCII IDN identity ([[graft.functions.idn_ascii_host]]):
+    * `münchen.de`, `M%C3%BCnchen.de` and `xn--mnchen-3ya.de` become one
+    * key. Opt-in like `sortQuery` (it rewrites the host string, and
+    * ASCII-only corpora shouldn't pay the per-row fold). Unparseable
+    * URLs (null host) yield null. */
   def normalizedUrl(url: Column, sortQuery: Boolean = false,
-                    dropParamPrefixes: Seq[String] = Nil): Column = {
+                    dropParamPrefixes: Seq[String] = Nil,
+                    idnHost: Boolean = false): Column = {
     val path = pctNormalize(regexp_replace(
       coalesce(try_parse_url(url, lit("PATH")), lit("")), "/+$", ""))
     val q0 = pctNormalize(coalesce(try_parse_url(url, lit("QUERY")), lit("")))
@@ -106,8 +112,25 @@ object Domains {
           })
         array_join(if (sortQuery) array_sort(kept) else kept, "&")
       }
-    concat(urlHost(url), path,
+    val host =
+      if (idnHost) graft.functions.idn_ascii_host(rawHost(url))
+      else urlHost(url)
+    concat(host, path,
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
+  /** Tolerant host extraction for the IDN path: `try_parse_url(...,
+    * 'HOST')` rides Java's URI parser, which returns NULL for exactly
+    * the hosts IDN folding exists for (raw unicode, percent-encoded
+    * bytes) — while PATH/QUERY extraction still succeeds. One regexp
+    * chain instead: authority after `scheme://`, userinfo and `:port`
+    * stripped, lowercased, one leading `www.` stripped; empty → null
+    * (the [[urlHost]] null contract). */
+  private def rawHost(url: Column): Column = {
+    val auth = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val host = regexp_replace(regexp_replace(auth, "^.*@", ""),
+      ":[0-9]*$", "")
+    nullif(regexp_replace(lower(host), "^www\\.", ""), lit(""))
   }
 
   /** Docs per normalized host, the pre-flight census a quota decision
@@ -256,9 +279,11 @@ object Domains {
     * id-keyed operator in this library shares. */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String,
                  sortQuery: Boolean = false,
-                 dropParamPrefixes: Seq[String] = Nil): DataFrame = {
+                 dropParamPrefixes: Seq[String] = Nil,
+                 idnHost: Boolean = false): DataFrame = {
     val keyed = df.select(
-      normalizedUrl(col(urlCol), sortQuery, dropParamPrefixes).as("__ukey"),
+      normalizedUrl(col(urlCol), sortQuery, dropParamPrefixes, idnHost)
+        .as("__ukey"),
       col(idCol))
     // the null-key ids join the keep SET (ids-only), not the output via
     // a second full-width scan of df — one semi-join probes the corpus

@@ -174,6 +174,12 @@ object functions {
   def unicode_norm(text: Column, form: String = "NFC"): Column =
     toCol(org.apache.spark.sql.graft.UnicodeNorm(col2expr(text), form))
 
+  /** Fold a host to its ASCII (IDN/punycode) identity: percent-decode,
+    * lowercase + NFC, `xn--`-encode non-ASCII labels (RFC 3492). See
+    * [[org.apache.spark.sql.graft.IdnAsciiHost]]. */
+  def idn_ascii_host(host: Column): Column =
+    toCol(org.apache.spark.sql.graft.IdnAsciiHost(col2expr(host)))
+
   /** Per-group top-k selection as a mergeable bounded-heap aggregate —
     * the scale-shape replacement for `row_number() OVER (...) <= k`
     * (see [[org.apache.spark.sql.graft.TopKByScore]]: k entries per

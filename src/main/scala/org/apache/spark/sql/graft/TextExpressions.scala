@@ -134,6 +134,89 @@ case class UnicodeNorm(child: Expression, form: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** idn_ascii_host(host): fold an (already [[graft.api.Domains.urlHost]]
+  * -normalized) host to ONE ASCII identity — the IDN twins rule real
+  * crawl URL sets carry: `münchen.de`, `M%C3%BCnchen.de` and
+  * `xn--mnchen-3ya.de` are the same host three ways. Per label:
+  * percent-decode ALL `%XX` triplets (UTF-8, malformed bytes →
+  * U+FFFD — deterministic, mirroring Python `unquote(errors=
+  * 'replace')`), lowercase (root locale), NFC-normalize, then encode
+  * any non-ASCII label as `xn--` + RFC 3492 Punycode
+  * ([[graft.core.Punycode]]); an ASCII label (including an existing
+  * `xn--`) passes through, so both spellings converge. This is BARE
+  * identity folding — IDNA's stringprep registration profile
+  * (prohibited codepoints, bidi rules, ß→ss) is deliberately NOT
+  * applied: the goal is that equal-looking hosts collapse, not that
+  * invalid registrations are rejected. NULL → NULL. */
+case class IdnAsciiHost(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "idn_ascii_host"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    IdnAsciiHost.toAsciiHost(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val mod = s"${classOf[IdnAsciiHost].getName}$$.MODULE$$"
+    nullSafeCodeGen(ctx, ev, c => s"""${ev.value} = $mod.toAsciiHost($c);""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object IdnAsciiHost {
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** Static call target for interpreted eval and generated code. */
+  def toAsciiHost(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    // percent-decode all %XX triplets to bytes; malformed '%' passes
+    // through literally (the pctNormalize convention)
+    val decoded =
+      if (raw.indexOf('%') < 0) raw
+      else {
+        val buf = new java.io.ByteArrayOutputStream(raw.length)
+        var i = 0
+        while (i < raw.length) {
+          val c = raw.charAt(i)
+          if (c == '%' && i + 2 < raw.length &&
+              hexVal(raw.charAt(i + 1)) >= 0 && hexVal(raw.charAt(i + 2)) >= 0) {
+            buf.write(hexVal(raw.charAt(i + 1)) * 16 + hexVal(raw.charAt(i + 2)))
+            i += 3
+          } else {
+            // write surrogate PAIRS together — a lone half would encode
+            // as the replacement byte and split an astral codepoint
+            val end =
+              if (Character.isHighSurrogate(c) && i + 1 < raw.length &&
+                Character.isLowSurrogate(raw.charAt(i + 1))) i + 2
+              else i + 1
+            buf.write(raw.substring(i, end)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            i = end
+          }
+        }
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      }
+    val folded = java.text.Normalizer.normalize(
+      decoded.toLowerCase(java.util.Locale.ROOT),
+      java.text.Normalizer.Form.NFC)
+    val labels = folded.split("\\.", -1).map { lab =>
+      if (lab.codePoints().allMatch(_ < 128)) lab
+      else "xn--" + graft.core.Punycode.encode(lab)
+    }
+    UTF8String.fromString(labels.mkString("."))
+  }
+}
+
 object UnicodeNorm {
   /** Static call target for interpreted eval and generated code. The form
     * resolves via a compile-time string switch, not per-row

@@ -216,7 +216,7 @@ class DomainsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(2L, 4L, 7L))
     // rules that could never match fail loudly instead of silently
     // filtering nothing: a typo'd kind, a prefix that normalizes to ''
-    // ("/" means drop-everything — that is a host rule, not a path
+    // ("/" means drop-everything \u2014 that is a host rule, not a path
     // rule), an ext the extraction can never produce
     val e = intercept[IllegalArgumentException] {
       Domains.filterUrlPaths(df, "url", "doc_id",
@@ -327,6 +327,45 @@ class DomainsSpec extends AnyFunSuite {
         $"mass", budgetPerDomain = 3L, seed = 11L)
       .select("doc_id").as[Long].collect().sorted
     assert(adaptive.toSeq == plain.toSeq && adaptive.length == 1100)
+  }
+
+  test("Punycode.encode matches CPython's independent RFC 3492 codec on golden vectors") {
+    val golden = Seq(
+      "m\u00fcnchen" -> "mnchen-3ya",
+      "b\u00fccher" -> "bcher-kva",
+      "espa\u00f1ol" -> "espaol-zwa",
+      "\u65e5\u672c\u8a9e" -> "wgv71a119e",
+      "caf\u00e9" -> "caf-dma",
+      "stra\u00dfe" -> "strae-oqa",
+      "\u4f8b\u3048" -> "r8jz45g")
+    golden.foreach { case (in, want) =>
+      assert(graft.core.Punycode.encode(in) == want, s"encode($in)")
+    }
+  }
+
+  test("normalizedUrl idnHost folds unicode, percent-encoded and xn-- host twins to one key") {
+    val got = Seq(
+      "https://m\u00fcnchen.de/p",
+      "https://M%C3%BCnchen.de/p",
+      "https://xn--mnchen-3ya.de/p",
+      "https://XN--MNCHEN-3YA.de/p",
+      "https://ascii.example.com/p" // ASCII host passes through unchanged
+    ).toDF("url")
+      .select(Domains.normalizedUrl($"url", idnHost = true))
+      .as[String].collect()
+    assert(got(0) == "xn--mnchen-3ya.de/p")
+    assert(got.take(4).distinct.length == 1, got.mkString(" | "))
+    assert(got(4) == "ascii.example.com/p")
+    // dedupByUrl with idnHost: the three twins collapse to the min id
+    val df = Seq(
+      (1L, "https://m\u00fcnchen.de/p"),
+      (2L, "https://M%C3%BCnchen.de/p"),
+      (3L, "https://xn--mnchen-3ya.de/p"),
+      (4L, "https://other.de/p")
+    ).toDF("doc_id", "url")
+    val kept = Domains.dedupByUrl(df, "url", "doc_id", idnHost = true)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L))
   }
 
   test("discoverTrackingParams: census finds the sessionid the static list misses, feeds dedupByUrl") {

@@ -1067,6 +1067,53 @@ def main(sf_dir, spark_dir):
     queries["curate_web"] = (
         ("doc_id", "n_chars"), ("BIGINT", "BIGINT"), cw_rows, "doc_id")
 
+    # ---- domain_dedup_idn: IDN/punycode host folding. DuckDB has no
+    # punycode, so the independent second implementation is CPython's
+    # RFC 3492 codec plus unquote/NFC — vs the Scala side's hand-derived
+    # graft.core.Punycode + its own percent-decoder. Mirrors
+    # Domains.normalizedUrl(idnHost=true): percent-decode the host
+    # (errors -> U+FFFD), lowercase, NFC, xn---encode non-ASCII labels.
+    import unicodedata as _ud
+    import urllib.parse as _up
+
+    def idn_fold_host(h):
+        h = _up.unquote(h, errors="replace")
+        h = _ud.normalize("NFC", h.lower())
+        return ".".join(
+            lab if all(ord(c) < 128 for c in lab)
+            else "xn--" + lab.encode("punycode").decode("ascii")
+            for lab in h.split("."))
+
+    idn_first = {}
+    idn_rows = []
+    for did, _lang, _src, nchars in drows:
+        if did % 7 == 0:
+            host = "plain.example.de"
+        elif did % 4 == 0:
+            host = "m\u00fcnchen.example.de"
+        elif did % 4 == 1:
+            host = "M%C3%BCnchen.example.de"
+        elif did % 4 == 2:
+            host = "xn--mnchen-3ya.example.de"
+        else:
+            host = "XN--MNCHEN-3YA.example.de"
+        key = idn_fold_host(host) + "/a" + str(did % 30)
+        if key not in idn_first:
+            idn_first[key] = did
+            idn_rows.append((did, nchars))
+    idn_rows.sort()
+    # non-vacuity: the three-way twins must collapse (4 spellings over
+    # ~30 path groups -> far fewer survivors than docs), and the folded
+    # unicode host must EQUAL the xn-- spelling's fold
+    assert idn_fold_host("m\u00fcnchen.example.de") == \
+        idn_fold_host("M%C3%BCnchen.example.de") == \
+        idn_fold_host("XN--MNCHEN-3YA.example.de") == \
+        "xn--mnchen-3ya.example.de"
+    assert len(idn_rows) < len(drows) / 3, \
+        f"idn fixture vacuous: {len(idn_rows)} survivors of {len(drows)}"
+    queries["domain_dedup_idn"] = (
+        ("doc_id", "n_chars"), ("BIGINT", "BIGINT"), idn_rows, "doc_id")
+
     # ---- stream_domain_quota: the crawl-side FIRST-COME quota (streaming
     # twin). Sequential walk in arrival (= doc_id) order: admit while the
     # host's cumulative admitted count < 8 — valid for any micro-batch
