@@ -2628,6 +2628,10 @@ object SparkEntry {
           when(did % 5 === 0,
             concat(lit("q"), g, lit("?page="), (did % 2).cast("string")))
             .when(did % 7 === 0, concat(lit("p"), g, lit("?lang=en")))
+            // query-less URLs: the census must not trip ANSI's strict
+            // element_at on the missing '?' part (the round-17 review
+            // crash class)
+            .when(did % 11 === 3, concat(lit("n"), g))
             .otherwise(concat(lit("p"), g, lit("?sessionid=s"),
               did.cast("string"), lit("&lang=en")))).as("url"))
       graft.api.Domains.discoverTrackingParams(urled, "url", "ct")
@@ -3665,10 +3669,13 @@ object SparkEntry {
           END AS content,
           'ex.com/' || CASE WHEN doc_id % 5 = 0
                  THEN 'q' || CAST(doc_id % 25 AS VARCHAR)
+               WHEN doc_id % 7 <> 0 AND doc_id % 11 = 3
+                 THEN 'n' || CAST(doc_id % 25 AS VARCHAR)
                ELSE 'p' || CAST(doc_id % 25 AS VARCHAR) END AS path,
           CASE WHEN doc_id % 5 = 0
                  THEN ['page=' || CAST(doc_id % 2 AS VARCHAR)]
                WHEN doc_id % 7 = 0 THEN ['lang=en']
+               WHEN doc_id % 11 = 3 THEN CAST([] AS VARCHAR[])
                ELSE ['lang=en',
                      'sessionid=s' || CAST(doc_id AS VARCHAR)]
           END AS params

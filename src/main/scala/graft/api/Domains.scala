@@ -422,7 +422,10 @@ object Domains {
       .select(ukey.as("__ukey"), h.as("__h"))
       .filter(col("__ukey").isNotNull)
     val pathPart = element_at(split(col("__ukey"), "\\?", 2), 1)
-    val qPart = element_at(split(col("__ukey"), "\\?", 2), 2)
+    // try_element_at, not element_at: a query-less canonical URL splits
+    // to ONE element and plain element_at(…, 2) THROWS under ANSI mode
+    // (Spark 4's default) — the try_parse_url lesson at the array level
+    val qPart = try_element_at(split(col("__ukey"), "\\?", 2), lit(2))
     val parts = filter(split(coalesce(qPart, lit("")), "&", -1),
       p => p =!= "")
     val keys = array_distinct(transform(parts,

@@ -194,6 +194,61 @@ object IncrementalCuration {
       s"batch ids must exceed the indexed high-water mark $maxId " +
         s"(got min $batchMin): keep-earliest across days is id order")
 
+    // ---- near-dup pair mining, BEFORE any state mutation ----
+    // Every require in this function fires before the first append: a
+    // rejected batch (bad ids, over-cap edge list) must leave the state
+    // tables exactly as it found them — appends are not idempotent, so
+    // validation-after-mutation would poison every later day. (A crash
+    // MID-append still needs a state rebuild, like any interrupted
+    // index append — the contract appendToGramIndex documents.)
+    // Batch-vs-A pairs probe the index while it still holds A only;
+    // batch-vs-batch pairs come from one banding pass over the batch.
+    val abPairs = BandedLsh.nearDupAgainstIndex(sigTable(prefix),
+        corpusLookup.select(col(idCol), col(textCol)), b,
+        idCol, textCol, p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed,
+        p.simThreshold)
+      .select(col("batch_id").cast("long"), col("corpus_id").cast("long"))
+      .limit(math.min(p.maxDriverEdges, Int.MaxValue - 1L).toInt + 1)
+      .collect()
+    val bbPairs = BandedLsh.nearDupPairs(b, idCol, textCol,
+        p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed, p.simThreshold)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(math.min(p.maxDriverEdges, Int.MaxValue - 1L).toInt + 1)
+      .collect()
+    require(abPairs.length <= p.maxDriverEdges &&
+        bbPairs.length <= p.maxDriverEdges,
+      s"near-dup edge list exceeds maxDriverEdges=${p.maxDriverEdges}; " +
+        "raise the cap or pre-thin the batch (a batch this self-similar " +
+        "is mostly duplicates)")
+
+    // component rule on the driver: a component touching ANY indexed
+    // doc is never minimal (ids grow across days); an untouched
+    // component keeps its min id; unpaired batch docs are trivially
+    // minimal. EVERY edge endpoint enters the node set — a union-find
+    // root never appears in parent.keys, and skipping it would admit
+    // the min-id doc of an A-touched component.
+    val touched = scala.collection.mutable.Set[Long]()
+    val nodes = scala.collection.mutable.Set[Long]()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    abPairs.foreach { r => touched += r.getLong(0); nodes += r.getLong(0) }
+    bbPairs.foreach { r =>
+      val (ia, ib) = (r.getLong(0), r.getLong(1))
+      nodes += ia; nodes += ib
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val rootTouched = touched.map(find)
+    val dropNear: Array[Long] = nodes.toArray.filter { n =>
+      rootTouched(find(n)) || find(n) != n
+    }
+
     // ---- fold the batch into every statistic index (append-only) ----
     Dedup.appendToGramIndex(b, gramTable(prefix), idCol, textCol, p.width)
     BandedLsh.appendToSignatureIndex(b, sigTable(prefix), idCol, textCol,
@@ -227,51 +282,6 @@ object IncrementalCuration {
     val exactKeep = bh.join(minPerHash, "h")
       .filter(col("doc_id") === col("__minid")).select("doc_id")
 
-    // ---- verdict 2: near-dup keep-earliest over A ∪ B ----
-    // the index already holds A ∪ B (appended above), so ONE probe
-    // yields every pair touching the batch: batch-vs-A and batch-vs-
-    // batch. Component rule on the driver (edges bounded by the
-    // batch's collision degree — capped loudly): a component touching
-    // any indexed (pre-batch) doc is never minimal; an untouched
-    // component keeps its min id; unpaired batch docs are trivially
-    // minimal.
-    val lookup = corpusLookup
-      .select(col(idCol), col(textCol))
-      .unionByName(b.select(col(idCol), col(textCol)))
-    val pairRows = BandedLsh.nearDupAgainstIndex(sigTable(prefix), lookup, b,
-        idCol, textCol, p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed,
-        p.simThreshold)
-      .select(col("batch_id").cast("long"), col("corpus_id").cast("long"))
-      .limit(math.min(p.maxDriverEdges, Int.MaxValue - 1L).toInt + 1)
-      .collect()
-    require(pairRows.length <= p.maxDriverEdges,
-      s"near-dup edge list exceeds maxDriverEdges=${p.maxDriverEdges}; " +
-        "raise the cap or pre-thin the batch (a batch this self-similar " +
-        "is mostly duplicates)")
-    val touched = scala.collection.mutable.Set[Long]()
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-      r
-    }
-    pairRows.foreach { r =>
-      val (bid, cid) = (r.getLong(0), r.getLong(1))
-      if (cid <= maxId) touched += bid
-      else {
-        val (ra, rb) = (find(bid), find(cid))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-    }
-    val batchNodes = (touched ++ parent.keys).toArray
-    val rootTouched = scala.collection.mutable.Set[Long]()
-    batchNodes.foreach { n => if (touched(n)) rootTouched += find(n) }
-    val dropNear: Array[Long] = batchNodes.filter { n =>
-      rootTouched(find(n)) || find(n) != n
-    }
-
     // ---- verdict 3: NB quality over the A ∪ B model ----
     val (lo, prior) = QualityClassifier.modelFromCounts(spark, nbTable(prefix))
     val scored = QualityClassifier
@@ -303,11 +313,20 @@ object IncrementalCuration {
           col("span_start").as("pos"), col("span_end").as("fin")))
         .unionByName(boilSp))
     val ranks = loadVocab(spark, prefix)
-    Dedup.cutSpansExact(admitted, allSp, "doc_id", textCol)
+    // MATERIALIZE before returning: the verdict/span plans read the very
+    // tables this function appends to, so a lazy result re-evaluated
+    // after a LATER batch's admit would see day-3 statistics and
+    // silently break the day-2 contract. localCheckpoint pins the rows
+    // (the admitted batch — small by construction) and truncates the
+    // lineage, which also frees the batch cache below.
+    val out = Dedup.cutSpansExact(admitted, allSp, "doc_id", textCol)
       .select(col("doc_id"),
         length(col(textCol)).cast("long").as("n_chars_inc"),
         graft.functions.bpe_count(col(textCol), ranks).as("n_tok_inc"),
         col("nb_score"))
+      .localCheckpoint()
+    b.unpersist()
+    out
   }
 
   /** Flagged-boilerplate token spans of a batch: lines whose MERGED
@@ -397,12 +416,9 @@ object IncrementalCuration {
         posexplode(split(col(textCol), Pattern.quote("\n"), -1)))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("lh"),
         size(Tokenizers.asciiWords(col("col"))).cast("long").as("__tc"))
-    val lineDf = all
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(array_distinct(
-          split(col(textCol), Pattern.quote("\n"), -1))).as("__line"))
-      .groupBy(xxhash64(col("__line")).as("lh"))
-      .agg(count(lit(1)).as("docs"))
+    // the SAME aggregation the index persists — one owner of the line
+    // statistic, so the reference twin can never desynchronize from it
+    val lineDf = lineCounts(all, idCol, textCol, "\n")
       .filter(col("docs") >= p.minDocs)
       .select("lh")
     val w = Window.partitionBy("doc_id").orderBy("pos")

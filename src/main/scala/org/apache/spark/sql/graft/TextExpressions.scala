@@ -210,7 +210,13 @@ object IdnAsciiHost {
       decoded.toLowerCase(java.util.Locale.ROOT),
       java.text.Normalizer.Form.NFC)
     val labels = folded.split("\\.", -1).map { lab =>
-      if (lab.codePoints().allMatch(_ < 128)) lab
+      // DNS caps labels at 63 octets; 255 codepoints is already far
+      // outside any valid host. Past that, the RFC 3492 delta
+      // arithmetic (guardless by design — see Punycode's scaladoc)
+      // could overflow Int and emit a WRONG encoding that collides
+      // distinct junk hosts — pass such labels through unchanged
+      // instead: junk keeps its own identity.
+      if (lab.length > 255 || lab.codePoints().allMatch(_ < 128)) lab
       else "xn--" + graft.core.Punycode.encode(lab)
     }
     UTF8String.fromString(labels.mkString("."))

@@ -380,7 +380,10 @@ class DomainsSpec extends AnyFunSuite {
         (i, s"https://ex.com/p$g?lang=en", s"content $g") // bare holders
       } ++ (16L until 20L).map { i =>
         (i, s"https://ex.com/q?page=${i % 2}", s"paged ${i % 2}")
-      }
+      } ++ Seq(
+        // query-less URL: must not trip ANSI's strict element_at on the
+        // missing '?' part, and contributes nothing to any key's census
+        (20L, "https://ex.com/noquery", "plain page"))
     val df = docs.toDF("doc_id", "url", "text")
     val report = Domains.discoverTrackingParams(df, "url", "text")
       .collect().map(r => r.getString(0) ->
@@ -401,7 +404,7 @@ class DomainsSpec extends AnyFunSuite {
     val kept = Domains.dedupByUrl(df, "url", "doc_id", sortQuery = true,
         dropParamPrefixes = discovered)
       .select("doc_id").as[Long].collect().sorted
-    assert(kept.toSeq == Seq(0L, 1L, 2L, 3L, 16L, 17L))
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 3L, 16L, 17L, 20L))
   }
 
   test("domainTokenQuotaAdaptive: non-positive hotHostDocs is rejected loudly") {

@@ -54,7 +54,7 @@ class IncrementalCurationSpec extends AnyFunSuite {
     (0 until 24).map(k => s"spam${k % 12 + 1} ${f(k)}").mkString(" ")
   }
 
-  // day-1 corpus A: ids 1-15 en "pos", 16-23 xx spam "neg"
+  // day-1 corpus A: ids 1-15, 24 en "pos", 16-23 xx spam "neg"
   private val dayA: Seq[(Long, String, String)] =
     (1L to 15L).map { i =>
       val t = i match {
@@ -64,7 +64,8 @@ class IncrementalCurationSpec extends AnyFunSuite {
         case _           => prose(i)
       }
       (i, t, "en")
-    } ++ (16L to 23L).map(i => (i, spam(i), "xx"))
+    } ++ (16L to 23L).map(i => (i, spam(i), "xx")) ++
+      Seq((24L, prose(24, 24), "en")) // anchor for the B116/B117 component
 
   // day-2 batch B: ids 101-115
   private val dayB: Seq[(Long, String, String)] = Seq(
@@ -82,7 +83,15 @@ class IncrementalCurationSpec extends AnyFunSuite {
     (112L, prose(112) + " " + Q, "en"),       // Q dup-gram cut (A10 + B112)
     (113L, spam(113) + " odd one", "en"),     // NB-negative -> drop
     (114L, prose(114) + "\n" + L3, "en"),     // L3 df 2 at day 2 (< 3)
-    (115L, prose(115) + "\n" + L3, "en"))
+    (115L, prose(115) + "\n" + L3, "en"),
+    // the component-root trap: B116 and B117 near-dup EACH OTHER; only
+    // the LARGER id (117) also near-dups an indexed doc (A24). The
+    // component {A24,116,117} has min 24, so BOTH batch docs must drop
+    // — a component rule that only inspects touched/child nodes admits
+    // the root 116 (the round-17 review bug)
+    (116L, prose(24, 24) + " " + fw(9116, 7).mkString(" ")
+      + " " + fw(9117, 23).mkString(" "), "en"),
+    (117L, prose(24, 24) + " " + fw(9116, 7).mkString(" "), "en"))
 
   // day-3 batch C: ids 201-206 — every drop reason must see B's state
   private val dayC: Seq[(Long, String, String)] = Seq(
@@ -139,6 +148,20 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(bIds.contains(106L) && bIds.contains(109L),
       "keep-earliest must keep the smallest id of each dup group")
     assert(!bIds.contains(113L), "NB-negative doc survived")
+    // the planted sims must be on the right sides of the threshold for
+    // the component-root case to mean anything — fail LOUDLY if the
+    // fixture drifts
+    val sim = (a: String, b: String) => Seq((a, b)).toDF("ta", "tb")
+      .select(graft.functions.lsh_jaccard($"ta", $"tb", 4)).as[Double].head()
+    val tA24 = dayA.find(_._1 == 24L).get._2
+    val t116 = dayB.find(_._1 == 116L).get._2
+    val t117 = dayB.find(_._1 == 117L).get._2
+    assert(sim(t117, tA24) > 0.5, s"b2-vs-A sim ${sim(t117, tA24)}")
+    assert(sim(t116, t117) > 0.5, s"b1-vs-b2 sim ${sim(t116, t117)}")
+    assert(sim(t116, tA24) <= 0.5, s"b1-vs-A sim ${sim(t116, tA24)}")
+    assert(!bIds.contains(116L) && !bIds.contains(117L),
+      "a component touching the index must drop ALL its batch docs, " +
+        "including the min-id root that never directly paired with A")
     // L1 (day-1 boilerplate) and L2 (crosses only with B) both cut
     val chars = gotB.map(r => r._1 -> r._2).toMap
     assert(chars(101L) < dayB.find(_._1 == 101L).get._2.length)
