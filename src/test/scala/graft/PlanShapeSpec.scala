@@ -563,6 +563,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dedup must map-side-combine the min(id):\n$dedup")
   }
 
+  test("round-17 domain additions: hashed joins only, no nested loop") {
+    // param census: key explode + hashed joins (the plain-holder attach
+    // and the two aggregations) — a nested loop would be the
+    // O(corpus x keys) shape the explode exists to avoid; the IDN dedup
+    // keeps the map-side-combined ids+keys aggregate of the family
+    for (q <- Seq("domain_param_census", "domain_dedup_idn")) {
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q must never plan a nested loop:\n$plan")
+    }
+    assert(planOf("domain_dedup_idn").contains("partial_min"),
+      "idn dedup must map-side-combine the min(id)")
+  }
+
   test("perplexityBucketsSketch classify pass: no window, no sort, no exchange") {
     // the sketch's whole point vs the exact operator: the returned plan is
     // a map-only classification (cut bins ride as literals) — the two
