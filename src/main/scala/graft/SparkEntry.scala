@@ -1793,6 +1793,29 @@ object SparkEntry {
           prefix, "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")
     }),
+    // The pre-empted-BETWEEN-DAYS leg: day-1 state built, then every
+    // catalog registration dies with the JVM while the warehouse
+    // directories survive (CatalogOps.deregisterKeepingFiles — the
+    // staged-xsession discipline applied to the day-2 seam). admitBatch
+    // auto-recovers the nine state tables from the directory listing
+    // and must land bit-equal to curate_corpus_incremental's pinned
+    // oracle — any table silently missing from recovery lands as a
+    // verdict or span mismatch.
+    "curate_corpus_incremental_xsession" -> ((s, dir) => {
+      val (corpusA, batchB, bench) = incrementalCurationFixture(s, dir)
+      val prefix = "graft_inccurxs"
+      graft.api.IncrementalCuration.reset(s, prefix)
+      graft.api.IncrementalCuration.buildState(corpusA, prefix,
+        "doc_id", "text", col("lang") === "en")
+      Seq(s"${prefix}_grams", s"${prefix}_grams_flags", s"${prefix}_sigs",
+        s"${prefix}_sigs_hot", s"${prefix}_lines", s"${prefix}_nb",
+        s"${prefix}_hash", s"${prefix}_vocab", s"${prefix}_meta")
+        .foreach(t =>
+          org.apache.spark.sql.graft.CatalogOps.deregisterKeepingFiles(s, t))
+      graft.api.IncrementalCuration.admitBatch(batchB, bench, corpusA,
+          prefix, "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")
+    }),
     // Prototype/coreset selection: the 5 most central vectors per semantic
     // cell (squared L2 to the cell centroid, ties by id) — the data-pruning
     // companion of semantic_dedup, same trained cells. Oracle: full Python
@@ -3896,6 +3919,10 @@ object SparkEntry {
     // reproduce the in-session chain exactly (same rows, same oracle)
     "curate_corpus_staged" -> valuesOracle("curate_corpus_staged"),
     "curate_corpus_incremental" -> valuesOracle("curate_corpus_incremental"),
+    // bit-equality with the in-session day-2 admission IS the contract,
+    // so the xsession leg answers to the same pinned oracle
+    "curate_corpus_incremental_xsession" ->
+      valuesOracle("curate_corpus_incremental"),
     "curate_drop_ledger" -> valuesOracle("curate_drop_ledger"),
     // the cross-session leg runs the IDENTICAL chain through the
     // simulated restart, so it must land on the same pinned oracle

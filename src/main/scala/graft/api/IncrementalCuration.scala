@@ -122,12 +122,54 @@ object IncrementalCuration {
       .groupBy(xxhash64(col("__line")).as("lh"))
       .agg(count(lit(1)).as("docs"))
 
-  /** Drop every state table of `prefix` (test/gate hygiene). */
-  def reset(spark: SparkSession, prefix: String): Unit =
+  private def stateTables(prefix: String): Seq[String] =
     Seq(gramTable(prefix), s"${gramTable(prefix)}_flags", sigTable(prefix),
       s"${sigTable(prefix)}_hot", lineTable(prefix), nbTable(prefix),
       hashTable(prefix), vocabTable(prefix), metaTable(prefix))
-      .foreach(BucketedWrite.dropTable(spark, _))
+
+  /** Drop every state table of `prefix` (test/gate hygiene). */
+  def reset(spark: SparkSession, prefix: String): Unit =
+    stateTables(prefix).foreach(BucketedWrite.dropTable(spark, _))
+
+  /** Re-register state tables whose catalog entries died with a
+    * previous JVM but whose warehouse directories survived — the
+    * [[StagedPipeline.recoverFromWarehouse]] discipline applied to the
+    * day-2 seam, so a run pre-empted BETWEEN days resumes from parquet
+    * alone (run automatically by [[admitBatch]]; a persistent metastore
+    * finds nothing to do). The meta table is the recovery sentinel:
+    * state with directories but no meta high-water mark is torn —
+    * fails loudly rather than admitting against partial statistics.
+    * Local-mode caveat, stated: recovered registrations are plain
+    * parquet — the BUCKET METADATA of the gram/signature/line/hash
+    * tables does not survive the in-memory catalog's death, so
+    * recovered-session plans pay exchanges the original layout avoided
+    * (correctness unchanged; a persistent metastore keeps the spec).
+    * Returns the number of tables re-registered. */
+  def recoverFromWarehouse(spark: SparkSession, prefix: String): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var n = 0
+    def ensure(t: String): Boolean = spark.catalog.tableExists(t) || {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t.toLowerCase)))
+      loc.getFileSystem(hconf).exists(loc) && {
+        spark.catalog.createTable(t, loc.toString, "parquet")
+        n += 1
+        true
+      }
+    }
+    val metaLive = ensure(metaTable(prefix))
+    val others = stateTables(prefix).filterNot(_ == metaTable(prefix))
+    val recovered = others.map(ensure)
+    // the hot sidecar is legitimately absent when no bucket ever
+    // exceeded the cap; every other table is mandatory state
+    require(!metaLive || others.zip(recovered).forall { case (t, ok) =>
+      ok || t == s"${sigTable(prefix)}_hot" },
+      s"$prefix state is torn: the meta table exists but a mandatory " +
+        "state table has neither a catalog entry nor a warehouse " +
+        "directory — reset(prefix) and rebuild day-1 state")
+    n
+  }
 
   /** Day-1 state build over raw corpus A: the five statistic indexes
     * plus the frozen tokenizer vocabulary and the id high-water mark.
@@ -186,6 +228,7 @@ object IncrementalCuration {
     val spark = batch.sparkSession
     import spark.implicits._
     val p = params
+    recoverFromWarehouse(spark, prefix) // no-op unless a JVM died between days
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxId = spark.table(metaTable(prefix))
       .filter(col("key") === "max_doc_id").head.getLong(1)
@@ -264,14 +307,19 @@ object IncrementalCuration {
       .groupBy("h").agg(min("doc_id").as("doc_id"))
       .select(spark.table(hashTable(prefix)).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(hashTable(prefix))
-    spark.table(metaTable(prefix))
+    // pin the new meta rows FIRST, then drop + recreate: saveAsTable
+    // overwrite on a RECOVERED (external) registration trips the
+    // managed-location-exists error; dropTable removes the directory
+    // explicitly so the external/managed distinction never leaks (the
+    // StagedPipeline recovery convention)
+    val newMeta = spark.table(metaTable(prefix))
       .filter(col("key") =!= "max_doc_id")
       .unionByName(Seq(("max_doc_id",
         b.agg(max(col(idCol).cast("long"))).head.getLong(0)))
         .toDF("key", "value"))
-      .localCheckpoint() // pin before the overwrite reads its own source
-      .write.format("parquet").mode("overwrite")
-      .saveAsTable(metaTable(prefix))
+      .localCheckpoint()
+    BucketedWrite.dropTable(spark, metaTable(prefix))
+    newMeta.write.format("parquet").saveAsTable(metaTable(prefix))
 
     // ---- verdict 1: exact keep-earliest over A ∪ B ----
     val bh = b.select(col(idCol).cast("long").as("doc_id"),

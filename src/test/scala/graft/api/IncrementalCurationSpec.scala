@@ -190,6 +190,28 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(charsC(206L) < dayC.find(_._1 == 206L).get._2.length)
   }
 
+  test("admitBatch recovers day-1 state across a simulated JVM restart") {
+    val prefix = "graft_inccur_xs"
+    IncrementalCuration.reset(spark, prefix)
+    IncrementalCuration.buildState(df(dayA), prefix, "doc_id", "text",
+      col("lang") === "en", P)
+    val ranks = IncrementalCuration.loadVocab(spark, prefix)
+    // the restart state: every registration dies, every warehouse
+    // directory survives (the staged-xsession discipline)
+    Seq(s"${prefix}_grams", s"${prefix}_grams_flags", s"${prefix}_sigs",
+      s"${prefix}_sigs_hot", s"${prefix}_lines", s"${prefix}_nb",
+      s"${prefix}_hash", s"${prefix}_vocab", s"${prefix}_meta")
+      .foreach(t =>
+        org.apache.spark.sql.graft.CatalogOps.deregisterKeepingFiles(spark, t))
+    val got = rowsOf(IncrementalCuration.admitBatch(df(dayB), bench,
+      df(dayA), prefix, "doc_id", "text", col("lang") === "en", P))
+    val ref = rowsOf(IncrementalCuration.admitReference(
+      df(dayA ++ dayB), bench, "doc_id", "text", col("lang") === "en",
+      batchMinId = 100L, ranks, P))
+    assert(got == ref,
+      s"recovered-state admission diverged:\n got $got\n ref $ref")
+  }
+
   test("admitBatch enforces the id high-water contract loudly") {
     val prefix = "graft_inccur_hwm"
     IncrementalCuration.reset(spark, prefix)
