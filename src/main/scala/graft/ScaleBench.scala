@@ -758,11 +758,14 @@ object ScaleBench {
         val prefix = s"scale_incr_x$k"
         api.IncrementalCuration.reset(spark, prefix)
         val all = docs(k)
+        // batch/bench come from the BASE fixture directly — docs(1) only
+        // exists when x1 is among the requested scales
+        val base = spark.read.parquet(s"$baseDir/documents.parquet")
         val a = all.filter(!(col("doc_id") >= 4500 && col("doc_id") < 4750))
-        val batch = docs(1)
+        val batch = base
           .filter(col("doc_id") >= 4500 && col("doc_id") < 5000)
           .withColumn("doc_id", col("doc_id") + lit(k.toLong * Stride))
-        val bench = docs(1).filter(col("doc_id") % 50 === 0)
+        val bench = base.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id"), col("text"))
         val label = col("lang") === "en"
         val t0 = System.nanoTime()

@@ -202,9 +202,19 @@ object IncrementalCuration {
       .write.format("parquet").saveAsTable(vocabTable(prefix))
     val maxId = corpus.agg(max(col(idCol).cast("long"))).head.getLong(0)
     BucketedWrite.dropTable(spark, metaTable(prefix))
-    Seq(("max_doc_id", maxId)).toDF("key", "value")
+    Seq(("max_doc_id", maxId), ("params_hash", paramsHash(p)))
+      .toDF("key", "value")
       .write.format("parquet").saveAsTable(metaTable(prefix))
   }
+
+  /** Stable fingerprint of the recipe parameters — persisted at build,
+    * REQUIRED equal at every admit: the tunables are part of the state's
+    * identity (a width-7 probe against width-8 gram triples silently
+    * matches nothing), and "same values as the build" is a contract
+    * worth enforcing, not documenting. Case-class toString is stable
+    * for these primitive fields. */
+  private def paramsHash(p: Params): Long =
+    scala.util.hashing.MurmurHash3.stringHash(p.toString).toLong
 
   /** Admit batch B against the persisted state (and fold B INTO that
     * state, so day 3 admits against A ∪ B): returns the admitted docs
@@ -230,8 +240,13 @@ object IncrementalCuration {
     val p = params
     recoverFromWarehouse(spark, prefix) // no-op unless a JVM died between days
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxId = spark.table(metaTable(prefix))
-      .filter(col("key") === "max_doc_id").head.getLong(1)
+    val meta = spark.table(metaTable(prefix))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxId = meta("max_doc_id")
+    require(meta.get("params_hash").forall(_ == paramsHash(p)),
+      s"'$prefix' was built with different Params than this admit " +
+        "(stored fingerprint differs): the tunables are part of the " +
+        "state's identity — admit with the build's values or rebuild")
     val batchMin = b.agg(min(col(idCol).cast("long"))).head.getLong(0)
     require(batchMin > maxId,
       s"batch ids must exceed the indexed high-water mark $maxId " +

@@ -223,5 +223,15 @@ class IncrementalCurationSpec extends AnyFunSuite {
         prefix, "doc_id", "text", col("lang") === "en", P)
     }
     assert(e.getMessage.contains("high-water"), e.getMessage)
+    // the tunables are state identity: admitting with a different gram
+    // width against width-P indexes must refuse, not silently match
+    // nothing
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalCuration.admitBatch(
+        df(Seq((500L, "fine id wrong params", "en"))), bench, df(dayA),
+        prefix, "doc_id", "text", col("lang") === "en",
+        P.copy(width = P.width + 1))
+    }
+    assert(e2.getMessage.contains("Params"), e2.getMessage)
   }
 }
