@@ -1807,11 +1807,8 @@ object SparkEntry {
       graft.api.IncrementalCuration.reset(s, prefix)
       graft.api.IncrementalCuration.buildState(corpusA, prefix,
         "doc_id", "text", col("lang") === "en")
-      Seq(s"${prefix}_grams", s"${prefix}_grams_flags", s"${prefix}_sigs",
-        s"${prefix}_sigs_hot", s"${prefix}_lines", s"${prefix}_nb",
-        s"${prefix}_hash", s"${prefix}_vocab", s"${prefix}_meta")
-        .foreach(t =>
-          org.apache.spark.sql.graft.CatalogOps.deregisterKeepingFiles(s, t))
+      graft.api.IncrementalCuration.stateTables(prefix).foreach(t =>
+        org.apache.spark.sql.graft.CatalogOps.deregisterKeepingFiles(s, t))
       graft.api.IncrementalCuration.admitBatch(batchB, bench, corpusA,
           prefix, "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")

@@ -122,7 +122,10 @@ object IncrementalCuration {
       .groupBy(xxhash64(col("__line")).as("lh"))
       .agg(count(lit(1)).as("docs"))
 
-  private def stateTables(prefix: String): Seq[String] =
+  /** The nine state tables, in one place — the gate and spec restart
+    * simulations deregister EXACTLY this list, so a tenth table added
+    * here is automatically exercised by both. */
+  private[graft] def stateTables(prefix: String): Seq[String] =
     Seq(gramTable(prefix), s"${gramTable(prefix)}_flags", sigTable(prefix),
       s"${sigTable(prefix)}_hot", lineTable(prefix), nbTable(prefix),
       hashTable(prefix), vocabTable(prefix), metaTable(prefix))
@@ -146,23 +149,29 @@ object IncrementalCuration {
     * (correctness unchanged; a persistent metastore keeps the spec).
     * Returns the number of tables re-registered. */
   def recoverFromWarehouse(spark: SparkSession, prefix: String): Int = {
-    val hconf = spark.sparkContext.hadoopConfiguration
     var n = 0
-    def ensure(t: String): Boolean = spark.catalog.tableExists(t) || {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(t.toLowerCase)))
-      loc.getFileSystem(hconf).exists(loc) && {
-        spark.catalog.createTable(t, loc.toString, "parquet")
-        n += 1
-        true
-      }
+    // the shared CatalogOps.ensureRegistered primitive (defaultTablePath
+    // probe — see its scaladoc for the USE-database trap it avoids)
+    def ensure(t: String): Boolean = {
+      val had = spark.catalog.tableExists(t)
+      val ok = org.apache.spark.sql.graft.CatalogOps.ensureRegistered(spark, t)
+      if (ok && !had) n += 1
+      ok
     }
     val metaLive = ensure(metaTable(prefix))
     val others = stateTables(prefix).filterNot(_ == metaTable(prefix))
     val recovered = others.map(ensure)
-    // the hot sidecar is legitimately absent when no bucket ever
-    // exceeded the cap; every other table is mandatory state
+    // the meta table is the recovery SENTINEL, checked in both
+    // directions: meta without a mandatory index is torn, and indexes
+    // without meta are equally torn (the drop+recreate window of the
+    // day-2 meta rewrite dies exactly there) — never silently admit
+    // against partial statistics. The hot sidecar is legitimately
+    // absent when no bucket ever exceeded the cap.
+    val anyOther = others.zip(recovered).exists(_._2)
+    require(metaLive || !anyOther,
+      s"$prefix state is torn: statistic tables exist but the meta " +
+        "sentinel (high-water mark + params fingerprint) does not — " +
+        "reset(prefix) and rebuild day-1 state")
     require(!metaLive || others.zip(recovered).forall { case (t, ok) =>
       ok || t == s"${sigTable(prefix)}_hot" },
       s"$prefix state is torn: the meta table exists but a mandatory " +
@@ -211,10 +220,13 @@ object IncrementalCuration {
     * REQUIRED equal at every admit: the tunables are part of the state's
     * identity (a width-7 probe against width-8 gram triples silently
     * matches nothing), and "same values as the build" is a contract
-    * worth enforcing, not documenting. Case-class toString is stable
-    * for these primitive fields. */
+    * worth enforcing, not documenting. Hashed over the field VALUES in
+    * declaration order (not toString), so renaming the class or a
+    * field never invalidates persisted state; reordering or adding
+    * fields does — which is right, those change what the values mean. */
   private def paramsHash(p: Params): Long =
-    scala.util.hashing.MurmurHash3.stringHash(p.toString).toLong
+    scala.util.hashing.MurmurHash3.orderedHash(
+      p.productIterator.map(_.toString)).toLong
 
   /** Admit batch B against the persisted state (and fold B INTO that
     * state, so day 3 admits against A ∪ B): returns the admitted docs
@@ -243,10 +255,11 @@ object IncrementalCuration {
     val meta = spark.table(metaTable(prefix))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val maxId = meta("max_doc_id")
-    require(meta.get("params_hash").forall(_ == paramsHash(p)),
+    require(meta.get("params_hash").contains(paramsHash(p)),
       s"'$prefix' was built with different Params than this admit " +
-        "(stored fingerprint differs): the tunables are part of the " +
-        "state's identity — admit with the build's values or rebuild")
+        "(stored fingerprint absent or differs): the tunables are part " +
+        "of the state's identity — admit with the build's values or " +
+        "rebuild day-1 state")
     val batchMin = b.agg(min(col(idCol).cast("long"))).head.getLong(0)
     require(batchMin > maxId,
       s"batch ids must exceed the indexed high-water mark $maxId " +

@@ -74,24 +74,15 @@ object StagedPipeline {
     * Returns the number of tables re-registered (0 = nothing to
     * recover). */
   def recoverFromWarehouse(spark: SparkSession, tablePrefix: String): Int = {
-    val hconf = spark.sparkContext.hadoopConfiguration
     var n = 0
-    // registered, or re-registered from a surviving directory. The probe
-    // path comes from defaultTablePath — the catalog's own managed-table
-    // location rule, CURRENT-database-aware — not a warehouse-root string
-    // concat, which under `USE mydb` would both miss the real
-    // `mydb.db/<table>` directory (silently recovering nothing) and
-    // mis-register a stale same-named root directory as this database's
-    // table (resuming on foreign data).
-    def ensure(t: String): Boolean = spark.catalog.tableExists(t) || {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(t.toLowerCase)))
-      loc.getFileSystem(hconf).exists(loc) && {
-        spark.catalog.createTable(t, loc.toString, "parquet")
-        n += 1
-        true
-      }
+    // registered, or re-registered from a surviving directory — the
+    // shared CatalogOps.ensureRegistered primitive (defaultTablePath
+    // probe; see its scaladoc for the USE-database trap it avoids)
+    def ensure(t: String): Boolean = {
+      val had = spark.catalog.tableExists(t)
+      val ok = org.apache.spark.sql.graft.CatalogOps.ensureRegistered(spark, t)
+      if (ok && !had) n += 1
+      ok
     }
     if (ensure(manifestTable(tablePrefix))) {
       spark.table(manifestTable(tablePrefix))

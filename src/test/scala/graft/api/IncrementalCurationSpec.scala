@@ -198,11 +198,8 @@ class IncrementalCurationSpec extends AnyFunSuite {
     val ranks = IncrementalCuration.loadVocab(spark, prefix)
     // the restart state: every registration dies, every warehouse
     // directory survives (the staged-xsession discipline)
-    Seq(s"${prefix}_grams", s"${prefix}_grams_flags", s"${prefix}_sigs",
-      s"${prefix}_sigs_hot", s"${prefix}_lines", s"${prefix}_nb",
-      s"${prefix}_hash", s"${prefix}_vocab", s"${prefix}_meta")
-      .foreach(t =>
-        org.apache.spark.sql.graft.CatalogOps.deregisterKeepingFiles(spark, t))
+    IncrementalCuration.stateTables(prefix).foreach(t =>
+      org.apache.spark.sql.graft.CatalogOps.deregisterKeepingFiles(spark, t))
     val got = rowsOf(IncrementalCuration.admitBatch(df(dayB), bench,
       df(dayA), prefix, "doc_id", "text", col("lang") === "en", P))
     val ref = rowsOf(IncrementalCuration.admitReference(
