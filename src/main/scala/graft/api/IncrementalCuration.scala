@@ -102,6 +102,7 @@ object IncrementalCuration {
       numBuckets: Int = 8,         // bucketed-table layout
       maxDriverEdges: Long = 1000000L) // near-dup edge collect cap
 
+  private[graft] def reasonsTable(p: String) = s"${p}_admit_reasons"
   private[api] def gramTable(p: String) = s"${p}_grams"
   private[api] def sigTable(p: String) = s"${p}_sigs"
   private[api] def lineTable(p: String) = s"${p}_lines"
@@ -132,7 +133,8 @@ object IncrementalCuration {
 
   /** Drop every state table of `prefix` (test/gate hygiene). */
   def reset(spark: SparkSession, prefix: String): Unit =
-    stateTables(prefix).foreach(BucketedWrite.dropTable(spark, _))
+    (stateTables(prefix) :+ reasonsTable(prefix))
+      .foreach(BucketedWrite.dropTable(spark, _))
 
   /** Re-register state tables whose catalog entries died with a
     * previous JVM but whose warehouse directories survived — the
@@ -167,6 +169,11 @@ object IncrementalCuration {
     // day-2 meta rewrite dies exactly there) — never silently admit
     // against partial statistics. The hot sidecar is legitimately
     // absent when no bucket ever exceeded the cap.
+    // the audit table is OPTIONAL state (absent until the first admit;
+    // losing it across a restart costs audit continuity, never
+    // correctness) — recover it when its directory survived, but it is
+    // deliberately outside the mandatory torn-state check
+    ensure(reasonsTable(prefix))
     val anyOther = others.zip(recovered).exists(_._2)
     require(metaLive || !anyOther,
       s"$prefix state is torn: statistic tables exist but the meta " +
@@ -231,7 +238,11 @@ object IncrementalCuration {
   /** Admit batch B against the persisted state (and fold B INTO that
     * state, so day 3 admits against A ∪ B): returns the admitted docs
     * as `(<idCol>, n_chars_inc, n_tok_inc, nb_score)` — bit-equal to
-    * the batch slice of [[admitReference]] over A ∪ B.
+    * the batch slice of [[admitReference]] over A ∪ B. Every rejected
+    * doc's first-loss reason (`exact_dup` > `near_dup` > `nb_quality`)
+    * appends to `{prefix}_admit_reasons` — the day-2 sibling of
+    * [[StagedPipeline.dropLedger]], so "why was doc X rejected" is one
+    * table read, never a re-run.
     *
     * `corpusLookup` is the id → text lookup for near-dup partner
     * verification ONLY (e.g. the raw day-1 corpus frame): the plan
@@ -374,6 +385,32 @@ object IncrementalCuration {
         kept.filter(!col("doc_id").isin(dropNear.toIndexedSeq: _*))
       else kept.join(
         dropNear.toIndexedSeq.toDF("doc_id"), Seq("doc_id"), "left_anti")
+
+    // ---- rejection audit: why each non-admitted doc fell ----
+    // the day-2 sibling of StagedPipeline.dropLedger: (doc_id, reason)
+    // appended to {prefix}_admit_reasons per admit, first reason wins
+    // in the fixed order exact > near > nb (the ledger's first-loss
+    // convention). The write is an eager action, so the audit is
+    // pinned against the tables this very call just mutated.
+    val ids = scored.select("doc_id", "nb_score")
+    val exactDropRows = ids.join(exactKeep, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("exact_dup").as("reason"))
+    val pastExact = ids.join(exactKeep, Seq("doc_id"), "left_semi")
+    val (nearDropRows, pastNear) =
+      if (dropNear.isEmpty)
+        (spark.emptyDataset[(Long, String)].toDF("doc_id", "reason"),
+          pastExact)
+      else {
+        val nd = dropNear.toIndexedSeq.toDF("doc_id")
+        (pastExact.join(nd, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), lit("near_dup").as("reason")),
+          pastExact.join(nd, Seq("doc_id"), "left_anti"))
+      }
+    val nbDropRows = pastNear.filter(!(col("nb_score") > 0.0))
+      .select(col("doc_id"), lit("nb_quality").as("reason"))
+    exactDropRows.unionByName(nearDropRows).unionByName(nbDropRows)
+      .write.mode("append").format("parquet")
+      .saveAsTable(reasonsTable(prefix))
 
     // ---- span assembly (all mined on raw text) + one rewrite ----
     val dupSp = Dedup.dupSpansFromIndex(spark, gramTable(prefix))

@@ -184,6 +184,17 @@ class IncrementalCurationSpec extends AnyFunSuite {
     val cIds = gotC.map(_._1).toSet
     assert(!cIds.contains(202L), "exact dup vs day-2 batch survived")
     assert(!cIds.contains(203L), "near-dup vs day-2 batch survived")
+    // rejection audit: every planted drop carries its first-loss reason,
+    // admitted docs appear nowhere, and day-3 rows APPEND to day-2's
+    val reasons = spark.table(s"${prefix}_admit_reasons")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons(105L) == "exact_dup" && reasons(107L) == "exact_dup")
+    assert(reasons(108L) == "near_dup" && reasons(110L) == "near_dup")
+    assert(reasons(116L) == "near_dup" && reasons(117L) == "near_dup")
+    assert(reasons(113L) == "nb_quality")
+    assert(!reasons.contains(106L) && !reasons.contains(109L))
+    assert(reasons(202L) == "exact_dup" && reasons(203L) == "near_dup",
+      "day-3 rejections must land in the same audit table")
     val charsC = gotC.map(r => r._1 -> r._2).toMap
     assert(charsC(204L) < dayC.find(_._1 == 204L).get._2.length,
       "L3 crossed minDocs only with C's counts and must now cut")
