@@ -793,7 +793,11 @@ object BandedLsh {
     * anything already admitted"). The LSH params MUST match the ones the
     * index was built with (same family, same seed) or recall silently
     * collapses; batch docs that also appear in the corpus id-space are
-    * excluded from self-pairing.
+    * excluded from self-pairing. `corpus` is the id → text lookup for
+    * candidate verification and must span EVERY id ever indexed (the
+    * build corpus plus all appended batches): a collided id missing
+    * from it fails the job loudly (raise_error) rather than silently
+    * dropping the pair.
     *
     * Mega-bucket hardening: if the index was built with a `<table>_hot`
     * sidecar, batch rows in those degenerate buckets are grid-blocked —
@@ -843,9 +847,24 @@ object BandedLsh {
       .filter(col("batch_id") =!= col("corpus_id"))
       .select("batch_id", "corpus_id")
       .distinct()
+    // the corpus lookup must COVER every id the index can collide with
+    // (day 1 plus every batch ever appended) — a lookup missing an
+    // indexed id would silently drop its candidate pairs at an inner
+    // join and admit near-dups with no error, so the attach is a LEFT
+    // join with a raise_error guard: coverage holes fail the job loudly,
+    // at zero extra passes (the guard rides the join's own projection)
     cand
       .join(batch.select(col(idCol).as("batch_id"), col(textCol).as("batch_text")), "batch_id")
-      .join(corpus.select(col(idCol).as("corpus_id"), col(textCol).as("corpus_text")), "corpus_id")
+      .join(corpus.select(col(idCol).as("corpus_id"), col(textCol).as("corpus_text")),
+        Seq("corpus_id"), "left")
+      .withColumn("corpus_text",
+        when(col("corpus_text").isNull, raise_error(concat(
+          lit("nearDupAgainstIndex: indexed corpus_id "), col("corpus_id"),
+          lit(s" collided with the batch but is missing from the corpus " +
+            s"lookup — the lookup must span EVERY id ever indexed into " +
+            s"'$indexTable' (day 1 plus all appended batches), not just " +
+            "the original corpus"))))
+          .otherwise(col("corpus_text")))
       .withColumn("sim",
         graft.functions.lsh_jaccard(col("batch_text"), col("corpus_text"), ngramWidth))
       .filter(col("sim") > threshold)

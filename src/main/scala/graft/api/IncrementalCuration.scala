@@ -245,10 +245,14 @@ object IncrementalCuration {
     * table read, never a re-run.
     *
     * `corpusLookup` is the id → text lookup for near-dup partner
-    * verification ONLY (e.g. the raw day-1 corpus frame): the plan
-    * prunes it to the banding candidates' rows — it is never scanned
-    * in full, tokenized, or shuffled (the
-    * [[BandedLsh.nearDupAgainstIndex]] shape).
+    * verification ONLY, and it must span EVERY id below the high-water
+    * mark — the day-1 corpus UNION all previously admitted batches, not
+    * just day 1: on day 3+ a lookup missing day-2 ids would miss
+    * candidate pairs and admit near-dups. Coverage is ENFORCED, not
+    * trusted: a collided indexed id absent from the lookup fails the
+    * probe job loudly ([[BandedLsh.nearDupAgainstIndex]]'s raise_error
+    * guard). The plan prunes the lookup to the banding candidates' rows
+    * — it is never scanned in full, tokenized, or shuffled.
     *
     * Rolling contract, ENFORCED: every batch id must exceed the
     * persisted high-water mark (keep-earliest needs arrival order ≡ id
@@ -271,7 +275,25 @@ object IncrementalCuration {
         "(stored fingerprint absent or differs): the tunables are part " +
         "of the state's identity — admit with the build's values or " +
         "rebuild day-1 state")
-    val batchMin = b.agg(min(col(idCol).cast("long"))).head.getLong(0)
+    // one pass over the batch ids for all id-contract checks (and the
+    // new high-water mark, reused below instead of a second max() job):
+    // an empty batch would read min() as a NullPointerException deep in
+    // getLong, and duplicate ids would silently break keep-earliest and
+    // the audit table's one-row-per-doc assumption — both fail here,
+    // BEFORE any state mutation, with messages that say so
+    val idStats = b.agg(count(lit(1)).as("n"),
+        countDistinct(col(idCol)).as("nd"),
+        min(col(idCol).cast("long")).as("mn"),
+        max(col(idCol).cast("long")).as("mx")).head
+    require(idStats.getLong(0) > 0L,
+      "admitBatch got an EMPTY batch: nothing to admit (and the id " +
+        "contract checks would be vacuous) — skip the call")
+    require(idStats.getLong(1) == idStats.getLong(0),
+      s"batch ids must be unique (got ${idStats.getLong(0)} rows over " +
+        s"${idStats.getLong(1)} distinct ids): keep-earliest and the " +
+        "admit-reasons audit assume one row per doc id")
+    val batchMin = idStats.getLong(2)
+    val batchMax = idStats.getLong(3)
     require(batchMin > maxId,
       s"batch ids must exceed the indexed high-water mark $maxId " +
         s"(got min $batchMin): keep-earliest across days is id order")
@@ -353,9 +375,7 @@ object IncrementalCuration {
     // StagedPipeline recovery convention)
     val newMeta = spark.table(metaTable(prefix))
       .filter(col("key") =!= "max_doc_id")
-      .unionByName(Seq(("max_doc_id",
-        b.agg(max(col(idCol).cast("long"))).head.getLong(0)))
-        .toDF("key", "value"))
+      .unionByName(Seq(("max_doc_id", batchMax)).toDF("key", "value"))
       .localCheckpoint()
     BucketedWrite.dropTable(spark, metaTable(prefix))
     newMeta.write.format("parquet").saveAsTable(metaTable(prefix))

@@ -402,7 +402,7 @@ object TextAnalysis {
     * words; pass different values per corpus slice if needed).
     *
     * Same plan shape as [[gopherRules]] (arrays materialized once in a
-    * lower Project); the dispatch is one `element_at` on a literal map
+    * lower Project); the dispatch is one `try_element_at` on a literal map
     * \u2014 no join, no UDF, codegen'd. Output adds the `lang` column after
     * the id. */
   def gopherRulesPerLang(df: DataFrame, idCol: String = "doc_id",
@@ -428,7 +428,11 @@ object TextAnalysis {
     val swMap = map(stopwords.toSeq.sortBy(_._1).flatMap {
       case (l, sws) => Seq(lit(l.toLowerCase), typedLit(sws))
     }: _*)
-    val sws = coalesce(element_at(swMap, lower(col(langCol))),
+    // try_element_at, not element_at: under ANSI mode (the Spark 4
+    // default) element_at on a map THROWS for unmapped languages, which
+    // would crash exactly the docs the fallback exists for — try_
+    // yields NULL and the coalesce dispatches to fallbackLang
+    val sws = coalesce(try_element_at(swMap, lower(col(langCol))),
       typedLit(stopwords(fallbackLang)))
     gopherSignalsAndKeep(arr, Seq(col(idCol), col(langCol)),
       size(filter(sws, sw => array_contains(col("__ws"), sw))).cast("long"),

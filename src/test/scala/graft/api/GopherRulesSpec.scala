@@ -121,6 +121,24 @@ class GopherRulesSpec extends AnyFunSuite {
       enOnly(1L).getAs[Long]("stopword_hits") == 0L)
   }
 
+  test("per-lang dispatch survives ANSI mode for unmapped languages") {
+    import spark.implicits._
+    // under ANSI (the Spark 4 default) element_at on a map THROWS for
+    // missing keys, making the fallback unreachable — the dispatch must
+    // use try_element_at so unmapped langs reach the en fallback under
+    // BOTH settings (pinned by forcing the conf on for this call)
+    val prose = (1 to 15).map(_ => "palabra bonita historia cuenta").mkString(" ")
+    val docs = Seq((1L, s"the of and that $prose", "zh")).toDF("doc_id", "text", "lang")
+    val prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val m = TextAnalysis.gopherRulesPerLang(docs)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(m(1L).getAs[Boolean]("keep"),
+        "unmapped lang under ANSI must dispatch to the fallback list, not throw")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prior)
+  }
+
   test("per-lang guards: fallback must be mapped, lists non-empty") {
     import spark.implicits._
     val df = Seq((1L, "x", "en")).toDF("doc_id", "text", "lang")

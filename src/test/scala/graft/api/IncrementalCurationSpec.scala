@@ -241,5 +241,43 @@ class IncrementalCurationSpec extends AnyFunSuite {
         P.copy(width = P.width + 1))
     }
     assert(e2.getMessage.contains("Params"), e2.getMessage)
+    // an EMPTY batch must refuse with a message, not NullPointerException
+    // out of min(ids)-of-zero-rows; duplicate ids must refuse too (keep-
+    // earliest and the audit table assume one row per id) — both BEFORE
+    // any state mutation
+    val e3 = intercept[IllegalArgumentException] {
+      IncrementalCuration.admitBatch(
+        df(Seq.empty), bench, df(dayA),
+        prefix, "doc_id", "text", col("lang") === "en", P)
+    }
+    assert(e3.getMessage.contains("EMPTY"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      IncrementalCuration.admitBatch(
+        df(Seq((500L, "dup id a", "en"), (500L, "dup id b", "en"))),
+        bench, df(dayA), prefix, "doc_id", "text", col("lang") === "en", P)
+    }
+    assert(e4.getMessage.contains("unique"), e4.getMessage)
+  }
+
+  test("a corpus lookup missing prior-batch ids fails loudly, never silently under-dedups") {
+    val prefix = "graft_inccur_cov"
+    IncrementalCuration.reset(spark, prefix)
+    IncrementalCuration.buildState(df(dayA), prefix, "doc_id", "text",
+      col("lang") === "en", P)
+    IncrementalCuration.admitBatch(df(dayB), bench, df(dayA),
+      prefix, "doc_id", "text", col("lang") === "en", P)
+    // day 3 with a lookup that spans day 1 ONLY: C203 band-collides with
+    // B109, whose text the lookup cannot attach — the old inner join
+    // silently dropped the pair (admitting the near-dup); the guard must
+    // fail the job and NAME the contract
+    val e = intercept[Exception] {
+      IncrementalCuration.admitBatch(df(dayC), bench, df(dayA),
+        prefix, "doc_id", "text", col("lang") === "en", P)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("corpus lookup")),
+      s"expected the coverage raise_error, got: ${messages(e)}")
   }
 }

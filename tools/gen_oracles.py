@@ -1079,10 +1079,19 @@ def main(sf_dir, spark_dir):
     def idn_fold_host(h):
         h = _up.unquote(h, errors="replace")
         h = _ud.normalize("NFC", h.lower())
-        return ".".join(
-            lab if all(ord(c) < 128 for c in lab)
-            else "xn--" + lab.encode("punycode").decode("ascii")
-            for lab in h.split("."))
+
+        def fold_label(lab):
+            if all(ord(c) < 128 for c in lab):
+                return lab
+            # mirror IdnAsciiHost's overflow guard: labels longer than
+            # 255 UTF-16 code units (Java String.length) pass through
+            # UN-encoded — junk far past DNS's 63-octet cap keeps its
+            # own identity instead of risking a colliding mis-encode
+            if sum(2 if ord(c) > 0xFFFF else 1 for c in lab) > 255:
+                return lab
+            return "xn--" + lab.encode("punycode").decode("ascii")
+
+        return ".".join(fold_label(lab) for lab in h.split("."))
 
     idn_first = {}
     idn_rows = []
