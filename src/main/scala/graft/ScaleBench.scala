@@ -63,6 +63,26 @@ object ScaleBench {
 
   private val Stride = 10000000L
 
+  /** Total part-file count across a prefix's incremental state tables —
+    * the generation-debt signal the day-N scenario reports (every admit
+    * appends one generation of files per table; compaction folds them). */
+  private def stateFileCount(spark: SparkSession, prefix: String): Long =
+    api.IncrementalCuration.stateTables(prefix).map { t =>
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(loc)) 0L
+      else {
+        val it = fs.listFiles(loc, true)
+        var n = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.startsWith("part-")) n += 1
+        }
+        n
+      }
+    }.sum
+
   private def scaledDocs(spark: SparkSession, base: DataFrame, k: Int): DataFrame = {
     val reps = (0 until k).map { r =>
       base.select(
@@ -786,6 +806,54 @@ object ScaleBench {
           f"(admitted $admitted, rerun $rerun)")
         api.IncrementalCuration.reset(spark, prefix)
         admitted
+      },
+      // Day-N admit slope: k is the NUMBER OF CONSECUTIVE BATCHES, not a
+      // corpus multiplier. Day 1 = replica 0; batch j = replica j (cipher-
+      // decorrelated, ids monotone in j — the rolling contract). Two arms:
+      // never compact vs compactState every 10 batches. The claim under
+      // test: admit cost must NOT grow with the number of prior
+      // generations once compaction folds them — and the generation
+      // debt is made visible directly as the end-state part-file count
+      // across the nine state tables (the small-files listing cost that
+      // actually kills day-N admits on an object store at 100 TB).
+      "incremental_dayn" -> { (k: Int) =>
+        require(k >= 2, s"incremental_dayn needs k >= 2 batches, got $k")
+        val all = docs(k)
+        val base = spark.read.parquet(s"$baseDir/documents.parquet")
+        val bench = base.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("text"))
+        val label = col("lang") === "en"
+        def arm(name: String, compactEvery: Int): (Seq[Double], Long) = {
+          val prefix = s"scale_dayn_$name"
+          api.IncrementalCuration.reset(spark, prefix)
+          api.IncrementalCuration.buildState(
+            all.filter(col("doc_id") < Stride), prefix, "doc_id", "text", label)
+          val times = (1 until k).map { j =>
+            val lo = j.toLong * Stride
+            val batch = all.filter(col("doc_id") >= lo && col("doc_id") < lo + Stride)
+            val lookup = all.filter(col("doc_id") < lo)
+            val t0 = System.nanoTime()
+            api.IncrementalCuration.admitBatch(batch, bench, lookup,
+              prefix, "doc_id", "text", label).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (compactEvery > 0 && j % compactEvery == 0)
+              api.IncrementalCuration.compactState(spark, prefix)
+            dt
+          }
+          (times, stateFileCount(spark, prefix))
+        }
+        val (tN, fN) = arm("noc", 0)
+        val (tC, fC) = arm("cmp", 10)
+        def fmt(ts: Seq[Double]) = {
+          val tail = ts.takeRight(5)
+          f"first ${ts.head}%.1fs last ${ts.last}%.1fs " +
+            f"tail5-mean ${tail.sum / tail.size}%.1fs total ${ts.sum}%.1fs"
+        }
+        println(s"    incremental_dayn x$k no-compact:   ${fmt(tN)} state-files $fN")
+        println(s"    incremental_dayn x$k compact-ev10: ${fmt(tC)} state-files $fC")
+        Seq("scale_dayn_noc", "scale_dayn_cmp")
+          .foreach(api.IncrementalCuration.reset(spark, _))
+        (tN.length + tC.length).toLong
       },
       "staged_curation" -> { (k: Int) =>
         val prefix = s"scale_staged_x$k"

@@ -1813,6 +1813,60 @@ object SparkEntry {
           prefix, "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")
     }),
+    // Day-N state compaction: split the batch into two consecutive days
+    // (B1 = [350, 450), B2 = [450, 500)), admit B1, COMPACT the nine
+    // state tables (fold line-df/NB generations, dedupe gram flags,
+    // single-generation rewrite of the triple stores), then admit B2
+    // against the compacted state. The mergeable-statistics theorem
+    // makes B2's admit over A ∪ B1 state the bit-exact [450, 500) slice
+    // of the SAME Python union rerun that pins curate_corpus_incremental
+    // — so a compaction that loses or double-counts ANY statistic
+    // (a dropped line generation, a folded-away hash row, a de-duped
+    // flag that was load-bearing) lands as a hash mismatch. B2's exact
+    // dups are planted against BOTH sides of the compaction: doc 485
+    // exact-dups B1's 388 (the compacted hash rows) and 453/463/...
+    // exact-dup day-1 A docs.
+    // Takedown through the day-2 state: build day-1 indexes on A, DELETE
+    // the 30 docs that are B's exact/near clone partners (ids in
+    // [150, 350) with id % 10 in {3, 6} — subtract-or-rebuild per
+    // statistic, takedownState's scaladoc), then admit B. The oracle is
+    // the batch slice of the Python rerun on (A minus takedown) UNION B
+    // — with the BPE vocabulary still trained on the ORIGINAL A, the
+    // stated frozen-tokenizer exemption — so every clone of a deleted
+    // doc must now be ADMITTED as a first holder (the deletion visibly
+    // flips exact AND near verdicts), and a subtraction error in any
+    // count statistic (line df, NB) lands as a score/cut hash mismatch.
+    "takedown_incremental" -> ((s, dir) => {
+      val (corpusA, batchB, bench) = incrementalCurationFixture(s, dir)
+      val prefix = "graft_inctake"
+      val isDel = col("doc_id") >= 150 && col("doc_id") < 350 &&
+        (col("doc_id") % 10 === 3 || col("doc_id") % 10 === 6)
+      graft.api.IncrementalCuration.reset(s, prefix)
+      graft.api.IncrementalCuration.buildState(corpusA, prefix,
+        "doc_id", "text", col("lang") === "en")
+      graft.api.IncrementalCuration.takedownState(corpusA.filter(isDel),
+        prefix, "doc_id", "text", col("lang") === "en")
+      graft.api.IncrementalCuration.admitBatch(batchB, bench,
+          corpusA.filter(!isDel), prefix, "doc_id", "text",
+          col("lang") === "en")
+        .orderBy("doc_id")
+    }),
+    "inc_state_compact" -> ((s, dir) => {
+      val (corpusA, batchB, bench) = incrementalCurationFixture(s, dir)
+      val prefix = "graft_inccmp"
+      val b1 = batchB.filter(col("doc_id") < 450)
+      val b2 = batchB.filter(col("doc_id") >= 450)
+      graft.api.IncrementalCuration.reset(s, prefix)
+      graft.api.IncrementalCuration.buildState(corpusA, prefix,
+        "doc_id", "text", col("lang") === "en")
+      graft.api.IncrementalCuration.admitBatch(b1, bench, corpusA,
+        prefix, "doc_id", "text", col("lang") === "en")
+      graft.api.IncrementalCuration.compactState(s, prefix)
+      graft.api.IncrementalCuration.admitBatch(b2, bench,
+          corpusA.unionByName(b1), prefix, "doc_id", "text",
+          col("lang") === "en")
+        .orderBy("doc_id")
+    }),
     // Prototype/coreset selection: the 5 most central vectors per semantic
     // cell (squared L2 to the cell centroid, ties by id) — the data-pruning
     // companion of semantic_dedup, same trained cells. Oracle: full Python
@@ -3920,6 +3974,8 @@ object SparkEntry {
     // so the xsession leg answers to the same pinned oracle
     "curate_corpus_incremental_xsession" ->
       valuesOracle("curate_corpus_incremental"),
+    "inc_state_compact" -> valuesOracle("inc_state_compact"),
+    "takedown_incremental" -> valuesOracle("takedown_incremental"),
     "curate_drop_ledger" -> valuesOracle("curate_drop_ledger"),
     // the cross-session leg runs the IDENTICAL chain through the
     // simulated restart, so it must land on the same pinned oracle

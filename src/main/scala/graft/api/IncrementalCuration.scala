@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   *   - NB quality model: [[QualityClassifier.nbCountsDf]] sufficient
   *     statistics, summed per bucket on read
   *     ([[QualityClassifier.modelFromCounts]]);
-  *   - exact-dup identity: `xxhash64(raw text)` keep-earliest — min id
-  *     per hash over appended generations;
+  *   - exact-dup identity: `xxhash64(raw text)` keep-earliest — one
+  *     `(h, doc_id)` row per doc, min-per-hash taken on read (per-doc
+  *     rows keep the index deletion-closed for [[takedownState]]);
   *   - near-dup identity: banding collisions + exact Jaccard are
   *     per-PAIR facts, so the A ∪ B pair graph restricted to pairs
   *     touching B is exactly (index probe) ∪ (within-batch pairs) —
@@ -207,10 +208,15 @@ object IncrementalCuration {
     BucketedWrite.dropTable(spark, nbTable(prefix))
     QualityClassifier.nbCountsDf(corpus, textCol, labelCol, p.nbBuckets)
       .write.format("parquet").saveAsTable(nbTable(prefix))
+    // ALL (h, doc_id) rows, not min-per-hash: the admit read side only
+    // needs min() (it re-aggregates anyway), and per-doc rows make the
+    // index DELETION-CLOSED — a takedown is one anti-join on doc_id,
+    // with no way for a deleted min-holder to hide a surviving twin
+    // (min-per-batch would lose the larger-id twin at append time).
+    // Size cost ~nothing: one row per doc vs one per distinct text.
     BucketedWrite.saveBucketed(
       corpus.select(xxhash64(col(textCol)).as("h"),
-          col(idCol).cast("long").as("doc_id"))
-        .groupBy("h").agg(min("doc_id").as("doc_id")),
+        col(idCol).cast("long").as("doc_id")),
       hashTable(prefix), p.numBuckets, Seq("h"))
     BucketedWrite.dropTable(spark, vocabTable(prefix))
     BpeTrain.mergesDf(spark,
@@ -365,7 +371,6 @@ object IncrementalCuration {
       .write.mode("append").insertInto(nbTable(prefix))
     b.select(xxhash64(col(textCol)).as("h"),
         col(idCol).cast("long").as("doc_id"))
-      .groupBy("h").agg(min("doc_id").as("doc_id"))
       .select(spark.table(hashTable(prefix)).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(hashTable(prefix))
     // pin the new meta rows FIRST, then drop + recreate: saveAsTable
@@ -460,6 +465,215 @@ object IncrementalCuration {
       .localCheckpoint()
     b.unpersist()
     out
+  }
+
+  /** Day-N state compaction: fold every appended generation of the
+    * statistic tables back into ONE, so admit cost stays bound to the
+    * batch instead of growing with the NUMBER OF PRIOR BATCHES. Each
+    * admit appends a generation per table; after hundreds of daily
+    * batches the read-side merges (line-df sum, NB bucket sum, hash
+    * min) and the per-generation file listings grow with generation
+    * count — this rewrites each table to its merged single-generation
+    * form, which is semantics-preserving BY THE SAME THEOREM that makes
+    * admission exact: every statistic is mergeable, so merging it early
+    * changes nothing a future admit can observe (gate- and spec-pinned:
+    * admit-after-compact is bit-equal to admit-without-compact).
+    *
+    * Per table: line df counts fold by `sum(docs)` per line hash
+    * (zero-sum rows from takedown subtraction drop out); NB sufficient
+    * statistics fold by per-bucket sums; the hash/signature/gram triple
+    * stores are already one-row-per-fact (nothing to fold) and rewrite
+    * to a single bucketed generation (bounding file count); gram FLAGS
+    * dedupe (two batches re-introducing the same gram can flag the same
+    * old window twice — harmless to the island merge, dead weight on
+    * disk). The vocabulary and meta tables are single-generation by
+    * construction and are left untouched.
+    *
+    * Crash safety: the [[Dedup.compactGramIndex]] scratch-commit
+    * discipline PER TABLE — a leftover `{t}_compact_tmp` refuses the
+    * run; each table is staged fully before its drop+rename window, and
+    * a crash between tables leaves every table either fully old or
+    * fully new (both readable — compaction is semantics-preserving, so
+    * partial progress is safe and a re-run completes it). Bucket counts
+    * come from the catalog when the registration carries them and fall
+    * back to `params.numBuckets` when it doesn't — which means running
+    * compaction after a [[recoverFromWarehouse]] session RESTORES the
+    * bucketed layout the in-memory catalog's death erased (recovered
+    * registrations are plain parquet; see the recovery scaladoc).
+    *
+    * Returns one row per rewritten table:
+    * `(table, rows_before, rows_after)`. */
+  def compactState(spark: SparkSession, prefix: String,
+                   params: Params = Params()): DataFrame = {
+    import spark.implicits._
+    val p = params
+    recoverFromWarehouse(spark, prefix)
+    val meta = spark.table(metaTable(prefix))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(meta.get("params_hash").contains(paramsHash(p)),
+      s"'$prefix' was built with different Params than this compaction " +
+        "(stored fingerprint absent or differs) — compact with the " +
+        "build's values")
+
+    def compactOne(t: String, fold: DataFrame => DataFrame,
+                   bucketKeys: Seq[String]): (String, Long, Long) =
+      rewriteStaged(spark, t, fold, bucketKeys, p.numBuckets)
+
+    val lineT = lineTable(prefix)
+    val nbT = nbTable(prefix)
+    val hashT = hashTable(prefix)
+    val sigT = sigTable(prefix)
+    val gramT = gramTable(prefix)
+    val out = Seq.newBuilder[(String, Long, Long)]
+    out += compactOne(lineT,
+      _.groupBy("lh").agg(sum("docs").as("docs"))
+        .filter(col("docs") =!= 0L).select("lh", "docs"), Seq("lh"))
+    out += compactOne(nbT,
+      _.groupBy("bucket").agg(sum("pos_cnt").as("pos_cnt"),
+          sum("neg_cnt").as("neg_cnt"))
+        .select("bucket", "pos_cnt", "neg_cnt"), Seq.empty)
+    out += compactOne(hashT, _.select("h", "doc_id"), Seq("h"))
+    out += compactOne(sigT, _.select("band", "band_hash", "corpus_id"),
+      Seq("band", "band_hash"))
+    if (spark.catalog.tableExists(s"${sigT}_hot"))
+      out += compactOne(s"${sigT}_hot",
+        _.select("band", "band_hash", "corpus_id"), Seq.empty)
+    out += compactOne(gramT, _.select("gh", "doc_id", "pos"), Seq("gh"))
+    out += compactOne(s"${gramT}_flags",
+      _.select("doc_id", "pos", "fin").distinct(), Seq.empty)
+    out.result().toDF("table", "rows_before", "rows_after")
+  }
+
+  /** Stage → drop → rename rewrite of one state table: `fold` reads the
+    * LIVE table and is fully written to a `{t}_compact_tmp` scratch
+    * before the live table drops (the [[Dedup.compactGramIndex]]
+    * discipline); a leftover scratch refuses the run. Bucketed tables
+    * keep (or, after a [[recoverFromWarehouse]] session, REGAIN) their
+    * layout — the bucket count comes from the catalog when the
+    * registration carries it, else `fallbackBuckets`. */
+  private def rewriteStaged(spark: SparkSession, t: String,
+                            fold: DataFrame => DataFrame,
+                            bucketKeys: Seq[String],
+                            fallbackBuckets: Int): (String, Long, Long) = {
+    val scratch = s"${t}_compact_tmp"
+    require(!BucketedWrite.scratchLeftover(spark, scratch),
+      s"$scratch exists: a prior rewrite of '$t' was interrupted. " +
+        "If the live table still exists, DROP the scratch and re-run; " +
+        s"if only the scratch survives, ALTER TABLE `$scratch` RENAME " +
+        s"TO `$t` completes the commit.")
+    val before = spark.table(t).count()
+    val folded = fold(spark.table(t))
+    if (bucketKeys.nonEmpty) {
+      val buckets = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .bucketSpec.map(_.numBuckets).getOrElse(fallbackBuckets)
+      BucketedWrite.saveBucketed(folded, scratch, buckets, bucketKeys)
+    } else {
+      BucketedWrite.dropTable(spark, scratch)
+      folded.write.format("parquet").saveAsTable(scratch)
+    }
+    val after = spark.table(scratch).count()
+    BucketedWrite.dropTable(spark, t)
+    spark.sql(s"ALTER TABLE `$scratch` RENAME TO `$t`")
+    (t, before, after)
+  }
+
+  /** GDPR-class takedown through the day-2 state: delete `deletedDocs`
+    * from every statistic index so that every FUTURE [[admitBatch]]
+    * behaves as if those docs never existed — without rebuilding day-1
+    * state or re-reading the surviving corpus text (gate-pinned against
+    * the Python rerun of the full recipe on (A minus takedown) ∪ B).
+    *
+    * `deletedDocs` must carry the deleted docs' RAW TEXT and the inputs
+    * `labelCol` reads: every statistic is a function of raw text, and
+    * exact subtraction needs the same text that was added (a takedown
+    * request arrives as ids; read their rows from the raw corpus store
+    * before deleting them there too).
+    *
+    * Subtract-or-rebuild, stated per table:
+    *   - raw-hash index: ROW DELETION — the all-rows `(h, doc_id)` form
+    *     is deletion-closed (a deleted min-holder cannot hide a
+    *     surviving twin, which min-per-batch rows would lose);
+    *   - signature index: ROW DELETION
+    *     ([[BandedLsh.compactSignatureIndex]] — ids+hashes only, no
+    *     corpus pass);
+    *   - gram index: triple deletion + flag RE-DERIVATION
+    *     ([[Dedup.compactGramIndex]] — deletion changes the duplication
+    *     RELATION, not just the row set);
+    *   - line document frequencies: COUNT SUBTRACTION — one negated
+    *     [[lineCounts]] generation appended, netting out on the
+    *     read-side sum ([[compactState]] later drops zero-sum rows);
+    *   - NB sufficient statistics: COUNT SUBTRACTION — one negated
+    *     [[QualityClassifier.nbCountsDf]] generation appended;
+    *   - BPE vocabulary: UNTOUCHED, a stated exemption — the frozen
+    *     tokenizer is versioned day-1 state (like `bench`); it stores
+    *     byte-pair ranks, not text, and retraining it would change
+    *     token counts corpus-wide, breaking the frozen-vocabulary
+    *     contract every prior admit was measured under. The verifying
+    *     oracle trains its vocabulary on the ORIGINAL day-1 corpus for
+    *     exactly this reason;
+    *   - meta: UNTOUCHED — deleted ids stay burned below the high-water
+    *     mark (ids are monotone; reusing them would corrupt
+    *     keep-earliest).
+    *
+    * Validation BEFORE the first mutation (the admitBatch discipline):
+    * the set must be non-empty, id-unique, and every id must still be
+    * IN the hash index — which also makes an accidental RE-RUN of the
+    * same takedown refuse loudly instead of silently double-subtracting
+    * the count statistics. Mutation order puts the hash rewrite FIRST,
+    * so a crash between tables leaves a state whose re-run is REFUSED
+    * by that same check (torn, but loudly so — rebuild day-1 state),
+    * never one that double-subtracts. */
+  def takedownState(deletedDocs: DataFrame, prefix: String, idCol: String,
+                    textCol: String, labelCol: Column,
+                    params: Params = Params()): Unit = {
+    val spark = deletedDocs.sparkSession
+    val p = params
+    recoverFromWarehouse(spark, prefix)
+    val meta = spark.table(metaTable(prefix))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(meta.get("params_hash").contains(paramsHash(p)),
+      s"'$prefix' was built with different Params than this takedown " +
+        "(stored fingerprint absent or differs) — use the build's values")
+    val del = deletedDocs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idStats = del.agg(count(lit(1)).as("n"),
+        countDistinct(col(idCol)).as("nd")).head
+      require(idStats.getLong(0) > 0L,
+        "takedownState got an EMPTY deletion set — skip the call")
+      require(idStats.getLong(1) == idStats.getLong(0),
+        s"deletion ids must be unique (got ${idStats.getLong(0)} rows " +
+          s"over ${idStats.getLong(1)} distinct ids): the count " +
+          "subtractions assume one row per doc")
+      val delIds = del.select(col(idCol).cast("long").as("doc_id"))
+      val missing = delIds.join(spark.table(hashTable(prefix)),
+        Seq("doc_id"), "left_anti").limit(1).collect()
+      require(missing.isEmpty,
+        s"deletion id ${missing.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+          s"is not in '$prefix' — either it was never indexed (subtracting " +
+          "its statistics would corrupt the counts) or this takedown " +
+          "already ran (re-running would double-subtract); rebuild day-1 " +
+          "state if the takedown itself was interrupted mid-way")
+
+      // hash FIRST: once these rows are gone, any re-entry of this
+      // function (crash between tables, accidental repeat) fails the
+      // coverage check above instead of double-subtracting counts
+      rewriteStaged(spark, hashTable(prefix),
+        _.join(broadcast(delIds), Seq("doc_id"), "left_anti")
+          .select("h", "doc_id"), Seq("h"), p.numBuckets)
+      BandedLsh.compactSignatureIndex(spark, sigTable(prefix), delIds)
+      Dedup.compactGramIndex(spark, gramTable(prefix), delIds, p.width)
+      lineCounts(del, idCol, textCol, "\n")
+        .select(col("lh"), (-col("docs")).as("docs"))
+        .select(spark.table(lineTable(prefix)).columns.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(lineTable(prefix))
+      QualityClassifier.nbCountsDf(del, textCol, labelCol, p.nbBuckets)
+        .select(col("bucket"), (-col("pos_cnt")).as("pos_cnt"),
+          (-col("neg_cnt")).as("neg_cnt"))
+        .select(spark.table(nbTable(prefix)).columns.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(nbTable(prefix))
+    } finally del.unpersist()
   }
 
   /** Flagged-boilerplate token spans of a batch: lines whose MERGED

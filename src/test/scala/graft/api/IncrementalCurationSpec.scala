@@ -259,6 +259,102 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("unique"), e4.getMessage)
   }
 
+  test("compactState folds generations without changing any future admit") {
+    val prefix = "graft_inccur_cmp"
+    IncrementalCuration.reset(spark, prefix)
+    IncrementalCuration.buildState(df(dayA), prefix, "doc_id", "text",
+      col("lang") === "en", P)
+    val ranks = IncrementalCuration.loadVocab(spark, prefix)
+    IncrementalCuration.admitBatch(df(dayB), bench, df(dayA),
+      prefix, "doc_id", "text", col("lang") === "en", P)
+    // compact ACROSS a simulated restart: recovery leaves plain-parquet
+    // registrations (bucket metadata lost), and compaction must both
+    // work from that state and RESTORE the bucketed layout
+    IncrementalCuration.stateTables(prefix).foreach(t =>
+      org.apache.spark.sql.graft.CatalogOps.deregisterKeepingFiles(spark, t))
+    val stats = IncrementalCuration.compactState(spark, prefix, P)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // generations folded: NB holds 2 generations of (buckets + 1) rows
+    // before, exactly one after; line df rows can only shrink
+    assert(stats(s"${prefix}_nb") == ((2L * (P.nbBuckets + 1),
+      (P.nbBuckets + 1).toLong)), stats(s"${prefix}_nb").toString)
+    val (lb, la) = stats(s"${prefix}_lines")
+    assert(la < lb, s"line generations not folded: $lb -> $la")
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_grams"))
+      .bucketSpec
+    assert(spec.exists(_.numBuckets == P.numBuckets),
+      s"compaction must restore the bucketed layout, got $spec")
+    // the day-3 admit over compacted state must stay bit-equal to the
+    // union rerun — compaction is semantics-preserving or it is wrong
+    val gotC = rowsOf(IncrementalCuration.admitBatch(df(dayC), bench,
+      df(dayA ++ dayB), prefix, "doc_id", "text", col("lang") === "en", P))
+    val refC = rowsOf(IncrementalCuration.admitReference(
+      df(dayA ++ dayB ++ dayC), bench, "doc_id", "text",
+      col("lang") === "en", batchMinId = 200L, ranks, P))
+    assert(gotC == refC, s"post-compaction admit diverged:\n got $gotC\n ref $refC")
+  }
+
+  test("takedownState: future admits behave as if the deleted docs never existed") {
+    val prefix = "graft_inccur_take"
+    IncrementalCuration.reset(spark, prefix)
+    IncrementalCuration.buildState(df(dayA), prefix, "doc_id", "text",
+      col("lang") === "en", P)
+    val ranks = IncrementalCuration.loadVocab(spark, prefix)
+    // T flips every takedown-sensitive statistic: A6/A7 are L2's only
+    // day-1 holders (line df falls below minDocs), A8 is B105's exact
+    // twin, A9 is B108's near-dup partner
+    val delIdsSet = Set(6L, 7L, 8L, 9L)
+    val delDocs = df(dayA.filter(r => delIdsSet(r._1)))
+    // validations fire BEFORE any mutation: a never-indexed id refuses
+    val e0 = intercept[IllegalArgumentException] {
+      IncrementalCuration.takedownState(
+        df(Seq((999L, "never indexed", "en"))), prefix,
+        "doc_id", "text", col("lang") === "en", P)
+    }
+    assert(e0.getMessage.contains("never indexed"), e0.getMessage)
+    IncrementalCuration.takedownState(delDocs, prefix, "doc_id", "text",
+      col("lang") === "en", P)
+    val survivors = dayA.filterNot(r => delIdsSet(r._1))
+    val got = rowsOf(IncrementalCuration.admitBatch(df(dayB), bench,
+      df(survivors), prefix, "doc_id", "text", col("lang") === "en", P))
+    val ref = rowsOf(IncrementalCuration.admitReference(
+      df(survivors ++ dayB), bench, "doc_id", "text", col("lang") === "en",
+      batchMinId = 100L, ranks, P))
+    assert(got == ref, s"post-takedown admit diverged:\n got $got\n ref $ref")
+    val ids = got.map(_._1).toSet
+    assert(ids.contains(105L),
+      "a doc cloning TAKEN-DOWN text must now be the first holder")
+    assert(ids.contains(108L),
+      "a near-dup of a taken-down doc must now be admitted")
+    val chars = got.map(r => r._1 -> r._2).toMap
+    assert(chars(104L) == dayB.find(_._1 == 104L).get._2.length.toLong,
+      "L2's df fell below minDocs with its holders deleted — must not cut")
+    // re-running the same takedown must refuse loudly, not double-subtract
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalCuration.takedownState(delDocs, prefix, "doc_id", "text",
+        col("lang") === "en", P)
+    }
+    assert(e1.getMessage.contains("double-subtract"), e1.getMessage)
+  }
+
+  test("compactState refuses a leftover scratch loudly") {
+    import spark.implicits._
+    val prefix = "graft_inccur_cmpscr"
+    IncrementalCuration.reset(spark, prefix)
+    IncrementalCuration.buildState(df(dayA), prefix, "doc_id", "text",
+      col("lang") === "en", P)
+    val scratch = s"${prefix}_lines_compact_tmp"
+    Seq((1L, 1L)).toDF("lh", "docs")
+      .write.format("parquet").saveAsTable(scratch)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IncrementalCuration.compactState(spark, prefix, P)
+      }
+      assert(e.getMessage.contains("compact_tmp"), e.getMessage)
+    } finally BucketedWrite.dropTable(spark, scratch)
+  }
+
   test("a corpus lookup missing prior-batch ids fails loudly, never silently under-dedups") {
     val prefix = "graft_inccur_cov"
     IncrementalCuration.reset(spark, prefix)

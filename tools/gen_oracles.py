@@ -2637,6 +2637,172 @@ def main(sf_dir, spark_dir):
         ("doc_id", "n_chars_inc", "n_tok_inc", "nb_score"),
         ("BIGINT", "BIGINT", "BIGINT", "DOUBLE"), inc_rows, "doc_id")
 
+    # ---- inc_state_compact: the Scala side admits B1 = [350, 450),
+    # COMPACTS the nine state tables, then admits B2 = [450, 500). By the
+    # mergeable-statistics theorem the B2 admit over A UNION B1 state is
+    # the [450, 500) slice of the SAME union rerun — so the oracle is a
+    # slice of inc_rows, and any statistic the compaction loses or
+    # double-counts lands as a hash mismatch. Non-vacuity: the slice must
+    # carry at least one exact-dup drop against B1 (485 clones 388 — the
+    # COMPACTED hash rows must still hold it), one drop against day-1 A,
+    # and one span-cut admitted doc.
+    cmp_rows = [r for r in inc_rows if r[0] >= 450]
+    assert 8 <= len(cmp_rows) < len(inc_rows), \
+        f"compact slice too thin: {len(cmp_rows)} of {len(inc_rows)}"
+    cmp_admitted = {r[0] for r in cmp_rows}
+    assert inc[485] == inc[388] and 485 not in cmp_admitted, \
+        "compact fixture vacuous: no exact dup against the B1 generation"
+    assert any(d >= 450 and d % 10 == 3 and d not in cmp_admitted
+               for d in inc), \
+        "compact fixture vacuous: no exact dup against day-1 A"
+    assert any(len(word_cut_text(inc[d], inc_spans(d))) < len(inc[d])
+               for d, _c, _t, _s in cmp_rows), \
+        "compact fixture vacuous: no admitted B2 doc was span-cut"
+    queries["inc_state_compact"] = (
+        ("doc_id", "n_chars_inc", "n_tok_inc", "nb_score"),
+        ("BIGINT", "BIGINT", "BIGINT", "DOUBLE"), cmp_rows, "doc_id")
+
+    # ---- takedown_incremental: the Scala side builds day-1 state on A,
+    # DELETES T = {150 <= id < 350, id % 10 in (3, 6)} (exactly the docs
+    # B's % 10 == 3 exact clones and % 10 == 6 near clones point at),
+    # then admits B. Truth = the batch slice of the full recipe over
+    # (A - T) UNION B — recomputed here generically from the doc map —
+    # EXCEPT the BPE vocabulary, which stays trained on the ORIGINAL A:
+    # the frozen tokenizer is versioned day-1 state the takedown
+    # deliberately exempts (it stores byte-pair ranks, not text, and
+    # retraining would change token counts corpus-wide).
+    def inc_recipe_slice(corpus_map, batch_min, vocab_rank):
+        linedocs = {}
+        for _did, tt in corpus_map.items():
+            for l in set(tt.split("\n")):
+                linedocs[l] = linedocs.get(l, 0) + 1
+        boiler = {l for l, c in linedocs.items() if c >= INC_MINDOCS}
+        first = {}
+        for did in sorted(corpus_map):
+            first.setdefault(corpus_map[did], did)
+        exact_keep = {did for did in corpus_map
+                      if first[corpus_map[did]] == did}
+        bandmap, shs = {}, {}
+        for did, tt in corpus_map.items():
+            if len(tt) < 4:
+                continue
+            sh = vk.shingles_from_text(tt, 4)
+            shs[did] = set(sh)
+            bandmap[did] = vk.minhash_bands(sh, 8, 3, 123)
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        ids = sorted(bandmap)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                if not any(bandmap[a][kk] == bandmap[b][kk]
+                           for kk in range(8)):
+                    continue
+                sa, sb = shs[a], shs[b]
+                inter = len(sa & sb)
+                if inter / (len(sa) + len(sb) - inter) > 0.5:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        if ra < rb:
+                            parent[rb] = ra
+                        else:
+                            parent[ra] = rb
+        near_keep = {did for did in corpus_map if find(did) == did}
+        pos = [t for did, t in corpus_map.items() if lang_of[did] == "en"]
+        neg = [t for did, t in corpus_map.items() if lang_of[did] != "en"]
+        pc, nc = dsir_counts(pos), dsir_counts(neg)
+        pTot, nTot = float(sum(pc)) + DSIR_B, float(sum(nc)) + DSIR_B
+        lo = [ln_pinned(float(pc[b] + 1) * nTot)
+              - ln_pinned(float(nc[b] + 1) * pTot) for b in range(DSIR_B)]
+        prior = ln_pinned(float(len(pos))) - ln_pinned(float(len(neg)))
+
+        def nb(text):
+            acc = prior
+            for f in dsir_feats(text):
+                acc += lo[_zlib.crc32(f.encode("utf-8")) % DSIR_B]
+            return acc
+
+        gd = {}
+        toks = {did: v2_toks(t) for did, t in corpus_map.items()}
+        for did, ts in toks.items():
+            for i in range(len(ts) - INC_W + 1):
+                g = tuple(ts[i:i + INC_W])
+                e = gd.get(g)
+                if e is None:
+                    gd[g] = [did, did]
+                else:
+                    if did < e[0]:
+                        e[0] = did
+                    if did > e[1]:
+                        e[1] = did
+        dup = {g for g, (mn, mx) in gd.items() if mn != mx}
+
+        def spans(did):
+            ts = toks[did]
+            iv = []
+            for i in range(len(ts) - INC_W + 1):
+                g = tuple(ts[i:i + INC_W])
+                if g in dup or g in inc_bgrams:
+                    iv.append([i, i + INC_W - 1])
+            off = 0
+            for line in corpus_map[did].split("\n"):
+                n = len(v2_toks(line))
+                if line in boiler and n > 0:
+                    iv.append([off, off + n - 1])
+                off += n
+            iv.sort()
+            out = []
+            for a, b in iv:
+                if out and a <= out[-1][1] + 1:
+                    if b > out[-1][1]:
+                        out[-1][1] = b
+                else:
+                    out.append([a, b])
+            return [(a, b) for a, b in out]
+
+        def bpec(text):
+            n = 0
+            for w in re.split(rb"[\t\n\x0b\x0c\r ]+", text.encode("utf-8")):
+                if w:
+                    n += len(bpe_word_toks_r(w, vocab_rank))
+            return n
+
+        rows = []
+        for did in sorted(d for d in corpus_map if d >= batch_min):
+            if did not in exact_keep or did not in near_keep:
+                continue
+            score = nb(corpus_map[did])
+            if not score > 0.0:
+                continue
+            cut = word_cut_text(corpus_map[did], spans(did))
+            rows.append((did, len(cut), bpec(cut), score))
+        return rows
+
+    # the generic recomputation must reproduce the incremental oracle on
+    # the FULL map — pins the refactor against the hand-inlined block
+    assert inc_recipe_slice(inc, 350, inc_vocab_rank) == inc_rows, \
+        "inc_recipe_slice diverges from the inline incremental oracle"
+    tk_del = {d for d in inc if 150 <= d < 350 and d % 10 in (3, 6)}
+    tk_map = {d: t for d, t in inc.items() if d >= 350 or d not in tk_del}
+    tk_rows = inc_recipe_slice(tk_map, 350, inc_vocab_rank)
+    tk_adm = {r[0] for r in tk_rows}
+    inc_adm = {r[0] for r in inc_rows}
+    assert any(d % 10 == 3 for d in tk_adm - inc_adm), \
+        "takedown fixture vacuous: no exact-dup verdict flipped"
+    assert any(d % 10 == 6 for d in tk_adm - inc_adm), \
+        "takedown fixture vacuous: no near-dup verdict flipped"
+    assert len(tk_rows) > len(inc_rows), \
+        "takedown fixture vacuous: admitting fewer docs after deletion"
+    queries["takedown_incremental"] = (
+        ("doc_id", "n_chars_inc", "n_tok_inc", "nb_score"),
+        ("BIGINT", "BIGINT", "BIGINT", "DOUBLE"), tk_rows, "doc_id")
+
     # ---- signature_dedup_pairs: banding collisions + 24-component
     # signature-fraction similarity (mirrors BandedLsh.nearDupPairsBySignature:
     # same 8x3 blocking as minhash_dedup_pairs, est = equal components / 24).
