@@ -38,6 +38,30 @@ object SparkEntry {
     * fragments on %11 — every normalization rule in
     * [[graft.api.Domains]] gets exercised. Mirrored verbatim in the
     * DuckDB/Python oracles. */
+  /** Deterministic raw-HTML twin of the documents fixture: each doc's
+    * text wrapped in a realistic page — head metadata, style + script
+    * (the script body contains `<`, `&&` and a decoy `</p>` closer),
+    * comments, nav chrome, heading, list items with named/numeric
+    * entities, the text split across two `<p>` blocks. Mirrored
+    * byte-for-byte in tools/gen_oracles.py (`planted_html`), so the
+    * html_extract gate pins the EXTRACTOR against the independent
+    * Python scan, not fixture plumbing. */
+  private def withPlantedHtml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+      concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "),
+        col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">p { color: #333; }</style>" +
+          "<script>if (x < 3 && y > 0) { track(\"</p>\"); }</script>" +
+          "</head><body><!-- header --><div class=\"nav\">Home &raquo; " +
+          "Docs</div><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), substring(col("text"), 1, 80),
+        lit("</p><ul><li>alpha &amp; beta</li><li>&#65;&#x42; size " +
+          "&lt;10&gt;</li></ul><p>"),
+        substring(col("text"), 81, 1000000),
+        lit("</p><br/>&copy; 2026 example</body></html>")).as("html"))
+
   private def withPlantedUrls(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), col("n_chars"),
       concat(lit("https://"),
@@ -2540,18 +2564,45 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
-    // The RefinedWeb-style FRONT-END composed end to end — the stages a
-    // web pipeline runs before any content-based operator: host blocklist
-    // -> path-pattern filter -> URL-identity dedup -> per-domain token
-    // budget -> train split. Every stage is the already-gated operator;
-    // the oracle re-derives the whole chain in Python from each stage's
-    // survivor set, so stage-order and id-threading bugs surface as row
-    // mismatches. The /p13 prefix rule hits both the bare "/p13" paths
-    // and the trailing-slash "/p13/" variants (ids ≡ 13 mod 40 ∧ 0 mod
-    // 3), pinning the path-side slash normalization inside the chain.
+    // HTML extraction front-end: the documents fixture wrapped in planted
+    // raw pages (withPlantedHtml — script with a decoy </p> closer, style,
+    // comments, nav chrome, entities, the text split across two <p>
+    // blocks), extracted by the codegen'd html_extract expression. The
+    // oracle re-derives the extraction with an independent Python scan
+    // (tools/gen_oracles.py html_extract_py) over the byte-identical
+    // fixture: length + line count pin the whole body, head/tail slices
+    // pin the chrome-heavy regions where most rules fire.
+    "html_extract" -> ((s, dir) => {
+      graft.api.TextAnalysis
+        .extractHtml(withPlantedHtml(load(s, dir, "documents")),
+          "html", "text")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_html"),
+          size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
+          substring(col("text"), 1, 60).as("head60"),
+          expr("substring(text, greatest(length(text) - 59, 1), 60)")
+            .as("tail60"))
+        .orderBy("doc_id")
+    }),
+    // The RefinedWeb-style FRONT-END composed end to end — now starting
+    // from RAW HTML, the shape real web curation actually has: html
+    // extraction -> host blocklist -> path-pattern filter -> URL-identity
+    // dedup -> per-domain token budget (over the EXTRACTED length — the
+    // mass a trainer would see) -> train split. Every stage is the
+    // already-gated operator; the oracle re-derives the whole chain in
+    // Python from each stage's survivor set, so stage-order and
+    // id-threading bugs surface as row mismatches. The /p13 prefix rule
+    // hits both the bare "/p13" paths and the trailing-slash "/p13/"
+    // variants (ids ≡ 13 mod 40 ∧ 0 mod 3), pinning the path-side slash
+    // normalization inside the chain.
     "curate_web" -> ((s, dir) => {
       import s.implicits._
-      val urled = withPlantedUrls(load(s, dir, "documents"))
+      val docs0 = load(s, dir, "documents")
+      val extracted = graft.api.TextAnalysis
+        .extractHtml(withPlantedHtml(docs0), "html", "text")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_ext"))
+      val urled = withPlantedUrls(docs0).join(extracted, "doc_id")
       val blocked = Seq("src3.example.com", "src5.example.com").toDF("domain")
       val s1 = graft.api.Domains.filterBlockedHosts(urled, "url", "doc_id", blocked)
       val s1b = graft.api.Domains.filterUrlPaths(s1, "url", "doc_id",
@@ -2559,11 +2610,11 @@ object SparkEntry {
           .toDF("kind", "pattern"))
       val s2 = graft.api.Domains.dedupByUrl(s1b, "url", "doc_id")
       val s3 = graft.api.Domains.domainTokenQuota(s2, "url", "doc_id",
-        col("n_chars"), budgetPerDomain = 2000L, seed = 13L)
+        col("n_chars_ext"), budgetPerDomain = 2200L, seed = 13L)
       graft.api.Sampling.assignSplits(s3, "doc_id", 5L,
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .filter(col("split") === "train")
-        .select(col("doc_id"), col("n_chars"))
+        .select(col("doc_id"), col("n_chars_ext"))
         .orderBy("doc_id")
     }),
     "stream_domain_quota" -> ((s, dir) => {
@@ -3595,6 +3646,7 @@ object SparkEntry {
     "domain_quota_sample" -> valuesOracle("domain_quota_sample"),
     "domain_token_quota" -> valuesOracle("domain_token_quota"),
     "curate_web" -> valuesOracle("curate_web"),
+    "html_extract" -> valuesOracle("html_extract"),
     // DuckDB has no punycode: the independent re-derivation is CPython's
     // RFC 3492 codec (+ unquote/NFC) in tools/gen_oracles.py, pinned
     "domain_dedup_idn" -> valuesOracle("domain_dedup_idn"),

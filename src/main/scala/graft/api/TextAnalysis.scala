@@ -12,6 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** HTML extraction front-end — the stage a web pipeline runs before
+    * ANY content operator turns raw crawl HTML into line-structured
+    * text: script/style/comment removal, tag strip with block-element
+    * line breaks, entity decode, whitespace normalization. One
+    * codegen'd scalar expression per row ([[graft.core.HtmlText]] for
+    * the scan rules), zero shuffles added — compose it as the first
+    * stage of `curate_web`-style chains. Output lines ARE block
+    * structure, which is what the line-level operators (boilerplate
+    * document frequency, Gopher line rules) consume. */
+  def extractHtml(df: DataFrame, htmlCol: String = "html",
+                  outCol: String = "text"): DataFrame =
+    df.withColumn(outCol, graft.functions.html_extract(col(htmlCol)))
+
   /** Small, fixed stopword profiles. Deliberately tiny — the point is a
     * deterministic, cheap heuristic, not linguistic accuracy. */
   val profiles: Seq[(String, Seq[String])] = Seq(

@@ -1,0 +1,169 @@
+package graft.core
+
+/** Deterministic HTML → text extraction (the C4/CCNet-style front-end a
+  * web-crawl pipeline runs before ANY content operator), specified
+  * tightly enough to be re-derived independently — the Python oracle in
+  * tools/gen_oracles.py mirrors this scan rule for rule, so the gate
+  * pins the EXTRACTOR, not shared code.
+  *
+  * One left-to-right scan:
+  *
+  *   - `<!--` comments drop through the next `-->` (unterminated: drop
+  *     to end of input);
+  *   - an opening `<script`/`<style` tag drops everything through its
+  *     case-insensitive `</script`/`</style` closer's `>` and emits one
+  *     line break (unterminated: drop to end);
+  *   - any other `<` followed by an ASCII letter, `/`, `!` or `?` is a
+  *     tag ending at the FIRST `>` (a documented simplification: a `>`
+  *     inside a quoted attribute value ends the tag early; real crawl
+  *     extractors at this tier accept that). The tag name is the
+  *     leading `[A-Za-z0-9]*` run after the optional `/`; names in
+  *     [[HtmlText.BlockTags]] emit `\n`, every other tag emits nothing.
+  *     A `<` with no later `>` is literal text;
+  *   - `&` starts an entity if a `;` appears within the next 31 chars
+  *     and the body parses as `#` + 1..7 decimal digits, `#x`/`#X` +
+  *     1..6 hex digits (valid non-surrogate scalar ≤ U+10FFFF, > 0), or
+  *     one of amp/lt/gt/quot/apos/nbsp (nbsp → a PLAIN space — the
+  *     downstream tokenizers split on U+0020, not U+00A0). Anything
+  *     else leaves the `&` literal. Decoded `<` is text, never
+  *     re-scanned;
+  *   - source `\n`, `\r`, `\t` become spaces (HTML whitespace is
+  *     presentation); ONLY block tags make lines.
+  *
+  * Then per line: runs of spaces collapse to one, edges trim (chars
+  * ≤ U+0020), empty lines drop, lines join with `\n` — so the output's
+  * line structure is the document's block structure, which is exactly
+  * what the line-level operators (boilerplate df, Gopher line rules)
+  * consume. */
+object HtmlText {
+
+  /** Tags that emit a line break — HTML's block-level elements plus
+    * `title` (head metadata must not glue onto the body's first line).
+    * Part of the extraction contract: mirrored verbatim in the oracle. */
+  val BlockTags: Set[String] = Set(
+    "address", "article", "aside", "blockquote", "br", "caption", "dd",
+    "details", "dialog", "div", "dl", "dt", "fieldset", "figcaption",
+    "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+    "header", "hgroup", "hr", "li", "main", "nav", "ol", "p", "pre",
+    "section", "summary", "table", "tbody", "td", "tfoot", "th",
+    "thead", "title", "tr", "ul")
+
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isAsciiAlnum(c: Char): Boolean =
+    isAsciiLetter(c) || (c >= '0' && c <= '9')
+
+  /** Index of case-insensitive `needle` in `s` at or after `from`, -1 if
+    * absent (needle is ASCII by construction here). */
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = s.length - needle.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode the entity starting at `i` (s(i) == '&'): returns the decoded
+    * string and the source length consumed, or null if not an entity. */
+  private def tryEntity(s: String, i: Int): (String, Int) = {
+    val n = s.length
+    var j = i + 1
+    val lim = math.min(n, i + 32)
+    while (j < lim && s.charAt(j) != ';') j += 1
+    if (j >= lim || j >= n || s.charAt(j) != ';') return null
+    val body = s.substring(i + 1, j)
+    val len = j - i + 1
+    if (body.startsWith("#x") || body.startsWith("#X")) {
+      val hex = body.substring(2)
+      if (hex.isEmpty || hex.length > 6 ||
+        !hex.forall(c => isAsciiAlnum(c) && Character.digit(c, 16) >= 0))
+        return null
+      val cp = Integer.parseInt(hex, 16)
+      if (cp <= 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+        return null
+      (new String(Character.toChars(cp)), len)
+    } else if (body.startsWith("#")) {
+      val dec = body.substring(1)
+      if (dec.isEmpty || dec.length > 7 || !dec.forall(c => c >= '0' && c <= '9'))
+        return null
+      val cp = Integer.parseInt(dec, 10)
+      if (cp <= 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+        return null
+      (new String(Character.toChars(cp)), len)
+    } else body match {
+      case "amp"  => ("&", len)
+      case "lt"   => ("<", len)
+      case "gt"   => (">", len)
+      case "quot" => ("\"", len)
+      case "apos" => ("'", len)
+      case "nbsp" => (" ", len)
+      case _      => null
+    }
+  }
+
+  def extract(s: String): String = {
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.regionMatches(i, "<!--", 0, 4)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && {
+          val d = s.charAt(i + 1)
+          isAsciiLetter(d) || d == '/' || d == '!' || d == '?'
+        }) {
+          var j = i + 1
+          val closing = s.charAt(j) == '/'
+          if (closing) j += 1
+          var k = j
+          while (k < n && isAsciiAlnum(s.charAt(k))) k += 1
+          val name = s.substring(j, k).toLowerCase(java.util.Locale.ROOT)
+          val gt = s.indexOf('>', i + 1)
+          if (gt < 0) {
+            out.append('<'); i += 1
+          } else if (!closing && (name == "script" || name == "style")) {
+            val endTag = indexOfIgnoreCase(s, "</" + name, gt + 1)
+            i =
+              if (endTag < 0) n
+              else {
+                val gt2 = s.indexOf('>', endTag)
+                if (gt2 < 0) n else gt2 + 1
+              }
+            out.append('\n')
+          } else {
+            if (BlockTags.contains(name)) out.append('\n')
+            i = gt + 1
+          }
+        } else {
+          out.append('<'); i += 1
+        }
+      } else if (c == '&') {
+        val e = tryEntity(s, i)
+        if (e == null) { out.append('&'); i += 1 }
+        else { out.append(e._1); i += e._2 }
+      } else if (c == '\n' || c == '\r' || c == '\t') {
+        out.append(' '); i += 1
+      } else {
+        out.append(c); i += 1
+      }
+    }
+    // line pass: collapse space runs, trim (<= U+0020), drop empties
+    val lines = out.toString.split("\n", -1)
+    val sb = new java.lang.StringBuilder(out.length)
+    var first = true
+    lines.foreach { ln =>
+      val t = ln.replaceAll(" +", " ").trim
+      if (t.nonEmpty) {
+        if (!first) sb.append('\n')
+        sb.append(t)
+        first = false
+      }
+    }
+    sb.toString
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, BpeRanks, BpeTokens, CmsBuild, CmsEstimate, ColumnShim, CosineSim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, HtmlExtract, BpeRanks, BpeTokens, CmsBuild, CmsEstimate, ColumnShim, CosineSim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, WinnowFingerprint}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -53,6 +53,11 @@ object functions {
 
   /** 64-bit SimHash over whitespace tokens. */
   def simhash64(text: Column): Column = toCol(SimHash64(col2expr(text)))
+
+  /** HTML → text extraction (tag strip with block line breaks,
+    * script/style/comment drop, entity decode, whitespace normalization
+    * — [[graft.core.HtmlText]]). */
+  def html_extract(html: Column): Column = toCol(HtmlExtract(col2expr(html)))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming_dist(a: Column, b: Column): Column =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, CmsEstimate, CosineSim, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, UnicodeNorm, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, CmsBuild, HtmlExtract, CmsEstimate, CosineSim, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, UnicodeNorm, WinnowFingerprint}
 
 /** Registration of the five LSH SQL functions, the analog of the reference's
   * extension entry point (/root/reference/src/lib.rs:40-53). After
@@ -99,6 +99,10 @@ object LshFunctions {
     "topk_by" -> ((args: Seq[Expression]) => {
       require(args.length == 3, "topk_by expects 3 arguments")
       TopKByScore(args(0), args(1), args(2))
+    }),
+    "html_extract" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "html_extract expects 1 argument")
+      HtmlExtract(args(0))
     }),
     "unicode_norm" -> ((args: Seq[Expression]) => {
       require(args.length == 1 || args.length == 2,

@@ -223,6 +223,41 @@ object IdnAsciiHost {
   }
 }
 
+/** html_extract(html): deterministic HTML → text extraction — tag strip
+  * with block-element line breaks, script/style/comment removal, entity
+  * decode, whitespace normalization ([[graft.core.HtmlText]], where the
+  * scan rules are specified; the Python oracle re-derives them
+  * independently). The front-end stage of a web-curation pipeline: its
+  * output lines are block structure, which is what the line-level
+  * operators (boilerplate df, Gopher line rules) consume. NULL → NULL;
+  * codegen is one static call — no UDF, no regex chain. */
+case class HtmlExtract(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "html_extract"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    HtmlExtract.extract(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val mod = s"${classOf[HtmlExtract].getName}$$.MODULE$$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $mod.extract($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HtmlExtract {
+  /** Static call target for interpreted eval and generated code. */
+  def extract(s: UTF8String): UTF8String =
+    UTF8String.fromString(_root_.graft.core.HtmlText.extract(s.toString))
+}
+
 object UnicodeNorm {
   /** Static call target for interpreted eval and generated code. The form
     * resolves via a compile-time string switch, not per-row

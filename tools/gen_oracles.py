@@ -1002,11 +1002,151 @@ def main(sf_dir, spark_dir):
           " CAST(split AS VARCHAR) AS split\nFROM sel\nORDER BY doc_id")
     custom["dataset_splits"] = (split_rows, ("doc_id", "split"), split_sql)
 
+    # ---- html_extract: independent Python re-derivation of the HTML ->
+    # text scan (graft.core.HtmlText states the rules; this mirrors them
+    # rule for rule): comments drop, script/style drop through their
+    # case-insensitive closers, tags end at the FIRST '>' with block
+    # names emitting '\n', entities decode (named set + #dec/#hex with
+    # the same digit/scalar limits), source \n\r\t become spaces, then
+    # lines collapse-trim-drop-join.
+    HTML_BLOCK = {
+        "address", "article", "aside", "blockquote", "br", "caption",
+        "dd", "details", "dialog", "div", "dl", "dt", "fieldset",
+        "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+        "h4", "h5", "h6", "header", "hgroup", "hr", "li", "main",
+        "nav", "ol", "p", "pre", "section", "summary", "table",
+        "tbody", "td", "tfoot", "th", "thead", "title", "tr", "ul"}
+    HTML_NAMED = {"amp": "&", "lt": "<", "gt": ">", "quot": '"',
+                  "apos": "'", "nbsp": " "}
+
+    def html_extract_py(s):
+        n = len(s)
+        out = []
+        i = 0
+        while i < n:
+            c = s[i]
+            if c == "<":
+                if s.startswith("<!--", i):
+                    e = s.find("-->", i + 4)
+                    i = n if e < 0 else e + 3
+                elif i + 1 < n and s[i + 1].isascii() and \
+                        (s[i + 1].isalpha() or s[i + 1] in "/!?"):
+                    j = i + 1
+                    closing = s[j] == "/"
+                    if closing:
+                        j += 1
+                    k = j
+                    while k < n and s[k].isascii() and s[k].isalnum():
+                        k += 1
+                    name = s[j:k].lower()
+                    gt = s.find(">", i + 1)
+                    if gt < 0:
+                        out.append("<")
+                        i += 1
+                    elif not closing and name in ("script", "style"):
+                        needle = "</" + name
+                        end_tag = -1
+                        for q in range(gt + 1, n - len(needle) + 1):
+                            if s[q:q + len(needle)].lower() == needle:
+                                end_tag = q
+                                break
+                        if end_tag < 0:
+                            i = n
+                        else:
+                            gt2 = s.find(">", end_tag)
+                            i = n if gt2 < 0 else gt2 + 1
+                        out.append("\n")
+                    else:
+                        if name in HTML_BLOCK:
+                            out.append("\n")
+                        i = gt + 1
+                else:
+                    out.append("<")
+                    i += 1
+            elif c == "&":
+                dec, ln_e = None, 0
+                semi = s.find(";", i + 1, i + 32)
+                if semi >= 0:
+                    body = s[i + 1:semi]
+                    ln_e = semi - i + 1
+                    if body[:2] in ("#x", "#X"):
+                        hx = body[2:]
+                        if 1 <= len(hx) <= 6 and all(
+                                ch in "0123456789abcdefABCDEF" for ch in hx):
+                            cp = int(hx, 16)
+                            if 0 < cp <= 0x10FFFF and \
+                                    not 0xD800 <= cp <= 0xDFFF:
+                                dec = chr(cp)
+                    elif body[:1] == "#":
+                        dc = body[1:]
+                        if 1 <= len(dc) <= 7 and dc.isascii() and \
+                                dc.isdigit():
+                            cp = int(dc)
+                            if 0 < cp <= 0x10FFFF and \
+                                    not 0xD800 <= cp <= 0xDFFF:
+                                dec = chr(cp)
+                    else:
+                        dec = HTML_NAMED.get(body)
+                if dec is None:
+                    out.append("&")
+                    i += 1
+                else:
+                    out.append(dec)
+                    i += ln_e
+            elif c in "\n\r\t":
+                out.append(" ")
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        jtrim = "".join(chr(q) for q in range(0x21))
+        res = []
+        for ln_ in "".join(out).split("\n"):
+            t = re.sub(" +", " ", ln_).strip(jtrim)
+            if t:
+                res.append(t)
+        return "\n".join(res)
+
+    def planted_html(did, t):
+        return (
+            "<!DOCTYPE html><html><head><title>Doc " + str(did) +
+            '</title><style type="text/css">p { color: #333; }</style>'
+            '<script>if (x < 3 && y > 0) { track("</p>"); }</script>'
+            '</head><body><!-- header --><div class="nav">Home &raquo; '
+            "Docs</div><h1>Doc " + str(did) +
+            "</h1><p>" + t[:80] +
+            "</p><ul><li>alpha &amp; beta</li><li>&#65;&#x42; size "
+            "&lt;10&gt;</li></ul><p>" + t[80:] +
+            "</p><br/>&copy; 2026 example</body></html>")
+
+    hx_text = dict(docs)
+    hx_ext = {did: html_extract_py(planted_html(did, hx_text[did] or ""))
+              for did, _l, _s, _n in drows}
+    hx_rows = []
+    for did in sorted(hx_ext):
+        t = hx_ext[did]
+        hx_rows.append((did, len(t), t.count("\n") + 1, t[:60],
+                        t[max(len(t) - 60, 0):]))
+    # non-vacuity: chrome must survive extraction as its own lines, the
+    # unknown entities must stay literal, the known ones must decode
+    assert all(t.startswith("Doc ") for t in hx_ext.values())
+    assert all("Home &raquo; Docs" in t for t in hx_ext.values())
+    assert all("alpha & beta" in t and "AB size <10>" in t
+               for t in hx_ext.values())
+    assert all("track" not in t and "color" not in t
+               for t in hx_ext.values()), "script/style leaked"
+    queries["html_extract"] = (
+        ("doc_id", "n_chars_html", "n_lines", "head60", "tail60"),
+        ("BIGINT", "BIGINT", "BIGINT", "VARCHAR", "VARCHAR"),
+        hx_rows, "doc_id")
+
     # ---- curate_web: the RefinedWeb-style FRONT-END composed end to end
-    # (round 15) — host blocklist -> URL-identity dedup -> per-domain
-    # token budget -> train split. Full-chain re-derivation: each stage
-    # recomputed from the previous stage's survivor set, so stage-order
-    # and threading bugs surface as row mismatches.
+    # (round 15; round 18 adds the html_extract first stage) — html
+    # extraction -> host blocklist -> path filter -> URL-identity dedup
+    # -> per-domain token budget over the EXTRACTED length -> train
+    # split. Full-chain re-derivation: each stage recomputed from the
+    # previous stage's survivor set, so stage-order and threading bugs
+    # surface as row mismatches.
     def normalized_url(u):
         host = url_host(u)
         m = re.match(r"^[a-z]+://[^/?#]+([^?#]*)", u)
@@ -1058,14 +1198,14 @@ def main(sf_dir, spark_dir):
     for host, ids in cw_byhost.items():
         run = 0
         for did in sorted(ids, key=lambda i: (hash_score(i, 13), i)):
-            run += nch[did]
-            if run <= 2000:
+            run += len(hx_ext[did])
+            if run <= 2200:
                 cw_s3.append(did)
-    cw_rows = sorted((did, nch[did]) for did in cw_s3
+    cw_rows = sorted((did, len(hx_ext[did])) for did in cw_s3
                      if split_of(did) == "train")
     assert len(cw_rows) >= 10, f"curate_web: only {len(cw_rows)} train rows"
     queries["curate_web"] = (
-        ("doc_id", "n_chars"), ("BIGINT", "BIGINT"), cw_rows, "doc_id")
+        ("doc_id", "n_chars_ext"), ("BIGINT", "BIGINT"), cw_rows, "doc_id")
 
     # ---- domain_dedup_idn: IDN/punycode host folding. DuckDB has no
     # punycode, so the independent second implementation is CPython's
