@@ -2430,6 +2430,22 @@ object SparkEntry {
         .select("media_id", "checksum", "width", "height", "mean_byte")
         .orderBy("media_id")
     }),
+    // Perceptual image near-dup: dHash over DECODED pixels (integer
+    // gray/floor-mean recipe — graft.core.ImageHash), SimHash-style
+    // 4x16-bit pigeonhole banding, exact Hamming verify <= 10. Fixture:
+    // the recipe rasters plus 4x4-corner-shifted NEAR twins (their dHash
+    // damage is confined to band 0, so banding must find every one) and
+    // re-encoded EXACT twins (distance 0 — hash identity is pixel-
+    // defined, never byte-defined). The oracle recomputes every hash
+    // from the pixel recipe in Python — no image libraries — then mirrors
+    // the banding, so a raster-order/gray-weight/grid-boundary deviation
+    // lands as a row or hash mismatch.
+    "image_phash_dedup" -> ((s, dir) => {
+      graft.api.Multimodal.imageNearDupPairs(
+          graft.api.Multimodal.syntheticPngTwins(s, 48),
+          "media_id", "bytes", bands = 4, maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    }),
     "multimodal_features_jpeg" -> ((s, dir) => {
       // the second real codec path through the same decoder seam: the
       // recipe rasters JPEG-encoded (lossy, quality 0.95). Dims are pinned
@@ -4060,6 +4076,7 @@ object SparkEntry {
     // boundaries, same frozen models — bit-equal verdicts, two plans
     "stream_novelty_ingest" -> valuesOracle("ann_novelty_ingest"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
+    "image_phash_dedup" -> valuesOracle("image_phash_dedup"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),
     "token_count_bpe" -> valuesOracle("token_count_bpe"),

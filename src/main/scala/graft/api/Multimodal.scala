@@ -89,27 +89,10 @@ object Multimodal {
     // decode. ImageReader.getWidth/getHeight parse only the header.
     def decode(bytes: Array[Byte]): (Long, Int, Int, Double) = {
       inMemoryIo
-      val img =
-        try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) null
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis, true, true)
-              val w = reader.getWidth(0).toLong
-              val h = reader.getHeight(0).toLong
-              if (w <= 0 || h <= 0 || w * h > maxPixels) null
-              else reader.read(0)
-            } finally {
-              reader.dispose()
-              iis.close()
-            }
-          }
-        }
-        catch { case _: java.io.IOException | _: RuntimeException => null }
+      // guarded read shared with the perceptual-hash expression —
+      // graft.core.ImageHash.readImage is the single owner of the
+      // header-probe-before-pixel-decode logic described above
+      val img = graft.core.ImageHash.readImage(bytes, maxPixels)
       if (img == null) sentinel
       else {
         val w = img.getWidth
@@ -314,6 +297,83 @@ object Multimodal {
     }
     import spark.implicits._
     rows.toDF("media_id", "bytes", "recipe_mean")
+  }
+
+  /** image_dhash/image_ahash(bytes) as a Column: 64-bit perceptual hash
+    * over the decoded raster, NULL for undecodable / over-cap / narrower-
+    * than-grid payloads ([[graft.core.ImageHash]] for the pinned spec). */
+  def imageHash(bytes: Column, kind: String = "dhash"): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.ImageHash64(
+      ColumnShim.expression(bytes), kind))
+
+  /** Perceptual image near-dup pairs — the image-side analog of the text
+    * near-dup family: hash every image ONCE (the decode is the per-row
+    * cost; it runs before the banding exchange and never again), block
+    * with the [[Dedup.simhashDupPairs]] pigeonhole rule (64-bit hash in
+    * `bands` chunks; Hamming ≤ bands-1 guarantees a chunk match), verify
+    * candidates with exact Hamming over the two longs. Never all-pairs:
+    * candidate volume is bounded by chunk-collision degree, ids+hashes
+    * only cross the exchange, and payload bytes never shuffle. Output
+    * `(id_a, id_b, hamming)` with id_a < id_b, hamming ≤ `maxHamming`;
+    * un-hashable images (NULL hash) silently can't pair — dedup over
+    * junk is not meaningful. */
+  def imageNearDupPairs(media: DataFrame, idCol: String, bytesCol: String,
+                        bands: Int = 4, maxHamming: Int = 10,
+                        kind: String = "dhash"): DataFrame = {
+    require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
+    val hashed = media.select(col(idCol).as("id"),
+        imageHash(col(bytesCol), kind).as("ih"))
+      .filter(col("ih").isNotNull)
+    val banded = hashed.select(col("id"), col("ih"),
+        posexplode(SketchBlocking.chunks(col("ih"), bands, bands * (64 / bands))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .repartition(col("band"), col("chunk"))
+    val a = banded.select(col("id").as("id_a"), col("ih").as("ih_a"),
+      col("band"), col("chunk"))
+    val b = banded.select(col("id").as("id_b"), col("ih").as("ih_b"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.hamming_dist(col("ih_a"), col("ih_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** PNG fixture for the perceptual-dedup gate: the [[syntheticPngs]]
+    * originals (ids 0..n-1) plus NEAR twins for every id ≡ 0 (mod 3) —
+    * id 100+m, the same raster with its 4×4 top-left corner's channel
+    * bytes shifted by +64 (mod 256): a decisive few-cell luma change
+    * whose dHash damage is CONFINED to grid rows 0-1 × cols 0-3, i.e.
+    * to band 0, so the pigeonhole guarantee finds every twin — plus
+    * EXACT re-encodes for every id ≡ 0 (mod 5) — id 200+m, the
+    * identical raster encoded again (hash identity must be pixel-
+    * defined, distance 0). All pixel values derive from the recipe, so
+    * the Python oracle recomputes every hash with no image libraries. */
+  def syntheticPngTwins(spark: org.apache.spark.sql.SparkSession,
+                        n: Int): DataFrame = {
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows =
+      (0 until n).map(m => (m.toLong, png(recipeRaster(m)))) ++
+        (0 until n).filter(_ % 3 == 0).map { m =>
+          val img = recipeRaster(m)
+          for (y <- 0 until math.min(4, img.getHeight);
+               x <- 0 until math.min(4, img.getWidth)) {
+            val rgb = img.getRGB(x, y)
+            def sh(v: Int): Int = (v + 64) & 0xff
+            img.setRGB(x, y, (sh((rgb >> 16) & 0xff) << 16) |
+              (sh((rgb >> 8) & 0xff) << 8) | sh(rgb & 0xff))
+          }
+          ((100 + m).toLong, png(img))
+        } ++
+        (0 until n).filter(_ % 5 == 0)
+          .map(m => ((200 + m).toLong, png(recipeRaster(m))))
+    import spark.implicits._
+    rows.toDF("media_id", "bytes")
   }
 
   /** decode_media(bytes) as a Column: struct(checksum, width, height,

@@ -59,6 +59,15 @@ object functions {
     * — [[graft.core.HtmlText]]). */
   def html_extract(html: Column): Column = toCol(HtmlExtract(col2expr(html)))
 
+  /** 64-bit perceptual image difference hash over the decoded raster
+    * ([[graft.core.ImageHash]]); NULL for undecodable payloads. */
+  def image_dhash(bytes: Column): Column =
+    toCol(org.apache.spark.sql.graft.ImageHash64(col2expr(bytes), "dhash"))
+
+  /** 64-bit perceptual image average hash over the decoded raster. */
+  def image_ahash(bytes: Column): Column =
+    toCol(org.apache.spark.sql.graft.ImageHash64(col2expr(bytes), "ahash"))
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming_dist(a: Column, b: Column): Column =
     toCol(HammingDist(col2expr(a), col2expr(b)))

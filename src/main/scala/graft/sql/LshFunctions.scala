@@ -104,6 +104,14 @@ object LshFunctions {
       require(args.length == 1, "html_extract expects 1 argument")
       HtmlExtract(args(0))
     }),
+    "image_dhash" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "image_dhash expects 1 argument")
+      org.apache.spark.sql.graft.ImageHash64(args(0), "dhash")
+    }),
+    "image_ahash" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "image_ahash expects 1 argument")
+      org.apache.spark.sql.graft.ImageHash64(args(0), "ahash")
+    }),
     "unicode_norm" -> ((args: Seq[Expression]) => {
       require(args.length == 1 || args.length == 2,
         "unicode_norm expects 1 or 2 arguments (text[, form])")

@@ -49,6 +49,39 @@ case class DecodeMedia(child: Expression, decoder: MediaDecoder)
     copy(child = newChild)
 }
 
+/** `image_dhash(bytes)` / `image_ahash(bytes)`: 64-bit perceptual hash
+  * over the DECODED raster ([[graft.core.ImageHash]] states the
+  * integer-exact gray/grid/floor-mean recipe, re-derivable from a pixel
+  * recipe with no image libraries — which is how the gate pins it).
+  * NULL payload, undecodable or over-`maxPixels` payloads, and rasters
+  * narrower than the hash grid all → NULL (no hash is honest; a
+  * sentinel hash would collide unrelated junk). CodegenFallback like
+  * [[SimHash64]]: the ImageIO decode dominates per-row cost. */
+case class ImageHash64(child: Expression, kind: String,
+                       maxPixels: Long = 64L * 1024 * 1024)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(kind == "dhash" || kind == "ahash",
+    s"kind must be 'dhash' or 'ahash', got '$kind'")
+  require(maxPixels > 0, s"maxPixels must be positive, got $maxPixels")
+
+  override def prettyName: String = s"image_$kind"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val img = _root_.graft.core.ImageHash
+      .readImage(v.asInstanceOf[Array[Byte]], maxPixels)
+    if (img == null) null
+    else if (kind == "dhash") _root_.graft.core.ImageHash.dhash64(img)
+    else _root_.graft.core.ImageHash.ahash64(img)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object DecodeMedia {
   val schema: StructType = StructType(Seq(
     StructField("checksum", LongType, nullable = false),

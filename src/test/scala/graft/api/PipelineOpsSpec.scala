@@ -1422,6 +1422,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       badOut(0).getDouble(5) == -1.0)
   }
 
+  test("Multimodal perceptual hashing: pixel-defined identity, banded twin recovery, honest nulls") {
+    import spark.implicits._
+    val media = Multimodal.syntheticPngTwins(spark, 12)
+    // hash identity is pixel-defined: re-encoded exact twins at distance
+    // 0, corner-shift twins within the pigeonhole bound, distinct images
+    // unpaired (or filtered by the Hamming verify)
+    val pairs = Multimodal.imageNearDupPairs(media, "media_id", "bytes",
+        bands = 4, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (m <- 0 until 12 by 5)
+      assert(pairs.get((m.toLong, (200 + m).toLong)).contains(0),
+        s"re-encoded twin of $m must be at distance 0")
+    for (m <- 0 until 12 by 3) {
+      val d = pairs.get((m.toLong, (100 + m).toLong))
+      assert(d.isDefined && d.get <= 10,
+        s"corner-shift twin of $m missing or too far: $d")
+    }
+    // dhash and ahash are different lenses over the same raster
+    val hs = media.filter($"media_id" === 0L)
+      .select(Multimodal.imageHash($"bytes", "dhash"),
+        Multimodal.imageHash($"bytes", "ahash")).head
+    assert(!hs.isNullAt(0) && !hs.isNullAt(1) && hs.getLong(0) != hs.getLong(1))
+    // honest nulls: undecodable bytes and rasters narrower than the grid
+    val tiny = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val nulls = Seq((1L, "junk bytes".getBytes("UTF-8")), (2L, tiny))
+      .toDF("media_id", "bytes")
+      .select(Multimodal.imageHash($"bytes").as("h")).collect()
+    assert(nulls.forall(_.isNullAt(0)),
+      "undecodable and under-grid payloads must hash to NULL, not a sentinel")
+  }
+
   test("Multimodal WavDecoder: real PCM decode matches the sample recipe; bad/odd inputs hit the sentinel") {
     // encode->decode through javax.sound.sampled: PCM is lossless, so
     // features off the decoded stream must equal the recipe directly —

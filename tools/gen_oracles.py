@@ -3540,6 +3540,81 @@ def main(sf_dir, spark_dir):
     custom["multimodal_features_real"] = (
         mr_rows, ("media_id", "checksum", "width", "height", "mean_byte"), mr_sql)
 
+    # ---- image_phash_dedup: perceptual near-dup pairs re-derived from
+    # the pixel recipe with NO image libraries — rasters (originals,
+    # 4x4-corner +64 twins at id 100+m for m%3==0, exact re-encodes at
+    # id 200+m for m%5==0), integer gray (299r+587g+114b), 9x8 floor-
+    # boundary grid of floor-mean cells, dHash gradient bits, then the
+    # same 4x16-bit pigeonhole banding + Hamming <= 10 the Scala
+    # operator runs. The Spark side decodes real PNG bytes through
+    # ImageIO; PNG is lossless, so any hash difference is an extractor
+    # bug, not codec noise.
+    def ip_raster(m):
+        mw, mh = 16 + m % 9, 16 + m % 7
+        return [[(vk.Fx().add(m).add(x).add(y).add(0).fin() & 0xFF,
+                  vk.Fx().add(m).add(x).add(y).add(1).fin() & 0xFF,
+                  vk.Fx().add(m).add(x).add(y).add(2).fin() & 0xFF)
+                 for x in range(mw)] for y in range(mh)]
+
+    def ip_dhash(px):
+        h, w = len(px), len(px[0])
+        if w < 9 or h < 8:
+            return None
+        gray = [[299 * r + 587 * g + 114 * b for (r, g, b) in row]
+                for row in px]
+
+        def mean(i, j):
+            x0, x1 = j * w // 9, (j + 1) * w // 9
+            y0, y1 = i * h // 8, (i + 1) * h // 8
+            s = sum(gray[y][x] for y in range(y0, y1)
+                    for x in range(x0, x1))
+            return s // ((y1 - y0) * (x1 - x0))
+
+        m9 = [[mean(i, j) for j in range(9)] for i in range(8)]
+        bits = 0
+        for i in range(8):
+            for j in range(8):
+                if m9[i][j] > m9[i][j + 1]:
+                    bits |= 1 << (i * 8 + j)
+        return bits
+
+    ip_imgs = {}
+    for m in range(48):
+        base = ip_raster(m)
+        ip_imgs[m] = base
+        if m % 3 == 0:
+            ip_imgs[100 + m] = [
+                [((r + 64) & 0xFF, (g + 64) & 0xFF, (b + 64) & 0xFF)
+                 if x < 4 and y < 4 else (r, g, b)
+                 for x, (r, g, b) in enumerate(row)]
+                for y, row in enumerate(base)]
+        if m % 5 == 0:
+            ip_imgs[200 + m] = base
+    ip_h = {mid: ip_dhash(px) for mid, px in ip_imgs.items()}
+    assert all(v is not None for v in ip_h.values())
+    ip_ids = sorted(ip_h)
+    ip_rows = []
+    for i in range(len(ip_ids)):
+        for j in range(i + 1, len(ip_ids)):
+            a, b = ip_ids[i], ip_ids[j]
+            ha, hb = ip_h[a], ip_h[b]
+            if any(((ha >> (16 * c)) & 0xFFFF) == ((hb >> (16 * c)) & 0xFFFF)
+                   for c in range(4)):
+                d = bin(ha ^ hb).count("1")
+                if d <= 10:
+                    ip_rows.append((a, b, d))
+    ip_rows.sort()
+    ip_pr = {(a, b): d for a, b, d in ip_rows}
+    assert all(ip_pr.get((m, 200 + m)) == 0 for m in range(0, 48, 5)), \
+        "re-encoded exact twins must hash identical (pixel-defined identity)"
+    assert all((m, 100 + m) in ip_pr for m in range(0, 48, 3)), \
+        "every corner-shift twin must band-collide (damage confined to band 0)"
+    assert any(ip_pr[(m, 100 + m)] > 0 for m in range(0, 48, 3)), \
+        "all twin distances are 0: the perturbation is vacuous"
+    queries["image_phash_dedup"] = (
+        ("id_a", "id_b", "hamming"), ("BIGINT", "BIGINT", "INTEGER"),
+        ip_rows, "id_a, id_b")
+
     # ---- multimodal_features_jpeg: the lossy second codec path. Python
     # cannot decode JPEG here, and JPEG's decoded raster is codec-defined —
     # so the oracle pins what IS recipe-derivable: exact dims (JPEG
