@@ -1850,6 +1850,32 @@ object SparkEntry {
     // dups are planted against BOTH sides of the compaction: doc 485
     // exact-dups B1's 388 (the compacted hash rows) and 453/463/...
     // exact-dup day-1 A docs.
+    // Streaming day-2 admission: batch B arrives over 4 micro-batches,
+    // each driving admitBatch through foreachBatch against day-1 state
+    // on A (EventStreams.incrementalAdmitReplay — the stream_rolling_
+    // dedup shape applied to the full curation recipe). SEQUENTIAL
+    // semantics are the point: micro-batch k admits against A union
+    // B1..Bk, so e.g. the "limited time offer" line (which crosses
+    // minDocs only once ALL of B merges in) cuts in late batches but
+    // NOT in early ones — the oracle recomputes each slice as the
+    // batch slice of the union rerun over exactly the docs that had
+    // arrived, and asserts the result DIFFERS from the one-shot batch
+    // gate (the sequential/batch distinction is real, not vacuous).
+    "stream_incremental_admit" -> ((s, dir) => {
+      import s.implicits._
+      val (corpusA, batchB, bench) = incrementalCurationFixture(s, dir)
+      val corpus = corpusA
+        .select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+      val stream = batchB
+        .select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+      val benchSeq = bench.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      graft.streaming.EventStreams.incrementalAdmitReplay(s, corpus,
+          stream, benchSeq, nBatches = 4)
+        .orderBy("doc_id")
+    }),
     // Takedown through the day-2 state: build day-1 indexes on A, DELETE
     // the 30 docs that are B's exact/near clone partners (ids in
     // [150, 350) with id % 10 in {3, 6} — subtract-or-rebuild per
@@ -4044,6 +4070,7 @@ object SparkEntry {
       valuesOracle("curate_corpus_incremental"),
     "inc_state_compact" -> valuesOracle("inc_state_compact"),
     "takedown_incremental" -> valuesOracle("takedown_incremental"),
+    "stream_incremental_admit" -> valuesOracle("stream_incremental_admit"),
     "curate_drop_ledger" -> valuesOracle("curate_drop_ledger"),
     // the cross-session leg runs the IDENTICAL chain through the
     // simulated restart, so it must land on the same pinned oracle

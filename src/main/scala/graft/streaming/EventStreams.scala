@@ -1095,6 +1095,76 @@ object EventStreams {
       .select(col("doc_id"), coalesce(col("in_corpus"), lit(false)).as("admitted"))
   }
 
+  /** Streaming day-2 admission: a document stream drives
+    * [[graft.api.IncrementalCuration.admitBatch]] one micro-batch at a
+    * time against day-1 state built on `corpus` — the crawl-side twin
+    * of the batch day-2 seam, the way [[rollingDedupReplay]] twins the
+    * signature index. Each foreachBatch invocation IS one admission
+    * day: the batch admits through the full recipe, folds into the
+    * statistic indexes, appends its full row set to the rolling corpus
+    * LOOKUP table (admitBatch's coverage contract spans every indexed
+    * id, so the lookup grows with the stream), and appends its admitted
+    * rows to a results table. Output = the accumulated admitted rows —
+    * bit-equal to batch-admitting the same slices in the same order
+    * (which the oracle recomputes slice by slice as union-rerun
+    * slices), and probe-consistent across micro-batches because every
+    * admit runs on the batch's OWN cloned session with the state tables
+    * defensively refreshed (the per-session V1 relation-cache trap
+    * [[rollingDedupReplay]] documents). */
+  def incrementalAdmitReplay(spark: SparkSession,
+                             corpus: Seq[(Long, String, String)],
+                             stream: Seq[(Long, String, String)],
+                             bench: Seq[(Long, String)], nBatches: Int,
+                             params: graft.api.IncrementalCuration.Params =
+                               graft.api.IncrementalCuration.Params()): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = replaySeq.incrementAndGet()
+    val prefix = s"graft_incadm_$n"
+    val lookupTbl = s"${prefix}_lookup"
+    val resTbl = s"${prefix}_admits"
+    val benchTbl = s"${prefix}_bench"
+    graft.api.IncrementalCuration.reset(spark, prefix)
+    Seq(lookupTbl, resTbl, benchTbl)
+      .foreach(graft.api.BucketedWrite.dropTable(spark, _))
+    val corpusDf = corpus.toDF("doc_id", "text", "lang")
+    graft.api.IncrementalCuration.buildState(corpusDf, prefix,
+      "doc_id", "text", col("lang") === "en", params)
+    corpusDf.write.format("parquet").saveAsTable(lookupTbl)
+    bench.toDF("doc_id", "text").write.format("parquet").saveAsTable(benchTbl)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("doc_id", "text", "lang").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ss = batch.sparkSession
+          (graft.api.IncrementalCuration.stateTables(prefix) ++
+            Seq(lookupTbl, benchTbl, resTbl))
+            .foreach(t => if (ss.catalog.tableExists(t)) ss.catalog.refreshTable(t))
+          val b = batch.select(col("doc_id").cast("long").as("doc_id"),
+            col("text"), col("lang"))
+          // admitBatch pins its own output (localCheckpoint) before
+          // returning, so the append below cannot see a later batch's
+          // statistics through lazy re-evaluation
+          val admitted = graft.api.IncrementalCuration.admitBatch(b,
+            ss.table(benchTbl), ss.table(lookupTbl), prefix,
+            "doc_id", "text", col("lang") === "en", params)
+          admitted.write.mode("append").format("parquet").saveAsTable(resTbl)
+          // lookup grows AFTER the admit: the probe's candidates come
+          // from the index, which gains this batch only during the admit
+          b.select(ss.table(lookupTbl).columns.map(col).toIndexedSeq: _*)
+            .write.mode("append").insertInto(lookupTbl)
+        }
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      val chunk = math.max(1, (stream.size + nBatches - 1) / nBatches)
+      stream.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.catalog.refreshTable(resTbl)
+    spark.table(resTbl)
+  }
+
   /** Streaming ingestion into a persisted IVF-PQ index
     * ([[graft.api.Ann.saveIvfPqIndex]]): an embedding stream lands via
     * [[graft.api.Ann.appendToIvfPqIndex]] one micro-batch at a time — the

@@ -338,6 +338,32 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("double-subtract"), e1.getMessage)
   }
 
+  test("incrementalAdmitReplay equals sequential batch admission on the same slices") {
+    // the streaming twin must be BIT-EQUAL to driving admitBatch by hand
+    // over the same chunks in the same order — pinning the foreachBatch
+    // path's cloned-session cache behavior against the direct path
+    val prefix = "graft_inccur_twin"
+    IncrementalCuration.reset(spark, prefix)
+    IncrementalCuration.buildState(df(dayA), prefix, "doc_id", "text",
+      col("lang") === "en", P)
+    val chunks = dayB.sortBy(_._1)
+      .grouped(math.max(1, (dayB.size + 2) / 3)).toSeq
+    var lookup = dayA
+    val direct = chunks.flatMap { c =>
+      val out = rowsOf(IncrementalCuration.admitBatch(df(c), bench,
+        df(lookup), prefix, "doc_id", "text", col("lang") === "en", P))
+      lookup = lookup ++ c
+      out
+    }.sortBy(_._1)
+    val benchSeq = Seq(1000L -> s"benchmark doc with $Passage inside")
+    val got = graft.streaming.EventStreams.incrementalAdmitReplay(spark,
+      dayA.sortBy(_._1), dayB.sortBy(_._1), benchSeq, nBatches = 3, P)
+    val gotRows = rowsOf(got)
+    assert(gotRows == direct,
+      s"streaming admission diverged from the sequential twin:\n" +
+        s" got $gotRows\n ref $direct")
+  }
+
   test("compactState refuses a leftover scratch loudly") {
     import spark.implicits._
     val prefix = "graft_inccur_cmpscr"

@@ -2943,6 +2943,31 @@ def main(sf_dir, spark_dir):
         ("doc_id", "n_chars_inc", "n_tok_inc", "nb_score"),
         ("BIGINT", "BIGINT", "BIGINT", "DOUBLE"), tk_rows, "doc_id")
 
+    # ---- stream_incremental_admit: B arrives over 4 micro-batches, each
+    # admitted SEQUENTIALLY against A plus the batches that had arrived
+    # (the streaming foreachBatch twin of the day-2 seam). Slice k's
+    # truth = the batch slice of the union rerun over A UNION B1..Bk —
+    # inc_recipe_slice again, on the growing corpus map. Chunking mirrors
+    # the replay harness: ids sorted, ceil(len/4)-sized groups.
+    si_ids = sorted(d for d in inc if d >= 350)
+    si_chunk = max(1, (len(si_ids) + 3) // 4)
+    si_cur = {d: t for d, t in inc.items() if d < 350}
+    si_rows = []
+    for g in range(0, len(si_ids), si_chunk):
+        ids_g = si_ids[g:g + si_chunk]
+        for d in ids_g:
+            si_cur[d] = inc[d]
+        si_rows.extend(inc_recipe_slice(si_cur, ids_g[0], inc_vocab_rank))
+    si_rows.sort()
+    # sequential-vs-batch must DIFFER (the offer line's df crosses
+    # minDocs only once all of B merged: early-slice docs keep it uncut)
+    assert set(si_rows) != set(inc_rows), \
+        "stream fixture vacuous: sequential admission equals one-shot batch"
+    assert {r[0] for r in si_rows} and len(si_rows) >= 20
+    queries["stream_incremental_admit"] = (
+        ("doc_id", "n_chars_inc", "n_tok_inc", "nb_score"),
+        ("BIGINT", "BIGINT", "BIGINT", "DOUBLE"), si_rows, "doc_id")
+
     # ---- signature_dedup_pairs: banding collisions + 24-component
     # signature-fraction similarity (mirrors BandedLsh.nearDupPairsBySignature:
     # same 8x3 blocking as minhash_dedup_pairs, est = equal components / 24).
