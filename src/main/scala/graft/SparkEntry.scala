@@ -522,6 +522,29 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    // The NON-ASCII leg of the record-linkage verifier: the same fixture
+    // with its names accented by a per-char bijection (a -> U+00E0,
+    // e -> U+00E9), so every key carries multi-byte code points. The
+    // oracle is a full Python re-derivation (accent map, shingle bands,
+    // CODE-POINT Levenshtein DP) — a byte-edit distance ('à' = 2
+    // bytes) or a UTF-16 unit count would land different lev values and
+    // fail the hash, which is exactly the cross-engine footgun this gate
+    // exists to pin shut.
+    "edit_pairs_unicode" -> ((s, dir) => {
+      // 400-key slice: the semantic pin needs multi-byte keys, not the
+      // ASCII gate's full-cardinality verifier workload (that cost is
+      // already measured by edit_blocked_pairs)
+      val customer = load(s, dir, "customer")
+        .filter(col("c_custkey") <= 400)
+        .select(col("c_custkey"),
+          translate(col("c_name"), "ae", "\u00e0\u00e9").as("c_name"))
+      graft.api.BandedLsh.editVerifiedPairs(customer, "c_custkey", "c_name",
+          ngramWidth = 2, bandCount = 4, bandSize = 6, seed = 5L, minSim = 0.9)
+        .select(col("id_a").as("key_a"), col("id_b").as("key_b"),
+          col("lev"), col("edit_sim"))
+        .orderBy("key_a", "key_b")
+    }),
+
     // ---- relational surface the reference composes with (SURVEY §2.3) ----
     "q1_agg" -> ((s, dir) => {
       load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -3682,6 +3705,7 @@ object SparkEntry {
     "ann_topk_ivfpq_fitted" -> valuesOracle("ann_topk_ivfpq"),
     "lsh_blocking_join" -> valuesOracle("lsh_blocking_join"),
     "edit_blocked_pairs" -> valuesOracle("edit_blocked_pairs"),
+    "edit_pairs_unicode" -> valuesOracle("edit_pairs_unicode"),
     "stream_neardup_candidates" -> valuesOracle("stream_neardup_candidates"),
     "stream_embed_neardup" -> valuesOracle("stream_embed_neardup"),
     "sample_hash" -> valuesOracle("sample_hash"),

@@ -167,10 +167,15 @@ object BandedLsh {
     * bands pays the DP once); verification is one codegen'd builtin on
     * the deduplicated stream.
     *
-    * Engine note: Spark's `levenshtein` counts CHARACTER edits, DuckDB's
-    * builtin counts BYTE edits — identical on ASCII keys only (the gate's
-    * oracle recomputes lev + edit_sim in DuckDB over the pinned candidate
-    * set, which the ASCII fixture makes exact).
+    * Engine note, CLOSED in round 18: DuckDB's `levenshtein` counts
+    * BYTE edits, so the cross-engine verifier semantics were pinned
+    * only by the ASCII fixture. The verifier now uses the engine-owned
+    * CODE-POINT distance ([[graft.functions.levenshtein_cp]]) — the
+    * unit a similarity threshold over human-readable keys means (Spark
+    * 4's builtin happens to agree today, spec-measured, but the unit is
+    * now pinned here, not inherited). The non-ASCII gate
+    * (`edit_pairs_unicode`) cross-pins it against a Python code-point
+    * DP, where byte semantics would mismatch.
     *
     * Plan shape — the OPPOSITE order from [[nearDupPairs]], and measured,
     * not assumed: ids-only band join → `distinct` → broadcast text attach
@@ -193,7 +198,8 @@ object BandedLsh {
                         ngramWidth: Int, bandCount: Int, bandSize: Int,
                         seed: Long, minSim: Double): DataFrame =
     candidatePairs(df, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
-      .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("lev",
+        graft.functions.levenshtein_cp(col("text_a"), col("text_b")).cast("long"))
       .withColumn("edit_sim",
         lit(1.0) - col("lev") / greatest(length(col("text_a")), length(col("text_b"))))
       .filter(col("edit_sim") >= minSim)
@@ -250,7 +256,8 @@ object BandedLsh {
       cand
         .join(df.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
         .join(df.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
-        .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .withColumn("lev",
+        graft.functions.levenshtein_cp(col("text_a"), col("text_b")).cast("long"))
         .withColumn("edit_sim", lit(1.0) -
           col("lev") / greatest(length(col("text_a")), length(col("text_b"))))
         .filter(col("edit_sim") >= minSim)

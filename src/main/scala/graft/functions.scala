@@ -59,6 +59,12 @@ object functions {
     * — [[graft.core.HtmlText]]). */
   def html_extract(html: Column): Column = toCol(HtmlExtract(col2expr(html)))
 
+  /** Levenshtein edit distance over Unicode CODE POINTS — the
+    * record-linkage verifier unit (Spark's builtin counts UTF-16 chars,
+    * DuckDB's counts bytes; both inflate non-ASCII distances). */
+  def levenshtein_cp(a: Column, b: Column): Column =
+    toCol(org.apache.spark.sql.graft.LevenshteinCp(col2expr(a), col2expr(b)))
+
   /** 64-bit perceptual image difference hash over the decoded raster
     * ([[graft.core.ImageHash]]); NULL for undecodable payloads. */
   def image_dhash(bytes: Column): Column =

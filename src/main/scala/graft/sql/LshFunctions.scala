@@ -104,6 +104,10 @@ object LshFunctions {
       require(args.length == 1, "html_extract expects 1 argument")
       HtmlExtract(args(0))
     }),
+    "levenshtein_cp" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "levenshtein_cp expects 2 arguments")
+      org.apache.spark.sql.graft.LevenshteinCp(args(0), args(1))
+    }),
     "image_dhash" -> ((args: Seq[Expression]) => {
       require(args.length == 1, "image_dhash expects 1 argument")
       org.apache.spark.sql.graft.ImageHash64(args(0), "dhash")

@@ -186,4 +186,21 @@ class LshSqlSpec extends AnyFunSuite {
     // depends on band collisions, so assert shape + filter correctness only.
     got.foreach { r => assert(r.getLong(0) > 0 && r.getLong(1) >= 10) }
   }
+
+  test("levenshtein_cp counts CODE POINTS, not UTF-16 units or bytes") {
+    def d(a: String, b: String): Int =
+      spark.sql(s"SELECT levenshtein_cp('$a', '$b')").head.getInt(0)
+    assert(d("kitten", "sitting") == 3)
+    // one accented char: byte semantics (DuckDB) would say 2
+    assert(d("\u00e0", "a") == 1)
+    // one astral char vs empty: a UTF-16-unit count would say 2
+    assert(d("\ud83d\ude00", "") == 1)
+    assert(spark.sql("SELECT levenshtein_cp(NULL, 'x')").head.isNullAt(0))
+    // Spark 4's builtin agrees on these cases (measured: it counts code
+    // points too); the expression exists to PIN the unit the verifier
+    // means independently of either engine's builtin — DuckDB's counts
+    // BYTES, and the unicode gate would catch any drift back to that
+    assert(spark.sql("SELECT levenshtein('\ud83d\ude00', '')")
+      .head.getInt(0) == 1)
+  }
 }

@@ -897,6 +897,41 @@ def main(sf_dir, spark_dir):
         "ORDER BY key_a, key_b")
     custom["edit_blocked_pairs"] = (ec_pairs, ("key_a", "key_b"), ec_sql)
 
+    # ---- edit_pairs_unicode: the NON-ASCII leg — names accented by the
+    # per-char bijection a -> U+00E0, e -> U+00E9 (mirroring the gate's
+    # translate), full re-derivation: shingle bands over the accented
+    # keys, then the CODE-POINT Levenshtein DP (Python strings are code
+    # points, the exact unit levenshtein_cp implements). A byte-edit or
+    # UTF-16-unit distance would disagree here, which is the point.
+    eu_tr = {ord("a"): "à", ord("e"): "é"}
+    eu_name = {cid: name.translate(eu_tr) for cid, name in customers
+               if cid <= 400}
+    eu_sets = {cid: vk.shingles_from_text(n, 2) for cid, n in eu_name.items()}
+    eu_buckets = {}
+    for cid in eu_name:
+        for band, h in enumerate(vk.minhash_bands(eu_sets[cid], 4, 6, 5)):
+            eu_buckets.setdefault((band, h), []).append(cid)
+    eu_cand = set()
+    for ids in eu_buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                eu_cand.add((ids[i], ids[j]))
+    eu_rows = []
+    for a, b in sorted(eu_cand):
+        na, nb = eu_name[a], eu_name[b]
+        d = lev(na, nb)
+        sim = 1.0 - d / max(len(na), len(nb))
+        if sim >= 0.9:
+            eu_rows.append((a, b, d, sim))
+    assert eu_rows, "unicode edit gate vacuous: no verified pairs"
+    # the accent map must actually bite: every verified pair's key pays
+    # multi-byte code points (byte-distance would inflate lev)
+    assert all(any(ord(c) > 127 for c in eu_name[a]) for a, _b, _d, _s in eu_rows)
+    queries["edit_pairs_unicode"] = (
+        ("key_a", "key_b", "lev", "edit_sim"),
+        ("BIGINT", "BIGINT", "BIGINT", "DOUBLE"), eu_rows, "key_a, key_b")
+
     # ---- deterministic hash sampling / splits (mirror graft.api.Sampling) ----
     # Sampling.hashScore = top 53 bits of xxhash64(key, seed) as an exact
     # double in [0,1) — bit-identical here, so the selected sets are an
