@@ -664,7 +664,16 @@ object BandedLsh {
     * append for this would cost the corpus pass the whole design avoids, so
     * drift detection is a separate maintenance scan: run
     * [[signatureIndexHealth]] on whatever cadence compactions run and
-    * rebuild when it returns rows. */
+    * rebuild when it returns rows.
+    *
+    * MATERIALIZE the admitted frame before calling this when it was
+    * derived from a probe of the SAME index ([[nearDupAgainstIndex]]):
+    * the append invalidates any cache over plans reading the table, and a
+    * lazy recompute would read its own appended signatures — the batch
+    * colliding with itself under a lookup that predates it, which the
+    * probe's coverage guard refuses loudly. `localCheckpoint(eager=true)`
+    * (what `IncrementalCuration.admitBatch` does) pins the data and severs
+    * the lineage. */
   def appendToSignatureIndex(batch: DataFrame, table: String,
                              idCol: String, textCol: String,
                              ngramWidth: Int, bandCount: Int, bandSize: Int,

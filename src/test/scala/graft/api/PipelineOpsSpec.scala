@@ -1077,7 +1077,14 @@ class PipelineOpsSpec extends AnyFunSuite {
         batch.join(dup.select(col("batch_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       }
-      val adm1 = admit(corpus, batch1).cache()
+      // MATERIALIZE before mutating the index: adm1's plan reads the index
+      // table, so the append below invalidates a mere .cache() and the
+      // recompute would read its own appended signatures — batch-1 ids
+      // colliding with themselves under a corpus-only lookup, which the
+      // coverage guard now correctly refuses (the inner-join era silently
+      // dropped those pairs instead). localCheckpoint pins the DATA and
+      // severs the lineage, the same discipline admitBatch ships with.
+      val adm1 = admit(corpus, batch1).localCheckpoint(true)
       // append the admitted rows' signatures (the scaladoc recipe — routes
       // hot-bucket rows to the sidecar so the probe invariant holds)
       BandedLsh.appendToSignatureIndex(adm1, "graft_test_roll_idx",

@@ -68,7 +68,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "ln_pinned" -> "SELECT ln_pinned(2.5d)",
         "cosine_sim" -> "SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d))",
         "topk_by" -> "SELECT topk_by(s, i, 2) FROM (SELECT 1.0d AS s, 7L AS i)",
-        "unicode_norm" -> "SELECT unicode_norm('cafe\\u0301'), unicode_norm('x', 'NFKC')")
+        "unicode_norm" -> "SELECT unicode_norm('cafe\\u0301'), unicode_norm('x', 'NFKC')",
+        "levenshtein_cp" -> "SELECT levenshtein_cp('kitten', 'sitting')",
+        "html_extract" -> "SELECT html_extract('<p>a&amp;b</p>')",
+        "image_dhash" -> "SELECT image_dhash(CAST(NULL AS BINARY))",
+        "image_ahash" -> "SELECT image_ahash(CAST(NULL AS BINARY))")
       assert(probes.keySet == graft.sql.LshFunctions.all.map(_._1).toSet,
         "extension probe list out of sync with LshFunctions.all")
       probes.values.foreach(q => s2.sql(q).collect())
