@@ -943,7 +943,7 @@ object EventStreams {
     * dedup contract; an expiring variant would silently re-admit old
     * pages). Unparseable URLs (null key) admit UNCONDITIONALLY — the
     * batch operator's null contract — implemented by keying each such
-    * doc to a private sentinel (`" " + doc_id`) so it forms its
+    * doc to a private sentinel (`"\u0000" + doc_id`) so it forms its
     * own single-row group; those sentinel entries do grow state with
     * the junk-URL count, documented here rather than hidden. */
   def urlDedupAdmit(docs: DataFrame, sortQuery: Boolean = true,
