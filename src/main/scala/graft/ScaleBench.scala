@@ -855,6 +855,16 @@ object ScaleBench {
           .foreach(api.IncrementalCuration.reset(spark, _))
         (tN.length + tC.length).toLong
       },
+      // Global paragraph dedup: sentences become paragraphs so the
+      // cipher-preserved intra-replica sentence repeats are real dups.
+      // Forcing action sums the REBUILT text length (a bare count() lets
+      // Catalyst eliminate the rebuild — the span_cut measurement trap).
+      "para_dedup" -> { (k: Int) =>
+        val src = docs(k).select(col("doc_id"),
+          regexp_replace(col("text"), "\\. ", ".\n\n").as("text"))
+        api.Dedup.dedupParagraphs(src, "doc_id", "text")
+          .agg(sum(length(col("text")))).head.getLong(0)
+      },
       "staged_curation" -> { (k: Int) =>
         val prefix = s"scale_staged_x$k"
         api.StagedPipeline.reset(spark, prefix, maxStages = 8)

@@ -721,6 +721,26 @@ object SparkEntry {
         FROM documents GROUP BY md5(text)
         ORDER BY text_hash""")
     }),
+    // Global first-come paragraph dedup (Dedup.dedupParagraphs), the
+    // FineWeb-class rule. Fixture: sentences become paragraphs (". " ->
+    // ".\n\n") so the corpus's natural cross-doc sentence repeats are
+    // real paragraph dups, plus planted header/footer boilerplate
+    // paragraphs. Oracle: DuckDB re-derives keep-first-by-(doc_id, pos)
+    // grouping paragraphs by their STRING — the Spark side decides on
+    // xxhash64, so a hash collision would surface here as a mismatch.
+    "paragraph_dedup" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("Subscribe to our newsletter.\n\n")).otherwise(lit("")),
+          regexp_replace(col("text"), "\\. ", ".\n\n"),
+          when(col("doc_id") % 4 === 0,
+            lit("\n\nAll rights reserved.")).otherwise(lit("")))
+          .as("text"))
+      graft.api.Dedup.dedupParagraphs(docs, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // Cross-doc duplicate token SPANS (Dedup.dupSpans): exact-substring
     // dedup a la Lee et al. 2022, as distributed shingle-hash grouping
     // instead of a global suffix array. Oracle: DuckDB re-derives the same
@@ -930,6 +950,16 @@ object SparkEntry {
           JOIN documents b ON b.doc_id = p.id_b_target)
         WHERE sim > 0.5
         ORDER BY id_a, id_b""")
+    }),
+    // Corpus data card (TextAnalysis.corpusReport): per-(source, lang)
+    // document/char/token totals + distinct-content counts — the release
+    // summary a dataset drop ships. Oracle: DuckDB recomputes the whole
+    // card, counting distinct TEXT where the Spark side counts distinct
+    // xxhash64(text) — a real hash collision would land as a mismatch.
+    "corpus_report" -> ((s, dir) => {
+      graft.api.TextAnalysis.corpusReport(
+          load(s, dir, "documents"), "text", Seq("source", "lang"))
+        .orderBy("source", "lang")
     }),
     "text_stats" -> ((s, dir) => {
       load(s, dir, "documents").createOrReplaceTempView("documents")
@@ -2493,6 +2523,22 @@ object SparkEntry {
       graft.api.Multimodal.imageNearDupPairs(
           graft.api.Multimodal.syntheticPngTwins(s, 48),
           "media_id", "bytes", bands = 4, maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    }),
+    // Perceptual audio near-dup: the image_phash_dedup discipline on the
+    // WAV decode seam — a Haitsma-Kalker-style sign-of-energy-delta
+    // fingerprint over decoded PCM (integer-exact recipe —
+    // graft.core.AudioFingerprint), the same 4x16-bit pigeonhole banding,
+    // exact Hamming verify <= 6. Fixture: the synthetic-PCM originals
+    // plus first-segment-perturbed NEAR twins (fingerprint damage
+    // confined to bits {0, 32, 33} — bands 1 and 3 untouched, so banding
+    // must find every one) and byte-identical EXACT twins (distance 0).
+    // The oracle recomputes every fingerprint from the sample recipe in
+    // Python — no audio libraries — then mirrors the banding.
+    "audio_fp_dedup" -> ((s, dir) => {
+      graft.api.Multimodal.audioNearDupPairs(
+          graft.api.Multimodal.syntheticWavTwins(s, 48),
+          "media_id", "bytes", bands = 4, maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
     "multimodal_features_jpeg" -> ((s, dir) => {
@@ -4128,6 +4174,7 @@ object SparkEntry {
     "stream_novelty_ingest" -> valuesOracle("ann_novelty_ingest"),
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "image_phash_dedup" -> valuesOracle("image_phash_dedup"),
+    "audio_fp_dedup" -> valuesOracle("audio_fp_dedup"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),
     "token_count_bpe" -> valuesOracle("token_count_bpe"),
@@ -4435,6 +4482,48 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS copies
         |FROM documents GROUP BY md5(text)
         |ORDER BY text_hash""".stripMargin,
+    // Independent re-derivation of dedupParagraphs: the same planted
+    // fixture, paragraphs keyed by their literal STRING (vs Spark's
+    // xxhash64), keep-first by (doc_id, pos), empty paragraphs always
+    // kept, docs rebuilt in position order.
+    "paragraph_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 3 = 0
+        |               THEN 'Subscribe to our newsletter.' || chr(10) || chr(10)
+        |               ELSE '' END)
+        |         || regexp_replace(text, '\. ', '.' || chr(10) || chr(10), 'g')
+        |         || (CASE WHEN doc_id % 4 = 0
+        |                  THEN chr(10) || chr(10) || 'All rights reserved.'
+        |                  ELSE '' END) AS text
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, chr(10) || chr(10))) AS para,
+        |         generate_subscripts(string_split(text, chr(10) || chr(10)), 1) - 1 AS pos
+        |  FROM src
+        |), marked AS (
+        |  SELECT doc_id, pos, para,
+        |         (length(para) = 0 OR
+        |          row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1) AS keepit
+        |  FROM paras
+        |)
+        |SELECT s.doc_id, coalesce(k.text, '') AS text
+        |FROM src s LEFT JOIN (
+        |  SELECT doc_id,
+        |         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        |  FROM marked WHERE keepit GROUP BY doc_id
+        |) k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_report" ->
+      """SELECT source, lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(sum(length(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS ws_tokens,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+        |       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS exact_dup_docs
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     // Independent re-derivation of dupSpans: grams keyed by their literal
     // string (vs Spark's xxhash64), same min!=max cross-doc rule, same
     // gaps-and-islands merge. DuckDB list slicing is 1-based inclusive;

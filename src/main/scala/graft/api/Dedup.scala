@@ -789,6 +789,56 @@ object Dedup {
         Tokenizers.bpe(merges), crossDocOnly),
       idCol, textCol, merges, spreadInput, recompute, drop)
 
+  /** Global first-come PARAGRAPH dedup — the FineWeb-class rule between
+    * line-level boilerplate removal and whole-doc dedup: a paragraph
+    * (exact `sep`-delimited substring) is kept only at its FIRST corpus
+    * occurrence (lexicographic (doc_id, pos)); every later occurrence is
+    * cut and the doc rebuilt around it. Empty paragraphs are structure,
+    * not content — never cut (also the worst skew key gone: the ""
+    * group would otherwise be the corpus's hottest hash).
+    *
+    * Scale shape: paragraphs travel as (doc_id, pos, xxhash64) triples —
+    * text never enters the decision exchange. One explicit repartition
+    * on the hash hosts BOTH the winner aggregate and the cut join as one
+    * ReusedExchange (the [[dupSpans]] double-tokenize trap; a groupBy +
+    * self-join without it re-explodes the corpus). The winner aggregate
+    * map-side-combines, so a boilerplate mega-paragraph collapses to one
+    * row per task before the shuffle; the rebuild is the
+    * [[dropBoilerplateLines]] form — cut positions join back by doc id
+    * and each doc re-splits its own text locally, so document bodies
+    * cross at most the (usually broadcast) cut-attach join. A 64-bit
+    * paragraph-hash collision cutting a non-duplicate is ~P²/2⁶⁵ (the
+    * gate's oracle groups by the paragraph STRING, so a real collision
+    * would surface as a mismatch). Output: `df` with `textCol`
+    * rebuilt; docs whose every paragraph was cut keep an empty text. */
+  def dedupParagraphs(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", sep: String = "\n\n",
+                      spreadInput: Boolean = true): DataFrame = {
+    val src = if (spreadInput) SparkEnv.spread(df) else df
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val paras = src
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), quoted, -1)))
+      .filter(length(col("col")) > 0)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("col")).as("ph"))
+      .repartition(col("ph"))
+    val winners = paras.groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__w"))
+    val cuts = paras.join(winners, "ph")
+      .filter(col("doc_id") =!= col("__w.doc_id") ||
+        col("pos") =!= col("__w.pos"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("__cut"))
+      .withColumnRenamed("doc_id", "__cut_doc")
+    src.join(cuts, src(idCol).cast("long") === col("__cut_doc"), "left")
+      .withColumn("__cut", coalesce(col("__cut"), array().cast("array<bigint>")))
+      .withColumn(textCol, array_join(
+        filter(split(col(textCol), quoted, -1),
+          (_, i) => !array_contains(col("__cut"), i.cast("long"))), sep))
+      .drop("__cut", "__cut_doc")
+  }
+
   /** Corpus-version diff — the audit step between dataset releases
     * ("what changed from v1 to v2?"): a full-outer id join classifying
     * every id as `added` (new only), `removed` (old only), `changed`

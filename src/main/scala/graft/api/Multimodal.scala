@@ -179,48 +179,25 @@ object Multimodal {
     private val sentinel = (0L, -1, -1, -1.0)
 
     def decode(bytes: Array[Byte]): (Long, Int, Int, Double) = {
-      try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val fmt = ais.getFormat
-          val frames = ais.getFrameLength
-          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-              fmt.getSampleSizeInBits != 16 || frames <= 0 || frames > maxFrames) {
-            sentinel
-          } else {
-            val ch = fmt.getChannels
-            // Long math: a corrupt/high-channel header could wrap Int and
-            // turn the bounds checks below into garbage instead of the
-            // sentinel (frames is already capped, ch is header-controlled)
-            val nL = frames * ch
-            if (nL <= 0 || nL > Int.MaxValue / 2) sentinel
-            else {
-            val n = nL.toInt
-            val data = ais.readAllBytes()
-            if (data.length < n * 2) sentinel
-            else {
-              val hiOff = if (fmt.isBigEndian) 0 else 1
-              var chk = 0L
-              var sumAbs = 0L
-              var i = 0
-              while (i < n) {
-                val hi = data(2 * i + hiOff) & 0xff
-                val lo = data(2 * i + (1 - hiOff)) & 0xff
-                val u = (hi << 8) | lo
-                chk = FxHash.add(chk, u.toLong)
-                sumAbs += math.abs(if (u >= 0x8000) u - 0x10000 else u)
-                i += 1
-              }
-              (chk, frames.toInt, ch, sumAbs.toDouble / n)
-            }
-            }
-          }
-        } finally ais.close()
-      } catch {
-        case _: java.io.IOException |
-             _: javax.sound.sampled.UnsupportedAudioFileException |
-             _: RuntimeException => sentinel
+      // guarded decode owned by graft.core.AudioFingerprint.readPcm (the
+      // single owner of the WAV guard rails, shared with the audio_fp
+      // expression — the ImageHash.readImage ownership pattern); the
+      // checksum runs over the UNSIGNED 16-bit values in stream order,
+      // which `s & 0xffff` recovers exactly from the signed samples
+      val pcm = graft.core.AudioFingerprint.readPcm(bytes, maxFrames)
+      if (pcm == null) sentinel
+      else {
+        val (samples, frames, ch) = pcm
+        var chk = 0L
+        var sumAbs = 0L
+        var i = 0
+        while (i < samples.length) {
+          val s = samples(i)
+          chk = FxHash.add(chk, (s & 0xffff).toLong)
+          sumAbs += math.abs(s)
+          i += 1
+        }
+        (chk, frames, ch, sumAbs.toDouble / samples.length)
       }
     }
   }
@@ -257,6 +234,53 @@ object Multimodal {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       (m.toLong, out.toByteArray)
     }
+    import spark.implicits._
+    rows.toDF("media_id", "bytes")
+  }
+
+  /** WAV fixture for the perceptual audio-dedup gate: the
+    * [[syntheticWavs]] originals (ids 0..n−1) plus NEAR twins for every
+    * id ≡ 0 (mod 3) — id 100+m, the same sample stream with every
+    * sample in the FIRST fingerprint segment (frame t < ⌊F/33⌋, all
+    * channels) shifted by +9973 (mod 2¹⁶): a decisive local edit whose
+    * fingerprint damage is CONFINED to E(0) and Z(0)/Z(1), i.e. at most
+    * bits {0, 32, 33} (Hamming ≤ 3, bands 1 and 3 untouched), so the
+    * pigeonhole guarantee finds every twin — plus byte-identical EXACT
+    * twins for every id ≡ 0 (mod 5) — id 200+m, the same WAV bytes
+    * under a new id (distance 0 — the commonest real dup). All sample
+    * values derive from the recipe, so the Python oracle recomputes
+    * every fingerprint with no audio libraries. */
+  def syntheticWavTwins(spark: org.apache.spark.sql.SparkSession,
+                        n: Int): DataFrame = {
+    def wav(m: Int, perturbFirstSeg: Boolean): Array[Byte] = {
+      val channels = 1 + m % 2
+      val frames = 400 + (m % 5) * 37
+      val segEnd = frames / graft.core.AudioFingerprint.Segments
+      val pcm = new Array[Byte](frames * channels * 2)
+      var k = 0
+      while (k < frames * channels) {
+        val base = (FxHash.add(FxHash.add(0L, m.toLong), k.toLong) & 0xffffL).toInt
+        val u = if (perturbFirstSeg && k / channels < segEnd)
+          (base + 9973) & 0xffff else base
+        pcm(2 * k) = (u & 0xff).toByte
+        pcm(2 * k + 1) = ((u >> 8) & 0xff).toByte
+        k += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f + 1000f * (m % 3),
+        16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rows =
+      (0 until n).map(m => (m.toLong, wav(m, perturbFirstSeg = false))) ++
+        (0 until n).filter(_ % 3 == 0)
+          .map(m => ((100 + m).toLong, wav(m, perturbFirstSeg = true))) ++
+        (0 until n).filter(_ % 5 == 0)
+          .map(m => ((200 + m).toLong, wav(m, perturbFirstSeg = false)))
     import spark.implicits._
     rows.toDF("media_id", "bytes")
   }
@@ -319,11 +343,33 @@ object Multimodal {
     * junk is not meaningful. */
   def imageNearDupPairs(media: DataFrame, idCol: String, bytesCol: String,
                         bands: Int = 4, maxHamming: Int = 10,
-                        kind: String = "dhash"): DataFrame = {
+                        kind: String = "dhash"): DataFrame =
+    hammingNearDupPairs(media.select(col(idCol).as("id"),
+      imageHash(col(bytesCol), kind).as("ih")), bands, maxHamming)
+
+  /** Perceptual audio near-dup pairs — [[imageNearDupPairs]] with the
+    * clip fingerprint ([[graft.core.AudioFingerprint]]) in place of the
+    * raster hash: decode + fingerprint each clip ONCE before the banding
+    * exchange, block with the pigeonhole rule, verify with exact
+    * Hamming. Same scale posture: ids+hashes only cross the exchange,
+    * payload bytes never shuffle, un-hashable clips can't pair. */
+  def audioNearDupPairs(media: DataFrame, idCol: String, bytesCol: String,
+                        bands: Int = 4, maxHamming: Int = 6): DataFrame =
+    hammingNearDupPairs(media.select(col(idCol).as("id"),
+      graft.functions.audio_fp(col(bytesCol)).as("ih")), bands, maxHamming)
+
+  /** Shared banded-Hamming pairing over a pre-hashed `(id, ih)` frame:
+    * the [[Dedup.simhashDupPairs]] pigeonhole rule (64-bit hash in
+    * `bands` chunks; Hamming ≤ bands−1 guarantees a chunk match), exact
+    * Hamming verify over the two longs. Never all-pairs: candidate
+    * volume is bounded by chunk-collision degree. Output
+    * `(id_a, id_b, hamming)` with id_a < id_b, hamming ≤ `maxHamming`;
+    * NULL hashes silently can't pair — dedup over junk is not
+    * meaningful. */
+  private def hammingNearDupPairs(idHash: DataFrame, bands: Int,
+                                  maxHamming: Int): DataFrame = {
     require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
-    val hashed = media.select(col(idCol).as("id"),
-        imageHash(col(bytesCol), kind).as("ih"))
-      .filter(col("ih").isNotNull)
+    val hashed = idHash.filter(col("ih").isNotNull)
     val banded = hashed.select(col("id"), col("ih"),
         posexplode(SketchBlocking.chunks(col("ih"), bands, bands * (64 / bands))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")

@@ -835,4 +835,27 @@ object TextAnalysis {
       .withColumnRenamed("__b", "ppl_bin")
       .drop("__bk")
   }
+
+  /** Corpus data card — the per-slice summary a dataset release ships
+    * (and the first thing a 100 TB pipeline owner asks of a new drop):
+    * per `dims` slice, document count, exact character and whitespace-
+    * token totals, distinct-content count and the exact-dup excess.
+    * ONE map-side-combined aggregate over the corpus — the per-row work
+    * (length, split, hash) happens before the exchange, and the
+    * distinct-content count runs on `xxhash64(text)` so the expanded
+    * distinct aggregate shuffles (slice, 8 B) pairs, never document
+    * bodies (a 64-bit collision under-counts a slice's distinct docs by
+    * ~N²/2⁶⁵ — audit-acceptable, and the gate's oracle counts distinct
+    * TEXT, so a real collision would surface as a mismatch). */
+  def corpusReport(df: DataFrame, textCol: String = "text",
+                   dims: Seq[String] = Seq("source", "lang")): DataFrame = {
+    require(dims.nonEmpty, "corpusReport needs at least one dimension")
+    df.groupBy(dims.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        sum(size(split(col(textCol), "\\s+")).cast("long")).as("ws_tokens"),
+        countDistinct(xxhash64(col(textCol))).as("distinct_texts"))
+      .withColumn("exact_dup_docs", col("n_docs") - col("distinct_texts"))
+  }
 }

@@ -74,6 +74,12 @@ object functions {
   def image_ahash(bytes: Column): Column =
     toCol(org.apache.spark.sql.graft.ImageHash64(col2expr(bytes), "ahash"))
 
+  /** 64-bit perceptual audio fingerprint over the decoded PCM
+    * ([[graft.core.AudioFingerprint]]); NULL for undecodable or
+    * shorter-than-grid payloads. */
+  def audio_fp(bytes: Column): Column =
+    toCol(org.apache.spark.sql.graft.AudioFp64(col2expr(bytes)))
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming_dist(a: Column, b: Column): Column =
     toCol(HammingDist(col2expr(a), col2expr(b)))

@@ -116,6 +116,10 @@ object LshFunctions {
       require(args.length == 1, "image_ahash expects 1 argument")
       org.apache.spark.sql.graft.ImageHash64(args(0), "ahash")
     }),
+    "audio_fp" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "audio_fp expects 1 argument")
+      org.apache.spark.sql.graft.AudioFp64(args(0))
+    }),
     "unicode_norm" -> ((args: Seq[Expression]) => {
       require(args.length == 1 || args.length == 2,
         "unicode_norm expects 1 or 2 arguments (text[, form])")

@@ -82,6 +82,33 @@ case class ImageHash64(child: Expression, kind: String,
     copy(child = newChild)
 }
 
+/** `audio_fp(bytes)`: 64-bit perceptual audio fingerprint over DECODED
+  * PCM ([[graft.core.AudioFingerprint]] states the integer-exact
+  * mono-sum/segment/sign-of-energy-delta recipe, re-derivable from a
+  * sample recipe with no audio libraries — which is how the gate pins
+  * it). NULL payload, undecodable / non-PCM-16 / over-`maxFrames`
+  * payloads, and clips shorter than the 33-segment grid all → NULL (no
+  * hash is honest; a sentinel hash would collide unrelated junk).
+  * CodegenFallback like [[ImageHash64]]: the container decode dominates
+  * per-row cost. */
+case class AudioFp64(child: Expression, maxFrames: Long = 48000L * 3600)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+
+  override def prettyName: String = "audio_fp"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    _root_.graft.core.AudioFingerprint
+      .fingerprint(v.asInstanceOf[Array[Byte]], maxFrames)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object DecodeMedia {
   val schema: StructType = StructType(Seq(
     StructField("checksum", LongType, nullable = false),

@@ -1466,6 +1466,79 @@ class PipelineOpsSpec extends AnyFunSuite {
       "undecodable and under-grid payloads must hash to NULL, not a sentinel")
   }
 
+  test("Multimodal audio fingerprinting: sample-defined identity, banded twin recovery, honest nulls") {
+    import spark.implicits._
+    val media = Multimodal.syntheticWavTwins(spark, 12)
+    val pairs = Multimodal.audioNearDupPairs(media, "media_id", "bytes",
+        bands = 4, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (m <- 0 until 12 by 5)
+      assert(pairs.get((m.toLong, (200 + m).toLong)).contains(0),
+        s"byte-identical twin of $m must be at distance 0")
+    for (m <- 0 until 12 by 3) {
+      val d = pairs.get((m.toLong, (100 + m).toLong))
+      // first-segment damage touches at most E(0) and Z(0)/Z(1) —
+      // fingerprint bits {0, 32, 33} — so the exact distance is <= 3
+      assert(d.isDefined && d.get <= 3,
+        s"first-segment twin of $m missing or too far: $d")
+    }
+    // uniform gain leaves every sign-of-delta comparison: doubling the
+    // samples (no clipping: recipe values stay in 16 bits / 2) would need
+    // re-encode machinery, so pin the cheap invariant instead — the
+    // fingerprint is non-degenerate (both halves populated)
+    val fp0 = media.filter($"media_id" === 0L)
+      .select(graft.functions.audio_fp($"bytes")).head.getLong(0)
+    assert((fp0 & 0xffffffffL) != 0 && (fp0 >>> 32) != 0,
+      s"degenerate fingerprint: ${fp0.toHexString}")
+    // honest nulls: undecodable bytes, and a clip shorter than the
+    // 33-segment grid
+    val shortWav = {
+      val pcm = new Array[Byte](10 * 2)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 10L)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val nulls = Seq((1L, "junk bytes".getBytes("UTF-8")), (2L, shortWav))
+      .toDF("media_id", "bytes")
+      .select(graft.functions.audio_fp($"bytes").as("h")).collect()
+    assert(nulls.forall(_.isNullAt(0)),
+      "undecodable and under-grid clips must fingerprint to NULL, not a sentinel")
+  }
+
+  test("dedupParagraphs: global keep-first by (doc_id, pos); empties and first occurrences survive") {
+    val docs = Seq(
+      (1L, "alpha\n\nshared one\n\nbeta"),
+      (2L, "shared one\n\ngamma\n\n\n\ndelta"), // dup para + a true empty para
+      (3L, "shared one\n\ngamma"),              // every paragraph already seen
+      (4L, "echo\n\necho")                      // within-doc repeat
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "alpha\n\nshared one\n\nbeta",
+      "first occurrences must be untouched")
+    assert(got(2L) == "gamma\n\n\n\ndelta",
+      "the duplicated paragraph is cut, the empty structural one survives")
+    assert(got(3L) == "", "a doc made entirely of seen paragraphs empties")
+    assert(got(4L) == "echo", "within-doc repeats cut too (global rule)")
+  }
+
+  test("corpusReport: per-slice totals and exact-dup excess") {
+    val docs = Seq(
+      ("a", "en", "x y"), ("a", "en", "x y"), ("a", "en", "z"),
+      ("b", "de", "w")).toDF("source", "lang", "text")
+    val got = TextAnalysis.corpusReport(docs, "text", Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got(("a", "en")) == ((3L, 7L, 5L, 2L, 1L)))
+    assert(got(("b", "de")) == ((1L, 1L, 1L, 1L, 0L)))
+  }
+
   test("Multimodal WavDecoder: real PCM decode matches the sample recipe; bad/odd inputs hit the sentinel") {
     // encode->decode through javax.sound.sampled: PCM is lossless, so
     // features off the decoded stream must equal the recipe directly —

@@ -3675,6 +3675,76 @@ def main(sf_dir, spark_dir):
         ("id_a", "id_b", "hamming"), ("BIGINT", "BIGINT", "INTEGER"),
         ip_rows, "id_a, id_b")
 
+    # ---- audio_fp_dedup: perceptual audio near-dup pairs re-derived from
+    # the synthetic-PCM recipe with NO audio libraries — samples
+    # (originals; first-segment +9973 twins at id 100+m for m%3==0;
+    # byte-identical exact twins at id 200+m for m%5==0), mono = long sum
+    # over channels, 33 floor-boundary time segments, full-band |mono| and
+    # first-difference |d| energies, 64 sign-of-delta bits
+    # (graft.core.AudioFingerprint), then the same 4x16-bit pigeonhole
+    # banding + Hamming <= 6 the Scala operator runs. PCM is lossless, so
+    # any fingerprint difference is a decode/recipe bug, not codec noise.
+    def af_samples(m, perturb):
+        ch = 1 + m % 2
+        frames = 400 + (m % 5) * 37
+        seg_end = frames // 33
+        out = []
+        for k in range(frames * ch):
+            u = vk.Fx().add(m).add(k).fin() & 0xFFFF
+            if perturb and (k // ch) < seg_end:
+                u = (u + 9973) & 0xFFFF
+            out.append(u - 0x10000 if u >= 0x8000 else u)
+        return out, frames, ch
+
+    def af_fp(samples, frames, ch):
+        if frames < 33:
+            return None
+        mono = [sum(samples[t * ch:(t + 1) * ch]) for t in range(frames)]
+        e, z = [], []
+        for k in range(33):
+            t0, t1 = k * frames // 33, (k + 1) * frames // 33
+            e.append(sum(abs(mono[t]) for t in range(t0, t1)))
+            z.append(sum(abs(mono[0] if t == 0 else mono[t] - mono[t - 1])
+                         for t in range(t0, t1)))
+        bits = 0
+        for i in range(32):
+            if e[i + 1] > e[i]:
+                bits |= 1 << i
+            if z[i + 1] > z[i]:
+                bits |= 1 << (32 + i)
+        return bits
+
+    af_h = {}
+    for m in range(48):
+        af_h[m] = af_fp(*af_samples(m, False))
+        if m % 3 == 0:
+            af_h[100 + m] = af_fp(*af_samples(m, True))
+        if m % 5 == 0:
+            af_h[200 + m] = af_h[m]
+    assert all(v is not None for v in af_h.values())
+    af_ids = sorted(af_h)
+    af_rows = []
+    for i in range(len(af_ids)):
+        for j in range(i + 1, len(af_ids)):
+            a, b = af_ids[i], af_ids[j]
+            ha, hb = af_h[a], af_h[b]
+            if any(((ha >> (16 * c)) & 0xFFFF) == ((hb >> (16 * c)) & 0xFFFF)
+                   for c in range(4)):
+                d = bin(ha ^ hb).count("1")
+                if d <= 6:
+                    af_rows.append((a, b, d))
+    af_rows.sort()
+    af_pr = {(a, b): d for a, b, d in af_rows}
+    assert all(af_pr.get((m, 200 + m)) == 0 for m in range(0, 48, 5)), \
+        "byte-identical exact twins must fingerprint identical"
+    assert all((m, 100 + m) in af_pr for m in range(0, 48, 3)), \
+        "every first-segment twin must band-collide (damage confined)"
+    assert any(af_pr[(m, 100 + m)] > 0 for m in range(0, 48, 3)), \
+        "all twin distances are 0: the perturbation is vacuous"
+    queries["audio_fp_dedup"] = (
+        ("id_a", "id_b", "hamming"), ("BIGINT", "BIGINT", "INTEGER"),
+        af_rows, "id_a, id_b")
+
     # ---- multimodal_features_jpeg: the lossy second codec path. Python
     # cannot decode JPEG here, and JPEG's decoded raster is codec-defined —
     # so the oracle pins what IS recipe-derivable: exact dims (JPEG
