@@ -951,6 +951,30 @@ object SparkEntry {
         WHERE sim > 0.5
         ORDER BY id_a, id_b""")
     }),
+    // Unicode script profile (TextAnalysis.scriptProfile): per-doc
+    // character counts in the major script blocks + the dominant script,
+    // the tokenizer-routing signal. Fixture plants Cyrillic/CJK/Arabic
+    // tails on a doc_id lattice and two fully-foreign doc classes so the
+    // dominant column is exercised beyond latin. Oracle: DuckDB
+    // recomputes every count with its own regex engine (RE2 \x{hhhh}
+    // ranges vs Java \uhhhh — all BMP, so code-unit and code-point
+    // counting agree) and re-derives the dominant CASE.
+    "script_profile" -> ((s, dir) => {
+      val planted =
+        when(col("doc_id") % 17 === 0,
+          lit("Привет мир и ещё немного кириллицы здесь"))
+          .when(col("doc_id") % 19 === 0, lit("中文文档内容完全是汉字没有别的"))
+          .otherwise(concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit(" Привет мир")).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit(" 中文测试内容")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit(" مرحبا بالعالم")).otherwise(lit(""))))
+      graft.api.TextAnalysis.scriptProfile(
+          load(s, dir, "documents").select(col("doc_id"), planted.as("text")),
+          "text")
+        .select("doc_id", "latin_chars", "cyrillic_chars", "cjk_chars",
+          "arabic_chars", "dominant_script")
+        .orderBy("doc_id")
+    }),
     // Corpus data card (TextAnalysis.corpusReport): per-(source, lang)
     // document/char/token totals + distinct-content counts — the release
     // summary a dataset drop ships. Oracle: DuckDB recomputes the whole
@@ -1206,6 +1230,43 @@ object SparkEntry {
       graft.sources.AvroFiles.write(docs, path)
       graft.sources.AvroFiles.read(s, path, docs.schema)
         .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+    // WARC source (WarcFiles): the format crawl data actually arrives
+    // in, parsed by Content-Length byte framing and composed straight
+    // into html_extract — the crawl-tape -> text front edge end to end.
+    // The fixture tape is synthesized ON THE DRIVER from the documents
+    // table (bounded fixture construction, like syntheticWavs — the
+    // operator under test is the distributed READ); titles carry
+    // non-ASCII guillemets so a parser counting chars instead of BYTES
+    // mis-frames every following record. Oracle: Python re-derives each
+    // record's extraction through the independent HTML mirror.
+    "source_warc_extract" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val recs = docs.map { case (id, t) =>
+        val html = "<html><head><title>Doc «" + id +
+          "»</title><script>var x = 1 < 2;</script></head><body>" +
+          "<h1>Doc " + id + "</h1><p>" + t + "</p></body></html>"
+        (id, s"https://example.org/doc/$id", html.getBytes("UTF-8"))
+      }
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_warc_fixture")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      Seq(0, 1).foreach { part =>
+        java.nio.file.Files.write(base.resolve(s"part$part.warc"),
+          graft.sources.WarcFiles.buildWarc(
+            recs.filter(_._1 % 2 == part).toSeq))
+      }
+      graft.sources.WarcFiles.read(s, s"$base/*.warc")
+        .withColumn("doc_id",
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
+        .withColumn("text",
+          graft.functions.html_extract(col("content").cast("string")))
+        .select(col("doc_id"), col("target_uri"), col("warc_type"),
+          length(col("text")).cast("long").as("n_chars_ext"),
+          substring(col("text"), 1, 60).as("head60"))
         .orderBy("doc_id")
     }),
     "sink_partitioned" -> ((s, dir) => {
@@ -4209,6 +4270,7 @@ object SparkEntry {
       dirtiedDocsOracleSql,
     "source_avro_roundtrip" ->
       dirtiedDocsOracleSql,
+    "source_warc_extract" -> valuesOracle("source_warc_extract"),
     "sink_partitioned" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
@@ -4515,6 +4577,35 @@ object SparkEntry {
         |  FROM marked WHERE keepit GROUP BY doc_id
         |) k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Independent re-derivation of scriptProfile: same planted fixture,
+    // DuckDB's RE2 counts the same BMP ranges (\x{hhhh} spelling vs
+    // Java's \uhhhh), same greatest + first-match-wins dominant CASE.
+    "script_profile" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 17 = 0 THEN 'Привет мир и ещё немного кириллицы здесь'
+        |              WHEN doc_id % 19 = 0 THEN '中文文档内容完全是汉字没有别的'
+        |              ELSE text
+        |                || (CASE WHEN doc_id % 7 = 0 THEN ' Привет мир' ELSE '' END)
+        |                || (CASE WHEN doc_id % 11 = 0 THEN ' 中文测试内容' ELSE '' END)
+        |                || (CASE WHEN doc_id % 13 = 0 THEN ' مرحبا بالعالم' ELSE '' END)
+        |         END AS text
+        |  FROM documents
+        |), counts AS (
+        |  SELECT doc_id,
+        |         CAST(length(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS latin_chars,
+        |         CAST(length(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS cyrillic_chars,
+        |         CAST(length(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]')) AS BIGINT) AS cjk_chars,
+        |         CAST(length(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS arabic_chars
+        |  FROM src
+        |)
+        |SELECT doc_id, latin_chars, cyrillic_chars, cjk_chars, arabic_chars,
+        |       CASE WHEN greatest(latin_chars, cyrillic_chars, cjk_chars, arabic_chars) = 0 THEN 'none'
+        |            WHEN latin_chars = greatest(latin_chars, cyrillic_chars, cjk_chars, arabic_chars) THEN 'latin'
+        |            WHEN cyrillic_chars = greatest(latin_chars, cyrillic_chars, cjk_chars, arabic_chars) THEN 'cyrillic'
+        |            WHEN cjk_chars = greatest(latin_chars, cyrillic_chars, cjk_chars, arabic_chars) THEN 'cjk'
+        |            ELSE 'arabic' END AS dominant_script
+        |FROM counts ORDER BY doc_id""".stripMargin,
     "corpus_report" ->
       """SELECT source, lang,
         |       CAST(count(*) AS BIGINT) AS n_docs,

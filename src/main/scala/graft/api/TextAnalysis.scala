@@ -836,6 +836,38 @@ object TextAnalysis {
       .drop("__bk")
   }
 
+  /** Unicode script profile — the tokenizer-routing signal a
+    * multilingual pipeline computes before any language-specific stage
+    * (CCNet/FineWeb-class: BPE for Latin, character tokenizers for CJK,
+    * RTL handling for Arabic): per doc, the character count in each
+    * major script block plus the dominant script. Pure codegen'd
+    * `regexp_count` per class — single-character classes over fixed BMP
+    * ranges, so any regex engine re-derives the counts identically; no
+    * shuffle. Dominant = the max-count script, ties broken by the fixed
+    * class order (latin, cyrillic, cjk, arabic), `none` when every
+    * class is 0 (digits/punctuation-only docs route nowhere).
+    * Ranges: latin = ASCII letters + Latin-1/Extended-A/B
+    * (00C0-024F), cyrillic = 0400-04FF, cjk = Han 4E00-9FFF + kana
+    * 3040-30FF + Hangul AC00-D7AF, arabic = 0600-06FF. */
+  def scriptProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val classes = Seq(
+      "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+      "cyrillic" -> "[\\u0400-\\u04FF]",
+      "cjk" -> "[\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF]",
+      "arabic" -> "[\\u0600-\\u06FF]")
+    val counted = classes.foldLeft(df) { case (d, (name, re)) =>
+      d.withColumn(s"${name}_chars",
+        regexp_count(col(textCol), lit(re)).cast("long"))
+    }
+    val top = greatest(classes.map { case (n, _) => col(s"${n}_chars") }: _*)
+    // the when-chain's order IS the tie-break: the first class reaching
+    // the max wins
+    val dominant = classes.foldLeft(when(top === 0, "none")) {
+      case (acc, (name, _)) => acc.when(col(s"${name}_chars") === top, name)
+    }
+    counted.withColumn("dominant_script", dominant)
+  }
+
   /** Corpus data card — the per-slice summary a dataset release ships
     * (and the first thing a 100 TB pipeline owner asks of a new drop):
     * per `dims` slice, document count, exact character and whitespace-

@@ -1527,6 +1527,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(4L) == "echo", "within-doc repeats cut too (global rule)")
   }
 
+  test("scriptProfile: per-class counts, dominant with fixed tie-break, none on scriptless docs") {
+    val docs = Seq(
+      (1L, "hello мир"),          // latin 5, cyrillic 3 -> latin
+      (2L, "中文 test 中文中文"),   // cjk 6 > latin 4 -> cjk
+      (3L, "мир mir"),            // 3 vs 3 tie -> latin (fixed order)
+      (4L, "1234 .,!"),           // nothing -> none
+      (5L, "مرحبا")               // arabic only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "text")
+      .select("doc_id", "latin_chars", "cyrillic_chars", "cjk_chars",
+        "arabic_chars", "dominant_script")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(got(1L) == ((5L, 3L, 0L, 0L, "latin")))
+    assert(got(2L) == ((4L, 0L, 6L, 0L, "cjk")))
+    assert(got(3L) == ((3L, 3L, 0L, 0L, "latin")))
+    assert(got(4L) == ((0L, 0L, 0L, 0L, "none")))
+    assert(got(5L) == ((0L, 0L, 0L, 5L, "arabic")))
+  }
+
   test("corpusReport: per-slice totals and exact-dup excess") {
     val docs = Seq(
       ("a", "en", "x y"), ("a", "en", "x y"), ("a", "en", "z"),

@@ -1175,6 +1175,30 @@ def main(sf_dir, spark_dir):
         ("BIGINT", "BIGINT", "BIGINT", "VARCHAR", "VARCHAR"),
         hx_rows, "doc_id")
 
+    # ---- source_warc_extract: the crawl-tape front edge — Spark builds
+    # a 2-file WARC tape from the documents table (non-ASCII titles, so
+    # Content-Length must count BYTES), parses it by strict framing, and
+    # extracts text; this mirror re-derives each record's extraction from
+    # the same wrap recipe through the independent HTML scan. The framing
+    # itself has no Python twin — a misframed parse surfaces as missing/
+    # extra rows or garbled text, both hash mismatches.
+    def warc_html(did, t):
+        return ("<html><head><title>Doc «" + str(did) +
+                "»</title><script>var x = 1 < 2;</script></head><body>"
+                "<h1>Doc " + str(did) + "</h1><p>" + t + "</p></body></html>")
+
+    wx_rows = []
+    for did, text in docs:
+        t = html_extract_py(warc_html(did, text or ""))
+        wx_rows.append((did, "https://example.org/doc/%d" % did,
+                        "resource", len(t), t[:60]))
+    assert all(h.startswith("Doc «") for *_x, h in wx_rows), \
+        "extraction must surface the title line first"
+    queries["source_warc_extract"] = (
+        ("doc_id", "target_uri", "warc_type", "n_chars_ext", "head60"),
+        ("BIGINT", "VARCHAR", "VARCHAR", "BIGINT", "VARCHAR"),
+        wx_rows, "doc_id")
+
     # ---- curate_web: the RefinedWeb-style FRONT-END composed end to end
     # (round 15; round 18 adds the html_extract first stage) — html
     # extraction -> host blocklist -> path filter -> URL-identity dedup
