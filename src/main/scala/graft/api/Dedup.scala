@@ -816,7 +816,14 @@ object Dedup {
                       spreadInput: Boolean = true): DataFrame = {
     val src = if (spreadInput) SparkEnv.spread(df) else df
     val quoted = java.util.regex.Pattern.quote(sep)
+    // the explicit isnotnull makes the two consumers' subtrees IDENTICAL:
+    // without it the cut join's condition infers isnotnull(doc_id) into
+    // its own branch only, the canonicalized plans differ, and exchange
+    // reuse silently degrades to a second corpus explode (null-id docs
+    // can't be addressed by the cut list anyway — they pass through
+    // unchanged via the left join, same either way)
     val paras = src
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(col(textCol), quoted, -1)))
       .filter(length(col("col")) > 0)

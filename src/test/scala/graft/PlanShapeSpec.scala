@@ -578,6 +578,55 @@ class PlanShapeSpec extends AnyFunSuite {
       "idn dedup must map-side-combine the min(id)")
   }
 
+  test("dedupParagraphs: one corpus explode via ReusedExchange, map-side-combined winners, no window") {
+    // the operator's scale contract: the paragraph triples exchange is
+    // shared by the winner aggregate and the cut join (exchange reuse —
+    // the explicit isnotnull keeps the two branches canonically equal;
+    // without reuse the corpus tokenizes twice, the dupSpans trap), the
+    // winner aggregate partial-combines map-side (a boilerplate
+    // mega-paragraph collapses before the shuffle — the reason this is
+    // NOT a window over ph), and document bodies never enter the
+    // decision exchange. Broadcast disabled: at corpus scale the winner
+    // table is corpus-sized, so the pinned plan is the non-broadcast one.
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          when(col("doc_id") % 3 === 0, lit("planted header\n\n"))
+            .otherwise(lit("")),
+          regexp_replace(col("text"), "\\. ", ".\n\n")).as("text"))
+      val out = api.Dedup.dedupParagraphs(docs, "doc_id", "text")
+      val qe = out.queryExecution
+      qe.toRdd.count() // finalize AQE for THIS execution
+      val finalPlan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(finalPlan.contains("ReusedExchange"),
+        s"triples exchange must be shared, not re-exploded:\n$finalPlan")
+      assert("Generate posexplode".r.findAllIn(finalPlan).length == 1,
+        s"corpus must explode exactly once:\n$finalPlan")
+      assert(finalPlan.contains("partial_min"),
+        s"winner aggregate must map-side-combine:\n$finalPlan")
+      assert(!finalPlan.contains("Window"),
+        s"no window over the paragraph hash:\n$finalPlan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("corpusReport: one map-side-combined aggregate, bodies never shuffle") {
+    val plan = planOf("corpus_report")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"card must partial-aggregate before the exchange:\n$plan")
+    // the distinct expansion shuffles (dims, xxhash64) pairs — the only
+    // exchanges carry the slice keys + an 8-byte hash, never text
+    assert(!plan.contains("Exchange hashpartitioning(text"),
+      s"document bodies must not be a shuffle key:\n$plan")
+  }
+
   test("perplexityBucketsSketch classify pass: no window, no sort, no exchange") {
     // the sketch's whole point vs the exact operator: the returned plan is
     // a map-only classification (cut bins ride as literals) — the two
