@@ -1269,6 +1269,45 @@ object SparkEntry {
           substring(col("text"), 1, 60).as("head60"))
         .orderBy("doc_id")
     }),
+    // Streaming twin of source_warc_extract: the tape arrives as TWO
+    // waves of files; each AvailableNow pass parses only the files the
+    // checkpoint hasn't seen (wave 2 must not re-parse wave 1 — a
+    // re-parse doubles rows and fails the row count), and the
+    // accumulated table must extract bit-equal to the one-shot batch
+    // read. One oracle, two arrival paths.
+    "stream_warc_ingest" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val recs = docs.map { case (id, t) =>
+        val html = "<html><head><title>Doc «" + id +
+          "»</title><script>var x = 1 < 2;</script></head><body>" +
+          "<h1>Doc " + id + "</h1><p>" + t + "</p></body></html>"
+        (id, s"https://example.org/doc/$id", html.getBytes("UTF-8"))
+      }
+      val tmp = sys.props("java.io.tmpdir")
+      val tape = java.nio.file.Paths.get(tmp, "graft_warc_stream_tape")
+      val ckpt = java.nio.file.Paths.get(tmp, "graft_warc_stream_ckpt")
+      Seq(tape, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+      java.nio.file.Files.createDirectories(tape)
+      s.sql("DROP TABLE IF EXISTS graft_warc_stream_out")
+      Seq(0, 1).foreach { wave =>
+        java.nio.file.Files.write(tape.resolve(s"wave$wave.warc"),
+          graft.sources.WarcFiles.buildWarc(
+            recs.filter(_._1 % 2 == wave).toSeq))
+        graft.streaming.EventStreams.warcIngest(s, s"$tape/*.warc",
+          ckpt.toString, "graft_warc_stream_out")
+      }
+      s.table("graft_warc_stream_out")
+        .withColumn("doc_id",
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
+        .withColumn("text",
+          graft.functions.html_extract(col("content").cast("string")))
+        .select(col("doc_id"), col("target_uri"), col("warc_type"),
+          length(col("text")).cast("long").as("n_chars_ext"),
+          substring(col("text"), 1, 60).as("head60"))
+        .orderBy("doc_id")
+    }),
     "sink_partitioned" -> ((s, dir) => {
       // hive-partitioned parquet sink + partition-pruned readback: the
       // 100 TB layout pattern (partition on a low-cardinality routing
@@ -4271,6 +4310,9 @@ object SparkEntry {
     "source_avro_roundtrip" ->
       dirtiedDocsOracleSql,
     "source_warc_extract" -> valuesOracle("source_warc_extract"),
+    // the streamed tape accumulates to the same record set (file-level
+    // exactly-once), so the batch oracle applies verbatim
+    "stream_warc_ingest" -> valuesOracle("source_warc_extract"),
     "sink_partitioned" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,

@@ -1289,6 +1289,46 @@ object EventStreams {
     verdicts.toSeq.toDF("vec_id", "admitted")
   }
 
+  /** Streaming WARC ingestion — the crawl-side arrival shape: tape files
+    * land in a directory over time and each `Trigger.AvailableNow` pass
+    * parses ONLY files the checkpoint has not seen (Structured
+    * Streaming's file-source tracking is the exactly-once ledger; a
+    * re-delivered or re-listed file is never re-parsed, so the output
+    * table accumulates each record exactly once). Parse is
+    * [[graft.sources.WarcFiles.parseWarc]] per file — the batch source's
+    * exact framing on the streaming arrival path. Appends go through
+    * foreachBatch to a catalog parquet table (idempotent per batch id is
+    * not needed here: AvailableNow + checkpoint already dedups at the
+    * FILE level, which is the unit a tape ships in). Call once per
+    * arrival wave; the checkpoint carries the seen-file set across
+    * calls and across JVMs. */
+  def warcIngest(spark: SparkSession, tapeGlob: String,
+                 checkpoint: String, outTable: String): Unit = {
+    import org.apache.spark.sql.types._
+    val files = spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(tapeGlob)
+    val parsed = files.select("path", "content")
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (p, b) => graft.sources.WarcFiles.parseWarc(p, b) }(
+        org.apache.spark.sql.Encoders.row(graft.sources.WarcFiles.schema))
+    val q = parsed.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.write.mode("append").format("parquet").saveAsTable(outTable)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Batch-mode sessionization with identical gap semantics, built on window
     * functions — the oracle twin of [[sessionize]] and the scalable batch
     * formulation (two shuffles: by user, then by (user, session)). */
