@@ -1290,7 +1290,10 @@ object SparkEntry {
       Seq(tape, ckpt).foreach(p =>
         org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
       java.nio.file.Files.createDirectories(tape)
-      s.sql("DROP TABLE IF EXISTS graft_warc_stream_out")
+      // dropTable, not bare DROP: a previous JVM's managed-table
+      // directory survives its in-memory catalog and CREATE refuses the
+      // orphaned location
+      graft.api.BucketedWrite.dropTable(s, "graft_warc_stream_out")
       Seq(0, 1).foreach { wave =>
         java.nio.file.Files.write(tape.resolve(s"wave$wave.warc"),
           graft.sources.WarcFiles.buildWarc(
@@ -2574,6 +2577,26 @@ object SparkEntry {
       graft.api.Multimodal.resizeStub(media, 64)
         .select(col("media_id"), col("width"), col("height"),
           col("out_w"), col("out_h"), sha2(col("thumb_bytes"), 256).as("thumb_sha256"))
+        .orderBy("media_id")
+    }),
+    // REAL resize through the decode seam: integer-exact box-filter
+    // downscale of the decoded PNG rasters (floor-grid, per-channel
+    // floor-mean — graft.core.ImageHash.resizeBox), output pixels pinned
+    // by sha256. The oracle recomputes the EXACT thumbnail bytes from
+    // the pixel recipe in Python — no image libraries — so a wrong grid
+    // boundary, channel order, or rounding mode lands as a hash
+    // mismatch. This is the production thumbnail path (rasters are what
+    // training pipelines consume; encoding is a sink concern) — the
+    // byte-slice resizeStub gate (multimodal_resize) remains as the
+    // plan-shape twin over arbitrary binary columns.
+    "multimodal_resize_real" -> ((s, dir) => {
+      graft.api.Multimodal.syntheticPngs(s, 48)
+        .select(col("media_id"),
+          graft.functions.image_resize(col("bytes"), 8).as("r"))
+        .select(col("media_id"),
+          col("r.width").as("width"), col("r.height").as("height"),
+          col("r.out_w").as("out_w"), col("r.out_h").as("out_h"),
+          sha2(col("r.pixels"), 256).as("pix_sha256"))
         .orderBy("media_id")
     }),
     // The AUDIO modality's real codec: deterministic 16-bit PCM (sample =
@@ -4275,6 +4298,7 @@ object SparkEntry {
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "image_phash_dedup" -> valuesOracle("image_phash_dedup"),
     "audio_fp_dedup" -> valuesOracle("audio_fp_dedup"),
+    "multimodal_resize_real" -> valuesOracle("multimodal_resize_real"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),
     "token_count_bpe" -> valuesOracle("token_count_bpe"),

@@ -116,6 +116,63 @@ object ImageHash {
     java.lang.Long.valueOf(bits)
   }
 
+  /** Aspect-preserving target dims against `maxDim`: long side → maxDim,
+    * short side → floor(short · maxDim / long); rasters already within
+    * the cap pass through at their own size. Integer arithmetic —
+    * reproducible anywhere. */
+  def fitDims(w: Int, h: Int, maxDim: Int): (Int, Int) =
+    if (w <= maxDim && h <= maxDim) (w, h)
+    else if (w >= h) (maxDim, math.max(1, (h.toLong * maxDim / w).toInt))
+    else (math.max(1, (w.toLong * maxDim / h).toInt), maxDim)
+
+  /** Integer-exact BOX-FILTER downscale to outW×outH: output pixel
+    * (i, j) is the per-channel FLOOR MEAN of source cell
+    * x ∈ [⌊j·w/outW⌋, ⌊(j+1)·w/outW⌋), y ∈ [⌊i·h/outH⌋, ⌊(i+1)·h/outH⌋)
+    * — the [[gridMeans]] grid math applied per channel, emitting
+    * row-major RGB bytes (y outer, x inner, R G B). Null if the raster
+    * is narrower than the target in either axis (upscaling manufactures
+    * pixels that aren't there — resize means reduce). Every step is
+    * integer, so an oracle re-derives the exact bytes from a pixel
+    * recipe with no image libraries. */
+  def resizeBox(img: java.awt.image.BufferedImage,
+                outW: Int, outH: Int): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < outW || h < outH) return null
+    val out = new Array[Byte](outH * outW * 3)
+    var i = 0
+    while (i < outH) {
+      val y0 = i.toLong * h / outH
+      val y1 = (i + 1).toLong * h / outH
+      var j = 0
+      while (j < outW) {
+        val x0 = j.toLong * w / outW
+        val x1 = (j + 1).toLong * w / outW
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0.toInt
+        while (y < y1) {
+          var x = x0.toInt
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0) * (x1 - x0)
+        val o = (i * outW + j) * 3
+        out(o) = (sr / n).toByte
+        out(o + 1) = (sg / n).toByte
+        out(o + 2) = (sb / n).toByte
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** 64-bit average hash; null (boxed) if undecodable under the grid. */
   def ahash64(img: java.awt.image.BufferedImage): java.lang.Long = {
     val m = gridMeans(img, 8, 8)

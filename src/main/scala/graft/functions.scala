@@ -74,6 +74,12 @@ object functions {
   def image_ahash(bytes: Column): Column =
     toCol(org.apache.spark.sql.graft.ImageHash64(col2expr(bytes), "ahash"))
 
+  /** Integer-exact box-filter image downscale over the decoded raster
+    * ([[graft.core.ImageHash.resizeBox]]): struct(width, height, out_w,
+    * out_h, pixels); NULL for undecodable payloads. */
+  def image_resize(bytes: Column, maxDim: Int): Column =
+    toCol(org.apache.spark.sql.graft.ImageResizeBox(col2expr(bytes), maxDim))
+
   /** 64-bit perceptual audio fingerprint over the decoded PCM
     * ([[graft.core.AudioFingerprint]]); NULL for undecodable or
     * shorter-than-grid payloads. */

@@ -116,6 +116,15 @@ object LshFunctions {
       require(args.length == 1, "image_ahash expects 1 argument")
       org.apache.spark.sql.graft.ImageHash64(args(0), "ahash")
     }),
+    "image_resize" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "image_resize expects 2 arguments (bytes, maxDim)")
+      val maxDim = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"image_resize maxDim must be an integer literal, got $other")
+      }
+      org.apache.spark.sql.graft.ImageResizeBox(args(0), maxDim)
+    }),
     "audio_fp" -> ((args: Seq[Expression]) => {
       require(args.length == 1, "audio_fp expects 1 argument")
       org.apache.spark.sql.graft.AudioFp64(args(0))

@@ -82,6 +82,53 @@ case class ImageHash64(child: Expression, kind: String,
     copy(child = newChild)
 }
 
+/** `image_resize(bytes, maxDim)`: integer-exact box-filter downscale of
+  * the DECODED raster to aspect-preserved dims under `maxDim`
+  * ([[graft.core.ImageHash.resizeBox]] states the floor-grid/floor-mean
+  * recipe, re-derivable from a pixel recipe with no image libraries).
+  * Output struct(width, height, out_w, out_h, pixels) — `pixels` is the
+  * row-major RGB byte raster, the REAL thumbnail payload (an encoder is
+  * a sink concern; training pipelines consume rasters). NULL payload,
+  * undecodable or over-`maxPixels` payloads → NULL struct.
+  * CodegenFallback like [[ImageHash64]]: decode dominates per-row cost. */
+case class ImageResizeBox(child: Expression, maxDim: Int,
+                          maxPixels: Long = 64L * 1024 * 1024)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+
+  override def prettyName: String = "image_resize"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ImageResizeBox.schema
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val img = _root_.graft.core.ImageHash
+      .readImage(v.asInstanceOf[Array[Byte]], maxPixels)
+    if (img == null) null
+    else {
+      val (ow, oh) = _root_.graft.core.ImageHash
+        .fitDims(img.getWidth, img.getHeight, maxDim)
+      val px = _root_.graft.core.ImageHash.resizeBox(img, ow, oh)
+      if (px == null) null
+      else new GenericInternalRow(Array[Any](
+        img.getWidth, img.getHeight, ow, oh, px))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageResizeBox {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+}
+
 /** `audio_fp(bytes)`: 64-bit perceptual audio fingerprint over DECODED
   * PCM ([[graft.core.AudioFingerprint]] states the integer-exact
   * mono-sum/segment/sign-of-energy-delta recipe, re-derivable from a

@@ -1509,6 +1509,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       "undecodable and under-grid clips must fingerprint to NULL, not a sentinel")
   }
 
+  test("image_resize: integer box-filter, pass-through under the cap, honest nulls") {
+    import graft.functions.image_resize
+    val media = Multimodal.syntheticPngs(spark, 6) // dims 16..24 x 16..22
+    val r = media.select($"media_id", image_resize($"bytes", 8).as("r"))
+      .select($"media_id", $"r.width", $"r.height", $"r.out_w", $"r.out_h",
+        length($"r.pixels").as("n"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2),
+        x.getInt(3), x.getInt(4), x.getInt(5)))
+    r.foreach { case (_, w, h, ow, oh, n) =>
+      assert(math.max(ow, oh) == 8, "long side must hit the cap")
+      assert(ow <= w && oh <= h && n == ow * oh * 3)
+      // aspect preserved under floor: short = floor(short * 8 / long)
+      if (w >= h) assert(oh == h * 8 / w) else assert(ow == w * 8 / h)
+    }
+    // under-cap rasters pass through at their own size (identity pixels)
+    val small = media.select($"media_id", image_resize($"bytes", 4096).as("r"))
+      .select($"r.width", $"r.out_w", $"r.height", $"r.out_h").head
+    assert(small.getInt(0) == small.getInt(1) && small.getInt(2) == small.getInt(3))
+    // honest nulls on junk
+    val junk = Seq((1L, "junk".getBytes("UTF-8"))).toDF("media_id", "bytes")
+      .select(image_resize($"bytes", 8).as("r")).head
+    assert(junk.isNullAt(0))
+  }
+
   test("dedupParagraphs: global keep-first by (doc_id, pos); empties and first occurrences survive") {
     val docs = Seq(
       (1L, "alpha\n\nshared one\n\nbeta"),

@@ -73,7 +73,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "html_extract" -> "SELECT html_extract('<p>a&amp;b</p>')",
         "image_dhash" -> "SELECT image_dhash(CAST(NULL AS BINARY))",
         "image_ahash" -> "SELECT image_ahash(CAST(NULL AS BINARY))",
-        "audio_fp" -> "SELECT audio_fp(CAST(NULL AS BINARY))")
+        "audio_fp" -> "SELECT audio_fp(CAST(NULL AS BINARY))",
+        "image_resize" -> "SELECT image_resize(CAST(NULL AS BINARY), 8)")
       assert(probes.keySet == graft.sql.LshFunctions.all.map(_._1).toSet,
         "extension probe list out of sync with LshFunctions.all")
       probes.values.foreach(q => s2.sql(q).collect())

@@ -3699,6 +3699,48 @@ def main(sf_dir, spark_dir):
         ("id_a", "id_b", "hamming"), ("BIGINT", "BIGINT", "INTEGER"),
         ip_rows, "id_a, id_b")
 
+    # ---- multimodal_resize_real: the EXACT thumbnail bytes re-derived
+    # from the pixel recipe — aspect fit (long side -> 8, floor short
+    # side), box-filter floor-mean per channel over floor-boundary
+    # cells, row-major RGB bytes, sha256-pinned. PNG is lossless, so a
+    # hash difference is a resize bug, not codec noise.
+    import hashlib
+
+    def mr_fit(w, h, md):
+        if w <= md and h <= md:
+            return w, h
+        if w >= h:
+            return md, max(1, h * md // w)
+        return max(1, w * md // h), md
+
+    def mr_resize(px, ow, oh):
+        h, w = len(px), len(px[0])
+        out = bytearray()
+        for i in range(oh):
+            y0, y1 = i * h // oh, (i + 1) * h // oh
+            for j in range(ow):
+                x0, x1 = j * w // ow, (j + 1) * w // ow
+                n = (y1 - y0) * (x1 - x0)
+                for c in range(3):
+                    s = sum(px[y][x][c]
+                            for y in range(y0, y1) for x in range(x0, x1))
+                    out.append((s // n) & 0xFF)
+        return bytes(out)
+
+    mr_rows = []
+    for m in range(48):
+        px = ip_raster(m)
+        h, w = len(px), len(px[0])
+        ow, oh = mr_fit(w, h, 8)
+        pix = mr_resize(px, ow, oh)
+        mr_rows.append((m, w, h, ow, oh, hashlib.sha256(pix).hexdigest()))
+    assert all(ow < w and oh < h for _m, w, h, ow, oh, _s in mr_rows), \
+        "every fixture raster must actually downscale"
+    queries["multimodal_resize_real"] = (
+        ("media_id", "width", "height", "out_w", "out_h", "pix_sha256"),
+        ("BIGINT", "INTEGER", "INTEGER", "INTEGER", "INTEGER", "VARCHAR"),
+        mr_rows, "media_id")
+
     # ---- audio_fp_dedup: perceptual audio near-dup pairs re-derived from
     # the synthetic-PCM recipe with NO audio libraries — samples
     # (originals; first-segment +9973 twins at id 100+m for m%3==0;
