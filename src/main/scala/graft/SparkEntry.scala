@@ -1547,6 +1547,19 @@ object SparkEntry {
           size(split(col("text"), "\\s+")), shards = 16, buckets = 7)
         .orderBy("doc_id")
     }),
+    // Durable shard export + readback manifest (Packing.exportShards):
+    // the training-shard artifact, written hive-partitioned by shard
+    // with the manifest derived from READBACK. Oracle: DuckDB re-runs
+    // the assignment rule (the token_shard_assign window) and aggregates
+    // the same manifest — a lost row, duplicated write, or misassigned
+    // shard lands as a count/mass/digest mismatch.
+    "export_shard_manifest" -> ((s, dir) => {
+      graft.api.Packing.exportShards(load(s, dir, "documents"), "doc_id",
+          col("n_chars").cast("double") * lit(-1.0),
+          size(split(col("text"), "\\s+")), shards = 16,
+          path = s"${sys.props("java.io.tmpdir")}/graft_export_shards")
+        .orderBy("shard")
+    }),
     "pack_sequences" -> ((s, dir) => {
       // concat-and-chunk packing in the deterministic shuffled training
       // order (same seed as corpus_shuffle): global token offsets via the
@@ -4249,6 +4262,31 @@ object SparkEntry {
         |SELECT doc_id, tokens,
         |       CAST(LEAST(15, (run * 16) // total) AS INT) AS shard
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the export manifest is the same assignment rule aggregated per
+    // shard — count, token mass, id-set digest
+    "export_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(length(regexp_split_to_array(text, '\s+')) AS BIGINT) AS tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, tokens,
+        |         SUM(tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |                           ROWS UNBOUNDED PRECEDING) - tokens AS run,
+        |         SUM(tokens) OVER () AS total
+        |  FROM t
+        |), a AS (
+        |  SELECT doc_id, tokens,
+        |         CAST(LEAST(15, (run * 16) // total) AS INT) AS shard
+        |  FROM r
+        |)
+        |SELECT shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS n_tokens,
+        |       CAST(min(doc_id) AS BIGINT) AS min_id,
+        |       CAST(max(doc_id) AS BIGINT) AS max_id,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "corpus_shuffle" -> valuesOracle("corpus_shuffle"),
     "pack_sequences" -> valuesOracle("pack_sequences"),
     "curate_corpus" -> valuesOracle("curate_corpus"),

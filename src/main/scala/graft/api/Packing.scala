@@ -398,4 +398,33 @@ object Packing {
             expr(s"CAST((run * $shards) div __total AS INT)")))
           .as("shard"))
   }
+
+  /** Durable token-balanced shard EXPORT with a verified manifest — the
+    * back edge of the pipeline, producing the artifact a training run
+    * consumes: [[assignTokenShards]] picks contiguous token-balanced
+    * shards in the given order, the rows land hive-partitioned by
+    * `shard` (a consumer reading shard k partition-prunes to ONE
+    * directory), and the manifest — per-shard doc count, token mass and
+    * the id-set digest (min/max/sum) — is derived FROM READBACK, so it
+    * describes what is actually on disk, not what the writer intended
+    * (a lost task or a partial overwrite surfaces as a manifest
+    * mismatch, not a silent hole). The manifest commits as parquet
+    * under `<path>/_manifest` (underscore-prefixed: data readers skip
+    * it, like `_SUCCESS`). Returns the readback manifest. */
+  def exportShards(df: DataFrame, idCol: String, orderCol: Column,
+                   tokensCol: Column, shards: Int, path: String): DataFrame = {
+    val spark = df.sparkSession
+    val assigned = assignTokenShards(df, idCol, orderCol, tokensCol, shards)
+    df.join(assigned, Seq(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val manifest = spark.read.parquet(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("n_tokens"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(col(idCol)).as("sum_id"))
+    manifest.write.mode("overwrite").parquet(s"$path/_manifest")
+    spark.read.parquet(s"$path/_manifest")
+  }
 }
