@@ -855,6 +855,38 @@ object ScaleBench {
           .foreach(api.IncrementalCuration.reset(spark, _))
         (tN.length + tC.length).toLong
       },
+      // WARC tape parse + extract: k tape files (one per replica, each
+      // wrapping the base corpus as HTML resource records) — the
+      // file-per-task source's parallelism axis IS the file count, so
+      // the slope should track data while wall amortizes across threads.
+      // Forcing action sums extracted text length (consumes the parse
+      // AND the extraction). Tapes build once per k and cache on disk.
+      "warc_parse" -> { (k: Int) =>
+        val tdir = java.nio.file.Paths.get("/tmp/graft-scale-fixtures",
+          s"warc_x$k")
+        if (!java.nio.file.Files.exists(tdir.resolve("_done"))) {
+          java.nio.file.Files.createDirectories(tdir)
+          val base = spark.read.parquet(s"$baseDir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+            .collect().map(r => (r.getLong(0), r.getString(1)))
+          (0 until k).foreach { rep =>
+            val recs = base.map { case (id, t) =>
+              val html = "<html><head><title>Doc «" + id + "." + rep +
+                "»</title></head><body><h1>Doc " + id +
+                "</h1><p>" + t + "</p></body></html>"
+              (rep * 1000000L + id, s"https://example.org/$rep/$id",
+                html.getBytes("UTF-8"))
+            }
+            java.nio.file.Files.write(tdir.resolve(s"rep$rep.warc"),
+              graft.sources.WarcFiles.buildWarc(recs.toSeq))
+          }
+          java.nio.file.Files.createFile(tdir.resolve("_done"))
+        }
+        graft.sources.WarcFiles.read(spark, s"$tdir/*.warc")
+          .select(graft.functions.html_extract(col("content").cast("string"))
+            .as("t"))
+          .agg(sum(length(col("t")))).head.getLong(0)
+      },
       // Global paragraph dedup: sentences become paragraphs so the
       // cipher-preserved intra-replica sentence repeats are real dups.
       // Forcing action sums the REBUILT text length (a bare count() lets

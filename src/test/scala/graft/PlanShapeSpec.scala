@@ -617,6 +617,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("scriptProfile is map-only: no exchange, no window, counts in one codegen stage") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = api.TextAnalysis.scriptProfile(docs, "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"script profile must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"script profile must not window:\n$plan")
+    assert(plan.contains("*(1) Project"),
+      s"regexp counts must run inside one whole-stage-codegen projection:\n$plan")
+  }
+
   test("corpusReport: one map-side-combined aggregate, bodies never shuffle") {
     val plan = planOf("corpus_report")
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
