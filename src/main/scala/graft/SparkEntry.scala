@@ -1287,21 +1287,18 @@ object SparkEntry {
       val tmp = sys.props("java.io.tmpdir")
       val tape = java.nio.file.Paths.get(tmp, "graft_warc_stream_tape")
       val ckpt = java.nio.file.Paths.get(tmp, "graft_warc_stream_ckpt")
-      Seq(tape, ckpt).foreach(p =>
+      val outp = java.nio.file.Paths.get(tmp, "graft_warc_stream_out")
+      Seq(tape, ckpt, outp).foreach(p =>
         org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
       java.nio.file.Files.createDirectories(tape)
-      // dropTable, not bare DROP: a previous JVM's managed-table
-      // directory survives its in-memory catalog and CREATE refuses the
-      // orphaned location
-      graft.api.BucketedWrite.dropTable(s, "graft_warc_stream_out")
       Seq(0, 1).foreach { wave =>
         java.nio.file.Files.write(tape.resolve(s"wave$wave.warc"),
           graft.sources.WarcFiles.buildWarc(
             recs.filter(_._1 % 2 == wave).toSeq))
         graft.streaming.EventStreams.warcIngest(s, s"$tape/*.warc",
-          ckpt.toString, "graft_warc_stream_out")
+          ckpt.toString, outp.toString)
       }
-      s.table("graft_warc_stream_out")
+      s.read.parquet(outp.toString)
         .withColumn("doc_id",
           regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
         .withColumn("text",

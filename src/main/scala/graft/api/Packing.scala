@@ -413,6 +413,14 @@ object Packing {
     * it, like `_SUCCESS`). Returns the readback manifest. */
   def exportShards(df: DataFrame, idCol: String, orderCol: Column,
                    tokensCol: Column, shards: Int, path: String): DataFrame = {
+    // the artifact schema OWNS these two names (tokens = the mass the
+    // manifest audits, shard = the partition column); an input already
+    // carrying either would duplicate the name at the join and the
+    // parquet write rejects duplicate columns — refuse up front with the
+    // actual contract instead
+    Seq("tokens", "shard").foreach(c => require(!df.columns.contains(c),
+      s"exportShards: input must not carry a '$c' column — the export " +
+        "artifact owns that name (rename the input column first)"))
     val spark = df.sparkSession
     val assigned = assignTokenShards(df, idCol, orderCol, tokensCol, shards)
     df.join(assigned, Seq(idCol))

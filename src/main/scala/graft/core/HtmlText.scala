@@ -56,10 +56,25 @@ object HtmlText {
   /** Index of case-insensitive `needle` in `s` at or after `from`, -1 if
     * absent (needle is ASCII by construction here). */
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    // ASCII-ONLY case folding, not regionMatches(true): Java's per-char
+    // Unicode folding matches İ (U+0130) / ı (U+0131) against ASCII i/I,
+    // but the Python oracle's .lower() expands İ to i + combining dot and
+    // never matches — a '</scrİpt>' closer would end the block on one
+    // side only, the exact cross-twin drift the oracle discipline
+    // precludes. The needle is ASCII by construction, so folding only the
+    // ASCII range is also the CORRECT reading of the HTML spec's
+    // case-insensitive tag names.
     var i = math.max(from, 0)
     val last = s.length - needle.length
     while (i <= last) {
-      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      var m = 0
+      while (m < needle.length && {
+        val a = s.charAt(i + m)
+        val b = needle.charAt(m)
+        a == b || (a < 128 && b < 128 && (a | 0x20) == (b | 0x20) &&
+          isAsciiLetter(b))
+      }) m += 1
+      if (m == needle.length) return i
       i += 1
     }
     -1

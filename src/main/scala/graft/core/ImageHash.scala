@@ -38,23 +38,26 @@ object ImageHash {
                 maxPixels: Long): java.awt.image.BufferedImage = {
     inMemoryIo
     try {
+      // the iis close lives in ITS OWN finally: the no-reader branch is
+      // the HOT failure path (every junk payload in a crawl), and a
+      // stream closed only on the reader branch would leak its cache
+      // segments until GC on exactly that path
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) null
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis, true, true)
-          val w = reader.getWidth(0).toLong
-          val h = reader.getHeight(0).toLong
-          if (w <= 0 || h <= 0 || w * h > maxPixels) null
-          else reader.read(0)
-        } finally {
-          reader.dispose()
-          iis.close()
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > maxPixels) null
+            else reader.read(0)
+          } finally reader.dispose()
         }
-      }
+      } finally iis.close()
     } catch { case _: java.io.IOException | _: RuntimeException => null }
   }
 

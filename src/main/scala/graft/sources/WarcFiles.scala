@@ -81,14 +81,20 @@ object WarcFiles {
             i = e + 2
           }
         }
-        val len = headers.get("content-length") match {
-          case Some(v) => try v.toLong.toInt catch {
+        // keep the length as a Long until AFTER the bounds check: a
+        // header like 'Content-Length: 4294967306' narrowed early wraps
+        // to a small positive Int and silently misframes the tape
+        // (attacker-controlled record smuggling); the check below makes
+        // any length that can't fit the remaining bytes fail loudly
+        val lenL = headers.get("content-length") match {
+          case Some(v) => try v.toLong catch {
             case _: NumberFormatException => fail(s"bad Content-Length '$v'")
           }
           case None => fail("missing Content-Length")
         }
-        if (i + len > bytes.length) fail(
-          s"truncated block: Content-Length $len past end of file")
+        if (lenL < 0 || lenL > (bytes.length - i).toLong) fail(
+          s"truncated block: Content-Length $lenL past end of file")
+        val len = lenL.toInt
         val block = java.util.Arrays.copyOfRange(bytes, i, i + len)
         i += len
         out += Row(path, recordOffset,
@@ -119,7 +125,14 @@ object WarcFiles {
     * envelopes) pass through whole — the caller asked for the body and
     * the whole block is the best available answer. Pure codegen'd
     * byte-less expression work is not possible on binary, so this is a
-    * driver-composable Column over built-ins: decode → locate → slice. */
+    * driver-composable Column over built-ins: decode → locate → slice.
+    *
+    * CONTRACT: the result is a UTF-8 DECODE of the body — non-UTF-8
+    * bytes become U+FFFD and compressed bodies (Content-Encoding: gzip)
+    * come out as mojibake. That is the right shape for the text
+    * pipeline this source feeds (`html_extract` consumes strings), but
+    * a caller needing the raw body bytes must slice `content` itself —
+    * this helper is lossy by design, not by accident. */
   def httpBody(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val text = content.cast("string")

@@ -1294,16 +1294,24 @@ object EventStreams {
     * parses ONLY files the checkpoint has not seen (Structured
     * Streaming's file-source tracking is the exactly-once ledger; a
     * re-delivered or re-listed file is never re-parsed, so the output
-    * table accumulates each record exactly once). Parse is
+    * accumulates each record exactly once). Parse is
     * [[graft.sources.WarcFiles.parseWarc]] per file — the batch source's
-    * exact framing on the streaming arrival path. Appends go through
-    * foreachBatch to a catalog parquet table (idempotent per batch id is
-    * not needed here: AvailableNow + checkpoint already dedups at the
-    * FILE level, which is the unit a tape ships in). Call once per
-    * arrival wave; the checkpoint carries the seen-file set across
-    * calls and across JVMs. */
+    * exact framing on the streaming arrival path.
+    *
+    * Each micro-batch writes mode-OVERWRITE to its own deterministic
+    * directory `<outPath>/batch=<id>` — the idempotence the exactly-once
+    * claim actually needs: the file-source checkpoint marks files seen
+    * only when the batch COMMITS (after foreachBatch returns), so a
+    * crash between a successful append and the commit would replay the
+    * batch, and a bare table append would double-count every record;
+    * the replayed batch id instead overwrites its own directory and the
+    * accumulated output stays exact. Batch ids are monotonic per
+    * checkpoint across restarts, so waves never collide. Read with
+    * `spark.read.parquet(outPath)` (`batch` arrives as a hive partition
+    * column). Call once per arrival wave; the checkpoint carries the
+    * seen-file set across calls and across JVMs. */
   def warcIngest(spark: SparkSession, tapeGlob: String,
-                 checkpoint: String, outTable: String): Unit = {
+                 checkpoint: String, outPath: String): Unit = {
     import org.apache.spark.sql.types._
     val files = spark.readStream.format("binaryFile")
       .schema(StructType(Seq(
@@ -1322,8 +1330,8 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        df.write.mode("append").format("parquet").saveAsTable(outTable)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        df.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .start()
     q.awaitTermination()

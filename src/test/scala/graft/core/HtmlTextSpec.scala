@@ -24,6 +24,14 @@ class HtmlTextSpec extends AnyFunSuite {
       "unterminated script drops to end of input")
     assert(x("<P>a</P><SCRIPT>x</ScRiPt>b") == "a\nb",
       "tag names and closers are case-insensitive")
+    // case folding is ASCII-ONLY: Java's Unicode fold would match the
+    // Turkish İ (U+0130) against 'i' while the Python oracle's .lower()
+    // expands it and never matches — both twins must treat this closer
+    // as NOT a closer (script drops to end of input)
+    assert(x("before<script>x</scrİpt>after") == "before",
+      "a Turkish-I closer must not end the script block")
+    assert(x("before<script>x</scrıpt>after") == "before",
+      "dotless-i closer must not end the script block either")
   }
 
   test("comments drop; unterminated comment drops to end") {

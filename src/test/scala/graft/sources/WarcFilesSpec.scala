@@ -36,6 +36,14 @@ class WarcFilesSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       WarcFiles.parseWarc("nm.warc", noMagic))
     assert(e2.getMessage.contains("WARC/"))
+    // a Content-Length past 2^32 must fail LOUDLY, not wrap Int into a
+    // small positive slice that misframes the rest of the tape
+    val huge = ("WARC/1.0\r\nContent-Length: 4294967306\r\n\r\n" +
+      "0123456789rest").getBytes("UTF-8")
+    val e3 = intercept[IllegalArgumentException](
+      WarcFiles.parseWarc("huge.warc", huge))
+    assert(e3.getMessage.contains("4294967306"),
+      s"wrap must surface the declared length: ${e3.getMessage}")
   }
 
   test("read: distributed parse over a 2-file tape; httpBody strips envelopes") {
