@@ -855,6 +855,62 @@ object ScaleBench {
           .foreach(api.IncrementalCuration.reset(spark, _))
         (tN.length + tC.length).toLong
       },
+      // Takedown slope, CORPUS axis: a FIXED 100-doc deletion (the GDPR
+      // shape — deletion size is bounded by the request, never by the
+      // corpus) against day-1 state built on a ×k corpus. The claim
+      // under test: takedownState is deletion-bound — it rewrites the
+      // three value-keyed indexes via broadcast anti-joins and appends
+      // two negated-generation rows, no corpus re-read — so its cost
+      // must stay ≈ flat while build cost grows ~linearly.
+      "takedown_scale" -> { (k: Int) =>
+        val prefix = s"scale_take_x$k"
+        api.IncrementalCuration.reset(spark, prefix)
+        val a = docs(k)
+        val label = col("lang") === "en"
+        val t0 = System.nanoTime()
+        api.IncrementalCuration.buildState(a, prefix, "doc_id", "text", label)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val del = a.filter(col("doc_id") >= 1000 && col("doc_id") < 1100)
+        val t1 = System.nanoTime()
+        api.IncrementalCuration.takedownState(del, prefix, "doc_id", "text", label)
+        val tTake = (System.nanoTime() - t1) / 1e9
+        println(f"    takedown_scale x$k: day1-build $tBuild%.1fs " +
+          f"takedown(100 docs) $tTake%.1fs")
+        api.IncrementalCuration.reset(spark, prefix)
+        1L
+      },
+      // Takedown slope, GENERATIONS axis: k is the number of admitted
+      // batches accumulated BEFORE the takedown (day 1 = replica 0,
+      // batch j = replica j — the incremental_dayn shape). The state's
+      // generation count is what a takedown's index rewrites actually
+      // scan, so this measures the day-N cost of deferring compaction
+      // before a deletion request lands.
+      "takedown_gens" -> { (k: Int) =>
+        require(k >= 2, s"takedown_gens needs k >= 2 batches, got $k")
+        val all = docs(k)
+        val label = col("lang") === "en"
+        val prefix = "scale_takegen"
+        api.IncrementalCuration.reset(spark, prefix)
+        api.IncrementalCuration.buildState(
+          all.filter(col("doc_id") < Stride), prefix, "doc_id", "text", label)
+        val bench = spark.read.parquet(s"$baseDir/documents.parquet")
+          .filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
+        (1 until k).foreach { j =>
+          val lo = j.toLong * Stride
+          api.IncrementalCuration.admitBatch(
+            all.filter(col("doc_id") >= lo && col("doc_id") < lo + Stride),
+            bench, all.filter(col("doc_id") < lo),
+            prefix, "doc_id", "text", label).count()
+        }
+        val del = all.filter(col("doc_id") >= 1000 && col("doc_id") < 1100)
+        val t1 = System.nanoTime()
+        api.IncrementalCuration.takedownState(del, prefix, "doc_id", "text", label)
+        val tTake = (System.nanoTime() - t1) / 1e9
+        println(f"    takedown_gens x$k: takedown(100 docs) after ${k - 1}%d " +
+          f"generations $tTake%.1fs state-files ${stateFileCount(spark, prefix)}%d")
+        api.IncrementalCuration.reset(spark, prefix)
+        1L
+      },
       // WARC tape parse + extract: k tape files (one per replica, each
       // wrapping the base corpus as HTML resource records) — the
       // file-per-task source's parallelism axis IS the file count, so

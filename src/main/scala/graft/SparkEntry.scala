@@ -62,6 +62,48 @@ object SparkEntry {
         substring(col("text"), 81, 1000000),
         lit("</p><br/>&copy; 2026 example</body></html>")).as("html"))
 
+  /** Raw-HTML twin with CHROME planted around the content: nav bar,
+    * link-list sidebar, short heading, an inline-linked prose paragraph
+    * and a link-dense footer — the single-page boilerplate the
+    * main-content tier must drop and plain extraction keeps. Mirrored
+    * byte-for-byte in tools/gen_oracles.py (`planted_main_html`). */
+  private def withPlantedMainHtml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>nav { color: red; }</style></head><body>" +
+          "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/docs\">Docs" +
+          "</a> <a href=\"/about\">About us</a></div>" +
+          "<aside><ul><li><a href=\"/r1\">related article one</a></li>" +
+          "<li><a href=\"/r2\">related article two</a></li>" +
+          "<li><a href=\"/r3\">related article three</a></li></ul></aside>" +
+          "<h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), substring(col("text"), 1, 80),
+        lit("</p><p>See <a href=\"/guide\">the full guide</a> for " +
+          "background and details: "),
+        substring(col("text"), 81, 1000000),
+        lit("</p><footer><a href=\"/privacy\">Privacy</a> | " +
+          "<a href=\"/terms\">Terms</a> &copy; 2026 example</footer>" +
+          "</body></html>")).as("html"))
+
+  /** Template-spam twin for the compression-ratio gate: docs with
+    * id % 10 == 7 become 288 template words each followed by a UNIQUE
+    * slot number — no duplicate line, no repeated 2-gram (every 2-gram
+    * contains a slot), so dup-line and top-n-gram counters see nothing,
+    * while zlib compresses the repeated template vocabulary past 3:1.
+    * Built from codegen'd builtins (sequence/transform/element_at), so
+    * the fixture is distributed and the Python mirror re-derives it from
+    * the same arithmetic. */
+  private def withPlantedSpam(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 10 === 7,
+        expr("concat_ws(' ', transform(sequence(1, 288), k -> concat(" +
+          "element_at(array('item','best','price','free','shipping'," +
+          "'order','now','satisfaction','guaranteed','call','today'," +
+          "'deal'), CAST((k - 1) % 12 AS INT) + 1), ' ', " +
+          "CAST((doc_id * 131071 + k * 8191) & 65535 AS STRING))))"))
+        .otherwise(col("text")))
+
   private def withPlantedUrls(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), col("n_chars"),
       concat(lit("https://"),
@@ -1308,6 +1350,104 @@ object SparkEntry {
           substring(col("text"), 1, 60).as("head60"))
         .orderBy("doc_id")
     }),
+    // Response-record tape with Content-Encoding: gzip bodies (half the
+    // records; the rest identity) — the shape real crawl tapes have.
+    // httpBodyText must parse each record's HTTP envelope and gunzip
+    // per-record: a decoder that skipped the gunzip would hash-mismatch
+    // every even doc (mojibake text), one that gunzipped everything
+    // would fail loudly on the odd ones. Oracle: the same Python HTML
+    // re-derivation as source_warc_extract (the gzip roundtrip must be
+    // exactly lossless; the mirror starts from the pre-compression text).
+    "source_warc_gzip" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val recs = docs.map { case (id, t) =>
+        val html = "<html><head><title>Doc «" + id +
+          "»</title><script>var x = 1 < 2;</script></head><body>" +
+          "<h1>Doc " + id + "</h1><p>" + t + "</p></body></html>"
+        (id, s"https://example.org/doc/$id", html.getBytes("UTF-8"),
+          id % 2 == 0)
+      }
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_warc_gzip_fixture")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      Seq(0, 1).foreach { part =>
+        java.nio.file.Files.write(base.resolve(s"part$part.warc"),
+          graft.sources.WarcFiles.buildWarcHttp(
+            recs.filter(_._1 % 2 == part).toSeq))
+      }
+      graft.sources.WarcFiles.read(s, s"$base/*.warc")
+        .withColumn("doc_id",
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
+        .withColumn("text", graft.functions.html_extract(
+          graft.sources.WarcFiles.httpBodyText(col("content"))))
+        .select(col("doc_id"), col("target_uri"), col("warc_type"),
+          length(col("text")).cast("long").as("n_chars_ext"),
+          substring(col("text"), 1, 60).as("head60"))
+        .orderBy("doc_id")
+    }),
+    // THE CAPSTONE: crawl tape in, training shards out — every seam the
+    // piecewise gates prove, composed as ONE pipeline so stage-boundary
+    // schema drift has a gate. WARC response records (half gzip'd) ->
+    // envelope-aware body decode -> MAIN-content extraction (the chrome
+    // the tier exists to drop is planted on every page) -> host blocklist
+    // -> path-pattern filter -> URL-identity dedup -> per-domain budget
+    // over the extracted mass -> BPE packing order -> durable
+    // token-balanced shard export with a readback manifest. Output: the
+    // manifest, one row per shard, plus the highest packed chunk id
+    // landing in the shard (pins the pack-offsets composition). Oracle:
+    // full-chain Python re-derivation — tape wrap, both extraction
+    // tiers, all four curation stages, BPE token counts, the shard walk.
+    "warc_to_shards" -> ((s, dir) => {
+      import graft.api.{Domains, Packing, Sampling}
+      import s.implicits._
+      val docs0 = load(s, dir, "documents")
+      val recs = withPlantedMainHtml(docs0).select(col("doc_id"), col("html"))
+        .join(withPlantedUrls(docs0).select(col("doc_id"), col("url")), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(2),
+          r.getString(1).getBytes("UTF-8"), r.getLong(0) % 2 == 0))
+        .sortBy(_._1)
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_warc_to_shards_tape")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      Seq(0, 1, 2).foreach { part =>
+        java.nio.file.Files.write(base.resolve(s"part$part.warc"),
+          graft.sources.WarcFiles.buildWarcHttp(
+            recs.filter(_._1 % 3 == part).toSeq))
+      }
+      val extracted = graft.sources.WarcFiles.read(s, s"$base/*.warc")
+        .withColumn("doc_id",
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
+        .withColumn("url", col("target_uri"))
+        .withColumn("text", graft.functions.html_main_content(
+          graft.sources.WarcFiles.httpBodyText(col("content"))))
+        .select(col("doc_id"), col("url"), col("text"),
+          length(col("text")).cast("long").as("n_chars_ext"))
+      val blocked = Seq("src3.example.com", "src5.example.com").toDF("domain")
+      val s1 = Domains.filterBlockedHosts(
+        extracted.select("doc_id", "url", "n_chars_ext"), "url", "doc_id", blocked)
+      val s1b = Domains.filterUrlPaths(s1, "url", "doc_id",
+        Seq("prefix" -> "/p13", "prefix" -> "/p27", "param" -> "q=1")
+          .toDF("kind", "pattern"))
+      val s2 = Domains.dedupByUrl(s1b, "url", "doc_id")
+      val s3 = Domains.domainTokenQuota(s2, "url", "doc_id",
+        col("n_chars_ext"), budgetPerDomain = 2200L, seed = 13L)
+      val curated = extracted.select("doc_id", "text")
+        .join(s3.select("doc_id"), "doc_id")
+      val toks = graft.functions.bpe_count(col("text"), BpeMerges)
+      val ord = Sampling.hashScore(col("doc_id"), 21L)
+      val outPath = s"${sys.props("java.io.tmpdir")}/graft_warc_to_shards_out"
+      val manifest = Packing.exportShards(curated, "doc_id", ord, toks,
+        shards = 8, path = outPath)
+      val packed = Packing.packSequences(curated, "doc_id", toks, 256, 21L)
+        .withColumnRenamed("id", "doc_id").select("doc_id", "chunk_end")
+      val byShard = Packing.assignTokenShards(curated, "doc_id", ord, toks, 8)
+        .join(packed, "doc_id")
+        .groupBy("shard").agg(max(col("chunk_end")).as("max_chunk"))
+      manifest.join(byShard, "shard").orderBy("shard")
+    }),
     "sink_partitioned" -> ((s, dir) => {
       // hive-partitioned parquet sink + partition-pruned readback: the
       // 100 TB layout pattern (partition on a low-cardinality routing
@@ -2042,6 +2182,50 @@ object SparkEntry {
           stream, benchSeq, nBatches = 4)
         .orderBy("doc_id")
     }),
+    // The production day-N loop front to back: a WARC tape wave lands,
+    // the checkpointed file stream parses only the unseen files, and the
+    // wave admits through the full day-2 recipe against persisted day-1
+    // state (EventStreams.warcAdmitIngest — warcIngest composed with the
+    // admitBatch seam). Two waves = two admission days; wave-2 admits
+    // must see wave-1's rows in every statistic (lookup + indexes grow
+    // between passes) and the checkpoint must keep wave 1 from
+    // re-parsing (a replay doubles rows and fails the count). Oracle:
+    // the same sequential union-rerun walk as stream_incremental_admit,
+    // chunked as the two sorted halves.
+    "stream_warc_admit" -> ((s, dir) => {
+      import s.implicits._
+      val (corpusA, batchB, bench) = incrementalCurationFixture(s, dir)
+      val prefix = "graft_warcadm"
+      val lookupTbl = s"${prefix}_lookup"
+      val benchTbl = s"${prefix}_bench"
+      val resTbl = s"${prefix}_admits"
+      graft.api.IncrementalCuration.reset(s, prefix)
+      Seq(lookupTbl, benchTbl, resTbl)
+        .foreach(graft.api.BucketedWrite.dropTable(s, _))
+      graft.api.IncrementalCuration.buildState(corpusA, prefix,
+        "doc_id", "text", col("lang") === "en")
+      corpusA.write.format("parquet").saveAsTable(lookupTbl)
+      bench.write.format("parquet").saveAsTable(benchTbl)
+      val b = batchB.select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      val half = (b.length + 1) / 2
+      val tmp = sys.props("java.io.tmpdir")
+      val tape = java.nio.file.Paths.get(tmp, "graft_warc_admit_tape")
+      val ckpt = java.nio.file.Paths.get(tmp, "graft_warc_admit_ckpt")
+      Seq(tape, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+      java.nio.file.Files.createDirectories(tape)
+      Seq(b.take(half), b.drop(half)).zipWithIndex.foreach { case (wave, i) =>
+        java.nio.file.Files.write(tape.resolve(s"wave$i.warc"),
+          graft.sources.WarcFiles.buildWarc(wave.map { case (id, t, lg) =>
+            (id, s"https://example.org/$lg/$id", t.getBytes("UTF-8"))
+          }.toSeq))
+        graft.streaming.EventStreams.warcAdmitIngest(s, s"$tape/*.warc",
+          ckpt.toString, prefix, lookupTbl, benchTbl, resTbl)
+      }
+      s.catalog.refreshTable(resTbl)
+      s.table(resTbl).orderBy("doc_id")
+    }),
     // Takedown through the day-2 state: build day-1 indexes on A, DELETE
     // the 30 docs that are B's exact/near clone partners (ids in
     // [150, 350) with id % 10 in {3, 6} — subtract-or-rebuild per
@@ -2674,6 +2858,33 @@ object SparkEntry {
           "media_id", "bytes", bands = 4, maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
+    // The multimodal composed recipe — curate_web for (media, caption)
+    // rows: caption rules -> global caption first-come dedup ->
+    // perceptual near-dup per modality (image dHash banding + audio
+    // fingerprint banding) with the greedy keep-earliest drop. Fixture:
+    // BOTH twin sets (audio ids offset +1000) with planted caption junk
+    // (id%7==2 stub captions), a cross-id duplicate caption class
+    // (id%11==5), and unique captions elsewhere so the perceptual stage
+    // gets real work. Oracle: full Python chain over the recipe-derived
+    // hashes (no codec libraries) — stage order and the survivor set pin
+    // the composition.
+    "curate_multimodal" -> ((s, dir) => {
+      val cap = when(col("media_id") % 7 === 2, lit("thumb img"))
+        .when(col("media_id") % 11 === 5,
+          lit("a duplicated caption planted for the exact dedup stage"))
+        .otherwise(concat(
+          lit("a descriptive caption for media item number "),
+          col("media_id").cast("string"), lit(" in the corpus")))
+      val imgs = graft.api.Multimodal.syntheticPngTwins(s, 48)
+        .withColumn("kind", lit("image"))
+      val wavs = graft.api.Multimodal.syntheticWavTwins(s, 48)
+        .withColumn("media_id", col("media_id") + 1000L)
+        .withColumn("kind", lit("audio"))
+      graft.api.Multimodal.curateMultimodal(
+          imgs.unionByName(wavs).withColumn("caption", cap))
+        .select(col("media_id"), col("kind"), col("caption"))
+        .orderBy("media_id")
+    }),
     "multimodal_features_jpeg" -> ((s, dir) => {
       // the second real codec path through the same decoder seam: the
       // recipe rasters JPEG-encoded (lossy, quality 0.95). Dims are pinned
@@ -2826,6 +3037,41 @@ object SparkEntry {
           substring(col("text"), 1, 60).as("head60"),
           expr("substring(text, greatest(length(text) - 59, 1), 60)")
             .as("tail60"))
+        .orderBy("doc_id")
+    }),
+    // Main-content extraction (the jusText-class tier above html_extract):
+    // same scan, but blocks under 25 counted chars or over 333 per-mille
+    // anchor-text density drop as chrome. The fixture plants nav, a
+    // link-list sidebar, a short heading and a link-dense footer around
+    // two prose paragraphs (one with an inline link that must SURVIVE the
+    // density rule); n_lines_all vs n_lines_main pins the tier gap row by
+    // row. Oracle: independent Python re-derivation of both tiers.
+    "html_main_content" -> ((s, dir) => {
+      val html = withPlantedMainHtml(load(s, dir, "documents"))
+      graft.api.TextAnalysis.extractMainHtml(html, "html", "text")
+        .withColumn("text_all", graft.functions.html_extract(col("html")))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_main"),
+          size(split(col("text"), "\n", -1)).cast("long").as("n_lines_main"),
+          size(split(col("text_all"), "\n", -1)).cast("long").as("n_lines_all"),
+          substring(col("text"), 1, 60).as("head60"),
+          expr("substring(text, greatest(length(text) - 59, 1), 60)")
+            .as("tail60"))
+        .orderBy("doc_id")
+    }),
+    // Compression-ratio quality signal (zlib_len at level 6): planted
+    // template spam — unique slot number between every pair of template
+    // words, so NO duplicate line and NO repeated 2-gram — must trip the
+    // all-integer 3x rule while the word-salad prose docs stay clean.
+    // Oracle: Python zlib.compress at the same level (bit-identical
+    // DEFLATE under the shared zlib build — the expression scaladoc
+    // states the contract), re-deriving the spam fixture from the same
+    // arithmetic.
+    "zlib_ratio" -> ((s, dir) => {
+      graft.api.TextAnalysis.compressionSignals(
+          withPlantedSpam(load(s, dir, "documents")), "text")
+        .select(col("doc_id"), col("n_bytes"), col("n_zlib"),
+          col("zlib_ratio"), col("template_spam"))
         .orderBy("doc_id")
     }),
     // The RefinedWeb-style FRONT-END composed end to end — now starting
@@ -3892,6 +4138,8 @@ object SparkEntry {
     "domain_token_quota" -> valuesOracle("domain_token_quota"),
     "curate_web" -> valuesOracle("curate_web"),
     "html_extract" -> valuesOracle("html_extract"),
+    "html_main_content" -> valuesOracle("html_main_content"),
+    "zlib_ratio" -> valuesOracle("zlib_ratio"),
     // DuckDB has no punycode: the independent re-derivation is CPython's
     // RFC 3492 codec (+ unquote/NFC) in tools/gen_oracles.py, pinned
     "domain_dedup_idn" -> valuesOracle("domain_dedup_idn"),
@@ -4299,6 +4547,7 @@ object SparkEntry {
     "inc_state_compact" -> valuesOracle("inc_state_compact"),
     "takedown_incremental" -> valuesOracle("takedown_incremental"),
     "stream_incremental_admit" -> valuesOracle("stream_incremental_admit"),
+    "stream_warc_admit" -> valuesOracle("stream_warc_admit"),
     "curate_drop_ledger" -> valuesOracle("curate_drop_ledger"),
     // the cross-session leg runs the IDENTICAL chain through the
     // simulated restart, so it must land on the same pinned oracle
@@ -4333,6 +4582,7 @@ object SparkEntry {
     "multimodal_features_real" -> valuesOracle("multimodal_features_real"),
     "image_phash_dedup" -> valuesOracle("image_phash_dedup"),
     "audio_fp_dedup" -> valuesOracle("audio_fp_dedup"),
+    "curate_multimodal" -> valuesOracle("curate_multimodal"),
     "multimodal_resize_real" -> valuesOracle("multimodal_resize_real"),
     "multimodal_features_jpeg" -> valuesOracle("multimodal_features_jpeg"),
     "multimodal_features_wav" -> valuesOracle("multimodal_features_wav"),
@@ -4369,6 +4619,8 @@ object SparkEntry {
     "source_avro_roundtrip" ->
       dirtiedDocsOracleSql,
     "source_warc_extract" -> valuesOracle("source_warc_extract"),
+    "source_warc_gzip" -> valuesOracle("source_warc_gzip"),
+    "warc_to_shards" -> valuesOracle("warc_to_shards"),
     // the streamed tape accumulates to the same record set (file-level
     // exactly-once), so the batch oracle applies verbatim
     "stream_warc_ingest" -> valuesOracle("source_warc_extract"),

@@ -814,6 +814,12 @@ object Dedup {
   def dedupParagraphs(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", sep: String = "\n\n",
                       spreadInput: Boolean = true): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"dedupParagraphs: id column '$idCol' is ${idType.simpleString}; a " +
+        "non-numeric id would null under the long cast, the cut join " +
+        "would never match, and the pass would silently return the " +
+        "corpus un-deduped — refuse loudly instead")
     val src = if (spreadInput) SparkEnv.spread(df) else df
     val quoted = java.util.regex.Pattern.quote(sep)
     // the explicit isnotnull makes the two consumers' subtrees IDENTICAL:

@@ -488,4 +488,51 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         substring(col("bytes"), (col("frame_idx") * (16 * stride) + 1).cast("int"), lit(16)).as("frame_bytes"))
   }
+
+  /** The `curate_web` analog for (media, caption) rows — the composed
+    * recipe a paired image/audio-caption corpus runs before training:
+    *
+    *  1. caption rules, per-row and integer-exact: a non-null caption
+    *     with at least `minCaptionTokens` whitespace tokens and at most
+    *     `maxCaptionChars` chars (alt-text stubs — "thumbnail", file
+    *     names — are the dominant junk class in paired corpora);
+    *  2. caption EXACT dedup, first-come GLOBALLY (template alt-text
+    *     repeats across pages and modalities): min id per caption
+    *     string wins;
+    *  3. perceptual media near-dup per modality —
+    *     [[imageNearDupPairs]] over `kind = "image"` rows,
+    *     [[audioNearDupPairs]] over `kind = "audio"` rows, both on the
+    *     stage-2 survivors — then the GREEDY keep-earliest rule: any
+    *     clip with a verified near-dup of smaller id drops. Greedy is
+    *     the stated contract, not transitive closure: with A~B and B~C
+    *     (but not A~C), B and C both drop even though C's only partner
+    *     was itself dropped — deterministic and one anti-join; callers
+    *     needing component-exact survivors can union-find the exposed
+    *     pair frames instead.
+    *
+    * Scale: stage 1 is map-only; captions and ids cross the dedup
+    * exchanges, payload bytes never shuffle (each pair operator hashes
+    * before its banding exchange). Output: the surviving rows, input
+    * schema unchanged. */
+  def curateMultimodal(media: DataFrame, idCol: String = "media_id",
+                       kindCol: String = "kind", bytesCol: String = "bytes",
+                       captionCol: String = "caption",
+                       minCaptionTokens: Int = 4, maxCaptionChars: Int = 200,
+                       imageBands: Int = 4, imageMaxHamming: Int = 10,
+                       audioBands: Int = 4, audioMaxHamming: Int = 6): DataFrame = {
+    val s1 = media.filter(col(captionCol).isNotNull &&
+      size(split(trim(col(captionCol)), "\\s+")) >= minCaptionTokens &&
+      length(col(captionCol)) <= maxCaptionChars)
+    val capWinner = s1.groupBy(col(captionCol))
+      .agg(min(col(idCol)).as("__cap_keep"))
+    val s2 = s1.join(capWinner, Seq(captionCol))
+      .filter(col(idCol) === col("__cap_keep")).drop("__cap_keep")
+    val imgDrops = imageNearDupPairs(s2.filter(col(kindCol) === "image"),
+        idCol, bytesCol, imageBands, imageMaxHamming)
+      .select(col("id_b").as(idCol))
+    val audDrops = audioNearDupPairs(s2.filter(col(kindCol) === "audio"),
+        idCol, bytesCol, audioBands, audioMaxHamming)
+      .select(col("id_b").as(idCol))
+    s2.join(imgDrops.unionByName(audDrops).distinct(), Seq(idCol), "left_anti")
+  }
 }

@@ -25,6 +25,44 @@ object TextAnalysis {
                   outCol: String = "text"): DataFrame =
     df.withColumn(outCol, graft.functions.html_extract(col(htmlCol)))
 
+  /** Main-content tier of [[extractHtml]] — the optional stage between
+    * raw extraction and the line-frequency boilerplate pass: blocks
+    * shorter than `minChars` counted characters or with anchor-text
+    * density above `maxLinkPermille` are dropped as chrome
+    * (nav/footer/sidebar), per the jusText-class rules stated in
+    * [[graft.core.HtmlText.extractMain]]. Same per-row, zero-shuffle
+    * shape as [[extractHtml]] — compose either as `curate_web`'s first
+    * stage; this one removes single-page chrome the document-frequency
+    * pass only catches when it repeats across the corpus. */
+  def extractMainHtml(df: DataFrame, htmlCol: String = "html",
+                      outCol: String = "text", minChars: Int = 25,
+                      maxLinkPermille: Int = 333): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.html_main_content(col(htmlCol), minChars, maxLinkPermille))
+
+  /** Compression-ratio repetition signals (the Gopher/RefinedWeb-class
+    * quality tier the n-gram counters miss): per row, the UTF-8 byte
+    * length, the zlib-compressed length at level 6, their ratio, and the
+    * all-integer template-spam verdict `spamMult * n_zlib < n_bytes`
+    * (default 3: ratio below 1/3). Short natural prose — including the
+    * small-vocabulary fixture docs — measures ≥ 0.39 at level 6, while
+    * templated spam whose per-slot variation defeats dup-line and
+    * top-n-gram counters (a unique number between every pair of template
+    * words leaves NO repeated 2-gram and no duplicate line) still
+    * compresses under 0.29, because LZ77 matches the repeated template
+    * words at range regardless of the slots. Integer comparison, not a
+    * float threshold — exactly reproducible by any oracle. Empty text:
+    * 0 bytes compress to a fixed 8-byte zlib header+trailer, ratio is
+    * null (Spark division by zero), spam verdict false. */
+  def compressionSignals(df: DataFrame, textCol: String = "text",
+                         level: Int = 6, spamMult: Int = 3): DataFrame =
+    df.withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
+      .withColumn("n_zlib", graft.functions.zlib_len(col(textCol), level))
+      .withColumn("zlib_ratio",
+        col("n_zlib").cast("double") / col("n_bytes").cast("double"))
+      .withColumn("template_spam",
+        col("n_zlib") * spamMult.toLong < col("n_bytes"))
+
   /** Small, fixed stopword profiles. Deliberately tiny — the point is a
     * deterministic, cheap heuristic, not linguistic accuracy. */
   val profiles: Seq[(String, Seq[String])] = Seq(
@@ -887,7 +925,8 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(length(col(textCol)).cast("long")).as("total_chars"),
         sum(size(split(col(textCol), "\\s+")).cast("long")).as("ws_tokens"),
-        countDistinct(xxhash64(col(textCol))).as("distinct_texts"))
+        countDistinct(when(col(textCol).isNotNull, xxhash64(col(textCol))))
+          .as("distinct_texts"))
       .withColumn("exact_dup_docs", col("n_docs") - col("distinct_texts"))
   }
 }

@@ -181,4 +181,120 @@ object HtmlText {
     }
     sb.toString
   }
+
+  /** Main-content extraction — the jusText/trafilatura-class tier above
+    * [[extract]]: the same scan, but each output line (block) additionally
+    * carries two counters — its COUNTED characters (code units > U+0020,
+    * so space handling cannot move the numbers) and how many of those were
+    * emitted inside an open `<a>` anchor (`<a ...>` opens, `</a>` closes,
+    * depth floored at 0; the first-`>` tag simplification applies to
+    * anchors like every other tag). A line survives iff, after the same
+    * collapse/trim, it is non-empty AND
+    *
+    *   - `total >= minChars` (boilerplate blocks — nav crumbs, copyright
+    *     lines, button labels — are short), AND
+    *   - `anchor * 1000 <= maxLinkPermille * total` (chrome blocks are
+    *     link-dense: nav/footer/sidebar text lives inside anchors, body
+    *     prose holds at most scattered inline links).
+    *
+    * Those are jusText's two dominant signals (Pomikálek 2011), stated as
+    * exact integer rules so the Python oracle re-derives them
+    * independently; the stopword-density and context-smoothing passes of
+    * the full algorithm are deliberately out of this tier (the corpus
+    * fixtures are synthetic word salad where a stopword prior is
+    * meaningless — and a length+link-density tier is already the step the
+    * round-18 extractor lacked: it keeps prose paragraphs, including ones
+    * with scattered inline links, while dropping chrome that line-frequency
+    * boilerplate removal only catches when it repeats across docs).
+    * Decoded entity characters count like literal ones; a decoded `&#10;`
+    * is a line break exactly as in [[extract]]. Short headings (`<h1>` of
+    * a few words) fall under `minChars` — the documented cost of skipping
+    * the context pass. */
+  def extractMain(s: String, minChars: Int, maxLinkPermille: Int): String = {
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    val totals = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val anchors = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var curTotal = 0
+    var curAnchor = 0
+    var anchorDepth = 0
+    def emit(c: Char): Unit = {
+      if (c == '\n') {
+        out.append('\n'); totals += curTotal; anchors += curAnchor
+        curTotal = 0; curAnchor = 0
+      } else {
+        out.append(c)
+        if (c > ' ') {
+          curTotal += 1
+          if (anchorDepth > 0) curAnchor += 1
+        }
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.regionMatches(i, "<!--", 0, 4)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && {
+          val d = s.charAt(i + 1)
+          isAsciiLetter(d) || d == '/' || d == '!' || d == '?'
+        }) {
+          var j = i + 1
+          val closing = s.charAt(j) == '/'
+          if (closing) j += 1
+          var k = j
+          while (k < n && isAsciiAlnum(s.charAt(k))) k += 1
+          val name = s.substring(j, k).toLowerCase(java.util.Locale.ROOT)
+          val gt = s.indexOf('>', i + 1)
+          if (gt < 0) {
+            emit('<'); i += 1
+          } else if (!closing && (name == "script" || name == "style")) {
+            val endTag = indexOfIgnoreCase(s, "</" + name, gt + 1)
+            i =
+              if (endTag < 0) n
+              else {
+                val gt2 = s.indexOf('>', endTag)
+                if (gt2 < 0) n else gt2 + 1
+              }
+            emit('\n')
+          } else {
+            if (name == "a") {
+              if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
+              else anchorDepth += 1
+            }
+            if (BlockTags.contains(name)) emit('\n')
+            i = gt + 1
+          }
+        } else {
+          emit('<'); i += 1
+        }
+      } else if (c == '&') {
+        val e = tryEntity(s, i)
+        if (e == null) { emit('&'); i += 1 }
+        else { e._1.foreach(emit); i += e._2 }
+      } else if (c == '\n' || c == '\r' || c == '\t') {
+        emit(' '); i += 1
+      } else {
+        emit(c); i += 1
+      }
+    }
+    totals += curTotal; anchors += curAnchor
+    val lines = out.toString.split("\n", -1)
+    val sb = new java.lang.StringBuilder(out.length)
+    var first = true
+    var li = 0
+    while (li < lines.length) {
+      val t = lines(li).replaceAll(" +", " ").trim
+      if (t.nonEmpty && totals(li) >= minChars &&
+        anchors(li).toLong * 1000L <= maxLinkPermille.toLong * totals(li).toLong) {
+        if (!first) sb.append('\n')
+        sb.append(t)
+        first = false
+      }
+      li += 1
+    }
+    sb.toString
+  }
 }

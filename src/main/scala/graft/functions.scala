@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, HtmlExtract, BpeRanks, BpeTokens, CmsBuild, CmsEstimate, ColumnShim, CosineSim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, WinnowFingerprint}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, HtmlExtract, HtmlMainContent, BpeRanks, BpeTokens, CmsBuild, CmsEstimate, ColumnShim, CosineSim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, WinnowFingerprint, ZlibLen}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -58,6 +58,22 @@ object functions {
     * script/style/comment drop, entity decode, whitespace normalization
     * — [[graft.core.HtmlText]]). */
   def html_extract(html: Column): Column = toCol(HtmlExtract(col2expr(html)))
+
+  /** Main-content extraction — the jusText-class tier above
+    * [[html_extract]]: same scan, but blocks shorter than `minChars`
+    * counted characters or denser than `maxLinkPermille` anchor-text
+    * per-mille are dropped as chrome
+    * ([[graft.core.HtmlText.extractMain]] states the exact rules). */
+  def html_main_content(html: Column, minChars: Int = 25,
+                        maxLinkPermille: Int = 333): Column =
+    toCol(HtmlMainContent(col2expr(html), minChars, maxLinkPermille))
+
+  /** Byte length of the zlib (RFC 1950) stream of the text's UTF-8 bytes
+    * at a fixed level — the compression-ratio repetition signal
+    * ([[org.apache.spark.sql.graft.ZlibLen]] states the determinism
+    * contract). Level 6 is zlib's (and CPython's) default. */
+  def zlib_len(text: Column, level: Int = 6): Column =
+    toCol(ZlibLen(col2expr(text), level))
 
   /** Levenshtein edit distance over Unicode CODE POINTS — the
     * record-linkage verifier unit (Spark's builtin counts UTF-16 chars,

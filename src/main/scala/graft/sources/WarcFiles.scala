@@ -129,15 +129,59 @@ object WarcFiles {
     *
     * CONTRACT: the result is a UTF-8 DECODE of the body — non-UTF-8
     * bytes become U+FFFD and compressed bodies (Content-Encoding: gzip)
-    * come out as mojibake. That is the right shape for the text
-    * pipeline this source feeds (`html_extract` consumes strings), but
-    * a caller needing the raw body bytes must slice `content` itself —
-    * this helper is lossy by design, not by accident. */
+    * come out as mojibake. That is the right shape for a tape already
+    * known to be identity-encoded, but real crawl tapes are mostly
+    * gzip'd — use [[httpBodyText]] (Content-Encoding-aware) for those;
+    * a caller needing the raw body bytes must slice `content` itself. */
   def httpBody(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val text = content.cast("string")
     val sep = instr(text, "\r\n\r\n")
     when(sep > 0, text.substr(sep + lit(4), length(text))).otherwise(text)
+  }
+
+  /** Content-Encoding-aware body decode
+    * ([[org.apache.spark.sql.graft.HttpBodyText]] states the full
+    * contract): identity bodies slice, gzip bodies gunzip under a
+    * bounded-output guard, corrupt or unsupported encodings fail
+    * loudly. One codegen'd expression over the raw block bytes. */
+  def httpBodyText(content: org.apache.spark.sql.Column,
+                   maxOut: Long = 64L << 20): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.HttpBodyText(
+        org.apache.spark.sql.graft.ColumnShim.expression(content), maxOut))
+
+  /** Deterministic RESPONSE-record fixture builder: each (id, uri,
+    * payload, gzip) lands as a `response` record whose block is a full
+    * HTTP envelope plus the (optionally gzip'd) payload — the shape real
+    * crawl tapes have, exercising the [[httpBodyText]] decode path. */
+  def buildWarcHttp(records: Seq[(Long, String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("UTF-8"))
+    records.foreach { case (id, uri, payload, gz) =>
+      val body = if (gz) {
+        val bo = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bo)
+        g.write(payload); g.close()
+        bo.toByteArray
+      } else payload
+      val envelope = "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" +
+        (if (gz) "Content-Encoding: gzip\r\n" else "") +
+        s"Content-Length: ${body.length}\r\n\r\n"
+      val block = envelope.getBytes("UTF-8") ++ body
+      w("WARC/1.0\r\n")
+      w("WARC-Type: response\r\n")
+      w(s"WARC-Record-ID: <urn:graft:$id>\r\n")
+      w(s"WARC-Target-URI: $uri\r\n")
+      w("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+      w("Content-Type: application/http;msgtype=response\r\n")
+      w(s"Content-Length: ${block.length}\r\n")
+      w("\r\n")
+      out.write(block)
+      w("\r\n\r\n")
+    }
+    out.toByteArray
   }
 
   /** Deterministic WARC fixture builder: wrap each (id, uri, payload)

@@ -952,7 +952,7 @@ object EventStreams {
     val key = graft.api.Domains.normalizedUrl(col("url"), sortQuery,
       dropParamPrefixes)
     val src0 = docs.select(
-      coalesce(key, concat(lit(" "), col("doc_id").cast("string")))
+      coalesce(key, concat(lit("\u0000"), col("doc_id").cast("string")))
         .as("ukey"),
       col("doc_id").cast("long").as("doc_id"), col("ts"))
     firstKPerKeyAdmit(src0, 1L, watermarkDelay)
@@ -1332,6 +1332,76 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         df.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The production day-N loop as ONE pipeline: a WARC tape wave arrives
+    * on disk, the checkpointed file stream parses only the files no prior
+    * pass has seen ([[warcIngest]]'s exactly-once file discipline), and
+    * each micro-batch admits through the full day-2 recipe
+    * ([[graft.api.IncrementalCuration.admitBatch]]) against the persisted
+    * day-1 state — the composition of [[warcIngest]] and
+    * [[incrementalAdmitReplay]] that neither proves alone. Records carry
+    * `doc_id` in their WARC-Record-ID, text as the raw block bytes
+    * (UTF-8), and the routing language as a target-URI path segment —
+    * the tape-side shape of the admit inputs. Each wave call is one
+    * AvailableNow pass = one admission day; admitted rows append to
+    * `resTbl`, the batch's full row set to `lookupTbl` AFTER the admit
+    * (probe-coverage contract). Every table access runs on the
+    * micro-batch's own cloned session with a defensive refresh (the V1
+    * relation-cache trap [[rollingDedupReplay]] documents).
+    *
+    * Honestly stated limit: `admitBatch`'s index appends are
+    * at-least-once under a crash between the admit and the checkpoint
+    * commit — same property as [[incrementalAdmitReplay]]; the staged
+    * scratch-commit rewrite ([[graft.api.IncrementalCuration
+    * .compactState]]) is the production answer for replay-safe state,
+    * and this harness gates the bit-equality of the happy path. */
+  def warcAdmitIngest(spark: SparkSession, tapeGlob: String,
+                      checkpoint: String, prefix: String, lookupTbl: String,
+                      benchTbl: String, resTbl: String,
+                      params: graft.api.IncrementalCuration.Params =
+                        graft.api.IncrementalCuration.Params()): Unit = {
+    import org.apache.spark.sql.types._
+    val files = spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(tapeGlob)
+    val parsed = files.select("path", "content")
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (p, b) => graft.sources.WarcFiles.parseWarc(p, b) }(
+        org.apache.spark.sql.Encoders.row(graft.sources.WarcFiles.schema))
+    val q = parsed.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!df.isEmpty) {
+          val ss = df.sparkSession
+          (graft.api.IncrementalCuration.stateTables(prefix) ++
+            Seq(lookupTbl, benchTbl, resTbl))
+            .foreach(t => if (ss.catalog.tableExists(t)) ss.catalog.refreshTable(t))
+          val b = df.select(
+            regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+              .cast("long").as("doc_id"),
+            col("content").cast("string").as("text"),
+            regexp_extract(col("target_uri"), "example\\.org/([a-z]+)/", 1)
+              .as("lang"))
+          val admitted = graft.api.IncrementalCuration.admitBatch(b,
+            ss.table(benchTbl), ss.table(lookupTbl), prefix,
+            "doc_id", "text", col("lang") === "en", params)
+          admitted.write.mode("append").format("parquet").saveAsTable(resTbl)
+          b.select(ss.table(lookupTbl).columns.map(col).toIndexedSeq: _*)
+            .write.mode("append").insertInto(lookupTbl)
+        }
+        ()
       }
       .start()
     q.awaitTermination()

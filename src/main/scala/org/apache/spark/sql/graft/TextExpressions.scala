@@ -317,6 +317,204 @@ object HtmlExtract {
     UTF8String.fromString(_root_.graft.core.HtmlText.extract(s.toString))
 }
 
+/** html_main_content(html): the jusText/trafilatura-class tier above
+  * [[HtmlExtract]] — same scan, but each block is kept only if it is long
+  * enough AND link-sparse enough ([[graft.core.HtmlText.extractMain]]
+  * states the exact integer rules; the Python oracle re-derives them
+  * independently). `minChars`/`maxLinkPermille` are construction-time
+  * constants — no per-row dispatch, codegen is one static call. The
+  * defaults (25 counted chars, 333‰ anchor density) are the jusText
+  * short-block / link-density ballpark. NULL → NULL. */
+case class HtmlMainContent(child: Expression, minChars: Int, maxLinkPermille: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(minChars >= 0, s"minChars must be >= 0, got $minChars")
+  require(maxLinkPermille >= 0 && maxLinkPermille <= 1000,
+    s"maxLinkPermille must be in [0, 1000], got $maxLinkPermille")
+
+  override def prettyName: String = "html_main_content"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    HtmlMainContent.extract(v.asInstanceOf[UTF8String], minChars, maxLinkPermille)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val mod = s"${classOf[HtmlMainContent].getName}$$.MODULE$$"
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $mod.extract($c, $minChars, $maxLinkPermille);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HtmlMainContent {
+  /** Static call target for interpreted eval and generated code. */
+  def extract(s: UTF8String, minChars: Int, maxLinkPermille: Int): UTF8String =
+    UTF8String.fromString(
+      _root_.graft.core.HtmlText.extractMain(s.toString, minChars, maxLinkPermille))
+}
+
+/** zlib_len(text): byte length of the RFC 1950 zlib stream of the text's
+  * UTF-8 bytes at a construction-time compression level — the
+  * Gopher/RefinedWeb-class repetition signal: templated spam compresses
+  * far below natural prose even when per-line slot variation defeats
+  * dup-line and n-gram-repetition counters. The LENGTH is the signal (the
+  * ratio to `octet_length` is one division away, and an all-integer
+  * threshold like `3 * zlib_len < octet_length` stays drift-free); the
+  * compressed bytes are discarded. Determinism contract: zlib's DEFLATE
+  * output is fixed for a given (level, strategy, input) within one zlib
+  * build, and the JDK's Deflater and CPython's zlib module both bind the
+  * same system zlib here — the oracle pins exact lengths and a library
+  * swap would surface as a gate mismatch, not silent drift. Per-thread
+  * Deflater reuse (reset, never re-alloc): a native-state alloc per row
+  * would dominate the scan. NULL → NULL. */
+case class ZlibLen(child: Expression, level: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(level >= 0 && level <= 9, s"level must be in [0, 9], got $level")
+
+  override def prettyName: String = "zlib_len"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any =
+    ZlibLen.len(v.asInstanceOf[UTF8String], level)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val mod = s"${classOf[ZlibLen].getName}$$.MODULE$$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $mod.len($c, $level);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** http_body_text(block): the Content-Encoding-aware body decode for WARC
+  * `response` records — real crawl tapes ship mostly gzip'd HTTP bodies,
+  * which a plain byte→string cast turns into mojibake. Splits the block at
+  * the first CRLF CRLF; parses `Content-Encoding` from the HTTP envelope
+  * (ASCII headers, case-insensitive name, first occurrence wins); `gzip`/
+  * `x-gzip` bodies gunzip with a bounded-output guard (`maxOut`,
+  * construction-time constant — a decompression bomb must not OOM an
+  * executor; overflow fails LOUDLY with the cap), `identity` or absent
+  * pass through, any OTHER declared encoding and any corrupt gzip stream
+  * fail LOUDLY — a tape whose bodies can't be decoded is a transfer
+  * problem you want surfaced, not U+FFFD soup admitted into the corpus
+  * (same philosophy as the WARC framing parser). Blocks with no CRLF CRLF
+  * (resource records, truncated envelopes) decode whole. The result is a
+  * UTF-8 decode with U+FFFD replacement. NULL → NULL. */
+case class HttpBodyText(child: Expression, maxOut: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(maxOut > 0, s"maxOut must be positive, got $maxOut")
+
+  override def prettyName: String = "http_body_text"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    HttpBodyText.body(v.asInstanceOf[Array[Byte]], maxOut)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val mod = s"${classOf[HttpBodyText].getName}$$.MODULE$$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $mod.body($c, ${maxOut}L);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HttpBodyText {
+  private def utf8(bytes: Array[Byte], off: Int, len: Int): UTF8String =
+    UTF8String.fromString(
+      new String(bytes, off, len, java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Static call target for interpreted eval and generated code. */
+  def body(block: Array[Byte], maxOut: Long): UTF8String = {
+    var sep = -1
+    var i = 0
+    while (sep < 0 && i + 3 < block.length) {
+      if (block(i) == '\r' && block(i + 1) == '\n' &&
+        block(i + 2) == '\r' && block(i + 3) == '\n') sep = i
+      i += 1
+    }
+    if (sep < 0) return utf8(block, 0, block.length)
+    // HTTP headers are ASCII by spec; ISO-8859-1 is byte-transparent, so
+    // a stray high byte cannot corrupt neighboring header NAMES
+    val envelope = new String(block, 0, sep,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val enc = envelope.split("\r\n").iterator.drop(1)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .collectFirst { case l if l.startsWith("content-encoding:") =>
+        l.substring("content-encoding:".length).trim }
+      .getOrElse("identity")
+    val bodyOff = sep + 4
+    val bodyLen = block.length - bodyOff
+    enc match {
+      case "identity" | "" => utf8(block, bodyOff, bodyLen)
+      case "gzip" | "x-gzip" =>
+        val out = new java.io.ByteArrayOutputStream(math.min(
+          math.max(bodyLen * 4L, 1024L), maxOut).toInt)
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(block, bodyOff, bodyLen))
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          var n = in.read(buf)
+          while (n >= 0) {
+            total += n
+            if (total > maxOut) throw new IllegalArgumentException(
+              s"gzip body inflates past the $maxOut-byte guard — refusing " +
+                "(decompression bomb or mis-declared encoding)")
+            out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+        } catch {
+          case e: java.io.IOException => throw new IllegalArgumentException(
+            s"corrupt gzip body under Content-Encoding: gzip: ${e.getMessage}", e)
+        }
+        val b = out.toByteArray
+        utf8(b, 0, b.length)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Content-Encoding '$other' — this decoder handles " +
+          "identity and gzip; an undecodable tape body is a transfer " +
+          "problem, not row data")
+    }
+  }
+}
+
+object ZlibLen {
+  // one Deflater per (thread, level), reset between rows — Deflater holds
+  // native zlib state, so per-row construction is an allocation + finalizer
+  // on the hot path; 10 levels x executor threads is a bounded, documented
+  // native footprint
+  private val pools: Array[ThreadLocal[java.util.zip.Deflater]] =
+    Array.tabulate(10) { l =>
+      ThreadLocal.withInitial(() => new java.util.zip.Deflater(l))
+    }
+
+  /** Static call target for interpreted eval and generated code. */
+  def len(s: UTF8String, level: Int): Long = {
+    val in = s.getBytes
+    val d = pools(level).get()
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+}
+
 object UnicodeNorm {
   /** Static call target for interpreted eval and generated code. The form
     * resolves via a compile-time string switch, not per-row

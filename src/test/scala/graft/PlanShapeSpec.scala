@@ -627,6 +627,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"regexp counts must run inside one whole-stage-codegen projection:\n$plan")
   }
 
+  test("main-content extraction + compression signals are map-only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumnRenamed("text", "html")
+    val ext = api.TextAnalysis.extractMainHtml(docs, "html", "text")
+    val extPlan = ext.queryExecution.executedPlan.toString
+    assert(!extPlan.contains("Exchange"),
+      s"main-content extraction must not shuffle:\n$extPlan")
+    assert(extPlan.contains("html_main_content"),
+      s"the extraction must be the codegen'd expression, not a UDF:\n$extPlan")
+    val sig = api.TextAnalysis.compressionSignals(
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+    val sigPlan = sig.queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("Exchange"),
+      s"compression signals must not shuffle:\n$sigPlan")
+    assert(sigPlan.contains("zlib_len"),
+      s"the signal must be the codegen'd expression:\n$sigPlan")
+  }
+
   test("corpusReport: one map-side-combined aggregate, bodies never shuffle") {
     val plan = planOf("corpus_report")
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),

@@ -77,4 +77,59 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(x("<head><title>T</title></head><body><p>b</p></body>")
       == "T\nb")
   }
+
+  // ---- extractMain: the jusText-class length + link-density tier ----
+  private def m(s: String, minChars: Int = 25, maxLinkPermille: Int = 333) =
+    HtmlText.extractMain(s, minChars, maxLinkPermille)
+
+  test("main content: link-dense nav/footer blocks drop, prose survives") {
+    val page = "<div><a href=\"/\">Home</a> <a href=\"/d\">Docs</a> " +
+      "<a href=\"/a\">About pages here</a></div>" +
+      "<p>this paragraph is long enough to be real content of the page</p>" +
+      "<footer><a href=\"/p\">Privacy</a> <a href=\"/t\">Terms of use</a></footer>"
+    assert(m(page)
+      == "this paragraph is long enough to be real content of the page")
+  }
+
+  test("main content: scattered inline links inside prose do NOT drop it") {
+    val page = "<p>See <a href=\"/g\">the guide</a> for background and " +
+      "details about this corpus of documents</p>"
+    // anchor 'theguide' = 8 counted vs total 68: well under 333 per-mille
+    assert(m(page).startsWith("See the guide for background"))
+  }
+
+  test("main content: a long but ALL-link block drops by density alone") {
+    val page = "<p><a href=\"/x\">this anchor text is certainly longer " +
+      "than the twenty-five character floor</a></p><p>prose body line " +
+      "long enough to stay in the output</p>"
+    assert(m(page) == "prose body line long enough to stay in the output")
+  }
+
+  test("main content: short blocks (headings, crumbs) drop by length") {
+    assert(m("<h1>Doc 7</h1><p>a content paragraph long enough to " +
+      "survive the length floor</p>")
+      == "a content paragraph long enough to survive the length floor")
+  }
+
+  test("main content: anchor depth — nested/unbalanced </a> floors at 0") {
+    // a stray closer must not push depth negative and mask a later anchor
+    val page = "</a><p><a href=\"/x\">linked one two three four five six " +
+      "seven eight nine ten eleven</a></p><p>unlinked prose long enough " +
+      "to survive every single rule</p>"
+    assert(m(page) == "unlinked prose long enough to survive every single rule")
+  }
+
+  test("main content: entity chars count; decoded &#10; is a line break") {
+    // 30 counted chars arrive only via entities: line must survive
+    val ent = "&#65;" * 30
+    assert(m("<p>" + ent + "</p>") == "A" * 30)
+    assert(m("<p>" + ("x" * 30) + "&#10;" + ("y" * 30) + "</p>")
+      == ("x" * 30) + "\n" + ("y" * 30))
+  }
+
+  test("main content: spaces never count toward length or density") {
+    // 24 counted chars padded with many spaces: still under a 25 floor
+    assert(m("<p>" + ("ab " * 12) + "</p>") == "")
+    assert(m("<p>" + ("ab " * 12) + "c</p>") == ("ab " * 12) + "c")
+  }
 }

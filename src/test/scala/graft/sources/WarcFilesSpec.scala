@@ -61,4 +61,47 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(got("u1") == "plain", "no envelope: block passes through whole")
     assert(got("u2") == "<p>body</p>", "envelope stripped at the first CRLFCRLF")
   }
+
+  test("httpBodyText: gzip bodies gunzip per the envelope; identity passes") {
+    val base = java.nio.file.Files.createTempDirectory("warc_gz_spec")
+    val payload = "<p>compressed body with «unicode»</p>"
+    java.nio.file.Files.write(base.resolve("t.warc"),
+      WarcFiles.buildWarcHttp(Seq(
+        (1L, "u1", payload.getBytes("UTF-8"), true),
+        (2L, "u2", "<p>plain body</p>".getBytes("UTF-8"), false))))
+    val got = WarcFiles.read(spark, s"$base/*.warc")
+      .withColumn("body", WarcFiles.httpBodyText(col("content")))
+      .select("target_uri", "body").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("u1") == payload, "gzip body must gunzip losslessly")
+    assert(got("u2") == "<p>plain body</p>")
+  }
+
+  test("httpBodyText: corrupt gzip, bombs and unknown encodings fail loudly") {
+    import org.apache.spark.sql.graft.HttpBodyText
+    def block(enc: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Encoding: $enc\r\n\r\n").getBytes("UTF-8") ++ body
+    // declared gzip, garbage bytes -> loud, not U+FFFD soup
+    val e1 = intercept[IllegalArgumentException](
+      HttpBodyText.body(block("gzip", Array[Byte](1, 2, 3, 4)), 1 << 20))
+    assert(e1.getMessage.contains("corrupt gzip"))
+    // a 1 MiB zero stream against a 1 KiB guard -> loud bound refusal
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(new Array[Byte](1 << 20)); g.close()
+    val e2 = intercept[IllegalArgumentException](
+      HttpBodyText.body(block("gzip", bo.toByteArray), 1024))
+    assert(e2.getMessage.contains("guard"))
+    // an encoding this decoder does not speak -> loud
+    val e3 = intercept[IllegalArgumentException](
+      HttpBodyText.body(block("br", "x".getBytes("UTF-8")), 1 << 20))
+    assert(e3.getMessage.contains("unsupported Content-Encoding"))
+    // no envelope at all: whole block decodes (resource records)
+    assert(HttpBodyText.body("raw bytes".getBytes("UTF-8"), 1 << 20)
+      .toString == "raw bytes")
+    // header NAME matching is case-insensitive per HTTP
+    val mixed = ("HTTP/1.1 200 OK\r\ncOnTeNt-EnCoDiNg: identity\r\n\r\nok")
+      .getBytes("UTF-8")
+    assert(HttpBodyText.body(mixed, 1 << 20).toString == "ok")
+  }
 }

@@ -1175,6 +1175,202 @@ def main(sf_dir, spark_dir):
         ("BIGINT", "BIGINT", "BIGINT", "VARCHAR", "VARCHAR"),
         hx_rows, "doc_id")
 
+    # ---- html_main_content: the jusText-class tier — same scan as
+    # html_extract_py, but each block (line) carries two counters: its
+    # counted chars (UTF-16 code units > U+0020, matching the Scala
+    # contract — an astral char counts 2) and how many were emitted
+    # inside an open <a> anchor; a line survives only if non-empty AND
+    # total >= min_chars AND anchor*1000 <= max_link_permille*total.
+    # Structured differently from the Scala scan (per-line (char, flag)
+    # lists vs parallel counter arrays) per the two-implementations
+    # discipline.
+    def html_main_py(s, min_chars=25, max_link_permille=333):
+        n = len(s)
+        lines = [[]]
+        depth = 0
+
+        def emit(ch, in_a):
+            if ch == "\n":
+                lines.append([])
+            else:
+                lines[-1].append((ch, in_a))
+
+        i = 0
+        while i < n:
+            c = s[i]
+            if c == "<":
+                if s.startswith("<!--", i):
+                    e = s.find("-->", i + 4)
+                    i = n if e < 0 else e + 3
+                elif i + 1 < n and s[i + 1].isascii() and \
+                        (s[i + 1].isalpha() or s[i + 1] in "/!?"):
+                    j = i + 1
+                    closing = s[j] == "/"
+                    if closing:
+                        j += 1
+                    k = j
+                    while k < n and s[k].isascii() and s[k].isalnum():
+                        k += 1
+                    name = s[j:k].lower()
+                    gt = s.find(">", i + 1)
+                    if gt < 0:
+                        emit("<", depth > 0)
+                        i += 1
+                    elif not closing and name in ("script", "style"):
+                        needle = "</" + name
+                        end_tag = -1
+                        for q in range(gt + 1, n - len(needle) + 1):
+                            if s[q:q + len(needle)].lower() == needle:
+                                end_tag = q
+                                break
+                        if end_tag < 0:
+                            i = n
+                        else:
+                            gt2 = s.find(">", end_tag)
+                            i = n if gt2 < 0 else gt2 + 1
+                        emit("\n", False)
+                    else:
+                        if name == "a":
+                            depth = max(0, depth - 1) if closing else depth + 1
+                        if name in HTML_BLOCK:
+                            emit("\n", False)
+                        i = gt + 1
+                else:
+                    emit("<", depth > 0)
+                    i += 1
+            elif c == "&":
+                dec, ln_e = None, 0
+                semi = s.find(";", i + 1, i + 32)
+                if semi >= 0:
+                    body = s[i + 1:semi]
+                    ln_e = semi - i + 1
+                    if body[:2] in ("#x", "#X"):
+                        hx = body[2:]
+                        if 1 <= len(hx) <= 6 and all(
+                                ch in "0123456789abcdefABCDEF" for ch in hx):
+                            cp = int(hx, 16)
+                            if 0 < cp <= 0x10FFFF and \
+                                    not 0xD800 <= cp <= 0xDFFF:
+                                dec = chr(cp)
+                    elif body[:1] == "#":
+                        dc = body[1:]
+                        if 1 <= len(dc) <= 7 and dc.isascii() and \
+                                dc.isdigit():
+                            cp = int(dc)
+                            if 0 < cp <= 0x10FFFF and \
+                                    not 0xD800 <= cp <= 0xDFFF:
+                                dec = chr(cp)
+                    else:
+                        dec = HTML_NAMED.get(body)
+                if dec is None:
+                    emit("&", depth > 0)
+                    i += 1
+                else:
+                    for ch in dec:
+                        emit(ch, depth > 0)
+                    i += ln_e
+            elif c in "\n\r\t":
+                emit(" ", depth > 0)
+                i += 1
+            else:
+                emit(c, depth > 0)
+                i += 1
+        jtrim = "".join(chr(q) for q in range(0x21))
+        res = []
+
+        def units(ch):
+            return 2 if ord(ch) > 0xFFFF else 1
+
+        for ln_ in lines:
+            raw = "".join(ch for ch, _a in ln_)
+            total = sum(units(ch) for ch, _a in ln_ if ch > " ")
+            anchor = sum(units(ch) for ch, a in ln_ if a and ch > " ")
+            t = re.sub(" +", " ", raw).strip(jtrim)
+            if t and total >= min_chars and \
+                    anchor * 1000 <= max_link_permille * total:
+                res.append(t)
+        return "\n".join(res)
+
+    def planted_main_html(did, t):
+        return (
+            "<html><head><title>Doc " + str(did) +
+            "</title><style>nav { color: red; }</style></head><body>"
+            '<div class="nav"><a href="/">Home</a> <a href="/docs">Docs'
+            '</a> <a href="/about">About us</a></div>'
+            '<aside><ul><li><a href="/r1">related article one</a></li>'
+            '<li><a href="/r2">related article two</a></li>'
+            '<li><a href="/r3">related article three</a></li></ul></aside>'
+            "<h1>Doc " + str(did) + "</h1><p>" + t[:80] +
+            '</p><p>See <a href="/guide">the full guide</a> for '
+            "background and details: " + t[80:] +
+            '</p><footer><a href="/privacy">Privacy</a> | '
+            '<a href="/terms">Terms</a> &copy; 2026 example</footer>'
+            "</body></html>")
+
+    hm_rows = []
+    mc_text = {}  # main-content extraction, reused by the warc_to_shards chain
+    for did, _l, _s, _n in drows:
+        page = planted_main_html(did, hx_text[did] or "")
+        tm = html_main_py(page)
+        mc_text[did] = tm
+        ta = html_extract_py(page)
+        hm_rows.append((did, len(tm), tm.count("\n") + 1,
+                        ta.count("\n") + 1, tm[:60],
+                        tm[max(len(tm) - 60, 0):]))
+        # per-doc invariants: chrome gone from main, present in all
+        assert "Home" not in tm and "related article" not in tm and \
+            "Privacy" not in tm, f"chrome leaked into main content: {did}"
+        assert "Home Docs About us" in ta and "Privacy | Terms" in ta
+        assert tm.startswith(hx_text[did][:20]), \
+            f"content paragraph lost: {did}"
+        assert "the full guide" in tm, \
+            f"inline-linked prose wrongly dropped: {did}"
+    queries["html_main_content"] = (
+        ("doc_id", "n_chars_main", "n_lines_main", "n_lines_all",
+         "head60", "tail60"),
+        ("BIGINT", "BIGINT", "BIGINT", "BIGINT", "VARCHAR", "VARCHAR"),
+        hm_rows, "doc_id")
+
+    # ---- zlib_ratio: compression-ratio repetition signal. The planted
+    # spam (id % 10 == 7) carries a unique slot number between every two
+    # template words — no duplicate line, no repeated 2-gram — so the
+    # counters the corpus already runs see nothing, while zlib compresses
+    # the repeated vocabulary past the all-integer 3x rule. Python's
+    # zlib.compress and the JDK Deflater bind the same system zlib, so
+    # the oracle pins EXACT compressed lengths (the expression scaladoc
+    # states the determinism contract).
+    import zlib as _zlib
+
+    ZR_WORDS = ["item", "best", "price", "free", "shipping", "order",
+                "now", "satisfaction", "guaranteed", "call", "today",
+                "deal"]
+
+    def spam_text(did):
+        return " ".join(
+            ZR_WORDS[(k - 1) % 12] + " " +
+            str((did * 131071 + k * 8191) & 0xFFFF)
+            for k in range(1, 289))
+
+    zr_rows = []
+    for did, t in docs:
+        txt = spam_text(did) if did % 10 == 7 else (t or "")
+        b = txt.encode("utf-8")
+        nz = len(_zlib.compress(b, 6))
+        zr_rows.append((did, len(b), nz, nz / len(b), nz * 3 < len(b)))
+        if did % 10 == 7:
+            words = txt.split(" ")
+            grams = list(zip(words, words[1:]))
+            assert len(set(grams)) == len(grams), \
+                "spam fixture has a repeated 2-gram — no longer evades"
+            assert "\n" not in txt
+    flagged = {did for did, _b, _z, _r, sp in zr_rows if sp}
+    assert flagged == {did for did, _t in docs if did % 10 == 7}, \
+        "zlib spam rule mislabels: flagged set != planted set"
+    queries["zlib_ratio"] = (
+        ("doc_id", "n_bytes", "n_zlib", "zlib_ratio", "template_spam"),
+        ("BIGINT", "BIGINT", "BIGINT", "DOUBLE", "BOOLEAN"),
+        zr_rows, "doc_id")
+
     # ---- source_warc_extract: the crawl-tape front edge — Spark builds
     # a 2-file WARC tape from the documents table (non-ASCII titles, so
     # Content-Length must count BYTES), parses it by strict framing, and
@@ -1198,6 +1394,18 @@ def main(sf_dir, spark_dir):
         ("doc_id", "target_uri", "warc_type", "n_chars_ext", "head60"),
         ("BIGINT", "VARCHAR", "VARCHAR", "BIGINT", "VARCHAR"),
         wx_rows, "doc_id")
+
+    # ---- source_warc_gzip: response records, half gzip-encoded — the
+    # Spark side must parse each HTTP envelope and gunzip per record; the
+    # mirror starts from the PRE-compression text (the roundtrip must be
+    # exactly lossless, so the rows are the extract rows with
+    # warc_type=response). A skipped gunzip mojibakes every even doc and
+    # fails the hash; a wrongly-applied one throws on the identity docs.
+    queries["source_warc_gzip"] = (
+        ("doc_id", "target_uri", "warc_type", "n_chars_ext", "head60"),
+        ("BIGINT", "VARCHAR", "VARCHAR", "BIGINT", "VARCHAR"),
+        [(did, uri, "response", n, h) for did, uri, _t, n, h in wx_rows],
+        "doc_id")
 
     # ---- curate_web: the RefinedWeb-style FRONT-END composed end to end
     # (round 15; round 18 adds the html_extract first stage) — html
@@ -1468,6 +1676,71 @@ def main(sf_dir, spark_dir):
     queries["pack_sequences_bpe"] = (
         ("id", "tokens", "token_offset", "chunk_start", "chunk_end"),
         ("BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT"), bpe_pack_rows, "id")
+
+    # ---- warc_to_shards: the crawl-tape -> training-shards CAPSTONE —
+    # full-chain re-derivation of every stage the Spark side composes:
+    # the tape wrap is planted_main_html (so extraction here is the
+    # already-mirrored html_main_py output, mc_text), the curation chain
+    # is curate_web's four stages but with the MAIN-content mass, then
+    # BPE token counts, the (hash_score(21), id) packing order, the
+    # exclusive-prefix shard rule min(7, run*8 // total), and the
+    # per-shard manifest with the highest packed chunk id. Any stage
+    # re-ordering, id-threading bug, or schema drift between the seams
+    # lands as a row/hash mismatch on the 8 manifest rows.
+    wts_s1 = [did for did, _l, _s, _n in drows
+              if not cw_host_blocked(url_host(cw_url[did]))]
+    wts_s1 = [did for did in wts_s1
+              if not any(cw_path(cw_url[did]) == p
+                         or cw_path(cw_url[did]).startswith(p + "/")
+                         for p in cw_prefixes)]
+    wts_s1 = [did for did in wts_s1
+              if not any(p == "q=1"
+                         for p in cw_q(cw_url[did]).split("&") if p)]
+    wts_bykey = {}
+    for did in wts_s1:
+        wts_bykey.setdefault(normalized_url(cw_url[did]), []).append(did)
+    wts_s2 = {min(ids) for ids in wts_bykey.values()}
+    wts_byhost = {}
+    for did in sorted(wts_s2):
+        wts_byhost.setdefault(url_host(cw_url[did]), []).append(did)
+    wts_curated = []
+    for host, ids in wts_byhost.items():
+        run = 0
+        for did in sorted(ids, key=lambda i: (hash_score(i, 13), i)):
+            run += len(mc_text[did])
+            if run <= 2200:
+                wts_curated.append(did)
+    assert len(wts_curated) >= 50, \
+        f"warc_to_shards fixture too thin: {len(wts_curated)} survivors"
+    wts_tok = {did: bpe_count(mc_text[did]) for did in wts_curated}
+    assert all(t > 0 for t in wts_tok.values()), \
+        "zero-token survivor would diverge pack (drops) from shards (keeps)"
+    wts_order = sorted(wts_curated, key=lambda i: (hash_score(i, 21), i))
+    wts_total = sum(wts_tok.values())
+    shard_rows = {}
+    off = 0
+    for did in wts_order:
+        t = wts_tok[did]
+        shard = min(7, (off * 8) // wts_total)
+        chunk_end = (off + t - 1) // 256
+        r = shard_rows.setdefault(shard, [0, 0, None, None, 0, 0])
+        r[0] += 1                                   # n_docs
+        r[1] += t                                   # n_tokens
+        r[2] = did if r[2] is None else min(r[2], did)
+        r[3] = did if r[3] is None else max(r[3], did)
+        r[4] += did                                 # sum_id
+        r[5] = max(r[5], chunk_end)                 # max_chunk
+        off += t
+    assert set(shard_rows) == set(range(8)), \
+        f"empty shard in capstone fixture: {sorted(shard_rows)}"
+    wts_rows = [(sh, r[0], r[1], r[2], r[3], r[4], r[5])
+                for sh, r in sorted(shard_rows.items())]
+    queries["warc_to_shards"] = (
+        ("shard", "n_docs", "n_tokens", "min_id", "max_id", "sum_id",
+         "max_chunk"),
+        ("INTEGER", "BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT",
+         "BIGINT"),
+        wts_rows, "shard")
 
     # ---- bpe_train / token_count_bpe_trained: LEARNED byte-level BPE
     # (round 13). Mirrors graft.api.BpeTrain exactly: dict = top-vocab_cap
@@ -3027,6 +3300,30 @@ def main(sf_dir, spark_dir):
         ("doc_id", "n_chars_inc", "n_tok_inc", "nb_score"),
         ("BIGINT", "BIGINT", "BIGINT", "DOUBLE"), si_rows, "doc_id")
 
+    # ---- stream_warc_admit: the tape-fed twin — B arrives as TWO WARC
+    # tape waves (sorted halves, one AvailableNow pass each), each wave
+    # admitted against A plus the prior wave. The tape carries raw text
+    # bytes, so the walk is the same union-rerun sequential truth with
+    # 2 chunks instead of 4; the framing/checkpoint plumbing has no
+    # Python twin — a re-parsed wave or a missed record lands as extra/
+    # missing rows.
+    sw_half = (len(si_ids) + 1) // 2
+    sw_cur = {d: t for d, t in inc.items() if d < 350}
+    sw_rows = []
+    for ids_g in (si_ids[:sw_half], si_ids[sw_half:]):
+        for d in ids_g:
+            sw_cur[d] = inc[d]
+        sw_rows.extend(inc_recipe_slice(sw_cur, ids_g[0], inc_vocab_rank))
+    sw_rows.sort()
+    assert set(sw_rows) != set(inc_rows), \
+        "warc-admit fixture vacuous: 2-wave admission equals one-shot batch"
+    assert set(sw_rows) != set(si_rows), \
+        "warc-admit fixture vacuous: 2-wave equals 4-batch admission"
+    assert len(sw_rows) >= 20
+    queries["stream_warc_admit"] = (
+        ("doc_id", "n_chars_inc", "n_tok_inc", "nb_score"),
+        ("BIGINT", "BIGINT", "BIGINT", "DOUBLE"), sw_rows, "doc_id")
+
     # ---- signature_dedup_pairs: banding collisions + 24-component
     # signature-fraction similarity (mirrors BandedLsh.nearDupPairsBySignature:
     # same 8x3 blocking as minhash_dedup_pairs, est = equal components / 24).
@@ -3810,6 +4107,72 @@ def main(sf_dir, spark_dir):
     queries["audio_fp_dedup"] = (
         ("id_a", "id_b", "hamming"), ("BIGINT", "BIGINT", "INTEGER"),
         af_rows, "id_a, id_b")
+
+    # ---- curate_multimodal: the composed (media, caption) recipe —
+    # caption rules -> global caption first-come dedup -> per-modality
+    # perceptual near-dup (greedy keep-earliest) — re-derived stage by
+    # stage over the SAME recipe hashes as the piecewise gates (ip_h for
+    # images, af_h for audio; audio ids offset +1000). Every stage's
+    # survivor set feeds the next, so stage-order bugs land as row
+    # mismatches.
+    def cm_caption(mid):
+        if mid % 7 == 2:
+            return "thumb img"
+        if mid % 11 == 5:
+            return "a duplicated caption planted for the exact dedup stage"
+        return ("a descriptive caption for media item number %d "
+                "in the corpus" % mid)
+
+    cm_kind = {mid: "image" for mid in ip_h}
+    cm_kind.update({1000 + mid: "audio" for mid in af_h})
+    cm_hash = {mid: ip_h[mid] for mid in ip_h}
+    cm_hash.update({1000 + mid: af_h[mid] for mid in af_h})
+    # stage 1: caption rules
+    cm_s1 = [mid for mid in sorted(cm_kind)
+             if len(cm_caption(mid).split()) >= 4
+             and len(cm_caption(mid)) <= 200]
+    assert len(cm_s1) < len(cm_kind), "caption rule stage is vacuous"
+    # stage 2: global first-come caption dedup
+    cm_first = {}
+    for mid in cm_s1:
+        cm_first.setdefault(cm_caption(mid), mid)
+    cm_s2 = [mid for mid in cm_s1 if cm_first[cm_caption(mid)] == mid]
+    assert len(cm_s2) < len(cm_s1), "caption dedup stage is vacuous"
+    # the planted duplicate class must resolve to ONE survivor, and it
+    # must be the smallest id across BOTH modalities
+    dup_ids = [mid for mid in cm_s1 if mid % 11 == 5]
+    assert len(dup_ids) > 2 and min(dup_ids) in cm_s2 and \
+        all(d not in cm_s2 for d in dup_ids[1:])
+
+    # stage 3: per-modality banded pairs over stage-2 survivors, greedy drop
+    def cm_drops(ids, maxd):
+        drops = set()
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ha, hb = cm_hash[ids[i]], cm_hash[ids[j]]
+                if any(((ha >> (16 * c)) & 0xFFFF)
+                       == ((hb >> (16 * c)) & 0xFFFF) for c in range(4)):
+                    if bin(ha ^ hb).count("1") <= maxd:
+                        drops.add(ids[j])
+        return drops
+
+    cm_img_drops = cm_drops(
+        [m for m in cm_s2 if cm_kind[m] == "image"], 10)
+    cm_aud_drops = cm_drops(
+        [m for m in cm_s2 if cm_kind[m] == "audio"], 6)
+    assert cm_img_drops and cm_aud_drops, \
+        "perceptual stage vacuous in one modality"
+    cm_rows = [(mid, cm_kind[mid], cm_caption(mid)) for mid in cm_s2
+               if mid not in cm_img_drops and mid not in cm_aud_drops]
+    cm_rows.sort()
+    # at least one near twin must have reached stage 3 and been dropped
+    # there (not already killed by a caption rule)
+    assert any(100 <= d < 200 for d in cm_img_drops) and \
+        any(1100 <= d < 1200 for d in cm_aud_drops)
+    queries["curate_multimodal"] = (
+        ("media_id", "kind", "caption"), ("BIGINT", "VARCHAR", "VARCHAR"),
+        cm_rows, "media_id")
 
     # ---- multimodal_features_jpeg: the lossy second codec path. Python
     # cannot decode JPEG here, and JPEG's decoded raster is codec-defined —
