@@ -297,6 +297,16 @@ object SparkEntry {
     (corpus.filter(did < 350), corpus.filter(did >= 350), bench)
   }
 
+  /** The WARC tape gates' page wrap — ONE owner for the three tape
+    * fixtures (a single-character drift across copies would fail three
+    * gates with an opaque hash mismatch); mirrored byte-for-byte as
+    * `warc_html` in tools/gen_oracles.py. Non-ASCII guillemets force
+    * byte-exact Content-Length framing. */
+  private def warcFixtureHtml(id: Long, t: String): String =
+    "<html><head><title>Doc «" + id +
+      "»</title><script>var x = 1 < 2;</script></head><body>" +
+      "<h1>Doc " + id + "</h1><p>" + t + "</p></body></html>"
+
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) (readable only as a
     * long under the legacy conf) and TIMESTAMP(MICROS) (read as
     * TIMESTAMP_NTZ) across driver rounds; normalize either to a micros
@@ -1287,10 +1297,8 @@ object SparkEntry {
       val docs = load(s, dir, "documents").select("doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       val recs = docs.map { case (id, t) =>
-        val html = "<html><head><title>Doc «" + id +
-          "»</title><script>var x = 1 < 2;</script></head><body>" +
-          "<h1>Doc " + id + "</h1><p>" + t + "</p></body></html>"
-        (id, s"https://example.org/doc/$id", html.getBytes("UTF-8"))
+        (id, s"https://example.org/doc/$id",
+          warcFixtureHtml(id, t).getBytes("UTF-8"))
       }
       val base = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_warc_fixture")
@@ -1321,10 +1329,8 @@ object SparkEntry {
       val docs = load(s, dir, "documents").select("doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       val recs = docs.map { case (id, t) =>
-        val html = "<html><head><title>Doc «" + id +
-          "»</title><script>var x = 1 < 2;</script></head><body>" +
-          "<h1>Doc " + id + "</h1><p>" + t + "</p></body></html>"
-        (id, s"https://example.org/doc/$id", html.getBytes("UTF-8"))
+        (id, s"https://example.org/doc/$id",
+          warcFixtureHtml(id, t).getBytes("UTF-8"))
       }
       val tmp = sys.props("java.io.tmpdir")
       val tape = java.nio.file.Paths.get(tmp, "graft_warc_stream_tape")
@@ -1362,11 +1368,8 @@ object SparkEntry {
       val docs = load(s, dir, "documents").select("doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       val recs = docs.map { case (id, t) =>
-        val html = "<html><head><title>Doc «" + id +
-          "»</title><script>var x = 1 < 2;</script></head><body>" +
-          "<h1>Doc " + id + "</h1><p>" + t + "</p></body></html>"
-        (id, s"https://example.org/doc/$id", html.getBytes("UTF-8"),
-          id % 2 == 0)
+        (id, s"https://example.org/doc/$id",
+          warcFixtureHtml(id, t).getBytes("UTF-8"), id % 2 == 0)
       }
       val base = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_warc_gzip_fixture")
@@ -1443,7 +1446,10 @@ object SparkEntry {
         shards = 8, path = outPath)
       val packed = Packing.packSequences(curated, "doc_id", toks, 256, 21L)
         .withColumnRenamed("id", "doc_id").select("doc_id", "chunk_end")
-      val byShard = Packing.assignTokenShards(curated, "doc_id", ord, toks, 8)
+      // the (doc_id, shard) assignment comes from READBACK of the export
+      // (the committed artifact is what the manifest audits — and it
+      // skips a second approxQuantile + running-sum pass over the corpus)
+      val byShard = s.read.parquet(outPath).select("doc_id", "shard")
         .join(packed, "doc_id")
         .groupBy("shard").agg(max(col("chunk_end")).as("max_chunk"))
       manifest.join(byShard, "shard").orderBy("shard")

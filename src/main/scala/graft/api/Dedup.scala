@@ -814,12 +814,24 @@ object Dedup {
   def dedupParagraphs(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", sep: String = "\n\n",
                       spreadInput: Boolean = true): DataFrame = {
-    val idType = df.schema(idCol).dataType
-    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"dedupParagraphs: id column '$idCol' is ${idType.simpleString}; a " +
-        "non-numeric id would null under the long cast, the cut join " +
-        "would never match, and the pass would silently return the " +
-        "corpus un-deduped — refuse loudly instead")
+    // an id that nulls under the long cast would make the cut join never
+    // match and the pass silently return the corpus un-deduped — refuse
+    // loudly instead. Numeric id types can't null under the cast; string
+    // ids get one ids-only validation scan (column-pruned, short-circuits
+    // at the first bad value) so numeric-string corpora keep working.
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.StringType =>
+        val bad = df.filter(col(idCol).isNotNull &&
+            col(idCol).cast("long").isNull)
+          .select(col(idCol)).limit(1).collect()
+        require(bad.isEmpty, s"dedupParagraphs: string id column '$idCol' " +
+          s"holds a value that nulls under the long cast ('${bad.headOption
+            .map(_.get(0)).orNull}') — such docs would silently skip dedup")
+      case other => throw new IllegalArgumentException(
+        s"dedupParagraphs: id column '$idCol' is ${other.simpleString}; " +
+          "need a numeric (or losslessly castable string) id")
+    }
     val src = if (spreadInput) SparkEnv.spread(df) else df
     val quoted = java.util.regex.Pattern.quote(sep)
     // the explicit isnotnull makes the two consumers' subtrees IDENTICAL:

@@ -55,13 +55,20 @@ object TextAnalysis {
     * 0 bytes compress to a fixed 8-byte zlib header+trailer, ratio is
     * null (Spark division by zero), spam verdict false. */
   def compressionSignals(df: DataFrame, textCol: String = "text",
-                         level: Int = 6, spamMult: Int = 3): DataFrame =
+                         level: Int = 6, spamMult: Int = 3): DataFrame = {
+    // the signal schema OWNS these names (the exportShards convention):
+    // silently replacing an input column loses caller data downstream
+    Seq("n_bytes", "n_zlib", "zlib_ratio", "template_spam").foreach(c =>
+      require(!df.columns.contains(c),
+        s"compressionSignals: input must not carry a '$c' column — the " +
+          "signal schema owns that name (rename the input column first)"))
     df.withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
       .withColumn("n_zlib", graft.functions.zlib_len(col(textCol), level))
       .withColumn("zlib_ratio",
         col("n_zlib").cast("double") / col("n_bytes").cast("double"))
       .withColumn("template_spam",
         col("n_zlib") * spamMult.toLong < col("n_bytes"))
+  }
 
   /** Small, fixed stopword profiles. Deliberately tiny — the point is a
     * deterministic, cheap heuristic, not linguistic accuracy. */

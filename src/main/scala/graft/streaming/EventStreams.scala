@@ -1310,22 +1310,30 @@ object EventStreams {
     * `spark.read.parquet(outPath)` (`batch` arrives as a hive partition
     * column). Call once per arrival wave; the checkpoint carries the
     * seen-file set across calls and across JVMs. */
-  def warcIngest(spark: SparkSession, tapeGlob: String,
-                 checkpoint: String, outPath: String): Unit = {
+  /** Shared stream construction for the WARC tape sources: checkpointable
+    * binaryFile file stream → per-file strict-framing parse. One owner so
+    * [[warcIngest]] and [[warcAdmitIngest]] cannot drift. */
+  private def warcStream(spark: SparkSession, tapeGlob: String)
+      : Dataset[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
-    val files = spark.readStream.format("binaryFile")
+    spark.readStream.format("binaryFile")
       .schema(StructType(Seq(
         StructField("path", StringType),
         StructField("modificationTime", TimestampType),
         StructField("length", LongType),
         StructField("content", BinaryType))))
       .load(tapeGlob)
-    val parsed = files.select("path", "content")
+      .select("path", "content")
       .as(org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.BINARY))
       .flatMap { case (p, b) => graft.sources.WarcFiles.parseWarc(p, b) }(
         org.apache.spark.sql.Encoders.row(graft.sources.WarcFiles.schema))
+  }
+
+  def warcIngest(spark: SparkSession, tapeGlob: String,
+                 checkpoint: String, outPath: String): Unit = {
+    val parsed = warcStream(spark, tapeGlob)
     val q = parsed.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -1364,20 +1372,7 @@ object EventStreams {
                       benchTbl: String, resTbl: String,
                       params: graft.api.IncrementalCuration.Params =
                         graft.api.IncrementalCuration.Params()): Unit = {
-    import org.apache.spark.sql.types._
-    val files = spark.readStream.format("binaryFile")
-      .schema(StructType(Seq(
-        StructField("path", StringType),
-        StructField("modificationTime", TimestampType),
-        StructField("length", LongType),
-        StructField("content", BinaryType))))
-      .load(tapeGlob)
-    val parsed = files.select("path", "content")
-      .as(org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.BINARY))
-      .flatMap { case (p, b) => graft.sources.WarcFiles.parseWarc(p, b) }(
-        org.apache.spark.sql.Encoders.row(graft.sources.WarcFiles.schema))
+    val parsed = warcStream(spark, tapeGlob)
     val q = parsed.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)

@@ -461,8 +461,12 @@ object HttpBodyText {
     enc match {
       case "identity" | "" => utf8(block, bodyOff, bodyLen)
       case "gzip" | "x-gzip" =>
+        // initial-capacity HINT only (the stream grows itself): clamp to
+        // 1 MiB so a huge maxOut can never push the long past Int range
+        // (a .toInt wrap would be negative and crash the constructor on a
+        // legitimate record before the bomb guard even runs)
         val out = new java.io.ByteArrayOutputStream(math.min(
-          math.max(bodyLen * 4L, 1024L), maxOut).toInt)
+          math.max(bodyLen * 4L, 1024L), math.min(maxOut, 1L << 20)).toInt)
         try {
           val in = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(block, bodyOff, bodyLen))

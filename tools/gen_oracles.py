@@ -492,6 +492,8 @@ def sql_lit(v):
     first (dropping the 17th significant digit) before any DOUBLE cast,
     while CAST('<repr>' AS DOUBLE) parses the shortest-round-trip repr
     back to the identical bits."""
+    if v is None:
+        return "NULL"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, float):
@@ -1356,7 +1358,10 @@ def main(sf_dir, spark_dir):
         txt = spam_text(did) if did % 10 == 7 else (t or "")
         b = txt.encode("utf-8")
         nz = len(_zlib.compress(b, 6))
-        zr_rows.append((did, len(b), nz, nz / len(b), nz * 3 < len(b)))
+        # empty text: the contracted row is (0, 8, NULL ratio, False) —
+        # Spark's double division by zero is null, mirrored as None
+        zr_rows.append((did, len(b), nz,
+                        nz / len(b) if b else None, nz * 3 < len(b)))
         if did % 10 == 7:
             words = txt.split(" ")
             grams = list(zip(words, words[1:]))
