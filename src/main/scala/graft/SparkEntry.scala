@@ -3080,6 +3080,25 @@ object SparkEntry {
           col("zlib_ratio"), col("template_spam"))
         .orderBy("doc_id")
     }),
+    // The zlib signal COMPOSED into the Gopher repetition tier — the
+    // reason it exists: on the planted-spam corpus, every spam doc PASSES
+    // the calibrated n-gram filter (dup-word ≈ 0.48 under the 0.54 cap,
+    // zero repeated 2-grams) and only the compression rule kills it,
+    // while the prose docs keep their repetition_filter verdicts
+    // unchanged. One repetitionStats pass + one map-only signal pass.
+    "quality_zlib_composed" -> ((s, dir) => {
+      val docs = withPlantedSpam(load(s, dir, "documents"))
+      val rep = graft.api.TextAnalysis.repetitionFilter(docs,
+          minWords = 40L, maxDupWordFrac = 0.54,
+          maxTop2GramFrac = 0.05, maxDup2GramFrac = 0.05)
+        .withColumnRenamed("keep", "keep_ngram")
+      graft.api.TextAnalysis.compressionSignals(docs, "text")
+        .select(col("doc_id"), col("template_spam"))
+        .join(rep, "doc_id")
+        .select(col("doc_id"), col("keep_ngram"), col("template_spam"),
+          (col("keep_ngram") && !col("template_spam")).as("keep"))
+        .orderBy("doc_id")
+    }),
     // The RefinedWeb-style FRONT-END composed end to end — now starting
     // from RAW HTML, the shape real web curation actually has: html
     // extraction -> host blocklist -> path-pattern filter -> URL-identity
@@ -4146,6 +4165,7 @@ object SparkEntry {
     "html_extract" -> valuesOracle("html_extract"),
     "html_main_content" -> valuesOracle("html_main_content"),
     "zlib_ratio" -> valuesOracle("zlib_ratio"),
+    "quality_zlib_composed" -> valuesOracle("quality_zlib_composed"),
     // DuckDB has no punycode: the independent re-derivation is CPython's
     // RFC 3492 codec (+ unquote/NFC) in tools/gen_oracles.py, pinned
     "domain_dedup_idn" -> valuesOracle("domain_dedup_idn"),

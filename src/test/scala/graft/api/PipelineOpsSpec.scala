@@ -1369,6 +1369,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(base.map(_.toSeq).toSeq == sorted.map(_.toSeq).toSeq)
   }
 
+  test("curateMultimodal: stage order, global caption dedup, greedy drop") {
+    import org.apache.spark.sql.functions.{col, lit, when, concat}
+    // 6 images: 0 and its exact twin 200 (near-dup pair), 2 with a junk
+    // caption, 5 and audio 1005 sharing a caption (GLOBAL dedup), 3 clean
+    val imgs = Multimodal.syntheticPngTwins(spark, 6)
+      .withColumn("kind", lit("image"))
+    val wavs = Multimodal.syntheticWavTwins(spark, 6)
+      .withColumn("media_id", col("media_id") + 1000L)
+      .withColumn("kind", lit("audio"))
+    val cap = when(col("media_id") % 7 === 2, lit("thumb img"))
+      .when(col("media_id") % 1000 === 5, lit("a caption shared across the two modalities"))
+      .otherwise(concat(lit("unique descriptive caption for media row "),
+        col("media_id").cast("string")))
+    val out = Multimodal.curateMultimodal(
+        imgs.unionByName(wavs).withColumn("caption", cap))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    // caption rule: image 2 and audio 1003 (1003 % 7 == 2) die on the
+    // 2-token caption
+    assert(!out.contains(2L) && !out.contains(1003L))
+    // global caption dedup: image 5 (min id) wins over audio 1005
+    assert(out.contains(5L) && !out.contains(1005L))
+    // perceptual greedy drop: exact twins (200+m) and near twins (100+m)
+    // lose to their smaller-id originals, per modality
+    assert(out.contains(0L) && !out.contains(200L) && !out.contains(100L))
+    assert(out.contains(1000L) && !out.contains(1200L) && !out.contains(1100L))
+    // a clean unique-caption original survives everything
+    assert(out.contains(4L) && out.contains(1004L))
+  }
+
   test("Multimodal extractFeatures + sampleFrames plumbing") {
     val media = Seq(
       (1L, "hello world media payload".getBytes("UTF-8"), "application/octet-stream"),

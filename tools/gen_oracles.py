@@ -1376,6 +1376,42 @@ def main(sf_dir, spark_dir):
         ("BIGINT", "BIGINT", "BIGINT", "DOUBLE", "BOOLEAN"),
         zr_rows, "doc_id")
 
+    # ---- quality_zlib_composed: the zlib rule composed into the Gopher
+    # repetition tier. Mirrors repetitionStats exactly (words = \s+ split
+    # of the trimmed text; dup-word = 1 - distinct/len; 2-gram top/dup
+    # fractions) with the repetition_filter gate's calibrated thresholds,
+    # plus the zlib verdict from zr_rows. The composition's point is
+    # asserted: EVERY planted spam doc passes the n-gram filter and dies
+    # only on the compression rule.
+    qz_spam = {did: sp for did, _b, _z, _r, sp in zr_rows}
+    qz_rows = []
+    for did, t in docs:
+        txt = spam_text(did) if did % 10 == 7 else (t or "")
+        words = re.split(r"\s+", txt.strip()) if txt.strip() else [""]
+        wc = len(words)
+        dup_w = 1.0 - len(set(words)) / wc
+        grams = [words[i] + " " + words[i + 1] for i in range(wc - 1)]
+        if grams:
+            from collections import Counter as _C
+            gc = _C(grams)
+            top2 = max(gc.values()) / len(grams)
+            dup2 = (len(grams) - len(gc)) / len(grams)
+        else:
+            top2 = dup2 = 0.0
+        keep_ng = (wc >= 40 and dup_w <= 0.54 and top2 <= 0.05
+                   and dup2 <= 0.05)
+        qz_rows.append((did, keep_ng, qz_spam[did],
+                        keep_ng and not qz_spam[did]))
+    spam_dids = {did for did, _t in docs if did % 10 == 7}
+    assert all(kn and sp for did, kn, sp, _k in qz_rows
+               if did in spam_dids), \
+        "composition vacuous: spam must PASS the n-gram filter and be " \
+        "caught only by the zlib rule"
+    assert any(k for did, _kn, _sp, k in qz_rows if did not in spam_dids)
+    queries["quality_zlib_composed"] = (
+        ("doc_id", "keep_ngram", "template_spam", "keep"),
+        ("BIGINT", "BOOLEAN", "BOOLEAN", "BOOLEAN"), qz_rows, "doc_id")
+
     # ---- source_warc_extract: the crawl-tape front edge — Spark builds
     # a 2-file WARC tape from the documents table (non-ASCII titles, so
     # Content-Length must count BYTES), parses it by strict framing, and
