@@ -104,6 +104,29 @@ object SparkEntry {
           "CAST((doc_id * 131071 + k * 8191) & 65535 AS STRING))))"))
         .otherwise(col("text")))
 
+  /** Robots-meta twin for the noindex gate: id-keyed directive classes —
+    * a straight noindex (%6==1), an UPPERCASE keep directive (%6==3), a
+    * single-quoted `none` (%6==5), and a decoy page whose `noindex`
+    * string lives in a DESCRIPTION meta (%6==0, must keep — the name
+    * attribute decides, not the content). Mirrored byte-for-byte in
+    * tools/gen_oracles.py (`planted_robots_html`). */
+  private def withPlantedRobotsHtml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"),
+      concat(lit("<html><head>"),
+        when(col("doc_id") % 6 === 1,
+          lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+          .when(col("doc_id") % 6 === 3,
+            lit("<meta NAME=\"ROBOTS\" CONTENT=\"INDEX, FOLLOW\">"))
+          .when(col("doc_id") % 6 === 5,
+            lit("<meta name='robots' content='none'>"))
+          .when(col("doc_id") % 6 === 0,
+            lit("<meta charset=\"utf-8\">" +
+              "<meta name=\"description\" content=\"x, noindex\">"))
+          .otherwise(lit("")),
+        lit("<title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><p>"), substring(col("text"), 1, 40),
+        lit("</p></body></html>")).as("html"))
+
   private def withPlantedUrls(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), col("n_chars"),
       concat(lit("https://"),
@@ -3080,6 +3103,21 @@ object SparkEntry {
           col("zlib_ratio"), col("template_spam"))
         .orderBy("doc_id")
     }),
+    // Robots noindex filter — the page-level crawl opt-out a compliant
+    // pipeline honors before curation: html_meta_robots parses the FIRST
+    // <meta name="robots"> (case-insensitive names, quoted/unquoted
+    // values) and filterNoindex drops noindex/none directive lists. The
+    // decoy class pins that a 'noindex' string in a DESCRIPTION meta
+    // does not drop. Output: survivors with their parsed directive
+    // (null = no robots meta). Oracle: Python re-derivation of the scan.
+    "html_noindex_filter" -> ((s, dir) => {
+      val html = withPlantedRobotsHtml(load(s, dir, "documents"))
+      graft.api.TextAnalysis.filterNoindex(html, "html")
+        .select(col("doc_id"),
+          graft.functions.html_meta_robots(col("html")).as("robots"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // The zlib signal COMPOSED into the Gopher repetition tier — the
     // reason it exists: on the planted-spam corpus, every spam doc PASSES
     // the calibrated n-gram filter (dup-word ≈ 0.48 under the 0.54 cap,
@@ -4166,6 +4204,7 @@ object SparkEntry {
     "html_main_content" -> valuesOracle("html_main_content"),
     "zlib_ratio" -> valuesOracle("zlib_ratio"),
     "quality_zlib_composed" -> valuesOracle("quality_zlib_composed"),
+    "html_noindex_filter" -> valuesOracle("html_noindex_filter"),
     // DuckDB has no punycode: the independent re-derivation is CPython's
     // RFC 3492 codec (+ unquote/NFC) in tools/gen_oracles.py, pinned
     "domain_dedup_idn" -> valuesOracle("domain_dedup_idn"),

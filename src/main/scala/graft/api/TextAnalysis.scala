@@ -40,6 +40,22 @@ object TextAnalysis {
     df.withColumn(outCol,
       graft.functions.html_main_content(col(htmlCol), minChars, maxLinkPermille))
 
+  /** Robots-directive page filter — the crawl opt-out stage a compliant
+    * pipeline runs FIRST (before extraction spends a single cycle on the
+    * page): drops rows whose `<meta name="robots">` directive list
+    * contains `noindex` or `none` (tokens comma-split, trimmed,
+    * lowercased — [[graft.core.HtmlText.hasNoindex]]'s rule expressed in
+    * builtins so the verdict inlines into codegen). Pages without a
+    * robots meta keep — absence means indexable. Map-only, zero
+    * shuffle. */
+  def filterNoindex(df: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val robots = graft.functions.html_meta_robots(col(htmlCol))
+    df.filter(!coalesce(
+      exists(split(robots, ",", -1),
+        t => trim(lower(t)).isin("noindex", "none")),
+      lit(false)))
+  }
+
   /** Compression-ratio repetition signals (the Gopher/RefinedWeb-class
     * quality tier the n-gram counters miss): per row, the UTF-8 byte
     * length, the zlib-compressed length at level 6, their ratio, and the

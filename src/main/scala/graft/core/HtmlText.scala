@@ -182,6 +182,99 @@ object HtmlText {
     sb.toString
   }
 
+  /** Robots meta directive scan — the page-level opt-out a compliant
+    * crawl pipeline honors BEFORE content ever reaches curation: returns
+    * the `content` attribute of the FIRST `<meta>` tag whose `name`
+    * attribute is `robots` (both case-insensitive), or null when the
+    * page carries none. Exact, mirrorable rules:
+    *
+    *   - a tag starts at case-insensitive `<meta` followed by whitespace
+    *     or `/` or `>`, and ends at the first `>` (the [[extract]]
+    *     simplification); the scan is RAW — a meta inside a comment or
+    *     script still counts (stated tier simplification; planted
+    *     fixtures control it, and a false positive only over-drops);
+    *   - attributes inside the tag: name = a run of `[A-Za-z-]`,
+    *     optional whitespace, then either `=` + value or no value;
+    *     values are single-/double-quoted runs to the matching quote or
+    *     unquoted runs to the next whitespace/`>`; attribute names fold
+    *     to lowercase, FIRST occurrence of a name wins within a tag;
+    *   - the returned content is trimmed but otherwise verbatim.
+    *
+    * [[hasNoindex]] turns the directive into the drop verdict: the
+    * content is a comma-separated token list (tokens trimmed, folded
+    * lowercase); `noindex` or `none` means the page must not be kept. */
+  def metaRobots(s: String): String = {
+    val n = s.length
+    def isMetaAt(i: Int): Boolean = {
+      // direct ASCII-fold compare of the 5 chars (an indexOf-based check
+      // here would rescan the tail per position: O(n²) on robots-free pages)
+      var m = 0
+      while (m < 5 && {
+        val a = s.charAt(i + m); val b = "<meta".charAt(m)
+        a == b || (a < 128 && (a | 0x20) == b && isAsciiLetter(b))
+      }) m += 1
+      m == 5
+    }
+    var i = 0
+    while (i + 5 <= n) {
+      if (s.charAt(i) == '<' && (i + 5 == n || {
+        val c = s.charAt(i + 5)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '/' || c == '>'
+      }) && isMetaAt(i)) {
+        val gt = s.indexOf('>', i + 5)
+        val end = if (gt < 0) n else gt
+        var j = i + 5
+        var name: String = null
+        var content: String = null
+        while (j < end) {
+          val c = s.charAt(j)
+          if (isAsciiLetter(c) || c == '-') {
+            var k = j
+            while (k < end && (isAsciiLetter(s.charAt(k)) || s.charAt(k) == '-')) k += 1
+            val attr = s.substring(j, k).toLowerCase(java.util.Locale.ROOT)
+            var m = k
+            while (m < end && s.charAt(m) <= ' ') m += 1
+            var value = ""
+            if (m < end && s.charAt(m) == '=') {
+              m += 1
+              while (m < end && s.charAt(m) <= ' ') m += 1
+              if (m < end && (s.charAt(m) == '"' || s.charAt(m) == '\'')) {
+                val q = s.charAt(m)
+                val e = s.indexOf(q, m + 1)
+                val stop = if (e < 0 || e > end) end else e
+                value = s.substring(m + 1, stop)
+                m = if (stop < end) stop + 1 else end
+              } else {
+                var e = m
+                while (e < end && s.charAt(e) > ' ') e += 1
+                value = s.substring(m, e)
+                m = e
+              }
+            }
+            if (attr == "name" && name == null) name = value
+            if (attr == "content" && content == null) content = value
+            j = m
+          } else j += 1
+        }
+        if (name != null &&
+          name.trim.toLowerCase(java.util.Locale.ROOT) == "robots")
+          return if (content == null) "" else content.trim
+        i = end + 1
+      } else i += 1
+    }
+    null
+  }
+
+  /** The drop verdict over [[metaRobots]] content: true iff the
+    * comma-separated directive list (tokens trimmed, lowercased)
+    * contains `noindex` or `none`. Null content (no robots meta) is
+    * false — absence means indexable. */
+  def hasNoindex(robots: String): Boolean =
+    robots != null && robots.split(",", -1).exists { t =>
+      val tok = t.trim.toLowerCase(java.util.Locale.ROOT)
+      tok == "noindex" || tok == "none"
+    }
+
   /** Main-content extraction — the jusText/trafilatura-class tier above
     * [[extract]]: the same scan, but each output line (block) additionally
     * carries two counters — its COUNTED characters (code units > U+0020,

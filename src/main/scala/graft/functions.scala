@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, HtmlExtract, HtmlMainContent, BpeRanks, BpeTokens, CmsBuild, CmsEstimate, ColumnShim, CosineSim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, WinnowFingerprint, ZlibLen}
+import org.apache.spark.sql.graft.{BloomBuild, BloomContains, BpeCount, HtmlExtract, HtmlMainContent, HtmlMetaRobots, BpeRanks, BpeTokens, CmsBuild, CmsEstimate, ColumnShim, CosineSim, CosineSketch64, HammingDist, HistQuantile, HistSketch, HllDistinct, HllEstimate, HllSketch, LnPinned, LshEuclidean, LshJaccard, LshMin, MinFingerprint, ShingleHashes, SimHash64, SketchMerge, TopKByScore, WinnowFingerprint, ZlibLen}
 
 /** Typed DataFrame-API bindings for the LSH functions (the reference exposes
   * SQL only; this is the idiomatic Spark column surface on top of the same
@@ -58,6 +58,13 @@ object functions {
     * script/style/comment drop, entity decode, whitespace normalization
     * — [[graft.core.HtmlText]]). */
   def html_extract(html: Column): Column = toCol(HtmlExtract(col2expr(html)))
+
+  /** The first robots meta directive of the page (`<meta name="robots"
+    * content="...">`, both attributes case-insensitive), NULL when
+    * absent — the crawl opt-out a compliant pipeline drops on
+    * ([[graft.core.HtmlText.metaRobots]]). */
+  def html_meta_robots(html: Column): Column =
+    toCol(HtmlMetaRobots(col2expr(html)))
 
   /** Main-content extraction — the jusText-class tier above
     * [[html_extract]]: same scan, but blocks shorter than `minChars`

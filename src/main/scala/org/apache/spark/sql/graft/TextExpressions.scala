@@ -317,6 +317,46 @@ object HtmlExtract {
     UTF8String.fromString(_root_.graft.core.HtmlText.extract(s.toString))
 }
 
+/** html_meta_robots(html): the `content` of the first
+  * `<meta name="robots">` tag, or NULL when the page carries none —
+  * the page-level crawl opt-out a compliant pipeline honors before
+  * curation ([[graft.core.HtmlText.metaRobots]] states the exact scan
+  * and attribute rules; `HtmlText.hasNoindex` is the drop verdict).
+  * NULL → NULL; codegen is one static call. */
+case class HtmlMetaRobots(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "html_meta_robots"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    HtmlMetaRobots.robots(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val mod = s"${classOf[HtmlMetaRobots].getName}$$.MODULE$$"
+    // the kernel returns null for "no robots meta": propagate it as SQL
+    // NULL from inside the null-safe wrapper
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $mod.robots($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HtmlMetaRobots {
+  /** Static call target for interpreted eval and generated code. */
+  def robots(s: UTF8String): UTF8String = {
+    val r = _root_.graft.core.HtmlText.metaRobots(s.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+}
+
 /** html_main_content(html): the jusText/trafilatura-class tier above
   * [[HtmlExtract]] — same scan, but each block is kept only if it is long
   * enough AND link-sparse enough ([[graft.core.HtmlText.extractMain]]

@@ -127,6 +127,36 @@ class HtmlTextSpec extends AnyFunSuite {
       == ("x" * 30) + "\n" + ("y" * 30))
   }
 
+  test("metaRobots: attribute parse rules, case folding, first-wins") {
+    val r = HtmlText.metaRobots _
+    assert(r("""<head><meta name="robots" content="noindex, follow"></head>""")
+      == "noindex, follow")
+    assert(r("""<META NAME='ROBOTS' CONTENT=' none '>""") == "none",
+      "single quotes, uppercase names, trimmed content")
+    assert(r("""<meta content=nofollow name=robots>x""") == "nofollow",
+      "unquoted values, attribute order free")
+    assert(r("""<meta name="description" content="noindex here">""") == null,
+      "only the robots NAME qualifies")
+    assert(r("""<meta charset="utf-8"><meta name=robots content=all>""")
+      == "all", "a value-less earlier meta does not block the scan")
+    assert(r("""<meta name="robots" content="a"><meta name="robots" content="b">""")
+      == "a", "first robots meta wins")
+    assert(r("""<meta name="robots">""") == "",
+      "robots meta without content is the empty directive")
+    assert(r("<p>no metas at all</p>") == null)
+    assert(r("<metadata name=\"robots\" content=\"x\">") == null,
+      "'<metadata' is not a meta tag (boundary char check)")
+  }
+
+  test("hasNoindex: comma token list, noindex/none drop, absence keeps") {
+    assert(HtmlText.hasNoindex("noindex, follow"))
+    assert(HtmlText.hasNoindex(" NONE "))
+    assert(!HtmlText.hasNoindex("index, follow"))
+    assert(!HtmlText.hasNoindex("nofollow"), "nofollow alone is indexable")
+    assert(!HtmlText.hasNoindex(null))
+    assert(!HtmlText.hasNoindex(""))
+  }
+
   test("main content: spaces never count toward length or density") {
     // 24 counted chars padded with many spaces: still under a 25 floor
     assert(m("<p>" + ("ab " * 12) + "</p>") == "")

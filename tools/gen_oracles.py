@@ -1412,6 +1412,101 @@ def main(sf_dir, spark_dir):
         ("doc_id", "keep_ngram", "template_spam", "keep"),
         ("BIGINT", "BOOLEAN", "BOOLEAN", "BOOLEAN"), qz_rows, "doc_id")
 
+    # ---- html_noindex_filter: robots-meta page opt-out. Independent
+    # re-derivation of HtmlText.metaRobots' stated scan: first <meta
+    # (case-insensitive, followed by ws//!>) to the first '>', attributes
+    # as [A-Za-z-]+ runs with quoted/unquoted values (first occurrence of
+    # a name wins within the tag), first tag whose name attr folds to
+    # 'robots' returns its trimmed content; drop iff the comma-split,
+    # trimmed, lowercased token list contains noindex or none.
+    def meta_robots_py(s):
+        n = len(s)
+        i = 0
+        while i + 5 <= n:
+            if s[i:i + 5].lower() == "<meta" and (
+                    i + 5 == n or s[i + 5] in " \t\n\r/>"):
+                gt = s.find(">", i + 5)
+                end = n if gt < 0 else gt
+                j = i + 5
+                name = content = None
+                while j < end:
+                    c = s[j]
+                    if c.isascii() and (c.isalpha() or c == "-"):
+                        k = j
+                        while k < end and s[k].isascii() and \
+                                (s[k].isalpha() or s[k] == "-"):
+                            k += 1
+                        attr = s[j:k].lower()
+                        m = k
+                        while m < end and s[m] <= " ":
+                            m += 1
+                        value = ""
+                        if m < end and s[m] == "=":
+                            m += 1
+                            while m < end and s[m] <= " ":
+                                m += 1
+                            if m < end and s[m] in "\"'":
+                                q = s[m]
+                                e = s.find(q, m + 1)
+                                stop = end if (e < 0 or e > end) else e
+                                value = s[m + 1:stop]
+                                m = stop + 1 if stop < end else end
+                            else:
+                                e = m
+                                while e < end and s[e] > " ":
+                                    e += 1
+                                value = s[m:e]
+                                m = e
+                        if attr == "name" and name is None:
+                            name = value
+                        if attr == "content" and content is None:
+                            content = value
+                        j = m
+                    else:
+                        j += 1
+                if name is not None and name.strip().lower() == "robots":
+                    return (content or "").strip()
+                i = end + 1
+            else:
+                i += 1
+        return None
+
+    def planted_robots_html(did, t):
+        if did % 6 == 1:
+            meta = '<meta name="robots" content="noindex, follow">'
+        elif did % 6 == 3:
+            meta = '<meta NAME="ROBOTS" CONTENT="INDEX, FOLLOW">'
+        elif did % 6 == 5:
+            meta = "<meta name='robots' content='none'>"
+        elif did % 6 == 0:
+            meta = ('<meta charset="utf-8">'
+                    '<meta name="description" content="x, noindex">')
+        else:
+            meta = ""
+        return ("<html><head>" + meta + "<title>Doc " + str(did) +
+                "</title></head><body><p>" + t[:40] + "</p></body></html>")
+
+    nr_rows = []
+    for did, _l, _s, nch in drows:
+        page = planted_robots_html(did, hx_text[did] or "")
+        r = meta_robots_py(page)
+        dropped = r is not None and any(
+            tok.strip().lower() in ("noindex", "none")
+            for tok in r.split(","))
+        if not dropped:
+            nr_rows.append((did, r, nch))
+    kept = {did for did, _r, _n in nr_rows}
+    assert all(did not in kept for did, _l, _s, _n in drows
+               if did % 6 in (1, 5)), "noindex/none classes must drop"
+    assert all(did in kept for did, _l, _s, _n in drows
+               if did % 6 in (0, 3)), \
+        "decoy description meta and INDEX directive must keep"
+    assert any(r == "INDEX, FOLLOW" for _d, r, _n in nr_rows), \
+        "the uppercase directive must surface verbatim (trimmed)"
+    queries["html_noindex_filter"] = (
+        ("doc_id", "robots", "n_chars"),
+        ("BIGINT", "VARCHAR", "BIGINT"), nr_rows, "doc_id")
+
     # ---- source_warc_extract: the crawl-tape front edge — Spark builds
     # a 2-file WARC tape from the documents table (non-ASCII titles, so
     # Content-Length must count BYTES), parses it by strict framing, and
