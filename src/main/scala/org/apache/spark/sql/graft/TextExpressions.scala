@@ -442,9 +442,10 @@ case class ZlibLen(child: Expression, level: Int)
   * (ASCII headers, case-insensitive name, first occurrence wins); `gzip`/
   * `x-gzip` bodies gunzip with a bounded-output guard (`maxOut`,
   * construction-time constant — a decompression bomb must not OOM an
-  * executor; overflow fails LOUDLY with the cap), `identity` or absent
-  * pass through, any OTHER declared encoding and any corrupt gzip stream
-  * fail LOUDLY — a tape whose bodies can't be decoded is a transfer
+  * executor; overflow fails LOUDLY with the cap), `deflate` bodies
+  * inflate as the RFC 9110 zlib-wrapped stream under the same guard,
+  * `identity` or absent pass through, any OTHER declared encoding and
+  * any corrupt compressed stream fail LOUDLY — a tape whose bodies can't be decoded is a transfer
   * problem you want surfaced, not U+FFFD soup admitted into the corpus
   * (same philosophy as the WARC framing parser). Blocks with no CRLF CRLF
   * (resource records, truncated envelopes) decode whole. The result is a
@@ -498,39 +499,52 @@ object HttpBodyText {
       .getOrElse("identity")
     val bodyOff = sep + 4
     val bodyLen = block.length - bodyOff
+    // mk is a thunk: GZIPInputStream reads (and can reject) the header in
+    // its CONSTRUCTOR, so construction must run inside the same loud
+    // corrupt-stream handler as the reads
+    def inflate(mk: () => java.io.InputStream, label: String): UTF8String = {
+      // initial-capacity HINT only (the stream grows itself): clamp to
+      // 1 MiB so a huge maxOut can never push the long past Int range
+      // (a .toInt wrap would be negative and crash the constructor on a
+      // legitimate record before the bomb guard even runs)
+      val out = new java.io.ByteArrayOutputStream(math.min(
+        math.max(bodyLen * 4L, 1024L), math.min(maxOut, 1L << 20)).toInt)
+      try {
+        val in = mk()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        var n = in.read(buf)
+        while (n >= 0) {
+          total += n
+          if (total > maxOut) throw new IllegalArgumentException(
+            s"$label body inflates past the $maxOut-byte guard — refusing " +
+              "(decompression bomb or mis-declared encoding)")
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+      } catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"corrupt $label body under Content-Encoding: $label: ${e.getMessage}", e)
+      }
+      val b = out.toByteArray
+      utf8(b, 0, b.length)
+    }
     enc match {
       case "identity" | "" => utf8(block, bodyOff, bodyLen)
       case "gzip" | "x-gzip" =>
-        // initial-capacity HINT only (the stream grows itself): clamp to
-        // 1 MiB so a huge maxOut can never push the long past Int range
-        // (a .toInt wrap would be negative and crash the constructor on a
-        // legitimate record before the bomb guard even runs)
-        val out = new java.io.ByteArrayOutputStream(math.min(
-          math.max(bodyLen * 4L, 1024L), math.min(maxOut, 1L << 20)).toInt)
-        try {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(block, bodyOff, bodyLen))
-          val buf = new Array[Byte](8192)
-          var total = 0L
-          var n = in.read(buf)
-          while (n >= 0) {
-            total += n
-            if (total > maxOut) throw new IllegalArgumentException(
-              s"gzip body inflates past the $maxOut-byte guard — refusing " +
-                "(decompression bomb or mis-declared encoding)")
-            out.write(buf, 0, n)
-            n = in.read(buf)
-          }
-        } catch {
-          case e: java.io.IOException => throw new IllegalArgumentException(
-            s"corrupt gzip body under Content-Encoding: gzip: ${e.getMessage}", e)
-        }
-        val b = out.toByteArray
-        utf8(b, 0, b.length)
+        inflate(() => new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(block, bodyOff, bodyLen)), "gzip")
+      case "deflate" =>
+        // HTTP deflate is the zlib-wrapped stream (RFC 9110 §8.4.1.2);
+        // the broken-server raw-DEFLATE variant arrives with the same
+        // label and fails the zlib header check loudly — the right
+        // outcome for a tape this decoder can't attribute bytes to
+        inflate(() => new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(block, bodyOff, bodyLen)), "deflate")
       case other => throw new IllegalArgumentException(
         s"unsupported Content-Encoding '$other' — this decoder handles " +
-          "identity and gzip; an undecodable tape body is a transfer " +
-          "problem, not row data")
+          "identity, gzip and (zlib-wrapped) deflate; an undecodable tape " +
+          "body is a transfer problem, not row data")
     }
   }
 }

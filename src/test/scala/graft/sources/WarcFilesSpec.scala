@@ -103,5 +103,16 @@ class WarcFilesSpec extends AnyFunSuite {
     val mixed = ("HTTP/1.1 200 OK\r\ncOnTeNt-EnCoDiNg: identity\r\n\r\nok")
       .getBytes("UTF-8")
     assert(HttpBodyText.body(mixed, 1 << 20).toString == "ok")
+    // deflate = the RFC 9110 zlib-wrapped stream
+    val d = new java.util.zip.Deflater()
+    d.setInput("deflated body text".getBytes("UTF-8")); d.finish()
+    val db = new Array[Byte](256)
+    val dn = d.deflate(db); d.end()
+    assert(HttpBodyText.body(block("deflate", db.take(dn)), 1 << 20)
+      .toString == "deflated body text")
+    // raw DEFLATE mis-declared as deflate fails the zlib header check loudly
+    val e4 = intercept[IllegalArgumentException](
+      HttpBodyText.body(block("deflate", Array[Byte](0x4b, 0x4c, 0x04, 0x00)), 1 << 20))
+    assert(e4.getMessage.contains("deflate"))
   }
 }
