@@ -1477,6 +1477,53 @@ object SparkEntry {
         .groupBy("shard").agg(max(col("chunk_end")).as("max_chunk"))
       manifest.join(byShard, "shard").orderBy("shard")
     }),
+    // Charset-labeled response bodies — real crawl traffic is not all
+    // UTF-8: per-record `Content-Type ... charset=` drives the decode
+    // (latin-1, quoted windows-1252 with € and curly quotes, utf-8, and
+    // an unknown label exercising the stated UTF-8 fallback), composed
+    // with gzip on the even ids so charset × encoding cross-verifies.
+    // A decoder that ignored the label would mangle every non-UTF-8
+    // suffix byte (é as U+FFFD, € as a C1 control) and fail the hash.
+    // Oracle: the expected decoded STRINGS re-derived in Python from the
+    // same text + suffix recipe (the encode side is charset-lossless for
+    // the planted characters by construction).
+    "source_warc_charset" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val recs = docs.map { case (id, t) =>
+        val base = t.take(60)
+        // \u escapes: source-encoding-proof (the multilingualDocs rule)
+        val (payload, ctype) = (id % 4) match {
+          case 0 => ((base + " caf\u00e9 \u00b1 na\u00efve")
+            .getBytes("ISO-8859-1"), "text/plain; charset=ISO-8859-1")
+          case 1 => ((base + " \u20ac \u201csmart\u201d quotes")
+            .getBytes("windows-1252"), "text/plain; charset=\"windows-1252\"")
+          case 2 => ((base + " caf\u00e9 \u00b1 na\u00efve")
+            .getBytes("UTF-8"), "text/plain; charset=utf-8")
+          case _ => ((base + " plain ascii tail")
+            .getBytes("UTF-8"), "text/plain; charset=x-unknown-label")
+        }
+        (id, s"https://example.org/doc/$id", payload, id % 2 == 0, ctype)
+      }
+      val basep = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_warc_charset_fixture")
+      org.apache.commons.io.FileUtils.deleteQuietly(basep.toFile)
+      java.nio.file.Files.createDirectories(basep)
+      Seq(0, 1).foreach { part =>
+        java.nio.file.Files.write(basep.resolve(s"part$part.warc"),
+          graft.sources.WarcFiles.buildWarcHttpTyped(
+            recs.filter(_._1 % 2 == part).toSeq))
+      }
+      graft.sources.WarcFiles.read(s, s"$basep/*.warc")
+        .withColumn("doc_id",
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
+        .withColumn("body", graft.sources.WarcFiles.httpBodyText(col("content")))
+        .select(col("doc_id"),
+          length(col("body")).cast("long").as("n_chars_body"),
+          expr("substring(body, greatest(length(body) - 29, 1), 30)")
+            .as("tail30"))
+        .orderBy("doc_id")
+    }),
     "sink_partitioned" -> ((s, dir) => {
       // hive-partitioned parquet sink + partition-pruned readback: the
       // 100 TB layout pattern (partition on a low-cardinality routing
@@ -4686,6 +4733,7 @@ object SparkEntry {
     "source_warc_extract" -> valuesOracle("source_warc_extract"),
     "source_warc_gzip" -> valuesOracle("source_warc_gzip"),
     "warc_to_shards" -> valuesOracle("warc_to_shards"),
+    "source_warc_charset" -> valuesOracle("source_warc_charset"),
     // the streamed tape accumulates to the same record set (file-level
     // exactly-once), so the batch oracle applies verbatim
     "stream_warc_ingest" -> valuesOracle("source_warc_extract"),

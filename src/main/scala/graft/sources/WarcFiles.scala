@@ -155,10 +155,16 @@ object WarcFiles {
     * payload, gzip) lands as a `response` record whose block is a full
     * HTTP envelope plus the (optionally gzip'd) payload — the shape real
     * crawl tapes have, exercising the [[httpBodyText]] decode path. */
-  def buildWarcHttp(records: Seq[(Long, String, Array[Byte], Boolean)]): Array[Byte] = {
+  def buildWarcHttp(records: Seq[(Long, String, Array[Byte], Boolean)]): Array[Byte] =
+    buildWarcHttpTyped(records.map { case (id, uri, p, gz) =>
+      (id, uri, p, gz, "text/html; charset=utf-8") })
+
+  /** [[buildWarcHttp]] with an explicit per-record HTTP Content-Type
+    * value — for charset-labeled fixture bodies. */
+  def buildWarcHttpTyped(records: Seq[(Long, String, Array[Byte], Boolean, String)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("UTF-8"))
-    records.foreach { case (id, uri, payload, gz) =>
+    records.foreach { case (id, uri, payload, gz, ctype) =>
       val body = if (gz) {
         val bo = new java.io.ByteArrayOutputStream()
         val g = new java.util.zip.GZIPOutputStream(bo)
@@ -166,7 +172,7 @@ object WarcFiles {
         bo.toByteArray
       } else payload
       val envelope = "HTTP/1.1 200 OK\r\n" +
-        "Content-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Type: $ctype\r\n" +
         (if (gz) "Content-Encoding: gzip\r\n" else "") +
         s"Content-Length: ${body.length}\r\n\r\n"
       val block = envelope.getBytes("UTF-8") ++ body

@@ -447,9 +447,14 @@ case class ZlibLen(child: Expression, level: Int)
   * `identity` or absent pass through, any OTHER declared encoding and
   * any corrupt compressed stream fail LOUDLY — a tape whose bodies can't be decoded is a transfer
   * problem you want surfaced, not U+FFFD soup admitted into the corpus
-  * (same philosophy as the WARC framing parser). Blocks with no CRLF CRLF
-  * (resource records, truncated envelopes) decode whole. The result is a
-  * UTF-8 decode with U+FFFD replacement. NULL → NULL. */
+  * (same philosophy as the WARC framing parser). The decoded bytes become
+  * text under the envelope's `Content-Type ... charset=` label: utf-8
+  * (default), iso-8859-1/latin-1, windows-1252/cp1252 and us-ascii decode
+  * natively, any other label falls back to UTF-8 — all with U+FFFD
+  * replacement (a charset mis-decode degrades one row's text; it cannot
+  * misattribute bytes across rows, so unlike Content-Encoding it is not
+  * loud). Blocks with no CRLF CRLF (resource records, truncated
+  * envelopes) decode whole as UTF-8. NULL → NULL. */
 case class HttpBodyText(child: Expression, maxOut: Long)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(maxOut > 0, s"maxOut must be positive, got $maxOut")
@@ -478,6 +483,26 @@ object HttpBodyText {
     UTF8String.fromString(
       new String(bytes, off, len, java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Charset-labeled decode (labels already lowercased): the four
+    * charsets that cover real crawl traffic decode natively; anything
+    * else falls back to UTF-8 with U+FFFD replacement — the stated
+    * junk-tier treatment for rare/garbage labels, NOT a loud failure
+    * (unlike Content-Encoding, a charset label mis-decode degrades one
+    * row's text, it cannot misattribute bytes across rows). */
+  private def decode(bytes: Array[Byte], off: Int, len: Int,
+                     charset: String): UTF8String = {
+    val cs = charset match {
+      case "utf-8" | "utf8" | "" => java.nio.charset.StandardCharsets.UTF_8
+      case "iso-8859-1" | "latin-1" | "latin1" =>
+        java.nio.charset.StandardCharsets.ISO_8859_1
+      case "windows-1252" | "cp1252" =>
+        java.nio.charset.Charset.forName("windows-1252")
+      case "us-ascii" | "ascii" => java.nio.charset.StandardCharsets.US_ASCII
+      case _ => java.nio.charset.StandardCharsets.UTF_8
+    }
+    UTF8String.fromString(new String(bytes, off, len, cs))
+  }
+
   /** Static call target for interpreted eval and generated code. */
   def body(block: Array[Byte], maxOut: Long): UTF8String = {
     var sep = -1
@@ -492,11 +517,22 @@ object HttpBodyText {
     // a stray high byte cannot corrupt neighboring header NAMES
     val envelope = new String(block, 0, sep,
       java.nio.charset.StandardCharsets.ISO_8859_1)
-    val enc = envelope.split("\r\n").iterator.drop(1)
-      .map(_.toLowerCase(java.util.Locale.ROOT))
+    val headerLines = envelope.split("\r\n").iterator.drop(1)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSeq
+    val enc = headerLines
       .collectFirst { case l if l.startsWith("content-encoding:") =>
         l.substring("content-encoding:".length).trim }
       .getOrElse("identity")
+    // charset label from the Content-Type header: the token after the
+    // first 'charset=' (already lowercased), optional quotes stripped,
+    // cut at the next ';' or whitespace
+    val charset = headerLines
+      .collectFirst { case l
+        if l.startsWith("content-type:") && l.contains("charset=") =>
+        val raw = l.substring(l.indexOf("charset=") + "charset=".length)
+        val unq = raw.stripPrefix("\"").stripPrefix("'")
+        unq.takeWhile(c => c != ';' && c != '"' && c != '\'' && c > ' ').trim }
+      .getOrElse("utf-8")
     val bodyOff = sep + 4
     val bodyLen = block.length - bodyOff
     // mk is a thunk: GZIPInputStream reads (and can reject) the header in
@@ -527,10 +563,10 @@ object HttpBodyText {
           s"corrupt $label body under Content-Encoding: $label: ${e.getMessage}", e)
       }
       val b = out.toByteArray
-      utf8(b, 0, b.length)
+      decode(b, 0, b.length, charset)
     }
     enc match {
-      case "identity" | "" => utf8(block, bodyOff, bodyLen)
+      case "identity" | "" => decode(block, bodyOff, bodyLen, charset)
       case "gzip" | "x-gzip" =>
         inflate(() => new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(block, bodyOff, bodyLen)), "gzip")

@@ -1543,6 +1543,31 @@ def main(sf_dir, spark_dir):
         [(did, uri, "response", n, h) for did, uri, _t, n, h in wx_rows],
         "doc_id")
 
+    # ---- source_warc_charset: charset-labeled body decode. The mirror
+    # re-derives the expected decoded STRING from the same text + suffix
+    # recipe; encode/decode is lossless for the planted characters in
+    # each class by construction, so a Spark side that ignored the
+    # charset label (mangling \u00e9 to U+FFFD, \u20ac to a C1 control)
+    # fails the hash. Class 3's unknown label pins the stated UTF-8
+    # fallback on an ASCII payload.
+    wc_rows = []
+    for did, text in docs:
+        base = (text or "")[:60]
+        if did % 4 == 0:
+            body = base + " caf\u00e9 \u00b1 na\u00efve"
+            assert body.encode("latin-1").decode("latin-1") == body
+        elif did % 4 == 1:
+            body = base + " \u20ac \u201csmart\u201d quotes"
+            assert body.encode("cp1252").decode("cp1252") == body
+        elif did % 4 == 2:
+            body = base + " caf\u00e9 \u00b1 na\u00efve"
+        else:
+            body = base + " plain ascii tail"
+        wc_rows.append((did, len(body), body[max(len(body) - 30, 0):]))
+    queries["source_warc_charset"] = (
+        ("doc_id", "n_chars_body", "tail30"),
+        ("BIGINT", "BIGINT", "VARCHAR"), wc_rows, "doc_id")
+
     # ---- curate_web: the RefinedWeb-style FRONT-END composed end to end
     # (round 15; round 18 adds the html_extract first stage) — html
     # extraction -> host blocklist -> path filter -> URL-identity dedup
