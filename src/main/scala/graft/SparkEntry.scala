@@ -114,7 +114,7 @@ object SparkEntry {
     docs.select(col("doc_id"), col("n_chars"),
       concat(lit("<html><head>"),
         when(col("doc_id") % 6 === 1,
-          lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+          lit("<meta name=\"robots\" content=\"nofollow,\n noindex\">"))
           .when(col("doc_id") % 6 === 3,
             lit("<meta NAME=\"ROBOTS\" CONTENT=\"INDEX, FOLLOW\">"))
           .when(col("doc_id") % 6 === 5,
@@ -3159,10 +3159,9 @@ object SparkEntry {
     // (null = no robots meta). Oracle: Python re-derivation of the scan.
     "html_noindex_filter" -> ((s, dir) => {
       val html = withPlantedRobotsHtml(load(s, dir, "documents"))
-      graft.api.TextAnalysis.filterNoindex(html, "html")
-        .select(col("doc_id"),
-          graft.functions.html_meta_robots(col("html")).as("robots"),
-          col("n_chars"))
+      graft.api.TextAnalysis.filterNoindex(html, "html",
+          robotsCol = Some("robots"))
+        .select(col("doc_id"), col("robots"), col("n_chars"))
         .orderBy("doc_id")
     }),
     // The zlib signal COMPOSED into the Gopher repetition tier — the

@@ -45,15 +45,25 @@ object TextAnalysis {
     * page): drops rows whose `<meta name="robots">` directive list
     * contains `noindex` or `none` (tokens comma-split, trimmed,
     * lowercased — [[graft.core.HtmlText.hasNoindex]]'s rule expressed in
-    * builtins so the verdict inlines into codegen). Pages without a
-    * robots meta keep — absence means indexable. Map-only, zero
-    * shuffle. */
-  def filterNoindex(df: DataFrame, htmlCol: String = "html"): DataFrame = {
-    val robots = graft.functions.html_meta_robots(col(htmlCol))
-    df.filter(!coalesce(
-      exists(split(robots, ",", -1),
-        t => trim(lower(t)).isin("noindex", "none")),
-      lit(false)))
+    * builtins so the verdict inlines into codegen; the trim is a
+    * `[\x00-\x20]` edge regexp, NOT Spark's space-only `trim`, because
+    * multi-line meta attributes pad tokens with newlines and
+    * `String.trim` strips every char ≤ U+0020). Pages without a robots
+    * meta keep — absence means indexable. Pass `robotsCol` to KEEP the
+    * parsed directive as a column instead of re-scanning the page later
+    * (filter and projection share one codegen stage, so subexpression
+    * elimination evaluates the scan once). Map-only, zero shuffle. */
+  def filterNoindex(df: DataFrame, htmlCol: String = "html",
+                    robotsCol: Option[String] = None): DataFrame = {
+    val tmp = robotsCol.getOrElse("__robots")
+    val out = df
+      .withColumn(tmp, graft.functions.html_meta_robots(col(htmlCol)))
+      .filter(!coalesce(
+        exists(split(col(tmp), ",", -1), t =>
+          regexp_replace(lower(t), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+            .isin("noindex", "none")),
+        lit(false)))
+    if (robotsCol.isEmpty) out.drop(tmp) else out
   }
 
   /** Compression-ratio repetition signals (the Gopher/RefinedWeb-class

@@ -523,12 +523,15 @@ object HttpBodyText {
       .collectFirst { case l if l.startsWith("content-encoding:") =>
         l.substring("content-encoding:".length).trim }
       .getOrElse("identity")
-    // charset label from the Content-Type header: the token after the
-    // first 'charset=' (already lowercased), optional quotes stripped,
-    // cut at the next ';' or whitespace
+    // charset label from the FIRST Content-Type header (first occurrence
+    // wins, same rule as Content-Encoding — a later duplicate header must
+    // not override it): the token after 'charset=' (already lowercased),
+    // optional quotes stripped, cut at the next ';' or whitespace; a
+    // first Content-Type without a charset parameter means the default
     val charset = headerLines
-      .collectFirst { case l
-        if l.startsWith("content-type:") && l.contains("charset=") =>
+      .collectFirst { case l if l.startsWith("content-type:") => l }
+      .filter(_.contains("charset="))
+      .map { l =>
         val raw = l.substring(l.indexOf("charset=") + "charset=".length)
         val unq = raw.stripPrefix("\"").stripPrefix("'")
         unq.takeWhile(c => c != ';' && c != '"' && c != '\'' && c > ' ').trim }
@@ -547,17 +550,22 @@ object HttpBodyText {
         math.max(bodyLen * 4L, 1024L), math.min(maxOut, 1L << 20)).toInt)
       try {
         val in = mk()
-        val buf = new Array[Byte](8192)
-        var total = 0L
-        var n = in.read(buf)
-        while (n >= 0) {
-          total += n
-          if (total > maxOut) throw new IllegalArgumentException(
-            s"$label body inflates past the $maxOut-byte guard — refusing " +
-              "(decompression bomb or mis-declared encoding)")
-          out.write(buf, 0, n)
-          n = in.read(buf)
-        }
+        // close in finally: each stream owns a NATIVE zlib Inflater that
+        // otherwise waits for a GC Cleaner — per-row leak on the decode
+        // hot path would grow off-heap memory unbounded by the heap limit
+        try {
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          var n = in.read(buf)
+          while (n >= 0) {
+            total += n
+            if (total > maxOut) throw new IllegalArgumentException(
+              s"$label body inflates past the $maxOut-byte guard — refusing " +
+                "(decompression bomb or mis-declared encoding)")
+            out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+        } finally in.close()
       } catch {
         case e: java.io.IOException => throw new IllegalArgumentException(
           s"corrupt $label body under Content-Encoding: $label: ${e.getMessage}", e)

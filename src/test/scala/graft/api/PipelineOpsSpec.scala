@@ -1371,8 +1371,9 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("curateMultimodal: stage order, global caption dedup, greedy drop") {
     import org.apache.spark.sql.functions.{col, lit, when, concat}
-    // 6 images: 0 and its exact twin 200 (near-dup pair), 2 with a junk
-    // caption, 5 and audio 1005 sharing a caption (GLOBAL dedup), 3 clean
+    // twin fixtures at n=6: images 0-5 + near twins 100/103 + exact
+    // twins 200/205; audio the same +1000. Junk captions land on
+    // %7==2 ids (2, 100, 205, 1003); 5 and 1005 share a caption
     val imgs = Multimodal.syntheticPngTwins(spark, 6)
       .withColumn("kind", lit("image"))
     val wavs = Multimodal.syntheticWavTwins(spark, 6)
@@ -1385,14 +1386,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     val out = Multimodal.curateMultimodal(
         imgs.unionByName(wavs).withColumn("caption", cap))
       .select("media_id").collect().map(_.getLong(0)).toSet
-    // caption rule: image 2 and audio 1003 (1003 % 7 == 2) die on the
-    // 2-token caption
-    assert(!out.contains(2L) && !out.contains(1003L))
+    // caption rule: the %7==2 ids (images 2, 100, 205; audio 1003) die
+    // on the 2-token caption
+    assert(!out.contains(2L) && !out.contains(100L) && !out.contains(1003L))
     // global caption dedup: image 5 (min id) wins over audio 1005
     assert(out.contains(5L) && !out.contains(1005L))
-    // perceptual greedy drop: exact twins (200+m) and near twins (100+m)
-    // lose to their smaller-id originals, per modality
-    assert(out.contains(0L) && !out.contains(200L) && !out.contains(100L))
+    // perceptual greedy drop, per modality. Image near twin 100 died at
+    // the CAPTION stage (100 % 7 == 2), so the twin that actually pins
+    // the image perceptual stage is 103 (unique caption, reaches stage 3,
+    // loses to original 3); exact twin 200 pins the hamming-0 path.
+    assert(out.contains(0L) && !out.contains(200L))
+    assert(out.contains(3L) && !out.contains(103L),
+      "near twin 103 must reach the perceptual stage and lose to 3")
     assert(out.contains(1000L) && !out.contains(1200L) && !out.contains(1100L))
     // a clean unique-caption original survives everything
     assert(out.contains(4L) && out.contains(1004L))

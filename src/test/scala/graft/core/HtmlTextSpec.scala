@@ -151,6 +151,8 @@ class HtmlTextSpec extends AnyFunSuite {
   test("hasNoindex: comma token list, noindex/none drop, absence keeps") {
     assert(HtmlText.hasNoindex("noindex, follow"))
     assert(HtmlText.hasNoindex(" NONE "))
+    assert(HtmlText.hasNoindex("nofollow,\n noindex"),
+      "multi-line attribute padding trims like String.trim (all <= U+0020)")
     assert(!HtmlText.hasNoindex("index, follow"))
     assert(!HtmlText.hasNoindex("nofollow"), "nofollow alone is indexable")
     assert(!HtmlText.hasNoindex(null))

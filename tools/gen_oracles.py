@@ -1473,7 +1473,9 @@ def main(sf_dir, spark_dir):
 
     def planted_robots_html(did, t):
         if did % 6 == 1:
-            meta = '<meta name="robots" content="noindex, follow">'
+            # newline-padded token: pins the [\x00-\x20] edge trim (Spark's
+            # space-only builtin trim would KEEP this page)
+            meta = '<meta name="robots" content="nofollow,\n noindex">'
         elif did % 6 == 3:
             meta = '<meta NAME="ROBOTS" CONTENT="INDEX, FOLLOW">'
         elif did % 6 == 5:
