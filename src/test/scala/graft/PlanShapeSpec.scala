@@ -645,6 +645,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the signal must be the codegen'd expression:\n$sigPlan")
   }
 
+  test("filterNoindex is map-only and scans the page once") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumnRenamed("text", "html")
+    val out = api.TextAnalysis.filterNoindex(docs, "html",
+      robotsCol = Some("robots"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the robots filter must not shuffle:\n$plan")
+    // one codegen stage hosts both the filter predicate and the kept
+    // column, so subexpression elimination evaluates the scan once —
+    // the expression must appear, and only within one WholeStageCodegen
+    assert(plan.contains("html_meta_robots"),
+      s"the parse must be the codegen'd expression:\n$plan")
+    assert(plan.split("WholeStageCodegen").length <= 3,
+      s"filter+project must share one codegen stage:\n$plan")
+  }
+
   test("corpusReport: one map-side-combined aggregate, bodies never shuffle") {
     val plan = planOf("corpus_report")
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
