@@ -70,7 +70,13 @@ object SparkEntry {
   private def withPlantedMainHtml(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), col("n_chars"),
       concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("<html><head>"),
+        // robots opt-out class for the capstone's stage 0 (a meta strips
+        // to no text, so the html_main_content rows are unaffected)
+        when(col("doc_id") % 9 === 4,
+          lit("<meta name=\"robots\" content=\"noindex\">"))
+          .otherwise(lit("")),
+        lit("<title>Doc "), col("doc_id").cast("string"),
         lit("</title><style>nav { color: red; }</style></head><body>" +
           "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/docs\">Docs" +
           "</a> <a href=\"/about\">About us</a></div>" +
@@ -1416,8 +1422,9 @@ object SparkEntry {
     // THE CAPSTONE: crawl tape in, training shards out — every seam the
     // piecewise gates prove, composed as ONE pipeline so stage-boundary
     // schema drift has a gate. WARC response records (half gzip'd) ->
-    // envelope-aware body decode -> MAIN-content extraction (the chrome
-    // the tier exists to drop is planted on every page) -> host blocklist
+    // envelope-aware body decode -> robots noindex opt-out (the planted
+    // %9==4 class) -> MAIN-content extraction (the chrome the tier
+    // exists to drop is planted on every page) -> host blocklist
     // -> path-pattern filter -> URL-identity dedup -> per-domain budget
     // over the extracted mass -> BPE packing order -> durable
     // token-balanced shard export with a readback manifest. Output: the
@@ -1443,12 +1450,17 @@ object SparkEntry {
           graft.sources.WarcFiles.buildWarcHttp(
             recs.filter(_._1 % 3 == part).toSeq))
       }
-      val extracted = graft.sources.WarcFiles.read(s, s"$base/*.warc")
+      val pages = graft.sources.WarcFiles.read(s, s"$base/*.warc")
         .withColumn("doc_id",
           regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
         .withColumn("url", col("target_uri"))
-        .withColumn("text", graft.functions.html_main_content(
-          graft.sources.WarcFiles.httpBodyText(col("content"))))
+        .withColumn("page",
+          graft.sources.WarcFiles.httpBodyText(col("content")))
+        .select("doc_id", "url", "page")
+      // stage 0: the robots opt-out — a compliant pipeline drops noindex
+      // pages before extraction spends a cycle on them (the %9==4 class)
+      val extracted = graft.api.TextAnalysis.filterNoindex(pages, "page")
+        .withColumn("text", graft.functions.html_main_content(col("page")))
         .select(col("doc_id"), col("url"), col("text"),
           length(col("text")).cast("long").as("n_chars_ext"))
       val blocked = Seq("src3.example.com", "src5.example.com").toDF("domain")

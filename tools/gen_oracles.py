@@ -1294,8 +1294,10 @@ def main(sf_dir, spark_dir):
         return "\n".join(res)
 
     def planted_main_html(did, t):
+        robots = ('<meta name="robots" content="noindex">'
+                  if did % 9 == 4 else "")
         return (
-            "<html><head><title>Doc " + str(did) +
+            "<html><head>" + robots + "<title>Doc " + str(did) +
             "</title><style>nav { color: red; }</style></head><body>"
             '<div class="nav"><a href="/">Home</a> <a href="/docs">Docs'
             '</a> <a href="/about">About us</a></div>'
@@ -1850,7 +1852,20 @@ def main(sf_dir, spark_dir):
     # per-shard manifest with the highest packed chunk id. Any stage
     # re-ordering, id-threading bug, or schema drift between the seams
     # lands as a row/hash mismatch on the 8 manifest rows.
-    wts_s1 = [did for did, _l, _s, _n in drows
+    # stage 0: the robots opt-out — re-derived through the SAME mirror
+    # scan the noindex gate pins (meta_robots_py), over the capstone's
+    # own page wrap
+    def wts_noindex(did):
+        r = meta_robots_py(planted_main_html(did, hx_text[did] or ""))
+        return r is not None and any(
+            tok.strip().lower() in ("noindex", "none")
+            for tok in r.split(","))
+
+    wts_s0 = [did for did, _l, _s, _n in drows if not wts_noindex(did)]
+    assert all(wts_noindex(did) == (did % 9 == 4)
+               for did, _l, _s, _n in drows), \
+        "robots stage must drop exactly the planted %9==4 class"
+    wts_s1 = [did for did in wts_s0
               if not cw_host_blocked(url_host(cw_url[did]))]
     wts_s1 = [did for did in wts_s1
               if not any(cw_path(cw_url[did]) == p
