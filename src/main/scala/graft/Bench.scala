@@ -42,12 +42,29 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.CacheManager",
       org.apache.logging.log4j.Level.ERROR)
+    // Every spark.read.load(<glob>) (the WARC fixture readbacks) makes
+    // FileStreamSink.hasMetadata probe getFileStatus on the LITERAL glob
+    // string, catch the inevitable FileNotFoundException, and WARN with
+    // the FULL stack trace ("Assume no metadata directory...") — a
+    // recovered, by-design miss inside Spark that nonetheless lands a
+    // 40-frame trace in the bench log where it reads as a failure and
+    // can push the machine-readable JSON line out of the driver's
+    // 2000-char capture window (it did, round 19). Recovered-and-benign
+    // is exactly what ERROR-only filtering is for.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
 
     // sessionize_stream is the driver-correctness replay harness: its cost
     // is single-threaded MemoryStream feeding + per-micro-batch scheduling,
     // not engine throughput (sessionize_batch is the throughput twin) — a
     // bench row for it would measure the harness, so it's excluded.
-    val notBenchable = Set("sessionize_stream", "stream_neardup_candidates",
+    // stream_admit_replay is the crash-replay discipline harness: its
+    // cost is a planted kill + checkpoint restart around the SAME admit
+    // work stream_warc_admit already times — a bench row would measure
+    // the crash harness twice over, so the throughput twin stands in.
+    val notBenchable = Set("stream_admit_replay",
+      "sessionize_stream", "stream_neardup_candidates",
       "stream_dedup_content", "stream_windowed_counts", "stream_hll_users",
       "stream_hist_quantiles", "stream_cms_userfreq", "stream_rolling_dedup",
       "stream_resample_last", "stream_attribution_join", "stream_late_sessions",
@@ -126,8 +143,15 @@ object Bench {
     val cpu0 = processCpuNs
     val cold = runAll()
     val coldCpu = if (cpu0 >= 0) (processCpuNs - cpu0) / 1e9 else -1.0
+    // load at the END of the cold pass: a run that STARTED idle can
+    // still have been walked over by work arriving mid-run (the
+    // round-19 driver bench: load 0.46 at start after a 120 s wait,
+    // cold pass 2.4x the same code's idle reading) — start/end load
+    // together make that attributable from the JSON alone
+    val loadAvgCold = osBean.getSystemLoadAverage
     val warm = runAll()
     val warm2 = runAll()
+    val loadAvgEnd = osBean.getSystemLoadAverage
     // best-of-3 over the passes that succeeded: one-off GC/compilation/noise
     // spikes don't get attributed to a query; a query that failed every pass
     // reports -1 (NaN would be invalid JSON) and is excluded from the total
@@ -158,7 +182,7 @@ object Bench {
     // attributable from the JSONs alone, without shell archaeology
     val env = s""","os_version":"${sys.props.getOrElse("os.version", "?")}","jvm":"${sys.props.getOrElse("java.vm.version", "?")}""""
     def payload(qs: String, extra: String): String =
-      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":$qs$extra,"cold_total_sec":${fmt(2, coldTotal)},"cold_cpu_sec":${fmt(1, coldCpu)},"load_avg_start":${fmt(2, loadAvgStart)},"load_wait_sec":${fmt(0, loadWaitSec)}$contention$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(2, total)},"unit":"sec","queries":$qs$extra,"cold_total_sec":${fmt(2, coldTotal)},"cold_cpu_sec":${fmt(1, coldCpu)},"load_avg_start":${fmt(2, loadAvgStart)},"load_avg_cold":${fmt(2, loadAvgCold)},"load_avg_end":${fmt(2, loadAvgEnd)},"load_wait_sec":${fmt(0, loadWaitSec)}$contention$env,"sf":"$sfDir"}"""
 
     // Full precision + the per-query cold map go to a file: the driver's
     // stdout capture keeps only the LAST 2000 characters, so the

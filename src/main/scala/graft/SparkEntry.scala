@@ -326,6 +326,75 @@ object SparkEntry {
     (corpus.filter(did < 350), corpus.filter(did >= 350), bench)
   }
 
+  /** Shared harness for the two tape-fed day-N admission gates: day-1
+    * state on A, batch B as TWO WARC tape waves (sorted halves, one
+    * AvailableNow pass each) through
+    * [[graft.streaming.EventStreams.warcAdmitIngest]]. The projection
+    * from tape records to admit inputs lives HERE (with the fixture
+    * that plants doc_id in the record id and lang in the URI path),
+    * per the ingest API's caller-supplied-mapping contract. With
+    * `crashSecondWave`, wave 2 first runs through the planted
+    * crash-before-commit seam (every write lands, the checkpoint
+    * commit does not) and is then REPLAYED by the normal pass —
+    * exercising admitBatch's generation skip path and the idempotent
+    * id-anti-join appends; the result table must be bit-equal to the
+    * uncrashed twin, so both gates share one oracle recipe. */
+  private def warcAdmitGate(s: SparkSession, dir: String, prefix: String,
+      scratch: String, crashSecondWave: Boolean): DataFrame = {
+    import s.implicits._
+    val (corpusA, batchB, bench) = incrementalCurationFixture(s, dir)
+    val lookupTbl = s"${prefix}_lookup"
+    val benchTbl = s"${prefix}_bench"
+    val resTbl = s"${prefix}_admits"
+    graft.api.IncrementalCuration.reset(s, prefix)
+    Seq(lookupTbl, benchTbl, resTbl)
+      .foreach(graft.api.BucketedWrite.dropTable(s, _))
+    graft.api.IncrementalCuration.buildState(corpusA, prefix,
+      "doc_id", "text", col("lang") === "en")
+    corpusA.write.format("parquet").saveAsTable(lookupTbl)
+    bench.write.format("parquet").saveAsTable(benchTbl)
+    val b = batchB.select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val half = (b.length + 1) / 2
+    val tmp = sys.props("java.io.tmpdir")
+    val tape = java.nio.file.Paths.get(tmp, s"${scratch}_tape")
+    val ckpt = java.nio.file.Paths.get(tmp, s"${scratch}_ckpt")
+    Seq(tape, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+    java.nio.file.Files.createDirectories(tape)
+    val project: DataFrame => DataFrame = df => df.select(
+      regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+        .cast("long").as("doc_id"),
+      col("content").cast("string").as("text"),
+      regexp_extract(col("target_uri"), "example\\.org/([a-z]+)/", 1)
+        .as("lang"))
+    def ingest(crash: Boolean): Unit =
+      graft.streaming.EventStreams.warcAdmitIngest(s, s"$tape/*.warc",
+        ckpt.toString, prefix, lookupTbl, benchTbl, resTbl, project,
+        crashBeforeCommit = crash)
+    Seq(b.take(half), b.drop(half)).zipWithIndex.foreach { case (wave, i) =>
+      java.nio.file.Files.write(tape.resolve(s"wave$i.warc"),
+        graft.sources.WarcFiles.buildWarc(wave.map { case (id, t, lg) =>
+          (id, s"https://example.org/$lg/$id", t.getBytes("UTF-8"))
+        }.toSeq))
+      if (crashSecondWave && i == 1) {
+        // the crash must actually fire (a seam that silently stopped
+        // firing would turn this gate into a copy of the uncrashed one)
+        // and must be the PLANTED one — anything else is a real failure
+        def planted(t: Throwable): Boolean = t != null &&
+          (Option(t.getMessage).exists(_.contains("planted crash")) ||
+            planted(t.getCause))
+        val crashed =
+          try { ingest(crash = true); false }
+          catch { case e: Throwable => if (!planted(e)) throw e; true }
+        require(crashed, "the planted crash-before-commit seam did not fire")
+      }
+      ingest(crash = false)
+    }
+    s.catalog.refreshTable(resTbl)
+    s.table(resTbl).orderBy("doc_id")
+  }
+
   /** The WARC tape gates' page wrap — ONE owner for the three tape
     * fixtures (a single-character drift across copies would fail three
     * gates with an opaque hash mismatch); mirrored byte-for-byte as
@@ -2280,40 +2349,20 @@ object SparkEntry {
     // re-parsing (a replay doubles rows and fails the count). Oracle:
     // the same sequential union-rerun walk as stream_incremental_admit,
     // chunked as the two sorted halves.
-    "stream_warc_admit" -> ((s, dir) => {
-      import s.implicits._
-      val (corpusA, batchB, bench) = incrementalCurationFixture(s, dir)
-      val prefix = "graft_warcadm"
-      val lookupTbl = s"${prefix}_lookup"
-      val benchTbl = s"${prefix}_bench"
-      val resTbl = s"${prefix}_admits"
-      graft.api.IncrementalCuration.reset(s, prefix)
-      Seq(lookupTbl, benchTbl, resTbl)
-        .foreach(graft.api.BucketedWrite.dropTable(s, _))
-      graft.api.IncrementalCuration.buildState(corpusA, prefix,
-        "doc_id", "text", col("lang") === "en")
-      corpusA.write.format("parquet").saveAsTable(lookupTbl)
-      bench.write.format("parquet").saveAsTable(benchTbl)
-      val b = batchB.select(col("doc_id").cast("long"), col("text"), col("lang"))
-        .as[(Long, String, String)].collect().sortBy(_._1)
-      val half = (b.length + 1) / 2
-      val tmp = sys.props("java.io.tmpdir")
-      val tape = java.nio.file.Paths.get(tmp, "graft_warc_admit_tape")
-      val ckpt = java.nio.file.Paths.get(tmp, "graft_warc_admit_ckpt")
-      Seq(tape, ckpt).foreach(p =>
-        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
-      java.nio.file.Files.createDirectories(tape)
-      Seq(b.take(half), b.drop(half)).zipWithIndex.foreach { case (wave, i) =>
-        java.nio.file.Files.write(tape.resolve(s"wave$i.warc"),
-          graft.sources.WarcFiles.buildWarc(wave.map { case (id, t, lg) =>
-            (id, s"https://example.org/$lg/$id", t.getBytes("UTF-8"))
-          }.toSeq))
-        graft.streaming.EventStreams.warcAdmitIngest(s, s"$tape/*.warc",
-          ckpt.toString, prefix, lookupTbl, benchTbl, resTbl)
-      }
-      s.catalog.refreshTable(resTbl)
-      s.table(resTbl).orderBy("doc_id")
-    }),
+    "stream_warc_admit" -> ((s, dir) =>
+      warcAdmitGate(s, dir, "graft_warcadm", "graft_warc_admit",
+        crashSecondWave = false)),
+    // The crash-replay twin: wave 2 completes EVERY write (state
+    // appends, gen_done marker, result/lookup rows) and then dies
+    // before the checkpoint commit — the worst-case at-least-once
+    // window. The restart replays the wave; admitBatch's gen_done skip
+    // path reconstructs the bit-equal verdicts without touching state,
+    // and the id-anti-join appends land nothing twice. Oracle: the
+    // SAME union-rerun rows as stream_warc_admit — the crash must be
+    // invisible in the output, which is the exactly-once claim.
+    "stream_admit_replay" -> ((s, dir) =>
+      warcAdmitGate(s, dir, "graft_warcrep", "graft_warc_replay",
+        crashSecondWave = true)),
     // Takedown through the day-2 state: build day-1 indexes on A, DELETE
     // the 30 docs that are B's exact/near clone partners (ids in
     // [150, 350) with id % 10 in {3, 6} — subtract-or-rebuild per
@@ -4671,6 +4720,9 @@ object SparkEntry {
     "takedown_incremental" -> valuesOracle("takedown_incremental"),
     "stream_incremental_admit" -> valuesOracle("stream_incremental_admit"),
     "stream_warc_admit" -> valuesOracle("stream_warc_admit"),
+    // the crash must be invisible in the output: the replay gate
+    // answers to the SAME rows as the uncrashed tape-admit twin
+    "stream_admit_replay" -> valuesOracle("stream_admit_replay"),
     "curate_drop_ledger" -> valuesOracle("curate_drop_ledger"),
     // the cross-session leg runs the IDENTICAL chain through the
     // simulated restart, so it must land on the same pinned oracle

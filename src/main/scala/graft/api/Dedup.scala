@@ -816,18 +816,26 @@ object Dedup {
                       spreadInput: Boolean = true): DataFrame = {
     // an id that nulls under the long cast would make the cut join never
     // match and the pass silently return the corpus un-deduped — refuse
-    // loudly instead. Numeric id types can't null under the cast; string
-    // ids get one ids-only validation scan (column-pruned, short-circuits
-    // at the first bad value) so numeric-string corpora keep working.
-    df.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => ()
+    // loudly instead. Numeric id types can't null under the cast (fast
+    // path: plain cast). String ids get the check folded INTO the cast
+    // expression itself (raise_error on the null-cast branch), so it
+    // rides the pass's own scan lazily: no extra eager job at call
+    // time, no extra action on a clean corpus, and the transformation
+    // stays usable on streaming inputs. Non-castable schemas still
+    // refuse eagerly — that's a schema error, knowable without a scan.
+    val idLong: org.apache.spark.sql.Column = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(idCol).cast("long")
       case org.apache.spark.sql.types.StringType =>
-        val bad = df.filter(col(idCol).isNotNull &&
-            col(idCol).cast("long").isNull)
-          .select(col(idCol)).limit(1).collect()
-        require(bad.isEmpty, s"dedupParagraphs: string id column '$idCol' " +
-          s"holds a value that nulls under the long cast ('${bad.headOption
-            .map(_.get(0)).orNull}') — such docs would silently skip dedup")
+        // try_cast, not cast: under ANSI mode a bare cast throws Spark's
+        // generic CAST_INVALID_INPUT before the raise_error branch can
+        // state the dedup-specific contract; under non-ANSI it nulls
+        // silently. try_cast nulls in both modes, so the message below
+        // is the single failure surface either way.
+        coalesce(col(idCol).try_cast("long"),
+          raise_error(concat(
+            lit(s"dedupParagraphs: string id column '$idCol' holds a value " +
+              "that nulls under the long cast ('"), col(idCol),
+            lit("') — such docs would silently skip dedup"))).cast("long"))
       case other => throw new IllegalArgumentException(
         s"dedupParagraphs: id column '$idCol' is ${other.simpleString}; " +
           "need a numeric (or losslessly castable string) id")
@@ -840,9 +848,12 @@ object Dedup {
     // reuse silently degrades to a second corpus explode (null-id docs
     // can't be addressed by the cut list anyway — they pass through
     // unchanged via the left join, same either way)
+    // idLong (not a bare cast) ONLY here, after the isNotNull filter: a
+    // null id must pass through via the left join below, not raise; the
+    // checked branch fires exactly for non-null ids that cast to null
     val paras = src
       .filter(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(idLong.as("doc_id"),
         posexplode(split(col(textCol), quoted, -1)))
       .filter(length(col("col")) > 0)
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -856,7 +867,15 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_list(col("pos")).as("__cut"))
       .withColumnRenamed("doc_id", "__cut_doc")
-    src.join(cuts, src(idCol).cast("long") === col("__cut_doc"), "left")
+    // try_cast on the attach side: paras already raises on any bad
+    // string id, and a plain cast here would race it with ANSI's
+    // generic CAST_INVALID_INPUT from a different task — one failure
+    // surface, the specific message (null join keys match nothing)
+    val attachId = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType => src(idCol).try_cast("long")
+      case _ => src(idCol).cast("long")
+    }
+    src.join(cuts, attachId === col("__cut_doc"), "left")
       .withColumn("__cut", coalesce(col("__cut"), array().cast("array<bigint>")))
       .withColumn(textCol, array_join(
         filter(split(col(textCol), quoted, -1),

@@ -264,10 +264,31 @@ object IncrementalCuration {
     * persisted high-water mark (keep-earliest needs arrival order ≡ id
     * order across days — the [[BandedLsh.appendToSignatureIndex]] /
     * [[Dedup.appendToGramIndex]] disjoint-ids contract, checked here
-    * against the meta table instead of trusted). */
+    * against the meta table instead of trusted).
+    *
+    * Replay safety (`generation`): a streaming caller that can REPLAY a
+    * batch (crash between this call and its checkpoint commit) passes a
+    * stable per-batch tag; the admit then brackets its state mutation
+    * with meta markers — `gen_started_<g>` appended before the first
+    * index append, flipped to `gen_done_<g>` in the same atomic meta
+    * rewrite that advances the high-water mark (which lands AFTER the
+    * reasons audit, so done ⇒ every append and the verdict record are
+    * durable). A replayed call SKIPS all mutation and reconstructs the
+    * bit-equal output from state + the reasons audit (the verdicts are
+    * functions of post-append state, so recomputing over it reproduces
+    * them exactly; only the replayed generation being the LATEST is
+    * required — enforced — because span mining over state that already
+    * holds later days would see their grams). A replay that finds
+    * `gen_started` without `gen_done` REFUSES loudly: the crash landed
+    * mid-append and the state is torn — appends are not idempotent row
+    * sets, so the only honest remedies are a state rebuild to the last
+    * committed day or a [[compactState]]-committed restore. Batch-mode
+    * callers that never replay (the default None) get no markers and
+    * the exact pre-existing behavior. */
   def admitBatch(batch: DataFrame, bench: DataFrame, corpusLookup: DataFrame,
                  prefix: String, idCol: String, textCol: String,
-                 labelCol: Column, params: Params = Params()): DataFrame = {
+                 labelCol: Column, params: Params = Params(),
+                 generation: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val p = params
@@ -300,6 +321,45 @@ object IncrementalCuration {
         "admit-reasons audit assume one row per doc id")
     val batchMin = idStats.getLong(2)
     val batchMax = idStats.getLong(3)
+
+    // ---- generation marker dispatch (replay safety) ----
+    val genStartedKey = generation.map(g => s"gen_started_$g")
+    val genDoneKey = generation.map(g => s"gen_done_$g")
+    genDoneKey.flatMap(meta.get) match {
+      case Some(oldMax) =>
+        // REPLAY of a fully-committed generation: skip every mutation
+        // and reconstruct the bit-equal output. The verdicts were
+        // computed over post-append state the first time, so the same
+        // reads over the same state reproduce them; the admitted set
+        // itself comes from the durable reasons audit (admitted = batch
+        // ids with NO reason row — ids are globally unique across days,
+        // so the anti-join prunes to this batch's verdicts).
+        require(meta("max_doc_id") == batchMax,
+          s"generation '${generation.get}' replay must be the LATEST " +
+            s"admitted generation (state high-water ${meta("max_doc_id")}" +
+            s", batch max $batchMax): span mining over state that " +
+            "already holds later days cannot reproduce this day's output")
+        val (lo, prior) = QualityClassifier.modelFromCounts(spark, nbTable(prefix))
+        val admitted = QualityClassifier
+          .nbScore(b, textCol, lo, prior, "nb_score")
+          .withColumn("doc_id", col(idCol).cast("long"))
+          .join(spark.table(reasonsTable(prefix)).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+        val out = assembleAdmitOutput(spark, b, bench, admitted,
+          prefix, idCol, textCol, oldMax, p)
+        b.unpersist()
+        return out
+      case None =>
+        genStartedKey.flatMap(meta.get).foreach { _ =>
+          throw new IllegalStateException(
+            s"generation '${generation.get}' STARTED but never " +
+              "committed: a prior attempt crashed mid-append and the " +
+              "state tables are torn (appends are not idempotent row " +
+              "sets) — rebuild state to the last committed day (or " +
+              "restore compactState's committed rewrite) before " +
+              "re-admitting")
+        }
+    }
     require(batchMin > maxId,
       s"batch ids must exceed the indexed high-water mark $maxId " +
         s"(got min $batchMin): keep-earliest across days is id order")
@@ -359,6 +419,14 @@ object IncrementalCuration {
       rootTouched(find(n)) || find(n) != n
     }
 
+    // ---- generation start marker: appended BEFORE the first state
+    // append, so a crash anywhere in the mutation block leaves evidence
+    // a replay can refuse on (vs silently double-appending) ----
+    genStartedKey.foreach { k =>
+      Seq((k, maxId)).toDF("key", "value")
+        .write.mode("append").insertInto(metaTable(prefix))
+    }
+
     // ---- fold the batch into every statistic index (append-only) ----
     Dedup.appendToGramIndex(b, gramTable(prefix), idCol, textCol, p.width)
     BandedLsh.appendToSignatureIndex(b, sigTable(prefix), idCol, textCol,
@@ -373,18 +441,6 @@ object IncrementalCuration {
         col(idCol).cast("long").as("doc_id"))
       .select(spark.table(hashTable(prefix)).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(hashTable(prefix))
-    // pin the new meta rows FIRST, then drop + recreate: saveAsTable
-    // overwrite on a RECOVERED (external) registration trips the
-    // managed-location-exists error; dropTable removes the directory
-    // explicitly so the external/managed distinction never leaks (the
-    // StagedPipeline recovery convention)
-    val newMeta = spark.table(metaTable(prefix))
-      .filter(col("key") =!= "max_doc_id")
-      .unionByName(Seq(("max_doc_id", batchMax)).toDF("key", "value"))
-      .localCheckpoint()
-    BucketedWrite.dropTable(spark, metaTable(prefix))
-    newMeta.write.format("parquet").saveAsTable(metaTable(prefix))
-
     // ---- verdict 1: exact keep-earliest over A ∪ B ----
     val bh = b.select(col(idCol).cast("long").as("doc_id"),
       xxhash64(col(textCol)).as("h"))
@@ -437,9 +493,50 @@ object IncrementalCuration {
       .write.mode("append").format("parquet")
       .saveAsTable(reasonsTable(prefix))
 
-    // ---- span assembly (all mined on raw text) + one rewrite ----
+    // ---- meta rewrite: high-water mark + generation commit ----
+    // AFTER the reasons write (the replay path reconstructs the admitted
+    // set from the reasons audit, so gen_done must imply it is durable)
+    // and in ONE drop+recreate with the max_doc_id advance — started
+    // flips to done atomically at the table level. Pin the new meta
+    // rows FIRST, then drop + recreate: saveAsTable overwrite on a
+    // RECOVERED (external) registration trips the managed-location-
+    // exists error; dropTable removes the directory explicitly so the
+    // external/managed distinction never leaks (the StagedPipeline
+    // recovery convention).
+    val newMeta = spark.table(metaTable(prefix))
+      .filter(col("key") =!= "max_doc_id" &&
+        genStartedKey.map(col("key") =!= _).getOrElse(lit(true)))
+      .unionByName((Seq(("max_doc_id", batchMax)) ++
+        genDoneKey.map(_ -> maxId)).toDF("key", "value"))
+      .localCheckpoint()
+    BucketedWrite.dropTable(spark, metaTable(prefix))
+    newMeta.write.format("parquet").saveAsTable(metaTable(prefix))
+
+    // ---- span assembly + one rewrite (shared with the replay path) ----
+    val out = assembleAdmitOutput(spark, b, bench, admitted,
+      prefix, idCol, textCol, maxId, p)
+    b.unpersist()
+    out
+  }
+
+  /** Span assembly (all mined on raw text) + the one rewrite that
+    * produces admitBatch's output — shared verbatim by the first-run
+    * and generation-replay paths so they cannot drift: dup spans from
+    * the (post-append) gram index above the prior high-water mark,
+    * contamination spans against the bench, boilerplate line spans from
+    * the (post-append) line-df statistic, merged islands, exact cut,
+    * frozen-vocab token count. MATERIALIZES before returning: the
+    * verdict/span plans read the very tables admitBatch appends to, so
+    * a lazy result re-evaluated after a LATER batch's admit would see
+    * day-3 statistics and silently break the day-2 contract.
+    * localCheckpoint pins the rows (the admitted batch — small by
+    * construction) and truncates the lineage, which also frees the
+    * batch cache in the caller. */
+  private def assembleAdmitOutput(spark: SparkSession, b: DataFrame,
+      bench: DataFrame, admitted: DataFrame, prefix: String, idCol: String,
+      textCol: String, priorMaxId: Long, p: Params): DataFrame = {
     val dupSp = Dedup.dupSpansFromIndex(spark, gramTable(prefix))
-      .filter(col("doc_id") > maxId)
+      .filter(col("doc_id") > priorMaxId)
     val deconSp = Contamination.contaminatedSpans(b, bench, idCol, textCol,
       p.width)
     val boilSp = boilerLineSpans(b, idCol, textCol, lineTable(prefix),
@@ -451,20 +548,12 @@ object IncrementalCuration {
           col("span_start").as("pos"), col("span_end").as("fin")))
         .unionByName(boilSp))
     val ranks = loadVocab(spark, prefix)
-    // MATERIALIZE before returning: the verdict/span plans read the very
-    // tables this function appends to, so a lazy result re-evaluated
-    // after a LATER batch's admit would see day-3 statistics and
-    // silently break the day-2 contract. localCheckpoint pins the rows
-    // (the admitted batch — small by construction) and truncates the
-    // lineage, which also frees the batch cache below.
-    val out = Dedup.cutSpansExact(admitted, allSp, "doc_id", textCol)
+    Dedup.cutSpansExact(admitted, allSp, "doc_id", textCol)
       .select(col("doc_id"),
         length(col(textCol)).cast("long").as("n_chars_inc"),
         graft.functions.bpe_count(col(textCol), ranks).as("n_tok_inc"),
         col("nb_score"))
       .localCheckpoint()
-    b.unpersist()
-    out
   }
 
   /** Day-N state compaction: fold every appended generation of the

@@ -55,7 +55,16 @@ object TextAnalysis {
     * elimination evaluates the scan once). Map-only, zero shuffle. */
   def filterNoindex(df: DataFrame, htmlCol: String = "html",
                     robotsCol: Option[String] = None): DataFrame = {
-    val tmp = robotsCol.getOrElse("__robots")
+    // the internal scratch name must not clobber caller data: an input
+    // that already carries '__robots' (case-insensitive — Spark resolves
+    // names case-insensitively by default) would be silently replaced
+    // and then DROPPED below. Derive a name the input provably lacks.
+    // An EXPLICIT robotsCol keeps withColumn's documented replace
+    // semantics — the caller named the output column on purpose.
+    val tmp = robotsCol.getOrElse {
+      Iterator.iterate("__robots")(_ + "_")
+        .find(n => !df.columns.exists(_.equalsIgnoreCase(n))).get
+    }
     val out = df
       .withColumn(tmp, graft.functions.html_meta_robots(col(htmlCol)))
       .filter(!coalesce(
@@ -83,9 +92,17 @@ object TextAnalysis {
   def compressionSignals(df: DataFrame, textCol: String = "text",
                          level: Int = 6, spamMult: Int = 3): DataFrame = {
     // the signal schema OWNS these names (the exportShards convention):
-    // silently replacing an input column loses caller data downstream
+    // silently replacing an input column loses caller data downstream.
+    // The clash test must match Spark's RESOLUTION rule, which is
+    // case-insensitive unless spark.sql.caseSensitive — a guard that
+    // compared exactly would pass an input 'N_BYTES' column and then
+    // watch withColumn("n_bytes", ...) overwrite it anyway.
+    val exact = df.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def clashes(a: String, b: String): Boolean =
+      if (exact) a == b else a.equalsIgnoreCase(b)
     Seq("n_bytes", "n_zlib", "zlib_ratio", "template_spam").foreach(c =>
-      require(!df.columns.contains(c),
+      require(!df.columns.exists(clashes(_, c)),
         s"compressionSignals: input must not carry a '$c' column — the " +
           "signal schema owns that name (rename the input column first)"))
     df.withColumn("n_bytes", octet_length(col(textCol)).cast("long"))

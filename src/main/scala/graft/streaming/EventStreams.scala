@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -1351,50 +1351,79 @@ object EventStreams {
     * each micro-batch admits through the full day-2 recipe
     * ([[graft.api.IncrementalCuration.admitBatch]]) against the persisted
     * day-1 state — the composition of [[warcIngest]] and
-    * [[incrementalAdmitReplay]] that neither proves alone. Records carry
-    * `doc_id` in their WARC-Record-ID, text as the raw block bytes
-    * (UTF-8), and the routing language as a target-URI path segment —
-    * the tape-side shape of the admit inputs. Each wave call is one
-    * AvailableNow pass = one admission day; admitted rows append to
-    * `resTbl`, the batch's full row set to `lookupTbl` AFTER the admit
-    * (probe-coverage contract). Every table access runs on the
-    * micro-batch's own cloned session with a defensive refresh (the V1
-    * relation-cache trap [[rollingDedupReplay]] documents).
+    * [[incrementalAdmitReplay]] that neither proves alone. The caller
+    * supplies `project`, the mapping from the parsed WARC record frame
+    * (`path, record_offset, warc_type, record_id, target_uri, warc_date,
+    * content_type, content`) to the admit inputs — a frame with a
+    * unique long `doc_id`, a string `text`, and whatever column(s)
+    * `label` reads (real tapes carry ids/text/routing in tape-specific
+    * places; hardcoding one extraction here would silently null every
+    * other tape's ids). Each wave call is one AvailableNow pass = one
+    * admission day; admitted rows land in `resTbl`, the batch's full
+    * row set in `lookupTbl` AFTER the admit (probe-coverage contract).
+    * Every table access runs on the micro-batch's own cloned session
+    * with a defensive refresh (the V1 relation-cache trap
+    * [[rollingDedupReplay]] documents).
     *
-    * Honestly stated limit: `admitBatch`'s index appends are
-    * at-least-once under a crash between the admit and the checkpoint
-    * commit — same property as [[incrementalAdmitReplay]]; the staged
-    * scratch-commit rewrite ([[graft.api.IncrementalCuration
-    * .compactState]]) is the production answer for replay-safe state,
-    * and this harness gates the bit-equality of the happy path. */
+    * Replay safety (exactly-once state): each micro-batch admits under
+    * generation tag `warc_b<batchId>` — batch ids are stable across a
+    * crash/restart of the same checkpoint, so a wave replayed because
+    * the crash landed BETWEEN the admit and the checkpoint commit finds
+    * its `gen_done` marker, skips every state mutation, and
+    * reconstructs the bit-equal admitted rows ([[graft.api
+    * .IncrementalCuration.admitBatch]]'s generation contract); the
+    * `resTbl`/`lookupTbl` appends are id-anti-joined against the live
+    * table so the replayed rows land exactly once (ids are unique
+    * across days; the anti-join is an id-only column-pruned scan — at
+    * warehouse scale, swap for a `batch=<id>` partition-overwrite
+    * layout if the scan shows up). A crash landing MID-append leaves
+    * `gen_started` without `gen_done` and the replay REFUSES loudly —
+    * torn statistics need the [[graft.api.IncrementalCuration
+    * .compactState]]-committed restore path, not a silent re-append.
+    *
+    * `crashBeforeCommit` is the test seam that plants exactly the
+    * worst-case crash: the batch completes every write, then throws
+    * before foreachBatch returns, so the checkpoint never commits and
+    * the next call must replay the wave (gated: `stream_admit_replay`
+    * is bit-equal to the uncrashed twin `stream_warc_admit`). */
   def warcAdmitIngest(spark: SparkSession, tapeGlob: String,
                       checkpoint: String, prefix: String, lookupTbl: String,
                       benchTbl: String, resTbl: String,
+                      project: DataFrame => DataFrame,
+                      label: Column = col("lang") === "en",
                       params: graft.api.IncrementalCuration.Params =
-                        graft.api.IncrementalCuration.Params()): Unit = {
+                        graft.api.IncrementalCuration.Params(),
+                      crashBeforeCommit: Boolean = false): Unit = {
     val parsed = warcStream(spark, tapeGlob)
     val q = parsed.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!df.isEmpty) {
           val ss = df.sparkSession
           (graft.api.IncrementalCuration.stateTables(prefix) ++
             Seq(lookupTbl, benchTbl, resTbl))
             .foreach(t => if (ss.catalog.tableExists(t)) ss.catalog.refreshTable(t))
-          val b = df.select(
-            regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
-              .cast("long").as("doc_id"),
-            col("content").cast("string").as("text"),
-            regexp_extract(col("target_uri"), "example\\.org/([a-z]+)/", 1)
-              .as("lang"))
+          val b = project(df.toDF())
           val admitted = graft.api.IncrementalCuration.admitBatch(b,
             ss.table(benchTbl), ss.table(lookupTbl), prefix,
-            "doc_id", "text", col("lang") === "en", params)
-          admitted.write.mode("append").format("parquet").saveAsTable(resTbl)
-          b.select(ss.table(lookupTbl).columns.map(col).toIndexedSeq: _*)
-            .write.mode("append").insertInto(lookupTbl)
+            "doc_id", "text", label, params,
+            generation = Some(s"warc_b$batchId"))
+          // idempotent-by-id appends: a replayed wave re-produces the
+          // same rows; only ids the table lacks land (ids unique across
+          // days, so a first run appends everything, a replay nothing)
+          def appendMissing(rows: DataFrame, tbl: String): Unit =
+            if (!ss.catalog.tableExists(tbl))
+              rows.write.format("parquet").saveAsTable(tbl)
+            else rows
+              .join(ss.table(tbl).select("doc_id"), Seq("doc_id"), "left_anti")
+              .select(ss.table(tbl).columns.map(col).toIndexedSeq: _*)
+              .write.mode("append").insertInto(tbl)
+          appendMissing(admitted, resTbl)
+          appendMissing(b, lookupTbl)
+          if (crashBeforeCommit) throw new IllegalStateException(
+            "planted crash between admit and checkpoint commit (test seam)")
         }
         ()
       }

@@ -259,6 +259,51 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("unique"), e4.getMessage)
   }
 
+  test("admitBatch generation markers: replay skips + reproduces, torn state refuses") {
+    val prefix = "graft_inccur_gen"
+    IncrementalCuration.reset(spark, prefix)
+    IncrementalCuration.buildState(df(dayA), prefix, "doc_id", "text",
+      col("lang") === "en", P)
+    val got1 = rowsOf(IncrementalCuration.admitBatch(df(dayB), bench,
+      df(dayA), prefix, "doc_id", "text", col("lang") === "en", P,
+      generation = Some("g1")))
+    def stateCounts() = (IncrementalCuration.stateTables(prefix) :+
+      s"${prefix}_admit_reasons").map { t =>
+      spark.catalog.refreshTable(t); t -> spark.table(t).count()
+    }.toMap
+    val counts1 = stateCounts()
+    // replay of a committed generation: bit-equal rows, zero mutation
+    val got2 = rowsOf(IncrementalCuration.admitBatch(df(dayB), bench,
+      df(dayA), prefix, "doc_id", "text", col("lang") === "en", P,
+      generation = Some("g1")))
+    assert(got2 == got1, s"replay diverged:\n got $got2\n ref $got1")
+    assert(stateCounts() == counts1,
+      "a replayed generation must not touch any state or audit table")
+    // only the LATEST generation may replay: once g2 admits, a g1
+    // replay would span-mine over state that already holds g2's grams
+    rowsOf(IncrementalCuration.admitBatch(df(dayC), bench,
+      df(dayA ++ dayB), prefix, "doc_id", "text", col("lang") === "en", P,
+      generation = Some("g2")))
+    val eLate = intercept[IllegalArgumentException] {
+      IncrementalCuration.admitBatch(df(dayB), bench, df(dayA), prefix,
+        "doc_id", "text", col("lang") === "en", P, generation = Some("g1"))
+    }
+    assert(eLate.getMessage.contains("LATEST"), eLate.getMessage)
+    // torn state: started-but-never-committed refuses loudly instead of
+    // silently double-appending
+    Seq(("gen_started_g3", 206L)).toDF("key", "value")
+      .write.mode("append").insertInto(s"${prefix}_meta")
+    spark.catalog.refreshTable(s"${prefix}_meta")
+    val eTorn = intercept[IllegalStateException] {
+      IncrementalCuration.admitBatch(
+        df(Seq((301L, prose(301), "en"))), bench, df(dayA ++ dayB ++ dayC),
+        prefix, "doc_id", "text", col("lang") === "en", P,
+        generation = Some("g3"))
+    }
+    assert(eTorn.getMessage.contains("STARTED but never committed"),
+      eTorn.getMessage)
+  }
+
   test("compactState folds generations without changing any future admit") {
     val prefix = "graft_inccur_cmp"
     IncrementalCuration.reset(spark, prefix)

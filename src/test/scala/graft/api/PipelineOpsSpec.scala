@@ -1585,6 +1585,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(4L) == "echo", "within-doc repeats cut too (global rule)")
   }
 
+  test("dedupParagraphs: bad string id raises lazily at action time; clean string ids work") {
+    // clean numeric-string ids: same verdicts as the long-id corpus,
+    // and the validation must not run an eager job at CALL time — the
+    // call itself returns a plan even when a bad id is present
+    val clean = Seq(("1", "alpha\n\nshared"), ("2", "shared\n\nbeta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(clean, "doc_id", "text")
+      .select("doc_id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("1") == "alpha\n\nshared" && got("2") == "beta")
+    val bad = Seq(("1", "alpha"), ("oops", "beta")).toDF("doc_id", "text")
+    val lazyPlan = Dedup.dedupParagraphs(bad, "doc_id", "text") // no job yet
+    val e = intercept[Exception] { lazyPlan.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("nulls under the long cast")),
+      s"want the loud id-contract error, got: $e")
+  }
+
+  test("filterNoindex: a pre-existing __robots input column survives untouched") {
+    // the scratch column the filter adds internally must not clobber
+    // caller data of the same (or case-folded) name — ADVICE round 19
+    val docs = Seq(
+      (1L, "<html><head><meta name=\"robots\" content=\"noindex\"></head></html>", "keepme"),
+      (2L, "<html><body>plain</body></html>", "metoo")
+    ).toDF("doc_id", "html", "__ROBOTS")
+    val out = TextAnalysis.filterNoindex(docs, "html").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L), "noindex page must drop")
+    assert(out.head.getString(2) == "metoo",
+      "the caller's __ROBOTS column must survive with its data")
+    assert(out.head.schema.fieldNames.count(_.equalsIgnoreCase("__robots")) == 1,
+      "no scratch column may leak into the output")
+  }
+
   test("scriptProfile: per-class counts, dominant with fixed tie-break, none on scriptless docs") {
     val docs = Seq(
       (1L, "hello мир"),          // latin 5, cyrillic 3 -> latin

@@ -67,4 +67,15 @@ class ZlibSpec extends AnyFunSuite {
     assert(out(1L), "spam must compress past 3:1")
     assert(!out(2L), "short word-salad prose must stay under the rule")
   }
+
+  test("compressionSignals refuses owned column names case-insensitively") {
+    // Spark resolves names case-insensitively by default, so an input
+    // 'N_BYTES' would be silently overwritten by withColumn("n_bytes")
+    // if the guard compared exactly — ADVICE round 19
+    val df = Seq((1L, "text", 7L)).toDF("doc_id", "text", "N_BYTES")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.TextAnalysis.compressionSignals(df)
+    }
+    assert(e.getMessage.contains("n_bytes"))
+  }
 }

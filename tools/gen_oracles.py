@@ -3502,6 +3502,15 @@ def main(sf_dir, spark_dir):
         ("doc_id", "n_chars_inc", "n_tok_inc", "nb_score"),
         ("BIGINT", "BIGINT", "BIGINT", "DOUBLE"), sw_rows, "doc_id")
 
+    # ---- stream_admit_replay: the crash-replay twin — wave 2 completes
+    # every write, dies before the checkpoint commit, and is replayed on
+    # restart (admitBatch's generation skip path + id-anti-join appends).
+    # Exactly-once means the crash is INVISIBLE in the output: the gate
+    # answers to the same union-rerun rows as the uncrashed tape admit.
+    queries["stream_admit_replay"] = (
+        ("doc_id", "n_chars_inc", "n_tok_inc", "nb_score"),
+        ("BIGINT", "BIGINT", "BIGINT", "DOUBLE"), sw_rows, "doc_id")
+
     # ---- signature_dedup_pairs: banding collisions + 24-component
     # signature-fraction similarity (mirrors BandedLsh.nearDupPairsBySignature:
     # same 8x3 blocking as minhash_dedup_pairs, est = equal components / 24).
