@@ -1565,6 +1565,11 @@ object SparkEntry {
     // with gzip on the even ids so charset × encoding cross-verifies.
     // A decoder that ignored the label would mangle every non-UTF-8
     // suffix byte (é as U+FFFD, € as a C1 control) and fail the hash.
+    // Classes 4-5 carry NO header label at all — the most common real-
+    // tape labeling for legacy pages — and declare their charset only in
+    // the page (`<meta charset=...>` / the http-equiv Content-Type
+    // form), pinning the bounded WHATWG-style prescan; class 4 is also
+    // gzip'd (id even), so the prescan provably runs AFTER the inflate.
     // Oracle: the expected decoded STRINGS re-derived in Python from the
     // same text + suffix recipe (the encode side is charset-lossless for
     // the planted characters by construction).
@@ -1574,15 +1579,20 @@ object SparkEntry {
       val recs = docs.map { case (id, t) =>
         val base = t.take(60)
         // \u escapes: source-encoding-proof (the multilingualDocs rule)
-        val (payload, ctype) = (id % 4) match {
+        val (payload, ctype) = (id % 6) match {
           case 0 => ((base + " caf\u00e9 \u00b1 na\u00efve")
             .getBytes("ISO-8859-1"), "text/plain; charset=ISO-8859-1")
           case 1 => ((base + " \u20ac \u201csmart\u201d quotes")
             .getBytes("windows-1252"), "text/plain; charset=\"windows-1252\"")
           case 2 => ((base + " caf\u00e9 \u00b1 na\u00efve")
             .getBytes("UTF-8"), "text/plain; charset=utf-8")
-          case _ => ((base + " plain ascii tail")
+          case 3 => ((base + " plain ascii tail")
             .getBytes("UTF-8"), "text/plain; charset=x-unknown-label")
+          case 4 => (("<meta charset=\"windows-1252\"><p>" + base +
+            " \u20ac meta tail</p>").getBytes("windows-1252"), "text/html")
+          case _ => (("<meta http-equiv=\"Content-Type\" content=\"" +
+            "text/html; charset=iso-8859-1\"><p>" + base +
+            " caf\u00e9 meta tail</p>").getBytes("ISO-8859-1"), "text/html")
         }
         (id, s"https://example.org/doc/$id", payload, id % 2 == 0, ctype)
       }
@@ -1593,6 +1603,55 @@ object SparkEntry {
       Seq(0, 1).foreach { part =>
         java.nio.file.Files.write(basep.resolve(s"part$part.warc"),
           graft.sources.WarcFiles.buildWarcHttpTyped(
+            recs.filter(_._1 % 2 == part).toSeq))
+      }
+      graft.sources.WarcFiles.read(s, s"$basep/*.warc")
+        .withColumn("doc_id",
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
+        .withColumn("body", graft.sources.WarcFiles.httpBodyText(col("content")))
+        .select(col("doc_id"),
+          length(col("body")).cast("long").as("n_chars_body"),
+          expr("substring(body, greatest(length(body) - 29, 1), 30)")
+            .as("tail30"))
+        .orderBy("doc_id")
+    }),
+    // Transfer-Encoding: chunked bodies — the other framing layer real
+    // crawl tapes carry. The tape mixes every legal wire nesting:
+    // identity, bare chunked, chunked-of-gzip, chunked-of-deflate (the
+    // wire order — chunks wrap the content coding, so the decoder must
+    // de-chunk FIRST), plus unchunked gzip/deflate controls; the fixture
+    // chunker cuts at 13 bytes (splitting the planted multi-byte — mid-
+    // chunk), alternates lower/UPPER hex size lines, and plants a chunk
+    // extension and a trailer field. A decoder that skipped de-chunking
+    // leaves hex size lines embedded in the text (or feeds framing bytes
+    // to gunzip and dies); one that de-chunked after inflating dies on
+    // the gzip header. Oracle: Python re-derivation from the same
+    // pre-encoding text recipe (the wire layers are lossless by
+    // construction, so the decode must reproduce it exactly).
+    "source_warc_chunked" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val recs = docs.map { case (id, t) =>
+        val payload = (t.take(80) + " — chunked wire tail")
+          .getBytes("UTF-8")
+        val (cenc, tenc) = (id % 6) match {
+          case 0 => ("identity", "identity")
+          case 1 => ("identity", "chunked")
+          case 2 => ("gzip", "chunked")
+          case 3 => ("deflate", "chunked")
+          case 4 => ("gzip", "identity")
+          case _ => ("deflate", "identity")
+        }
+        (id, s"https://example.org/doc/$id", payload,
+          "text/html; charset=utf-8", cenc, tenc)
+      }
+      val basep = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_warc_chunked_fixture")
+      org.apache.commons.io.FileUtils.deleteQuietly(basep.toFile)
+      java.nio.file.Files.createDirectories(basep)
+      Seq(0, 1).foreach { part =>
+        java.nio.file.Files.write(basep.resolve(s"part$part.warc"),
+          graft.sources.WarcFiles.buildWarcHttpWire(
             recs.filter(_._1 % 2 == part).toSeq))
       }
       graft.sources.WarcFiles.read(s, s"$basep/*.warc")
@@ -4797,6 +4856,7 @@ object SparkEntry {
     "source_warc_gzip" -> valuesOracle("source_warc_gzip"),
     "warc_to_shards" -> valuesOracle("warc_to_shards"),
     "source_warc_charset" -> valuesOracle("source_warc_charset"),
+    "source_warc_chunked" -> valuesOracle("source_warc_chunked"),
     // the streamed tape accumulates to the same record set (file-level
     // exactly-once), so the batch oracle applies verbatim
     "stream_warc_ingest" -> valuesOracle("source_warc_extract"),

@@ -190,6 +190,78 @@ object WarcFiles {
     out.toByteArray
   }
 
+  /** Fully wire-shaped RESPONSE fixture: per record the payload is
+    * content-coded (`identity` | `gzip` | `deflate`), then
+    * transfer-coded (`identity` | `chunked`) — exactly how the layers
+    * nest on a real wire (chunks of gzip bytes, never gzip of chunk
+    * framing). Chunked framing is deterministic and deliberately
+    * exercises the legal-but-rarely-tested corners a de-chunker must
+    * accept: 13-byte chunks (cutting multi-byte code points mid-chunk),
+    * alternating lower/UPPER hex size lines, a chunk extension on the
+    * first chunk, and a trailer field after the last chunk. Chunked
+    * records carry no Content-Length, as on the wire. */
+  def buildWarcHttpWire(records: Seq[(Long, String, Array[Byte],
+      String, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("UTF-8"))
+    records.foreach { case (id, uri, payload, ctype, cenc, tenc) =>
+      val contentCoded = cenc match {
+        case "identity" => payload
+        case "gzip" =>
+          val bo = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bo)
+          g.write(payload); g.close()
+          bo.toByteArray
+        case "deflate" =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(payload); d.finish()
+          val bo = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+          d.end()
+          bo.toByteArray
+        case other => throw new IllegalArgumentException(
+          s"fixture content coding '$other'")
+      }
+      val body = tenc match {
+        case "identity" => contentCoded
+        case "chunked" =>
+          val bo = new java.io.ByteArrayOutputStream()
+          contentCoded.grouped(13).zipWithIndex.foreach { case (c, k) =>
+            val hex = java.lang.Integer.toHexString(c.length)
+            val size = if (k % 2 == 1)
+              hex.toUpperCase(java.util.Locale.ROOT) else hex
+            val ext = if (k == 0) ";graft=1" else ""
+            bo.write((size + ext + "\r\n").getBytes("UTF-8"))
+            bo.write(c)
+            bo.write("\r\n".getBytes("UTF-8"))
+          }
+          bo.write("0\r\nX-Graft-Trailer: ok\r\n\r\n".getBytes("UTF-8"))
+          bo.toByteArray
+        case other => throw new IllegalArgumentException(
+          s"fixture transfer coding '$other'")
+      }
+      val envelope = "HTTP/1.1 200 OK\r\n" +
+        s"Content-Type: $ctype\r\n" +
+        (if (cenc != "identity") s"Content-Encoding: $cenc\r\n" else "") +
+        (if (tenc == "chunked") "Transfer-Encoding: chunked\r\n"
+         else s"Content-Length: ${body.length}\r\n") +
+        "\r\n"
+      val block = envelope.getBytes("UTF-8") ++ body
+      w("WARC/1.0\r\n")
+      w("WARC-Type: response\r\n")
+      w(s"WARC-Record-ID: <urn:graft:$id>\r\n")
+      w(s"WARC-Target-URI: $uri\r\n")
+      w("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+      w("Content-Type: application/http;msgtype=response\r\n")
+      w(s"Content-Length: ${block.length}\r\n")
+      w("\r\n")
+      out.write(block)
+      w("\r\n\r\n")
+    }
+    out.toByteArray
+  }
+
   /** Deterministic WARC fixture builder: wrap each (id, uri, payload)
     * as a `resource` record with exact byte-length framing. Used by the
     * gate (and usable for any synthetic tape). */

@@ -435,26 +435,45 @@ case class ZlibLen(child: Expression, level: Int)
     copy(child = c)
 }
 
-/** http_body_text(block): the Content-Encoding-aware body decode for WARC
-  * `response` records — real crawl tapes ship mostly gzip'd HTTP bodies,
-  * which a plain byte→string cast turns into mojibake. Splits the block at
-  * the first CRLF CRLF; parses `Content-Encoding` from the HTTP envelope
-  * (ASCII headers, case-insensitive name, first occurrence wins); `gzip`/
-  * `x-gzip` bodies gunzip with a bounded-output guard (`maxOut`,
-  * construction-time constant — a decompression bomb must not OOM an
-  * executor; overflow fails LOUDLY with the cap), `deflate` bodies
-  * inflate as the RFC 9110 zlib-wrapped stream under the same guard,
-  * `identity` or absent pass through, any OTHER declared encoding and
-  * any corrupt compressed stream fail LOUDLY — a tape whose bodies can't be decoded is a transfer
-  * problem you want surfaced, not U+FFFD soup admitted into the corpus
-  * (same philosophy as the WARC framing parser). The decoded bytes become
-  * text under the envelope's `Content-Type ... charset=` label: utf-8
-  * (default), iso-8859-1/latin-1, windows-1252/cp1252 and us-ascii decode
-  * natively, any other label falls back to UTF-8 — all with U+FFFD
-  * replacement (a charset mis-decode degrades one row's text; it cannot
-  * misattribute bytes across rows, so unlike Content-Encoding it is not
-  * loud). Blocks with no CRLF CRLF (resource records, truncated
-  * envelopes) decode whole as UTF-8. NULL → NULL. */
+/** http_body_text(block): the wire-shape-aware body decode for WARC
+  * `response` records — real crawl tapes ship mostly gzip'd (and often
+  * chunked) HTTP bodies, which a plain byte→string cast turns into
+  * mojibake with chunk-size lines embedded in the text. Splits the block
+  * at the first CRLF CRLF, then undoes the wire layers in wire order
+  * (ASCII headers, case-insensitive names, first occurrence wins):
+  *
+  *  1. `Transfer-Encoding`: `chunked` de-chunks per RFC 9112 §7.1 —
+  *     hex size line (chunk extensions after `;` ignored), exactly
+  *     `size` data bytes, CRLF, repeated to the 0-size last chunk,
+  *     then trailer fields up to the blank line. Malformed framing
+  *     (non-hex size, missing CRLF, truncated chunk, missing last
+  *     chunk, bytes past the terminator) fails LOUDLY with the body
+  *     offset, and the de-chunked total honors the same `maxOut`
+  *     guard as inflation. `identity` or absent passes through; any
+  *     other coding fails loudly.
+  *  2. `Content-Encoding`: `gzip`/`x-gzip` gunzip with a bounded-output
+  *     guard (`maxOut`, construction-time constant — a decompression
+  *     bomb must not OOM an executor; overflow fails LOUDLY with the
+  *     cap), `deflate` inflates as the RFC 9110 zlib-wrapped stream
+  *     under the same guard, `identity` or absent passes through, any
+  *     OTHER declared encoding and any corrupt compressed stream fail
+  *     LOUDLY — a tape whose bodies can't be decoded is a transfer
+  *     problem you want surfaced, not U+FFFD soup admitted into the
+  *     corpus (same philosophy as the WARC framing parser).
+  *  3. Charset: the envelope's `Content-Type ... charset=` label wins;
+  *     when the header carries NO label, a bounded WHATWG-style prescan
+  *     of the first 1024 DECODED body bytes looks for the first
+  *     `charset=` token inside a `<meta ...>` tag (covers both
+  *     `<meta charset=...>` and the `http-equiv` Content-Type form) —
+  *     the most common labeling for legacy pages; no label anywhere
+  *     defaults to UTF-8. utf-8, iso-8859-1/latin-1, windows-1252/
+  *     cp1252 and us-ascii decode natively, any other label falls back
+  *     to UTF-8 — all with U+FFFD replacement (a charset mis-decode
+  *     degrades one row's text; it cannot misattribute bytes across
+  *     rows, so unlike the framing layers it is not loud).
+  *
+  * Blocks with no CRLF CRLF (resource records, truncated envelopes)
+  * decode whole as UTF-8. NULL → NULL. */
 case class HttpBodyText(child: Expression, maxOut: Long)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(maxOut > 0, s"maxOut must be positive, got $maxOut")
@@ -503,6 +522,105 @@ object HttpBodyText {
     UTF8String.fromString(new String(bytes, off, len, cs))
   }
 
+  /** Shared charset-token extraction (input already lowercased): skip
+    * one optional quote, take chars to the next `;`, quote, `>` or
+    * control/space. One rule for the header label and the meta prescan,
+    * so the two label sources cannot drift. */
+  private def charsetToken(s: String, from: Int): String = {
+    val i = if (from < s.length && (s.charAt(from) == '"' ||
+      s.charAt(from) == '\'')) from + 1 else from
+    val sb = new java.lang.StringBuilder
+    var j = i
+    while (j < s.length && { val c = s.charAt(j)
+      c != ';' && c != '"' && c != '\'' && c != '>' && c > ' ' }) {
+      sb.append(s.charAt(j)); j += 1
+    }
+    sb.toString.trim
+  }
+
+  /** Bounded WHATWG-style meta-charset prescan over the first 1024
+    * decoded body bytes: the first `charset=` token INSIDE a `<meta ...>`
+    * tag region wins (covers `<meta charset=x>` and the `http-equiv`
+    * Content-Type form, whose charset rides in the `content` attribute).
+    * ISO-8859-1 view of the window — byte-transparent, so the scan is
+    * ASCII-safe regardless of the page's real encoding. */
+  private def metaCharsetPrescan(b: Array[Byte], off: Int,
+                                 len: Int): Option[String] = {
+    val win = new String(b, off, math.min(len, 1024),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
+    var from = win.indexOf("<meta")
+    while (from >= 0) {
+      val gt = win.indexOf('>', from)
+      val end = if (gt < 0) win.length else gt
+      val cs = win.indexOf("charset=", from)
+      if (cs >= 0 && cs < end) {
+        val tok = charsetToken(win, cs + "charset=".length)
+        if (tok.nonEmpty) return Some(tok)
+      }
+      from = win.indexOf("<meta", from + "<meta".length)
+    }
+    None
+  }
+
+  /** RFC 9112 §7.1 chunked-body decode, loud on every framing defect —
+    * a mis-framed chunk boundary misattributes bytes across the text,
+    * the exact corruption class the WARC framing parser refuses. */
+  private def dechunk(b: Array[Byte], off: Int, len: Int,
+                      maxOut: Long): Array[Byte] = {
+    val end = off + len
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(len, 64), 1 << 20))
+    var i = off
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"malformed chunked body at byte ${i - off}: $msg")
+    def lineEnd(from: Int): Int = {
+      var j = from
+      while (j + 1 < end && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      if (j + 1 >= end) fail("unterminated CRLF line")
+      j
+    }
+    var done = false
+    while (!done) {
+      val e = lineEnd(i)
+      val line = new String(b, i, e - i,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      // chunk extensions (";name=value") are legal and ignorable
+      val sizeStr = line.takeWhile(_ != ';').trim
+      val size =
+        try {
+          require(sizeStr.nonEmpty)
+          java.lang.Long.parseLong(sizeStr, 16)
+        } catch { case _: IllegalArgumentException =>
+          fail(s"chunk size not hex: '$line'")
+        }
+      i = e + 2
+      if (size == 0L) {
+        // trailer fields, then the blank terminating CRLF
+        var blank = false
+        while (!blank) {
+          val t = lineEnd(i)
+          blank = t == i
+          i = t + 2
+        }
+        if (i != end) fail(s"${end - i} bytes past the chunked terminator")
+        done = true
+      } else {
+        if (size > maxOut - out.size()) throw new IllegalArgumentException(
+          s"chunked body exceeds the $maxOut-byte guard — refusing " +
+            "(decompression bomb or mis-framed tape)")
+        if (size > end - i - 2) fail(
+          s"truncated chunk: declared $size bytes past end of body")
+        out.write(b, i, size.toInt)
+        i += size.toInt
+        if (!(b(i) == '\r' && b(i + 1) == '\n')) fail(
+          "chunk data not CRLF-terminated")
+        i += 2
+      }
+    }
+    out.toByteArray
+  }
+
   /** Static call target for interpreted eval and generated code. */
   def body(block: Array[Byte], maxOut: Long): UTF8String = {
     var sep = -1
@@ -519,35 +637,35 @@ object HttpBodyText {
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val headerLines = envelope.split("\r\n").iterator.drop(1)
       .map(_.toLowerCase(java.util.Locale.ROOT)).toSeq
-    val enc = headerLines
-      .collectFirst { case l if l.startsWith("content-encoding:") =>
-        l.substring("content-encoding:".length).trim }
-      .getOrElse("identity")
+    def header(name: String): Option[String] = headerLines
+      .collectFirst { case l if l.startsWith(name + ":") =>
+        l.substring(name.length + 1).trim }
+    val te = header("transfer-encoding").getOrElse("identity")
+    val enc = header("content-encoding").getOrElse("identity")
     // charset label from the FIRST Content-Type header (first occurrence
     // wins, same rule as Content-Encoding — a later duplicate header must
     // not override it): the token after 'charset=' (already lowercased),
     // optional quotes stripped, cut at the next ';' or whitespace; a
-    // first Content-Type without a charset parameter means the default
-    val charset = headerLines
+    // first Content-Type without a charset parameter falls to the meta
+    // prescan below
+    val headerCharset = headerLines
       .collectFirst { case l if l.startsWith("content-type:") => l }
       .filter(_.contains("charset="))
-      .map { l =>
-        val raw = l.substring(l.indexOf("charset=") + "charset=".length)
-        val unq = raw.stripPrefix("\"").stripPrefix("'")
-        unq.takeWhile(c => c != ';' && c != '"' && c != '\'' && c > ' ').trim }
-      .getOrElse("utf-8")
+      .map(l => charsetToken(l, l.indexOf("charset=") + "charset=".length))
+      .filter(_.nonEmpty)
     val bodyOff = sep + 4
     val bodyLen = block.length - bodyOff
     // mk is a thunk: GZIPInputStream reads (and can reject) the header in
     // its CONSTRUCTOR, so construction must run inside the same loud
     // corrupt-stream handler as the reads
-    def inflate(mk: () => java.io.InputStream, label: String): UTF8String = {
+    def inflate(mk: () => java.io.InputStream, label: String,
+                hintLen: Int): Array[Byte] = {
       // initial-capacity HINT only (the stream grows itself): clamp to
       // 1 MiB so a huge maxOut can never push the long past Int range
       // (a .toInt wrap would be negative and crash the constructor on a
       // legitimate record before the bomb guard even runs)
       val out = new java.io.ByteArrayOutputStream(math.min(
-        math.max(bodyLen * 4L, 1024L), math.min(maxOut, 1L << 20)).toInt)
+        math.max(hintLen * 4L, 1024L), math.min(maxOut, 1L << 20)).toInt)
       try {
         val in = mk()
         // close in finally: each stream owns a NATIVE zlib Inflater that
@@ -570,26 +688,43 @@ object HttpBodyText {
         case e: java.io.IOException => throw new IllegalArgumentException(
           s"corrupt $label body under Content-Encoding: $label: ${e.getMessage}", e)
       }
-      val b = out.toByteArray
-      decode(b, 0, b.length, charset)
+      out.toByteArray
     }
-    enc match {
-      case "identity" | "" => decode(block, bodyOff, bodyLen, charset)
+    // wire order: transfer coding wraps the content-coded payload, so
+    // de-chunk FIRST, inflate second (a gzip'd chunked response is
+    // chunks of gzip bytes, not gzip of chunk framing)
+    val (tb, tOff, tLen) = te match {
+      case "identity" | "" => (block, bodyOff, bodyLen)
+      case "chunked" =>
+        val d = dechunk(block, bodyOff, bodyLen, maxOut); (d, 0, d.length)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Transfer-Encoding '$other' — this decoder handles " +
+          "identity and chunked; an undecodable tape body is a transfer " +
+          "problem, not row data")
+    }
+    val (cb, cOff, cLen) = enc match {
+      case "identity" | "" => (tb, tOff, tLen)
       case "gzip" | "x-gzip" =>
-        inflate(() => new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(block, bodyOff, bodyLen)), "gzip")
+        val d = inflate(() => new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(tb, tOff, tLen)), "gzip", tLen)
+        (d, 0, d.length)
       case "deflate" =>
         // HTTP deflate is the zlib-wrapped stream (RFC 9110 §8.4.1.2);
         // the broken-server raw-DEFLATE variant arrives with the same
         // label and fails the zlib header check loudly — the right
         // outcome for a tape this decoder can't attribute bytes to
-        inflate(() => new java.util.zip.InflaterInputStream(
-          new java.io.ByteArrayInputStream(block, bodyOff, bodyLen)), "deflate")
+        val d = inflate(() => new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(tb, tOff, tLen)), "deflate", tLen)
+        (d, 0, d.length)
       case other => throw new IllegalArgumentException(
         s"unsupported Content-Encoding '$other' — this decoder handles " +
           "identity, gzip and (zlib-wrapped) deflate; an undecodable tape " +
           "body is a transfer problem, not row data")
     }
+    val charset = headerCharset
+      .orElse(metaCharsetPrescan(cb, cOff, cLen))
+      .getOrElse("utf-8")
+    decode(cb, cOff, cLen, charset)
   }
 }
 

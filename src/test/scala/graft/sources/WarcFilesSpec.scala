@@ -115,4 +115,100 @@ class WarcFilesSpec extends AnyFunSuite {
       HttpBodyText.body(block("deflate", Array[Byte](0x4b, 0x4c, 0x04, 0x00)), 1 << 20))
     assert(e4.getMessage.contains("deflate"))
   }
+
+  test("httpBodyText: chunked bodies de-chunk in wire order across all nestings") {
+    val base = java.nio.file.Files.createTempDirectory("warc_chunk_spec")
+    // long enough for several 13-byte chunks; the multi-byte « lands
+    // mid-chunk so de-chunking must be byte-level, not char-level
+    val payload = "chunked body with «unicode» and enough words to span chunks"
+    val recs = Seq(
+      (0L, "identity", "identity"), (1L, "identity", "chunked"),
+      (2L, "gzip", "chunked"), (3L, "deflate", "chunked"),
+      (4L, "gzip", "identity"), (5L, "deflate", "identity")
+    ).map { case (id, ce, te) =>
+      (id, s"u$id", payload.getBytes("UTF-8"),
+        "text/html; charset=utf-8", ce, te)
+    }
+    java.nio.file.Files.write(base.resolve("t.warc"),
+      WarcFiles.buildWarcHttpWire(recs))
+    val got = WarcFiles.read(spark, s"$base/*.warc")
+      .withColumn("body", WarcFiles.httpBodyText(col("content")))
+      .select("target_uri", "body").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (0 to 5).foreach(i => assert(got(s"u$i") == payload,
+      s"wire nesting $i must decode losslessly, got '${got(s"u$i")}'"))
+  }
+
+  test("httpBodyText: malformed chunked framing fails loudly, not as text soup") {
+    import org.apache.spark.sql.graft.HttpBodyText
+    def block(body: String): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body)
+        .getBytes("UTF-8")
+    // size line not hex
+    val e1 = intercept[IllegalArgumentException](
+      HttpBodyText.body(block("zz\r\ndata\r\n0\r\n\r\n"), 1 << 20))
+    assert(e1.getMessage.contains("not hex"), e1.getMessage)
+    // declared size past end of body
+    val e2 = intercept[IllegalArgumentException](
+      HttpBodyText.body(block("ff\r\nshort\r\n0\r\n\r\n"), 1 << 20))
+    assert(e2.getMessage.contains("truncated chunk"), e2.getMessage)
+    // missing final 0-chunk (body just ends)
+    val e3 = intercept[IllegalArgumentException](
+      HttpBodyText.body(block("5\r\nhello\r\n"), 1 << 20))
+    assert(e3.getMessage.contains("unterminated"), e3.getMessage)
+    // chunk data not CRLF-terminated (boundary drift = misattribution)
+    val e4 = intercept[IllegalArgumentException](
+      HttpBodyText.body(block("5\r\nhelloXX0\r\n\r\n"), 1 << 20))
+    assert(e4.getMessage.contains("CRLF"), e4.getMessage)
+    // bytes after the terminator
+    val e5 = intercept[IllegalArgumentException](
+      HttpBodyText.body(block("5\r\nhello\r\n0\r\n\r\nextra"), 1 << 20))
+    assert(e5.getMessage.contains("past the chunked terminator"), e5.getMessage)
+    // the de-chunked total honors the bomb guard
+    val e6 = intercept[IllegalArgumentException](
+      HttpBodyText.body(block("400\r\n" + "x" * 1024 + "\r\n0\r\n\r\n"), 100))
+    assert(e6.getMessage.contains("guard"), e6.getMessage)
+    // an unsupported transfer coding is loud
+    val e7 = intercept[IllegalArgumentException](HttpBodyText.body(
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: brotli\r\n\r\nx")
+        .getBytes("UTF-8"), 1 << 20))
+    assert(e7.getMessage.contains("unsupported Transfer-Encoding"), e7.getMessage)
+    // extensions, UPPER hex, trailers: all legal, all accepted
+    val ok = HttpBodyText.body(
+      block("5;x=1\r\nhello\r\nB\r\n 0123456789\r\n0\r\nX-T: v\r\n\r\n"),
+      1 << 20)
+    assert(ok.toString == "hello 0123456789")
+  }
+
+  test("httpBodyText: meta-charset prescan fills in when the header has no label") {
+    import org.apache.spark.sql.graft.HttpBodyText
+    def page(ctype: String, bytes: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n").getBytes("UTF-8") ++ bytes
+    // no header label: <meta charset=...> wins (cp1252 € = 0x80)
+    val m1 = "<meta charset=\"windows-1252\"><p>€</p>"
+    assert(HttpBodyText.body(page("text/html",
+      m1.getBytes("windows-1252")), 1 << 20).toString == m1)
+    // http-equiv form
+    val m2 = "<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+      "charset=iso-8859-1\"><p>café</p>"
+    assert(HttpBodyText.body(page("text/html",
+      m2.getBytes("ISO-8859-1")), 1 << 20).toString == m2)
+    // the HEADER label wins over a conflicting meta
+    val m3 = "<meta charset=\"utf-8\"><p>café</p>"
+    assert(HttpBodyText.body(page("text/html; charset=iso-8859-1",
+      m3.getBytes("ISO-8859-1")), 1 << 20).toString == m3)
+    // prescan is BOUNDED: a meta past the first 1024 bytes is ignored
+    // (latin-1 bytes then mis-decode as utf-8 -> U+FFFD, proving the
+    // fallback ran, not the label)
+    val far = (" " * 1100) + "<meta charset=\"iso-8859-1\">café"
+    val farGot = HttpBodyText.body(page("text/html",
+      far.getBytes("ISO-8859-1")), 1 << 20).toString
+    assert(farGot.contains("caf�"),
+      s"a label past the 1024-byte window must not apply: '${farGot.takeRight(20)}'")
+    // charset= in body TEXT (outside any <meta ...> tag) does not apply
+    val m5 = "<p>use charset=iso-8859-1 here</p>café"
+    assert(HttpBodyText.body(page("text/html",
+      m5.getBytes("ISO-8859-1")), 1 << 20).toString.contains("caf�"),
+      "charset= outside a meta tag must not label the page")
+  }
 }

@@ -1557,20 +1557,55 @@ def main(sf_dir, spark_dir):
     wc_rows = []
     for did, text in docs:
         base = (text or "")[:60]
-        if did % 4 == 0:
+        if did % 6 == 0:
             body = base + " caf\u00e9 \u00b1 na\u00efve"
             assert body.encode("latin-1").decode("latin-1") == body
-        elif did % 4 == 1:
+        elif did % 6 == 1:
             body = base + " \u20ac \u201csmart\u201d quotes"
             assert body.encode("cp1252").decode("cp1252") == body
-        elif did % 4 == 2:
+        elif did % 6 == 2:
             body = base + " caf\u00e9 \u00b1 na\u00efve"
-        else:
+        elif did % 6 == 3:
             body = base + " plain ascii tail"
+        elif did % 6 == 4:
+            # NO header charset: the label rides a <meta charset=...> in
+            # the page and the prescan must find it after the gunzip
+            body = ('<meta charset="windows-1252"><p>' + base
+                    + " \u20ac meta tail</p>")
+            assert body.encode("cp1252").decode("cp1252") == body
+        else:
+            # http-equiv Content-Type form, latin-1, no header label
+            body = ('<meta http-equiv="Content-Type" content="'
+                    'text/html; charset=iso-8859-1"><p>' + base
+                    + " caf\u00e9 meta tail</p>")
+            assert body.encode("latin-1").decode("latin-1") == body
         wc_rows.append((did, len(body), body[max(len(body) - 30, 0):]))
+    # fixture adequacy: every class must actually occur, and the two
+    # prescan classes must include gzip'd members (prescan-after-inflate)
+    assert all(any(d % 6 == k for d, _t in docs) for k in range(6)), \
+        "charset fixture vacuous: a class is empty at this SF"
+    assert any(d % 6 == 4 and d % 2 == 0 for d, _t in docs), \
+        "charset fixture vacuous: no gzip'd meta-prescan page"
     queries["source_warc_charset"] = (
         ("doc_id", "n_chars_body", "tail30"),
         ("BIGINT", "BIGINT", "VARCHAR"), wc_rows, "doc_id")
+
+    # ---- source_warc_chunked: Transfer-Encoding framing \u2014 the tape
+    # mixes identity, bare chunked, chunked-of-gzip, chunked-of-deflate
+    # and unchunked gzip/deflate controls; the wire layers are lossless
+    # by construction, so the decode must reproduce the pre-encoding
+    # text exactly. A skipped de-chunk leaves hex size lines in the
+    # text; a wrong layer order feeds chunk framing to gunzip; either
+    # fails the hash (or the loud decode).
+    wk_rows = []
+    for did, text in docs:
+        body = (text or "")[:80] + " \u2014 chunked wire tail"
+        wk_rows.append((did, len(body), body[max(len(body) - 30, 0):]))
+    assert all(any(d % 6 == k for d, _t in docs) for k in range(6)), \
+        "chunked fixture vacuous: a wire-nesting class is empty"
+    queries["source_warc_chunked"] = (
+        ("doc_id", "n_chars_body", "tail30"),
+        ("BIGINT", "BIGINT", "VARCHAR"), wk_rows, "doc_id")
 
     # ---- curate_web: the RefinedWeb-style FRONT-END composed end to end
     # (round 15; round 18 adds the html_extract first stage) — html
