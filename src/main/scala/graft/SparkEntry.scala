@@ -1490,8 +1490,10 @@ object SparkEntry {
     }),
     // THE CAPSTONE: crawl tape in, training shards out — every seam the
     // piecewise gates prove, composed as ONE pipeline so stage-boundary
-    // schema drift has a gate. WARC response records (half gzip'd) ->
-    // envelope-aware body decode -> robots noindex opt-out (the planted
+    // schema drift has a gate. WARC response records (half gzip'd, plus
+    // the tape's own robots.txt response) -> envelope-aware body decode
+    // -> site-level robots.txt opt-out (REP: the tape's src6 robots
+    // disallows /p26) -> page-level robots noindex opt-out (the planted
     // %9==4 class) -> MAIN-content extraction (the chrome the tier
     // exists to drop is planted on every page) -> host blocklist
     // -> path-pattern filter -> URL-identity dedup -> per-domain budget
@@ -1499,16 +1501,19 @@ object SparkEntry {
     // token-balanced shard export with a readback manifest. Output: the
     // manifest, one row per shard, plus the highest packed chunk id
     // landing in the shard (pins the pack-offsets composition). Oracle:
-    // full-chain Python re-derivation — tape wrap, both extraction
-    // tiers, all four curation stages, BPE token counts, the shard walk.
+    // full-chain Python re-derivation — tape wrap, the REP verdicts,
+    // both extraction tiers, all four curation stages, BPE token
+    // counts, the shard walk.
     "warc_to_shards" -> ((s, dir) => {
       import graft.api.{Domains, Packing, Sampling}
       import s.implicits._
       val docs0 = load(s, dir, "documents")
-      val recs = withPlantedMainHtml(docs0).select(col("doc_id"), col("html"))
+      val recs = (withPlantedMainHtml(docs0).select(col("doc_id"), col("html"))
         .join(withPlantedUrls(docs0).select(col("doc_id"), col("url")), "doc_id")
         .collect().map(r => (r.getLong(0), r.getString(2),
           r.getString(1).getBytes("UTF-8"), r.getLong(0) % 2 == 0))
+        :+ ((1000001L, "https://src6.example.com/robots.txt",
+          "User-agent: *\nDisallow: /p26\n".getBytes("UTF-8"), false)))
         .sortBy(_._1)
       val base = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_warc_to_shards_tape")
@@ -1519,15 +1524,24 @@ object SparkEntry {
           graft.sources.WarcFiles.buildWarcHttp(
             recs.filter(_._1 % 3 == part).toSeq))
       }
-      val pages = graft.sources.WarcFiles.read(s, s"$base/*.warc")
+      val tape = graft.sources.WarcFiles.read(s, s"$base/*.warc")
+      // the tape's robots.txt responses are ordinary records: slice them
+      // off the same parse that feeds the page stages
+      val robotsDf = tape.filter(col("target_uri").endsWith("/robots.txt"))
+        .select(Domains.urlHost(col("target_uri")).as("host"),
+          graft.sources.WarcFiles.httpBodyText(col("content")).as("body"))
+      val pages0 = tape.filter(!col("target_uri").endsWith("/robots.txt"))
         .withColumn("doc_id",
           regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
         .withColumn("url", col("target_uri"))
         .withColumn("page",
           graft.sources.WarcFiles.httpBodyText(col("content")))
         .select("doc_id", "url", "page")
-      // stage 0: the robots opt-out — a compliant pipeline drops noindex
-      // pages before extraction spends a cycle on them (the %9==4 class)
+      // stage -1: the SITE-level opt-out (REP) from the tape's own
+      // robots records — compliant pipelines honor it before anything
+      val pages = Domains.filterRobotsTxt(pages0, "url", "doc_id", robotsDf)
+      // stage 0: the PAGE-level robots opt-out — drops noindex pages
+      // before extraction spends a cycle on them (the %9==4 class)
       val extracted = graft.api.TextAnalysis.filterNoindex(pages, "page")
         .withColumn("text", graft.functions.html_main_content(col("page")))
         .select(col("doc_id"), col("url"), col("text"),
@@ -3284,6 +3298,37 @@ object SparkEntry {
         .select(col("doc_id"), col("robots"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // Site-level robots.txt opt-out (REP, RFC 9309) — the other half of
+    // the compliant opt-out story next to the page-level meta filter.
+    // Planted per-host robots bodies exercise each REP corner against
+    // the planted URL census (host src<id%20>, path /p<id%40>, trailing
+    // slash on id%3==0, ?q= on id%7==0): src1 pins the octet-level
+    // prefix (`/p` shadows every path) with the longer-Allow override
+    // (`/p21` survives inside the shadow, with and without trailing
+    // slash); src2 pins the `$` end anchor over the FULL path-and-query
+    // target (`/*2$` kills bare /p2 and /p22 — and a /p2/?q=2 whose
+    // QUERY ends in 2 — but not /p2/ or ?q=1 variants) plus a
+    // named-agent group that must NOT apply when crawling as *; src3's
+    // robots has ONLY a graftbot group (no * fallback → all kept);
+    // src4 pins the allow-all empty Disallow; every other host has no
+    // robots.txt at all. Oracle: Python re-states the RobotsTxt kernel
+    // (parse + longest-match verdict) over the same planted URLs.
+    "robots_txt_filter" -> ((s, dir) => {
+      import s.implicits._
+      val pages = withPlantedUrls(load(s, dir, "documents"))
+      val robots = Seq(
+        ("src1.example.com",
+          "# site rules\nUser-agent: *\nDisallow: /p\nAllow: /p21\n"),
+        ("src2.example.com",
+          "User-agent: graftbot\nDisallow: /\n" +
+            "User-agent: *\nDisallow: /*2$\n"),
+        ("src3.example.com", "User-agent: graftbot\nDisallow: /\n"),
+        ("src4.example.com", "User-agent: *\nDisallow:\n")
+      ).toDF("host", "body")
+      graft.api.Domains.filterRobotsTxt(pages, "url", "doc_id", robots)
+        .select(col("doc_id"), col("url"))
+        .orderBy("doc_id")
+    }),
     // The zlib signal COMPOSED into the Gopher repetition tier — the
     // reason it exists: on the planted-spam corpus, every spam doc PASSES
     // the calibrated n-gram filter (dup-word ≈ 0.48 under the 0.54 cap,
@@ -4371,6 +4416,7 @@ object SparkEntry {
     "zlib_ratio" -> valuesOracle("zlib_ratio"),
     "quality_zlib_composed" -> valuesOracle("quality_zlib_composed"),
     "html_noindex_filter" -> valuesOracle("html_noindex_filter"),
+    "robots_txt_filter" -> valuesOracle("robots_txt_filter"),
     // DuckDB has no punycode: the independent re-derivation is CPython's
     // RFC 3492 codec (+ unquote/NFC) in tools/gen_oracles.py, pinned
     "domain_dedup_idn" -> valuesOracle("domain_dedup_idn"),

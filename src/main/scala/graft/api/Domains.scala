@@ -574,4 +574,59 @@ object Domains {
       .unionByName(paramHit.select(col(idCol))).distinct()
     df.join(hit, Seq(idCol), "left_anti")
   }
+
+  /** Site-level robots.txt opt-out (REP, RFC 9309) — the other half of
+    * the compliant opt-out story next to the page-level
+    * [[TextAnalysis.filterNoindex]] meta filter: drops pages whose
+    * path-and-query the host's robots.txt disallows for `agent`.
+    * `robots` carries one `(host, body)` row per robots.txt the tape
+    * delivered (robots.txt responses are ordinary WARC records — slice
+    * them off the same parse that feeds the page stages); hosts must be
+    * keyed the same way as [[urlHost]] keys the pages (lowercased,
+    * `www.`-stripped). Multiple robots rows for one host merge their
+    * selected rule lists — RFC 9309 merges same-agent groups, and the
+    * verdict (longest pattern wins, Allow wins ties —
+    * [[graft.core.RobotsTxt]] states the full subset) is
+    * order-independent, so the merge needs no ordering guarantee.
+    *
+    * Pages with no robots.txt on their host, unparseable URLs (null
+    * host), and empty rule lists all KEEP — absence of an opt-out means
+    * indexable, the [[filterBlockedHosts]] convention.
+    *
+    * Scale shape: bodies parse ONCE per robots row (a codegen'd
+    * expression, not per page), collapse to a per-host rule array, and
+    * equi-join the pages on host — the natural key; at web scale the
+    * rule table is millions of small rows against billions of pages, so
+    * AQE broadcasts it when it fits and shuffles on host when it does
+    * not. The per-page verdict is one codegen'd pass over the host's
+    * (small) rule array; page text never enters the exchange. */
+  def filterRobotsTxt(df: DataFrame, urlCol: String, idCol: String,
+                      robots: DataFrame, agent: String = "*"): DataFrame = {
+    require(robots.columns.contains("host") && robots.columns.contains("body"),
+      "robots must carry (host, body) columns — the per-host robots.txt " +
+        "bodies as delivered on the tape")
+    val scratch = Seq("__rbt_host", "__rbt_rules", "__rbt_target")
+    scratch.foreach(c => require(!df.columns.exists(_.equalsIgnoreCase(c)),
+      s"filterRobotsTxt: input must not carry a '$c' column"))
+    val hostRules = robots
+      .select(col("host").as("__rbt_host"),
+        graft.functions.robots_rules(col("body"), agent).as("__r"))
+      .groupBy("__rbt_host")
+      .agg(flatten(collect_list(col("__r"))).as("__rbt_rules"))
+    // REP matches path-and-query from the first octet; an empty path
+    // normalizes to "/" (a URL with no path is the site root)
+    val path0 = coalesce(try_parse_url(col(urlCol), lit("PATH")), lit(""))
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = try_parse_url(col(urlCol), lit("QUERY"))
+    val target = concat(path,
+      when(q.isNotNull && q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+    df.withColumn("__rbt_host", urlHost(col(urlCol)))
+      .withColumn("__rbt_target", target)
+      .join(hostRules, Seq("__rbt_host"), "left")
+      .filter(!coalesce(
+        graft.functions.robots_disallowed(col("__rbt_target"),
+          col("__rbt_rules")),
+        lit(false)))
+      .drop(scratch: _*)
+  }
 }

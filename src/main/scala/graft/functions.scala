@@ -82,6 +82,19 @@ object functions {
   def zlib_len(text: Column, level: Int = 6): Column =
     toCol(ZlibLen(col2expr(text), level))
 
+  /** robots.txt rule list for `agent` (REP, RFC 9309) as a flag-prefixed
+    * `array<string>` — [[org.apache.spark.sql.graft.RobotsRules]] states
+    * the encoding, [[graft.core.RobotsTxt]] the implemented subset. */
+  def robots_rules(body: Column, agent: String = "*"): Column =
+    toCol(org.apache.spark.sql.graft.RobotsRules(col2expr(body), agent))
+
+  /** REP verdict for one path-and-query target against a
+    * [[robots_rules]] list: longest matching pattern wins, Allow wins
+    * ties, no match means allowed. */
+  def robots_disallowed(target: Column, rules: Column): Column =
+    toCol(org.apache.spark.sql.graft.RobotsDisallowed(
+      col2expr(target), col2expr(rules)))
+
   /** Levenshtein edit distance over Unicode CODE POINTS — the
     * record-linkage verifier unit (Spark's builtin counts UTF-16 chars,
     * DuckDB's counts bytes; both inflate non-ASCII distances). */

@@ -415,4 +415,46 @@ class DomainsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("hotHostDocs"), e.getMessage)
   }
+
+  test("filterRobotsTxt: per-host REP verdicts; missing robots and null hosts keep") {
+    val pages = Seq(
+      (1L, "https://a.com/p1"),          // disallowed (/p1)
+      (2L, "https://a.com/p13"),         // longer Allow overrides
+      (3L, "https://a.com/p10/deep"),    // octet-prefix of /p1 -> drop
+      (4L, "https://a.com/other"),       // no matching rule
+      (5L, "https://WWW.a.com/p1"),      // www-stripped host still keyed
+      (6L, "https://b.com/p4"),          // anchored /*4$ -> drop
+      (7L, "https://b.com/p4/"),         // trailing slash defeats $
+      (8L, "https://b.com/x?page=4"),    // query rides the REP target
+      (9L, "https://c.com/p1"),          // host without robots.txt
+      (10L, "not a url at all")          // unparseable -> keep
+    ).toDF("doc_id", "url")
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /p1\nAllow: /p13\n"),
+      ("b.com", "User-agent: graftbot\nDisallow: /\n" +
+        "User-agent: *\nDisallow: /*4$\n")
+    ).toDF("host", "body")
+    val kept = Domains.filterRobotsTxt(pages, "url", "doc_id", robots)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 7L, 9L, 10L), kept.toString)
+    // crawling AS graftbot: b.com blocks everything, a.com's * group
+    // still applies (no graftbot group there)
+    val asBot = Domains.filterRobotsTxt(pages, "url", "doc_id", robots,
+      agent = "graftbot").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(asBot == Set(2L, 4L, 9L, 10L), asBot.toString)
+    // duplicate host rows merge their rule lists (order-independent)
+    val dup = Seq(
+      ("a.com", "User-agent: *\nDisallow: /p1\n"),
+      ("a.com", "User-agent: *\nAllow: /p13\n")
+    ).toDF("host", "body")
+    val mergedKeep = Domains.filterRobotsTxt(pages.filter($"doc_id" <= 3),
+      "url", "doc_id", dup).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mergedKeep == Set(2L), mergedKeep.toString)
+    // a scratch-name collision is refused, not silently clobbered
+    val e = intercept[IllegalArgumentException] {
+      Domains.filterRobotsTxt(
+        pages.withColumn("__rbt_host", lit("x")), "url", "doc_id", robots)
+    }
+    assert(e.getMessage.contains("__rbt_host"), e.getMessage)
+  }
 }

@@ -1674,6 +1674,99 @@ def main(sf_dir, spark_dir):
     queries["curate_web"] = (
         ("doc_id", "n_chars_ext"), ("BIGINT", "BIGINT"), cw_rows, "doc_id")
 
+    # ---- robots_txt_filter: site-level REP opt-out (RFC 9309) over the
+    # planted URL census — independent restatement of the RobotsTxt
+    # kernel: group selection (exact agent else *), octet-level prefix
+    # match with * wildcards and trailing-$ anchor over the
+    # path-and-query target, longest raw pattern wins, Allow wins ties,
+    # absence (no robots, no rules, no match) keeps.
+    def rbt_parse(body, agent):
+        groups, cur, in_run = [], None, False
+        for raw in body.split("\n"):
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            ci = line.find(":")
+            if ci <= 0:
+                continue
+            field = line[:ci].strip().lower()
+            value = line[ci + 1:].strip()
+            if field == "user-agent":
+                if not in_run:
+                    cur = ([], [])
+                    groups.append(cur)
+                cur[0].append(value.lower())
+                in_run = True
+            elif field in ("allow", "disallow"):
+                in_run = False
+                if cur is not None and value:
+                    cur[1].append((field == "allow", value))
+            else:
+                in_run = False
+        sel = [g for g in groups if agent.lower() in g[0]]
+        if not sel:
+            sel = [g for g in groups if "*" in g[0]]
+        return [r for g in sel for r in g[1]]
+
+    def rbt_match(target, pattern):
+        anchored = pattern.endswith("$")
+        pat = pattern[:-1] if anchored else pattern
+        rx = "".join(".*" if c == "*" else re.escape(c) for c in pat)
+        return re.match(rx + ("$" if anchored else ""), target) is not None
+
+    def rbt_disallowed(target, rules):
+        best_len, best_allow = -1, False
+        for allow, pat in rules:
+            if rbt_match(target, pat):
+                if len(pat) > best_len:
+                    best_len, best_allow = len(pat), allow
+                elif len(pat) == best_len and allow:
+                    best_allow = True
+        return best_len >= 0 and not best_allow
+
+    rbt_rules = {h: rbt_parse(b, "*") for h, b in {
+        "src1.example.com":
+            "# site rules\nUser-agent: *\nDisallow: /p\nAllow: /p21\n",
+        "src2.example.com":
+            "User-agent: graftbot\nDisallow: /\n"
+            "User-agent: *\nDisallow: /*2$\n",
+        "src3.example.com": "User-agent: graftbot\nDisallow: /\n",
+        "src4.example.com": "User-agent: *\nDisallow:\n",
+    }.items()}
+
+    def rbt_target(u):
+        m = re.match(r"^[a-z]+://[^/?#]+([^?#]*)", u)
+        path = (m.group(1) if m else "") or "/"
+        qm = re.search(r"\?([^#]*)", u)
+        return path + ("?" + qm.group(1) if qm and qm.group(1) else "")
+
+    rbt_rows, rbt_dropped = [], set()
+    for did, _lang, src, _n in drows:
+        u = planted_url(did, src)
+        rules = rbt_rules.get(url_host(u))
+        if rules is not None and rbt_disallowed(rbt_target(u), rules):
+            rbt_dropped.add(did)
+        else:
+            rbt_rows.append((did, u))
+    # fixture adequacy: every planted REP corner must actually fire
+    assert any(d % 20 == 1 and d % 40 == 1 for d in rbt_dropped), \
+        "robots fixture vacuous: /p shadow never dropped a /p1 page"
+    assert any(d % 20 == 1 and d % 40 == 21 for d, _u in rbt_rows), \
+        "robots fixture vacuous: the longer Allow never rescued /p21"
+    assert any(d % 20 == 2 for d in rbt_dropped), \
+        "robots fixture vacuous: the anchored /*2$ never fired"
+    assert any(d % 20 == 2 and d % 3 == 0 and d % 7 != 0
+               for d, _u in rbt_rows), \
+        "robots fixture vacuous: no trailing-slash survivor of /*2$"
+    assert any(d % 20 == 2 and d % 7 == 0 and d in rbt_dropped
+               for d in rbt_dropped), \
+        "robots fixture vacuous: no query-target anchored drop"
+    assert all(d % 20 not in (3, 4) for d in rbt_dropped), \
+        "robots fixture broken: agent selection or empty Disallow leaked"
+    assert rbt_dropped, "robots fixture vacuous: nothing dropped"
+    queries["robots_txt_filter"] = (
+        ("doc_id", "url"), ("BIGINT", "VARCHAR"), rbt_rows, "doc_id")
+
     # ---- domain_dedup_idn: IDN/punycode host folding. DuckDB has no
     # punycode, so the independent second implementation is CPython's
     # RFC 3492 codec plus unquote/NFC — vs the Scala side's hand-derived
@@ -1887,16 +1980,43 @@ def main(sf_dir, spark_dir):
     # per-shard manifest with the highest packed chunk id. Any stage
     # re-ordering, id-threading bug, or schema drift between the seams
     # lands as a row/hash mismatch on the 8 manifest rows.
-    # stage 0: the robots opt-out — re-derived through the SAME mirror
-    # scan the noindex gate pins (meta_robots_py), over the capstone's
-    # own page wrap
+    # stage -1: the SITE-level opt-out — the tape's own robots.txt
+    # response (src6 disallows /p26) through the same REP mirror the
+    # robots_txt_filter gate pins
+    wts_robots = {"src6.example.com":
+                  rbt_parse("User-agent: *\nDisallow: /p26\n", "*")}
+
+    def wts_rep_drop(did):
+        rules = wts_robots.get(url_host(cw_url[did]))
+        return rules is not None and rbt_disallowed(
+            rbt_target(cw_url[did]), rules)
+
+    # the REP stage must matter: at least one REP-dropped page would
+    # have survived every LATER drop stage (noindex, blocklist, path,
+    # param) — otherwise the stage is vacuous in this composition
     def wts_noindex(did):
         r = meta_robots_py(planted_main_html(did, hx_text[did] or ""))
         return r is not None and any(
             tok.strip().lower() in ("noindex", "none")
             for tok in r.split(","))
 
-    wts_s0 = [did for did, _l, _s, _n in drows if not wts_noindex(did)]
+    _rep_dropped = [did for did, _l, _s, _n in drows if wts_rep_drop(did)]
+    assert _rep_dropped, "capstone REP stage vacuous: nothing dropped"
+    assert any(not wts_noindex(d)
+               and not cw_host_blocked(url_host(cw_url[d]))
+               and not any(cw_path(cw_url[d]) == p
+                           or cw_path(cw_url[d]).startswith(p + "/")
+                           for p in cw_prefixes)
+               and not any(p == "q=1"
+                           for p in cw_q(cw_url[d]).split("&") if p)
+               for d in _rep_dropped), \
+        "capstone REP stage vacuous: every REP drop falls later anyway"
+
+    # stage 0: the PAGE-level robots opt-out — re-derived through the
+    # SAME mirror scan the noindex gate pins (meta_robots_py), over the
+    # capstone's own page wrap
+    wts_s0 = [did for did, _l, _s, _n in drows
+              if not wts_rep_drop(did) and not wts_noindex(did)]
     assert all(wts_noindex(did) == (did % 9 == 4)
                for did, _l, _s, _n in drows), \
         "robots stage must drop exactly the planted %9==4 class"
