@@ -292,17 +292,28 @@ object HtmlText {
     *
     * Those are jusText's two dominant signals (Pomikálek 2011), stated as
     * exact integer rules so the Python oracle re-derives them
-    * independently; the stopword-density and context-smoothing passes of
-    * the full algorithm are deliberately out of this tier (the corpus
-    * fixtures are synthetic word salad where a stopword prior is
-    * meaningless — and a length+link-density tier is already the step the
-    * round-18 extractor lacked: it keeps prose paragraphs, including ones
-    * with scattered inline links, while dropping chrome that line-frequency
-    * boilerplate removal only catches when it repeats across docs).
+    * independently; the stopword-density pass of the full algorithm is
+    * deliberately out of this tier (the corpus fixtures are synthetic
+    * word salad where a stopword prior is meaningless — and a
+    * length+link-density tier is already the step the round-18 extractor
+    * lacked: it keeps prose paragraphs, including ones with scattered
+    * inline links, while dropping chrome that line-frequency boilerplate
+    * removal only catches when it repeats across docs).
+    *
+    * Context pass (jusText's short-block smoothing, one bounded rule): a
+    * non-empty line that fails ONLY the length floor — it passes the
+    * link-density rule — is RESCUED iff its previous or next non-empty
+    * line is good under the base rules. That keeps the `<h1>` over an
+    * article body (the classic heading-loss cost of a pure length
+    * floor) while still dropping isolated short chrome (button labels,
+    * crumbs between link-dense blocks): their neighbors are chrome too.
+    * Rescue checks BASE-good neighbors only — a rescued line never
+    * rescues another, so the pass cannot cascade down a stack of short
+    * lines and its verdict is order-independent. Link-dense short lines
+    * are never rescued.
+    *
     * Decoded entity characters count like literal ones; a decoded `&#10;`
-    * is a line break exactly as in [[extract]]. Short headings (`<h1>` of
-    * a few words) fall under `minChars` — the documented cost of skipping
-    * the context pass. */
+    * is a line break exactly as in [[extract]]. */
   def extractMain(s: String, minChars: Int, maxLinkPermille: Int): String = {
     val n = s.length
     val out = new java.lang.StringBuilder(n)
@@ -375,18 +386,44 @@ object HtmlText {
     }
     totals += curTotal; anchors += curAnchor
     val lines = out.toString.split("\n", -1)
-    val sb = new java.lang.StringBuilder(out.length)
-    var first = true
+    val trimmed = new Array[String](lines.length)
+    val good = new Array[Boolean](lines.length)
+    val cand = new Array[Boolean](lines.length)
     var li = 0
     while (li < lines.length) {
       val t = lines(li).replaceAll(" +", " ").trim
-      if (t.nonEmpty && totals(li) >= minChars &&
-        anchors(li).toLong * 1000L <= maxLinkPermille.toLong * totals(li).toLong) {
-        if (!first) sb.append('\n')
-        sb.append(t)
-        first = false
+      trimmed(li) = t
+      if (t.nonEmpty && anchors(li).toLong * 1000L <=
+          maxLinkPermille.toLong * totals(li).toLong) {
+        if (totals(li) >= minChars) good(li) = true
+        else cand(li) = true // short but link-clean: rescue candidate
       }
       li += 1
+    }
+    // context pass over the NON-EMPTY line sequence: a candidate keeps
+    // iff a base-good line sits directly before or after it (no
+    // chaining — see the scaladoc)
+    val nonEmpty = new Array[Int](lines.length)
+    var ne = 0
+    li = 0
+    while (li < lines.length) {
+      if (trimmed(li).nonEmpty) { nonEmpty(ne) = li; ne += 1 }
+      li += 1
+    }
+    val sb = new java.lang.StringBuilder(out.length)
+    var first = true
+    var q = 0
+    while (q < ne) {
+      val idx = nonEmpty(q)
+      val keep = good(idx) || (cand(idx) &&
+        ((q > 0 && good(nonEmpty(q - 1))) ||
+          (q + 1 < ne && good(nonEmpty(q + 1)))))
+      if (keep) {
+        if (!first) sb.append('\n')
+        sb.append(trimmed(idx))
+        first = false
+      }
+      q += 1
     }
     sb.toString
   }

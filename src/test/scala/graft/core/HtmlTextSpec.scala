@@ -105,10 +105,30 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(m(page) == "prose body line long enough to stay in the output")
   }
 
-  test("main content: short blocks (headings, crumbs) drop by length") {
+  test("main content: context pass — a short heading over good prose is rescued") {
+    // jusText's short-block smoothing: the <h1> fails only the length
+    // floor and sits directly over a good paragraph -> kept
     assert(m("<h1>Doc 7</h1><p>a content paragraph long enough to " +
       "survive the length floor</p>")
-      == "a content paragraph long enough to survive the length floor")
+      == "Doc 7\na content paragraph long enough to survive the length floor")
+  }
+
+  test("main content: isolated short blocks and link-dense short blocks still drop") {
+    // no good neighbor on either side -> the crumb stays dropped
+    assert(m("<div><a href=\"/\">Home</a> <a href=\"/d\">Docs pages</a></div>" +
+      "<h2>lone crumb</h2>" +
+      "<footer><a href=\"/p\">Privacy</a> <a href=\"/t\">Terms of use</a></footer>")
+      == "")
+    // a short ALL-LINK line next to good prose is chrome, not a heading:
+    // the rescue only applies to link-clean candidates
+    assert(m("<div><a href=\"/x\">More</a></div><p>prose body long " +
+      "enough to stay in the output here</p>")
+      == "prose body long enough to stay in the output here")
+    // no chaining: a rescued short line does not rescue its short
+    // neighbor (only BASE-good lines rescue)
+    assert(m("<h2>one</h2><h3>two</h3><p>a content paragraph long " +
+      "enough to survive the length floor</p>")
+      == "two\na content paragraph long enough to survive the length floor")
   }
 
   test("main content: anchor depth — nested/unbalanced </a> floors at 0") {

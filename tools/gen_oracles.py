@@ -1278,18 +1278,30 @@ def main(sf_dir, spark_dir):
                 emit(c, depth > 0)
                 i += 1
         jtrim = "".join(chr(q) for q in range(0x21))
-        res = []
 
         def units(ch):
             return 2 if ord(ch) > 0xFFFF else 1
 
+        infos = []  # (trimmed, base_good, rescue_candidate)
         for ln_ in lines:
             raw = "".join(ch for ch, _a in ln_)
             total = sum(units(ch) for ch, _a in ln_ if ch > " ")
             anchor = sum(units(ch) for ch, a in ln_ if a and ch > " ")
             t = re.sub(" +", " ", raw).strip(jtrim)
-            if t and total >= min_chars and \
-                    anchor * 1000 <= max_link_permille * total:
+            link_ok = anchor * 1000 <= max_link_permille * total
+            infos.append((t, bool(t) and link_ok and total >= min_chars,
+                          bool(t) and link_ok and total < min_chars))
+        # context pass: a short link-clean line keeps iff its previous
+        # or next NON-EMPTY line is good under the base rules (no
+        # chaining — a rescued line never rescues another)
+        nonempty = [k for k, (t, _g, _c) in enumerate(infos) if t]
+        res = []
+        for q, k in enumerate(nonempty):
+            t, g, c = infos[k]
+            rescued = c and (
+                (q > 0 and infos[nonempty[q - 1]][1]) or
+                (q + 1 < len(nonempty) and infos[nonempty[q + 1]][1]))
+            if g or rescued:
                 res.append(t)
         return "\n".join(res)
 
@@ -1325,7 +1337,15 @@ def main(sf_dir, spark_dir):
         assert "Home" not in tm and "related article" not in tm and \
             "Privacy" not in tm, f"chrome leaked into main content: {did}"
         assert "Home Docs About us" in ta and "Privacy | Terms" in ta
-        assert tm.startswith(hx_text[did][:20]), \
+        tm_lines = tm.split("\n")
+        # the context pass rescues the <h1> over the article body — but
+        # exactly ONCE: the <title> twin of the same text sits next to
+        # the link-dense nav (a bad neighbor) and must stay dropped
+        assert tm_lines[0] == f"Doc {did}", \
+            f"short heading not rescued by the context pass: {did}"
+        assert tm_lines.count(f"Doc {did}") == 1, \
+            f"title leaked past its bad-neighbor context: {did}"
+        assert tm_lines[1].startswith(hx_text[did][:20]), \
             f"content paragraph lost: {did}"
         assert "the full guide" in tm, \
             f"inline-linked prose wrongly dropped: {did}"
