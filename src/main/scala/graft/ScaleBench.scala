@@ -953,6 +953,96 @@ object ScaleBench {
         api.Dedup.dedupParagraphs(src, "doc_id", "text")
           .agg(sum(length(col("text")))).head.getLong(0)
       },
+      // THE COMPOSED CAPSTONE as one slope row: the whole
+      // tape-to-shards chain the warc_to_shards gate proves, at k reps
+      // of the base corpus wrapped as chrome-laden HTML responses (half
+      // gzip'd) plus the tape's own robots.txt record per file. Stages:
+      // parse -> body decode -> REP opt-out -> noindex -> main-content
+      // extraction -> host blocklist -> path filter -> URL dedup ->
+      // per-domain budget -> BPE packing order -> shard export. The
+      // domain budget scales ∝ k (the nClusters-∝-n precedent: a fixed
+      // budget caps survivors at a constant and every later stage would
+      // measure an empty frame); host cardinality is fixture-FIXED at
+      // 20, so the domain stages exercise per-host mass growth (the
+      // hot-host shape), not host-count growth. Forcing action: total
+      // docs landing in the exported shards (consumes the export).
+      "warc_to_shards" -> { (k: Int) =>
+        import spark.implicits._
+        val tdir = java.nio.file.Paths.get("/tmp/graft-scale-fixtures",
+          s"wts_x$k")
+        if (!java.nio.file.Files.exists(tdir.resolve("_done"))) {
+          java.nio.file.Files.createDirectories(tdir)
+          val base = spark.read.parquet(s"$baseDir/documents.parquet")
+            .select(col("doc_id"), col("text"), col("source"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          (0 until k).foreach { rep =>
+            val recs = base.map { case (id, t, src) =>
+              val did = rep * Stride + id
+              val html = "<html><head>" +
+                (if (did % 9 == 4)
+                  "<meta name=\"robots\" content=\"noindex\">" else "") +
+                "<title>Doc " + did + "</title></head><body>" +
+                "<div class=\"nav\"><a href=\"/\">Home</a> " +
+                "<a href=\"/docs\">Docs</a> <a href=\"/about\">About us</a>" +
+                "</div><h1>Doc " + did + "</h1><p>" + t +
+                "</p><footer><a href=\"/privacy\">Privacy</a> | " +
+                "<a href=\"/terms\">Terms</a></footer></body></html>"
+              // mostly-unique paths (dedup must scale with docs, not
+              // crush to the host census) + a real dup class (%97) and
+              // the query class the param rule hits
+              val path = if (did % 97 == 0) s"/dup${did % 1000}" else s"/d$did"
+              val url = s"https://$src.example.com$path" +
+                (if (did % 7 == 0) s"?q=${did % 4}" else "")
+              (did, url, html.getBytes("UTF-8"), did % 2 == 0)
+            // NUMERIC id for the robots record: the page projection's
+            // ANSI cast of the record-id urn can be REORDERED ahead of
+            // the robots-row filter by predicate pushdown (the join's
+            // inferred isnotnull), so every record id on the tape must
+            // survive the cast even though robots rows are filtered out
+            } :+ ((9999999999L, "https://src6.example.com/robots.txt",
+              "User-agent: *\nDisallow: /dup\n".getBytes("UTF-8"), false))
+            java.nio.file.Files.write(tdir.resolve(s"rep$rep.warc"),
+              graft.sources.WarcFiles.buildWarcHttp(recs.toSeq))
+          }
+          java.nio.file.Files.createFile(tdir.resolve("_done"))
+        }
+        val tape = graft.sources.WarcFiles.read(spark, s"$tdir/*.warc")
+        val robotsDf = tape
+          .filter(col("target_uri").endsWith("/robots.txt"))
+          .select(api.Domains.urlHost(col("target_uri")).as("host"),
+            graft.sources.WarcFiles.httpBodyText(col("content")).as("body"))
+          .distinct() // k tape files plant the same robots body
+        val pages0 = tape.filter(!col("target_uri").endsWith("/robots.txt"))
+          .select(regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+            col("target_uri").as("url"),
+            graft.sources.WarcFiles.httpBodyText(col("content")).as("page"))
+        val pages = api.Domains.filterRobotsTxt(pages0, "url", "doc_id",
+          robotsDf)
+        val extracted = api.TextAnalysis.filterNoindex(pages, "page")
+          .withColumn("text", graft.functions.html_main_content(col("page")))
+          .select(col("doc_id"), col("url"), col("text"),
+            length(col("text")).cast("long").as("n_chars_ext"))
+        val blocked = Seq("src3.example.com", "src5.example.com").toDF("domain")
+        val s1 = api.Domains.filterBlockedHosts(
+          extracted.select("doc_id", "url", "n_chars_ext"),
+          "url", "doc_id", blocked)
+        val s1b = api.Domains.filterUrlPaths(s1, "url", "doc_id",
+          Seq("prefix" -> "/dup1", "param" -> "q=1").toDF("kind", "pattern"))
+        val s2 = api.Domains.dedupByUrl(s1b, "url", "doc_id")
+        val s3 = api.Domains.domainTokenQuota(s2, "url", "doc_id",
+          col("n_chars_ext"), budgetPerDomain = 2200L * k, seed = 13L)
+        val curated = extracted.select("doc_id", "text")
+          .join(s3.select("doc_id"), "doc_id")
+        val toks = graft.functions.bpe_count(col("text"), SparkEntry.BpeMerges)
+        val ord = api.Sampling.hashScore(col("doc_id"), 21L)
+        val outPath = s"/tmp/graft-scale-fixtures/wts_out_x$k"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(outPath))
+        val manifest = api.Packing.exportShards(curated, "doc_id", ord,
+          toks, shards = 8, path = outPath)
+        manifest.agg(sum(col("n_docs"))).head.getLong(0)
+      },
       "staged_curation" -> { (k: Int) =>
         val prefix = s"scale_staged_x$k"
         api.StagedPipeline.reset(spark, prefix, maxStages = 8)
