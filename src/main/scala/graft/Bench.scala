@@ -147,7 +147,10 @@ object Bench {
     // still have been walked over by work arriving mid-run (the
     // round-19 driver bench: load 0.46 at start after a 120 s wait,
     // cold pass 2.4x the same code's idle reading) — start/end load
-    // together make that attributable from the JSON alone
+    // together make that attributable from the JSON alone. NB these
+    // mid-run readings include the bench's OWN 32-thread load (~5-12
+    // on this box), so the signal is the DELTA against a same-code
+    // baseline run, not the absolute value
     val loadAvgCold = osBean.getSystemLoadAverage
     val warm = runAll()
     val warm2 = runAll()

@@ -602,7 +602,14 @@ object Domains {
     * (small) rule array; page text never enters the exchange. */
   def filterRobotsTxt(df: DataFrame, urlCol: String, idCol: String,
                       robots: DataFrame, agent: String = "*"): DataFrame = {
-    require(robots.columns.contains("host") && robots.columns.contains("body"),
+    // match Spark's RESOLUTION rule (case-insensitive unless
+    // spark.sql.caseSensitive): a ('Host', 'Body') frame that col()
+    // resolves fine must not be refused on exact case
+    val exact = robots.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def has(c: String) = robots.columns.exists(n =>
+      if (exact) n == c else n.equalsIgnoreCase(c))
+    require(has("host") && has("body"),
       "robots must carry (host, body) columns — the per-host robots.txt " +
         "bodies as delivered on the tape")
     val scratch = Seq("__rbt_host", "__rbt_rules", "__rbt_target")

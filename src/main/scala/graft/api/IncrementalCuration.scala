@@ -323,6 +323,20 @@ object IncrementalCuration {
     val batchMax = idStats.getLong(3)
 
     // ---- generation marker dispatch (replay safety) ----
+    // ANY dangling started marker means torn state — not just a replay
+    // of the same tag: a crashed generation leaves partial appends that
+    // poison EVERY later admit (a retry without the tag, or a later
+    // generation whose ids still clear the unadvanced high-water mark,
+    // would silently append on top of them). Committed generations
+    // remove their marker, so dangling ⇒ torn, no false refusals.
+    val dangling = meta.keys.filter(_.startsWith("gen_started_"))
+    if (dangling.nonEmpty) throw new IllegalStateException(
+      s"generation(s) ${dangling.map(_.stripPrefix("gen_started_"))
+        .mkString("'", "', '", "'")} STARTED but never committed: a " +
+        "prior attempt crashed mid-append and the state tables are torn " +
+        "(appends are not idempotent row sets) — rebuild state to the " +
+        "last committed day (or restore compactState's committed " +
+        "rewrite) before admitting anything")
     val genStartedKey = generation.map(g => s"gen_started_$g")
     val genDoneKey = generation.map(g => s"gen_done_$g")
     genDoneKey.flatMap(meta.get) match {
@@ -349,16 +363,7 @@ object IncrementalCuration {
           prefix, idCol, textCol, oldMax, p)
         b.unpersist()
         return out
-      case None =>
-        genStartedKey.flatMap(meta.get).foreach { _ =>
-          throw new IllegalStateException(
-            s"generation '${generation.get}' STARTED but never " +
-              "committed: a prior attempt crashed mid-append and the " +
-              "state tables are torn (appends are not idempotent row " +
-              "sets) — rebuild state to the last committed day (or " +
-              "restore compactState's committed rewrite) before " +
-              "re-admitting")
-        }
+      case None => () // no marker for this tag: first run, fall through
     }
     require(batchMin > maxId,
       s"batch ids must exceed the indexed high-water mark $maxId " +

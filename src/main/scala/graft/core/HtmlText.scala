@@ -265,6 +265,96 @@ object HtmlText {
     null
   }
 
+  /** WHATWG-prescan meta charset over a (caller-bounded) window: the
+    * FIRST `<meta ...>` in document order that declares a charset via
+    * one of the two forms the spec honors — a `charset` attribute, or
+    * the `http-equiv=Content-Type` form's `content` attribute carrying
+    * a `charset=` parameter. Returns the raw trimmed label, null when
+    * no meta declares one. ONLY those two forms label a page: a
+    * `charset=` inside an unrelated attribute value (a description that
+    * merely MENTIONS a charset) must not relabel the document — that
+    * would be silent mojibake, worse than the U+FFFD fallback. Same
+    * attribute grammar as [[metaRobots]] (quoted/unquoted values,
+    * case-insensitive names, first occurrence of a name wins). */
+  def metaCharset(s: String): String = {
+    val n = s.length
+    def isMetaAt(i: Int): Boolean = {
+      var m = 0
+      while (m < 5 && {
+        val a = s.charAt(i + m); val b = "<meta".charAt(m)
+        a == b || (a < 128 && (a | 0x20) == b && isAsciiLetter(b))
+      }) m += 1
+      m == 5
+    }
+    var i = 0
+    while (i + 5 <= n) {
+      if (s.charAt(i) == '<' && (i + 5 == n || {
+        val c = s.charAt(i + 5)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '/' || c == '>'
+      }) && isMetaAt(i)) {
+        val gt = s.indexOf('>', i + 5)
+        val end = if (gt < 0) n else gt
+        var j = i + 5
+        var charsetAttr: String = null
+        var httpEquiv: String = null
+        var content: String = null
+        while (j < end) {
+          val c = s.charAt(j)
+          if (isAsciiLetter(c) || c == '-') {
+            var k = j
+            while (k < end && (isAsciiLetter(s.charAt(k)) || s.charAt(k) == '-')) k += 1
+            val attr = s.substring(j, k).toLowerCase(java.util.Locale.ROOT)
+            var m = k
+            while (m < end && s.charAt(m) <= ' ') m += 1
+            var value = ""
+            if (m < end && s.charAt(m) == '=') {
+              m += 1
+              while (m < end && s.charAt(m) <= ' ') m += 1
+              if (m < end && (s.charAt(m) == '"' || s.charAt(m) == '\'')) {
+                val q = s.charAt(m)
+                val e = s.indexOf(q, m + 1)
+                val stop = if (e < 0 || e > end) end else e
+                value = s.substring(m + 1, stop)
+                m = if (stop < end) stop + 1 else end
+              } else {
+                var e = m
+                while (e < end && s.charAt(e) > ' ') e += 1
+                value = s.substring(m, e)
+                m = e
+              }
+            }
+            if (attr == "charset" && charsetAttr == null) charsetAttr = value
+            if (attr == "http-equiv" && httpEquiv == null) httpEquiv = value
+            if (attr == "content" && content == null) content = value
+            j = m
+          } else j += 1
+        }
+        if (charsetAttr != null && charsetAttr.trim.nonEmpty)
+          return charsetAttr.trim
+        if (httpEquiv != null && content != null &&
+          httpEquiv.trim.toLowerCase(java.util.Locale.ROOT) == "content-type") {
+          val lc = content.toLowerCase(java.util.Locale.ROOT)
+          val ix = lc.indexOf("charset=")
+          if (ix >= 0) {
+            var p = ix + "charset=".length
+            if (p < content.length &&
+              (content.charAt(p) == '"' || content.charAt(p) == '\'')) p += 1
+            val sb = new java.lang.StringBuilder
+            var q = p
+            while (q < content.length && {
+              val ch = content.charAt(q)
+              ch != ';' && ch != '"' && ch != '\'' && ch > ' '
+            }) { sb.append(content.charAt(q)); q += 1 }
+            val tok = sb.toString.trim
+            if (tok.nonEmpty) return tok
+          }
+        }
+        i = end + 1
+      } else i += 1
+    }
+    null
+  }
+
   /** The drop verdict over [[metaRobots]] content: true iff the
     * comma-separated directive list (tokens trimmed, lowercased)
     * contains `noindex` or `none`. Null content (no robots meta) is

@@ -75,37 +75,35 @@ object RobotsTxt {
   }
 
   /** Does `pattern` (with `*` wildcards, optional trailing `$` anchor)
-    * match `target` from its first character? Backtracking matcher —
-    * real rule patterns carry at most a couple of `*`s, so the
-    * worst-case blowup is theoretical; the per-row cost is linear in
-    * practice. */
+    * match `target` from its first character? The standard two-pointer
+    * glob matcher with a single most-recent-star backtrack point —
+    * O(|target|·|pattern|) WORST case, linear in practice, and never
+    * exponential: robots.txt patterns are third-party input in a crawl
+    * pipeline, evaluated once per page of the host, so a pathological
+    * many-star rule (slash, then a long alternation of stars and
+    * literals, then `$`) must not be able to wedge an executor (the
+    * naive per-star backtracking matcher is exactly that DoS). The
+    * unanchored (prefix) case reduces to a full match of `pattern + *`,
+    * which keeps one proven algorithm for both cases. */
   def matches(target: String, pattern: String): Boolean = {
     val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
-    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
-    matchFrom(target, 0, pat, 0, anchored)
-  }
-
-  private def matchFrom(t: String, s0: Int, pat: String, p0: Int,
-                        anchored: Boolean): Boolean = {
-    var s = s0
-    var p = p0
-    while (true) {
-      if (p == pat.length) return !anchored || s == t.length
-      val c = pat.charAt(p)
-      if (c == '*') {
-        // '*' may consume any (possibly empty) octet run: backtrack
-        var k = s
-        while (k <= t.length) {
-          if (matchFrom(t, k, pat, p + 1, anchored)) return true
-          k += 1
-        }
-        return false
-      }
-      if (s >= t.length || t.charAt(s) != c) return false
-      s += 1
-      p += 1
+    val body = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val pat = if (anchored) body else body + "*"
+    var s = 0
+    var p = 0
+    var starP = -1
+    var starS = 0
+    while (s < target.length) {
+      if (p < pat.length && pat.charAt(p) == '*') {
+        starP = p; starS = s; p += 1
+      } else if (p < pat.length && pat.charAt(p) == target.charAt(s)) {
+        s += 1; p += 1
+      } else if (starP >= 0) {
+        starS += 1; s = starS; p = starP + 1
+      } else return false
     }
-    false // unreachable
+    while (p < pat.length && pat.charAt(p) == '*') p += 1
+    p == pat.length
   }
 
   /** The REP verdict for one path-and-query target against a rule list:

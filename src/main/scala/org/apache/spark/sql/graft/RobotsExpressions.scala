@@ -76,24 +76,29 @@ case class RobotsDisallowed(left: Expression, right: Expression)
 }
 
 object RobotsDisallowed {
-  /** Static call target for interpreted eval and generated code. */
+  /** Static call target for interpreted eval and generated code.
+    * Decodes the flag-prefixed entries (validating the encoding loudly
+    * — the public `robots_disallowed` accepts any array<string>, and a
+    * null/empty/unflagged element composed from somewhere other than
+    * `robots_rules` must name the broken contract, not NPE deep in
+    * codegen) and delegates the verdict to the ONE owner,
+    * [[graft.core.RobotsTxt.disallowed]]. */
   def disallowed(target: UTF8String, rules: ArrayData): Boolean = {
     val t = target.toString
-    var bestLen = -1
-    var bestAllow = false
-    var i = 0
     val n = rules.numElements()
+    val decoded = new Array[(Boolean, String)](n)
+    var i = 0
     while (i < n) {
-      val e = rules.getUTF8String(i).toString
-      val allow = e.charAt(0) == 'A'
-      val pat = e.substring(1)
-      if (graft.core.RobotsTxt.matches(t, pat)) {
-        val l = pat.length
-        if (l > bestLen) { bestLen = l; bestAllow = allow }
-        else if (l == bestLen && allow) bestAllow = true
-      }
+      val u = if (rules.isNullAt(i)) null else rules.getUTF8String(i)
+      val e = if (u == null) null else u.toString
+      if (e == null || e.isEmpty || (e.charAt(0) != 'A' && e.charAt(0) != 'D'))
+        throw new IllegalArgumentException(
+          s"robots_disallowed: rule element ${if (e == null) "NULL" else s"'$e'"} " +
+            "is not flag-prefixed ('A'/'D' + pattern) — pass robots_rules() " +
+            "output, the encoding this verdict is defined over")
+      decoded(i) = (e.charAt(0) == 'A', e.substring(1))
       i += 1
     }
-    bestLen >= 0 && !bestAllow
+    graft.core.RobotsTxt.disallowed(t, decoded)
   }
 }

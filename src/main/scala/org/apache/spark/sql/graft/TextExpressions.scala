@@ -539,28 +539,19 @@ object HttpBodyText {
   }
 
   /** Bounded WHATWG-style meta-charset prescan over the first 1024
-    * decoded body bytes: the first `charset=` token INSIDE a `<meta ...>`
-    * tag region wins (covers `<meta charset=x>` and the `http-equiv`
-    * Content-Type form, whose charset rides in the `content` attribute).
-    * ISO-8859-1 view of the window — byte-transparent, so the scan is
-    * ASCII-safe regardless of the page's real encoding. */
+    * decoded body bytes — [[graft.core.HtmlText.metaCharset]] does the
+    * tag/attribute work and honors ONLY the two spec forms (`<meta
+    * charset=x>` and the `http-equiv` Content-Type form's `content`
+    * attribute), so a `charset=` mentioned inside an unrelated
+    * attribute value cannot relabel the page. ISO-8859-1 view of the
+    * window — byte-transparent, so the scan is ASCII-safe regardless of
+    * the page's real encoding. */
   private def metaCharsetPrescan(b: Array[Byte], off: Int,
                                  len: Int): Option[String] = {
     val win = new String(b, off, math.min(len, 1024),
       java.nio.charset.StandardCharsets.ISO_8859_1)
-      .toLowerCase(java.util.Locale.ROOT)
-    var from = win.indexOf("<meta")
-    while (from >= 0) {
-      val gt = win.indexOf('>', from)
-      val end = if (gt < 0) win.length else gt
-      val cs = win.indexOf("charset=", from)
-      if (cs >= 0 && cs < end) {
-        val tok = charsetToken(win, cs + "charset=".length)
-        if (tok.nonEmpty) return Some(tok)
-      }
-      from = win.indexOf("<meta", from + "<meta".length)
-    }
-    None
+    Option(graft.core.HtmlText.metaCharset(win))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
   }
 
   /** RFC 9112 §7.1 chunked-body decode, loud on every framing defect —

@@ -290,18 +290,33 @@ class IncrementalCurationSpec extends AnyFunSuite {
     }
     assert(eLate.getMessage.contains("LATEST"), eLate.getMessage)
     // torn state: started-but-never-committed refuses loudly instead of
-    // silently double-appending
+    // silently double-appending — for the SAME tag, for a DIFFERENT
+    // tag, for an untagged batch call, and even for a replay of a
+    // committed generation (the dangling generation's partial appends
+    // poison span mining for everyone)
     Seq(("gen_started_g3", 206L)).toDF("key", "value")
       .write.mode("append").insertInto(s"${prefix}_meta")
     spark.catalog.refreshTable(s"${prefix}_meta")
-    val eTorn = intercept[IllegalStateException] {
-      IncrementalCuration.admitBatch(
-        df(Seq((301L, prose(301), "en"))), bench, df(dayA ++ dayB ++ dayC),
-        prefix, "doc_id", "text", col("lang") === "en", P,
-        generation = Some("g3"))
+    def tornAdmit(gen: Option[String]): Unit = {
+      val e = intercept[IllegalStateException] {
+        IncrementalCuration.admitBatch(
+          df(Seq((301L, prose(301), "en"))), bench,
+          df(dayA ++ dayB ++ dayC), prefix, "doc_id", "text",
+          col("lang") === "en", P, generation = gen)
+      }
+      assert(e.getMessage.contains("STARTED but never committed"),
+        s"gen=$gen: ${e.getMessage}")
     }
-    assert(eTorn.getMessage.contains("STARTED but never committed"),
-      eTorn.getMessage)
+    tornAdmit(Some("g3"))
+    tornAdmit(Some("g4"))
+    tornAdmit(None)
+    val eReplay = intercept[IllegalStateException] {
+      IncrementalCuration.admitBatch(df(dayC), bench, df(dayA ++ dayB),
+        prefix, "doc_id", "text", col("lang") === "en", P,
+        generation = Some("g2"))
+    }
+    assert(eReplay.getMessage.contains("STARTED but never committed"),
+      s"committed-gen replay over torn state must refuse: $eReplay")
   }
 
   test("compactState folds generations without changing any future admit") {

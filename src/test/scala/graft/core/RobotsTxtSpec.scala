@@ -67,6 +67,19 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(!RobotsTxt.matches("/ba", "/*a*b$"))
   }
 
+  test("matches: pathological many-star patterns stay linear (untrusted input)") {
+    // robots.txt is third-party input evaluated once per page of the
+    // host: a backtracking matcher is O(n^stars) on this shape and
+    // wedges an executor; the two-pointer matcher must answer instantly
+    val pat = "/" + ("*a" * 24) + "b$"
+    val target = "/" + ("a" * 600)
+    val t0 = System.nanoTime()
+    assert(!RobotsTxt.matches(target, pat))
+    assert(RobotsTxt.matches(target + "b", pat))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 1000, s"pathological pattern took ${ms}ms — not linear")
+  }
+
   test("disallowed: longest pattern wins, Allow wins ties, no match allows") {
     val rules = Seq((false, "/p1"), (true, "/p13"))
     assert(RobotsTxt.disallowed("/p1", rules))

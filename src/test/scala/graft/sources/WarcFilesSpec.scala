@@ -210,5 +210,31 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(HttpBodyText.body(page("text/html",
       m5.getBytes("ISO-8859-1")), 1 << 20).toString.contains("caf�"),
       "charset= outside a meta tag must not label the page")
+    // only the two WHATWG forms label: a description meta that MENTIONS
+    // a charset inside its content value must not relabel a UTF-8 page
+    // into silent mojibake
+    val m6 = "<meta name=\"description\" content=\"how charset=utf-16 " +
+      "pages work\"><p>café</p>"
+    assert(HttpBodyText.body(page("text/html",
+      m6.getBytes("UTF-8")), 1 << 20).toString == m6,
+      "a charset= inside an unrelated attribute value must not apply")
+  }
+
+  test("robots_disallowed refuses non-flag-prefixed rule arrays loudly") {
+    import org.apache.spark.sql.graft.RobotsDisallowed
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: Any*) = new GenericArrayData(xs.map {
+      case null => null
+      case s: String => UTF8String.fromString(s)
+    }.toArray[Any])
+    val t = UTF8String.fromString("/x")
+    assert(RobotsDisallowed.disallowed(t, arr("D/x")))
+    assert(!RobotsDisallowed.disallowed(t, arr()))
+    Seq(arr(""), arr("X/x"), arr(null)).foreach { bad =>
+      val e = intercept[IllegalArgumentException](
+        RobotsDisallowed.disallowed(t, bad))
+      assert(e.getMessage.contains("flag-prefixed"), e.getMessage)
+    }
   }
 }

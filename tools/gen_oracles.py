@@ -1778,8 +1778,7 @@ def main(sf_dir, spark_dir):
     assert any(d % 20 == 2 and d % 3 == 0 and d % 7 != 0
                for d, _u in rbt_rows), \
         "robots fixture vacuous: no trailing-slash survivor of /*2$"
-    assert any(d % 20 == 2 and d % 7 == 0 and d in rbt_dropped
-               for d in rbt_dropped), \
+    assert any(d % 20 == 2 and d % 7 == 0 for d in rbt_dropped), \
         "robots fixture vacuous: no query-target anchored drop"
     assert all(d % 20 not in (3, 4) for d in rbt_dropped), \
         "robots fixture broken: agent selection or empty Disallow leaked"
