@@ -1012,7 +1012,12 @@ object ScaleBench {
           .select(api.Domains.urlHost(col("target_uri")).as("host"),
             graft.sources.WarcFiles.httpBodyText(col("content")).as("body"))
           .distinct() // k tape files plant the same robots body
-        val pages0 = tape.filter(!col("target_uri").endsWith("/robots.txt"))
+        // envelope admission (chain parity with the gate: this tape is
+        // all-200 with no X-Robots-Tag, so the stage costs one map-only
+        // envelope probe per record and drops nothing)
+        val pages0 = api.TextAnalysis.filterXRobotsNoindex(
+            tape.filter(!col("target_uri").endsWith("/robots.txt"))
+              .filter(graft.functions.http_status(col("content")) === 200))
           .select(regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
             .cast("long").as("doc_id"),
             col("target_uri").as("url"),

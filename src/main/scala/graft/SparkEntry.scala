@@ -1491,19 +1491,22 @@ object SparkEntry {
     // THE CAPSTONE: crawl tape in, training shards out — every seam the
     // piecewise gates prove, composed as ONE pipeline so stage-boundary
     // schema drift has a gate. WARC response records (half gzip'd, plus
-    // the tape's own robots.txt response) -> envelope-aware body decode
-    // -> site-level robots.txt opt-out (REP: the tape's src6 robots
-    // disallows /p26) -> page-level robots noindex opt-out (the planted
-    // %9==4 class) -> MAIN-content extraction (the chrome the tier
-    // exists to drop is planted on every page) -> host blocklist
+    // the tape's own robots.txt response and three envelope-class
+    // extras) -> envelope admission (status 200 + no X-Robots-Tag
+    // noindex: the planted 301 and header-noindex extras drop, their
+    // 200 CONTROL twin must reach a shard) -> envelope-aware body
+    // decode -> site-level robots.txt opt-out (REP: the tape's src6
+    // robots disallows /p26) -> page-level robots noindex opt-out (the
+    // planted %9==4 class) -> MAIN-content extraction (the chrome the
+    // tier exists to drop is planted on every page) -> host blocklist
     // -> path-pattern filter -> URL-identity dedup -> per-domain budget
     // over the extracted mass -> BPE packing order -> durable
     // token-balanced shard export with a readback manifest. Output: the
     // manifest, one row per shard, plus the highest packed chunk id
     // landing in the shard (pins the pack-offsets composition). Oracle:
-    // full-chain Python re-derivation — tape wrap, the REP verdicts,
-    // both extraction tiers, all four curation stages, BPE token
-    // counts, the shard walk.
+    // full-chain Python re-derivation — tape wrap, the envelope and REP
+    // verdicts, both extraction tiers, all four curation stages, BPE
+    // token counts, the shard walk.
     "warc_to_shards" -> ((s, dir) => {
       import graft.api.{Domains, Packing, Sampling}
       import s.implicits._
@@ -1519,10 +1522,31 @@ object SparkEntry {
         sys.props("java.io.tmpdir"), "graft_warc_to_shards_tape")
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
       java.nio.file.Files.createDirectories(base)
+      // envelope-admission extras on their own host: a 301 and a
+      // header-noindex page that WOULD survive every later stage (they
+      // share the control's host/path class), plus the 200 CONTROL that
+      // must flow the whole chain into a shard — proving both that the
+      // envelope stage bites and that extras genuinely reach the end
+      val extraText = "envelope control document body with enough words " +
+        "to clear the main content floor and some more prose to make " +
+        "the token count meaningful for packing"
+      val extraHtml = "<h1>Envelope</h1><p>" + extraText + "</p>"
+      val extras = Seq(
+        (2000001L, "https://extra.example.com/moved",
+          extraHtml.getBytes("UTF-8"), 301, "Moved Permanently",
+          Seq("Location" -> "https://extra.example.com/ok")),
+        (2000002L, "https://extra.example.com/hidden",
+          extraHtml.getBytes("UTF-8"), 200, "OK",
+          Seq("X-Robots-Tag" -> "noindex")),
+        (2000003L, "https://extra.example.com/ok",
+          extraHtml.getBytes("UTF-8"), 200, "OK",
+          Seq.empty[(String, String)]))
       Seq(0, 1, 2).foreach { part =>
-        java.nio.file.Files.write(base.resolve(s"part$part.warc"),
-          graft.sources.WarcFiles.buildWarcHttp(
-            recs.filter(_._1 % 3 == part).toSeq))
+        val bulk = graft.sources.WarcFiles.buildWarcHttp(
+          recs.filter(_._1 % 3 == part).toSeq)
+        val tail = if (part == 0)
+          graft.sources.WarcFiles.buildWarcHttpStatus(extras) else Array.empty[Byte]
+        java.nio.file.Files.write(base.resolve(s"part$part.warc"), bulk ++ tail)
       }
       val tape = graft.sources.WarcFiles.read(s, s"$base/*.warc")
       // the tape's robots.txt responses are ordinary records: slice them
@@ -1530,7 +1554,12 @@ object SparkEntry {
       val robotsDf = tape.filter(col("target_uri").endsWith("/robots.txt"))
         .select(Domains.urlHost(col("target_uri")).as("host"),
           graft.sources.WarcFiles.httpBodyText(col("content")).as("body"))
-      val pages0 = tape.filter(!col("target_uri").endsWith("/robots.txt"))
+      // stage -2: envelope admission — only 200s without an
+      // X-Robots-Tag noindex ever pay a body decode
+      val admittedRecs = graft.api.TextAnalysis.filterXRobotsNoindex(
+        tape.filter(!col("target_uri").endsWith("/robots.txt"))
+          .filter(graft.functions.http_status(col("content")) === 200))
+      val pages0 = admittedRecs
         .withColumn("doc_id",
           regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
         .withColumn("url", col("target_uri"))
@@ -1676,6 +1705,55 @@ object SparkEntry {
           length(col("body")).cast("long").as("n_chars_body"),
           expr("substring(body, greatest(length(body) - 29, 1), 30)")
             .as("tail30"))
+        .orderBy("doc_id")
+    }),
+    // HTTP status + X-Robots-Tag routing — the two envelope-level
+    // admission signals a real pipeline applies before decoding a
+    // single body byte: non-200 records (a 301's stub, a 404 page, a
+    // 503 splash) are transfer artifacts, not training data, and the
+    // X-Robots-Tag header is the robots opt-out that never reaches the
+    // HTML. Tape classes (id%5): 200 plain (keep), 301+Location (drop:
+    // status), 404 (drop: status), 200 + X-Robots-Tag: noindex (drop:
+    // header directive), 200 + X-Robots-Tag: unavailable_after (keep —
+    // not a noindex token, pinning the token rule against
+    // over-dropping). Oracle: Python recomputes the keep set and body
+    // lengths from the same class recipe.
+    "http_status_filter" -> ((s, dir) => {
+      val docs = load(s, dir, "documents").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val recs = docs.map { case (id, t) =>
+        val base = t.take(70)
+        val (payload, status, reason, extra) = (id % 5) match {
+          case 0 => (base + " ok body", 200, "OK", Seq.empty[(String, String)])
+          case 1 => ("moved", 301, "Moved Permanently",
+            Seq("Location" -> s"https://example.org/new/$id"))
+          case 2 => ("not found", 404, "Not Found", Seq.empty[(String, String)])
+          case 3 => (base + " hidden body", 200, "OK",
+            Seq("X-Robots-Tag" -> "noindex, nofollow"))
+          case _ => (base + " ua body", 200, "OK",
+            Seq("X-Robots-Tag" -> "unavailable_after: 2027-01-01"))
+        }
+        (id, s"https://example.org/doc/$id", payload.getBytes("UTF-8"),
+          status, reason, extra)
+      }
+      val basep = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_warc_status_fixture")
+      org.apache.commons.io.FileUtils.deleteQuietly(basep.toFile)
+      java.nio.file.Files.createDirectories(basep)
+      Seq(0, 1).foreach { part =>
+        java.nio.file.Files.write(basep.resolve(s"part$part.warc"),
+          graft.sources.WarcFiles.buildWarcHttpStatus(
+            recs.filter(_._1 % 2 == part).toSeq))
+      }
+      val parsed = graft.sources.WarcFiles.read(s, s"$basep/*.warc")
+        .withColumn("doc_id",
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long"))
+        .withColumn("status", graft.functions.http_status(col("content")))
+      graft.api.TextAnalysis.filterXRobotsNoindex(
+          parsed.filter(col("status") === 200), "content")
+        .select(col("doc_id"), col("status"),
+          length(graft.sources.WarcFiles.httpBodyText(col("content")))
+            .cast("long").as("n_chars_body"))
         .orderBy("doc_id")
     }),
     "sink_partitioned" -> ((s, dir) => {
@@ -4903,6 +4981,7 @@ object SparkEntry {
     "warc_to_shards" -> valuesOracle("warc_to_shards"),
     "source_warc_charset" -> valuesOracle("source_warc_charset"),
     "source_warc_chunked" -> valuesOracle("source_warc_chunked"),
+    "http_status_filter" -> valuesOracle("http_status_filter"),
     // the streamed tape accumulates to the same record set (file-level
     // exactly-once), so the batch oracle applies verbatim
     "stream_warc_ingest" -> valuesOracle("source_warc_extract"),

@@ -75,6 +75,25 @@ object TextAnalysis {
     if (robotsCol.isEmpty) out.drop(tmp) else out
   }
 
+  /** Header-level robots opt-out — the HTTP sibling of [[filterNoindex]]
+    * for the directive that never reaches the HTML: drops rows whose
+    * response envelope carries `X-Robots-Tag` with a `noindex`/`none`
+    * token (same comma-split, trimmed, lowercased rule as the meta
+    * filter, over the raw WARC block — no body decode needed, so a
+    * compliant pipeline can drop BEFORE paying the gunzip). Rows with
+    * no envelope or no X-Robots-Tag keep — absence means indexable.
+    * Agent-scoped values (`googlebot: noindex`) are outside the simple
+    * token rule and KEEP, stated — the generic-pipeline reading, same
+    * stance as [[graft.core.RobotsTxt]]'s agent subset. Map-only. */
+  def filterXRobotsNoindex(df: DataFrame,
+                           blockCol: String = "content"): DataFrame =
+    df.filter(!coalesce(
+      exists(split(graft.functions.http_header(col(blockCol),
+        "x-robots-tag"), ",", -1),
+        t => regexp_replace(lower(t), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+          .isin("noindex", "none")),
+      lit(false)))
+
   /** Compression-ratio repetition signals (the Gopher/RefinedWeb-class
     * quality tier the n-gram counters miss): per row, the UTF-8 byte
     * length, the zlib-compressed length at level 6, their ratio, and the

@@ -82,6 +82,19 @@ object functions {
   def zlib_len(text: Column, level: Int = 6): Column =
     toCol(ZlibLen(col2expr(text), level))
 
+  /** HTTP status code of a WARC response block's envelope (int; NULL
+    * when the block carries no envelope) — the admission signal a real
+    * pipeline filters on first ([[org.apache.spark.sql.graft
+    * .HttpStatus]] states the envelope rules). */
+  def http_status(block: Column): Column =
+    toCol(org.apache.spark.sql.graft.HttpStatus(col2expr(block)))
+
+  /** First occurrence of HTTP header `name` (case-insensitive) in a
+    * WARC response block's envelope, trimmed; NULL when envelope or
+    * header is absent ([[org.apache.spark.sql.graft.HttpHeader]]). */
+  def http_header(block: Column, name: String): Column =
+    toCol(org.apache.spark.sql.graft.HttpHeader(col2expr(block), name))
+
   /** robots.txt rule list for `agent` (REP, RFC 9309) as a flag-prefixed
     * `array<string>` — [[org.apache.spark.sql.graft.RobotsRules]] states
     * the encoding, [[graft.core.RobotsTxt]] the implemented subset. */

@@ -262,6 +262,35 @@ object WarcFiles {
     out.toByteArray
   }
 
+  /** RESPONSE fixture with explicit status line + extra headers: each
+    * (id, uri, payload, status, reason, extraHeaders) lands identity-
+    * encoded under `HTTP/1.1 <status> <reason>` — the shape for
+    * exercising status-code routing and header-level directives
+    * (X-Robots-Tag, Location) without the compression layers. */
+  def buildWarcHttpStatus(records: Seq[(Long, String, Array[Byte], Int,
+      String, Seq[(String, String)])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("UTF-8"))
+    records.foreach { case (id, uri, payload, status, reason, extra) =>
+      val envelope = s"HTTP/1.1 $status $reason\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" +
+        extra.map { case (n, v) => s"$n: $v\r\n" }.mkString +
+        s"Content-Length: ${payload.length}\r\n\r\n"
+      val block = envelope.getBytes("UTF-8") ++ payload
+      w("WARC/1.0\r\n")
+      w("WARC-Type: response\r\n")
+      w(s"WARC-Record-ID: <urn:graft:$id>\r\n")
+      w(s"WARC-Target-URI: $uri\r\n")
+      w("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+      w("Content-Type: application/http;msgtype=response\r\n")
+      w(s"Content-Length: ${block.length}\r\n")
+      w("\r\n")
+      out.write(block)
+      w("\r\n\r\n")
+    }
+    out.toByteArray
+  }
+
   /** Deterministic WARC fixture builder: wrap each (id, uri, payload)
     * as a `resource` record with exact byte-length framing. Used by the
     * gate (and usable for any synthetic tape). */

@@ -497,6 +497,121 @@ case class HttpBodyText(child: Expression, maxOut: Long)
     copy(child = c)
 }
 
+/** `http_status(block)`: the status code of a WARC response block's HTTP
+  * envelope as an int — the admission signal a real pipeline filters on
+  * FIRST (a 301's stub body or a 404 page is not training data; only
+  * 200-class payloads should ever reach extraction). NULL when the
+  * block carries no HTTP envelope (resource records, truncated blocks:
+  * no leading `HTTP/` magic or no CRLF CRLF terminator) — absence of an
+  * envelope is a record-type fact, not an error. Never loud: the status
+  * is DATA to route on, unlike the framing layers. */
+case class HttpStatus(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "http_status"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    HttpEnvelope.status(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val mod = s"${HttpEnvelope.getClass.getName}.MODULE$$"
+    val sc = ctx.freshName("httpStatus")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""java.lang.Integer $sc = (java.lang.Integer) $mod.status($c);
+         |if ($sc == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $sc.intValue(); }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `http_header(block, name)`: the FIRST occurrence of header `name`
+  * (case-insensitive, a construction-time constant) in the block's HTTP
+  * envelope, value trimmed — the X-Robots-Tag / Location / Content-Type
+  * probe for routing decisions. NULL when the envelope or the header is
+  * absent. Same envelope rules as [[HttpStatus]]. */
+case class HttpHeader(child: Expression, name: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(name != null && name.nonEmpty, "header name must be non-empty")
+
+  override def prettyName: String = "http_header"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    HttpEnvelope.header(v.asInstanceOf[Array[Byte]], name)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val mod = s"${HttpEnvelope.getClass.getName}.MODULE$$"
+    val n = ctx.addReferenceObj("httpHeaderName", name, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $mod.header($c, $n);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Shared HTTP-envelope probe kernel for [[HttpStatus]]/[[HttpHeader]]:
+  * an envelope exists iff the block starts with the `HTTP/` magic AND
+  * terminates its header section with CRLF CRLF (a resource record's
+  * payload that merely CONTAINS `Name: value` lines is not an
+  * envelope). Header names compare case-insensitively, first occurrence
+  * wins — the same rules [[HttpBodyText]] applies. */
+object HttpEnvelope {
+  private def envelope(block: Array[Byte]): String = {
+    if (block.length < 5 || block(0) != 'H' || block(1) != 'T' ||
+      block(2) != 'T' || block(3) != 'P' || block(4) != '/') return null
+    var sep = -1
+    var i = 0
+    while (sep < 0 && i + 3 < block.length) {
+      if (block(i) == '\r' && block(i + 1) == '\n' &&
+        block(i + 2) == '\r' && block(i + 3) == '\n') sep = i
+      i += 1
+    }
+    if (sep < 0) return null
+    new String(block, 0, sep, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Static call target: boxed status code, null when absent. */
+  def status(block: Array[Byte]): java.lang.Integer = {
+    val env = envelope(block)
+    if (env == null) return null
+    val line = env.split("\r\n", 2)(0)
+    // "HTTP/x.y SP code SP reason" — the code is the second SP token
+    val parts = line.split(" ", 3)
+    if (parts.length < 2 || parts(1).length != 3 ||
+      !parts(1).forall(c => c >= '0' && c <= '9')) return null
+    Integer.valueOf(parts(1).toInt)
+  }
+
+  /** Static call target: first header value for `name`, null when
+    * absent. */
+  def header(block: Array[Byte], name: String): UTF8String = {
+    val env = envelope(block)
+    if (env == null) return null
+    val prefix = name.toLowerCase(java.util.Locale.ROOT) + ":"
+    env.split("\r\n").iterator.drop(1).foreach { l =>
+      if (l.length > prefix.length &&
+        l.substring(0, prefix.length)
+          .toLowerCase(java.util.Locale.ROOT) == prefix)
+        return UTF8String.fromString(l.substring(prefix.length).trim)
+    }
+    null
+  }
+}
+
 object HttpBodyText {
   private def utf8(bytes: Array[Byte], off: Int, len: Int): UTF8String =
     UTF8String.fromString(

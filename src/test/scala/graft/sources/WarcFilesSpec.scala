@@ -220,6 +220,50 @@ class WarcFilesSpec extends AnyFunSuite {
       "a charset= inside an unrelated attribute value must not apply")
   }
 
+  test("http_status / http_header: envelope probes with honest nulls") {
+    import org.apache.spark.sql.graft.HttpEnvelope
+    val ok = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "X-Robots-Tag: noindex\r\nX-Robots-Tag: none\r\n\r\nbody")
+      .getBytes("UTF-8")
+    assert(HttpEnvelope.status(ok) == 200)
+    assert(HttpEnvelope.header(ok, "X-ROBOTS-TAG").toString == "noindex",
+      "case-insensitive name, FIRST occurrence wins")
+    assert(HttpEnvelope.header(ok, "location") == null)
+    val redirect = ("HTTP/1.1 301 Moved Permanently\r\n" +
+      "Location: https://x/\r\n\r\n").getBytes("UTF-8")
+    assert(HttpEnvelope.status(redirect) == 301)
+    assert(HttpEnvelope.header(redirect, "Location").toString == "https://x/")
+    // a resource payload that merely CONTAINS header-ish lines is not
+    // an envelope (no HTTP/ magic); nor is a truncated envelope
+    assert(HttpEnvelope.status("Name: value\r\n\r\nx".getBytes("UTF-8")) == null)
+    assert(HttpEnvelope.status("HTTP/1.1 200 OK\r\nTrunc".getBytes("UTF-8")) == null)
+    assert(HttpEnvelope.header("plain".getBytes("UTF-8"), "a") == null)
+    // malformed status line -> null, not a crash
+    assert(HttpEnvelope.status("HTTP/1.1\r\n\r\n".getBytes("UTF-8")) == null)
+    assert(HttpEnvelope.status("HTTP/1.1 20x OK\r\n\r\n".getBytes("UTF-8")) == null)
+  }
+
+  test("filterXRobotsNoindex: header directive drops; scoped/benign values keep") {
+    import graft.api.TextAnalysis
+    val spark2 = spark
+    import spark2.implicits._
+    def block(extra: Seq[(String, String)]): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\n" +
+        extra.map { case (n, v) => s"$n: $v\r\n" }.mkString +
+        "\r\nbody").getBytes("UTF-8")
+    val rows = Seq(
+      (1L, block(Seq("X-Robots-Tag" -> "noindex, nofollow"))),
+      (2L, block(Seq("X-Robots-Tag" -> " NONE "))),
+      (3L, block(Seq("X-Robots-Tag" -> "unavailable_after: 2027-01-01"))),
+      (4L, block(Seq("X-Robots-Tag" -> "googlebot: noindex"))), // scoped: out of rule
+      (5L, block(Nil)),
+      (6L, "no envelope at all".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    val kept = TextAnalysis.filterXRobotsNoindex(rows)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L, 6L), kept.toString)
+  }
+
   test("robots_disallowed refuses non-flag-prefixed rule arrays loudly") {
     import org.apache.spark.sql.graft.RobotsDisallowed
     import org.apache.spark.sql.catalyst.util.GenericArrayData

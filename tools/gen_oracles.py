@@ -1627,6 +1627,24 @@ def main(sf_dir, spark_dir):
         ("doc_id", "n_chars_body", "tail30"),
         ("BIGINT", "BIGINT", "VARCHAR"), wk_rows, "doc_id")
 
+    # ---- http_status_filter: envelope-level admission — keep = status
+    # 200 AND no X-Robots-Tag noindex/none token. Classes (id%5): 200
+    # plain keep / 301 drop / 404 drop / 200+noindex drop / 200 +
+    # unavailable_after KEEP (not a noindex token — pins the rule
+    # against over-dropping).
+    hs_rows = []
+    for did, text in docs:
+        base = (text or "")[:70]
+        if did % 5 == 0:
+            hs_rows.append((did, 200, len(base + " ok body")))
+        elif did % 5 == 4:
+            hs_rows.append((did, 200, len(base + " ua body")))
+    assert all(any(d % 5 == k for d, _t in docs) for k in range(5)), \
+        "status fixture vacuous: a class is empty at this SF"
+    queries["http_status_filter"] = (
+        ("doc_id", "status", "n_chars_body"),
+        ("BIGINT", "INTEGER", "BIGINT"), hs_rows, "doc_id")
+
     # ---- curate_web: the RefinedWeb-style FRONT-END composed end to end
     # (round 15; round 18 adds the html_extract first stage) — html
     # extraction -> host blocklist -> path filter -> URL-identity dedup
@@ -2039,6 +2057,25 @@ def main(sf_dir, spark_dir):
     assert all(wts_noindex(did) == (did % 9 == 4)
                for did, _l, _s, _n in drows), \
         "robots stage must drop exactly the planted %9==4 class"
+
+    # stage -2 (envelope admission) extras: the 301 (2000001) and the
+    # X-Robots-Tag noindex (2000002) drop on their envelopes and never
+    # enter the chain; their 200 CONTROL twin (2000003) — same host,
+    # same passing path class, same body — joins here and must flow the
+    # WHOLE chain into a shard, proving the envelope stage bites and is
+    # not a blanket drop of the extras' class. The shared cw_url /
+    # mc_text maps gain the control's entries AFTER every other
+    # consumer (curate_web, html_main_content) has read them.
+    wts_extra_text = ("envelope control document body with enough words "
+                      "to clear the main content floor and some more "
+                      "prose to make the token count meaningful for "
+                      "packing")
+    cw_url[2000003] = "https://extra.example.com/ok"
+    mc_text[2000003] = html_main_py(
+        "<h1>Envelope</h1><p>" + wts_extra_text + "</p>")
+    assert mc_text[2000003].startswith("Envelope\n"), \
+        "control extra must keep its rescued heading + body"
+    wts_s0.append(2000003)
     wts_s1 = [did for did in wts_s0
               if not cw_host_blocked(url_host(cw_url[did]))]
     wts_s1 = [did for did in wts_s1
@@ -2064,6 +2101,9 @@ def main(sf_dir, spark_dir):
                 wts_curated.append(did)
     assert len(wts_curated) >= 50, \
         f"warc_to_shards fixture too thin: {len(wts_curated)} survivors"
+    assert 2000003 in wts_curated, \
+        "the envelope-admission CONTROL must survive the whole chain " \
+        "(its 301/noindex twins dropping would otherwise be vacuous)"
     wts_tok = {did: bpe_count(mc_text[did]) for did in wts_curated}
     assert all(t > 0 for t in wts_tok.values()), \
         "zero-token survivor would diverge pack (drops) from shards (keeps)"
