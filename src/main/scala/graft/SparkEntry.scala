@@ -349,12 +349,23 @@ object SparkEntry {
     graft.api.IncrementalCuration.reset(s, prefix)
     Seq(lookupTbl, benchTbl, resTbl)
       .foreach(graft.api.BucketedWrite.dropTable(s, _))
-    graft.api.IncrementalCuration.buildState(corpusA, prefix,
-      "doc_id", "text", col("lang") === "en")
-    corpusA.write.format("parquet").saveAsTable(lookupTbl)
-    bench.write.format("parquet").saveAsTable(benchTbl)
-    val b = batchB.select(col("doc_id").cast("long"), col("text"), col("lang"))
-      .as[(Long, String, String)].collect().sortBy(_._1)
+    // state build, lookup/bench writes and the batch collect are four
+    // independent jobs over disjoint outputs — overlapped, guide §2.6
+    val b = graft.api.Par.run(s, Seq[(String, () => AnyRef)](
+      (s"warcAdmitGate($prefix): day-1 state build", () => {
+        graft.api.IncrementalCuration.buildState(corpusA, prefix,
+          "doc_id", "text", col("lang") === "en"); null
+      }),
+      (s"warcAdmitGate($prefix): corpus lookup table", () => {
+        corpusA.write.format("parquet").saveAsTable(lookupTbl); null
+      }),
+      (s"warcAdmitGate($prefix): bench table", () => {
+        bench.write.format("parquet").saveAsTable(benchTbl); null
+      }),
+      (s"warcAdmitGate($prefix): batch collect", () =>
+        batchB.select(col("doc_id").cast("long"), col("text"), col("lang"))
+          .as[(Long, String, String)].collect().sortBy(_._1))
+    )).last.asInstanceOf[Array[(Long, String, String)]]
     val half = (b.length + 1) / 2
     val tmp = sys.props("java.io.tmpdir")
     val tape = java.nio.file.Paths.get(tmp, s"${scratch}_tape")
@@ -669,6 +680,11 @@ object SparkEntry {
           ngramWidth = 2, bandCount = 4, bandSize = 6, seed = 5L, minSim = 0.9)
         .select(col("id_a").as("key_a"), col("id_b").as("key_b"),
           col("lev"), col("edit_sim"))
+        // pin the (small) verified set before the global sort: the range
+        // partitioner's sampling pass otherwise re-executes the whole
+        // candidate-verify leg — the Levenshtein DP over every candidate
+        // pair ran TWICE (two ~equal heavy stages, measured at sf0.1)
+        .localCheckpoint()
         .orderBy("key_a", "key_b")
     }),
 
@@ -948,18 +964,32 @@ object SparkEntry {
       val deleted = docs
         .filter(col("doc_id") < 400 && col("doc_id") % 7 === 0)
         .select("doc_id")
-      graft.api.Dedup.saveGramIndex(docs.filter(col("doc_id") < 300),
-        "graft_take_gidx", 8, "doc_id", "text", width = 8)
-      graft.api.Dedup.appendToGramIndex(
-        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
-        "graft_take_gidx", "doc_id", "text", width = 8)
-      graft.api.Dedup.compactGramIndex(s, "graft_take_gidx", deleted, width = 8)
-      graft.api.BandedLsh.saveSignatureIndex(docs.filter(col("doc_id") < 300),
-        "graft_take_sidx", 8, "doc_id", "text", 4, 8, 3, 123L, hotBucketCap = 5)
-      graft.api.BandedLsh.appendToSignatureIndex(
-        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
-        "graft_take_sidx", "doc_id", "text", 4, 8, 3, 123L)
-      graft.api.BandedLsh.compactSignatureIndex(s, "graft_take_sidx", deleted)
+      // the two index families (gram spans, signatures) are independent
+      // build→append→compact chains over disjoint tables, only joined at
+      // the final union — run the chains overlapped (guide §2.6); order
+      // WITHIN each chain is the lifecycle under test and stays sequential
+      graft.api.Par.run(s, Seq[(String, () => Unit)](
+        ("takedown_pipeline: gram-index chain", () => {
+          graft.api.Dedup.saveGramIndex(docs.filter(col("doc_id") < 300),
+            "graft_take_gidx", 8, "doc_id", "text", width = 8)
+          graft.api.Dedup.appendToGramIndex(
+            docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+            "graft_take_gidx", "doc_id", "text", width = 8)
+          graft.api.Dedup.compactGramIndex(s, "graft_take_gidx", deleted,
+            width = 8)
+        }),
+        ("takedown_pipeline: signature-index chain", () => {
+          graft.api.BandedLsh.saveSignatureIndex(
+            docs.filter(col("doc_id") < 300),
+            "graft_take_sidx", 8, "doc_id", "text", 4, 8, 3, 123L,
+            hotBucketCap = 5)
+          graft.api.BandedLsh.appendToSignatureIndex(
+            docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+            "graft_take_sidx", "doc_id", "text", 4, 8, 3, 123L)
+          graft.api.BandedLsh.compactSignatureIndex(s, "graft_take_sidx",
+            deleted)
+          ()
+        })))
       val survivors = docs.filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
       val spans = graft.api.Dedup.dupSpansFromIndex(s, "graft_take_gidx")
         .select(lit("span").as("surface"), col("doc_id").cast("long").as("a"),
@@ -1575,6 +1605,14 @@ object SparkEntry {
         .withColumn("text", graft.functions.html_main_content(col("page")))
         .select(col("doc_id"), col("url"), col("text"),
           length(col("text")).cast("long").as("n_chars_ext"))
+        // pin the extraction frontier: two downstream branches (the
+        // curation chain and the curated-text join) plus the export's
+        // several actions each replan the whole tape-parse + envelope +
+        // REP + extraction tree otherwise — measured ~8 s of driver-side
+        // Catalyst/AQE planning per bench pass at sf0.1 (guide §3.3:
+        // materialize an intermediate to truncate a huge plan); the
+        // checkpoint also evaluates the heavy decode/extract leg ONCE
+        .localCheckpoint()
       val blocked = Seq("src3.example.com", "src5.example.com").toDF("domain")
       val s1 = Domains.filterBlockedHosts(
         extracted.select("doc_id", "url", "n_chars_ext"), "url", "doc_id", blocked)

@@ -88,15 +88,32 @@ object BandedLsh {
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      ngramWidth: Int, bandCount: Int, bandSize: Int, seed: Long): DataFrame = {
     // bucket repartition → the self-join reads ONE ReusedExchange: the
-    // banding pass (lsh_min) runs once per document, not once per side
+    // banding pass (lsh_min) runs once per document, not once per side.
+    // The SHUFFLE_HASH hint is load-bearing for that: when the banded rows
+    // estimate under the broadcast threshold the planner would otherwise
+    // broadcast one side — which REPLACES that side's exchange with a
+    // broadcast build, so the CPU-bound minhash banding runs twice (once
+    // per side) and the build serializes on the driver (measured at sf0.1:
+    // a second full lsh_min pass + a 6.7 s single-task build). A shuffled
+    // hash join keeps both sides on the one exchange and builds per
+    // partition.
     val banded = bandedRows(df, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
       .select(col(idCol), col("band"), col("band_hash"))
       .repartition(col("band"), col("band_hash"))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
-    val idPairs = a.join(b, Seq("band", "band_hash"))
+    val n = SparkEnv.shufflePartitions(df.sparkSession)
+    val idPairs = a.hint("shuffle_hash").join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      // strict-width dedup: AQE sizes shuffles on BYTES, and a candidate
+      // id-pair stream is tiny bytes but quadratic-in-bucket CPU — the
+      // ENSURE_REQUIREMENTS exchange under distinct() was coalesced to ONE
+      // task (6.7 s serialized at sf0.1, the lsh_blocking_join pathology).
+      // REPARTITION_BY_NUM on the distinct keys is AQE-unresizable and
+      // already satisfies the aggregate's distribution, so the dedup runs
+      // at full width with no extra exchange.
+      .repartition(n, col("id_a"), col("id_b"))
       .distinct()
     idPairs
       .join(df.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")

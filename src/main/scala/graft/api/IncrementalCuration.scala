@@ -199,34 +199,59 @@ object IncrementalCuration {
     val spark = corpus.sparkSession
     import spark.implicits._
     val p = params
-    Dedup.saveGramIndex(corpus, gramTable(prefix), p.numBuckets,
-      idCol, textCol, p.width)
-    BandedLsh.saveSignatureIndex(corpus, sigTable(prefix), p.numBuckets,
-      idCol, textCol, p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed)
-    BucketedWrite.saveBucketed(lineCounts(corpus, idCol, textCol, "\n"),
-      lineTable(prefix), p.numBuckets, Seq("lh"))
-    BucketedWrite.dropTable(spark, nbTable(prefix))
-    QualityClassifier.nbCountsDf(corpus, textCol, labelCol, p.nbBuckets)
-      .write.format("parquet").saveAsTable(nbTable(prefix))
-    // ALL (h, doc_id) rows, not min-per-hash: the admit read side only
-    // needs min() (it re-aggregates anyway), and per-doc rows make the
-    // index DELETION-CLOSED — a takedown is one anti-join on doc_id,
-    // with no way for a deleted min-holder to hide a surviving twin
-    // (min-per-batch would lose the larger-id twin at append time).
-    // Size cost ~nothing: one row per doc vs one per distinct text.
-    BucketedWrite.saveBucketed(
-      corpus.select(xxhash64(col(textCol)).as("h"),
-        col(idCol).cast("long").as("doc_id")),
-      hashTable(prefix), p.numBuckets, Seq("h"))
-    BucketedWrite.dropTable(spark, vocabTable(prefix))
-    BpeTrain.mergesDf(spark,
-        BpeTrain.trainBpe(corpus, textCol, p.bpeMerges, p.bpeVocabCap))
-      .write.format("parquet").saveAsTable(vocabTable(prefix))
-    val maxId = corpus.agg(max(col(idCol).cast("long"))).head.getLong(0)
-    BucketedWrite.dropTable(spark, metaTable(prefix))
-    Seq(("max_doc_id", maxId), ("params_hash", paramsHash(p)))
-      .toDF("key", "value")
-      .write.format("parquet").saveAsTable(metaTable(prefix))
+    // the six index builds scan `corpus` seven+ times; when the input is
+    // a derived frame (joins, rewrites) each scan re-executes its whole
+    // plan — persist for the build's duration (the saveSignatureIndex
+    // precedent: input evaluated once, consumers read the cache)
+    val c = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the builds are INDEPENDENT writes to disjoint tables — overlap
+      // them (guide §2.6): each alone leaves most executors idle through
+      // its small stages and its scheduling floor; the high-water-mark
+      // aggregate rides along. Meta is written LAST and sequentially: it
+      // is the recovery SENTINEL (recoverFromWarehouse refuses statistic
+      // tables without meta), so every statistic table must be fully
+      // committed before the sentinel exists.
+      val maxId = Par.run(spark, Seq[(String, () => Any)](
+        (s"buildState($prefix): gram index", () =>
+          Dedup.saveGramIndex(c, gramTable(prefix), p.numBuckets,
+            idCol, textCol, p.width)),
+        (s"buildState($prefix): signature index", () =>
+          BandedLsh.saveSignatureIndex(c, sigTable(prefix), p.numBuckets,
+            idCol, textCol, p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed)),
+        (s"buildState($prefix): line document frequencies", () =>
+          BucketedWrite.saveBucketed(lineCounts(c, idCol, textCol, "\n"),
+            lineTable(prefix), p.numBuckets, Seq("lh"))),
+        (s"buildState($prefix): NB sufficient statistics", () => {
+          BucketedWrite.dropTable(spark, nbTable(prefix))
+          QualityClassifier.nbCountsDf(c, textCol, labelCol, p.nbBuckets)
+            .write.format("parquet").saveAsTable(nbTable(prefix))
+        }),
+        // ALL (h, doc_id) rows, not min-per-hash: the admit read side only
+        // needs min() (it re-aggregates anyway), and per-doc rows make the
+        // index DELETION-CLOSED — a takedown is one anti-join on doc_id,
+        // with no way for a deleted min-holder to hide a surviving twin
+        // (min-per-batch would lose the larger-id twin at append time).
+        // Size cost ~nothing: one row per doc vs one per distinct text.
+        (s"buildState($prefix): raw-hash index", () =>
+          BucketedWrite.saveBucketed(
+            c.select(xxhash64(col(textCol)).as("h"),
+              col(idCol).cast("long").as("doc_id")),
+            hashTable(prefix), p.numBuckets, Seq("h"))),
+        (s"buildState($prefix): BPE vocabulary", () => {
+          BucketedWrite.dropTable(spark, vocabTable(prefix))
+          BpeTrain.mergesDf(spark,
+              BpeTrain.trainBpe(c, textCol, p.bpeMerges, p.bpeVocabCap))
+            .write.format("parquet").saveAsTable(vocabTable(prefix))
+        }),
+        (s"buildState($prefix): id high-water mark", () =>
+          c.agg(max(col(idCol).cast("long"))).head.getLong(0))
+      ), parallelism = 4).last.asInstanceOf[Long]
+      BucketedWrite.dropTable(spark, metaTable(prefix))
+      Seq(("max_doc_id", maxId), ("params_hash", paramsHash(p)))
+        .toDF("key", "value")
+        .write.format("parquet").saveAsTable(metaTable(prefix))
+    } finally c.unpersist()
   }
 
   /** Stable fingerprint of the recipe parameters — persisted at build,
@@ -378,18 +403,23 @@ object IncrementalCuration {
     // index append — the contract appendToGramIndex documents.)
     // Batch-vs-A pairs probe the index while it still holds A only;
     // batch-vs-batch pairs come from one banding pass over the batch.
-    val abPairs = BandedLsh.nearDupAgainstIndex(sigTable(prefix),
-        corpusLookup.select(col(idCol), col(textCol)), b,
-        idCol, textCol, p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed,
-        p.simThreshold)
-      .select(col("batch_id").cast("long"), col("corpus_id").cast("long"))
-      .limit(math.min(p.maxDriverEdges, Int.MaxValue - 1L).toInt + 1)
-      .collect()
-    val bbPairs = BandedLsh.nearDupPairs(b, idCol, textCol,
-        p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed, p.simThreshold)
-      .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .limit(math.min(p.maxDriverEdges, Int.MaxValue - 1L).toInt + 1)
-      .collect()
+    // The two minings are independent read-only jobs — overlapped
+    // (guide §2.6), they fill each other's scheduling floor and tails.
+    val Seq(abPairs, bbPairs) = Par.run(spark, Seq[(String, () => Array[org.apache.spark.sql.Row])](
+      (s"admitBatch($prefix): batch-vs-index near-dup pairs", () =>
+        BandedLsh.nearDupAgainstIndex(sigTable(prefix),
+            corpusLookup.select(col(idCol), col(textCol)), b,
+            idCol, textCol, p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed,
+            p.simThreshold)
+          .select(col("batch_id").cast("long"), col("corpus_id").cast("long"))
+          .limit(math.min(p.maxDriverEdges, Int.MaxValue - 1L).toInt + 1)
+          .collect()),
+      (s"admitBatch($prefix): within-batch near-dup pairs", () =>
+        BandedLsh.nearDupPairs(b, idCol, textCol,
+            p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed, p.simThreshold)
+          .select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .limit(math.min(p.maxDriverEdges, Int.MaxValue - 1L).toInt + 1)
+          .collect())))
     require(abPairs.length <= p.maxDriverEdges &&
         bbPairs.length <= p.maxDriverEdges,
       s"near-dup edge list exceeds maxDriverEdges=${p.maxDriverEdges}; " +
@@ -433,19 +463,31 @@ object IncrementalCuration {
     }
 
     // ---- fold the batch into every statistic index (append-only) ----
-    Dedup.appendToGramIndex(b, gramTable(prefix), idCol, textCol, p.width)
-    BandedLsh.appendToSignatureIndex(b, sigTable(prefix), idCol, textCol,
-      p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed)
-    lineCounts(b, idCol, textCol, "\n")
-      .select(spark.table(lineTable(prefix)).columns.map(col).toIndexedSeq: _*)
-      .write.mode("append").insertInto(lineTable(prefix))
-    QualityClassifier.nbCountsDf(b, textCol, labelCol, p.nbBuckets)
-      .select(spark.table(nbTable(prefix)).columns.map(col).toIndexedSeq: _*)
-      .write.mode("append").insertInto(nbTable(prefix))
-    b.select(xxhash64(col(textCol)).as("h"),
-        col(idCol).cast("long").as("doc_id"))
-      .select(spark.table(hashTable(prefix)).columns.map(col).toIndexedSeq: _*)
-      .write.mode("append").insertInto(hashTable(prefix))
+    // five appends to DISJOINT tables with no cross-reads — overlapped
+    // (guide §2.6). Crash semantics are unchanged: any subset landing is
+    // the same torn state the sequential order could leave (the dangling
+    // gen_started marker, or the documented mid-append rebuild), and the
+    // verdict reads below start only after every append has committed.
+    Par.run(spark, Seq[(String, () => Unit)](
+      (s"admitBatch($prefix): gram index append", () =>
+        Dedup.appendToGramIndex(b, gramTable(prefix), idCol, textCol, p.width)),
+      (s"admitBatch($prefix): signature index append", () =>
+        BandedLsh.appendToSignatureIndex(b, sigTable(prefix), idCol, textCol,
+          p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed)),
+      (s"admitBatch($prefix): line-df append", () =>
+        lineCounts(b, idCol, textCol, "\n")
+          .select(spark.table(lineTable(prefix)).columns.map(col).toIndexedSeq: _*)
+          .write.mode("append").insertInto(lineTable(prefix))),
+      (s"admitBatch($prefix): NB counts append", () =>
+        QualityClassifier.nbCountsDf(b, textCol, labelCol, p.nbBuckets)
+          .select(spark.table(nbTable(prefix)).columns.map(col).toIndexedSeq: _*)
+          .write.mode("append").insertInto(nbTable(prefix))),
+      (s"admitBatch($prefix): raw-hash append", () =>
+        b.select(xxhash64(col(textCol)).as("h"),
+            col(idCol).cast("long").as("doc_id"))
+          .select(spark.table(hashTable(prefix)).columns.map(col).toIndexedSeq: _*)
+          .write.mode("append").insertInto(hashTable(prefix)))
+    ), parallelism = 3)
     // ---- verdict 1: exact keep-earliest over A ∪ B ----
     val bh = b.select(col(idCol).cast("long").as("doc_id"),
       xxhash64(col(textCol)).as("h"))
@@ -494,9 +536,22 @@ object IncrementalCuration {
       }
     val nbDropRows = pastNear.filter(!(col("nb_score") > 0.0))
       .select(col("doc_id"), lit("nb_quality").as("reason"))
-    exactDropRows.unionByName(nearDropRows).unionByName(nbDropRows)
-      .write.mode("append").format("parquet")
-      .saveAsTable(reasonsTable(prefix))
+    // the reasons write and the span assembly both read only post-append
+    // state and neither reads the other's output — overlapped (§2.6); the
+    // meta rewrite below still waits for BOTH, so gen_done continues to
+    // imply the reasons audit is durable.
+    val out = Par.run(spark, Seq[(String, () => AnyRef)](
+      (s"admitBatch($prefix): reasons audit append", () => {
+        exactDropRows.unionByName(nearDropRows).unionByName(nbDropRows)
+          .write.mode("append").format("parquet")
+          .saveAsTable(reasonsTable(prefix))
+        null
+      }),
+      // ---- span assembly + one rewrite (shared with the replay path) ----
+      (s"admitBatch($prefix): span assembly + rewrite", () =>
+        assembleAdmitOutput(spark, b, bench, admitted,
+          prefix, idCol, textCol, maxId, p))
+    )).last.asInstanceOf[DataFrame]
 
     // ---- meta rewrite: high-water mark + generation commit ----
     // AFTER the reasons write (the replay path reconstructs the admitted
@@ -516,10 +571,6 @@ object IncrementalCuration {
       .localCheckpoint()
     BucketedWrite.dropTable(spark, metaTable(prefix))
     newMeta.write.format("parquet").saveAsTable(metaTable(prefix))
-
-    // ---- span assembly + one rewrite (shared with the replay path) ----
-    val out = assembleAdmitOutput(spark, b, bench, admitted,
-      prefix, idCol, textCol, maxId, p)
     b.unpersist()
     out
   }
@@ -609,33 +660,41 @@ object IncrementalCuration {
         "(stored fingerprint absent or differs) — compact with the " +
         "build's values")
 
-    def compactOne(t: String, fold: DataFrame => DataFrame,
-                   bucketKeys: Seq[String]): (String, Long, Long) =
-      rewriteStaged(spark, t, fold, bucketKeys, p.numBuckets)
-
     val lineT = lineTable(prefix)
     val nbT = nbTable(prefix)
     val hashT = hashTable(prefix)
     val sigT = sigTable(prefix)
     val gramT = gramTable(prefix)
-    val out = Seq.newBuilder[(String, Long, Long)]
-    out += compactOne(lineT,
-      _.groupBy("lh").agg(sum("docs").as("docs"))
-        .filter(col("docs") =!= 0L).select("lh", "docs"), Seq("lh"))
-    out += compactOne(nbT,
-      _.groupBy("bucket").agg(sum("pos_cnt").as("pos_cnt"),
-          sum("neg_cnt").as("neg_cnt"))
-        .select("bucket", "pos_cnt", "neg_cnt"), Seq.empty)
-    out += compactOne(hashT, _.select("h", "doc_id"), Seq("h"))
-    out += compactOne(sigT, _.select("band", "band_hash", "corpus_id"),
-      Seq("band", "band_hash"))
-    if (spark.catalog.tableExists(s"${sigT}_hot"))
-      out += compactOne(s"${sigT}_hot",
-        _.select("band", "band_hash", "corpus_id"), Seq.empty)
-    out += compactOne(gramT, _.select("gh", "doc_id", "pos"), Seq("gh"))
-    out += compactOne(s"${gramT}_flags",
-      _.select("doc_id", "pos", "fin").distinct(), Seq.empty)
-    out.result().toDF("table", "rows_before", "rows_after")
+    // one staged rewrite per table, each independent and per-table atomic
+    // (stage fully, then drop+rename) — overlapped (guide §2.6). The
+    // crash contract is unchanged: any interleaving leaves every table
+    // fully old or fully new, and partial progress is safe because
+    // compaction is semantics-preserving; results keep input order.
+    val tables: Seq[(String, DataFrame => DataFrame, Seq[String])] =
+      Seq[(String, DataFrame => DataFrame, Seq[String])](
+        (lineT, _.groupBy("lh").agg(sum("docs").as("docs"))
+          .filter(col("docs") =!= 0L).select("lh", "docs"), Seq("lh")),
+        (nbT, _.groupBy("bucket").agg(sum("pos_cnt").as("pos_cnt"),
+            sum("neg_cnt").as("neg_cnt"))
+          .select("bucket", "pos_cnt", "neg_cnt"), Seq.empty),
+        (hashT, (d: DataFrame) => d.select("h", "doc_id"), Seq("h")),
+        (sigT, (d: DataFrame) => d.select("band", "band_hash", "corpus_id"),
+          Seq("band", "band_hash"))) ++
+      (if (spark.catalog.tableExists(s"${sigT}_hot"))
+        Seq((s"${sigT}_hot",
+          (d: DataFrame) => d.select("band", "band_hash", "corpus_id"),
+          Seq.empty[String]))
+      else Seq.empty) ++
+      Seq[(String, DataFrame => DataFrame, Seq[String])](
+        (gramT, (d: DataFrame) => d.select("gh", "doc_id", "pos"), Seq("gh")),
+        (s"${gramT}_flags",
+          (d: DataFrame) => d.select("doc_id", "pos", "fin").distinct(),
+          Seq.empty))
+    val out = Par.run(spark, tables.map { case (t, fold, keys) =>
+      (s"compactState($prefix): rewrite $t",
+        () => rewriteStaged(spark, t, fold, keys, p.numBuckets))
+    }, parallelism = 4)
+    out.toDF("table", "rows_before", "rows_after")
   }
 
   /** Stage → drop → rename rewrite of one state table: `fold` reads the
@@ -750,23 +809,34 @@ object IncrementalCuration {
           "already ran (re-running would double-subtract); rebuild day-1 " +
           "state if the takedown itself was interrupted mid-way")
 
-      // hash FIRST: once these rows are gone, any re-entry of this
-      // function (crash between tables, accidental repeat) fails the
+      // hash FIRST (and alone): once these rows are gone, any re-entry of
+      // this function (crash between tables, accidental repeat) fails the
       // coverage check above instead of double-subtracting counts
       rewriteStaged(spark, hashTable(prefix),
         _.join(broadcast(delIds), Seq("doc_id"), "left_anti")
           .select("h", "doc_id"), Seq("h"), p.numBuckets)
-      BandedLsh.compactSignatureIndex(spark, sigTable(prefix), delIds)
-      Dedup.compactGramIndex(spark, gramTable(prefix), delIds, p.width)
-      lineCounts(del, idCol, textCol, "\n")
-        .select(col("lh"), (-col("docs")).as("docs"))
-        .select(spark.table(lineTable(prefix)).columns.map(col).toIndexedSeq: _*)
-        .write.mode("append").insertInto(lineTable(prefix))
-      QualityClassifier.nbCountsDf(del, textCol, labelCol, p.nbBuckets)
-        .select(col("bucket"), (-col("pos_cnt")).as("pos_cnt"),
-          (-col("neg_cnt")).as("neg_cnt"))
-        .select(spark.table(nbTable(prefix)).columns.map(col).toIndexedSeq: _*)
-        .write.mode("append").insertInto(nbTable(prefix))
+      // the remaining four subtractions touch disjoint tables — overlapped
+      // (guide §2.6); a crash mid-bundle leaves the same refused-on-re-run
+      // torn state as a crash between the sequential calls did
+      Par.run(spark, Seq[(String, () => Unit)](
+        (s"takedownState($prefix): signature index", () => {
+          BandedLsh.compactSignatureIndex(spark, sigTable(prefix), delIds)
+          ()
+        }),
+        (s"takedownState($prefix): gram index", () =>
+          Dedup.compactGramIndex(spark, gramTable(prefix), delIds, p.width)),
+        (s"takedownState($prefix): line-df subtraction", () =>
+          lineCounts(del, idCol, textCol, "\n")
+            .select(col("lh"), (-col("docs")).as("docs"))
+            .select(spark.table(lineTable(prefix)).columns.map(col).toIndexedSeq: _*)
+            .write.mode("append").insertInto(lineTable(prefix))),
+        (s"takedownState($prefix): NB-counts subtraction", () =>
+          QualityClassifier.nbCountsDf(del, textCol, labelCol, p.nbBuckets)
+            .select(col("bucket"), (-col("pos_cnt")).as("pos_cnt"),
+              (-col("neg_cnt")).as("neg_cnt"))
+            .select(spark.table(nbTable(prefix)).columns.map(col).toIndexedSeq: _*)
+            .write.mode("append").insertInto(nbTable(prefix)))
+      ), parallelism = 4)
     } finally del.unpersist()
   }
 

@@ -20,11 +20,13 @@ import graft.core.HyperLogLog.lnPinned
   * algebra, every log argument ≥ 1 so [[graft.core.HyperLogLog.lnPinned]]
   * covers the whole model.
   *
-  * Scale shape: training = two map-side-combined aggregates (one per
-  * class), each bounded by `buckets`; the model is `buckets` doubles + one
-  * prior, riding the scoring plan as a literal array. Scoring = one
-  * corpus pass, whole-stage-codegen'd fold, no shuffle, no UDF. At 100 TB
-  * nothing here grows with the corpus except the two count scans.
+  * Scale shape: training = ONE map-side-combined aggregate over the
+  * labeled corpus (both classes' bucket counts and both document counts
+  * fused into a single pass), output bounded by `buckets`; the model is
+  * `buckets` doubles + one prior, riding the scoring plan as a literal
+  * array. Scoring = one corpus pass, whole-stage-codegen'd fold, no
+  * shuffle, no UDF. At 100 TB nothing here grows with the corpus except
+  * the one count scan.
   */
 object QualityClassifier {
 
@@ -72,12 +74,16 @@ object QualityClassifier {
     * scans + one scoring pass. */
   def trainScore(docs: DataFrame, textCol: String, labelCol: Column,
                  buckets: Int, out: String = "nb_score"): DataFrame = {
-    val pos = docs.where(labelCol)
-    val neg = docs.where(!labelCol)
-    // prior first: its non-empty-class guard fires on cheap count-only
-    // scans, before the two feature aggregations are paid
-    val prior = nbPrior(pos.count(), neg.count())
-    val lo = nbLogOdds(pos, neg, textCol, buckets)
+    // one fused pass for all four training statistics (was: two count-only
+    // scans + two per-class feature scans); same integer counts ⇒ the same
+    // lnPinned arguments ⇒ a bit-identical model
+    val (p, n, nPos, nNeg) = classBucketCounts(docs, textCol, labelCol, buckets)
+    val prior = nbPrior(nPos, nNeg)
+    val pTot = p.sum.toDouble + buckets
+    val nTot = n.sum.toDouble + buckets
+    val lo = Array.tabulate(buckets) { b =>
+      lnPinned((p(b) + 1).toDouble * nTot) - lnPinned((n(b) + 1).toDouble * pTot)
+    }
     nbScore(docs, textCol, lo, prior, out)
   }
 
@@ -99,17 +105,57 @@ object QualityClassifier {
     * reconstitutes the model bit-exactly. */
   def nbCountsDf(docs: DataFrame, textCol: String, labelCol: Column,
                  buckets: Int): DataFrame = {
-    require(buckets >= 2 && buckets <= (1 << 20),
-      s"buckets must be in [2, 2^20], got $buckets")
+    val (p, n, nPos, nNeg) = classBucketCounts(docs, textCol, labelCol, buckets)
     val spark = docs.sparkSession
     import spark.implicits._
-    val pos = docs.where(labelCol)
-    val neg = docs.where(!labelCol)
-    val p = Sampling.dsirBucketCounts(pos, textCol, buckets)
-    val n = Sampling.dsirBucketCounts(neg, textCol, buckets)
-    val rows = (DocCountBucket, pos.count(), neg.count()) +:
+    val rows = (DocCountBucket, nPos, nNeg) +:
       Array.tabulate(buckets)(b => (b, p(b), n(b))).toIndexedSeq
     rows.toDF("bucket", "pos_cnt", "neg_cnt")
+  }
+
+  /** Both classes' dense per-bucket feature counts plus the class document
+    * counts, in ONE corpus pass (guide §1.2: the statistics are four
+    * aggregates over the same scan — computed separately they cost four
+    * full input evaluations, fused they cost one). Each doc contributes a
+    * sentinel element (the document-count row) plus its feature stream to
+    * a single exploded aggregation keyed by (bucket, label); counts are
+    * integers, so the fused form is bit-identical to the per-class scans
+    * it replaced ([[Sampling.dsirBucketCounts]] semantics: same crc32 pmod
+    * bucketing, docs whose label is NULL belong to neither class). */
+  private def classBucketCounts(docs: DataFrame, textCol: String,
+                                labelCol: Column, buckets: Int)
+      : (Array[Long], Array[Long], Long, Long) = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val fs = Sampling.dsirFeatures(col(textCol))
+    val rows = docs
+      .select(labelCol.as("__p"), fs.as("__fs"))
+      .where(col("__p").isNotNull)
+      // sentinel-first element = the per-doc count; real features follow.
+      // struct, not a magic string: any string can be a genuine feature.
+      .select(col("__p"), explode(concat(
+        array(struct(lit(true).as("d"), lit("").as("f"))),
+        transform(col("__fs"), f => struct(lit(false).as("d"), f.as("f")))))
+        .as("e"))
+      .groupBy(
+        when(col("e.d"), lit(DocCountBucket))
+          .otherwise(pmod(crc32(col("e.f").cast("binary")),
+            lit(buckets.toLong)).cast("int")).as("b"),
+        col("__p"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val p = new Array[Long](buckets)
+    val n = new Array[Long](buckets)
+    var nPos = 0L
+    var nNeg = 0L
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      val c = r.getLong(2)
+      if (b == DocCountBucket) { if (r.getBoolean(1)) nPos = c else nNeg = c }
+      else if (r.getBoolean(1)) p(b) = c
+      else n(b) = c
+    }
+    (p, n, nPos, nNeg)
   }
 
   /** Reconstitute `(logOdds, prior)` from a persisted [[nbCountsDf]]

@@ -239,8 +239,13 @@ object Sampling {
                     buckets: Int): Array[Double] = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20], got $buckets")
-    val t = dsirBucketCounts(target, textCol, buckets)
-    val r = dsirBucketCounts(raw, textCol, buckets)
+    // the two sides' counts are independent aggregations — overlapped
+    // (guide §2.6); counts are integers, so the result is bit-unchanged
+    val Seq(t, r) = Par.run(raw.sparkSession, Seq[(String, () => Array[Long])](
+      ("dsirLogRatios: target bucket counts",
+        () => dsirBucketCounts(target, textCol, buckets)),
+      ("dsirLogRatios: raw bucket counts",
+        () => dsirBucketCounts(raw, textCol, buckets))))
     val tTot = t.sum.toDouble + buckets
     val rTot = r.sum.toDouble + buckets
     Array.tabulate(buckets) { b =>

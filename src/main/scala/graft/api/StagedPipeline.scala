@@ -156,21 +156,51 @@ object StagedPipeline {
     val stop = math.min(stages.length, stopAfter)
     var frontier =
       if (done == 0) input else spark.table(stageTable(tablePrefix, done - 1))
-    for (i <- done until stop) {
-      val out = stages(i)._2(frontier)
-      val tbl = stageTable(tablePrefix, i)
-      // a partial table from a crashed attempt has no manifest row and
-      // holds nothing unique — drop catalog entry AND orphan directory
-      BucketedWrite.dropTable(spark, tbl)
-      out.write.format("parquet").saveAsTable(tbl)
-      val rows = spark.table(tbl).count()
-      import spark.implicits._
-      Seq((i, stages(i)._1, tbl, rows))
-        .toDF("stage_idx", "stage_name", "out_table", "out_rows")
-        .coalesce(1).write.format("parquet").mode("append")
-        .saveAsTable(manifestTable(tablePrefix))
-      frontier = spark.table(tbl)
-    }
+    // stage COMPUTE is sequential by definition (each stage reads the
+    // previous frontier), but the per-stage COMMIT (footer count +
+    // 1-row manifest append) only reads the just-written immutable table
+    // — run commits on one background thread so stage i+1's compute
+    // overlaps stage i's commit (guide §2.6). A single thread keeps
+    // manifest rows in stage order, so the contiguous-prefix replay
+    // invariant holds; the crash contract is unchanged — a stage whose
+    // commit hadn't landed yet is simply re-run from its intact
+    // predecessor on resume, exactly like a crash before the append.
+    val commitPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-staged-commit")
+        t.setDaemon(true); t })
+    val pending =
+      scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
+    try {
+      for (i <- done until stop) {
+        val out = stages(i)._2(frontier)
+        val tbl = stageTable(tablePrefix, i)
+        // a partial table from a crashed attempt has no manifest row and
+        // holds nothing unique — drop catalog entry AND orphan directory
+        BucketedWrite.dropTable(spark, tbl)
+        out.write.format("parquet").saveAsTable(tbl)
+        pending += commitPool.submit(new Runnable {
+          def run(): Unit = {
+            spark.sparkContext.setJobDescription(
+              s"staged($tablePrefix): commit stage $i")
+            val rows = spark.table(tbl).count()
+            import spark.implicits._
+            Seq((i, stages(i)._1, tbl, rows))
+              .toDF("stage_idx", "stage_name", "out_table", "out_rows")
+              .coalesce(1).write.format("parquet").mode("append")
+              .saveAsTable(manifestTable(tablePrefix))
+            spark.sparkContext.setJobDescription(null)
+          }
+        })
+        frontier = spark.table(tbl)
+      }
+      // every commit must be durable before this run returns (callers
+      // replay the manifest — a resumed run with commits still in flight
+      // would re-run committed stages)
+      pending.foreach(f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause })
+    } finally commitPool.shutdown()
     // stages.nonEmpty + stopAfter >= 1 force stop >= 1: the last
     // committed table always exists by the time we get here
     spark.table(stageTable(tablePrefix, stop - 1))

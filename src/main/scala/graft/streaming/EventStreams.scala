@@ -1128,10 +1128,17 @@ object EventStreams {
     Seq(lookupTbl, resTbl, benchTbl)
       .foreach(graft.api.BucketedWrite.dropTable(spark, _))
     val corpusDf = corpus.toDF("doc_id", "text", "lang")
-    graft.api.IncrementalCuration.buildState(corpusDf, prefix,
-      "doc_id", "text", col("lang") === "en", params)
-    corpusDf.write.format("parquet").saveAsTable(lookupTbl)
-    bench.toDF("doc_id", "text").write.format("parquet").saveAsTable(benchTbl)
+    // day-1 state build and the lookup/bench table writes are independent
+    // (disjoint tables) — overlapped, guide §2.6
+    graft.api.Par.run(spark, Seq[(String, () => Unit)](
+      ("incrementalAdmitReplay: day-1 state build", () =>
+        graft.api.IncrementalCuration.buildState(corpusDf, prefix,
+          "doc_id", "text", col("lang") === "en", params)),
+      ("incrementalAdmitReplay: corpus lookup table", () =>
+        corpusDf.write.format("parquet").saveAsTable(lookupTbl)),
+      ("incrementalAdmitReplay: bench table", () =>
+        bench.toDF("doc_id", "text").write.format("parquet")
+          .saveAsTable(benchTbl))))
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
     val q = mem.toDF().toDF("doc_id", "text", "lang").writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
