@@ -4014,6 +4014,10 @@ object SparkEntry {
       val docs = load(s, dir, "documents")
       val vecs = graft.api.TextAnalysis.tfidfEmbed(docs, "doc_id", "text", 32)
         .select(col("doc_id").as("vec_id"), col("embedding"))
+        // pin the embedding frontier: SemDeDup consumes its input four
+        // ways (k-means sample, assignment, both self-join sides) and
+        // each consumer re-ran the whole tokenize→df→idf→norm chain
+        .localCheckpoint()
       graft.api.SemanticDedup.semanticDedup(vecs, nClusters = 8, tau = 0.3,
           seed = 7L, iters = 5, sampleSize = 500)
         .orderBy("vec_id")

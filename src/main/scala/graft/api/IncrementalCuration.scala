@@ -336,7 +336,8 @@ object IncrementalCuration {
     val idStats = b.agg(count(lit(1)).as("n"),
         countDistinct(col(idCol)).as("nd"),
         min(col(idCol).cast("long")).as("mn"),
-        max(col(idCol).cast("long")).as("mx")).head
+        max(col(idCol).cast("long")).as("mx"),
+        count(col(textCol)).as("ntext")).head
     require(idStats.getLong(0) > 0L,
       "admitBatch got an EMPTY batch: nothing to admit (and the id " +
         "contract checks would be vacuous) — skip the call")
@@ -344,6 +345,17 @@ object IncrementalCuration {
       s"batch ids must be unique (got ${idStats.getLong(0)} rows over " +
         s"${idStats.getLong(1)} distinct ids): keep-earliest and the " +
         "admit-reasons audit assume one row per doc id")
+    // NULL text is refused up front (round-20 advice finding): a null-text
+    // doc can land in NEITHER the admitted set NOR the reasons audit
+    // (both filters are null-blind on nb_score), so a generation REPLAY
+    // would resurrect it as admitted and break the bit-equal
+    // exactly-once contract — and every statistic index assumes a
+    // present (possibly empty) raw text anyway
+    require(idStats.getLong(4) == idStats.getLong(0),
+      s"batch has ${idStats.getLong(0) - idStats.getLong(4)} NULL-text " +
+        s"doc(s): every admit verdict and statistic is a function of the " +
+        "raw text — map nulls to empty strings (or drop the rows) " +
+        "upstream, BEFORE admission")
     val batchMin = idStats.getLong(2)
     val batchMax = idStats.getLong(3)
 

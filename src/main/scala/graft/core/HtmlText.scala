@@ -292,7 +292,21 @@ object HtmlText {
         val c = s.charAt(i + 5)
         c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '/' || c == '>'
       }) && isMetaAt(i)) {
-        val gt = s.indexOf('>', i + 5)
+        // quote-aware tag end: a '>' INSIDE a quoted attribute value
+        // (<meta name="a>b" charset="utf-8">) must not truncate the
+        // attribute scan — a missed declaration here mis-decodes the
+        // whole page (round-20 advice finding; metaRobots keeps the
+        // simpler scan, where the same quirk only risks a missed drop)
+        var gt = -1
+        var p = i + 5
+        var quote: Char = 0
+        while (gt < 0 && p < n) {
+          val c = s.charAt(p)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else if (c == '"' || c == '\'') quote = c
+          else if (c == '>') gt = p
+          p += 1
+        }
         val end = if (gt < 0) n else gt
         var j = i + 5
         var charsetAttr: String = null

@@ -693,9 +693,16 @@ object HttpBodyText {
         java.nio.charset.StandardCharsets.ISO_8859_1)
       // chunk extensions (";name=value") are legal and ignorable
       val sizeStr = line.takeWhile(_ != ';').trim
+      // pure hex digits only: parseLong(_, 16) also accepts signed forms
+      // ('-1f', '+5') — a negative size would slip past the zero/guard/
+      // truncation checks and reach out.write with a negative length,
+      // surfacing as a raw IndexOutOfBounds instead of the named framing
+      // error this decoder promises (round-20 advice finding)
       val size =
         try {
-          require(sizeStr.nonEmpty)
+          require(sizeStr.nonEmpty && sizeStr.forall(c =>
+            (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+              (c >= 'A' && c <= 'F')))
           java.lang.Long.parseLong(sizeStr, 16)
         } catch { case _: IllegalArgumentException =>
           fail(s"chunk size not hex: '$line'")
@@ -827,8 +834,20 @@ object HttpBodyText {
           "identity, gzip and (zlib-wrapped) deflate; an undecodable tape " +
           "body is a transfer problem, not row data")
     }
+    // the WHATWG prescan is specified for HTML documents only: a
+    // text/plain / JSON / XML body whose first 1024 bytes happen to
+    // contain a literal '<meta charset=...>' must not be relabeled
+    // (round-20 advice finding) — gate on an html-ish media type, with
+    // an ABSENT Content-Type staying prescan-eligible (header-less legacy
+    // pages are the prescan's reason to exist)
+    val htmlish = headerLines
+      .collectFirst { case l if l.startsWith("content-type:") =>
+        l.substring("content-type:".length).trim
+          .takeWhile(c => c != ';' && c > ' ') }
+      .forall(m => m == "text/html" || m == "application/xhtml+xml" ||
+        m.isEmpty)
     val charset = headerCharset
-      .orElse(metaCharsetPrescan(cb, cOff, cLen))
+      .orElse(if (htmlish) metaCharsetPrescan(cb, cOff, cLen) else None)
       .getOrElse("utf-8")
     decode(cb, cOff, cLen, charset)
   }

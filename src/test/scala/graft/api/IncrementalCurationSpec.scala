@@ -257,6 +257,16 @@ class IncrementalCurationSpec extends AnyFunSuite {
         bench, df(dayA), prefix, "doc_id", "text", col("lang") === "en", P)
     }
     assert(e4.getMessage.contains("unique"), e4.getMessage)
+    // NULL text refuses up front: a null-text doc would land in neither
+    // the admitted set nor the reasons audit (nb_score filters are
+    // null-blind), so a generation replay would RESURRECT it as admitted
+    // — the round-20 advice finding
+    val e5 = intercept[IllegalArgumentException] {
+      IncrementalCuration.admitBatch(
+        df(Seq((500L, null, "en"), (501L, "fine", "en"))),
+        bench, df(dayA), prefix, "doc_id", "text", col("lang") === "en", P)
+    }
+    assert(e5.getMessage.contains("NULL-text"), e5.getMessage)
   }
 
   test("admitBatch generation markers: replay skips + reproduces, torn state refuses") {

@@ -173,6 +173,15 @@ class WarcFilesSpec extends AnyFunSuite {
       ("HTTP/1.1 200 OK\r\nTransfer-Encoding: brotli\r\n\r\nx")
         .getBytes("UTF-8"), 1 << 20))
     assert(e7.getMessage.contains("unsupported Transfer-Encoding"), e7.getMessage)
+    // SIGNED size lines ('-1f', '+5') are not wire-legal hex: parseLong
+    // alone would accept them and a negative length would surface as a
+    // raw IndexOutOfBounds instead of the named framing error
+    for (bad <- Seq("-1f", "+5")) {
+      val eS = intercept[IllegalArgumentException](
+        HttpBodyText.body(block(s"$bad\r\ndata\r\n0\r\n\r\n"), 1 << 20))
+      assert(eS.getMessage.contains("not hex"),
+        s"signed size '$bad' must hit the named framing error, got: ${eS.getMessage}")
+    }
     // extensions, UPPER hex, trailers: all legal, all accepted
     val ok = HttpBodyText.body(
       block("5;x=1\r\nhello\r\nB\r\n 0123456789\r\n0\r\nX-T: v\r\n\r\n"),
@@ -218,6 +227,25 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(HttpBodyText.body(page("text/html",
       m6.getBytes("UTF-8")), 1 << 20).toString == m6,
       "a charset= inside an unrelated attribute value must not apply")
+    // the prescan is HTML-only (WHATWG): a text/plain body that happens
+    // to contain a literal meta tag must NOT be relabeled...
+    val m7 = "<meta charset=\"iso-8859-1\"> in a plain-text doc café"
+    assert(HttpBodyText.body(page("text/plain",
+      m7.getBytes("ISO-8859-1")), 1 << 20).toString.contains("caf�"),
+      "a text/plain body must not be relabeled by an embedded meta tag")
+    // ...while an ABSENT Content-Type stays prescan-eligible (header-less
+    // legacy pages are the prescan's reason to exist)
+    val m8 = "<meta charset=\"windows-1252\"><p>€</p>"
+    assert(HttpBodyText.body(
+      ("HTTP/1.1 200 OK\r\n\r\n").getBytes("UTF-8") ++
+        m8.getBytes("windows-1252"), 1 << 20).toString == m8,
+      "an absent Content-Type must keep the prescan eligible")
+    // quote-aware tag end: a '>' inside a quoted attribute value must not
+    // truncate the scan before the charset attribute
+    val m9 = "<meta name=\"a>b\" charset=\"windows-1252\"><p>€</p>"
+    assert(HttpBodyText.body(page("text/html",
+      m9.getBytes("windows-1252")), 1 << 20).toString == m9,
+      "a quoted '>' must not hide the charset declaration")
   }
 
   test("http_status / http_header: envelope probes with honest nulls") {
