@@ -650,6 +650,13 @@ object BandedLsh {
         .select(keys.map(col): _*)
         .collect()
       BucketedWrite.dropTable(spark, s"${table}_hot")
+      // the two store writes stay SEQUENTIAL deliberately: both are
+      // 32-task CPU-saturating jobs over the already-materialized cache
+      // (the hot-key collect populated it), so overlapping them buys no
+      // idle capacity — measured at sf0.1, the overlapped form inflated
+      // the main write's wall 0.8 -> 2.1 s (slot convoy), strictly worse
+      // than the 1.4 s sequential sum (guide §2.6 helps scheduling-floor
+      // jobs, not saturating ones)
       if (hotKeyRows.isEmpty) {
         // nothing degenerate: the main index is the full row set and the
         // sidecar is a metadata-only empty table (its existence tells the
@@ -700,12 +707,29 @@ object BandedLsh {
     val rows = bandedRows(batch, idCol, textCol, ngramWidth, bandCount, bandSize, seed)
       .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"))
     if (spark.catalog.tableExists(s"${table}_hot")) {
-      val hotKeys = broadcast(
-        spark.table(s"${table}_hot").select(keys.map(col): _*).distinct())
-      rows.join(hotKeys, keys, "left_anti")
-        .write.mode("append").insertInto(table)
-      rows.join(hotKeys, keys, "left_semi")
-        .write.mode("append").insertInto(s"${table}_hot")
+      // pin the hot KEY set BEFORE either write: built once instead of
+      // once per write job, and — because the hot append mutates the very
+      // table the key set reads — the overlapped writes below must both
+      // route against the PRE-append classification (appends never
+      // re-classify, so the set is append-invariant anyway; pinning makes
+      // that a property of the plan, not an argument about listing races)
+      val keyFields = spark.table(s"${table}_hot").select(keys.map(col): _*).schema
+      val hotKeys = broadcast(spark.createDataFrame(java.util.Arrays.asList(
+        spark.table(s"${table}_hot").select(keys.map(col): _*).distinct()
+          .collect(): _*), keyFields))
+      // persist: the banding pass (the batch's CPU cost) must run once,
+      // not once per store write — the cold append computes and caches
+      // it, the hot append reads the cache. The writes themselves stay
+      // sequential: both saturate the cores over the cache, so overlap
+      // buys nothing and the measured slot convoy costs wall (the
+      // saveSignatureIndex note above)
+      val pinned = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        pinned.join(hotKeys, keys, "left_anti")
+          .write.mode("append").insertInto(table)
+        pinned.join(hotKeys, keys, "left_semi")
+          .write.mode("append").insertInto(s"${table}_hot")
+      } finally pinned.unpersist()
     } else {
       rows.write.mode("append").insertInto(table)
     }
@@ -783,13 +807,19 @@ object BandedLsh {
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(
         s"$table is not a bucketed signature index"))
-    val mainRemoved = spark.table(table)
-      .join(del, Seq("corpus_id"), "left_semi").count()
+    // the two per-store match counts are independent TINY read-only jobs
+    // (broadcast-probe scans dominated by the scheduling floor) —
+    // overlapped (guide §2.6); the heavier staging writes below stay
+    // sequential, and the swaps stay sequential and ordered (sidecar
+    // first), which is the crash contract
     val hotLive = spark.catalog.tableExists(hotTable)
-    val hotRemoved =
-      if (hotLive)
-        spark.table(hotTable).join(del, Seq("corpus_id"), "left_semi").count()
-      else 0L
+    val Seq(mainRemoved, hotRemoved) = Par.run(spark, Seq[(String, () => Long)](
+      (s"compactSignatureIndex($table): main match count", () =>
+        spark.table(table).join(del, Seq("corpus_id"), "left_semi").count()),
+      (s"compactSignatureIndex($table): hot match count", () =>
+        if (hotLive)
+          spark.table(hotTable).join(del, Seq("corpus_id"), "left_semi").count()
+        else 0L)))
     // stage every survivor set BEFORE the first swap: the only
     // unrecoverable-by-rerun window is inside a RENAME, and staging first
     // keeps that window to the two metadata operations per store
@@ -797,6 +827,8 @@ object BandedLsh {
     // join key to the front, and the rewritten table must keep the layout
     // appendToSignatureIndex's positional insertInto expects
     val cols = Seq("band", "band_hash", "corpus_id").map(col)
+    // the staging writes stay sequential: each is a saturating scan+write
+    // (the overlap-vs-convoy measurement in saveSignatureIndex's note)
     if (mainRemoved > 0)
       BucketedWrite.saveBucketed(
         spark.table(table).join(del, Seq("corpus_id"), "left_anti")
