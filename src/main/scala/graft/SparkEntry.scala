@@ -1921,12 +1921,8 @@ object SparkEntry {
       // the incremental Scala trainer ~1 s, and the gap grows linearly
       // in merges (docs/SCALE.md MERGES-axis row).
       val li = load(s, dir, "lineitem")
-      // spread: the lineitem scan is 3 splits at sf0.1, and the dict
-      // pass's explode+hash runs on those 3 tasks while 29 cores idle
-      // (measured: 1.6 s wall = 1.6 s run); the concat text is narrow,
-      // so the round-robin exchange is cheap next to 10x the width
-      val nums = graft.api.SparkEnv.spread(li.select(concat_ws(" ",
-        col("l_orderkey"), col("l_partkey"), col("l_suppkey")).as("text")))
+      val nums = li.select(concat_ws(" ",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey")).as("text"))
       graft.api.BpeTrain
         .mergesDf(s, graft.api.BpeTrain.trainBpe(nums, "text", 1024,
           vocabCap = 8192))
@@ -1941,14 +1937,15 @@ object SparkEntry {
       // per-row values would bloat the pinned oracle; the checksum pins
       // WHICH rows land in each bucket, not just how many).
       val li = load(s, dir, "lineitem")
-      // spread (the bpe_train_1k rationale): both consumers — the dict
-      // pass and the per-row bpe_count scan — otherwise run on the
-      // 3-split scan's tasks (1.6 + 1.1 s serialized at sf0.1); NOT
-      // checkpointed — the duplicated scan leg is cheaper than
-      // materializing 600k rows (measured 3.0 vs 4.2 s)
-      val nums = graft.api.SparkEnv.spread(
-        li.select(col("l_orderkey"), concat_ws(" ",
-          col("l_orderkey"), col("l_partkey"), col("l_suppkey")).as("text")))
+      // NOTE (r21): widening this 3-split scan with SparkEnv.spread was
+      // tried and REVERTED — the Scratch stage profile showed the dict and
+      // count passes serialized on 3 tasks (1.6 + 1.1 s wall = run), but
+      // the bench (best-of-3, idle box) showed no win (2.73 -> 2.85 s here,
+      // 1.70 -> 2.13 s on bpe_train_1k): these queries are floor-dominated
+      // and the added exchange only buys plan churn. At real scale the
+      // scan has thousands of splits and spread is a no-op anyway.
+      val nums = li.select(col("l_orderkey"), concat_ws(" ",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey")).as("text"))
       val ranks = graft.api.BpeTrain.trainedRanks(nums, "text", 1024,
         vocabCap = 8192)
       nums.select(col("l_orderkey"),
