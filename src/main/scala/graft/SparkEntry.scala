@@ -356,11 +356,13 @@ object SparkEntry {
         graft.api.IncrementalCuration.buildState(corpusA, prefix,
           "doc_id", "text", col("lang") === "en"); null
       }),
+      // few-hundred-row fixture tables scanned on every wave's probe:
+      // one file each, not defaultParallelism near-empty ones
       (s"warcAdmitGate($prefix): corpus lookup table", () => {
-        corpusA.write.format("parquet").saveAsTable(lookupTbl); null
+        corpusA.coalesce(1).write.format("parquet").saveAsTable(lookupTbl); null
       }),
       (s"warcAdmitGate($prefix): bench table", () => {
-        bench.write.format("parquet").saveAsTable(benchTbl); null
+        bench.coalesce(1).write.format("parquet").saveAsTable(benchTbl); null
       }),
       (s"warcAdmitGate($prefix): batch collect", () =>
         batchB.select(col("doc_id").cast("long"), col("text"), col("lang"))

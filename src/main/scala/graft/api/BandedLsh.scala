@@ -725,13 +725,15 @@ object BandedLsh {
       // saveSignatureIndex note above)
       val pinned = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        pinned.join(hotKeys, keys, "left_anti")
+        BucketedWrite.alignedForInsert(
+            pinned.join(hotKeys, keys, "left_anti"), table)
           .write.mode("append").insertInto(table)
         pinned.join(hotKeys, keys, "left_semi")
           .write.mode("append").insertInto(s"${table}_hot")
       } finally pinned.unpersist()
     } else {
-      rows.write.mode("append").insertInto(table)
+      BucketedWrite.alignedForInsert(rows, table)
+        .write.mode("append").insertInto(table)
     }
   }
 

@@ -47,14 +47,64 @@ private[graft] object BucketedWrite {
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
     }
 
+  /** Strict-width-by-bytes staging for bucketed writes (guide §6: output
+    * files in the 128 MB–1 GB range; §2.2: fewer, larger blocks). A
+    * bucketed write emits one file per (input task × bucket present), so
+    * an un-repartitioned write at `spark.sql.shuffle.partitions = 32`
+    * over `numBuckets = 8` lays down up to 256 files per generation for
+    * kilobytes of data — measured 1280 files / 11 MB on one day-2 gram
+    * index at sf0.1, and every later scan (every probe, every flag
+    * derivation, every compaction) pays that listing + open floor; at
+    * 100 TB on an object store the same shape is the small-files
+    * pathology outright. The fix is a BUCKET-ALIGNED strict repartition
+    * sized by the frame's estimated bytes, never by the session's core
+    * count: width = numBuckets × ceil(chunks / numBuckets) where chunks
+    * ≈ bytes / 128 MB — at toy scale that is exactly numBuckets files
+    * (one per bucket, which also lets the bucketed scan report its sort
+    * order: Spark only trusts per-bucket ordering at one file per
+    * bucket), at real scale it is ~128 MB files and a write parallelism
+    * that grows with the data. Aligned means numBuckets divides the
+    * width, so each write task holds exactly ONE bucket (repartition and
+    * the bucket spec share the Murmur3 `hash(keys) pmod w` family).
+    * When the plan's size estimate is unusable (joins can inflate to
+    * Long.MaxValue), fall back to the session's shuffle width rounded up
+    * to bucket alignment — the pre-fix parallelism, still ≥4× fewer
+    * files. */
+  def bucketAlignedWidth(df: DataFrame, numBuckets: Int): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = 128L * 1024 * 1024
+    val sp = SparkEnv.shufflePartitions(df.sparkSession)
+    val chunks =
+      if (est <= 0 || est >= BigInt(Long.MaxValue) / 4) sp.toLong
+      else math.min(1L << 20, (est / target).toLong + 1L)
+    val m = math.max(1L, (chunks + numBuckets - 1) / numBuckets)
+    (numBuckets * m).toInt
+  }
+
   def saveBucketed(df: DataFrame, table: String, numBuckets: Int,
                    keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     dropTable(spark, table)
-    df.write.format("parquet")
+    df.repartition(bucketAlignedWidth(df, numBuckets), keys.map(df.col): _*)
+      .write.format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)
+  }
+
+  /** The same strict-width staging for APPENDS into an existing bucketed
+    * table (each insertInto generation otherwise multiplies files the
+    * same way). No-op for non-bucketed tables. */
+  def alignedForInsert(df: DataFrame, table: String): DataFrame = {
+    val spark = df.sparkSession
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec match {
+      case Some(spec) =>
+        df.repartition(bucketAlignedWidth(df, spec.numBuckets),
+          spec.bucketColumnNames.map(df.col): _*)
+      case None => df
+    }
   }
 }

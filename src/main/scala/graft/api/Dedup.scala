@@ -263,7 +263,7 @@ object Dedup {
     * [[Contamination.contaminatedSpans]]. Fixed-width triples, computed in
     * the scan's codegen span; everything downstream decides what "flagged"
     * means. */
-  private[api] def gramHashes(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def gramHashes(df: DataFrame, idCol: String, textCol: String,
                               width: Int, spreadInput: Boolean,
                               tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {
@@ -347,12 +347,15 @@ object Dedup {
     * once, then derive every flag the union rule adds —
     *
     *  1. batch windows duplicated within the batch ([[flagGrams]]);
-    *  2. batch windows whose gram already exists in the index (semi-join
-    *     against the bucketed table — zero corpus-side exchange);
-    *  3. OLD windows whose gram the batch re-introduces (the index scanned
-    *     once, column-pruned, probed map-side under a broadcast of the
-    *     batch's distinct gram set — the corpus TEXT is never re-read,
-    *     re-tokenized, or shuffled, which is the entire point).
+    *  2. batch windows whose gram already exists in the index;
+    *  3. OLD windows whose gram the batch re-introduces.
+    *
+    * Legs 2 and 3 both come from ONE probe of the index (scanned once,
+    * probed map-side under a broadcast of the batch's distinct gram set;
+    * the persisted hit set serves leg 3 directly and its distinct grams
+    * semi-join the batch for leg 2) — the corpus TEXT is never re-read,
+    * re-tokenized, or shuffled, and the index is never scanned twice,
+    * which is the entire point.
     *
     * New flags upsert into `{table}_flags` (anti-join on the existing
     * sparse flag set), and the batch's triples append into the bucketed
@@ -380,21 +383,23 @@ object Dedup {
     // precedent and measurement)
     val bg = gramHashes(batch, idCol, textCol, width, spreadInput, tokenize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE scan of the triple table per append, not two (guide §6 — at
+    // scale the index is the append's dominant I/O; the old shape paid a
+    // full gh-only scan for the batch-vs-index semi-join AND a full
+    // wide scan for the old-vs-batch leg): probe the index once under the
+    // broadcast of the batch's distinct gram set and derive BOTH
+    // cross-batch flag directions from the persisted hit set —
+    //  - old windows the batch re-introduces: the hits themselves;
+    //  - batch windows whose gram the index holds: bg semi-joined against
+    //    the hits' distinct ghs (= the grams present on both sides; the
+    //    broadcast is bounded by the batch's own distinct-gram count,
+    //    which the old code already broadcast). The batch side now pays
+    //    no exchange at all (the old semi-join shuffled bg to the
+    //    index's bucketing). No extra action: the persist materializes
+    //    inside the flag checkpoint below, and the hit set is bounded by
+    //    the batch's collision mass (what the old wide scan emitted).
+    val (hits, newFlags) = appendFlagsFrames(bg, table, width, crossDocOnly)
     try {
-      val index = spark.table(table)
-      val withinBatch = flagGrams(bg, width, crossDocOnly)
-      val batchVsIndex = bg
-        .join(index.select("gh"), Seq("gh"), "left_semi")
-        .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
-      val oldVsBatch = index
-        .join(broadcast(bg.select("gh").distinct()), Seq("gh"), "left_semi")
-        .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
-      val newFlags = withinBatch
-        .unionByName(batchVsIndex)
-        .unionByName(oldVsBatch)
-        .distinct()
-        .join(spark.table(flagsTable).select("doc_id", "pos"),
-          Seq("doc_id", "pos"), "left_anti")
       // COMMIT ORDER: triples BEFORE flags. The two appends are separate
       // transactions; if the session dies between them the index must be
       // left in the state that still DETECTS. Triples-first, a crash
@@ -419,10 +424,39 @@ object Dedup {
       val flagsOut = newFlags
         .select(spark.table(flagsTable).columns.map(col).toIndexedSeq: _*)
         .localCheckpoint()
-      bg.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+      BucketedWrite.alignedForInsert(
+          bg.select(spark.table(table).columns.map(col).toIndexedSeq: _*), table)
         .write.mode("append").insertInto(table)
       flagsOut.write.mode("append").insertInto(flagsTable)
-    } finally bg.unpersist()
+    } finally { hits.unpersist(); bg.unpersist() }
+  }
+
+  /** [[appendToGramIndex]]'s flag derivation over an already-mined batch
+    * gram stream, returned as `(hits, newFlags)` — `hits` is the
+    * PERSISTED single probe of the triple table both cross-batch legs
+    * read (the caller unpersists it once `newFlags` is materialized).
+    * Split out so the plan-evidence tool ([[graft.PlanDump]]) dumps the
+    * exact frame the append checkpoints. */
+  private[graft] def appendFlagsFrames(bg: DataFrame, table: String,
+                                       width: Int, crossDocOnly: Boolean)
+      : (DataFrame, DataFrame) = {
+    val spark = bg.sparkSession
+    val hits = spark.table(table)
+      .join(broadcast(bg.select("gh").distinct()), Seq("gh"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withinBatch = flagGrams(bg, width, crossDocOnly)
+    val batchVsIndex = bg
+      .join(broadcast(hits.select("gh").distinct()), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
+    val oldVsBatch = hits
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(width) - 1).as("fin"))
+    val newFlags = withinBatch
+      .unionByName(batchVsIndex)
+      .unionByName(oldVsBatch)
+      .distinct()
+      .join(spark.table(s"${table}_flags").select("doc_id", "pos"),
+        Seq("doc_id", "pos"), "left_anti")
+    (hits, newFlags)
   }
 
   /** The current duplicate-span set of a [[saveGramIndex]] index: the

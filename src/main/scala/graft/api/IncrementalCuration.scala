@@ -137,6 +137,18 @@ object IncrementalCuration {
     (stateTables(prefix) :+ reasonsTable(prefix))
       .foreach(BucketedWrite.dropTable(spark, _))
 
+  /** The meta table as a driver map. Served through [[SmallTableCache]]
+    * (file-listing-validated, so a writer that bypasses this object — the
+    * torn-state spec appends a marker row directly — is still seen): the
+    * uncached form cost one Spark job per [[admitBatch]] /
+    * [[compactState]] / [[takedownState]] call for a table of ~3 rows,
+    * on the driver's critical path once per streaming micro-batch. */
+  private def readMeta(spark: SparkSession, prefix: String): Map[String, Long] =
+    SmallTableCache.cached(spark, metaTable(prefix), "inc-meta") {
+      spark.table(metaTable(prefix))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
   /** Re-register state tables whose catalog entries died with a
     * previous JVM but whose warehouse directories survived — the
     * [[StagedPipeline.recoverFromWarehouse]] discipline applied to the
@@ -240,17 +252,20 @@ object IncrementalCuration {
             hashTable(prefix), p.numBuckets, Seq("h"))),
         (s"buildState($prefix): BPE vocabulary", () => {
           BucketedWrite.dropTable(spark, vocabTable(prefix))
+          // driver-local merge list: one file, not ~32 near-empty ones
           BpeTrain.mergesDf(spark,
               BpeTrain.trainBpe(c, textCol, p.bpeMerges, p.bpeVocabCap))
+            .coalesce(1)
             .write.format("parquet").saveAsTable(vocabTable(prefix))
         }),
         (s"buildState($prefix): id high-water mark", () =>
           c.agg(max(col(idCol).cast("long"))).head.getLong(0))
       ), parallelism = 4).last.asInstanceOf[Long]
       BucketedWrite.dropTable(spark, metaTable(prefix))
-      Seq(("max_doc_id", maxId), ("params_hash", paramsHash(p)))
-        .toDF("key", "value")
+      val metaRows = Seq(("max_doc_id", maxId), ("params_hash", paramsHash(p)))
+      metaRows.toDF("key", "value")
         .write.format("parquet").saveAsTable(metaTable(prefix))
+      SmallTableCache.put(spark, metaTable(prefix), "inc-meta", metaRows.toMap)
     } finally c.unpersist()
   }
 
@@ -319,8 +334,7 @@ object IncrementalCuration {
     val p = params
     recoverFromWarehouse(spark, prefix) // no-op unless a JVM died between days
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val meta = spark.table(metaTable(prefix))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val meta = readMeta(spark, prefix)
     val maxId = meta("max_doc_id")
     require(meta.get("params_hash").contains(paramsHash(p)),
       s"'$prefix' was built with different Params than this admit " +
@@ -406,7 +420,7 @@ object IncrementalCuration {
       s"batch ids must exceed the indexed high-water mark $maxId " +
         s"(got min $batchMin): keep-earliest across days is id order")
 
-    // ---- near-dup pair mining, BEFORE any state mutation ----
+    // ---- pre-mutation read bundle, BEFORE any state mutation ----
     // Every require in this function fires before the first append: a
     // rejected batch (bad ids, over-cap edge list) must leave the state
     // tables exactly as it found them — appends are not idempotent, so
@@ -415,23 +429,41 @@ object IncrementalCuration {
     // index append — the contract appendToGramIndex documents.)
     // Batch-vs-A pairs probe the index while it still holds A only;
     // batch-vs-batch pairs come from one banding pass over the batch.
-    // The two minings are independent read-only jobs — overlapped
-    // (guide §2.6), they fill each other's scheduling floor and tails.
-    val Seq(abPairs, bbPairs) = Par.run(spark, Seq[(String, () => Array[org.apache.spark.sql.Row])](
+    // Four independent read-only jobs — overlapped (guide §2.6), they
+    // fill each other's scheduling floor and tails: the two minings,
+    // the OLD NB generations' summed counts (the model read that used to
+    // sit sequentially between the appends and the verdicts — reading it
+    // pre-append and adding the batch's counts on the driver is
+    // bit-equal, integer sums either way), and the batch's own NB counts
+    // (computed ONCE here for both the persisted generation and the
+    // model, where the old code paid the batch scan twice). b is already
+    // materialized in the persist cache by the idStats pass above, so
+    // the concurrent scans of it are cache reads.
+    val edgeCap = math.min(p.maxDriverEdges, Int.MaxValue - 1L).toInt + 1
+    val reads = Par.run(spark, Seq[(String, () => Any)](
       (s"admitBatch($prefix): batch-vs-index near-dup pairs", () =>
         BandedLsh.nearDupAgainstIndex(sigTable(prefix),
             corpusLookup.select(col(idCol), col(textCol)), b,
             idCol, textCol, p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed,
             p.simThreshold)
           .select(col("batch_id").cast("long"), col("corpus_id").cast("long"))
-          .limit(math.min(p.maxDriverEdges, Int.MaxValue - 1L).toInt + 1)
+          .limit(edgeCap)
           .collect()),
       (s"admitBatch($prefix): within-batch near-dup pairs", () =>
         BandedLsh.nearDupPairs(b, idCol, textCol,
             p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed, p.simThreshold)
           .select(col("id_a").cast("long"), col("id_b").cast("long"))
-          .limit(math.min(p.maxDriverEdges, Int.MaxValue - 1L).toInt + 1)
-          .collect())))
+          .limit(edgeCap)
+          .collect()),
+      (s"admitBatch($prefix): prior NB generation sums", () =>
+        QualityClassifier.summedCounts(spark, nbTable(prefix))),
+      (s"admitBatch($prefix): batch NB counts", () =>
+        QualityClassifier.classBucketCounts(b, textCol, labelCol, p.nbBuckets))),
+      parallelism = 4)
+    val abPairs = reads(0).asInstanceOf[Array[org.apache.spark.sql.Row]]
+    val bbPairs = reads(1).asInstanceOf[Array[org.apache.spark.sql.Row]]
+    val oldNb = reads(2).asInstanceOf[(Array[Long], Array[Long], Long, Long)]
+    val batchNb = reads(3).asInstanceOf[(Array[Long], Array[Long], Long, Long)]
     require(abPairs.length <= p.maxDriverEdges &&
         bbPairs.length <= p.maxDriverEdges,
       s"near-dup edge list exceeds maxDriverEdges=${p.maxDriverEdges}; " +
@@ -487,17 +519,21 @@ object IncrementalCuration {
         BandedLsh.appendToSignatureIndex(b, sigTable(prefix), idCol, textCol,
           p.shingleWidth, p.bandCount, p.bandSize, p.lshSeed)),
       (s"admitBatch($prefix): line-df append", () =>
-        lineCounts(b, idCol, textCol, "\n")
-          .select(spark.table(lineTable(prefix)).columns.map(col).toIndexedSeq: _*)
+        BucketedWrite.alignedForInsert(
+            lineCounts(b, idCol, textCol, "\n")
+              .select(spark.table(lineTable(prefix)).columns.map(col).toIndexedSeq: _*),
+            lineTable(prefix))
           .write.mode("append").insertInto(lineTable(prefix))),
       (s"admitBatch($prefix): NB counts append", () =>
-        QualityClassifier.nbCountsDf(b, textCol, labelCol, p.nbBuckets)
+        QualityClassifier.countsToDf(spark, batchNb)
           .select(spark.table(nbTable(prefix)).columns.map(col).toIndexedSeq: _*)
           .write.mode("append").insertInto(nbTable(prefix))),
       (s"admitBatch($prefix): raw-hash append", () =>
-        b.select(xxhash64(col(textCol)).as("h"),
-            col(idCol).cast("long").as("doc_id"))
-          .select(spark.table(hashTable(prefix)).columns.map(col).toIndexedSeq: _*)
+        BucketedWrite.alignedForInsert(
+            b.select(xxhash64(col(textCol)).as("h"),
+                col(idCol).cast("long").as("doc_id"))
+              .select(spark.table(hashTable(prefix)).columns.map(col).toIndexedSeq: _*),
+            hashTable(prefix))
           .write.mode("append").insertInto(hashTable(prefix)))
     ), parallelism = 3)
     // ---- verdict 1: exact keep-earliest over A ∪ B ----
@@ -510,7 +546,14 @@ object IncrementalCuration {
       .filter(col("doc_id") === col("__minid")).select("doc_id")
 
     // ---- verdict 3: NB quality over the A ∪ B model ----
-    val (lo, prior) = QualityClassifier.modelFromCounts(spark, nbTable(prefix))
+    // assembled on the driver from (pre-append generation sums) +
+    // (the batch's counts), both collected in the pre-mutation bundle —
+    // element-wise integer sums, so bit-equal to re-reading the table
+    // after the append (which is exactly what the replay path still does)
+    val (lo, prior) = QualityClassifier.modelFromArrays((
+      oldNb._1.zip(batchNb._1).map { case (a, x) => a + x },
+      oldNb._2.zip(batchNb._2).map { case (a, x) => a + x },
+      oldNb._3 + batchNb._3, oldNb._4 + batchNb._4))
     val scored = QualityClassifier
       .nbScore(b, textCol, lo, prior, "nb_score")
       .withColumn("doc_id", col(idCol).cast("long"))
@@ -569,20 +612,23 @@ object IncrementalCuration {
     // AFTER the reasons write (the replay path reconstructs the admitted
     // set from the reasons audit, so gen_done must imply it is durable)
     // and in ONE drop+recreate with the max_doc_id advance — started
-    // flips to done atomically at the table level. Pin the new meta
-    // rows FIRST, then drop + recreate: saveAsTable overwrite on a
+    // flips to done atomically at the table level. The new rows are
+    // BUILT ON THE DRIVER from the map this call already read (the old
+    // code re-read the table through a Spark job and localCheckpointed
+    // the lazy filter to pin it across its own drop — two jobs for ~3
+    // rows; the driver map IS that pin): `meta` predates this call's
+    // gen_started marker, so the marker drops out exactly as the old
+    // filter dropped it. dropTable (not saveAsTable overwrite): a
     // RECOVERED (external) registration trips the managed-location-
     // exists error; dropTable removes the directory explicitly so the
     // external/managed distinction never leaks (the StagedPipeline
     // recovery convention).
-    val newMeta = spark.table(metaTable(prefix))
-      .filter(col("key") =!= "max_doc_id" &&
-        genStartedKey.map(col("key") =!= _).getOrElse(lit(true)))
-      .unionByName((Seq(("max_doc_id", batchMax)) ++
-        genDoneKey.map(_ -> maxId)).toDF("key", "value"))
-      .localCheckpoint()
+    val newMeta = (meta - "max_doc_id") ++
+      Seq(("max_doc_id", batchMax)) ++ genDoneKey.map(_ -> maxId)
     BucketedWrite.dropTable(spark, metaTable(prefix))
-    newMeta.write.format("parquet").saveAsTable(metaTable(prefix))
+    newMeta.toSeq.toDF("key", "value")
+      .write.format("parquet").saveAsTable(metaTable(prefix))
+    SmallTableCache.put(spark, metaTable(prefix), "inc-meta", newMeta)
     b.unpersist()
     out
   }
@@ -665,8 +711,7 @@ object IncrementalCuration {
     import spark.implicits._
     val p = params
     recoverFromWarehouse(spark, prefix)
-    val meta = spark.table(metaTable(prefix))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val meta = readMeta(spark, prefix)
     require(meta.get("params_hash").contains(paramsHash(p)),
       s"'$prefix' was built with different Params than this compaction " +
         "(stored fingerprint absent or differs) — compact with the " +
@@ -795,8 +840,7 @@ object IncrementalCuration {
     val spark = deletedDocs.sparkSession
     val p = params
     recoverFromWarehouse(spark, prefix)
-    val meta = spark.table(metaTable(prefix))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val meta = readMeta(spark, prefix)
     require(meta.get("params_hash").contains(paramsHash(p)),
       s"'$prefix' was built with different Params than this takedown " +
         "(stored fingerprint absent or differs) — use the build's values")
@@ -838,9 +882,11 @@ object IncrementalCuration {
         (s"takedownState($prefix): gram index", () =>
           Dedup.compactGramIndex(spark, gramTable(prefix), delIds, p.width)),
         (s"takedownState($prefix): line-df subtraction", () =>
-          lineCounts(del, idCol, textCol, "\n")
-            .select(col("lh"), (-col("docs")).as("docs"))
-            .select(spark.table(lineTable(prefix)).columns.map(col).toIndexedSeq: _*)
+          BucketedWrite.alignedForInsert(
+              lineCounts(del, idCol, textCol, "\n")
+                .select(col("lh"), (-col("docs")).as("docs"))
+                .select(spark.table(lineTable(prefix)).columns.map(col).toIndexedSeq: _*),
+              lineTable(prefix))
             .write.mode("append").insertInto(lineTable(prefix))),
         (s"takedownState($prefix): NB-counts subtraction", () =>
           QualityClassifier.nbCountsDf(del, textCol, labelCol, p.nbBuckets)
@@ -890,12 +936,18 @@ object IncrementalCuration {
     * [[admitReference]] (the verification twin) must run under the SAME
     * frozen ranks the indexes carry. */
   def loadVocab(spark: SparkSession, prefix: String)
-      : org.apache.spark.sql.graft.BpeRanks = {
-    val merges = spark.table(vocabTable(prefix)).orderBy("rank")
-      .select("left", "right").collect()
-      .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
-    org.apache.spark.sql.graft.BpeRanks.fromByteTokens(merges)
-  }
+      : org.apache.spark.sql.graft.BpeRanks =
+    // frozen day-1 state read once per admit (and recompiled — the ranks
+    // compile is driver CPU): served through the file-listing-validated
+    // cache, so the 2nd..Nth micro-batch of a day-N stream pays neither
+    // the collect job nor the compile while a rebuild (new files) still
+    // invalidates
+    SmallTableCache.cached(spark, vocabTable(prefix), "inc-vocab") {
+      val merges = spark.table(vocabTable(prefix)).orderBy("rank")
+        .select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+      org.apache.spark.sql.graft.BpeRanks.fromByteTokens(merges)
+    }
 
   /** The NON-incremental statement of the recipe — every verdict and
     * span source computed directly over the full corpus `all`, sliced

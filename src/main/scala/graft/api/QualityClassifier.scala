@@ -104,13 +104,26 @@ object QualityClassifier {
     * a plain table, append per batch, and [[modelFromCounts]]
     * reconstitutes the model bit-exactly. */
   def nbCountsDf(docs: DataFrame, textCol: String, labelCol: Column,
-                 buckets: Int): DataFrame = {
-    val (p, n, nPos, nNeg) = classBucketCounts(docs, textCol, labelCol, buckets)
-    val spark = docs.sparkSession
+                 buckets: Int): DataFrame =
+    countsToDf(docs.sparkSession,
+      classBucketCounts(docs, textCol, labelCol, buckets))
+
+  /** [[nbCountsDf]]'s table rows from ALREADY-COLLECTED counts — the
+    * split lets a caller compute [[classBucketCounts]] once and reuse the
+    * same integers for both the persisted generation and the in-memory
+    * model ([[IncrementalCuration.admitBatch]] overlaps the count scan
+    * with its near-dup minings and then writes + models from one pass). */
+  private[api] def countsToDf(spark: org.apache.spark.sql.SparkSession,
+                              counts: (Array[Long], Array[Long], Long, Long))
+      : DataFrame = {
     import spark.implicits._
+    val (p, n, nPos, nNeg) = counts
     val rows = (DocCountBucket, nPos, nNeg) +:
-      Array.tabulate(buckets)(b => (b, p(b), n(b))).toIndexedSeq
-    rows.toDF("bucket", "pos_cnt", "neg_cnt")
+      Array.tabulate(p.length)(b => (b, p(b), n(b))).toIndexedSeq
+    // one file per persisted generation, not defaultParallelism of them:
+    // buckets+1 driver-local rows otherwise land as ~32 near-empty part
+    // files per append, and the day-N model read lists all of them
+    rows.toDF("bucket", "pos_cnt", "neg_cnt").coalesce(1)
   }
 
   /** Both classes' dense per-bucket feature counts plus the class document
@@ -122,8 +135,8 @@ object QualityClassifier {
     * integers, so the fused form is bit-identical to the per-class scans
     * it replaced ([[Sampling.dsirBucketCounts]] semantics: same crc32 pmod
     * bucketing, docs whose label is NULL belong to neither class). */
-  private def classBucketCounts(docs: DataFrame, textCol: String,
-                                labelCol: Column, buckets: Int)
+  private[api] def classBucketCounts(docs: DataFrame, textCol: String,
+                                     labelCol: Column, buckets: Int)
       : (Array[Long], Array[Long], Long, Long) = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20], got $buckets")
@@ -166,7 +179,18 @@ object QualityClassifier {
     * [[graft.core.HyperLogLog.lnPinned]] arguments ⇒ the same doubles).
     * One scan of a `buckets + 1`-row-per-generation table. */
   def modelFromCounts(spark: org.apache.spark.sql.SparkSession,
-                      table: String): (Array[Double], Double) = {
+                      table: String): (Array[Double], Double) =
+    modelFromArrays(summedCounts(spark, table))
+
+  /** The per-bucket sums of a persisted [[nbCountsDf]] table, collected —
+    * the read half of [[modelFromCounts]], exposed so a caller holding a
+    * NOT-YET-APPENDED generation's counts can overlap this (read-only)
+    * scan with other pre-mutation jobs and assemble the post-append model
+    * on the driver ([[modelFromArrays]] over the element-wise integer
+    * sums — bit-equal to [[modelFromCounts]] after the append, because
+    * the table read sums the same integers). */
+  def summedCounts(spark: org.apache.spark.sql.SparkSession,
+                   table: String): (Array[Long], Array[Long], Long, Long) = {
     val rows = spark.table(table)
       .groupBy("bucket")
       .agg(sum("pos_cnt").as("p"), sum("neg_cnt").as("n"))
@@ -183,6 +207,16 @@ object QualityClassifier {
       if (b == DocCountBucket) { nPos = r.getLong(1); nNeg = r.getLong(2) }
       else { p(b) = r.getLong(1); n(b) = r.getLong(2) }
     }
+    (p, n, nPos, nNeg)
+  }
+
+  /** `(logOdds, prior)` from in-memory sufficient statistics — the pure
+    * back half of [[modelFromCounts]] (same lnPinned algebra, so equal
+    * integer counts give bit-equal doubles). */
+  def modelFromArrays(counts: (Array[Long], Array[Long], Long, Long))
+      : (Array[Double], Double) = {
+    val (p, n, nPos, nNeg) = counts
+    val buckets = p.length
     val prior = nbPrior(nPos, nNeg)
     val pTot = p.sum.toDouble + buckets
     val nTot = n.sum.toDouble + buckets

@@ -1134,10 +1134,12 @@ object EventStreams {
       ("incrementalAdmitReplay: day-1 state build", () =>
         graft.api.IncrementalCuration.buildState(corpusDf, prefix,
           "doc_id", "text", col("lang") === "en", params)),
+      // driver-local fixtures, scanned on every micro-batch's probe:
+      // one file each, not defaultParallelism near-empty ones
       ("incrementalAdmitReplay: corpus lookup table", () =>
-        corpusDf.write.format("parquet").saveAsTable(lookupTbl)),
+        corpusDf.coalesce(1).write.format("parquet").saveAsTable(lookupTbl)),
       ("incrementalAdmitReplay: bench table", () =>
-        bench.toDF("doc_id", "text").write.format("parquet")
+        bench.toDF("doc_id", "text").coalesce(1).write.format("parquet")
           .saveAsTable(benchTbl))))
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
     val q = mem.toDF().toDF("doc_id", "text", "lang").writeStream
@@ -1155,11 +1157,17 @@ object EventStreams {
           val admitted = graft.api.IncrementalCuration.admitBatch(b,
             ss.table(benchTbl), ss.table(lookupTbl), prefix,
             "doc_id", "text", col("lang") === "en", params)
-          admitted.write.mode("append").format("parquet").saveAsTable(resTbl)
-          // lookup grows AFTER the admit: the probe's candidates come
-          // from the index, which gains this batch only during the admit
-          b.select(ss.table(lookupTbl).columns.map(col).toIndexedSeq: _*)
-            .write.mode("append").insertInto(lookupTbl)
+          // both tables grow AFTER the admit (the probe's candidates come
+          // from the index, which gains this batch only during the admit)
+          // and are disjoint — overlapped (guide §2.6); admitted is
+          // already pinned by admitBatch, b by its persist
+          graft.api.Par.run(ss, Seq[(String, () => Unit)](
+            ("incrementalAdmitReplay: admitted rows append", () =>
+              admitted.write.mode("append").format("parquet")
+                .saveAsTable(resTbl)),
+            ("incrementalAdmitReplay: lookup append", () =>
+              b.select(ss.table(lookupTbl).columns.map(col).toIndexedSeq: _*)
+                .write.mode("append").insertInto(lookupTbl))))
         }
         ()
       }
@@ -1427,8 +1435,14 @@ object EventStreams {
               .join(ss.table(tbl).select("doc_id"), Seq("doc_id"), "left_anti")
               .select(ss.table(tbl).columns.map(col).toIndexedSeq: _*)
               .write.mode("append").insertInto(tbl)
-          appendMissing(admitted, resTbl)
-          appendMissing(b, lookupTbl)
+          // disjoint tables, both anti-join-guarded (idempotent by id) —
+          // overlapped (guide §2.6): any crash interleaving leaves a
+          // subset a replay converges from, same as the sequential order
+          graft.api.Par.run(ss, Seq[(String, () => Unit)](
+            ("warcAdmitIngest: admitted rows append", () =>
+              appendMissing(admitted, resTbl)),
+            ("warcAdmitIngest: lookup append", () =>
+              appendMissing(b, lookupTbl))))
           if (crashBeforeCommit) throw new IllegalStateException(
             "planted crash between admit and checkpoint commit (test seam)")
         }
