@@ -1213,12 +1213,14 @@ object SparkEntry {
       // instead of the per-language window sort — the web-scale path the
       // exact operator's scaladoc names. Oracle: full Python re-derivation
       // of score + binning + cut loop, pinned VALUES. The (id, lang,
-      // score) projection is localCheckpointed so the three sketch passes
-      // read stored blocks, not three LM recomputations.
+      // score) projection is pinned (pinFrontier — corpus-rows wide, so
+      // cluster-replicated blocks, not a bare localCheckpoint) so the
+      // three sketch passes read stored blocks, not three LM recomputes.
       val docs = load(s, dir, "documents")
       val scored = graft.api.TextAnalysis.docLogProbBigram(docs)
         .join(docs.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", "avg_nll2").localCheckpoint()
+        .select("doc_id", "lang", "avg_nll2")
+        .transform(graft.api.SparkEnv.pinFrontier)
       graft.api.TextAnalysis.perplexityBucketsSketch(
           scored, "lang", "avg_nll2", nBuckets = 3, bins = 64)
         .select(col("doc_id"), col("lang"), col("ppl_bin"), col("ppl_class"))
@@ -1612,9 +1614,13 @@ object SparkEntry {
         // several actions each replan the whole tape-parse + envelope +
         // REP + extraction tree otherwise — measured ~8 s of driver-side
         // Catalyst/AQE planning per bench pass at sf0.1 (guide §3.3:
-        // materialize an intermediate to truncate a huge plan); the
-        // checkpoint also evaluates the heavy decode/extract leg ONCE
-        .localCheckpoint()
+        // materialize an intermediate to truncate a huge plan); the pin
+        // also evaluates the heavy decode/extract leg ONCE. pinFrontier,
+        // not a bare localCheckpoint: this is the CORPUS-SIZED extracted
+        // text — unreplicated lineage-severed blocks would turn one lost
+        // executor into a failed job at scale (replicated on clusters;
+        // see pinFrontier's scaladoc for the measured persist rejection)
+        .transform(graft.api.SparkEnv.pinFrontier)
       val blocked = Seq("src3.example.com", "src5.example.com").toDF("domain")
       val s1 = Domains.filterBlockedHosts(
         extracted.select("doc_id", "url", "n_chars_ext"), "url", "doc_id", blocked)
@@ -2372,21 +2378,24 @@ object SparkEntry {
       val deconSpans = graft.api.Contamination.contaminatedSpans(
         c1, bench, "doc_id", "text", width = 8)
       val c2 = graft.api.Dedup.cutSpansExact(c1, deconSpans, "doc_id", "text")
-      // checkpoint the text-rewrite frontier: five scoring stages below
+      // pin the text-rewrite frontier: five scoring stages below
       // (NB train+score, LM fit+score, DSIR fit+score) each run actions
       // over this lineage — without it the span mining re-executes per
-      // action (the caching a pipeline user would do between stages)
+      // action (the caching a pipeline user would do between stages).
+      // pinFrontier, not a bare localCheckpoint: these carry the full
+      // corpus text — replicated blocks on a cluster, so a single node
+      // loss reads the survivor instead of failing the job
       val c3 = graft.api.Dedup.cutDupSpansExact(c2, "doc_id", "text", width = 8)
-        .localCheckpoint()
+        .transform(graft.api.SparkEnv.pinFrontier)
       val c4 = graft.api.QualityClassifier.trainScore(
           c3, "text", col("lang") === "en", buckets = 1024)
         .filter(col("nb_score") > 0.0)
-        .localCheckpoint()
+        .transform(graft.api.SparkEnv.pinFrontier)
       val lm = graft.api.TextAnalysis.docLogProbBigram(c4)
       val c5 = graft.api.TextAnalysis.perplexityBuckets(
           c4.join(lm.select("doc_id", "avg_nll2"), "doc_id"), "lang", "avg_nll2")
         .filter(col("ppl_class") =!= "tail")
-        .localCheckpoint()
+        .transform(graft.api.SparkEnv.pinFrontier)
       val sel = graft.api.Sampling.dsirResample(c5,
         c5.filter(col("source").isin("src0", "src1")), "doc_id", "text",
         k = 80, buckets = 1024, seed = 7L)
@@ -3293,6 +3302,16 @@ object SparkEntry {
           col("source").isin("src0", "src1"), buckets = 1024)
         .select(col("doc_id"), col("nb_score"),
           (col("nb_score") > 0.0).as("nb_keep"))
+        // pin before the global sort: the range partitioner's sampling
+        // pass re-ran the whole scoring leg (a 1024-double log-odds
+        // literal folded per token) — benched +22% (1.94 -> 1.50 s).
+        // NEGATIVE RESULT, measured r22: the same pin on the other
+        // map-heavy sort-fed tail queries (boilerplate_filter,
+        // doc_logprob(_bigram), token_entropy, repetition_stats/filter,
+        // quality_zlib_composed) LOST 7-21% each on the bench of record
+        // — their sampling re-run is cheaper than the extra
+        // materialization at this scale; do not re-add without a bench win
+        .transform(graft.api.SparkEnv.pinFrontier)
         .orderBy("doc_id")
     }),
     // Deterministic hash-based sampling/splitting (graft.api.Sampling):
@@ -4025,8 +4044,10 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("embedding"))
         // pin the embedding frontier: SemDeDup consumes its input four
         // ways (k-means sample, assignment, both self-join sides) and
-        // each consumer re-ran the whole tokenize→df→idf→norm chain
-        .localCheckpoint()
+        // each consumer re-ran the whole tokenize→df→idf→norm chain.
+        // pinFrontier, not a bare localCheckpoint: corpus-sized vectors
+        // survive a single executor loss on a cluster (replicated blocks)
+        .transform(graft.api.SparkEnv.pinFrontier)
       graft.api.SemanticDedup.semanticDedup(vecs, nClusters = 8, tau = 0.3,
           seed = 7L, iters = 5, sampleSize = 500)
         .orderBy("vec_id")

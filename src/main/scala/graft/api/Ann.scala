@@ -632,9 +632,28 @@ object Ann {
   /** Rebuild an [[IvfPqIndex]] from [[saveIvfPqIndex]] tables. The model
     * table (KBs) is collected and re-broadcast; the codes table becomes the
     * index's `encoded` plan — a partitioned scan, so searches prune to the
-    * probed cells and re-encode nothing. */
+    * probed cells and re-encode nothing. The model half is served through
+    * [[SmallTableCache]] (file-listing-validated): the streaming/novelty
+    * ingest loops reload the FROZEN models once per micro-batch, paying a
+    * collect job + re-broadcast each time; repairs/reindexes rewrite the
+    * model table, which changes the listing and invalidates. The codes
+    * frame is rebuilt per call, never cached — it grows with every
+    * append. */
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                      tablePrefix: String): IvfPqIndex = {
+    val (cents, books, m, ksub, dead, cmodel) =
+      SmallTableCache.cached(spark, s"${tablePrefix}_model", "ann-model") {
+        loadIvfPqModel(spark, tablePrefix)
+      }
+    val encoded = spark.table(s"${tablePrefix}_codes")
+      .select("neighbor_id", "cell", "codes")
+    new IvfPqIndex(cents, books, cmodel, m, ksub, encoded, dead)
+  }
+
+  private def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+                             tablePrefix: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Int, Int,
+         Set[Int], org.apache.spark.sql.graft.CentroidModel) = {
     import org.apache.spark.sql.graft.CentroidModel
     val rows = spark.table(s"${tablePrefix}_model").collect()
     def vecsOf(kind: String): Array[((Int, Int), Array[Double])] = rows
@@ -663,9 +682,7 @@ object Ann {
     val byKey = bookEntries.toMap
     val books = Array.tabulate(m, ksub)((s, c) => byKey((s, c)))
     val cmodel = new CentroidModel(spark.sparkContext.broadcast(cents))
-    val encoded = spark.table(s"${tablePrefix}_codes")
-      .select("neighbor_id", "cell", "codes")
-    new IvfPqIndex(cents, books, cmodel, m, ksub, encoded, dead)
+    (cents, books, m, ksub, dead, cmodel)
   }
 
   /** Append a batch to a persisted [[saveIvfPqIndex]] index: encode the

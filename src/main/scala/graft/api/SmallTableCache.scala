@@ -61,10 +61,11 @@ private[graft] object SmallTableCache {
     Option(cache.get(key)) match {
       case Some((oldFp, v)) if oldFp == fp => v.asInstanceOf[T]
       case _ =>
-        // the V1 relation cache can be staler than the listing (a write
-        // from another session); refresh so the re-read sees the files
-        // the fingerprint just saw
-        spark.catalog.refreshTable(table)
+        // no refreshTable here: the miss path must read EXACTLY as the
+        // uncached code did (callers already refresh cloned-session
+        // relation caches where that matters, and a refresh from in here
+        // would uncache dependent cached plans — the DROP-PARTITION trap
+        // the append paths pin against)
         val v = read
         cache.put(key, (fp, v))
         v

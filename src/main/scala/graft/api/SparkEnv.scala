@@ -33,6 +33,33 @@ private[graft] object SparkEnv {
       .flatMap(_.toIntOption).filter(_ > 0)
       .getOrElse(100000)
 
+  /** Pin a CORPUS-SIZED frontier that several downstream consumers (or
+    * several actions) re-read: `localCheckpoint` — evaluate once,
+    * truncate every downstream plan (the measured warc_to_shards
+    * ~8 s/pass Catalyst/AQE replanning win) — but at a REPLICATED
+    * storage level on a real cluster. A plain localCheckpoint severs the
+    * lineage AND stores single-replica executor-local blocks, so at
+    * 100 TB one lost executor fails every downstream action outright;
+    * MEMORY_AND_DISK_2 keeps a second replica, so a single node loss
+    * reads the survivor (the residual risk, stated: losing BOTH
+    * replicas still fails the job — a pipeline that cannot accept that
+    * should write the frontier to a reliable store instead, the staged
+    * tables the lifecycle operators already use). Local mode keeps the
+    * unreplicated level: one block manager means replication is a no-op
+    * that only logs per-block warnings, and the driver's bench stays
+    * comparable.
+    *
+    * Measured alternative, rejected: persist(MEMORY_AND_DISK) keeps
+    * lineage (recompute-on-loss) but loses the plan-truncation win —
+    * every downstream action re-canonicalizes the full multi-thousand-
+    * node tree against the cache (warc_to_shards 7.2 → 14.2 s,
+    * curate_corpus_v2 5.2 → 7.0 s on the bench of record). */
+  def pinFrontier(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      if (df.sparkSession.sparkContext.isLocal)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
+
   /** Round-robin repartition to the session's shuffle parallelism — but ONLY
     * for a narrow scan (scan/project/filter chain) whose planned partitioning
     * is below it, which is what makes this a layout fix rather than a scale

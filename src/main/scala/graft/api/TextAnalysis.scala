@@ -776,21 +776,20 @@ object TextAnalysis {
   def tfidfEmbed(docs: DataFrame, idCol: String, textCol: String,
                  dim: Int): DataFrame = {
     require(dim >= 2 && dim <= (1 << 16), s"dim must be in [2, 65536], got $dim")
-    // localCheckpoint (eager): the tokenize+bucket aggregate runs ONCE —
-    // the df collect below and the caller's execution of the returned plan
-    // both read the stored blocks instead of re-scanning the corpus, which
-    // keeps the scaladoc's "one tokenize+bucket aggregate" true. Chosen
-    // over persist(): the ContextCleaner frees checkpoint blocks when the
-    // returned DataFrame is GC'd, where a CacheManager entry would leak
-    // (the caller cannot unpersist an internal plan node). Blocks live on
-    // executors — consume the returned frame within the session (the
-    // pipeline shape: it feeds SemanticDedup/Ann immediately).
+    // pinFrontier: the tokenize+bucket aggregate runs ONCE — the df
+    // collect below and the caller's execution of the returned plan both
+    // read the stored blocks instead of re-scanning the corpus, which
+    // keeps the scaladoc's "one tokenize+bucket aggregate" true. This is
+    // a CORPUS-SIZED frontier (one row per (doc, distinct bucket)), so a
+    // bare single-replica localCheckpoint was failure-fragile at scale:
+    // pinFrontier replicates the blocks on a cluster, and its blocks are
+    // still ContextCleaner-freed when the returned frame is GC'd.
     val perDoc = docs
       .select(col(idCol), explode(Tokenizers.asciiWords(col(textCol))).as("tok"))
       .select(col(idCol),
         pmod(crc32(col("tok").cast("binary")), lit(dim.toLong)).cast("int").as("b"))
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .transform(SparkEnv.pinFrontier)
     val dfRows = perDoc.groupBy("b").agg(count(lit(1)).as("df")).collect()
     val dfArr = new Array[Long](dim)
     dfRows.foreach(r => dfArr(r.getInt(0)) = r.getLong(1))
